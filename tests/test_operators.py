@@ -1,0 +1,104 @@
+"""Dedup, keyed effects, late data, sampling, as-of join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.operators import (
+    apply_effects_to_target,
+    asof_join,
+    classify_late_data,
+    dedup_keyed,
+    reduce_keyed_effects,
+    stratified_hash_sample,
+)
+from cdf_spark.operators.dedup import DuplicateKeyError
+
+
+@pytest.fixture()
+def dupes(spark):
+    return spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (2, 1, "d"), (3, 7, "e")],
+        ["k", "ord", "v"],
+    )
+
+
+def test_dedup_keep_last(dupes):
+    out = dedup_keyed(dupes, ["k"], ["ord"], keep="last")
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "b"), (2, "c"), (3, "e")}
+
+
+def test_dedup_keep_first(dupes):
+    out = dedup_keyed(dupes, ["k"], ["ord"], keep="first")
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "d"), (3, "e")}
+
+
+def test_dedup_fail(dupes):
+    with pytest.raises(DuplicateKeyError):
+        dedup_keyed(dupes, ["k"], ["ord"], keep="fail")
+    marked = dedup_keyed(dupes, ["k"], ["ord"], keep="fail", fail_action="mark")
+    assert marked.filter("_cdf_duplicate").count() == 4
+
+
+def test_reduce_and_apply_effects(spark):
+    target = spark.createDataFrame([(1, "old1"), (2, "old2"), (3, "old3")], ["k", "v"])
+    effects = spark.createDataFrame(
+        [
+            (1, "new1a", "update", 1),
+            (1, "new1b", "update", 2),   # later wins
+            (2, None, "delete", 1),
+            (4, "new4", "insert", 1),
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    reduced = reduce_keyed_effects(effects, ["k"], ["seq"], winner="last")
+    assert reduced.count() == 3
+    out = apply_effects_to_target(target, reduced, ["k"])
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "new1b"), (3, "old3"), (4, "new4")}
+
+
+def test_late_data_actions(spark):
+    df = spark.createDataFrame([(1, 100), (2, 50), (3, 200)], ["id", "t"])
+    wm = 100
+
+    s = classify_late_data(df, "t", wm, action="annotate")
+    ann = {r.id: r._cdf_late for r in s.admitted_annotated.collect()}
+    assert ann == {1: True, 2: True, 3: False}
+
+    s = classify_late_data(df, "t", wm, action="quarantine")
+    assert s.quarantined.count() == 2 and s.on_time.count() == 1
+
+    s = classify_late_data(df, "t", wm, action="recapture")
+    assert s.recaptured.count() == 2
+    assert "_cdf_late" not in s.recaptured.columns
+
+
+def test_stratified_sample_deterministic(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    s1 = stratified_hash_sample(df, ["k"], modulus=100, keep_buckets=10)
+    s2 = stratified_hash_sample(df.repartition(7), ["k"], modulus=100, keep_buckets=10)
+    ids1 = sorted(r.k for r in s1.collect())
+    ids2 = sorted(r.k for r in s2.collect())
+    assert ids1 == ids2  # partitioning-independent
+    assert 50 < len(ids1) < 200  # ~10%
+
+
+def test_asof_join_backward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 2, 20.0)],
+        ["sym", "t", "px"],
+    )
+    trades = spark.createDataFrame(
+        [("A", 3, 100), ("A", 6, 200), ("B", 1, 300), ("B", 4, 400)],
+        ["sym", "t", "qty"],
+    )
+    out = asof_join(trades, quotes, on="t", by=["sym"])
+    got = {(r.sym, r.t): r.r_px for r in out.collect()}
+    assert got == {("A", 3): 10.0, ("A", 6): 11.0, ("B", 1): None, ("B", 4): 20.0}
+
+
+def test_asof_join_tolerance(spark):
+    quotes = spark.createDataFrame([("A", 1, 10.0)], ["sym", "t", "px"])
+    trades = spark.createDataFrame([("A", 3, 100), ("A", 50, 200)], ["sym", "t", "qty"])
+    out = asof_join(trades, quotes, on="t", by=["sym"], tolerance=5)
+    got = {r.t: r.r_px for r in out.collect()}
+    assert got == {3: 10.0, 50: None}
