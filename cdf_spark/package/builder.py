@@ -1,0 +1,185 @@
+"""Hash-addressed package construction.
+
+Re-expresses the reference's package artifact
+(`crates/cdf-package/`; golden layout
+`crates/cdf-conformance/golden/prepared-orders-v1/expected.json:8-19`:
+`plan/ schema/ data/ quarantine/ stats/ lineage/ state/ trace.jsonl`):
+a run's output is a self-describing directory of parquet segments plus
+JSON evidence, addressed by a deterministic content hash.
+
+Determinism under Spark's nondeterministic task ordering (SURVEY §7
+"hard parts"): the package id derives from *values* (order-independent
+dataset hash + schema fingerprint + plan hash), never file bytes.
+Segment files themselves are evidence, not identity.
+
+Segmentation follows the reference's canonical policy
+(`crates/cdf-engine/src/segmentation.rs:16-52`: target 4 Mi rows /
+256 MiB): expressed as `maxRecordsPerFile` so executors split files
+without a repartition shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..contracts.policy import Contract
+from ..plans.scan import ScanPlan
+from ..types.schema import CanonicalSchema
+from .stats import column_stats, dataset_value_hash
+
+SEGMENT_TARGET_ROWS = 4 * 1024 * 1024  # reference: 4 Mi rows per segment
+
+
+@dataclass
+class PackageResult:
+    package_id: str
+    path: str
+    rows_admitted: int
+    rows_quarantined: int
+    value_hash: str
+    schema_fingerprint: str
+    manifest: dict = field(default_factory=dict)
+
+    def data_path(self) -> str:
+        return str(Path(self.path) / "data")
+
+
+class PackageBuilder:
+    """Builds one package directory from admitted/quarantined frames."""
+
+    def __init__(self, root: str | Path, resource_id: str, compression: str = "snappy"):
+        self.root = Path(root)
+        self.resource_id = resource_id
+        self.compression = compression
+
+    def build(
+        self,
+        admitted: DataFrame,
+        quarantined: DataFrame | None = None,
+        scan_plan: ScanPlan | None = None,
+        contract: Contract | None = None,
+        positions: dict | None = None,
+        trace: list[dict] | None = None,
+    ) -> PackageResult:
+        schema = CanonicalSchema.from_spark(admitted.schema)
+        schema_fp = schema.fingerprint()
+        value_hash = dataset_value_hash(admitted)
+        plan_hash = scan_plan.content_hash() if scan_plan else "none"
+        contract_hash = contract.content_hash() if contract else "none"
+
+        package_id = "pkg-" + hashlib.sha256(
+            json.dumps(
+                {
+                    "resource": self.resource_id,
+                    "schema": schema_fp,
+                    "values": value_hash,
+                    "plan": plan_hash,
+                    "contract": contract_hash,
+                },
+                sort_keys=True,
+            ).encode()
+        ).hexdigest()[:24]
+
+        pkg = self.root / package_id
+        (pkg / "plan").mkdir(parents=True, exist_ok=True)
+        (pkg / "schema").mkdir(exist_ok=True)
+        (pkg / "lineage").mkdir(exist_ok=True)
+        (pkg / "state").mkdir(exist_ok=True)
+
+        # data segments (and quarantine evidence)
+        writer = (
+            admitted.write.mode("overwrite")
+            .option("compression", self.compression)
+            .option("maxRecordsPerFile", SEGMENT_TARGET_ROWS)
+        )
+        writer.parquet(str(pkg / "data"))
+        rows_quar = 0
+        if quarantined is not None:
+            quarantined.write.mode("overwrite").option("compression", self.compression).parquet(
+                str(pkg / "quarantine")
+            )
+            rows_quar = quarantined.count()
+
+        # evidence
+        stats = column_stats(admitted)
+        rows = stats["__table"]["rows"]
+        (pkg / "stats").mkdir(exist_ok=True)
+        (pkg / "stats" / "column_stats.json").write_text(json.dumps(stats, indent=1, default=str))
+        (pkg / "schema" / "schema.json").write_text(schema.canonical_json())
+        if scan_plan:
+            (pkg / "plan" / "scan_plan.json").write_text(
+                json.dumps(scan_plan.to_json_obj(), indent=1)
+            )
+        if contract:
+            (pkg / "plan" / "contract.json").write_text(
+                json.dumps(
+                    {
+                        "hash": contract_hash,
+                        "rules": [r.to_json_obj() for r in contract.rules],
+                        "transforms": [t.to_json_obj() for t in contract.transforms],
+                    },
+                    indent=1,
+                )
+            )
+        (pkg / "lineage" / "lineage.json").write_text(
+            json.dumps(
+                {
+                    "resource_id": self.resource_id,
+                    "plan_hash": plan_hash,
+                    "contract_hash": contract_hash,
+                    "engine": "cdf_spark",
+                },
+                indent=1,
+            )
+        )
+        if positions:
+            (pkg / "state" / "positions.json").write_text(json.dumps(positions, indent=1, default=str))
+        if trace:
+            with open(pkg / "trace.jsonl", "w") as f:
+                for ev in trace:
+                    f.write(json.dumps(ev, default=str) + "\n")
+
+        manifest = {
+            "package_id": package_id,
+            "manifest_version": "cdf-spark-package@1",
+            "resource_id": self.resource_id,
+            "rows_admitted": rows,
+            "rows_quarantined": rows_quar,
+            "value_hash": value_hash,
+            "schema_fingerprint": schema_fp,
+            "plan_hash": plan_hash,
+            "contract_hash": contract_hash,
+            "segments": sorted(
+                p.name for p in (pkg / "data").glob("*.parquet")
+            ),
+            "created_at_ms": int(time.time() * 1000),
+        }
+        (pkg / "manifest.json").write_text(json.dumps(manifest, indent=1))
+
+        return PackageResult(
+            package_id=package_id,
+            path=str(pkg),
+            rows_admitted=rows,
+            rows_quarantined=rows_quar,
+            value_hash=value_hash,
+            schema_fingerprint=schema_fp,
+            manifest=manifest,
+        )
+
+    @staticmethod
+    def verify(spark: SparkSession, package_path: str | Path) -> bool:
+        """Re-hash a package's data and check it against the manifest —
+        the replay-integrity check (golden-package equality by values)."""
+        pkg = Path(package_path)
+        manifest = json.loads((pkg / "manifest.json").read_text())
+        df = spark.read.parquet(str(pkg / "data"))
+        return (
+            dataset_value_hash(df) == manifest["value_hash"]
+            and CanonicalSchema.from_spark(df.schema).fingerprint() == manifest["schema_fingerprint"]
+        )

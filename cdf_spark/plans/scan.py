@@ -86,6 +86,10 @@ class Capability:
     limit: bool = False
     order_by: bool = False
     estimates: bool = False
+    # True only for sources that natively resume from a position (CDC
+    # logs, manifest diffs): the cursor predicate is then enforced by
+    # the position itself and can be subsumed (planning.rs:283-285).
+    position_enforced: bool = False
 
     @classmethod
     def parquet(cls) -> Capability:
@@ -181,7 +185,8 @@ def negotiate(request: ScanRequest, cap: Capability) -> ScanPlan:
         op = _simple_comparison(expr)
         pred = ScanPredicate(expr)
         if (
-            request.cursor_field is not None
+            cap.position_enforced
+            and request.cursor_field is not None
             and op in ("gt", "ge")
             and isinstance(expr, Binary)
             and isinstance(expr.left, Col)

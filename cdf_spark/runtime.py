@@ -1,0 +1,168 @@
+"""The load pipeline: the engine's `cdf run <resource>` equivalent.
+
+Re-expresses the reference's operator chain
+(`crates/cdf-engine/src/planning.rs:338-346`:
+`CdfResourceAdapter -> CdfNativeScan -> SchemaFingerprintExec ->
+ContractExec -> NormalizeExec -> ProfileExec -> LineageExec ->
+PackageSink`) and its execution orchestration
+(`crates/cdf-engine/src/execution/orchestration.rs`, §3.1 of SURVEY):
+
+  1. negotiate scan (pushdown fidelity, limit guard, cursor resume)
+  2. execute declaratively (Catalyst owns pruning/pushdown)
+  3. contract transforms + rules -> verdict lattice splits
+  4. keyed dedup under the declared package order
+  5. late-data classification against the stored watermark
+  6. package build (segments + stats + manifests, hash-addressed)
+  7. destination commit -> receipt -> verify -> checkpoint advance
+
+Everything row-shaped is a DataFrame op (distributed, codegen'd); the
+control plane (negotiation, manifests, ledger) is driver-side JSON.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .contracts.evaluator import ContractResult, evaluate_contract
+from .contracts.policy import Contract
+from .expressions.ast import Col, Expr
+from .operators.dedup import dedup_keyed
+from .operators.late_data import classify_late_data
+from .package.builder import PackageBuilder, PackageResult
+from .package.ledger import CheckpointLedger, ParquetDestination, Receipt
+from .plans.scan import ScanRequest
+from .sources.base import ResourceDescriptor, WriteDisposition
+from .sources.files import FileResource
+
+
+@dataclass
+class RunResult:
+    package: PackageResult
+    receipt: Receipt | None
+    rows_admitted: int
+    rows_quarantined: int
+    rows_late: int
+    contract_result: ContractResult | None = None
+    resume_position: object = None
+
+
+@dataclass
+class LoadPipeline:
+    """One resource's configured load path."""
+
+    resource: FileResource
+    contract: Contract | None = None
+    package_root: str = "/tmp/cdf_packages"
+    ledger: CheckpointLedger | None = None
+    destination: ParquetDestination | None = None
+    disposition: WriteDisposition = WriteDisposition.APPEND
+    watermark_column: str | None = None
+    watermark_value: object = None
+    late_action: str = "annotate"
+    predicates: list[Expr] = field(default_factory=list)
+    projection: list[str] | None = None
+
+    def run(self, spark: SparkSession, as_of: datetime | None = None) -> RunResult:
+        desc: ResourceDescriptor = self.resource.descriptor
+
+        # 1-2. scan with cursor resume from the checkpoint ledger
+        resume = None
+        preds = list(self.predicates)
+        if desc.cursor and self.ledger:
+            resume = self.ledger.resume_position(desc.resource_id, desc.cursor.field)
+            if resume is not None:
+                preds.append(Col(desc.cursor.field) > resume)
+        request = ScanRequest(
+            resource_id=desc.resource_id,
+            projection=self.projection,
+            predicates=preds,
+            cursor_field=desc.cursor.field if desc.cursor else None,
+            cursor_resume_value=resume,
+        )
+        df, scan_plan = self.resource.scan(spark, request)
+
+        # 3. contract
+        quarantined: DataFrame | None = None
+        cres: ContractResult | None = None
+        if self.contract:
+            cres = evaluate_contract(df, self.contract, as_of=as_of)
+            df = cres.admitted
+            quarantined = cres.quarantined
+
+        # 4. dedup under the declared order
+        if desc.dedup_keys:
+            order = [desc.cursor.field] if desc.cursor else desc.primary_key or desc.dedup_keys
+            df = dedup_keyed(df, desc.dedup_keys, order, keep=desc.dedup_keep)
+
+        # 5. late data
+        rows_late = 0
+        if self.watermark_column is not None and self.watermark_value is not None:
+            split = classify_late_data(df, self.watermark_column, self.watermark_value, self.late_action)
+            if self.late_action == "quarantine":
+                late = split.quarantined.drop("_cdf_late")
+                rows_late = late.count()
+                df = split.on_time
+            elif self.late_action == "recapture":
+                rows_late = split.recaptured.count()
+                df = split.on_time
+            else:
+                df = split.admitted_annotated
+
+        # 6. package
+        new_position = None
+        if desc.cursor:
+            row = df.agg({desc.cursor.field: "max"}).collect()[0]
+            new_position = row[0]
+        builder = PackageBuilder(self.package_root, desc.resource_id)
+        package = builder.build(
+            admitted=df,
+            quarantined=quarantined,
+            scan_plan=scan_plan,
+            contract=self.contract,
+            positions={desc.cursor.field: new_position} if desc.cursor else None,
+        )
+
+        # 7. commit -> receipt -> verify -> checkpoint
+        receipt = None
+        if self.destination is not None:
+            receipt = self.destination.commit(spark, package, self.disposition)
+            receipt = self.destination.verify(spark, receipt, package)
+            if self.ledger:
+                self.ledger.record_receipt(receipt)
+                positions = {desc.cursor.field: new_position} if desc.cursor else {}
+                self.ledger.advance(desc.resource_id, receipt, positions)
+
+        return RunResult(
+            package=package,
+            receipt=receipt,
+            rows_admitted=package.rows_admitted,
+            rows_quarantined=package.rows_quarantined,
+            rows_late=rows_late,
+            contract_result=cres,
+            resume_position=new_position,
+        )
+
+
+def replay_package(spark: SparkSession, package_path: str, destination: ParquetDestination,
+                   disposition: WriteDisposition = WriteDisposition.APPEND) -> Receipt:
+    """Rolling replay: re-drive a recorded package into a destination
+    (`crates/cdf-runtime/src/rolling_replay.rs`). The package is the
+    source of truth; no upstream read happens."""
+    import json as _json
+
+    manifest = _json.loads((Path(package_path) / "manifest.json").read_text())
+    pkg = PackageResult(
+        package_id=manifest["package_id"],
+        path=package_path,
+        rows_admitted=manifest["rows_admitted"],
+        rows_quarantined=manifest["rows_quarantined"],
+        value_hash=manifest["value_hash"],
+        schema_fingerprint=manifest["schema_fingerprint"],
+        manifest=manifest,
+    )
+    receipt = destination.commit(spark, pkg, disposition)
+    return destination.verify(spark, receipt, pkg)

@@ -50,9 +50,17 @@ def test_cursor_subsumption():
         cursor_field="id",
         cursor_resume_value=100,
     )
-    plan = negotiate(req, Capability.parquet())
+    # position-enforced source (CDC log / manifest diff): subsumed
+    cap = Capability.jdbc()
+    cap.position_enforced = True
+    plan = negotiate(req, cap)
     assert plan.pushed[0].subsumed_by_position
     assert plan.residual == []  # subsumed: position enforces it
+
+    # file source: position does NOT enforce the cursor; predicate stays live
+    plan = negotiate(req, Capability.parquet())
+    assert not plan.pushed[0].subsumed_by_position
+    assert plan.residual  # inexact pushdown re-checked
 
 
 def test_plan_content_hash_stable():
