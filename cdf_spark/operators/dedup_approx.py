@@ -1,0 +1,225 @@
+"""Near-duplicate detection: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Beyond-reference operators for training-data curation. Design:
+
+- **exact_dedup** — hash-groupBy on a content fingerprint; one shuffle.
+- **ngram_jaccard_pairs** — exact Jaccard over character shingles via
+  explode + self-join on shingle. Quadratic in bucket size; the
+  all-pairs form is the *verifier*, LSH is the scale path.
+- **minhash_lsh_pairs** — shingle → k minhash values (higher-order
+  functions over the shingle array: NO shuffle for signatures) →
+  band buckets → candidate pairs from bucket joins (shuffle on band
+  hash) → exact-Jaccard verification of candidates only. This is the
+  100 TB path: cost is O(docs × k) + join on collisions.
+- **simhash64** — 64-bit sign-aggregated token-hash fingerprint;
+  near-dups have small Hamming distance, found via 4×16-bit band
+  exact-match (Hamming ≤ 3 within banding guarantees).
+
+Hashes use the md5→bigint construction (`hash64` in .text) so every
+step has exact DuckDB-SQL parity for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import content_fingerprint, hash64
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a string (sorted for determinism)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - n + 1, F.lit(0))),
+        lambda i: col.substr(i, F.lit(n)),
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact content fingerprint."""
+    fp = content_fingerprint(F.col(text_col)).alias("_fp")
+    return (
+        df.select(fp, *df.columns)
+        .groupBy("_fp")
+        .agg(F.min(F.col(id_col)).alias("_keep"))
+        .join(df, F.col("_keep") == F.col(id_col), "inner")
+        .drop("_fp", "_keep")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a,b), a<b, with |shingles(a) ∩ shingles(b)| /
+    |shingles(a) ∪ shingles(b)| >= threshold.
+
+    Shape: explode shingles -> self-join on shingle -> count
+    intersections -> derive union from set sizes. The join key is the
+    shingle, so common shingles dominate cost — use as verifier or on
+    LSH candidates at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+
+    exploded = sh.select("id", "sz", F.explode("sh").alias("g"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_signature(col: Column, n: int = 3, k: int = 32) -> Column:
+    """k-permutation MinHash signature of a string's shingle set.
+
+    Each permutation i hashes `i || ':' || shingle` (md5→bigint) and
+    takes the min — computed per row with higher-order functions, no
+    explode, no shuffle. k=32 bands well into 16×2 for ~0.7+ Jaccard
+    targets."""
+    sh = shingles(col, n)
+    mins = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda g: hash64(F.concat(i.cast("string"), F.lit(":"), g)))
+        ),
+    )
+    return mins
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash LSH candidate generation + exact-Jaccard verification.
+
+    bands of r=k/bands rows: P(candidate) = 1-(1-j^r)^bands — with
+    k=32, bands=16 (r=2) the curve passes ~0.9 at j=0.5. Candidates
+    are verified with exact Jaccard so the output has NO false
+    positives; banding only bounds recall.
+    """
+    r = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_txt"),
+        minhash_signature(F.col(text_col), n, k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "_txt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.concat_ws("|", F.slice(F.col("sig"), b * r + 1, r))).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "_txt", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a._txt").alias("txt_a"),
+            F.col("b._txt").alias("txt_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # exact verification on candidates only
+    sh_a = shingles(F.col("txt_a"), n)
+    sh_b = shingles(F.col("txt_b"), n)
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(sh_a) + F.size(sh_b) - inter
+    verified = candidates.withColumn(
+        "jaccard", F.round(inter.cast("double") / union, 6)
+    ).filter(F.col("jaccard") >= threshold)
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens.
+
+    For each bit position: sum over tokens of (+1 if token-hash bit
+    set else -1); the fingerprint bit is the sign. Pure higher-order
+    functions — per-row compute, no shuffle. Token hash reuses the
+    md5→bigint construction (60 usable bits; we take bits 0..59 and
+    leave 60..63 zero) for SQL parity.
+    """
+    tokens = F.filter(F.split(col, " "), lambda t: F.length(t) > 0)
+    hashes = F.transform(tokens, lambda t: hash64(t))
+    # one fold per bit; bit index is a Python int (shiftright requires it).
+    # NB: the merge lambda must take exactly 2 params — PySpark binds a
+    # lambda variable per parameter (defaults included), so close over i.
+    def _vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig = F.lit(0).cast("bigint")
+    for i in range(60):
+        vote = F.aggregate(hashes, F.lit(0), _vote(i))
+        sig = sig + F.when(vote > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: 4 bands of 15 bits — any
+    pair within Hamming distance 3 shares at least one exact band.
+    Candidates verified with an exact popcount."""
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sh"), b * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("bh"),
+        )
+        for b in range(4)
+    ]
+    bands = sig.select("id", "sh", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = F.bit_count(xor)
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

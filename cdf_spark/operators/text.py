@@ -1,0 +1,149 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond-reference operators (SURVEY §7 step 8): language ID, quality
+scoring, token counting, document fingerprinting — each expressed in
+pure `pyspark.sql.functions` arithmetic (whole-stage codegen, zero
+Python in the row path) and designed so the exact same computation is
+expressible in ANSI SQL for the DuckDB oracle:
+
+- occurrence counts use length/replace arithmetic (identical across
+  engines; no regex-dialect dependence),
+- token counts use separator arithmetic,
+- scores use integer/double arithmetic with explicit rounding.
+
+At 100 TB each of these is a narrow projection over the documents
+scan — no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker words per language for the n-gram/stopword heuristic.
+# Counting ' w ' occurrences (space-delimited) keeps SQL parity trivial.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a"],
+    "de": ["der", "die", "und", "das"],
+    "es": ["el", "los", "que", "y"],
+    "fr": ["le", "les", "et", "une"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of a literal substring —
+    (len(s) - len(replace(s, needle, ''))) / len(needle)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count for single-space-separated text:
+    #separators + 1 (0 for empty strings)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        occurrences(trimmed, " ") + 1
+    )
+
+
+def word_occurrences(col: Column, word: str) -> Column:
+    """Occurrences of a whole word in space-separated text: pad both
+    the text and the needle with spaces."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return occurrences(padded, f" {word} ")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-occurrence scores."""
+    return {
+        lang: sum((word_occurrences(col, w) for w in words), F.lit(0)).cast("long")
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by marker count; 'und' (undetermined) when all
+    scores are zero. Ties break by the fixed language order."""
+    scores = lang_scores(col)
+    best_score = F.greatest(*scores.values())
+    result = F.lit("und")
+    # reversed so earlier languages win ties via later WHEN precedence
+    for lang in reversed(list(scores)):
+        result = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(result)
+    return F.when(best_score == 0, F.lit("und")).otherwise(result)
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Deterministic quality features over raw text."""
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    n_punct = sum((occurrences(col, p) for p in [".", ",", "!", "?", ";"]), F.lit(0))
+    n_stop = sum((word_occurrences(col, w) for w in ["the", "a", "and", "of"]), F.lit(0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.round(
+            F.when(n_tokens > 0, (n_chars - (n_tokens - 1)).cast("double") / n_tokens).otherwise(F.lit(0.0)), 4
+        ),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)), 6
+        ),
+        "stopword_ratio": F.round(
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)), 6
+        ),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: length sweet-spot + stopword
+    presence + sane token length. Weights are fixed and documented so
+    the SQL oracle reproduces them bit-for-bit."""
+    f = quality_features(col)
+    length_ok = F.when((f["n_chars"] >= 100) & (f["n_chars"] <= 20000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(f["stopword_ratio"] >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    tok_ok = F.when((f["avg_token_len"] >= 3.0) & (f["avg_token_len"] <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(length_ok + stop_ok + tok_ok, 2)
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Exact content fingerprint (md5 hex) — dedup key with SQL parity."""
+    return F.md5(col)
+
+
+def hash64(col: Column) -> Column:
+    """Deterministic 60-bit integer hash with exact SQL parity:
+    Spark  conv(substr(md5(x),1,15),16,10)::bigint
+    DuckDB CAST('0x'||substr(md5(x),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def rolling_fingerprints(col: Column, window: int = 8) -> Column:
+    """Winnowing-style k-gram fingerprints: hash each k-char gram and
+    keep grams whose hash ≡ 0 (mod 16) — a deterministic 1/16 sampled
+    fingerprint set for containment detection. Pure higher-order
+    functions; no UDF."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - window + 1, F.lit(0))),
+        lambda i: F.substring(col, i, window) if False else col.substr(i, F.lit(window)),
+    )
+    hashes = F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"))
+    return F.array_distinct(F.filter(hashes, lambda h: h % 16 == 0))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: tokens, quality, language, fingerprint."""
+    c = F.col(text_col)
+    feats = quality_features(c)
+    return df.select(
+        *df.columns,
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        content_fingerprint(c).alias("fingerprint"),
+    )

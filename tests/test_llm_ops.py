@@ -1,0 +1,217 @@
+"""Text analysis, near-dup families, similarity search, multimodal plumbing."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.operators.dedup_approx import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cdf_spark.operators.multimodal import (
+    extract_image_features,
+    sample_video_frames,
+    to_media_table,
+)
+from cdf_spark.operators.similarity import cosine_topk, embedding_near_dup_pairs, rhp_lsh_topk
+from cdf_spark.operators.text import analyze_documents, hash64, lang_id, quality_score, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_hash64_duckdb_parity(spark):
+    """The md5->bigint hash must match DuckDB exactly — every oracled
+    minhash/simhash query depends on this."""
+    vals = ["abc", "", "hello world", "日本語", "a'b\"c"]
+    sdf = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r.s: r.h for r in sdf.select("s", hash64(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        expected = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?),1,15)) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got[v] == expected, v
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b c",), ("single",), ("",)], ["t"])
+    got = [r.n for r in df.select(token_count(F.col("t")).alias("n")).collect()]
+    assert got == [3, 1, 0]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of a house",), ("der hund und die katze das haus",),
+         ("el perro y los gatos que hablan",), ("le chat et les chiens une maison",),
+         ("xyzzy qwerty",)],
+        ["t"],
+    )
+    got = [r.l for r in df.select(lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "de", "es", "fr", "und"]
+
+
+def test_quality_score_range(docs):
+    scored = docs.select(quality_score(F.col("text")).alias("q"))
+    rows = scored.agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= rows[0] <= rows[1] <= 1.0
+
+
+def test_analyze_documents(docs):
+    out = analyze_documents(docs)
+    assert {"n_tokens", "quality", "lang_pred", "fingerprint"} <= set(out.columns)
+    row = out.filter("doc_id = 0").collect()[0]
+    assert row.n_tokens > 0 and len(row.fingerprint) == 32
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = exact_dedup(df)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_ngram_jaccard_vs_duckdb(spark, docs, sf_dir):
+    """Exact Jaccard pairs must match a pure-SQL DuckDB computation."""
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    con = duckdb.connect()
+    expected = con.execute(f"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS s
+          FROM '{sf_dir}/documents.parquet'
+        ),
+        ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+        pairs AS (
+          SELECT a.doc_id ia, b.doc_id ib, a.sz sa, b.sz sb, count(*) inter
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1,2,3,4
+        )
+        SELECT ia, ib, round(inter::DOUBLE / (sa + sb - inter), 6) j
+        FROM pairs WHERE inter::DOUBLE / (sa + sb - inter) >= 0.5
+    """).fetchall()
+    assert got == {(r[0], r[1]): r[2] for r in expected}
+    assert len(got) > 0, "fixture should contain near-duplicates"
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    """LSH candidates verified by exact jaccard: no false positives,
+    and high-similarity pairs (j>=0.8) are recovered."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert lsh <= {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    } or lsh == exact
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (3, "completely different words about spark catalyst optimizer internals"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b) for r in simhash_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_topk_vs_duckdb(spark, emb, sf_dir):
+    queries = emb.filter("vec_id < 3")
+    got = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.sim))
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert [r[0] for r in sorted(rows)] == [1, 2, 3, 4, 5]
+
+    con = duckdb.connect()
+    expected = con.execute(f"""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM '{sf_dir}/embeddings.parquet'),
+        q AS (SELECT vec_id qid, embedding qe FROM c WHERE vec_id < 3),
+        scored AS (
+          SELECT qid, c.vec_id nid, round(list_cosine_similarity(qe, embedding), 4) sim
+          FROM c CROSS JOIN q WHERE c.vec_id != qid
+        ),
+        ranked AS (
+          SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) rk
+          FROM scored
+        )
+        SELECT qid, nid, sim, rk FROM ranked WHERE rk <= 5
+    """).fetchall()
+    exp_by_q = {}
+    for qid, nid, sim, rk in expected:
+        exp_by_q.setdefault(qid, []).append((rk, nid, sim))
+    for q in by_q:
+        assert sorted(by_q[q]) == sorted(exp_by_q[q]), f"query {q}"
+
+
+def test_rhp_lsh_recall(emb):
+    """These embeddings are weakly similar (top-1 cosine ~0.33 → ~70°
+    angles), so recall needs many narrow bands: 16 bands × 2 bits gives
+    per-band collision P≈0.37, P(any)≈1-(1-.37)^16≈0.999. Wider bands
+    trade recall for fewer candidates on clustered data."""
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=1).collect()
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in rhp_lsh_topk(emb, queries, k=1, bits=32, band_bits=2).collect()
+    }
+    hits = sum(1 for r in exact if approx.get(r.query_id) == r.neighbor_id)
+    assert hits >= 7, f"rhp-lsh top-1 recall too low: {hits}/10"
+
+
+def test_embedding_near_dup(emb):
+    pairs = embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b and r.sim >= 0.99
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = to_media_table(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("blob"), "source"),
+        "doc_id",
+        "blob",
+        "image",
+        source_col="source",
+    )
+    assert media.schema["meta"].dataType.fieldNames() == ["source", "content_length", "content_hash"]
+    row = media.filter("asset_id = 0").collect()[0]
+    assert row.meta.content_length > 0 and len(row.meta.content_hash) == 32
+
+    feats = extract_image_features(media.limit(20))
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 64 <= r.width < 256 and len(r.feature) == 8
+    # determinism: same payload -> same features
+    again = {r.asset_id: r.feature for r in extract_image_features(media.limit(20)).collect()}
+    assert {r.asset_id: r.feature for r in rows} == again
+
+    frames = sample_video_frames(media.limit(5))
+    assert frames.count() >= 5
+    assert frames.columns == ["asset_id", "frame_idx", "frame_ts_ms", "frame_payload"]
+
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        extract_image_features(media.limit(1), decode_stub=False).collect()
