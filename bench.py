@@ -1,0 +1,138 @@
+"""Benchmark harness: headline queries + ingest pipeline at sf0.1.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per BASELINE.md the comparable metrics are (a) source->package
+throughput (parquet scan -> contract -> segmented hashed package),
+(b) package->destination commit, and (c) headline query wall-clock.
+`value` is total wall seconds across the headline set; extra keys
+report throughput so rounds can be compared against the reference's
+ingest rooflines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "window_running_total",
+    "topk_per_group",
+    "sessionization",
+    "tumbling_window_agg",
+    "asof_join_events_orders",
+    "dedup_keep_last",
+    "effects_apply_merge",
+    "contract_verdicts",
+    "docs_profile",
+    # NOT ngram_jaccard_dups: the exact all-pairs verifier is O(sum
+    # bucket²) on hot shingles — quadratic by design; minhash_lsh is
+    # the scale path and is benchmarked instead.
+    "minhash_lsh_dups",
+    "simhash_dups",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "embedding_near_dups",
+    "stratified_sample",
+    "exact_dedup_docs",
+]
+
+
+def _materialize(df) -> int:
+    """Force full execution without sink cost (noop writer)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    from cdf_spark.queries import QUERIES
+    from cdf_spark.session import get_spark
+
+    spark = get_spark("cdf-spark-bench")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    sf = None
+    m = [p for p in SF_DIR.split("/") if p.startswith("sf")]
+    if m:
+        try:
+            sf = float(m[-1][2:])
+        except ValueError:
+            sf = None
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM + file listing once (excluded from timings)
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ingest roofline: parquet -> contract -> dedup -> package (+ commit)
+    from cdf_spark.contracts import Contract, DomainRule, NullabilityRule, RangeRule
+    from cdf_spark.package.ledger import ParquetDestination
+    from cdf_spark.runtime import LoadPipeline
+    from cdf_spark.sources import FileResource, ResourceDescriptor
+    from cdf_spark.sources.base import WriteDisposition
+
+    tmp = tempfile.mkdtemp(prefix="cdf_bench_")
+    try:
+        pipe = LoadPipeline(
+            resource=FileResource(
+                ResourceDescriptor(resource_id="lineitem"), f"{SF_DIR}/lineitem.parquet"
+            ),
+            contract=Contract(
+                rules=[
+                    NullabilityRule("l_orderkey"),
+                    RangeRule("l_quantity", min=0.0, max=100.0),
+                    DomainRule("l_returnflag", ["A", "N", "R"]),
+                ]
+            ),
+            package_root=f"{tmp}/pkgs",
+            destination=ParquetDestination(f"{tmp}/dest"),
+            disposition=WriteDisposition.APPEND,
+        )
+        t0 = time.perf_counter()
+        run = pipe.run(spark)
+        ingest_sec = round(time.perf_counter() - t0, 3)
+        timings["ingest_lineitem_package"] = ingest_sec
+        src_bytes = os.path.getsize(f"{SF_DIR}/lineitem.parquet")
+        ingest_mib_s = round(src_bytes / 1024 / 1024 / ingest_sec, 2)
+        ingest_rows_s = round(run.rows_admitted / ingest_sec)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "ingest_mib_s": ingest_mib_s,
+                "ingest_rows_s": ingest_rows_s,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

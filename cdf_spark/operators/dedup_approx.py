@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import content_fingerprint, hash64
 
@@ -83,58 +84,87 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def minhash_signature(col: Column, n: int = 3, k: int = 32) -> Column:
+def minhash_signature(col: Column, n: int = 3, k: int = 32, hash_fn: str = "xxhash64") -> Column:
     """k-permutation MinHash signature of a string's shingle set.
 
-    Each permutation i hashes `i || ':' || shingle` (md5→bigint) and
-    takes the min — computed per row with higher-order functions, no
-    explode, no shuffle. k=32 bands well into 16×2 for ~0.7+ Jaccard
-    targets."""
-    sh = shingles(col, n)
-    mins = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda g: hash64(F.concat(i.cast("string"), F.lit(":"), g)))
-        ),
+    Each permutation i hashes the shingle with seed i and takes the
+    min — computed per row with higher-order functions, no explode, no
+    shuffle. hash_fn="xxhash64" stays JVM-native (fast path);
+    hash_fn="md5" uses the DuckDB-parity construction for oracled
+    comparisons.
+
+    NB: raw grams, not the distinct/sorted set — min over a multiset
+    equals min over its set, and skipping array_distinct/array_sort
+    avoids re-sorting the gram array once per permutation (Catalyst
+    does not CSE across the k expressions)."""
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - n + 1, F.lit(0))),
+        lambda i: col.substr(i, F.lit(n)),
     )
-    return mins
+    if hash_fn == "xxhash64":
+        def perm(i: int) -> Column:
+            seed = F.lit(i)  # closure, NOT a lambda default (HOF param-count trap)
+            return F.array_min(F.transform(sh, lambda g: F.xxhash64(seed, g)))
+    else:
+        def perm(i: int) -> Column:
+            pre = F.lit(f"{i}:")
+            return F.array_min(F.transform(sh, lambda g: hash64(F.concat(pre, g))))
+    return F.array(*[perm(i) for i in range(k)])
 
 
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n: int = 3,
+    n: int = 5,
     k: int = 32,
-    bands: int = 16,
+    bands: int = 8,
     threshold: float = 0.8,
+    bucket_cap: int = 200,
 ) -> DataFrame:
     """MinHash LSH candidate generation + exact-Jaccard verification.
 
     bands of r=k/bands rows: P(candidate) = 1-(1-j^r)^bands — with
-    k=32, bands=16 (r=2) the curve passes ~0.9 at j=0.5. Candidates
+    k=32, bands=8 (r=4): ~0.97 at j=0.8, ~0.33 at j=0.5. Candidates
     are verified with exact Jaccard so the output has NO false
     positives; banding only bounds recall.
+
+    ``bucket_cap`` drops band buckets holding more than that many
+    docs: on low-entropy corpora (tiny shared vocabulary) minhash
+    order statistics concentrate and some buckets degenerate to
+    "most of the corpus" — they carry no discriminative signal but
+    cost O(bucket²) in the candidate join. Capping is the standard
+    production guard; genuinely similar pairs still collide in their
+    other, smaller buckets.
     """
     r = k // bands
-    sig = df.select(
+    # Compute-bound projection: input byte-size drives Spark's default
+    # split count, which badly under-parallelizes CPU-heavy per-row
+    # work on small-but-dense corpora. Spread to the session's shuffle
+    # parallelism before hashing.
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    sig = df.repartition(nparts).select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("_txt"),
         minhash_signature(F.col(text_col), n, k).alias("sig"),
     )
-    banded = sig.select(
-        "id",
-        "_txt",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(F.concat_ws("|", F.slice(F.col("sig"), b * r + 1, r))).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "_txt", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", "_txt", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "_txt", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    if bucket_cap is not None:
+        wcount = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("_bc", F.count(F.lit(1)).over(wcount))
+            .filter(F.col("_bc") <= bucket_cap)
+            .drop("_bc")
+        )
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -174,7 +204,7 @@ def simhash64(col: Column) -> Column:
     leave 60..63 zero) for SQL parity.
     """
     tokens = F.filter(F.split(col, " "), lambda t: F.length(t) > 0)
-    hashes = F.transform(tokens, lambda t: hash64(t))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t).bitwiseAND(F.lit((1 << 60) - 1)))
     # one fold per bit; bit index is a Python int (shiftright requires it).
     # NB: the merge lambda must take exactly 2 params — PySpark binds a
     # lambda variable per parameter (defaults included), so close over i.
@@ -199,7 +229,8 @@ def simhash_pairs(
     """Near-dup pairs by SimHash banding: 4 bands of 15 bits — any
     pair within Hamming distance 3 shares at least one exact band.
     Candidates verified with an exact popcount."""
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    sig = df.repartition(nparts).select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

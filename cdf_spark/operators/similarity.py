@@ -61,8 +61,11 @@ def cosine_topk(
     neighbor id for determinism. Self-matches excluded when ids
     collide.
     """
+    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    # compute-bound scoring: force CPU-wide parallelism regardless of
+    # input byte size (small dense corpora read as one split)
+    c = corpus.repartition(nparts).select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -76,29 +79,31 @@ def cosine_topk(
     )
 
 
+def _plane_component(b: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1,1):
+    md5-derived, no RNG state — identical on every executor, every
+    run, and reproducible in SQL."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{b}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 10000) / 5000.0 - 1.0
+
+
 def rhp_signature(vec: Column, bits: int = 16, dim: int = 64) -> Column:
-    """Random-hyperplane sign signature.
+    """Random-hyperplane sign signature: bit b = sign(v · h_b).
 
-    Hyperplane b's component d is a deterministic pseudo-random value
-    in [-1,1): (hash64("b:d") % 10000)/5000 - 1. No RNG state — the
-    same hyperplanes exist on every executor and in the SQL oracle.
-    Signature bit b = sign(v · h_b).
-    """
-    def plane_component(b: Column, d: Column) -> Column:
-        h = hash64(F.concat(b.cast("string"), F.lit(":"), d.cast("string")))
-        return (F.pmod(h, F.lit(10000)).cast("double") / F.lit(5000.0)) - F.lit(1.0)
-
-    def bit(b):
+    Hyperplanes are CONSTANTS — computed once on the driver and
+    embedded as literal arrays, so the runtime cost is bits × dim
+    multiply-adds per row with zero hashing (they were previously
+    hashed per row per component: 2048 md5s/row)."""
+    def bit(b: int) -> Column:
+        plane = F.array(*[F.lit(_plane_component(b, d)) for d in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, d: v.cast("double") * plane_component(F.lit(b), d),
-            ),
+            F.zip_with(vec, plane, lambda v, p: v.cast("double") * p),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint"))
+        return F.when(proj > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
 
     sig = F.lit(0).cast("bigint")
     for b in range(bits):
@@ -126,21 +131,29 @@ def rhp_lsh_topk(
     mask = (1 << band_bits) - 1
 
     def banded(df: DataFrame, idc: str, alias_vec: str) -> DataFrame:
-        sig = rhp_signature(F.col(vec_col), bits, dim)
+        # signature materialized once per row; the per-band projection
+        # only shifts/masks the column (CollapseProject keeps expensive
+        # exprs from being duplicated into the 16 band structs)
+        with_sig = df.select(
+            F.col(idc).alias(f"{alias_vec}_id"),
+            F.col(vec_col).alias(f"_{alias_vec}v"),
+            rhp_signature(F.col(vec_col), bits, dim).alias("_sig"),
+        )
         band_structs = [
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).alias("bh"),
+                F.shiftright(F.col("_sig"), b * band_bits).bitwiseAND(F.lit(mask)).alias("bh"),
             )
             for b in range(nbands)
         ]
-        return df.select(
-            F.col(idc).alias(f"{alias_vec}_id"),
-            F.col(vec_col).alias(f"_{alias_vec}v"),
+        return with_sig.select(
+            f"{alias_vec}_id",
+            f"_{alias_vec}v",
             F.explode(F.array(*band_structs)).alias("bb"),
         ).select(f"{alias_vec}_id", f"_{alias_vec}v", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    cb = banded(corpus, corpus_id, "neighbor")
+    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    cb = banded(corpus.repartition(nparts), corpus_id, "neighbor")
     qb = banded(queries, query_id, "query")
     cand = (
         cb.join(F.broadcast(qb), on=["band", "bh"])
@@ -166,7 +179,8 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All pairs (a<b) with cosine >= threshold (exact, full self-join).
     For very large corpora route through rhp signatures first."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = corpus.repartition(nparts).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (

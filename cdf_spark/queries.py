@@ -1,0 +1,809 @@
+"""The engine's query inventory: every SURVEY §2 operator as a named
+query with a DuckDB oracle.
+
+Each entry pairs a Spark implementation (through the engine's public
+surface — FileResource scans, contract evaluation, operators, or the
+plain DataFrame API that constitutes our relational surface) with an
+ANSI-SQL oracle string executed by DuckDB over the same parquet tables
+(pre-registered views: region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Determinism rules (so value hashes match bit-for-bit):
+- Aggregates over doubles go through DECIMAL(38,6): per-row double
+  expressions are IEEE-identical across engines; the decimal cast
+  makes the *sum* order-independent and exact; the final cast back to
+  double is deterministic. `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS
+  DOUBLE)` on both sides.
+- Ratios divide the two exact aggregates as doubles.
+- Hashes use the md5->bigint construction (exact parity, see
+  operators/text.hash64).
+- Every computed column is aliased identically on both sides; the
+  driver sorts columns by name and hashes values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .contracts import Contract, DomainRule, NullabilityRule, RangeRule, RegexRule, evaluate_contract
+from .expressions.ast import Col
+from .operators.asof import asof_join
+from .operators.dedup import dedup_keyed
+from .operators.dedup_approx import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from .operators.effects import apply_effects_to_target, reduce_keyed_effects
+from .operators.late_data import classify_late_data
+from .operators.similarity import cosine_topk, embedding_near_dup_pairs, rhp_lsh_topk
+from .operators.text import analyze_documents, hash64
+from .plans.scan import ScanRequest
+from .sources.base import ResourceDescriptor
+from .sources.files import FileResource
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def wrap(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Read nanos as long and truncate to microseconds —
+    exactly what DuckDB does on its side — so `ts` is TimestampNTZ(us)
+    in both engines."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def _dec(c):
+    return c.cast("decimal(38,6)")
+
+
+def _dsum(c):
+    return F.sum(_dec(c)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (beyond-reference: joins/aggs/windows/set-ops)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(disc).alias("sum_disc_price"),
+        _dsum(charge).alias("sum_charge"),
+        (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+        (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+        (_dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3(spark: SparkSession, sf: str) -> DataFrame:
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_register(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def window_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@_register(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@_register(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
+@_register(
+    "set_ops_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_ops_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.subtract(o)  # EXCEPT (distinct) semantics, matches SQL EXCEPT
+
+
+@_register(
+    "distinct_agg",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "sessionization",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(prev.isNull() | ((F.col("ts").cast("double") - prev.cast("double")) > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@_register(
+    "tumbling_window_agg",
+    """
+    SELECT (epoch_ms(ts) // 1000 // 300) * 300 AS bucket_s, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    bucket = (F.col("ts").cast("long") / 300).cast("long") * 300
+    return (
+        e.groupBy(bucket.alias("bucket_s"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("total_value"))
+    )
+
+
+@_register(
+    "pivot_event_types",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS n_click,
+           COUNT(*) FILTER (event_type = 'view') AS n_view,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (event_type = 'error') AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+@_register(
+    "json_extract_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract_props(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    return (
+        e.select(F.get_json_object("props", "$.k").cast("bigint").alias("k_value"))
+        .groupBy("k_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "asof_join_events_orders",
+    """
+    SELECT e.event_id, e.user_id, o.o_orderdate AS matched_orderdate
+    FROM events e ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_events_orders(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf).select("event_id", "user_id", F.col("ts"))
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts"), F.col("o_orderdate")
+    )
+    joined = asof_join(e, o, on="ts", by=["user_id"], right_prefix="m_")
+    return joined.select("event_id", "user_id", F.col("m_o_orderdate").alias("matched_orderdate"))
+
+
+# ---------------------------------------------------------------------------
+# CDF-parity operators (scan/pushdown/contract/dedup/effects/late/sample)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scan_pushdown_residual",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+    """,
+)
+def scan_pushdown_residual(spark: SparkSession, sf: str) -> DataFrame:
+    res = FileResource(ResourceDescriptor(resource_id="orders"), f"{sf}/orders.parquet")
+    df, _plan = res.scan(
+        spark,
+        ScanRequest(
+            "orders",
+            projection=["o_orderkey", "o_custkey", "o_totalprice"],
+            predicates=[Col("o_totalprice") > 100000.0, Col("o_orderstatus") == "O"],
+        ),
+    )
+    return df
+
+
+@_register(
+    "projection_pruning",
+    "SELECT o_orderkey, o_orderdate FROM orders",
+)
+def projection_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    res = FileResource(ResourceDescriptor(resource_id="orders"), f"{sf}/orders.parquet")
+    df, _ = res.scan(spark, ScanRequest("orders", projection=["o_orderkey", "o_orderdate"]))
+    return df
+
+
+@_register(
+    "contract_verdicts",
+    """
+    WITH v AS (
+      SELECT CASE
+        WHEN o_orderkey IS NULL OR o_totalprice < 0 OR o_totalprice > 450000
+             OR o_totalprice IS NULL
+             OR o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL
+        THEN 'quarantine'
+        WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') OR o_orderpriority IS NULL
+        THEN 'freeze'
+        ELSE 'pass' END AS verdict
+      FROM orders
+    )
+    SELECT verdict, COUNT(*) AS n_rows FROM v GROUP BY verdict
+    """,
+)
+def contract_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    contract = Contract(
+        rules=[
+            NullabilityRule("o_orderkey"),
+            RangeRule("o_totalprice", min=0.0, max=450000.0),
+            DomainRule("o_orderstatus", ["O", "F", "P"]),
+            RegexRule("o_orderpriority", r"^[1-5]-", on_violation="freeze"),
+        ]
+    )
+    return evaluate_contract(orders, contract).summary().withColumnRenamed("rows", "n_rows")
+
+
+@_register(
+    "contract_quarantine_rows",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_totalprice < 1000 OR o_totalprice > 450000 OR o_totalprice IS NULL
+    """,
+)
+def contract_quarantine_rows(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    contract = Contract(rules=[RangeRule("o_totalprice", min=1000.0, max=450000.0)])
+    return evaluate_contract(orders, contract).quarantined.select("o_orderkey")
+
+
+@_register(
+    "transform_chain",
+    """
+    SELECT p_partkey,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS derived_double,
+           sha256(p_name) AS name_redacted
+    FROM part WHERE p_size >= 10
+    """,
+)
+def transform_chain(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part").filter(F.col("p_size") >= 10)
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("decimal(12,2)").cast("double").alias("price"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 2).cast("double").alias("derived_double"),
+        F.sha2(F.col("p_name"), 256).alias("name_redacted"),
+    )
+
+
+@_register(
+    "dedup_keep_last",
+    """
+    SELECT user_id, event_type, event_id, value FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_last(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    out = dedup_keyed(e, ["user_id", "event_type"], ["ts", "event_id"], keep="last")
+    return out.select("user_id", "event_type", "event_id", "value")
+
+
+@_register(
+    "dedup_keep_first",
+    """
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    out = dedup_keyed(e, ["user_id", "event_type"], ["ts", "event_id"], keep="first")
+    return out.select("user_id", "event_type", "event_id")
+
+
+@_register(
+    "keyed_effects_reduce",
+    """
+    SELECT user_id, event_id AS winning_event, event_type AS op, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def keyed_effects_reduce(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf).withColumnRenamed("event_type", "op")
+    red = reduce_keyed_effects(e, ["user_id"], ["ts", "event_id"], op_col="op", winner="last")
+    return red.select(
+        "user_id", F.col("event_id").alias("winning_event"), F.col("op"), "value"
+    )
+
+
+@_register(
+    "effects_apply_merge",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    effects AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'delete' ELSE 'update' END AS op
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice FROM target
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM effects)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM effects WHERE op != 'delete'
+    """,
+)
+def effects_apply_merge(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") % 3 != 0)
+    effects = (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn(
+            "op", F.when(F.col("o_orderkey") % 5 == 0, F.lit("delete")).otherwise(F.lit("update"))
+        )
+    )
+    return apply_effects_to_target(target, effects, ["o_orderkey"], op_col="op")
+
+
+@_register(
+    "late_data_classify",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 24 HOUR AS w FROM events)
+    SELECT event_id, user_id, (ts <= (SELECT w FROM wm)) AS is_late
+    FROM events
+    """,
+)
+def late_data_classify(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    wm = e.agg(F.max("ts").alias("m")).collect()[0].m
+    import datetime
+
+    wm = wm - datetime.timedelta(hours=24)
+    split = classify_late_data(e, "ts", wm, action="annotate")
+    return split.admitted_annotated.select(
+        "event_id", "user_id", F.col("_cdf_late").alias("is_late")
+    )
+
+
+@_register(
+    "stratified_sample",
+    """
+    SELECT event_id, user_id FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 10
+    """,
+)
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    bucket = hash64(F.col("event_id").cast("string")) % 100
+    return e.filter(bucket < 10).select("event_id", "user_id")
+
+
+@_register(
+    "incremental_cursor_scan",
+    "SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey > 10000",
+)
+def incremental_cursor_scan(spark: SparkSession, sf: str) -> DataFrame:
+    res = FileResource(ResourceDescriptor(resource_id="orders"), f"{sf}/orders.parquet")
+    df, _ = res.scan(
+        spark,
+        ScanRequest(
+            "orders",
+            projection=["o_orderkey", "o_orderdate"],
+            predicates=[Col("o_orderkey") > 10000],
+            cursor_field="o_orderkey",
+            cursor_resume_value=10000,
+        ),
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE CAST((length(trim(text)) - length(replace(trim(text), ' ', ''))) AS BIGINT) + 1 END AS n_tokens,
+         CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')) AS BIGINT)/5
+           + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')) AS BIGINT)/3
+           + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')) AS BIGINT)/5
+           + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')) AS BIGINT)/4 AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)/n_tokens ELSE 0.0 END, 4) AS avg_token_len,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       md5(text) AS fingerprint
+FROM f
+"""
+
+
+@_register("docs_profile", _PROFILE_ORACLE)
+def docs_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    out = analyze_documents(docs)
+    return out.select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "fingerprint")
+
+
+@_register(
+    "docs_quality_lang",
+    None,  # quality weights + lang markers are engine-defined; rows-only check
+)
+def docs_quality_lang(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    out = analyze_documents(docs)
+    return out.select("doc_id", "quality", "lang_pred")
+
+
+@_register(
+    "exact_dedup_docs",
+    """
+    SELECT d.doc_id, d.n_chars FROM documents d
+    JOIN (SELECT min(doc_id) AS keep FROM documents GROUP BY md5(text)) k
+      ON d.doc_id = k.keep
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return exact_dedup(docs).select("doc_id", "n_chars")
+
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS s
+  FROM documents
+),
+ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, a.sz sa, b.sz sb, count(*) inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1,2,3,4
+)
+SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter), 6) AS jaccard
+FROM pairs WHERE round(inter::DOUBLE / (sa + sb - inter), 6) >= 0.8
+"""
+
+
+@_register("ngram_jaccard_dups", _JACCARD_ORACLE)
+def ngram_jaccard_dups(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
+
+
+@_register("minhash_lsh_dups", None)  # LSH banding verified in tests; rows-only here
+def minhash_lsh_dups(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.8)
+
+
+@_register("simhash_dups", None)
+def simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
+_COSINE_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 20),
+scored AS (
+  SELECT qid, c.vec_id AS nid, round(list_cosine_similarity(qe, e), 4) AS sim
+  FROM c CROSS JOIN q WHERE c.vec_id != qid
+),
+ranked AS (
+  SELECT qid AS query_id, nid AS neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@_register("cosine_topk", _COSINE_ORACLE)
+def cosine_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(emb, emb.filter("vec_id < 20"), k=10)
+
+
+@_register("ann_lsh_topk", None)  # approximate by design; recall tested vs exact
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    return rhp_lsh_topk(emb, emb.filter("vec_id < 20"), k=10, bits=32, band_bits=2)
+
+
+@_register(
+    "embedding_near_dups",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 4) AS sim
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.95
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.95)
+
+
+@_register(
+    "token_stats_by_lang",
+    """
+    SELECT lang,
+           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST((length(trim(text)) - length(replace(trim(text), ' ', ''))) AS BIGINT) + 1 END) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def token_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import token_count
+
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@_register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS asset_id,
+           64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 192 AS width,
+           64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 192 AS height,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import extract_image_features, to_media_table
+
+    docs = _t(spark, sf, "documents")
+    media = to_media_table(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("blob")), "doc_id", "blob", "image"
+    )
+    feats = extract_image_features(media)
+    return feats.select("asset_id", "width", "height", "n_bytes")
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
