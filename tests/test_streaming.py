@@ -1,0 +1,154 @@
+"""Streaming: watermark ledger, partition combination, drain pipeline."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdf_spark.contracts import Contract, RangeRule
+from cdf_spark.package.ledger import ParquetDestination
+from cdf_spark.sources.base import ResourceDescriptor, WriteDisposition
+from cdf_spark.streaming import (
+    DrainTermination,
+    EpochPolicy,
+    StreamExtent,
+    StreamingLoadPipeline,
+    WatermarkLedger,
+    WatermarkPolicy,
+    combine_partition_watermarks,
+)
+from cdf_spark.streaming.epochs import DrainState
+from cdf_spark.streaming.watermark import observed_frontier
+
+
+def test_watermark_ledger_monotone(tmp_path):
+    led = WatermarkLedger(tmp_path, "r1")
+    assert led.current("ts") is None
+    assert led.advance("ts", 100) == 100
+    assert led.advance("ts", 150) == 150
+    # regression clamps and records
+    assert led.advance("ts", 120) == 150
+    led2 = WatermarkLedger(tmp_path, "r1")
+    assert led2.current("ts") == 150
+    assert any(h["clamped"] for h in led2.state["history"])
+
+
+def test_watermark_non_timestamp_domains(tmp_path):
+    led = WatermarkLedger(tmp_path, "r2")
+    # integer domain
+    assert led.advance("seq", 42) == 42
+    # decimal-ish domain
+    assert led.advance("amount", 10.5) == 10.5
+    assert led.advance("amount", 9.0) == 10.5
+
+
+def test_combine_partition_watermarks_minimum_all():
+    policy = WatermarkPolicy("ts", combine="minimum_all")
+    marks = {"p0": (100, 0), "p1": (50, 0), "p2": (200, 0)}
+    assert combine_partition_watermarks(marks, policy) == 50
+
+
+def test_combine_partition_watermarks_idle_exclusion():
+    policy = WatermarkPolicy("ts", combine="minimum_eligible", idle_after_ms=1000)
+    now = 10_000
+    marks = {"live": (200, 9_800), "stalled": (50, 1_000)}
+    # stalled partition idle >1s: excluded
+    assert combine_partition_watermarks(marks, policy, now_ms=now) == 200
+    # all idle -> fall back to minimum_all
+    marks = {"a": (70, 0), "b": (90, 0)}
+    assert combine_partition_watermarks(marks, policy, now_ms=now) == 70
+
+
+def test_observed_frontier_temporal_and_numeric(spark):
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame([(1, ts, 100)], "id long, ts timestamp, seq long")
+    f = observed_frontier(df, WatermarkPolicy("ts", delay=60.0))
+    assert f == ts - datetime.timedelta(seconds=60)
+    f = observed_frontier(df, WatermarkPolicy("seq", delay=10))
+    assert f == 90
+
+
+def test_epoch_policy_rotation():
+    p = EpochPolicy(max_rows=100, max_bytes=1000, max_duration_ms=5000)
+    assert p.rotation_due(rows=100, bytes_=0, started_ms=0, now_ms=1) == "rows"
+    assert p.rotation_due(rows=0, bytes_=1000, started_ms=0, now_ms=1) == "bytes"
+    assert p.rotation_due(rows=0, bytes_=0, started_ms=0, now_ms=6000) == "duration"
+    assert p.rotation_due(rows=1, bytes_=1, started_ms=0, now_ms=1) is None
+
+
+def test_drain_termination_budgets():
+    t = DrainTermination(quiescent_batches=2, max_records=1000)
+    s = DrainState()
+    s.observe_batch(600)
+    assert t.should_stop(s) is None
+    s.observe_batch(500)
+    assert t.should_stop(s) == "records"
+    s2 = DrainState()
+    s2.observe_batch(0)
+    assert t.should_stop(s2) is None
+    s2.observe_batch(0)
+    assert t.should_stop(s2) == "quiescent"
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(i, i * 10, float(i)) for i in range(1, 21)], EVENT_SCHEMA
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+    return src
+
+
+def test_streaming_drain_end_to_end(spark, tmp_path, stream_dir):
+    """Drain extent: availableNow over a file stream, epochs commit
+    packages + receipts, watermark advances, late rows quarantined on
+    the next epoch."""
+    dest = ParquetDestination(tmp_path / "dest")
+    pipe = StreamingLoadPipeline(
+        descriptor=ResourceDescriptor("ev", primary_key=["event_id"]),
+        source_path=str(stream_dir) + "/*",
+        schema=EVENT_SCHEMA,
+        contract=Contract(rules=[RangeRule("value", min=0.0, max=1e9)]),
+        watermark=WatermarkPolicy("seq", delay=20),
+        late_action="quarantine",
+        package_root=str(tmp_path / "pkgs"),
+        ledger_root=str(tmp_path / "ledger"),
+        destination=dest,
+        extent=StreamExtent.DRAIN,
+    )
+    epochs = pipe.run(spark)
+    assert len(epochs) == 1
+    ep = epochs[0]
+    assert ep.rows_admitted == 20 and ep.receipt_verified
+    assert ep.watermark_after == 180  # max(seq)=200 - delay 20
+    assert spark.read.parquet(str(tmp_path / "dest")).count() == 20
+
+    # second micro-batch arrives: 2 late rows (seq <= 180), 2 on time
+    late_batch = spark.createDataFrame(
+        [(100, 150, 1.0), (101, 170, 1.0), (102, 210, 1.0), (103, 220, 1.0)], EVENT_SCHEMA
+    )
+    late_batch.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "batch2"))
+    pipe.epochs = []
+    epochs = pipe.run(spark)
+    assert len(epochs) == 1
+    ep = epochs[0]
+    assert ep.rows_late == 2
+    assert ep.rows_admitted == 2
+    assert ep.watermark_after == 200  # 220 - 20
+    assert spark.read.parquet(str(tmp_path / "dest")).count() == 22
+
+    # third run: nothing new -> no epochs (exactly-once per file)
+    pipe.epochs = []
+    assert pipe.run(spark) == []
