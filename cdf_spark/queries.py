@@ -807,3 +807,237 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface, second wave: semi/anti joins, HAVING, argmin,
+# distributions, complex filters, set ops, percentiles, variant capture
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q4_order_priority_semijoin",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = _t(spark, sf, "lineitem")
+    matched = o.join(
+        l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@_register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count
+    """,
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q18_large_volume_having",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150
+    """,
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    agg = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("_q"))
+    )
+    return agg.filter(F.col("_q") > 150).select(
+        "o_orderkey", "o_custkey", F.col("_q").cast("double").alias("total_qty")
+    )
+
+
+@_register(
+    "q19_disjunctive_filter",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "argmin_cheapest_supplier",
+    """
+    SELECT s_nationkey, s_suppkey, s_acctbal FROM (
+      SELECT s_nationkey, s_suppkey, s_acctbal,
+             row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+      FROM supplier
+    ) WHERE rn = 1
+    """,
+)
+def argmin_cheapest_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    s = _t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_nationkey", "s_suppkey", "s_acctbal")
+    )
+
+
+@_register(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_no_orders(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_register(
+    "set_ops_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_ops_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@_register(
+    "union_all_sources",
+    """
+    SELECT 'high' AS tier, o_orderkey FROM orders WHERE o_totalprice > 300000
+    UNION ALL
+    SELECT 'low' AS tier, o_orderkey FROM orders WHERE o_totalprice < 10000
+    """,
+)
+def union_all_sources(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    hi = o.filter(F.col("o_totalprice") > 300000).select(F.lit("high").alias("tier"), "o_orderkey")
+    lo = o.filter(F.col("o_totalprice") < 10000).select(F.lit("low").alias("tier"), "o_orderkey")
+    return hi.unionAll(lo)
+
+
+@_register(
+    "percentiles_exact",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+@_register(
+    "cube_agg",
+    """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+    FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+)
+def cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    return c.cube("c_mktsegment", "c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "lag_lead_price_delta",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice - lag(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS delta_prev
+    FROM orders WHERE o_custkey < 50
+    """,
+)
+def lag_lead_price_delta(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).cast("double").alias("delta_prev"),
+    )
+
+
+@_register(
+    "variant_capture_json",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n
+    FROM events
+    WHERE json_valid(props)
+    GROUP BY 1 HAVING COUNT(*) > 10
+    """,
+)
+def variant_capture_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    parsed = e.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+    return (
+        parsed.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 10)
+    )
