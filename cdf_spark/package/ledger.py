@@ -68,14 +68,14 @@ class ParquetDestination:
         package: PackageResult,
         disposition: WriteDisposition = WriteDisposition.APPEND,
     ) -> Receipt:
-        df = spark.read.parquet(package.data_path())
         rows = package.rows_admitted
 
         if disposition is WriteDisposition.APPEND:
-            df.write.mode("append").parquet(str(self.table_path))
+            self._copy_segments(package, clear_first=False)
         elif disposition is WriteDisposition.REPLACE:
-            df.write.mode("overwrite").parquet(str(self.table_path))
+            self._copy_segments(package, clear_first=True)
         elif disposition is WriteDisposition.MERGE:
+            df = spark.read.parquet(package.data_path())
             if not self.merge_keys:
                 raise ValueError("merge disposition requires merge_keys")
             self._merge(spark, df)
@@ -92,6 +92,21 @@ class ParquetDestination:
             value_hash=package.value_hash,
             committed_at_ms=int(time.time() * 1000),
         )
+
+    def _copy_segments(self, package: PackageResult, clear_first: bool) -> None:
+        """Package segments are already canonical parquet — commit by
+        file copy (the reference's bulk `canonical_segment_scan` path:
+        no decode/re-encode, bounded by device write). Segment names
+        are prefixed with the package id so appends never collide and
+        replays are idempotent per (package, segment)."""
+        import shutil
+
+        src = Path(package.data_path())
+        if clear_first and self.table_path.exists():
+            shutil.rmtree(self.table_path)
+        self.table_path.mkdir(parents=True, exist_ok=True)
+        for seg in sorted(src.glob("*.parquet")):
+            shutil.copy2(seg, self.table_path / f"{package.package_id}-{seg.name}")
 
     def _merge(self, spark: SparkSession, staged: DataFrame) -> None:
         """Null-safe keyed merge: target rows whose key appears in the

@@ -24,12 +24,14 @@ from pyspark.sql import types as T
 def dataset_value_hash(df: DataFrame, columns: list[str] | None = None) -> str:
     """Order/partitioning-independent content hash of a DataFrame.
 
-    xor-combined xxhash64 of each row's canonical string rendering.
+    xor-combined xxhash64 over the row's columns (sorted by name,
+    hashed in their NATIVE types — xxhash64 folds nulls and every
+    atomic/nested type deterministically, and skipping the
+    cast-to-string keeps the scan codegen'd and branch-free).
     Deterministic across runs, partitionings, and cluster sizes.
     """
     cols = columns or sorted(df.columns)
-    canon = [F.col(c).cast("string") for c in cols]
-    row_hash = F.xxhash64(*[F.coalesce(c, F.lit("\x00null")) for c in canon])
+    row_hash = F.xxhash64(*[F.col(c) for c in cols])
     agg = df.agg(
         F.bit_xor(row_hash).alias("h"),
         F.count(F.lit(1)).alias("n"),
@@ -53,6 +55,14 @@ def column_stats(df: DataFrame) -> dict[str, dict]:
     Complex types get null counts only (marked incomplete), matching
     the reference's completeness marking.
     """
+    stats, _ = profile_and_hash(df, with_hash=False)
+    return stats
+
+
+def profile_and_hash(df: DataFrame, with_hash: bool = True) -> tuple[dict[str, dict], str | None]:
+    """Column stats AND dataset value hash in a SINGLE aggregation pass
+    (one job over the data instead of two — at 100 TB the scan is the
+    cost, so every evidence product shares it)."""
     aggs = []
     plan: list[tuple[str, bool]] = []
     for f in df.schema.fields:
@@ -64,6 +74,10 @@ def column_stats(df: DataFrame) -> dict[str, dict]:
             aggs.append(F.min(c).alias(f"{f.name}__min"))
             aggs.append(F.max(c).alias(f"{f.name}__max"))
     aggs.append(F.count(F.lit(1)).alias("__rows"))
+    if with_hash:
+        cols = sorted(df.columns)
+        row_hash = F.xxhash64(*[F.col(c) for c in cols])
+        aggs.append(F.bit_xor(row_hash).alias("__vhash"))
     row = df.agg(*aggs).collect()[0].asDict()
 
     out: dict[str, dict] = {}
@@ -76,8 +90,12 @@ def column_stats(df: DataFrame) -> dict[str, dict]:
             entry["min"] = _scalar(row[f"{name}__min"])
             entry["max"] = _scalar(row[f"{name}__max"])
         out[name] = entry
-    out["__table"] = {"rows": int(row["__rows"])}
-    return out
+    n = int(row["__rows"])
+    out["__table"] = {"rows": n}
+    vhash = None
+    if with_hash:
+        vhash = f"xxh64-xor:{(row['__vhash'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}:{n}"
+    return out, vhash
 
 
 def _scalar(v):

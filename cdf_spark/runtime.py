@@ -112,19 +112,28 @@ class LoadPipeline:
             else:
                 df = split.admitted_annotated
 
-        # 6. package
-        new_position = None
-        if desc.cursor:
-            row = df.agg({desc.cursor.field: "max"}).collect()[0]
-            new_position = row[0]
+        # 6. package (cursor frontier reuses the package's own stats
+        # pass instead of a separate max() job)
         builder = PackageBuilder(self.package_root, desc.resource_id)
         package = builder.build(
             admitted=df,
             quarantined=quarantined,
             scan_plan=scan_plan,
             contract=self.contract,
-            positions={desc.cursor.field: new_position} if desc.cursor else None,
         )
+        new_position = None
+        if desc.cursor:
+            import json as _json
+
+            stats = _json.loads(
+                (Path(package.path) / "stats" / "column_stats.json").read_text()
+            )
+            entry = stats.get(desc.cursor.field, {})
+            new_position = entry.get("max")
+            (Path(package.path) / "state").mkdir(exist_ok=True)
+            (Path(package.path) / "state" / "positions.json").write_text(
+                _json.dumps({desc.cursor.field: new_position}, default=str)
+            )
 
         # 7. commit -> receipt -> verify -> checkpoint
         receipt = None
