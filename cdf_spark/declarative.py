@@ -1,0 +1,202 @@
+"""Declarative resources: TOML/dict declarations -> compiled pipelines.
+
+Re-expresses the reference's declarative layer
+(`crates/cdf-declarative/src/declarations.rs` -> `compiled.rs`;
+contract compilation `crates/cdf-contract/src/compiler.rs:1-1362`;
+artifact store `.cdf/compiled/<resource>@<hash>.json`,
+`docs/architecture.md:29-31`): a resource is declared once —
+source, schema, keys, cursor, contract, destination — compiled into
+an immutable content-hashed artifact, and run by id.
+
+Declaration shape (TOML or an equivalent dict):
+
+    [resources.orders]
+    source = { kind = "files", path = "/data/orders/*.parquet", format = "parquet" }
+    schema = { id = "int64", amount = "float64", status = "utf8" }   # optional
+    primary_key = ["id"]
+    cursor = { field = "id" }
+    write_disposition = "merge"
+    dedup = { keys = ["id"], keep = "last" }
+
+    [[resources.orders.contract.rules]]
+    rule = "range"
+    column = "amount"
+    min = 0.0
+
+    [[resources.orders.contract.transforms]]
+    transform = "derive"
+    column = "amount2"
+    expression = "amount > 100"       # admitted predicate grammar
+
+    [resources.orders.destination]
+    kind = "parquet"
+    path = "/warehouse/orders"
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+from .contracts.policy import (
+    CastT,
+    Contract,
+    DedupRule,
+    DeriveT,
+    DomainRule,
+    FilterT,
+    FreshnessRule,
+    NullabilityRule,
+    RangeRule,
+    RedactT,
+    RegexRule,
+    RenameT,
+)
+from .expressions.ast import parse_predicate_text
+from .package.ledger import CheckpointLedger, ParquetDestination
+from .runtime import LoadPipeline
+from .sources.base import CursorSpec, ResourceDescriptor, WriteDisposition
+from .sources.files import FileResource
+
+_RULES = {
+    "nullability": lambda d: NullabilityRule(d["column"], d.get("on_violation", "quarantine")),
+    "domain": lambda d: DomainRule(d["column"], list(d.get("allowed", [])), d.get("on_violation", "quarantine")),
+    "range": lambda d: RangeRule(d["column"], d.get("min"), d.get("max"), d.get("on_violation", "quarantine")),
+    "regex": lambda d: RegexRule(d["column"], d.get("pattern", ".*"), d.get("on_violation", "quarantine")),
+    "freshness": lambda d: FreshnessRule(d["column"], int(d.get("max_age_ms", 86_400_000)), d.get("on_violation", "freeze")),
+    "dedup": lambda d: DedupRule(list(d.get("keys", [])), d.get("keep", "last"), d.get("on_violation", "quarantine")),
+}
+
+_TRANSFORMS = {
+    "rename": lambda d: RenameT(d["from"], d["to"]),
+    "cast": lambda d: CastT(d["column"], d["to"], bool(d.get("lossy_allowed", False))),
+    "redact": lambda d: RedactT(d["column"], d.get("mode", "hash"), d.get("replacement", "***")),
+    "derive": lambda d: DeriveT(d["column"], parse_predicate_text(d["expression"])),
+    "filter": lambda d: FilterT(parse_predicate_text(d["expression"])),
+}
+
+
+class DeclarationError(ValueError):
+    pass
+
+
+@dataclass
+class CompiledResource:
+    resource_id: str
+    declaration: dict
+    artifact_hash: str
+
+    def descriptor(self) -> ResourceDescriptor:
+        d = self.declaration
+        cursor = d.get("cursor")
+        dedup = d.get("dedup", {})
+        return ResourceDescriptor(
+            resource_id=self.resource_id,
+            schema=d.get("schema"),
+            primary_key=list(d.get("primary_key", [])),
+            merge_key=list(d.get("merge_key", d.get("primary_key", []))),
+            cursor=CursorSpec(cursor["field"], cursor.get("initial_value")) if cursor else None,
+            write_disposition=WriteDisposition(d.get("write_disposition", "append")),
+            dedup_keys=list(dedup.get("keys", [])),
+            dedup_keep=dedup.get("keep", "last"),
+            trust_level=d.get("trust_level", "declared"),
+        )
+
+    def contract(self) -> Contract | None:
+        c = self.declaration.get("contract")
+        if not c:
+            return None
+        rules = []
+        for r in c.get("rules", []):
+            kind = r.get("rule", "").lower()
+            if kind not in _RULES:
+                raise DeclarationError(f"unknown rule kind {kind!r}")
+            rules.append(_RULES[kind](r))
+        transforms = []
+        for t in c.get("transforms", []):
+            kind = t.get("transform", "").lower()
+            if kind not in _TRANSFORMS:
+                raise DeclarationError(f"unknown transform kind {kind!r}")
+            transforms.append(_TRANSFORMS[kind](t))
+        return Contract(rules=rules, transforms=transforms)
+
+    def pipeline(self, workspace: str | Path) -> LoadPipeline:
+        d = self.declaration
+        src = d.get("source") or {}
+        if src.get("kind", "files") != "files":
+            raise DeclarationError(f"source kind {src.get('kind')!r} not wired for declarative runs yet")
+        desc = self.descriptor()
+        resource = FileResource(
+            desc, src["path"], format=src.get("format", "parquet"),
+            **{k: str(v) for k, v in src.get("options", {}).items()},
+        )
+        workspace = Path(workspace)
+        dest_cfg = d.get("destination") or {}
+        destination = None
+        if dest_cfg:
+            destination = ParquetDestination(
+                dest_cfg.get("path", workspace / "warehouse" / self.resource_id),
+                merge_keys=desc.merge_key or desc.primary_key,
+            )
+        return LoadPipeline(
+            resource=resource,
+            contract=self.contract(),
+            package_root=str(workspace / "packages"),
+            ledger=CheckpointLedger(workspace / "ledger"),
+            destination=destination,
+            disposition=desc.write_disposition,
+        )
+
+
+class Workspace:
+    """A declarative project: declarations + compiled artifacts + ledgers.
+
+    Mirrors the reference's project layout: compiled resources are
+    immutable JSON artifacts at `<workspace>/compiled/<id>@<hash>.json`.
+    """
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        (self.root / "compiled").mkdir(parents=True, exist_ok=True)
+
+    def load_declarations(self, path: str | Path) -> dict[str, dict]:
+        import tomllib
+
+        text = Path(path).read_text()
+        doc = tomllib.loads(text)
+        resources = doc.get("resources")
+        if not isinstance(resources, dict) or not resources:
+            raise DeclarationError("declaration document has no [resources.*] tables")
+        return resources
+
+    def compile(self, resource_id: str, declaration: dict) -> CompiledResource:
+        """Validate + hash + persist the immutable compiled artifact."""
+        compiled = CompiledResource(
+            resource_id=resource_id,
+            declaration=declaration,
+            artifact_hash="",
+        )
+        # validation: these must construct
+        compiled.descriptor()
+        compiled.contract()
+        js = json.dumps(declaration, sort_keys=True, default=str)
+        h = hashlib.sha256(js.encode()).hexdigest()[:16]
+        compiled.artifact_hash = f"sha256:{h}"
+        artifact = self.root / "compiled" / f"{resource_id}@{h}.json"
+        if not artifact.exists():
+            artifact.write_text(
+                json.dumps(
+                    {"resource_id": resource_id, "hash": compiled.artifact_hash, "declaration": declaration},
+                    indent=1,
+                    default=str,
+                )
+            )
+        return compiled
+
+    def compile_file(self, path: str | Path) -> dict[str, CompiledResource]:
+        return {rid: self.compile(rid, decl) for rid, decl in self.load_declarations(path).items()}
+
+    def run(self, spark, compiled: CompiledResource):
+        return compiled.pipeline(self.root).run(spark)

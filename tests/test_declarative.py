@@ -1,0 +1,91 @@
+"""Declarative layer: TOML -> compiled artifacts -> pipeline runs."""
+
+import json
+
+import pytest
+
+from cdf_spark.declarative import DeclarationError, Workspace
+
+DECL = """
+[resources.orders]
+primary_key = ["o_orderkey"]
+write_disposition = "merge"
+cursor = { field = "o_orderkey" }
+dedup = { keys = ["o_orderkey"], keep = "last" }
+
+[resources.orders.source]
+kind = "files"
+path = "{SF}/orders.parquet"
+format = "parquet"
+
+[[resources.orders.contract.rules]]
+rule = "range"
+column = "o_totalprice"
+min = 0.0
+
+[[resources.orders.contract.rules]]
+rule = "domain"
+column = "o_orderstatus"
+allowed = ["O", "F", "P"]
+
+[[resources.orders.contract.transforms]]
+transform = "derive"
+column = "is_big"
+expression = "o_totalprice > 200000"
+
+[resources.orders.destination]
+kind = "parquet"
+"""
+
+
+def test_compile_and_run(spark, tmp_path, sf_dir):
+    decl_path = tmp_path / "cdf.toml"
+    decl_path.write_text(DECL.replace("{SF}", sf_dir))
+    ws = Workspace(tmp_path / "ws")
+    compiled = ws.compile_file(decl_path)
+    assert set(compiled) == {"orders"}
+    c = compiled["orders"]
+    assert c.artifact_hash.startswith("sha256:")
+    artifacts = list((tmp_path / "ws" / "compiled").glob("orders@*.json"))
+    assert len(artifacts) == 1
+    stored = json.loads(artifacts[0].read_text())
+    assert stored["declaration"]["primary_key"] == ["o_orderkey"]
+
+    # idempotent compile -> same hash
+    assert ws.compile_file(decl_path)["orders"].artifact_hash == c.artifact_hash
+
+    result = ws.run(spark, c)
+    assert result.rows_admitted > 0
+    assert result.receipt.verified
+    out = spark.read.parquet(str(tmp_path / "ws" / "warehouse" / "orders"))
+    assert "is_big" in out.columns
+    assert out.count() == result.rows_admitted
+
+    # incremental second run: cursor resumed from ledger
+    assert ws.run(spark, c).rows_admitted == 0
+
+
+def test_compile_rejects_unknown_rule(tmp_path):
+    ws = Workspace(tmp_path)
+    with pytest.raises(DeclarationError):
+        ws.compile("x", {"contract": {"rules": [{"rule": "frobnicate", "column": "a"}]}})
+
+
+def test_compile_rejects_bad_expression(tmp_path):
+    ws = Workspace(tmp_path)
+    with pytest.raises(Exception):
+        ws.compile(
+            "x",
+            {"contract": {"transforms": [{"transform": "filter", "expression": "DROP TABLE x"}]}},
+        )
+
+
+def test_cli_compile_and_sql(tmp_path, sf_dir, capsys):
+    from cdf_spark.__main__ import main
+
+    decl_path = tmp_path / "cdf.toml"
+    decl_path.write_text(DECL.replace("{SF}", sf_dir))
+    rc = main(["compile", str(decl_path), "--workspace", str(tmp_path / "ws")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "orders\tsha256:" in out
