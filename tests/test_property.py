@@ -1,0 +1,125 @@
+"""Property tests (hypothesis): type mapping, predicates, positions,
+watermarks — the analogue of the reference's property_fuzz suites
+(`crates/cdf-conformance/src/property_fuzz/`)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cdf_spark.expressions.ast import Binary, Col, Lit, parse_predicate_text
+from cdf_spark.positions import CursorPosition, FileManifest, aggregate_positions
+from cdf_spark.streaming.watermark import WatermarkLedger
+from cdf_spark.types.arrow_types import parse_arrow_type, spark_to_canonical
+from cdf_spark.types.schema import CanonicalSchema
+
+# --- type grammar -----------------------------------------------------------
+
+_primitives = st.sampled_from(
+    ["utf8", "string", "boolean", "int8", "int16", "int32", "int64",
+     "uint8", "uint16", "uint32", "uint64", "float16", "float32", "float64",
+     "binary", "date32", "timestamp(us, UTC)", "timestamp(ms)", "decimal128(12,3)"]
+)
+
+
+def _nested(children):
+    return st.one_of(
+        children.map(lambda t: f"list<{t}>"),
+        st.tuples(children, children).map(lambda ab: f"map<{ab[0]}, {ab[1]}>"),
+        st.lists(
+            st.tuples(st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True), children),
+            min_size=1, max_size=3, unique_by=lambda kv: kv[0],
+        ).map(lambda fs: "struct<" + ", ".join(f"{n}: {t}" for n, t in fs) + ">"),
+    )
+
+
+type_strings = st.recursive(_primitives, _nested, max_leaves=6)
+
+
+@given(type_strings)
+@settings(max_examples=200, deadline=None)
+def test_type_mapping_roundtrip(text):
+    """parse -> spark type -> canonicalize -> parse again is a fixpoint."""
+    mt = parse_arrow_type(text)
+    canon = spark_to_canonical(mt.spark_type)
+    mt2 = parse_arrow_type(canon)
+    assert mt2.spark_type == mt.spark_type
+    # canonicalization is idempotent
+    assert spark_to_canonical(mt2.spark_type) == canon
+
+
+@given(st.lists(
+    st.tuples(st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True), _primitives),
+    min_size=1, max_size=8, unique_by=lambda kv: kv[0],
+))
+@settings(max_examples=100, deadline=None)
+def test_schema_fingerprint_properties(fields):
+    s = CanonicalSchema.from_declared(fields)
+    assert s.fingerprint() == CanonicalSchema.from_declared(fields).fingerprint()
+    if len(fields) > 1:
+        rotated = fields[1:] + fields[:1]
+        assert s.fingerprint() != CanonicalSchema.from_declared(rotated).fingerprint()
+
+
+# --- predicates -------------------------------------------------------------
+
+_idents = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,12}", fullmatch=True)
+_ops = st.sampled_from(["=", "!=", ">", ">=", "<", "<="])
+_literals = st.one_of(
+    st.integers(min_value=-(10**12), max_value=10**12).map(str),
+    st.floats(allow_nan=False, allow_infinity=False, width=32).map(lambda f: f"{f:.4f}"),
+    st.sampled_from(["true", "false", "null"]),
+    st.from_regex(r"[a-zA-Z0-9 _.-]{0,12}", fullmatch=True).map(lambda s: "'" + s + "'"),
+)
+
+
+@given(st.lists(st.tuples(_idents, _ops, _literals), min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_predicate_parse_stability(terms):
+    text = " AND ".join(f"{c} {op} {lit}" for c, op, lit in terms)
+    e1 = parse_predicate_text(text)
+    e2 = parse_predicate_text(text)
+    assert e1.content_hash() == e2.content_hash()
+    assert e1.columns() == {c for c, _, _ in terms}
+
+
+@given(_idents, _ops, st.integers(min_value=-(10**9), max_value=10**9))
+@settings(max_examples=100, deadline=None)
+def test_predicate_literal_roundtrip(col, op, value):
+    e = parse_predicate_text(f"{col} {op} {value}")
+    assert isinstance(e, Binary)
+    assert isinstance(e.left, Col) and e.left.name == col
+    assert isinstance(e.right, Lit) and e.right.value == value
+
+
+# --- position algebra -------------------------------------------------------
+
+
+@given(st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_cursor_merge_is_max(values):
+    ps = [CursorPosition("id", v) for v in values]
+    assert aggregate_positions(ps).value == max(values)
+    # commutative
+    assert aggregate_positions(list(reversed(ps))).value == max(values)
+    # idempotent
+    assert aggregate_positions(ps + ps).value == max(values)
+
+
+@given(st.lists(st.sets(st.from_regex(r"[a-z]{1,6}", fullmatch=True), max_size=5), min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_file_manifest_merge_is_union(sets):
+    merged = aggregate_positions([FileManifest(s) for s in sets])
+    assert merged.completed == set().union(*sets)
+
+
+# --- watermark monotonicity -------------------------------------------------
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_watermark_ledger_monotone_under_any_sequence(tmp_path_factory, values):
+    led = WatermarkLedger(tmp_path_factory.mktemp("wm"), "r")
+    running_max = None
+    for v in values:
+        eff = led.advance("c", v)
+        running_max = v if running_max is None else max(running_max, v)
+        assert eff == running_max
