@@ -71,7 +71,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: `/` is double division and doubles cannot
+        # hold 1.7e18 nanos exactly (observed off-by-1us truncation)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -1040,4 +1042,136 @@ def variant_capture_json(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation composites
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = """
+WITH f AS (
+  SELECT doc_id, text, lang,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE CAST((length(trim(text)) - length(replace(trim(text), ' ', ''))) AS BIGINT) + 1 END AS n_tokens,
+         CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')) AS BIGINT)/5
+           + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')) AS BIGINT)/3
+           + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')) AS BIGINT)/5
+           + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')) AS BIGINT)/4 AS n_stop
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+         round(CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)/n_tokens ELSE 0.0 END, 4) AS avg_token_len,
+         round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+         n_chars
+  FROM f
+),
+scored AS (
+  SELECT doc_id, lang,
+         round(
+           (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN stopword_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN avg_token_len BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END), 2) AS quality
+  FROM feats
+),
+sh AS (
+  SELECT doc_id, list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS s
+  FROM documents
+),
+ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+pairs AS (
+  SELECT a.doc_id ia, b.doc_id ib, a.sz sa, b.sz sb, count(*) inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1,2,3,4
+),
+dup_b AS (
+  SELECT DISTINCT ib AS doc_id FROM pairs WHERE inter::DOUBLE / (sa + sb - inter) >= 0.8
+)
+SELECT s.doc_id, s.lang, s.quality
+FROM scored s
+WHERE s.quality >= 0.7 AND s.doc_id NOT IN (SELECT doc_id FROM dup_b)
+"""
+
+
+@_register("curation_pipeline", _CURATION_ORACLE)
+def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-gate + near-dup-drop curation: the composite a training
+    pipeline runs before tokenization. Near-dup policy: of every
+    jaccard>=0.8 pair, the higher doc_id is dropped (canonical keeper
+    is the min side)."""
+    from .operators.text import quality_score
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+    dup_b = (
+        ngram_jaccard_pairs(docs, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        scored.filter(F.col("quality") >= 0.7)
+        .join(dup_b, on="doc_id", how="left_anti")
+        .select("doc_id", "lang", "quality")
+    )
+
+
+@_register(
+    "docs_embeddings_join",
+    """
+    SELECT d.lang, e.label, COUNT(*) AS n, CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def docs_embeddings_join(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang", "label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+    )
+
+
+@_register(
+    "events_user_rollup",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@_register(
+    "late_counts_by_type",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 72 HOUR AS w FROM events)
+    SELECT event_type,
+           COUNT(*) FILTER (ts <= (SELECT w FROM wm)) AS n_late,
+           COUNT(*) FILTER (ts > (SELECT w FROM wm)) AS n_on_time
+    FROM events GROUP BY event_type
+    """,
+)
+def late_counts_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    e = _events(spark, sf)
+    wm_row = e.agg(F.max("ts").alias("m")).collect()[0].m
+    import datetime as _dt
+
+    wm = wm_row - _dt.timedelta(hours=72)
+    split = classify_late_data(e, "ts", wm, action="annotate")
+    return split.admitted_annotated.groupBy("event_type").agg(
+        F.count(F.when(F.col("_cdf_late"), 1)).alias("n_late"),
+        F.count(F.when(~F.col("_cdf_late"), 1)).alias("n_on_time"),
     )
