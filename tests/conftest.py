@@ -9,11 +9,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from cdf_spark.session import get_spark
 
     # Small local session for tests; 4 threads keeps startup/shuffle cheap.
-    s = get_spark("cdf-spark-tests", master="local[4]")
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        "cdf-spark-tests",
+        master="local[4]",
+        **{"spark.sql.warehouse.dir": str(wh)},
+    )
     s.conf.set("spark.sql.shuffle.partitions", "4")
     yield s
 
