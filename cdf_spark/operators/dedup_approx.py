@@ -123,7 +123,8 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
-    bucket_cap: int = 200,
+    bucket_cap: int | None = 200,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash LSH candidate generation + exact-Jaccard verification.
 
@@ -153,7 +154,7 @@ def minhash_lsh_pairs(
     sig = df.repartition(nparts).select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("_txt"),
-        minhash_signature(F.col(text_col), n, k).alias("sig"),
+        minhash_signature(F.col(text_col), n, k, hash_fn=hash_fn).alias("sig"),
     )
     band_structs = [
         F.struct(
@@ -246,17 +247,23 @@ def _minhash_signatures_hybrid(df: DataFrame, text_col: str, id_col: str, n: int
     return hashed.select("id", "_txt", mh(F.col("_gh")).alias("sig"))
 
 
-def simhash64(col: Column) -> Column:
+def simhash64(col: Column, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash over whitespace tokens.
 
     For each bit position: sum over tokens of (+1 if token-hash bit
     set else -1); the fingerprint bit is the sign. Pure higher-order
-    functions — per-row compute, no shuffle. Token hash reuses the
-    md5→bigint construction (60 usable bits; we take bits 0..59 and
-    leave 60..63 zero) for SQL parity.
+    functions — per-row compute, no shuffle. 60 usable bits (token
+    hashes are masked to bits 0..59).
+
+    hash_fn="xxhash64" is the JVM fast path; "md5" uses the
+    DuckDB-parity construction so the whole simhash is reproducible in
+    the SQL oracle.
     """
     tokens = F.filter(F.split(col, " "), lambda t: F.length(t) > 0)
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t).bitwiseAND(F.lit((1 << 60) - 1)))
+    if hash_fn == "md5":
+        hashes = F.transform(tokens, lambda t: hash64(t))  # 60-bit by construction
+    else:
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t).bitwiseAND(F.lit((1 << 60) - 1)))
     # one fold per bit; bit index is a Python int (shiftright requires it).
     # NB: the merge lambda must take exactly 2 params — PySpark binds a
     # lambda variable per parameter (defaults included), so close over i.
@@ -303,12 +310,21 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: 4 bands of 15 bits — any
     pair within Hamming distance 3 shares at least one exact band.
-    Candidates verified with an exact popcount."""
+    Candidates verified with an exact popcount.
+
+    hash_fn="md5" routes through the SQL-parity token hash (oracled
+    correctness path); default xxhash64 uses the numpy hybrid."""
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    sig = _simhash_hybrid(df.repartition(nparts), text_col=text_col, id_col=id_col)
+    if hash_fn == "md5":
+        sig = df.repartition(nparts).select(
+            F.col(id_col).alias("id"), simhash64(F.col(text_col), hash_fn="md5").alias("sh")
+        )
+    else:
+        sig = _simhash_hybrid(df.repartition(nparts), text_col=text_col, id_col=id_col)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

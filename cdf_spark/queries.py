@@ -666,10 +666,59 @@ def docs_profile(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "fingerprint")
 
 
-@_register(
-    "docs_quality_lang",
-    None,  # quality weights + lang markers are engine-defined; rows-only check
+def _word_count_sql(word: str) -> str:
+    """SQL for whole-word occurrence counting, identical to
+    operators.text.word_occurrences (padded replace arithmetic)."""
+    needle = f" {word} "
+    return (
+        f"CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' {word} ', '')) AS BIGINT)"
+        f"/{len(needle)}"
+    )
+
+
+def _lang_quality_oracle() -> str:
+    from .operators.text import LANG_MARKERS
+
+    score_cols = ",\n         ".join(
+        f"CAST({' + '.join(_word_count_sql(w) for w in words)} AS BIGINT) AS s_{lang}"
+        for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    # tie precedence = LANG_MARKERS order (matches lang_id's WHEN chain)
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE CAST((length(trim(text)) - length(replace(trim(text), ' ', ''))) AS BIGINT) + 1 END AS n_tokens,
+         CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')) AS BIGINT)/5
+           + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')) AS BIGINT)/3
+           + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')) AS BIGINT)/5
+           + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')) AS BIGINT)/4 AS n_stop,
+         {score_cols}
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         round(CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)/n_tokens ELSE 0.0 END, 4) AS avg_token_len,
+         round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+         n_chars, {', '.join('s_' + lang for lang in langs)},
+         {best} AS best
+  FROM base
 )
+SELECT doc_id,
+       round(
+         (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN stopword_ratio >= 0.01 THEN 0.3 ELSE 0.0 END)
+       + (CASE WHEN avg_token_len BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END), 2) AS quality,
+       CASE WHEN best = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred
+FROM feats
+"""
+
+
+@_register("docs_quality_lang", _lang_quality_oracle())
 def docs_quality_lang(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     out = analyze_documents(docs)
@@ -1174,4 +1223,125 @@ def late_counts_by_type(spark: SparkSession, sf: str) -> DataFrame:
     return split.admitted_annotated.groupBy("event_type").agg(
         F.count(F.when(F.col("_cdf_late"), 1)).alias("n_late"),
         F.count(F.when(~F.col("_cdf_late"), 1)).alias("n_on_time"),
+    )
+
+
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         [CAST(('0x'||substr(md5(t),1,15)) AS BIGINT)
+          for t in list_filter(string_split(text, ' '), t -> len(t) > 0)] AS hs
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_sum([CASE WHEN coalesce(list_sum(
+             [CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END for h in hs]), 0) > 0
+           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(0, 60)]) AS sh
+  FROM toks
+),
+bands AS (
+  SELECT doc_id, sh, unnest(range(0, 4)) AS band,
+         (sh >> (unnest(range(0, 4)) * 15)) & 32767 AS bh
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@_register("simhash_dups_oracle", _SIMHASH_ORACLE)
+def simhash_dups_oracle(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dups on the md5 SQL-parity hash path — the oracled
+    correctness twin of simhash_dups (which runs the xxhash64/numpy
+    hybrid for speed)."""
+    out = simhash_pairs(_t(spark, sf, "documents"), max_hamming=3, hash_fn="md5")
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+_ANN_ORACLE = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+sig AS (
+  SELECT vec_id, e,
+    list_sum([CASE WHEN
+        list_sum([e[d+1] * ((CAST(('0x'||substr(md5(CAST(b AS VARCHAR)||':'||CAST(d AS VARCHAR)),1,15)) AS BIGINT) % 10000)/5000.0 - 1.0)
+                  for d in range(0, 64)]) > 0
+      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END for b in range(0, 32)]) AS s
+  FROM c
+),
+bands AS (
+  SELECT vec_id, e, unnest(range(0, 16)) AS band,
+         (s >> (unnest(range(0, 16)) * 2)) & 3 AS bh
+  FROM sig
+),
+qb AS (SELECT vec_id AS query_id, e AS qe, band, bh FROM bands WHERE vec_id < 20),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id, q.qe, b.e
+  FROM bands b JOIN qb q ON b.band = q.band AND b.bh = q.bh AND b.vec_id != q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, round(list_cosine_similarity(qe, e), 4) AS sim
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+ORACLES["ann_lsh_topk"] = _ANN_ORACLE
+
+
+_MINHASH_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, text,
+         [substr(text, p, 5) for p in range(1, greatest(length(text) - 4, 0) + 1)] AS gs
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, text,
+         [list_min([CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||':'||g),1,15)) AS BIGINT) for g in gs])
+          for i in range(0, 32)] AS s
+  FROM grams WHERE len(gs) >= 1
+),
+bands AS (
+  SELECT doc_id, text, unnest(range(0, 8)) AS band,
+         array_to_string(s[unnest(range(0, 8)) * 4 + 1 : unnest(range(0, 8)) * 4 + 4], '|') AS bh
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         list_distinct([substr(ta, p, 5) for p in range(1, length(ta) - 3)]) AS sa,
+         list_distinct([substr(tb, p, 5) for p in range(1, length(tb) - 3)]) AS sb
+  FROM cand
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+  FROM verified
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+
+@_register("minhash_lsh_dups_oracle", _MINHASH_ORACLE)
+def minhash_lsh_dups_oracle(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH on the md5 SQL-parity permutations, no bucket cap —
+    the fully-oracled correctness twin of minhash_lsh_dups."""
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), threshold=0.8, bucket_cap=None, hash_fn="md5"
     )
