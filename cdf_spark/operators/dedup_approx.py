@@ -146,16 +146,34 @@ def minhash_lsh_pairs(
     # split count, which badly under-parallelizes CPU-heavy per-row
     # work on small-but-dense corpora. Spread to the session's shuffle
     # parallelism before hashing.
-    # JVM higher-order-function signatures: slightly slower warm than
-    # the numpy hybrid (_minhash_signatures_hybrid) but no Python
-    # worker spin-up — better cold and on busy clusters. The hybrid
-    # remains available for long-lived sessions.
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    sig = df.repartition(nparts).select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("_txt"),
-        minhash_signature(F.col(text_col), n, k, hash_fn=hash_fn).alias("sig"),
-    )
+    if hash_fn == "xxhash64":
+        # Fast path: grams hashed ONCE (materialized column), then the
+        # k permutations remix the base hash — xxhash64(seed, h). The
+        # naive form re-extracts+re-hashes the gram strings per
+        # permutation because Catalyst doesn't CSE across the k
+        # expressions: measured 5.5s vs 0.5s at sf0.1.
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - n + 1, F.lit(0))),
+            lambda i: F.col(text_col).substr(i, F.lit(n)),
+        )
+        base = df.repartition(nparts).select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_txt"),
+            F.transform(grams, lambda g: F.xxhash64(g)).alias("_h"),
+        )
+
+        def perm(i: int) -> Column:
+            seed = F.lit(i)
+            return F.array_min(F.transform(F.col("_h"), lambda h: F.xxhash64(seed, h)))
+
+        sig = base.select("id", "_txt", F.array(*[perm(i) for i in range(k)]).alias("sig"))
+    else:
+        sig = df.repartition(nparts).select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_txt"),
+            minhash_signature(F.col(text_col), n, k, hash_fn=hash_fn).alias("sig"),
+        )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -163,8 +181,8 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select("id", "_txt", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", "_txt", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    banded = sig.select("id", "_txt", "sig", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "_txt", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     if bucket_cap is not None:
         wcount = Window.partitionBy("band", "bh")
@@ -174,25 +192,39 @@ def minhash_lsh_pairs(
             .drop("_bc")
         )
 
-    # the self-join would otherwise recompute the signature UDF chain
-    # for BOTH sides; banded is tiny (docs x bands rows), so persist it
+    # the self-join would otherwise recompute the signature chain for
+    # BOTH sides; banded is tiny (docs x bands rows), so persist it
     banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a._txt").alias("txt_a"),
-            F.col("b._txt").alias("txt_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    raw_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.id") < F.col("b.id")),
     )
+    if hash_fn == "xxhash64":
+        # Estimate-first pruning BEFORE the dedup shuffle: the fraction
+        # of agreeing signature components is an unbiased Jaccard
+        # estimate, evaluated per banded collision row so the heavy
+        # columns never enter the dropDuplicates exchange.
+        # P(miss | true j>=0.8, k=32, floor=threshold-0.3) < 1e-3 —
+        # fast path only; the md5/oracle path stays SQL-reproducible.
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ).cast("double")
+            / F.lit(k)
+        )
+        raw_pairs = raw_pairs.filter(est >= threshold - 0.3)
+    candidates = raw_pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a._txt").alias("txt_a"),
+        F.col("b._txt").alias("txt_b"),
+    ).dropDuplicates(["id_a", "id_b"])
 
     # exact verification on candidates only
     sh_a = shingles(F.col("txt_a"), n)
