@@ -122,6 +122,45 @@ class CompiledResource:
             transforms.append(_TRANSFORMS[kind](t))
         return Contract(rules=rules, transforms=transforms)
 
+    def streaming_pipeline(self, workspace: str | Path):
+        """Build the streaming load pipeline for extent=drain/resident
+        declarations:
+
+            [resources.ev.stream]
+            extent = "drain"              # or "resident"
+            watermark = { column = "seq", delay = 20 }
+            late_action = "quarantine"
+        """
+        from .streaming import StreamExtent, StreamingLoadPipeline, WatermarkPolicy
+        from .types.schema import CanonicalSchema
+
+        d = self.declaration
+        src = d.get("source") or {}
+        stream = d.get("stream") or {}
+        if not d.get("schema"):
+            raise DeclarationError("streaming resources require a declared schema")
+        wm_cfg = stream.get("watermark")
+        workspace = Path(workspace)
+        dest_cfg = d.get("destination") or {}
+        destination = None
+        if dest_cfg:
+            destination = ParquetDestination(
+                dest_cfg.get("path", workspace / "warehouse" / self.resource_id)
+            )
+        return StreamingLoadPipeline(
+            descriptor=self.descriptor(),
+            source_path=src["path"],
+            schema=CanonicalSchema.from_declared(d["schema"]).to_spark(),
+            contract=self.contract(),
+            watermark=WatermarkPolicy(wm_cfg["column"], float(wm_cfg.get("delay", 0))) if wm_cfg else None,
+            late_action=stream.get("late_action", "quarantine"),
+            package_root=str(workspace / "packages"),
+            ledger_root=str(workspace / "ledger"),
+            destination=destination,
+            extent=StreamExtent(stream.get("extent", "drain")),
+            source_format=src.get("format", "parquet"),
+        )
+
     def pipeline(self, workspace: str | Path) -> LoadPipeline:
         d = self.declaration
         src = d.get("source") or {}
@@ -199,4 +238,6 @@ class Workspace:
         return {rid: self.compile(rid, decl) for rid, decl in self.load_declarations(path).items()}
 
     def run(self, spark, compiled: CompiledResource):
+        if compiled.declaration.get("stream"):
+            return compiled.streaming_pipeline(self.root).run(spark)
         return compiled.pipeline(self.root).run(spark)

@@ -89,3 +89,50 @@ def test_cli_compile_and_sql(tmp_path, sf_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "orders\tsha256:" in out
+
+
+STREAM_DECL = """
+[resources.ev]
+primary_key = ["event_id"]
+schema = { event_id = "int64", seq = "int64", value = "float64" }
+
+[resources.ev.source]
+kind = "files"
+path = "{SRC}/*"
+format = "parquet"
+
+[resources.ev.stream]
+extent = "drain"
+watermark = { column = "seq", delay = 20 }
+late_action = "quarantine"
+
+[[resources.ev.contract.rules]]
+rule = "range"
+column = "value"
+min = 0.0
+
+[resources.ev.destination]
+kind = "parquet"
+"""
+
+
+def test_declarative_streaming_drain(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, i * 10, float(i)) for i in range(1, 11)],
+        "event_id long, seq long, value double",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    decl = tmp_path / "cdf.toml"
+    decl.write_text(STREAM_DECL.replace("{SRC}", str(src)))
+    ws = Workspace(tmp_path / "ws")
+    compiled = ws.compile_file(decl)["ev"]
+    epochs = ws.run(spark, compiled)
+    assert len(epochs) == 1
+    assert epochs[0].rows_admitted == 10
+    assert epochs[0].receipt_verified
+    assert epochs[0].watermark_after == 80  # max(seq)=100 - 20
+
+    out = spark.read.parquet(str(tmp_path / "ws" / "warehouse" / "ev"))
+    assert out.count() == 10
