@@ -116,7 +116,17 @@ def apply_transforms(df: DataFrame, contract: Contract) -> tuple[DataFrame, list
         elif isinstance(t, CastT):
             target = parse_arrow_type(t.to).spark_type
             col = F.col(t.column)
-            df = df.withColumn(t.column, col.try_cast(target) if t.lossy_allowed else col.cast(target))
+            if t.lossy_allowed:
+                df = df.withColumn(t.column, col.try_cast(target))
+            else:
+                # Strict cast: under ANSI a plain cast would ABORT the
+                # job on the first bad value; the contract semantics
+                # are per-row — failed casts mark the row for
+                # quarantine (picked up as an implicit rule below).
+                failed = col.isNotNull() & col.try_cast(target).isNull()
+                df = df.withColumn(f"_cdf_castfail_{t.column}", failed).withColumn(
+                    t.column, col.try_cast(target)
+                )
         elif isinstance(t, RedactT):
             c = F.col(t.column)
             if t.mode == "hash":
@@ -159,6 +169,17 @@ def evaluate_contract(
 
     verdict_rank = F.lit(0)
     viol_names: list[Column] = []
+
+    # implicit rules from strict casts: failed-cast rows quarantine
+    castfail_cols = [c for c in df.columns if c.startswith("_cdf_castfail_")]
+    for cc in castfail_cols:
+        colname = cc[len("_cdf_castfail_"):]
+        fired = F.coalesce(F.col(cc), F.lit(False))
+        verdict_rank = F.greatest(
+            verdict_rank, F.when(fired, F.lit(VERDICT_RANK[VERDICT_QUARANTINE])).otherwise(F.lit(0))
+        )
+        viol_names.append(F.when(fired, F.lit(f"cast({colname})")))
+    # (castfail marker columns are dropped from the annotated output below)
     for rule in contract.rules:
         if isinstance(rule, DedupRule):
             if rule.keep != "fail":
@@ -182,6 +203,8 @@ def evaluate_contract(
         VIOLATIONS_COL,
         F.array_compact(F.array(*viol_names)) if viol_names else F.array().cast("array<string>"),
     )
+    if castfail_cols:
+        annotated = annotated.drop(*castfail_cols)
 
     admitted = annotated.filter(F.col(VERDICT_COL) != VERDICT_QUARANTINE).drop(
         VERDICT_COL, VIOLATIONS_COL

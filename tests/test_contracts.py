@@ -144,3 +144,25 @@ def test_contract_hash_stable():
     c2 = Contract(rules=[RangeRule("a", min=0, max=1)])
     c3 = Contract(rules=[RangeRule("a", min=0, max=2)])
     assert c1.content_hash() == c2.content_hash() != c3.content_hash()
+
+
+def test_strict_cast_quarantines_instead_of_aborting(spark):
+    """Under ANSI a plain cast would crash the job on 'oops'; the
+    contract semantics are per-row: failed casts quarantine."""
+    df = spark.createDataFrame([(1, "10"), (2, "oops"), (3, None)], "id long, n string")
+    contract = Contract(transforms=[CastT("n", "int64", lossy_allowed=False)])
+    res = evaluate_contract(df, contract)
+    assert res.quarantined.count() == 1
+    assert res.quarantined.collect()[0].id == 2
+    assert "cast(n)" in res.quarantined.collect()[0]._cdf_violations
+    adm = {r.id: r.n for r in res.admitted.collect()}
+    assert adm == {1: 10, 3: None}  # null source is not a cast failure
+    assert "_cdf_castfail_n" not in res.annotated.columns
+
+
+def test_lossy_cast_nulls_silently(spark):
+    df = spark.createDataFrame([(1, "10"), (2, "oops")], "id long, n string")
+    contract = Contract(transforms=[CastT("n", "int64", lossy_allowed=True)])
+    res = evaluate_contract(df, contract)
+    assert res.quarantined.count() == 0
+    assert {r.id: r.n for r in res.admitted.collect()} == {1: 10, 2: None}
