@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "ann_lsh_topk",
     "embedding_near_dups",
+    "embedding_near_dups_lsh",
     "stratified_sample",
     "exact_dedup_docs",
 ]

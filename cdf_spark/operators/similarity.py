@@ -155,12 +155,18 @@ def rhp_lsh_topk(
     nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     cb = banded(corpus.repartition(nparts), corpus_id, "neighbor")
     qb = banded(queries, query_id, "query")
-    cand = (
-        cb.join(F.broadcast(qb), on=["band", "bh"])
+    # dedup on bare id pairs (narrow shuffle), then re-attach vectors:
+    # corpus vectors by join, query vectors by broadcast
+    cand_ids = (
+        cb.select("neighbor_id", "band", "bh")
+        .join(F.broadcast(qb.select("query_id", "band", "bh")), on=["band", "bh"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "_queryv", "_neighborv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    cvecs = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_neighborv"))
+    qvecs = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_queryv"))
+    cand = cand_ids.join(cvecs, on="neighbor_id").join(F.broadcast(qvecs), on="query_id")
     scored = cand.withColumn("sim", F.round(cosine(F.col("_queryv"), F.col("_neighborv")), round_to))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -176,13 +182,52 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    method: str = "exact",
+    bits: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
-    """All pairs (a<b) with cosine >= threshold (exact, full self-join).
-    For very large corpora route through rhp signatures first."""
+    """All pairs (a<b) with cosine >= threshold.
+
+    method="exact": full self-join — the verifier, O(n²), used by the
+    SQL oracle. method="lsh": RHP-signature band prefilter then exact
+    re-score — the scale path. At cos>=0.95 (θ≈18°) each signature bit
+    agrees with P≈0.9, so a 4-bit band matches with P≈0.66 and any of
+    4 bands with P≈0.985 — near-perfect recall while the candidate
+    join replaces the cross product."""
     nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = corpus.repartition(nparts).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    if method == "lsh":
+        nbands = bits // band_bits
+        mask = (1 << band_bits) - 1
+        with_sig = corpus.repartition(nparts).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("_v"),
+            rhp_signature(F.col(vec_col), bits, dim).alias("_sig"),
+        )
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("_sig"), b * band_bits).bitwiseAND(F.lit(mask)).alias("bh"),
+            )
+            for b in range(nbands)
+        ]
+        banded = with_sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+        ).persist()
+        a, b = banded.alias("a"), banded.alias("b")
+        cand_ids = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        pairs = cand_ids.join(va, on="id_a").join(vb, on="id_b")
+    else:
+        a = corpus.repartition(nparts).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_to))
         .filter(F.col("sim") >= threshold)

@@ -1502,3 +1502,8 @@ def moving_average_frame(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         (F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("ma3"),
     )
+
+
+@_register("embedding_near_dups_lsh", None)  # LSH-prefiltered scale path (rows-only)
+def embedding_near_dups_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.95, method="lsh")
