@@ -162,6 +162,34 @@ class ScanPlan:
         return out
 
 
+class ScanClaimError(ValueError):
+    pass
+
+
+def validate_negotiated_scan(plan: ScanPlan, cap: Capability) -> None:
+    """Re-check a negotiated plan against the declared capability sheet
+    (`validate_negotiated_scan`, planning.rs:177): a source claiming
+    pushdown it never declared — or an exact claim for an op declared
+    inexact — is a protocol violation, caught before execution."""
+    for pred in plan.pushed:
+        if pred.subsumed_by_position:
+            if not cap.position_enforced:
+                raise ScanClaimError(
+                    "plan marks a predicate position-subsumed but the source is not position-enforced"
+                )
+            continue
+        op = _simple_comparison(pred.expr)
+        declared = cap.filter_ops.get(op or "", PushdownFidelity.UNSUPPORTED)
+        if declared is PushdownFidelity.UNSUPPORTED:
+            raise ScanClaimError(f"pushed predicate op {op!r} was never declared by the source")
+        if pred.fidelity is PushdownFidelity.EXACT and declared is not PushdownFidelity.EXACT:
+            raise ScanClaimError(f"op {op!r} claimed Exact but source declares {declared.value}")
+    if plan.limit is not None and not cap.limit:
+        raise ScanClaimError("plan retains a limit the source cannot enforce")
+    if plan.order_by and not cap.order_by:
+        raise ScanClaimError("plan retains an ordering the source cannot enforce")
+
+
 def _simple_comparison(expr: Expr) -> str | None:
     """Return the op name if expr is `col op literal`, else None."""
     if isinstance(expr, Binary) and isinstance(expr.left, Col) and isinstance(expr.right, Lit):

@@ -69,6 +69,23 @@ class LoadPipeline:
     def run(self, spark: SparkSession, as_of: datetime | None = None) -> RunResult:
         desc: ResourceDescriptor = self.resource.descriptor
 
+        # exclusive state-scope lease: two concurrent runs of the same
+        # resource must not interleave checkpoints
+        lease = None
+        if self.ledger is not None:
+            from .package.lease import ScopeLeaseManager
+
+            lease_mgr = ScopeLeaseManager(Path(self.ledger.root) / "leases")
+            lease = lease_mgr.acquire(desc.resource_id)
+        try:
+            return self._run_inner(spark, as_of)
+        finally:
+            if lease is not None:
+                lease_mgr.release(lease)
+
+    def _run_inner(self, spark: SparkSession, as_of: datetime | None = None) -> RunResult:
+        desc: ResourceDescriptor = self.resource.descriptor
+
         # 1-2. scan with cursor resume from the checkpoint ledger
         resume = None
         preds = list(self.predicates)
