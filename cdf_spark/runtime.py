@@ -102,6 +102,23 @@ class LoadPipeline:
         )
         df, scan_plan = self.resource.scan(spark, request)
 
+        # schema admission against the authority (SURVEY §1.3): the
+        # observed scan schema must reconcile with the promoted head —
+        # exact/widened/extra admit (extras feed variant capture),
+        # drift refuses the run before any data moves.
+        if self.ledger is not None and desc.trust_level == "declared":
+            from .types.authority import SchemaAuthority, SchemaDriftError
+
+            authority = SchemaAuthority(Path(self.ledger.root) / "schemas", desc.resource_id)
+            if authority.active() is None:
+                authority.promote(authority.propose(df.schema).version)
+            admission = authority.admit(df.schema)
+            if not admission.admissible:
+                raise SchemaDriftError(
+                    f"schema drift on {desc.resource_id}: {admission.drifted_fields} "
+                    "(propose+promote a new head to accept)"
+                )
+
         # 3. contract
         quarantined: DataFrame | None = None
         cres: ContractResult | None = None

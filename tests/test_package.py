@@ -1,6 +1,8 @@
 """Package building, value hashes, commit protocol, checkpoint ledger, pipeline."""
 
 import json
+
+from pyspark.sql import functions as F
 from pathlib import Path
 
 import pytest
@@ -143,3 +145,38 @@ def test_replay_package(spark, tmp_path, orders):
     receipt = replay_package(spark, pkg.path, dest, WriteDisposition.REPLACE)
     assert receipt.verified
     assert spark.read.parquet(str(tmp_path / "replayed")).count() == 50
+
+
+def test_pipeline_schema_admission(spark, tmp_path, sf_dir):
+    """First run promotes the observed schema as the authority head;
+    a later run whose scan schema drifts is refused before any data
+    moves."""
+    from cdf_spark.types.authority import SchemaAuthority, SchemaDriftError
+
+    desc = ResourceDescriptor(resource_id="orders_auth", primary_key=["o_orderkey"])
+    pipe = LoadPipeline(
+        resource=FileResource(desc, f"{sf_dir}/orders.parquet"),
+        package_root=str(tmp_path / "pkgs"),
+        ledger=CheckpointLedger(tmp_path / "ledger"),
+    )
+    r = pipe.run(spark)
+    assert r.rows_admitted > 0
+    auth = SchemaAuthority(tmp_path / "ledger" / "schemas", "orders_auth")
+    assert auth.active() is not None
+
+    # same schema: second run admits (exact)
+    assert pipe.run(spark).rows_admitted > 0
+
+    # drifted source (column type changed): refused
+    drifted = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("string")
+    )
+    dpath = tmp_path / "drifted"
+    drifted.write.parquet(str(dpath))
+    pipe2 = LoadPipeline(
+        resource=FileResource(desc, str(dpath)),
+        package_root=str(tmp_path / "pkgs"),
+        ledger=CheckpointLedger(tmp_path / "ledger"),
+    )
+    with pytest.raises(SchemaDriftError):
+        pipe2.run(spark)
