@@ -115,6 +115,37 @@ def main() -> None:
         src_bytes = os.path.getsize(f"{SF_DIR}/lineitem.parquet")
         ingest_mib_s = round(src_bytes / 1024 / 1024 / ingest_sec, 2)
         ingest_rows_s = round(run.rows_admitted / ingest_sec)
+
+        # steady-state ingest: sf0.1 is ~10 MiB so fixed costs dominate;
+        # a 20x fixture (12M rows, ~200 MiB) measures the amortized
+        # roofline comparable to BASELINE's bulk-commit targets
+        big = os.path.join(tempfile.gettempdir(), "cdf_bench_big_lineitem")
+        if not os.path.isdir(big):
+            from pyspark.sql import functions as F
+
+            li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            reps = [
+                li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+                for i in range(20)
+            ]
+            out = reps[0]
+            for r_ in reps[1:]:
+                out = out.unionByName(r_)
+            out.repartition(32).write.mode("overwrite").parquet(big)
+        big_bytes = sum(
+            os.path.getsize(os.path.join(big, f)) for f in os.listdir(big) if f.endswith(".parquet")
+        )
+        pipe_big = LoadPipeline(
+            resource=FileResource(ResourceDescriptor(resource_id="lineitem_big"), big),
+            contract=pipe.contract,
+            package_root=f"{tmp}/pkgs_big",
+        )
+        t0 = time.perf_counter()
+        run_big = pipe_big.run(spark)
+        big_sec = round(time.perf_counter() - t0, 3)
+        timings["ingest_big_12m_rows"] = big_sec
+        ingest_big_mib_s = round(big_bytes / 1024 / 1024 / big_sec, 1)
+        ingest_big_rows_s = round(run_big.rows_admitted / big_sec)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -129,6 +160,8 @@ def main() -> None:
                 "sf": sf,
                 "ingest_mib_s": ingest_mib_s,
                 "ingest_rows_s": ingest_rows_s,
+                "ingest_big_mib_s": ingest_big_mib_s,
+                "ingest_big_rows_s": ingest_big_rows_s,
             }
         )
     )
