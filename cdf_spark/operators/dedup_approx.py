@@ -15,8 +15,10 @@ Beyond-reference operators for training-data curation. Design:
   near-dups have small Hamming distance, found via 4×16-bit band
   exact-match (Hamming ≤ 3 within banding guarantees).
 
-Hashes use the md5→bigint construction (`hash64` in .text) so every
-step has exact DuckDB-SQL parity for the correctness oracle.
+Hashing: the default paths use JVM xxhash64 (fast, codegen'd); each
+operator also offers `hash_fn="md5"` using the md5→bigint construction
+(`hash64` in .text) whose every step is reproducible in DuckDB SQL —
+those parity modes back the exact-match correctness oracles.
 """
 
 from __future__ import annotations

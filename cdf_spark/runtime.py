@@ -84,7 +84,14 @@ class LoadPipeline:
                 lease_mgr.release(lease)
 
     def _run_inner(self, spark: SparkSession, as_of: datetime | None = None) -> RunResult:
+        import time as _time
+
         desc: ResourceDescriptor = self.resource.descriptor
+        trace: list[dict] = []
+        _t0 = _time.perf_counter()
+
+        def _trace(step: str, **kv) -> None:
+            trace.append({"step": step, "at_s": round(_time.perf_counter() - _t0, 3), **kv})
 
         # 1-2. scan with cursor resume from the checkpoint ledger
         resume = None
@@ -101,6 +108,8 @@ class LoadPipeline:
             cursor_resume_value=resume,
         )
         df, scan_plan = self.resource.scan(spark, request)
+        _trace("scan_negotiated", plan_hash=scan_plan.content_hash(),
+               pushed=len(scan_plan.pushed), residual=len(scan_plan.residual))
 
         # schema admission against the authority (SURVEY §1.3): the
         # observed scan schema must reconcile with the promoted head —
@@ -113,6 +122,7 @@ class LoadPipeline:
             if authority.active() is None:
                 authority.promote(authority.propose(df.schema).version)
             admission = authority.admit(df.schema)
+            _trace("schema_admission", verdict=admission.verdict)
             if not admission.admissible:
                 raise SchemaDriftError(
                     f"schema drift on {desc.resource_id}: {admission.drifted_fields} "
@@ -126,6 +136,7 @@ class LoadPipeline:
             cres = evaluate_contract(df, self.contract, as_of=as_of)
             df = cres.admitted
             quarantined = cres.quarantined
+            _trace("contract_evaluated", contract_hash=self.contract.content_hash())
 
         # 4. dedup under the declared order
         if desc.dedup_keys:
@@ -154,7 +165,9 @@ class LoadPipeline:
             quarantined=quarantined,
             scan_plan=scan_plan,
             contract=self.contract,
+            trace=trace,
         )
+        _trace("package_built", package_id=package.package_id, rows=package.rows_admitted)
         new_position = None
         if desc.cursor:
             import json as _json
@@ -174,6 +187,7 @@ class LoadPipeline:
         if self.destination is not None:
             receipt = self.destination.commit(spark, package, self.disposition)
             receipt = self.destination.verify(spark, receipt, package)
+            _trace("committed", receipt_id=receipt.receipt_id, verified=receipt.verified)
             if self.ledger:
                 self.ledger.record_receipt(receipt)
                 positions = {desc.cursor.field: new_position} if desc.cursor else {}
