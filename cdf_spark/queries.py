@@ -1507,3 +1507,46 @@ def moving_average_frame(spark: SparkSession, sf: str) -> DataFrame:
 @_register("embedding_near_dups_lsh", None)  # LSH-prefiltered scale path (rows-only)
 def embedding_near_dups_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.95, method="lsh")
+
+
+@_register(
+    "q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar subquery (global avg of positive balances) + anti join
+    (customers without orders) + aggregation."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("a"))
+        .collect()[0]
+        .a
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )

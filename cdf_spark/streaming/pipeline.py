@@ -86,6 +86,16 @@ class StreamingLoadPipeline:
         rows_late = 0
         wm_after = None
         if self.watermark is not None:
+            # recaptured rows from the previous epoch rejoin the batch
+            # (LateDataCarryoverRef parity): they are re-presented to
+            # the same contract/dedup path and re-classified.
+            carryover_dir = Path(self.ledger_root) / "carryover" / desc.resource_id
+            if self.late_action == "recapture" and carryover_dir.exists():
+                # materialize eagerly: the carryover dir is REPLACED later
+                # this epoch, so the plan must not lazily re-read it
+                carried = spark.read.parquet(str(carryover_dir)).localCheckpoint(eager=True)
+                df = df.unionByName(carried)
+
             current = wm_ledger.current(self.watermark.column)
             if current is not None:
                 from .watermark import parse_stored_watermark
@@ -98,7 +108,17 @@ class StreamingLoadPipeline:
                     rows_late = late.count() if late is not None else 0
                     df = split.on_time
                 elif self.late_action == "recapture":
-                    rows_late = split.recaptured.count()
+                    # persist for the NEXT epoch; replace the previous
+                    # carryover set (those rows are in `df` already)
+                    staging = carryover_dir.with_name(carryover_dir.name + ".staging")
+                    split.recaptured.write.mode("overwrite").parquet(str(staging))
+                    recaptured = spark.read.parquet(str(staging))
+                    rows_late = recaptured.count()
+                    import shutil as _shutil
+
+                    if carryover_dir.exists():
+                        _shutil.rmtree(carryover_dir)
+                    staging.rename(carryover_dir)
                     df = split.on_time
                 else:
                     df = split.admitted_annotated
