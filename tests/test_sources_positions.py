@@ -223,3 +223,26 @@ def test_system_sql(spark, tmp_path, orders):
         system_sql(spark, tmp_path / "ledger", None, "DELETE FROM checkpoints")
     with pytest.raises(SystemSqlError):
         system_sql(spark, tmp_path / "ledger", None, "SELECT 1; DROP TABLE checkpoints")
+
+
+# --- python generator resources ---------------------------------------------
+
+
+def test_python_resource_generator(spark):
+    from cdf_spark.sources import python_resource
+
+    @python_resource("seq_feed", schema={"id": "int64", "v": "utf8"}, cursor="id", cursor_initial=None)
+    def feed(n=5):
+        for i in range(n):
+            yield {"id": i, "v": f"row{i}"}
+
+    df = feed.read(spark, n=6)
+    assert df.count() == 6
+    assert dict(df.dtypes) == {"id": "bigint", "v": "string"}
+
+    # incremental: cursor_resume filters previously-seen rows
+    df2 = feed.read(spark, cursor_resume=3, n=6)
+    assert sorted(r.id for r in df2.collect()) == [4, 5]
+
+    # the decorated object still iterates like a plain generator
+    assert [r["id"] for r in feed(n=2)] == [0, 1]
