@@ -147,3 +147,41 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         content_fingerprint(c).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = term count in doc; idf = ln(N / df_t). One explode + two
+    aggregations + a window rank — all JVM-side; the document-frequency
+    side is a small broadcastable dim at any corpus size (vocabulary ≪
+    corpus). Ties broken lexically for determinism. Scores rounded to
+    6 for cross-engine hashing.
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), on="term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(F.col("id").alias(id_col), "term", "tfidf", "rk")
+    )

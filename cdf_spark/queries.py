@@ -1550,3 +1550,32 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
             _dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df_t.df), 6) AS tfidf
+      FROM tf JOIN df_t ON tf.term = df_t.term
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), top_k=3)
