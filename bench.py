@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "embedding_near_dups_lsh",
     "stratified_sample",
     "exact_dedup_docs",
+    "tfidf_top_terms",
 ]
 
 
