@@ -43,12 +43,12 @@ ALLOWED_FUNCTIONS: dict[str, frozenset[str]] = {
             "array_position", "array_remove", "array_repeat", "array_sort",
             "array_union", "arrays_overlap", "arrays_zip", "size",
             "slice", "sort_array", "element_at", "flatten", "sequence",
-            "shuffle_not_allowed", "struct", "named_struct", "map_keys",
+            "struct", "named_struct", "map_keys",
             "map_values", "map_entries", "map_from_entries", "map_concat",
             "explode_outer", "posexplode", "transform", "filter_array",
             "aggregate", "zip_with", "exists", "forall",
         }
-    ) - {"shuffle_not_allowed"},
+    ),
     "regex": frozenset({"regexp_extract", "regexp_extract_all", "regexp_replace", "regexp_count", "rlike", "regexp_like"}),
     "string": frozenset(
         {

@@ -34,7 +34,7 @@ _BINARY_LOWER = {
     "or": lambda l, r: l | r,
     "is_distinct_from": lambda l, r: ~l.eqNullSafe(r),
     "is_not_distinct_from": lambda l, r: l.eqNullSafe(r),
-    "regex_match": lambda l, r: l.rlike_col(r) if False else F.regexp_like(l, r),
+    "regex_match": lambda l, r: F.regexp_like(l, r),
     "regex_imatch": lambda l, r: F.regexp_like(l, F.concat(F.lit("(?i)"), r)),
     "regex_not_match": lambda l, r: ~F.regexp_like(l, r),
     "regex_not_imatch": lambda l, r: ~F.regexp_like(l, F.concat(F.lit("(?i)"), r)),
