@@ -382,3 +382,55 @@ def simhash_pairs(
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every id maps to
+    its cluster representative (the minimum reachable id).
+
+    Iterative min-label propagation — per round, each node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(cluster diameter) rounds (near-dup clusters are shallow). Each
+    round is one join + one aggregation; the driver loop checks a
+    convergence count, which is how iterative algorithms look on Spark
+    (no recursion in the DataFrame algebra).
+
+    Output: (id_col, cluster) for EVERY input id; singletons map to
+    themselves.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select("id", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))

@@ -1579,3 +1579,42 @@ def tfidf_top_terms_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf, "documents"), top_k=3)
+
+
+@_register(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS s
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+    p AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, a.sz sa, b.sz sb, count(*) inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1,2,3,4
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM p WHERE inter::DOUBLE / (sa + sb - inter) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+    FROM walk GROUP BY id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster assignment over jaccard>=0.8 near-dup pairs: iterative
+    min-label propagation on Spark vs a recursive CTE in the oracle."""
+    from .operators.dedup_approx import dedup_clusters
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    return dedup_clusters(docs.select("doc_id"), pairs)

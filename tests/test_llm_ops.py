@@ -215,3 +215,24 @@ def test_multimodal_plumbing(spark, docs):
 
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         extract_image_features(media.limit(1), decode_stub=False).collect()
+
+
+def test_dedup_clusters(spark):
+    from cdf_spark.operators.dedup_approx import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    # components: {1,2,3,4} via chain, {5,6}, singletons 7, 8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r.cluster for r in dedup_clusters(ids, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from cdf_spark.operators.dedup_approx import dedup_clusters
+
+    ids = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {r.doc_id: r.cluster for r in dedup_clusters(ids, pairs).collect()}
+    assert out == {1: 1, 2: 2}
