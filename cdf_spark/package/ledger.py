@@ -111,8 +111,11 @@ class ParquetDestination:
     def _merge(self, spark: SparkSession, staged: DataFrame) -> None:
         """Null-safe keyed merge: target rows whose key appears in the
         staged batch are replaced (DELETE..USING + INSERT,
-        `crates/cdf-dest-duckdb/src/commit.rs:150-216`). Rewrite goes
-        through a staging dir so a crash never leaves a half table."""
+        `crates/cdf-dest-duckdb/src/commit.rs:150-216`). The rewrite is
+        near-atomic: the merged table is fully materialized in a staging
+        dir, the live dir is renamed aside, staging renames into place,
+        and only then is the old copy deleted — at every instant a
+        complete copy of the table exists on disk."""
         if self.table_path.exists():
             target = spark.read.parquet(str(self.table_path))
             keys = staged.select(*self.merge_keys).distinct()
@@ -126,8 +129,20 @@ class ParquetDestination:
             merged = staged
         tmp = self.table_path.with_name(self.table_path.name + ".staging")
         merged.write.mode("overwrite").parquet(str(tmp))
-        final = spark.read.parquet(str(tmp))
-        final.write.mode("overwrite").parquet(str(self.table_path))
+        import shutil
+
+        old = self.table_path.with_name(self.table_path.name + f".old-{uuid.uuid4().hex[:8]}")
+        if self.table_path.exists():
+            self.table_path.rename(old)
+        try:
+            tmp.rename(self.table_path)
+        except OSError:
+            # roll back: restore the live table, keep staging for forensics
+            if old.exists() and not self.table_path.exists():
+                old.rename(self.table_path)
+            raise
+        if old.exists():
+            shutil.rmtree(old)
 
     def verify(self, spark: SparkSession, receipt: Receipt, package: PackageResult) -> Receipt:
         """Receipt verification: the committed destination must contain
@@ -136,9 +151,14 @@ class ParquetDestination:
         if receipt.disposition == WriteDisposition.REPLACE.value:
             ok = dataset_value_hash(df) == package.value_hash
         elif receipt.disposition == WriteDisposition.MERGE.value:
+            # null-safe containment check, same predicate as _merge —
+            # a NULL key component must still count as present
             staged = spark.read.parquet(package.data_path())
-            joined = staged.join(df, on=self.merge_keys, how="left_anti")
-            ok = joined.isEmpty()
+            cond = [staged[k].eqNullSafe(df[k]) for k in self.merge_keys]
+            joined_cond = cond[0]
+            for c in cond[1:]:
+                joined_cond = joined_cond & c
+            ok = staged.join(df, on=joined_cond, how="left_anti").isEmpty()
         else:  # append: package rows all present (by count of key-hash)
             ok = df.count() >= receipt.rows_written
         receipt.verified = bool(ok)

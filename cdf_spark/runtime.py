@@ -125,9 +125,18 @@ class LoadPipeline:
             _trace("schema_admission", verdict=admission.verdict)
             if not admission.admissible:
                 raise SchemaDriftError(
-                    f"schema drift on {desc.resource_id}: {admission.drifted_fields} "
+                    f"schema drift on {desc.resource_id}: drifted={admission.drifted_fields} "
+                    f"missing_required={admission.missing_required} "
                     "(propose+promote a new head to accept)"
                 )
+            if admission.verdict == "missing_fields":
+                # null-fill missing nullable declared columns so the
+                # package schema stays the promoted head's shape
+                from pyspark.sql import functions as F
+
+                head_fields = {f.name: f for f in authority.active_schema().to_spark().fields}
+                for name in admission.missing_fields:
+                    df = df.withColumn(name, F.lit(None).cast(head_fields[name].dataType))
 
         # 3. contract
         quarantined: DataFrame | None = None
@@ -143,19 +152,56 @@ class LoadPipeline:
             order = [desc.cursor.field] if desc.cursor else desc.primary_key or desc.dedup_keys
             df = dedup_keyed(df, desc.dedup_keys, order, keep=desc.dedup_keep)
 
-        # 5. late data
+        # 5. late data — never silently dropped (late_data.py contract):
+        # quarantined late rows join the package's quarantine segment as
+        # evidence; recaptured rows persist to a carryover dir the next
+        # run re-reads (LateDataCarryoverRef parity with
+        # streaming/pipeline.py).
         rows_late = 0
         if self.watermark_column is not None and self.watermark_value is not None:
+            from pyspark.sql import functions as F
+
+            from .contracts.evaluator import VERDICT_COL, VERDICT_QUARANTINE, VIOLATIONS_COL
+            from .operators.late_data import LATE_COL
+
+            carry_root = Path(self.ledger.root) if self.ledger is not None else Path(self.package_root)
+            carryover_dir = carry_root / "carryover" / desc.resource_id
+            if self.late_action == "recapture" and carryover_dir.exists():
+                # materialize eagerly: the carryover dir is REPLACED
+                # below, so the plan must not lazily re-read it
+                carried = spark.read.parquet(str(carryover_dir)).localCheckpoint(eager=True)
+                df = df.unionByName(carried)
+
             split = classify_late_data(df, self.watermark_column, self.watermark_value, self.late_action)
             if self.late_action == "quarantine":
-                late = split.quarantined.drop("_cdf_late")
+                late = (
+                    split.quarantined.drop(LATE_COL)
+                    .withColumn(VERDICT_COL, F.lit(VERDICT_QUARANTINE))
+                    .withColumn(VIOLATIONS_COL, F.array(F.lit("late_data")))
+                )
                 rows_late = late.count()
+                quarantined = (
+                    late
+                    if quarantined is None
+                    else quarantined.unionByName(late, allowMissingColumns=True)
+                )
                 df = split.on_time
             elif self.late_action == "recapture":
-                rows_late = split.recaptured.count()
+                # persist for the NEXT run; replace the previous
+                # carryover set (those rows rejoined `df` above)
+                staging = carryover_dir.with_name(carryover_dir.name + ".staging")
+                split.recaptured.write.mode("overwrite").parquet(str(staging))
+                rows_late = spark.read.parquet(str(staging)).count()
+                import shutil as _shutil
+
+                if carryover_dir.exists():
+                    _shutil.rmtree(carryover_dir)
+                carryover_dir.parent.mkdir(parents=True, exist_ok=True)
+                staging.rename(carryover_dir)
                 df = split.on_time
             else:
                 df = split.admitted_annotated
+            _trace("late_classified", action=self.late_action, rows_late=rows_late)
 
         # 6. package (cursor frontier reuses the package's own stats
         # pass instead of a separate max() job)

@@ -1,4 +1,5 @@
 from .base import CursorSpec, ResourceDescriptor, WriteDisposition
+from .dbapi import DbApiResource
 from .files import FileResource
 from .python_source import python_resource
 
@@ -6,6 +7,7 @@ __all__ = [
     "CursorSpec",
     "ResourceDescriptor",
     "WriteDisposition",
+    "DbApiResource",
     "FileResource",
     "python_resource",
 ]

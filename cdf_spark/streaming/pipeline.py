@@ -104,8 +104,28 @@ class StreamingLoadPipeline:
                 wm_value = parse_stored_watermark(current, dtype)
                 split = classify_late_data(df, self.watermark.column, wm_value, self.late_action)
                 if self.late_action == "quarantine":
-                    late = split.quarantined
-                    rows_late = late.count() if late is not None else 0
+                    from pyspark.sql import functions as F
+
+                    from ..contracts.evaluator import (
+                        VERDICT_COL,
+                        VERDICT_QUARANTINE,
+                        VIOLATIONS_COL,
+                    )
+                    from ..operators.late_data import LATE_COL
+
+                    late = (
+                        split.quarantined.drop(LATE_COL)
+                        .withColumn(VERDICT_COL, F.lit(VERDICT_QUARANTINE))
+                        .withColumn(VIOLATIONS_COL, F.array(F.lit("late_data")))
+                    )
+                    rows_late = late.count()
+                    # evidence, not a drop: late rows join the package's
+                    # quarantine segment alongside contract rejections
+                    quarantined = (
+                        late
+                        if quarantined is None
+                        else quarantined.unionByName(late, allowMissingColumns=True)
+                    )
                     df = split.on_time
                 elif self.late_action == "recapture":
                     # persist for the NEXT epoch; replace the previous

@@ -49,15 +49,21 @@ _WIDENABLE: dict[str, set[str]] = {
 class AdmissionResult:
     """Verdict of reconciling an observed schema against the authority."""
 
-    verdict: str  # exact | widened | extra_fields | drifted
+    verdict: str  # exact | widened | extra_fields | missing_fields | drifted
     unknown_fields: list[str] = field(default_factory=list)
     missing_fields: list[str] = field(default_factory=list)
     widened_fields: list[str] = field(default_factory=list)
     drifted_fields: list[str] = field(default_factory=list)
+    missing_required: list[str] = field(default_factory=list)
 
     @property
     def admissible(self) -> bool:
-        return self.verdict in ("exact", "widened", "extra_fields")
+        # missing_fields is admissible only because the caller is told
+        # (distinct verdict) and expected to null-fill; a missing
+        # NON-nullable field is reported in missing_required and makes
+        # the batch inadmissible (reference: cdf-contract
+        # reconciliation missing_field_error semantics).
+        return self.verdict in ("exact", "widened", "extra_fields", "missing_fields")
 
 
 class SchemaAuthority:
@@ -89,8 +95,12 @@ class SchemaAuthority:
         head = self.active()
         if head is None:
             return None
+        from .schema import CanonicalField
+
         fields = json.loads(head.schema_json)["fields"]
-        return CanonicalSchema.from_declared([(f["name"], f["type"]) for f in fields])
+        return CanonicalSchema(
+            [CanonicalField(f["name"], f["type"], f.get("nullable", True)) for f in fields]
+        )
 
     def propose(self, schema: CanonicalSchema | T.StructType) -> SchemaVersion:
         """Register a candidate version (idempotent on fingerprint)."""
@@ -135,10 +145,12 @@ class SchemaAuthority:
         if head is None:
             raise SchemaDriftError(f"resource {self.resource_id} has no active schema head")
         declared = {f.name: f.type for f in head.fields}
+        declared_nullable = {f.name: f.nullable for f in head.fields}
         seen = {f.name: f.type for f in observed.fields}
 
         unknown = [n for n in seen if n not in declared]
         missing = [n for n in declared if n not in seen]
+        missing_required = [n for n in missing if not declared_nullable.get(n, True)]
         widened: list[str] = []
         drifted: list[str] = []
         for name, otype in seen.items():
@@ -150,12 +162,17 @@ class SchemaAuthority:
             else:
                 drifted.append(name)
 
-        if drifted:
+        # `exact` requires field-set equality; a batch lacking declared
+        # NON-nullable fields is refused outright, lacking nullable ones
+        # gets the distinct missing_fields verdict (caller null-fills).
+        if drifted or missing_required:
             verdict = "drifted"
+        elif missing:
+            verdict = "missing_fields"
         elif unknown:
             verdict = "extra_fields"
         elif widened:
             verdict = "widened"
         else:
             verdict = "exact"
-        return AdmissionResult(verdict, unknown, missing, widened, drifted)
+        return AdmissionResult(verdict, unknown, missing, widened, drifted, missing_required)
