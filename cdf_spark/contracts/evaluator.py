@@ -89,6 +89,21 @@ class ContractResult:
     admitted: DataFrame       # verdict != quarantine, evidence columns dropped
     quarantined: DataFrame    # verdict == quarantine, evidence retained
     frozen_count_expr: str = VERDICT_FREEZE
+    observation: object = None  # pyspark Observation over the full annotated stream
+
+    def observed_quarantine_count(self) -> int | None:
+        """Quarantine-row count captured for free by the first action
+        that ran over `admitted`/`annotated` (the CollectMetrics node
+        sits below the verdict filter, so every contract-evaluated row
+        passes through it). ONLY call after such an action — the
+        underlying Observation.get blocks until one has run. Returns
+        None when no observation is attached."""
+        if self.observation is None:
+            return None
+        try:
+            return int(self.observation.get["quarantine_rows"])
+        except Exception:
+            return None
 
     def summary(self) -> DataFrame:
         """Verdict summary: counts per verdict (map-side combined)."""
@@ -193,21 +208,44 @@ def evaluate_contract(
         verdict_rank = F.greatest(verdict_rank, F.when(fired, F.lit(rank)).otherwise(F.lit(0)))
         viol_names.append(F.when(fired, F.lit(rule.name())))
 
-    annotated = df.withColumn(
+    # Base carries the integer verdict rank; the admitted path filters
+    # on the rank directly so it never materializes the verdict string
+    # or the violations array (Catalyst cannot prune them away once a
+    # string filter references the verdict column).
+    rank_col = "_cdf_rank"
+    base = df.withColumn(rank_col, verdict_rank.cast("int"))
+
+    # CollectMetrics below every downstream filter: the first action on
+    # any derived frame captures the quarantine count for the whole
+    # batch, so the package builder can SKIP the quarantine-segment job
+    # when the batch is clean (one pass instead of two). Filters are not
+    # pushed through CollectMetrics, so the counts see every row.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    base = base.observe(
+        obs,
+        F.count(F.when(F.col(rank_col) >= VERDICT_RANK[VERDICT_QUARANTINE], 1)).alias(
+            "quarantine_rows"
+        ),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+    annotated = base.withColumn(
         VERDICT_COL,
         F.element_at(
             F.array(F.lit(VERDICT_PASS), F.lit(VERDICT_FREEZE), F.lit(VERDICT_QUARANTINE)),
-            verdict_rank.cast("int") + 1,
+            F.col(rank_col) + 1,
         ),
     ).withColumn(
         VIOLATIONS_COL,
         F.array_compact(F.array(*viol_names)) if viol_names else F.array().cast("array<string>"),
-    )
-    if castfail_cols:
-        annotated = annotated.drop(*castfail_cols)
+    ).drop(rank_col, *castfail_cols)
 
-    admitted = annotated.filter(F.col(VERDICT_COL) != VERDICT_QUARANTINE).drop(
-        VERDICT_COL, VIOLATIONS_COL
-    )
+    admitted = base.filter(
+        F.col(rank_col) < VERDICT_RANK[VERDICT_QUARANTINE]
+    ).drop(rank_col, *castfail_cols)
     quarantined = annotated.filter(F.col(VERDICT_COL) == VERDICT_QUARANTINE)
-    return ContractResult(annotated=annotated, admitted=admitted, quarantined=quarantined)
+    return ContractResult(
+        annotated=annotated, admitted=admitted, quarantined=quarantined, observation=obs
+    )

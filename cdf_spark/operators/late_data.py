@@ -41,11 +41,19 @@ def classify_late_data(
     watermark_value,
     action: str = "annotate",  # recapture | quarantine | annotate
 ) -> LateDataSplit:
-    """Split rows on `event_col <= watermark_value` per the action."""
+    """Split rows on `event_col <= watermark_value` per the action.
+
+    ``watermark_value`` may be a scalar (the stored ledger value) or a
+    Column already present on ``df`` (e.g. a broadcast-joined 1-row
+    aggregate) — the Column form keeps a derived watermark inside one
+    lazy plan instead of forcing a driver-side collect."""
     if action not in ("recapture", "quarantine", "annotate"):
         raise ValueError(f"unknown late-data action {action!r}")
 
-    is_late = F.col(event_col) <= F.lit(watermark_value)
+    from pyspark.sql import Column
+
+    wm = watermark_value if isinstance(watermark_value, Column) else F.lit(watermark_value)
+    is_late = F.col(event_col) <= wm
     annotated = df.withColumn(LATE_COL, F.coalesce(is_late, F.lit(False)))
     on_time = annotated.filter(~F.col(LATE_COL))
     late = annotated.filter(F.col(LATE_COL))

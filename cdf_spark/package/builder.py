@@ -67,12 +67,20 @@ class PackageBuilder:
         positions: dict | None = None,
         trace: list[dict] | None = None,
         cache: bool = False,
+        quarantine_count_hint=None,
     ) -> PackageResult:
         """The evidence pass (column stats + value hash) is computed
         DURING the segment write via Spark's Observation API — one scan
         total for data + all evidence. ``cache`` is retained for
         callers whose upstream chain is expensive AND who make extra
-        passes of their own."""
+        passes of their own.
+
+        ``quarantine_count_hint``: zero-arg callable returning the
+        quarantine-row count observed during the data write (e.g.
+        ContractResult.observed_quarantine_count). When it reports 0,
+        the quarantine-segment job — a full recompute of the upstream
+        chain — is skipped: the batch is proven clean by the same pass
+        that wrote the data."""
         import uuid as _uuid
 
         schema = CanonicalSchema.from_spark(admitted.schema)
@@ -100,11 +108,15 @@ class PackageBuilder:
         stats, value_hash = _parse_observation(admitted, obs.get)
         rows_quar = 0
         if quarantined is not None:
-            qobs_df, qobs = _observe_count(quarantined)
-            qobs_df.write.mode("overwrite").option("compression", self.compression).parquet(
-                str(pkg / "quarantine")
-            )
-            rows_quar = int(qobs.get["rows"])
+            hint = quarantine_count_hint() if quarantine_count_hint is not None else None
+            if hint == 0:
+                rows_quar = 0  # proven clean by the data pass; no second job
+            else:
+                qobs_df, qobs = _observe_count(quarantined)
+                qobs_df.write.mode("overwrite").option("compression", self.compression).parquet(
+                    str(pkg / "quarantine")
+                )
+                rows_quar = int(qobs.get["rows"])
 
         package_id = "pkg-" + hashlib.sha256(
             json.dumps(

@@ -592,12 +592,11 @@ def effects_apply_merge(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def late_data_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Derived watermark stays in-plan: the 1-row max(ts) aggregate is
+    broadcast-crossJoined (no driver collect, one lazy plan)."""
     e = _events(spark, sf)
-    wm = e.agg(F.max("ts").alias("m")).collect()[0].m
-    import datetime
-
-    wm = wm - datetime.timedelta(hours=24)
-    split = classify_late_data(e, "ts", wm, action="annotate")
+    wm = e.agg((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("_cdf_wm"))
+    split = classify_late_data(e.crossJoin(F.broadcast(wm)), "ts", F.col("_cdf_wm"), action="annotate")
     return split.admitted_annotated.select(
         "event_id", "user_id", F.col("_cdf_late").alias("is_late")
     )
@@ -1218,11 +1217,8 @@ def events_user_rollup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def late_counts_by_type(spark: SparkSession, sf: str) -> DataFrame:
     e = _events(spark, sf)
-    wm_row = e.agg(F.max("ts").alias("m")).collect()[0].m
-    import datetime as _dt
-
-    wm = wm_row - _dt.timedelta(hours=72)
-    split = classify_late_data(e, "ts", wm, action="annotate")
+    wm = e.agg((F.max("ts") - F.expr("INTERVAL 72 HOURS")).alias("_cdf_wm"))
+    split = classify_late_data(e.crossJoin(F.broadcast(wm)), "ts", F.col("_cdf_wm"), action="annotate")
     return split.admitted_annotated.groupBy("event_type").agg(
         F.count(F.when(F.col("_cdf_late"), 1)).alias("n_late"),
         F.count(F.when(~F.col("_cdf_late"), 1)).alias("n_on_time"),
@@ -1537,14 +1533,13 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
     (customers without orders) + aggregation."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("a"))
-        .collect()[0]
-        .a
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("_cdf_a")
     )
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_cdf_a"))
+        .drop("_cdf_a")
         .join(
             o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")),
             c.c_custkey == o.o_custkey,
@@ -1724,3 +1719,69 @@ def duckdb_source_scan(spark: SparkSession, sf: str) -> DataFrame:
         return df
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Non-vacuous embedding near-dup evidence (round 2): plant twin vectors
+# with md5-derived (SQL-reproducible) noise so the exact operator has
+# REAL ground truth to find at every scale factor.  The LSH scale path
+# is gated against this same construction in tests/test_lsh_recall.py.
+
+_PLANTED_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+twins AS (
+  SELECT c.vec_id + 100000 AS vec_id,
+         [e[d+1] + 0.05 * ((CAST(('0x'||substr(md5(CAST(c.vec_id AS VARCHAR)||':'||CAST(d AS VARCHAR)),1,15)) AS BIGINT) % 10000)/5000.0 - 1.0)
+          for d in range(0, 64)] AS e
+  FROM c WHERE c.vec_id < 100
+),
+corpus AS (SELECT * FROM c UNION ALL SELECT * FROM twins),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.e, b.e), 4) AS sim
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.95
+"""
+
+
+def planted_near_dup_corpus(emb: DataFrame, n_twins: int = 100, scale: float = 0.05) -> DataFrame:
+    """Corpus ∪ perturbed twins: twin[d] = e[d] + scale * u(id, d) with
+    u md5-derived in [-1, 1) — deterministic, executor-independent, and
+    bit-identical in DuckDB SQL (same construction as the RHP planes)."""
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    # withColumn sequencing matters: the noise hashes the ORIGINAL id,
+    # so the id shift must come after (a single select would bind
+    # `vec_id` to the shifted lateral alias under Spark 4 resolution)
+    twins = (
+        base.filter(F.col("vec_id") < n_twins)
+        .withColumn(
+            "e",
+            F.transform(
+                F.col("e"),
+                lambda x, i: x
+                + F.lit(scale)
+                * (
+                    (
+                        hash64(
+                            F.concat(F.col("vec_id").cast("string"), F.lit(":"), i.cast("string"))
+                        )
+                        % 10000
+                    )
+                    / F.lit(5000.0)
+                    - F.lit(1.0)
+                ),
+            ),
+        )
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    return base.unionByName(twins)
+
+
+@_register("embedding_near_dups_planted", _PLANTED_ORACLE)
+def embedding_near_dups_planted(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact near-dup pairs over the planted corpus — ~100 true pairs at
+    every sf (non-vacuous, unlike the raw table where random unit
+    vectors never reach cos >= 0.95)."""
+    corpus = planted_near_dup_corpus(_t(spark, sf, "embeddings"))
+    return embedding_near_dup_pairs(corpus, threshold=0.95, id_col="vec_id", vec_col="e")

@@ -204,7 +204,16 @@ class LoadPipeline:
             _trace("late_classified", action=self.late_action, rows_late=rows_late)
 
         # 6. package (cursor frontier reuses the package's own stats
-        # pass instead of a separate max() job)
+        # pass instead of a separate max() job; the contract's
+        # observation lets the builder skip the quarantine job on clean
+        # batches — but only when nothing beyond the contract fed the
+        # quarantine frame)
+        late_in_quarantine = self.late_action == "quarantine" and rows_late > 0
+        hint = (
+            cres.observed_quarantine_count
+            if (cres is not None and not late_in_quarantine)
+            else None
+        )
         builder = PackageBuilder(self.package_root, desc.resource_id)
         package = builder.build(
             admitted=df,
@@ -212,6 +221,7 @@ class LoadPipeline:
             scan_plan=scan_plan,
             contract=self.contract,
             trace=trace,
+            quarantine_count_hint=hint,
         )
         _trace("package_built", package_id=package.package_id, rows=package.rows_admitted)
         new_position = None

@@ -75,9 +75,10 @@ class StreamingLoadPipeline:
 
         df = batch_df
         quarantined = None
+        cres = None
         if self.contract:
-            res = evaluate_contract(df, self.contract)
-            df, quarantined = res.admitted, res.quarantined
+            cres = evaluate_contract(df, self.contract)
+            df, quarantined = cres.admitted, cres.quarantined
 
         if desc.dedup_keys:
             order = [desc.cursor.field] if desc.cursor else desc.primary_key or desc.dedup_keys
@@ -146,8 +147,19 @@ class StreamingLoadPipeline:
             if frontier is not None:
                 wm_after = wm_ledger.advance(self.watermark.column, frontier)
 
+        late_in_quarantine = self.late_action == "quarantine" and rows_late > 0
+        hint = (
+            cres.observed_quarantine_count
+            if (cres is not None and not late_in_quarantine)
+            else None
+        )
         builder = PackageBuilder(self.package_root, desc.resource_id)
-        package = builder.build(admitted=df, quarantined=quarantined, contract=self.contract)
+        package = builder.build(
+            admitted=df,
+            quarantined=quarantined,
+            contract=self.contract,
+            quarantine_count_hint=hint,
+        )
 
         receipt_verified = False
         if self.destination is not None and package.rows_admitted > 0:

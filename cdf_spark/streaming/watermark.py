@@ -56,6 +56,9 @@ def observed_frontier(df: DataFrame, policy: WatermarkPolicy):
     dt = dict(df.dtypes).get(policy.column)
     if dt is None:
         raise KeyError(f"watermark column {policy.column!r} missing")
+    # driver-side by design: the frontier is ledger state that must be
+    # materialized to persist; one map-side-combined 1-row agg per
+    # (micro)batch, not a per-row round trip
     mx = df.agg(F.max(policy.column).alias("m")).collect()[0].m
     if mx is None:
         return None

@@ -1,0 +1,76 @@
+"""Measured LSH recall on NONEMPTY ground truth.
+
+Round-1 verdict: the LSH scale paths' recall claims were analytical
+only (at sf0.01 the raw embeddings table has zero cos>=0.95 pairs, so
+exact and LSH both returned empty — a vacuous pass). These gates plant
+~100 true near-dup pairs (md5-derived noise, the same construction the
+oracled `embedding_near_dups_planted` query uses) and assert the
+approximate operators actually recover the exact twins' output.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdf_spark.operators.similarity import cosine_topk, embedding_near_dup_pairs, rhp_lsh_topk
+from cdf_spark.queries import planted_near_dup_corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return planted_near_dup_corpus(emb).persist()
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_embedding_near_dup_lsh_recall(planted):
+    """The LSH prefilter path recovers >=95% of the exact verifier's
+    pairs (similarity.py's analytical claim, now measured)."""
+    exact = _pairs(
+        embedding_near_dup_pairs(planted, threshold=0.95, id_col="vec_id", vec_col="e")
+    )
+    assert len(exact) >= 20, "ground truth must be nonempty for this gate to mean anything"
+    lsh = _pairs(
+        embedding_near_dup_pairs(
+            planted, threshold=0.95, id_col="vec_id", vec_col="e", method="lsh"
+        )
+    )
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 over {len(exact)} true pairs"
+    # no false positives: every surviving pair was exactly re-scored
+    assert lsh <= exact
+
+
+def test_rhp_lsh_topk_recall(planted):
+    """ANN top-k recovers >=90% of the exact top-k (query,neighbor)
+    pairs under the bench configuration (bits=32, band_bits=2)."""
+    queries = planted.filter("vec_id < 20")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(planted, queries, k=10, vec_col="e").collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in rhp_lsh_topk(
+            planted, queries, k=10, vec_col="e", bits=32, band_bits=2
+        ).collect()
+    }
+    assert len(exact) == 200
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.90, f"ANN recall {recall:.3f} < 0.90"
+
+
+def test_planted_twins_are_found_by_construction(planted):
+    """Sanity on the fixture itself: each planted twin pairs with its
+    original above the threshold (the noise scale guarantees it)."""
+    exact = _pairs(
+        embedding_near_dup_pairs(planted, threshold=0.95, id_col="vec_id", vec_col="e")
+    )
+    n_twins = planted.filter("vec_id >= 100000").count()
+    planted_pairs = {(a, b) for (a, b) in exact if b == a + 100000}
+    assert len(planted_pairs) >= 0.9 * n_twins
