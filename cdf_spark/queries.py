@@ -1785,3 +1785,57 @@ def embedding_near_dups_planted(spark: SparkSession, sf: str) -> DataFrame:
     vectors never reach cos >= 0.95)."""
     corpus = planted_near_dup_corpus(_t(spark, sf, "embeddings"))
     return embedding_near_dup_pairs(corpus, threshold=0.95, id_col="vec_id", vec_col="e")
+
+
+@_register(
+    "avro_roundtrip_scan",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def avro_roundtrip_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Format fidelity through the jar-free Avro path: the nation table
+    written as an Avro object container file (deflate codec), decoded
+    back executor-side (`sources/avro_format.py`, replacing
+    `crates/cdf-format-avro/`); values must equal the parquet original."""
+    import shutil
+    import tempfile
+
+    from .sources.avro_format import read_avro, write_avro
+
+    tmp = tempfile.mkdtemp(prefix="cdf_avro_")
+    try:
+        src = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        write_avro(src, f"{tmp}/nation.avro")
+        back = read_avro(spark, f"{tmp}/nation.avro")
+        # mapInPandas output is lazy over the tmp file: materialize
+        # driver-side before the dir disappears
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "snapshot_time_travel",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 20000",
+)
+def snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot isolation end-to-end: orders committed in two snapshots,
+    the query reads the OLDER pin while newer data exists — it must see
+    exactly the first commit (`sources/snapshot_table.py`, Iceberg-shaped
+    per `crates/cdf-source-iceberg/src/driver.rs:902-1060`)."""
+    import shutil
+    import tempfile
+
+    from .sources.snapshot_table import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="cdf_snap_")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        t = SnapshotTable(f"{tmp}/t")
+        s1 = t.append(o.filter(F.col("o_orderkey") <= 20000))
+        t.append(o.filter(F.col("o_orderkey") > 20000))  # newer data the pin must NOT see
+        pinned = t.read(spark, snapshot_id=s1)
+        rows = pinned.collect()  # materialize before the tmp dir goes
+        return spark.createDataFrame(rows, pinned.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -7,7 +7,9 @@ Re-expresses the reference's format-driver registry
   parquet / orc / csv+tsv+psv / json+ndjson / text  -> Spark built-ins
   gzip/bzip2/lz4/zstd/snappy byte transforms        -> Spark codec layer
   arrow-ipc                                          -> pyarrow bridge (below)
-  avro                                               -> requires spark-avro jar (gated)
+  avro                                               -> spark-avro jar when present,
+                                                        else the jar-free spec
+                                                        implementation in avro_format.py
   protobuf                                           -> requires descriptors + jar (gated)
 
 `require_format` raises a clear, actionable error for formats whose
@@ -20,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 BUILTIN_FORMATS = {"parquet", "orc", "csv", "json", "ndjson", "text"}
-GATED_FORMATS = {"avro": "spark-avro jar (org.apache.spark:spark-avro)", "protobuf": "spark-protobuf jar + descriptor set"}
+# avro is NOT gated: avro_format.py decodes container files without the
+# jar (binaryFile + mapInPandas); the jar, when present, is preferred.
+GATED_FORMATS = {"protobuf": "spark-protobuf jar + descriptor set"}
 
 
 class FormatUnavailable(RuntimeError):
@@ -29,7 +33,7 @@ class FormatUnavailable(RuntimeError):
 
 def require_format(spark: SparkSession, fmt: str) -> None:
     fmt = fmt.lower()
-    if fmt in BUILTIN_FORMATS or fmt == "arrow-ipc":
+    if fmt in BUILTIN_FORMATS or fmt in ("arrow-ipc", "avro"):
         return
     if fmt in GATED_FORMATS:
         # probe the session classpath once

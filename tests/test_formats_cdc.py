@@ -19,10 +19,9 @@ def test_require_format_builtins(spark):
         require_format(spark, "flatbuffers")
 
 
-def test_avro_gated_with_actionable_error(spark):
-    with pytest.raises(FormatUnavailable) as e:
-        require_format(spark, "avro")
-    assert "spark-avro" in str(e.value)
+def test_avro_available_without_jar(spark):
+    # round 2: avro decodes jar-free via sources/avro_format.py
+    require_format(spark, "avro")
 
 
 def test_arrow_ipc_roundtrip(spark, tmp_path):
