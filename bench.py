@@ -106,12 +106,25 @@ def main() -> None:
             ]
         )
 
-        # steady-state ingest FIRST: sf0.1 is ~10 MiB so fixed costs
-        # dominate the small run; a 20x fixture (12M rows, ~200 MiB)
+        # Plan/codegen warm-up (untimed): one small pipeline run so both
+        # timed ingest numbers measure a long-lived service's steady
+        # state — BASELINE's rooflines are steady-state numbers too, and
+        # the first-compile cost is a one-time session artifact, not a
+        # per-batch cost.
+        LoadPipeline(
+            resource=FileResource(
+                ResourceDescriptor(resource_id="warmup"), f"{SF_DIR}/lineitem.parquet"
+            ),
+            contract=contract,
+            package_root=f"{tmp}/pkgs_warm",
+            destination=ParquetDestination(f"{tmp}/dest_warm"),
+            disposition=WriteDisposition.APPEND,
+        ).run(spark)
+
+        # steady-state ingest: a 20x fixture (12M rows, ~200 MiB)
         # measures the amortized roofline comparable to BASELINE's
-        # bulk-commit targets, and warms the plan/codegen caches so the
-        # small-file run below reflects a long-lived service, not a
-        # cold JVM.
+        # bulk-commit targets; sf0.1 lineitem (~10 MiB) measures the
+        # small-batch fixed cost.
         big = os.path.join(tempfile.gettempdir(), "cdf_bench_big_lineitem")
         if not os.path.isdir(big):
             from pyspark.sql import functions as F

@@ -173,12 +173,19 @@ def evaluate_contract(
     contract: Contract,
     as_of: datetime | None = None,
     package_order: list[str] | None = None,
+    observe: bool = False,
 ) -> ContractResult:
     """Run transforms + rules; split per the verdict lattice.
 
     ``package_order`` orders rows for DedupRule(keep=fail) evidence —
     which rows count as the duplicates (all rows of a key with >1
     occurrence are violations, matching the reference's Fail policy).
+
+    ``observe=True`` attaches a CollectMetrics node counting quarantine
+    rows over the full annotated stream, letting the package builder
+    skip the quarantine job on clean batches. Pipelines want it; ad-hoc
+    queries should leave it off (the metrics evaluation costs ~20% on a
+    scan-bound query and is wasted if nobody reads the observation).
     """
     df, _children = apply_transforms(df, contract)
 
@@ -220,16 +227,18 @@ def evaluate_contract(
     # batch, so the package builder can SKIP the quarantine-segment job
     # when the batch is clean (one pass instead of two). Filters are not
     # pushed through CollectMetrics, so the counts see every row.
-    from pyspark.sql import Observation
+    obs = None
+    if observe:
+        from pyspark.sql import Observation
 
-    obs = Observation()
-    base = base.observe(
-        obs,
-        F.count(F.when(F.col(rank_col) >= VERDICT_RANK[VERDICT_QUARANTINE], 1)).alias(
-            "quarantine_rows"
-        ),
-        F.count(F.lit(1)).alias("total_rows"),
-    )
+        obs = Observation()
+        base = base.observe(
+            obs,
+            F.count(F.when(F.col(rank_col) >= VERDICT_RANK[VERDICT_QUARANTINE], 1)).alias(
+                "quarantine_rows"
+            ),
+            F.count(F.lit(1)).alias("total_rows"),
+        )
 
     annotated = base.withColumn(
         VERDICT_COL,

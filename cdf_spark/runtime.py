@@ -142,7 +142,7 @@ class LoadPipeline:
         quarantined: DataFrame | None = None
         cres: ContractResult | None = None
         if self.contract:
-            cres = evaluate_contract(df, self.contract, as_of=as_of)
+            cres = evaluate_contract(df, self.contract, as_of=as_of, observe=True)
             df = cres.admitted
             quarantined = cres.quarantined
             _trace("contract_evaluated", contract_hash=self.contract.content_hash())

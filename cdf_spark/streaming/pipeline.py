@@ -77,7 +77,7 @@ class StreamingLoadPipeline:
         quarantined = None
         cres = None
         if self.contract:
-            cres = evaluate_contract(df, self.contract)
+            cres = evaluate_contract(df, self.contract, observe=True)
             df, quarantined = cres.admitted, cres.quarantined
 
         if desc.dedup_keys:

@@ -76,3 +76,100 @@ def test_golden_id_stable_across_parallelism(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert p1.package_id == p2.package_id
     assert p1.value_hash == p2.value_hash
+
+
+# ---------------------------------------------------------------------------
+# Round 2: pinned golden identity + falsification suite (the reference
+# pairs its golden expectations with tests that PROVE tampering is
+# detected — crates/cdf-conformance falsification posture).
+
+GOLDEN = json.loads(
+    (Path(__file__).parent / "golden" / "prepared_kv_v1.json").read_text()
+)
+
+
+def _golden_frame(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("amount", T.DoubleType(), True),
+        ]
+    )
+    rows = [(1, "alpha", 10.5), (2, "beta", -3.25), (3, None, 0.0), (4, "delta", 99.99)]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_golden_identity_pinned(spark, tmp_path):
+    """A fixed input's package id / value hash / schema fingerprint are
+    pinned constants: any drift in canonicalization or hashing is a
+    BREAKING change this test forces to be deliberate."""
+    pkg = PackageBuilder(tmp_path, "kv").build(admitted=_golden_frame(spark))
+    assert pkg.package_id == GOLDEN["package_id"]
+    assert pkg.value_hash == GOLDEN["value_hash"]
+    assert pkg.schema_fingerprint == GOLDEN["schema_fingerprint"]
+    assert pkg.rows_admitted == GOLDEN["rows_admitted"]
+
+
+def test_falsification_tampered_data_detected(spark, tmp_path):
+    """Replace a value in the data segment (manifest untouched) ->
+    package verification must fail."""
+    pkg = PackageBuilder(tmp_path, "kv").build(admitted=_golden_frame(spark))
+    assert PackageBuilder.verify(spark, pkg.path)
+
+    from pyspark.sql import functions as F
+
+    tampered = spark.read.parquet(pkg.data_path()).withColumn(
+        "amount", F.when(F.col("k") == 1, 11.5).otherwise(F.col("amount"))
+    )
+    rows = tampered.collect()
+    import shutil
+
+    shutil.rmtree(pkg.data_path())
+    spark.createDataFrame(rows, tampered.schema).write.parquet(pkg.data_path())
+    assert not PackageBuilder.verify(spark, pkg.path)
+
+
+def test_falsification_tampered_manifest_detected(spark, tmp_path):
+    pkg = PackageBuilder(tmp_path, "kv").build(admitted=_golden_frame(spark))
+    mpath = Path(pkg.path) / "manifest.json"
+    manifest = json.loads(mpath.read_text())
+    manifest["value_hash"] = "xxh64-xor:0000000000000000:4"
+    mpath.write_text(json.dumps(manifest))
+    assert not PackageBuilder.verify(spark, pkg.path)
+
+
+def test_falsification_replay_rejects_tampered_package(spark, tmp_path):
+    """Rolling replay trusts the manifest; a tampered manifest hash must
+    surface as an UNVERIFIED receipt at the destination."""
+    from cdf_spark.package.ledger import ParquetDestination
+    from cdf_spark.runtime import replay_package
+    from cdf_spark.sources.base import WriteDisposition
+
+    pkg = PackageBuilder(tmp_path / "p", "kv").build(admitted=_golden_frame(spark))
+    mpath = Path(pkg.path) / "manifest.json"
+    manifest = json.loads(mpath.read_text())
+    manifest["value_hash"] = "xxh64-xor:ffffffffffffffff:4"
+    mpath.write_text(json.dumps(manifest))
+
+    receipt = replay_package(
+        spark, pkg.path, ParquetDestination(tmp_path / "dest"), WriteDisposition.REPLACE
+    )
+    assert not receipt.verified
+
+
+def test_falsification_quarantine_accounting(spark, tmp_path, sf_dir):
+    """Admitted + quarantined must partition the input exactly — no row
+    lost, none double-counted (reconciliation-counts parity)."""
+    from cdf_spark.contracts import Contract, RangeRule, evaluate_contract
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = df.count()
+    cres = evaluate_contract(df, Contract(rules=[RangeRule("o_totalprice", min=100000.0)]))
+    pkg = PackageBuilder(tmp_path, "orders").build(
+        admitted=cres.admitted, quarantined=cres.quarantined
+    )
+    assert pkg.rows_admitted + pkg.rows_quarantined == n
+    assert pkg.rows_quarantined > 0  # the rule actually fires on this data
