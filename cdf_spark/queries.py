@@ -1721,6 +1721,52 @@ def duckdb_source_scan(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register(
+    "sqlite_commit_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def sqlite_commit_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Package -> SQLite MERGE commit (null-safe keyed upsert via the
+    dialect's `IS`) -> grouped-count verify -> read back. Merging the
+    same batch twice proves idempotence: the committed table must equal
+    the slice exactly, not double it
+    (`crates/cdf-dest-sqlite/` commit-path parity)."""
+    import shutil
+    import sqlite3
+    import tempfile
+
+    from .package import PackageBuilder
+    from .package.dbapi_dest import SQLITE, DbApiDestination
+    from .sources.base import WriteDisposition
+
+    tmp = tempfile.mkdtemp(prefix="cdf_sqlq_")
+    try:
+        o = (
+            _t(spark, sf, "orders")
+            .filter(F.col("o_custkey") < 100)
+            .select("o_orderkey", "o_custkey", "o_orderstatus")
+        )
+        pkg = PackageBuilder(f"{tmp}/pkgs", "orders_q").build(admitted=o)
+        db = f"{tmp}/t.db"
+        dest = DbApiDestination(
+            lambda: sqlite3.connect(db),
+            "orders_t",
+            merge_keys=["o_orderkey"],
+            dialect=SQLITE,
+            destination_uri=f"sqlite://{db}#orders_t",
+        )
+        for _ in range(2):  # idempotent upsert: second merge is a no-op
+            rec = dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.MERGE), pkg)
+            if not rec.verified:
+                raise RuntimeError("sqlite commit receipt failed verification")
+        return dest.read_back(spark)  # eager local relation; tmp dir may go
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Non-vacuous embedding near-dup evidence (round 2): plant twin vectors
 # with md5-derived (SQL-reproducible) noise so the exact operator has
