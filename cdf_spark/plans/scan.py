@@ -115,10 +115,13 @@ class PartitionPlan:
     sources this is the file manifest; Spark further splits by
     maxPartitionBytes at execution."""
 
-    kind: str  # files | jdbc_ranges | single
+    kind: str  # files | jdbc_ranges | catalog-partitions | single
     units: list[dict] = field(default_factory=list)
     estimated_bytes: int | None = None
     estimated_rows: int | None = None
+    # planning evidence (pruning counts, table generation); not part of
+    # the plan's content hash — units describe WHAT is read, meta WHY
+    meta: dict = field(default_factory=dict)
 
 
 @dataclass
