@@ -1622,6 +1622,460 @@ def near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H breadth (round 2): the remaining classic shapes, adapted to the
+# trimmed schema (no partsupp table — the part<->supplier relation is
+# derived from lineitem history, which preserves each query's *shape*:
+# correlated mins, scalar-subquery thresholds, exists/not-exists pairs).
+
+
+@_register(
+    "q2_min_unit_price_supplier",
+    """
+    WITH link AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(round(l_extendedprice / l_quantity, 4)) AS unit_price
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p_partkey, s_name, s_acctbal, n_name, unit_price,
+             min(unit_price) OVER (PARTITION BY p_partkey) AS min_up
+      FROM link JOIN eu ON sk = s_suppkey JOIN part ON pk = p_partkey
+      WHERE p_size = 15
+    )
+    SELECT p_partkey, s_name, s_acctbal, n_name, unit_price
+    FROM cand WHERE unit_price = min_up
+    ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100
+    """,
+)
+def q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier in a region. The
+    correlated MIN subquery is decorrelated into a partition window —
+    the plan Catalyst's subquery rewrite would produce. Unit price is
+    derived from lineitem history (no partsupp in this schema)."""
+    l = _t(spark, sf, "lineitem")
+    link = l.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias("unit_price"))
+    eu = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(_t(spark, sf, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(_t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_size") == 15)
+    cand = (
+        link.join(F.broadcast(eu), link.sk == eu.s_suppkey)
+        .join(F.broadcast(p), link.pk == p.p_partkey)
+        .withColumn("min_up", F.min("unit_price").over(Window.partitionBy("pk")))
+    )
+    return (
+        cand.filter(F.col("unit_price") == F.col("min_up"))
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "unit_price")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@_register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year between two nations."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END
+                         AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region    ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8: one nation's market share inside a region, by year.
+    Share = exact decimal sum of the nation's volume over exact total,
+    divided as doubles (bit-identical to the oracle)."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(_dec(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)))
+                .cast("double")
+                / F.sum(_dec(vol)).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "q9_product_type_profit",
+    """
+    SELECT n_name AS nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_type = 'PROMO'
+    ) profit
+    GROUP BY n_name, o_year
+    """,
+)
+def q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year. Supply cost
+    is proxied as 0.6 * retail price (no partsupp.ps_supplycost in this
+    schema); the per-row arithmetic is double (IEEE-identical) and the
+    aggregation exact decimal."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    n = _t(spark, sf, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_dsum(amount).alias("sum_profit"))
+    )
+
+
+@_register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10: top customers by returned-item revenue in a quarter."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@_register(
+    "q11_important_stock",
+    """
+    WITH vals AS (
+      SELECT l_partkey AS p_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS v
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+      GROUP BY 1
+    )
+    SELECT p_partkey, CAST(v AS DOUBLE) AS value
+    FROM vals, (SELECT SUM(v) AS total FROM vals) t
+    WHERE CAST(v AS DOUBLE) > 0.001 * CAST(total AS DOUBLE)
+    """,
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supplied value from a nation group
+    exceeds a fraction of the total — the scalar subquery stays IN-PLAN
+    as a broadcast one-row cross join (no driver collect)."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
+    )
+    vals = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_dec(F.col("l_extendedprice"))).alias("v"))
+    )
+    total = vals.agg(F.sum("v").alias("total"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("v").cast("double") > 0.001 * F.col("total").cast("double"))
+        .select("p_partkey", F.col("v").cast("double").alias("value"))
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no,
+         (SELECT max(total_revenue) AS mx FROM revenue) m
+    WHERE total_revenue = mx
+    """,
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue.
+    The MAX scalar subquery is a broadcast one-row cross join."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT sk) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem) link
+      JOIN part ON pk = p_partkey
+    WHERE p_size IN (1, 5, 15, 25, 35, 45)
+      AND sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part descriptor,
+    excluding a supplier blacklist (NOT IN -> broadcast anti join)."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_size").isin(1, 5, 15, 25, 35, 45))
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    link = l.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    return (
+        link.join(F.broadcast(bad), link.sk == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("pk") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("sk").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q20_excess_shipments",
+    """
+    WITH shipped AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT pk, SUM(q) AS tq FROM shipped GROUP BY pk)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped JOIN tot USING (pk)
+                 JOIN part ON pk = p_partkey
+                 JOIN supplier ON sk = s_suppkey
+    WHERE p_type = 'PROMO' AND CAST(q AS DOUBLE) > 0.3 * CAST(tq AS DOUBLE)
+    """,
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized share (>30%) of a
+    part type's yearly shipments — correlated aggregate comparison
+    decorrelated into a per-part total join."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf, "supplier")
+    shipped = l.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(_dec(F.col("l_quantity"))).alias("q"))
+    tot = shipped.groupBy("pk").agg(F.sum("q").alias("tq"))
+    return (
+        shipped.join(tot, "pk")
+        .join(F.broadcast(p), F.col("pk") == p.p_partkey)
+        .filter(F.col("q").cast("double") > 0.3 * F.col("tq").cast("double"))
+        .join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    WITH l1 AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    all_s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s_name, count(*) AS numwait
+    FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM all_s a
+                  WHERE a.l_orderkey = l1.l_orderkey AND a.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 b
+                      WHERE b.l_orderkey = l1.l_orderkey AND b.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-late supplier per finished order
+    (late = shipped >60 days after order date; no commit/receipt dates
+    in this schema). EXISTS -> left-semi, NOT EXISTS -> left-anti."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_s = li.select("l_orderkey", "l_suppkey").distinct()
+    a = all_s.select(
+        F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk")
+    )
+    b = l1.select(F.col("l_orderkey").alias("b_ok"), F.col("l_suppkey").alias("b_sk"))
+    waiting = (
+        l1.join(
+            a,
+            (F.col("l_orderkey") == F.col("a_ok")) & (F.col("l_suppkey") != F.col("a_sk")),
+            "left_semi",
+        ).join(
+            b,
+            (F.col("l_orderkey") == F.col("b_ok")) & (F.col("l_suppkey") != F.col("b_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bench-only variants: same operators as their oracled twins but using
 # hash functions (JVM xxhash64) or approximate prefilters whose exact
 # output is not reproducible in DuckDB SQL.  bench.py times these; the
