@@ -2365,6 +2365,45 @@ def avro_roundtrip_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "protobuf_roundtrip_scan",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def protobuf_roundtrip_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Format fidelity through the jar-free protobuf path: the supplier
+    table encoded as a varint-framed protobuf stream, decoded back
+    executor-side (`sources/protobuf_format.py`, replacing
+    `crates/cdf-format-protobuf/`); values must equal the parquet
+    original."""
+    import shutil
+    import tempfile
+
+    from .sources.protobuf_format import MessageSpec, read_protobuf, write_protobuf
+
+    spec = MessageSpec.from_dict(
+        {
+            "name": "Supplier",
+            "fields": [
+                {"name": "s_suppkey", "number": 1, "type": "int64"},
+                {"name": "s_name", "number": 2, "type": "string"},
+                {"name": "s_nationkey", "number": 3, "type": "int64"},
+                {"name": "s_acctbal", "number": 4, "type": "double"},
+            ],
+        }
+    )
+    tmp = tempfile.mkdtemp(prefix="cdf_pb_")
+    try:
+        src = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        write_protobuf([r.asDict() for r in src.collect()], spec, f"{tmp}/supplier.pb")
+        back = read_protobuf(spark, f"{tmp}/supplier.pb", spec)
+        rows = back.collect()  # lazy over tmp: materialize before cleanup
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
     "snapshot_time_travel",
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 20000",
 )

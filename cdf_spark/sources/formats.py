@@ -22,9 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 BUILTIN_FORMATS = {"parquet", "orc", "csv", "json", "ndjson", "text"}
-# avro is NOT gated: avro_format.py decodes container files without the
-# jar (binaryFile + mapInPandas); the jar, when present, is preferred.
-GATED_FORMATS = {"protobuf": "spark-protobuf jar + descriptor set"}
+# avro and protobuf are NOT gated: avro_format.py decodes container
+# files and protobuf_format.py decodes varint-framed wire streams
+# without jars (binaryFile + mapInPandas); jars, when present, are
+# preferred for their native decode speed.
+GATED_FORMATS: dict[str, str] = {}
 
 
 class FormatUnavailable(RuntimeError):
@@ -33,7 +35,7 @@ class FormatUnavailable(RuntimeError):
 
 def require_format(spark: SparkSession, fmt: str) -> None:
     fmt = fmt.lower()
-    if fmt in BUILTIN_FORMATS or fmt in ("arrow-ipc", "avro"):
+    if fmt in BUILTIN_FORMATS or fmt in ("arrow-ipc", "avro", "protobuf"):
         return
     if fmt in GATED_FORMATS:
         # probe the session classpath once
