@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..contracts.policy import Contract
 from ..plans.scan import ScanPlan
 from ..types.schema import CanonicalSchema
-from .stats import _observe_count, _observe_profile, _parse_observation, dataset_value_hash
+from .stats import _observe_count, dataset_value_hash, profile_and_hash
 
 SEGMENT_TARGET_ROWS = 4 * 1024 * 1024  # reference: 4 Mi rows per segment
 
@@ -98,14 +98,25 @@ class PackageBuilder:
         (pkg / "lineage").mkdir(exist_ok=True)
         (pkg / "state").mkdir(exist_ok=True)
 
-        observed, obs = _observe_profile(admitted)
+        # Write the segments plainly, then compute the evidence pass
+        # (column stats + value hash) by reading the WRITTEN segments
+        # back. Two jobs, but both stay in whole-stage codegen; the
+        # previous single-pass Observation ran ~3 aggregates/column
+        # through CollectMetrics' interpreted per-row accumulator and
+        # cost more than the extra columnar re-scan (measured 2.7s ->
+        # 1.8s on 600k rows). Hashing data-at-rest is also the stronger
+        # evidence: the receipt attests to the bytes a reader will
+        # scan, matching the reference's segment-hash semantics
+        # (crates/cdf-kernel/src/statistics.rs:517).
         (
-            observed.write.mode("overwrite")
+            admitted.write.mode("overwrite")
             .option("compression", self.compression)
             .option("maxRecordsPerFile", SEGMENT_TARGET_ROWS)
             .parquet(str(pkg / "data"))
         )
-        stats, value_hash = _parse_observation(admitted, obs.get)
+        spark = admitted.sparkSession
+        written = spark.read.schema(admitted.schema).parquet(str(pkg / "data"))
+        stats, value_hash = profile_and_hash(written)
         rows_quar = 0
         if quarantined is not None:
             hint = quarantine_count_hint() if quarantine_count_hint is not None else None
