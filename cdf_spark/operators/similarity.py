@@ -467,3 +467,97 @@ def embedding_near_dup_pairs_fast(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "ce",
+    round_to: int = 4,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (the IVF partition
+    step): one broadcast pass over the corpus, O(|C| x |centroids|)
+    with NO shuffle of the corpus itself. Ties break on centroid id
+    over the ROUNDED similarity so the assignment is reproducible in
+    SQL. Output: (id, cluster, vec)."""
+    w = Window.partitionBy("id").orderBy(F.col("_csim").desc(), F.col("cluster").asc())
+    return (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .crossJoin(
+            F.broadcast(
+                centroids.select(
+                    F.col(centroid_id).alias("cluster"), F.col(centroid_vec).alias("_ce")
+                )
+            )
+        )
+        .withColumn("_csim", F.round(cosine(F.col("_v"), F.col("_ce")), round_to))
+        .withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") == 1)
+        .select("id", "cluster", "_v")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_modulus: int = 50,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid; each query probes its `nprobe` nearest centroids and
+    re-scores only those buckets exactly.
+
+    Centroids are a DETERMINISTIC sample — the corpus vectors whose id
+    % `centroid_modulus` == 0 (~n/modulus lists, the sqrt(n)-ish rule
+    of thumb left to the caller via the modulus). No RNG, no k-means
+    state: the whole operator — sampling, assignment, probe, re-score
+    — is reproducible in ANSI SQL, so the correctness gate can verify
+    it exactly (rare for an ANN index).
+
+    Scale: assignment is a broadcast map pass (no corpus shuffle);
+    the probe join touches ~nprobe/nlist of the corpus per query —
+    the classic IVF trade. Partitioning the assigned corpus by
+    `cluster` co-locates each list for the probe join.
+
+    Output: (query_id, neighbor_id, sim, rank) — same contract as
+    cosine_topk; recall < 1 by construction (quantifying it is the
+    recall gate's job, tests/test_lsh_recall.py)."""
+    cents = corpus.filter((F.col(corpus_id) % centroid_modulus) == 0).select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("ce")
+    )
+    assigned = ivf_assign(
+        corpus, cents, id_col=corpus_id, vec_col=vec_col, round_to=round_to
+    )
+    # query probe: nprobe nearest centroids per query
+    wq = Window.partitionBy("query_id").orderBy(F.col("_qsim").desc(), F.col("cluster").asc())
+    probes = (
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(cents.select(F.col("cid").alias("cluster"), F.col("ce").alias("_ce"))))
+        .withColumn("_qsim", F.round(cosine(F.col("_qv"), F.col("_ce")), round_to))
+        .withColumn("_qrank", F.row_number().over(wq))
+        .filter(F.col("_qrank") <= nprobe)
+        .select("query_id", "_qv", "cluster")
+    )
+    cand = assigned.join(F.broadcast(probes), on="cluster").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_v")), round_to))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "sim", "rank")
+    )

@@ -115,6 +115,27 @@ class FileManifest:
 
 
 @dataclass
+class ForeignStatePosition:
+    """Opaque checkpoint from a foreign protocol (Singer/Airbyte STATE):
+    canonical-JSON blob addressed by sha256, ordered by emission index
+    (protocol_stream parity: the LAST state emitted wins —
+    `crates/cdf-subprocess/src/protocol.rs:61-71`)."""
+
+    kind = "foreign_state"
+    protocol: str
+    blob: str  # canonical JSON text of the state value
+    blob_sha256: str
+    seq: int = 0  # emission index within the run
+
+    def merge(self, other: ForeignStatePosition) -> ForeignStatePosition:
+        if self.protocol != other.protocol:
+            raise PositionMergeError(
+                f"foreign-state protocol mismatch: {self.protocol} vs {other.protocol}"
+            )
+        return self if self.seq >= other.seq else other
+
+
+@dataclass
 class CompositePosition:
     parts: dict[str, Any] = field(default_factory=dict)
     kind = "composite"

@@ -41,6 +41,7 @@ from .operators.similarity import (
     cosine_topk_fast,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_fast,
+    ivf_ann_topk,
     rhp_lsh_topk,
     rhp_lsh_topk_fast,
 )
@@ -1304,6 +1305,51 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 """
 
 ORACLES["ann_lsh_topk"] = _ANN_ORACLE
+
+
+_IVF_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT id, cluster FROM (
+    SELECT c.vec_id AS id, cents.cid AS cluster,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.e, cents.ce), 4) DESC, cents.cid ASC) AS rn
+    FROM c CROSS JOIN cents) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 20),
+probes AS (
+  SELECT qid, cluster FROM (
+    SELECT q.qid, cents.cid AS cluster,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.qe, cents.ce), 4) DESC, cents.cid ASC) AS rn
+    FROM q CROSS JOIN cents) WHERE rn <= 8
+),
+cand AS (
+  SELECT p.qid, a.id FROM probes p JOIN assigned a ON a.cluster = p.cluster
+  WHERE a.id != p.qid
+),
+scored AS (
+  SELECT cand.qid AS query_id, cand.id AS neighbor_id,
+         round(list_cosine_similarity(qc.e, cc.e), 4) AS sim
+  FROM cand JOIN c qc ON qc.vec_id = cand.qid JOIN c cc ON cc.vec_id = cand.id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@_register("ivf_ann_topk", _IVF_ORACLE)
+def ivf_ann_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with deterministic sampled centroids — exactly
+    SQL-reproducible end to end (sampling, assignment, probe,
+    re-score), so the gate verifies an ANN index value-for-value."""
+    emb = _t(spark, sf, "embeddings")
+    return ivf_ann_topk(emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50)
 
 
 _MINHASH_ORACLE = """

@@ -74,3 +74,24 @@ def test_planted_twins_are_found_by_construction(planted):
     n_twins = planted.filter("vec_id >= 100000").count()
     planted_pairs = {(a, b) for (a, b) in exact if b == a + 100000}
     assert len(planted_pairs) >= 0.9 * n_twins
+
+
+def test_ivf_ann_topk_recall(spark):
+    """IVF with deterministic sampled centroids (modulus 50, nprobe 8)
+    recovers a measured fraction of the exact top-k on REAL sf0.01
+    embeddings — the floor is what the bench configuration delivers,
+    asserted so a regression in assignment/probe logic trips it."""
+    from cdf_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(emb, queries, k=10, nprobe=8, centroid_modulus=50).collect()
+    }
+    assert len(exact) == 200
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.85, f"IVF recall {recall:.3f} fell below the measured floor"

@@ -86,3 +86,74 @@ def test_exact_name_outranks_pattern(spark):
 
     sem = reg.resolve("email", T.StringType())
     assert sem.name == "custom.exact@1"
+
+
+AIRBYTE_SOURCE = r"""
+import json
+props = {"id": {"type": "integer"}, "name": {"type": "string"},
+         "ts": {"type": "string", "format": "date-time"}}
+cat = {"streams": [{"name": "users", "json_schema": {"properties": props}}]}
+print(json.dumps({"type": "CATALOG", "catalog": cat}))
+print(json.dumps({"type": "RECORD", "record": {"stream": "users", "emitted_at": 1700000000000,
+                  "data": {"id": 1, "name": "ada", "ts": "2026-01-01T00:00:00"}}}))
+print(json.dumps({"type": "RECORD", "record": {"stream": "users", "namespace": "public",
+                  "emitted_at": 1700000000001, "data": {"id": 2, "name": "bob", "ts": "2026-01-02T00:00:00"}}}))
+print(json.dumps({"type": "RECORD", "record": {"stream": "audit", "emitted_at": 1700000000002,
+                  "data": {"id": 99}}}))
+print(json.dumps({"type": "STATE", "state": {"type": "STREAM",
+                  "stream": {"stream_descriptor": {"name": "users"}, "stream_state": {"cursor": 1}}}}))
+print(json.dumps({"type": "STATE", "state": {"type": "STREAM",
+                  "stream": {"stream_descriptor": {"name": "users"}, "stream_state": {"cursor": 2}}}}))
+print(json.dumps({"type": "LOG", "log": {"level": "INFO", "message": "ignored"}}))
+"""
+
+AIRBYTE_LEGACY_STATE = r"""
+import json
+print(json.dumps({"type": "RECORD", "record": {"stream": "t", "emitted_at": 1, "data": {"a": 1}}}))
+print(json.dumps({"type": "STATE", "state": {"data": {"bookmark": 7}}}))
+"""
+
+AIRBYTE_MALFORMED = r"""
+import json
+print(json.dumps({"type": "RECORD", "record": {"stream": "t", "data": {"a": 1}}}))
+"""
+
+
+def test_airbyte_source_protocol(spark):
+    from cdf_spark.sources.subprocess_source import run_airbyte_source
+
+    res = run_airbyte_source(spark, [sys.executable, "-c", AIRBYTE_SOURCE], stream="users")
+    assert res.records == 2  # audit stream filtered out
+    # catalog schema applied: typed columns, date-time parsed
+    assert dict(res.df.dtypes)["id"] == "bigint"
+    assert dict(res.df.dtypes)["ts"] == "timestamp_ntz"
+    # STATE -> opaque sha256-addressed positions; last-wins merge
+    assert len(res.positions) == 2
+    merged = res.positions[0].merge(res.positions[1])
+    assert merged is res.positions[1]
+    assert merged.blob_sha256.startswith("sha256:")
+    assert merged.protocol == "airbyte"
+    # state value is the STREAM payload (reference: parse_state STREAM kind)
+    assert res.states[1]["stream_state"] == {"cursor": 2}
+
+
+def test_airbyte_legacy_state_and_namespace_filter(spark):
+    from cdf_spark.sources.subprocess_source import run_airbyte_source
+
+    res = run_airbyte_source(spark, [sys.executable, "-c", AIRBYTE_LEGACY_STATE])
+    assert res.records == 1
+    assert res.states == [{"bookmark": 7}]
+
+    res2 = run_airbyte_source(
+        spark, [sys.executable, "-c", AIRBYTE_SOURCE], stream="users", namespace="public"
+    )
+    assert res2.records == 1  # only bob carries namespace=public
+
+
+def test_airbyte_malformed_record_raises(spark):
+    import pytest
+
+    from cdf_spark.sources.subprocess_source import AirbyteProtocolError, run_airbyte_source
+
+    with pytest.raises(AirbyteProtocolError, match="line 1.*emitted_at"):
+        run_airbyte_source(spark, [sys.executable, "-c", AIRBYTE_MALFORMED])
