@@ -561,3 +561,68 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "sim", "rank")
     )
+
+
+def ivf_ann_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_modulus: int = 50,
+    round_to: int = 4,
+) -> DataFrame:
+    """ivf_ann_topk with the assignment pass as a GEMM pandas UDF
+    (corpus x centroid-matrix per Arrow batch) and the probe computed
+    driver-side (centroids and queries are both broadcast-scale).
+    Tie-handling mirrors the oracle path: rounded similarity, smallest
+    centroid id wins."""
+    cent_rows = (
+        corpus.filter((F.col(corpus_id) % centroid_modulus) == 0)
+        .select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("ce"))
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r["cid"])  # argmax -> first max -> smallest cid
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["ce"], dtype=np.float64) for r in cent_rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.LongType())
+    def assign(v: pd.Series) -> pd.Series:
+        V = np.stack(v.values).astype(np.float64)
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.round(np.where(vn > 0, V / vn, 0.0) @ Cn.T, 4)
+        return pd.Series(cids[np.argmax(S, axis=1)])
+
+    # probe driver-side: top-nprobe clusters per query (rounded sims,
+    # cid-ascending tiebreak via stable lexsort)
+    q_rows = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        qs = np.round((qv / np.linalg.norm(qv)) @ Cn.T, 4)
+        order = np.lexsort((cids, -qs))[:nprobe]
+        probe_pairs.extend((int(r["qid"]), int(cids[i])) for i in order)
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_pairs, "query_id long, cluster long")
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    assigned = corpus.repartition(nparts).select(
+        F.col(corpus_id).alias("id"), F.col(vec_col).alias("_v"), assign(F.col(vec_col)).alias("cluster")
+    )
+    qvecs = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
+    scored = (
+        assigned.join(F.broadcast(probes), on="cluster")
+        .filter(F.col("id") != F.col("query_id"))
+        .join(F.broadcast(qvecs), on="query_id")
+        .withColumn("sim", F.round(_cosine_pd(F.col("_qv"), F.col("_v")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "sim", "rank")
+    )

@@ -42,6 +42,7 @@ from .operators.similarity import (
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_fast,
     ivf_ann_topk,
+    ivf_ann_topk_fast,
     rhp_lsh_topk,
     rhp_lsh_topk_fast,
 )
@@ -1583,6 +1584,11 @@ def embedding_near_dups_lsh_fast(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_dup_pairs_fast(_t(spark, sf, "embeddings"), threshold=0.95)
 
 
+def ivf_ann_topk_fast_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    return ivf_ann_topk_fast(emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50)
+
+
 @_register(
     "q22_global_sales_opportunity",
     """
@@ -2160,6 +2166,7 @@ BENCH_ONLY: dict[str, QueryFn] = {
     "embedding_near_dups_lsh": embedding_near_dups_lsh,
     "cosine_topk_fast": cosine_topk_fast_q,
     "ann_lsh_topk_fast": ann_lsh_topk_fast_q,
+    "ivf_ann_topk_fast": ivf_ann_topk_fast_q,
     "embedding_near_dups_lsh_fast": embedding_near_dups_lsh_fast,
 }
 
