@@ -49,6 +49,21 @@ def token_count(col: Column) -> Column:
     )
 
 
+def bpe_token_count(col: Column, piece_len: int = 4) -> Column:
+    """Subword ("BPE-ish") token estimate: every whitespace word
+    contributes ceil(len/piece_len) pieces — the shape a byte-pair
+    vocabulary converges to on homogeneous text, without carrying a
+    merges table. Pure integer arithmetic over the split array (no
+    regex), so the estimate is bit-identical across engines:
+    SQL twin `list_sum([(length(w)+p-1)//p for w in ...])`."""
+    words = F.filter(F.split(F.trim(col), " "), lambda w: F.length(w) > 0)
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.floor((F.length(w) + (piece_len - 1)) / piece_len).cast("long"),
+    )
+
+
 def word_occurrences(col: Column, word: str) -> Column:
     """Occurrences of a whole word in space-separated text: pad both
     the text and the needle with spaces."""

@@ -843,6 +843,41 @@ def token_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "bpe_token_stats",
+    """
+    WITH toks AS (
+      SELECT lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST((length(trim(text)) - length(replace(trim(text), ' ', ''))) AS BIGINT) + 1 END AS ws_tokens,
+             CAST(list_sum([(length(w) + 3) // 4 for w in list_filter(str_split(trim(text), ' '), w -> length(w) > 0)]) AS BIGINT) AS bpe_tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           round(CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens), 6) AS pieces_per_word
+    FROM toks GROUP BY lang
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Subword token accounting per language: whitespace tokens vs the
+    BPE-ish ceil(len/4) piece estimate — the unit a training-data
+    budget is written in."""
+    from .operators.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_ws_tokens"),
+        F.sum(bpe_token_count(F.col("text"))).cast("bigint").alias("total_bpe_tokens"),
+        F.round(
+            F.sum(bpe_token_count(F.col("text"))).cast("double")
+            / F.sum(token_count(F.col("text"))),
+            6,
+        ).alias("pieces_per_word"),
+    )
+
+
+@_register(
     "multimodal_features",
     """
     SELECT doc_id AS asset_id,

@@ -27,6 +27,20 @@ class PythonResource:
     fn: Callable[..., Iterable[dict]]
 
     def read(self, spark: SparkSession, cursor_resume: object | None = None, **kwargs) -> DataFrame:
+        # Context injection (reference python/cdf_sdk/context.py:60-71):
+        # a generator whose first parameter is named `context`/`ctx`
+        # receives the engine-built capability object — cursor view
+        # seeded from the resume position so the resource can push the
+        # filter to its upstream instead of over-fetching.
+        import inspect
+
+        params = list(inspect.signature(self.fn).parameters)
+        if params and params[0] in ("context", "ctx") and params[0] not in kwargs:
+            from .context import build_context
+
+            cur = self.descriptor.cursor
+            positions = {cur.field: cursor_resume} if (cur and cursor_resume is not None) else {}
+            kwargs[params[0]] = build_context(positions=positions)
         rows = list(self.fn(**kwargs))
         schema = (
             CanonicalSchema.from_declared(self.descriptor.schema).to_spark()

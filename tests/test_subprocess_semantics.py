@@ -157,3 +157,48 @@ def test_airbyte_malformed_record_raises(spark):
 
     with pytest.raises(AirbyteProtocolError, match="line 1.*emitted_at"):
         run_airbyte_source(spark, [sys.executable, "-c", AIRBYTE_MALFORMED])
+
+
+def test_context_capabilities(spark):
+    """SDK Context parity: secrets resolution, cursor view from resume
+    position, injected HTTP transport, logger presence."""
+    from cdf_spark.sources.context import build_context
+    from cdf_spark.sources.python_source import python_resource
+
+    calls = []
+
+    def transport(method, url, headers, body):
+        from cdf_spark.sources.context import HttpResponse
+
+        calls.append((method, url))
+        return HttpResponse(200, {}, b'{"items": [{"id": 7, "v": "x"}]}')
+
+    ctx = build_context(positions={"id": 5}, secrets={"env:API_KEY": "sekrit"}, transport=transport)
+    assert ctx.secrets.get("env:API_KEY") == "sekrit"
+    assert ctx.secrets.get("literal:abc") == "abc"
+    assert ctx.cursor.get("id") == 5
+    assert ctx.cursor.get("missing", 0) == 0
+    resp = ctx.http.get("http://example.invalid/api")
+    assert resp.status_code == 200 and resp.json()["items"][0]["id"] == 7
+    assert calls == [("GET", "http://example.invalid/api")]
+    ctx.logger.info("context works")
+
+    # injection: a resource whose first param is `context` gets one,
+    # with the cursor view seeded from the resume position
+    @python_resource("ctx_feed", schema={"id": "int64"}, cursor="id")
+    def feed(context):
+        start = int(context.cursor.get("id", 0) or 0)
+        for i in range(start + 1, start + 4):
+            yield {"id": i}
+
+    df = feed.read(spark, cursor_resume=10)
+    assert [r.id for r in df.orderBy("id").collect()] == [11, 12, 13]
+
+
+def test_context_unknown_secret_scheme_rejected(spark):
+    import pytest
+
+    from cdf_spark.sources.context import SecretProvider
+
+    with pytest.raises(ValueError, match="unknown secret scheme"):
+        SecretProvider().get("vault://prod/key")
