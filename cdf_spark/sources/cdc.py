@@ -94,10 +94,12 @@ class CdcLogSource:
         )
         if max_txns is not None:
             txns = txns.limit(max_txns)
-        rows = [r[0] for r in txns.collect()]
-        if not rows:
+        # only the frontier and the count come to the driver — one row,
+        # regardless of how many transactions the epoch spans
+        agg = txns.agg(F.max(self.txid_col).alias("hi"), F.count(F.lit(1)).alias("n")).collect()[0]
+        if agg.n == 0:
             return None
-        return CdcEpochPlan(from_txid_exclusive=resume, to_txid_inclusive=rows[-1], txn_count=len(rows))
+        return CdcEpochPlan(from_txid_exclusive=resume, to_txid_inclusive=agg.hi, txn_count=agg.n)
 
     def read_epoch(self, spark: SparkSession, plan: CdcEpochPlan) -> DataFrame:
         """All effects of the planned transactions, atomically."""

@@ -42,8 +42,11 @@ def infer_json_schema(spark: SparkSession, path: str, sample_rows: int | None = 
     """Full-content (optionally windowed) inference over NDJSON."""
     reader = spark.read
     if sample_rows:
-        text = spark.read.text(path).limit(sample_rows)
-        return spark.read.json(text.rdd.map(lambda r: r.value)).schema
+        # the sample window is small by contract: collect it and infer
+        # from a parallelized line set — avoids converting the whole
+        # distributed frame through the RDD serialization path
+        lines = [r.value for r in spark.read.text(path).limit(sample_rows).collect()]
+        return spark.read.json(spark.sparkContext.parallelize(lines or ["{}"])).schema
     return reader.json(path).schema
 
 
