@@ -2245,6 +2245,59 @@ def duckdb_commit_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "tombstone_merge_read",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey < 100
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, round(o_totalprice + 1000.0, 2) AS o_totalprice
+      FROM orders WHERE o_custkey >= 50 AND o_custkey < 150
+    )
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def tombstone_merge_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge WITHOUT rewrite: base commit + tombstone-merge batch, read
+    through the merge-on-read view. The oracle recomputes the merged
+    state relationally — the anti-join liveness resolution must agree
+    value-for-value (deletion-vector semantics over plain parquet;
+    keyed merge parity with crates/cdf-dest-duckdb/src/commit.rs:150-216)."""
+    import shutil
+    import tempfile
+
+    from .package import PackageBuilder
+    from .package.tombstone import TombstoneParquetDestination
+    from .sources.base import WriteDisposition
+
+    tmp = tempfile.mkdtemp(prefix="cdf_tombq_")
+    try:
+        orders = _t(spark, sf, "orders")
+        base = orders.filter(F.col("o_custkey") < 100).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        batch = orders.filter((F.col("o_custkey") >= 50) & (F.col("o_custkey") < 150)).select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+        )
+        dest = TombstoneParquetDestination(f"{tmp}/t", merge_keys=["o_orderkey"])
+        p1 = PackageBuilder(f"{tmp}/p1", "tomb_base").build(admitted=base)
+        r1 = dest.verify(spark, dest.commit(spark, p1, WriteDisposition.APPEND), p1)
+        p2 = PackageBuilder(f"{tmp}/p2", "tomb_batch").build(admitted=batch)
+        r2 = dest.verify(spark, dest.commit(spark, p2, WriteDisposition.MERGE), p2)
+        if not (r1.verified and r2.verified):
+            raise RuntimeError("tombstone commit receipt failed verification")
+        out = dest.read(spark)
+        # materialize before the tmp dir goes away
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
     "duckdb_source_scan",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -1,0 +1,123 @@
+"""Tombstone-merge destination: merge-on-read semantics, versioning,
+compaction, crash-orphan invisibility, keyed replay idempotence."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.package.builder import PackageBuilder
+from cdf_spark.package.tombstone import TombstoneParquetDestination
+from cdf_spark.sources.base import WriteDisposition
+
+
+def _pkg(spark, tmp, name, rows, schema="k long, s string, val long"):
+    df = spark.createDataFrame(rows, schema)
+    return PackageBuilder(f"{tmp}/pkgs_{name}", name).build(admitted=df)
+
+
+@pytest.fixture()
+def dest(tmp_path):
+    return TombstoneParquetDestination(tmp_path / "t", merge_keys=["k", "s"])
+
+
+def _rows(df):
+    return sorted((r.k, r.s, r.val) for r in df.collect())
+
+
+def test_append_then_merge_without_rewrite(spark, tmp_path, dest):
+    base = _pkg(spark, tmp_path, "base", [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    rec = dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base)
+    assert rec.verified
+
+    batch = _pkg(spark, tmp_path, "m1", [(2, "b", 99), (4, "d", 40)])
+    rec2 = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+    assert rec2.verified
+    assert _rows(dest.read(spark)) == [(1, "a", 10), (2, "b", 99), (3, "c", 30), (4, "d", 40)]
+
+    # the base version's files were NOT rewritten — merge-on-read
+    v1 = dest.table_path / "data" / "v=1"
+    assert v1.exists() and any(v1.glob("*.parquet"))
+
+
+def test_null_key_components_merge_null_safely(spark, tmp_path, dest):
+    base = _pkg(spark, tmp_path, "base", [(1, None, 10), (2, "b", 20)])
+    dest.commit(spark, base, WriteDisposition.APPEND)
+    batch = _pkg(spark, tmp_path, "m", [(1, None, 77)])
+    rec = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+    assert rec.verified
+    # NULL key matched null-safely: old (1, NULL, 10) replaced, not duplicated
+    assert _rows(dest.read(spark)) == [(1, None, 77), (2, "b", 20)]
+
+
+def test_replay_is_keyed_idempotent(spark, tmp_path, dest):
+    base = _pkg(spark, tmp_path, "base", [(1, "a", 10)])
+    dest.commit(spark, base, WriteDisposition.APPEND)
+    batch = _pkg(spark, tmp_path, "m", [(1, "a", 50), (2, "b", 60)])
+    dest.commit(spark, batch, WriteDisposition.MERGE)
+    dest.commit(spark, batch, WriteDisposition.MERGE)  # replay
+    assert _rows(dest.read(spark)) == [(1, "a", 50), (2, "b", 60)]
+
+
+def test_replace_moves_baseline(spark, tmp_path, dest):
+    dest.commit(spark, _pkg(spark, tmp_path, "a", [(1, "a", 1)]), WriteDisposition.APPEND)
+    snap = _pkg(spark, tmp_path, "b", [(9, "z", 9)])
+    rec = dest.verify(spark, dest.commit(spark, snap, WriteDisposition.REPLACE), snap)
+    assert rec.verified
+    assert _rows(dest.read(spark)) == [(9, "z", 9)]
+
+
+def test_compact_folds_versions_and_drops_tombstones(spark, tmp_path, dest):
+    dest.commit(spark, _pkg(spark, tmp_path, "a", [(1, "a", 1), (2, "b", 2)]), WriteDisposition.APPEND)
+    dest.commit(spark, _pkg(spark, tmp_path, "m", [(2, "b", 22)]), WriteDisposition.MERGE)
+    before = _rows(dest.read(spark))
+    v = dest.compact(spark)
+    assert _rows(dest.read(spark)) == before == [(1, "a", 1), (2, "b", 22)]
+    assert not (dest.table_path / "tombstones").exists()
+    dirs = sorted((dest.table_path / "data").glob("v=*"))
+    assert [d.name for d in dirs] == [f"v={v}"]
+    # merges keep working after compaction
+    dest.commit(spark, _pkg(spark, tmp_path, "m2", [(1, "a", 111)]), WriteDisposition.MERGE)
+    assert _rows(dest.read(spark)) == [(1, "a", 111), (2, "b", 22)]
+
+
+def test_crash_orphan_version_is_invisible(spark, tmp_path, dest):
+    dest.commit(spark, _pkg(spark, tmp_path, "a", [(1, "a", 1)]), WriteDisposition.APPEND)
+    # simulate a crashed commit: version dir exists, pointer never moved
+    orphan = dest.table_path / "data" / "v=2"
+    src = dest.table_path / "data" / "v=1"
+    shutil.copytree(src, orphan)
+    assert _rows(dest.read(spark)) == [(1, "a", 1)]  # orphan ignored
+    state = json.loads((dest.table_path / "_version.json").read_text())
+    assert state["current"] == 1
+    # the next commit claims v=2, overwriting the orphan cleanly
+    dest.commit(spark, _pkg(spark, tmp_path, "b", [(2, "b", 2)]), WriteDisposition.APPEND)
+    assert _rows(dest.read(spark)) == [(1, "a", 1), (2, "b", 2)]
+
+
+def test_verify_catches_tamper(spark, tmp_path, dest):
+    base = _pkg(spark, tmp_path, "base", [(1, "a", 10), (2, "b", 20)])
+    rec = dest.commit(spark, base, WriteDisposition.APPEND)
+    # tamper: delete the committed version's files, keep the pointer
+    for f in (dest.table_path / "data" / "v=1").glob("*.parquet"):
+        f.unlink()
+    batch_df = spark.read.parquet(base.data_path())
+    assert batch_df.count() == 2
+    with pytest.raises(Exception):
+        # read of an empty committed version: verification cannot pass
+        rec = dest.verify(spark, rec, base)
+        assert not rec.verified
+
+
+def test_anti_join_is_broadcast_hash(spark, tmp_path, dest):
+    """Plan check: liveness resolution must be a broadcast hash
+    anti-join on the null-safe keys (version bound as residual), not a
+    nested-loop cross product."""
+    dest.commit(spark, _pkg(spark, tmp_path, "a", [(1, "a", 1)]), WriteDisposition.APPEND)
+    dest.commit(spark, _pkg(spark, tmp_path, "m", [(1, "a", 5)]), WriteDisposition.MERGE)
+    plan = dest.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
