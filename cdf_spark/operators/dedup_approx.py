@@ -465,3 +465,45 @@ def dedup_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
+
+
+def fingerprint_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Winnowing-fingerprint containment: directed pairs (a, b) where
+    the sampled-fingerprint set of `a` is mostly contained in `b`'s —
+    |fp(a) ∩ fp(b)| / |fp(a)| >= threshold. ASYMMETRIC by design:
+    catches quotes/excerpts/supersets that symmetric Jaccard dilutes
+    away (the classic winnowing use).
+
+    Scale shape: explode the 1/16-sampled fingerprint sets (≈ |text|/16
+    rows per doc, 16x smaller than full shingling), equi-join on hash,
+    count per pair — one shuffle on the fingerprint hash, one on the
+    pair. Degenerate hot hashes cost O(bucket²) like any inverted
+    index; the mod-16 sampling keeps buckets proportionally small.
+    """
+    from .text import rolling_fingerprints
+
+    fp = df.select(
+        F.col(id_col).alias("id"), rolling_fingerprints(F.col(text_col), window).alias("_fp")
+    )
+    ex = fp.select("id", F.size("_fp").alias("sz"), F.explode("_fp").alias("h"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.sz").alias("sa")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    containment = F.round(F.col("inter").cast("double") / F.col("sa"), 6)
+    return (
+        pairs.filter(F.col("sa") > 0)
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -33,7 +33,13 @@ from .contracts import Contract, DomainRule, NullabilityRule, RangeRule, RegexRu
 from .expressions.ast import Col
 from .operators.asof import asof_join
 from .operators.dedup import dedup_keyed
-from .operators.dedup_approx import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from .operators.dedup_approx import (
+    exact_dedup,
+    fingerprint_containment_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from .operators.effects import apply_effects_to_target, reduce_keyed_effects
 from .operators.late_data import classify_late_data
 from .operators.similarity import (
@@ -760,6 +766,32 @@ pairs AS (
 SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter), 6) AS jaccard
 FROM pairs WHERE round(inter::DOUBLE / (sa + sb - inter), 6) >= 0.8
 """
+
+
+_FP_CONTAIN_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, list_distinct(list_filter(
+    [CAST(('0x'||substr(md5(substr(text, i, 8)),1,15)) AS BIGINT)
+     for i in range(1, greatest(length(text) - 7, 0) + 1)],
+    h -> h % 16 = 0)) AS f
+  FROM documents
+),
+ex AS (SELECT doc_id, len(f) AS sz, unnest(f) AS h FROM fp),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, a.sz sa, count(*) inter
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id != b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, round(inter::DOUBLE / sa, 6) AS containment
+FROM pairs WHERE sa > 0 AND round(inter::DOUBLE / sa, 6) >= 0.6
+"""
+
+
+@_register("fingerprint_containment", _FP_CONTAIN_ORACLE)
+def fingerprint_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed winnowing-fingerprint containment pairs (excerpts /
+    supersets): md5-derived sampled fingerprints, exact SQL parity."""
+    return fingerprint_containment_pairs(_t(spark, sf, "documents"), threshold=0.6)
 
 
 @_register("ngram_jaccard_dups", _JACCARD_ORACLE)

@@ -236,3 +236,22 @@ def test_dedup_clusters_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     out = {r.doc_id: r.cluster for r in dedup_clusters(ids, pairs).collect()}
     assert out == {1: 1, 2: 2}
+
+
+def test_fingerprint_containment_is_directed(spark):
+    """An excerpt is contained in its superset (high containment a->b)
+    while the reverse direction dilutes below threshold — the
+    asymmetry symmetric Jaccard cannot express."""
+    from cdf_spark.operators.dedup_approx import fingerprint_containment_pairs
+
+    excerpt = "the quick brown fox jumps over the lazy dog near the river bank today"
+    superset = excerpt + " " + ("and then continues with a long tail of unrelated prose " * 20)
+    df = spark.createDataFrame(
+        [(1, excerpt), (2, superset), (3, "completely different content with no overlap at all x")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r.containment for r in
+           fingerprint_containment_pairs(df, threshold=0.6).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 0.9  # excerpt ⊂ superset
+    assert (2, 1) not in out                      # superset ⊄ excerpt
+    assert not any(3 in pair for pair in out)
