@@ -58,7 +58,7 @@ class LoadPipeline:
     contract: Contract | None = None
     package_root: str = "/tmp/cdf_packages"
     ledger: CheckpointLedger | None = None
-    destination: ParquetDestination | None = None
+    destination: object | None = None  # any commit/verify destination
     disposition: WriteDisposition = WriteDisposition.APPEND
     watermark_column: str | None = None
     watermark_value: object = None

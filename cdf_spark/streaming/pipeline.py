@@ -58,7 +58,10 @@ class StreamingLoadPipeline:
     late_action: str = "quarantine"
     package_root: str = "/tmp/cdf_stream_packages"
     ledger_root: str = "/tmp/cdf_stream_ledger"
-    destination: ParquetDestination | None = None
+    # any destination speaking the commit protocol (commit/verify):
+    # ParquetDestination, TombstoneParquetDestination, DuckDbDestination,
+    # DbApiDestination
+    destination: object | None = None
     disposition: WriteDisposition = WriteDisposition.APPEND
     extent: StreamExtent = StreamExtent.DRAIN
     epoch_policy: EpochPolicy = field(default_factory=EpochPolicy)

@@ -121,3 +121,53 @@ def test_anti_join_is_broadcast_hash(spark, tmp_path, dest):
     plan = dest.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaming_upserts_through_tombstone_destination(spark, tmp_path):
+    """Streaming epochs MERGE-commit into the tombstone destination:
+    keyed upserts across micro-batches resolve to latest values on
+    read, while the first epoch's segment files stay untouched."""
+    from pyspark.sql import types as T
+
+    from cdf_spark.sources.base import ResourceDescriptor, WriteDisposition
+    from cdf_spark.streaming.epochs import StreamExtent
+    from cdf_spark.streaming.pipeline import StreamingLoadPipeline
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 30, 3.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "b1"))
+
+    dest = TombstoneParquetDestination(tmp_path / "t", merge_keys=["event_id"])
+    pipe = StreamingLoadPipeline(
+        descriptor=ResourceDescriptor("ev_t", primary_key=["event_id"]),
+        source_path=str(stream_dir) + "/*",
+        schema=schema,
+        package_root=str(tmp_path / "pkgs"),
+        ledger_root=str(tmp_path / "ledger"),
+        destination=dest,
+        disposition=WriteDisposition.MERGE,
+        extent=StreamExtent.DRAIN,
+    )
+    epochs = pipe.run(spark)
+    assert len(epochs) == 1 and epochs[0].receipt_verified
+
+    spark.createDataFrame(
+        [(2, 21, 22.0), (4, 40, 4.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "b2"))
+    pipe.epochs = []
+    epochs = pipe.run(spark)
+    assert len(epochs) == 1 and epochs[0].receipt_verified
+
+    got = {(r.event_id): (r.seq, r.value) for r in dest.read(spark).collect()}
+    assert got == {1: (10, 1.0), 2: (21, 22.0), 3: (30, 3.0), 4: (40, 4.0)}
+    # first epoch's files never rewritten
+    assert any((dest.table_path / "data" / "v=1").glob("*.parquet"))
