@@ -88,6 +88,11 @@ class TombstoneParquetDestination:
         src = Path(package.data_path())
         for seg in sorted(src.glob("*.parquet")):
             shutil.copy2(seg, vdir / f"{package.package_id}-{seg.name}")
+        # carry the package's zone maps: version-level min/max lets
+        # read() prune whole version dirs before Spark ever lists them
+        pkg_stats = Path(package.path) / "stats" / "column_stats.json"
+        if pkg_stats.exists():
+            shutil.copy2(pkg_stats, vdir / "_stats.json")
 
         if disposition is WriteDisposition.MERGE:
             if not self.merge_keys:
@@ -122,20 +127,75 @@ class TombstoneParquetDestination:
         )
 
     # -- read view -------------------------------------------------------
-    def read(self, spark: SparkSession, with_version: bool = False) -> DataFrame:
+    _OPS = {
+        "eq": lambda c, v: c == v,
+        "ne": lambda c, v: c != v,
+        "lt": lambda c, v: c < v,
+        "le": lambda c, v: c <= v,
+        "gt": lambda c, v: c > v,
+        "ge": lambda c, v: c >= v,
+    }
+
+    def _live_versions(self, lo: int, hi: int, filters) -> list[int]:
+        versions = sorted(
+            v
+            for p in (self.table_path / "data").glob("v=*")
+            if lo <= (v := int(p.name.split("=")[1])) <= hi
+        )
+        if not filters:
+            return versions
+        segs = []
+        for v in versions:
+            sp = self.table_path / "data" / f"v={v}" / "_stats.json"
+            stats = json.loads(sp.read_text()) if sp.exists() else {}
+            segs.append({"v": v, "stats": stats})
+        from .stats import prune_segments
+
+        for col, op, val in filters:
+            segs = prune_segments(segs, col, op, val)
+        return [s["v"] for s in segs]
+
+    def read(
+        self,
+        spark: SparkSession,
+        with_version: bool = False,
+        filters: list[tuple] | None = None,
+    ) -> DataFrame:
         """The live view: committed versions only, tombstoned rows
         removed. One broadcast hash anti-join when tombstones are
-        small; AQE demotes to a shuffled anti-join when they are not."""
+        small; AQE demotes to a shuffled anti-join when they are not.
+
+        ``filters`` — [(column, op, value)] with op in eq/ne/lt/le/
+        gt/ge — are applied BOTH as zone-map pruning over the
+        version-level stats each commit carried from its package
+        (whole version dirs skipped before Spark lists a file — the
+        reference's statistics_pruning outcomes at destination scope)
+        AND as ordinary Spark predicates, so pruning is purely an
+        optimization: conservative on missing stats, never changes
+        the result."""
         state = self._state()
         lo, hi = state["base"], state["current"]
         if hi == 0:
             raise FileNotFoundError(f"{self.table_path}: no committed versions")
-        data = (
-            spark.read.option("basePath", str(self.table_path / "data"))
-            .parquet(str(self.table_path / "data"))
-            .withColumnRenamed("v", VERSION_COL)
-            .filter((F.col(VERSION_COL) >= lo) & (F.col(VERSION_COL) <= hi))
-        )
+        versions = self._live_versions(lo, hi, filters)
+        base_dir = str(self.table_path / "data")
+        if not versions:  # every version pruned: empty frame, same schema
+            data = (
+                spark.read.option("basePath", base_dir)
+                .parquet(base_dir)
+                .withColumnRenamed("v", VERSION_COL)
+                .filter(F.lit(False))
+            )
+        else:
+            paths = [f"{base_dir}/v={v}" for v in versions]
+            data = (
+                spark.read.option("basePath", base_dir)
+                .parquet(*paths)
+                .withColumnRenamed("v", VERSION_COL)
+                .filter((F.col(VERSION_COL) >= lo) & (F.col(VERSION_COL) <= hi))
+            )
+        for col, op, val in filters or []:
+            data = data.filter(self._OPS[op](F.col(col), F.lit(val)))
         tdir = self.table_path / "tombstones"
         live = data
         if tdir.exists() and self.merge_keys:

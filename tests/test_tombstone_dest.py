@@ -171,3 +171,26 @@ def test_streaming_upserts_through_tombstone_destination(spark, tmp_path):
     assert got == {1: (10, 1.0), 2: (21, 22.0), 3: (30, 3.0), 4: (40, 4.0)}
     # first epoch's files never rewritten
     assert any((dest.table_path / "data" / "v=1").glob("*.parquet"))
+
+
+def test_zone_map_version_pruning(spark, tmp_path, dest):
+    """Filters prune whole version dirs via the stats each commit
+    carried from its package — Spark never lists the pruned files —
+    while staying purely an optimization (results identical)."""
+    dest.commit(spark, _pkg(spark, tmp_path, "a", [(i, "x", i) for i in range(1, 11)]),
+                WriteDisposition.APPEND)
+    dest.commit(spark, _pkg(spark, tmp_path, "b", [(i, "x", i) for i in range(100, 111)]),
+                WriteDisposition.APPEND)
+
+    pruned = dest.read(spark, filters=[("k", "ge", 100)])
+    files = pruned.inputFiles()
+    assert files and all("v=2" in f for f in files)  # v=1 never listed
+    assert sorted(r.k for r in pruned.collect()) == list(range(100, 111))
+
+    # conservative equivalence: same result as filtering the full view
+    full = dest.read(spark).filter("k >= 100")
+    assert sorted(r.k for r in full.collect()) == sorted(r.k for r in pruned.collect())
+
+    # all versions pruned -> empty result, schema intact
+    none = dest.read(spark, filters=[("k", "gt", 10_000)])
+    assert none.count() == 0 and set(none.columns) == {"k", "s", "val"}
