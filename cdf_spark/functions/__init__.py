@@ -10,7 +10,7 @@ correctness gate depends on).
 Groups:
 - hashing / identity: `hash64` (md5-derived 60-bit, SQL-reproducible),
   `minhash_signature`, `simhash64`, `rhp_signature`
-- text: `token_count`, `bpe_token_count`, `occurrences`,
+- text: `token_count`, `bpe_token_count`, `hashed_features`, `occurrences`,
   `word_occurrences`, `shingles`
 - vectors: `dot`, `norm`, `cosine`
 """
@@ -19,6 +19,7 @@ from ..operators.dedup_approx import minhash_signature, shingles, simhash64
 from ..operators.similarity import cosine, dot, norm, rhp_signature
 from ..operators.text import (
     bpe_token_count,
+    hashed_features,
     hash64,
     occurrences,
     token_count,
@@ -30,6 +31,7 @@ __all__ = [
     "cosine",
     "dot",
     "hash64",
+    "hashed_features",
     "minhash_signature",
     "norm",
     "occurrences",

@@ -200,3 +200,21 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= top_k)
         .select(F.col("id").alias(id_col), "term", "tfidf", "rk")
     )
+
+
+def hashed_features(col: Column, dim: int = 64) -> Column:
+    """Feature-hashing ("hashing trick") term-frequency vector: token t
+    increments bucket hash64(t) % dim; returns an int array of length
+    `dim`. Bridges raw text into the embedding operators (cosine /
+    LSH / IVF run on it unchanged) with no vocabulary state — the
+    property that makes it embarrassingly parallel at any scale.
+
+    O(dim x tokens) per row as a higher-order fold; md5-derived
+    bucketing keeps exact SQL parity (DuckDB:
+    `[len(list_filter(toks, t -> hash % dim = i)) for i in range(dim)]`).
+    """
+    tokens = F.filter(F.split(F.trim(col), " "), lambda t: F.length(t) > 0)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(tokens, lambda t: hash64(t) % dim == i)),
+    )

@@ -910,6 +910,46 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "hashed_features_profile",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(str_split(trim(text), ' '), t -> length(t) > 0) AS ts
+      FROM documents
+    ),
+    vec AS (
+      SELECT doc_id,
+             [len(list_filter(ts, t -> CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 64 = i))
+              for i in range(0, 64)] AS v
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(list_sum([x*x for x in v]) AS BIGINT) AS sq_norm,
+           CAST(list_sum([CASE WHEN x > 0 THEN 1 ELSE 0 END for x in v]) AS BIGINT) AS nonzero,
+           CAST(list_max(v) AS BIGINT) AS max_count
+    FROM vec
+    """,
+)
+def hashed_features_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-hashed term-frequency vectors (the vocabulary-free
+    text->vector bridge), profiled per doc so the 64-dim construction
+    is value-verified end to end."""
+    from .operators.text import hashed_features
+
+    docs = _t(spark, sf, "documents")
+    v = F.col("_v")
+    return (
+        docs.select("doc_id", hashed_features(F.col("text"), 64).alias("_v"))
+        .select(
+            "doc_id",
+            F.aggregate(v, F.lit(0).cast("long"), lambda a, x: a + (x * x).cast("long")).alias("sq_norm"),
+            F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("nonzero"),
+            F.array_max(v).cast("long").alias("max_count"),
+        )
+    )
+
+
+@_register(
     "multimodal_features",
     """
     SELECT doc_id AS asset_id,

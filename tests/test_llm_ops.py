@@ -255,3 +255,27 @@ def test_fingerprint_containment_is_directed(spark):
     assert (1, 2) in out and out[(1, 2)] >= 0.9  # excerpt ⊂ superset
     assert (2, 1) not in out                      # superset ⊄ excerpt
     assert not any(3 in pair for pair in out)
+
+
+def test_hashed_features_feed_similarity_ops(spark):
+    """The hashing-trick vectors are a drop-in corpus for the
+    embedding operators: near-identical docs rank as nearest
+    neighbors over their hashed TF vectors."""
+    from cdf_spark.operators.similarity import cosine_topk
+    from cdf_spark.operators.text import hashed_features
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+        (3, "one two three four five six seven"),
+        (4, "totally unrelated words here appear once"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = df.select(
+        F.col("doc_id").alias("vec_id"),
+        hashed_features(F.col("text"), 64).cast("array<float>").alias("embedding"),
+    )
+    top = cosine_topk(vecs, vecs.filter("vec_id = 1"), k=1)
+    r = top.collect()[0]
+    assert (r.query_id, r.neighbor_id) == (1, 2) and r.sim > 0.8
