@@ -950,6 +950,157 @@ def hashed_features_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "decontamination_check",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(str_split(trim(text), ' '), t -> length(t) > 0) AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([CAST(('0x'||substr(md5(array_to_string(ts[i:i+4], ' ')),1,15)) AS BIGINT)
+                            for i in range(1, len(ts)-3)]) AS gs
+      FROM toks
+    ),
+    eval_g AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+    cand AS (
+      SELECT doc_id, gs, len(gs) AS n_grams FROM grams
+      WHERE doc_id % 97 <> 0 AND len(gs) > 0
+    ),
+    ex AS (SELECT doc_id, n_grams, unnest(gs) AS g FROM cand),
+    hits AS (
+      SELECT ex.doc_id, ex.n_grams, count(e.g) AS hits
+      FROM ex LEFT JOIN eval_g e ON ex.g = e.g
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(hits AS BIGINT) AS hits,
+           round(CAST(hits AS DOUBLE)/n_grams, 6) AS overlap_frac,
+           (CAST(hits AS DOUBLE)/n_grams >= 0.05) AS contaminated
+    FROM hits
+    """,
+)
+def decontamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 stand in
+    for the held-out eval suite; every other doc is profiled for word
+    5-gram overlap against it. Eval gram set is broadcast — the corpus
+    side scans once (the posture that holds at 100 TB)."""
+    from .operators.curation import decontamination_overlap
+
+    docs = _t(spark, sf, "documents")
+    out = decontamination_overlap(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=5,
+        threshold=0.05,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("hits").cast("long").alias("hits"),
+        "overlap_frac",
+        "contaminated",
+    )
+
+
+@_register(
+    "repetition_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(str_split(trim(text), ' '), t -> length(t) > 0) AS ts
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, ts, len(ts) AS nt, list_distinct(ts) AS dts,
+             [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))] AS gs
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id, ts, nt, dts, gs, len(gs) AS ng, list_distinct(gs) AS dgs FROM f
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(nt AS BIGINT) AS n_tokens,
+             round(CASE WHEN nt > 0 THEN CAST(len(dts) AS DOUBLE)/nt ELSE 0.0 END, 6) AS distinct_word_ratio,
+             round(CASE WHEN nt > 0 THEN CAST(list_max([len(list_filter(ts, x -> x = w)) for w in dts]) AS DOUBLE)/nt ELSE 0.0 END, 6) AS top_word_frac,
+             round(CASE WHEN ng > 0 THEN 1.0 - CAST(len(dgs) AS DOUBLE)/ng ELSE 0.0 END, 6) AS dup_2gram_frac,
+             round(CASE WHEN ng > 0 THEN CAST(list_max([len(list_filter(gs, x -> x = w)) for w in dgs]) AS DOUBLE)/ng ELSE 0.0 END, 6) AS top_2gram_frac
+      FROM g
+    )
+    SELECT *,
+           NOT (distinct_word_ratio < 0.2 OR top_word_frac > 0.3 OR top_2gram_frac > 0.18) AS keep
+    FROM m
+    """,
+)
+def repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition/diversity signals + keep verdict per
+    document — narrow projection, zero shuffle."""
+    from .operators.curation import repetition_features, repetition_flag
+
+    docs = _t(spark, sf, "documents")
+    feats = repetition_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["distinct_word_ratio"].alias("distinct_word_ratio"),
+        feats["top_word_frac"].alias("top_word_frac"),
+        feats["dup_2gram_frac"].alias("dup_2gram_frac"),
+        feats["top_2gram_frac"].alias("top_2gram_frac"),
+        repetition_flag(F.col("text")).alias("keep"),
+    )
+
+
+_PII_ORACLE = r"""
+WITH b AS (
+  SELECT c_custkey,
+         c_name || ' segment ' || c_mktsegment
+           || ' ph ' || (c_custkey % 90 + 10) || '-' || (c_custkey % 900 + 100)
+           || '-' || (c_custkey * 7 % 900 + 100) || '-' || (c_custkey * 31 % 9000 + 1000)
+           || ' mail ' || lower(replace(c_name, '#', '.')) || '@example.com' AS blob
+  FROM customer
+)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(blob, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+       CAST(len(regexp_extract_all(blob, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS phones,
+       (len(regexp_extract_all(blob, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(blob, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) > 0) AS has_pii,
+       regexp_replace(
+         regexp_replace(blob, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+FROM b
+"""
+
+
+@_register("pii_scan_customers", _PII_ORACLE)
+def pii_scan_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detect + redact over a contact blob built deterministically
+    from customer columns (synthetic phone from custkey arithmetic,
+    synthetic email from the name) so the regex layer is exercised
+    non-vacuously. Narrow projection, no shuffle."""
+    from .operators.curation import scan_pii
+
+    cust = _t(spark, sf, "customer")
+    key = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        (key % 90 + 10).cast("string"),
+        (key % 900 + 100).cast("string"),
+        (key * 7 % 900 + 100).cast("string"),
+        (key * 31 % 9000 + 1000).cast("string"),
+    )
+    blob = F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.lit("segment"),
+        F.col("c_mktsegment"),
+        F.lit("ph"),
+        phone,
+        F.lit("mail"),
+        F.concat(F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))), F.lit("@example.com")),
+    )
+    return scan_pii(cust.select("c_custkey", blob.alias("blob")), "blob", "c_custkey")
+
+
+@_register(
     "multimodal_features",
     """
     SELECT doc_id AS asset_id,

@@ -279,3 +279,53 @@ def test_hashed_features_feed_similarity_ops(spark):
     top = cosine_topk(vecs, vecs.filter("vec_id = 1"), k=1)
     r = top.collect()[0]
     assert (r.query_id, r.neighbor_id) == (1, 2) and r.sim > 0.8
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    """A candidate that quotes a 5-gram run from the eval set is
+    flagged; an unrelated candidate is not."""
+    from cdf_spark.operators.curation import decontamination_overlap
+
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [
+            (1, "he said the quick brown fox jumps right past us"),  # shares 5-gram run
+            (2, "completely different words with no shared runs at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in decontamination_overlap(cands, eval_set, n=5, threshold=0.05).collect()
+    }
+    assert out[1].hits > 0 and out[1].contaminated
+    assert out[2].hits == 0 and not out[2].contaminated
+
+
+def test_repetition_flag_drops_degenerate_text(spark):
+    from cdf_spark.operators.curation import repetition_flag
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "a genuinely varied sentence with many distinct interesting words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.keep for r in df.select("doc_id", repetition_flag(F.col("text")).alias("keep")).collect()}
+    assert out == {1: False, 2: True}
+
+
+def test_pii_redact_replaces_emails_and_phones(spark):
+    from cdf_spark.operators.curation import scan_pii
+
+    df = spark.createDataFrame(
+        [(1, "reach jane.doe+x@corp.example.org or 12-345-678-9012 thanks")],
+        "id long, text string",
+    )
+    r = scan_pii(df, "text", "id").collect()[0]
+    assert (r.emails, r.phones, r.has_pii) == (1, 1, True)
+    assert r.redacted == "reach [EMAIL] or [PHONE] thanks"
