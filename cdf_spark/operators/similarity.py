@@ -563,6 +563,112 @@ def ivf_ann_topk(
     )
 
 
+def kmeans_refine_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_modulus: int = 50,
+    sample_modulus: int = 1,
+    iters: int = 1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Lloyd-refined IVF centroids, fully deterministic and
+    SQL-reproducible (the unusual property this engine's ANN layer
+    maintains so the oracle gate can value-check an index build):
+
+    - init: the deterministic id-modulus sample (same as ivf_ann_topk),
+    - train set: vectors with id % sample_modulus == 0 (quantizers are
+      trained on a sample at scale; the full corpus only sees the final
+      assignment pass),
+    - each Lloyd iteration = one broadcast argmax assignment pass over
+      the sample (ivf_assign: rounded cosine, centroid-id tiebreak)
+      plus one per-(cluster, component) mean. Means go through
+      DECIMAL(38,6) so the sum is order-independent and exact — the
+      same determinism trick the aggregate queries use — making the
+      refined centroids bit-identical across engines and runs.
+    - empty clusters drop out (both engines group over assigned rows).
+
+    Returns (cid, ce: array<double>). Scale: the sample shuffle is
+    dim× the sample rows (posexplode), independent of corpus size;
+    iterations are a driver-side loop of narrow jobs.
+    """
+    samp = corpus.filter((F.col(id_col) % sample_modulus) == 0)
+    cents = corpus.filter((F.col(id_col) % centroid_modulus) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(samp, cents, id_col=id_col, vec_col=vec_col, round_to=round_to)
+        comp = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("double").cast("decimal(38,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("comp")
+            )
+        )
+        cents = (
+            comp.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                    lambda s: s["comp"],
+                ).alias("ce")
+            )
+            .select(F.col("cluster").alias("cid"), "ce")
+        )
+    return cents
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_modulus: int = 50,
+    sample_modulus: int = 1,
+    iters: int = 1,
+    round_to: int = 4,
+) -> DataFrame:
+    """ivf_ann_topk with Lloyd-refined centroids: same probe/re-score
+    contract, better-centered lists (higher recall at equal nprobe).
+    The centroid DataFrame is computed once and reused by both the
+    corpus assignment and the query probe (broadcast both times)."""
+    cents = kmeans_refine_centroids(
+        corpus,
+        id_col=corpus_id,
+        vec_col=vec_col,
+        centroid_modulus=centroid_modulus,
+        sample_modulus=sample_modulus,
+        iters=iters,
+        round_to=round_to,
+    ).persist()
+    assigned = ivf_assign(corpus, cents, id_col=corpus_id, vec_col=vec_col, round_to=round_to)
+    wq = Window.partitionBy("query_id").orderBy(F.col("_qsim").desc(), F.col("cluster").asc())
+    probes = (
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(cents.select(F.col("cid").alias("cluster"), F.col("ce").alias("_ce"))))
+        .withColumn("_qsim", F.round(cosine(F.col("_qv"), F.col("_ce")), round_to))
+        .withColumn("_qrank", F.row_number().over(wq))
+        .filter(F.col("_qrank") <= nprobe)
+        .select("query_id", "_qv", "cluster")
+    )
+    cand = assigned.join(F.broadcast(probes), on="cluster").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_v")), round_to))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "sim", "rank")
+    )
+
+
 def ivf_ann_topk_fast(
     corpus: DataFrame,
     queries: DataFrame,

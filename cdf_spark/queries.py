@@ -1602,6 +1602,71 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 """
 
 
+_IVF_KMEANS_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT * FROM c WHERE vec_id % 3 = 0),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id % 50 = 0),
+a1 AS (
+  SELECT id, e, cluster FROM (
+    SELECT s.vec_id AS id, s.e, c0.cid AS cluster,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY round(list_cosine_similarity(s.e, c0.ce), 4) DESC, c0.cid ASC) AS rn
+    FROM s CROSS JOIN c0) WHERE rn = 1
+),
+comp AS (
+  SELECT cluster, pos, CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*) AS comp
+  FROM (SELECT cluster, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM a1)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cluster AS cid, list(comp ORDER BY pos) AS ce FROM comp GROUP BY cluster),
+assigned AS (
+  SELECT id, cluster FROM (
+    SELECT c.vec_id AS id, c1.cid AS cluster,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.e, c1.ce), 4) DESC, c1.cid ASC) AS rn
+    FROM c CROSS JOIN c1) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 20),
+probes AS (
+  SELECT qid, cluster FROM (
+    SELECT q.qid, c1.cid AS cluster,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.qe, c1.ce), 4) DESC, c1.cid ASC) AS rn
+    FROM q CROSS JOIN c1) WHERE rn <= 8
+),
+cand AS (
+  SELECT p.qid, a.id FROM probes p JOIN assigned a ON a.cluster = p.cluster
+  WHERE a.id != p.qid
+),
+scored AS (
+  SELECT cand.qid AS query_id, cand.id AS neighbor_id,
+         round(list_cosine_similarity(qc.e, cc.e), 4) AS sim
+  FROM cand JOIN c qc ON qc.vec_id = cand.qid JOIN c cc ON cc.vec_id = cand.id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@_register("ivf_kmeans_topk", _IVF_KMEANS_ORACLE)
+def ivf_kmeans_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN whose centroids are Lloyd-refined (one iteration over a
+    deterministic 1-in-3 training sample) — the k-means itself is
+    value-verified in SQL: decimal-exact component means make the
+    refined centroids bit-identical across engines."""
+    from .operators.similarity import ivf_kmeans_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_kmeans_topk(
+        emb, emb.filter("vec_id < 20"), k=10, nprobe=8,
+        centroid_modulus=50, sample_modulus=3, iters=1,
+    )
+
+
 @_register("ivf_ann_topk", _IVF_ORACLE)
 def ivf_ann_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN with deterministic sampled centroids — exactly

@@ -95,3 +95,34 @@ def test_ivf_ann_topk_recall(spark):
     assert len(exact) == 200
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.85, f"IVF recall {recall:.3f} fell below the measured floor"
+
+
+def test_ivf_kmeans_refined_recall(spark):
+    """Lloyd-refined centroids (1 iteration, 1-in-3 training sample)
+    measured against both the exact top-k and the unrefined IVF: the
+    refinement must not cost recall, and its measured floor is
+    asserted so a regression in the k-means step trips it."""
+    from cdf_spark.operators.similarity import ivf_ann_topk, ivf_kmeans_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(emb, queries, k=10, nprobe=8, centroid_modulus=50).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_kmeans_topk(
+            emb, queries, k=10, nprobe=8, centroid_modulus=50, sample_modulus=3, iters=1
+        ).collect()
+    }
+    r_plain = len(plain & exact) / len(exact)
+    r_refined = len(refined & exact) / len(exact)
+    print(f"ivf recall plain={r_plain:.3f} refined={r_refined:.3f}")
+    assert r_refined >= 0.85, f"refined IVF recall {r_refined:.3f} below floor"
+    assert r_refined >= r_plain - 0.05, (
+        f"refinement degraded recall: {r_refined:.3f} vs plain {r_plain:.3f}"
+    )
