@@ -1009,22 +1009,29 @@ def decontamination_check(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, list_filter(str_split(trim(text), ' '), t -> length(t) > 0) AS ts
       FROM documents
     ),
-    f AS (
-      SELECT doc_id, ts, len(ts) AS nt, list_distinct(ts) AS dts,
+    g AS (
+      SELECT doc_id, ts,
              [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))] AS gs
       FROM t
     ),
-    g AS (
-      SELECT doc_id, ts, nt, dts, gs, len(gs) AS ng, list_distinct(gs) AS dgs FROM f
+    wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(ts) AS w FROM g) GROUP BY 1, 2
     ),
+    ws AS (SELECT doc_id, sum(c) AS nt, count(*) AS dw, max(c) AS topw FROM wc GROUP BY 1),
+    gc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(gs) AS w FROM g) GROUP BY 1, 2
+    ),
+    gg AS (SELECT doc_id, sum(c) AS ng, count(*) AS dg, max(c) AS topg FROM gc GROUP BY 1),
     m AS (
-      SELECT doc_id,
-             CAST(nt AS BIGINT) AS n_tokens,
-             round(CASE WHEN nt > 0 THEN CAST(len(dts) AS DOUBLE)/nt ELSE 0.0 END, 6) AS distinct_word_ratio,
-             round(CASE WHEN nt > 0 THEN CAST(list_max([len(list_filter(ts, x -> x = w)) for w in dts]) AS DOUBLE)/nt ELSE 0.0 END, 6) AS top_word_frac,
-             round(CASE WHEN ng > 0 THEN 1.0 - CAST(len(dgs) AS DOUBLE)/ng ELSE 0.0 END, 6) AS dup_2gram_frac,
-             round(CASE WHEN ng > 0 THEN CAST(list_max([len(list_filter(gs, x -> x = w)) for w in dgs]) AS DOUBLE)/ng ELSE 0.0 END, 6) AS top_2gram_frac
-      FROM g
+      SELECT t.doc_id,
+             CAST(coalesce(ws.nt, 0) AS BIGINT) AS n_tokens,
+             round(CASE WHEN coalesce(ws.nt,0) > 0 THEN CAST(ws.dw AS DOUBLE)/ws.nt ELSE 0.0 END, 6) AS distinct_word_ratio,
+             round(CASE WHEN coalesce(ws.nt,0) > 0 THEN CAST(ws.topw AS DOUBLE)/ws.nt ELSE 0.0 END, 6) AS top_word_frac,
+             round(CASE WHEN coalesce(gg.ng,0) > 0 THEN 1.0 - CAST(gg.dg AS DOUBLE)/gg.ng ELSE 0.0 END, 6) AS dup_2gram_frac,
+             round(CASE WHEN coalesce(gg.ng,0) > 0 THEN CAST(gg.topg AS DOUBLE)/gg.ng ELSE 0.0 END, 6) AS top_2gram_frac
+      FROM t LEFT JOIN ws ON t.doc_id = ws.doc_id LEFT JOIN gg ON t.doc_id = gg.doc_id
     )
     SELECT *,
            NOT (distinct_word_ratio < 0.2 OR top_word_frac > 0.3 OR top_2gram_frac > 0.18) AS keep
@@ -1033,20 +1040,11 @@ def decontamination_check(spark: SparkSession, sf: str) -> DataFrame:
 )
 def repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition/diversity signals + keep verdict per
-    document — narrow projection, zero shuffle."""
-    from .operators.curation import repetition_features, repetition_flag
+    document — explode→groupBy frequency profile (the shape that
+    stays O(tokens) on long documents)."""
+    from .operators.curation import repetition_profile
 
-    docs = _t(spark, sf, "documents")
-    feats = repetition_features(F.col("text"))
-    return docs.select(
-        "doc_id",
-        feats["n_tokens"].alias("n_tokens"),
-        feats["distinct_word_ratio"].alias("distinct_word_ratio"),
-        feats["top_word_frac"].alias("top_word_frac"),
-        feats["dup_2gram_frac"].alias("dup_2gram_frac"),
-        feats["top_2gram_frac"].alias("top_2gram_frac"),
-        repetition_flag(F.col("text")).alias("keep"),
-    )
+    return repetition_profile(_t(spark, sf, "documents"))
 
 
 _PII_ORACLE = r"""

@@ -305,18 +305,21 @@ def test_decontamination_flags_planted_overlap(spark):
     assert out[2].hits == 0 and not out[2].contaminated
 
 
-def test_repetition_flag_drops_degenerate_text(spark):
-    from cdf_spark.operators.curation import repetition_flag
+def test_repetition_profile_drops_degenerate_text(spark):
+    from cdf_spark.operators.curation import repetition_profile
 
     df = spark.createDataFrame(
         [
             (1, "spam spam spam spam spam spam spam spam"),
             (2, "a genuinely varied sentence with many distinct interesting words"),
+            (3, "   "),  # empty after trim: zero ratios, dropped
         ],
         "doc_id long, text string",
     )
-    out = {r.doc_id: r.keep for r in df.select("doc_id", repetition_flag(F.col("text")).alias("keep")).collect()}
-    assert out == {1: False, 2: True}
+    out = {r.doc_id: r for r in repetition_profile(df).collect()}
+    assert not out[1].keep and out[1].top_word_frac == 1.0
+    assert out[2].keep and out[2].distinct_word_ratio == 1.0
+    assert out[3].n_tokens == 0 and not out[3].keep
 
 
 def test_pii_redact_replaces_emails_and_phones(spark):
