@@ -60,9 +60,10 @@ BENCH_QUERIES = [
     "stratified_sample",
     "exact_dedup_docs",
     "tfidf_top_terms",
-    # round 2: curation layer — broadcast eval-gram decontamination and
-    # the zero-shuffle repetition/diversity projection
-    "decontamination_check",
+    # round 2: curation layer — broadcast eval-gram decontamination
+    # (xxhash64 deploy twin of the md5-oracled decontamination_check)
+    # and the zero-shuffle repetition/diversity projection
+    "decontamination_check_fast",
     "repetition_quality",
     # round 2: the two heaviest new TPC-H shapes (5-way and 4-way
     # join aggregations) — plan-quality sentinels for join strategy

@@ -52,10 +52,16 @@ def word_ngrams(col: Column, n: int = 5) -> Column:
     return _gram_join(toks, n)
 
 
-def word_ngram_hashes(col: Column, n: int = 5) -> Column:
-    """Distinct md5-derived 60-bit hashes of the word n-grams — the
-    join key for decontamination (SQL-parity via `hash64`)."""
-    return F.array_distinct(F.transform(word_ngrams(col, n), hash64))
+def word_ngram_hashes(col: Column, n: int = 5, hash_fn: str = "md5") -> Column:
+    """Distinct 60/64-bit hashes of the word n-grams — the join key
+    for decontamination. hash_fn="md5" is the SQL-parity construction
+    (`hash64`) the oracle reproduces; "xxhash64" is the JVM-native
+    fast path (~3× cheaper per gram) for deployment — identical join
+    semantics barring hash collisions."""
+    grams = word_ngrams(col, n)
+    if hash_fn == "xxhash64":
+        return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+    return F.array_distinct(F.transform(grams, hash64))
 
 
 # ---------------------------------------------------------------------------
@@ -69,6 +75,7 @@ def decontamination_overlap(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.05,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Benchmark decontamination: for each candidate document, the
     fraction of its word n-grams that also occur anywhere in the
@@ -87,11 +94,11 @@ def decontamination_overlap(
     """
     cand = candidates.select(
         F.col(id_col).alias("id"),
-        word_ngram_hashes(F.col(text_col), n).alias("grams"),
+        word_ngram_hashes(F.col(text_col), n, hash_fn).alias("grams"),
     ).withColumn("n_grams", F.size("grams")).filter(F.col("n_grams") > 0)
 
     eval_grams = (
-        eval_set.select(F.explode(word_ngram_hashes(F.col(text_col), n)).alias("g"))
+        eval_set.select(F.explode(word_ngram_hashes(F.col(text_col), n, hash_fn)).alias("g"))
         .distinct()
     )
 

@@ -1002,6 +1002,22 @@ def decontamination_check(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def decontamination_check_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """decontamination_check on the xxhash64 gram-hash fast path (the
+    deploy configuration; identical output barring hash collisions —
+    parity-tested in test_llm_ops)."""
+    from .operators.curation import decontamination_overlap
+
+    docs = _t(spark, sf, "documents")
+    return decontamination_overlap(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=5,
+        threshold=0.05,
+        hash_fn="xxhash64",
+    )
+
+
 @_register(
     "repetition_quality",
     """
@@ -2489,6 +2505,7 @@ BENCH_ONLY: dict[str, QueryFn] = {
     "ann_lsh_topk_fast": ann_lsh_topk_fast_q,
     "ivf_ann_topk_fast": ivf_ann_topk_fast_q,
     "embedding_near_dups_lsh_fast": embedding_near_dups_lsh_fast,
+    "decontamination_check_fast": decontamination_check_fast,
 }
 
 

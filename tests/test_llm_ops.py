@@ -332,3 +332,22 @@ def test_pii_redact_replaces_emails_and_phones(spark):
     r = scan_pii(df, "text", "id").collect()[0]
     assert (r.emails, r.phones, r.has_pii) == (1, 1, True)
     assert r.redacted == "reach [EMAIL] or [PHONE] thanks"
+
+
+def test_decontamination_fast_twin_parity(spark, sf_dir):
+    """The xxhash64 fast path returns exactly the md5 oracle path's
+    result (hash choice only affects equality-join keys; collisions
+    would be the only divergence)."""
+    from cdf_spark.operators.curation import decontamination_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands, evals = docs.filter("doc_id % 97 != 0"), docs.filter("doc_id % 97 = 0")
+    a = {
+        tuple(r)
+        for r in decontamination_overlap(cands, evals, n=5, hash_fn="md5").collect()
+    }
+    b = {
+        tuple(r)
+        for r in decontamination_overlap(cands, evals, n=5, hash_fn="xxhash64").collect()
+    }
+    assert a == b and len(a) > 0
