@@ -1063,6 +1063,60 @@ def repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_profile(_t(spark, sf, "documents"))
 
 
+def _hll_oracle_one(table: str, col: str) -> str:
+    # alpha*m^2*2^rmax: multiplications by powers of two are exact in
+    # IEEE doubles, so the grouping difference vs the Spark literal
+    # ((a*m)*m)*2^53 cannot round differently
+    return f"""
+  SELECT '{col}' AS col_name, round(
+    CASE WHEN raw <= 640.0 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE raw END,
+    4) AS hll_estimate
+  FROM (
+    SELECT ((0.7213/(1+1.079/256))*65536*9007199254740992)
+             / CAST(sp + (256-present)*9007199254740992 AS DOUBLE) AS raw,
+           (256 - present) AS v
+    FROM (
+    SELECT count(*) AS present, SUM(CAST(pow(2, 53 - M) AS BIGINT)) AS sp FROM (
+      SELECT bucket, max(rho) AS M FROM (
+        SELECT h % 256 AS bucket,
+               CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END AS rho
+        FROM (
+          SELECT CAST(('0x'||substr(md5(CAST({col} AS VARCHAR)),1,15)) AS BIGINT) AS h
+          FROM {table} WHERE {col} IS NOT NULL
+        )
+      ) GROUP BY 1
+    )
+  ))"""
+
+
+_HLL_ORACLE = (
+    _hll_oracle_one("lineitem", "l_orderkey")
+    + "\nUNION ALL\n"
+    + _hll_oracle_one("orders", "o_custkey")
+    + "\nUNION ALL\n"
+    + _hll_oracle_one("events", "user_id")
+)
+
+
+@_register("hll_cardinality", _HLL_ORACLE)
+def hll_cardinality_q(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (p=8), value-verified in SQL —
+    possible because hashing and register arithmetic are exact-parity
+    constructions. Mergeability (the 100 TB property) is asserted in
+    tests/test_sketches.py."""
+    from .operators.sketches import hll_cardinality
+
+    parts = [
+        hll_cardinality(_t(spark, sf, "lineitem"), "l_orderkey"),
+        hll_cardinality(_t(spark, sf, "orders"), "o_custkey"),
+        hll_cardinality(_events(spark, sf), "user_id"),
+    ]
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out
+
+
 _PII_ORACLE = r"""
 WITH b AS (
   SELECT c_custkey,

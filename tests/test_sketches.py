@@ -1,0 +1,57 @@
+"""HyperLogLog: accuracy against exact distinct counts, and the merge
+law (union-of-data == max-of-registers) that makes it a one-pass
+partial aggregation at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdf_spark.operators.sketches import (
+    hll_cardinality,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _est(regs, p=8):
+    return regs.agg(hll_estimate(regs, p).alias("e")).collect()[0].e
+
+
+def test_hll_accuracy_within_expected_error(spark):
+    """Raw HLL at p=8 carries ~1.04/sqrt(256) = 6.5% stddev; gate at
+    3 sigma against the exact distinct count on real columns."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # events.ts
+    for table, col in [
+        ("lineitem", "l_orderkey"),  # ~15k: HLL regime
+        ("orders", "o_custkey"),     # 1.5k: HLL regime
+        ("events", "user_id"),       # 150: linear-counting regime
+    ]:
+        df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        exact = df.select(col).distinct().count()
+        est = hll_cardinality(df, col).collect()[0].hll_estimate
+        rel = abs(est - exact) / exact
+        assert rel < 0.20, f"{table}.{col}: est {est} vs exact {exact} ({rel:.1%})"
+
+
+def test_hll_merge_law(spark):
+    """sketch(A ∪ B) must equal merge(sketch(A), sketch(B)) exactly —
+    registers AND estimate — including overlapping data."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    a = df.filter("o_orderkey % 3 != 2")   # overlapping halves
+    b = df.filter("o_orderkey % 3 != 0")
+    whole = hll_registers(df, "o_custkey")
+    merged = hll_merge(hll_registers(a, "o_custkey"), hll_registers(b, "o_custkey"))
+    w = {(r.bucket, r.M) for r in whole.collect()}
+    m = {(r.bucket, r.M) for r in merged.collect()}
+    assert w == m
+    assert _est(whole) == _est(merged)
+
+
+def test_hll_nulls_ignored(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,), (2,)], "x int")
+    regs = hll_registers(df, "x")
+    assert regs.count() <= 2  # two distinct values -> at most 2 registers
+    assert _est(regs) > 0
