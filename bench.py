@@ -125,16 +125,29 @@ def main() -> None:
     # cost. Both raw maps are reported for inspection. (Through r01
     # the headline was a single cold pass — deltas vs r01 mix
     # methodology + real wins.)
+    # Fault isolation: one broken query must never abort the bench (r02
+    # shipped zero numbers because the 7th query threw). Each query is
+    # wrapped; failures are recorded under "errors" and the summary JSON
+    # is always emitted.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for pass_timings in (cold, warm):
         for name in BENCH_QUERIES:
+            if name in errors:
+                continue
             fn = QUERIES.get(name) or BENCH_ONLY[name]
             t0 = time.perf_counter()
-            _materialize(fn(spark, SF_DIR))
+            try:
+                _materialize(fn(spark, SF_DIR))
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+                continue
             pass_timings[name] = round(time.perf_counter() - t0, 3)
     for name in BENCH_QUERIES:
-        timings[name] = min(cold[name], warm[name])
+        passes = [d[name] for d in (cold, warm) if name in d]
+        if passes:
+            timings[name] = min(passes)
 
     # ingest roofline: parquet -> contract -> dedup -> package (+ commit)
     from cdf_spark.contracts import Contract, DomainRule, NullabilityRule, RangeRule
@@ -144,6 +157,7 @@ def main() -> None:
     from cdf_spark.sources.base import WriteDisposition
 
     tmp = tempfile.mkdtemp(prefix="cdf_bench_")
+    ingest_mib_s = ingest_rows_s = ingest_big_mib_s = ingest_big_rows_s = None
     try:
         contract = Contract(
             rules=[
@@ -216,6 +230,8 @@ def main() -> None:
         src_bytes = os.path.getsize(f"{SF_DIR}/lineitem.parquet")
         ingest_mib_s = round(src_bytes / 1024 / 1024 / ingest_sec, 2)
         ingest_rows_s = round(run.rows_admitted / ingest_sec)
+    except Exception as exc:  # noqa: BLE001 — ingest failure must not kill the summary
+        errors["ingest"] = f"{type(exc).__name__}: {exc}"[:400]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -254,6 +270,7 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "delta_vs": prev_name,
                 "deltas_sec": deltas,
+                "errors": errors,
                 "sf": sf,
                 "ingest_mib_s": ingest_mib_s,
                 "ingest_rows_s": ingest_rows_s,

@@ -78,10 +78,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read nanos as long and truncate to microseconds —
-    exactly what DuckDB does on its side — so `ts` is TimestampNTZ(us)
-    in both engines."""
+    """Load events.parquet and normalize `ts` to TimestampType (UTC session
+    tz), whatever physical shape the fixture carries. Fixtures have shipped
+    as TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read nanos
+    as long) and as TIMESTAMP_NTZ(us) (cannot cast to numeric types). Both
+    are normalized here so downstream epoch math (`cast("long")` etc.) is
+    legal and matches DuckDB's naive-timestamp epoch semantics."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
@@ -89,6 +91,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer division: `/` is double division and doubles cannot
         # hold 1.7e18 nanos exactly (observed off-by-1us truncation)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # session tz is pinned UTC (__spark_entry__), so this cast is a
+        # lossless re-tag: wall-clock == UTC instant, same as DuckDB
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -2102,7 +2108,7 @@ def near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH link AS (
       SELECT l_partkey AS pk, l_suppkey AS sk,
-             min(round(l_extendedprice / l_quantity, 4)) AS unit_price
+             min(l_extendedprice / l_quantity) AS unit_price
       FROM lineitem GROUP BY 1, 2
     ),
     eu AS (
@@ -2126,11 +2132,16 @@ def q2(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q2 shape: per-part minimum-cost supplier in a region. The
     correlated MIN subquery is decorrelated into a partition window —
     the plan Catalyst's subquery rewrite would produce. Unit price is
-    derived from lineitem history (no partsupp in this schema)."""
+    derived from lineitem history (no partsupp in this schema). The
+    unit price stays a raw IEEE double quotient — division is
+    bit-identical across Spark and DuckDB, whereas any decimal/round
+    step hits engine-specific tie rounding (observed: round(x,4) off
+    by 1 ulp in the 4th decimal, and decimal(38,6) division off on
+    654/60k rows from different intermediate-scale rules)."""
     l = _t(spark, sf, "lineitem")
     link = l.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).agg(F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias("unit_price"))
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
     eu = (
         _t(spark, sf, "supplier")
         .join(F.broadcast(_t(spark, sf, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
