@@ -1,6 +1,7 @@
 from .builder import PackageBuilder, PackageResult
 from .duckdb_dest import DuckDbDestination
 from .ledger import CheckpointLedger, ParquetDestination, Receipt
+from .pg_copy import FileCopyTransport, PostgresCopyDestination, PsycopgTransport
 from .stats import column_stats, dataset_value_hash
 
 __all__ = [
@@ -9,6 +10,9 @@ __all__ = [
     "CheckpointLedger",
     "ParquetDestination",
     "DuckDbDestination",
+    "PostgresCopyDestination",
+    "PsycopgTransport",
+    "FileCopyTransport",
     "Receipt",
     "column_stats",
     "dataset_value_hash",

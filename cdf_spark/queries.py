@@ -638,18 +638,21 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 @_register(
     "incremental_cursor_scan",
-    "SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey > 10000",
+    "SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey > 1000",
 )
 def incremental_cursor_scan(spark: SparkSession, sf: str) -> DataFrame:
+    # cursor 1000 keeps the result NON-EMPTY at every test sf (orders
+    # keys start at 0: sf0.001 tops out at 1499, so the old 10000
+    # cursor made this a vacuous 0-row green at small sf)
     res = FileResource(ResourceDescriptor(resource_id="orders"), f"{sf}/orders.parquet")
     df, _ = res.scan(
         spark,
         ScanRequest(
             "orders",
             projection=["o_orderkey", "o_orderdate"],
-            predicates=[Col("o_orderkey") > 10000],
+            predicates=[Col("o_orderkey") > 1000],
             cursor_field="o_orderkey",
-            cursor_resume_value=10000,
+            cursor_resume_value=1000,
         ),
     )
     return df
@@ -846,17 +849,12 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return rhp_lsh_topk(emb, emb.filter("vec_id < 20"), k=10, bits=32, band_bits=2)
 
 
-@_register(
-    "embedding_near_dups",
-    """
-    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.e, b.e), 4) AS sim
-    FROM c a JOIN c b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.95
-    """,
-)
-def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+def embedding_near_dups_raw(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact near-dup pairs over the RAW embeddings table. Unregistered:
+    random unit vectors never reach cos >= 0.95, so as a gate entry
+    this was a vacuous 0-vs-0 green. The registered `embedding_near_dups`
+    runs the same operator over a corpus with planted twins (~100 true
+    pairs at every sf)."""
     return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.95)
 
 
@@ -1329,12 +1327,19 @@ def argmin_cheapest_supplier(spark: SparkSession, sf: str) -> DataFrame:
     "anti_join_customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'F' AND o_totalprice > 150000)
     """,
 )
 def anti_join_no_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers with no finalized high-value order. The inner predicate
+    exists so the result is NON-EMPTY at every test sf (the bare
+    "customers without any orders" variant returns 0 rows under this
+    generator — a vacuous green that tests nothing)."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -2866,13 +2871,69 @@ def planted_near_dup_corpus(emb: DataFrame, n_twins: int = 100, scale: float = 0
     return base.unionByName(twins)
 
 
-@_register("embedding_near_dups_planted", _PLANTED_ORACLE)
+@_register("embedding_near_dups", _PLANTED_ORACLE)
 def embedding_near_dups_planted(spark: SparkSession, sf: str) -> DataFrame:
     """Exact near-dup pairs over the planted corpus — ~100 true pairs at
     every sf (non-vacuous, unlike the raw table where random unit
-    vectors never reach cos >= 0.95)."""
+    vectors never reach cos >= 0.95; that variant is kept unregistered
+    as `embedding_near_dups_raw`). Primary registry entry since round 3
+    (was `embedding_near_dups_planted`)."""
     corpus = planted_near_dup_corpus(_t(spark, sf, "embeddings"))
     return embedding_near_dup_pairs(corpus, threshold=0.95, id_col="vec_id", vec_col="e")
+
+
+@_register(
+    "pg_copy_roundtrip_scan",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
+)
+def pg_copy_roundtrip_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Wire fidelity through the Postgres binary-COPY commit path
+    (`package/pg_copy.py`, replacing `crates/cdf-dest-postgres/`): the
+    customer table is packaged, staged distributed (foreachPartition,
+    one binary COPY stream per executor partition), and the captured
+    PGCOPY byte streams are decoded back by the independent wire-spec
+    decoder; values must equal the parquet original. No live server in
+    the image — the transport seam records the exact bytes Postgres
+    would receive."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from .package.builder import PackageBuilder
+    from .package.pg_copy import FileCopyTransport, PostgresCopyDestination, decode_copy_binary
+    from .sources.base import WriteDisposition
+
+    tmp = tempfile.mkdtemp(prefix="cdf_pgcopy_")
+    try:
+        src = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        pkg = PackageBuilder(f"{tmp}/pkgs", resource_id="customer").build(src)
+        wire = f"{tmp}/wire"
+        dest = PostgresCopyDestination(
+            transport_factory=lambda: FileCopyTransport(wire),
+            table="customer_tgt",
+            merge_keys=["c_custkey"],
+            distributed=True,
+        )
+        dest.commit(spark, pkg, WriteDisposition.MERGE)
+        schema = pa.schema(
+            [
+                pa.field("c_custkey", pa.int64()),
+                pa.field("c_name", pa.string()),
+                pa.field("c_nationkey", pa.int32()),  # fixture carries int32
+                pa.field("c_acctbal", pa.float64()),
+            ]
+        )
+        import os as _os
+
+        rows = []
+        for f in sorted(_os.listdir(f"{tmp}/wire")):
+            if f.endswith(".pgcopy"):
+                with open(f"{tmp}/wire/{f}", "rb") as fh:
+                    rows.extend(decode_copy_binary(fh.read(), schema))
+        return spark.createDataFrame(rows, src.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @_register(

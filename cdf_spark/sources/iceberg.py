@@ -1,0 +1,343 @@
+"""Apache-Iceberg-format table reader: snapshot pinning, time travel,
+and incremental `changes_since` over a REAL Iceberg directory layout.
+
+Replaces the reference's Iceberg source
+(`crates/cdf-source-iceberg/src/driver.rs:902-1060`) without Iceberg
+jars: the table's *metadata* is plain JSON + Avro per the Iceberg spec,
+and this repo already ships a jar-free Avro container codec
+(`sources/avro_format.py`), so the whole planning path is readable
+driver-side:
+
+    <root>/metadata/version-hint.text        -> current metadata version
+    <root>/metadata/v<N>.metadata.json       (or <seq>-<uuid>.metadata.json)
+        format-version, current-snapshot-id,
+        snapshots: [{snapshot-id, timestamp-ms, parent-snapshot-id,
+                     manifest-list, summary.operation}]
+    <manifest-list>.avro   rows: {manifest_path, added_snapshot_id, ...}
+    <manifest>.avro        rows: {status: 0 EXISTING|1 ADDED|2 DELETED,
+                                  data_file: {file_path, file_format,
+                                              record_count, ...}}
+
+Scale design: metadata is tiny and driver-side — exactly how Iceberg's
+own planner works; the data path is a plain multi-file
+`spark.read.parquet(*files)`, so predicate pushdown, column pruning,
+and split planning stay with Catalyst, and snapshot isolation comes
+from Iceberg's own file-immutability contract. `changes_since` unions
+only the files ADDED by snapshots newer than the checkpointed position
+(incremental consumption via
+:class:`cdf_spark.positions.TableSnapshotPosition`).
+
+A fixture writer (`write_iceberg_fixture`) emits the same layout —
+spec-named fields, real Avro containers — so tests and the oracle gate
+exercise the reader against a genuine Iceberg directory without
+needing a JVM writer in the image.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..positions import TableSnapshotPosition
+from .avro_format import decode_container, write_container
+
+
+class IcebergError(ValueError):
+    pass
+
+
+def _strip_uri(p: str) -> str:
+    return p[7:] if p.startswith("file://") else p
+
+
+class IcebergTable:
+    """Read-side driver over an Iceberg table directory."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.meta_dir = self.root / "metadata"
+        if not self.meta_dir.is_dir():
+            raise IcebergError(f"{self.root} has no metadata/ directory — not an Iceberg table")
+        self._meta = json.loads(self._current_metadata_path().read_text())
+
+    # -- metadata resolution ---------------------------------------------
+    def _current_metadata_path(self) -> Path:
+        hint = self.meta_dir / "version-hint.text"
+        if hint.exists():
+            v = hint.read_text().strip()
+            for cand in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+                p = self.meta_dir / cand
+                if p.exists():
+                    return p
+        # no hint (metastore-tracked tables): newest by version prefix —
+        # both v<N>.metadata.json and <seq>-<uuid>.metadata.json sort
+        # correctly on the leading integer
+        cands = list(self.meta_dir.glob("*.metadata.json"))
+        if not cands:
+            raise IcebergError(f"no *.metadata.json under {self.meta_dir}")
+
+        def version_key(p: Path):
+            m = re.match(r"v?(\d+)", p.name)
+            return int(m.group(1)) if m else -1
+
+        return max(cands, key=version_key)
+
+    @property
+    def metadata(self) -> dict:
+        return self._meta
+
+    def current_snapshot_id(self) -> int | None:
+        sid = self._meta.get("current-snapshot-id")
+        return None if sid in (None, -1) else int(sid)
+
+    def snapshots(self) -> list[dict]:
+        return list(self._meta.get("snapshots", []))
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        for s in self.snapshots():
+            if int(s["snapshot-id"]) == int(snapshot_id):
+                return s
+        raise IcebergError(f"snapshot {snapshot_id} not in table metadata")
+
+    def snapshot_as_of(self, timestamp_ms: int) -> dict:
+        """Latest snapshot with timestamp-ms <= the given time (Iceberg
+        time travel `FOR SYSTEM_TIME AS OF` resolution)."""
+        eligible = [s for s in self.snapshots() if int(s["timestamp-ms"]) <= timestamp_ms]
+        if not eligible:
+            raise IcebergError(f"no snapshot at or before {timestamp_ms}")
+        return max(eligible, key=lambda s: int(s["timestamp-ms"]))
+
+    def position(self) -> TableSnapshotPosition | None:
+        sid = self.current_snapshot_id()
+        if sid is None:
+            return None
+        return TableSnapshotPosition(snapshot_id=sid)
+
+    # -- manifest walking --------------------------------------------------
+    def _resolve(self, path: str) -> Path:
+        p = Path(_strip_uri(path))
+        if p.is_absolute():
+            return p
+        return self.root / p
+
+    def _manifest_paths(self, snapshot: dict) -> list[Path]:
+        mlist = snapshot.get("manifest-list")
+        if mlist:
+            _, rows = decode_container(self._resolve(mlist).read_bytes())
+            return [self._resolve(r["manifest_path"]) for r in rows]
+        # format-version 1 tables may inline "manifests"
+        return [self._resolve(m) for m in snapshot.get("manifests", [])]
+
+    def _manifest_entries(self, manifest: Path) -> list[dict]:
+        _, rows = decode_container(manifest.read_bytes())
+        return rows
+
+    def files_for_snapshot(self, snapshot_id: int) -> list[str]:
+        """All live data files at a snapshot: manifest entries with
+        status EXISTING(0) or ADDED(1); DELETED(2) rows drop out."""
+        files = []
+        for mp in self._manifest_paths(self.snapshot(snapshot_id)):
+            for e in self._manifest_entries(mp):
+                if int(e.get("status", 1)) != 2:
+                    files.append(str(self._resolve(e["data_file"]["file_path"])))
+        return sorted(files)
+
+    def added_files(self, snapshot_id: int) -> list[str]:
+        files = []
+        for mp in self._manifest_paths(self.snapshot(snapshot_id)):
+            for e in self._manifest_entries(mp):
+                if int(e.get("status", 1)) == 1:
+                    files.append(str(self._resolve(e["data_file"]["file_path"])))
+        return sorted(files)
+
+    # -- reads -------------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> DataFrame:
+        if snapshot_id is None:
+            snap = (
+                self.snapshot_as_of(as_of_ms)
+                if as_of_ms is not None
+                else self.snapshot(self.current_snapshot_id())
+            )
+            snapshot_id = int(snap["snapshot-id"])
+        files = self.files_for_snapshot(snapshot_id)
+        if not files:
+            raise IcebergError(f"snapshot {snapshot_id} has no live data files")
+        return spark.read.parquet(*files)
+
+    def changes_since(
+        self, spark: SparkSession, position: TableSnapshotPosition | None
+    ) -> tuple[DataFrame | None, TableSnapshotPosition | None]:
+        """Files ADDED by snapshots strictly after the position, oldest
+        first — the incremental-consumption contract shared with
+        :class:`cdf_spark.sources.snapshot_table.SnapshotTable`."""
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return None, position
+        seen = -1 if position is None else int(position.snapshot_id)
+        newer = sorted(
+            (s for s in self.snapshots() if int(s["snapshot-id"]) > seen),
+            key=lambda s: int(s["snapshot-id"]),
+        )
+        files: list[str] = []
+        for s in newer:
+            files.extend(self.added_files(int(s["snapshot-id"])))
+        if not files:
+            return None, TableSnapshotPosition(snapshot_id=cur)
+        return spark.read.parquet(*files), TableSnapshotPosition(snapshot_id=cur)
+
+
+# ---------------------------------------------------------------------------
+# fixture writer (spec-shaped layout, real Avro containers)
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+    ],
+}
+
+
+class IcebergFixtureWriter:
+    """Builds an Iceberg-layout table commit by commit, for tests and
+    the oracle gate. Emits version-hint.text + v<N>.metadata.json +
+    manifest-list/manifest Avro + immutable parquet data files — the
+    same names and structure `IcebergTable` reads."""
+
+    def __init__(self, root: str | Path, table_uuid: str | None = None):
+        self.root = Path(root)
+        (self.root / "metadata").mkdir(parents=True, exist_ok=True)
+        (self.root / "data").mkdir(exist_ok=True)
+        self.table_uuid = table_uuid or str(uuid.uuid4())
+        self._snapshots: list[dict] = []
+        self._version = 0
+
+    def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
+        import shutil
+        import tempfile
+
+        sid = len(self._snapshots) + 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+
+        # data files: write through Spark then move into data/ (files
+        # are immutable once committed — Iceberg's core invariant)
+        tmp = tempfile.mkdtemp(prefix="iceberg_commit_")
+        df.write.mode("overwrite").parquet(tmp)
+        data_files = []
+        for p in sorted(Path(tmp).glob("*.parquet")):
+            dest = self.root / "data" / f"{uuid.uuid4().hex}.parquet"
+            shutil.move(str(p), str(dest))
+            import pyarrow.parquet as pq
+
+            data_files.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": sid,
+                    "data_file": {
+                        "file_path": str(dest),
+                        "file_format": "PARQUET",
+                        "record_count": pq.read_metadata(dest).num_rows,
+                        "file_size_in_bytes": dest.stat().st_size,
+                    },
+                }
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        manifest = self.root / "metadata" / f"manifest-{sid}-{uuid.uuid4().hex[:8]}.avro"
+        manifest.write_bytes(write_container(_MANIFEST_ENTRY_SCHEMA, data_files))
+        mlist = self.root / "metadata" / f"snap-{sid}-manifest-list.avro"
+        mlist.write_bytes(
+            write_container(
+                _MANIFEST_LIST_SCHEMA,
+                [
+                    {
+                        "manifest_path": str(manifest),
+                        "manifest_length": manifest.stat().st_size,
+                        "partition_spec_id": 0,
+                        "added_snapshot_id": sid,
+                    }
+                ],
+            )
+        )
+        # appends see all prior data: EXISTING entries for older files
+        # live in the prior manifests, which stay referenced via this
+        # snapshot's manifest list in a real table; the fixture keeps
+        # it simpler by re-listing prior manifests in the new list
+        prior = [s["manifest-list"] for s in self._snapshots]
+        if prior:
+            _, rows = decode_container(Path(_strip_uri(prior[-1])).read_bytes())
+            new_rows = rows + [
+                {
+                    "manifest_path": str(manifest),
+                    "manifest_length": manifest.stat().st_size,
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": sid,
+                }
+            ]
+            mlist.write_bytes(write_container(_MANIFEST_LIST_SCHEMA, new_rows))
+            # older entries must read as EXISTING at this snapshot:
+            # their manifests already carry status ADDED with their own
+            # snapshot_id — Iceberg readers treat ADDED-by-an-ancestor
+            # as live, which files_for_snapshot mirrors (status != 2)
+
+        self._snapshots.append(
+            {
+                "snapshot-id": sid,
+                "timestamp-ms": ts,
+                "parent-snapshot-id": sid - 1 if self._snapshots else None,
+                "manifest-list": str(mlist),
+                "summary": {"operation": "append"},
+            }
+        )
+        self._version += 1
+        meta = {
+            "format-version": 2,
+            "table-uuid": self.table_uuid,
+            "location": str(self.root),
+            "current-snapshot-id": sid,
+            "snapshots": self._snapshots,
+            "snapshot-log": [
+                {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+                for s in self._snapshots
+            ],
+        }
+        (self.root / "metadata" / f"v{self._version}.metadata.json").write_text(
+            json.dumps(meta, indent=2)
+        )
+        (self.root / "metadata" / "version-hint.text").write_text(str(self._version))
+        return sid
