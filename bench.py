@@ -93,7 +93,24 @@ def main() -> None:
         except ValueError:
             sf = None
 
+    from cdf_spark.queries import BENCH_ONLY
+
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    # session-cold probes FIRST (before any warmup): first-ever-pass
+    # numbers for two headline queries, so the steady-state-only
+    # methodology can't hide a startup regression (these pay JVM init,
+    # file listing, python-worker spawn, codegen — deliberately).
+    session_cold: dict[str, float] = {}
+    for name in ("q1_pricing_summary", "minhash_lsh_dups_fast"):
+        fn = QUERIES.get(name) or BENCH_ONLY[name]
+        t0 = time.perf_counter()
+        try:
+            _materialize(fn(spark, SF_DIR))
+            session_cold[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"session_cold:{name}"] = f"{type(exc).__name__}: {exc}"[:400]
 
     # warm the JVM + file listing once (excluded from timings)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
@@ -114,8 +131,6 @@ def main() -> None:
         "noop"
     ).save()
 
-    from cdf_spark.queries import BENCH_ONLY
-
     # Two passes: pass 1 (recorded as cold_queries) pays per-plan
     # codegen compile + any residual python-runner init; pass 2 is the
     # warm steady state. The headline takes each query's BEST pass:
@@ -131,7 +146,6 @@ def main() -> None:
     # is always emitted.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    errors: dict[str, str] = {}
     for pass_timings in (cold, warm):
         for name in BENCH_QUERIES:
             if name in errors:
@@ -172,6 +186,7 @@ def main() -> None:
         # state — BASELINE's rooflines are steady-state numbers too, and
         # the first-compile cost is a one-time session artifact, not a
         # per-batch cost.
+        t0 = time.perf_counter()
         LoadPipeline(
             resource=FileResource(
                 ResourceDescriptor(resource_id="warmup"), f"{SF_DIR}/lineitem.parquet"
@@ -181,15 +196,32 @@ def main() -> None:
             destination=ParquetDestination(f"{tmp}/dest_warm"),
             disposition=WriteDisposition.APPEND,
         ).run(spark)
+        session_cold["ingest_lineitem_package"] = round(time.perf_counter() - t0, 3)
 
-        # steady-state ingest: a 20x fixture (12M rows, ~200 MiB)
-        # measures the amortized roofline comparable to BASELINE's
-        # bulk-commit targets; sf0.1 lineitem (~10 MiB) measures the
-        # small-batch fixed cost.
-        big = os.path.join(tempfile.gettempdir(), "cdf_bench_big_lineitem")
-        if not os.path.isdir(big):
+        # steady-state ingest: a 20x fixture (12M rows at sf0.1,
+        # ~200 MiB) measures the amortized roofline comparable to
+        # BASELINE's bulk-commit targets; sf0.1 lineitem (~10 MiB)
+        # measures the small-batch fixed cost.
+        #
+        # Cache keyed on the SF dir (r3 bug: an os.path.isdir-only
+        # guard reused a stale ~120k-row fixture built from a small SF
+        # during testing, invalidating the round's roofline). Validity
+        # = _SUCCESS marker present AND row count == 20 x live
+        # count(lineitem); rebuild on any mismatch.
+        sf_key = "".join(c if c.isalnum() else "_" for c in SF_DIR.strip("/"))
+        big = os.path.join(tempfile.gettempdir(), f"cdf_bench_big_lineitem_{sf_key}")
+        li_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+        expected_rows = 20 * li_rows
+        cache_ok = False
+        if os.path.isdir(big) and os.path.isfile(os.path.join(big, "_SUCCESS")):
+            try:
+                cache_ok = spark.read.parquet(big).count() == expected_rows
+            except Exception:  # noqa: BLE001 — unreadable cache → rebuild
+                cache_ok = False
+        if not cache_ok:
             from pyspark.sql import functions as F
 
+            shutil.rmtree(big, ignore_errors=True)
             li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
             reps = [
                 li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
@@ -257,26 +289,48 @@ def main() -> None:
     except Exception:
         deltas = {}
 
+    # Evidence split (r3 defect: the single stdout line outgrew the
+    # driver's tail capture and the JSON never parsed — two rounds
+    # running with no driver-certified bench). stdout now carries ONE
+    # compact line with the headline scalars + best-of query map; the
+    # raw cold/warm passes, session-cold probes, and deltas go to
+    # BENCH_DETAIL.json next to this script.
+    detail = {
+        "methodology": (
+            "per-query best of 2 passes (noise-robust); cold/warm are the raw "
+            "passes; session_cold = first-ever pass before any warmup"
+        ),
+        "cold_queries": cold,
+        "warm_queries": warm,
+        "cold_total": round(sum(cold.values()), 3),
+        "session_cold": session_cold,
+        "delta_vs": prev_name,
+        "deltas_sec": deltas,
+        "errors": errors,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except Exception:  # noqa: BLE001 — detail file is best-effort
+        pass
+
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
                 "value": total,
                 "unit": "sec",
-                "methodology": "per-query best of 2 passes (noise-robust); cold_queries/warm_queries are the raw passes",
                 "queries": timings,
-                "cold_queries": cold,
-                "warm_queries": warm,
-                "cold_total": round(sum(cold.values()), 3),
-                "delta_vs": prev_name,
-                "deltas_sec": deltas,
                 "errors": errors,
                 "sf": sf,
                 "ingest_mib_s": ingest_mib_s,
                 "ingest_rows_s": ingest_rows_s,
                 "ingest_big_mib_s": ingest_big_mib_s,
                 "ingest_big_rows_s": ingest_big_rows_s,
-            }
+                "detail_file": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -96,11 +96,18 @@ def _enc_date(v: _dt.date) -> bytes:
     return struct.pack("!i", v.toordinal() - _PG_EPOCH_ORDINAL)
 
 
+_EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_ONE_US = _dt.timedelta(microseconds=1)
+
+
 def _enc_timestamp_us(v) -> bytes:
     if isinstance(v, _dt.datetime):
-        us = int(v.timestamp() * 1_000_000) if v.tzinfo else (
-            int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
-        )
+        # exact integer micros via timedelta division — a float-seconds
+        # round-trip (v.timestamp()*1e6) is off by 1µs for values whose
+        # µs count isn't double-representable
+        epoch = _EPOCH_UTC if v.tzinfo else _EPOCH_NAIVE
+        us = (v - epoch) // _ONE_US
     else:  # already µs since unix epoch
         us = int(v)
     return struct.pack("!q", us - _UNIX_TO_PG_US)
@@ -185,7 +192,10 @@ def encode_copy_rows(
     for row in rows:
         parts = [nf]
         for v, enc in zip(row, encoders):
-            if v is None or (isinstance(v, float) and v != v):
+            # NaN is NOT null: float4/float8 (and numeric) represent NaN
+            # natively and struct.pack round-trips it — rewriting to NULL
+            # would silently alter data
+            if v is None:
                 parts.append(null)
             else:
                 payload = enc(v)
@@ -397,12 +407,30 @@ def _decode_numeric(b: bytes) -> _decimal.Decimal:
 # distributed staging
 
 
-def _partition_pusher(transport_factory, copy_sql: str, field_types: list):
+def _partition_pusher(
+    transport_factory, copy_sql: str, field_types: list, stage_table: str | None = None
+):
     """Build the foreachPartition closure. Everything captured must be
     picklable: the factory, the rendered SQL, and arrow type NAMES
-    (arrow DataType objects don't pickle portably — rebuilt per task)."""
+    (arrow DataType objects don't pickle portably — rebuilt per task).
+
+    When ``stage_table`` is given, the rows carry a trailing
+    ``_cdf_part`` partition tag and the push is made idempotent under
+    Spark task retry AND speculative duplicate attempts:
+
+        pg_advisory_xact_lock(hashtext(stage), pid)   -- serialize attempts
+        DELETE FROM stage WHERE _cdf_part = pid       -- erase prior attempt
+        COPY ... FROM STDIN                            -- this attempt's rows
+        COMMIT
+
+    The advisory lock makes two concurrent attempts of the same
+    partition serialize; whichever commits second first deletes the
+    other's rows, so the stage holds each partition's rows exactly
+    once. Without it, per-partition commits under speculation could
+    stage a partition twice and break the merge's exactly-once claim."""
 
     def push(rows_iter):
+        import itertools
         import re as _re
 
         import pyarrow as pa
@@ -413,11 +441,24 @@ def _partition_pusher(transport_factory, copy_sql: str, field_types: list):
                 return pa.decimal128(int(m.group(1)), int(m.group(2)))
             return pa.type_for_alias(alias)
 
+        it = iter(rows_iter)
+        try:
+            first = next(it)
+        except StopIteration:
+            return  # empty partition: nothing to stage, nothing to lock
+        rows = itertools.chain([first], it)
+
         schema = pa.schema([pa.field(f"c{i}", _alias_to_type(t)) for i, t in enumerate(field_types)])
         encoders = [_encoder_for(f.type) for f in schema]
         t = transport_factory()
         try:
-            t.copy(copy_sql, encode_copy_rows((tuple(r) for r in rows_iter), encoders))
+            if stage_table is not None:
+                pid = int(tuple(first)[-1])  # _cdf_part rides as the last column
+                t.execute(
+                    f"SELECT pg_advisory_xact_lock(hashtext('{stage_table}'), {pid})"
+                )
+                t.execute(f'DELETE FROM {_q(stage_table)} WHERE "_cdf_part" = {pid}')
+            t.copy(copy_sql, encode_copy_rows((tuple(r) for r in rows), encoders))
             t.commit()
         finally:
             t.close()
@@ -445,21 +486,34 @@ def stage_distributed(
     df,
     table: str,
     transport_factory: Callable[[], "CopyTransport"],
+    tag_partitions: bool = False,
 ) -> str:
     """Push a DataFrame into `table` via per-partition binary COPY.
 
     Each executor partition opens its own transport and streams its rows
     as one COPY — concurrent COPY into a single (ideally UNLOGGED) stage
     table is safe; ordering is irrelevant because the merge joins on
-    keys. Returns the rendered COPY SQL (also what each partition ran).
+    keys. With ``tag_partitions`` a ``_cdf_part`` column
+    (spark_partition_id) is appended and each partition's push becomes
+    an advisory-locked delete-then-copy — idempotent under task retry
+    and speculation (the table must carry the `_cdf_part int` column).
+    Returns the rendered COPY SQL (also what each partition ran).
     """
+    from pyspark.sql import functions as F
+
+    if tag_partitions:
+        df = df.withColumn("_cdf_part", F.spark_partition_id())
     cols = df.columns
     aliases = [
         dtype if dtype.startswith("decimal") else _SPARK_TO_ARROW_ALIAS.get(dtype, "string")
         for _, dtype in df.dtypes
     ]
     copy_sql = render_copy_sql(table, cols, binary=True)
-    df.foreachPartition(_partition_pusher(transport_factory, copy_sql, aliases))
+    df.foreachPartition(
+        _partition_pusher(
+            transport_factory, copy_sql, aliases, stage_table=table if tag_partitions else None
+        )
+    )
     return copy_sql
 
 
@@ -546,6 +600,32 @@ class PostgresCopyDestination:
 
         disposition = disposition or WriteDisposition.APPEND
         schema = self._arrow_schema(package)
+        if disposition is WriteDisposition.MERGE and not self.merge_keys:
+            raise ValueError("merge disposition requires merge_keys")
+        if self.distributed:
+            self._commit_distributed(spark, package, disposition, schema)
+        else:
+            self._commit_driver(package, disposition, schema)
+
+        return Receipt(
+            receipt_id="rcp-" + uuid.uuid4().hex[:16],
+            package_id=package.package_id,
+            destination=self.destination_uri,
+            disposition=disposition.value,
+            delivery_guarantee=disposition.delivery_guarantee,
+            rows_written=package.rows_admitted,
+            value_hash=package.value_hash,
+            committed_at_ms=int(time.time() * 1000),
+        )
+
+    def _commit_driver(self, package, disposition, schema) -> None:
+        """Driver COPY: one transport, whole stage + merge in a single
+        transaction — the connection sees its own uncommitted DDL, so
+        TEMPORARY stage tables are fine here."""
+        import uuid
+
+        from ..sources.base import WriteDisposition
+
         t = _q(self.table)
         tr = self.transport_factory()
         try:
@@ -553,23 +633,16 @@ class PostgresCopyDestination:
             if disposition is WriteDisposition.REPLACE:
                 tr.execute(f"DROP TABLE IF EXISTS {t}")
                 tr.execute(create)
-                self._stage_into(tr, spark, package, self.table, schema)
+                self._copy_segments(tr, package, self.table, schema)
             elif disposition is WriteDisposition.APPEND:
                 tr.execute(create)
-                self._stage_into(tr, spark, package, self.table, schema)
+                self._copy_segments(tr, package, self.table, schema)
             elif disposition is WriteDisposition.MERGE:
-                if not self.merge_keys:
-                    raise ValueError("merge disposition requires merge_keys")
                 tr.execute(create)
                 stg = f"_cdf_stage_{uuid.uuid4().hex[:8]}"
-                # distributed staging needs a REAL (unlogged) table —
-                # temp tables are connection-local, invisible to the
-                # executors' own connections
-                if self.distributed and not self.unlogged_stage:
-                    raise ValueError("distributed staging requires unlogged_stage=True")
                 kind = "UNLOGGED TABLE" if self.unlogged_stage else "TEMPORARY TABLE"
                 tr.execute(f"CREATE {kind} {_q(stg)} ({self._ddl_columns(schema)})")
-                self._stage_into(tr, spark, package, stg, schema)
+                self._copy_segments(tr, package, stg, schema)
                 pred = " AND ".join(
                     self.dialect.nse(f"{t}.{_q(k)}", f"{_q(stg)}.{_q(k)}")
                     for k in self.merge_keys
@@ -588,27 +661,80 @@ class PostgresCopyDestination:
         finally:
             tr.close()
 
-        return Receipt(
-            receipt_id="rcp-" + uuid.uuid4().hex[:16],
-            package_id=package.package_id,
-            destination=self.destination_uri,
-            disposition=disposition.value,
-            delivery_guarantee=disposition.delivery_guarantee,
-            rows_written=package.rows_admitted,
-            value_hash=package.value_hash,
-            committed_at_ms=int(time.time() * 1000),
-        )
+    def _commit_distributed(self, spark, package, disposition, schema) -> None:
+        """Distributed COPY: every disposition stages into a tagged
+        UNLOGGED table first, then one driver transaction touches the
+        target.
 
-    def _stage_into(self, tr: CopyTransport, spark, package, into: str, schema) -> int:
-        if self.distributed:
-            if spark is None:
-                raise ValueError("distributed staging needs a SparkSession")
-            df = spark.read.parquet(str(package.data_path()))
-            # column order must match the target DDL
-            df = df.select(*[f.name for f in schema])
-            stage_distributed(df, into, self.transport_factory)
-            return -1  # row count unknown driver-side; verify() recounts in SQL
-        return self._copy_segments(tr, package, into, schema)
+        Transaction structure (the r3 review found both halves wrong):
+
+        1. DDL txn, COMMITTED before foreachPartition — executors open
+           their own connections, and an uncommitted CREATE is invisible
+           to them (every partition would fail with 'relation does not
+           exist' on a live server; the file-mock transport can't see
+           this).
+        2. Executors advisory-lock + delete-then-copy their partition
+           into the stage (idempotent under retry/speculation — see
+           `_partition_pusher`).
+        3. One merge txn: [REPLACE: DELETE FROM target | MERGE: keyed
+           DELETE] + INSERT..SELECT the original columns + DROP stage.
+           The target only ever changes inside this transaction, so
+           target delivery stays exactly-once.
+        """
+        import uuid
+
+        from ..sources.base import WriteDisposition
+
+        if spark is None:
+            raise ValueError("distributed staging needs a SparkSession")
+        if not self.unlogged_stage:
+            # temp tables are connection-local — executors could never
+            # see one regardless of commit order
+            raise ValueError("distributed staging requires unlogged_stage=True")
+
+        cols = [f.name for f in schema]
+        col_list = ", ".join(_q(c) for c in cols)
+        t = _q(self.table)
+        stg = f"_cdf_stage_{uuid.uuid4().hex[:8]}"
+        tr = self.transport_factory()
+        try:
+            tr.execute(f"CREATE TABLE IF NOT EXISTS {t} ({self._ddl_columns(schema)})")
+            tr.execute(
+                f'CREATE UNLOGGED TABLE {_q(stg)} ({self._ddl_columns(schema)}, "_cdf_part" int)'
+            )
+            tr.commit()  # stage DDL must be visible to executor sessions
+        except Exception:
+            tr.rollback()
+            tr.close()
+            raise
+        try:
+            df = spark.read.parquet(str(package.data_path())).select(*cols)
+            stage_distributed(df, stg, self.transport_factory, tag_partitions=True)
+            if disposition is WriteDisposition.REPLACE:
+                tr.execute(f"DELETE FROM {t}")
+            elif disposition is WriteDisposition.MERGE:
+                pred = " AND ".join(
+                    self.dialect.nse(f"{t}.{_q(k)}", f"{_q(stg)}.{_q(k)}")
+                    for k in self.merge_keys
+                )
+                tr.execute(
+                    f"DELETE FROM {t} WHERE EXISTS (SELECT 1 FROM {_q(stg)} WHERE {pred})"
+                )
+            elif disposition is not WriteDisposition.APPEND:
+                raise ValueError(f"disposition {disposition} not supported")
+            tr.execute(f"INSERT INTO {t} ({col_list}) SELECT {col_list} FROM {_q(stg)}")
+            tr.execute(f"DROP TABLE {_q(stg)}")
+            tr.commit()
+        except Exception:
+            tr.rollback()
+            try:  # the stage is a real committed table now — reap it
+                tr.execute(f"DROP TABLE IF EXISTS {_q(stg)}")
+                tr.commit()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
+            raise
+        finally:
+            tr.close()
 
     def verify(self, spark, receipt, package):
         """Same verification algebra as DbApiDestination's POSTGRES

@@ -41,10 +41,20 @@ class CursorPosition:
 
 @dataclass(frozen=True)
 class TableSnapshotPosition:
+    """Snapshot frontier. `sequence_number` is the Iceberg v2 commit
+    ordinal — the ONLY monotone ordering on real Iceberg tables, whose
+    snapshot ids are random 64-bit values (reference:
+    `crates/cdf-source-iceberg/src/driver.rs` append_snapshot_ancestry
+    validates ancestry + sequence numbers, not id order). The home-grown
+    SnapshotTable layout has monotone ids and may omit it."""
+
     kind = "table_snapshot"
     snapshot_id: int
+    sequence_number: int | None = None
 
     def merge(self, other: TableSnapshotPosition) -> TableSnapshotPosition:
+        if self.sequence_number is not None and other.sequence_number is not None:
+            return self if self.sequence_number >= other.sequence_number else other
         return self if self.snapshot_id >= other.snapshot_id else other
 
 

@@ -2922,6 +2922,9 @@ def pg_copy_roundtrip_scan(spark: SparkSession, sf: str) -> DataFrame:
                 pa.field("c_name", pa.string()),
                 pa.field("c_nationkey", pa.int32()),  # fixture carries int32
                 pa.field("c_acctbal", pa.float64()),
+                # retry-idempotent staging tags each row with its spark
+                # partition id (advisory-locked delete-then-copy)
+                pa.field("_cdf_part", pa.int32()),
             ]
         )
         import os as _os
@@ -2930,7 +2933,7 @@ def pg_copy_roundtrip_scan(spark: SparkSession, sf: str) -> DataFrame:
         for f in sorted(_os.listdir(f"{tmp}/wire")):
             if f.endswith(".pgcopy"):
                 with open(f"{tmp}/wire/{f}", "rb") as fh:
-                    rows.extend(decode_copy_binary(fh.read(), schema))
+                    rows.extend(r[:-1] for r in decode_copy_binary(fh.read(), schema))
         return spark.createDataFrame(rows, src.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -3025,5 +3028,78 @@ def snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         pinned = t.read(spark, snapshot_id=s1)
         rows = pinned.collect()  # materialize before the tmp dir goes
         return spark.createDataFrame(rows, pinned.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "iceberg_time_travel",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900",
+)
+def iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time travel over a REAL Apache-Iceberg directory layout
+    (version-hint + metadata.json + Avro manifest lists/manifests,
+    `sources/iceberg.py`, replacing
+    `crates/cdf-source-iceberg/src/driver.rs:902-1060`): three commits
+    with deliberately NON-monotone random snapshot ids — the pin at the
+    second commit must see commits 1+2 only, which requires the
+    parent-ancestry walk (id ordering would misresolve)."""
+    import shutil
+    import tempfile
+
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    tmp = tempfile.mkdtemp(prefix="cdf_ice_")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=11)
+        ids = [9_000_000_000_000_000_001, 17, 4_000_000_000_000_000_002]
+        w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000, snapshot_id=ids[0])
+        s2 = w.append(
+            o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)),
+            timestamp_ms=2000,
+            snapshot_id=ids[1],
+        )
+        w.append(o.filter(F.col("o_orderkey") > 900), timestamp_ms=3000, snapshot_id=ids[2])
+        pinned = IcebergTable(f"{tmp}/t").read(spark, snapshot_id=s2)
+        rows = pinned.collect()  # materialize before the tmp dir goes
+        return spark.createDataFrame(rows, pinned.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "iceberg_changes_since",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey > 400",
+)
+def iceberg_changes_since(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental consumption off the Iceberg parent-snapshot ancestry:
+    checkpointed at commit 1, the consumer must receive exactly the
+    files ADDED by commits 2 and 3 — commit 2's snapshot id is SMALLER
+    than commit 1's, so `id > seen` ordering (the bug class the
+    ancestry walk replaces) would silently drop it."""
+    import shutil
+    import tempfile
+
+    from .positions import TableSnapshotPosition
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    tmp = tempfile.mkdtemp(prefix="cdf_ice_inc_")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=13)
+        ids = [8_000_000_000_000_000_001, 23, 3_000_000_000_000_000_002]
+        s1 = w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000, snapshot_id=ids[0])
+        w.append(
+            o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)),
+            timestamp_ms=2000,
+            snapshot_id=ids[1],
+        )
+        w.append(o.filter(F.col("o_orderkey") > 900), timestamp_ms=3000, snapshot_id=ids[2])
+        df, _pos = IcebergTable(f"{tmp}/t").changes_since(
+            spark, TableSnapshotPosition(snapshot_id=s1)
+        )
+        rows = df.collect()  # materialize before the tmp dir goes
+        return spark.createDataFrame(rows, df.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

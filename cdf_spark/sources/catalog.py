@@ -424,9 +424,17 @@ class CatalogTableResource:
 
     def snapshot_source(self):
         """Iceberg-classified tables route to the snapshot-pinned
-        implementation over the table location (driver.rs:902-1060)."""
+        implementation over the table location (driver.rs:902-1060):
+        a REAL Iceberg layout (metadata/*.metadata.json + Avro
+        manifests) gets the spec reader (`sources/iceberg.py`); the
+        home-grown SnapshotTable layout keeps its own reader. Both
+        expose the same read/scan/changes_since/position contract."""
         if self.table_class is not TableClass.ICEBERG:
             raise CatalogError("snapshot_source() is only for iceberg-classified tables")
+        from .iceberg import IcebergTable, is_iceberg_layout
+
+        if is_iceberg_layout(self.table.storage.location):
+            return IcebergTable(self.table.storage.location)
         from .snapshot_table import SnapshotTable
 
         return SnapshotTable(self.table.storage.location, self.descriptor)
@@ -440,7 +448,10 @@ class CatalogTableResource:
     def negotiate(self, request: ScanRequest) -> ScanPlan:
         self._require_scannable()
         if self.table_class is TableClass.ICEBERG:
-            return self.snapshot_source().negotiate(request)  # pragma: no cover
+            # snapshot sources carry their own capability set (position
+            # is enforced by the pin); partition-manifest pruning below
+            # is for conventional hive-layout tables only
+            return negotiate(request, self.snapshot_source().capabilities())
         keys = [k.name for k in self.table.partition_keys]
         part_preds = [p for p in request.predicates if p.columns() and p.columns() <= set(keys)]
         rest = [p for p in request.predicates if not any(p is q for q in part_preds)]

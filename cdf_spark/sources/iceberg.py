@@ -43,6 +43,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..expressions.lowering import lower
+from ..plans.scan import Capability, ScanPlan, ScanRequest, negotiate
 from ..positions import TableSnapshotPosition
 from .avro_format import decode_container, write_container
 
@@ -53,6 +55,14 @@ class IcebergError(ValueError):
 
 def _strip_uri(p: str) -> str:
     return p[7:] if p.startswith("file://") else p
+
+
+def is_iceberg_layout(root: str | Path) -> bool:
+    """True when the directory carries real Iceberg table metadata
+    (`metadata/*.metadata.json`) as opposed to the home-grown
+    SnapshotTable layout (`metadata/v<N>.json` + `current`)."""
+    meta = Path(_strip_uri(str(root))) / "metadata"
+    return meta.is_dir() and any(meta.glob("*.metadata.json"))
 
 
 class IcebergTable:
@@ -116,7 +126,26 @@ class IcebergTable:
         sid = self.current_snapshot_id()
         if sid is None:
             return None
-        return TableSnapshotPosition(snapshot_id=sid)
+        seq = self.snapshot(sid).get("sequence-number")
+        return TableSnapshotPosition(
+            snapshot_id=sid, sequence_number=None if seq is None else int(seq)
+        )
+
+    def ancestry(self) -> list[dict]:
+        """Snapshots on the current lineage, current-first, by walking
+        `parent-snapshot-id` (driver.rs append_snapshot_ancestry).
+        Snapshot ids are random 64-bit values on real tables — id order
+        means NOTHING; only the parent chain (and v2 sequence numbers)
+        orders commits."""
+        by_id = {int(s["snapshot-id"]): s for s in self.snapshots()}
+        chain: list[dict] = []
+        sid = self.current_snapshot_id()
+        while sid is not None and sid in by_id:
+            s = by_id[sid]
+            chain.append(s)
+            parent = s.get("parent-snapshot-id")
+            sid = None if parent in (None, -1) else int(parent)
+        return chain
 
     # -- manifest walking --------------------------------------------------
     def _resolve(self, path: str) -> Path:
@@ -148,14 +177,56 @@ class IcebergTable:
         return sorted(files)
 
     def added_files(self, snapshot_id: int) -> list[str]:
+        """Files ADDED *by this snapshot*: status==ADDED(1) AND the
+        entry's own snapshot_id matches — a snapshot's manifest list
+        also references ancestor manifests whose ADDED entries belong
+        to older commits (that is how Iceberg marks them live here)."""
         files = []
         for mp in self._manifest_paths(self.snapshot(snapshot_id)):
             for e in self._manifest_entries(mp):
-                if int(e.get("status", 1)) == 1:
+                esid = e.get("snapshot_id")
+                if int(e.get("status", 1)) == 1 and (
+                    esid is None or int(esid) == int(snapshot_id)
+                ):
                     files.append(str(self._resolve(e["data_file"]["file_path"])))
         return sorted(files)
 
     # -- reads -------------------------------------------------------------
+    def capabilities(self) -> Capability:
+        cap = Capability.parquet()
+        cap.position_enforced = True  # snapshot pin IS the position
+        return cap
+
+    def scan(
+        self,
+        spark: SparkSession,
+        request: ScanRequest,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> tuple[DataFrame, ScanPlan]:
+        """Negotiated scan against a pinned snapshot — same pushdown
+        contract as SnapshotTable.scan: Catalyst pushes predicates and
+        projection into the multi-file parquet scan; the plan records
+        the negotiation for replay."""
+        plan = negotiate(request, self.capabilities())
+        df = self.read(spark, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+        if plan.projection:
+            df = df.select(*plan.projection)
+        for p in plan.pushed + plan.residual:
+            df = df.filter(lower(p.expr))
+        if plan.order_by:
+            from pyspark.sql import functions as F
+
+            df = df.orderBy(
+                *[
+                    F.col(o.field).asc() if o.ascending else F.col(o.field).desc()
+                    for o in plan.order_by
+                ]
+            )
+        if plan.limit is not None:
+            df = df.limit(plan.limit)
+        return df, plan
+
     def read(
         self,
         spark: SparkSession,
@@ -179,21 +250,44 @@ class IcebergTable:
     ) -> tuple[DataFrame | None, TableSnapshotPosition | None]:
         """Files ADDED by snapshots strictly after the position, oldest
         first — the incremental-consumption contract shared with
-        :class:`cdf_spark.sources.snapshot_table.SnapshotTable`."""
+        :class:`cdf_spark.sources.snapshot_table.SnapshotTable`.
+
+        Ordering comes from the parent-snapshot-id ancestry walk, NOT
+        from snapshot-id comparison: real Iceberg snapshot ids are
+        random 64-bit values, so `id > seen` both loses newer snapshots
+        with smaller ids (silent incremental data loss) and replays
+        non-ancestors. If the checkpointed snapshot is no longer an
+        ancestor of current (rollback / expired history), this raises
+        rather than guessing — the caller must do a full re-read
+        (driver.rs append_snapshot_ancestry makes the same choice)."""
         cur = self.current_snapshot_id()
         if cur is None:
             return None, position
-        seen = -1 if position is None else int(position.snapshot_id)
-        newer = sorted(
-            (s for s in self.snapshots() if int(s["snapshot-id"]) > seen),
-            key=lambda s: int(s["snapshot-id"]),
+        chain = self.ancestry()  # current-first
+        cur_seq = chain[0].get("sequence-number")
+        new_pos = TableSnapshotPosition(
+            snapshot_id=cur, sequence_number=None if cur_seq is None else int(cur_seq)
         )
+        if position is None:
+            newer = chain
+        else:
+            seen = int(position.snapshot_id)
+            if seen == cur:
+                return None, new_pos
+            ids = [int(s["snapshot-id"]) for s in chain]
+            if seen not in ids:
+                raise IcebergError(
+                    f"checkpointed snapshot {seen} is not an ancestor of current "
+                    f"snapshot {cur} (rollback or expired history) — incremental "
+                    "consumption cannot resume; full re-read required"
+                )
+            newer = chain[: ids.index(seen)]  # strictly after `seen`
         files: list[str] = []
-        for s in newer:
+        for s in reversed(newer):  # oldest first
             files.extend(self.added_files(int(s["snapshot-id"])))
         if not files:
-            return None, TableSnapshotPosition(snapshot_id=cur)
-        return spark.read.parquet(*files), TableSnapshotPosition(snapshot_id=cur)
+            return None, new_pos
+        return spark.read.parquet(*files), new_pos
 
 
 # ---------------------------------------------------------------------------
@@ -239,19 +333,30 @@ class IcebergFixtureWriter:
     manifest-list/manifest Avro + immutable parquet data files — the
     same names and structure `IcebergTable` reads."""
 
-    def __init__(self, root: str | Path, table_uuid: str | None = None):
+    def __init__(self, root: str | Path, table_uuid: str | None = None, seed: int | None = None):
+        import random
+
         self.root = Path(root)
         (self.root / "metadata").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(exist_ok=True)
         self.table_uuid = table_uuid or str(uuid.uuid4())
         self._snapshots: list[dict] = []
         self._version = 0
+        self._seq = 0  # Iceberg v2 sequence number — the real commit order
+        # snapshot ids are random 64-bit per the spec (NOT sequential —
+        # sequential fixture ids would mask any reader that wrongly
+        # orders by id); seeded for reproducible tests
+        self._rng = random.Random(seed)
 
-    def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
+    def append(
+        self, df: DataFrame, timestamp_ms: int | None = None, snapshot_id: int | None = None
+    ) -> int:
         import shutil
         import tempfile
 
-        sid = len(self._snapshots) + 1
+        sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
+        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
 
         # data files: write through Spark then move into data/ (files
@@ -318,8 +423,9 @@ class IcebergFixtureWriter:
         self._snapshots.append(
             {
                 "snapshot-id": sid,
+                "sequence-number": self._seq,
                 "timestamp-ms": ts,
-                "parent-snapshot-id": sid - 1 if self._snapshots else None,
+                "parent-snapshot-id": parent,
                 "manifest-list": str(mlist),
                 "summary": {"operation": "append"},
             }
@@ -329,6 +435,7 @@ class IcebergFixtureWriter:
             "format-version": 2,
             "table-uuid": self.table_uuid,
             "location": str(self.root),
+            "last-sequence-number": self._seq,
             "current-snapshot-id": sid,
             "snapshots": self._snapshots,
             "snapshot-log": [

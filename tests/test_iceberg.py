@@ -1,0 +1,173 @@
+"""Apache-Iceberg-format reader: version-hint/metadata.json resolution,
+manifest-list/manifest Avro walking, snapshot pinning, time travel, and
+parent-ancestry incremental consumption
+(`crates/cdf-source-iceberg/src/driver.rs:902-1060` semantics over the
+real Iceberg directory layout, jar-free)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cdf_spark.positions import TableSnapshotPosition
+from cdf_spark.sources.iceberg import (
+    IcebergError,
+    IcebergFixtureWriter,
+    IcebergTable,
+    is_iceberg_layout,
+)
+
+# Deliberately NON-monotONE random-looking ids: snapshot 2 has a SMALLER
+# id than snapshot 1 — any reader ordering by id (instead of walking
+# parent-snapshot-id / sequence-number) silently drops snapshot 2's
+# files, which is exactly the bug class the ancestry walk prevents.
+IDS = [7_000_000_000_000_000_001, 42, 5_000_000_000_000_000_003]
+
+
+@pytest.fixture()
+def table(spark, tmp_path, orders):
+    w = IcebergFixtureWriter(tmp_path / "t", seed=7)
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.limit(100), timestamp_ms=1_000, snapshot_id=IDS[0])
+    w.append(o.offset(100).limit(50), timestamp_ms=2_000, snapshot_id=IDS[1])
+    w.append(o.offset(150).limit(25), timestamp_ms=3_000, snapshot_id=IDS[2])
+    return IcebergTable(tmp_path / "t")
+
+
+def test_layout_detection(table, tmp_path):
+    assert is_iceberg_layout(table.root)
+    assert not is_iceberg_layout(tmp_path)  # no metadata/ at all
+    # SnapshotTable-style layout (metadata/ but no *.metadata.json)
+    (tmp_path / "other" / "metadata").mkdir(parents=True)
+    assert not is_iceberg_layout(tmp_path / "other")
+
+
+def test_version_hint_resolution_and_current(table):
+    assert table.current_snapshot_id() == IDS[2]
+    assert table.metadata["format-version"] == 2
+    assert table.metadata["last-sequence-number"] == 3
+
+
+def test_no_hint_falls_back_to_newest_metadata(table):
+    (table.meta_dir / "version-hint.text").unlink()
+    t2 = IcebergTable(table.root)
+    assert t2.current_snapshot_id() == IDS[2]
+
+
+def test_snapshot_pinned_reads(spark, table):
+    assert table.read(spark, snapshot_id=IDS[0]).count() == 100
+    assert table.read(spark, snapshot_id=IDS[1]).count() == 150
+    assert table.read(spark).count() == 175  # current
+
+
+def test_time_travel_as_of(spark, table):
+    assert table.read(spark, as_of_ms=1_500).count() == 100
+    assert table.read(spark, as_of_ms=2_000).count() == 150
+    with pytest.raises(IcebergError):
+        table.snapshot_as_of(500)
+
+
+def test_ancestry_walk_orders_by_parent_chain_not_id(table):
+    chain = table.ancestry()
+    assert [int(s["snapshot-id"]) for s in chain] == [IDS[2], IDS[1], IDS[0]]
+    assert [int(s["sequence-number"]) for s in chain] == [3, 2, 1]
+
+
+def test_position_carries_sequence_number(table):
+    pos = table.position()
+    assert pos == TableSnapshotPosition(snapshot_id=IDS[2], sequence_number=3)
+    # merge orders by sequence number, not by the random ids
+    older = TableSnapshotPosition(snapshot_id=IDS[0], sequence_number=1)
+    assert older.merge(pos) == pos
+    assert pos.merge(older) == pos
+
+
+def test_changes_since_survives_nonmonotone_ids(spark, table):
+    # from snapshot 1: must see snapshots 2 AND 3 even though
+    # id(2) < id(1) — `id > seen` ordering would lose both files
+    df, pos = table.changes_since(spark, TableSnapshotPosition(snapshot_id=IDS[0]))
+    assert df.count() == 75
+    assert pos.snapshot_id == IDS[2] and pos.sequence_number == 3
+    # from current: no changes
+    df2, pos2 = table.changes_since(spark, pos)
+    assert df2 is None and pos2 == pos
+    # from None: full history
+    df3, _ = table.changes_since(spark, None)
+    assert df3.count() == 175
+
+
+def test_changes_since_rejects_non_ancestor(spark, table):
+    with pytest.raises(IcebergError, match="not an ancestor"):
+        table.changes_since(spark, TableSnapshotPosition(snapshot_id=999))
+
+
+def test_manifest_avro_roundtrip_and_added_files(table):
+    # snapshot 2 added exactly its own files; snapshot 3's LIVE set is
+    # the union of all three commits
+    added2 = table.added_files(IDS[1])
+    live3 = table.files_for_snapshot(IDS[2])
+    assert added2 and set(added2) <= set(live3)
+    assert len(live3) > len(added2)
+
+
+def test_scan_negotiated_pushdown(spark, table):
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    req = ScanRequest(
+        "iceberg_orders",
+        projection=["o_orderkey", "o_totalprice"],
+        predicates=[Col("o_totalprice") > Lit(0.0)],
+    )
+    df, plan = table.scan(spark, req, snapshot_id=IDS[0])
+    assert df.columns == ["o_orderkey", "o_totalprice"]
+    assert df.count() == 100
+    assert plan.pushed or plan.residual
+
+
+def test_catalog_routes_real_iceberg_layout(spark, table):
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+    from cdf_spark.sources.base import ResourceDescriptor
+    from cdf_spark.sources.catalog import (
+        CatalogTable,
+        CatalogTableResource,
+        FileCatalog,
+        StorageDescriptor,
+    )
+
+    cat = FileCatalog(
+        {
+            ("lake", "orders_ice"): CatalogTable(
+                name="orders_ice",
+                database="lake",
+                table_type="EXTERNAL_TABLE",
+                parameters={"table_type": "ICEBERG"},
+                storage=StorageDescriptor(location=str(table.root)),
+            )
+        }
+    )
+    src = CatalogTableResource(
+        ResourceDescriptor(resource_id="orders_ice"), cat, "lake", "orders_ice"
+    )
+    reader = src.snapshot_source()
+    assert isinstance(reader, IcebergTable)
+    assert reader.read(spark, snapshot_id=IDS[0]).count() == 100
+    # the catalog negotiate path for iceberg-classified tables works
+    # (r3: it called a method that did not exist — dead code)
+    plan = src.negotiate(
+        ScanRequest("orders_ice", predicates=[Col("o_totalprice") > Lit(0.0)])
+    )
+    assert plan.pushed or plan.residual
+
+
+def test_fixture_writer_emits_spec_shapes(table):
+    meta = json.loads(table._current_metadata_path().read_text())
+    snaps = {int(s["snapshot-id"]): s for s in meta["snapshots"]}
+    assert snaps[IDS[1]]["parent-snapshot-id"] == IDS[0]
+    assert snaps[IDS[2]]["parent-snapshot-id"] == IDS[1]
+    assert snaps[IDS[0]]["parent-snapshot-id"] is None
+    assert meta["current-snapshot-id"] == IDS[2]
+    # manifest lists are genuine Avro containers
+    assert any(p.suffix == ".avro" for p in table.meta_dir.iterdir())

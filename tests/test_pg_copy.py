@@ -283,11 +283,20 @@ def test_distributed_merge_records_protocol(spark, tmp_path, sf_dir):
         script = fh.read()
     assert "CREATE UNLOGGED TABLE" in script
     assert "DELETE FROM" in script and "IS NOT DISTINCT FROM" in script
+    # executor-side idempotency protocol: advisory lock + partition wipe
+    assert "pg_advisory_xact_lock" in script
+    assert '"_cdf_part" =' in script
+    # target only touched by the merge txn: INSERT selects the original
+    # columns (not the tag), and the committed-DDL ordering holds
+    assert 'INSERT INTO "nation_tgt"' in script and '"_cdf_part") ' not in script.split(
+        "INSERT INTO"
+    )[1]
     streams = [f for f in os.listdir(root) if f.endswith(".pgcopy")]
     assert streams, "executors pushed no COPY streams"
     import pyarrow.parquet as pq
 
-    schema = pq.read_schema(f"{sf_dir}/nation.parquet")
+    base = pq.read_schema(f"{sf_dir}/nation.parquet")
+    schema = pa.schema(list(base) + [pa.field("_cdf_part", pa.int32())])
     rows = []
     for s in streams:
         with open(os.path.join(root, s), "rb") as fh:
@@ -317,3 +326,65 @@ def test_live_postgres_commit_roundtrip(spark, tmp_path, sf_dir):
     receipt = dest.commit(spark, pkg, WriteDisposition.REPLACE)
     receipt = dest.verify(spark, receipt, pkg)
     assert receipt.verified
+
+
+def test_partition_push_idempotent_under_retry():
+    """Task-retry / speculation semantics: replaying a partition's push
+    must leave its rows staged exactly once — the advisory-locked
+    delete-then-copy wipes the prior attempt inside the same txn."""
+    import re
+
+    from cdf_spark.package.pg_copy import _partition_pusher
+
+    store: dict[int, bytes] = {}
+    protocol: list[str] = []
+
+    class _TableFake:
+        """Transport fake with actual per-partition state."""
+
+        def __init__(self):
+            self._pid = None
+            self._frames = b""
+            self._locked = False
+
+        def execute(self, sql, params=None):
+            protocol.append(sql)
+            if "pg_advisory_xact_lock" in sql:
+                self._locked = True
+                return
+            m = re.search(r'"_cdf_part" = (\d+)', sql)
+            if m:
+                assert self._locked, "partition wipe must happen under the advisory lock"
+                self._pid = int(m.group(1))
+                store.pop(self._pid, None)
+
+        def copy(self, sql, frames):
+            self._frames = b"".join(frames)
+            return 0
+
+        def commit(self):
+            if self._pid is not None:
+                store[self._pid] = self._frames
+
+        def rollback(self):
+            pass
+
+        def close(self):
+            pass
+
+    push = _partition_pusher(
+        _TableFake, 'COPY "stg" ("k", "v", "_cdf_part") FROM STDIN WITH (FORMAT binary)',
+        ["int64", "string", "int32"], stage_table="stg",
+    )
+    rows = [(1, "a", 7), (2, "b", 7)]
+    push(iter(rows))
+    first = dict(store)
+    assert list(first) == [7] and first[7]
+
+    push(iter(rows))  # the retry
+    assert store == first, "retry duplicated the partition's staged rows"
+
+    # empty partitions stay silent: no lock, no delete, no copy
+    n = len(protocol)
+    push(iter([]))
+    assert len(protocol) == n
