@@ -441,17 +441,25 @@ def dedup_clusters(
     plan (observed: 78 shuffles / 76 scans in a single audited plan),
     exploding plan compile time, scheduling, and recomputation on
     cache eviction at 100x scale. With truncation every executed round
-    is a constant ~3-shuffle plan over the previous checkpoint.
+    is a constant ~3-shuffle plan over the previous checkpoint — and
+    each round's blocks are RELEASED once the next round materializes
+    (checkpoints have no lineage, so unreleased rounds would pin one
+    full label-set copy per iteration in executor storage for the rest
+    of the session). The final round's blocks stay: they back the
+    returned DataFrame.
     """
+    from ..plans.checkpoint import release_local_checkpoint
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).localCheckpoint(
+    prev_ckpt = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).localCheckpoint(
         eager=True
     )
+    labels = prev_ckpt
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -473,9 +481,14 @@ def dedup_clusters(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+        # the new round is materialized (eager) — the previous round's
+        # blocks can never be read again; free them now
+        release_local_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
+    release_local_checkpoint(edges)  # the result reads labels only
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
 
 

@@ -590,13 +590,27 @@ def kmeans_refine_centroids(
 
     Returns (cid, ce: array<double>). Scale: the sample shuffle is
     dim× the sample rows (posexplode), independent of corpus size;
-    iterations are a driver-side loop of narrow jobs.
+    iterations are a driver-side loop of narrow jobs. Multi-iteration
+    runs truncate lineage per round with localCheckpoint(eager=True) —
+    the same accretion pattern dedup_clusters had (each extra iteration
+    otherwise splices the full prior plan under the next join) — and
+    release the previous round's blocks once the next is materialized.
+    The last iteration stays lazy so the caller composes/persists it.
     """
+    from ..plans.checkpoint import release_local_checkpoint
+
     samp = corpus.filter((F.col(id_col) % sample_modulus) == 0)
     cents = corpus.filter((F.col(id_col) % centroid_modulus) == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
     )
-    for _ in range(iters):
+    prev_ckpt = None
+    for it in range(iters):
+        if it > 0:
+            # truncate the previous iteration's plan before building on it
+            cents = cents.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                release_local_checkpoint(prev_ckpt)
+            prev_ckpt = cents
         assigned = ivf_assign(samp, cents, id_col=id_col, vec_col=vec_col, round_to=round_to)
         comp = (
             assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))

@@ -1698,20 +1698,33 @@ comp AS (
   GROUP BY 1, 2
 ),
 c1 AS (SELECT cluster AS cid, list(comp ORDER BY pos) AS ce FROM comp GROUP BY cluster),
+a2 AS (
+  SELECT id, e, cluster FROM (
+    SELECT s.vec_id AS id, s.e, c1.cid AS cluster,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY round(list_cosine_similarity(s.e, c1.ce), 4) DESC, c1.cid ASC) AS rn
+    FROM s CROSS JOIN c1) WHERE rn = 1
+),
+comp2 AS (
+  SELECT cluster, pos, CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*) AS comp
+  FROM (SELECT cluster, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM a2)
+  GROUP BY 1, 2
+),
+c2 AS (SELECT cluster AS cid, list(comp ORDER BY pos) AS ce FROM comp2 GROUP BY cluster),
 assigned AS (
   SELECT id, cluster FROM (
-    SELECT c.vec_id AS id, c1.cid AS cluster,
+    SELECT c.vec_id AS id, c2.cid AS cluster,
            row_number() OVER (PARTITION BY c.vec_id
-             ORDER BY round(list_cosine_similarity(c.e, c1.ce), 4) DESC, c1.cid ASC) AS rn
-    FROM c CROSS JOIN c1) WHERE rn = 1
+             ORDER BY round(list_cosine_similarity(c.e, c2.ce), 4) DESC, c2.cid ASC) AS rn
+    FROM c CROSS JOIN c2) WHERE rn = 1
 ),
 q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 20),
 probes AS (
   SELECT qid, cluster FROM (
-    SELECT q.qid, c1.cid AS cluster,
+    SELECT q.qid, c2.cid AS cluster,
            row_number() OVER (PARTITION BY q.qid
-             ORDER BY round(list_cosine_similarity(q.qe, c1.ce), 4) DESC, c1.cid ASC) AS rn
-    FROM q CROSS JOIN c1) WHERE rn <= 8
+             ORDER BY round(list_cosine_similarity(q.qe, c2.ce), 4) DESC, c2.cid ASC) AS rn
+    FROM q CROSS JOIN c2) WHERE rn <= 8
 ),
 cand AS (
   SELECT p.qid, a.id FROM probes p JOIN assigned a ON a.cluster = p.cluster
@@ -1733,16 +1746,18 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
 
 @_register("ivf_kmeans_topk", _IVF_KMEANS_ORACLE)
 def ivf_kmeans_topk_q(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN whose centroids are Lloyd-refined (one iteration over a
+    """IVF ANN whose centroids are Lloyd-refined (TWO iterations over a
     deterministic 1-in-3 training sample) — the k-means itself is
     value-verified in SQL: decimal-exact component means make the
-    refined centroids bit-identical across engines."""
+    refined centroids bit-identical across engines. iters=2 also proves
+    the per-iteration localCheckpoint truncation preserves values (the
+    second iteration builds on a materialized, lineage-free first)."""
     from .operators.similarity import ivf_kmeans_topk
 
     emb = _t(spark, sf, "embeddings")
     return ivf_kmeans_topk(
         emb, emb.filter("vec_id < 20"), k=10, nprobe=8,
-        centroid_modulus=50, sample_modulus=3, iters=1,
+        centroid_modulus=50, sample_modulus=3, iters=2,
     )
 
 

@@ -351,3 +351,37 @@ def test_decontamination_fast_twin_parity(spark, sf_dir):
         for r in decontamination_overlap(cands, evals, n=5, hash_fn="xxhash64").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_dedup_clusters_releases_intermediate_checkpoints(spark):
+    """Each label-propagation round localCheckpoints (plan truncation);
+    prior rounds' blocks must be RELEASED as the loop advances — a
+    chain graph forces multiple rounds, and at the end only the final
+    labels' blocks may remain pinned (plus nothing from edges)."""
+    from cdf_spark.operators.dedup_approx import dedup_clusters
+
+    def stored():
+        sc = spark.sparkContext._jsc.sc()
+        return {i.id() for i in sc.getRDDStorageInfo()}
+
+    before = stored()
+    n = 12  # chain needs ~n rounds (1 hop per round) — stay under max_iterations
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, n)], ["id_a", "id_b"])
+    out = dedup_clusters(ids, pairs)
+    assert {r.cluster for r in out.collect()} == {1}
+    leaked = stored() - before
+    # the returned frame is backed by exactly one surviving checkpoint
+    assert len(leaked) <= 1, f"leaked {len(leaked)} checkpoint RDDs: {leaked}"
+
+
+def test_release_local_checkpoint_contract(spark):
+    from cdf_spark.plans.checkpoint import release_local_checkpoint
+
+    df = spark.range(0, 100)
+    ck = df.localCheckpoint(eager=True)
+    derived = ck.selectExpr("id * 2 AS v")
+    # derived frames don't expose the handle — refused, not broken
+    assert release_local_checkpoint(derived) is False
+    assert release_local_checkpoint(df.selectExpr("id")) is False
+    assert release_local_checkpoint(ck) is True
