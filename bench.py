@@ -163,6 +163,49 @@ def main() -> None:
         if passes:
             timings[name] = min(passes)
 
+    # ANN crossover (the claim SCALE.md could previously only assert):
+    # at >=200k vectors and a 1k query batch, the IVF fast path must
+    # beat brute-force GEMM. Synthetic deterministic corpus (hash-
+    # derived vectors, dim 64) so the entry is self-contained at any SF.
+    ann_crossover = None
+    try:
+        from cdf_spark.operators.similarity import cosine_topk_fast, ivf_ann_topk_fast
+        from cdf_spark.plans.checkpoint import release_local_checkpoint
+
+        N, dim, nq = 250_000, 64, 1024
+        corpus = (
+            spark.range(N)
+            .withColumnRenamed("id", "vec_id")
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: (F.xxhash64(F.col("vec_id"), j) % 20001) / F.lit(10000.0),
+                ),
+            )
+            .repartition(32)
+            .localCheckpoint(eager=True)
+        )
+        qs = corpus.filter(F.col("vec_id") % (N // nq) == 0)
+        brute = ivf = None
+        for _ in range(2):  # best-of-2, same policy as the query set
+            t0 = time.perf_counter()
+            _materialize(cosine_topk_fast(corpus, qs, k=10))
+            brute = min(brute or 9e9, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _materialize(ivf_ann_topk_fast(corpus, qs, k=10, nprobe=4, centroid_modulus=500))
+            ivf = min(ivf or 9e9, time.perf_counter() - t0)
+        ann_crossover = {
+            "n": N,
+            "nq": nq,
+            "brute_s": round(brute, 2),
+            "ivf_s": round(ivf, 2),
+            "speedup": round(brute / ivf, 2),
+        }
+        release_local_checkpoint(corpus)
+    except Exception as exc:  # noqa: BLE001
+        errors["ann_crossover"] = f"{type(exc).__name__}: {exc}"[:400]
+
     # ingest roofline: parquet -> contract -> dedup -> package (+ commit)
     from cdf_spark.contracts import Contract, DomainRule, NullabilityRule, RangeRule
     from cdf_spark.package.ledger import ParquetDestination
@@ -328,6 +371,7 @@ def main() -> None:
                 "ingest_rows_s": ingest_rows_s,
                 "ingest_big_mib_s": ingest_big_mib_s,
                 "ingest_big_rows_s": ingest_big_rows_s,
+                "ann_crossover": ann_crossover,
                 "detail_file": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),

@@ -91,7 +91,20 @@ def decontamination_overlap(
     and broadcast (benchmarks are ≤ millions of grams — MBs — versus a
     100 TB corpus), so candidates are scanned once; explode → broadcast
     left-semi-style join → per-doc count with map-side partial agg.
+
+    Parallelism guard: gram hashing is compute-bound (~1 ms/doc), and a
+    small corpus file arrives as ONE input split — measured 4s single
+    -core at sf0.1 with zero warm-up gain. When the scan's parallelism
+    is below shuffle.partitions, the candidate text is spread first; at
+    real scale the input already has thousands of splits and the guard
+    is a no-op (no shuffle added).
     """
+    nparts = int(candidates.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        if candidates.rdd.getNumPartitions() < nparts:
+            candidates = candidates.repartition(nparts)
+    except Exception:  # noqa: BLE001 — parallelism probe is best-effort
+        pass
     cand = candidates.select(
         F.col(id_col).alias("id"),
         word_ngram_hashes(F.col(text_col), n, hash_fn).alias("grams"),

@@ -720,29 +720,77 @@ def ivf_ann_topk_fast(
     # probe driver-side: top-nprobe clusters per query (rounded sims,
     # cid-ascending tiebreak via stable lexsort)
     q_rows = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")).collect()
-    probe_pairs = []
-    for r in q_rows:
-        qv = np.asarray(r["qv"], dtype=np.float64)
-        qs = np.round((qv / np.linalg.norm(qv)) @ Cn.T, 4)
-        order = np.lexsort((cids, -qs))[:nprobe]
-        probe_pairs.extend((int(r["qid"]), int(cids[i])) for i in order)
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_pairs, "query_id long, cluster long")
+    q_rows.sort(key=lambda r: r["qid"])
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe_map: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        qs = np.round(Qn[qi] @ Cn.T, 4)
+        for ci in np.lexsort((cids, -qs))[:nprobe]:
+            probe_map.setdefault(int(cids[ci]), []).append(qi)
+    probe_idx = {c: np.array(v, dtype=np.int64) for c, v in probe_map.items()}
 
+    # rescore as a cluster-grouped GEMM mapInPandas: the corpus is
+    # scanned ONCE; each Arrow batch is split by assigned cluster and
+    # scored only against the queries probing that cluster, emitting
+    # per-(batch, query) top-k survivors. This replaces the previous
+    # probes-join + pairwise-cosine shape, whose candidate join
+    # duplicated (query_vec, corpus_vec) per candidate row — at 250k
+    # vectors x 1k queries that's GBs of Arrow traffic and made the
+    # "scale path" LOSE to brute force. Candidate flops drop from
+    # |C| x |Q| (brute) to |C| x nprobe x |Q| / ncentroids.
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def rescore(batches):
+        for pdf in batches:
+            V = np.stack(pdf["_v"].values).astype(np.float64)
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Vn = np.where(vn > 0, V / vn, 0.0)
+            ids = pdf["id"].values
+            clusters = pdf["cluster"].values
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(clusters):
+                qsel = probe_idx.get(int(c))
+                if qsel is None:
+                    continue
+                rowsel = clusters == c
+                S = Vn[rowsel] @ Qn[qsel].T  # n_c x m_c
+                nids = ids[rowsel]
+                S[nids[:, None] == qids[qsel][None, :]] = -np.inf  # self-match
+                kk = min(k, S.shape[0])
+                top = np.argpartition(-S, kk - 1, axis=0)[:kk]
+                out_q.append(np.repeat(qids[qsel][None, :], kk, 0).ravel())
+                out_n.append(nids[top].ravel())
+                out_s.append(np.take_along_axis(S, top, 0).ravel())
+            if out_q:
+                out = pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+                yield out[np.isfinite(out["sim"])]
+
+    spark = corpus.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     assigned = corpus.repartition(nparts).select(
         F.col(corpus_id).alias("id"), F.col(vec_col).alias("_v"), assign(F.col(vec_col)).alias("cluster")
     )
-    qvecs = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
-    scored = (
-        assigned.join(F.broadcast(probes), on="cluster")
-        .filter(F.col("id") != F.col("query_id"))
-        .join(F.broadcast(qvecs), on="query_id")
-        .withColumn("sim", F.round(_cosine_pd(F.col("_qv"), F.col("_v")), round_to))
+    scored = assigned.mapInPandas(rescore, schema=out_schema).withColumn(
+        "sim", F.round(F.col("sim"), round_to)
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col("id").alias("neighbor_id"), "sim", "rank")
+        .select("query_id", "neighbor_id", "sim", "rank")
     )

@@ -126,3 +126,19 @@ def test_ivf_kmeans_refined_recall(spark):
     assert r_refined >= r_plain - 0.05, (
         f"refinement degraded recall: {r_refined:.3f} vs plain {r_plain:.3f}"
     )
+
+
+def test_ivf_ann_fast_matches_hof_path(spark):
+    """The GEMM fast twin must return EXACTLY the oracled HOF path's
+    rows (same probes, same rounded sims, same tiebreaks) — it is the
+    deploy configuration the bench times, so parity is the license for
+    substituting it."""
+    from cdf_spark.operators.similarity import ivf_ann_topk, ivf_ann_topk_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    kw = dict(k=10, nprobe=8, centroid_modulus=50)
+    slow = {tuple(r) for r in ivf_ann_topk(emb, queries, **kw).collect()}
+    fast = {tuple(r) for r in ivf_ann_topk_fast(emb, queries, **kw).collect()}
+    assert len(slow) == 200
+    assert fast == slow
