@@ -6,20 +6,24 @@ Spark-idiomatic shape for per-asset Python work: each batch is a
 pandas DataFrame, the decode library is imported once per executor,
 and partitioning controls batch locality.
 
-The actual codec work (PIL/ffmpeg/torchaudio) is NOT in this
-container, so decode is stubbed: `decode_stub=True` produces
-deterministic fake features derived from the bytes (so tests and
-oracles are stable); `decode_stub=False` raises NotImplementedError at
-the import site, marking exactly where a real decoder plugs in. The
-Spark-side plumbing — schema, batch iteration, UDF signatures,
-partition sizing — is real and tested.
+Image decode is REAL for uncompressed formats: a pure-numpy codec for
+24-bit BMP and binary PPM/PGM (`decode_image`) parses headers, strips
+row padding, un-flips BMP's bottom-up rows, and reorders BGR->RGB —
+features come from actual pixel arrays. Compressed formats (JPEG/PNG)
+route through PIL when importable and otherwise raise
+NotImplementedError at the dispatch site, marking exactly where a
+codec library plugs in. `decode_stub=True` keeps the deterministic
+hash-derived fake as a fixture path for plumbing tests. ffmpeg-bound
+audio/video decode remains stubbed the same way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -70,6 +74,180 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str, media_type: str
     )
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy image codec (24-bit BMP, binary PPM/PGM)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER): rows bottom-up, BGR byte order, each row padded
+    to a 4-byte boundary — the format every viewer reads."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp wants (h, w, 3) RGB")
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += arr[y, :, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    img_size = len(body)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to (h, w, 3) uint8 RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    dib_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} unsupported")
+    flipped = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    px = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    px = px.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if flipped:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _decode_pnm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale) -> (h, w, 3) uint8."""
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:  # width, height, maxval (comments skipped)
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            pos = data.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(data) and not data[end : end + 1].isspace():
+            end += 1
+        fields.append(data[pos:end])
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM unsupported")
+    ch = 3 if data[:2] == b"P6" else 1
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=pos).reshape(h, w, ch)
+    return np.repeat(px, 3, axis=2) if ch == 1 else px.copy()
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes -> (h, w, 3) uint8 RGB. BMP and PPM/PGM
+    decode natively (numpy); anything else tries PIL and otherwise
+    raises NotImplementedError — the honest boundary where a codec
+    library plugs in."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] in (b"P6", b"P5"):
+        return _decode_pnm(data)
+    try:
+        import io
+
+        from PIL import Image  # not in the build image; works when present
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            f"no native decoder for magic {data[:2]!r} and PIL is unavailable"
+        ) from None
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL per-image statistics from decoded pixel arrays: dimensions,
+    per-channel means, and the bottom-right corner's red value (the
+    corner catches orientation/channel-order bugs a mean cannot —
+    BMP stores rows bottom-up in BGR, so a lazy decoder that skips the
+    un-flip or the reorder produces the right means and the wrong
+    corner). Arrow-batched mapInPandas; numpy imported once per
+    executor, O(pixels) per asset."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("mean_r", T.DoubleType(), True),
+            T.StructField("mean_g", T.DoubleType(), True),
+            T.StructField("mean_b", T.DoubleType(), True),
+            T.StructField("corner_r", T.IntegerType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "width", "height", "mean_r", "mean_g", "mean_b", "corner_r")}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                h, w, _ = px.shape
+                means = px.reshape(-1, 3).mean(axis=0)
+                # raw doubles, deliberately unrounded: integer pixel sums
+                # are exact in float64, so both engines compute the
+                # bit-identical quotient — rounding would ADD a
+                # half-even-vs-half-up parity hazard, not remove one
+                out["asset_id"].append(asset_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+                out["corner_r"].append(int(px[h - 1, w - 1, 0]))
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "payload").mapInPandas(run, schema)
+
+
+def synthetic_bmp_table(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL 24-bit BMP per input id, generated executor-side from a
+    closed-form pixel formula (channel- and axis-asymmetric so decoder
+    bugs — row flip, BGR order, padding — shift the statistics):
+
+        w = 8 + id % 23,  h = 8 + id % 17
+        r(x,y) = (3x + 5y +  id) % 256
+        g(x,y) = (7x + 2y + 2id) % 256
+        b(x,y) = ( x + 11y + 3id) % 256
+
+    The closed form is what lets a SQL oracle recompute the decoded
+    statistics independently — the parity test of the whole
+    encode -> decode -> feature path."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "payload": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 8 + i % 23, 8 + i % 17
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                arr = np.stack(
+                    [
+                        np.broadcast_to((3 * x + 5 * y + i) % 256, (h, w)),
+                        np.broadcast_to((7 * x + 2 * y + 2 * i) % 256, (h, w)),
+                        np.broadcast_to((x + 11 * y + 3 * i) % 256, (h, w)),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                out["asset_id"].append(i)
+                out["payload"].append(encode_bmp(arr))
+            yield pd.DataFrame(out)
+
+    return ids_df.select(id_col).mapInPandas(gen, schema)
+
+
 def _fake_image_features(payload: bytes, n_dims: int = 8) -> tuple[int, int, list[float]]:
     """Deterministic fake decode: dimensions and features derived from
     the payload hash. Replace with a real decoder (PIL) in production."""
@@ -83,16 +261,14 @@ def _fake_image_features(payload: bytes, n_dims: int = 8) -> tuple[int, int, lis
 def extract_image_features(df: DataFrame, decode_stub: bool = True, n_dims: int = 8) -> DataFrame:
     """Per-asset feature extraction over Arrow batches.
 
-    Real implementation would `from PIL import Image` inside the
-    iterator (one import per executor process, not per row).
-    """
+    ``decode_stub=False`` decodes REAL pixels (`decode_image`: native
+    BMP/PNM, PIL when present, NotImplementedError for anything else)
+    and emits true dimensions plus a spatial feature: mean luma of
+    `n_dims` vertical bands, normalized to [0, 1]. ``decode_stub=True``
+    keeps the hash-derived fake for plumbing tests with arbitrary
+    payload bytes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not decode_stub:
-            raise NotImplementedError(
-                "real image decode requires PIL/opencv (not in this image); "
-                "set decode_stub=True or plug a decoder in here"
-            )
         for pdf in batches:
             out = {
                 "asset_id": [],
@@ -103,7 +279,14 @@ def extract_image_features(df: DataFrame, decode_stub: bool = True, n_dims: int 
             }
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                w, h, feats = _fake_image_features(data, n_dims)
+                if decode_stub:
+                    w, h, feats = _fake_image_features(data, n_dims)
+                else:
+                    px = decode_image(data)
+                    h, w, _ = px.shape
+                    luma = px.astype(np.float64).mean(axis=2)  # h x w
+                    bands = np.array_split(luma, n_dims, axis=1)
+                    feats = [round(float(b.mean()) / 255.0, 6) for b in bands]
                 out["asset_id"].append(asset_id)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -1193,6 +1193,45 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return feats.select("asset_id", "width", "height", "n_bytes")
 
 
+@_register(
+    "image_pixel_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 23 AS w, 8 + doc_id % 17 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, x.range AS x, y.range AS y
+      FROM d
+      JOIN range(0, 31) x ON x.range < d.w
+      JOIN range(0, 25) y ON y.range < d.h
+    )
+    SELECT doc_id AS asset_id, w AS width, h AS height,
+           avg((3*x + 5*y + doc_id) % 256) AS mean_r,
+           avg((7*x + 2*y + 2*doc_id) % 256) AS mean_g,
+           avg((x + 11*y + 3*doc_id) % 256) AS mean_b,
+           CAST(max(CASE WHEN x = w - 1 AND y = h - 1
+                         THEN (3*x + 5*y + doc_id) % 256 END) AS INT) AS corner_r
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def image_pixel_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode end-to-end: closed-form BMPs are encoded
+    executor-side (`synthetic_bmp_table` — genuine 24-bit BMP bytes:
+    bottom-up rows, BGR, 4-byte padding), decoded back by the pure-
+    numpy codec, and per-channel pixel statistics computed from the
+    decoded arrays (`operators/multimodal.py`). The oracle recomputes
+    the same statistics from the pixel formula directly — any decoder
+    bug (row flip, channel order, stride padding) shifts mean/corner
+    values and breaks the match. Replaces the hash-derived fake as the
+    image path's primary evidence (the fake remains a plumbing
+    fixture)."""
+    from .operators.multimodal import image_pixel_stats, synthetic_bmp_table
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return image_pixel_stats(synthetic_bmp_table(docs, "doc_id"))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -385,3 +385,65 @@ def test_release_local_checkpoint_contract(spark):
     assert release_local_checkpoint(derived) is False
     assert release_local_checkpoint(df.selectExpr("id")) is False
     assert release_local_checkpoint(ck) is True
+
+
+def test_bmp_codec_roundtrip_and_layout():
+    """encode_bmp/decode_bmp round-trip exactly, across widths that
+    exercise every row-padding case (w*3 mod 4 = 0..3)."""
+    import numpy as np
+
+    from cdf_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for w in (8, 9, 10, 11):
+        arr = rng.integers(0, 256, size=(5, w, 3), dtype=np.uint8)
+        data = encode_bmp(arr)
+        assert data[:2] == b"BM"
+        assert np.array_equal(decode_bmp(data), arr)
+    # orientation: decoded top-left must be the array's top-left (BMP
+    # stores bottom-up — a decoder skipping the un-flip fails here)
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    arr[0, 0] = (200, 10, 30)  # top-left, RGB
+    px = decode_bmp(encode_bmp(arr))
+    assert tuple(px[0, 0]) == (200, 10, 30) and tuple(px[3, 3]) == (0, 0, 0)
+
+
+def test_pnm_decode_and_dispatch():
+    import numpy as np
+
+    from cdf_spark.operators.multimodal import decode_image
+
+    # P6 with a comment line in the header
+    body = bytes(range(2 * 3 * 3))
+    p6 = b"P6\n# test comment\n3 2\n255\n" + body
+    px = decode_image(p6)
+    assert px.shape == (2, 3, 3) and px.flatten().tolist() == list(body)
+    # P5 grayscale broadcast to 3 channels
+    p5 = b"P5\n2 2\n255\n" + bytes([0, 80, 160, 240])
+    px = decode_image(p5)
+    assert px.shape == (2, 2, 3) and tuple(px[1, 1]) == (240, 240, 240)
+    # unknown magic -> honest NotImplementedError (PIL absent here)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_real_image_features_from_pixels(spark):
+    """decode_stub=False computes from REAL decoded pixels: a half
+    black / half white image yields band lumas 0 and 1."""
+    import numpy as np
+
+    from cdf_spark.operators.multimodal import (
+        encode_bmp,
+        extract_image_features,
+        to_media_table,
+    )
+
+    arr = np.zeros((10, 16, 3), dtype=np.uint8)
+    arr[:, 8:, :] = 255  # right half white
+    df = spark.createDataFrame([(1, bytearray(encode_bmp(arr)))], "doc_id long, blob binary")
+    media = to_media_table(df, "doc_id", "blob", "image")
+    row = extract_image_features(media, decode_stub=False, n_dims=2).collect()[0]
+    assert (row.width, row.height) == (16, 10)
+    assert row.feature == [0.0, 1.0]
