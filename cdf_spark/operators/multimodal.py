@@ -205,6 +205,109 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
     return df.select("asset_id", "payload").mapInPandas(run, schema)
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy audio codec (RIFF/WAVE, 16-bit PCM)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode a 1-D int16 array as a canonical RIFF/WAVE file (PCM,
+    mono, 16-bit little-endian)."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE 16-bit PCM -> (samples int16 [n, channels],
+    sample_rate). Walks the chunk list (real WAVs carry LIST/fact/cue
+    chunks between fmt and data — fixed offsets are a decoder bug)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, channels, bits, frames = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", data, pos)
+            bits = struct.unpack_from("<H", data, pos + 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(f"WAV format {audio_fmt}/{bits}-bit unsupported")
+        elif cid == b"data":
+            if channels is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            n = size // (2 * channels)
+            frames = np.frombuffer(data, dtype="<i2", count=n * channels, offset=pos).reshape(
+                n, channels
+            )
+        pos += size + (size % 2)  # chunks are word-aligned
+    if frames is None:
+        raise ValueError("WAV has no data chunk")
+    return frames, int(sample_rate)
+
+
+def audio_sample_stats(df: DataFrame) -> DataFrame:
+    """REAL per-clip statistics from decoded PCM: sample counts, exact
+    integer sum/abs-sum (engine-exact, so a SQL oracle can match them
+    bit-for-bit), and zero-crossing count — the waveform-shape signal
+    level/length stats cannot fake."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("sum_amp", T.LongType(), True),
+            T.StructField("sum_abs", T.LongType(), True),
+            T.StructField("zero_crossings", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "sample_rate", "n_samples", "sum_amp", "sum_abs", "zero_crossings")}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames, sr = decode_wav(bytes(payload))
+                mono = frames[:, 0].astype(np.int64)
+                out["asset_id"].append(asset_id)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(len(mono))
+                out["sum_amp"].append(int(mono.sum()))
+                out["sum_abs"].append(int(np.abs(mono).sum()))
+                out["zero_crossings"].append(int(((mono[:-1] >= 0) != (mono[1:] >= 0)).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "payload").mapInPandas(run, schema)
+
+
+def synthetic_wav_table(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL 16-bit PCM WAV per input id from a closed-form
+    triangle-ish waveform a SQL oracle can recompute:
+
+        n  = 400 + id % 700          (samples, mono, 16 kHz)
+        s_t = ((t * (13 + id % 7)) % 2001) - 1000   for t in [0, n)
+    """
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "payload": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 400 + i % 700
+                t = np.arange(n, dtype=np.int64)
+                s = ((t * (13 + i % 7)) % 2001) - 1000
+                out["asset_id"].append(i)
+                out["payload"].append(encode_wav(s.astype(np.int16)))
+            yield pd.DataFrame(out)
+
+    return ids_df.select(id_col).mapInPandas(gen, schema)
+
+
 def synthetic_bmp_table(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One REAL 24-bit BMP per input id, generated executor-side from a
     closed-form pixel formula (channel- and axis-asymmetric so decoder

@@ -1232,6 +1232,44 @@ def image_pixel_stats_q(spark: SparkSession, sf: str) -> DataFrame:
     return image_pixel_stats(synthetic_bmp_table(docs, "doc_id"))
 
 
+@_register(
+    "audio_sample_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, 400 + doc_id % 700 AS n, 13 + doc_id % 7 AS k
+      FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+      SELECT d.doc_id, d.n, t.range AS t,
+             ((t.range * d.k) % 2001) - 1000 AS amp,
+             (((t.range + 1) * d.k) % 2001) - 1000 AS amp_next
+      FROM d JOIN range(0, 1100) t ON t.range < d.n
+    )
+    SELECT doc_id AS asset_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(amp) AS BIGINT) AS sum_amp,
+           CAST(sum(abs(amp)) AS BIGINT) AS sum_abs,
+           CAST(sum(CASE WHEN t < n - 1 AND ((amp >= 0) != (amp_next >= 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM s GROUP BY doc_id
+    """,
+)
+def audio_sample_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode end-to-end: closed-form 16-bit PCM WAVs are
+    encoded executor-side (`synthetic_wav_table` — genuine RIFF files),
+    decoded back by the chunk-walking numpy codec, and integer-exact
+    waveform statistics (sum, abs-sum, zero crossings) computed from
+    the decoded samples (`operators/multimodal.py`). The oracle
+    recomputes the same statistics from the waveform formula directly —
+    wrong endianness, chunk offsets, or sign handling all shift the
+    sums and break the match."""
+    from .operators.multimodal import audio_sample_stats, synthetic_wav_table
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return audio_sample_stats(synthetic_wav_table(docs, "doc_id"))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

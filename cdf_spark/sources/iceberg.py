@@ -282,6 +282,14 @@ class IcebergTable:
                     "consumption cannot resume; full re-read required"
                 )
             newer = chain[: ids.index(seen)]  # strictly after `seen`
+        # a non-append commit (overwrite/delete/replace) invalidates
+        # added-files-only consumption: rows the consumer already saw
+        # may be gone. Reset to a full read of current — the contract
+        # SnapshotTable.changes_since established for this engine.
+        if any(
+            (s.get("summary") or {}).get("operation", "append") != "append" for s in newer
+        ):
+            return self.read(spark, snapshot_id=cur), new_pos
         files: list[str] = []
         for s in reversed(newer):  # oldest first
             files.extend(self.added_files(int(s["snapshot-id"])))
@@ -351,6 +359,24 @@ class IcebergFixtureWriter:
     def append(
         self, df: DataFrame, timestamp_ms: int | None = None, snapshot_id: int | None = None
     ) -> int:
+        return self._commit(df, "append", timestamp_ms, snapshot_id)
+
+    def overwrite(
+        self, df: DataFrame, timestamp_ms: int | None = None, snapshot_id: int | None = None
+    ) -> int:
+        """Overwrite commit: the new manifest list references ONLY this
+        commit's manifest, so the snapshot's live set is exactly the new
+        files (prior files stay on disk for time travel — Iceberg's
+        copy-on-write overwrite shape)."""
+        return self._commit(df, "overwrite", timestamp_ms, snapshot_id)
+
+    def _commit(
+        self,
+        df: DataFrame,
+        operation: str,
+        timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> int:
         import shutil
         import tempfile
 
@@ -404,7 +430,7 @@ class IcebergFixtureWriter:
         # snapshot's manifest list in a real table; the fixture keeps
         # it simpler by re-listing prior manifests in the new list
         prior = [s["manifest-list"] for s in self._snapshots]
-        if prior:
+        if prior and operation == "append":
             _, rows = decode_container(Path(_strip_uri(prior[-1])).read_bytes())
             new_rows = rows + [
                 {
@@ -427,7 +453,7 @@ class IcebergFixtureWriter:
                 "timestamp-ms": ts,
                 "parent-snapshot-id": parent,
                 "manifest-list": str(mlist),
-                "summary": {"operation": "append"},
+                "summary": {"operation": operation},
             }
         )
         self._version += 1

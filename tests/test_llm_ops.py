@@ -447,3 +447,36 @@ def test_real_image_features_from_pixels(spark):
     row = extract_image_features(media, decode_stub=False, n_dims=2).collect()[0]
     assert (row.width, row.height) == (16, 10)
     assert row.feature == [0.0, 1.0]
+
+
+def test_wav_codec_roundtrip_and_chunk_walking():
+    import struct
+
+    import numpy as np
+
+    from cdf_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = (np.arange(-500, 500, 7)).astype(np.int16)
+    data = encode_wav(s, sample_rate=22_050)
+    frames, sr = decode_wav(data)
+    assert sr == 22_050 and frames.shape[1] == 1
+    assert np.array_equal(frames[:, 0], s)
+
+    # real WAVs carry extra chunks between fmt and data: inject a LIST
+    # chunk (odd size -> word-aligned padding) and decode must still work
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # pad byte
+    patched = data[:fmt_end] + extra + data[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    frames2, sr2 = decode_wav(patched)
+    assert np.array_equal(frames2, frames) and sr2 == 22_050
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAIFF")
+    with _pytest.raises(NotImplementedError):
+        # 8-bit PCM: fmt chunk advertises bits=8
+        bad = bytearray(data)
+        struct.pack_into("<H", bad, 12 + 8 + 14, 8)
+        decode_wav(bytes(bad))
