@@ -1270,6 +1270,71 @@ def audio_sample_stats_q(spark: SparkSession, sf: str) -> DataFrame:
     return audio_sample_stats(synthetic_wav_table(docs, "doc_id"))
 
 
+@_register(
+    "delta_time_travel",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900",
+)
+def delta_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time travel over a REAL Delta-Lake directory layout
+    (`sources/delta.py`: numbered JSON-lines commits under _delta_log,
+    add/remove action replay): three commits, the pin at version 1 must
+    see commits 0+1 only."""
+    import shutil
+    import tempfile
+
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    tmp = tempfile.mkdtemp(prefix="cdf_delta_")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t")
+        w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
+        v1 = w.append(
+            o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)),
+            timestamp_ms=2000,
+        )
+        w.append(o.filter(F.col("o_orderkey") > 900), timestamp_ms=3000)
+        pinned = DeltaTable(f"{tmp}/t").read(spark, version=v1)
+        rows = pinned.collect()  # materialize before the tmp dir goes
+        return spark.createDataFrame(rows, pinned.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "delta_changes_since",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey > 400",
+)
+def delta_changes_since(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental consumption off the Delta log: checkpointed at
+    version 0, the consumer receives exactly the files ADDED by
+    versions 1 and 2 (append-only log — a remove action would reset to
+    a full re-read, tested in test_delta)."""
+    import shutil
+    import tempfile
+
+    from .positions import TableSnapshotPosition
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    tmp = tempfile.mkdtemp(prefix="cdf_delta_inc_")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t")
+        v0 = w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
+        w.append(
+            o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)),
+            timestamp_ms=2000,
+        )
+        w.append(o.filter(F.col("o_orderkey") > 900), timestamp_ms=3000)
+        df, _pos = DeltaTable(f"{tmp}/t").changes_since(
+            spark, TableSnapshotPosition(snapshot_id=v0)
+        )
+        rows = df.collect()  # materialize before the tmp dir goes
+        return spark.createDataFrame(rows, df.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

