@@ -403,12 +403,52 @@ def rhp_lsh_topk_fast(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # re-score with the query matrix CLOSED OVER (queries are
+    # broadcast-scale by the operator's contract): candidates join only
+    # the corpus vector, and a mapInPandas computes row-wise normalized
+    # dots against Qn — no query-vector duplication through a join, no
+    # pairwise two-array Arrow transfer (the shape that made the IVF
+    # fast path lose to brute force before its rework)
+    q_rows = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    q_rows.sort(key=lambda r: r["qid"])
+    qids_arr = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    Qn_mat = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qpos = {int(q): i for i, q in enumerate(qids_arr)}
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def rescore(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_nv"].values).astype(np.float64)
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Vn = np.where(vn > 0, V / vn, 0.0)
+            qi = np.fromiter(
+                (qpos[int(q)] for q in pdf["query_id"].values), dtype=np.int64, count=len(pdf)
+            )
+            sims = (Vn * Qn_mat[qi]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "neighbor_id": pdf["neighbor_id"].values,
+                    "sim": sims,
+                }
+            )
+
     cvecs = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
-    qvecs = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
     scored = (
         cand_ids.join(cvecs, on="neighbor_id")
-        .join(F.broadcast(qvecs), on="query_id")
-        .withColumn("sim", F.round(_cosine_pd(F.col("_qv"), F.col("_nv")), round_to))
+        .mapInPandas(rescore, schema=out_schema)
+        .withColumn("sim", F.round(F.col("sim"), round_to))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -115,3 +115,68 @@ def hll_cardinality(df: DataFrame, col: str, p: int = 8, round_to: int = 4) -> D
     return regs.agg(hll_estimate(regs, p, round_to).alias("hll_estimate")).select(
         F.lit(col).alias("col_name"), "hll_estimate"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation / heavy hitters)
+
+
+def cms_registers(df: DataFrame, col: str, w: int = 256, d: int = 4) -> DataFrame:
+    """Count-min sketch as a register DataFrame: (r, bucket, c) for the
+    d x w counter matrix — row r's hash is hash64(r || ':' || value)
+    % w (md5-derived, SQL parity like the HLL). One groupBy with
+    map-side partial sums; the shuffle moves at most d*w rows per
+    partition, the sketch property that makes frequency profiling a
+    one-pass partial aggregation at 100 TB."""
+    base = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("_v"))
+        .select("_v", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"))
+    )
+    bucket = hash64(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("_v"))) % w
+    return (
+        base.select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge by elementwise counter SUM — the union law:
+    cms(A ∪ B) == merge(cms(A), cms(B)), asserted in tests."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(registers: DataFrame, candidates: DataFrame, val_col: str, w: int = 256, d: int = 4) -> DataFrame:
+    """Point-estimate counts for candidate values: min over the d rows
+    of each value's counter — the classic one-sided estimator (never
+    under-counts; over-counts only on hash collisions, deterministic
+    here so both engines over-count identically). Registers are tiny
+    (<= d*w rows) and broadcast; candidates scan once."""
+    cand = candidates.select(F.col(val_col).cast("string").alias("val")).distinct()
+    probes = cand.select(
+        "val", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r")
+    ).withColumn(
+        "bucket", hash64(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("val"))) % w
+    )
+    joined = probes.join(F.broadcast(registers), on=["r", "bucket"], how="left")
+    return (
+        joined.groupBy("val")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, col: str, threshold: int, w: int = 256, d: int = 4
+) -> DataFrame:
+    """Values whose estimated frequency meets the threshold. The
+    candidate set is the column's distinct values (exact heavy-hitter
+    recall — CMS never under-counts, so no true heavy hitter is
+    missed; collisions can only ADD false candidates, identically in
+    both engines)."""
+    regs = cms_registers(df, col, w, d)
+    est = cms_estimate(regs, df.select(col), col, w, d)
+    return est.filter(F.col("est") >= threshold).select("val", "est")

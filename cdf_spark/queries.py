@@ -1335,6 +1335,42 @@ def delta_changes_since(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register(
+    "cms_heavy_hitters",
+    """
+    WITH v AS (
+      SELECT CAST(lang AS VARCHAR) AS val FROM documents
+      WHERE lang IS NOT NULL
+    ),
+    rows_ AS (SELECT range AS r FROM range(0, 4)),
+    reg AS (
+      SELECT r.r,
+             CAST(('0x' || substr(md5(r.r || ':' || v.val), 1, 15)) AS BIGINT) % 256 AS bucket,
+             count(*) AS c
+      FROM v CROSS JOIN rows_ r GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT val FROM v),
+    est AS (
+      SELECT cand.val, min(reg.c) AS est
+      FROM cand CROSS JOIN rows_ r
+      JOIN reg ON reg.r = r.r
+              AND reg.bucket = CAST(('0x' || substr(md5(r.r || ':' || cand.val), 1, 15)) AS BIGINT) % 256
+      GROUP BY 1
+    )
+    SELECT val, est FROM est WHERE est >= 72
+    """,
+)
+def cms_heavy_hitters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, value-verified like the HLL: the
+    d x w counter matrix uses md5-parity hashing, so register contents,
+    collisions, and min-estimates are bit-identical across engines
+    (`operators/sketches.py`). Mergeable by counter sum — the one-pass
+    frequency-profile shape for 100 TB columns."""
+    from .operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_t(spark, sf, "documents"), "lang", threshold=72)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

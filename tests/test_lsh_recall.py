@@ -142,3 +142,17 @@ def test_ivf_ann_fast_matches_hof_path(spark):
     fast = {tuple(r) for r in ivf_ann_topk_fast(emb, queries, **kw).collect()}
     assert len(slow) == 200
     assert fast == slow
+
+
+def test_rhp_lsh_fast_matches_hof_path(spark):
+    """The banded-LSH GEMM twin must return exactly the oracled HOF
+    path's rows — it is the deploy configuration the bench times."""
+    from cdf_spark.operators.similarity import rhp_lsh_topk, rhp_lsh_topk_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    kw = dict(k=10, bits=16, band_bits=4)
+    slow = {tuple(r) for r in rhp_lsh_topk(emb, queries, **kw).collect()}
+    fast = {tuple(r) for r in rhp_lsh_topk_fast(emb, queries, **kw).collect()}
+    assert len(slow) == 200
+    assert fast == slow

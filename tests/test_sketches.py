@@ -55,3 +55,34 @@ def test_hll_nulls_ignored(spark):
     regs = hll_registers(df, "x")
     assert regs.count() <= 2  # two distinct values -> at most 2 registers
     assert _est(regs) > 0
+
+
+def test_cms_never_undercounts_and_tight_here(spark, sf_dir):
+    """CMS one-sided error: est >= true count always; with w=256 and
+    only 5 distinct values, collisions are absent and est == true."""
+    from cdf_spark.operators.sketches import cms_estimate, cms_registers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    true = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    regs = cms_registers(docs, "lang")
+    est = {r.val: r.est for r in cms_estimate(regs, docs.select("lang"), "lang").collect()}
+    assert set(est) == set(true)
+    for v, c in true.items():
+        assert est[v] >= c
+        assert est[v] == c  # no collisions at this density
+
+
+def test_cms_merge_law(spark, sf_dir):
+    """cms(A ∪ B) == merge(cms(A), cms(B)) — counter-sum mergeability,
+    the property that makes the sketch a one-pass partial aggregate."""
+    from cdf_spark.operators.sketches import cms_merge, cms_registers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    merged = {
+        (r.r, r.bucket): r.c
+        for r in cms_merge(cms_registers(a, "lang"), cms_registers(b, "lang")).collect()
+    }
+    whole = {(r.r, r.bucket): r.c for r in cms_registers(docs, "lang").collect()}
+    assert merged == whole
