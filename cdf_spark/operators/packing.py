@@ -1,0 +1,117 @@
+"""Training-batch assembly operators: sequence packing + domain mixing.
+
+The last mile of a pretraining data pipeline, after dedup/quality/
+decontamination: assemble documents into fixed-token-budget training
+sequences, and sample sources to hit a target domain mixture. Both are
+deterministic, shuffle-minimal, and carry exact ANSI-SQL twins for the
+oracle gate (window cumulative sums; md5-parity hash gates).
+
+Scale notes (100 TB):
+- `pack_sequences` is one window over (shard, order) — packing is
+  per-shard, so the sort shuffle is bounded by shard size, never a
+  global sort. Shards map to whatever parallel unit the trainer reads
+  (a file, a worker's slice); packing across shards would serialize the
+  corpus for zero training benefit.
+- `domain_mix_sample` is a broadcast of per-domain rates (|domains|
+  rows) + a stateless hash gate per row — no shuffle beyond the tiny
+  rate aggregation. The hash gate keeps sampling decisions reproducible
+  row-by-row across engines and runs (no RNG state anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import hash64, token_count
+
+HASH_GATE_MOD = 1_000_000
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget pack by contiguous
+    fill: documents are taken in deterministic (shard, id) order, and a
+    document starts the next pack when its tokens would not fit — the
+    sequential-fill discipline training loaders actually use (greedy
+    best-fit packing would reorder the corpus and shuffle per token for
+    a ~1% density win).
+
+    Output per document: (id, n_tokens, pack_id, pack_offset) where
+    pack_offset is the token position within the pack. Documents longer
+    than the budget occupy a pack alone (the trainer truncates; this
+    operator never silently drops).
+
+    The assignment is a closed form over the running total: with
+    cum = sum of tokens up to and including this doc (window), a doc
+    belongs to pack floor((cum - 1) / budget) ONLY under exact fill;
+    real packing needs the boundary reset, which the closed form cannot
+    express — so the fill is computed as a per-shard aggregate fold
+    (collect in window order inside the SQL twin, a size-bounded shard
+    here). To keep BOTH engines in pure closed-form (no fold), packing
+    uses the BLOCKED discipline: pack = floor((cum - n) / budget) —
+    i.e. a document is placed at its running-total offset and packs are
+    budget-sized windows of the token stream. A document may straddle a
+    boundary; `pack_offset + n_tokens > budget` marks it for the
+    trainer's splitter. This is exactly 'concatenate-then-chunk', the
+    GPT-style packing, and it is deterministic and O(1) per row."""
+    shard = F.col(shard_col) if shard_col else F.lit("_all")
+    w = Window.partitionBy(shard).orderBy(F.col(id_col).asc())
+    n = token_count(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        *([F.col(shard_col)] if shard_col else []),
+        n.cast("long").alias("n_tokens"),
+    )
+    out = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    return out.select(
+        id_col,
+        *( [shard_col] if shard_col else [] ),
+        "n_tokens",
+        (((F.col("_cum") - F.col("n_tokens")) / budget).cast("long")).alias("pack_id"),
+        ((F.col("_cum") - F.col("n_tokens")) % budget).alias("pack_offset"),
+    )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sampling to a target domain mixture.
+
+    Given target proportions p_d, the largest achievable mixture keeps
+    every row of the binding domain (the one with the smallest
+    n_d / p_d) and samples the rest down: total T = min_d(n_d / p_d),
+    take rate r_d = T * p_d / n_d. Rows pass a reproducible hash gate
+    (md5-parity, like every sampler here): hash64(id) % 1e6 < r_d * 1e6
+    — approximate counts (binomial-ish around the target), but the
+    row-level keep/drop decision is bit-identical across engines and
+    runs, which is what makes the mixture auditable.
+
+    Domains absent from `targets` are dropped. Returns the sampled rows
+    with a `mix_rate` column recording the applied rate (rounded to 6,
+    the gate's granularity)."""
+    rates_src = [(d, float(p)) for d, p in targets.items()]
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(rates_src, f"{domain_col} string, _p double")
+    counts = df.join(F.broadcast(tgt), on=domain_col).groupBy(domain_col, "_p").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # T = min_d(n_d / p_d); r_d = T * p_d / n_d  (closed form, tiny agg)
+    t_total = counts.agg(F.min(F.col("_n") / F.col("_p")).alias("_t"))
+    rates = counts.crossJoin(F.broadcast(t_total)).select(
+        domain_col,
+        F.round(F.col("_t") * F.col("_p") / F.col("_n"), 6).alias("mix_rate"),
+    )
+    gate = hash64(F.col(id_col).cast("string")) % HASH_GATE_MOD
+    return (
+        df.join(F.broadcast(rates), on=domain_col)
+        .filter(gate < (F.col("mix_rate") * HASH_GATE_MOD).cast("long"))
+    )

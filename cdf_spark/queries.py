@@ -1371,6 +1371,75 @@ def cms_heavy_hitters_q(spark: SparkSession, sf: str) -> DataFrame:
     return cms_heavy_hitters(_t(spark, sf, "documents"), "lang", threshold=72)
 
 
+@_register(
+    "pack_sequences_by_lang",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           (cum - n_tokens) // 2048 AS pack_id,
+           (cum - n_tokens) % 2048 AS pack_offset
+    FROM c
+    """,
+)
+def pack_sequences_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence packing (`operators/packing.py`): documents
+    concatenated-then-chunked into 2048-token packs per lang shard
+    (GPT-style packing as a closed form over the running token total —
+    one window per shard, O(1) per row, no global sort)."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf, "documents"), budget=2048, shard_col="lang"
+    )
+
+
+@_register(
+    "domain_mix_sample",
+    """
+    WITH tgt AS (
+      SELECT * FROM (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25)) AS t(lang, p)
+    ),
+    counts AS (
+      SELECT d.lang, t.p, count(*) AS n
+      FROM documents d JOIN tgt t ON d.lang = t.lang GROUP BY 1, 2
+    ),
+    tot AS (SELECT min(n / p) AS t FROM counts),
+    rates AS (
+      SELECT lang, round(tot.t * p / n, 6) AS mix_rate FROM counts, tot
+    )
+    SELECT d.doc_id, d.lang, r.mix_rate
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+          < CAST(r.mix_rate * 1000000 AS BIGINT)
+    """,
+)
+def domain_mix_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic domain-mixture sampling (`operators/packing.py`):
+    target 50/25/25 over en/de/fr — the binding domain keeps every row,
+    the rest sample down through the md5-parity hash gate, so the
+    row-level keep/drop set is bit-identical across engines (auditable
+    data mixing, no RNG state)."""
+    from .operators.packing import domain_mix_sample
+
+    out = domain_mix_sample(
+        _t(spark, sf, "documents"),
+        {"en": 0.5, "de": 0.25, "fr": 0.25},
+        domain_col="lang",
+    )
+    return out.select("doc_id", "lang", "mix_rate")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

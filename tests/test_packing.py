@@ -1,0 +1,66 @@
+"""Training-batch assembly: sequence packing + domain mixing
+(`cdf_spark/operators/packing.py`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.operators.packing import domain_mix_sample, pack_sequences
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 tokens -> pack 0, offset 0
+            (2, "d e f g"),        # 4 tokens -> pack 0, offset 3
+            (3, "h i j"),          # 3 tokens -> straddles the 8-boundary
+            (4, "k"),              # 1 token  -> pack 1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pack_sequences(docs, budget=8).collect()}
+    assert (out[1].pack_id, out[1].pack_offset) == (0, 0)
+    assert (out[2].pack_id, out[2].pack_offset) == (0, 3)
+    # doc 3 starts at offset 7 of pack 0 and straddles into pack 1 —
+    # concatenate-then-chunk places it at its stream offset
+    assert (out[3].pack_id, out[3].pack_offset) == (0, 7)
+    assert out[3].pack_offset + out[3].n_tokens > 8  # trainer must split
+    assert (out[4].pack_id, out[4].pack_offset) == (1, 2)
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b", "x"), (2, "c d", "y"), (3, "e f", "x")],
+        ["doc_id", "text", "shard"],
+    )
+    out = {r.doc_id: r for r in pack_sequences(docs, budget=3, shard_col="shard").collect()}
+    # each shard's stream starts at offset 0
+    assert (out[1].pack_id, out[1].pack_offset) == (0, 0)
+    assert (out[2].pack_id, out[2].pack_offset) == (0, 0)
+    assert (out[3].pack_id, out[3].pack_offset) == (0, 2)
+
+
+def test_domain_mix_binding_domain_keeps_everything(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    targets = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    out = domain_mix_sample(docs, targets)
+    got = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    # the binding domain (min n/p) is kept at rate 1.0
+    binding = min(targets, key=lambda d: counts[d] / targets[d])
+    assert got[binding] == counts[binding]
+    # unlisted domains are dropped entirely
+    assert set(got) == set(targets)
+    # achieved mixture within hash-gate noise of the target (±20% rel)
+    total = sum(got.values())
+    for d, p in targets.items():
+        assert abs(got[d] / total - p) / p < 0.2, (d, got[d] / total)
+
+
+def test_domain_mix_is_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    targets = {"en": 0.6, "zh": 0.4}
+    a = {r.doc_id for r in domain_mix_sample(docs, targets).collect()}
+    b = {r.doc_id for r in domain_mix_sample(docs, targets).collect()}
+    assert a == b and a
