@@ -65,6 +65,9 @@ class LoadPipeline:
     late_action: str = "annotate"
     predicates: list[Expr] = field(default_factory=list)
     projection: list[str] | None = None
+    # positions merged into the checkpoint beyond the cursor field —
+    # how snapshot-table sources (Iceberg/Delta) record their frontier
+    extra_positions: dict = field(default_factory=dict)
 
     def run(self, spark: SparkSession, as_of: datetime | None = None) -> RunResult:
         desc: ResourceDescriptor = self.resource.descriptor
@@ -247,6 +250,7 @@ class LoadPipeline:
             if self.ledger:
                 self.ledger.record_receipt(receipt)
                 positions = {desc.cursor.field: new_position} if desc.cursor else {}
+                positions.update(self.extra_positions)
                 self.ledger.advance(desc.resource_id, receipt, positions)
 
         return RunResult(
