@@ -1,0 +1,97 @@
+"""Temporal joins and rollups: range (point-in-interval) join and
+hypertable-style continuous-aggregate rollups.
+
+Named in the build brief alongside as-of join (`operators/asof.py`) as
+operators Spark lacks natively; both are expressed as compositions of
+DataFrame ops so Catalyst keeps planning them.
+
+- `range_join`: the naive formulation is a theta-join
+  (`start <= ts AND ts < end`) which Spark can only execute as a
+  BroadcastNestedLoopJoin (O(|points| x |intervals|) comparisons) or a
+  cartesian product. The scale path converts it to an EQUI-join by
+  time-bucketing: each interval is exploded to the fixed-width buckets
+  it overlaps, each point maps to its single containing bucket, the
+  join is hash-based on the bucket, and the exact containment predicate
+  runs as a residual filter. Each (point, interval) match appears in
+  exactly ONE bucket (the point's), so no dedup pass is needed. Cost:
+  |intervals| x ceil(span/width) exploded rows (choose width near the
+  median interval span) and one shuffle-or-broadcast hash join — the
+  standard interval-join decomposition at 100 TB.
+
+- `hypertable_rollup`: a fine-grained time-bucket aggregate plus a
+  coarse aggregate computed FROM the fine one (never from raw) — the
+  continuous-aggregate discipline: the fine rollup is the stored
+  materialization, coarser views re-aggregate it. Sums ride
+  DECIMAL(38,6) so re-aggregation is exact and order-independent,
+  which is what lets the oracle verify coarse-from-fine equals
+  coarse-from-raw bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86_400,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Join each point row to every interval row containing it
+    (`start <= ts < end`), as a bucketed equi-join + residual filter.
+    Output: all point columns + all interval columns.
+
+    ``broadcast_intervals`` fits the common shape (dimension-sized
+    interval sets — campaigns, validity windows); set False to
+    shuffle-hash-join two huge sides on the bucket key."""
+    # integer `div`, not `/`: double division at bucket boundaries can
+    # round up and is only accidentally correct
+    start_b = F.expr(f"CAST({start_col} AS LONG) div {bucket_seconds}")
+    # end is exclusive: the last overlapped bucket is the one holding
+    # end - 1 microsecond (an interval ending exactly on a boundary
+    # does not reach into the next bucket)
+    end_b = F.expr(
+        f"(CAST({end_col} AS LONG) * 1000000 - 1) div {bucket_seconds * 1_000_000}"
+    )
+    iv = intervals.withColumn("_bucket", F.explode(F.sequence(start_b, end_b)))
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    pt = points.withColumn("_bucket", F.expr(f"CAST({ts_col} AS LONG) div {bucket_seconds}"))
+    return (
+        pt.join(iv, on="_bucket")
+        .filter((F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bucket")
+    )
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    fine: str = "hour",
+    coarse: str = "day",
+    key_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(fine_rollup, coarse_rollup) where coarse is computed FROM fine.
+
+    fine_rollup:   (bucket, [key], sum_value DECIMAL-exact, n_rows)
+    coarse_rollup: (bucket, [key], sum_value, n_rows) — re-aggregated,
+    provably equal to aggregating raw data at the coarse grain (the
+    continuous-aggregate law; the oracle query asserts it value-level).
+    """
+    keys = [key_col] if key_col else []
+    dec = F.col(value_col).cast("decimal(38,6)")
+    fine_df = (
+        df.groupBy(F.date_trunc(fine, F.col(ts_col)).alias("bucket"), *keys)
+        .agg(F.sum(dec).alias("sum_value"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    coarse_df = (
+        fine_df.groupBy(F.date_trunc(coarse, F.col("bucket")).alias("bucket"), *keys)
+        .agg(F.sum("sum_value").alias("sum_value"), F.sum("n_rows").alias("n_rows"))
+    )
+    return fine_df, coarse_df

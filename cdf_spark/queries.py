@@ -1440,6 +1440,67 @@ def domain_mix_sample_q(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", "mix_rate")
 
 
+@_register(
+    "range_join_campaigns",
+    """
+    WITH iv AS (
+      SELECT r.range AS campaign_id,
+             TIMESTAMP '2024-01-01' + r.range * 2 * INTERVAL 1 DAY AS s,
+             TIMESTAMP '2024-01-01' + (r.range * 2 + 5) * INTERVAL 1 DAY AS e
+      FROM range(0, 10) r
+    )
+    SELECT e.event_id, iv.campaign_id, e.value
+    FROM events e JOIN iv ON e.ts >= iv.s AND e.ts < iv.e
+    """,
+)
+def range_join_campaigns(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval range join (`operators/temporal.py`): events
+    against ten OVERLAPPING 5-day campaign windows, executed as a
+    bucketed equi-join + residual (a theta-join would plan as
+    BroadcastNestedLoopJoin — O(points x intervals) comparisons; the
+    bucket decomposition is the standard interval-join shape at
+    100 TB). Overlap means most events match 2-3 campaigns — the join
+    is genuinely one-to-many, not a partition in disguise."""
+    from .operators.temporal import range_join
+
+    epoch_jan1 = 1_704_067_200  # 2024-01-01 UTC (session tz pinned UTC)
+    iv = spark.range(0, 10).select(
+        F.col("id").alias("campaign_id"),
+        F.timestamp_seconds(F.lit(epoch_jan1) + F.col("id") * 2 * 86_400).alias("s"),
+        F.timestamp_seconds(F.lit(epoch_jan1) + (F.col("id") * 2 + 5) * 86_400).alias("e"),
+    )
+    ev = _events(spark, sf).select("event_id", "ts", "value")
+    joined = range_join(ev, iv, ts_col="ts", start_col="s", end_col="e")
+    return joined.select("event_id", "campaign_id", "value")
+
+
+@_register(
+    "hypertable_rollup",
+    """
+    SELECT date_trunc('day', ts) AS bucket, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-aggregate law, value-verified: the DAILY rollup is
+    computed FROM the hourly rollup (`operators/temporal.py` — the
+    hypertable discipline: coarse views re-aggregate the stored fine
+    materialization, never raw data), while the oracle aggregates raw
+    events at the daily grain directly. DECIMAL(38,6) sums make
+    re-aggregation exact, so the two must match bit-for-bit."""
+    from .operators.temporal import hypertable_rollup
+
+    ev = _events(spark, sf)
+    _fine, coarse = hypertable_rollup(
+        ev, ts_col="ts", value_col="value", fine="hour", coarse="day", key_col="event_type"
+    )
+    return coarse.select(
+        "bucket", "event_type", F.col("sum_value").cast("double").alias("sum_value"), "n_rows"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,86 @@
+"""Range join + hypertable rollup (`cdf_spark/operators/temporal.py`):
+exclusive-end boundaries, bucket-edge correctness, overlap fan-out, and
+the continuous-aggregate re-aggregation law."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdf_spark.operators.temporal import hypertable_rollup, range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_range_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # == start: included
+            (2, _ts("2024-01-03 23:59:59")),  # inside
+            (3, _ts("2024-01-04 00:00:00")),  # == end: EXCLUDED
+            (4, _ts("2023-12-31 23:59:59")),  # before
+        ],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:00:00"), _ts("2024-01-04 00:00:00"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = {r.pid for r in range_join(points, intervals, "ts", "s", "e").collect()}
+    assert got == {1, 2}
+
+
+def test_range_join_interval_ending_on_bucket_boundary(spark):
+    """An interval ending exactly on a bucket boundary must NOT explode
+    into the next bucket (end is exclusive) — yet a point in the last
+    covered bucket must still match."""
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-02 12:00:00"))], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(7, _ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    out = range_join(points, intervals, "ts", "s", "e").collect()
+    assert [r.iid for r in out] == [7]
+
+
+def test_range_join_overlap_fanout_exactly_once_per_pair(spark):
+    """Overlapping intervals: a point matches each containing interval
+    exactly once (each pair meets in exactly one bucket — no dedup
+    pass exists to hide a double-count)."""
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-05 06:00:00"))], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, _ts("2024-01-01 00:00:00"), _ts("2024-01-06 00:00:00")),
+            (1, _ts("2024-01-03 00:00:00"), _ts("2024-01-08 00:00:00")),
+            (2, _ts("2024-01-05 00:00:00"), _ts("2024-01-10 00:00:00")),
+            (3, _ts("2024-01-07 00:00:00"), _ts("2024-01-12 00:00:00")),
+        ],
+        "iid long, s timestamp, e timestamp",
+    )
+    rows = range_join(points, intervals, "ts", "s", "e").collect()
+    assert sorted(r.iid for r in rows) == [0, 1, 2]  # each once, 3 excluded
+
+
+def test_rollup_reaggregation_law(spark, sf_dir):
+    """coarse-from-fine == coarse-from-raw, exactly (DECIMAL sums)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _fine, coarse = hypertable_rollup(ev, "ts", "value", fine="hour", coarse="day")
+    direct = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    a = {(r.bucket, str(r.sum_value), r.n_rows) for r in coarse.collect()}
+    b = {(r.bucket, str(r.sum_value), r.n_rows) for r in direct.collect()}
+    assert a == b and a
