@@ -1501,6 +1501,69 @@ def hypertable_rollup_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "hudi_time_travel",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 400",
+)
+def hudi_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time travel over a Hudi copy-on-write layout
+    (`sources/hudi.py`: .hoodie commit timeline, file-group slice
+    resolution): the pin at the first instant must see only the first
+    commit, AND a later rewrite of that file group must not leak into
+    the pinned read (copy-on-write supersession)."""
+    import shutil
+    import tempfile
+
+    from .sources.hudi import HudiFixtureWriter, HudiTable
+
+    tmp = tempfile.mkdtemp(prefix="cdf_hudi_")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = HudiFixtureWriter(f"{tmp}/t")
+        i1 = w.commit(o.filter(F.col("o_orderkey") <= 400), file_id="grp1")
+        w.commit(o.filter(F.col("o_orderkey") > 400))  # newer group
+        # rewrite grp1 with zeroed prices: the i1 pin must NOT see this
+        w.commit(
+            o.filter(F.col("o_orderkey") <= 400).withColumn("o_totalprice", F.lit(0.0)),
+            file_id="grp1",
+        )
+        pinned = HudiTable(f"{tmp}/t").read(spark, instant=i1)
+        rows = pinned.collect()  # materialize before the tmp dir goes
+        return spark.createDataFrame(rows, pinned.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "hudi_changes_since",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey > 400",
+)
+def hudi_changes_since(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental consumption off the Hudi timeline: checkpointed at
+    the first instant, pure-insert commits deliver exactly their file
+    versions as the delta (a group rewrite would reset to a full
+    re-read — covered in test_hudi)."""
+    import shutil
+    import tempfile
+
+    from .sources.hudi import HudiFixtureWriter, HudiTable
+
+    tmp = tempfile.mkdtemp(prefix="cdf_hudi_inc_")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = HudiFixtureWriter(f"{tmp}/t")
+        w.commit(o.filter(F.col("o_orderkey") <= 400))
+        t = HudiTable(f"{tmp}/t")
+        pos = t.position()
+        w.commit(o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)))
+        w.commit(o.filter(F.col("o_orderkey") > 900))
+        df, _pos = HudiTable(f"{tmp}/t").changes_since(spark, pos)
+        rows = df.collect()  # materialize before the tmp dir goes
+        return spark.createDataFrame(rows, df.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

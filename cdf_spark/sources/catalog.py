@@ -414,7 +414,7 @@ class CatalogTableResource:
     def _require_scannable(self) -> None:
         if self.table_class is TableClass.CONVENTIONAL:
             return
-        if self.table_class in (TableClass.ICEBERG, TableClass.DELTA):
+        if self.table_class in (TableClass.ICEBERG, TableClass.DELTA, TableClass.HUDI):
             return
         raise CatalogError(
             f"table {self.database}.{self.table_name} classified "
@@ -433,9 +433,13 @@ class CatalogTableResource:
             from .delta import DeltaTable
 
             return DeltaTable(self.table.storage.location)
+        if self.table_class is TableClass.HUDI:
+            from .hudi import HudiTable
+
+            return HudiTable(self.table.storage.location)
         if self.table_class is not TableClass.ICEBERG:
             raise CatalogError(
-                "snapshot_source() is only for iceberg/delta-classified tables"
+                "snapshot_source() is only for iceberg/delta/hudi-classified tables"
             )
         from .iceberg import IcebergTable, is_iceberg_layout
 
@@ -453,7 +457,7 @@ class CatalogTableResource:
     # -- negotiation ------------------------------------------------------
     def negotiate(self, request: ScanRequest) -> ScanPlan:
         self._require_scannable()
-        if self.table_class in (TableClass.ICEBERG, TableClass.DELTA):
+        if self.table_class in (TableClass.ICEBERG, TableClass.DELTA, TableClass.HUDI):
             # snapshot sources carry their own capability set (position
             # is enforced by the pin); partition-manifest pruning below
             # is for conventional hive-layout tables only

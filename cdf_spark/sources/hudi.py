@@ -1,0 +1,201 @@
+"""Hudi copy-on-write table reader: commit-timeline replay, instant
+time travel, and incremental `changes_since` — no Hudi jars.
+
+Hudi's copy-on-write layout (the common analytics configuration):
+
+    <root>/.hoodie/<instant>.commit        completed-commit metadata
+                                           (JSON; instant = yyyyMMddHHmmssSSS)
+    <root>/[partition/]<fileId>_<writeToken>_<instant>.parquet
+
+A *file group* (fileId) is a logical file whose versions are written
+by successive commits; the reader resolves each group to its LATEST
+version at or before the requested instant (a copy-on-write commit
+rewrites the whole group, so the newest version subsumes older ones —
+Hudi's core snapshotting mechanism). The commit file's
+`partitionToWriteStats` records which file versions each commit wrote,
+which is also what makes incremental consumption (`changes_since`)
+possible without listing the filesystem.
+
+Scale design matches the Iceberg/Delta readers: the timeline is tiny
+driver-side metadata; data reads are plain multi-file parquet scans so
+pushdown/pruning/splits stay with Catalyst. Instants are lexically
+ordered timestamps (Hudi's own invariant), so
+`TableSnapshotPosition(snapshot_id=int(instant))` orders naturally.
+
+Scope: copy-on-write with `.commit` instants. Merge-on-read (log files
++ compaction, `.deltacommit`) is out of scope and detected -> error,
+not silently misread.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..positions import TableSnapshotPosition
+
+
+class HudiError(ValueError):
+    pass
+
+
+def is_hudi_layout(root: str | Path) -> bool:
+    hoodie = Path(str(root)) / ".hoodie"
+    return hoodie.is_dir() and any(hoodie.glob("*.commit"))
+
+
+class HudiTable:
+    """Read-side driver over a Hudi copy-on-write table directory."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.hoodie = self.root / ".hoodie"
+        if not self.hoodie.is_dir():
+            raise HudiError(f"{self.root} has no .hoodie/ — not a Hudi table")
+        if any(self.hoodie.glob("*.deltacommit")):
+            raise HudiError("merge-on-read timeline (.deltacommit) is not supported")
+
+    # -- timeline ---------------------------------------------------------
+    def instants(self) -> list[str]:
+        out = sorted(p.stem for p in self.hoodie.glob("*.commit"))
+        if not out:
+            raise HudiError(f"no completed commits under {self.hoodie}")
+        return out
+
+    def latest_instant(self) -> str:
+        return self.instants()[-1]
+
+    def commit_meta(self, instant: str) -> dict:
+        p = self.hoodie / f"{instant}.commit"
+        if not p.exists():
+            raise HudiError(f"instant {instant} not in timeline")
+        return json.loads(p.read_text())
+
+    def instant_as_of(self, instant: str) -> str:
+        eligible = [i for i in self.instants() if i <= instant]
+        if not eligible:
+            raise HudiError(f"no commit at or before instant {instant}")
+        return eligible[-1]
+
+    def position(self) -> TableSnapshotPosition:
+        return TableSnapshotPosition(snapshot_id=int(self.latest_instant()))
+
+    # -- file-slice resolution -------------------------------------------
+    def _written_files(self, instant: str) -> list[tuple[str, str, str]]:
+        """(fileId, instant, path) written by one commit."""
+        meta = self.commit_meta(instant)
+        out = []
+        for _part, stats in meta.get("partitionToWriteStats", {}).items():
+            for st in stats:
+                out.append((st["fileId"], instant, st["path"]))
+        return out
+
+    def files_for_instant(self, instant: str) -> list[str]:
+        """Latest version of every file group at or before `instant` —
+        copy-on-write snapshot resolution."""
+        if instant not in self.instants():
+            raise HudiError(f"instant {instant} not in timeline")
+        latest: dict[str, tuple[str, str]] = {}  # fileId -> (instant, path)
+        for i in self.instants():
+            if i > instant:
+                break
+            for file_id, inst, path in self._written_files(i):
+                prev = latest.get(file_id)
+                if prev is None or inst > prev[0]:
+                    latest[file_id] = (inst, path)
+        return sorted(str(self.root / path) for _, path in latest.values())
+
+    # -- reads -------------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        instant: str | None = None,
+        as_of_instant: str | None = None,
+    ) -> DataFrame:
+        if instant is None:
+            instant = (
+                self.instant_as_of(as_of_instant)
+                if as_of_instant is not None
+                else self.latest_instant()
+            )
+        files = self.files_for_instant(instant)
+        if not files:
+            raise HudiError(f"instant {instant} has no file slices")
+        return spark.read.parquet(*files)
+
+    def changes_since(
+        self, spark: SparkSession, position: TableSnapshotPosition | None
+    ) -> tuple[DataFrame | None, TableSnapshotPosition]:
+        """Rows of file versions written by instants strictly after the
+        position. Copy-on-write rewrites whole groups, so a commit that
+        REVISES an existing group (same fileId seen before) invalidates
+        previously-delivered rows -> full re-read of current; commits
+        that only create NEW groups (pure inserts) deliver a delta."""
+        cur = self.latest_instant()
+        new_pos = TableSnapshotPosition(snapshot_id=int(cur))
+        seen = None if position is None else f"{position.snapshot_id:017d}"
+        newer = [i for i in self.instants() if seen is None or i > seen]
+        if not newer:
+            return None, new_pos
+        prior_groups: set[str] = set()
+        if seen is not None:
+            for i in self.instants():
+                if i <= seen:
+                    prior_groups.update(fid for fid, _, _ in self._written_files(i))
+        files: list[str] = []
+        for i in newer:
+            for fid, _, path in self._written_files(i):
+                if fid in prior_groups:
+                    return self.read(spark, instant=cur), new_pos  # group rewrite
+                files.append(str(self.root / path))
+        return spark.read.parquet(*files), new_pos
+
+
+# ---------------------------------------------------------------------------
+# fixture writer
+
+
+class HudiFixtureWriter:
+    """Emits the copy-on-write layout `HudiTable` reads: timeline
+    `.commit` JSON with partitionToWriteStats, file-group parquet
+    versions named `<fileId>_<token>_<instant>.parquet`."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        (self.root / ".hoodie").mkdir(parents=True, exist_ok=True)
+        self._n = 0
+
+    def _next_instant(self) -> str:
+        self._n += 1
+        return f"{20240101000000000 + self._n:017d}"
+
+    def commit(self, df: DataFrame, file_id: str | None = None) -> str:
+        """One commit writing one file group (new group by default;
+        pass an existing file_id to REWRITE that group — the
+        copy-on-write update path)."""
+        import shutil
+        import tempfile
+
+        instant = self._next_instant()
+        fid = file_id or uuid.uuid4().hex[:8]
+        tmp = tempfile.mkdtemp(prefix="hudi_commit_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = sorted(Path(tmp).glob("*.parquet"))
+        rel = f"{fid}_0-0-0_{instant}.parquet"
+        shutil.move(str(src), str(self.root / rel))
+        shutil.rmtree(tmp, ignore_errors=True)
+        meta = {
+            "partitionToWriteStats": {
+                "": [{"fileId": fid, "path": rel, "numWrites": -1}]
+            },
+            "operationType": "UPSERT" if file_id else "INSERT",
+        }
+        (self.hoodie_dir / f"{instant}.commit").write_text(json.dumps(meta, indent=1))
+        return instant
+
+    @property
+    def hoodie_dir(self) -> Path:
+        return self.root / ".hoodie"
