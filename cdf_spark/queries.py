@@ -1564,6 +1564,47 @@ def hudi_changes_since(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register(
+    "iceberg_row_deletes",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > 100 AND o_orderkey <= 400
+    """,
+)
+def iceberg_row_deletes(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v2 positional deletes end-to-end (`sources/iceberg.py`):
+    keys <= 100 are deleted from a 401-row commit via a content=1
+    delete file naming each victim's physical (file, row_index) — the
+    read resolves merge-on-read through a broadcast anti-join on
+    Spark's parquet metadata columns, no data rewrite. The oracle is
+    simply the surviving key range."""
+    import shutil
+    import tempfile
+
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    tmp = tempfile.mkdtemp(prefix="cdf_ice_del_")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=17)
+        s1 = w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
+        t = IcebergTable(f"{tmp}/t")
+        located = (
+            t.read(spark, snapshot_id=s1)
+            .withColumn("_f", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"))
+            .withColumn("_p", F.col("_metadata.row_index"))
+            .filter(F.col("o_orderkey") <= 100)
+            .select("_f", "_p")
+            .collect()
+        )
+        w.delete_positions([(r._f, r._p) for r in located], timestamp_ms=2000)
+        out = IcebergTable(f"{tmp}/t").read(spark)
+        rows = out.collect()  # materialize before the tmp dir goes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

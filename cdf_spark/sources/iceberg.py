@@ -166,15 +166,25 @@ class IcebergTable:
         _, rows = decode_container(manifest.read_bytes())
         return rows
 
-    def files_for_snapshot(self, snapshot_id: int) -> list[str]:
-        """All live data files at a snapshot: manifest entries with
-        status EXISTING(0) or ADDED(1); DELETED(2) rows drop out."""
+    def _live_entries(self, snapshot_id: int, content: int) -> list[str]:
         files = []
         for mp in self._manifest_paths(self.snapshot(snapshot_id)):
             for e in self._manifest_entries(mp):
-                if int(e.get("status", 1)) != 2:
-                    files.append(str(self._resolve(e["data_file"]["file_path"])))
+                dfile = e["data_file"]
+                if int(e.get("status", 1)) != 2 and int(dfile.get("content") or 0) == content:
+                    files.append(str(self._resolve(dfile["file_path"])))
         return sorted(files)
+
+    def files_for_snapshot(self, snapshot_id: int) -> list[str]:
+        """Live DATA files at a snapshot (content=0): manifest entries
+        with status EXISTING(0) or ADDED(1); DELETED(2) rows drop out."""
+        return self._live_entries(snapshot_id, content=0)
+
+    def delete_files_for_snapshot(self, snapshot_id: int) -> list[str]:
+        """Live POSITIONAL-DELETE files (v2 content=1): parquet of
+        (file_path, pos) rows marking data rows removed at this
+        snapshot — merge-on-read row-level deletes."""
+        return self._live_entries(snapshot_id, content=1)
 
     def added_files(self, snapshot_id: int) -> list[str]:
         """Files ADDED *by this snapshot*: status==ADDED(1) AND the
@@ -243,7 +253,28 @@ class IcebergTable:
         files = self.files_for_snapshot(snapshot_id)
         if not files:
             raise IcebergError(f"snapshot {snapshot_id} has no live data files")
-        return spark.read.parquet(*files)
+        df = spark.read.parquet(*files)
+        dels = self.delete_files_for_snapshot(snapshot_id)
+        if dels:
+            # v2 positional deletes, merge-on-read: anti-join data rows
+            # against the delete set on (file, row position). Spark's
+            # parquet _metadata.row_index supplies the position without
+            # any bespoke row numbering; the delete side is tiny and
+            # broadcasts, so the plan stays one scan + a map-side
+            # anti-join — no shuffle added to the read path.
+            from pyspark.sql import functions as F
+
+            norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+            dd = spark.read.parquet(*dels).select(
+                norm(F.col("file_path")).alias("_file"), F.col("pos").alias("_pos")
+            )
+            df = (
+                df.withColumn("_file", norm(F.col("_metadata.file_path")))
+                .withColumn("_pos", F.col("_metadata.row_index"))
+                .join(F.broadcast(dd), on=["_file", "_pos"], how="left_anti")
+                .drop("_file", "_pos")
+            )
+        return df
 
     def changes_since(
         self, spark: SparkSession, position: TableSnapshotPosition | None
@@ -317,6 +348,8 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # 0 = data, 1 = position deletes (Iceberg v2)
+                    {"name": "content", "type": "int", "default": 0},
                 ],
             },
         },
@@ -403,14 +436,60 @@ class IcebergFixtureWriter:
                         "file_path": str(dest),
                         "file_format": "PARQUET",
                         "record_count": pq.read_metadata(dest).num_rows,
+                        "content": 0,
                         "file_size_in_bytes": dest.stat().st_size,
                     },
                 }
             )
         shutil.rmtree(tmp, ignore_errors=True)
 
+        return self._finish_commit(sid, parent, ts, data_files, operation)
+
+    def delete_positions(
+        self,
+        deletes: list[tuple[str, int]],
+        timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> int:
+        """Iceberg v2 positional-delete commit: (data_file_path,
+        row_position) pairs written as a content=1 delete parquet.
+        Prior data manifests stay referenced — readers resolve the
+        snapshot merge-on-read (anti-join on file+pos)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
+        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        self._seq += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+        dest = self.root / "data" / f"delete-{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([p for p, _ in deletes], pa.string()),
+                    "pos": pa.array([int(i) for _, i in deletes], pa.int64()),
+                }
+            ),
+            dest,
+        )
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "data_file": {
+                    "file_path": str(dest),
+                    "file_format": "PARQUET",
+                    "record_count": len(deletes),
+                    "content": 1,
+                    "file_size_in_bytes": dest.stat().st_size,
+                },
+            }
+        ]
+        return self._finish_commit(sid, parent, ts, entries, "delete")
+
+    def _finish_commit(self, sid, parent, ts, entries, operation) -> int:
         manifest = self.root / "metadata" / f"manifest-{sid}-{uuid.uuid4().hex[:8]}.avro"
-        manifest.write_bytes(write_container(_MANIFEST_ENTRY_SCHEMA, data_files))
+        manifest.write_bytes(write_container(_MANIFEST_ENTRY_SCHEMA, entries))
         mlist = self.root / "metadata" / f"snap-{sid}-manifest-list.avro"
         mlist.write_bytes(
             write_container(
@@ -425,12 +504,14 @@ class IcebergFixtureWriter:
                 ],
             )
         )
-        # appends see all prior data: EXISTING entries for older files
-        # live in the prior manifests, which stay referenced via this
-        # snapshot's manifest list in a real table; the fixture keeps
-        # it simpler by re-listing prior manifests in the new list
+        # appends and delete commits see all prior data: EXISTING
+        # entries for older files live in the prior manifests, which
+        # stay referenced via this snapshot's manifest list in a real
+        # table; the fixture keeps it simpler by re-listing prior
+        # manifests in the new list (an overwrite references only its
+        # own manifest)
         prior = [s["manifest-list"] for s in self._snapshots]
-        if prior and operation == "append":
+        if prior and operation in ("append", "delete"):
             _, rows = decode_container(Path(_strip_uri(prior[-1])).read_bytes())
             new_rows = rows + [
                 {

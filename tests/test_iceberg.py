@@ -200,3 +200,38 @@ def test_overwrite_resets_live_set_and_incremental(spark, tmp_path, orders):
     # consumer at s2 (after the overwrite): plain added-files delta
     df2, _ = t.changes_since(spark, TableSnapshotPosition(snapshot_id=s2))
     assert df2.count() == 10
+
+
+def test_positional_deletes_merge_on_read(spark, tmp_path, orders):
+    """v2 positional deletes: a content=1 delete file removes exactly
+    the (file, row_index) rows it names; the pre-delete pin still sees
+    them (merge-on-read, no data rewrite)."""
+    from pyspark.sql import functions as F
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=9)
+    o = orders.select("o_orderkey", "o_totalprice")
+    s1 = w.append(o.filter(F.col("o_orderkey") <= 50), timestamp_ms=1000, snapshot_id=IDS[0])
+    t = IcebergTable(tmp_path / "t")
+    # choose victims by key, resolving their physical (file, pos) via
+    # the same metadata columns the reader uses
+    located = (
+        t.read(spark, snapshot_id=s1)
+        .withColumn("_f", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn("_p", F.col("_metadata.row_index"))
+        .filter(F.col("o_orderkey").isin(5, 10, 15))
+        .select("_f", "_p")
+        .collect()
+    )
+    assert len(located) == 3
+    s2 = w.delete_positions([(r._f, r._p) for r in located], timestamp_ms=2000, snapshot_id=IDS[1])
+
+    t = IcebergTable(tmp_path / "t")
+    cur = t.read(spark)
+    assert cur.count() == 48
+    assert cur.filter(F.col("o_orderkey").isin(5, 10, 15)).count() == 0
+    # time travel to the pre-delete snapshot still sees all 51 rows
+    assert t.read(spark, snapshot_id=s1).count() == 51
+    # the delete commit is non-append: an incremental consumer at s1
+    # resets to a full (delete-applied) re-read
+    df, pos = t.changes_since(spark, TableSnapshotPosition(snapshot_id=s1))
+    assert pos.snapshot_id == s2 and df.count() == 48
