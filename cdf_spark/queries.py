@@ -1605,6 +1605,40 @@ def iceberg_row_deletes(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register(
+    "iceberg_equality_deletes",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey <= 400 AND o_custkey >= 20
+    """,
+)
+def iceberg_equality_deletes(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v2 equality deletes (`sources/iceberg.py`): every order
+    of customers 0..19 is removed by a content=2 delete file matching
+    on o_custkey — a NON-unique column, so each delete row erases many
+    data rows, which positional deletes cannot express without
+    enumerating them. Match columns resolve through field IDS in the
+    metadata schema (the spec's rename-proof indirection)."""
+    import shutil
+    import tempfile
+
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    tmp = tempfile.mkdtemp(prefix="cdf_ice_eq_")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=23)
+        w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
+        w.delete_equality(
+            [{"o_custkey": c} for c in range(20)], ["o_custkey"], timestamp_ms=2000
+        )
+        out = IcebergTable(f"{tmp}/t").read(spark)
+        rows = out.collect()  # materialize before the tmp dir goes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

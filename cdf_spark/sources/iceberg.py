@@ -186,6 +186,28 @@ class IcebergTable:
         snapshot — merge-on-read row-level deletes."""
         return self._live_entries(snapshot_id, content=1)
 
+    def _field_names_by_id(self) -> dict[int, str]:
+        schemas = {s.get("schema-id", 0): s for s in self._meta.get("schemas", [])}
+        cur = schemas.get(self._meta.get("current-schema-id", 0), {})
+        return {int(f["id"]): f["name"] for f in cur.get("fields", [])}
+
+    def equality_deletes_for_snapshot(self, snapshot_id: int) -> list[tuple[str, list[str]]]:
+        """Live EQUALITY-DELETE files (v2 content=2) with their match
+        columns, resolved from the entry's equality_ids through the
+        metadata schema's field ids (the spec's indirection — names can
+        be renamed, ids cannot)."""
+        by_id = self._field_names_by_id()
+        out = []
+        for mp in self._manifest_paths(self.snapshot(snapshot_id)):
+            for e in self._manifest_entries(mp):
+                dfile = e["data_file"]
+                if int(e.get("status", 1)) != 2 and int(dfile.get("content") or 0) == 2:
+                    ids = dfile.get("equality_ids") or []
+                    out.append(
+                        (str(self._resolve(dfile["file_path"])), [by_id[int(i)] for i in ids])
+                    )
+        return sorted(out)
+
     def added_files(self, snapshot_id: int) -> list[str]:
         """Files ADDED *by this snapshot*: status==ADDED(1) AND the
         entry's own snapshot_id matches — a snapshot's manifest list
@@ -274,6 +296,26 @@ class IcebergTable:
                 .join(F.broadcast(dd), on=["_file", "_pos"], how="left_anti")
                 .drop("_file", "_pos")
             )
+        eq = self.equality_deletes_for_snapshot(snapshot_id)
+        if eq:
+            # v2 equality deletes: rows whose match-column values appear
+            # in a delete file are removed — one broadcast anti-join per
+            # distinct column set (delete sets are tiny by design).
+            # Simplification vs the full spec: deletes apply to the
+            # whole snapshot's data rather than only to lower sequence
+            # numbers (this fixture layout never interleaves a data and
+            # a delete commit in the same snapshot, so the distinction
+            # cannot bite here).
+            from collections import defaultdict
+
+            from pyspark.sql import functions as F
+
+            grouped: dict[tuple[str, ...], list[str]] = defaultdict(list)
+            for path, names in eq:
+                grouped[tuple(names)].append(path)
+            for names, paths in grouped.items():
+                dd = spark.read.parquet(*paths).select(*names).dropDuplicates()
+                df = df.join(F.broadcast(dd), on=list(names), how="left_anti")
         return df
 
     def changes_since(
@@ -348,8 +390,16 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
-                    # 0 = data, 1 = position deletes (Iceberg v2)
+                    # 0 = data, 1 = position deletes, 2 = equality
+                    # deletes (Iceberg v2)
                     {"name": "content", "type": "int", "default": 0},
+                    # field ids (metadata schema) an equality-delete
+                    # file matches on; null for data/positional files
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -413,6 +463,11 @@ class IcebergFixtureWriter:
         import shutil
         import tempfile
 
+        if not hasattr(self, "_fields"):
+            # first data commit defines the field-id schema (ids 1..n)
+            # that equality-delete entries reference
+            self._fields: list[str] = list(df.columns)
+
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
         parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
         self._seq += 1
@@ -437,6 +492,7 @@ class IcebergFixtureWriter:
                         "file_format": "PARQUET",
                         "record_count": pq.read_metadata(dest).num_rows,
                         "content": 0,
+                        "equality_ids": None,
                         "file_size_in_bytes": dest.stat().st_size,
                     },
                 }
@@ -481,6 +537,44 @@ class IcebergFixtureWriter:
                     "file_format": "PARQUET",
                     "record_count": len(deletes),
                     "content": 1,
+                    "equality_ids": None,
+                    "file_size_in_bytes": dest.stat().st_size,
+                },
+            }
+        ]
+        return self._finish_commit(sid, parent, ts, entries, "delete")
+
+    def delete_equality(
+        self,
+        values: list[dict],
+        equality_cols: list[str],
+        timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> int:
+        """Iceberg v2 equality-delete commit: rows whose values on
+        `equality_cols` match any delete row are removed. The manifest
+        entry carries content=2 and the match columns as FIELD IDS into
+        the metadata schema (the spec's rename-proof indirection)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
+        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        self._seq += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+        dest = self.root / "data" / f"eqdelete-{uuid.uuid4().hex}.parquet"
+        pq.write_table(pa.table({c: [v[c] for v in values] for c in equality_cols}), dest)
+        ids = [self._fields.index(c) + 1 for c in equality_cols]
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "data_file": {
+                    "file_path": str(dest),
+                    "file_format": "PARQUET",
+                    "record_count": len(values),
+                    "content": 2,
+                    "equality_ids": ids,
                     "file_size_in_bytes": dest.stat().st_size,
                 },
             }
@@ -543,6 +637,17 @@ class IcebergFixtureWriter:
             "table-uuid": self.table_uuid,
             "location": str(self.root),
             "last-sequence-number": self._seq,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {"id": i + 1, "name": c, "required": False}
+                        for i, c in enumerate(getattr(self, "_fields", []))
+                    ],
+                }
+            ],
             "current-snapshot-id": sid,
             "snapshots": self._snapshots,
             "snapshot-log": [

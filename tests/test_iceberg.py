@@ -235,3 +235,31 @@ def test_positional_deletes_merge_on_read(spark, tmp_path, orders):
     # resets to a full (delete-applied) re-read
     df, pos = t.changes_since(spark, TableSnapshotPosition(snapshot_id=s1))
     assert pos.snapshot_id == s2 and df.count() == 48
+
+
+def test_equality_deletes_merge_on_read(spark, tmp_path, orders):
+    """v2 equality deletes: rows matching the delete file's values on
+    the equality columns disappear; resolution goes through field IDS
+    in the metadata schema, not column names directly."""
+    from pyspark.sql import functions as F
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=21)
+    o = orders.select("o_orderkey", "o_totalprice")
+    s1 = w.append(o.filter(F.col("o_orderkey") <= 60), timestamp_ms=1000, snapshot_id=IDS[0])
+    s2 = w.delete_equality(
+        [{"o_orderkey": 7}, {"o_orderkey": 13}, {"o_orderkey": 999999}],  # one miss
+        ["o_orderkey"],
+        timestamp_ms=2000,
+        snapshot_id=IDS[1],
+    )
+    t = IcebergTable(tmp_path / "t")
+    # manifest carries field ids, resolved back through metadata schema
+    assert t.equality_deletes_for_snapshot(s2)[0][1] == ["o_orderkey"]
+    cur = t.read(spark)
+    assert cur.count() == 59
+    assert cur.filter(F.col("o_orderkey").isin(7, 13)).count() == 0
+    assert t.read(spark, snapshot_id=s1).count() == 61  # pre-delete pin intact
+    # later appends coexist with the standing delete set
+    w.append(o.filter((F.col("o_orderkey") > 60) & (F.col("o_orderkey") <= 80)),
+             timestamp_ms=3000, snapshot_id=IDS[2])
+    assert IcebergTable(tmp_path / "t").read(spark).count() == 79
