@@ -49,19 +49,23 @@ def range_join(
     ``broadcast_intervals`` fits the common shape (dimension-sized
     interval sets — campaigns, validity windows); set False to
     shuffle-hash-join two huge sides on the bucket key."""
-    # integer `div`, not `/`: double division at bucket boundaries can
-    # round up and is only accidentally correct
-    start_b = F.expr(f"CAST({start_col} AS LONG) div {bucket_seconds}")
+    # exact microseconds everywhere (unix_micros), integer `div`:
+    # CAST(ts AS LONG) would truncate fractional seconds, and an
+    # interval whose end carries a sub-second component would then
+    # never explode into its final bucket — points in that last
+    # partial bucket would be lost by the equi-join with no residual
+    # to recover them. Double division is no better: rounding at
+    # bucket boundaries is only accidentally correct.
+    w_us = bucket_seconds * 1_000_000
+    start_b = F.expr(f"unix_micros({start_col}) div {w_us}")
     # end is exclusive: the last overlapped bucket is the one holding
     # end - 1 microsecond (an interval ending exactly on a boundary
     # does not reach into the next bucket)
-    end_b = F.expr(
-        f"(CAST({end_col} AS LONG) * 1000000 - 1) div {bucket_seconds * 1_000_000}"
-    )
+    end_b = F.expr(f"(unix_micros({end_col}) - 1) div {w_us}")
     iv = intervals.withColumn("_bucket", F.explode(F.sequence(start_b, end_b)))
     if broadcast_intervals:
         iv = F.broadcast(iv)
-    pt = points.withColumn("_bucket", F.expr(f"CAST({ts_col} AS LONG) div {bucket_seconds}"))
+    pt = points.withColumn("_bucket", F.expr(f"unix_micros({ts_col}) div {w_us}"))
     return (
         pt.join(iv, on="_bucket")
         .filter((F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col)))

@@ -1387,8 +1387,8 @@ def cms_heavy_hitters_q(spark: SparkSession, sf: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, lang, n_tokens,
-           (cum - n_tokens) // 2048 AS pack_id,
-           (cum - n_tokens) % 2048 AS pack_offset
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
     FROM c
     """,
 )

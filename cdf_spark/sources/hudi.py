@@ -35,6 +35,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..expressions.lowering import lower
+from ..plans.scan import Capability, ScanPlan, ScanRequest, negotiate
 from ..positions import TableSnapshotPosition
 
 
@@ -109,6 +111,40 @@ class HudiTable:
         return sorted(str(self.root / path) for _, path in latest.values())
 
     # -- reads -------------------------------------------------------------
+    def capabilities(self) -> Capability:
+        cap = Capability.parquet()
+        cap.position_enforced = True  # instant pin IS the position
+        return cap
+
+    def scan(
+        self,
+        spark: SparkSession,
+        request: ScanRequest,
+        instant: str | None = None,
+        as_of_instant: str | None = None,
+    ) -> tuple[DataFrame, ScanPlan]:
+        """Negotiated scan against a pinned instant (same pushdown
+        contract as the Iceberg/Delta readers; catalog.negotiate routes
+        HUDI-classified tables here)."""
+        plan = negotiate(request, self.capabilities())
+        df = self.read(spark, instant=instant, as_of_instant=as_of_instant)
+        if plan.projection:
+            df = df.select(*plan.projection)
+        for p in plan.pushed + plan.residual:
+            df = df.filter(lower(p.expr))
+        if plan.order_by:
+            from pyspark.sql import functions as F
+
+            df = df.orderBy(
+                *[
+                    F.col(o.field).asc() if o.ascending else F.col(o.field).desc()
+                    for o in plan.order_by
+                ]
+            )
+        if plan.limit is not None:
+            df = df.limit(plan.limit)
+        return df, plan
+
     def read(
         self,
         spark: SparkSession,
@@ -145,12 +181,19 @@ class HudiTable:
             for i in self.instants():
                 if i <= seen:
                     prior_groups.update(fid for fid, _, _ in self._written_files(i))
-        files: list[str] = []
+        # latest version per NEW file group only: a group created and then
+        # rewritten by two post-checkpoint commits was never delivered at v1,
+        # so only its newest version ships; a rewrite of a group the consumer
+        # already saw invalidates delivered rows -> full re-read.
+        latest_new: dict[str, tuple[str, str]] = {}  # fid -> (instant, path)
         for i in newer:
-            for fid, _, path in self._written_files(i):
+            for fid, inst, path in self._written_files(i):
                 if fid in prior_groups:
                     return self.read(spark, instant=cur), new_pos  # group rewrite
-                files.append(str(self.root / path))
+                prev = latest_new.get(fid)
+                if prev is None or inst > prev[0]:
+                    latest_new[fid] = (inst, path)
+        files = sorted(str(self.root / path) for _, path in latest_new.values())
         return spark.read.parquet(*files), new_pos
 
 

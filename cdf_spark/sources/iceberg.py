@@ -166,36 +166,69 @@ class IcebergTable:
         _, rows = decode_container(manifest.read_bytes())
         return rows
 
-    def _live_entries(self, snapshot_id: int, content: int) -> list[str]:
+    def _seq_by_snapshot(self) -> dict[int, int]:
+        return {
+            int(s["snapshot-id"]): int(s["sequence-number"])
+            for s in self.snapshots()
+            if s.get("sequence-number") is not None
+        }
+
+    def _entry_sequence(self, entry: dict) -> int:
+        """Data sequence number of a manifest entry. An explicit
+        `sequence_number` wins; a null inherits from the committing
+        snapshot (the v2 spec's inheritance rule — entries written by a
+        commit carry that commit's sequence number unless pinned)."""
+        seq = entry.get("sequence_number")
+        if seq is not None:
+            return int(seq)
+        sid = entry.get("snapshot_id")
+        if sid is not None:
+            inherited = self._seq_by_snapshot().get(int(sid))
+            if inherited is not None:
+                return inherited
+        return 0  # v1 tables: no sequence numbers; everything is seq 0
+
+    def _live_entries(self, snapshot_id: int, content: int) -> list[tuple[str, int]]:
         files = []
         for mp in self._manifest_paths(self.snapshot(snapshot_id)):
             for e in self._manifest_entries(mp):
                 dfile = e["data_file"]
                 if int(e.get("status", 1)) != 2 and int(dfile.get("content") or 0) == content:
-                    files.append(str(self._resolve(dfile["file_path"])))
+                    files.append((str(self._resolve(dfile["file_path"])), self._entry_sequence(e)))
         return sorted(files)
 
     def files_for_snapshot(self, snapshot_id: int) -> list[str]:
         """Live DATA files at a snapshot (content=0): manifest entries
         with status EXISTING(0) or ADDED(1); DELETED(2) rows drop out."""
+        return [p for p, _ in self._live_entries(snapshot_id, content=0)]
+
+    def data_files_with_seq(self, snapshot_id: int) -> list[tuple[str, int]]:
+        """Live data files with their data sequence numbers — what
+        delete-file scoping needs (a delete applies only to data
+        committed strictly before it)."""
         return self._live_entries(snapshot_id, content=0)
 
     def delete_files_for_snapshot(self, snapshot_id: int) -> list[str]:
         """Live POSITIONAL-DELETE files (v2 content=1): parquet of
         (file_path, pos) rows marking data rows removed at this
         snapshot — merge-on-read row-level deletes."""
-        return self._live_entries(snapshot_id, content=1)
+        return [p for p, _ in self._live_entries(snapshot_id, content=1)]
 
     def _field_names_by_id(self) -> dict[int, str]:
         schemas = {s.get("schema-id", 0): s for s in self._meta.get("schemas", [])}
         cur = schemas.get(self._meta.get("current-schema-id", 0), {})
         return {int(f["id"]): f["name"] for f in cur.get("fields", [])}
 
-    def equality_deletes_for_snapshot(self, snapshot_id: int) -> list[tuple[str, list[str]]]:
+    def equality_deletes_for_snapshot(
+        self, snapshot_id: int
+    ) -> list[tuple[str, list[str], int]]:
         """Live EQUALITY-DELETE files (v2 content=2) with their match
-        columns, resolved from the entry's equality_ids through the
-        metadata schema's field ids (the spec's indirection — names can
-        be renamed, ids cannot)."""
+        columns and data sequence number. Match columns resolve from the
+        entry's equality_ids through the metadata schema's field ids
+        (the spec's indirection — names can be renamed, ids cannot); the
+        sequence number scopes which data files the delete applies to
+        (strictly lower seq only — delete-then-reinsert must keep the
+        reinserted rows)."""
         by_id = self._field_names_by_id()
         out = []
         for mp in self._manifest_paths(self.snapshot(snapshot_id)):
@@ -204,7 +237,11 @@ class IcebergTable:
                 if int(e.get("status", 1)) != 2 and int(dfile.get("content") or 0) == 2:
                     ids = dfile.get("equality_ids") or []
                     out.append(
-                        (str(self._resolve(dfile["file_path"])), [by_id[int(i)] for i in ids])
+                        (
+                            str(self._resolve(dfile["file_path"])),
+                            [by_id[int(i)] for i in ids],
+                            self._entry_sequence(e),
+                        )
                     )
         return sorted(out)
 
@@ -298,24 +335,50 @@ class IcebergTable:
             )
         eq = self.equality_deletes_for_snapshot(snapshot_id)
         if eq:
-            # v2 equality deletes: rows whose match-column values appear
-            # in a delete file are removed — one broadcast anti-join per
-            # distinct column set (delete sets are tiny by design).
-            # Simplification vs the full spec: deletes apply to the
-            # whole snapshot's data rather than only to lower sequence
-            # numbers (this fixture layout never interleaves a data and
-            # a delete commit in the same snapshot, so the distinction
-            # cannot bite here).
+            # v2 equality deletes, sequence-scoped per the spec: a
+            # delete with data sequence number S removes matching rows
+            # ONLY from data files with sequence number < S — rows
+            # re-inserted by a later data commit survive
+            # (delete-then-reinsert). Each data row gets its file's
+            # sequence number via a broadcast join on a tiny
+            # (file, seq) table (scales to 100k-file snapshots where a
+            # literal map expression would not); each match-column
+            # group reduces its delete rows to max(seq) per key and a
+            # left-join + filter keeps rows with no matching delete or
+            # a delete that is not newer than the row's data file.
             from collections import defaultdict
+            from functools import reduce
 
             from pyspark.sql import functions as F
 
-            grouped: dict[tuple[str, ...], list[str]] = defaultdict(list)
-            for path, names in eq:
-                grouped[tuple(names)].append(path)
-            for names, paths in grouped.items():
-                dd = spark.read.parquet(*paths).select(*names).dropDuplicates()
-                df = df.join(F.broadcast(dd), on=list(names), how="left_anti")
+            norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+            orig_cols = list(df.columns)
+            seq_rows = [(p, int(s)) for p, s in self.data_files_with_seq(snapshot_id)]
+            seq_df = spark.createDataFrame(seq_rows, "_file string, _dseq long")
+            df = (
+                df.withColumn("_file", norm(F.col("_metadata.file_path")))
+                .join(F.broadcast(seq_df), on="_file", how="left")
+                .drop("_file")
+            )
+            grouped: dict[tuple[str, ...], list[tuple[str, int]]] = defaultdict(list)
+            for path, names, dseq in eq:
+                grouped[tuple(names)].append((path, dseq))
+            for names, paths_seqs in grouped.items():
+                dd = reduce(
+                    DataFrame.unionByName,
+                    [
+                        spark.read.parquet(p)
+                        .select(*names)
+                        .withColumn("_del_seq", F.lit(int(s)))
+                        for p, s in paths_seqs
+                    ],
+                ).groupBy(*names).agg(F.max("_del_seq").alias("_del_seq"))
+                df = (
+                    df.join(F.broadcast(dd), on=list(names), how="left")
+                    .filter(F.col("_del_seq").isNull() | (F.col("_del_seq") <= F.col("_dseq")))
+                    .drop("_del_seq")
+                )
+            df = df.select(*orig_cols)  # drop _dseq, restore column order
         return df
 
     def changes_since(
@@ -380,6 +443,10 @@ _MANIFEST_ENTRY_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        # data sequence number (v2): null inherits from the committing
+        # snapshot; explicit values pin the entry's commit order for
+        # delete-file scoping
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
         {
             "name": "data_file",
             "type": {
@@ -487,6 +554,7 @@ class IcebergFixtureWriter:
                 {
                     "status": 1,  # ADDED
                     "snapshot_id": sid,
+                    "sequence_number": self._seq,
                     "data_file": {
                         "file_path": str(dest),
                         "file_format": "PARQUET",
@@ -532,6 +600,7 @@ class IcebergFixtureWriter:
             {
                 "status": 1,
                 "snapshot_id": sid,
+                "sequence_number": self._seq,
                 "data_file": {
                     "file_path": str(dest),
                     "file_format": "PARQUET",
@@ -569,6 +638,7 @@ class IcebergFixtureWriter:
             {
                 "status": 1,
                 "snapshot_id": sid,
+                "sequence_number": self._seq,
                 "data_file": {
                     "file_path": str(dest),
                     "file_format": "PARQUET",

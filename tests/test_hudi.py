@@ -109,3 +109,70 @@ def test_catalog_routes_hudi_class(spark, table):
     reader = src.snapshot_source()
     assert isinstance(reader, HudiTable)
     assert reader.read(spark).count() == 150
+
+
+def test_changes_since_new_group_rewritten_after_checkpoint(spark, tmp_path, orders):
+    """A file group CREATED and then REWRITTEN by two commits both after
+    the checkpoint was never delivered at v1 — only its latest version
+    ships, not both (stale-row regression)."""
+    from pyspark.sql import functions as F
+
+    w = HudiFixtureWriter(tmp_path / "t4")
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.commit(o.limit(100), file_id="grp1")
+    t = HudiTable(tmp_path / "t4")
+    pos = t.position()
+    # after checkpoint: NEW group created, then rewritten (same fid)
+    w.commit(o.offset(100).limit(40), file_id="grp2")
+    w.commit(
+        o.offset(100).limit(40).withColumn("o_totalprice", F.lit(-1.0)),
+        file_id="grp2",
+    )
+    t = HudiTable(tmp_path / "t4")
+    df, _ = t.changes_since(spark, pos)
+    assert df.count() == 40  # NOT 80: v1 of grp2 must not be delivered
+    assert df.agg(F.max("o_totalprice")).collect()[0][0] == -1.0
+
+
+def test_catalog_negotiate_hudi_and_scan(spark, table):
+    """negotiate() for a HUDI-classified table must reach
+    HudiTable.capabilities(); HudiTable.scan applies the negotiated
+    pushdown (same contract as Delta/Iceberg)."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+    from cdf_spark.sources.base import ResourceDescriptor
+    from cdf_spark.sources.catalog import (
+        CatalogTable,
+        CatalogTableResource,
+        FileCatalog,
+        StorageDescriptor,
+    )
+
+    w, t = table
+    cat = FileCatalog(
+        {
+            ("lake", "orders_hudi"): CatalogTable(
+                name="orders_hudi",
+                database="lake",
+                table_type="EXTERNAL_TABLE",
+                parameters={"table_type": "HUDI"},
+                storage=StorageDescriptor(location=str(t.root)),
+            )
+        }
+    )
+    src = CatalogTableResource(
+        ResourceDescriptor(resource_id="orders_hudi"), cat, "lake", "orders_hudi"
+    )
+    req = ScanRequest(
+        "orders_hudi",
+        projection=["o_orderkey", "o_totalprice"],
+        predicates=[Col("o_orderkey") <= Lit(50)],
+    )
+    plan = src.negotiate(req)  # must not AttributeError
+    assert plan.projection == ["o_orderkey", "o_totalprice"]
+    df, plan2 = t.scan(spark, req)
+    assert df.columns == ["o_orderkey", "o_totalprice"]
+    from pyspark.sql import functions as F
+
+    assert df.filter(F.col("o_orderkey") > 50).count() == 0
+    assert df.count() == t.read(spark).filter(F.col("o_orderkey") <= 50).count()

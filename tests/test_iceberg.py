@@ -263,3 +263,31 @@ def test_equality_deletes_merge_on_read(spark, tmp_path, orders):
     w.append(o.filter((F.col("o_orderkey") > 60) & (F.col("o_orderkey") <= 80)),
              timestamp_ms=3000, snapshot_id=IDS[2])
     assert IcebergTable(tmp_path / "t").read(spark).count() == 79
+
+
+def test_equality_delete_then_reinsert_keeps_new_rows(spark, tmp_path, orders):
+    """Sequence-number scoping (v2 spec): an equality delete applies
+    only to data files with STRICTLY LOWER data sequence number. A row
+    re-inserted by a data commit AFTER the delete commit must survive
+    the read — the Flink-CDC-upsert pattern real tables produce."""
+    from pyspark.sql import functions as F
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=33)
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.filter(F.col("o_orderkey") <= 60), timestamp_ms=1000, snapshot_id=IDS[0])
+    w.delete_equality([{"o_orderkey": 7}], ["o_orderkey"], timestamp_ms=2000,
+                      snapshot_id=IDS[1])
+    # re-insert key 7 with a sentinel value AFTER the delete commit
+    reinserted = spark.createDataFrame([(7, -99.0)], "o_orderkey long, o_totalprice double")
+    w.append(reinserted, timestamp_ms=3000, snapshot_id=IDS[2])
+    t = IcebergTable(tmp_path / "t")
+    cur = t.read(spark)
+    hit = cur.filter(F.col("o_orderkey") == 7).collect()
+    assert len(hit) == 1  # the REINSERTED row survives; the original is deleted
+    assert hit[0].o_totalprice == -99.0
+    # original-count check: 60 keys at s1, minus key 7, plus re-insert
+    base = o.filter(F.col("o_orderkey") <= 60).count()
+    assert cur.count() == base  # -1 deleted +1 reinserted
+    # pre-delete pin unaffected; post-delete pre-reinsert pin drops key 7
+    assert t.read(spark, snapshot_id=IDS[0]).filter(F.col("o_orderkey") == 7).count() == 1
+    assert t.read(spark, snapshot_id=IDS[1]).filter(F.col("o_orderkey") == 7).count() == 0

@@ -84,3 +84,23 @@ def test_rollup_reaggregation_law(spark, sf_dir):
     a = {(r.bucket, str(r.sum_value), r.n_rows) for r in coarse.collect()}
     b = {(r.bucket, str(r.sum_value), r.n_rows) for r in direct.collect()}
     assert a == b and a
+
+
+def test_range_join_fractional_second_interval_end(spark):
+    """An interval whose end carries a sub-second component must still
+    explode into its final partial bucket — whole-second truncation of
+    the end timestamp silently dropped points there (regression)."""
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-03 00:00:00")),      # in the last PARTIAL bucket
+            (2, _ts("2024-01-03 00:00:00.400")),  # inside, before the .5s end
+            (3, _ts("2024-01-03 00:00:00.500")),  # == end: EXCLUDED
+        ],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(7, _ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00.500"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = {r.pid for r in range_join(points, intervals, "ts", "s", "e").collect()}
+    assert got == {1, 2}
