@@ -49,10 +49,10 @@ BENCH_QUERIES = [
     # names are the xxhash64 bench twins of the oracled md5 queries.
     "minhash_lsh_dups_fast",
     "simhash_dups_fast",
-    # cosine_topk is the oracled HOF baseline; the _fast twins are the
-    # vectorized (GEMM pandas-UDF) deploy path for the embedding ops —
-    # identical results (parity-checked), arithmetic in numpy batches.
-    "cosine_topk",
+    # cosine_topk (the oracled HOF baseline) is a PARITY TWIN
+    # (queries.PARITY_TWINS): BNLJ brute force, broadcast-scale by
+    # contract — headline runs only the deploy path, the vectorized
+    # GEMM pandas-UDF twin with identical (parity-checked) results.
     "cosine_topk_fast",
     "ann_lsh_topk_fast",
     "ivf_ann_topk_fast",

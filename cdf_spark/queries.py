@@ -1639,12 +1639,96 @@ def iceberg_equality_deletes(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Parity twins: oracle-verifiable formulations whose PLANS are
+# deliberately weak — BNLJ brute force (cosine_topk, the exact
+# near-dup verifiers) or an unrolled Lloyd iteration in one plan
+# (ivf_kmeans_topk, 15 shuffles). They exist to value-check the
+# deploy paths (`cosine_topk_fast`, `ivf_ann_topk_fast`, the LSH
+# variants) against DuckDB at fixture scale, are capped to broadcast
+# scale by documented contract, and must never be benchmarked or
+# deployed as the engine's similarity surface. bench.py's headline
+# set runs only deploy paths.
+PARITY_TWINS: set[str] = {
+    "cosine_topk",  # BNLJ brute force; deploy: cosine_topk_fast
+    "ivf_kmeans_topk",  # unrolled Lloyd, 15 shuffles; deploy: ivf_ann_topk_fast
+    "ngram_jaccard_dups",  # O(sum bucket^2) exact verifier; deploy: minhash_lsh_dups
+    "embedding_near_dups",  # exact crossJoin verifier; deploy: embedding_near_dups_lsh_fast
+}
+
+# The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
+# each round. Registration order is module-definition order, so newly
+# added operators landed BEHIND the window and never earned a driver
+# row (38 of 104 by round 4). This rotation puts never-driver-verified
+# queries first, followed by staleness sentinels (green in r1-r3 but
+# not re-checked since); everything else keeps registration order
+# behind them. Revisit each round: once a query is driver-green, move
+# fresher debt into the head.
+_DRIVER_WINDOW_PRIORITY: list[str] = [
+    # -- never driver-checked through r4 (38) --
+    "hudi_time_travel",
+    "hudi_changes_since",
+    "iceberg_row_deletes",
+    "iceberg_equality_deletes",
+    "iceberg_time_travel",
+    "iceberg_changes_since",
+    "snapshot_time_travel",
+    "tombstone_merge_read",
+    "duckdb_commit_roundtrip",
+    "duckdb_source_scan",
+    "sqlite_commit_roundtrip",
+    "catalog_partition_scan",
+    "pg_copy_roundtrip_scan",
+    "avro_roundtrip_scan",
+    "protobuf_roundtrip_scan",
+    "q2_min_unit_price_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_avg",
+    "q20_excess_shipments",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "docs_embeddings_join",
+    "events_user_rollup",
+    "late_counts_by_type",
+    "session_window_agg",
+    "moving_average_frame",
+    "tfidf_top_terms",
+    "near_dup_clusters",
+    "ivf_ann_topk",
+    "ivf_kmeans_topk",
+    # -- r4 red, fixed this round: verify the fix lands green --
+    "pack_sequences_by_lang",
+    # -- staleness sentinels: last driver-green in r1/r2 --
+    "minhash_lsh_dups",
+    "simhash_dups",
+    "embedding_near_dups",
+    "cube_agg",
+    "lag_lead_price_delta",
+    "variant_capture_json",
+    "curation_pipeline",
+    # -- flagship sentinel --
+    "q1_pricing_summary",
+]
+
+
+def _rotated(d: dict) -> dict:
+    head = {k: d[k] for k in _DRIVER_WINDOW_PRIORITY if k in d}
+    return {**head, **{k: v for k, v in d.items() if k not in head}}
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(QUERIES)
+    return _rotated(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _rotated(ORACLES)
 
 
 # ---------------------------------------------------------------------------
