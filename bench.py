@@ -252,6 +252,32 @@ def main() -> None:
         # BASELINE's bulk-commit targets; sf0.1 lineitem (~10 MiB)
         # measures the small-batch fixed cost.
         #
+        # The SMALL ingest runs FIRST and both are best-of-2: in r4 the
+        # small path measured 4.8s vs 3.0s on an idle machine purely
+        # because it ran right after the (newly real) 12M-row ingest —
+        # GC pressure + page-cache eviction, not a path regression.
+        # Ordering small-before-big measures the fixed cost in a clean
+        # state; min-of-2 keeps both numbers noise-robust (same policy
+        # as the query set).
+        pipe_small = lambda i: LoadPipeline(  # noqa: E731
+            resource=FileResource(
+                ResourceDescriptor(resource_id="lineitem"), f"{SF_DIR}/lineitem.parquet"
+            ),
+            contract=contract,
+            package_root=f"{tmp}/pkgs_{i}",
+            destination=ParquetDestination(f"{tmp}/dest_{i}"),
+            disposition=WriteDisposition.APPEND,
+        )
+        ingest_sec = None
+        for i in range(2):
+            t0 = time.perf_counter()
+            run = pipe_small(i).run(spark)
+            ingest_sec = min(ingest_sec or 9e9, round(time.perf_counter() - t0, 3))
+        timings["ingest_lineitem_package"] = ingest_sec
+        src_bytes = os.path.getsize(f"{SF_DIR}/lineitem.parquet")
+        ingest_mib_s = round(src_bytes / 1024 / 1024 / ingest_sec, 2)
+        ingest_rows_s = round(run.rows_admitted / ingest_sec)
+
         # Cache keyed on the SF dir (r3 bug: an os.path.isdir-only
         # guard reused a stale ~120k-row fixture built from a small SF
         # during testing, invalidating the round's roofline). Validity
@@ -283,34 +309,19 @@ def main() -> None:
         big_bytes = sum(
             os.path.getsize(os.path.join(big, f)) for f in os.listdir(big) if f.endswith(".parquet")
         )
-        pipe_big = LoadPipeline(
-            resource=FileResource(ResourceDescriptor(resource_id="lineitem_big"), big),
-            contract=contract,
-            package_root=f"{tmp}/pkgs_big",
-        )
-        t0 = time.perf_counter()
-        run_big = pipe_big.run(spark)
-        big_sec = round(time.perf_counter() - t0, 3)
+        big_sec = None
+        for i in range(2):
+            pipe_big = LoadPipeline(
+                resource=FileResource(ResourceDescriptor(resource_id="lineitem_big"), big),
+                contract=contract,
+                package_root=f"{tmp}/pkgs_big_{i}",
+            )
+            t0 = time.perf_counter()
+            run_big = pipe_big.run(spark)
+            big_sec = min(big_sec or 9e9, round(time.perf_counter() - t0, 3))
         timings["ingest_big_12m_rows"] = big_sec
         ingest_big_mib_s = round(big_bytes / 1024 / 1024 / big_sec, 1)
         ingest_big_rows_s = round(run_big.rows_admitted / big_sec)
-
-        pipe = LoadPipeline(
-            resource=FileResource(
-                ResourceDescriptor(resource_id="lineitem"), f"{SF_DIR}/lineitem.parquet"
-            ),
-            contract=contract,
-            package_root=f"{tmp}/pkgs",
-            destination=ParquetDestination(f"{tmp}/dest"),
-            disposition=WriteDisposition.APPEND,
-        )
-        t0 = time.perf_counter()
-        run = pipe.run(spark)
-        ingest_sec = round(time.perf_counter() - t0, 3)
-        timings["ingest_lineitem_package"] = ingest_sec
-        src_bytes = os.path.getsize(f"{SF_DIR}/lineitem.parquet")
-        ingest_mib_s = round(src_bytes / 1024 / 1024 / ingest_sec, 2)
-        ingest_rows_s = round(run.rows_admitted / ingest_sec)
     except Exception as exc:  # noqa: BLE001 — ingest failure must not kill the summary
         errors["ingest"] = f"{type(exc).__name__}: {exc}"[:400]
     finally:

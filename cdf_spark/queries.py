@@ -1639,6 +1639,57 @@ def iceberg_equality_deletes(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register(
+    "iceberg_partition_prune",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey > 400 AND o_orderkey <= 900
+    """,
+)
+def iceberg_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest-bounds file pruning (`sources/iceberg.py
+    data_files_pruned`; reference negotiates the same snapshot+
+    predicate planning at `crates/cdf-source-iceberg/src/driver.rs:
+    902-1060`): three commits with disjoint o_orderkey ranges give
+    three data files with distinct column bounds; a range predicate
+    must scan exactly ONE of them — asserted here, so the oracle gate
+    itself fails if pruning stops working — and the surviving file
+    still passes exact row filters, so values match the plain SQL
+    filter."""
+    import shutil
+    import tempfile
+
+    from .expressions.ast import Col, Lit
+    from .plans.scan import ScanRequest
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    tmp = tempfile.mkdtemp(prefix="cdf_ice_prune_")
+    try:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=29)
+        w.append(o.filter(F.col("o_orderkey") <= 400).coalesce(1), timestamp_ms=1000)
+        w.append(
+            o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)).coalesce(1),
+            timestamp_ms=2000,
+        )
+        w.append(o.filter(F.col("o_orderkey") > 900).coalesce(1), timestamp_ms=3000)
+        t = IcebergTable(f"{tmp}/t")
+        out, plan = t.scan(
+            spark,
+            ScanRequest(
+                "orders_ice",
+                predicates=[(Col("o_orderkey") > Lit(400)) & (Col("o_orderkey") <= Lit(900))],
+            ),
+        )
+        meta = plan.partitions.meta
+        if not (meta["files_total"] == 3 and meta["files_kept"] == 1):
+            raise AssertionError(f"bounds pruning regressed: {meta}")
+        rows = out.collect()  # materialize before the tmp dir goes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Parity twins: oracle-verifiable formulations whose PLANS are
 # deliberately weak — BNLJ brute force (cosine_topk, the exact
 # near-dup verifiers) or an unrolled Lloyd iteration in one plan
@@ -1664,6 +1715,8 @@ PARITY_TWINS: set[str] = {
 # behind them. Revisit each round: once a query is driver-green, move
 # fresher debt into the head.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
+    # -- new this round --
+    "iceberg_partition_prune",
     # -- never driver-checked through r4 (38) --
     "hudi_time_travel",
     "hudi_changes_since",

@@ -53,6 +53,110 @@ class IcebergError(ValueError):
     pass
 
 
+# -- single-value binary serialization (spec Appendix D) ---------------------
+# Iceberg stores per-file column bounds as map<field-id, bytes> where the
+# bytes are the spec's single-value binary form: little-endian fixed-width
+# ints/floats, UTF-8 strings. Only the types the engine's bound pruning
+# understands are encoded; anything else is skipped (no bound -> no prune,
+# never a wrong prune).
+
+import struct as _struct
+
+
+def _encode_bound(value, typ: str) -> bytes | None:
+    try:
+        if typ == "int" or typ == "date":
+            return _struct.pack("<i", int(value))
+        if typ in ("long", "timestamp", "timestamptz"):
+            return _struct.pack("<q", int(value))
+        if typ == "float":
+            return _struct.pack("<f", float(value))
+        if typ == "double":
+            return _struct.pack("<d", float(value))
+        if typ == "string":
+            return str(value).encode("utf-8")
+    except (ValueError, TypeError, _struct.error):
+        return None
+    return None
+
+
+def _decode_bound(data: bytes, typ: str):
+    try:
+        if typ == "int" or typ == "date":
+            return _struct.unpack("<i", data)[0]
+        if typ in ("long", "timestamp", "timestamptz"):
+            return _struct.unpack("<q", data)[0]
+        if typ == "float":
+            return _struct.unpack("<f", data)[0]
+        if typ == "double":
+            return _struct.unpack("<d", data)[0]
+        if typ == "string":
+            return data.decode("utf-8")
+    except (ValueError, UnicodeDecodeError, _struct.error):
+        return None
+    return None
+
+
+def _file_can_match(expr, bounds: dict[str, tuple]) -> bool | None:
+    """Tri-state: can any row in a file with these per-column
+    [lower, upper] bounds satisfy the predicate? False = provably no
+    row matches (file prunable); True = provably some structure allows
+    a match; None = undecidable (keep the file). Conservative by
+    construction: only a False prunes, so an unknown column, op, or
+    type can only WIDEN the scan, never corrupt it (same tri-state
+    discipline as catalog partition pruning)."""
+    from ..expressions.ast import Binary, Col, Lit, Unary
+
+    if isinstance(expr, Unary):
+        # NOT over an interval verdict is undecidable from bounds alone
+        # (NOT(possibly-match) is still possibly-match) — keep the file
+        return None
+    if not isinstance(expr, Binary):
+        return None
+    op = expr.op
+    if op in ("and", "or"):
+        l = _file_can_match(expr.left, bounds)
+        r = _file_can_match(expr.right, bounds)
+        if op == "and":
+            if l is False or r is False:
+                return False
+            return True if (l is True and r is True) else None
+        if l is False and r is False:
+            return False
+        return True if (l is True or r is True) else None
+    # normalize to  col op lit
+    left, right = expr.left, expr.right
+    flip = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le", "eq": "eq", "ne": "ne"}
+    if isinstance(left, Lit) and isinstance(right, Col):
+        left, right, op = right, left, flip.get(op)
+        if op is None:
+            return None
+    if not (isinstance(left, Col) and isinstance(right, Lit)):
+        return None
+    if left.name not in bounds:
+        return None
+    lo, hi = bounds[left.name]
+    v = right.value
+    if lo is None or hi is None or v is None:
+        return None
+    try:
+        if op == "eq":
+            return None if (lo <= v <= hi) else False
+        if op == "ne":
+            return False if (lo == hi == v) else None
+        if op == "lt":
+            return False if lo >= v else None
+        if op == "le":
+            return False if lo > v else None
+        if op == "gt":
+            return False if hi <= v else None
+        if op == "ge":
+            return False if hi < v else None
+    except TypeError:
+        return None
+    return None
+
+
 def _strip_uri(p: str) -> str:
     return p[7:] if p.startswith("file://") else p
 
@@ -219,6 +323,60 @@ class IcebergTable:
         cur = schemas.get(self._meta.get("current-schema-id", 0), {})
         return {int(f["id"]): f["name"] for f in cur.get("fields", [])}
 
+    def _field_types_by_id(self) -> dict[int, str]:
+        schemas = {s.get("schema-id", 0): s for s in self._meta.get("schemas", [])}
+        cur = schemas.get(self._meta.get("current-schema-id", 0), {})
+        return {int(f["id"]): str(f.get("type") or "") for f in cur.get("fields", [])}
+
+    def _entry_bounds(self, entry: dict) -> dict[str, tuple]:
+        """Column name -> (lower, upper) decoded from the entry's
+        single-value-serialized bounds maps. Columns with missing,
+        undecodable, or type-less bounds are simply absent — pruning
+        treats absence as 'keep'."""
+        names, types = self._field_names_by_id(), self._field_types_by_id()
+        dfile = entry["data_file"]
+        lo_raw = {int(kv["key"]): kv["value"] for kv in (dfile.get("lower_bounds") or [])}
+        hi_raw = {int(kv["key"]): kv["value"] for kv in (dfile.get("upper_bounds") or [])}
+        out: dict[str, tuple] = {}
+        for fid in set(lo_raw) & set(hi_raw):
+            typ = types.get(fid)
+            if fid not in names or not typ:
+                continue
+            lo = _decode_bound(lo_raw[fid], typ)
+            hi = _decode_bound(hi_raw[fid], typ)
+            if lo is not None and hi is not None:
+                out[names[fid]] = (lo, hi)
+        return out
+
+    def data_files_pruned(
+        self, snapshot_id: int, predicates: list
+    ) -> tuple[list[str], dict]:
+        """Live data files that can possibly match the predicates,
+        judged from each manifest entry's column bounds — the
+        file-level pruning the reference's driver negotiates
+        (`crates/cdf-source-iceberg/src/driver.rs:902-1060`) and what
+        keeps a 100k-file snapshot from scanning every file for a
+        point query. Conservative: a file is dropped only when a
+        predicate is provably false over its [lower, upper] bounds.
+        Returns (kept_paths, evidence) with total/kept/pruned counts."""
+        kept: list[str] = []
+        total = 0
+        for mp in self._manifest_paths(self.snapshot(snapshot_id)):
+            for e in self._manifest_entries(mp):
+                dfile = e["data_file"]
+                if int(e.get("status", 1)) == 2 or int(dfile.get("content") or 0) != 0:
+                    continue
+                total += 1
+                bounds = self._entry_bounds(e)
+                if all(_file_can_match(p, bounds) is not False for p in predicates):
+                    kept.append(str(self._resolve(dfile["file_path"])))
+        kept.sort()
+        return kept, {
+            "files_total": total,
+            "files_kept": len(kept),
+            "files_pruned": total - len(kept),
+        }
+
     def equality_deletes_for_snapshot(
         self, snapshot_id: int
     ) -> list[tuple[str, list[str], int]]:
@@ -278,7 +436,27 @@ class IcebergTable:
         projection into the multi-file parquet scan; the plan records
         the negotiation for replay."""
         plan = negotiate(request, self.capabilities())
-        df = self.read(spark, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+        if snapshot_id is None:
+            snap = (
+                self.snapshot_as_of(as_of_ms)
+                if as_of_ms is not None
+                else self.snapshot(self.current_snapshot_id())
+            )
+            snapshot_id = int(snap["snapshot-id"])
+        # file-level pruning against manifest column bounds BEFORE the
+        # parquet scan: every request predicate is re-enforced
+        # engine-side below (pushed are Inexact for parquet), so
+        # pruning on any of them is consistent — files that survive
+        # still pass through the exact row filters.
+        files, prune_meta = self.data_files_pruned(snapshot_id, request.predicates)
+        from ..plans.scan import PartitionPlan as _PP
+
+        plan.partitions = _PP(
+            kind="files",
+            units=[{"path": p} for p in files],
+            meta={**prune_meta, "snapshot_id": snapshot_id},
+        )
+        df = self.read(spark, snapshot_id=snapshot_id, _files=files)
         if plan.projection:
             df = df.select(*plan.projection)
         for p in plan.pushed + plan.residual:
@@ -301,6 +479,7 @@ class IcebergTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
+        _files: list[str] | None = None,
     ) -> DataFrame:
         if snapshot_id is None:
             snap = (
@@ -309,9 +488,14 @@ class IcebergTable:
                 else self.snapshot(self.current_snapshot_id())
             )
             snapshot_id = int(snap["snapshot-id"])
-        files = self.files_for_snapshot(snapshot_id)
-        if not files:
+        all_files = self.files_for_snapshot(snapshot_id)
+        if not all_files:
             raise IcebergError(f"snapshot {snapshot_id} has no live data files")
+        files = all_files if _files is None else _files
+        if not files:
+            # every file pruned: empty result with the snapshot schema
+            schema = spark.read.parquet(*all_files).schema
+            return spark.createDataFrame([], schema)
         df = spark.read.parquet(*files)
         dels = self.delete_files_for_snapshot(snapshot_id)
         if dels:
@@ -467,6 +651,46 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "type": ["null", {"type": "array", "items": "int"}],
                         "default": None,
                     },
+                    # per-column min/max in the spec's single-value
+                    # binary form, keyed by field id — what file-level
+                    # predicate pruning reads (spec k/v-list encoding
+                    # of map<int, bytes>)
+                    {
+                        "name": "lower_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k126_v127",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k129_v130",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -532,8 +756,23 @@ class IcebergFixtureWriter:
 
         if not hasattr(self, "_fields"):
             # first data commit defines the field-id schema (ids 1..n)
-            # that equality-delete entries reference
+            # that equality-delete entries reference; iceberg types ride
+            # along so bound values round-trip through the spec's
+            # single-value serialization
+            _SPARK_TO_ICE = {
+                "integer": "int",
+                "long": "long",
+                "float": "float",
+                "double": "double",
+                "string": "string",
+                "date": "date",
+                "timestamp": "timestamp",
+            }
             self._fields: list[str] = list(df.columns)
+            self._field_types: dict[str, str] = {
+                f.name: _SPARK_TO_ICE.get(f.dataType.typeName(), "")
+                for f in df.schema.fields
+            }
 
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
         parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
@@ -550,6 +789,8 @@ class IcebergFixtureWriter:
             shutil.move(str(p), str(dest))
             import pyarrow.parquet as pq
 
+            md = pq.read_metadata(dest)
+            lower, upper = self._footer_bounds(md)
             data_files.append(
                 {
                     "status": 1,  # ADDED
@@ -558,9 +799,11 @@ class IcebergFixtureWriter:
                     "data_file": {
                         "file_path": str(dest),
                         "file_format": "PARQUET",
-                        "record_count": pq.read_metadata(dest).num_rows,
+                        "record_count": md.num_rows,
                         "content": 0,
                         "equality_ids": None,
+                        "lower_bounds": lower,
+                        "upper_bounds": upper,
                         "file_size_in_bytes": dest.stat().st_size,
                     },
                 }
@@ -568,6 +811,49 @@ class IcebergFixtureWriter:
         shutil.rmtree(tmp, ignore_errors=True)
 
         return self._finish_commit(sid, parent, ts, data_files, operation)
+
+    def _footer_bounds(self, md) -> tuple[list | None, list | None]:
+        """Per-column min/max aggregated across row groups from the
+        parquet footer, encoded as the spec's single-value binary form
+        keyed by field id. Columns whose type the serde doesn't cover
+        (or with absent footer stats) are skipped — readers treat a
+        missing bound as 'keep the file'."""
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                lo, hi = st.min, st.max
+                if name not in mins or lo < mins[name]:
+                    mins[name] = lo
+                if name not in maxs or hi > maxs[name]:
+                    maxs[name] = hi
+        lower, upper = [], []
+        for name in mins:
+            typ = getattr(self, "_field_types", {}).get(name, "")
+            if not typ or name not in self._fields:
+                continue
+            lo, hi = mins[name], maxs[name]
+            if typ in ("timestamp", "timestamptz"):
+                # footer stats come back as datetime; spec stores micros
+                if hasattr(lo, "timestamp"):
+                    lo, hi = int(lo.timestamp() * 1_000_000), int(hi.timestamp() * 1_000_000)
+            if typ == "date" and hasattr(lo, "toordinal"):
+                epoch = 719_163  # date(1970,1,1).toordinal()
+                lo, hi = lo.toordinal() - epoch, hi.toordinal() - epoch
+            if typ == "string" and (len(str(lo)) > 64 or len(str(hi)) > 64):
+                continue  # parquet may truncate long string stats
+            lo_b, hi_b = _encode_bound(lo, typ), _encode_bound(hi, typ)
+            if lo_b is None or hi_b is None:
+                continue
+            fid = self._fields.index(name) + 1
+            lower.append({"key": fid, "value": lo_b})
+            upper.append({"key": fid, "value": hi_b})
+        return (lower or None), (upper or None)
 
     def delete_positions(
         self,
@@ -607,6 +893,8 @@ class IcebergFixtureWriter:
                     "record_count": len(deletes),
                     "content": 1,
                     "equality_ids": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
                     "file_size_in_bytes": dest.stat().st_size,
                 },
             }
@@ -645,6 +933,8 @@ class IcebergFixtureWriter:
                     "record_count": len(values),
                     "content": 2,
                     "equality_ids": ids,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
                     "file_size_in_bytes": dest.stat().st_size,
                 },
             }
@@ -713,7 +1003,12 @@ class IcebergFixtureWriter:
                     "schema-id": 0,
                     "type": "struct",
                     "fields": [
-                        {"id": i + 1, "name": c, "required": False}
+                        {
+                            "id": i + 1,
+                            "name": c,
+                            "required": False,
+                            "type": getattr(self, "_field_types", {}).get(c, ""),
+                        }
                         for i, c in enumerate(getattr(self, "_fields", []))
                     ],
                 }
