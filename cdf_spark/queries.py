@@ -1270,6 +1270,38 @@ def audio_sample_stats_q(spark: SparkSession, sf: str) -> DataFrame:
     return audio_sample_stats(synthetic_wav_table(docs, "doc_id"))
 
 
+_SESSION_FIXTURES: dict[tuple[str, str], str] = {}
+
+
+def _session_fixture(kind: str, sf: str, build) -> str:
+    """Session-lived fixture dir for `kind` at scale `sf`, built once
+    by `build(dir)`. Fixture-backed registry queries used to build into
+    a per-call tmp dir and collect() rows before deleting it — which
+    made the plan audit blind exactly where the table-format readers
+    live (EXPLAIN showed LocalTableScan, 0 scans, no pushdown
+    evidence). Building once per session and returning LIVE DataFrames
+    keeps the real multi-file parquet scans in the audited plan; atexit
+    removes the dirs at interpreter exit. The _BUILT marker lands only
+    after a successful build, so a failed build retries instead of
+    caching a half-written fixture."""
+    import atexit
+    import shutil
+    import tempfile
+    from pathlib import Path as _Path
+
+    key = (kind, sf)
+    d = _SESSION_FIXTURES.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix=f"cdf_fix_{kind}_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _SESSION_FIXTURES[key] = d
+    marker = _Path(d) / "_BUILT"
+    if not marker.exists():
+        build(d)
+        marker.write_text("")
+    return d
+
+
 @_register(
     "delta_time_travel",
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900",
@@ -1279,26 +1311,20 @@ def delta_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     (`sources/delta.py`: numbered JSON-lines commits under _delta_log,
     add/remove action replay): three commits, the pin at version 1 must
     see commits 0+1 only."""
-    import shutil
-    import tempfile
-
     from .sources.delta import DeltaFixtureWriter, DeltaTable
 
-    tmp = tempfile.mkdtemp(prefix="cdf_delta_")
-    try:
+    def build(tmp: str) -> None:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         w = DeltaFixtureWriter(f"{tmp}/t")
         w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
-        v1 = w.append(
+        w.append(
             o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)),
             timestamp_ms=2000,
         )
         w.append(o.filter(F.col("o_orderkey") > 900), timestamp_ms=3000)
-        pinned = DeltaTable(f"{tmp}/t").read(spark, version=v1)
-        rows = pinned.collect()  # materialize before the tmp dir goes
-        return spark.createDataFrame(rows, pinned.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("delta_tt", sf, build)
+    return DeltaTable(f"{tmp}/t").read(spark, version=1)
 
 
 @_register(
@@ -1310,29 +1336,24 @@ def delta_changes_since(spark: SparkSession, sf: str) -> DataFrame:
     version 0, the consumer receives exactly the files ADDED by
     versions 1 and 2 (append-only log — a remove action would reset to
     a full re-read, tested in test_delta)."""
-    import shutil
-    import tempfile
-
     from .positions import TableSnapshotPosition
     from .sources.delta import DeltaFixtureWriter, DeltaTable
 
-    tmp = tempfile.mkdtemp(prefix="cdf_delta_inc_")
-    try:
+    def build(tmp: str) -> None:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         w = DeltaFixtureWriter(f"{tmp}/t")
-        v0 = w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
+        w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
         w.append(
             o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)),
             timestamp_ms=2000,
         )
         w.append(o.filter(F.col("o_orderkey") > 900), timestamp_ms=3000)
-        df, _pos = DeltaTable(f"{tmp}/t").changes_since(
-            spark, TableSnapshotPosition(snapshot_id=v0)
-        )
-        rows = df.collect()  # materialize before the tmp dir goes
-        return spark.createDataFrame(rows, df.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("delta_inc", sf, build)
+    df, _pos = DeltaTable(f"{tmp}/t").changes_since(
+        spark, TableSnapshotPosition(snapshot_id=0)
+    )
+    return df
 
 
 @_register(
@@ -1511,27 +1532,23 @@ def hudi_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     resolution): the pin at the first instant must see only the first
     commit, AND a later rewrite of that file group must not leak into
     the pinned read (copy-on-write supersession)."""
-    import shutil
-    import tempfile
-
     from .sources.hudi import HudiFixtureWriter, HudiTable
 
-    tmp = tempfile.mkdtemp(prefix="cdf_hudi_")
-    try:
+    def build(tmp: str) -> None:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         w = HudiFixtureWriter(f"{tmp}/t")
-        i1 = w.commit(o.filter(F.col("o_orderkey") <= 400), file_id="grp1")
+        w.commit(o.filter(F.col("o_orderkey") <= 400), file_id="grp1")
         w.commit(o.filter(F.col("o_orderkey") > 400))  # newer group
-        # rewrite grp1 with zeroed prices: the i1 pin must NOT see this
+        # rewrite grp1 with zeroed prices: the first-instant pin must
+        # NOT see this
         w.commit(
             o.filter(F.col("o_orderkey") <= 400).withColumn("o_totalprice", F.lit(0.0)),
             file_id="grp1",
         )
-        pinned = HudiTable(f"{tmp}/t").read(spark, instant=i1)
-        rows = pinned.collect()  # materialize before the tmp dir goes
-        return spark.createDataFrame(rows, pinned.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("hudi_tt", sf, build)
+    t = HudiTable(f"{tmp}/t")
+    return t.read(spark, instant=t.instants()[0])
 
 
 @_register(
@@ -1543,25 +1560,21 @@ def hudi_changes_since(spark: SparkSession, sf: str) -> DataFrame:
     the first instant, pure-insert commits deliver exactly their file
     versions as the delta (a group rewrite would reset to a full
     re-read — covered in test_hudi)."""
-    import shutil
-    import tempfile
-
+    from .positions import TableSnapshotPosition
     from .sources.hudi import HudiFixtureWriter, HudiTable
 
-    tmp = tempfile.mkdtemp(prefix="cdf_hudi_inc_")
-    try:
+    def build(tmp: str) -> None:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         w = HudiFixtureWriter(f"{tmp}/t")
         w.commit(o.filter(F.col("o_orderkey") <= 400))
-        t = HudiTable(f"{tmp}/t")
-        pos = t.position()
         w.commit(o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)))
         w.commit(o.filter(F.col("o_orderkey") > 900))
-        df, _pos = HudiTable(f"{tmp}/t").changes_since(spark, pos)
-        rows = df.collect()  # materialize before the tmp dir goes
-        return spark.createDataFrame(rows, df.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("hudi_inc", sf, build)
+    t = HudiTable(f"{tmp}/t")
+    pos = TableSnapshotPosition(snapshot_id=int(t.instants()[0]))
+    df, _pos = t.changes_since(spark, pos)
+    return df
 
 
 @_register(
@@ -1578,13 +1591,9 @@ def iceberg_row_deletes(spark: SparkSession, sf: str) -> DataFrame:
     read resolves merge-on-read through a broadcast anti-join on
     Spark's parquet metadata columns, no data rewrite. The oracle is
     simply the surviving key range."""
-    import shutil
-    import tempfile
-
     from .sources.iceberg import IcebergFixtureWriter, IcebergTable
 
-    tmp = tempfile.mkdtemp(prefix="cdf_ice_del_")
-    try:
+    def build(tmp: str) -> None:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         w = IcebergFixtureWriter(f"{tmp}/t", seed=17)
         s1 = w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
@@ -1598,11 +1607,9 @@ def iceberg_row_deletes(spark: SparkSession, sf: str) -> DataFrame:
             .collect()
         )
         w.delete_positions([(r._f, r._p) for r in located], timestamp_ms=2000)
-        out = IcebergTable(f"{tmp}/t").read(spark)
-        rows = out.collect()  # materialize before the tmp dir goes
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("ice_del", sf, build)
+    return IcebergTable(f"{tmp}/t").read(spark)
 
 
 @_register(
@@ -1619,24 +1626,18 @@ def iceberg_equality_deletes(spark: SparkSession, sf: str) -> DataFrame:
     data rows, which positional deletes cannot express without
     enumerating them. Match columns resolve through field IDS in the
     metadata schema (the spec's rename-proof indirection)."""
-    import shutil
-    import tempfile
-
     from .sources.iceberg import IcebergFixtureWriter, IcebergTable
 
-    tmp = tempfile.mkdtemp(prefix="cdf_ice_eq_")
-    try:
+    def build(tmp: str) -> None:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         w = IcebergFixtureWriter(f"{tmp}/t", seed=23)
         w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
         w.delete_equality(
             [{"o_custkey": c} for c in range(20)], ["o_custkey"], timestamp_ms=2000
         )
-        out = IcebergTable(f"{tmp}/t").read(spark)
-        rows = out.collect()  # materialize before the tmp dir goes
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("ice_eq", sf, build)
+    return IcebergTable(f"{tmp}/t").read(spark)
 
 
 @_register(
@@ -1656,15 +1657,11 @@ def iceberg_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
     itself fails if pruning stops working — and the surviving file
     still passes exact row filters, so values match the plain SQL
     filter."""
-    import shutil
-    import tempfile
-
     from .expressions.ast import Col, Lit
     from .plans.scan import ScanRequest
     from .sources.iceberg import IcebergFixtureWriter, IcebergTable
 
-    tmp = tempfile.mkdtemp(prefix="cdf_ice_prune_")
-    try:
+    def build(tmp: str) -> None:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
         w = IcebergFixtureWriter(f"{tmp}/t", seed=29)
         w.append(o.filter(F.col("o_orderkey") <= 400).coalesce(1), timestamp_ms=1000)
@@ -1673,21 +1670,19 @@ def iceberg_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
             timestamp_ms=2000,
         )
         w.append(o.filter(F.col("o_orderkey") > 900).coalesce(1), timestamp_ms=3000)
-        t = IcebergTable(f"{tmp}/t")
-        out, plan = t.scan(
-            spark,
-            ScanRequest(
-                "orders_ice",
-                predicates=[(Col("o_orderkey") > Lit(400)) & (Col("o_orderkey") <= Lit(900))],
-            ),
-        )
-        meta = plan.partitions.meta
-        if not (meta["files_total"] == 3 and meta["files_kept"] == 1):
-            raise AssertionError(f"bounds pruning regressed: {meta}")
-        rows = out.collect()  # materialize before the tmp dir goes
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("ice_prune", sf, build)
+    out, plan = IcebergTable(f"{tmp}/t").scan(
+        spark,
+        ScanRequest(
+            "orders_ice",
+            predicates=[(Col("o_orderkey") > Lit(400)) & (Col("o_orderkey") <= Lit(900))],
+        ),
+    )
+    meta = plan.partitions.meta
+    if not (meta["files_total"] == 3 and meta["files_kept"] == 1):
+        raise AssertionError(f"bounds pruning regressed: {meta}")
+    return out
 
 
 # Parity twins: oracle-verifiable formulations whose PLANS are
@@ -3236,15 +3231,11 @@ def tombstone_merge_read(spark: SparkSession, sf: str) -> DataFrame:
     state relationally — the anti-join liveness resolution must agree
     value-for-value (deletion-vector semantics over plain parquet;
     keyed merge parity with crates/cdf-dest-duckdb/src/commit.rs:150-216)."""
-    import shutil
-    import tempfile
-
     from .package import PackageBuilder
     from .package.tombstone import TombstoneParquetDestination
     from .sources.base import WriteDisposition
 
-    tmp = tempfile.mkdtemp(prefix="cdf_tombq_")
-    try:
+    def build(tmp: str) -> None:
         orders = _t(spark, sf, "orders")
         base = orders.filter(F.col("o_custkey") < 100).select(
             "o_orderkey", "o_custkey", "o_totalprice"
@@ -3261,11 +3252,9 @@ def tombstone_merge_read(spark: SparkSession, sf: str) -> DataFrame:
         r2 = dest.verify(spark, dest.commit(spark, p2, WriteDisposition.MERGE), p2)
         if not (r1.verified and r2.verified):
             raise RuntimeError("tombstone commit receipt failed verification")
-        out = dest.read(spark)
-        # materialize before the tmp dir goes away
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("tombq", sf, build)
+    return TombstoneParquetDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)
 
 
 @_register(
@@ -3376,40 +3365,32 @@ def catalog_partition_scan(spark: SparkSession, sf: str) -> DataFrame:
     predicate (pruned at the manifest — 1 of 3 partitions read, checked)
     plus a residual column predicate
     (`crates/cdf-source-glue/src/planner.rs:30-120` pushdown parity)."""
-    import shutil
-    import tempfile
-
     from .plans.scan import ScanRequest
     from .sources.base import ResourceDescriptor
     from .sources.catalog import CatalogTableResource, catalog_from_hive_layout
 
-    tmp = tempfile.mkdtemp(prefix="cdf_cat_")
-    try:
-        root = f"{tmp}/orders"
+    def build(tmp: str) -> None:
         (
             _t(spark, sf, "orders")
             .withColumn("status", F.col("o_orderstatus"))
             .write.partitionBy("status")
-            .parquet(root)
+            .parquet(f"{tmp}/orders")
         )
-        cat = catalog_from_hive_layout("lake", "orders", root, [("status", "string")])
-        res = CatalogTableResource(ResourceDescriptor(resource_id="orders"), cat, "lake", "orders")
-        df, plan = res.scan(
-            spark,
-            ScanRequest(
-                "orders",
-                projection=["o_orderkey", "o_custkey", "status"],
-                predicates=[Col("status") == "F", Col("o_custkey") < 500],
-            ),
-        )
-        if plan.partitions.meta["partitions_scanned"] >= plan.partitions.meta["partitions_total"]:
-            raise RuntimeError("catalog scan did not prune the partition manifest")
-        # the scan is lazy over tmp files: materialize before cleanup
-        import pandas as pd  # noqa: F401
 
-        return spark.createDataFrame(df.toPandas())
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _session_fixture("cat_hive", sf, build)
+    cat = catalog_from_hive_layout("lake", "orders", f"{tmp}/orders", [("status", "string")])
+    res = CatalogTableResource(ResourceDescriptor(resource_id="orders"), cat, "lake", "orders")
+    df, plan = res.scan(
+        spark,
+        ScanRequest(
+            "orders",
+            projection=["o_orderkey", "o_custkey", "status"],
+            predicates=[Col("status") == "F", Col("o_custkey") < 500],
+        ),
+    )
+    if plan.partitions.meta["partitions_scanned"] >= plan.partitions.meta["partitions_total"]:
+        raise RuntimeError("catalog scan did not prune the partition manifest")
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -3551,17 +3532,12 @@ def avro_roundtrip_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     from .sources.avro_format import read_avro, write_avro
 
-    tmp = tempfile.mkdtemp(prefix="cdf_avro_")
-    try:
+    def build(tmp: str) -> None:
         src = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
         write_avro(src, f"{tmp}/nation.avro")
-        back = read_avro(spark, f"{tmp}/nation.avro")
-        # mapInPandas output is lazy over the tmp file: materialize
-        # driver-side before the dir disappears
-        rows = back.collect()
-        return spark.createDataFrame(rows, back.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("avro_rt", sf, build)
+    return read_avro(spark, f"{tmp}/nation.avro")
 
 
 @_register(
@@ -3592,15 +3568,12 @@ def protobuf_roundtrip_scan(spark: SparkSession, sf: str) -> DataFrame:
             ],
         }
     )
-    tmp = tempfile.mkdtemp(prefix="cdf_pb_")
-    try:
+    def build(tmp: str) -> None:
         src = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
         write_protobuf([r.asDict() for r in src.collect()], spec, f"{tmp}/supplier.pb")
-        back = read_protobuf(spark, f"{tmp}/supplier.pb", spec)
-        rows = back.collect()  # lazy over tmp: materialize before cleanup
-        return spark.createDataFrame(rows, back.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("pb_rt", sf, build)
+    return read_protobuf(spark, f"{tmp}/supplier.pb", spec)
 
 
 @_register(
@@ -3612,22 +3585,18 @@ def snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     the query reads the OLDER pin while newer data exists — it must see
     exactly the first commit (`sources/snapshot_table.py`, Iceberg-shaped
     per `crates/cdf-source-iceberg/src/driver.rs:902-1060`)."""
-    import shutil
-    import tempfile
-
     from .sources.snapshot_table import SnapshotTable
 
-    tmp = tempfile.mkdtemp(prefix="cdf_snap_")
-    try:
+    def build(tmp: str) -> None:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         t = SnapshotTable(f"{tmp}/t")
-        s1 = t.append(o.filter(F.col("o_orderkey") <= 20000))
+        t.append(o.filter(F.col("o_orderkey") <= 20000))
         t.append(o.filter(F.col("o_orderkey") > 20000))  # newer data the pin must NOT see
-        pinned = t.read(spark, snapshot_id=s1)
-        rows = pinned.collect()  # materialize before the tmp dir goes
-        return spark.createDataFrame(rows, pinned.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("snap_tt", sf, build)
+    t = SnapshotTable(f"{tmp}/t")
+    first = int(t.snapshots()[0]["snapshot_id"])  # oldest-first chain
+    return t.read(spark, snapshot_id=first)
 
 
 @_register(
@@ -3642,28 +3611,23 @@ def iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     with deliberately NON-monotone random snapshot ids — the pin at the
     second commit must see commits 1+2 only, which requires the
     parent-ancestry walk (id ordering would misresolve)."""
-    import shutil
-    import tempfile
-
     from .sources.iceberg import IcebergFixtureWriter, IcebergTable
 
-    tmp = tempfile.mkdtemp(prefix="cdf_ice_")
-    try:
+    ids = [9_000_000_000_000_000_001, 17, 4_000_000_000_000_000_002]
+
+    def build(tmp: str) -> None:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         w = IcebergFixtureWriter(f"{tmp}/t", seed=11)
-        ids = [9_000_000_000_000_000_001, 17, 4_000_000_000_000_000_002]
         w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000, snapshot_id=ids[0])
-        s2 = w.append(
+        w.append(
             o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)),
             timestamp_ms=2000,
             snapshot_id=ids[1],
         )
         w.append(o.filter(F.col("o_orderkey") > 900), timestamp_ms=3000, snapshot_id=ids[2])
-        pinned = IcebergTable(f"{tmp}/t").read(spark, snapshot_id=s2)
-        rows = pinned.collect()  # materialize before the tmp dir goes
-        return spark.createDataFrame(rows, pinned.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("ice_tt", sf, build)
+    return IcebergTable(f"{tmp}/t").read(spark, snapshot_id=ids[1])
 
 
 @_register(
@@ -3676,28 +3640,24 @@ def iceberg_changes_since(spark: SparkSession, sf: str) -> DataFrame:
     files ADDED by commits 2 and 3 — commit 2's snapshot id is SMALLER
     than commit 1's, so `id > seen` ordering (the bug class the
     ancestry walk replaces) would silently drop it."""
-    import shutil
-    import tempfile
-
     from .positions import TableSnapshotPosition
     from .sources.iceberg import IcebergFixtureWriter, IcebergTable
 
-    tmp = tempfile.mkdtemp(prefix="cdf_ice_inc_")
-    try:
+    ids = [8_000_000_000_000_000_001, 23, 3_000_000_000_000_000_002]
+
+    def build(tmp: str) -> None:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         w = IcebergFixtureWriter(f"{tmp}/t", seed=13)
-        ids = [8_000_000_000_000_000_001, 23, 3_000_000_000_000_000_002]
-        s1 = w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000, snapshot_id=ids[0])
+        w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000, snapshot_id=ids[0])
         w.append(
             o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)),
             timestamp_ms=2000,
             snapshot_id=ids[1],
         )
         w.append(o.filter(F.col("o_orderkey") > 900), timestamp_ms=3000, snapshot_id=ids[2])
-        df, _pos = IcebergTable(f"{tmp}/t").changes_since(
-            spark, TableSnapshotPosition(snapshot_id=s1)
-        )
-        rows = df.collect()  # materialize before the tmp dir goes
-        return spark.createDataFrame(rows, df.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = _session_fixture("ice_inc", sf, build)
+    df, _pos = IcebergTable(f"{tmp}/t").changes_since(
+        spark, TableSnapshotPosition(snapshot_id=ids[0])
+    )
+    return df
