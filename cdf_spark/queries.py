@@ -1685,6 +1685,85 @@ def iceberg_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+@_register(
+    "stream_drain_equivalence",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE event_id IS NOT NULL
+      AND event_type IN ('signup', 'click', 'view', 'purchase')
+      AND value >= 0.0 AND value <= 400.0
+    """,
+)
+def stream_drain_equivalence(spark: SparkSession, sf: str) -> DataFrame:
+    """Drain/batch equivalence end-to-end on a REAL `readStream`
+    (`streaming/pipeline.py`; the reference's Drain extent,
+    `crates/cdf-kernel/src/execution_extent.rs:20-33`): the events
+    table split into 4 files, drained with Trigger.AvailableNow at
+    maxFilesPerTrigger=1 — so ≥2 genuine micro-batch epochs, each one
+    contract-evaluate -> package -> ParquetDestination commit ->
+    receipt verify -> checkpoint advance. The query returns the FINAL
+    COMMITTED table; the oracle recomputes the batch-path result as
+    plain SQL over the same rows, so the hash check proves the
+    epoch-split append path loses/duplicates nothing vs one batch."""
+    from pyspark.sql import types as T
+
+    from .contracts import Contract, DomainRule, RangeRule
+    from .package.ledger import ParquetDestination
+    from .sources.base import ResourceDescriptor, WriteDisposition
+    from .streaming.pipeline import StreamingLoadPipeline
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def build(tmp: str) -> None:
+        import shutil
+        import tempfile
+        from pathlib import Path as _Path
+
+        ev = _t(spark, sf, "events").select(*cols)
+        (_Path(tmp) / "in").mkdir()
+        for i in range(4):
+            stage = tempfile.mkdtemp(prefix="cdf_stream_part_")
+            ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            shutil.move(str(src), f"{tmp}/in/part-{i}.parquet")
+            shutil.rmtree(stage, ignore_errors=True)
+        pipe = StreamingLoadPipeline(
+            descriptor=ResourceDescriptor(resource_id="events_stream"),
+            source_path=f"{tmp}/in",
+            schema=schema,
+            contract=Contract(
+                rules=[
+                    DomainRule("event_type", ["signup", "click", "view", "purchase"]),
+                    RangeRule("value", min=0.0, max=400.0),
+                ]
+            ),
+            package_root=f"{tmp}/pkgs",
+            ledger_root=f"{tmp}/ledger",
+            destination=ParquetDestination(f"{tmp}/dest"),
+            disposition=WriteDisposition.APPEND,
+            reader_options={"maxFilesPerTrigger": 1},
+        )
+        epochs = pipe.run(spark)
+        if len(epochs) < 2:
+            raise AssertionError(f"drain ran in {len(epochs)} epoch(s) — not a multi-epoch drain")
+        if not all(e.receipt_verified for e in epochs if e.rows_admitted > 0):
+            raise AssertionError("an epoch's commit receipt failed verification")
+
+    tmp = _session_fixture("stream_drain", sf, build)
+    return spark.read.parquet(f"{tmp}/dest").select(*cols)
+
+
 # Parity twins: oracle-verifiable formulations whose PLANS are
 # deliberately weak — BNLJ brute force (cosine_topk, the exact
 # near-dup verifiers) or an unrolled Lloyd iteration in one plan
@@ -1712,6 +1791,7 @@ PARITY_TWINS: set[str] = {
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new this round --
     "iceberg_partition_prune",
+    "stream_drain_equivalence",
     # -- never driver-checked through r4 (38) --
     "hudi_time_travel",
     "hudi_changes_since",

@@ -67,6 +67,9 @@ class StreamingLoadPipeline:
     epoch_policy: EpochPolicy = field(default_factory=EpochPolicy)
     termination: DrainTermination = field(default_factory=DrainTermination)
     source_format: str = "parquet"
+    # options for the stream reader (e.g. maxFilesPerTrigger to bound
+    # epoch size — the rows/bytes axis of EpochPolicy for file sources)
+    reader_options: dict = field(default_factory=dict)
 
     epochs: list[EpochResult] = field(default_factory=list)
 
@@ -192,6 +195,7 @@ class StreamingLoadPipeline:
         reader = (
             spark.readStream.format(self.source_format)
             .schema(self.schema)
+            .options(**{k: str(v) for k, v in self.reader_options.items()})
             .load(self.source_path)
         )
         checkpoint_dir = checkpoint_dir or str(Path(self.ledger_root) / "spark_checkpoints" / self.descriptor.resource_id)
