@@ -43,6 +43,14 @@ def get_spark(app_name: str = "cdf_spark", master: str | None = None, **override
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
     real cluster leave it unset and let spark-submit own it.
     """
+    # Pin BLAS to one thread per Python worker: with local[32] workers
+    # each spawning multi-threaded GEMMs the box oversubscribes and the
+    # vectorized (pandas-UDF) paths get noisy; parallelism comes from
+    # Spark's 32 workers, not from nested BLAS threads. Must land in
+    # the environment BEFORE workers import numpy (they inherit the
+    # driver env in local mode; on a cluster set spark.executorEnv.*).
+    for var in ("OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS", "OMP_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
         master = f"local[{cpus}]"
