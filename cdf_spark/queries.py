@@ -1686,6 +1686,49 @@ def iceberg_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_schema_evolution",
+    """
+    SELECT o_orderkey,
+           o_totalprice AS price,
+           CASE WHEN o_orderkey > 400 THEN 'web' ELSE NULL END AS channel
+    FROM orders
+    """,
+)
+def iceberg_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution by field id (`sources/iceberg.py _assemble`):
+    commit 1 writes (o_orderkey, o_totalprice); the table then RENAMES
+    o_totalprice -> price and ADDS channel; commit 2 writes the new
+    shape. The read resolves commit-1 files through their written
+    schema — renamed column recovered by field id, added column
+    null-filled — so the result equals the plain SQL projection over
+    the union (the spec's read-time schema resolution; reference
+    negotiates snapshot schemas at
+    `crates/cdf-source-iceberg/src/driver.rs:902-1060`)."""
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=37)
+        w.append(
+            o.filter(F.col("o_orderkey") <= 400).select("o_orderkey", "o_totalprice"),
+            timestamp_ms=1000,
+        )
+        w.rename_column("o_totalprice", "price")
+        w.add_column("channel", "string")
+        w.append(
+            o.filter(F.col("o_orderkey") > 400).select(
+                "o_orderkey",
+                F.col("o_totalprice").alias("price"),
+                F.lit("web").alias("channel"),
+            ),
+            timestamp_ms=2000,
+        )
+
+    tmp = _session_fixture("ice_evo", sf, build)
+    return IcebergTable(f"{tmp}/t").read(spark)
+
+
+@_register(
     "stream_drain_equivalence",
     """
     SELECT event_id, ts, user_id, event_type, value FROM events
@@ -1792,6 +1835,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new this round --
     "iceberg_partition_prune",
     "stream_drain_equivalence",
+    "iceberg_schema_evolution",
     # -- never driver-checked through r4 (38) --
     "hudi_time_travel",
     "hudi_changes_since",

@@ -318,6 +318,36 @@ class IcebergTable:
         snapshot — merge-on-read row-level deletes."""
         return [p for p, _ in self._live_entries(snapshot_id, content=1)]
 
+    _ICE_TO_SPARK = {
+        "int": "int",
+        "long": "bigint",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "date": "date",
+        "timestamp": "timestamp",
+        "timestamptz": "timestamp",
+    }
+
+    def _schema_by_id(self, schema_id: int) -> dict:
+        schemas = {s.get("schema-id", 0): s for s in self._meta.get("schemas", [])}
+        found = schemas.get(int(schema_id))
+        if found is not None:
+            return found
+        return schemas.get(self._meta.get("current-schema-id", 0), {})
+
+    def _snapshot_schema_id(self, snapshot_id) -> int:
+        """Schema the given snapshot's files were written with; falls
+        back to the current schema for pre-evolution metadata that
+        never recorded one."""
+        cur = int(self._meta.get("current-schema-id", 0))
+        if snapshot_id is None:
+            return cur
+        try:
+            return int(self.snapshot(int(snapshot_id)).get("schema-id", cur))
+        except IcebergError:
+            return cur
+
     def _field_names_by_id(self) -> dict[int, str]:
         schemas = {s.get("schema-id", 0): s for s in self._meta.get("schemas", [])}
         cur = schemas.get(self._meta.get("current-schema-id", 0), {})
@@ -388,20 +418,91 @@ class IcebergTable:
         (strictly lower seq only — delete-then-reinsert must keep the
         reinserted rows)."""
         by_id = self._field_names_by_id()
+        return sorted(
+            (d["path"], [by_id[int(i)] for i in d["ids"]], d["seq"])
+            for d in self._eq_delete_entries(snapshot_id)
+        )
+
+    def _eq_delete_entries(self, snapshot_id: int) -> list[dict]:
         out = []
         for mp in self._manifest_paths(self.snapshot(snapshot_id)):
             for e in self._manifest_entries(mp):
                 dfile = e["data_file"]
                 if int(e.get("status", 1)) != 2 and int(dfile.get("content") or 0) == 2:
-                    ids = dfile.get("equality_ids") or []
                     out.append(
-                        (
-                            str(self._resolve(dfile["file_path"])),
-                            [by_id[int(i)] for i in ids],
-                            self._entry_sequence(e),
-                        )
+                        {
+                            "path": str(self._resolve(dfile["file_path"])),
+                            "ids": [int(i) for i in (dfile.get("equality_ids") or [])],
+                            "seq": self._entry_sequence(e),
+                            "schema_id": self._snapshot_schema_id(e.get("snapshot_id")),
+                        }
                     )
-        return sorted(out)
+        return sorted(out, key=lambda d: d["path"])
+
+    def _data_entries(self, snapshot_id: int) -> list[dict]:
+        """Live data files with the schema id they were WRITTEN under
+        (their committing snapshot's schema) — what evolution-aware
+        assembly needs."""
+        out = []
+        for mp in self._manifest_paths(self.snapshot(snapshot_id)):
+            for e in self._manifest_entries(mp):
+                dfile = e["data_file"]
+                if int(e.get("status", 1)) == 2 or int(dfile.get("content") or 0) != 0:
+                    continue
+                out.append(
+                    {
+                        "path": str(self._resolve(dfile["file_path"])),
+                        "schema_id": self._snapshot_schema_id(e.get("snapshot_id")),
+                    }
+                )
+        return sorted(out, key=lambda d: d["path"])
+
+    def _assemble(self, spark: SparkSession, entries: list[dict], with_meta: bool) -> DataFrame:
+        """Union the data files resolved to the CURRENT schema: files
+        written under an older schema get their columns renamed by
+        FIELD ID (renames) and missing fields null-filled (adds) — the
+        spec's read-time schema resolution. One spark.read per distinct
+        written schema, so Catalyst still plans each group as a plain
+        multi-file parquet scan with pushdown intact. `with_meta` keeps
+        (_file, _pos) from the parquet metadata columns for the
+        delete-application joins (captured per group: _metadata does
+        not survive a union)."""
+        from collections import defaultdict
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        cur_id = int(self._meta.get("current-schema-id", 0))
+        cur_fields = self._schema_by_id(cur_id).get("fields", [])
+        groups: dict[int, list[str]] = defaultdict(list)
+        for e in entries:
+            groups[int(e["schema_id"])].append(e["path"])
+        dfs = []
+        for schema_id, paths in sorted(groups.items()):
+            g = spark.read.parquet(*paths)
+            if with_meta:
+                g = g.withColumn("_file", norm(F.col("_metadata.file_path"))).withColumn(
+                    "_pos", F.col("_metadata.row_index")
+                )
+            written_by_id = {
+                int(f["id"]): f["name"]
+                for f in self._schema_by_id(schema_id).get("fields", [])
+            }
+            sel = []
+            for f in cur_fields if cur_fields else [{"id": -1}]:
+                wname = written_by_id.get(int(f["id"]))
+                if wname is not None and wname in g.columns:
+                    sel.append(F.col(wname).alias(f["name"]))
+                elif cur_fields:
+                    spark_t = self._ICE_TO_SPARK.get(str(f.get("type") or ""), "string")
+                    sel.append(F.lit(None).cast(spark_t).alias(f["name"]))
+            if not cur_fields:  # metadata without schemas: passthrough
+                sel = [F.col(c) for c in g.columns if c not in ("_file", "_pos")]
+            if with_meta:
+                sel += [F.col("_file"), F.col("_pos")]
+            dfs.append(g.select(*sel))
+        return reduce(DataFrame.unionByName, dfs)
 
     def added_files(self, snapshot_id: int) -> list[str]:
         """Files ADDED *by this snapshot*: status==ADDED(1) AND the
@@ -488,16 +589,23 @@ class IcebergTable:
                 else self.snapshot(self.current_snapshot_id())
             )
             snapshot_id = int(snap["snapshot-id"])
-        all_files = self.files_for_snapshot(snapshot_id)
-        if not all_files:
+        entries = self._data_entries(snapshot_id)
+        if not entries:
             raise IcebergError(f"snapshot {snapshot_id} has no live data files")
-        files = all_files if _files is None else _files
-        if not files:
-            # every file pruned: empty result with the snapshot schema
-            schema = spark.read.parquet(*all_files).schema
-            return spark.createDataFrame([], schema)
-        df = spark.read.parquet(*files)
+        if _files is not None:
+            keep = set(_files)
+            sel_entries = [e for e in entries if e["path"] in keep]
+        else:
+            sel_entries = entries
         dels = self.delete_files_for_snapshot(snapshot_id)
+        eq = self._eq_delete_entries(snapshot_id)
+        if not sel_entries:
+            # every file pruned: empty result with the current schema
+            schema = self._assemble(spark, entries, with_meta=False).schema
+            return spark.createDataFrame([], schema)
+        with_meta = bool(dels or eq)
+        df = self._assemble(spark, sel_entries, with_meta=with_meta)
+        orig_cols = [c for c in df.columns if c not in ("_file", "_pos")]
         if dels:
             # v2 positional deletes, merge-on-read: anti-join data rows
             # against the delete set on (file, row position). Spark's
@@ -511,13 +619,7 @@ class IcebergTable:
             dd = spark.read.parquet(*dels).select(
                 norm(F.col("file_path")).alias("_file"), F.col("pos").alias("_pos")
             )
-            df = (
-                df.withColumn("_file", norm(F.col("_metadata.file_path")))
-                .withColumn("_pos", F.col("_metadata.row_index"))
-                .join(F.broadcast(dd), on=["_file", "_pos"], how="left_anti")
-                .drop("_file", "_pos")
-            )
-        eq = self.equality_deletes_for_snapshot(snapshot_id)
+            df = df.join(F.broadcast(dd), on=["_file", "_pos"], how="left_anti")
         if eq:
             # v2 equality deletes, sequence-scoped per the spec: a
             # delete with data sequence number S removes matching rows
@@ -530,40 +632,49 @@ class IcebergTable:
             # group reduces its delete rows to max(seq) per key and a
             # left-join + filter keeps rows with no matching delete or
             # a delete that is not newer than the row's data file.
+            # Delete files written under an OLDER schema have their
+            # match columns renamed to current names by field id.
             from collections import defaultdict
             from functools import reduce
 
             from pyspark.sql import functions as F
 
-            norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-            orig_cols = list(df.columns)
+            cur_names = self._field_names_by_id()
             seq_rows = [(p, int(s)) for p, s in self.data_files_with_seq(snapshot_id)]
             seq_df = spark.createDataFrame(seq_rows, "_file string, _dseq long")
-            df = (
-                df.withColumn("_file", norm(F.col("_metadata.file_path")))
-                .join(F.broadcast(seq_df), on="_file", how="left")
-                .drop("_file")
-            )
-            grouped: dict[tuple[str, ...], list[tuple[str, int]]] = defaultdict(list)
-            for path, names, dseq in eq:
-                grouped[tuple(names)].append((path, dseq))
-            for names, paths_seqs in grouped.items():
-                dd = reduce(
-                    DataFrame.unionByName,
-                    [
-                        spark.read.parquet(p)
-                        .select(*names)
-                        .withColumn("_del_seq", F.lit(int(s)))
-                        for p, s in paths_seqs
-                    ],
-                ).groupBy(*names).agg(F.max("_del_seq").alias("_del_seq"))
+            df = df.join(F.broadcast(seq_df), on="_file", how="left")
+            grouped: dict[tuple[str, ...], list] = defaultdict(list)
+            for d in eq:
+                names = tuple(cur_names[int(i)] for i in d["ids"])
+                grouped[names].append(d)
+            for names, dentries in grouped.items():
+                parts = []
+                for d in dentries:
+                    written = {
+                        int(f["id"]): f["name"]
+                        for f in self._schema_by_id(d["schema_id"]).get("fields", [])
+                    }
+                    parts.append(
+                        spark.read.parquet(d["path"])
+                        .select(
+                            *[
+                                F.col(written.get(int(i), cur_names[int(i)])).alias(
+                                    cur_names[int(i)]
+                                )
+                                for i in d["ids"]
+                            ]
+                        )
+                        .withColumn("_del_seq", F.lit(int(d["seq"])))
+                    )
+                dd = reduce(DataFrame.unionByName, parts).groupBy(*names).agg(
+                    F.max("_del_seq").alias("_del_seq")
+                )
                 df = (
                     df.join(F.broadcast(dd), on=list(names), how="left")
                     .filter(F.col("_del_seq").isNull() | (F.col("_del_seq") <= F.col("_dseq")))
                     .drop("_del_seq")
                 )
-            df = df.select(*orig_cols)  # drop _dseq, restore column order
-        return df
+        return df.select(*orig_cols)  # drop helpers, restore column order
 
     def changes_since(
         self, spark: SparkSession, position: TableSnapshotPosition | None
@@ -729,6 +840,64 @@ class IcebergFixtureWriter:
         # sequential fixture ids would mask any reader that wrongly
         # orders by id); seeded for reproducible tests
         self._rng = random.Random(seed)
+        # evolving schema state: field ids are assigned once and are
+        # stable across renames (the spec's core evolution rule);
+        # every schema version is retained so readers can resolve any
+        # file's columns through the schema it was written with
+        self._field_order: list[str] = []  # current names, field order
+        self._field_ids: dict[str, int] = {}  # current name -> field id
+        self._field_types: dict[str, str] = {}  # current name -> iceberg type
+        self._next_fid = 1
+        self._schemas: list[dict] = []
+        self._current_schema_id = 0
+
+    # -- schema evolution --------------------------------------------------
+    def _current_schema(self) -> dict:
+        return {
+            "schema-id": self._current_schema_id,
+            "type": "struct",
+            "fields": [
+                {
+                    "id": self._field_ids[c],
+                    "name": c,
+                    "required": False,
+                    "type": self._field_types[c],
+                }
+                for c in self._field_order
+            ],
+        }
+
+    def _push_schema(self) -> None:
+        self._current_schema_id = len(self._schemas)
+        self._schemas.append(self._current_schema())
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Schema evolution: rename keeps the FIELD ID, so files written
+        before the rename still resolve (the spec's rename-proof
+        indirection). Metadata-only update — a new metadata.json version
+        with a new current schema, no snapshot."""
+        if old not in self._field_ids:
+            raise IcebergError(f"cannot rename unknown column {old!r}")
+        self._field_order = [new if c == old else c for c in self._field_order]
+        self._field_ids[new] = self._field_ids.pop(old)
+        self._field_types[new] = self._field_types.pop(old)
+        self._push_schema()
+        self._write_metadata()
+        return self._current_schema_id
+
+    def add_column(self, name: str, iceberg_type: str) -> int:
+        """Schema evolution: add assigns a FRESH field id (never reuses
+        a dropped one); files written before the add read the column as
+        null."""
+        if name in self._field_ids:
+            raise IcebergError(f"column {name!r} already exists")
+        self._field_order.append(name)
+        self._field_ids[name] = self._next_fid
+        self._next_fid += 1
+        self._field_types[name] = iceberg_type
+        self._push_schema()
+        self._write_metadata()
+        return self._current_schema_id
 
     def append(
         self, df: DataFrame, timestamp_ms: int | None = None, snapshot_id: int | None = None
@@ -754,7 +923,7 @@ class IcebergFixtureWriter:
         import shutil
         import tempfile
 
-        if not hasattr(self, "_fields"):
+        if not self._schemas:
             # first data commit defines the field-id schema (ids 1..n)
             # that equality-delete entries reference; iceberg types ride
             # along so bound values round-trip through the spec's
@@ -768,11 +937,12 @@ class IcebergFixtureWriter:
                 "date": "date",
                 "timestamp": "timestamp",
             }
-            self._fields: list[str] = list(df.columns)
-            self._field_types: dict[str, str] = {
-                f.name: _SPARK_TO_ICE.get(f.dataType.typeName(), "")
-                for f in df.schema.fields
-            }
+            for f in df.schema.fields:
+                self._field_order.append(f.name)
+                self._field_ids[f.name] = self._next_fid
+                self._next_fid += 1
+                self._field_types[f.name] = _SPARK_TO_ICE.get(f.dataType.typeName(), "")
+            self._schemas.append(self._current_schema())
 
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
         parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
@@ -834,8 +1004,8 @@ class IcebergFixtureWriter:
                     maxs[name] = hi
         lower, upper = [], []
         for name in mins:
-            typ = getattr(self, "_field_types", {}).get(name, "")
-            if not typ or name not in self._fields:
+            typ = self._field_types.get(name, "")
+            if not typ or name not in self._field_ids:
                 continue
             lo, hi = mins[name], maxs[name]
             if typ in ("timestamp", "timestamptz"):
@@ -850,7 +1020,7 @@ class IcebergFixtureWriter:
             lo_b, hi_b = _encode_bound(lo, typ), _encode_bound(hi, typ)
             if lo_b is None or hi_b is None:
                 continue
-            fid = self._fields.index(name) + 1
+            fid = self._field_ids[name]
             lower.append({"key": fid, "value": lo_b})
             upper.append({"key": fid, "value": hi_b})
         return (lower or None), (upper or None)
@@ -921,7 +1091,7 @@ class IcebergFixtureWriter:
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         dest = self.root / "data" / f"eqdelete-{uuid.uuid4().hex}.parquet"
         pq.write_table(pa.table({c: [v[c] for v in values] for c in equality_cols}), dest)
-        ids = [self._fields.index(c) + 1 for c in equality_cols]
+        ids = [self._field_ids[c] for c in equality_cols]
         entries = [
             {
                 "status": 1,
@@ -988,32 +1158,27 @@ class IcebergFixtureWriter:
                 "timestamp-ms": ts,
                 "parent-snapshot-id": parent,
                 "manifest-list": str(mlist),
+                "schema-id": self._current_schema_id,
                 "summary": {"operation": operation},
             }
         )
+        self._write_metadata()
+        return sid
+
+    def _write_metadata(self) -> None:
+        """New metadata.json version (every commit AND every schema
+        change — Iceberg metadata versions are immutable)."""
         self._version += 1
         meta = {
             "format-version": 2,
             "table-uuid": self.table_uuid,
             "location": str(self.root),
             "last-sequence-number": self._seq,
-            "current-schema-id": 0,
-            "schemas": [
-                {
-                    "schema-id": 0,
-                    "type": "struct",
-                    "fields": [
-                        {
-                            "id": i + 1,
-                            "name": c,
-                            "required": False,
-                            "type": getattr(self, "_field_types", {}).get(c, ""),
-                        }
-                        for i, c in enumerate(getattr(self, "_fields", []))
-                    ],
-                }
-            ],
-            "current-snapshot-id": sid,
+            "current-schema-id": self._current_schema_id,
+            "schemas": list(self._schemas),
+            "current-snapshot-id": (
+                int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else -1
+            ),
             "snapshots": self._snapshots,
             "snapshot-log": [
                 {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
@@ -1024,4 +1189,3 @@ class IcebergFixtureWriter:
             json.dumps(meta, indent=2)
         )
         (self.root / "metadata" / "version-hint.text").write_text(str(self._version))
-        return sid

@@ -343,3 +343,70 @@ def test_file_pruning_from_manifest_bounds(spark, tmp_path, orders):
         int(t.current_snapshot_id()), [Col("no_such") == Lit(1)]
     )
     assert meta4["files_pruned"] == 0
+
+
+def test_schema_evolution_rename_and_add(spark, tmp_path, orders):
+    """Schema evolution by FIELD ID: a rename keeps the id, so files
+    written before the rename resolve to the new name; an added column
+    gets a fresh id and reads as null from pre-add files. Bounds-based
+    pruning keeps working across the rename (bounds are keyed by field
+    id, not name)."""
+    from pyspark.sql import functions as F
+
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=55)
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.filter(F.col("o_orderkey") <= 400).coalesce(1),
+             timestamp_ms=1000, snapshot_id=IDS[0])
+    w.rename_column("o_totalprice", "price")
+    w.add_column("channel", "string")
+    newer = (
+        orders.filter(F.col("o_orderkey") > 400)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.lit("web").alias("channel"),
+        )
+        .coalesce(1)
+    )
+    w.append(newer, timestamp_ms=2000, snapshot_id=IDS[1])
+
+    t = IcebergTable(tmp_path / "t")
+    cur = t.read(spark)
+    assert cur.columns == ["o_orderkey", "price", "channel"]
+    assert cur.count() == orders.count()
+    # pre-rename file rows resolved into the NEW name, non-null values
+    old_rows = cur.filter(F.col("o_orderkey") <= 400)
+    assert old_rows.filter(F.col("price").isNull()).count() == 0
+    # added column: null for pre-add files, populated after
+    assert old_rows.filter(F.col("channel").isNotNull()).count() == 0
+    assert cur.filter(F.col("o_orderkey") > 400).filter(F.col("channel") == "web").count() > 0
+    # values survived the rename bit-for-bit
+    expect = orders.filter(F.col("o_orderkey") <= 400).agg(F.sum("o_totalprice")).collect()[0][0]
+    got = old_rows.agg(F.sum("price")).collect()[0][0]
+    assert abs(got - expect) < 1e-6
+    # bounds pruning across the rename: predicate on the NEW name must
+    # still prune the pre-rename file (bounds keyed by field id)
+    _, plan = t.scan(spark, ScanRequest("ice", predicates=[Col("o_orderkey") > Lit(400)]))
+    assert plan.partitions.meta["files_total"] == 2
+    assert plan.partitions.meta["files_kept"] == 1
+
+
+def test_schema_evolution_equality_delete_across_rename(spark, tmp_path, orders):
+    """An equality delete committed BEFORE a rename still applies after
+    it: the delete file's match column resolves through the field id to
+    the current name."""
+    from pyspark.sql import functions as F
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=66)
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.filter(F.col("o_orderkey") <= 60), timestamp_ms=1000, snapshot_id=IDS[0])
+    w.delete_equality([{"o_orderkey": 7}], ["o_orderkey"], timestamp_ms=2000, snapshot_id=IDS[1])
+    w.rename_column("o_orderkey", "order_id")
+    t = IcebergTable(tmp_path / "t")
+    cur = t.read(spark)
+    assert cur.columns == ["order_id", "o_totalprice"]
+    assert cur.filter(F.col("order_id") == 7).count() == 0
+    assert cur.count() == orders.filter(F.col("o_orderkey") <= 60).count() - 1
