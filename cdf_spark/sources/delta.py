@@ -110,10 +110,63 @@ class DeltaTable:
         p = Path(path)
         return str(p if p.is_absolute() else self.root / p)
 
+    def _check_protocol(self, version: int) -> None:
+        """Refuse table features this jar-free reader cannot honor,
+        instead of silently misreading (the same detect-and-refuse
+        posture as Hudi merge-on-read):
+
+        - `_last_checkpoint`: the JSON log may be truncated past the
+          checkpoint; replaying only the surviving JSONs would silently
+          drop files committed before it.
+        - minReaderVersion > 1 (column mapping, reader features) unless
+          every advertised readerFeature is one reading plain parquet
+          paths already satisfies.
+        - deletion vectors on add actions: the DV bitmaps mark removed
+          rows merge-on-read; ignoring them resurrects deleted rows.
+        - column mapping: physical parquet names differ from logical
+          schema names; a name-based read returns wrong columns.
+        """
+        if (self.log_dir / "_last_checkpoint").exists():
+            raise DeltaError(
+                "table has a _last_checkpoint: the JSON log may be truncated and "
+                "checkpoint-parquet replay is not supported — cannot guarantee a "
+                "complete file set"
+            )
+        harmless = {"timestampNtz"}  # type-level only; paths/values unaffected
+        for v in self.versions():
+            if v > version:
+                break
+            for a in self.actions(v):
+                proto = a.get("protocol")
+                if proto:
+                    feats = set(proto.get("readerFeatures") or [])
+                    if int(proto.get("minReaderVersion", 1)) > 1 and not feats <= harmless:
+                        raise DeltaError(
+                            f"unsupported reader protocol: minReaderVersion="
+                            f"{proto.get('minReaderVersion')} readerFeatures={sorted(feats)}"
+                        )
+                md = a.get("metaData")
+                if md:
+                    mode = (md.get("configuration") or {}).get(
+                        "delta.columnMapping.mode", "none"
+                    )
+                    if mode not in ("none", ""):
+                        raise DeltaError(
+                            f"column mapping mode {mode!r} is not supported "
+                            "(physical names differ from logical schema)"
+                        )
+                add = a.get("add")
+                if add and add.get("deletionVector"):
+                    raise DeltaError(
+                        "deletion vectors present: merge-on-read DV bitmaps are not "
+                        "supported — reading would resurrect deleted rows"
+                    )
+
     def files_for_version(self, version: int) -> list[str]:
         """Replay add/remove actions 0..version -> live file set."""
         if version not in self.versions():
             raise DeltaError(f"version {version} not in log")
+        self._check_protocol(version)
         live: dict[str, bool] = {}
         for v in self.versions():
             if v > version:
@@ -126,6 +179,7 @@ class DeltaTable:
         return sorted(self._resolve(p) for p in live)
 
     def added_files(self, version: int) -> list[str]:
+        self._check_protocol(version)
         return sorted(
             self._resolve(a["add"]["path"]) for a in self.actions(version) if "add" in a
         )

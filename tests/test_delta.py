@@ -132,3 +132,63 @@ def test_commit_file_shape(table):
     assert "protocol" in kinds and "metaData" in kinds
     adds = [a["add"] for a in acts if "add" in a]
     assert adds and all(not a["path"].startswith("/") and a["dataChange"] for a in adds)
+
+
+def test_protocol_guard_refuses_unsupported_features(spark, tmp_path, orders):
+    """Detect-and-refuse for table features the jar-free reader cannot
+    honor: deletion vectors, column mapping, raised minReaderVersion,
+    and checkpoint-truncated logs. Silently misreading any of these
+    returns wrong data (resurrected rows / wrong columns / dropped
+    files)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    o = orders.select("o_orderkey", "o_totalprice").limit(10)
+
+    def fresh(name):
+        w = DeltaFixtureWriter(tmp_path / name)
+        w.append(o, timestamp_ms=1000)
+        return tmp_path / name
+
+    # deletion vector on an add action
+    root = fresh("dv")
+    commit = root / "_delta_log" / f"{1:020d}.json"
+    commit.write_text(
+        _json.dumps({"add": {"path": "x.parquet", "dataChange": True,
+                             "deletionVector": {"storageType": "u", "cardinality": 3}}})
+    )
+    with _pytest.raises(DeltaError, match="deletion vectors"):
+        DeltaTable(root).read(spark)
+
+    # column mapping
+    root = fresh("cm")
+    (root / "_delta_log" / f"{1:020d}.json").write_text(
+        _json.dumps({"metaData": {"id": "m", "configuration":
+                     {"delta.columnMapping.mode": "name"}}})
+    )
+    with _pytest.raises(DeltaError, match="column mapping"):
+        DeltaTable(root).read(spark)
+
+    # raised reader protocol with unknown features
+    root = fresh("proto")
+    (root / "_delta_log" / f"{1:020d}.json").write_text(
+        _json.dumps({"protocol": {"minReaderVersion": 3,
+                                  "readerFeatures": ["deletionVectors"]}})
+    )
+    with _pytest.raises(DeltaError, match="unsupported reader protocol"):
+        DeltaTable(root).read(spark)
+
+    # timestampNtz alone is harmless — must NOT refuse
+    root = fresh("ntz")
+    (root / "_delta_log" / f"{1:020d}.json").write_text(
+        _json.dumps({"protocol": {"minReaderVersion": 3,
+                                  "readerFeatures": ["timestampNtz"]}})
+    )
+    assert DeltaTable(root).read(spark).count() == 10
+
+    # checkpoint marker -> possibly truncated log
+    root = fresh("ckpt")
+    (root / "_delta_log" / "_last_checkpoint").write_text('{"version": 0}')
+    with _pytest.raises(DeltaError, match="_last_checkpoint"):
+        DeltaTable(root).read(spark)
