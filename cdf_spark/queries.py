@@ -1686,6 +1686,36 @@ def iceberg_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "delta_checkpoint_replay",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+)
+def delta_checkpoint_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpoint-parquet replay over a log-cleaned Delta table
+    (`sources/delta.py _checkpoint_actions`): two commits are
+    checkpointed, a third lands, then the pre-checkpoint JSONs are
+    deleted (log retention — the layout every production Delta table
+    reaches). The read seeds the live set from the checkpoint parquet
+    and applies only the surviving JSON commit; values must equal the
+    full orders table."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t")
+        w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
+        w.append(
+            o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)),
+            timestamp_ms=2000,
+        )
+        w.checkpoint()
+        w.append(o.filter(F.col("o_orderkey") > 900), timestamp_ms=3000)
+        w.clean_log(before_version=2)
+
+    tmp = _session_fixture("delta_ckpt", sf, build)
+    return DeltaTable(f"{tmp}/t").read(spark)
+
+
+@_register(
     "iceberg_schema_evolution",
     """
     SELECT o_orderkey,
@@ -1836,6 +1866,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "iceberg_partition_prune",
     "stream_drain_equivalence",
     "iceberg_schema_evolution",
+    "delta_checkpoint_replay",
     # -- never driver-checked through r4 (38) --
     "hudi_time_travel",
     "hudi_changes_since",
@@ -1885,8 +1916,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "lag_lead_price_delta",
     "variant_capture_json",
     "curation_pipeline",
-    # -- flagship sentinel --
-    "q1_pricing_summary",
+    # (q1_pricing_summary rotated out: freshest-possible sentinel —
+    # driver-green in r4 — and the window is exactly 50)
 ]
 
 

@@ -67,17 +67,57 @@ class DeltaTable:
 
     # -- log resolution ---------------------------------------------------
     def versions(self) -> list[int]:
+        """Versions with a surviving JSON commit (a log-cleaned table
+        keeps only the checkpoint + recent JSONs; pre-checkpoint
+        versions live inside the checkpoint parquet)."""
         out = []
         for p in self.log_dir.glob("*.json"):
             stem = p.stem
             if stem.isdigit():
                 out.append(int(stem))
-        if not out:
+        if not out and self._checkpoint_info() is None:
             raise DeltaError(f"no commit json files under {self.log_dir}")
         return sorted(out)
 
     def current_version(self) -> int:
-        return self.versions()[-1]
+        js = self.versions()
+        ck = self._checkpoint_info()
+        cands = js + ([int(ck["version"])] if ck is not None else [])
+        return max(cands)
+
+    # -- checkpoint resolution --------------------------------------------
+    def _checkpoint_info(self) -> dict | None:
+        p = self.log_dir / "_last_checkpoint"
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def _checkpoint_paths(self, version: int) -> list[Path]:
+        single = self.log_dir / f"{version:020d}.checkpoint.parquet"
+        if single.exists():
+            return [single]
+        parts = sorted(self.log_dir.glob(f"{version:020d}.checkpoint.*.parquet"))
+        if parts:
+            return parts
+        raise DeltaError(
+            f"_last_checkpoint names version {version} but no checkpoint parquet exists"
+        )
+
+    def _checkpoint_actions(self, version: int) -> list[dict]:
+        """Actions reconstructed from the checkpoint parquet (single or
+        multi-part): each row carries at most one non-null action
+        struct. The checkpoint IS the complete replay of versions
+        0..version — how every production Delta table compacts its log
+        (the JSON commits before it are eventually cleaned)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for p in self._checkpoint_paths(version):
+            for r in pq.read_table(p).to_pylist():
+                for k in ("add", "remove", "metaData", "protocol", "txn"):
+                    if r.get(k) is not None:
+                        out.append({k: r[k]})
+        return out
 
     def _commit_path(self, version: int) -> Path:
         return self.log_dir / f"{version:020d}.json"
@@ -115,9 +155,6 @@ class DeltaTable:
         instead of silently misreading (the same detect-and-refuse
         posture as Hudi merge-on-read):
 
-        - `_last_checkpoint`: the JSON log may be truncated past the
-          checkpoint; replaying only the surviving JSONs would silently
-          drop files committed before it.
         - minReaderVersion > 1 (column mapping, reader features) unless
           every advertised readerFeature is one reading plain parquet
           paths already satisfies.
@@ -125,50 +162,76 @@ class DeltaTable:
           rows merge-on-read; ignoring them resurrects deleted rows.
         - column mapping: physical parquet names differ from logical
           schema names; a name-based read returns wrong columns.
+
+        Checkpoint rows are checked too (a cleaned log may carry the
+        protocol/metaData actions ONLY inside the checkpoint parquet).
         """
-        if (self.log_dir / "_last_checkpoint").exists():
-            raise DeltaError(
-                "table has a _last_checkpoint: the JSON log may be truncated and "
-                "checkpoint-parquet replay is not supported — cannot guarantee a "
-                "complete file set"
-            )
         harmless = {"timestampNtz"}  # type-level only; paths/values unaffected
+
+        def check_action(a: dict) -> None:
+            proto = a.get("protocol")
+            if proto:
+                feats = set(proto.get("readerFeatures") or [])
+                if int(proto.get("minReaderVersion") or 1) > 1 and not feats <= harmless:
+                    raise DeltaError(
+                        f"unsupported reader protocol: minReaderVersion="
+                        f"{proto.get('minReaderVersion')} readerFeatures={sorted(feats)}"
+                    )
+            md = a.get("metaData")
+            if md:
+                mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+                if mode not in ("none", "", None):
+                    raise DeltaError(
+                        f"column mapping mode {mode!r} is not supported "
+                        "(physical names differ from logical schema)"
+                    )
+            add = a.get("add")
+            if add and add.get("deletionVector"):
+                raise DeltaError(
+                    "deletion vectors present: merge-on-read DV bitmaps are not "
+                    "supported — reading would resurrect deleted rows"
+                )
+
+        ckpt = self._checkpoint_info()
+        if ckpt is not None and int(ckpt["version"]) <= version:
+            for a in self._checkpoint_actions(int(ckpt["version"])):
+                check_action(a)
         for v in self.versions():
             if v > version:
                 break
             for a in self.actions(v):
-                proto = a.get("protocol")
-                if proto:
-                    feats = set(proto.get("readerFeatures") or [])
-                    if int(proto.get("minReaderVersion", 1)) > 1 and not feats <= harmless:
-                        raise DeltaError(
-                            f"unsupported reader protocol: minReaderVersion="
-                            f"{proto.get('minReaderVersion')} readerFeatures={sorted(feats)}"
-                        )
-                md = a.get("metaData")
-                if md:
-                    mode = (md.get("configuration") or {}).get(
-                        "delta.columnMapping.mode", "none"
-                    )
-                    if mode not in ("none", ""):
-                        raise DeltaError(
-                            f"column mapping mode {mode!r} is not supported "
-                            "(physical names differ from logical schema)"
-                        )
-                add = a.get("add")
-                if add and add.get("deletionVector"):
-                    raise DeltaError(
-                        "deletion vectors present: merge-on-read DV bitmaps are not "
-                        "supported — reading would resurrect deleted rows"
-                    )
+                check_action(a)
 
     def files_for_version(self, version: int) -> list[str]:
-        """Replay add/remove actions 0..version -> live file set."""
-        if version not in self.versions():
+        """Live file set at `version`: the checkpoint state (complete
+        replay of 0..ckpt) when one covers the pin, then the JSON
+        add/remove actions after it. Every version in the replayed
+        range must actually be present — a cleaned gap raises instead
+        of silently dropping the missing commits' files."""
+        js = self.versions()
+        ckpt = self._checkpoint_info()
+        ckpt_v = int(ckpt["version"]) if ckpt is not None else None
+        if version not in js and version != ckpt_v:
             raise DeltaError(f"version {version} not in log")
-        self._check_protocol(version)
         live: dict[str, bool] = {}
-        for v in self.versions():
+        if ckpt_v is not None and ckpt_v <= version:
+            self._check_protocol(version)
+            for a in self._checkpoint_actions(ckpt_v):
+                if "add" in a:
+                    live[a["add"]["path"]] = True
+            start = ckpt_v + 1
+        else:
+            self._check_protocol(version)
+            start = 0
+        missing = set(range(start, version + 1)) - set(js)
+        if missing:
+            raise DeltaError(
+                f"log history incomplete for version {version}: commit json(s) "
+                f"{sorted(missing)} cleaned and not covered by a checkpoint"
+            )
+        for v in js:
+            if v < start:
+                continue
             if v > version:
                 break
             for a in self.actions(v):
@@ -245,10 +308,20 @@ class DeltaTable:
         re-read of current — previously-delivered rows may be gone."""
         cur = self.current_version()
         new_pos = TableSnapshotPosition(snapshot_id=cur)
-        seen = -1 if position is None else int(position.snapshot_id)
-        newer = [v for v in self.versions() if v > seen]
-        if not newer:
+        if position is None:
+            # first consumption is the full current state — enumerating
+            # added files across history both misses log-cleaned commits
+            # and double-counts files later removed
+            return self.read(spark, version=cur), new_pos
+        seen = int(position.snapshot_id)
+        if seen == cur:
             return None, new_pos
+        newer = [v for v in self.versions() if v > seen]
+        if set(range(seen + 1, cur + 1)) - set(newer):
+            # log cleaning removed commits between the checkpoint and
+            # the consumer's position: per-version adds cannot be
+            # enumerated — reset to a full read of current
+            return self.read(spark, version=cur), new_pos
         if any(self.has_removes(v) for v in newer):
             return self.read(spark, version=cur), new_pos
         files = [f for v in newer for f in self.added_files(v)]
@@ -328,6 +401,60 @@ class DeltaFixtureWriter:
 
     def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
         return self._commit(self._write_data(df), "WRITE", timestamp_ms)
+
+    def checkpoint(self) -> int:
+        """Write a checkpoint parquet of the current state + the
+        `_last_checkpoint` pointer — what Delta writers do every ~10
+        commits so readers replay O(recent) instead of O(history)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        v = self._version
+        if v < 0:
+            raise DeltaError("nothing committed yet — no state to checkpoint")
+        t = DeltaTable(self.root)
+        rows: list[dict] = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            # configuration omitted: pyarrow cannot write an empty
+            # struct, and an absent key reads identically to {}
+            {
+                "metaData": {
+                    "id": self.table_id,
+                    "format": {"provider": "parquet"},
+                    "partitionColumns": [],
+                }
+            },
+        ]
+        for f in t.files_for_version(v):
+            rows.append(
+                {
+                    "add": {
+                        "path": str(Path(f).name),
+                        "size": Path(f).stat().st_size,
+                        "dataChange": False,
+                    }
+                }
+            )
+        cols = ("protocol", "metaData", "add")
+        table = pa.Table.from_pylist([{c: r.get(c) for c in cols} for r in rows])
+        dest = self.root / "_delta_log" / f"{v:020d}.checkpoint.parquet"
+        pq.write_table(table, dest)
+        (self.root / "_delta_log" / "_last_checkpoint").write_text(
+            json.dumps({"version": v, "size": len(rows)})
+        )
+        return v
+
+    def clean_log(self, before_version: int) -> list[int]:
+        """Delete commit JSONs for versions < before_version (log
+        retention) — afterwards only the checkpoint can reconstruct the
+        older state, which is exactly the layout readers meet on any
+        table older than the retention window."""
+        removed = []
+        for p in sorted((self.root / "_delta_log").glob("*.json")):
+            if p.stem.isdigit() and int(p.stem) < before_version:
+                p.unlink()
+                removed.append(int(p.stem))
+        return removed
 
     def overwrite(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
         removes = []

@@ -192,3 +192,51 @@ def test_protocol_guard_refuses_unsupported_features(spark, tmp_path, orders):
     (root / "_delta_log" / "_last_checkpoint").write_text('{"version": 0}')
     with _pytest.raises(DeltaError, match="_last_checkpoint"):
         DeltaTable(root).read(spark)
+
+
+def test_checkpoint_replay_after_log_cleaning(spark, tmp_path, orders):
+    """Production layout: checkpoint parquet + cleaned JSON log. The
+    reader seeds the live set from the checkpoint (complete replay of
+    0..ckpt) and applies only the surviving JSON commits after it;
+    pins inside the cleaned range raise instead of silently dropping
+    files; incremental consumers checkpointed before the cleaned range
+    reset to a full re-read."""
+    from pyspark.sql import functions as F
+
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)       # v0
+    w.append(o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900)),
+             timestamp_ms=2000)                                              # v1
+    ck = w.checkpoint()                                                      # ckpt @ v1
+    assert ck == 1
+    w.append(o.filter(F.col("o_orderkey") > 900), timestamp_ms=3000)        # v2
+    w.clean_log(before_version=2)  # only v2 json + checkpoint survive
+
+    t = DeltaTable(tmp_path / "t")
+    assert t.current_version() == 2
+    # full state reconstructed: checkpoint base + v2 adds
+    assert t.read(spark).count() == o.count()
+    # pin at the checkpoint version works from the checkpoint alone
+    assert t.read(spark, version=1).count() == o.filter(F.col("o_orderkey") <= 900).count()
+    # pin inside the cleaned range must refuse, not drop files
+    with pytest.raises(DeltaError, match="not in log|incomplete"):
+        t.files_for_version(0)
+    # incremental: consumer at v1 (the checkpoint) still gets the v2 delta
+    df, pos = t.changes_since(spark, TableSnapshotPosition(snapshot_id=1))
+    assert df.count() == o.filter(F.col("o_orderkey") > 900).count()
+    # consumer checkpointed BEFORE the cleaned range: full re-read reset
+    df0, _ = t.changes_since(spark, TableSnapshotPosition(snapshot_id=0))
+    assert df0.count() == o.count()
+    # checkpoint rows run the same protocol guard: poison the checkpoint
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ckpt_path = tmp_path / "t" / "_delta_log" / f"{1:020d}.checkpoint.parquet"
+    rows = pq.read_table(ckpt_path).to_pylist()
+    for r in rows:
+        if r.get("metaData"):
+            r["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    pq.write_table(pa.Table.from_pylist(rows), ckpt_path)
+    with pytest.raises(DeltaError, match="column mapping"):
+        DeltaTable(tmp_path / "t").read(spark)
