@@ -519,6 +519,84 @@ class IcebergTable:
                     files.append(str(self._resolve(e["data_file"]["file_path"])))
         return sorted(files)
 
+    # -- maintenance -------------------------------------------------------
+    def expire_snapshots(
+        self,
+        older_than_ms: int | None = None,
+        keep_last: int | None = None,
+        delete_orphans: bool = False,
+    ) -> dict:
+        """Retention maintenance (Iceberg's expire_snapshots): drop
+        snapshots outside the window from table metadata — a NEW
+        metadata.json version, never an in-place edit — and identify
+        files referenced ONLY by expired snapshots (orphans, deletable
+        once no reader can pin them). The current snapshot is always
+        retained; `keep_last` counts along the current ancestry chain;
+        `older_than_ms` retains everything at-or-after the cutoff. The
+        oldest retained snapshot may keep a dangling parent id — the
+        ancestry walk already stops at unknown parents, and
+        `changes_since` from an expired position raises (resume
+        impossible) rather than guessing.
+
+        At scale this is the op that bounds metadata size AND storage:
+        without it every rewrite's files live forever."""
+        cur = self.current_snapshot_id()
+        if cur is None:
+            raise IcebergError("table has no snapshots to expire")
+        chain = self.ancestry()
+        retain = {cur}
+        if keep_last is not None:
+            retain |= {int(s["snapshot-id"]) for s in chain[: max(1, keep_last)]}
+        if older_than_ms is not None:
+            retain |= {
+                int(s["snapshot-id"])
+                for s in self.snapshots()
+                if int(s["timestamp-ms"]) >= older_than_ms
+            }
+        retained = [s for s in self.snapshots() if int(s["snapshot-id"]) in retain]
+        expired = [s for s in self.snapshots() if int(s["snapshot-id"]) not in retain]
+        result = {
+            "expired": [int(s["snapshot-id"]) for s in expired],
+            "retained": [int(s["snapshot-id"]) for s in retained],
+            "orphan_files": [],
+            "deleted": False,
+        }
+        if not expired:
+            return result
+
+        def _refs(snaps: list[dict]) -> set[str]:
+            files: set[str] = set()
+            for s in snaps:
+                mlist = s.get("manifest-list")
+                if mlist:
+                    files.add(str(self._resolve(mlist)))
+                for mp in self._manifest_paths(s):
+                    files.add(str(mp))
+                    for e in self._manifest_entries(mp):
+                        files.add(str(self._resolve(e["data_file"]["file_path"])))
+            return files
+
+        orphans = sorted(_refs(expired) - _refs(retained))
+        result["orphan_files"] = orphans
+
+        hint = self.meta_dir / "version-hint.text"
+        version = int(hint.read_text().strip()) + 1 if hint.exists() else 1
+        meta = dict(self._meta)
+        meta["snapshots"] = retained
+        meta["snapshot-log"] = [
+            entry
+            for entry in meta.get("snapshot-log", [])
+            if int(entry["snapshot-id"]) in retain
+        ]
+        (self.meta_dir / f"v{version}.metadata.json").write_text(json.dumps(meta, indent=2))
+        hint.write_text(str(version))
+        self._meta = meta
+        if delete_orphans:
+            for f in orphans:
+                Path(f).unlink(missing_ok=True)
+            result["deleted"] = True
+        return result
+
     # -- reads -------------------------------------------------------------
     def capabilities(self) -> Capability:
         cap = Capability.parquet()

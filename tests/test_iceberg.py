@@ -410,3 +410,46 @@ def test_schema_evolution_equality_delete_across_rename(spark, tmp_path, orders)
     assert cur.columns == ["order_id", "o_totalprice"]
     assert cur.filter(F.col("order_id") == 7).count() == 0
     assert cur.count() == orders.filter(F.col("o_orderkey") <= 60).count() - 1
+
+
+def test_expire_snapshots_retention_and_orphans(spark, tmp_path, orders):
+    """expire_snapshots drops history outside the retention window via
+    a NEW metadata version, reports files referenced only by expired
+    snapshots as orphans, keeps the current read intact, and makes
+    incremental resume from an expired position fail loudly."""
+    from pyspark.sql import functions as F
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=77)
+    o = orders.select("o_orderkey", "o_totalprice")
+    s1 = w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000, snapshot_id=IDS[0])
+    # OVERWRITE: s1's files become dead weight only time travel needs
+    w.overwrite(o.filter(F.col("o_orderkey") > 400), timestamp_ms=2000, snapshot_id=IDS[1])
+    w.append(o.filter(F.col("o_orderkey") <= 100), timestamp_ms=3000, snapshot_id=IDS[2])
+
+    t = IcebergTable(tmp_path / "t")
+    before = t.read(spark).count()
+    s1_files = set(t.files_for_snapshot(s1))
+
+    res = t.expire_snapshots(keep_last=2)
+    assert res["expired"] == [s1]
+    assert len(res["retained"]) == 2
+    # s1's data files are referenced by no retained snapshot -> orphans
+    assert s1_files <= set(res["orphan_files"])
+    assert not res["deleted"]  # listing only by default
+
+    # fresh reader over the new metadata version
+    t2 = IcebergTable(tmp_path / "t")
+    assert t2.read(spark).count() == before  # current state untouched
+    with pytest.raises(IcebergError, match="not in table metadata"):
+        t2.read(spark, snapshot_id=s1)  # expired pin gone
+    with pytest.raises(IcebergError, match="not an ancestor|expired"):
+        t2.changes_since(spark, TableSnapshotPosition(snapshot_id=s1))
+    # resume from a RETAINED position still works
+    df, _ = t2.changes_since(spark, TableSnapshotPosition(snapshot_id=IDS[1]))
+    assert df.count() == orders.filter(F.col("o_orderkey") <= 100).count()
+
+    # actual deletion removes exactly the orphans, current read survives
+    res2 = IcebergTable(tmp_path / "t").expire_snapshots(keep_last=1, delete_orphans=True)
+    assert res2["deleted"]
+    t3 = IcebergTable(tmp_path / "t")
+    assert t3.read(spark).count() == before
