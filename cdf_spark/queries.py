@@ -1686,6 +1686,44 @@ def iceberg_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_partitioned_scan",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def iceberg_partitioned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Identity-partitioned Iceberg table with METADATA-ONLY partition
+    columns (`sources/iceberg.py _assemble` + `data_files_pruned`):
+    the o_orderstatus column is NOT in the parquet files — it lives
+    only in the manifests' typed partition records (the Flink-writer
+    shape) — so the read must reconstitute it as per-group constants,
+    and the status predicate prunes files by partition value and skips
+    whole manifests from the manifest-list summaries. Values must
+    equal the plain filtered projection."""
+    from .expressions.ast import Col, Lit
+    from .plans.scan import ScanRequest
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        w = IcebergFixtureWriter(
+            f"{tmp}/t", seed=41, partition_by=["o_orderstatus"], omit_partition_cols=True
+        )
+        for i, status in enumerate(["F", "O", "P"]):
+            w.append(o.filter(F.col("o_orderstatus") == status), timestamp_ms=1000 + i)
+
+    tmp = _session_fixture("ice_part", sf, build)
+    out, plan = IcebergTable(f"{tmp}/t").scan(
+        spark, ScanRequest("ice", predicates=[Col("o_orderstatus") == Lit("F")])
+    )
+    meta = plan.partitions.meta
+    if not (meta["manifests_skipped"] >= 2 and meta["files_pruned"] == 0):
+        raise AssertionError(f"partition pruning regressed: {meta}")
+    return out
+
+
+@_register(
     "delta_checkpoint_replay",
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
 )
@@ -1867,6 +1905,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "stream_drain_equivalence",
     "iceberg_schema_evolution",
     "delta_checkpoint_replay",
+    "iceberg_partitioned_scan",
     # -- never driver-checked through r4 (38) --
     "hudi_time_travel",
     "hudi_changes_since",
@@ -1914,8 +1953,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "embedding_near_dups",
     "cube_agg",
     "lag_lead_price_delta",
-    "variant_capture_json",
     "curation_pipeline",
+    # (variant_capture_json rotated out with q1: lowest regression
+    # risk among the stale sentinels; the window is exactly 50)
     # (q1_pricing_summary rotated out: freshest-possible sentinel —
     # driver-green in r4 — and the window is exactly 50)
 ]

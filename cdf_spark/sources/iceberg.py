@@ -258,13 +258,37 @@ class IcebergTable:
             return p
         return self.root / p
 
-    def _manifest_paths(self, snapshot: dict) -> list[Path]:
+    def _manifest_list_rows(self, snapshot: dict) -> list[dict]:
         mlist = snapshot.get("manifest-list")
         if mlist:
             _, rows = decode_container(self._resolve(mlist).read_bytes())
-            return [self._resolve(r["manifest_path"]) for r in rows]
+            return rows
         # format-version 1 tables may inline "manifests"
-        return [self._resolve(m) for m in snapshot.get("manifests", [])]
+        return [{"manifest_path": m} for m in snapshot.get("manifests", [])]
+
+    def _manifest_paths(self, snapshot: dict) -> list[Path]:
+        return [self._resolve(r["manifest_path"]) for r in self._manifest_list_rows(snapshot)]
+
+    def _partition_fields(self) -> list[tuple[str, str, str]]:
+        """Identity-transform fields of the default partition spec as
+        (spec_field_name, current_column_name, iceberg_type) — spec
+        names address the typed partition records in manifest entries;
+        current names (via source-id, rename-proof) address predicates.
+        Non-identity transforms are skipped: their partition values are
+        derived, and equating them with column values would prune
+        wrongly."""
+        specs = {s.get("spec-id", 0): s for s in self._meta.get("partition-specs", [])}
+        spec = specs.get(self._meta.get("default-spec-id", 0)) or {}
+        names = self._field_names_by_id()
+        types = self._field_types_by_id()
+        out = []
+        for f in spec.get("fields", []):
+            if f.get("transform") != "identity":
+                continue
+            sid = int(f["source-id"])
+            if sid in names:
+                out.append((f["name"], names[sid], types.get(sid, "")))
+        return out
 
     def _manifest_entries(self, manifest: Path) -> list[dict]:
         _, rows = decode_container(manifest.read_bytes())
@@ -389,15 +413,48 @@ class IcebergTable:
         point query. Conservative: a file is dropped only when a
         predicate is provably false over its [lower, upper] bounds.
         Returns (kept_paths, evidence) with total/kept/pruned counts."""
+        part_fields = self._partition_fields()
         kept: list[str] = []
         total = 0
-        for mp in self._manifest_paths(self.snapshot(snapshot_id)):
-            for e in self._manifest_entries(mp):
+        manifests_total = manifests_skipped = 0
+        for row in self._manifest_list_rows(self.snapshot(snapshot_id)):
+            manifests_total += 1
+            # manifest-LEVEL skip from the list's partition summaries:
+            # at a 100k-file snapshot this avoids even OPENING manifests
+            # whose partition range excludes the predicates
+            summaries = row.get("partitions")
+            if summaries and part_fields:
+                mbounds: dict[str, tuple] = {}
+                for (spec_name, cur_name, typ), s in zip(part_fields, summaries):
+                    if s.get("contains_null"):
+                        continue  # null partitions make the range undecidable
+                    lo_b, hi_b = s.get("lower_bound"), s.get("upper_bound")
+                    if lo_b is None or hi_b is None or not typ:
+                        continue
+                    lo, hi = _decode_bound(lo_b, typ), _decode_bound(hi_b, typ)
+                    if lo is not None and hi is not None:
+                        mbounds[cur_name] = (lo, hi)
+                if any(_file_can_match(p, mbounds) is False for p in predicates):
+                    # skipped manifests are never opened, so their
+                    # entries are not in files_total — the whole point;
+                    # manifests_skipped is the evidence for this level
+                    manifests_skipped += 1
+                    continue
+            for e in self._manifest_entries(self._resolve(row["manifest_path"])):
                 dfile = e["data_file"]
                 if int(e.get("status", 1)) == 2 or int(dfile.get("content") or 0) != 0:
                     continue
                 total += 1
                 bounds = self._entry_bounds(e)
+                part = dfile.get("partition")
+                if part and part_fields:
+                    # identity partition values are exact per-file
+                    # constants: a (v, v) interval — reuses the same
+                    # tri-state evaluator as column bounds
+                    for spec_name, cur_name, _typ in part_fields:
+                        v = part.get(spec_name)
+                        if v is not None:
+                            bounds[cur_name] = (v, v)
                 if all(_file_can_match(p, bounds) is not False for p in predicates):
                     kept.append(str(self._resolve(dfile["file_path"])))
         kept.sort()
@@ -405,6 +462,8 @@ class IcebergTable:
             "files_total": total,
             "files_kept": len(kept),
             "files_pruned": total - len(kept),
+            "manifests_total": manifests_total,
+            "manifests_skipped": manifests_skipped,
         }
 
     def equality_deletes_for_snapshot(
@@ -453,6 +512,7 @@ class IcebergTable:
                     {
                         "path": str(self._resolve(dfile["file_path"])),
                         "schema_id": self._snapshot_schema_id(e.get("snapshot_id")),
+                        "partition": dfile.get("partition"),
                     }
                 )
         return sorted(out, key=lambda d: d["path"])
@@ -475,11 +535,25 @@ class IcebergTable:
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         cur_id = int(self._meta.get("current-schema-id", 0))
         cur_fields = self._schema_by_id(cur_id).get("fields", [])
-        groups: dict[int, list[str]] = defaultdict(list)
+        # group by (written schema, partition tuple): the tuple matters
+        # because metadata-only identity partitioning (Flink shape) may
+        # OMIT the source column from the parquet — it must then be
+        # reconstituted as a per-group constant from the manifest's
+        # partition record. Group count = schemas x live partitions
+        # touched, not files.
+        part_fields = self._partition_fields()
+        spec_to_cur = {spec: cur for spec, cur, _ in part_fields}
+        groups: dict[tuple, list[str]] = defaultdict(list)
+        part_by_key: dict[tuple, dict] = {}
         for e in entries:
-            groups[int(e["schema_id"])].append(e["path"])
+            part = e.get("partition") or {}
+            key = (int(e["schema_id"]), tuple(sorted(part.items())))
+            groups[key].append(e["path"])
+            part_by_key[key] = part
         dfs = []
-        for schema_id, paths in sorted(groups.items()):
+        for key, paths in sorted(groups.items()):
+            schema_id, _ = key
+            part = part_by_key[key]
             g = spark.read.parquet(*paths)
             if with_meta:
                 g = g.withColumn("_file", norm(F.col("_metadata.file_path"))).withColumn(
@@ -489,13 +563,22 @@ class IcebergTable:
                 int(f["id"]): f["name"]
                 for f in self._schema_by_id(schema_id).get("fields", [])
             }
+            part_by_cur = {
+                spec_to_cur[spec]: v for spec, v in part.items() if spec in spec_to_cur
+            }
             sel = []
             for f in cur_fields if cur_fields else [{"id": -1}]:
+                if not cur_fields:
+                    break
                 wname = written_by_id.get(int(f["id"]))
+                spark_t = self._ICE_TO_SPARK.get(str(f.get("type") or ""), "string")
                 if wname is not None and wname in g.columns:
                     sel.append(F.col(wname).alias(f["name"]))
-                elif cur_fields:
-                    spark_t = self._ICE_TO_SPARK.get(str(f.get("type") or ""), "string")
+                elif f["name"] in part_by_cur and part_by_cur[f["name"]] is not None:
+                    # identity partition value reconstituted as a
+                    # constant — the column is metadata, not bytes
+                    sel.append(F.lit(part_by_cur[f["name"]]).cast(spark_t).alias(f["name"]))
+                else:
                     sel.append(F.lit(None).cast(spark_t).alias(f["name"]))
             if not cur_fields:  # metadata without schemas: passthrough
                 sel = [F.col(c) for c in g.columns if c not in ("_file", "_pos")]
@@ -894,6 +977,28 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+        # per-partition-field summaries over the manifest's entries
+        # (spec field_summary r508): lets planners skip whole manifests
+        # before reading a single entry
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
+                            {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
     ],
 }
 
@@ -904,13 +1009,28 @@ class IcebergFixtureWriter:
     manifest-list/manifest Avro + immutable parquet data files — the
     same names and structure `IcebergTable` reads."""
 
-    def __init__(self, root: str | Path, table_uuid: str | None = None, seed: int | None = None):
+    def __init__(
+        self,
+        root: str | Path,
+        table_uuid: str | None = None,
+        seed: int | None = None,
+        partition_by: list[str] | None = None,
+        omit_partition_cols: bool = False,
+    ):
         import random
 
         self.root = Path(root)
         (self.root / "metadata").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(exist_ok=True)
         self.table_uuid = table_uuid or str(uuid.uuid4())
+        # identity partition spec: each commit's files are split by the
+        # partition tuple, entries carry a TYPED partition record, and
+        # manifest-list rows summarize partition bounds per manifest.
+        # omit_partition_cols drops the source columns from the parquet
+        # (metadata-only identity partitioning — the Flink-writer shape;
+        # readers must reconstitute the column from partition metadata).
+        self.partition_by = list(partition_by or [])
+        self.omit_partition_cols = omit_partition_cols
         self._snapshots: list[dict] = []
         self._version = 0
         self._seq = 0  # Iceberg v2 sequence number — the real commit order
@@ -1021,6 +1141,9 @@ class IcebergFixtureWriter:
                 self._next_fid += 1
                 self._field_types[f.name] = _SPARK_TO_ICE.get(f.dataType.typeName(), "")
             self._schemas.append(self._current_schema())
+            for c in self.partition_by:
+                if c not in self._field_ids:
+                    raise IcebergError(f"partition column {c!r} not in first commit's schema")
 
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
         parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
@@ -1028,35 +1151,60 @@ class IcebergFixtureWriter:
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
 
         # data files: write through Spark then move into data/ (files
-        # are immutable once committed — Iceberg's core invariant)
-        tmp = tempfile.mkdtemp(prefix="iceberg_commit_")
-        df.write.mode("overwrite").parquet(tmp)
-        data_files = []
-        for p in sorted(Path(tmp).glob("*.parquet")):
-            dest = self.root / "data" / f"{uuid.uuid4().hex}.parquet"
-            shutil.move(str(p), str(dest))
-            import pyarrow.parquet as pq
+        # are immutable once committed — Iceberg's core invariant).
+        # Partitioned tables split the frame by partition tuple first;
+        # each tuple's files carry a typed partition record in their
+        # manifest entries.
+        from pyspark.sql import functions as F
 
-            md = pq.read_metadata(dest)
-            lower, upper = self._footer_bounds(md)
-            data_files.append(
-                {
-                    "status": 1,  # ADDED
-                    "snapshot_id": sid,
-                    "sequence_number": self._seq,
-                    "data_file": {
-                        "file_path": str(dest),
-                        "file_format": "PARQUET",
-                        "record_count": md.num_rows,
-                        "content": 0,
-                        "equality_ids": None,
-                        "lower_bounds": lower,
-                        "upper_bounds": upper,
-                        "file_size_in_bytes": dest.stat().st_size,
-                    },
-                }
-            )
-        shutil.rmtree(tmp, ignore_errors=True)
+        slices: list[tuple[dict | None, DataFrame]] = []
+        if self.partition_by:
+            tuples = [
+                tuple(getattr(r, c) for c in self.partition_by)
+                for r in df.select(*self.partition_by).distinct().collect()
+            ]
+            for tup in sorted(tuples, key=lambda t: tuple(str(x) for x in t)):
+                cond = None
+                for c, v in zip(self.partition_by, tup):
+                    piece = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                    cond = piece if cond is None else (cond & piece)
+                part_df = df.filter(cond)
+                if self.omit_partition_cols:
+                    part_df = part_df.drop(*self.partition_by)
+                slices.append((dict(zip(self.partition_by, tup)), part_df))
+        else:
+            slices.append((None, df))
+
+        data_files = []
+        for partition, part_df in slices:
+            tmp = tempfile.mkdtemp(prefix="iceberg_commit_")
+            part_df.write.mode("overwrite").parquet(tmp)
+            for p in sorted(Path(tmp).glob("*.parquet")):
+                dest = self.root / "data" / f"{uuid.uuid4().hex}.parquet"
+                shutil.move(str(p), str(dest))
+                import pyarrow.parquet as pq
+
+                md = pq.read_metadata(dest)
+                lower, upper = self._footer_bounds(md)
+                data_files.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": sid,
+                        "sequence_number": self._seq,
+                        "data_file": {
+                            "file_path": str(dest),
+                            "file_format": "PARQUET",
+                            "partition": partition,
+                            "record_count": md.num_rows,
+                            "content": 0,
+                            "equality_ids": None,
+                            "lower_bounds": lower,
+                            "upper_bounds": upper,
+                            "file_size_in_bytes": dest.stat().st_size,
+                        },
+                    }
+                )
+            shutil.rmtree(tmp, ignore_errors=True)
 
         return self._finish_commit(sid, parent, ts, data_files, operation)
 
@@ -1140,6 +1288,7 @@ class IcebergFixtureWriter:
                     "file_format": "PARQUET",
                     "record_count": len(deletes),
                     "content": 1,
+                    "partition": None,
                     "equality_ids": None,
                     "lower_bounds": None,
                     "upper_bounds": None,
@@ -1180,6 +1329,7 @@ class IcebergFixtureWriter:
                     "file_format": "PARQUET",
                     "record_count": len(values),
                     "content": 2,
+                    "partition": None,
                     "equality_ids": ids,
                     "lower_bounds": None,
                     "upper_bounds": None,
@@ -1189,9 +1339,75 @@ class IcebergFixtureWriter:
         ]
         return self._finish_commit(sid, parent, ts, entries, "delete")
 
+    _ICE_TO_AVRO = {
+        "int": "int",
+        "long": "long",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "date": "int",
+        "timestamp": "long",
+    }
+
+    def _entry_schema(self) -> dict:
+        """Manifest-entry Avro schema; partitioned tables extend
+        data_file with a TYPED partition record (spec r102) built from
+        the identity spec's source-column types."""
+        import copy
+
+        schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+        if self.partition_by:
+            part_fields = [
+                {
+                    "name": c,
+                    "type": ["null", self._ICE_TO_AVRO.get(self._field_types.get(c, ""), "string")],
+                    "default": None,
+                }
+                for c in self.partition_by
+            ]
+            data_file = schema["fields"][-1]["type"]
+            data_file["fields"].insert(
+                4,
+                {
+                    "name": "partition",
+                    "type": ["null", {"type": "record", "name": "r102", "fields": part_fields}],
+                    "default": None,
+                },
+            )
+        return schema
+
+    def _partition_summaries(self, entries: list[dict]) -> list[dict] | None:
+        """Spec field_summary rows (contains_null + encoded bounds) per
+        partition field, aggregated over one manifest's entries — what
+        lets a planner skip the whole manifest."""
+        if not self.partition_by:
+            return None
+        out = []
+        for c in self.partition_by:
+            typ = self._field_types.get(c, "")
+            values = []
+            contains_null = False
+            for e in entries:
+                part = e["data_file"].get("partition")
+                if part is None:
+                    contains_null = True  # delete entries carry no tuple
+                    continue
+                v = part.get(c)
+                if v is None:
+                    contains_null = True
+                else:
+                    values.append(v)
+            lo = _encode_bound(min(values), typ) if values else None
+            hi = _encode_bound(max(values), typ) if values else None
+            out.append({"contains_null": contains_null, "lower_bound": lo, "upper_bound": hi})
+        return out
+
     def _finish_commit(self, sid, parent, ts, entries, operation) -> int:
         manifest = self.root / "metadata" / f"manifest-{sid}-{uuid.uuid4().hex[:8]}.avro"
-        manifest.write_bytes(write_container(_MANIFEST_ENTRY_SCHEMA, entries))
+        if not self.partition_by:
+            for e in entries:
+                e["data_file"].pop("partition", None)
+        manifest.write_bytes(write_container(self._entry_schema(), entries))
         mlist = self.root / "metadata" / f"snap-{sid}-manifest-list.avro"
         mlist.write_bytes(
             write_container(
@@ -1202,6 +1418,7 @@ class IcebergFixtureWriter:
                         "manifest_length": manifest.stat().st_size,
                         "partition_spec_id": 0,
                         "added_snapshot_id": sid,
+                        "partitions": self._partition_summaries(entries),
                     }
                 ],
             )
@@ -1215,12 +1432,15 @@ class IcebergFixtureWriter:
         prior = [s["manifest-list"] for s in self._snapshots]
         if prior and operation in ("append", "delete"):
             _, rows = decode_container(Path(_strip_uri(prior[-1])).read_bytes())
+            for r in rows:
+                r.setdefault("partitions", None)  # rows from pre-summary containers
             new_rows = rows + [
                 {
                     "manifest_path": str(manifest),
                     "manifest_length": manifest.stat().st_size,
                     "partition_spec_id": 0,
                     "added_snapshot_id": sid,
+                    "partitions": self._partition_summaries(entries),
                 }
             ]
             mlist.write_bytes(write_container(_MANIFEST_LIST_SCHEMA, new_rows))
@@ -1254,6 +1474,21 @@ class IcebergFixtureWriter:
             "last-sequence-number": self._seq,
             "current-schema-id": self._current_schema_id,
             "schemas": list(self._schemas),
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": c,
+                            "transform": "identity",
+                            "source-id": self._field_ids[c],
+                            "field-id": 1000 + i,
+                        }
+                        for i, c in enumerate(self.partition_by)
+                    ],
+                }
+            ],
             "current-snapshot-id": (
                 int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else -1
             ),

@@ -453,3 +453,73 @@ def test_expire_snapshots_retention_and_orphans(spark, tmp_path, orders):
     assert res2["deleted"]
     t3 = IcebergTable(tmp_path / "t")
     assert t3.read(spark).count() == before
+
+
+def test_partitioned_table_pruning_and_summaries(spark, tmp_path, orders):
+    """Identity-partitioned table: entries carry typed partition
+    records, manifest-list rows carry field summaries, and pruning
+    works at BOTH levels — whole manifests skipped from summaries
+    without being opened, then per-file partition values applied as
+    exact (v, v) intervals."""
+    from pyspark.sql import functions as F
+
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=88, partition_by=["o_orderstatus"])
+    o = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # commit per status subset so each manifest's summary is narrow
+    w.append(o.filter(F.col("o_orderstatus") == "F"), timestamp_ms=1000, snapshot_id=IDS[0])
+    w.append(o.filter(F.col("o_orderstatus") == "O"), timestamp_ms=2000, snapshot_id=IDS[1])
+    w.append(o.filter(F.col("o_orderstatus") == "P"), timestamp_ms=3000, snapshot_id=IDS[2])
+
+    t = IcebergTable(tmp_path / "t")
+    # spec landed in metadata
+    spec = t.metadata["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "identity" and spec["name"] == "o_orderstatus"
+
+    df, plan = t.scan(
+        spark, ScanRequest("ice", predicates=[Col("o_orderstatus") == Lit("P")])
+    )
+    meta = plan.partitions.meta
+    assert meta["manifests_total"] == 3
+    assert meta["manifests_skipped"] == 2  # F and O manifests never opened
+    assert meta["files_kept"] >= 1 and meta["files_pruned"] == 0
+    assert df.count() == o.filter(F.col("o_orderstatus") == "P").count()
+    # full read still complete
+    assert t.read(spark).count() == o.count()
+
+
+def test_partitioned_metadata_only_column_reconstituted(spark, tmp_path, orders):
+    """omit_partition_cols: the source column is NOT in the parquet
+    (Flink-style metadata-only identity partitioning); reads must
+    reconstitute it from the manifest partition record as a per-group
+    constant, and partition pruning still applies."""
+    from pyspark.sql import functions as F
+
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    w = IcebergFixtureWriter(
+        tmp_path / "t", seed=99, partition_by=["o_orderstatus"], omit_partition_cols=True
+    )
+    o = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    w.append(o, timestamp_ms=1000, snapshot_id=IDS[0])
+
+    t = IcebergTable(tmp_path / "t")
+    # the physical files lack the column; the read must still carry it
+    raw = spark.read.parquet(t.files_for_snapshot(IDS[0])[0])
+    assert "o_orderstatus" not in raw.columns
+    cur = t.read(spark)
+    assert cur.columns == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    got = {r.o_orderstatus: r.n for r in cur.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    want = {r.o_orderstatus: r.n for r in o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+    # predicate on the metadata-only column prunes by partition value
+    df, plan = t.scan(
+        spark, ScanRequest("ice", predicates=[Col("o_orderstatus") == Lit("F")])
+    )
+    assert plan.partitions.meta["files_pruned"] > 0
+    assert df.count() == o.filter(F.col("o_orderstatus") == "F").count()
