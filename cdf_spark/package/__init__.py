@@ -1,5 +1,6 @@
 from .builder import PackageBuilder, PackageResult
 from .duckdb_dest import DuckDbDestination
+from .iceberg_dest import IcebergDestination
 from .ledger import CheckpointLedger, ParquetDestination, Receipt
 from .pg_copy import FileCopyTransport, PostgresCopyDestination, PsycopgTransport
 from .stats import column_stats, dataset_value_hash
@@ -10,6 +11,7 @@ __all__ = [
     "CheckpointLedger",
     "ParquetDestination",
     "DuckDbDestination",
+    "IcebergDestination",
     "PostgresCopyDestination",
     "PsycopgTransport",
     "FileCopyTransport",

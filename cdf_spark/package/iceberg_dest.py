@@ -1,0 +1,114 @@
+"""Iceberg destination speaking the plan_commit -> verify protocol.
+
+The pipeline's packages land in a REAL Apache-Iceberg table any engine
+can read (Spark+jars, Trino, DuckDB iceberg extension, pyiceberg) —
+the open-format counterpart of the reference's destination family
+(`crates/cdf-dest-*`; commit/verify receipt discipline per
+`crates/cdf-runtime/src/checkpoint.rs`):
+
+- APPEND: a new append snapshot whose data files are the package's
+  canonical segments committed by COPY — no decode/re-encode (the
+  reference's bulk `canonical_segment_scan` posture), bounds from the
+  parquet footers so the table is immediately prunable.
+- REPLACE: an overwrite snapshot; prior files stay for time travel.
+- MERGE: ONE snapshot carrying an equality-delete file (the batch's
+  keys) AND the batch's data files at the same sequence number — the
+  Flink-CDC upsert commit shape. Sequence scoping makes it correct by
+  construction: the delete applies only to strictly-older data files,
+  so the batch's own rows survive while older rows with matching keys
+  are removed. Merge-on-read — a 0.1%-of-keys batch moves 0.1% of the
+  data, not 100%.
+
+Verification reads the table back THROUGH the Iceberg reader (the
+same resolution any consumer uses): REPLACE = full value-hash
+equality, MERGE = null-safe containment of the staged batch, APPEND =
+row-count lower bound. Commits are atomic at the metadata level: the
+version-hint/metadata.json swap is the last step, so a crash mid-write
+leaves the previous snapshot current (orphaned files, never a corrupt
+table).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from ..sources.base import WriteDisposition
+from ..sources.iceberg import IcebergFixtureWriter, IcebergTable
+from .builder import PackageResult
+from .ledger import Receipt
+from .stats import dataset_value_hash
+
+
+class IcebergDestination:
+    """An Iceberg-table destination speaking the commit protocol —
+    drop-in peer of ParquetDestination / DuckDbDestination (same
+    commit/verify surface, same Receipt), so LoadPipeline and
+    StreamingLoadPipeline can land state in an open table format."""
+
+    def __init__(self, table_path: str | Path, merge_keys: list[str] | None = None):
+        self.table_path = Path(table_path)
+        self.merge_keys = merge_keys or []
+
+    def _segments(self, package: PackageResult) -> list[str]:
+        return sorted(str(p) for p in Path(package.data_path()).glob("*.parquet"))
+
+    def commit(
+        self,
+        spark: SparkSession,
+        package: PackageResult,
+        disposition: WriteDisposition = WriteDisposition.APPEND,
+    ) -> Receipt:
+        segments = self._segments(package)
+        w = IcebergFixtureWriter(self.table_path)
+        if disposition is WriteDisposition.APPEND:
+            w.append_files(segments)
+        elif disposition is WriteDisposition.REPLACE:
+            w.replace_files(segments)
+        elif disposition is WriteDisposition.MERGE:
+            if not self.merge_keys:
+                raise ValueError("merge disposition requires merge_keys")
+            keys = [
+                r.asDict()
+                for r in spark.read.parquet(package.data_path())
+                .select(*self.merge_keys)
+                .distinct()
+                .collect()
+            ]
+            w.upsert_files(segments, keys, self.merge_keys)
+        else:
+            raise ValueError(f"disposition {disposition} not supported by IcebergDestination")
+        return Receipt(
+            receipt_id="rcp-" + uuid.uuid4().hex[:16],
+            package_id=package.package_id,
+            destination=f"iceberg://{self.table_path}",
+            disposition=disposition.value,
+            delivery_guarantee=disposition.delivery_guarantee,
+            rows_written=package.rows_admitted,
+            value_hash=package.value_hash,
+            committed_at_ms=int(time.time() * 1000),
+        )
+
+    def verify(self, spark: SparkSession, receipt: Receipt, package: PackageResult) -> Receipt:
+        df = self.read(spark)
+        if receipt.disposition == WriteDisposition.REPLACE.value:
+            ok = dataset_value_hash(df) == package.value_hash
+        elif receipt.disposition == WriteDisposition.MERGE.value:
+            staged = spark.read.parquet(package.data_path())
+            cond = [staged[k].eqNullSafe(df[k]) for k in self.merge_keys]
+            joined = cond[0]
+            for c in cond[1:]:
+                joined = joined & c
+            ok = staged.join(df, on=joined, how="left_anti").isEmpty()
+        else:  # append: package rows all present (count lower bound)
+            ok = df.count() >= receipt.rows_written
+        receipt.verified = bool(ok)
+        return receipt
+
+    def read(self, spark: SparkSession):
+        """The merge-on-read resolved current state — exactly what any
+        external Iceberg reader would see."""
+        return IcebergTable(self.table_path).read(spark)

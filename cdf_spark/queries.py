@@ -1686,6 +1686,52 @@ def iceberg_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_dest_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice FROM orders
+      WHERE o_orderkey <= 400 OR o_orderkey > 900
+    )
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def iceberg_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg as a DESTINATION (`package/iceberg_dest.py`): packages
+    commit into a real Iceberg table — APPEND by segment copy, MERGE as
+    ONE snapshot carrying an equality-delete of the batch's keys plus
+    the batch's data files at the same sequence number (the Flink-CDC
+    upsert shape; correct through the reader's sequence scoping). The
+    query returns the merged table as ANY Iceberg reader resolves it;
+    the oracle recomputes the merge relationally."""
+    from .package import PackageBuilder
+    from .package.iceberg_dest import IcebergDestination
+    from .sources.base import WriteDisposition
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        dest = IcebergDestination(f"{tmp}/t", merge_keys=["o_orderkey"])
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_up")
+        base = builder.build(admitted=o.filter(F.col("o_orderkey") <= 900))
+        r1 = dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base)
+        batch = builder.build(
+            admitted=o.filter(
+                (F.col("o_orderkey") <= 400) | (F.col("o_orderkey") > 900)
+            ).withColumn("o_totalprice", F.lit(-1.0))
+        )
+        r2 = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+        if not (r1.verified and r2.verified):
+            raise RuntimeError("iceberg commit receipt failed verification")
+
+    tmp = _session_fixture("ice_dest_up", sf, build)
+    return IcebergDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)
+
+
+@_register(
     "iceberg_partitioned_scan",
     """
     SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -1906,6 +1952,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "iceberg_schema_evolution",
     "delta_checkpoint_replay",
     "iceberg_partitioned_scan",
+    "iceberg_dest_upsert",
     # -- never driver-checked through r4 (38) --
     "hudi_time_travel",
     "hudi_changes_since",
@@ -1952,8 +1999,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "simhash_dups",
     "embedding_near_dups",
     "cube_agg",
-    "lag_lead_price_delta",
     "curation_pipeline",
+    # (lag_lead_price_delta rotated out alongside q1/variant: trivial
+    # window op, r1-green; this round's new table-format paths take
+    # the driver slots)
     # (variant_capture_json rotated out with q1: lowest regression
     # risk among the stale sentinels; the window is exactly 50)
     # (q1_pricing_summary rotated out: freshest-possible sentinel —

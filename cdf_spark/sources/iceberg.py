@@ -1048,6 +1048,44 @@ class IcebergFixtureWriter:
         self._next_fid = 1
         self._schemas: list[dict] = []
         self._current_schema_id = 0
+        if any(self.meta_glob()):
+            self._rehydrate()
+
+    def meta_glob(self):
+        return (self.root / "metadata").glob("*.metadata.json")
+
+    def _rehydrate(self) -> None:
+        """Resume writing an EXISTING table: destinations are
+        constructed per run, so the writer must pick up snapshots,
+        sequence numbers, schema state, and the partition spec from the
+        table's own metadata rather than starting a parallel history."""
+        t = IcebergTable(self.root)
+        meta = t.metadata
+        self.table_uuid = meta.get("table-uuid", self.table_uuid)
+        self._snapshots = list(meta.get("snapshots", []))
+        self._seq = int(meta.get("last-sequence-number", 0))
+        hint = self.root / "metadata" / "version-hint.text"
+        if hint.exists():
+            self._version = int(hint.read_text().strip())
+        self._schemas = list(meta.get("schemas", []))
+        self._current_schema_id = int(meta.get("current-schema-id", 0))
+        cur = next(
+            (s for s in self._schemas if s.get("schema-id", 0) == self._current_schema_id),
+            {"fields": []},
+        )
+        for f in cur.get("fields", []):
+            self._field_order.append(f["name"])
+            self._field_ids[f["name"]] = int(f["id"])
+            self._field_types[f["name"]] = str(f.get("type") or "")
+        self._next_fid = max(self._field_ids.values(), default=0) + 1
+        specs = {s.get("spec-id", 0): s for s in meta.get("partition-specs", [])}
+        spec = specs.get(meta.get("default-spec-id", 0)) or {}
+        by_id = {v: k for k, v in self._field_ids.items()}
+        self.partition_by = [
+            by_id[int(f["source-id"])]
+            for f in spec.get("fields", [])
+            if f.get("transform") == "identity" and int(f["source-id"]) in by_id
+        ]
 
     # -- schema evolution --------------------------------------------------
     def _current_schema(self) -> dict:
@@ -1402,7 +1440,148 @@ class IcebergFixtureWriter:
             out.append({"contains_null": contains_null, "lower_bound": lo, "upper_bound": hi})
         return out
 
-    def _finish_commit(self, sid, parent, ts, entries, operation) -> int:
+    def _eq_delete_entry(self, values: list[dict], equality_cols: list[str], sid: int) -> dict:
+        """Build one content=2 equality-delete entry (file + manifest
+        row) at the CURRENT sequence number."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        dest = self.root / "data" / f"eqdelete-{uuid.uuid4().hex}.parquet"
+        pq.write_table(pa.table({c: [v[c] for v in values] for c in equality_cols}), dest)
+        return {
+            "status": 1,
+            "snapshot_id": sid,
+            "sequence_number": self._seq,
+            "data_file": {
+                "file_path": str(dest),
+                "file_format": "PARQUET",
+                "record_count": len(values),
+                "content": 2,
+                "partition": None,
+                "equality_ids": [self._field_ids[c] for c in equality_cols],
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "file_size_in_bytes": dest.stat().st_size,
+            },
+        }
+
+    def _copied_file_entries(self, paths: list[str], sid: int) -> list[dict]:
+        """Data-file entries from EXISTING canonical parquet files,
+        committed by COPY (no decode/re-encode — the segment-copy
+        posture); bounds come from each file's own footer."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        entries = []
+        for src in paths:
+            dest = self.root / "data" / f"{uuid.uuid4().hex}.parquet"
+            shutil.copy(str(src), str(dest))
+            md = pq.read_metadata(dest)
+            lower, upper = self._footer_bounds(md)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": self._seq,
+                    "data_file": {
+                        "file_path": str(dest),
+                        "file_format": "PARQUET",
+                        "partition": None,
+                        "record_count": md.num_rows,
+                        "content": 0,
+                        "equality_ids": None,
+                        "lower_bounds": lower,
+                        "upper_bounds": upper,
+                        "file_size_in_bytes": dest.stat().st_size,
+                    },
+                }
+            )
+        return entries
+
+    def _ensure_schema_from_parquet(self, path: str) -> None:
+        """First commit via the file path defines the field-id schema
+        from the parquet's own Arrow schema."""
+        if self._schemas:
+            return
+        import pyarrow.parquet as pq
+
+        _ARROW_TO_ICE = {
+            "int32": "int",
+            "int64": "long",
+            "float": "float",
+            "double": "double",
+            "string": "string",
+            "large_string": "string",
+            "date32[day]": "date",
+        }
+        for f in pq.read_schema(path):
+            t = str(f.type)
+            ice = _ARROW_TO_ICE.get(t, "timestamp" if t.startswith("timestamp") else "")
+            self._field_order.append(f.name)
+            self._field_ids[f.name] = self._next_fid
+            self._next_fid += 1
+            self._field_types[f.name] = ice
+        self._schemas.append(self._current_schema())
+
+    def append_files(
+        self, paths: list[str], timestamp_ms: int | None = None, snapshot_id: int | None = None
+    ) -> int:
+        """Append commit by segment COPY (destination bulk path)."""
+        if not paths:
+            raise IcebergError("append_files requires at least one parquet file")
+        self._ensure_schema_from_parquet(paths[0])
+        sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
+        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        self._seq += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+        return self._finish_commit(sid, parent, ts, self._copied_file_entries(paths, sid), "append")
+
+    def replace_files(
+        self, paths: list[str], timestamp_ms: int | None = None, snapshot_id: int | None = None
+    ) -> int:
+        """Overwrite commit by segment COPY: the new snapshot's live
+        set is exactly these files (prior files stay for time travel)."""
+        if not paths:
+            raise IcebergError("replace_files requires at least one parquet file")
+        self._ensure_schema_from_parquet(paths[0])
+        sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
+        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        self._seq += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+        return self._finish_commit(
+            sid, parent, ts, self._copied_file_entries(paths, sid), "overwrite"
+        )
+
+    def upsert_files(
+        self,
+        paths: list[str],
+        key_values: list[dict],
+        equality_cols: list[str],
+        timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> int:
+        """ONE snapshot carrying an equality-delete entry (the batch's
+        keys) AND the batch's data files at the SAME sequence number —
+        the Flink-CDC upsert commit shape. Sequence scoping makes it
+        correct by construction: the delete (seq S) applies only to
+        data files with seq < S, so the batch's own rows (seq == S)
+        survive while every older row with a matching key is removed.
+        Operation is 'overwrite' (rows the consumer saw may be gone ->
+        changes_since resets), and prior manifests stay referenced
+        (merge-on-read, no rewrite)."""
+        if not paths:
+            raise IcebergError("upsert_files requires at least one parquet file")
+        self._ensure_schema_from_parquet(paths[0])
+        sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
+        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        self._seq += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+        entries = [self._eq_delete_entry(key_values, equality_cols, sid)]
+        entries += self._copied_file_entries(paths, sid)
+        return self._finish_commit(sid, parent, ts, entries, "overwrite", retain_prior=True)
+
+    def _finish_commit(self, sid, parent, ts, entries, operation, retain_prior=None) -> int:
         manifest = self.root / "metadata" / f"manifest-{sid}-{uuid.uuid4().hex[:8]}.avro"
         if not self.partition_by:
             for e in entries:
@@ -1430,7 +1609,9 @@ class IcebergFixtureWriter:
         # manifests in the new list (an overwrite references only its
         # own manifest)
         prior = [s["manifest-list"] for s in self._snapshots]
-        if prior and operation in ("append", "delete"):
+        if retain_prior is None:
+            retain_prior = operation in ("append", "delete")
+        if prior and retain_prior:
             _, rows = decode_container(Path(_strip_uri(prior[-1])).read_bytes())
             for r in rows:
                 r.setdefault("partitions", None)  # rows from pre-summary containers
