@@ -1,5 +1,6 @@
 from .builder import PackageBuilder, PackageResult
 from .duckdb_dest import DuckDbDestination
+from .delta_dest import DeltaDestination
 from .iceberg_dest import IcebergDestination
 from .ledger import CheckpointLedger, ParquetDestination, Receipt
 from .pg_copy import FileCopyTransport, PostgresCopyDestination, PsycopgTransport
@@ -12,6 +13,7 @@ __all__ = [
     "ParquetDestination",
     "DuckDbDestination",
     "IcebergDestination",
+    "DeltaDestination",
     "PostgresCopyDestination",
     "PsycopgTransport",
     "FileCopyTransport",

@@ -1732,6 +1732,52 @@ def iceberg_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "delta_dest_merge",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice FROM orders
+      WHERE o_orderkey <= 400 OR o_orderkey > 900
+    )
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def delta_dest_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta Lake as a DESTINATION (`package/delta_dest.py`): append by
+    segment copy, MERGE as honest copy-on-write (no deletion vectors
+    are written — the staged keys anti-join the current state and the
+    union lands as a replace commit). The query returns the merged
+    table as any Delta reader resolves it; the oracle recomputes the
+    merge relationally — same law the Iceberg-destination and
+    tombstone merges satisfy."""
+    from .package import PackageBuilder
+    from .package.delta_dest import DeltaDestination
+    from .sources.base import WriteDisposition
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        dest = DeltaDestination(f"{tmp}/t", merge_keys=["o_orderkey"])
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_dm")
+        base = builder.build(admitted=o.filter(F.col("o_orderkey") <= 900))
+        r1 = dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base)
+        batch = builder.build(
+            admitted=o.filter(
+                (F.col("o_orderkey") <= 400) | (F.col("o_orderkey") > 900)
+            ).withColumn("o_totalprice", F.lit(-1.0))
+        )
+        r2 = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+        if not (r1.verified and r2.verified):
+            raise RuntimeError("delta commit receipt failed verification")
+
+    tmp = _session_fixture("delta_dest_m", sf, build)
+    return DeltaDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)
+
+
+@_register(
     "iceberg_partitioned_scan",
     """
     SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -345,7 +345,17 @@ class DeltaFixtureWriter:
         self.root = Path(root)
         (self.root / "_delta_log").mkdir(parents=True, exist_ok=True)
         self.table_id = table_id or str(uuid.uuid4())
-        self._version = -1
+        # resume an existing log: destinations are constructed per run
+        # and must continue the version sequence, not fork it
+        existing = [
+            int(p.stem)
+            for p in (self.root / "_delta_log").glob("*.json")
+            if p.stem.isdigit()
+        ]
+        ck = self.root / "_delta_log" / "_last_checkpoint"
+        if ck.exists():
+            existing.append(int(json.loads(ck.read_text())["version"]))
+        self._version = max(existing) if existing else -1
 
     def _write_data(self, df: DataFrame) -> list[dict]:
         import shutil
@@ -401,6 +411,46 @@ class DeltaFixtureWriter:
 
     def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
         return self._commit(self._write_data(df), "WRITE", timestamp_ms)
+
+    def _copy_adds(self, paths: list[str]) -> list[dict]:
+        """Add actions from EXISTING canonical parquet files committed
+        by COPY — no decode/re-encode (segment-copy posture)."""
+        import shutil
+
+        adds = []
+        for src in paths:
+            rel = f"part-{uuid.uuid4().hex}.parquet"
+            shutil.copy(str(src), str(self.root / rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "size": (self.root / rel).stat().st_size,
+                        "partitionValues": {},
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+        return adds
+
+    def append_files(self, paths: list[str], timestamp_ms: int | None = None) -> int:
+        return self._commit(self._copy_adds(paths), "WRITE", timestamp_ms)
+
+    def replace_files(self, paths: list[str], timestamp_ms: int | None = None) -> int:
+        removes = []
+        if self._version >= 0:
+            for f in DeltaTable(self.root).files_for_version(self._version):
+                removes.append(
+                    {
+                        "remove": {
+                            "path": str(Path(f).name),
+                            "deletionTimestamp": int(time.time() * 1000),
+                            "dataChange": True,
+                        }
+                    }
+                )
+        return self._commit(removes + self._copy_adds(paths), "WRITE", timestamp_ms)
 
     def checkpoint(self) -> int:
         """Write a checkpoint parquet of the current state + the

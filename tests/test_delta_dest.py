@@ -1,0 +1,68 @@
+"""Delta destination: commit -> verify protocol landing a real
+`_delta_log` table (open-format sibling of IcebergDestination; MERGE
+is honest copy-on-write — no deletion vectors are written)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.package import PackageBuilder
+from cdf_spark.package.delta_dest import DeltaDestination
+from cdf_spark.sources.base import WriteDisposition
+from cdf_spark.sources.delta import DeltaTable
+
+
+def test_append_replace_and_time_travel(spark, tmp_path, orders):
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    dest = DeltaDestination(tmp_path / "t")
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+
+    pkg = builder.build(admitted=o.limit(100))
+    assert dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.APPEND), pkg).verified
+    pkg2 = builder.build(admitted=o.offset(100).limit(50))
+    assert dest.verify(spark, dest.commit(spark, pkg2, WriteDisposition.APPEND), pkg2).verified
+    assert dest.read(spark).count() == 150
+
+    assert dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.REPLACE), pkg).verified
+    t = DeltaTable(tmp_path / "t")
+    assert t.read(spark).count() == 100
+    assert t.read(spark, version=1).count() == 150  # pre-replace pin intact
+    assert t.current_version() == 2  # per-run instances share one log
+
+
+def test_merge_copy_on_write(spark, tmp_path, orders):
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    dest = DeltaDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+
+    base = o.filter(F.col("o_orderkey") <= 900)
+    pkg = builder.build(admitted=base)
+    assert dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.APPEND), pkg).verified
+
+    batch = (
+        o.filter((F.col("o_orderkey") <= 400) | (F.col("o_orderkey") > 900))
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    pkg2 = builder.build(admitted=batch)
+    assert dest.verify(spark, dest.commit(spark, pkg2, WriteDisposition.MERGE), pkg2).verified
+
+    cur = dest.read(spark)
+    expect = base.count() - base.filter(F.col("o_orderkey") <= 400).count() + batch.count()
+    assert cur.count() == expect
+    updated = cur.filter(F.col("o_orderkey") <= 400)
+    assert updated.filter(F.col("o_totalprice") != -1.0).count() == 0
+    assert updated.groupBy("o_orderkey").count().filter(F.col("count") > 1).count() == 0
+
+    # idempotent replay
+    assert dest.verify(spark, dest.commit(spark, pkg2, WriteDisposition.MERGE), pkg2).verified
+    assert dest.read(spark).count() == expect
+
+
+def test_merge_requires_keys(spark, tmp_path, orders):
+    dest = DeltaDestination(tmp_path / "t")
+    pkg = PackageBuilder(tmp_path / "pkgs", "o").build(
+        admitted=orders.select("o_orderkey").limit(5)
+    )
+    with pytest.raises(ValueError, match="merge_keys"):
+        dest.commit(spark, pkg, WriteDisposition.MERGE)

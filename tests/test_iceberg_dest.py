@@ -113,3 +113,58 @@ def test_merge_requires_keys(spark, tmp_path, orders):
     )
     with pytest.raises(ValueError, match="merge_keys"):
         dest.commit(spark, pkg, WriteDisposition.MERGE)
+
+
+def test_streaming_drain_lands_iceberg_snapshots(spark, tmp_path, orders):
+    """Composition: StreamingLoadPipeline's per-epoch commit protocol
+    drives IcebergDestination directly — every micro-batch becomes one
+    parent-linked Iceberg snapshot, and the final table equals the
+    source rows. Epoch history IS table history (time travel to any
+    epoch boundary)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from cdf_spark.sources.base import ResourceDescriptor, WriteDisposition
+    from cdf_spark.streaming.pipeline import StreamingLoadPipeline
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    o = orders.select("o_orderkey", "o_totalprice").limit(600)
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        stage = tempfile.mkdtemp()
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (f,) = Path(stage).glob("*.parquet")
+        shutil.move(str(f), str(src / f"part-{i}.parquet"))
+
+    pipe = StreamingLoadPipeline(
+        descriptor=ResourceDescriptor(resource_id="orders_stream"),
+        source_path=str(src),
+        schema=schema,
+        package_root=str(tmp_path / "pkgs"),
+        ledger_root=str(tmp_path / "ledger"),
+        destination=IcebergDestination(tmp_path / "t"),
+        disposition=WriteDisposition.APPEND,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    epochs = pipe.run(spark)
+    committed = [e for e in epochs if e.rows_admitted > 0]
+    assert len(committed) >= 2
+    assert all(e.receipt_verified for e in committed)
+
+    t = IcebergTable(tmp_path / "t")
+    assert len(t.ancestry()) == len(committed)  # one snapshot per epoch
+    assert t.read(spark).count() == o.count()
+    # time travel to the first epoch boundary sees only epoch 1's rows
+    first = t.ancestry()[-1]
+    assert t.read(spark, snapshot_id=int(first["snapshot-id"])).count() == committed[0].rows_admitted
