@@ -112,3 +112,32 @@ class IcebergDestination:
         """The merge-on-read resolved current state — exactly what any
         external Iceberg reader would see."""
         return IcebergTable(self.table_path).read(spark)
+
+    def compact(self, spark: SparkSession, target_files: int = 8) -> dict:
+        """Maintenance: rewrite the current state into `target_files`
+        files as one overwrite snapshot — the small-file remedy for
+        per-epoch streaming commits (every micro-batch lands one-plus
+        files; readers pay per-file open cost forever without this).
+        Delete files are resolved INTO the rewrite, so the compacted
+        snapshot reads without any merge-on-read work. History stays:
+        pre-compaction snapshots still time-travel; expire_snapshots
+        reclaims them when retention allows."""
+        import shutil
+        import tempfile
+
+        t = IcebergTable(self.table_path)
+        before_files = len(t.files_for_snapshot(t.current_snapshot_id()))
+        current = t.read(spark)
+        tmp = tempfile.mkdtemp(prefix="iceberg_compact_")
+        try:
+            current.repartition(target_files).write.mode("overwrite").parquet(tmp)
+            files = sorted(str(p) for p in Path(tmp).glob("*.parquet"))
+            w = IcebergFixtureWriter(self.table_path)
+            w.replace_files(files)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        after = IcebergTable(self.table_path)
+        return {
+            "files_before": before_files,
+            "files_after": len(after.files_for_snapshot(after.current_snapshot_id())),
+        }

@@ -168,3 +168,64 @@ def test_streaming_drain_lands_iceberg_snapshots(spark, tmp_path, orders):
     # time travel to the first epoch boundary sees only epoch 1's rows
     first = t.ancestry()[-1]
     assert t.read(spark, snapshot_id=int(first["snapshot-id"])).count() == committed[0].rows_admitted
+
+
+def test_compact_small_files(spark, tmp_path, orders):
+    """compact() rewrites the per-epoch small-file pathology into one
+    overwrite snapshot: fewer files, identical values, delete files
+    resolved into the rewrite, history still time-travels."""
+    o = orders.select("o_orderkey", "o_totalprice")
+    dest = IcebergDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    # many small commits (the streaming-epoch shape) + one upsert so a
+    # delete file exists to be resolved away
+    for i in range(5):
+        pkg = builder.build(admitted=o.filter(F.pmod(F.col("o_orderkey"), F.lit(5)) == i))
+        assert dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.APPEND), pkg).verified
+    up = builder.build(
+        admitted=o.filter(F.col("o_orderkey") <= 200).withColumn("o_totalprice", F.lit(-1.0))
+    )
+    assert dest.verify(spark, dest.commit(spark, up, WriteDisposition.MERGE), up).verified
+
+    before = dest.read(spark)
+    before_rows = sorted((r.o_orderkey, r.o_totalprice) for r in before.collect())
+    res = dest.compact(spark, target_files=2)
+    assert res["files_after"] <= 2 < res["files_before"]
+
+    t = IcebergTable(tmp_path / "t")
+    after = dest.read(spark)
+    assert sorted((r.o_orderkey, r.o_totalprice) for r in after.collect()) == before_rows
+    # compacted snapshot carries no live delete files
+    assert t.delete_files_for_snapshot(t.current_snapshot_id()) == []
+    assert t.equality_deletes_for_snapshot(t.current_snapshot_id()) == []
+    # history still resolves pre-compaction
+    prev = t.ancestry()[1]
+    assert t.read(spark, snapshot_id=int(prev["snapshot-id"])).count() == before.count()
+
+
+def test_chaos_verify_crash_then_resume_merge_idempotent(spark, tmp_path, orders):
+    """Runtime chaos against the Iceberg destination: a crash between
+    the metadata swap and receipt verification leaves the snapshot
+    committed but the checkpoint unadvanced; replaying the same MERGE
+    batch is idempotent (the second upsert's delete removes the first
+    replay's rows), so the final state equals a single-delivery run."""
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    dest = IcebergDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    base = builder.build(admitted=o.filter(F.col("o_orderkey") <= 900))
+    assert dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base).verified
+
+    batch = builder.build(
+        admitted=o.filter(F.col("o_orderkey") <= 400).withColumn("o_totalprice", F.lit(-1.0))
+    )
+    # crash: commit lands, verify never runs (checkpoint never advances)
+    dest.commit(spark, batch, WriteDisposition.MERGE)
+    # resume: at-least-once redelivery of the SAME batch
+    rec = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+    assert rec.verified
+
+    cur = dest.read(spark)
+    assert cur.count() == o.filter(F.col("o_orderkey") <= 900).count()
+    dup = cur.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+    assert dup.count() == 0  # replay absorbed, no duplicate keys
+    assert cur.filter((F.col("o_orderkey") <= 400) & (F.col("o_totalprice") != -1.0)).count() == 0
