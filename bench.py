@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "embedding_near_dups_lsh_fast",
     "stratified_sample",
     "exact_dedup_docs",
+    "segment_dedup_docs",
     "tfidf_top_terms",
     # round 2: curation layer — broadcast eval-gram decontamination
     # (xxhash64 deploy twin of the md5-oracled decontamination_check)

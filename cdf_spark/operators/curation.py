@@ -254,3 +254,67 @@ def scan_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (counts["emails"] + counts["phones"] > 0).alias("has_pii"),
         pii_redact(c).alias("redacted"),
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 5,
+) -> DataFrame:
+    """Exact SPAN dedup at sub-document granularity (the Dolma /
+    RefinedWeb paragraph-dedup shape, expressed over fixed `width`-word
+    segments because the synthetic corpus has no paragraph breaks):
+    every duplicated segment keeps only its FIRST occurrence by
+    (doc, position) order; documents are reassembled from their
+    surviving segments. Near-boilerplate (repeated headers, footers,
+    licence blocks) disappears corpus-wide without dropping whole
+    documents.
+
+    Scale shape: one posexplode (no shuffle), ONE shuffle for the
+    first-occurrence window over the segment value, one shuffle for
+    the per-doc reassembly — same plan family as exact_dedup but at
+    segment granularity. Segment values hash-partition evenly (128-bit
+    content); a pathological corpus of one repeated segment would skew
+    a single key, which AQE splits.
+
+    Output: (id_col, text_deduped, n_segments, n_kept), one row per
+    input document (a document whose every segment was seen before
+    keeps an empty string — evidence, not silent drop).
+    """
+    from pyspark.sql import Window
+
+    ws = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(ws) / F.lit(width)).cast("int")
+    seg = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.array_join(F.slice(ws, i * width + 1, width), " "),
+                )
+            ).alias("i", "segment"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(F.col(id_col), F.col("i"))
+    ranked = seg.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct(F.col("i"), F.col("segment")))
+                        )
+                    ),
+                    lambda s: s["segment"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        )
+    )

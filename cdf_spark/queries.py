@@ -1732,6 +1732,43 @@ def iceberg_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "segment_dedup_docs",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE text IS NOT NULL),
+    pos AS (SELECT range AS i FROM range(0, 256)),
+    seg AS (
+      SELECT d.doc_id, pos.i,
+             array_to_string(w[pos.i*5+1 : pos.i*5+5], ' ') AS segment
+      FROM d, pos WHERE pos.i*5 < len(w)
+    ),
+    ranked AS (
+      SELECT doc_id, i, segment,
+             row_number() OVER (PARTITION BY segment ORDER BY doc_id, i) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           coalesce(string_agg(segment, ' ' ORDER BY i) FILTER (WHERE rn = 1), '')
+             AS text_deduped,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE rn = 1) AS n_kept
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def segment_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document exact span dedup (`operators/curation.py
+    segment_dedup` — the Dolma/RefinedWeb paragraph-dedup shape over
+    fixed 5-word segments): duplicated segments keep only their first
+    (doc, position) occurrence corpus-wide; documents reassemble from
+    survivors. One first-occurrence window + one reassembly shuffle —
+    the boilerplate-removal pass a training corpus runs before
+    document-level dedup."""
+    from .operators.curation import segment_dedup
+
+    return segment_dedup(_t(spark, sf, "documents"), "text", "doc_id", width=5)
+
+
+@_register(
     "delta_dest_merge",
     """
     WITH base AS (
@@ -1999,6 +2036,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "delta_checkpoint_replay",
     "iceberg_partitioned_scan",
     "iceberg_dest_upsert",
+    "segment_dedup_docs",
     # -- never driver-checked through r4 (38) --
     "hudi_time_travel",
     "hudi_changes_since",
@@ -2044,8 +2082,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "minhash_lsh_dups",
     "simhash_dups",
     "embedding_near_dups",
-    "cube_agg",
     "curation_pipeline",
+    # (cube_agg rotated out with q1/variant/lag_lead: r1-green
+    # grouping-set agg, lowest regression risk; new operator paths
+    # take the driver slots)
     # (lag_lead_price_delta rotated out alongside q1/variant: trivial
     # window op, r1-green; this round's new table-format paths take
     # the driver slots)

@@ -1679,7 +1679,20 @@ class IcebergFixtureWriter:
                 for s in self._snapshots
             ],
         }
-        (self.root / "metadata" / f"v{self._version}.metadata.json").write_text(
-            json.dumps(meta, indent=2)
-        )
+        # optimistic concurrency: metadata versions are immutable and
+        # the version number IS the compare-and-swap token (what a
+        # catalog CAS provides on a real deployment). O_EXCL create
+        # detects a concurrent writer that committed the same version
+        # first — the loser fails loudly instead of silently forking
+        # or clobbering the table history.
+        target = self.root / "metadata" / f"v{self._version}.metadata.json"
+        try:
+            with open(target, "x") as fh:
+                fh.write(json.dumps(meta, indent=2))
+        except FileExistsError:
+            self._version -= 1
+            raise IcebergError(
+                f"concurrent commit detected: metadata version v{self._version + 1} "
+                "already exists — reload the table and retry the commit"
+            ) from None
         (self.root / "metadata" / "version-hint.text").write_text(str(self._version))

@@ -229,3 +229,24 @@ def test_chaos_verify_crash_then_resume_merge_idempotent(spark, tmp_path, orders
     dup = cur.groupBy("o_orderkey").count().filter(F.col("count") > 1)
     assert dup.count() == 0  # replay absorbed, no duplicate keys
     assert cur.filter((F.col("o_orderkey") <= 400) & (F.col("o_totalprice") != -1.0)).count() == 0
+
+
+def test_concurrent_commit_detected(spark, tmp_path, orders):
+    """Optimistic concurrency: two writer instances over the same table
+    race; the loser's commit must fail loudly (metadata version is the
+    CAS token), never clobber or fork the history."""
+    from cdf_spark.sources.iceberg import IcebergError, IcebergFixtureWriter
+
+    o = orders.select("o_orderkey", "o_totalprice").limit(50)
+    w1 = IcebergFixtureWriter(tmp_path / "t")
+    w1.append(o, timestamp_ms=1000)
+
+    # two instances rehydrate the SAME state, then both try to commit
+    a = IcebergFixtureWriter(tmp_path / "t")
+    b = IcebergFixtureWriter(tmp_path / "t")
+    a.append(o, timestamp_ms=2000)  # wins
+    with pytest.raises(IcebergError, match="concurrent commit"):
+        b.append(o, timestamp_ms=3000)  # loses: same target version
+    t = IcebergTable(tmp_path / "t")
+    assert len(t.ancestry()) == 2  # winner's lineage only, no fork
+    assert t.read(spark).count() == 100
