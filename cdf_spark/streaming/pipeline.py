@@ -17,6 +17,12 @@ stream un-watermarked and split per epoch against the ledger value.
 Extents (`epochs.StreamExtent`):
   DRAIN    -> Trigger(availableNow=True), runs to the frontier, stops
   RESIDENT -> Trigger(processingTime=interval), runs until stopped
+
+File-source caveat (measured, Spark 4.x): CONTINUOUS discovery lists
+only flat files in the watched directory, while availableNow's initial
+listing also recurses into subdirectories — a resident stream over a
+dir of per-batch SUBDIRS silently sees nothing. Land each batch as a
+flat file (write to a staging dir, move the part file in).
 """
 
 from __future__ import annotations

@@ -198,3 +198,68 @@ def test_streaming_recapture_carryover(spark, tmp_path):
     assert eps[0].rows_late == 1           # 150 still carried (wm monotone)
     total_committed = spark.read.parquet(str(tmp_path / "dest")).count()
     assert total_committed == 4            # 2 + 1 + 1; the late row not duplicated
+
+
+def test_resident_extent_live_epochs(spark, tmp_path):
+    """RESIDENT: processingTime trigger returns a live query handle;
+    files arriving AFTER start are picked up in later epochs, each
+    committed through the package path; caller stops the query."""
+    import time as _time
+
+    from cdf_spark.package.ledger import ParquetDestination
+
+    import shutil
+    import tempfile as _tempfile
+    from pathlib import Path
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def _land(df, name):
+        # continuous file discovery lists only FLAT files (unlike
+        # availableNow's initial listing, which recurses) — land each
+        # batch as a single file in the watched dir
+        stage = _tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (f,) = Path(stage).glob("*.parquet")
+        shutil.move(str(f), str(src / name))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    df1 = spark.createDataFrame([(i, i * 10, float(i)) for i in range(1, 11)], EVENT_SCHEMA)
+    _land(df1, "b1.parquet")
+
+    pipe = StreamingLoadPipeline(
+        descriptor=ResourceDescriptor("res_ev", primary_key=["event_id"]),
+        source_path=str(src),
+        schema=EVENT_SCHEMA,
+        package_root=str(tmp_path / "pkgs"),
+        ledger_root=str(tmp_path / "ledger"),
+        destination=ParquetDestination(tmp_path / "dest"),
+        extent=StreamExtent.RESIDENT,
+    )
+    q = pipe.run(spark)
+    try:
+        deadline = _time.time() + 60
+        while not pipe.epochs and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert pipe.epochs, "first epoch never fired"
+        # late-arriving file -> a later epoch picks it up
+        df2 = spark.createDataFrame(
+            [(i, i * 10, float(i)) for i in range(11, 16)], EVENT_SCHEMA
+        )
+        _land(df2, "b2.parquet")
+        while (
+            sum(e.rows_admitted for e in pipe.epochs) < 15 and _time.time() < deadline
+        ):
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    committed = [e for e in pipe.epochs if e.rows_admitted > 0]
+    assert len(committed) >= 2  # the resident stream kept consuming
+    assert all(e.receipt_verified for e in committed)
+    import pyspark.sql.functions as F
+
+    out = spark.read.parquet(str(tmp_path / "dest"))
+    assert out.count() == 15
+    assert out.agg(F.countDistinct("event_id")).collect()[0][0] == 15
