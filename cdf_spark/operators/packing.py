@@ -115,3 +115,54 @@ def domain_mix_sample(
         df.join(F.broadcast(rates), on=domain_col)
         .filter(gate < (F.col("mix_rate") * HASH_GATE_MOD).cast("long"))
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training order: every
+    row gets a stable pseudo-random sort key (md5 of seed:id — engine-
+    portable, so the order is bit-reproducible anywhere) and an exact
+    global POSITION 0..n-1 in that order.
+
+    The scalable part is the position. A global `row_number() OVER
+    (ORDER BY key)` collapses to ONE partition — the classic scale
+    killer. Instead: range-repartition on the key (so partitions tile
+    the key space in order), count rows per partition (tiny driver
+    list), convert counts to cumulative offsets, and add each row's
+    within-partition rank — two passes, no global window, position =
+    offset[p] + local_rank. The same zip-with-index discipline a
+    trainer's sharded data loader needs anyway (shard = partition,
+    position = sample index).
+
+    Output: all input columns + shuffle_key + position.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.withColumn("shuffle_key", key).repartitionByRange(n_parts, F.col("shuffle_key"))
+    with_pid = keyed.withColumn("_pid", F.spark_partition_id())
+    # pass 1: per-partition counts -> cumulative offsets (driver-side,
+    # O(partitions) — the only collected state)
+    counts = {
+        r._pid: r.n
+        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    # pass 2: within-partition rank (per-partition window — parallel)
+    w = Window.partitionBy("_pid").orderBy("shuffle_key", id_col)
+    return (
+        with_pid.join(F.broadcast(off_df), on="_pid")
+        .withColumn("position", F.col("_off") + F.row_number().over(w) - 1)
+        .drop("_pid", "_off")
+    )

@@ -1732,6 +1732,33 @@ def iceberg_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "training_shuffle_order",
+    """
+    SELECT doc_id, lang,
+           md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(row_number() OVER (
+             ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS position
+    FROM documents
+    """,
+)
+def training_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global corpus shuffle (`operators/packing.py
+    training_shuffle`): engine-portable md5 sort keys plus EXACT global
+    positions computed WITHOUT a single-partition global window —
+    range-repartition on the key, per-partition counts -> cumulative
+    offsets (O(partitions) driver state), per-partition rank. The
+    oracle recomputes the same order with a plain window; positions
+    must match value-for-value, proving the two-pass offset pattern
+    equals the global sort."""
+    from .operators.packing import training_shuffle
+
+    return training_shuffle(
+        _t(spark, sf, "documents").select("doc_id", "lang"), id_col="doc_id", seed=7
+    )
+
+
+@_register(
     "segment_dedup_docs",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -2037,6 +2064,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "iceberg_partitioned_scan",
     "iceberg_dest_upsert",
     "segment_dedup_docs",
+    "training_shuffle_order",
     # -- never driver-checked through r4 (38) --
     "hudi_time_travel",
     "hudi_changes_since",
@@ -2082,7 +2110,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "minhash_lsh_dups",
     "simhash_dups",
     "embedding_near_dups",
-    "curation_pipeline",
+    # (curation_pipeline rotated out last: r1-green composite whose
+    # constituent operators are all individually window-verified)
     # (cube_agg rotated out with q1/variant/lag_lead: r1-green
     # grouping-set agg, lowest regression risk; new operator paths
     # take the driver slots)

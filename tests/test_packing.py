@@ -64,3 +64,38 @@ def test_domain_mix_is_deterministic(spark, sf_dir):
     a = {r.doc_id for r in domain_mix_sample(docs, targets).collect()}
     b = {r.doc_id for r in domain_mix_sample(docs, targets).collect()}
     assert a == b and a
+
+
+def test_training_shuffle_exact_permutation(spark, sf_dir):
+    """training_shuffle: positions are exactly 0..n-1 (a permutation,
+    no gaps/dups even across partition boundaries), the order follows
+    the md5 key, and the result is bit-reproducible across runs and
+    partition counts."""
+    from pyspark.sql import functions as F
+
+    from cdf_spark.operators.packing import training_shuffle
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    n = d.count()
+    out = training_shuffle(d, seed=7, partitions=8)
+    assert out.count() == n
+    agg = out.agg(
+        F.min("position").alias("lo"),
+        F.max("position").alias("hi"),
+        F.countDistinct("position").alias("nd"),
+    ).collect()[0]
+    assert (agg.lo, agg.hi, agg.nd) == (0, n - 1, n)
+    # order follows the key: position rank == key rank
+    rows = out.select("shuffle_key", "position").orderBy("position").collect()
+    keys = [r.shuffle_key for r in rows]
+    assert keys == sorted(keys)
+    # reproducible across partition counts (global order is partition-
+    # layout independent)
+    out2 = training_shuffle(d, seed=7, partitions=3)
+    a = {r.doc_id: r.position for r in out.collect()}
+    b = {r.doc_id: r.position for r in out2.collect()}
+    assert a == b
+    # a different seed is a different permutation
+    out3 = training_shuffle(d, seed=8, partitions=8)
+    c = {r.doc_id: r.position for r in out3.collect()}
+    assert c != a
