@@ -1732,6 +1732,38 @@ def iceberg_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "hudi_partitioned_scan",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'P'
+    """,
+)
+def hudi_partitioned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-partitioned Hudi CoW (`sources/hudi.py`): files under
+    col=value dirs, partitionToWriteStats keyed by partition path, and
+    the negotiated scan prunes whole partitions from the path values
+    before Spark lists a file — asserted in-query, values against the
+    plain filtered projection."""
+    from .expressions.ast import Col, Lit
+    from .plans.scan import ScanRequest
+    from .sources.hudi import HudiFixtureWriter, HudiTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        w = HudiFixtureWriter(f"{tmp}/t", partition_by=["o_orderstatus"])
+        w.commit(o)
+
+    tmp = _session_fixture("hudi_part", sf, build)
+    out, plan = HudiTable(f"{tmp}/t").scan(
+        spark, ScanRequest("h", predicates=[Col("o_orderstatus") == Lit("P")])
+    )
+    meta = plan.partitions.meta
+    if not (meta["files_total"] == 3 and meta["files_kept"] == 1):
+        raise AssertionError(f"hudi partition pruning regressed: {meta}")
+    return out
+
+
+@_register(
     "training_shuffle_order",
     """
     SELECT doc_id, lang,

@@ -86,29 +86,54 @@ class HudiTable:
         return TableSnapshotPosition(snapshot_id=int(self.latest_instant()))
 
     # -- file-slice resolution -------------------------------------------
-    def _written_files(self, instant: str) -> list[tuple[str, str, str]]:
-        """(fileId, instant, path) written by one commit."""
+    def _written_files(self, instant: str) -> list[tuple[str, str, str, str]]:
+        """(fileId, instant, path, partitionPath) written by one commit."""
         meta = self.commit_meta(instant)
         out = []
-        for _part, stats in meta.get("partitionToWriteStats", {}).items():
+        for part, stats in meta.get("partitionToWriteStats", {}).items():
             for st in stats:
-                out.append((st["fileId"], instant, st["path"]))
+                out.append((st["fileId"], instant, st["path"], part))
         return out
 
-    def files_for_instant(self, instant: str) -> list[str]:
-        """Latest version of every file group at or before `instant` —
-        copy-on-write snapshot resolution."""
+    def file_slices_for_instant(self, instant: str) -> list[tuple[str, str]]:
+        """Latest version of every file group at or before `instant` as
+        (partitionPath, absolute file path) — copy-on-write snapshot
+        resolution."""
         if instant not in self.instants():
             raise HudiError(f"instant {instant} not in timeline")
-        latest: dict[str, tuple[str, str]] = {}  # fileId -> (instant, path)
+        latest: dict[str, tuple[str, str, str]] = {}  # fileId -> (instant, path, part)
         for i in self.instants():
             if i > instant:
                 break
-            for file_id, inst, path in self._written_files(i):
+            for file_id, inst, path, part in self._written_files(i):
                 prev = latest.get(file_id)
                 if prev is None or inst > prev[0]:
-                    latest[file_id] = (inst, path)
-        return sorted(str(self.root / path) for _, path in latest.values())
+                    latest[file_id] = (inst, path, part)
+        return sorted((part, str(self.root / path)) for _, path, part in latest.values())
+
+    def files_for_instant(self, instant: str) -> list[str]:
+        return sorted(p for _, p in self.file_slices_for_instant(instant))
+
+    @staticmethod
+    def _partition_values(partition_path: str) -> dict[str, object]:
+        """Hive-style partition path -> typed values ("status=F/y=2024"
+        -> {status: 'F', y: 2024}); numerically-shaped values coerce so
+        predicates on int/float partition columns prune correctly."""
+        out: dict[str, object] = {}
+        for seg in partition_path.split("/"):
+            if "=" not in seg:
+                continue
+            k, v = seg.split("=", 1)
+            coerced: object = v
+            try:
+                coerced = int(v)
+            except ValueError:
+                try:
+                    coerced = float(v)
+                except ValueError:
+                    pass
+            out[k] = coerced
+        return out
 
     # -- reads -------------------------------------------------------------
     def capabilities(self) -> Capability:
@@ -127,7 +152,43 @@ class HudiTable:
         contract as the Iceberg/Delta readers; catalog.negotiate routes
         HUDI-classified tables here)."""
         plan = negotiate(request, self.capabilities())
-        df = self.read(spark, instant=instant, as_of_instant=as_of_instant)
+        if instant is None:
+            instant = (
+                self.instant_as_of(as_of_instant)
+                if as_of_instant is not None
+                else self.latest_instant()
+            )
+        # partition-path pruning: hive-style partition values from each
+        # file slice's partitionPath evaluate against the request
+        # predicates tri-state (same discipline as the catalog's
+        # manifest pruning) — undecidable keeps the slice, and every
+        # predicate is re-applied below, so a miss widens the scan but
+        # never corrupts it
+        from .catalog import _eval_on_values
+
+        slices = self.file_slices_for_instant(instant)
+        kept = []
+        for part, path in slices:
+            values = self._partition_values(part)
+            if not values:
+                kept.append(path)
+                continue
+            verdicts = [_eval_on_values(p, values) for p in request.predicates]
+            if all(v is not False for v in verdicts):
+                kept.append(path)
+        from ..plans.scan import PartitionPlan as _PP
+
+        plan.partitions = _PP(
+            kind="files",
+            units=[{"path": p} for p in kept],
+            meta={
+                "files_total": len(slices),
+                "files_kept": len(kept),
+                "files_pruned": len(slices) - len(kept),
+                "instant": instant,
+            },
+        )
+        df = self.read(spark, instant=instant, _files=kept)
         if plan.projection:
             df = df.select(*plan.projection)
         for p in plan.pushed + plan.residual:
@@ -150,6 +211,7 @@ class HudiTable:
         spark: SparkSession,
         instant: str | None = None,
         as_of_instant: str | None = None,
+        _files: list[str] | None = None,
     ) -> DataFrame:
         if instant is None:
             instant = (
@@ -157,9 +219,14 @@ class HudiTable:
                 if as_of_instant is not None
                 else self.latest_instant()
             )
-        files = self.files_for_instant(instant)
-        if not files:
+        all_files = self.files_for_instant(instant)
+        if not all_files:
             raise HudiError(f"instant {instant} has no file slices")
+        files = all_files if _files is None else _files
+        if not files:
+            # every slice pruned: empty result with the table schema
+            schema = spark.read.parquet(*all_files).schema
+            return spark.createDataFrame([], schema)
         return spark.read.parquet(*files)
 
     def changes_since(
@@ -180,14 +247,14 @@ class HudiTable:
         if seen is not None:
             for i in self.instants():
                 if i <= seen:
-                    prior_groups.update(fid for fid, _, _ in self._written_files(i))
+                    prior_groups.update(fid for fid, _, _, _ in self._written_files(i))
         # latest version per NEW file group only: a group created and then
         # rewritten by two post-checkpoint commits was never delivered at v1,
         # so only its newest version ships; a rewrite of a group the consumer
         # already saw invalidates delivered rows -> full re-read.
         latest_new: dict[str, tuple[str, str]] = {}  # fid -> (instant, path)
         for i in newer:
-            for fid, inst, path in self._written_files(i):
+            for fid, inst, path, _part in self._written_files(i):
                 if fid in prior_groups:
                     return self.read(spark, instant=cur), new_pos  # group rewrite
                 prev = latest_new.get(fid)
@@ -206,34 +273,67 @@ class HudiFixtureWriter:
     `.commit` JSON with partitionToWriteStats, file-group parquet
     versions named `<fileId>_<token>_<instant>.parquet`."""
 
-    def __init__(self, root: str | Path):
+    def __init__(self, root: str | Path, partition_by: list[str] | None = None):
         self.root = Path(root)
         (self.root / ".hoodie").mkdir(parents=True, exist_ok=True)
         self._n = 0
+        # hive-style partitioned layout: each commit's frame splits by
+        # the partition tuple, files land under `col=value/` dirs and
+        # partitionToWriteStats is keyed by the partition path — the
+        # standard Hudi CoW shape readers prune on
+        self.partition_by = list(partition_by or [])
 
     def _next_instant(self) -> str:
         self._n += 1
         return f"{20240101000000000 + self._n:017d}"
 
     def commit(self, df: DataFrame, file_id: str | None = None) -> str:
-        """One commit writing one file group (new group by default;
-        pass an existing file_id to REWRITE that group — the
-        copy-on-write update path)."""
+        """One commit writing one file group per partition (new groups
+        by default; pass an existing file_id to REWRITE — the
+        copy-on-write update path; partitioned tables suffix the fid
+        with the partition path so groups stay partition-local)."""
         import shutil
         import tempfile
 
+        from pyspark.sql import functions as F
+
         instant = self._next_instant()
-        fid = file_id or uuid.uuid4().hex[:8]
-        tmp = tempfile.mkdtemp(prefix="hudi_commit_")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        (src,) = sorted(Path(tmp).glob("*.parquet"))
-        rel = f"{fid}_0-0-0_{instant}.parquet"
-        shutil.move(str(src), str(self.root / rel))
-        shutil.rmtree(tmp, ignore_errors=True)
+        base_fid = file_id or uuid.uuid4().hex[:8]
+
+        slices: list[tuple[str, DataFrame]] = []
+        if self.partition_by:
+            tuples = [
+                tuple(getattr(r, c) for c in self.partition_by)
+                for r in df.select(*self.partition_by).distinct().collect()
+            ]
+            for tup in sorted(tuples, key=lambda t: tuple(str(x) for x in t)):
+                cond = None
+                for c, v in zip(self.partition_by, tup):
+                    piece = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                    cond = piece if cond is None else (cond & piece)
+                part_path = "/".join(
+                    f"{c}={v}" for c, v in zip(self.partition_by, tup)
+                )
+                slices.append((part_path, df.filter(cond)))
+        else:
+            slices.append(("", df))
+
+        stats: dict[str, list[dict]] = {}
+        for part_path, part_df in slices:
+            fid = f"{base_fid}-{part_path.replace('/', '_').replace('=', '-')}" if part_path else base_fid
+            tmp = tempfile.mkdtemp(prefix="hudi_commit_")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            (src,) = sorted(Path(tmp).glob("*.parquet"))
+            rel_dir = self.root / part_path if part_path else self.root
+            rel_dir.mkdir(parents=True, exist_ok=True)
+            rel = (f"{part_path}/" if part_path else "") + f"{fid}_0-0-0_{instant}.parquet"
+            shutil.move(str(src), str(self.root / rel))
+            shutil.rmtree(tmp, ignore_errors=True)
+            stats.setdefault(part_path, []).append(
+                {"fileId": fid, "path": rel, "numWrites": -1}
+            )
         meta = {
-            "partitionToWriteStats": {
-                "": [{"fileId": fid, "path": rel, "numWrites": -1}]
-            },
+            "partitionToWriteStats": stats,
             "operationType": "UPSERT" if file_id else "INSERT",
         }
         (self.hoodie_dir / f"{instant}.commit").write_text(json.dumps(meta, indent=1))

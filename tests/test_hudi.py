@@ -176,3 +176,47 @@ def test_catalog_negotiate_hudi_and_scan(spark, table):
 
     assert df.filter(F.col("o_orderkey") > 50).count() == 0
     assert df.count() == t.read(spark).filter(F.col("o_orderkey") <= 50).count()
+
+
+def test_partitioned_layout_and_path_pruning(spark, tmp_path, orders):
+    """Hive-partitioned CoW layout: files land under col=value dirs,
+    partitionToWriteStats is keyed by partition path, and a negotiated
+    scan prunes whole partitions from the path values (tri-state —
+    undecidable keeps the slice); a CoW rewrite inside one partition
+    stays partition-local."""
+    from pyspark.sql import functions as F
+
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    w = HudiFixtureWriter(tmp_path / "t", partition_by=["o_orderstatus"])
+    o = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    w.commit(o, file_id="grp1")
+    t = HudiTable(tmp_path / "t")
+    # layout: one file per status under its partition dir
+    slices = t.file_slices_for_instant(t.latest_instant())
+    assert {p for p, _ in slices} == {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
+    assert all(f"/{part}/" in path for part, path in slices)
+
+    df, plan = t.scan(
+        spark, ScanRequest("h", predicates=[Col("o_orderstatus") == Lit("P")])
+    )
+    meta = plan.partitions.meta
+    assert meta["files_total"] == 3 and meta["files_kept"] == 1
+    assert df.count() == o.filter(F.col("o_orderstatus") == "P").count()
+
+    # rewrite the P partition's group only: pruned scans see the new
+    # version, other partitions untouched
+    w.commit(
+        o.filter(F.col("o_orderstatus") == "P").withColumn("o_totalprice", F.lit(-1.0)),
+        file_id="grp1",
+    )
+    t2 = HudiTable(tmp_path / "t")
+    df2, plan2 = t2.scan(
+        spark, ScanRequest("h", predicates=[Col("o_orderstatus") == Lit("P")])
+    )
+    assert plan2.partitions.meta["files_kept"] == 1
+    assert df2.agg(F.max("o_totalprice")).collect()[0][0] == -1.0
+    assert t2.read(spark).count() == o.count()
+    # numeric-shaped partition values coerce for pruning
+    assert HudiTable._partition_values("y=2024/status=F") == {"y": 2024, "status": "F"}
