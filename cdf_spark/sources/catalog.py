@@ -535,6 +535,17 @@ class CatalogTableResource:
 
     def execute(self, spark: SparkSession, plan: ScanPlan) -> DataFrame:
         self._require_scannable()
+        if self.table_class in (TableClass.ICEBERG, TableClass.DELTA, TableClass.HUDI):
+            # snapshot-format tables MUST resolve through their own
+            # reader (manifest/log replay, delete-file merge-on-read,
+            # schema resolution): a plain read of the location would
+            # also scan delete files and overwritten versions. scan()
+            # dispatches there; executing a bare plan has no request
+            # to re-negotiate, so refuse loudly.
+            raise CatalogError(
+                f"{self.table_class.value}-classified tables execute through "
+                "scan()/snapshot_source(), not a location read"
+            )
         keys = [k.name for k in self.table.partition_keys]
         kept = getattr(self, "_pruned", self.table.partitions)
 
@@ -591,6 +602,11 @@ class CatalogTableResource:
         return df
 
     def scan(self, spark: SparkSession, request: ScanRequest) -> tuple[DataFrame, ScanPlan]:
+        if self.table_class in (TableClass.ICEBERG, TableClass.DELTA, TableClass.HUDI):
+            # route to the format's own negotiated scan: snapshot
+            # resolution, delete-file merge-on-read, bounds/partition
+            # pruning, and schema evolution all live there
+            return self.snapshot_source().scan(spark, request)
         plan = self.negotiate(request)
         return self.execute(spark, plan), plan
 

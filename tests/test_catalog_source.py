@@ -268,3 +268,46 @@ def test_catalog_json_load_round_trip(tmp_path):
     assert cat.list_tables("lake") == ["t"]
     with pytest.raises(CatalogError):
         cat.get_table("lake", "missing")
+
+
+def test_catalog_scan_routes_snapshot_formats(spark, tmp_path, orders):
+    """CatalogTableResource.scan on an iceberg-classified REAL layout
+    must resolve through the Iceberg reader — merge-on-read equality
+    deletes applied, pruning evidence attached. A plain location read
+    (the pre-fix behavior) would also scan the delete file and the
+    deleted rows would resurrect."""
+    from pyspark.sql import functions as F
+
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter
+
+    w = IcebergFixtureWriter(tmp_path / "ice", seed=52)
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.filter(F.col("o_orderkey") <= 60), timestamp_ms=1000)
+    w.delete_equality([{"o_orderkey": 7}], ["o_orderkey"], timestamp_ms=2000)
+
+    cat = FileCatalog(
+        {
+            ("lake", "orders_ice"): CatalogTable(
+                name="orders_ice",
+                database="lake",
+                table_type="EXTERNAL_TABLE",
+                parameters={"table_type": "ICEBERG"},
+                storage=StorageDescriptor(location=str(tmp_path / "ice")),
+            )
+        }
+    )
+    res = CatalogTableResource(
+        ResourceDescriptor(resource_id="orders_ice"), cat, "lake", "orders_ice"
+    )
+    df, plan = res.scan(
+        spark, ScanRequest("orders_ice", predicates=[Col("o_orderkey") <= Lit(60)])
+    )
+    assert df.filter(F.col("o_orderkey") == 7).count() == 0  # delete applied
+    assert df.count() == o.filter(F.col("o_orderkey") <= 60).count() - 1
+    assert plan.partitions is not None  # format reader's pruning evidence
+    # executing a bare plan on a snapshot class refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(CatalogError, match="scan\\(\\)/snapshot_source"):
+        res.execute(spark, plan)
