@@ -64,7 +64,26 @@ class IcebergDestination:
     ) -> Receipt:
         segments = self._segments(package)
         w = IcebergFixtureWriter(self.table_path)
-        if disposition is WriteDisposition.APPEND:
+        if w.partition_by:
+            # partitioned table (spec rehydrated from metadata): commit
+            # through the partition-splitting write path so entries
+            # carry their typed partition tuples — the copy fast path
+            # would land tuple-less entries that disable pruning
+            df = spark.read.parquet(package.data_path())
+            if disposition is WriteDisposition.APPEND:
+                w.append(df)
+            elif disposition is WriteDisposition.REPLACE:
+                w.overwrite(df)
+            elif disposition is WriteDisposition.MERGE:
+                raise ValueError(
+                    "merge into a partitioned Iceberg table is not supported yet "
+                    "(per-partition equality-delete scoping)"
+                )
+            else:
+                raise ValueError(
+                    f"disposition {disposition} not supported by IcebergDestination"
+                )
+        elif disposition is WriteDisposition.APPEND:
             w.append_files(segments)
         elif disposition is WriteDisposition.REPLACE:
             w.replace_files(segments)

@@ -301,3 +301,31 @@ def test_incremental_iceberg_to_iceberg_mirror(spark, tmp_path, orders):
     src_rows = sorted((r.o_orderkey, r.o_totalprice) for r in IcebergTable(tmp_path / "src").read(spark).collect())
     dst_rows = sorted((r.o_orderkey, r.o_totalprice) for r in dst.read(spark).collect())
     assert src_rows == dst_rows
+
+
+def test_append_into_partitioned_table_keeps_pruning(spark, tmp_path, orders):
+    """Committing into an EXISTING partitioned table routes through the
+    partition-splitting path (spec rehydrated from metadata), so new
+    entries carry typed partition tuples and pruning keeps working."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter
+
+    o = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    w = IcebergFixtureWriter(tmp_path / "t", seed=71, partition_by=["o_orderstatus"])
+    w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
+
+    dest = IcebergDestination(tmp_path / "t")
+    pkg = PackageBuilder(tmp_path / "pkgs", "orders").build(
+        admitted=o.filter(F.col("o_orderkey") > 400)
+    )
+    rec = dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.APPEND), pkg)
+    assert rec.verified
+    t = IcebergTable(tmp_path / "t")
+    assert t.read(spark).count() == o.count()
+    out, plan = t.scan(
+        spark, ScanRequest("ice", predicates=[Col("o_orderstatus") == Lit("P")])
+    )
+    meta = plan.partitions.meta
+    assert meta["files_pruned"] > 0  # the appended entries carry tuples
+    assert out.count() == o.filter(F.col("o_orderstatus") == "P").count()
