@@ -123,3 +123,60 @@ def test_watermark_ledger_monotone_under_any_sequence(tmp_path_factory, values):
         eff = led.advance("c", v)
         running_max = v if running_max is None else max(running_max, v)
         assert eff == running_max
+
+
+# --- iceberg single-value serde + pruning conservativeness ------------------
+
+
+_BOUND_CASES = st.one_of(
+    st.tuples(st.just("int"), st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    st.tuples(st.just("long"), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    st.tuples(
+        st.just("double"),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    ),
+    st.tuples(st.just("string"), st.text(max_size=40)),
+)
+
+
+@given(_BOUND_CASES)
+@settings(max_examples=200, deadline=None)
+def test_iceberg_bound_serde_roundtrip(case):
+    from cdf_spark.sources.iceberg import _decode_bound, _encode_bound
+
+    typ, value = case
+    data = _encode_bound(value, typ)
+    assert data is not None
+    assert _decode_bound(data, typ) == value
+
+
+@given(
+    st.integers(min_value=-1000, max_value=1000),
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=-1200, max_value=1200),
+    st.sampled_from(["eq", "ne", "lt", "le", "gt", "ge"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_file_can_match_never_prunes_a_matching_value(lo, span, v, op):
+    """Conservativeness law: if _file_can_match says False for a
+    [lo, hi] interval, then NO value inside the interval satisfies the
+    predicate — a False that hides a matching row is data loss."""
+    from cdf_spark.sources.iceberg import _file_can_match
+
+    hi = lo + span
+    expr = Binary(op, Col("c"), Lit(v))
+    verdict = _file_can_match(expr, {"c": (lo, hi)})
+    if verdict is False:
+        import operator as _op
+
+        fn = {
+            "eq": _op.eq,
+            "ne": _op.ne,
+            "lt": _op.lt,
+            "le": _op.le,
+            "gt": _op.gt,
+            "ge": _op.ge,
+        }[op]
+        # check the endpoints and a midpoint — for these monotone ops a
+        # satisfying value inside the interval implies one at an endpoint
+        assert not any(fn(x, v) for x in (lo, hi, (lo + hi) // 2))
