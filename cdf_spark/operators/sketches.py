@@ -180,3 +180,72 @@ def cms_heavy_hitters(
     regs = cms_registers(df, col, w, d)
     est = cms_estimate(regs, df.select(col), col, w, d)
     return est.filter(F.col("est") >= threshold).select("val", "est")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — probabilistic membership with exact SQL parity
+
+
+def bloom_positions(col: Column, m: int = 4096, k_hashes: int = 4) -> Column:
+    """The k bit positions of one value: h_j = hash64(j || ':' || v)
+    mod m — independent md5-derived hashes, so bit patterns (and
+    therefore false positives) are BIT-IDENTICAL across engines."""
+    return F.array(
+        *[
+            F.pmod(hash64(F.concat_ws(":", F.lit(str(j)), col.cast("string"))), F.lit(m))
+            for j in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, col: str, m: int = 4096, k_hashes: int = 4) -> DataFrame:
+    """The sketch itself: the DISTINCT set-bit positions (pos) — the
+    sparse form of the m-bit array. MERGEABLE by union (bitwise OR of
+    the dense arrays), the property that makes membership pre-filters
+    a one-pass partial aggregation at 100 TB: each partition sets its
+    bits locally, the combine moves at most m rows, and unioning
+    datasets is set-union. At most m rows regardless of input size."""
+    return (
+        df.select(F.explode(bloom_positions(F.col(col), m, k_hashes)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_membership(
+    build_df: DataFrame,
+    build_col: str,
+    probe_df: DataFrame,
+    probe_col: str,
+    m: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe each candidate against the filter: maybe_present iff ALL
+    k of its positions are set. No false negatives ever; false
+    positives at the classical (1 - e^{-kn/m})^k rate — and because
+    the hashes are engine-portable, WHICH candidates false-positive is
+    deterministic, so the whole operator is value-verifiable in SQL
+    (normally impossible for a Bloom filter).
+
+    Plan shape: the filter is <= m rows -> broadcast; the probe is one
+    explode + broadcast semi-join + one groupBy on the candidate — the
+    decontamination-style pre-filter that spares the corpus a join
+    against the full reference set."""
+    bits = bloom_build(build_df, build_col, m, k_hashes)
+    probes = probe_df.select(
+        F.col(probe_col).alias("candidate"),
+        F.explode(bloom_positions(F.col(probe_col), m, k_hashes)).alias("pos"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), on="pos", how="left_semi")
+        .groupBy("candidate")
+        .agg(F.count(F.lit(1)).alias("_set"))
+    )
+    return (
+        probe_df.select(F.col(probe_col).alias("candidate"))
+        .distinct()
+        .join(hits, on="candidate", how="left")
+        .select(
+            "candidate",
+            (F.coalesce(F.col("_set"), F.lit(0)) == F.lit(k_hashes)).alias("maybe_present"),
+        )
+    )

@@ -1732,6 +1732,88 @@ def iceberg_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "bloom_membership_keys",
+    """
+    WITH r AS (SELECT range AS j FROM range(0, 4)),
+    build AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5(r.j || ':' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+             AS BIGINT) % 4096 AS pos
+      FROM orders, r WHERE o_orderkey <= 900
+    ),
+    cand AS (
+      SELECT DISTINCT o_orderkey AS candidate FROM orders WHERE o_orderkey > 700
+    ),
+    probe AS (
+      SELECT c.candidate,
+        CAST(('0x' || substr(md5(r.j || ':' || CAST(c.candidate AS VARCHAR)), 1, 15))
+             AS BIGINT) % 4096 AS pos
+      FROM cand c CROSS JOIN r
+    ),
+    hits AS (
+      SELECT candidate, count(*) AS s
+      FROM probe WHERE pos IN (SELECT pos FROM build)
+      GROUP BY candidate
+    )
+    SELECT c.candidate, coalesce(h.s, 0) = 4 AS maybe_present
+    FROM cand c LEFT JOIN hits h ON c.candidate = h.candidate
+    """,
+)
+def bloom_membership_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership with exact SQL parity
+    (`operators/sketches.py`): keys <= 900 build a 4096-bit filter
+    (4 md5-derived hashes); candidates > 700 probe it. No false
+    negatives; false positives at the classical rate — and because
+    the hashes are engine-portable, WHICH candidates false-positive
+    is deterministic, so the sketch itself is value-verified (like
+    the HLL and count-min siblings). The filter is mergeable by
+    bit-union and broadcasts — the decontamination-style pre-filter
+    shape at 100 TB."""
+    from .operators.sketches import bloom_membership
+
+    o = _t(spark, sf, "orders")
+    return bloom_membership(
+        o.filter(F.col("o_orderkey") <= 900),
+        "o_orderkey",
+        o.filter(F.col("o_orderkey") > 700),
+        "o_orderkey",
+        m=4096,
+        k_hashes=4,
+    )
+
+
+@_register(
+    "stratified_topk_sample",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR))
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def stratified_topk_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT-k deterministic per-stratum sampling
+    (`operators/sampling.py stratified_topk_sample`): the 20 smallest
+    md5-rank docs per lang — a hash-rank reservoir with no RNG state,
+    bit-reproducible across runs, partitionings, and engines (the
+    oracle recomputes the identical ranking). Complements the
+    rate-based hash gate: quotas and eval-set carving need exactly k,
+    not ~p*n."""
+    from .operators.sampling import stratified_topk_sample
+
+    return stratified_topk_sample(
+        _t(spark, sf, "documents").select("doc_id", "lang", "source"),
+        k=20,
+        strata_cols=["lang"],
+        identity_cols=["doc_id"],
+    )
+
+
+@_register(
     "hudi_partitioned_scan",
     """
     SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -86,3 +86,53 @@ def test_cms_merge_law(spark, sf_dir):
     }
     whole = {(r.r, r.bucket): r.c for r in cms_registers(docs, "lang").collect()}
     assert merged == whole
+
+
+def test_bloom_no_false_negatives_and_merge_law(spark, orders):
+    """Bloom laws: every built value reports maybe_present (no false
+    negatives, ever), and the sketch of a union equals the union of
+    the sketches (mergeability — the 100 TB partial-aggregation
+    property)."""
+    from pyspark.sql import functions as F
+
+    from cdf_spark.operators.sketches import bloom_build, bloom_membership
+
+    o = orders.select("o_orderkey")
+    built = o.filter(F.col("o_orderkey") <= 900)
+    res = bloom_membership(built, "o_orderkey", built, "o_orderkey")
+    assert res.filter(~F.col("maybe_present")).count() == 0  # no false negatives
+
+    a = o.filter(F.col("o_orderkey") <= 400)
+    b = o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 900))
+    union_bits = {r.pos for r in bloom_build(a.unionByName(b), "o_orderkey").collect()}
+    merged_bits = {r.pos for r in bloom_build(a, "o_orderkey").collect()} | {
+        r.pos for r in bloom_build(b, "o_orderkey").collect()
+    }
+    assert union_bits == merged_bits
+
+    # false-positive rate sanity: keys absent from the build mostly
+    # report absent (classical rate at this fill is ~12%)
+    absent = o.filter(F.col("o_orderkey") > 900)
+    res2 = bloom_membership(built, "o_orderkey", absent, "o_orderkey")
+    n = res2.count()
+    assert n > 0
+    fp = res2.filter(F.col("maybe_present")).count()
+    assert fp / n < 0.3
+
+
+def test_stratified_topk_exact_k_and_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cdf_spark.operators.sampling import stratified_topk_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    out = stratified_topk_sample(docs, k=7, strata_cols=["lang"], identity_cols=["doc_id"])
+    per = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(7, sizes[lang])  # EXACTLY k (or the stratum size)
+    # bit-reproducible across invocations and partitioning
+    again = stratified_topk_sample(
+        docs.repartition(3), k=7, strata_cols=["lang"], identity_cols=["doc_id"]
+    )
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
