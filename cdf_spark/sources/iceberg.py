@@ -602,6 +602,74 @@ class IcebergTable:
                     files.append(str(self._resolve(e["data_file"]["file_path"])))
         return sorted(files)
 
+    # -- metadata tables ---------------------------------------------------
+    def metadata_table(self, spark: SparkSession, name: str) -> DataFrame:
+        """The observability surface real Iceberg exposes as
+        `table$snapshots` / `table$files` / `table$manifests`: the
+        table's own metadata as queryable DataFrames. Driver-side
+        construction (metadata is tiny by design); the frames are
+        plain rows, so operators/filters/joins compose normally —
+        e.g. join `files` against a size threshold to pick compaction
+        candidates."""
+        if name == "snapshots":
+            rows = [
+                (
+                    int(s["snapshot-id"]),
+                    None if s.get("parent-snapshot-id") is None else int(s["parent-snapshot-id"]),
+                    None if s.get("sequence-number") is None else int(s["sequence-number"]),
+                    int(s["timestamp-ms"]),
+                    str((s.get("summary") or {}).get("operation", "")),
+                    int(s.get("schema-id", 0)),
+                )
+                for s in self.snapshots()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "snapshot_id long, parent_id long, sequence_number long, "
+                "committed_at_ms long, operation string, schema_id int",
+            )
+        cur = self.current_snapshot_id()
+        if cur is None:
+            raise IcebergError("table has no current snapshot")
+        if name == "files":
+            rows = []
+            for mp in self._manifest_paths(self.snapshot(cur)):
+                for e in self._manifest_entries(mp):
+                    d = e["data_file"]
+                    if int(e.get("status", 1)) == 2:
+                        continue
+                    rows.append(
+                        (
+                            str(self._resolve(d["file_path"])),
+                            int(d.get("content") or 0),
+                            int(d.get("record_count") or 0),
+                            int(d.get("file_size_in_bytes") or 0),
+                            self._entry_sequence(e),
+                            json.dumps(d.get("partition")) if d.get("partition") else None,
+                        )
+                    )
+            return spark.createDataFrame(
+                rows,
+                "file_path string, content int, record_count long, "
+                "file_size_in_bytes long, sequence_number long, partition string",
+            )
+        if name == "manifests":
+            rows = [
+                (
+                    str(self._resolve(r["manifest_path"])),
+                    int(r.get("manifest_length") or 0),
+                    None if r.get("added_snapshot_id") is None else int(r["added_snapshot_id"]),
+                    len(r.get("partitions") or []),
+                )
+                for r in self._manifest_list_rows(self.snapshot(cur))
+            ]
+            return spark.createDataFrame(
+                rows,
+                "manifest_path string, manifest_length long, "
+                "added_snapshot_id long, partition_summaries int",
+            )
+        raise IcebergError(f"unknown metadata table {name!r} (snapshots|files|manifests)")
+
     # -- maintenance -------------------------------------------------------
     def expire_snapshots(
         self,

@@ -523,3 +523,32 @@ def test_partitioned_metadata_only_column_reconstituted(spark, tmp_path, orders)
     )
     assert plan.partitions.meta["files_pruned"] > 0
     assert df.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_metadata_tables(spark, table):
+    """snapshots/files/manifests metadata tables: the observability
+    surface (`table$snapshots` family) as plain DataFrames."""
+    snaps = table.metadata_table(spark, "snapshots")
+    assert snaps.count() == 3
+    assert set(snaps.columns) == {
+        "snapshot_id", "parent_id", "sequence_number",
+        "committed_at_ms", "operation", "schema_id",
+    }
+    # the ancestry is reconstructible from parent_id
+    by_id = {r.snapshot_id: r for r in snaps.collect()}
+    assert by_id[IDS[1]].parent_id == IDS[0]
+    assert by_id[IDS[2]].parent_id == IDS[1]
+    assert {r.operation for r in snaps.collect()} == {"append"}
+
+    files = table.metadata_table(spark, "files")
+    assert files.count() == len(table.files_for_snapshot(IDS[2]))
+    assert files.filter("record_count <= 0").count() == 0
+    assert files.filter("sequence_number between 1 and 3").count() == files.count()
+
+    mans = table.metadata_table(spark, "manifests")
+    assert mans.count() == 3  # one per commit, all referenced by current
+
+    import pytest as _pytest
+
+    with _pytest.raises(IcebergError, match="unknown metadata table"):
+        table.metadata_table(spark, "partitions")
