@@ -142,11 +142,9 @@ class CompiledResource:
         wm_cfg = stream.get("watermark")
         workspace = Path(workspace)
         dest_cfg = d.get("destination") or {}
-        destination = None
-        if dest_cfg:
-            destination = ParquetDestination(
-                dest_cfg.get("path", workspace / "warehouse" / self.resource_id)
-            )
+        destination = _build_destination(
+            dest_cfg, workspace, self.resource_id, self.descriptor().primary_key
+        )
         return StreamingLoadPipeline(
             descriptor=self.descriptor(),
             source_path=src["path"],
@@ -173,12 +171,9 @@ class CompiledResource:
         )
         workspace = Path(workspace)
         dest_cfg = d.get("destination") or {}
-        destination = None
-        if dest_cfg:
-            destination = ParquetDestination(
-                dest_cfg.get("path", workspace / "warehouse" / self.resource_id),
-                merge_keys=desc.merge_key or desc.primary_key,
-            )
+        destination = _build_destination(
+            dest_cfg, workspace, self.resource_id, desc.merge_key or desc.primary_key
+        )
         return LoadPipeline(
             resource=resource,
             contract=self.contract(),
@@ -187,6 +182,40 @@ class CompiledResource:
             destination=destination,
             disposition=desc.write_disposition,
         )
+
+
+
+def _build_destination(dest_cfg: dict, workspace: Path, resource_id: str, merge_keys):
+    """Destination factory for declarative resources: `kind` selects
+    the sink — parquet (default), iceberg / delta (open table formats
+    any engine reads), duckdb (database file), tombstone
+    (merge-on-read parquet). All speak the same commit/verify
+    protocol, so the pipeline wiring is identical."""
+    if not dest_cfg:
+        return None
+    kind = dest_cfg.get("kind", "parquet")
+    path = dest_cfg.get("path", workspace / "warehouse" / resource_id)
+    if kind == "parquet":
+        return ParquetDestination(path, merge_keys=merge_keys)
+    if kind == "iceberg":
+        from .package.iceberg_dest import IcebergDestination
+
+        return IcebergDestination(path, merge_keys=merge_keys)
+    if kind == "delta":
+        from .package.delta_dest import DeltaDestination
+
+        return DeltaDestination(path, merge_keys=merge_keys)
+    if kind == "duckdb":
+        from .package.duckdb_dest import DuckDbDestination
+
+        return DuckDbDestination(
+            path, dest_cfg.get("table", resource_id), merge_keys=merge_keys
+        )
+    if kind == "tombstone":
+        from .package.tombstone import TombstoneParquetDestination
+
+        return TombstoneParquetDestination(path, merge_keys=merge_keys)
+    raise DeclarationError(f"unknown destination kind {kind!r}")
 
 
 class Workspace:

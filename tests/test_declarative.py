@@ -136,3 +136,51 @@ def test_declarative_streaming_drain(spark, tmp_path):
 
     out = spark.read.parquet(str(tmp_path / "ws" / "warehouse" / "ev"))
     assert out.count() == 10
+
+
+def test_destination_kind_iceberg(spark, tmp_path, sf_dir):
+    """A TOML resource can land in an open-table destination: kind =
+    'iceberg' routes through IcebergDestination and the committed
+    table resolves with any Iceberg reader."""
+    from cdf_spark.declarative import Workspace
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    ws = Workspace(tmp_path / "ws")
+    toml = f"""
+[resources.orders_ice]
+[resources.orders_ice.source]
+kind = "files"
+path = "{sf_dir}/orders.parquet"
+format = "parquet"
+[resources.orders_ice.destination]
+kind = "iceberg"
+path = "{tmp_path}/ws/warehouse/orders_ice"
+"""
+    p = tmp_path / "cdf.toml"
+    p.write_text(toml)
+    compiled = ws.compile_file(str(p))
+    result = ws.run(spark, compiled["orders_ice"])
+    assert result.receipt is not None and result.receipt.verified
+    t = IcebergTable(tmp_path / "ws" / "warehouse" / "orders_ice")
+    assert t.read(spark).count() == result.rows_admitted
+
+
+def test_destination_kind_unknown_refuses(tmp_path, sf_dir):
+    from cdf_spark.declarative import DeclarationError, Workspace
+
+    ws = Workspace(tmp_path / "ws")
+    toml = f"""
+[resources.x]
+[resources.x.source]
+kind = "files"
+path = "{sf_dir}/orders.parquet"
+[resources.x.destination]
+kind = "mystery"
+"""
+    p = tmp_path / "cdf.toml"
+    p.write_text(toml)
+    compiled = ws.compile_file(str(p))
+    import pytest as _pytest
+
+    with _pytest.raises(DeclarationError, match="unknown destination kind"):
+        compiled["x"].pipeline(tmp_path / "ws")
