@@ -521,3 +521,36 @@ class DeltaFixtureWriter:
                     }
                 )
         return self._commit(removes + self._write_data(df), "WRITE", timestamp_ms)
+
+
+def delta_history(spark: SparkSession, table: DeltaTable) -> "DataFrame":
+    """`DESCRIBE HISTORY` analogue: the commit log as a DataFrame
+    (version, timestamp, operation, adds, removes) — the observability
+    surface of the _delta_log, symmetric with the Iceberg metadata
+    tables. Checkpoint-covered versions whose JSONs were cleaned
+    appear once as the checkpoint row."""
+    rows = []
+    ck = table._checkpoint_info()
+    if ck is not None:
+        v = int(ck["version"])
+        adds = sum(1 for a in table._checkpoint_actions(v) if "add" in a)
+        rows.append((v, None, "CHECKPOINT", adds, 0))
+    for v in table.versions():
+        actions = table.actions(v)
+        op = next(
+            (str(a["commitInfo"].get("operation", "")) for a in actions if "commitInfo" in a),
+            "",
+        )
+        rows.append(
+            (
+                v,
+                table.commit_timestamp_ms(v),
+                op,
+                sum(1 for a in actions if "add" in a),
+                sum(1 for a in actions if "remove" in a),
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "version int, timestamp_ms long, operation string, num_adds int, num_removes int",
+    )

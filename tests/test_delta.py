@@ -240,3 +240,21 @@ def test_checkpoint_replay_after_log_cleaning(spark, tmp_path, orders):
     pq.write_table(pa.Table.from_pylist(rows), ckpt_path)
     with pytest.raises(DeltaError, match="column mapping"):
         DeltaTable(tmp_path / "t").read(spark)
+
+
+def test_delta_history_table(spark, tmp_path, orders):
+    from cdf_spark.sources.delta import delta_history
+
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(o.limit(100), timestamp_ms=1000)
+    w.append(o.offset(100).limit(50), timestamp_ms=2000)
+    w.checkpoint()
+    w.append(o.offset(150).limit(25), timestamp_ms=3000)
+    w.clean_log(before_version=2)
+
+    h = delta_history(spark, DeltaTable(tmp_path / "t"))
+    rows = {r.version: r for r in h.collect()}
+    assert rows[1].operation == "CHECKPOINT" and rows[1].num_adds >= 2
+    assert rows[2].operation == "WRITE" and rows[2].num_adds == 1
+    assert 0 not in rows  # cleaned version is gone; state lives in the checkpoint
