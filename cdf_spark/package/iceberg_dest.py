@@ -90,14 +90,26 @@ class IcebergDestination:
         elif disposition is WriteDisposition.MERGE:
             if not self.merge_keys:
                 raise ValueError("merge disposition requires merge_keys")
-            keys = [
-                r.asDict()
-                for r in spark.read.parquet(package.data_path())
-                .select(*self.merge_keys)
-                .distinct()
-                .collect()
-            ]
-            w.upsert_files(segments, keys, self.merge_keys)
+            # the equality-delete key file is written DISTRIBUTIVELY —
+            # key rows never pass through the driver (a 100M-row CDC
+            # batch with mostly-unique keys must not OOM control; the
+            # reference's destination protocol never moves row data
+            # through control either,
+            # crates/cdf-kernel/src/destination.rs:370-410). The
+            # manifest entries need only path/record_count/size, read
+            # from the written files' footers.
+            import shutil
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="iceberg_merge_keys_")
+            try:
+                spark.read.parquet(package.data_path()).select(
+                    *self.merge_keys
+                ).distinct().write.mode("overwrite").parquet(tmp)
+                key_files = sorted(str(p) for p in Path(tmp).glob("*.parquet"))
+                w.upsert_files(segments, key_files, self.merge_keys)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
         else:
             raise ValueError(f"disposition {disposition} not supported by IcebergDestination")
         return Receipt(

@@ -305,10 +305,23 @@ def _eval_on_values(expr: Expr, values: dict[str, object]):
         if l is None or r is None:
             return None
         try:
-            if op == "eq":
-                return l == r
-            if op == "ne":
-                return l != r
+            if op in ("eq", "ne"):
+                # Python == never raises across types, it just answers
+                # False — which for a partition value whose declared
+                # type is unknown (e.g. hive path '01234' coerced to
+                # int 1234 vs the predicate's string literal) would
+                # WRONGLY prune. Cross-type eq/ne is undecidable here;
+                # numeric int/float cross-compare is the one safe pair.
+                num = (int, float)
+                same_kind = (
+                    isinstance(l, num)
+                    and isinstance(r, num)
+                    and not isinstance(l, bool)
+                    and not isinstance(r, bool)
+                ) or type(l) is type(r)
+                if not same_kind:
+                    return None
+                return l == r if op == "eq" else l != r
             if op == "lt":
                 return l < r
             if op == "le":

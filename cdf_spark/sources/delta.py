@@ -111,12 +111,26 @@ class DeltaTable:
         (the JSON commits before it are eventually cleaned)."""
         import pyarrow.parquet as pq
 
+        def demap(v):
+            # parquet map<string,string> round-trips through pyarrow as
+            # a list of (k, v) tuples — normalize back to the dict the
+            # JSON-commit path produces so downstream .get() works
+            if (
+                isinstance(v, list)
+                and v
+                and all(isinstance(e, tuple) and len(e) == 2 for e in v)
+            ):
+                return dict(v)
+            if isinstance(v, dict):
+                return {k: demap(x) for k, x in v.items()}
+            return v
+
         out = []
         for p in self._checkpoint_paths(version):
             for r in pq.read_table(p).to_pylist():
                 for k in ("add", "remove", "metaData", "protocol", "txn"):
                     if r.get(k) is not None:
-                        out.append({k: r[k]})
+                        out.append({k: demap(r[k])})
         return out
 
     def _commit_path(self, version: int) -> Path:
@@ -356,11 +370,17 @@ class DeltaFixtureWriter:
         if ck.exists():
             existing.append(int(json.loads(ck.read_text())["version"]))
         self._version = max(existing) if existing else -1
+        # Delta's metaData.schemaString IS the Spark StructType JSON;
+        # captured from the first DataFrame so commit 0 carries a real
+        # schema (real readers reject an empty one)
+        self._schema_string: str | None = None
 
     def _write_data(self, df: DataFrame) -> list[dict]:
         import shutil
         import tempfile
 
+        if self._schema_string is None:
+            self._schema_string = df.schema.json()
         tmp = tempfile.mkdtemp(prefix="delta_commit_")
         df.write.mode("overwrite").parquet(tmp)
         adds = []
@@ -397,7 +417,7 @@ class DeltaFixtureWriter:
                         "metaData": {
                             "id": self.table_id,
                             "format": {"provider": "parquet", "options": {}},
-                            "schemaString": "{}",
+                            "schemaString": self._schema_string or "{}",
                             "partitionColumns": [],
                             "configuration": {},
                         }
@@ -417,6 +437,19 @@ class DeltaFixtureWriter:
         by COPY — no decode/re-encode (segment-copy posture)."""
         import shutil
 
+        if self._schema_string is None and paths:
+            # file-copy path (destinations hand over finished segments):
+            # recover the logical schema from the first parquet footer
+            try:
+                import pyarrow.parquet as pq
+
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                self._schema_string = from_arrow_schema(
+                    pq.read_schema(str(paths[0]))
+                ).json()
+            except Exception:
+                pass  # "{}" fallback stands; reads are unaffected
         adds = []
         for src in paths:
             rel = f"part-{uuid.uuid4().hex}.parquet"
@@ -463,30 +496,99 @@ class DeltaFixtureWriter:
         if v < 0:
             raise DeltaError("nothing committed yet — no state to checkpoint")
         t = DeltaTable(self.root)
+        # Carry the latest JSON metaData forward whole — real Delta
+        # readers (delta-rs, Spark Delta) require schemaString in
+        # checkpoint metaData and partitionValues/modificationTime on
+        # add rows; a log-cleaned table is read from the checkpoint
+        # ALONE, so anything omitted here is lost to every reader.
+        meta: dict = {
+            "id": self.table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": "{}",
+            "partitionColumns": [],
+            "configuration": {},
+        }
+        for ver in t.versions():
+            if ver > v:
+                break
+            for a in t.actions(ver):
+                md = a.get("metaData")
+                if md:
+                    meta = {
+                        "id": md.get("id", self.table_id),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": md.get("schemaString", "{}"),
+                        "partitionColumns": md.get("partitionColumns") or [],
+                        "configuration": md.get("configuration") or {},
+                    }
         rows: list[dict] = [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
             # configuration omitted: pyarrow cannot write an empty
             # struct, and an absent key reads identically to {}
-            {
-                "metaData": {
-                    "id": self.table_id,
-                    "format": {"provider": "parquet"},
-                    "partitionColumns": [],
-                }
-            },
+            {"metaData": meta},
         ]
+        now_ms = int(time.time() * 1000)
         for f in t.files_for_version(v):
             rows.append(
                 {
                     "add": {
                         "path": str(Path(f).name),
                         "size": Path(f).stat().st_size,
+                        "partitionValues": {},
+                        "modificationTime": now_ms,
                         "dataChange": False,
                     }
                 }
             )
         cols = ("protocol", "metaData", "add")
-        table = pa.Table.from_pylist([{c: r.get(c) for c in cols} for r in rows])
+        # explicit schema: partitionValues is map<string,string> in the
+        # Delta checkpoint schema and pyarrow cannot infer a map (or
+        # write an empty struct) from all-{} python dicts
+        ck_schema = pa.schema(
+            [
+                pa.field(
+                    "protocol",
+                    pa.struct(
+                        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    ),
+                ),
+                pa.field(
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            (
+                                "format",
+                                pa.struct(
+                                    [
+                                        ("provider", pa.string()),
+                                        ("options", pa.map_(pa.string(), pa.string())),
+                                    ]
+                                ),
+                            ),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string())),
+                            ("configuration", pa.map_(pa.string(), pa.string())),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "add",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("size", pa.int64()),
+                            ("partitionValues", pa.map_(pa.string(), pa.string())),
+                            ("modificationTime", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        table = pa.Table.from_pylist(
+            [{c: r.get(c) for c in cols} for r in rows], schema=ck_schema
+        )
         dest = self.root / "_delta_log" / f"{v:020d}.checkpoint.parquet"
         pq.write_table(table, dest)
         (self.root / "_delta_log" / "_last_checkpoint").write_text(

@@ -118,7 +118,11 @@ class HudiTable:
     def _partition_values(partition_path: str) -> dict[str, object]:
         """Hive-style partition path -> typed values ("status=F/y=2024"
         -> {status: 'F', y: 2024}); numerically-shaped values coerce so
-        predicates on int/float partition columns prune correctly."""
+        predicates on int/float partition columns prune correctly. A
+        mis-coercion (string column whose values LOOK numeric, e.g.
+        '01234') cannot prune wrongly: cross-type eq/ne is undecidable
+        in `_eval_on_values` (returns None -> partition kept, residual
+        filter re-applied on rows)."""
         out: dict[str, object] = {}
         for seg in partition_path.split("/"):
             if "=" not in seg:

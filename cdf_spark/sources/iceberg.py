@@ -269,25 +269,29 @@ class IcebergTable:
     def _manifest_paths(self, snapshot: dict) -> list[Path]:
         return [self._resolve(r["manifest_path"]) for r in self._manifest_list_rows(snapshot)]
 
-    def _partition_fields(self) -> list[tuple[str, str, str]]:
+    def _partition_fields(self) -> list[tuple[int, str, str, str]]:
         """Identity-transform fields of the default partition spec as
-        (spec_field_name, current_column_name, iceberg_type) — spec
-        names address the typed partition records in manifest entries;
-        current names (via source-id, rename-proof) address predicates.
-        Non-identity transforms are skipped: their partition values are
-        derived, and equating them with column values would prune
-        wrongly."""
+        (spec_position, spec_field_name, current_column_name,
+        iceberg_type) — spec_position is the field's index within the
+        FULL spec field list (the manifest-list partition summaries are
+        positional over all spec fields, including non-identity ones,
+        so a bucket transform ahead of an identity field must not shift
+        the summary lookup); spec names address the typed partition
+        records in manifest entries; current names (via source-id,
+        rename-proof) address predicates. Non-identity transforms are
+        skipped: their partition values are derived, and equating them
+        with column values would prune wrongly."""
         specs = {s.get("spec-id", 0): s for s in self._meta.get("partition-specs", [])}
         spec = specs.get(self._meta.get("default-spec-id", 0)) or {}
         names = self._field_names_by_id()
         types = self._field_types_by_id()
         out = []
-        for f in spec.get("fields", []):
+        for pos, f in enumerate(spec.get("fields", [])):
             if f.get("transform") != "identity":
                 continue
             sid = int(f["source-id"])
             if sid in names:
-                out.append((f["name"], names[sid], types.get(sid, "")))
+                out.append((pos, f["name"], names[sid], types.get(sid, "")))
         return out
 
     def _manifest_entries(self, manifest: Path) -> list[dict]:
@@ -421,11 +425,26 @@ class IcebergTable:
             manifests_total += 1
             # manifest-LEVEL skip from the list's partition summaries:
             # at a 100k-file snapshot this avoids even OPENING manifests
-            # whose partition range excludes the predicates
+            # whose partition range excludes the predicates. Summaries
+            # are positional over the writing spec's FULL field list,
+            # so each identity field indexes summaries[spec_position];
+            # manifests written under a non-default spec are not
+            # summary-pruned at all (their positions belong to a
+            # different field list — misaligned bounds would decode as
+            # the wrong field and could silently skip live rows).
             summaries = row.get("partitions")
-            if summaries and part_fields:
+            row_spec = row.get("partition_spec_id")
+            default_spec = int(self._meta.get("default-spec-id", 0))
+            if (
+                summaries
+                and part_fields
+                and (row_spec is None or int(row_spec) == default_spec)
+            ):
                 mbounds: dict[str, tuple] = {}
-                for (spec_name, cur_name, typ), s in zip(part_fields, summaries):
+                for pos, _spec_name, cur_name, typ in part_fields:
+                    if pos >= len(summaries):
+                        continue
+                    s = summaries[pos]
                     if s.get("contains_null"):
                         continue  # null partitions make the range undecidable
                     lo_b, hi_b = s.get("lower_bound"), s.get("upper_bound")
@@ -451,7 +470,7 @@ class IcebergTable:
                     # identity partition values are exact per-file
                     # constants: a (v, v) interval — reuses the same
                     # tri-state evaluator as column bounds
-                    for spec_name, cur_name, _typ in part_fields:
+                    for _pos, spec_name, cur_name, _typ in part_fields:
                         v = part.get(spec_name)
                         if v is not None:
                             bounds[cur_name] = (v, v)
@@ -542,7 +561,8 @@ class IcebergTable:
         # partition record. Group count = schemas x live partitions
         # touched, not files.
         part_fields = self._partition_fields()
-        spec_to_cur = {spec: cur for spec, cur, _ in part_fields}
+        spec_to_cur = {spec: cur for _, spec, cur, _ in part_fields}
+        cur_to_ice_t = {cur: typ for _, _, cur, typ in part_fields}
         groups: dict[tuple, list[str]] = defaultdict(list)
         part_by_key: dict[tuple, dict] = {}
         for e in entries:
@@ -576,8 +596,20 @@ class IcebergTable:
                     sel.append(F.col(wname).alias(f["name"]))
                 elif f["name"] in part_by_cur and part_by_cur[f["name"]] is not None:
                     # identity partition value reconstituted as a
-                    # constant — the column is metadata, not bytes
-                    sel.append(F.lit(part_by_cur[f["name"]]).cast(spark_t).alias(f["name"]))
+                    # constant — the column is metadata, not bytes.
+                    # Iceberg stores date partitions as days-since-epoch
+                    # ints and timestamps as micros longs; Spark's
+                    # int->date cast is invalid and long->timestamp
+                    # means SECONDS, so both need explicit conversion.
+                    v = part_by_cur[f["name"]]
+                    ice_t = cur_to_ice_t.get(f["name"], str(f.get("type") or ""))
+                    if ice_t == "date" and isinstance(v, int):
+                        lit = F.date_add(F.lit("1970-01-01").cast("date"), v)
+                    elif ice_t in ("timestamp", "timestamptz") and isinstance(v, int):
+                        lit = F.timestamp_micros(F.lit(v))
+                    else:
+                        lit = F.lit(v).cast(spark_t)
+                    sel.append(lit.alias(f["name"]))
                 else:
                     sel.append(F.lit(None).cast(spark_t).alias(f["name"]))
             if not cur_fields:  # metadata without schemas: passthrough
@@ -898,10 +930,23 @@ class IcebergTable:
                 dd = reduce(DataFrame.unionByName, parts).groupBy(*names).agg(
                     F.max("_del_seq").alias("_del_seq")
                 )
+                # null-SAFE match: the Iceberg spec treats NULL as equal
+                # for equality deletes, so a null-keyed delete must kill
+                # null-keyed rows — a plain on=names join would let them
+                # resurrect. Delete keys get prefixed aliases so the
+                # eqNullSafe condition is unambiguous.
+                dk = [f"_dk_{i}" for i in range(len(names))]
+                dd2 = dd.select(
+                    *[F.col(n).alias(a) for n, a in zip(names, dk)], "_del_seq"
+                )
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [F.col(n).eqNullSafe(F.col(a)) for n, a in zip(names, dk)],
+                )
                 df = (
-                    df.join(F.broadcast(dd), on=list(names), how="left")
+                    df.join(F.broadcast(dd2), on=cond, how="left")
                     .filter(F.col("_del_seq").isNull() | (F.col("_del_seq") <= F.col("_dseq")))
-                    .drop("_del_seq")
+                    .drop("_del_seq", *dk)
                 )
         return df.select(*orig_cols)  # drop helpers, restore column order
 
@@ -1277,7 +1322,15 @@ class IcebergFixtureWriter:
                 part_df = df.filter(cond)
                 if self.omit_partition_cols:
                     part_df = part_df.drop(*self.partition_by)
-                slices.append((dict(zip(self.partition_by, tup)), part_df))
+                # partition records store spec single-values: date as
+                # days-since-epoch int, timestamp as micros long — the
+                # python date/datetime objects from collect() must be
+                # converted before they hit the avro int/long fields
+                rec = {
+                    c: self._ice_single_value(v, self._field_types.get(c, ""))
+                    for c, v in zip(self.partition_by, tup)
+                }
+                slices.append((rec, part_df))
         else:
             slices.append((None, df))
 
@@ -1455,6 +1508,22 @@ class IcebergFixtureWriter:
         "timestamp": "long",
     }
 
+    @staticmethod
+    def _ice_single_value(v, typ: str):
+        """Python value -> Iceberg single-value representation (spec
+        'partition values'): date -> days-since-epoch, timestamp ->
+        micros-since-epoch; everything else passes through."""
+        import datetime as _dt
+
+        if v is None:
+            return None
+        if typ == "date" and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return (v - _dt.date(1970, 1, 1)).days
+        if typ in ("timestamp", "timestamptz") and isinstance(v, _dt.datetime):
+            base = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - base).total_seconds() * 1_000_000)
+        return v
+
     def _entry_schema(self) -> dict:
         """Manifest-entry Avro schema; partitioned tables extend
         data_file with a TYPED partition record (spec r102) built from
@@ -1624,20 +1693,30 @@ class IcebergFixtureWriter:
     def upsert_files(
         self,
         paths: list[str],
-        key_values: list[dict],
+        delete_key_files: list[str],
         equality_cols: list[str],
         timestamp_ms: int | None = None,
         snapshot_id: int | None = None,
     ) -> int:
-        """ONE snapshot carrying an equality-delete entry (the batch's
+        """ONE snapshot carrying equality-delete entries (the batch's
         keys) AND the batch's data files at the SAME sequence number —
         the Flink-CDC upsert commit shape. Sequence scoping makes it
         correct by construction: the delete (seq S) applies only to
         data files with seq < S, so the batch's own rows (seq == S)
         survive while every older row with a matching key is removed.
-        Operation is 'overwrite' (rows the consumer saw may be gone ->
-        changes_since resets), and prior manifests stay referenced
-        (merge-on-read, no rewrite)."""
+
+        `delete_key_files` are PRE-WRITTEN parquet files of distinct
+        key tuples (one column per equality col) — written
+        distributively by the caller (`staged.select(keys).distinct()
+        .write.parquet(...)`), committed here by COPY. Key rows never
+        pass through the driver: a 100M-row CDC batch's key set stays
+        on executors; the manifest entry only needs path / record_count
+        / size from the filesystem. Multiple files are fine — each
+        becomes its own content=2 entry at the same sequence number
+        (equality deletes compose by union), so no coalesce(1)
+        single-task bottleneck either. Operation is 'overwrite' (rows
+        the consumer saw may be gone -> changes_since resets), and
+        prior manifests stay referenced (merge-on-read, no rewrite)."""
         if not paths:
             raise IcebergError("upsert_files requires at least one parquet file")
         self._ensure_schema_from_parquet(paths[0])
@@ -1645,9 +1724,48 @@ class IcebergFixtureWriter:
         parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
-        entries = [self._eq_delete_entry(key_values, equality_cols, sid)]
+        entries = [
+            e
+            for kf in delete_key_files
+            if (e := self._eq_delete_entry_from_file(kf, equality_cols, sid)) is not None
+        ]
+        if not entries:
+            raise IcebergError("upsert requires at least one non-empty delete-key file")
         entries += self._copied_file_entries(paths, sid)
         return self._finish_commit(sid, parent, ts, entries, "overwrite", retain_prior=True)
+
+    def _eq_delete_entry_from_file(
+        self, src: str, equality_cols: list[str], sid: int
+    ) -> dict | None:
+        """content=2 entry from a pre-written key parquet, committed by
+        COPY; record_count from the footer (no row ever touches the
+        driver). Empty part files (parallel writers emit them) are
+        skipped -> None."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        nrows = pq.read_metadata(src).num_rows
+        if nrows == 0:
+            return None
+        dest = self.root / "data" / f"eqdelete-{uuid.uuid4().hex}.parquet"
+        shutil.copy(str(src), str(dest))
+        return {
+            "status": 1,
+            "snapshot_id": sid,
+            "sequence_number": self._seq,
+            "data_file": {
+                "file_path": str(dest),
+                "file_format": "PARQUET",
+                "record_count": int(nrows),
+                "content": 2,
+                "partition": None,
+                "equality_ids": [self._field_ids[c] for c in equality_cols],
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "file_size_in_bytes": dest.stat().st_size,
+            },
+        }
 
     def _finish_commit(self, sid, parent, ts, entries, operation, retain_prior=None) -> int:
         manifest = self.root / "metadata" / f"manifest-{sid}-{uuid.uuid4().hex[:8]}.avro"
