@@ -2170,72 +2170,67 @@ PARITY_TWINS: set[str] = {
 # behind them. Revisit each round: once a query is driver-green, move
 # fresher debt into the head.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- new this round --
+    # -- never driver-checked through r5 (4): closing these makes
+    #    cumulative driver coverage 116/116 --
+    "bloom_membership_keys",
+    "delta_dest_merge",
+    "hudi_partitioned_scan",
+    "stratified_topk_sample",
+    # -- staleness sentinels: last driver-green in r1/r2 --
+    "cube_agg",
+    "curation_pipeline",
+    "lag_lead_price_delta",
+    "variant_capture_json",
+    # -- last driver-green in r3 --
+    "q4_order_priority_semijoin",
+    "q13_customer_distribution",
+    "q18_large_volume_having",
+    "q19_disjunctive_filter",
+    "argmin_cheapest_supplier",
+    "anti_join_customers_without_orders",
+    "set_ops_intersect",
+    "union_all_sources",
+    "percentiles_exact",
+    # -- r6 code churn: table-format readers/destinations touched this
+    #    round (summary-position pruning, null-safe equality deletes,
+    #    date partition reconstitution, distributed MERGE keys, delta
+    #    checkpoint metadata) — re-verify even though r5-green --
+    "iceberg_equality_deletes",
     "iceberg_partition_prune",
-    "stream_drain_equivalence",
-    "iceberg_schema_evolution",
-    "delta_checkpoint_replay",
     "iceberg_partitioned_scan",
     "iceberg_dest_upsert",
-    "segment_dedup_docs",
-    "training_shuffle_order",
-    # -- never driver-checked through r4 (38) --
-    "hudi_time_travel",
-    "hudi_changes_since",
+    "iceberg_schema_evolution",
     "iceberg_row_deletes",
-    "iceberg_equality_deletes",
     "iceberg_time_travel",
     "iceberg_changes_since",
-    "snapshot_time_travel",
-    "tombstone_merge_read",
-    "duckdb_commit_roundtrip",
-    "duckdb_source_scan",
-    "sqlite_commit_roundtrip",
-    "catalog_partition_scan",
-    "pg_copy_roundtrip_scan",
-    "avro_roundtrip_scan",
-    "protobuf_roundtrip_scan",
-    "q2_min_unit_price_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_avg",
-    "q20_excess_shipments",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "docs_embeddings_join",
-    "events_user_rollup",
-    "late_counts_by_type",
-    "session_window_agg",
-    "moving_average_frame",
-    "tfidf_top_terms",
-    "near_dup_clusters",
-    "ivf_ann_topk",
-    "ivf_kmeans_topk",
-    # -- r4 red, fixed this round: verify the fix lands green --
-    "pack_sequences_by_lang",
-    # -- staleness sentinels: last driver-green in r1/r2 --
-    "minhash_lsh_dups",
-    "simhash_dups",
-    "embedding_near_dups",
-    # (curation_pipeline rotated out last: r1-green composite whose
-    # constituent operators are all individually window-verified)
-    # (cube_agg rotated out with q1/variant/lag_lead: r1-green
-    # grouping-set agg, lowest regression risk; new operator paths
-    # take the driver slots)
-    # (lag_lead_price_delta rotated out alongside q1/variant: trivial
-    # window op, r1-green; this round's new table-format paths take
-    # the driver slots)
-    # (variant_capture_json rotated out with q1: lowest regression
-    # risk among the stale sentinels; the window is exactly 50)
-    # (q1_pricing_summary rotated out: freshest-possible sentinel —
-    # driver-green in r4 — and the window is exactly 50)
+    "delta_checkpoint_replay",
+    "hudi_time_travel",
+    "hudi_changes_since",
+    # -- last driver-green in r4, highest-traffic ops first --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "asof_join_events_orders",
+    "dedup_keep_last",
+    "dedup_keep_first",
+    "keyed_effects_reduce",
+    "effects_apply_merge",
+    "contract_verdicts",
+    "contract_quarantine_rows",
+    "transform_chain",
+    "late_data_classify",
+    "delta_time_travel",
+    "delta_changes_since",
+    "scan_pushdown_residual",
+    "projection_pruning",
+    "stratified_sample",
+    "exact_dedup_docs",
+    "hll_cardinality",
+    "domain_mix_sample",
+    "range_join_campaigns",
+    # (everything else was driver-green in r4/r5 and unchanged this
+    # round; the window is exactly 50)
 ]
 
 
