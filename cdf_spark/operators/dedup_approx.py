@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from .similarity import _spread
 from .text import content_fingerprint, hash64
 
 
@@ -144,11 +145,11 @@ def minhash_lsh_pairs(
     other, smaller buckets.
     """
     r = k // bands
-    # Compute-bound projection: input byte-size drives Spark's default
-    # split count, which badly under-parallelizes CPU-heavy per-row
-    # work on small-but-dense corpora. Spread to the session's shuffle
-    # parallelism before hashing.
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Compute-bound projection: shingle extraction + k permutation
+    # hashes cost ~100 ops per text byte, so small-bytes corpora badly
+    # under-parallelize on byte-driven splits. _spread widens only
+    # when the estimated work pays (and never re-shuffles a corpus the
+    # scan already split wide).
     if hash_fn == "xxhash64":
         # Fast path: grams hashed ONCE (materialized column), then the
         # k permutations remix the base hash — xxhash64(seed, h). The
@@ -165,7 +166,7 @@ def minhash_lsh_pairs(
         # so it is computed once; the frame is ~|corpus| longs, far
         # smaller than the text it replaces.
         base = (
-            df.repartition(nparts)
+            _spread(df, 100.0)
             .select(
                 F.col(id_col).alias("id"),
                 F.transform(grams, lambda g: F.xxhash64(g)).alias("_h"),
@@ -179,7 +180,7 @@ def minhash_lsh_pairs(
 
         sig = base.select("id", F.array(*[perm(i) for i in range(k)]).alias("sig"))
     else:
-        sig = df.repartition(nparts).select(
+        sig = _spread(df, 100.0).select(
             F.col(id_col).alias("id"),
             minhash_signature(F.col(text_col), n, k, hash_fn=hash_fn).alias("sig"),
         )
@@ -383,13 +384,12 @@ def simhash_pairs(
 
     hash_fn="md5" routes through the SQL-parity token hash (oracled
     correctness path); default xxhash64 uses the numpy hybrid."""
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if hash_fn == "md5":
-        sig = df.repartition(nparts).select(
+        sig = _spread(df, 100.0).select(
             F.col(id_col).alias("id"), simhash64(F.col(text_col), hash_fn="md5").alias("sh")
         )
     else:
-        sig = _simhash_hybrid(df.repartition(nparts), text_col=text_col, id_col=id_col)
+        sig = _simhash_hybrid(_spread(df, 100.0), text_col=text_col, id_col=id_col)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -32,6 +32,38 @@ from pyspark.sql.window import Window
 from .text import hash64
 
 
+def _spread(df: DataFrame, flops_per_byte: float) -> DataFrame:
+    """Widen a compute-bound stage's parallelism only when it pays.
+
+    The similarity kernels used to force `repartition(shuffle
+    partitions)` unconditionally — a full shuffle of every vector byte
+    before a MAP-ONLY stage. That is the right call exactly once: a
+    small-bytes-but-compute-heavy corpus (one parquet split, big GEMM).
+    Everywhere else it is waste — at bench scale it adds a shuffle +
+    32-task fan-out to a sub-millisecond GEMM, and at 100 TB the scan
+    already yields thousands of splits so the shuffle moves the entire
+    corpus for nothing. Decide from the plan, not a constant:
+
+    - enough natural partitions -> leave the scan's parallelism alone;
+    - estimated work (plan-stats bytes x flops/byte) under ~0.2 s of
+      one core -> single/few tasks are already optimal;
+    - otherwise repartition to the shuffle-partition target.
+
+    Unknown statistics (Long.MaxValue default) land in the repartition
+    branch — the conservative old behavior.
+    """
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        if df.rdd.getNumPartitions() >= nparts:
+            return df
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        if est * flops_per_byte < 2e8:
+            return df
+    except Exception:
+        pass
+    return df.repartition(nparts)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two float arrays (JVM-side)."""
     return F.aggregate(
@@ -64,11 +96,12 @@ def cosine_topk(
     neighbor id for determinism. Self-matches excluded when ids
     collide.
     """
-    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
-    # compute-bound scoring: force CPU-wide parallelism regardless of
-    # input byte size (small dense corpora read as one split)
-    c = corpus.repartition(nparts).select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    # compute-bound scoring: widen parallelism only when the work pays
+    # (interpreted HOF fold per query — high per-byte cost)
+    c = _spread(corpus, 512.0).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -163,8 +196,8 @@ def rhp_lsh_topk(
             F.explode(F.array(*band_structs)).alias("bb"),
         ).select(f"{alias_vec}_id", f"_{alias_vec}v", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    cb = banded(corpus.repartition(nparts), corpus_id, "neighbor")
+    # interpreted signature fold: ~bits ops/element, widen only if it pays
+    cb = banded(_spread(corpus, 2.5 * bits), corpus_id, "neighbor")
     qb = banded(queries, query_id, "query")
     # dedup on bare id pairs (narrow shuffle), then re-attach vectors:
     # corpus vectors by join, query vectors by broadcast
@@ -209,11 +242,10 @@ def embedding_near_dup_pairs(
     collides per band with only ~1/256 — at 20k vectors that is ~5M
     candidate re-scores instead of the 50M the old 4-bit bands
     produced (2× faster end-to-end), and the gap widens with n."""
-    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if method == "lsh":
         nbands = bits // band_bits
         mask = (1 << band_bits) - 1
-        with_sig = corpus.repartition(nparts).select(
+        with_sig = _spread(corpus, 2.5 * bits).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("_v"),
             rhp_signature(F.col(vec_col), bits, dim).alias("_sig"),
@@ -239,7 +271,7 @@ def embedding_near_dup_pairs(
         vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         pairs = cand_ids.join(va, on="id_a").join(vb, on="id_b")
     else:
-        a = corpus.repartition(nparts).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        a = _spread(corpus, 512.0).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
         b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
@@ -347,8 +379,8 @@ def cosine_topk_fast(
             out = pd.DataFrame(rows)
             yield out[np.isfinite(out["sim"])]
 
-    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    c = corpus.repartition(nparts).select(
+    # GEMM: 2m flops per 4-byte element -> m/2 flops per byte
+    c = _spread(corpus, m / 2.0).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     scored = c.mapInPandas(score, schema=out_schema).withColumn(
@@ -394,8 +426,8 @@ def rhp_lsh_topk_fast(
             f"{alias}_id", F.explode(F.array(*band_structs)).alias("bb")
         ).select(f"{alias}_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    cb = banded(corpus.repartition(nparts), corpus_id, "neighbor")
+    # GEMM signature: 2*bits flops per 4-byte element -> bits/2 per byte
+    cb = banded(_spread(corpus, bits / 2.0), corpus_id, "neighbor")
     qb = banded(queries, query_id, "query")
     cand_ids = (
         cb.join(F.broadcast(qb), on=["band", "bh"])
@@ -472,9 +504,8 @@ def embedding_near_dup_pairs_fast(
     vectorized re-score."""
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
-    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     sig_udf = rhp_signature_fast(bits, dim)
-    with_sig = corpus.repartition(nparts).select(
+    with_sig = _spread(corpus, bits / 2.0).select(
         F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("_sig")
     )
     band_structs = [
@@ -820,9 +851,11 @@ def ivf_ann_topk_fast(
                 )
                 yield out[np.isfinite(out["sim"])]
 
-    spark = corpus.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    assigned = corpus.repartition(nparts).select(
+    # assignment GEMM (2*ncent/4 per byte) + rescore GEMM scaled by the
+    # expected per-cluster query fan-in (nprobe * nq / ncent)
+    ncent = max(len(cids), 1)
+    work = (2.0 * ncent + 2.0 * nprobe * len(qids) / ncent) / 4.0
+    assigned = _spread(corpus, work).select(
         F.col(corpus_id).alias("id"), F.col(vec_col).alias("_v"), assign(F.col(vec_col)).alias("cluster")
     )
     scored = assigned.mapInPandas(rescore, schema=out_schema).withColumn(
