@@ -162,13 +162,8 @@ class CompiledResource:
     def pipeline(self, workspace: str | Path) -> LoadPipeline:
         d = self.declaration
         src = d.get("source") or {}
-        if src.get("kind", "files") != "files":
-            raise DeclarationError(f"source kind {src.get('kind')!r} not wired for declarative runs yet")
         desc = self.descriptor()
-        resource = FileResource(
-            desc, src["path"], format=src.get("format", "parquet"),
-            **{k: str(v) for k, v in src.get("options", {}).items()},
-        )
+        resource = _build_resource(src, desc)
         workspace = Path(workspace)
         dest_cfg = d.get("destination") or {}
         destination = _build_destination(
@@ -183,6 +178,142 @@ class CompiledResource:
             disposition=desc.write_disposition,
         )
 
+
+
+class _TableFormatResource:
+    """Adapter: an open-table-format reader (Iceberg / Delta / Hudi /
+    snapshot) as a pipeline resource — descriptor + negotiated scan,
+    with the declaration's pin (snapshot id / version / instant)
+    applied on every scan. The same CompiledResource -> LoadPipeline
+    path the reference compiles from TOML
+    (`crates/cdf-declarative/src/declarations.rs`, `compiled.rs`)."""
+
+    def __init__(self, descriptor: ResourceDescriptor, table, scan_kwargs: dict | None = None):
+        self.descriptor = descriptor
+        self.table = table
+        self._kw = dict(scan_kwargs or {})
+
+    def scan(self, spark, request):
+        return self.table.scan(spark, request, **self._kw)
+
+
+class _ReadResource:
+    """Adapter: a read()-style resource (REST pages, python generator)
+    as a negotiated scan. Pushdown capability is honest: none — every
+    predicate is residual, enforced engine-side after the fetch; the
+    cursor resume value still reaches the inner resource, which pushes
+    it to its upstream (query param / context view)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.descriptor = inner.descriptor
+
+    def scan(self, spark, request):
+        from .expressions.lowering import lower
+        from .plans.scan import Capability, negotiate
+
+        plan = negotiate(request, Capability.text_format())
+        out = self.inner.read(spark, cursor_resume=request.cursor_resume_value)
+        df = out[0] if isinstance(out, tuple) else out
+        if plan.projection:
+            df = df.select(*plan.projection)
+        for p in list(plan.pushed) + list(plan.residual):
+            df = df.filter(lower(p.expr))
+        if plan.limit is not None:
+            df = df.limit(plan.limit)
+        return df, plan
+
+
+def _build_resource(src: dict, desc: ResourceDescriptor):
+    """Source factory for declarative resources: `kind` selects the
+    reader — files (glob manifests), iceberg / delta / hudi (open
+    table formats, optionally pinned), duckdb / sqlite (DB-API scans
+    with negotiated SQL pushdown), jdbc (Spark JDBC), rest (paged
+    HTTP), python (dotted-path generator). All expose the same
+    descriptor + scan(spark, request) surface LoadPipeline speaks."""
+    kind = src.get("kind", "files")
+    if kind == "files":
+        return FileResource(
+            desc,
+            src["path"],
+            format=src.get("format", "parquet"),
+            **{k: str(v) for k, v in src.get("options", {}).items()},
+        )
+    if kind == "iceberg":
+        from .sources.iceberg import IcebergTable
+
+        kw = {}
+        if src.get("snapshot_id") is not None:
+            kw["snapshot_id"] = int(src["snapshot_id"])
+        if src.get("as_of_timestamp_ms") is not None:
+            kw["as_of_timestamp_ms"] = int(src["as_of_timestamp_ms"])
+        return _TableFormatResource(desc, IcebergTable(src["path"]), kw)
+    if kind == "delta":
+        from .sources.delta import DeltaTable
+
+        kw = {}
+        if src.get("version") is not None:
+            kw["version"] = int(src["version"])
+        if src.get("as_of_timestamp_ms") is not None:
+            kw["as_of_ms"] = int(src["as_of_timestamp_ms"])
+        return _TableFormatResource(desc, DeltaTable(src["path"]), kw)
+    if kind == "hudi":
+        from .sources.hudi import HudiTable
+
+        kw = {}
+        if src.get("instant") is not None:
+            kw["instant"] = str(src["instant"])
+        if src.get("as_of_instant") is not None:
+            kw["as_of_instant"] = str(src["as_of_instant"])
+        return _TableFormatResource(desc, HudiTable(src["path"]), kw)
+    if kind in ("duckdb", "sqlite"):
+        from .sources.dbapi import DbApiResource
+
+        path, table = src["path"], src["table"]
+        if kind == "duckdb":
+            def connect(p=path):
+                import duckdb
+
+                return duckdb.connect(p, read_only=True)
+        else:
+            def connect(p=path):
+                import sqlite3
+
+                return sqlite3.connect(p)
+        return DbApiResource(desc, connect, table, arrow=(kind == "duckdb"))
+    if kind == "jdbc":
+        from .sources.jdbc import JdbcResource
+
+        return JdbcResource(
+            desc, url=src["url"], table=src["table"],
+            **{k: str(v) for k, v in src.get("options", {}).items()},
+        )
+    if kind == "rest":
+        from .sources.rest import Pagination, RestResource
+
+        pg = src.get("pagination") or {}
+        return _ReadResource(
+            RestResource(
+                descriptor=desc,
+                url=src["url"],
+                pagination=Pagination(**pg) if pg else Pagination(),
+                params={k: str(v) for k, v in src.get("params", {}).items()},
+                headers={k: str(v) for k, v in src.get("headers", {}).items()},
+            )
+        )
+    if kind == "python":
+        import importlib
+
+        from .sources.python_source import PythonResource
+
+        target = src["callable"]
+        mod_name, _, attr = target.partition(":")
+        if not attr:
+            mod_name, _, attr = target.rpartition(".")
+        fn = getattr(importlib.import_module(mod_name), attr)
+        fn = getattr(fn, "fn", fn)  # unwrap an @python_resource decoration
+        return _ReadResource(PythonResource(descriptor=desc, fn=fn))
+    raise DeclarationError(f"unknown source kind {kind!r}")
 
 
 def _build_destination(dest_cfg: dict, workspace: Path, resource_id: str, merge_keys):

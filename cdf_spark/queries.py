@@ -1732,6 +1732,56 @@ def iceberg_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "declarative_iceberg_run",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey <= 900 AND o_custkey < 500
+    """,
+)
+def declarative_iceberg_run(spark: SparkSession, sf: str) -> DataFrame:
+    """A TOML document drives a NON-files source end-to-end
+    (`declarative.py:_build_resource`): source kind=iceberg over a real
+    Iceberg fixture table -> contract filter transform -> package ->
+    parquet destination commit + verify — the reference's compile-any-
+    declared-source path (`crates/cdf-declarative/src/compiled.rs`).
+    Returns the committed destination as read back from disk."""
+    from pathlib import Path as _Path
+
+    from .declarative import Workspace
+    from .sources.iceberg import IcebergFixtureWriter
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/ice", seed=73)
+        w.append(o.filter(F.col("o_orderkey") <= 900), timestamp_ms=1000)
+        _Path(f"{tmp}/cdf.toml").write_text(
+            f"""
+[resources.ice_orders]
+primary_key = ["o_orderkey"]
+
+[resources.ice_orders.source]
+kind = "iceberg"
+path = "{tmp}/ice"
+
+[[resources.ice_orders.contract.transforms]]
+transform = "filter"
+expression = "o_custkey < 500"
+
+[resources.ice_orders.destination]
+kind = "parquet"
+"""
+        )
+        ws = Workspace(f"{tmp}/ws")
+        compiled = ws.compile_file(f"{tmp}/cdf.toml")["ice_orders"]
+        result = ws.run(spark, compiled)
+        if not result.receipt.verified:
+            raise RuntimeError("declarative iceberg run failed receipt verification")
+
+    tmp = _session_fixture("decl_ice", sf, build)
+    return spark.read.parquet(f"{tmp}/ws/warehouse/ice_orders")
+
+
+@_register(
     "bloom_membership_keys",
     """
     WITH r AS (SELECT range AS j FROM range(0, 4)),
@@ -2170,6 +2220,8 @@ PARITY_TWINS: set[str] = {
 # behind them. Revisit each round: once a query is driver-green, move
 # fresher debt into the head.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
+    # -- new in r6 --
+    "declarative_iceberg_run",
     # -- never driver-checked through r5 (4): closing these makes
     #    cumulative driver coverage 116/116 --
     "bloom_membership_keys",
@@ -2228,9 +2280,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "exact_dedup_docs",
     "hll_cardinality",
     "domain_mix_sample",
-    "range_join_campaigns",
-    # (everything else was driver-green in r4/r5 and unchanged this
-    # round; the window is exactly 50)
+    # (range_join_campaigns rotated out for the new
+    # declarative_iceberg_run: r4-green, unchanged since; everything
+    # else was driver-green in r4/r5 and unchanged this round; the
+    # window is exactly 50)
 ]
 
 

@@ -1,0 +1,243 @@
+"""Declarative documents drive EVERY source kind — round-6 closure of
+the `kind != "files"` refusal. The reference compiles any declared
+source from TOML (`crates/cdf-declarative/src/declarations.rs`,
+`compiled.rs`); here each kind routes through the same
+CompiledResource -> LoadPipeline path: iceberg / delta / hudi table
+readers (optionally pinned), duckdb / sqlite DB-API scans with
+negotiated SQL pushdown, REST paging over a live local HTTP server,
+python dotted-path generators, and the JDBC compile/render seam."""
+
+import json
+import sqlite3
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.declarative import DeclarationError, Workspace
+
+
+def _run_decl(spark, tmp_path, toml_text):
+    decl = tmp_path / "cdf.toml"
+    decl.write_text(toml_text)
+    ws = Workspace(tmp_path / "ws")
+    compiled = ws.compile_file(decl)
+    (rid, c) = next(iter(compiled.items()))
+    result = ws.run(spark, c)
+    out = spark.read.parquet(str(tmp_path / "ws" / "warehouse" / rid))
+    return result, out
+
+
+def test_kind_iceberg_from_toml(spark, tmp_path, orders):
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter
+
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    w = IcebergFixtureWriter(tmp_path / "ice", seed=71)
+    w.append(o.filter(F.col("o_orderkey") <= 900), timestamp_ms=1000)
+
+    result, out = _run_decl(
+        spark,
+        tmp_path,
+        f"""
+[resources.ice_orders]
+primary_key = ["o_orderkey"]
+
+[resources.ice_orders.source]
+kind = "iceberg"
+path = "{tmp_path / 'ice'}"
+
+[[resources.ice_orders.contract.transforms]]
+transform = "filter"
+expression = "o_custkey < 500"
+
+[resources.ice_orders.destination]
+kind = "parquet"
+""",
+    )
+    want = o.filter((F.col("o_orderkey") <= 900) & (F.col("o_custkey") < 500)).count()
+    assert result.receipt.verified
+    assert out.count() == want == result.rows_admitted
+
+
+def test_kind_delta_pinned_version(spark, tmp_path, orders):
+    from cdf_spark.sources.delta import DeltaFixtureWriter
+
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = DeltaFixtureWriter(tmp_path / "dl")
+    w.append(o.filter(F.col("o_orderkey") <= 400), timestamp_ms=1000)
+    w.append(o.filter(F.col("o_orderkey") > 400), timestamp_ms=2000)
+
+    _, out = _run_decl(
+        spark,
+        tmp_path,
+        f"""
+[resources.dl_orders]
+source = {{ kind = "delta", path = "{tmp_path / 'dl'}", version = 0 }}
+destination = {{ kind = "parquet" }}
+""",
+    )
+    # the pin at version 0 must see only the first commit
+    assert out.count() == o.filter(F.col("o_orderkey") <= 400).count()
+
+
+def test_kind_hudi_from_toml(spark, tmp_path, orders):
+    from cdf_spark.sources.hudi import HudiFixtureWriter
+
+    o = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    w = HudiFixtureWriter(tmp_path / "hu", partition_by=["o_orderstatus"])
+    w.commit(o.limit(500))
+
+    _, out = _run_decl(
+        spark,
+        tmp_path,
+        f"""
+[resources.hu_orders]
+source = {{ kind = "hudi", path = "{tmp_path / 'hu'}" }}
+destination = {{ kind = "parquet" }}
+""",
+    )
+    assert out.count() == 500
+
+
+def test_kind_duckdb_pushdown(spark, tmp_path):
+    import duckdb
+
+    db = tmp_path / "src.duckdb"
+    con = duckdb.connect(str(db))
+    con.execute("CREATE TABLE t AS SELECT i AS id, i * 2.0 AS v FROM range(1, 101) r(i)")
+    con.close()
+
+    result, out = _run_decl(
+        spark,
+        tmp_path,
+        f"""
+[resources.ducks]
+cursor = {{ field = "id" }}
+
+[resources.ducks.source]
+kind = "duckdb"
+path = "{db}"
+table = "t"
+
+[resources.ducks.destination]
+kind = "parquet"
+""",
+    )
+    assert out.count() == 100
+    assert {r.id for r in out.select("id").collect()} == set(range(1, 101))
+
+
+def test_kind_sqlite_from_toml(spark, tmp_path):
+    db = tmp_path / "src.sqlite"
+    con = sqlite3.connect(str(db))
+    con.execute("CREATE TABLE t (id INTEGER, v REAL)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, i * 2.0) for i in range(1, 51)])
+    con.commit()
+    con.close()
+
+    _, out = _run_decl(
+        spark,
+        tmp_path,
+        f"""
+[resources.sq]
+source = {{ kind = "sqlite", path = "{db}", table = "t" }}
+destination = {{ kind = "parquet" }}
+""",
+    )
+    assert out.count() == 50
+
+
+def test_kind_python_dotted_path(spark, tmp_path):
+    _, out = _run_decl(
+        spark,
+        tmp_path,
+        """
+[resources.py_rows]
+schema = { id = "int64", amount = "float64" }
+source = { kind = "python", callable = "decl_helpers:gen_rows" }
+destination = { kind = "parquet" }
+""",
+    )
+    assert out.count() == 50
+    assert out.agg(F.sum("id")).first()[0] == sum(range(1, 51))
+
+
+def test_kind_rest_paged_http(spark, tmp_path):
+    """A REAL paged HTTP exchange: ThreadingHTTPServer serving 3 pages
+    of JSON; the declarative REST resource pages through them."""
+    rows = [{"id": i, "v": i * 1.5} for i in range(1, 31)]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            page = int(q.get("page", ["0"])[0])
+            items = rows[page * 10 : (page + 1) * 10]
+            body = json.dumps({"items": items}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        _, out = _run_decl(
+            spark,
+            tmp_path,
+            f"""
+[resources.api]
+schema = {{ id = "int64", v = "float64" }}
+
+[resources.api.source]
+kind = "rest"
+url = "http://127.0.0.1:{srv.server_port}/items"
+pagination = {{ strategy = "page", param = "page", start = 0, items_field = "items" }}
+
+[resources.api.destination]
+kind = "parquet"
+""",
+        )
+    finally:
+        srv.shutdown()
+    assert out.count() == 30
+
+
+def test_kind_jdbc_compiles_and_renders(tmp_path):
+    """No live JDBC server in the image: the compile path must still
+    produce a resource whose negotiated plan renders dialect SQL (the
+    same seam the DB-API scans execute live)."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    ws = Workspace(tmp_path / "ws")
+    c = ws.compile(
+        "pg_orders",
+        {
+            "source": {
+                "kind": "jdbc",
+                "url": "jdbc:postgresql://db:5432/x",
+                "table": "orders",
+            },
+            "primary_key": ["id"],
+        },
+    )
+    pipe = c.pipeline(tmp_path / "ws")
+    res = pipe.resource
+    plan = res.negotiate(ScanRequest("pg_orders", projection=["id"], predicates=[Col("id") > Lit(5)]))
+    sql = res.render_query(plan)
+    assert "SELECT" in sql and "id" in sql and "5" in sql
+
+
+def test_unknown_source_kind_refuses(tmp_path):
+    ws = Workspace(tmp_path / "ws")
+    c = ws.compile("x", {"source": {"kind": "frobnicate", "path": "/nope"}})
+    with pytest.raises(DeclarationError, match="unknown source kind"):
+        c.pipeline(tmp_path / "ws")
