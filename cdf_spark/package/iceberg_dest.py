@@ -49,9 +49,15 @@ class IcebergDestination:
     commit/verify surface, same Receipt), so LoadPipeline and
     StreamingLoadPipeline can land state in an open table format."""
 
-    def __init__(self, table_path: str | Path, merge_keys: list[str] | None = None):
+    def __init__(
+        self,
+        table_path: str | Path,
+        merge_keys: list[str] | None = None,
+        max_commit_retries: int = 5,
+    ):
         self.table_path = Path(table_path)
         self.merge_keys = merge_keys or []
+        self.max_commit_retries = max_commit_retries
 
     def _segments(self, package: PackageResult) -> list[str]:
         return sorted(str(p) for p in Path(package.data_path()).glob("*.parquet"))
@@ -61,6 +67,36 @@ class IcebergDestination:
         spark: SparkSession,
         package: PackageResult,
         disposition: WriteDisposition = WriteDisposition.APPEND,
+    ) -> Receipt:
+        """Commit with optimistic-concurrency RETRY: the metadata
+        version number is the CAS token (O_EXCL create in
+        `IcebergFixtureWriter._write_metadata`); a loser detects the
+        concurrent winner, discards its writer state, REHYDRATES the
+        table (picking up the winner's snapshot as the new parent), and
+        redoes the commit — so two racing committers serialize, the
+        final table equals one of the serial orders, and history never
+        forks. The loser's already-copied data files become orphans
+        (never referenced — same posture as a crash mid-commit); only
+        the metadata swap decides visibility. Mirrors the falsify-
+        under-chaos discipline of the reference's conformance suites
+        (`crates/cdf-conformance/src/lib.rs:3-16`)."""
+        from ..sources.iceberg import IcebergError
+
+        attempt = 0
+        while True:
+            try:
+                return self._commit_once(spark, package, disposition)
+            except IcebergError as exc:
+                if "concurrent commit" not in str(exc) or attempt >= self.max_commit_retries:
+                    raise
+                attempt += 1
+                time.sleep(0.02 * attempt)  # tiny backoff, then re-race
+
+    def _commit_once(
+        self,
+        spark: SparkSession,
+        package: PackageResult,
+        disposition: WriteDisposition,
     ) -> Receipt:
         segments = self._segments(package)
         w = IcebergFixtureWriter(self.table_path)

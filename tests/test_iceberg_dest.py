@@ -329,3 +329,62 @@ def test_append_into_partitioned_table_keeps_pruning(spark, tmp_path, orders):
     meta = plan.partitions.meta
     assert meta["files_pruned"] > 0  # the appended entries carry tuples
     assert out.count() == o.filter(F.col("o_orderstatus") == "P").count()
+
+
+def test_multiwriter_race_retries_to_serial_result(spark, tmp_path, orders):
+    """TWO concurrent committers race real commits against one table:
+    the CAS loser must detect the winner, rehydrate, retry, and the
+    final table must equal a SERIAL execution of both commits — linear
+    history, no forks, no lost snapshots. Exercises the retry policy in
+    IcebergDestination.commit under genuine thread-level interleaving
+    (both threads submit Spark jobs against the same session)."""
+    import threading
+
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    dest = IcebergDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    base = o.filter(F.col("o_orderkey") <= 900)
+    pkg = builder.build(admitted=base)
+    assert dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.APPEND), pkg).verified
+
+    # writer A upserts keys <= 400 to -1.0; writer B upserts
+    # 200..600 to -2.0. Overlap 200..400 is decided by whichever
+    # commit serializes LAST — the assertion is serial-equivalence,
+    # not a fixed winner.
+    batch_a = o.filter(F.col("o_orderkey") <= 400).withColumn("o_totalprice", F.lit(-1.0))
+    batch_b = o.filter(
+        (F.col("o_orderkey") >= 200) & (F.col("o_orderkey") <= 600)
+    ).withColumn("o_totalprice", F.lit(-2.0))
+    pkg_a = builder.build(admitted=batch_a)
+    pkg_b = builder.build(admitted=batch_b)
+
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(2)
+
+    def commit(pkg):
+        try:
+            barrier.wait(timeout=30)
+            d = IcebergDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+            d.commit(spark, pkg, WriteDisposition.MERGE)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta = threading.Thread(target=commit, args=(pkg_a,))
+    tb = threading.Thread(target=commit, args=(pkg_b,))
+    ta.start(); tb.start(); ta.join(60); tb.join(60)
+    assert not errors, f"retry policy must absorb the race: {errors}"
+
+    t = IcebergTable(tmp_path / "t")
+    # linear history: base append + two merge commits, one lineage
+    assert len(t.ancestry()) == 3
+    cur = t.read(spark)
+    assert cur.count() == base.count()  # merge never duplicates keys
+    rows = {r.o_orderkey: r.o_totalprice for r in cur.collect()}
+    # exclusive ranges carry their writer's value
+    assert all(rows[k] == -1.0 for k in rows if k < 200)
+    assert all(rows[k] == -2.0 for k in rows if 400 < k <= 600)
+    # overlap range equals ONE serial order: all -1.0 or all -2.0
+    overlap = {rows[k] for k in rows if 200 <= k <= 400}
+    assert overlap == {-1.0} or overlap == {-2.0}
+    # untouched tail unchanged
+    assert all(rows[k] >= 0 for k in rows if k > 600)
