@@ -277,7 +277,12 @@ class HudiFixtureWriter:
     `.commit` JSON with partitionToWriteStats, file-group parquet
     versions named `<fileId>_<token>_<instant>.parquet`."""
 
-    def __init__(self, root: str | Path, partition_by: list[str] | None = None):
+    def __init__(
+        self,
+        root: str | Path,
+        partition_by: list[str] | None = None,
+        max_partitions_per_commit: int = 10_000,
+    ):
         self.root = Path(root)
         (self.root / ".hoodie").mkdir(parents=True, exist_ok=True)
         self._n = 0
@@ -286,6 +291,7 @@ class HudiFixtureWriter:
         # partitionToWriteStats is keyed by the partition path — the
         # standard Hudi CoW shape readers prune on
         self.partition_by = list(partition_by or [])
+        self.max_partitions_per_commit = max_partitions_per_commit
 
     def _next_instant(self) -> str:
         self._n += 1
@@ -299,43 +305,56 @@ class HudiFixtureWriter:
         import shutil
         import tempfile
 
-        from pyspark.sql import functions as F
-
         instant = self._next_instant()
         base_fid = file_id or uuid.uuid4().hex[:8]
 
-        slices: list[tuple[str, DataFrame]] = []
+        # partitioned commits: ONE distributed hive-partitioned write;
+        # the driver walks only directory names (O(partitions), never
+        # O(rows) — the old per-tuple filter ran one full scan per
+        # partition and collected the tuples driver-side), and the
+        # partition count is guarded against degenerate keys.
+        slices: list[tuple[str, list[str]]] = []
+        tmps: list[str] = []
         if self.partition_by:
-            tuples = [
-                tuple(getattr(r, c) for c in self.partition_by)
-                for r in df.select(*self.partition_by).distinct().collect()
-            ]
-            for tup in sorted(tuples, key=lambda t: tuple(str(x) for x in t)):
-                cond = None
-                for c, v in zip(self.partition_by, tup):
-                    piece = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
-                    cond = piece if cond is None else (cond & piece)
+            from .partitioned_write import HIVE_NULL, hive_partitioned_write
+
+            tmp_root, parts = hive_partitioned_write(
+                df,
+                self.partition_by,
+                drop_partition_cols=False,
+                max_partitions=self.max_partitions_per_commit,
+            )
+            tmps.append(tmp_root)
+            for raw, files in parts:
                 part_path = "/".join(
-                    f"{c}={v}" for c, v in zip(self.partition_by, tup)
+                    f"{c}={raw[c] if raw[c] is not None else HIVE_NULL}"
+                    for c in self.partition_by
                 )
-                slices.append((part_path, df.filter(cond)))
+                slices.append((part_path, files))
         else:
-            slices.append(("", df))
+            tmp = tempfile.mkdtemp(prefix="hudi_commit_")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            tmps.append(tmp)
+            slices.append(("", sorted(str(p) for p in Path(tmp).glob("*.parquet"))))
 
         stats: dict[str, list[dict]] = {}
-        for part_path, part_df in slices:
-            fid = f"{base_fid}-{part_path.replace('/', '_').replace('=', '-')}" if part_path else base_fid
-            tmp = tempfile.mkdtemp(prefix="hudi_commit_")
-            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            (src,) = sorted(Path(tmp).glob("*.parquet"))
+        for part_path, files in slices:
+            base = (
+                f"{base_fid}-{part_path.replace('/', '_').replace('=', '-')}"
+                if part_path
+                else base_fid
+            )
             rel_dir = self.root / part_path if part_path else self.root
             rel_dir.mkdir(parents=True, exist_ok=True)
-            rel = (f"{part_path}/" if part_path else "") + f"{fid}_0-0-0_{instant}.parquet"
-            shutil.move(str(src), str(self.root / rel))
-            shutil.rmtree(tmp, ignore_errors=True)
-            stats.setdefault(part_path, []).append(
-                {"fileId": fid, "path": rel, "numWrites": -1}
-            )
+            for i, src in enumerate(files):
+                fid = base if i == 0 else f"{base}-{i}"
+                rel = (f"{part_path}/" if part_path else "") + f"{fid}_0-0-0_{instant}.parquet"
+                shutil.move(str(src), str(self.root / rel))
+                stats.setdefault(part_path, []).append(
+                    {"fileId": fid, "path": rel, "numWrites": -1}
+                )
+        for t in tmps:
+            shutil.rmtree(t, ignore_errors=True)
         meta = {
             "partitionToWriteStats": stats,
             "operationType": "UPSERT" if file_id else "INSERT",

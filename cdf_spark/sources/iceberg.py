@@ -1129,6 +1129,7 @@ class IcebergFixtureWriter:
         seed: int | None = None,
         partition_by: list[str] | None = None,
         omit_partition_cols: bool = False,
+        max_partitions_per_commit: int = 10_000,
     ):
         import random
 
@@ -1144,6 +1145,7 @@ class IcebergFixtureWriter:
         # readers must reconstitute the column from partition metadata).
         self.partition_by = list(partition_by or [])
         self.omit_partition_cols = omit_partition_cols
+        self.max_partitions_per_commit = max_partitions_per_commit
         self._snapshots: list[dict] = []
         self._version = 0
         self._seq = 0  # Iceberg v2 sequence number — the real commit order
@@ -1303,42 +1305,43 @@ class IcebergFixtureWriter:
 
         # data files: write through Spark then move into data/ (files
         # are immutable once committed — Iceberg's core invariant).
-        # Partitioned tables split the frame by partition tuple first;
-        # each tuple's files carry a typed partition record in their
-        # manifest entries.
-        from pyspark.sql import functions as F
-
-        slices: list[tuple[dict | None, DataFrame]] = []
+        # Partitioned tables are written in ONE distributed
+        # hive-partitioned job (executors split rows; the driver walks
+        # only directory NAMES — O(partitions), never O(rows), and the
+        # partition count is guarded). Each file's manifest entry
+        # carries a typed partition record; record values are spec
+        # single-values (date -> days int, timestamp -> micros long).
+        slices: list[tuple[dict | None, list[str]]] = []
+        tmps: list[str] = []
         if self.partition_by:
-            tuples = [
-                tuple(getattr(r, c) for c in self.partition_by)
-                for r in df.select(*self.partition_by).distinct().collect()
-            ]
-            for tup in sorted(tuples, key=lambda t: tuple(str(x) for x in t)):
-                cond = None
-                for c, v in zip(self.partition_by, tup):
-                    piece = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
-                    cond = piece if cond is None else (cond & piece)
-                part_df = df.filter(cond)
-                if self.omit_partition_cols:
-                    part_df = part_df.drop(*self.partition_by)
-                # partition records store spec single-values: date as
-                # days-since-epoch int, timestamp as micros long — the
-                # python date/datetime objects from collect() must be
-                # converted before they hit the avro int/long fields
+            from .partitioned_write import hive_partitioned_write
+
+            tmp_root, parts = hive_partitioned_write(
+                df,
+                self.partition_by,
+                drop_partition_cols=self.omit_partition_cols,
+                max_partitions=self.max_partitions_per_commit,
+            )
+            tmps.append(tmp_root)
+            for raw, files in parts:
                 rec = {
-                    c: self._ice_single_value(v, self._field_types.get(c, ""))
-                    for c, v in zip(self.partition_by, tup)
+                    c: self._ice_single_value(
+                        self._typed_raw(raw[c], self._field_types.get(c, "")),
+                        self._field_types.get(c, ""),
+                    )
+                    for c in self.partition_by
                 }
-                slices.append((rec, part_df))
+                slices.append((rec, files))
         else:
-            slices.append((None, df))
+            tmp = tempfile.mkdtemp(prefix="iceberg_commit_")
+            df.write.mode("overwrite").parquet(tmp)
+            files = sorted(str(p) for p in Path(tmp).glob("*.parquet"))
+            slices.append((None, files))
+            tmps.append(tmp)
 
         data_files = []
-        for partition, part_df in slices:
-            tmp = tempfile.mkdtemp(prefix="iceberg_commit_")
-            part_df.write.mode("overwrite").parquet(tmp)
-            for p in sorted(Path(tmp).glob("*.parquet")):
+        for partition, files in slices:
+            for p in files:
                 dest = self.root / "data" / f"{uuid.uuid4().hex}.parquet"
                 shutil.move(str(p), str(dest))
                 import pyarrow.parquet as pq
@@ -1363,9 +1366,29 @@ class IcebergFixtureWriter:
                         },
                     }
                 )
-            shutil.rmtree(tmp, ignore_errors=True)
+        for t in tmps:
+            shutil.rmtree(t, ignore_errors=True)
 
         return self._finish_commit(sid, parent, ts, data_files, operation)
+
+    @staticmethod
+    def _typed_raw(raw: str | None, typ: str):
+        """Hive directory-name string -> typed python value (the
+        inverse of Spark's partition-path encoding), by the column's
+        iceberg type."""
+        import datetime as _dt
+
+        if raw is None:
+            return None
+        if typ in ("int", "long"):
+            return int(raw)
+        if typ in ("float", "double"):
+            return float(raw)
+        if typ == "date":
+            return _dt.date.fromisoformat(raw)
+        if typ in ("timestamp", "timestamptz"):
+            return _dt.datetime.fromisoformat(raw)
+        return raw
 
     def _footer_bounds(self, md) -> tuple[list | None, list | None]:
         """Per-column min/max aggregated across row groups from the

@@ -261,3 +261,40 @@ def test_delta_checkpoint_carries_schema_and_add_fields(spark, tmp_path):
     w.clean_log(v)
     t = DeltaTable(tmp_path / "d")
     assert t.read(spark).count() == 4  # two appends of 2 rows
+
+
+def test_partition_cardinality_guard(spark, tmp_path):
+    """A degenerate partition key (unique per row) must fail LOUDLY at
+    commit time — O(partitions) commit metadata from a
+    timestamp-grained key is an operational incident, not a table. The
+    write is one distributed job and the driver only ever walks
+    directory names, so the guard is the last line, not a memory
+    band-aid."""
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter
+    from cdf_spark.sources.partitioned_write import PartitionCardinalityError
+
+    df = spark.range(0, 40).withColumn("k", F.col("id").cast("string"))
+    w = IcebergFixtureWriter(
+        tmp_path / "t", seed=65, partition_by=["k"], max_partitions_per_commit=10
+    )
+    with pytest.raises(PartitionCardinalityError, match="max_partitions"):
+        w.append(df)
+
+    # under the cap the same commit lands, with typed partition records
+    w2 = IcebergFixtureWriter(
+        tmp_path / "t2", seed=66, partition_by=["k"], max_partitions_per_commit=100
+    )
+    w2.append(df)
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    assert IcebergTable(tmp_path / "t2").read(spark).count() == 40
+
+
+def test_hudi_partition_guard(spark, tmp_path):
+    from cdf_spark.sources.hudi import HudiFixtureWriter
+    from cdf_spark.sources.partitioned_write import PartitionCardinalityError
+
+    df = spark.range(0, 30).withColumn("k", F.col("id").cast("string"))
+    w = HudiFixtureWriter(tmp_path / "h", partition_by=["k"], max_partitions_per_commit=5)
+    with pytest.raises(PartitionCardinalityError):
+        w.commit(df)
