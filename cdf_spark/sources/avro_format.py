@@ -394,10 +394,26 @@ def read_avro(spark, path_glob: str):
     return files.select("content").mapInPandas(decode_files, schema=spark_schema)
 
 
-def write_avro(df, path: str, codec: str = "deflate") -> dict:
+def write_avro(df, path: str, codec: str = "deflate", max_rows: int = 1_000_000) -> dict:
     """Driver-side writer for round-trips/tests: DataFrame -> one
-    container file. Returns the generated avro schema."""
+    container file. Returns the generated avro schema.
+
+    DELIBERATELY driver-side (`df.collect()` + python-encoded blocks):
+    it exists so avro round-trips work jar-free, not as a bulk export
+    path. `max_rows` (default 1M) guards the boundary — a frame above
+    it raises instead of silently materializing GBs on the driver;
+    bulk data belongs in parquet via the package/destination path
+    (same honesty discipline as multimodal.py's codec boundaries)."""
     from pyspark.sql import types as T
+
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_avro is a driver-side fixture writer capped at {max_rows} rows; "
+            f"this frame exceeds the cap — write parquet through the package path "
+            "for bulk data, or raise max_rows explicitly if you accept the "
+            "driver-memory cost"
+        )
 
     _SPARK_AVRO = {
         T.BooleanType: "boolean",

@@ -298,3 +298,14 @@ def test_hudi_partition_guard(spark, tmp_path):
     w = HudiFixtureWriter(tmp_path / "h", partition_by=["k"], max_partitions_per_commit=5)
     with pytest.raises(PartitionCardinalityError):
         w.commit(df)
+
+
+def test_write_avro_row_cap_fires(spark):
+    """The jar-free Avro writer is a driver-side fixture path, not a
+    bulk exporter: above max_rows it must refuse, pointing at the
+    parquet path."""
+    from cdf_spark.sources.avro_format import write_avro
+
+    df = spark.range(0, 100)
+    with pytest.raises(ValueError, match="capped at 10 rows"):
+        write_avro(df, "/tmp/_nope.avro", max_rows=10)
