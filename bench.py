@@ -278,7 +278,19 @@ def main() -> None:
             run = pipe_small(i).run(spark)
             ingest_sec = min(ingest_sec or 9e9, round(time.perf_counter() - t0, 3))
         timings["ingest_lineitem_package"] = ingest_sec
-        src_bytes = os.path.getsize(f"{SF_DIR}/lineitem.parquet")
+        src = f"{SF_DIR}/lineitem.parquet"
+        # a scaled-up SF dir stores each table as a DIRECTORY of part
+        # files; getsize on the dir inode would report ~4 KiB and blow
+        # up the MiB/s number
+        src_bytes = (
+            sum(
+                os.path.getsize(os.path.join(src, f))
+                for f in os.listdir(src)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(src)
+            else os.path.getsize(src)
+        )
         ingest_mib_s = round(src_bytes / 1024 / 1024 / ingest_sec, 2)
         ingest_rows_s = round(run.rows_admitted / ingest_sec)
 

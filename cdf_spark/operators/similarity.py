@@ -634,6 +634,50 @@ def ivf_ann_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_modulus: int = 50,
+    threshold: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster every vector to its nearest
+    deterministic centroid, then WITHIN each cluster drop any vector
+    that has a LOWER-id member at cosine >= threshold — the kept set
+    is the smallest-id representative of each semantic group, which
+    makes the operator order-free and reproducible (the paper keeps a
+    random member; an id-min rule is the deterministic equivalent).
+
+    Scale shape — the whole point of SemDeDup: the quadratic pairwise
+    check is CONFINED to clusters (O(sum |cluster|^2), not O(n^2));
+    the cluster id is the shuffle key, so the within-cluster pairs are
+    a per-cluster equi-join, and assignment is a broadcast map pass
+    with no corpus shuffle (`ivf_assign`). Centroids are the
+    deterministic id%modulus sample, so the entire operator — unusual
+    for a semantic dedup — is value-verifiable in ANSI SQL.
+
+    Returns the KEPT rows as (id_col, cluster)."""
+    cents = corpus.filter((F.col(id_col) % centroid_modulus) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    )
+    assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col, round_to=round_to)
+    a = assigned.select(F.col("id").alias("id_a"), "cluster", F.col("_v").alias("_va"))
+    b = assigned.select(F.col("id").alias("id_b"), "cluster", F.col("_v").alias("_vb"))
+    dropped = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_to))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dropped, on="id", how="left_anti").select(
+        F.col("id").alias(id_col), "cluster"
+    )
+
+
 def kmeans_refine_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

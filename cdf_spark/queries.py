@@ -51,6 +51,7 @@ from .operators.similarity import (
     ivf_ann_topk_fast,
     rhp_lsh_topk,
     rhp_lsh_topk_fast,
+    semantic_dedup,
 )
 from .operators.text import analyze_documents, hash64
 from .plans.scan import ScanRequest
@@ -2222,6 +2223,7 @@ PARITY_TWINS: set[str] = {
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r6 --
     "declarative_iceberg_run",
+    "semantic_dedup_keep",
     # -- never driver-checked through r5 (4): closing these makes
     #    cumulative driver coverage 116/116 --
     "bloom_membership_keys",
@@ -2279,11 +2281,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "stratified_sample",
     "exact_dedup_docs",
     "hll_cardinality",
-    "domain_mix_sample",
-    # (range_join_campaigns rotated out for the new
-    # declarative_iceberg_run: r4-green, unchanged since; everything
-    # else was driver-green in r4/r5 and unchanged this round; the
-    # window is exactly 50)
+    # (range_join_campaigns + domain_mix_sample rotated out for the
+    # new declarative_iceberg_run + semantic_dedup_keep: both r4-green
+    # and unchanged since; everything else was driver-green in r4/r5
+    # and unchanged this round; the window is exactly 50)
 ]
 
 
@@ -3980,6 +3981,51 @@ def embedding_near_dups_planted(spark: SparkSession, sf: str) -> DataFrame:
     (was `embedding_near_dups_planted`)."""
     corpus = planted_near_dup_corpus(_t(spark, sf, "embeddings"))
     return embedding_near_dup_pairs(corpus, threshold=0.95, id_col="vec_id", vec_col="e")
+
+
+_SEMDEDUP_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+twins AS (
+  SELECT c.vec_id + 100000 AS vec_id,
+         [e[d+1] + 0.05 * ((CAST(('0x'||substr(md5(CAST(c.vec_id AS VARCHAR)||':'||CAST(d AS VARCHAR)),1,15)) AS BIGINT) % 10000)/5000.0 - 1.0)
+          for d in range(0, 64)] AS e
+  FROM c WHERE c.vec_id < 100
+),
+corpus AS (SELECT * FROM c UNION ALL SELECT * FROM twins),
+cents AS (SELECT vec_id AS cid, e AS ce FROM corpus WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT id, cluster, e FROM (
+    SELECT corpus.vec_id AS id, cents.cid AS cluster, corpus.e AS e,
+           row_number() OVER (PARTITION BY corpus.vec_id
+             ORDER BY round(list_cosine_similarity(corpus.e, cents.ce), 4) DESC,
+                      cents.cid ASC) AS rk
+    FROM corpus CROSS JOIN cents
+  ) WHERE rk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.id AS id
+  FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.95
+)
+SELECT id AS vec_id, cluster FROM assigned
+WHERE id NOT IN (SELECT id FROM dropped)
+"""
+
+
+@_register("semantic_dedup_keep", _SEMDEDUP_ORACLE)
+def semantic_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the planted corpus
+    (`operators/similarity.semantic_dedup`): nearest-deterministic-
+    centroid clustering confines the quadratic cosine check to
+    clusters; within each cluster only the smallest-id member of a
+    >=0.95 group survives. The planted twins guarantee ~100 true
+    semantic dups at every sf (non-vacuous), and the id-min keep rule
+    makes the whole operator — clustering included — value-verifiable
+    in the oracle."""
+    corpus = planted_near_dup_corpus(_t(spark, sf, "embeddings"))
+    return semantic_dedup(
+        corpus, id_col="vec_id", vec_col="e", centroid_modulus=50, threshold=0.95
+    )
 
 
 @_register(
