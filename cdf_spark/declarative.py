@@ -209,11 +209,19 @@ class _ReadResource:
         self.descriptor = inner.descriptor
 
     def scan(self, spark, request):
+        import inspect
+
         from .expressions.lowering import lower
         from .plans.scan import Capability, negotiate
 
         plan = negotiate(request, Capability.text_format())
-        out = self.inner.read(spark, cursor_resume=request.cursor_resume_value)
+        # pass the resume position only to resources whose read()
+        # accepts it (REST/python push it upstream; a collection scan
+        # has no resume parameter and the residual filter covers it)
+        kwargs = {}
+        if "cursor_resume" in inspect.signature(self.inner.read).parameters:
+            kwargs["cursor_resume"] = request.cursor_resume_value
+        out = self.inner.read(spark, **kwargs)
         df = out[0] if isinstance(out, tuple) else out
         if plan.projection:
             df = df.select(*plan.projection)
@@ -300,6 +308,21 @@ def _build_resource(src: dict, desc: ResourceDescriptor):
                 params={k: str(v) for k, v in src.get("params", {}).items()},
                 headers={k: str(v) for k, v in src.get("headers", {}).items()},
             )
+        )
+    if kind == "mongo":
+        from .sources.mongo_source import MongoCollectionResource
+
+        return _ReadResource(MongoCollectionResource(descriptor=desc, path=src["path"]))
+    if kind == "clickhouse":
+        from .package.clickhouse_dest import NativeTransport
+        from .sources.clickhouse_source import ClickHouseScanResource
+
+        dsn = src["dsn"]
+        return ClickHouseScanResource(
+            desc,
+            transport_factory=lambda d=dsn: NativeTransport(d),
+            table=src["table"],
+            columns=[str(c) for c in src.get("columns", [])],
         )
     if kind == "python":
         import importlib

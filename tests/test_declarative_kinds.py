@@ -241,3 +241,53 @@ def test_unknown_source_kind_refuses(tmp_path):
     c = ws.compile("x", {"source": {"kind": "frobnicate", "path": "/nope"}})
     with pytest.raises(DeclarationError, match="unknown source kind"):
         c.pipeline(tmp_path / "ws")
+
+
+def test_kind_mongo_extended_json(spark, tmp_path):
+    """Mongo collection scan from TOML: mongoexport extended-JSON
+    archive ($numberLong/$date unwrapped by the reader)."""
+    nd = tmp_path / "coll.ndjson"
+    nd.write_text(
+        "\n".join(
+            json.dumps({"_id": i, "qty": {"$numberLong": str(i * 2)}, "name": f"doc{i}"})
+            for i in range(1, 21)
+        )
+    )
+    _, out = _run_decl(
+        spark,
+        tmp_path,
+        f"""
+[resources.mg]
+source = {{ kind = "mongo", path = "{nd}" }}
+destination = {{ kind = "parquet" }}
+""",
+    )
+    assert out.count() == 20
+    assert out.agg(F.sum("qty")).first()[0] == sum(i * 2 for i in range(1, 21))
+
+
+def test_kind_clickhouse_compiles_with_transport_seam(tmp_path):
+    """ClickHouse kind compiles to a resource whose negotiated plan
+    renders dialect SQL; the transport only connects at scan time, so
+    the compile path is provable without a live server."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    ws = Workspace(tmp_path / "ws")
+    c = ws.compile(
+        "ch_events",
+        {
+            "source": {
+                "kind": "clickhouse",
+                "dsn": "clickhouse://localhost:9000/db",
+                "table": "events",
+                "columns": ["event_id", "value"],
+            },
+        },
+    )
+    res = c.pipeline(tmp_path / "ws").resource
+    plan = res.negotiate(
+        ScanRequest("ch_events", projection=["event_id"], predicates=[Col("value") > Lit(1.5)])
+    )
+    sql = res.render_query(plan)
+    assert "SELECT" in sql and "event_id" in sql
