@@ -225,6 +225,7 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="cdf_bench_")
     ingest_mib_s = ingest_rows_s = ingest_big_mib_s = ingest_big_rows_s = None
+    ingest_big_none_mib_s = None
     try:
         contract = Contract(
             rules=[
@@ -338,6 +339,39 @@ def main() -> None:
         timings["ingest_big_12m_rows"] = big_sec
         ingest_big_mib_s = round(big_bytes / 1024 / 1024 / big_sec, 1)
         ingest_big_rows_s = round(run_big.rows_admitted / big_sec)
+
+        # codec-matched encode roofline: BASELINE's parquet encode
+        # number (`arrow_ipc_to_parquet_none`, 74.33 MiB/s; snappy
+        # variant 8.39) counts UNCOMPRESSED bytes through the encoder.
+        # Our input is snappy-compressed parquet, so input-MiB/s under
+        # codec=none is meaningless (output bytes triple and the wall
+        # goes UP on compressible data — measured). The comparable
+        # number is OUTPUT bytes written per second with codec=none:
+        # same full pipeline (scan -> contract -> hashed package), one
+        # extra pass, reported separately and NOT in timings so the
+        # headline stays snappy (the production default) and
+        # round-over-round comparable.
+        none_sec = None
+        none_out_bytes = 0
+        for i in range(2):
+            pipe_none = LoadPipeline(
+                resource=FileResource(ResourceDescriptor(resource_id="lineitem_big"), big),
+                contract=contract,
+                package_root=f"{tmp}/pkgs_none_{i}",
+                package_compression="none",
+            )
+            t0 = time.perf_counter()
+            run_none = pipe_none.run(spark)
+            sec = round(time.perf_counter() - t0, 3)
+            if none_sec is None or sec < none_sec:
+                none_sec = sec
+                dp = run_none.package.data_path()
+                none_out_bytes = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for f in os.listdir(dp)
+                    if f.endswith(".parquet")
+                )
+        ingest_big_none_mib_s = round(none_out_bytes / 1024 / 1024 / none_sec, 1)
     except Exception as exc:  # noqa: BLE001 — ingest failure must not kill the summary
         errors["ingest"] = f"{type(exc).__name__}: {exc}"[:400]
     finally:
@@ -404,6 +438,7 @@ def main() -> None:
                 "ingest_rows_s": ingest_rows_s,
                 "ingest_big_mib_s": ingest_big_mib_s,
                 "ingest_big_rows_s": ingest_big_rows_s,
+                "ingest_big_none_mib_s": ingest_big_none_mib_s,
                 "ann_crossover": ann_crossover,
                 "detail_file": "BENCH_DETAIL.json",
             },

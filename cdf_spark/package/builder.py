@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..contracts.policy import Contract
 from ..plans.scan import ScanPlan
@@ -98,25 +99,55 @@ class PackageBuilder:
         (pkg / "lineage").mkdir(exist_ok=True)
         (pkg / "state").mkdir(exist_ok=True)
 
-        # Write the segments plainly, then compute the evidence pass
-        # (column stats + value hash) by reading the WRITTEN segments
-        # back. Two jobs, but both stay in whole-stage codegen; the
-        # previous single-pass Observation ran ~3 aggregates/column
-        # through CollectMetrics' interpreted per-row accumulator and
-        # cost more than the extra columnar re-scan (measured 2.7s ->
-        # 1.8s on 600k rows). Hashing data-at-rest is also the stronger
-        # evidence: the receipt attests to the bytes a reader will
-        # scan, matching the reference's segment-hash semantics
-        # (crates/cdf-kernel/src/statistics.rs:517).
+        # Evidence strategy (r6): the value hash rides the data write
+        # as a SINGLE-aggregate Observation (bit_xor of xxhash64 —
+        # ~0.3 s at 12M rows, unlike the old ~3-aggregates-per-column
+        # observation whose interpreted accumulator cost more than a
+        # re-scan), and column stats come from the WRITTEN parquet
+        # FOOTERS (~10 ms driver-side, O(files)) — which the encoder
+        # derived from the bytes at rest, so min/max/null/row-count
+        # evidence still attests to the written files. Columns whose
+        # footers lack usable stats (INT96, oversized binary) get ONE
+        # targeted columnar completion agg. This replaced a full
+        # re-scan of every written byte (~2.5 s per 12M-row batch —
+        # the single largest ingest cost); byte-level tamper evidence
+        # is verify()'s job, which re-reads at rest (falsification
+        # tests unchanged). Hash semantics identical: same expression,
+        # same values -> same pinned golden ids.
+        from pyspark.sql import Observation
+
+        from .stats import footer_profile
+
+        spark = admitted.sparkSession
+        hash_cols = sorted(admitted.columns)
+        obs = Observation(f"pkg-ev-{_uuid.uuid4().hex[:8]}")
         (
-            admitted.write.mode("overwrite")
+            admitted.observe(
+                obs,
+                F.bit_xor(F.xxhash64(*[F.col(c) for c in hash_cols])).alias("__vhash"),
+                F.count(F.lit(1)).alias("__rows"),
+            )
+            .write.mode("overwrite")
             .option("compression", self.compression)
             .option("maxRecordsPerFile", SEGMENT_TARGET_ROWS)
             .parquet(str(pkg / "data"))
         )
-        spark = admitted.sparkSession
-        written = spark.read.schema(admitted.schema).parquet(str(pkg / "data"))
-        stats, value_hash = profile_and_hash(written)
+        observed = obs.get
+        n_rows = int(observed["__rows"])
+        value_hash = (
+            f"xxh64-xor:{(observed['__vhash'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}:{n_rows}"
+        )
+        stats, incomplete = footer_profile(pkg / "data", admitted.schema)
+        if stats["__table"]["rows"] != n_rows:
+            raise ValueError(
+                f"written segments carry {stats['__table']['rows']} rows but the "
+                f"write observed {n_rows} — at-rest integrity check failed"
+            )
+        if incomplete:
+            written = spark.read.schema(admitted.schema).parquet(str(pkg / "data"))
+            comp, _ = profile_and_hash(written.select(*incomplete), with_hash=False)
+            for c in incomplete:
+                stats[c] = comp[c]
         rows_quar = 0
         if quarantined is not None:
             hint = quarantine_count_hint() if quarantine_count_hint is not None else None

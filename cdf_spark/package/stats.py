@@ -105,6 +105,93 @@ def _scalar(v):
     return str(v)
 
 
+def footer_profile(data_dir, schema) -> tuple[dict[str, dict], list[str]]:
+    """Exact per-column stats harvested from WRITTEN parquet footers —
+    at-rest evidence at O(files) driver cost, zero data re-scan.
+
+    The footers are derived by the encoder from the actual written
+    bytes, so row counts and min/max here attest to data AT REST (the
+    property the old full re-scan bought for ~2.5 s per 12M-row batch;
+    footers buy it for ~10 ms). Conservative: a column is reported in
+    `incomplete` (second return value) whenever ANY chunk lacks usable
+    statistics — INT96 timestamps (no stats by format), long binary
+    values (parquet-mr drops stats > 4 KiB rather than truncate, so a
+    present value is exact), missing null counts — and the caller runs
+    a targeted distributed completion over just those columns.
+    All-null chunks legitimately carry no min/max and do not mark the
+    column incomplete (min/max stay None, matching an aggregation over
+    an all-null column).
+
+    Returns (stats_by_column, incomplete_column_names); stats rows
+    total under key `__table`.
+    """
+    import datetime as _dt
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    def norm(v):
+        # Spark writes timestamps isAdjustedToUTC -> pyarrow returns
+        # tz-aware; the aggregation path yields naive UTC datetimes —
+        # normalize so renderings (and cursor positions) are identical
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    simple = {
+        f.name: isinstance(f.dataType, _STATS_TYPES) for f in schema.fields
+    }
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    bad: set[str] = set()
+    rows_total = 0
+    for p in sorted(Path(data_dir).glob("*.parquet")):
+        md = pq.read_metadata(str(p))
+        rows_total += md.num_rows
+        for rg in range(md.num_row_groups):
+            rg_meta = md.row_group(rg)
+            for ci in range(rg_meta.num_columns):
+                col = rg_meta.column(ci)
+                name = col.path_in_schema
+                root = name.split(".")[0]
+                if root not in simple:
+                    continue
+                if not simple[root] or "." in name:
+                    continue  # complex types: null-count-only via completion
+                st = col.statistics
+                if st is None or not st.has_null_count:
+                    bad.add(root)
+                    continue
+                nc = int(st.null_count)
+                nulls[root] = nulls.get(root, 0) + nc
+                if st.has_min_max:
+                    lo, hi = norm(st.min), norm(st.max)
+                    if root not in mins or lo < mins[root]:
+                        mins[root] = lo
+                    if root not in maxs or hi > maxs[root]:
+                        maxs[root] = hi
+                elif nc < rg_meta.num_rows:
+                    # values exist but no stats (e.g. INT96, oversized
+                    # binary) -> needs distributed completion
+                    bad.add(root)
+
+    out: dict[str, dict] = {}
+    incomplete: list[str] = []
+    for f in schema.fields:
+        if not simple[f.name] or f.name in bad:
+            incomplete.append(f.name)
+            continue
+        out[f.name] = {
+            "null_count": int(nulls.get(f.name, 0)),
+            "complete": True,
+            "min": _scalar(mins.get(f.name)),
+            "max": _scalar(maxs.get(f.name)),
+        }
+    out["__table"] = {"rows": rows_total}
+    return out, incomplete
+
+
 def _profile_aggs(df: DataFrame, with_hash: bool = True):
     """Shared aggregate list for profile/hash computation."""
     aggs = []

@@ -68,6 +68,10 @@ class LoadPipeline:
     # positions merged into the checkpoint beyond the cursor field —
     # how snapshot-table sources (Iceberg/Delta) record their frontier
     extra_positions: dict = field(default_factory=dict)
+    # parquet codec for package segments: snappy default (the general
+    # storage trade); "none" for encode-roofline workloads where the
+    # downstream rereads immediately and bytes are cheap
+    package_compression: str = "snappy"
 
     def run(self, spark: SparkSession, as_of: datetime | None = None) -> RunResult:
         desc: ResourceDescriptor = self.resource.descriptor
@@ -217,7 +221,9 @@ class LoadPipeline:
             if (cres is not None and not late_in_quarantine)
             else None
         )
-        builder = PackageBuilder(self.package_root, desc.resource_id)
+        builder = PackageBuilder(
+            self.package_root, desc.resource_id, compression=self.package_compression
+        )
         package = builder.build(
             admitted=df,
             quarantined=quarantined,

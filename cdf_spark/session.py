@@ -32,6 +32,11 @@ _DEFAULTS = {
     # Deterministic parquet reads for package hashing.
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # INT64 micros, not the deprecated INT96: interoperable (pyarrow/
+    # DuckDB read it natively) AND the writer emits footer min/max
+    # stats, which INT96 never has — the package evidence path and the
+    # iceberg/delta bounds pruning both harvest those footers.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
