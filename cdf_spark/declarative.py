@@ -193,6 +193,9 @@ class _TableFormatResource:
         self.table = table
         self._kw = dict(scan_kwargs or {})
 
+    def capabilities(self):
+        return self.table.capabilities()
+
     def scan(self, spark, request):
         return self.table.scan(spark, request, **self._kw)
 
@@ -207,6 +210,11 @@ class _ReadResource:
     def __init__(self, inner):
         self.inner = inner
         self.descriptor = inner.descriptor
+
+    def capabilities(self):
+        from .plans.scan import Capability
+
+        return Capability.text_format()
 
     def scan(self, spark, request):
         import inspect
