@@ -138,8 +138,15 @@ def footer_profile(data_dir, schema) -> tuple[dict[str, dict], list[str]]:
             return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v
 
+    from pyspark.sql import types as _T
+
+    # decimal stats surface from footers in physical (bytes/int) form
+    # whose lexical fold would be wrong — route them through the exact
+    # distributed completion instead
     simple = {
-        f.name: isinstance(f.dataType, _STATS_TYPES) for f in schema.fields
+        f.name: isinstance(f.dataType, _STATS_TYPES)
+        and not isinstance(f.dataType, _T.DecimalType)
+        for f in schema.fields
     }
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}

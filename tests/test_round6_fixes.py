@@ -309,3 +309,35 @@ def test_write_avro_row_cap_fires(spark):
     df = spark.range(0, 100)
     with pytest.raises(ValueError, match="capped at 10 rows"):
         write_avro(df, "/tmp/_nope.avro", max_rows=10)
+
+
+def test_footer_stats_decimal_and_timestamp_exact(spark, tmp_path):
+    """The footer-harvested evidence path must match the old
+    aggregation semantics exactly: decimals (physical-form footer
+    stats would fold wrongly) route through the distributed
+    completion; timestamps (INT64 micros since the INT96 retirement)
+    come straight from footers; values and renderings are identical
+    to an aggregation over the data."""
+    import datetime
+    import json as _json
+    from decimal import Decimal
+
+    from cdf_spark.package.builder import PackageBuilder
+
+    df = spark.createDataFrame(
+        [
+            (1, Decimal("10.50"), datetime.datetime(2024, 3, 1, 10, 30), "aa"),
+            (2, Decimal("-3.25"), datetime.datetime(2024, 7, 1, 12, 0), None),
+            (3, None, None, "zz"),
+        ],
+        "id long, amt decimal(10,2), ts timestamp, s string",
+    )
+    pkg = PackageBuilder(tmp_path, "dec").build(admitted=df)
+    st = _json.loads((tmp_path / pkg.package_id / "stats" / "column_stats.json").read_text())
+    assert st["id"] == {"null_count": 0, "complete": True, "min": 1, "max": 3}
+    assert st["amt"]["min"] == "-3.25" and st["amt"]["max"] == "10.50"
+    assert st["amt"]["null_count"] == 1
+    assert st["ts"]["min"] == "2024-03-01 10:30:00"
+    assert st["ts"]["max"] == "2024-07-01 12:00:00"
+    assert st["s"] == {"null_count": 1, "complete": True, "min": "aa", "max": "zz"}
+    assert st["__table"]["rows"] == 3
