@@ -36,9 +36,17 @@ from .stats import dataset_value_hash
 class DeltaDestination:
     """A Delta-table destination speaking the commit protocol."""
 
-    def __init__(self, table_path: str | Path, merge_keys: list[str] | None = None):
+    def __init__(
+        self,
+        table_path: str | Path,
+        merge_keys: list[str] | None = None,
+        checkpoint_interval: int = 10,
+        max_commit_retries: int = 5,
+    ):
         self.table_path = Path(table_path)
         self.merge_keys = merge_keys or []
+        self.checkpoint_interval = checkpoint_interval
+        self.max_commit_retries = max_commit_retries
 
     def _segments(self, package: PackageResult) -> list[str]:
         return sorted(str(p) for p in Path(package.data_path()).glob("*.parquet"))
@@ -49,8 +57,34 @@ class DeltaDestination:
         package: PackageResult,
         disposition: WriteDisposition = WriteDisposition.APPEND,
     ) -> Receipt:
+        """Commit with optimistic-concurrency RETRY (same policy as
+        IcebergDestination): the numbered commit JSON is the CAS token;
+        a loser discards its writer, rehydrates (winner's version
+        becomes the base), and redoes the commit — racing committers
+        serialize, the log stays linear, losers' parquet copies become
+        unreferenced orphans. A checkpoint parquet is written every
+        `checkpoint_interval` commits (the real-writer cadence) so
+        readers replay O(recent)."""
+        from ..sources.delta import DeltaError
+
+        attempt = 0
+        while True:
+            try:
+                return self._commit_once(spark, package, disposition)
+            except DeltaError as exc:
+                if "concurrent commit" not in str(exc) or attempt >= self.max_commit_retries:
+                    raise
+                attempt += 1
+                time.sleep(0.02 * attempt)
+
+    def _commit_once(
+        self,
+        spark: SparkSession,
+        package: PackageResult,
+        disposition: WriteDisposition,
+    ) -> Receipt:
         segments = self._segments(package)
-        w = DeltaFixtureWriter(self.table_path)
+        w = DeltaFixtureWriter(self.table_path, checkpoint_interval=self.checkpoint_interval)
         if disposition is WriteDisposition.APPEND:
             w.append_files(segments)
         elif disposition is WriteDisposition.REPLACE:
@@ -116,3 +150,28 @@ class DeltaDestination:
 
     def read(self, spark: SparkSession):
         return DeltaTable(self.table_path).read(spark)
+
+    def compact(self, spark: SparkSession, target_files: int = 8) -> dict:
+        """Maintenance: rewrite the current state into `target_files`
+        files as one replace commit (the OPTIMIZE analogue) — the
+        small-file remedy for per-epoch streaming commits. History
+        stays: earlier versions still time-travel until clean_log."""
+        import shutil
+        import tempfile
+
+        t = DeltaTable(self.table_path)
+        before = len(t.files_for_version(t.current_version()))
+        current = t.read(spark)
+        tmp = tempfile.mkdtemp(prefix="delta_compact_")
+        try:
+            current.repartition(target_files).write.mode("overwrite").parquet(tmp)
+            files = sorted(str(p) for p in Path(tmp).glob("*.parquet"))
+            w = DeltaFixtureWriter(self.table_path, checkpoint_interval=self.checkpoint_interval)
+            w.replace_files(files)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        after = DeltaTable(self.table_path)
+        return {
+            "files_before": before,
+            "files_after": len(after.files_for_version(after.current_version())),
+        }

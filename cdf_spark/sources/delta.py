@@ -355,10 +355,18 @@ class DeltaFixtureWriter:
     reads (and that delta-rs / Spark's Delta reader would accept for
     the actions emitted here)."""
 
-    def __init__(self, root: str | Path, table_id: str | None = None):
+    def __init__(
+        self,
+        root: str | Path,
+        table_id: str | None = None,
+        checkpoint_interval: int | None = None,
+    ):
         self.root = Path(root)
         (self.root / "_delta_log").mkdir(parents=True, exist_ok=True)
         self.table_id = table_id or str(uuid.uuid4())
+        # None = explicit checkpoints only (fixture default); real
+        # writers use 10 (DeltaDestination passes it)
+        self.checkpoint_interval = checkpoint_interval
         # resume an existing log: destinations are constructed per run
         # and must continue the version sequence, not fork it
         existing = [
@@ -426,7 +434,28 @@ class DeltaFixtureWriter:
             )
         lines.extend(json.dumps(a) for a in actions)
         path = self.root / "_delta_log" / f"{self._version:020d}.json"
-        path.write_text("\n".join(lines) + "\n")
+        # optimistic concurrency: the numbered commit file IS the CAS
+        # token (Delta's put-if-absent contract — on object stores the
+        # log store provides it; locally O_EXCL does). A concurrent
+        # writer that claimed this version first makes the loser fail
+        # loudly instead of clobbering the winner's commit.
+        try:
+            with open(path, "x") as fh:
+                fh.write("\n".join(lines) + "\n")
+        except FileExistsError:
+            self._version -= 1
+            raise DeltaError(
+                f"concurrent commit detected: version {path.name} already exists — "
+                "reload the table and retry the commit"
+            ) from None
+        if (
+            self.checkpoint_interval
+            and self._version > 0
+            and self._version % self.checkpoint_interval == 0
+        ):
+            # the every-N-commits checkpoint real Delta writers emit so
+            # readers replay O(recent), not O(history)
+            self.checkpoint()
         return self._version
 
     def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:

@@ -66,3 +66,70 @@ def test_merge_requires_keys(spark, tmp_path, orders):
     )
     with pytest.raises(ValueError, match="merge_keys"):
         dest.commit(spark, pkg, WriteDisposition.MERGE)
+
+
+def test_multiwriter_race_retries_to_serial_result(spark, tmp_path, orders):
+    """Two concurrent Delta committers race: the numbered commit JSON
+    is the CAS token (O_EXCL), the loser rehydrates and retries, and
+    the final log is linear with both commits present."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from cdf_spark.package import PackageBuilder
+    from cdf_spark.package.delta_dest import DeltaDestination
+    from cdf_spark.sources.base import WriteDisposition
+    from cdf_spark.sources.delta import DeltaTable
+
+    o = orders.select("o_orderkey", "o_totalprice")
+    dest = DeltaDestination(tmp_path / "t")
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    base = builder.build(admitted=o.filter(F.col("o_orderkey") <= 500))
+    dest.commit(spark, base, WriteDisposition.APPEND)
+
+    pkg_a = builder.build(admitted=o.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 700)))
+    pkg_b = builder.build(admitted=o.filter(F.col("o_orderkey") > 700))
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def commit(pkg):
+        try:
+            barrier.wait(timeout=30)
+            DeltaDestination(tmp_path / "t").commit(spark, pkg, WriteDisposition.APPEND)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta = threading.Thread(target=commit, args=(pkg_a,))
+    tb = threading.Thread(target=commit, args=(pkg_b,))
+    ta.start(); tb.start(); ta.join(60); tb.join(60)
+    assert not errors, f"retry policy must absorb the race: {errors}"
+
+    t = DeltaTable(tmp_path / "t")
+    assert t.current_version() == 2  # linear: base + two serialized appends
+    assert t.read(spark).count() == o.count()
+
+
+def test_auto_checkpoint_and_compact(spark, tmp_path, orders):
+    """The destination writes a checkpoint parquet every N commits
+    (real-writer cadence) and compact() collapses small files into one
+    replace commit that still reads identically."""
+    from pyspark.sql import functions as F
+
+    from cdf_spark.package import PackageBuilder
+    from cdf_spark.package.delta_dest import DeltaDestination
+    from cdf_spark.sources.base import WriteDisposition
+    from cdf_spark.sources.delta import DeltaTable
+
+    o = orders.select("o_orderkey", "o_totalprice").limit(400)
+    dest = DeltaDestination(tmp_path / "t", checkpoint_interval=2)
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    for i in range(3):
+        pkg = builder.build(admitted=o.filter(F.col("o_orderkey") % 3 == i))
+        dest.commit(spark, pkg, WriteDisposition.APPEND)
+    cks = list((tmp_path / "t" / "_delta_log").glob("*.checkpoint.parquet"))
+    assert cks, "interval checkpoints must be written"
+
+    n = dest.read(spark).count()
+    out = dest.compact(spark, target_files=1)
+    assert out["files_after"] <= out["files_before"]
+    assert dest.read(spark).count() == n
