@@ -2224,6 +2224,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r6 --
     "declarative_iceberg_run",
     "semantic_dedup_keep",
+    "mongo_extended_json_scan",
     # -- never driver-checked through r5 (4): closing these makes
     #    cumulative driver coverage 116/116 --
     "bloom_membership_keys",
@@ -2280,11 +2281,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "projection_pruning",
     "stratified_sample",
     "exact_dedup_docs",
-    "hll_cardinality",
-    # (range_join_campaigns + domain_mix_sample rotated out for the
-    # new declarative_iceberg_run + semantic_dedup_keep: both r4-green
-    # and unchanged since; everything else was driver-green in r4/r5
-    # and unchanged this round; the window is exactly 50)
+    # (range_join_campaigns + domain_mix_sample + hll_cardinality
+    # rotated out for the new declarative_iceberg_run +
+    # semantic_dedup_keep + mongo_extended_json_scan: all r4-green and
+    # unchanged since; everything else was driver-green in r4/r5 and
+    # unchanged this round; the window is exactly 50)
 ]
 
 
@@ -4105,6 +4106,67 @@ def avro_roundtrip_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("avro_rt", sf, build)
     return read_avro(spark, f"{tmp}/nation.avro")
+
+
+@_register(
+    "mongo_extended_json_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey <= 900
+    """,
+)
+def mongo_extended_json_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Transport fidelity through the MongoDB-shaped source
+    (`sources/mongo_source.MongoCollectionResource`, replacing
+    `crates/cdf-source-mongodb/src/resource.rs:254-340`): an orders
+    subset is exported as mongoexport relaxed extended JSON — long
+    keys wrapped as {"$numberLong": "..."}, timestamps as {"$date":
+    ISO-8601}, an ObjectId-shaped _id as {"$oid": ...} — and the
+    collection scan must unwrap every wrapper back to typed columns
+    equal to the parquet original. The NDJSON is WRITTEN by Spark and
+    parsed by Spark's native distributed json reader (no driver-side
+    rows)."""
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 900)
+        doc = F.to_json(
+            F.struct(
+                F.struct(
+                    F.lpad(F.hex(F.col("o_orderkey")), 24, "0").alias("$oid")
+                ).alias("_id"),
+                F.struct(
+                    F.col("o_orderkey").cast("string").alias("$numberLong")
+                ).alias("o_orderkey"),
+                F.struct(
+                    F.col("o_custkey").cast("string").alias("$numberLong")
+                ).alias("o_custkey"),
+                F.col("o_totalprice"),
+                F.struct(
+                    F.date_format(
+                        F.col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                    ).alias("$date")
+                ).alias("o_orderdate"),
+            )
+        )
+        o.select(doc.alias("value")).coalesce(1).write.mode("overwrite").text(
+            f"{tmp}/orders_coll"
+        )
+
+    tmp = _session_fixture("mongo_ext", sf, build)
+    from .sources.base import ResourceDescriptor
+    from .sources.mongo_source import MongoCollectionResource
+
+    res = MongoCollectionResource(
+        descriptor=ResourceDescriptor(resource_id="orders_coll"),
+        path=f"{tmp}/orders_coll/*.txt",
+    )
+    df = res.read(spark)
+    return df.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_orderdate").alias("o_orderdate"),
+    )
 
 
 @_register(
