@@ -2225,6 +2225,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "declarative_iceberg_run",
     "semantic_dedup_keep",
     "mongo_extended_json_scan",
+    "mongo_change_stream_apply",
     # -- never driver-checked through r5 (4): closing these makes
     #    cumulative driver coverage 116/116 --
     "bloom_membership_keys",
@@ -2279,13 +2280,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "delta_changes_since",
     "scan_pushdown_residual",
     "projection_pruning",
-    "stratified_sample",
     "exact_dedup_docs",
-    # (range_join_campaigns + domain_mix_sample + hll_cardinality
-    # rotated out for the new declarative_iceberg_run +
-    # semantic_dedup_keep + mongo_extended_json_scan: all r4-green and
-    # unchanged since; everything else was driver-green in r4/r5 and
-    # unchanged this round; the window is exactly 50)
+    # (range_join_campaigns, domain_mix_sample, hll_cardinality,
+    # stratified_sample rotated out for the four new r6 queries: all
+    # r4-green and unchanged since; everything else was driver-green
+    # in r4/r5 and unchanged this round; the window is exactly 50)
 ]
 
 
@@ -4166,6 +4165,78 @@ def mongo_extended_json_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("o_custkey"),
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         F.col("o_orderdate").alias("o_orderdate"),
+    )
+
+
+@_register(
+    "mongo_change_stream_apply",
+    """
+    SELECT o_orderkey AS _id,
+           CASE WHEN o_orderkey <= 200 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey <= 600 AND o_orderkey < 500
+    """,
+)
+def mongo_change_stream_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-stream application end-to-end (`sources/mongo_source.
+    MongoChangeStreamResource`, the watch()-event shape of
+    `crates/cdf-source-mongodb/src/resource.rs:254-340`): archived
+    events — inserts for keys <= 600, then updates setting
+    o_totalprice = -1 for keys <= 200, then deletes for keys in
+    [500, 600] — reduce to one winner per key in resume-token order
+    and merge into an empty target. The oracle recomputes the final
+    state relationally; resume tokens are lexically ordered strings as
+    the stream contract requires."""
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        base = o.filter(F.col("o_orderkey") <= 600)
+
+        def event(phase: str, op: str, df, with_doc: bool, price=None):
+            doc_price = (
+                F.lit(float(price)).alias("o_totalprice")
+                if price is not None
+                else F.col("o_totalprice")
+            )
+            parts = [
+                F.struct(
+                    F.concat(
+                        F.lit(phase + "-"),
+                        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+                    ).alias("_data")
+                ).alias("_id"),
+                F.lit(op).alias("operationType"),
+                F.struct(F.col("o_orderkey").alias("_id")).alias("documentKey"),
+            ]
+            if with_doc:
+                parts.append(
+                    F.struct(
+                        F.col("o_orderkey").alias("_id"), doc_price
+                    ).alias("fullDocument")
+                )
+            return df.select(F.to_json(F.struct(*parts)).alias("value"))
+
+        inserts = event("0001", "insert", base, True)
+        updates = event("0002", "update", base.filter(F.col("o_orderkey") <= 200), True, -1.0)
+        deletes = event(
+            "0003", "delete", base.filter(F.col("o_orderkey") >= 500), False
+        )
+        inserts.unionByName(updates).unionByName(deletes).coalesce(1).write.mode(
+            "overwrite"
+        ).text(f"{tmp}/events")
+
+    tmp = _session_fixture("mongo_cs", sf, build)
+    from .sources.base import ResourceDescriptor
+    from .sources.mongo_source import MongoChangeStreamResource
+
+    res = MongoChangeStreamResource(
+        descriptor=ResourceDescriptor(resource_id="orders_cs"),
+        path=f"{tmp}/events/*.txt",
+    )
+    empty = spark.createDataFrame([], "_id bigint, o_totalprice double")
+    applied, _pos = res.apply(spark, empty)
+    return applied.select(
+        F.col("_id").cast("long").alias("_id"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
 
 
