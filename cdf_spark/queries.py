@@ -2226,6 +2226,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "semantic_dedup_keep",
     "mongo_extended_json_scan",
     "mongo_change_stream_apply",
+    "clickhouse_transport_scan",
     # -- never driver-checked through r5 (4): closing these makes
     #    cumulative driver coverage 116/116 --
     "bloom_membership_keys",
@@ -2280,11 +2281,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "delta_changes_since",
     "scan_pushdown_residual",
     "projection_pruning",
-    "exact_dedup_docs",
     # (range_join_campaigns, domain_mix_sample, hll_cardinality,
-    # stratified_sample rotated out for the four new r6 queries: all
-    # r4-green and unchanged since; everything else was driver-green
-    # in r4/r5 and unchanged this round; the window is exactly 50)
+    # stratified_sample, exact_dedup_docs rotated out for the five new
+    # r6 queries: all r4-green and unchanged since; everything else
+    # was driver-green in r4/r5 and unchanged this round; the window
+    # is exactly 50)
 ]
 
 
@@ -4165,6 +4166,78 @@ def mongo_extended_json_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("o_custkey"),
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         F.col("o_orderdate").alias("o_orderdate"),
+    )
+
+
+@_register(
+    "clickhouse_transport_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey < 100 ORDER BY o_orderkey LIMIT 500
+    """,
+)
+def clickhouse_transport_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """The ClickHouse resource's FULL negotiated path executed by a
+    LIVE engine behind the transport seam
+    (`sources/clickhouse_source.ClickHouseScanResource`, replacing
+    `crates/cdf-source-clickhouse/src/resource.rs:254-300`): the
+    negotiated projection/predicate/order/limit render to SQL, the
+    transport executes it (here DuckDB standing in for the server —
+    the exact surface `clickhouse_driver.Client.execute` provides, and
+    the only piece a live deployment swaps), rows come back as bare
+    tuples the plan's column order types. Pushdown is real: the engine
+    enforces the WHERE/ORDER/LIMIT, not a post-filter."""
+    import duckdb as _duckdb
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        rows = [(int(r[0]), int(r[1]), float(r[2])) for r in o.collect()]
+        con = _duckdb.connect(f"{tmp}/ch.duckdb")
+        con.execute(
+            "CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)"
+        )
+        con.executemany("INSERT INTO orders VALUES (?, ?, ?)", rows)
+        con.close()
+
+    tmp = _session_fixture("ch_scan", sf, build)
+    from .expressions.ast import Col, Lit
+    from .plans.scan import OrderBy, ScanRequest
+    from .sources.base import ResourceDescriptor
+    from .sources.clickhouse_source import ClickHouseScanResource
+
+    class _DuckBackedTransport:
+        """clickhouse_driver.Client.execute-shaped: query(sql) ->
+        list of tuples."""
+
+        def __init__(self, path: str):
+            self._con = _duckdb.connect(path, read_only=True)
+
+        def query(self, sql: str):
+            return self._con.execute(sql).fetchall()
+
+        def close(self):
+            self._con.close()
+
+    res = ClickHouseScanResource(
+        ResourceDescriptor(resource_id="orders_ch"),
+        transport_factory=lambda: _DuckBackedTransport(f"{tmp}/ch.duckdb"),
+        table="orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    df, _plan = res.scan(
+        spark,
+        ScanRequest(
+            "orders_ch",
+            projection=["o_orderkey", "o_custkey", "o_totalprice"],
+            predicates=[Col("o_custkey") < Lit(100)],
+            order_by=[OrderBy("o_orderkey", ascending=True)],
+            limit=500,
+        ),
+    )
+    return df.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
 
 
