@@ -2227,6 +2227,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "mongo_extended_json_scan",
     "mongo_change_stream_apply",
     "clickhouse_transport_scan",
+    "airbyte_subprocess_scan",
     # -- never driver-checked through r5 (4): closing these makes
     #    cumulative driver coverage 116/116 --
     "bloom_membership_keys",
@@ -2279,7 +2280,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "late_data_classify",
     "delta_time_travel",
     "delta_changes_since",
-    "scan_pushdown_residual",
     "projection_pruning",
     # (range_join_campaigns, domain_mix_sample, hll_cardinality,
     # stratified_sample, exact_dedup_docs rotated out for the five new
@@ -4166,6 +4166,72 @@ def mongo_extended_json_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("o_custkey"),
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         F.col("o_orderdate").alias("o_orderdate"),
+    )
+
+
+@_register(
+    "airbyte_subprocess_scan",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def airbyte_subprocess_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """A REAL child process speaking the Airbyte protocol, consumed by
+    the subprocess adapter (`sources/subprocess_source.
+    run_airbyte_source`, framing parity with
+    `crates/cdf-subprocess/src/airbyte.rs:63-120`): the fixture
+    generates a tap script that emits CATALOG (typed json_schema) +
+    RECORD + stream STATE over the supplier table's NDJSON dump; the
+    adapter applies the catalog schema, filters the stream, and the
+    decoded frame must equal the parquet original. The subprocess
+    boundary is genuine — stdout framing, malformed-line numbering and
+    state positions all exercised live."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    def build(tmp: str) -> None:
+        s = _t(spark, sf, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        )
+        s.coalesce(1).write.mode("overwrite").json(f"{tmp}/supplier_nd")
+        _Path(f"{tmp}/tap.py").write_text(
+            '''
+import glob, json, sys
+rows = []
+for p in sorted(glob.glob(sys.argv[1] + "/*.json")):
+    with open(p) as f:
+        rows += [json.loads(l) for l in f if l.strip()]
+print(json.dumps({"type": "CATALOG", "catalog": {"streams": [{
+    "name": "supplier",
+    "json_schema": {"type": "object", "properties": {
+        "s_suppkey": {"type": "integer"},
+        "s_name": {"type": "string"},
+        "s_nationkey": {"type": "integer"},
+        "s_acctbal": {"type": "number"}}}}]}}))
+for i, r in enumerate(rows):
+    print(json.dumps({"type": "RECORD", "record": {
+        "stream": "supplier", "data": r, "emitted_at": 1700000000000 + i}}))
+print(json.dumps({"type": "STATE", "state": {"type": "STREAM",
+    "stream": {"stream_descriptor": {"name": "supplier"},
+               "stream_state": {"rows": len(rows)}}}}))
+'''
+        )
+
+    tmp = _session_fixture("airbyte_sub", sf, build)
+    from .sources.subprocess_source import run_airbyte_source
+
+    result = run_airbyte_source(
+        spark,
+        [_sys.executable, f"{tmp}/tap.py", f"{tmp}/supplier_nd"],
+        stream="supplier",
+    )
+    if not result.positions:
+        raise RuntimeError("airbyte tap emitted no STATE position")
+    return result.df.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
     )
 
 
