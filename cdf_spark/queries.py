@@ -2228,6 +2228,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "mongo_change_stream_apply",
     "clickhouse_transport_scan",
     "airbyte_subprocess_scan",
+    "rest_paged_scan",
+    "python_resource_context_scan",
     # -- never driver-checked through r5 (4): closing these makes
     #    cumulative driver coverage 116/116 --
     "bloom_membership_keys",
@@ -2271,11 +2273,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "asof_join_events_orders",
     "dedup_keep_last",
-    "dedup_keep_first",
     "keyed_effects_reduce",
     "effects_apply_merge",
     "contract_verdicts",
-    "contract_quarantine_rows",
     "transform_chain",
     "late_data_classify",
     "delta_time_travel",
@@ -4166,6 +4166,118 @@ def mongo_extended_json_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("o_custkey"),
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         F.col("o_orderdate").alias("o_orderdate"),
+    )
+
+
+@_register(
+    "rest_paged_scan",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey <= 300 AND c_custkey > 50
+    """,
+)
+def rest_paged_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """A REAL paged HTTP exchange (`sources/rest.RestResource`,
+    replacing `crates/cdf-source-rest/`): a local HTTP server serves
+    the customer subset 40 rows per page; the resource pages through
+    `?page=N`, pushes the declared cursor as a `c_custkey_gt` query
+    parameter (the server enforces it — cursor pushdown is real, not a
+    post-filter), and the assembled frame must equal the relational
+    recompute. The server lives only for the duration of the read."""
+    import json as _json
+    import threading as _threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    rows = [
+        {"c_custkey": int(r[0]), "c_name": r[1], "c_acctbal": float(r[2])}
+        for r in _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+        .collect()
+    ]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            page = int(q.get("page", ["0"])[0])
+            gt = q.get("c_custkey_gt")
+            data = rows
+            if gt:  # server-side cursor enforcement
+                data = [r for r in rows if r["c_custkey"] > int(gt[0])]
+            items = data[page * 40 : (page + 1) * 40]
+            body = _json.dumps({"items": items}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # noqa: D102 — quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from .sources.base import CursorSpec, ResourceDescriptor
+        from .sources.rest import Pagination, RestResource
+
+        res = RestResource(
+            descriptor=ResourceDescriptor(
+                resource_id="customers_api",
+                schema={"c_custkey": "int64", "c_name": "utf8", "c_acctbal": "float64"},
+                cursor=CursorSpec("c_custkey", None),
+            ),
+            url=f"http://127.0.0.1:{srv.server_port}/customers",
+            pagination=Pagination(strategy="page", param="page", start=0, items_field="items"),
+        )
+        df, _pos = res.read(spark, cursor_resume=50)
+    finally:
+        srv.shutdown()
+    return df.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+
+
+@_register(
+    "python_resource_context_scan",
+    """
+    SELECT CAST(i AS BIGINT) AS id, CAST(i AS DOUBLE) * 10.0 AS amount
+    FROM range(1, 501) r(i) WHERE i > 100
+    """,
+)
+def python_resource_context_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Python `@resource` generator with engine Context injection
+    (`sources/python_source.PythonResource` + `sources/context.py`,
+    the reference's python SDK shape `python/cdf_sdk/context.py:60-71`):
+    the generator reads its resume position from the injected cursor
+    view and pushes the filter to its own 'upstream' (yields only ids
+    past the resume point) — pushdown by contract, verified because
+    the oracle recomputes the same window relationally."""
+    from .sources.base import CursorSpec, ResourceDescriptor
+    from .sources.python_source import PythonResource
+
+    def gen(context):
+        start = int(context.cursor.get("id") or 0)
+        for i in range(start + 1, 501):
+            yield {"id": i, "amount": float(i) * 10.0}
+
+    res = PythonResource(
+        descriptor=ResourceDescriptor(
+            resource_id="py_rows",
+            schema={"id": "int64", "amount": "float64"},
+            cursor=CursorSpec("id", None),
+        ),
+        fn=gen,
+    )
+    return res.read(spark, cursor_resume=100).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("amount").cast("double").alias("amount"),
     )
 
 
