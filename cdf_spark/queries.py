@@ -2230,6 +2230,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "airbyte_subprocess_scan",
     "rest_paged_scan",
     "python_resource_context_scan",
+    "cdc_epoch_apply",
     # -- never driver-checked through r5 (4): closing these makes
     #    cumulative driver coverage 116/116 --
     "bloom_membership_keys",
@@ -2273,7 +2274,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "asof_join_events_orders",
     "dedup_keep_last",
-    "keyed_effects_reduce",
     "effects_apply_merge",
     "contract_verdicts",
     "transform_chain",
@@ -4166,6 +4166,80 @@ def mongo_extended_json_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("o_custkey"),
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         F.col("o_orderdate").alias("o_orderdate"),
+    )
+
+
+@_register(
+    "cdc_epoch_apply",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= 150 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey <= 500 AND o_orderkey < 400
+    """,
+)
+def cdc_epoch_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """The CDC log source end-to-end at TRANSACTION boundaries
+    (`sources/cdc.CdcLogSource`, replacing the reference's WAL epoch
+    machinery `crates/cdf-kernel/src/position/cdc.rs:1-936` +
+    `drain_epoch.rs`): a three-transaction log (inserts <= 500, then
+    updates <= 150 to -1, then deletes [400, 500]) consumed as TWO
+    epochs — the first capped at max_txns=2 so its boundary falls
+    exactly between whole transactions, the second resuming from the
+    checkpointed txid. Within each epoch effects reduce per key in
+    (txid, seq) order and merge atomically; the oracle recomputes the
+    final state relationally."""
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        base = o.filter(F.col("o_orderkey") <= 500)
+        w = Window.orderBy("o_orderkey")
+        tx1 = base.select(
+            F.col("o_orderkey"),
+            F.col("o_totalprice"),
+            F.lit("insert").alias("op"),
+            F.lit(1).cast("long").alias("txid"),
+            F.row_number().over(w).cast("long").alias("seq"),
+        )
+        tx2 = (
+            base.filter(F.col("o_orderkey") <= 150)
+            .select(
+                F.col("o_orderkey"),
+                F.lit(-1.0).alias("o_totalprice"),
+                F.lit("update").alias("op"),
+                F.lit(2).cast("long").alias("txid"),
+                F.row_number().over(w).cast("long").alias("seq"),
+            )
+        )
+        tx3 = (
+            base.filter(F.col("o_orderkey") >= 400)
+            .select(
+                F.col("o_orderkey"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+                F.lit("delete").alias("op"),
+                F.lit(3).cast("long").alias("txid"),
+                F.row_number().over(w).cast("long").alias("seq"),
+            )
+        )
+        tx1.unionByName(tx2).unionByName(tx3).write.mode("overwrite").parquet(
+            f"{tmp}/cdc_log"
+        )
+
+    tmp = _session_fixture("cdc_log", sf, build)
+    from .sources.cdc import CdcLogSource
+
+    src = CdcLogSource(f"{tmp}/cdc_log", keys=["o_orderkey"])
+    target = spark.createDataFrame([], "o_orderkey bigint, o_totalprice double")
+    plan1 = src.plan_epoch(spark, resume_txid=None, max_txns=2)
+    if plan1 is None or plan1.txn_count != 2:
+        raise RuntimeError(f"epoch 1 must span exactly 2 whole transactions, got {plan1}")
+    target = src.apply_epoch(spark, target, plan1, payload_cols=["o_totalprice"])
+    plan2 = src.plan_epoch(spark, resume_txid=plan1.to_txid_inclusive)
+    if plan2 is None or plan2.txn_count != 1:
+        raise RuntimeError(f"epoch 2 must span the final transaction, got {plan2}")
+    target = src.apply_epoch(spark, target, plan2, payload_cols=["o_totalprice"])
+    return target.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
 
 
