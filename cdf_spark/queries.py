@@ -2231,6 +2231,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rest_paged_scan",
     "python_resource_context_scan",
     "cdc_epoch_apply",
+    "byte_transform_chain_scan",
     # -- never driver-checked through r5 (4): closing these makes
     #    cumulative driver coverage 116/116 --
     "bloom_membership_keys",
@@ -2243,7 +2244,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "lag_lead_price_delta",
     "variant_capture_json",
     # -- last driver-green in r3 --
-    "q4_order_priority_semijoin",
     "q13_customer_distribution",
     "q18_large_volume_having",
     "q19_disjunctive_filter",
@@ -4167,6 +4167,65 @@ def mongo_extended_json_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         F.col("o_orderdate").alias("o_orderdate"),
     )
+
+
+@_register(
+    "byte_transform_chain_scan",
+    """
+    SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_size >= 20
+    """,
+)
+def byte_transform_chain_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """A declared byte-transform CHAIN executed on executors
+    (`sources/byte_transforms.read_with_transforms`, replacing the
+    reference's `cdf-transform-*` crate family): part rows exported as
+    UTF-16LE NDJSON, xz-compressed, split across multiple files; the
+    chain [xz, transcode:utf-16-le] decompresses + transcodes per file
+    in mapInPandas batches, parsing stays JVM-side (`from_json`), and
+    the decoded frame equals the relational recompute."""
+    import lzma as _lzma
+    from pathlib import Path as _Path
+
+    def build(tmp: str) -> None:
+        rows = (
+            _t(spark, sf, "part")
+            .filter(F.col("p_size") >= 20)
+            .select("p_partkey", "p_brand", "p_retailprice")
+            .orderBy("p_partkey")
+            .collect()
+        )
+        import json as _json
+
+        d = _Path(tmp) / "chain"
+        d.mkdir(parents=True, exist_ok=True)
+        # three files so the executor-side decode genuinely fans out
+        chunks = [rows[i::3] for i in range(3)]
+        for i, chunk in enumerate(chunks):
+            text = "\n".join(
+                _json.dumps(
+                    {
+                        "p_partkey": int(r[0]),
+                        "p_brand": r[1],
+                        "p_retailprice": float(r[2]),
+                    }
+                )
+                for r in chunk
+            )
+            (d / f"part-{i}.ndjson.xz").write_bytes(
+                _lzma.compress(text.encode("utf-16-le"))
+            )
+
+    tmp = _session_fixture("byte_chain", sf, build)
+    from .sources.byte_transforms import read_with_transforms
+
+    df = read_with_transforms(
+        spark,
+        f"{tmp}/chain/*.xz",
+        transforms=["xz", "transcode:utf-16-le"],
+        format="ndjson",
+        schema="p_partkey bigint, p_brand string, p_retailprice double",
+    )
+    return df.select("p_partkey", "p_brand", "p_retailprice")
 
 
 @_register(
