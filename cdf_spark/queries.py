@@ -2244,6 +2244,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "lag_lead_price_delta",
     "variant_capture_json",
     # -- last driver-green in r3 --
+    "q4_order_priority_semijoin",
     "q13_customer_distribution",
     "q18_large_volume_having",
     "q19_disjunctive_filter",
@@ -2271,7 +2272,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "asof_join_events_orders",
     "dedup_keep_last",
     "effects_apply_merge",
@@ -2334,6 +2334,7 @@ def q4(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "q4_order_priority_semijoin",
     "q13_customer_distribution",
     """
     WITH per_cust AS (
