@@ -2334,7 +2334,6 @@ def q4(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
-    "q4_order_priority_semijoin",
     "q13_customer_distribution",
     """
     WITH per_cust AS (
