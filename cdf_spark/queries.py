@@ -2232,6 +2232,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "python_resource_context_scan",
     "cdc_epoch_apply",
     "byte_transform_chain_scan",
+    "dlt_incremental_scan",
     # -- never driver-checked through r5 (4): closing these makes
     #    cumulative driver coverage 116/116 --
     "bloom_membership_keys",
@@ -2276,7 +2277,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dedup_keep_last",
     "effects_apply_merge",
     "contract_verdicts",
-    "transform_chain",
     "late_data_classify",
     "delta_time_travel",
     "delta_changes_since",
@@ -4166,6 +4166,47 @@ def mongo_extended_json_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("o_custkey"),
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         F.col("o_orderdate").alias("o_orderdate"),
+    )
+
+
+@_register(
+    "dlt_incremental_scan",
+    """
+    SELECT CAST(i AS BIGINT) AS id, CAST(i AS DOUBLE) * 2.5 AS amount
+    FROM range(1, 401) r(i) WHERE i > 120
+    """,
+)
+def dlt_incremental_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """The dlt-compat shim end-to-end (`sources/dlt_compat`, the
+    reference's python SDK compatibility surface): a ``@resource``
+    generator with an ``incremental`` cursor hint runs twice against a
+    shared pipeline state — the first run advances last_value to 120,
+    the second yields ONLY the (120, 400] delta (dlt cursor
+    semantics). The oracle recomputes the second run's window
+    relationally."""
+    from .sources.dlt_compat import incremental, pipeline_state, resource, run_resource
+
+    state = pipeline_state()
+
+    def make(limit: int):
+        @resource(
+            name="nums",
+            primary_key="id",
+            incremental=incremental("id"),
+        )
+        def nums():
+            for i in range(1, limit + 1):
+                yield {"id": i, "amount": float(i) * 2.5}
+
+        return nums
+
+    df1, _ = run_resource(spark, make(120), state=state)
+    if df1.count() != 120:
+        raise RuntimeError("first dlt run must take the full initial window")
+    df2, _ = run_resource(spark, make(400), state=state)
+    return df2.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("amount").cast("double").alias("amount"),
     )
 
 
