@@ -96,7 +96,7 @@ def system_sql(spark: SparkSession, ledger_root: str | Path, package_root: str |
 
     ledger_root = Path(ledger_root)
     views = {}
-    for name in ("checkpoints", "receipts"):
+    for name in ("checkpoints", "receipts", "corrections"):
         p = ledger_root / f"{name}.jsonl"
         if p.exists():
             views[name] = spark.read.json(str(p))
