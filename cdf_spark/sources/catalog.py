@@ -447,9 +447,19 @@ class CatalogTableResource:
 
             return DeltaTable(self.table.storage.location)
         if self.table_class is TableClass.HUDI:
+            from pathlib import Path as _Path
+
             from .hudi import HudiTable
 
-            return HudiTable(self.table.storage.location)
+            # timeline decides the reader: `.deltacommit` instants mean
+            # merge-on-read (log files + compaction); plain `.commit`
+            # timelines are copy-on-write
+            loc = self.table.storage.location
+            if any((_Path(loc) / ".hoodie").glob("*.deltacommit")):
+                from .hudi_mor import HudiMorTable
+
+                return HudiMorTable(loc)
+            return HudiTable(loc)
         if self.table_class is not TableClass.ICEBERG:
             raise CatalogError(
                 "snapshot_source() is only for iceberg/delta/hudi-classified tables"

@@ -23,8 +23,8 @@ ordered timestamps (Hudi's own invariant), so
 `TableSnapshotPosition(snapshot_id=int(instant))` orders naturally.
 
 Scope: copy-on-write with `.commit` instants. Merge-on-read (log files
-+ compaction, `.deltacommit`) is out of scope and detected -> error,
-not silently misread.
++ compaction, `.deltacommit`) is detected and routed to its own reader
+(`hudi_mor.py`) — never silently misread here.
 """
 
 from __future__ import annotations
@@ -58,7 +58,10 @@ class HudiTable:
         if not self.hoodie.is_dir():
             raise HudiError(f"{self.root} has no .hoodie/ — not a Hudi table")
         if any(self.hoodie.glob("*.deltacommit")):
-            raise HudiError("merge-on-read timeline (.deltacommit) is not supported")
+            raise HudiError(
+                "merge-on-read timeline (.deltacommit): use HudiMorTable "
+                "(sources/hudi_mor.py) — this reader is copy-on-write only"
+            )
 
     # -- timeline ---------------------------------------------------------
     def instants(self) -> list[str]:
