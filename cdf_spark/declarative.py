@@ -274,6 +274,8 @@ def _build_resource(src: dict, desc: ResourceDescriptor):
             kw["as_of_ms"] = int(src["as_of_timestamp_ms"])
         return _TableFormatResource(desc, DeltaTable(src["path"]), kw)
     if kind == "hudi":
+        from pathlib import Path as _Path
+
         from .sources.hudi import HudiTable
 
         kw = {}
@@ -281,6 +283,12 @@ def _build_resource(src: dict, desc: ResourceDescriptor):
             kw["instant"] = str(src["instant"])
         if src.get("as_of_instant") is not None:
             kw["as_of_instant"] = str(src["as_of_instant"])
+        # timeline decides the reader (same routing as the catalog):
+        # `.deltacommit` instants -> merge-on-read
+        if any((_Path(src["path"]) / ".hoodie").glob("*.deltacommit")):
+            from .sources.hudi_mor import HudiMorTable
+
+            return _TableFormatResource(desc, HudiMorTable(src["path"]), kw)
         return _TableFormatResource(desc, HudiTable(src["path"]), kw)
     if kind in ("duckdb", "sqlite"):
         from .sources.dbapi import DbApiResource

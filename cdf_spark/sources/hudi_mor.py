@@ -450,6 +450,7 @@ class HudiMorTable:
         spark: SparkSession,
         request: ScanRequest,
         instant: str | None = None,
+        as_of_instant: str | None = None,
     ) -> tuple[DataFrame, ScanPlan]:
         """Negotiated snapshot scan. All predicates are residual (the
         merge sits below them — capabilities() declares no predicate
@@ -457,7 +458,12 @@ class HudiMorTable:
         set and fidelity stays honest); projection is applied
         post-merge."""
         plan = negotiate(request, self.capabilities())
-        instant = instant or self.latest_instant()
+        if instant is None:
+            instant = (
+                self.instant_as_of(as_of_instant)
+                if as_of_instant is not None
+                else self.latest_instant()
+            )
         df = self.snapshot(spark, instant=instant)
         for e in plan.all_engine_predicates():
             df = df.filter(lower(e))

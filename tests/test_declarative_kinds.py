@@ -100,6 +100,32 @@ destination = {{ kind = "parquet" }}
     assert out.count() == 500
 
 
+def test_kind_hudi_routes_merge_on_read(spark, tmp_path, orders):
+    """A `.deltacommit` timeline under kind=hudi must route to the MoR
+    reader and serve the MERGED snapshot (pending log upserts applied),
+    not the base files."""
+    from pyspark.sql import functions as F
+
+    from cdf_spark.sources.hudi_mor import HudiMorFixtureWriter
+
+    o = orders.select("o_orderkey", "o_totalprice").limit(100)
+    w = HudiMorFixtureWriter(tmp_path / "hm", record_key="o_orderkey", n_buckets=2)
+    w.insert(o)
+    w.upsert(o.withColumn("o_totalprice", F.lit(-1.0)).limit(10))
+
+    _, out = _run_decl(
+        spark,
+        tmp_path,
+        f"""
+[resources.hm_orders]
+source = {{ kind = "hudi", path = "{tmp_path / 'hm'}" }}
+destination = {{ kind = "parquet" }}
+""",
+    )
+    assert out.count() == 100
+    assert out.filter(F.col("o_totalprice") == -1.0).count() == 10
+
+
 def test_kind_duckdb_pushdown(spark, tmp_path):
     import duckdb
 
