@@ -1687,6 +1687,42 @@ def iceberg_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_transform_prune",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey = 7 AND o_orderkey <= 3000
+    """,
+)
+def iceberg_transform_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg PARTITION-TRANSFORM pruning (`sources/iceberg.py`): the
+    table is bucketed by `bucket[8](o_custkey)` — the spec's murmur3,
+    NOT Spark's hash — so an equality predicate on the source column
+    must be PROJECTED into bucket space (inclusive projection) and
+    prune ~7/8 of the files, while the projected predicate alone can
+    never prune the matching bucket (asserted); residual filters then
+    deliver exact rows, so values match the plain SQL filter."""
+    from .expressions.ast import Col, Lit
+    from .plans.scan import ScanRequest
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = IcebergFixtureWriter(
+            f"{tmp}/t", seed=41, partition_by=[("bucket", 8, "o_custkey")]
+        )
+        w.append(o.filter(F.col("o_orderkey") <= 3000), timestamp_ms=1000)
+
+    tmp = _session_fixture("ice_bucket", sf, build)
+    out, plan = IcebergTable(f"{tmp}/t").scan(
+        spark, ScanRequest("orders_ice_b", predicates=[Col("o_custkey") == Lit(7)])
+    )
+    meta = plan.partitions.meta
+    if not (meta["files_pruned"] > 0 and meta["files_kept"] >= 1):
+        raise AssertionError(f"bucket-transform pruning regressed: {meta}")
+    return out
+
+
+@_register(
     "iceberg_dest_upsert",
     """
     WITH base AS (
@@ -2336,7 +2372,8 @@ PARITY_TWINS: set[str] = {
 # behind them. Revisit each round: once a query is driver-green, move
 # fresher debt into the head.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- new in r6 (Hudi merge-on-read) --
+    # -- new in r6 (Iceberg transform pruning, Hudi merge-on-read) --
+    "iceberg_transform_prune",
     "hudi_mor_snapshot",
     "hudi_mor_read_optimized",
     "hudi_mor_changes_since",
@@ -2392,7 +2429,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hudi_time_travel",
     "hudi_changes_since",
     # -- last driver-green in r4, highest-traffic ops first --
-    "effects_apply_merge",
     "contract_verdicts",
     "late_data_classify",
     "delta_time_travel",
@@ -2403,8 +2439,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # keyed_effects_reduce, dedup_keep_first, contract_quarantine_rows,
     # transform_chain, q3, q6, and — for the four Hudi-MoR queries —
     # q1_pricing_summary, q5_local_supplier_volume,
-    # asof_join_events_orders, dedup_keep_last: all r4-green, code
-    # paths unchanged since, and the four rotated-out last are
+    # asof_join_events_orders, dedup_keep_last, effects_apply_merge:
+    # all r4-green, code
+    # paths unchanged since, and the rotated-out ones are
     # re-measured every round by bench.py's headline set; everything
     # else was driver-green in r4/r5 and unchanged this round; the
     # window is exactly 50)

@@ -97,6 +97,214 @@ def _decode_bound(data: bytes, typ: str):
     return None
 
 
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant), the hash the Iceberg spec fixes
+    for bucket transforms (spec Appendix B). Pure-Python: runs on the
+    driver for literal projection and inside pandas UDFs for the
+    fixture writer's bucket routing."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) == 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_hash_bytes(v, src_type: str) -> bytes | None:
+    """Iceberg single-value hash input (spec Appendix B): int/long/
+    date/timestamp hash as the 8-byte little-endian LONG (so 34 and
+    34L bucket identically), strings as UTF-8 bytes."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if src_type == "date" and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        v = (v - _dt.date(1970, 1, 1)).days
+    elif src_type in ("timestamp", "timestamptz") and isinstance(v, _dt.datetime):
+        base = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        v = int((v - base).total_seconds() * 1_000_000)
+    if isinstance(v, int):
+        try:
+            return _struct.pack("<q", v)
+        except _struct.error:
+            return None
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return None
+
+
+def _iceberg_bucket(v, n: int, src_type: str) -> int | None:
+    data = _bucket_hash_bytes(v, src_type)
+    if data is None:
+        return None
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def _bucket_pandas_udf(n: int, src_type: str):
+    """Arrow-batched bucket transform for the fixture writer's
+    distributed partitioned write — the same spec murmur3 the reader's
+    literal projection uses, so routing and pruning can never disagree.
+    (Spark's built-in `hash` is murmur3 with seed 42 over different
+    byte layouts — NOT the Iceberg bucket function.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    def f(s):
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            if hasattr(v, "date") and src_type == "date":
+                v2 = v.date()
+            elif hasattr(v, "item"):
+                v2 = v.item()  # numpy scalar -> python
+            else:
+                v2 = v
+            return _iceberg_bucket(v2, n, src_type)
+
+        return s.map(one)
+
+    return pandas_udf(f, "int")
+
+
+def _parse_transform(t: str) -> tuple[str, int | None]:
+    """'bucket[4]' -> ('bucket', 4); 'identity' -> ('identity', None)."""
+    if "[" in t and t.endswith("]"):
+        name, arg = t[:-1].split("[", 1)
+        try:
+            return name, int(arg)
+        except ValueError:
+            return name, None
+    return t, None
+
+
+def _transform_value_type(tname: str, src_type: str) -> str:
+    """Iceberg type of the PARTITION VALUE a transform produces (what
+    summary bounds and partition records are encoded as). day() is
+    'date' in the spec but serializes as the same 4-byte LE int, so
+    'int' decodes it faithfully here."""
+    if tname == "identity":
+        return src_type
+    if tname == "truncate":
+        return src_type
+    return "int"  # bucket / year / month / day / hour
+
+
+def _project_literal(v, tname: str, arg: int | None, src_type: str):
+    """Transform a predicate literal into partition-value space; None =
+    not projectable (wrong literal type / unsupported combination)."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, bool):
+        return None
+    if tname == "bucket":
+        return None if arg is None else _iceberg_bucket(v, arg, src_type)
+    if tname == "truncate":
+        if arg is None or arg <= 0:
+            return None
+        if isinstance(v, int):
+            return v - (v % arg)  # python floor-mod == spec truncate
+        if isinstance(v, str):
+            return v[:arg]
+        return None
+    is_date = isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+    is_dt = isinstance(v, _dt.datetime)
+    if not (is_date or is_dt):
+        return None
+    if tname == "year":
+        return v.year - 1970
+    if tname == "month":
+        return (v.year - 1970) * 12 + (v.month - 1)
+    if tname == "day":
+        d = v.date() if is_dt else v
+        return (d - _dt.date(1970, 1, 1)).days
+    if tname == "hour":
+        if not is_dt:
+            return None
+        base = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - base).total_seconds()) // 3600
+    return None
+
+
+# order-preserving transforms admit range projection; bucket only eq
+_ORDERED_TRANSFORMS = {"truncate", "year", "month", "day", "hour"}
+# strict comparisons widen to inclusive in transformed space:
+# col < lit  =>  t(col) <= t(lit)   (truncate/day/... round DOWN)
+_PROJECT_OP = {"eq": "eq", "lt": "le", "le": "le", "gt": "ge", "ge": "ge"}
+
+
+def _project_predicate(expr, tfields: dict[str, tuple]):
+    """Rewrite a predicate into partition-transform space (Iceberg's
+    'inclusive projection'): col-op-lit leaves on transformed partition
+    columns become bounds checks on the derived partition value under a
+    synthetic `$part$<spec_name>` key. Conservative: an unprojectable
+    AND-conjunct is dropped (weaker predicate — only widens the scan);
+    an unprojectable OR-disjunct poisons the whole disjunction. Returns
+    None when nothing projectable survives.
+
+    tfields: current column name -> (partition_key, transform_name,
+    transform_arg, source_iceberg_type)."""
+    from ..expressions.ast import Binary, Col, Lit
+
+    if not isinstance(expr, Binary):
+        return None
+    if expr.op in ("and", "or"):
+        l = _project_predicate(expr.left, tfields)
+        r = _project_predicate(expr.right, tfields)
+        if expr.op == "and":
+            if l is not None and r is not None:
+                return Binary("and", l, r)
+            return l if l is not None else r
+        return Binary("or", l, r) if (l is not None and r is not None) else None
+    left, right, op = expr.left, expr.right, expr.op
+    flip = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le", "eq": "eq"}
+    if isinstance(left, Lit) and isinstance(right, Col):
+        if op not in flip:
+            return None
+        left, right, op = right, left, flip[op]
+    if not (isinstance(left, Col) and isinstance(right, Lit)):
+        return None
+    field = tfields.get(left.name)
+    if field is None:
+        return None
+    pkey, tname, arg, src_type = field
+    if tname == "bucket" and op != "eq":
+        return None
+    if tname in _ORDERED_TRANSFORMS and op not in _PROJECT_OP:
+        return None
+    op2 = _PROJECT_OP.get(op)
+    if op2 is None:
+        return None
+    tv = _project_literal(right.value, tname, arg, src_type)
+    if tv is None:
+        return None
+    return Binary(op2, Col(pkey), Lit(tv))
+
+
 def _file_can_match(expr, bounds: dict[str, tuple]) -> bool | None:
     """Tri-state: can any row in a file with these per-column
     [lower, upper] bounds satisfy the predicate? False = provably no
@@ -281,17 +489,29 @@ class IcebergTable:
         rename-proof) address predicates. Non-identity transforms are
         skipped: their partition values are derived, and equating them
         with column values would prune wrongly."""
+        return [
+            (pos, spec_name, cur, typ)
+            for pos, spec_name, cur, typ, tname, _arg in self._partition_fields_all()
+            if tname == "identity"
+        ]
+
+    def _partition_fields_all(self) -> list[tuple[int, str, str, str, str, int | None]]:
+        """EVERY field of the default partition spec as (spec_position,
+        spec_field_name, current_column_name, source_iceberg_type,
+        transform_name, transform_arg). Transform-aware pruning
+        projects predicates into the transform's value space (bucket:
+        murmur3 eq-only; truncate/year/month/day/hour: order-preserving
+        range projection) instead of skipping non-identity fields."""
         specs = {s.get("spec-id", 0): s for s in self._meta.get("partition-specs", [])}
         spec = specs.get(self._meta.get("default-spec-id", 0)) or {}
         names = self._field_names_by_id()
         types = self._field_types_by_id()
         out = []
         for pos, f in enumerate(spec.get("fields", [])):
-            if f.get("transform") != "identity":
-                continue
+            tname, arg = _parse_transform(str(f.get("transform", "identity")))
             sid = int(f["source-id"])
             if sid in names:
-                out.append((pos, f["name"], names[sid], types.get(sid, "")))
+                out.append((pos, f["name"], names[sid], types.get(sid, ""), tname, arg))
         return out
 
     def _manifest_entries(self, manifest: Path) -> list[dict]:
@@ -418,6 +638,23 @@ class IcebergTable:
         predicate is provably false over its [lower, upper] bounds.
         Returns (kept_paths, evidence) with total/kept/pruned counts."""
         part_fields = self._partition_fields()
+        # non-identity transform fields prune through PROJECTED
+        # predicates evaluated against the transformed partition value
+        # under a synthetic `$part$<spec_name>` key (keys never collide
+        # with column stats, which live in source-value space)
+        tfields = {
+            cur: (f"$part${spec_name}", tname, arg, typ)
+            for _pos, spec_name, cur, typ, tname, arg in self._partition_fields_all()
+            if tname != "identity"
+        }
+        transform_meta = {
+            spec_name: (pos, f"$part${spec_name}", _transform_value_type(tname, typ))
+            for pos, spec_name, _cur, typ, tname, arg in self._partition_fields_all()
+            if tname != "identity"
+        }
+        projected = [
+            q for p in predicates if (q := _project_predicate(p, tfields)) is not None
+        ]
         kept: list[str] = []
         total = 0
         manifests_total = manifests_skipped = 0
@@ -437,11 +674,16 @@ class IcebergTable:
             default_spec = int(self._meta.get("default-spec-id", 0))
             if (
                 summaries
-                and part_fields
+                and (part_fields or transform_meta)
                 and (row_spec is None or int(row_spec) == default_spec)
             ):
                 mbounds: dict[str, tuple] = {}
-                for pos, _spec_name, cur_name, typ in part_fields:
+                summary_fields = [
+                    (pos, cur_name, typ) for pos, _s, cur_name, typ in part_fields
+                ] + [
+                    (pos, pkey, vtyp) for pos, pkey, vtyp in transform_meta.values()
+                ]
+                for pos, key, typ in summary_fields:
                     if pos >= len(summaries):
                         continue
                     s = summaries[pos]
@@ -452,8 +694,10 @@ class IcebergTable:
                         continue
                     lo, hi = _decode_bound(lo_b, typ), _decode_bound(hi_b, typ)
                     if lo is not None and hi is not None:
-                        mbounds[cur_name] = (lo, hi)
-                if any(_file_can_match(p, mbounds) is False for p in predicates):
+                        mbounds[key] = (lo, hi)
+                if any(_file_can_match(p, mbounds) is False for p in predicates) or any(
+                    _file_can_match(q, mbounds) is False for q in projected
+                ):
                     # skipped manifests are never opened, so their
                     # entries are not in files_total — the whole point;
                     # manifests_skipped is the evidence for this level
@@ -474,7 +718,16 @@ class IcebergTable:
                         v = part.get(spec_name)
                         if v is not None:
                             bounds[cur_name] = (v, v)
-                if all(_file_can_match(p, bounds) is not False for p in predicates):
+                if part and transform_meta:
+                    # transformed partition values evaluate against the
+                    # PROJECTED predicates under the synthetic key
+                    for spec_name, (_pos, pkey, _vtyp) in transform_meta.items():
+                        v = part.get(spec_name)
+                        if v is not None:
+                            bounds[pkey] = (v, v)
+                if all(_file_can_match(p, bounds) is not False for p in predicates) and all(
+                    _file_can_match(q, bounds) is not False for q in projected
+                ):
                     kept.append(str(self._resolve(dfile["file_path"])))
         kept.sort()
         return kept, {
@@ -1137,13 +1390,37 @@ class IcebergFixtureWriter:
         (self.root / "metadata").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(exist_ok=True)
         self.table_uuid = table_uuid or str(uuid.uuid4())
-        # identity partition spec: each commit's files are split by the
+        # partition spec: each commit's files are split by the
         # partition tuple, entries carry a TYPED partition record, and
         # manifest-list rows summarize partition bounds per manifest.
-        # omit_partition_cols drops the source columns from the parquet
-        # (metadata-only identity partitioning — the Flink-writer shape;
-        # readers must reconstitute the column from partition metadata).
-        self.partition_by = list(partition_by or [])
+        # Entries are either a column name (identity transform) or a
+        # tuple — ("bucket", 4, "col"), ("truncate", 3, "col"),
+        # ("year"|"month"|"day", "col") — producing the spec's
+        # transform strings and DERIVED partition values (bucket =
+        # spec-fixed murmur3). omit_partition_cols drops the source
+        # columns from the parquet (metadata-only identity
+        # partitioning — the Flink-writer shape; readers must
+        # reconstitute the column from partition metadata) and is only
+        # meaningful for all-identity specs (a transformed value
+        # cannot reconstitute its source).
+        _SUFFIX = {"bucket": "_bucket", "truncate": "_trunc",
+                   "year": "_year", "month": "_month", "day": "_day"}
+        self._spec_fields: list[tuple[str, str, int | None, str]] = []
+        for ent in partition_by or []:
+            if isinstance(ent, str):
+                self._spec_fields.append((ent, "identity", None, ent))
+                continue
+            tname, *rest = ent
+            if tname not in _SUFFIX:
+                raise IcebergError(f"unsupported partition transform {tname!r}")
+            if tname in ("bucket", "truncate"):
+                arg, col = int(rest[0]), str(rest[1])
+            else:
+                arg, col = None, str(rest[0])
+            self._spec_fields.append((col, tname, arg, f"{col}{_SUFFIX[tname]}"))
+        self.partition_by = [c for c, _t, _a, _sn in self._spec_fields]
+        if omit_partition_cols and any(t != "identity" for _c, t, _a, _sn in self._spec_fields):
+            raise IcebergError("omit_partition_cols requires an all-identity spec")
         self.omit_partition_cols = omit_partition_cols
         self.max_partitions_per_commit = max_partitions_per_commit
         self._snapshots: list[dict] = []
@@ -1196,11 +1473,13 @@ class IcebergFixtureWriter:
         specs = {s.get("spec-id", 0): s for s in meta.get("partition-specs", [])}
         spec = specs.get(meta.get("default-spec-id", 0)) or {}
         by_id = {v: k for k, v in self._field_ids.items()}
-        self.partition_by = [
-            by_id[int(f["source-id"])]
-            for f in spec.get("fields", [])
-            if f.get("transform") == "identity" and int(f["source-id"]) in by_id
-        ]
+        self._spec_fields = []
+        for f in spec.get("fields", []):
+            tname, arg = _parse_transform(str(f.get("transform", "identity")))
+            sid = int(f["source-id"])
+            if sid in by_id:
+                self._spec_fields.append((by_id[sid], tname, arg, str(f["name"])))
+        self.partition_by = [c for c, _t, _a, _sn in self._spec_fields]
 
     # -- schema evolution --------------------------------------------------
     def _current_schema(self) -> dict:
@@ -1316,21 +1595,33 @@ class IcebergFixtureWriter:
         if self.partition_by:
             from .partitioned_write import hive_partitioned_write
 
+            # split by DERIVED partition-value columns (identity passes
+            # the source through; bucket/truncate/temporal compute the
+            # transform executor-side), then drop the derived columns —
+            # source columns stay in the data files unless
+            # omit_partition_cols (all-identity only)
+            staged = df
+            pcols = []
+            for c, tname, arg, sn in self._spec_fields:
+                pc = f"__pt_{sn}"
+                staged = staged.withColumn(pc, self._derived_partition_col(c, tname, arg))
+                pcols.append(pc)
+            if self.omit_partition_cols:
+                staged = staged.drop(*self.partition_by)
             tmp_root, parts = hive_partitioned_write(
-                df,
-                self.partition_by,
-                drop_partition_cols=self.omit_partition_cols,
+                staged,
+                pcols,
+                drop_partition_cols=True,
                 max_partitions=self.max_partitions_per_commit,
             )
             tmps.append(tmp_root)
             for raw, files in parts:
-                rec = {
-                    c: self._ice_single_value(
-                        self._typed_raw(raw[c], self._field_types.get(c, "")),
-                        self._field_types.get(c, ""),
+                rec = {}
+                for c, tname, arg, sn in self._spec_fields:
+                    vt = _transform_value_type(tname, self._field_types.get(c, ""))
+                    rec[sn] = self._ice_single_value(
+                        self._typed_raw(raw[f"__pt_{sn}"], vt), vt
                     )
-                    for c in self.partition_by
-                }
                 slices.append((rec, files))
         else:
             tmp = tempfile.mkdtemp(prefix="iceberg_commit_")
@@ -1370,6 +1661,26 @@ class IcebergFixtureWriter:
             shutil.rmtree(t, ignore_errors=True)
 
         return self._finish_commit(sid, parent, ts, data_files, operation)
+
+    def _derived_partition_col(self, c: str, tname: str, arg: int | None):
+        """Spark column computing a spec field's partition value."""
+        from pyspark.sql import functions as F
+
+        if tname == "identity":
+            return F.col(c)
+        if tname == "truncate":
+            if self._field_types.get(c) == "string":
+                return F.substring(F.col(c), 1, int(arg))
+            return F.col(c) - F.pmod(F.col(c), F.lit(int(arg)))
+        if tname == "year":
+            return F.year(F.col(c)) - F.lit(1970)
+        if tname == "month":
+            return (F.year(F.col(c)) - F.lit(1970)) * F.lit(12) + F.month(F.col(c)) - F.lit(1)
+        if tname == "day":
+            return F.datediff(F.col(c).cast("date"), F.to_date(F.lit("1970-01-01")))
+        if tname == "bucket":
+            return _bucket_pandas_udf(int(arg), self._field_types.get(c, ""))(F.col(c))
+        raise IcebergError(f"unsupported partition transform {tname!r}")
 
     @staticmethod
     def _typed_raw(raw: str | None, typ: str):
@@ -1557,11 +1868,17 @@ class IcebergFixtureWriter:
         if self.partition_by:
             part_fields = [
                 {
-                    "name": c,
-                    "type": ["null", self._ICE_TO_AVRO.get(self._field_types.get(c, ""), "string")],
+                    "name": sn,
+                    "type": [
+                        "null",
+                        self._ICE_TO_AVRO.get(
+                            _transform_value_type(tname, self._field_types.get(c, "")),
+                            "string",
+                        ),
+                    ],
                     "default": None,
                 }
-                for c in self.partition_by
+                for c, tname, _arg, sn in self._spec_fields
             ]
             data_file = schema["fields"][-1]["type"]
             data_file["fields"].insert(
@@ -1581,8 +1898,8 @@ class IcebergFixtureWriter:
         if not self.partition_by:
             return None
         out = []
-        for c in self.partition_by:
-            typ = self._field_types.get(c, "")
+        for c, tname, _arg, sn in self._spec_fields:
+            typ = _transform_value_type(tname, self._field_types.get(c, ""))
             values = []
             contains_null = False
             for e in entries:
@@ -1590,7 +1907,7 @@ class IcebergFixtureWriter:
                 if part is None:
                     contains_null = True  # delete entries carry no tuple
                     continue
-                v = part.get(c)
+                v = part.get(sn)
                 if v is None:
                     contains_null = True
                 else:
@@ -1870,12 +2187,14 @@ class IcebergFixtureWriter:
                     "spec-id": 0,
                     "fields": [
                         {
-                            "name": c,
-                            "transform": "identity",
+                            "name": sn,
+                            "transform": (
+                                tname if arg is None else f"{tname}[{arg}]"
+                            ),
                             "source-id": self._field_ids[c],
                             "field-id": 1000 + i,
                         }
-                        for i, c in enumerate(self.partition_by)
+                        for i, (c, tname, arg, sn) in enumerate(self._spec_fields)
                     ],
                 }
             ],
