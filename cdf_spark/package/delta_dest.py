@@ -6,12 +6,14 @@ delta-rs / Spark-Delta / DuckDB's delta extension can read.
 
 - APPEND / REPLACE commit the package's canonical segments by COPY
   (add/remove actions, no decode/re-encode).
-- MERGE is COPY-ON-WRITE: without deletion vectors (which this
-  jar-free layout honestly refuses to write), a keyed merge must
-  rewrite — the staged keys anti-join the current state, the union
-  lands as a replace commit. Correct, O(table) writes per batch; the
-  merge-on-read alternative in this engine is IcebergDestination
-  (equality deletes) or the tombstone destination.
+- MERGE is COPY-ON-WRITE: a keyed merge rewrites — the staged keys
+  anti-join the current state, the union lands as a replace commit.
+  Correct, O(table) writes per batch; the merge-on-read alternatives
+  in this engine are IcebergDestination (equality deletes), the
+  tombstone destination, or DV deletes via the fixture writer's
+  `delete_where` (`sources/delta.py` — the READ side honors deletion
+  vectors; this destination keeps its merges copy-on-write because a
+  keyed upsert rewrites rows, not just deletes them).
 
 Commits are atomic at the log level: the numbered commit JSON is
 written last, so a crash mid-copy leaves orphaned parquet but the

@@ -2226,6 +2226,34 @@ def delta_checkpoint_replay(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "delta_deletion_vectors",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > 100 AND o_orderkey <= 800
+    """,
+)
+def delta_deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta DELETION VECTORS merge-on-read (`sources/delta_dv.py` +
+    `delta.py _read_with_dvs`): two DV deletes — one through a real
+    `deletion_vector_<uuid>.bin` (Z85 uuid path, crc-framed portable
+    RoaringBitmapArray), one inline Z85 — mark victim rows without
+    rewriting any parquet; the read decodes descriptors EXECUTOR-side
+    and anti-joins on `_metadata.row_index`. Deleted keys must be
+    absent, survivors untouched."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t")
+        w.append(o.filter(F.col("o_orderkey") <= 900), timestamp_ms=1000)
+        w.delete_where(spark, "o_orderkey <= 100", timestamp_ms=2000)
+        w.delete_where(spark, "o_orderkey > 800", timestamp_ms=3000, inline=True)
+
+    tmp = _session_fixture("delta_dv", sf, build)
+    return DeltaTable(f"{tmp}/t").read(spark)
+
+
+@_register(
     "iceberg_schema_evolution",
     """
     SELECT o_orderkey,
@@ -2372,8 +2400,9 @@ PARITY_TWINS: set[str] = {
 # behind them. Revisit each round: once a query is driver-green, move
 # fresher debt into the head.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- new in r6 (Iceberg transform pruning, Hudi merge-on-read) --
+    # -- new in r6 (Iceberg transforms, Delta DVs, Hudi merge-on-read) --
     "iceberg_transform_prune",
+    "delta_deletion_vectors",
     "hudi_mor_snapshot",
     "hudi_mor_read_optimized",
     "hudi_mor_changes_since",
@@ -2430,7 +2459,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hudi_changes_since",
     # -- last driver-green in r4, highest-traffic ops first --
     "contract_verdicts",
-    "late_data_classify",
     "delta_time_travel",
     "delta_changes_since",
     # (rotated out for the r6 additions: range_join_campaigns,
@@ -2439,9 +2467,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # keyed_effects_reduce, dedup_keep_first, contract_quarantine_rows,
     # transform_chain, q3, q6, and — for the four Hudi-MoR queries —
     # q1_pricing_summary, q5_local_supplier_volume,
-    # asof_join_events_orders, dedup_keep_last, effects_apply_merge:
-    # all r4-green, code
-    # paths unchanged since, and the rotated-out ones are
+    # asof_join_events_orders, dedup_keep_last, effects_apply_merge,
+    # late_data_classify: all r4-green, code
+    # paths unchanged since (late_counts_by_type keeps the late-data
+    # module in-window), and the rotated-out ones are
     # re-measured every round by bench.py's headline set; everything
     # else was driver-green in r4/r5 and unchanged this round; the
     # window is exactly 50)

@@ -28,6 +28,14 @@ are an optimization for thousand-commit logs; this reader replays JSON
 commits and reads a checkpoint when one is present, erroring only if a
 log is checkpoint-ONLY in a form it cannot parse.
 
+DELETION VECTORS (protocol readerFeature `deletionVectors`) are
+honored merge-on-read: `add` actions may carry a DV descriptor whose
+bitmap marks deleted row positions; descriptors decode executor-side
+(`delta_dv.py`) and anti-join parquet `_metadata.row_index`. The
+fixture writer's `delete_where` writes real DV files/inline vectors
+with the protocol upgrade, so DV reads are exercised against a
+genuine DV table. Column mapping remains detect-and-refuse.
+
 A fixture writer emits the same layout so tests and the oracle gate
 exercise the reader against a genuine Delta directory.
 """
@@ -170,23 +178,22 @@ class DeltaTable:
         posture as Hudi merge-on-read):
 
         - minReaderVersion > 1 (column mapping, reader features) unless
-          every advertised readerFeature is one reading plain parquet
-          paths already satisfies.
-        - deletion vectors on add actions: the DV bitmaps mark removed
-          rows merge-on-read; ignoring them resurrects deleted rows.
+          every advertised readerFeature is one this reader honors:
+          deletionVectors (decoded merge-on-read, `delta_dv.py`) and
+          timestampNtz (type-level only).
         - column mapping: physical parquet names differ from logical
           schema names; a name-based read returns wrong columns.
 
         Checkpoint rows are checked too (a cleaned log may carry the
         protocol/metaData actions ONLY inside the checkpoint parquet).
         """
-        harmless = {"timestampNtz"}  # type-level only; paths/values unaffected
+        supported = {"timestampNtz", "deletionVectors"}
 
         def check_action(a: dict) -> None:
             proto = a.get("protocol")
             if proto:
                 feats = set(proto.get("readerFeatures") or [])
-                if int(proto.get("minReaderVersion") or 1) > 1 and not feats <= harmless:
+                if int(proto.get("minReaderVersion") or 1) > 1 and not feats <= supported:
                     raise DeltaError(
                         f"unsupported reader protocol: minReaderVersion="
                         f"{proto.get('minReaderVersion')} readerFeatures={sorted(feats)}"
@@ -199,12 +206,6 @@ class DeltaTable:
                         f"column mapping mode {mode!r} is not supported "
                         "(physical names differ from logical schema)"
                     )
-            add = a.get("add")
-            if add and add.get("deletionVector"):
-                raise DeltaError(
-                    "deletion vectors present: merge-on-read DV bitmaps are not "
-                    "supported — reading would resurrect deleted rows"
-                )
 
         ckpt = self._checkpoint_info()
         if ckpt is not None and int(ckpt["version"]) <= version:
@@ -217,22 +218,28 @@ class DeltaTable:
                 check_action(a)
 
     def files_for_version(self, version: int) -> list[str]:
-        """Live file set at `version`: the checkpoint state (complete
-        replay of 0..ckpt) when one covers the pin, then the JSON
-        add/remove actions after it. Every version in the replayed
-        range must actually be present — a cleaned gap raises instead
-        of silently dropping the missing commits' files."""
+        return [p for p, _dv in self.live_files_with_dvs(version)]
+
+    def live_files_with_dvs(self, version: int) -> list[tuple[str, dict | None]]:
+        """Live (file, deletionVector-descriptor) pairs at `version`:
+        the checkpoint state (complete replay of 0..ckpt) when one
+        covers the pin, then the JSON add/remove actions after it. A
+        re-`add` of a path replaces its descriptor (the protocol's DV
+        attach: remove + add-with-DV in one commit). Every version in
+        the replayed range must actually be present — a cleaned gap
+        raises instead of silently dropping the missing commits'
+        files."""
         js = self.versions()
         ckpt = self._checkpoint_info()
         ckpt_v = int(ckpt["version"]) if ckpt is not None else None
         if version not in js and version != ckpt_v:
             raise DeltaError(f"version {version} not in log")
-        live: dict[str, bool] = {}
+        live: dict[str, dict | None] = {}
         if ckpt_v is not None and ckpt_v <= version:
             self._check_protocol(version)
             for a in self._checkpoint_actions(ckpt_v):
                 if "add" in a:
-                    live[a["add"]["path"]] = True
+                    live[a["add"]["path"]] = a["add"].get("deletionVector")
             start = ckpt_v + 1
         else:
             self._check_protocol(version)
@@ -250,10 +257,10 @@ class DeltaTable:
                 break
             for a in self.actions(v):
                 if "add" in a:
-                    live[a["add"]["path"]] = True
+                    live[a["add"]["path"]] = a["add"].get("deletionVector")
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
-        return sorted(self._resolve(p) for p in live)
+        return sorted((self._resolve(p), dv) for p, dv in live.items())
 
     def added_files(self, version: int) -> list[str]:
         self._check_protocol(version)
@@ -280,10 +287,57 @@ class DeltaTable:
             version = (
                 self.version_as_of(as_of_ms) if as_of_ms is not None else self.current_version()
             )
-        files = self.files_for_version(version)
-        if not files:
+        pairs = self.live_files_with_dvs(version)
+        if not pairs:
             raise DeltaError(f"version {version} has no live data files")
-        return spark.read.parquet(*files)
+        files = [p for p, _dv in pairs]
+        dvs = [(p, dv) for p, dv in pairs if dv]
+        if not dvs:
+            return spark.read.parquet(*files)
+        return self._read_with_dvs(spark, files, dvs)
+
+    def _read_with_dvs(
+        self, spark: SparkSession, files: list[str], dvs: list[tuple[str, dict]]
+    ) -> DataFrame:
+        """Merge-on-read DV application: descriptors (driver metadata —
+        a few ints + a path each) are DISTRIBUTED and decoded
+        executor-side into (file, position) rows, then anti-joined
+        against parquet `_metadata.row_index` — the same broadcast
+        anti-join shape as Iceberg positional deletes; row data never
+        moves through the driver, and files without a DV carry no
+        join-side rows at all."""
+        import json as _json
+
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from .delta_dv import decode_descriptor
+
+        root = str(self.root)
+
+        def decode(batches):
+            for pdf in batches:
+                for path, desc_js in zip(pdf["path"], pdf["desc"]):
+                    pos = decode_descriptor(_json.loads(desc_js), root)
+                    yield pd.DataFrame({"_dv_file": path, "_dv_pos": pos})
+
+        desc_df = spark.createDataFrame(
+            [(p, _json.dumps(d)) for p, d in dvs], "path string, desc string"
+        ).repartition(len(dvs))
+        pos_df = desc_df.mapInPandas(decode, schema="_dv_file string, _dv_pos long")
+        norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        df = (
+            spark.read.parquet(*files)
+            .withColumn("_file", norm)
+            .withColumn("_pos", F.col("_metadata.row_index"))
+        )
+        out = df.join(
+            F.broadcast(pos_df),
+            (df["_file"] == pos_df["_dv_file"]) & (df["_pos"] == pos_df["_dv_pos"]),
+            "left_anti",
+        )
+        return out.drop("_file", "_pos")
 
     def scan(
         self,
@@ -461,6 +515,114 @@ class DeltaFixtureWriter:
     def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
         return self._commit(self._write_data(df), "WRITE", timestamp_ms)
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        timestamp_ms: int | None = None,
+        inline: bool = False,
+        max_rows: int = 100_000,
+    ) -> int:
+        """DELETE via deletion vectors — no data-file rewrite: victim
+        (file, row_index) pairs come from a parquet `_metadata` scan of
+        the live files; each touched file gets remove + re-add with a
+        DV descriptor (merged with its existing DV — the protocol's
+        replace-on-attach rule), and the commit carries the protocol
+        upgrade to readerFeatures=[deletionVectors]. Victim positions
+        are collected driver-side, capped at `max_rows` per call (DV
+        deletes are point/predicate deletes by design; bulk rewrites
+        belong in replace_files — same fixture boundary as the other
+        driver-side writers)."""
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        from .delta_dv import (
+            decode_descriptor,
+            dv_file_name,
+            encode_inline,
+            encode_uuid_path,
+            serialize_dv_blob,
+            write_dv_file,
+        )
+
+        t = DeltaTable(self.root)
+        pairs = t.live_files_with_dvs(self._version)
+        norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        victims = (
+            spark.read.parquet(*[p for p, _ in pairs])
+            .withColumn("_file", norm)
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .filter(condition)
+            .select("_file", "_pos")
+        )
+        rows = victims.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise DeltaError(
+                f"delete_where matched more than the {max_rows}-row driver-side "
+                "cap — use replace_files for bulk rewrites"
+            )
+        by_file: dict[str, list[int]] = {}
+        for r in rows:
+            by_file.setdefault(r["_file"], []).append(int(r["_pos"]))
+        if not by_file:
+            return self._commit([], "DELETE", timestamp_ms)
+        dv_of = dict(pairs)
+        actions: list[dict] = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        ]
+        blobs: list[tuple[str, bytes, int]] = []  # (file, blob, cardinality)
+        for f, new_pos in sorted(by_file.items()):
+            old = dv_of.get(f)
+            merged = sorted(set(new_pos) | set(decode_descriptor(old, self.root) if old else []))
+            blobs.append((f, serialize_dv_blob(merged), len(merged)))
+        descs: dict[str, dict] = {}
+        if inline:
+            for f, blob, card in blobs:
+                descs[f] = {
+                    "storageType": "i",
+                    "pathOrInlineDv": encode_inline(blob),
+                    "sizeInBytes": len(blob),
+                    "cardinality": card,
+                }
+        else:
+            uid = _uuid.uuid4()
+            spans = write_dv_file(self.root / dv_file_name(uid), [b for _, b, _ in blobs])
+            for (f, blob, card), (off, size) in zip(blobs, spans):
+                descs[f] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": encode_uuid_path(uid),
+                    "offset": off,
+                    "sizeInBytes": size,
+                    "cardinality": card,
+                }
+        now_ms = int(time.time() * 1000)
+        for f in sorted(by_file):
+            rel = str(Path(f).name)
+            actions.append(
+                {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+            )
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "size": Path(f).stat().st_size,
+                        "partitionValues": {},
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                        "deletionVector": descs[f],
+                    }
+                }
+            )
+        return self._commit(actions, "DELETE", timestamp_ms)
+
     def _copy_adds(self, paths: list[str]) -> list[dict]:
         """Add actions from EXISTING canonical parquet files committed
         by COPY — no decode/re-encode (segment-copy posture)."""
@@ -557,7 +719,21 @@ class DeltaFixtureWriter:
             {"metaData": meta},
         ]
         now_ms = int(time.time() * 1000)
-        for f in t.files_for_version(v):
+        pairs = t.live_files_with_dvs(v)
+        if any(dv for _f, dv in pairs):
+            # DV state survives log cleaning only through the
+            # checkpoint, and a DV table's protocol row must advertise
+            # the reader feature (a feature-less checkpoint would let a
+            # plain reader resurrect deleted rows)
+            rows[0] = {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        for f, dv in pairs:
             rows.append(
                 {
                     "add": {
@@ -566,6 +742,7 @@ class DeltaFixtureWriter:
                         "partitionValues": {},
                         "modificationTime": now_ms,
                         "dataChange": False,
+                        **({"deletionVector": dv} if dv else {}),
                     }
                 }
             )
@@ -578,7 +755,12 @@ class DeltaFixtureWriter:
                 pa.field(
                     "protocol",
                     pa.struct(
-                        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                        [
+                            ("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32()),
+                            ("readerFeatures", pa.list_(pa.string())),
+                            ("writerFeatures", pa.list_(pa.string())),
+                        ]
                     ),
                 ),
                 pa.field(
@@ -610,6 +792,18 @@ class DeltaFixtureWriter:
                             ("partitionValues", pa.map_(pa.string(), pa.string())),
                             ("modificationTime", pa.int64()),
                             ("dataChange", pa.bool_()),
+                            (
+                                "deletionVector",
+                                pa.struct(
+                                    [
+                                        ("storageType", pa.string()),
+                                        ("pathOrInlineDv", pa.string()),
+                                        ("offset", pa.int32()),
+                                        ("sizeInBytes", pa.int32()),
+                                        ("cardinality", pa.int64()),
+                                    ]
+                                ),
+                            ),
                         ]
                     ),
                 ),

@@ -136,10 +136,11 @@ def test_commit_file_shape(table):
 
 def test_protocol_guard_refuses_unsupported_features(spark, tmp_path, orders):
     """Detect-and-refuse for table features the jar-free reader cannot
-    honor: deletion vectors, column mapping, raised minReaderVersion,
-    and checkpoint-truncated logs. Silently misreading any of these
-    returns wrong data (resurrected rows / wrong columns / dropped
-    files)."""
+    honor: column mapping, raised minReaderVersion with unknown reader
+    features, and checkpoint-truncated logs. Silently misreading any
+    of these returns wrong data (wrong columns / dropped files).
+    Deletion vectors are no longer refused — they are decoded
+    merge-on-read (test_delta_dv.py)."""
     import json as _json
 
     import pytest as _pytest
@@ -150,16 +151,6 @@ def test_protocol_guard_refuses_unsupported_features(spark, tmp_path, orders):
         w = DeltaFixtureWriter(tmp_path / name)
         w.append(o, timestamp_ms=1000)
         return tmp_path / name
-
-    # deletion vector on an add action
-    root = fresh("dv")
-    commit = root / "_delta_log" / f"{1:020d}.json"
-    commit.write_text(
-        _json.dumps({"add": {"path": "x.parquet", "dataChange": True,
-                             "deletionVector": {"storageType": "u", "cardinality": 3}}})
-    )
-    with _pytest.raises(DeltaError, match="deletion vectors"):
-        DeltaTable(root).read(spark)
 
     # column mapping
     root = fresh("cm")
@@ -174,10 +165,18 @@ def test_protocol_guard_refuses_unsupported_features(spark, tmp_path, orders):
     root = fresh("proto")
     (root / "_delta_log" / f"{1:020d}.json").write_text(
         _json.dumps({"protocol": {"minReaderVersion": 3,
-                                  "readerFeatures": ["deletionVectors"]}})
+                                  "readerFeatures": ["v2Checkpoint"]}})
     )
     with _pytest.raises(DeltaError, match="unsupported reader protocol"):
         DeltaTable(root).read(spark)
+
+    # deletionVectors alone is now honored — must NOT refuse
+    root = fresh("dvfeat")
+    (root / "_delta_log" / f"{1:020d}.json").write_text(
+        _json.dumps({"protocol": {"minReaderVersion": 3,
+                                  "readerFeatures": ["deletionVectors"]}})
+    )
+    assert DeltaTable(root).read(spark).count() == 10
 
     # timestampNtz alone is harmless — must NOT refuse
     root = fresh("ntz")

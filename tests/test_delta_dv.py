@@ -1,0 +1,172 @@
+"""Delta deletion vectors: Z85 codec (spec vector), portable
+RoaringBitmap(Array) round-trips incl. run-container decode, DV file
+framing with checksum detection, merge-on-read application, DV-on-DV
+merge, inline storage, checkpoint survival, and protocol gating."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
+from cdf_spark.sources.delta_dv import (
+    DV_MAGIC,
+    DeletionVectorError,
+    decode_descriptor,
+    deserialize_dv_blob,
+    encode_inline,
+    read_dv_from_file,
+    serialize_dv_blob,
+    write_dv_file,
+    z85_decode,
+    z85_encode,
+)
+
+# -- primitives ------------------------------------------------------------
+
+
+def test_z85_spec_vector():
+    # the Z85 spec's canonical test vector
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(raw) == "HelloWorld"
+    assert z85_decode("HelloWorld") == raw
+    with pytest.raises(DeletionVectorError, match="multiple of 4"):
+        z85_encode(b"abc")
+
+
+def test_roaring_roundtrip_array_bitmap_and_highkeys():
+    import random
+
+    rnd = random.Random(7)
+    cases = [
+        [0],
+        [1, 2, 3, 65535, 65536, 100000],
+        sorted(rnd.sample(range(200000), 6000)),  # forces a bitmap container
+        [5, 2**32 + 1, 2**33, 2**40 + 7],  # multiple 32-bit high keys
+    ]
+    for vals in cases:
+        assert deserialize_dv_blob(serialize_dv_blob(vals)) == sorted(set(vals))
+
+
+def test_roaring_run_container_decode():
+    """Real Delta writers run-compress; the reader must decode the
+    12347 cookie + run containers it never writes itself."""
+    cookie = struct.pack("<I", (1 - 1) << 16 | 12347) + b"\x01"
+    hdr = struct.pack("<HH", 1, 9)  # high-16 key 1, cardinality 10
+    runs = struct.pack("<H", 1) + struct.pack("<HH", 5, 9)  # run 5..14
+    blob = (
+        struct.pack("<I", DV_MAGIC)
+        + struct.pack("<q", 1)
+        + struct.pack("<I", 0)
+        + cookie
+        + hdr
+        + runs
+    )
+    assert deserialize_dv_blob(blob) == [(1 << 16) + v for v in range(5, 15)]
+
+
+def test_dv_file_checksum_detects_corruption(tmp_path):
+    b1, b2 = serialize_dv_blob([1, 5, 9]), serialize_dv_blob([2**33])
+    spans = write_dv_file(tmp_path / "dv.bin", [b1, b2])
+    raw = (tmp_path / "dv.bin").read_bytes()
+    assert read_dv_from_file(raw, *spans[0]) == b1
+    assert read_dv_from_file(raw, *spans[1]) == b2
+    bad = bytearray(raw)
+    bad[spans[1][0] + 6] ^= 0xFF
+    with pytest.raises(DeletionVectorError, match="checksum"):
+        read_dv_from_file(bytes(bad), *spans[1])
+
+
+def test_inline_descriptor_pads_and_trims():
+    blob = serialize_dv_blob([3, 4, 5])
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": encode_inline(blob),
+        "sizeInBytes": len(blob),
+        "cardinality": 3,
+    }
+    assert decode_descriptor(desc, "/nonexistent") == [3, 4, 5]
+    # a wrong cardinality must fail loudly, not silently under-delete
+    desc["cardinality"] = 2
+    with pytest.raises(DeletionVectorError, match="cardinality"):
+        decode_descriptor(desc, "/nonexistent")
+
+
+# -- table-level -----------------------------------------------------------
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.range(0, 200).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(df, timestamp_ms=1000)
+    return w, lambda: DeltaTable(tmp_path / "t")
+
+
+def test_dv_delete_snapshot_and_time_travel(spark, table):
+    w, mk = table
+    v0 = 0
+    w.delete_where(spark, "k < 20", timestamp_ms=2000)
+    t = mk()
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(20, 200))
+    assert t.read(spark, version=v0).count() == 200  # pin predates the DV
+
+
+def test_dv_merge_on_reattach(spark, table):
+    w, mk = table
+    w.delete_where(spark, "k < 20", timestamp_ms=2000)
+    w.delete_where(spark, "k >= 190", timestamp_ms=3000)  # same files: must merge
+    assert sorted(r.k for r in mk().read(spark).collect()) == list(range(20, 190))
+
+
+def test_dv_inline_storage(spark, tmp_path):
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(df, timestamp_ms=1000)
+    w.delete_where(spark, "k % 2 = 0", timestamp_ms=2000, inline=True)
+    t = DeltaTable(tmp_path / "t")
+    assert t.read(spark).count() == 25
+    dvs = [dv for _f, dv in t.live_files_with_dvs(t.current_version()) if dv]
+    assert dvs and all(d["storageType"] == "i" for d in dvs)
+
+
+def test_dv_state_survives_checkpoint_and_log_clean(spark, table):
+    w, mk = table
+    w.delete_where(spark, "k < 20", timestamp_ms=2000)
+    w.checkpoint()
+    w.clean_log(mk().current_version())
+    t = mk()
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(20, 200))
+    # the checkpoint's protocol row must advertise the reader feature
+    acts = t._checkpoint_actions(t.current_version())
+    proto = next(a["protocol"] for a in acts if a.get("protocol"))
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+
+
+def test_dv_cap_guards_bulk_deletes(spark, table):
+    w, _mk = table
+    with pytest.raises(DeltaError, match="cap"):
+        w.delete_where(spark, "k >= 0", max_rows=50)
+
+
+def test_unknown_reader_features_still_refused(spark, table):
+    w, mk = table
+    import json as _json
+
+    path = w.root / "_delta_log" / f"{w._version + 1:020d}.json"
+    path.write_text(
+        _json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                }
+            }
+        )
+        + "\n"
+    )
+    with pytest.raises(DeltaError, match="v2Checkpoint"):
+        mk().read(spark)
