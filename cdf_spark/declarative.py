@@ -370,7 +370,13 @@ def _build_destination(dest_cfg: dict, workspace: Path, resource_id: str, merge_
     if kind == "iceberg":
         from .package.iceberg_dest import IcebergDestination
 
-        return IcebergDestination(path, merge_keys=merge_keys)
+        # TOML partition_by: strings (identity) or arrays like
+        # ["bucket", 4, "col"] — the writer's transform vocabulary
+        return IcebergDestination(
+            path,
+            merge_keys=merge_keys,
+            partition_by=dest_cfg.get("partition_by"),
+        )
     if kind == "delta":
         from .package.delta_dest import DeltaDestination
 

@@ -54,10 +54,21 @@ class IcebergDestination:
         table_path: str | Path,
         merge_keys: list[str] | None = None,
         max_commit_retries: int = 5,
+        partition_by: list | None = None,
     ):
+        """`partition_by` seeds the spec when the destination CREATES
+        the table: column names (identity) or transform tuples/lists —
+        ("bucket", 4, "col"), ("truncate", 3, "col"), ("year"|"month"|
+        "day", "col") — the same vocabulary as `IcebergFixtureWriter`.
+        An EXISTING table's spec always wins (rehydrated from its own
+        metadata; redeclaring a different spec is a no-op, never a
+        rewrite)."""
         self.table_path = Path(table_path)
         self.merge_keys = merge_keys or []
         self.max_commit_retries = max_commit_retries
+        self.partition_by = [
+            tuple(e) if isinstance(e, (list, tuple)) else e for e in (partition_by or [])
+        ]
 
     def _segments(self, package: PackageResult) -> list[str]:
         return sorted(str(p) for p in Path(package.data_path()).glob("*.parquet"))
@@ -99,7 +110,9 @@ class IcebergDestination:
         disposition: WriteDisposition,
     ) -> Receipt:
         segments = self._segments(package)
-        w = IcebergFixtureWriter(self.table_path)
+        # declared partition_by seeds a NEW table's spec; an existing
+        # table rehydrates its own spec over it (existing wins)
+        w = IcebergFixtureWriter(self.table_path, partition_by=self.partition_by)
         if w.partition_by:
             # partitioned table (spec rehydrated from metadata): commit
             # through the partition-splitting write path so entries

@@ -165,6 +165,43 @@ path = "{tmp_path}/ws/warehouse/orders_ice"
     assert t.read(spark).count() == result.rows_admitted
 
 
+def test_destination_kind_iceberg_partitioned_by_transform(spark, tmp_path, sf_dir):
+    """TOML partition_by with a transform array seeds the created
+    table's spec (bucket via the spec murmur3); the committed table
+    prunes on the bucketed column, and a second run rehydrates the
+    existing spec instead of redeclaring it."""
+    from cdf_spark.declarative import Workspace
+    from cdf_spark.expressions.ast import Binary, Col, Lit
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    ws = Workspace(tmp_path / "ws")
+    toml = f"""
+[resources.orders_b]
+[resources.orders_b.source]
+kind = "files"
+path = "{sf_dir}/orders.parquet"
+format = "parquet"
+[resources.orders_b.destination]
+kind = "iceberg"
+path = "{tmp_path}/ws/warehouse/orders_b"
+partition_by = [["bucket", 4, "o_custkey"]]
+"""
+    p = tmp_path / "cdf.toml"
+    p.write_text(toml)
+    compiled = ws.compile_file(str(p))
+    result = ws.run(spark, compiled["orders_b"])
+    assert result.receipt is not None and result.receipt.verified
+    t = IcebergTable(tmp_path / "ws" / "warehouse" / "orders_b")
+    spec = t.metadata["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in spec] == ["bucket[4]"]
+    key = t.read(spark).select("o_custkey").first()[0]
+    kept, ev = t.data_files_pruned(
+        int(t.metadata["current-snapshot-id"]), [Binary("eq", Col("o_custkey"), Lit(key))]
+    )
+    assert ev["files_pruned"] > 0
+    assert spark.read.parquet(*kept).filter(f"o_custkey = {key}").count() > 0
+
+
 def test_destination_kind_unknown_refuses(tmp_path, sf_dir):
     from cdf_spark.declarative import DeclarationError, Workspace
 
