@@ -326,18 +326,28 @@ class DeltaTable:
             [(p, _json.dumps(d)) for p, d in dvs], "path string, desc string"
         ).repartition(len(dvs))
         pos_df = desc_df.mapInPandas(decode, schema="_dv_file string, _dv_pos long")
-        norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        # `_metadata.file_path` is a URI (percent-encoded for spaces /
+        # special chars) while DV descriptors key on raw resolved paths
+        # — decode before comparing, or DV'd files with such names miss
+        # the anti-join and deleted rows silently reappear
+        # url_decode is form-decoding (`+` -> space); re-escape literal
+        # `+` first so this is pure percent-decoding of the URI
+        uri = F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+        norm = F.regexp_replace(F.url_decode(uri), "^file:/+", "/")
+        # collision-proof internal key names: withColumn("_file") would
+        # silently overwrite (then drop) user columns of that name
+        fkey, pkey = "__cdf_dv_file", "__cdf_dv_pos"
         df = (
             spark.read.parquet(*files)
-            .withColumn("_file", norm)
-            .withColumn("_pos", F.col("_metadata.row_index"))
+            .withColumn(fkey, norm)
+            .withColumn(pkey, F.col("_metadata.row_index"))
         )
         out = df.join(
             F.broadcast(pos_df),
-            (df["_file"] == pos_df["_dv_file"]) & (df["_pos"] == pos_df["_dv_pos"]),
+            (df[fkey] == pos_df["_dv_file"]) & (df[pkey] == pos_df["_dv_pos"]),
             "left_anti",
         )
-        return out.drop("_file", "_pos")
+        return out.drop(fkey, pkey)
 
     def scan(
         self,
@@ -548,13 +558,19 @@ class DeltaFixtureWriter:
 
         t = DeltaTable(self.root)
         pairs = t.live_files_with_dvs(self._version)
-        norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        # percent-decode the file_path URI (protecting literal `+`) so
+        # victim keys line up with the raw resolved paths DV
+        # descriptors use; internal names are collision-proof against
+        # user columns (filter(condition) still sees every user column)
+        uri = F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+        norm = F.regexp_replace(F.url_decode(uri), "^file:/+", "/")
+        fkey, pkey = "__cdf_dv_file", "__cdf_dv_pos"
         victims = (
             spark.read.parquet(*[p for p, _ in pairs])
-            .withColumn("_file", norm)
-            .withColumn("_pos", F.col("_metadata.row_index"))
+            .withColumn(fkey, norm)
+            .withColumn(pkey, F.col("_metadata.row_index"))
             .filter(condition)
-            .select("_file", "_pos")
+            .select(fkey, pkey)
         )
         rows = victims.limit(max_rows + 1).collect()
         if len(rows) > max_rows:
@@ -564,7 +580,7 @@ class DeltaFixtureWriter:
             )
         by_file: dict[str, list[int]] = {}
         for r in rows:
-            by_file.setdefault(r["_file"], []).append(int(r["_pos"]))
+            by_file.setdefault(r[fkey], []).append(int(r[pkey]))
         if not by_file:
             return self._commit([], "DELETE", timestamp_ms)
         dv_of = dict(pairs)

@@ -139,8 +139,10 @@ def _deserialize_roaring32(buf: bytes, off: int) -> tuple[list[int], int]:
         k, cm1 = struct.unpack_from("<HH", buf, pos)
         pos += 4
         headers.append((k, cm1 + 1))
-    has_run = any(run_flags[i >> 3] & (1 << (i & 7)) for i in range(n)) if run_flags else False
-    if cookie == _COOKIE_NO_RUN or (not has_run and n >= 4):
+    # Per RoaringFormatSpec (and the Java writer), the offset header is
+    # present for SERIAL_COOKIE (run) streams whenever n >= 4, regardless
+    # of whether any container is actually run-encoded.
+    if cookie == _COOKIE_NO_RUN or n >= 4:
         pos += 4 * n  # offset header (recomputed sequentially below)
     values: list[int] = []
     for i, (k, card) in enumerate(headers):

@@ -481,6 +481,19 @@ class HudiMorTable:
         return df, plan
 
 
+def _pack_arrival_seq(ver: int, bi: int) -> int:
+    """Bit-packed arrival-order base for one log block: ver<<44 |
+    bi<<24, leaving 24 bits for the record index. A single shared
+    `.log.1` accumulates one block per upsert/delete commit, so block
+    counts beyond 1000 are routine — the old decimal packing
+    ((ver*1000+bi)*1_000_000) collided block 1000 of version v with
+    block 0 of version v+1, corrupting within-instant tie-break order.
+    Bounds-checked so overflow raises instead of silently colliding."""
+    if ver < 0 or bi < 0 or ver >= (1 << 19) or bi >= (1 << 20):
+        raise HudiError(f"log arrival-order overflow: version={ver} block={bi}")
+    return (ver << 44) | (bi << 24)
+
+
 def _read_log_records(
     spark: SparkSession,
     log_paths: list[str],
@@ -525,16 +538,22 @@ def _read_log_records(
                     binst = header.get(HEADER_INSTANT_TIME, "")
                     if binst > instant:
                         continue  # block written after the queried instant
-                    seq_base = (ver * 1000 + bi) * 1_000_000
+                    seq_base = _pack_arrival_seq(ver, bi)
                     if btype == BLOCK_AVRO_DATA:
-                        for ri, rec in enumerate(decode_data_block(header, blob)):
+                        recs = list(decode_data_block(header, blob))
+                        if len(recs) > (1 << 24):
+                            raise HudiError(f"log arrival-order overflow: {len(recs)} records in one block")
+                        for ri, rec in enumerate(recs):
                             row = {n: rec.get(n) for n in names}
                             row[META_COMMIT_TIME] = binst
                             row["_cdf_seq"] = seq_base + ri
                             row["_cdf_op"] = "u"
                             rows.append(row)
                     elif btype == BLOCK_DELETE:
-                        for ri, rec in enumerate(decode_delete_block(blob)):
+                        recs = list(decode_delete_block(blob))
+                        if len(recs) > (1 << 24):
+                            raise HudiError(f"log arrival-order overflow: {len(recs)} records in one block")
+                        for ri, rec in enumerate(recs):
                             row = {n: None for n in names}
                             row[META_COMMIT_TIME] = binst
                             row[META_RECORD_KEY] = rec["recordKey"]

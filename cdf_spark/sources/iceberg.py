@@ -146,7 +146,11 @@ def _bucket_hash_bytes(v, src_type: str) -> bytes | None:
         v = (v - _dt.date(1970, 1, 1)).days
     elif src_type in ("timestamp", "timestamptz") and isinstance(v, _dt.datetime):
         base = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        v = int((v - base).total_seconds() * 1_000_000)
+        # exact integer micros from timedelta components — float64
+        # total_seconds() is off by 1us for many post-~2001 instants,
+        # which would bucket-hash into the wrong partition
+        td = v - base
+        v = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
     if isinstance(v, int):
         try:
             return _struct.pack("<q", v)
@@ -189,6 +193,22 @@ def _bucket_pandas_udf(n: int, src_type: str):
         return s.map(one)
 
     return pandas_udf(f, "int")
+
+
+def _session_tz_is_utc() -> bool:
+    """True when the active Spark session's timezone is UTC (or there
+    is no active session — pure-metadata callers use naive/UTC
+    arithmetic throughout)."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return True
+        tz = (s.conf.get("spark.sql.session.timeZone", "UTC") or "UTC").upper()
+        return tz in ("UTC", "Z", "GMT", "ETC/UTC", "ETC/GMT", "GMT0", "+00:00", "GREENWICH", "ZULU")
+    except Exception:
+        return True
 
 
 def _parse_transform(t: str) -> tuple[str, int | None]:
@@ -246,7 +266,8 @@ def _project_literal(v, tname: str, arg: int | None, src_type: str):
         if not is_dt:
             return None
         base = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return int((v - base).total_seconds()) // 3600
+        td = v - base
+        return (td.days * 86400 + td.seconds) // 3600
     return None
 
 
@@ -642,15 +663,25 @@ class IcebergTable:
         # predicates evaluated against the transformed partition value
         # under a synthetic `$part$<spec_name>` key (keys never collide
         # with column stats, which live in source-value space)
+        # timestamp-typed transform fields only prune under a UTC
+        # session timezone: the projection treats a naive predicate
+        # literal as a UTC instant while Spark's residual filter
+        # interprets it in session tz — near boundaries a non-UTC
+        # session could wrongly prune, so we widen (skip) instead
+        ts_ok = _session_tz_is_utc()
+
+        def _prunable(typ: str, tname: str) -> bool:
+            return tname != "identity" and (ts_ok or typ not in ("timestamp", "timestamptz"))
+
         tfields = {
             cur: (f"$part${spec_name}", tname, arg, typ)
             for _pos, spec_name, cur, typ, tname, arg in self._partition_fields_all()
-            if tname != "identity"
+            if _prunable(typ, tname)
         }
         transform_meta = {
             spec_name: (pos, f"$part${spec_name}", _transform_value_type(tname, typ))
             for pos, spec_name, _cur, typ, tname, arg in self._partition_fields_all()
-            if tname != "identity"
+            if _prunable(typ, tname)
         }
         projected = [
             q for p in predicates if (q := _project_predicate(p, tfields)) is not None
@@ -1550,46 +1581,55 @@ class IcebergFixtureWriter:
         timestamp_ms: int | None = None,
         snapshot_id: int | None = None,
     ) -> int:
-        import shutil
-        import tempfile
-
-        if not self._schemas:
-            # first data commit defines the field-id schema (ids 1..n)
-            # that equality-delete entries reference; iceberg types ride
-            # along so bound values round-trip through the spec's
-            # single-value serialization
-            _SPARK_TO_ICE = {
-                "integer": "int",
-                "long": "long",
-                "float": "float",
-                "double": "double",
-                "string": "string",
-                "date": "date",
-                "timestamp": "timestamp",
-            }
-            for f in df.schema.fields:
-                self._field_order.append(f.name)
-                self._field_ids[f.name] = self._next_fid
-                self._next_fid += 1
-                self._field_types[f.name] = _SPARK_TO_ICE.get(f.dataType.typeName(), "")
-            self._schemas.append(self._current_schema())
-            for c in self.partition_by:
-                if c not in self._field_ids:
-                    raise IcebergError(f"partition column {c!r} not in first commit's schema")
-
+        self._ensure_schema_from_df(df)
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
         parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+        data_files = self._write_df_entries(df, sid)
+        return self._finish_commit(sid, parent, ts, data_files, operation)
 
-        # data files: write through Spark then move into data/ (files
-        # are immutable once committed — Iceberg's core invariant).
-        # Partitioned tables are written in ONE distributed
-        # hive-partitioned job (executors split rows; the driver walks
-        # only directory NAMES — O(partitions), never O(rows), and the
-        # partition count is guarded). Each file's manifest entry
-        # carries a typed partition record; record values are spec
-        # single-values (date -> days int, timestamp -> micros long).
+    def _ensure_schema_from_df(self, df: DataFrame) -> None:
+        """First data commit defines the field-id schema (ids 1..n)
+        that equality-delete entries reference; iceberg types ride
+        along so bound values round-trip through the spec's
+        single-value serialization."""
+        if self._schemas:
+            return
+        _SPARK_TO_ICE = {
+            "integer": "int",
+            "long": "long",
+            "float": "float",
+            "double": "double",
+            "string": "string",
+            "date": "date",
+            "timestamp": "timestamp",
+        }
+        for f in df.schema.fields:
+            self._field_order.append(f.name)
+            self._field_ids[f.name] = self._next_fid
+            self._next_fid += 1
+            self._field_types[f.name] = _SPARK_TO_ICE.get(f.dataType.typeName(), "")
+        self._schemas.append(self._current_schema())
+        for c in self.partition_by:
+            if c not in self._field_ids:
+                raise IcebergError(f"partition column {c!r} not in first commit's schema")
+
+    def _write_df_entries(self, df: DataFrame, sid: int) -> list[dict]:
+        """Write df's rows as immutable data files and return their
+        ADDED manifest entries at the current sequence number.
+
+        Files are written through Spark then moved into data/ (files
+        are immutable once committed — Iceberg's core invariant).
+        Partitioned tables are written in ONE distributed
+        hive-partitioned job (executors split rows; the driver walks
+        only directory NAMES — O(partitions), never O(rows), and the
+        partition count is guarded). Each file's manifest entry
+        carries a typed partition record; record values are spec
+        single-values (date -> days int, timestamp -> micros long)."""
+        import shutil
+        import tempfile
+
         slices: list[tuple[dict | None, list[str]]] = []
         tmps: list[str] = []
         if self.partition_by:
@@ -1659,19 +1699,38 @@ class IcebergFixtureWriter:
                 )
         for t in tmps:
             shutil.rmtree(t, ignore_errors=True)
-
-        return self._finish_commit(sid, parent, ts, data_files, operation)
+        return data_files
 
     def _derived_partition_col(self, c: str, tname: str, arg: int | None):
-        """Spark column computing a spec field's partition value."""
+        """Spark column computing a spec field's partition value.
+
+        Temporal transforms over TIMESTAMP columns derive from UTC
+        epoch micros (`unix_micros`), never from session-timezone
+        calendar casts (`F.year`/`cast("date")`) — the spec's transform
+        is defined on the UTC instant, and reader-side literal
+        projection uses the same epoch arithmetic, so written partition
+        value and projected predicate agree in every session timezone."""
         from pyspark.sql import functions as F
 
+        typ = self._field_types.get(c, "")
+        is_ts = typ in ("timestamp", "timestamptz")
         if tname == "identity":
             return F.col(c)
         if tname == "truncate":
-            if self._field_types.get(c) == "string":
+            if typ == "string":
                 return F.substring(F.col(c), 1, int(arg))
             return F.col(c) - F.pmod(F.col(c), F.lit(int(arg)))
+        if is_ts and tname in ("year", "month", "day", "hour"):
+            micros = F.unix_micros(F.col(c))
+            epoch_days = F.floor(micros / F.lit(86_400_000_000)).cast("int")
+            if tname == "hour":
+                return F.floor(micros / F.lit(3_600_000_000)).cast("int")
+            if tname == "day":
+                return epoch_days
+            utc_date = F.date_add(F.to_date(F.lit("1970-01-01")), epoch_days)
+            if tname == "year":
+                return F.year(utc_date) - F.lit(1970)
+            return (F.year(utc_date) - F.lit(1970)) * F.lit(12) + F.month(utc_date) - F.lit(1)
         if tname == "year":
             return F.year(F.col(c)) - F.lit(1970)
         if tname == "month":
@@ -1679,7 +1738,12 @@ class IcebergFixtureWriter:
         if tname == "day":
             return F.datediff(F.col(c).cast("date"), F.to_date(F.lit("1970-01-01")))
         if tname == "bucket":
-            return _bucket_pandas_udf(int(arg), self._field_types.get(c, ""))(F.col(c))
+            if is_ts:
+                # spec hashes a timestamp as its UTC-micros long; going
+                # through unix_micros sidesteps Arrow's session-local
+                # naive-timestamp conversion inside the pandas UDF
+                return _bucket_pandas_udf(int(arg), "long")(F.unix_micros(F.col(c)))
+            return _bucket_pandas_udf(int(arg), typ)(F.col(c))
         raise IcebergError(f"unsupported partition transform {tname!r}")
 
     @staticmethod
@@ -1855,7 +1919,8 @@ class IcebergFixtureWriter:
             return (v - _dt.date(1970, 1, 1)).days
         if typ in ("timestamp", "timestamptz") and isinstance(v, _dt.datetime):
             base = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-            return int((v - base).total_seconds() * 1_000_000)
+            td = v - base
+            return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
         return v
 
     def _entry_schema(self) -> dict:
@@ -2074,13 +2139,104 @@ class IcebergFixtureWriter:
         entries += self._copied_file_entries(paths, sid)
         return self._finish_commit(sid, parent, ts, entries, "overwrite", retain_prior=True)
 
+    def upsert(
+        self,
+        df: DataFrame,
+        equality_cols: list[str],
+        timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> int:
+        """Partition-spec-aware upsert: ONE snapshot carrying the
+        batch's data files (split by the table's partition spec, each
+        entry with its typed partition tuple — pruning keeps working
+        after the merge) AND the batch's equality-delete key files at
+        the same sequence number.
+
+        Delete scoping: when every partition SOURCE column is an
+        equality column, an older row matching key K necessarily lives
+        in partition(K) — so the key set is hive-partition-split by the
+        same derived transforms as the data and each delete file's
+        entry carries its partition tuple (the partition-scoped delete
+        shape of the spec; the reference's destination protocol has no
+        disposition carve-outs, crates/cdf-kernel/src/destination.rs:370-410).
+        Otherwise keys may match rows in any partition, so deletes are
+        committed globally (partition=None) — correct under
+        sequence-scoped application, just not partition-prunable.
+        Both sides are written DISTRIBUTIVELY: key rows never pass
+        through the driver (same posture as `upsert_files`)."""
+        self._ensure_schema_from_df(df)
+        missing = [c for c in equality_cols if c not in self._field_ids]
+        if missing:
+            raise IcebergError(f"equality columns not in schema: {missing}")
+        sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
+        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        self._seq += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+
+        import shutil
+
+        keys = df.select(*equality_cols).distinct()
+        scoped = bool(self._spec_fields) and all(
+            c in equality_cols for c, _t, _a, _sn in self._spec_fields
+        )
+        entries: list[dict] = []
+        tmps: list[str] = []
+        try:
+            if scoped:
+                from .partitioned_write import hive_partitioned_write
+
+                staged = keys
+                pcols = []
+                for c, tname, arg, sn in self._spec_fields:
+                    pc = f"__pt_{sn}"
+                    staged = staged.withColumn(pc, self._derived_partition_col(c, tname, arg))
+                    pcols.append(pc)
+                tmp_root, parts = hive_partitioned_write(
+                    staged,
+                    pcols,
+                    drop_partition_cols=True,
+                    max_partitions=self.max_partitions_per_commit,
+                )
+                tmps.append(tmp_root)
+                for raw, files in parts:
+                    rec = {}
+                    for c, tname, arg, sn in self._spec_fields:
+                        vt = _transform_value_type(tname, self._field_types.get(c, ""))
+                        rec[sn] = self._ice_single_value(
+                            self._typed_raw(raw[f"__pt_{sn}"], vt), vt
+                        )
+                    for kf in files:
+                        e = self._eq_delete_entry_from_file(
+                            kf, equality_cols, sid, partition=rec
+                        )
+                        if e is not None:
+                            entries.append(e)
+            else:
+                import tempfile
+
+                tmp = tempfile.mkdtemp(prefix="iceberg_upsert_keys_")
+                tmps.append(tmp)
+                keys.write.mode("overwrite").parquet(tmp)
+                for kf in sorted(str(p) for p in Path(tmp).glob("*.parquet")):
+                    e = self._eq_delete_entry_from_file(kf, equality_cols, sid)
+                    if e is not None:
+                        entries.append(e)
+            if not entries:
+                raise IcebergError("upsert requires a non-empty batch")
+            entries += self._write_df_entries(df, sid)
+        finally:
+            for t in tmps:
+                shutil.rmtree(t, ignore_errors=True)
+        return self._finish_commit(sid, parent, ts, entries, "overwrite", retain_prior=True)
+
     def _eq_delete_entry_from_file(
-        self, src: str, equality_cols: list[str], sid: int
+        self, src: str, equality_cols: list[str], sid: int, partition: dict | None = None
     ) -> dict | None:
         """content=2 entry from a pre-written key parquet, committed by
         COPY; record_count from the footer (no row ever touches the
         driver). Empty part files (parallel writers emit them) are
-        skipped -> None."""
+        skipped -> None. `partition` attaches a typed partition tuple
+        (partition-scoped deletes); None = global."""
         import shutil
 
         import pyarrow.parquet as pq
@@ -2099,7 +2255,7 @@ class IcebergFixtureWriter:
                 "file_format": "PARQUET",
                 "record_count": int(nrows),
                 "content": 2,
-                "partition": None,
+                "partition": partition,
                 "equality_ids": [self._field_ids[c] for c in equality_cols],
                 "lower_bounds": None,
                 "upper_bounds": None,

@@ -1,0 +1,175 @@
+"""Round-7 regression tests: each test falsifies one of the five
+advisor-flagged defects (Roaring run-cookie offset header, float
+timestamp micros, session-timezone temporal transforms, Delta DV
+path-URI/column-collision, Hudi MoR arrival-order packing)."""
+
+from __future__ import annotations
+
+import datetime
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.expressions.ast import Binary, Col, Lit
+from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+from cdf_spark.sources.delta_dv import DV_MAGIC, deserialize_dv_blob
+from cdf_spark.sources.hudi_mor import HudiError, _pack_arrival_seq
+from cdf_spark.sources.iceberg import (
+    IcebergFixtureWriter,
+    IcebergTable,
+    _bucket_hash_bytes,
+    _session_tz_is_utc,
+)
+
+
+# -- 1. Roaring run cookie: offset header present whenever n >= 4 ----------
+
+
+def test_roaring_run_cookie_offset_header_with_four_containers():
+    """Spec-conformant SERIAL_COOKIE stream: 4 containers (one of them
+    run-encoded) MUST carry the offset header. The old decoder skipped
+    it only when no run flags were set, so this stream misparsed."""
+    n = 4
+    cookie = struct.pack("<I", ((n - 1) << 16) | 12347)
+    run_flags = bytes([0b00000100])  # container index 2 is a run
+    headers = b"".join(
+        struct.pack("<HH", k, card - 1)
+        for k, card in [(0, 3), (1, 1), (2, 10), (3, 2)]
+    )
+    bodies = [
+        struct.pack("<3H", 1, 2, 3),  # array
+        struct.pack("<1H", 10),  # array
+        struct.pack("<H", 1) + struct.pack("<HH", 5, 9),  # 1 run: 5..14
+        struct.pack("<2H", 7, 9),  # array
+    ]
+    base = 4 + 1 + len(headers) + 4 * n
+    offsets = b""
+    pos = base
+    for b in bodies:
+        offsets += struct.pack("<I", pos)
+        pos += len(b)
+    stream = cookie + run_flags + headers + offsets + b"".join(bodies)
+    blob = struct.pack("<I", DV_MAGIC) + struct.pack("<q", 1) + struct.pack("<I", 0) + stream
+    expect = (
+        [1, 2, 3]
+        + [(1 << 16) + 10]
+        + [(2 << 16) + v for v in range(5, 15)]
+        + [(3 << 16) + 7, (3 << 16) + 9]
+    )
+    assert deserialize_dv_blob(blob) == expect
+
+
+# -- 2. exact timestamp micros (no float64 total_seconds) ------------------
+
+
+# epoch-seconds/micros pairs where float64 total_seconds()*1e6 is off
+# by 1us (found by sweep; e.g. 1988-08-04T23:14:23.543873Z)
+_FLOAT_WRONG = [(555122063, 543873), (1088594442, 943528), (539805736, 222436)]
+
+
+def test_timestamp_bucket_micros_exact():
+    epoch = datetime.datetime(1970, 1, 1)
+    for secs, us in _FLOAT_WRONG:
+        v = epoch + datetime.timedelta(seconds=secs, microseconds=us)
+        exact = secs * 1_000_000 + us
+        # the float path is genuinely wrong for these instants...
+        assert int((v - epoch).total_seconds() * 1_000_000) != exact
+        # ...and the hash input must be the exact micros long
+        assert _bucket_hash_bytes(v, "timestamp") == struct.pack("<q", exact)
+
+
+def test_ice_single_value_timestamp_micros_exact():
+    epoch = datetime.datetime(1970, 1, 1)
+    for secs, us in _FLOAT_WRONG:
+        v = epoch + datetime.timedelta(seconds=secs, microseconds=us)
+        assert IcebergFixtureWriter._ice_single_value(v, "timestamp") == secs * 1_000_000 + us
+
+
+# -- 3. temporal transforms across session timezones -----------------------
+
+
+@pytest.fixture()
+def ny_tz(spark):
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield
+    spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_session_tz_helper(spark, ny_tz):
+    assert not _session_tz_is_utc()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert _session_tz_is_utc()
+
+
+def test_day_transform_written_non_utc_prunes_correctly_under_utc(spark, tmp_path, ny_tz):
+    """Writer derives day() from UTC epoch micros, so a table WRITTEN
+    under a non-UTC session timezone still prunes exactly when read
+    under UTC; under the non-UTC session the reader must WIDEN (skip
+    transform pruning) rather than risk a wrong prune."""
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.timestamp_add(
+            "HOUR", (F.col("id") % 96).cast("int"), F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+        ).alias("ts"),
+    )
+    w = IcebergFixtureWriter(tmp_path / "t", seed=5, partition_by=[("day", "ts")])
+    w.append(df, timestamp_ms=1000)
+    t = IcebergTable(tmp_path / "t")
+    sid = int(t.metadata["current-snapshot-id"])
+    lit = Lit(datetime.datetime(2024, 3, 3, 0, 0, 0))
+    # non-UTC session: transform pruning over a timestamp column is
+    # disabled — conservative widening, never a wrong prune
+    kept_ny, ev_ny = t.data_files_pruned(sid, [Binary("ge", Col("ts"), lit)])
+    assert ev_ny["files_pruned"] == 0
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    kept, ev = t.data_files_pruned(sid, [Binary("ge", Col("ts"), lit)])
+    assert ev["files_pruned"] > 0
+    assert (
+        spark.read.parquet(*kept).filter("ts >= '2024-03-03 00:00:00'").count()
+        == df.filter("ts >= timestamp'2024-03-03 00:00:00'").count()
+    )
+
+
+# -- 4. Delta DV: URI-encoded paths + user columns named _file/_pos --------
+
+
+def test_dv_survives_special_char_paths_and_reserved_column_names(spark, tmp_path):
+    root = tmp_path / "a b+c" / "t"  # space AND literal + in every file URI
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.lit("keep-me").alias("_file"),
+        (F.col("id") + 1000).alias("_pos"),
+    )
+    w = DeltaFixtureWriter(root)
+    w.append(df, timestamp_ms=1000)
+    w.delete_where(spark, "k < 10", timestamp_ms=2000)
+    out = DeltaTable(root).read(spark)
+    rows = out.collect()
+    # deleted rows must NOT silently reappear (URI percent-encoding
+    # must not break the anti-join keyed on raw resolved paths)
+    assert sorted(r.k for r in rows) == list(range(10, 100))
+    # user columns with the old internal names survive untouched
+    assert set(out.columns) == {"k", "_file", "_pos"}
+    assert all(r._file == "keep-me" and r._pos == r.k + 1000 for r in rows)
+
+
+# -- 5. Hudi MoR arrival-order packing -------------------------------------
+
+
+def test_pack_arrival_seq_no_collision_and_bounds():
+    # the old decimal packing collided (ver=0, block=1000) with
+    # (ver=1, block=0); the bit packing must keep full ordering
+    assert _pack_arrival_seq(0, 1000) < _pack_arrival_seq(1, 0)
+    seqs = [
+        _pack_arrival_seq(v, b) + r
+        for v in (0, 1, 2)
+        for b in (0, 999, 1000, 5000, (1 << 20) - 1)
+        for r in (0, (1 << 24) - 1)
+    ]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    with pytest.raises(HudiError, match="overflow"):
+        _pack_arrival_seq(1 << 19, 0)
+    with pytest.raises(HudiError, match="overflow"):
+        _pack_arrival_seq(0, 1 << 20)
