@@ -124,10 +124,15 @@ class IcebergDestination:
             elif disposition is WriteDisposition.REPLACE:
                 w.overwrite(df)
             elif disposition is WriteDisposition.MERGE:
-                raise ValueError(
-                    "merge into a partitioned Iceberg table is not supported yet "
-                    "(per-partition equality-delete scoping)"
-                )
+                if not self.merge_keys:
+                    raise ValueError("merge disposition requires merge_keys")
+                # ONE snapshot: partition-split data files + the
+                # batch's equality-delete key files (partition-scoped
+                # when the spec's source columns are merge keys,
+                # global otherwise); key rows and data rows both stay
+                # on executors — same no-driver-collect discipline as
+                # the flat path below
+                w.upsert(df, self.merge_keys)
             else:
                 raise ValueError(
                     f"disposition {disposition} not supported by IcebergDestination"

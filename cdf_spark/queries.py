@@ -1769,6 +1769,72 @@ def iceberg_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_dest_partitioned_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice FROM orders
+      WHERE o_orderkey <= 400 OR o_orderkey > 900
+    )
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def iceberg_dest_partitioned_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE into a PARTITIONED Iceberg table (bucket(8, o_orderkey)):
+    one snapshot carrying partition-split data files AND
+    partition-SCOPED equality-delete key files (the spec source column
+    is a merge key, so an older row matching key K necessarily lives
+    in partition(K)). Pruning is asserted in-query AFTER the merge —
+    the commit must leave every entry with a typed partition tuple —
+    and the oracle recomputes the merge relationally. Closes the last
+    explicit disposition refusal (`package/iceberg_dest.py`); the
+    reference's destination protocol has no disposition carve-outs
+    (crates/cdf-kernel/src/destination.rs:370-410)."""
+    from .expressions.ast import Col, Lit
+    from .package import PackageBuilder
+    from .package.iceberg_dest import IcebergDestination
+    from .sources.base import WriteDisposition
+    from .sources.iceberg import IcebergTable
+    from .plans.scan import ScanRequest
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        dest = IcebergDestination(
+            f"{tmp}/t",
+            merge_keys=["o_orderkey"],
+            partition_by=[("bucket", 8, "o_orderkey")],
+        )
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_pup")
+        base = builder.build(admitted=o.filter(F.col("o_orderkey") <= 900))
+        r1 = dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base)
+        batch = builder.build(
+            admitted=o.filter(
+                (F.col("o_orderkey") <= 400) | (F.col("o_orderkey") > 900)
+            ).withColumn("o_totalprice", F.lit(-1.0))
+        )
+        r2 = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+        if not (r1.verified and r2.verified):
+            raise RuntimeError("partitioned iceberg merge receipt failed verification")
+
+    tmp = _session_fixture("ice_dest_pup", sf, build)
+    t = IcebergTable(f"{tmp}/t")
+    # pruning must survive the merge: a point predicate projects into
+    # bucket space and drops most files even though an upsert snapshot
+    # (delete + data entries) is now current
+    _out, plan = t.scan(
+        spark, ScanRequest("orders_ice_pup", predicates=[Col("o_orderkey") == Lit(7)])
+    )
+    meta = plan.partitions.meta
+    if not (meta["files_pruned"] > 0 and meta["files_kept"] >= 1):
+        raise AssertionError(f"post-merge partition pruning regressed: {meta}")
+    return t.read(spark)
+
+
+@_register(
     "declarative_iceberg_run",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders

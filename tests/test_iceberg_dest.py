@@ -388,3 +388,182 @@ def test_multiwriter_race_retries_to_serial_result(spark, tmp_path, orders):
     assert overlap == {-1.0} or overlap == {-2.0}
     # untouched tail unchanged
     assert all(rows[k] >= 0 for k in rows if k > 600)
+
+
+def test_merge_into_partitioned_table_scoped_deletes_and_pruning(spark, tmp_path, orders):
+    """MERGE into a table partitioned by bucket(o_orderkey) — the spec
+    source IS a merge key, so delete files are partition-scoped (each
+    content=2 entry carries its typed partition tuple) and pruning
+    keeps working after the merge. ONE snapshot, serial semantics."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter
+
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    w = IcebergFixtureWriter(
+        tmp_path / "t", seed=73, partition_by=[("bucket", 4, "o_orderkey")]
+    )
+    base = o.filter(F.col("o_orderkey") <= 900)
+    w.append(base, timestamp_ms=1000)
+
+    dest = IcebergDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    batch = o.filter(F.col("o_orderkey") <= 400).withColumn("o_totalprice", F.lit(-1.0))
+    pkg = builder.build(admitted=batch)
+    rec = dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.MERGE), pkg)
+    assert rec.verified
+
+    t = IcebergTable(tmp_path / "t")
+    assert len(t.ancestry()) == 2  # base append + ONE merge snapshot
+    cur = t.read(spark)
+    assert cur.count() == base.count()  # merge never duplicates keys
+    rows = {r.o_orderkey: r.o_totalprice for r in cur.collect()}
+    assert all(v == -1.0 for k, v in rows.items() if k <= 400)
+    assert all(v >= 0 for k, v in rows.items() if k > 400)
+
+    # every delete entry carries a typed partition tuple (scoped form)
+    sid = t.current_snapshot_id()
+    eq_parts = []
+    for mp in t._manifest_paths(t.snapshot(sid)):
+        for e in t._manifest_entries(mp):
+            d = e["data_file"]
+            if int(e.get("status", 1)) != 2 and int(d.get("content") or 0) == 2:
+                eq_parts.append(d.get("partition"))
+    assert eq_parts
+    assert all(p is not None and p.get("o_orderkey_bucket") is not None for p in eq_parts)
+
+    # pruning still works after the merge — and resolves to the NEW value
+    key = int(batch.select("o_orderkey").first()[0])
+    out, plan = t.scan(
+        spark, ScanRequest("ice", predicates=[Col("o_orderkey") == Lit(key)])
+    )
+    meta = plan.partitions.meta
+    assert meta["files_pruned"] > 0
+    got = out.collect()
+    assert {r.o_orderkey for r in got} == {key}
+    assert all(r.o_totalprice == -1.0 for r in got)
+
+
+def test_merge_partitioned_global_deletes_when_spec_not_covered(spark, tmp_path, orders):
+    """Identity partition on o_orderstatus with merge key o_orderkey:
+    a key's older row may live in ANY partition, so delete files are
+    committed globally (partition=None) — still correct under
+    sequence-scoped application."""
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter
+
+    o = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    w = IcebergFixtureWriter(tmp_path / "t", seed=74, partition_by=["o_orderstatus"])
+    base = o.filter(F.col("o_orderkey") <= 900)
+    w.append(base, timestamp_ms=1000)
+
+    dest = IcebergDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    # flip the status too: the row MOVES partition — only a global
+    # delete can remove the old-partition copy
+    batch = (
+        o.filter(F.col("o_orderkey") <= 300)
+        .withColumn("o_totalprice", F.lit(-1.0))
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    pkg = builder.build(admitted=batch)
+    rec = dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.MERGE), pkg)
+    assert rec.verified
+
+    t = IcebergTable(tmp_path / "t")
+    cur = t.read(spark)
+    assert cur.count() == base.count()
+    assert cur.filter((F.col("o_orderkey") <= 300) & (F.col("o_orderstatus") != "X")).count() == 0
+
+    sid = t.current_snapshot_id()
+    for mp in t._manifest_paths(t.snapshot(sid)):
+        for e in t._manifest_entries(mp):
+            d = e["data_file"]
+            if int(e.get("status", 1)) != 2 and int(d.get("content") or 0) == 2:
+                assert d.get("partition") is None  # global delete
+
+
+def test_partitioned_merge_no_driver_collect(spark, tmp_path, orders, monkeypatch):
+    """The partitioned MERGE path must keep the no-driver-collect
+    discipline of the flat path: key split, data split, and footer
+    registration all happen without DataFrame.collect()."""
+    from pyspark.sql import DataFrame
+
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter
+
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    w = IcebergFixtureWriter(
+        tmp_path / "t", seed=75, partition_by=[("bucket", 4, "o_orderkey")]
+    )
+    base = o.filter(F.col("o_orderkey") <= 900)
+    w.append(base, timestamp_ms=1000)
+
+    dest = IcebergDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    batch = o.filter(F.col("o_orderkey") <= 200).withColumn("o_totalprice", F.lit(-7.0))
+    pkg = builder.build(admitted=batch)
+
+    def _no_collect(self):
+        raise AssertionError("driver-side collect() in the partitioned MERGE path")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    rec = dest.commit(spark, pkg, WriteDisposition.MERGE)
+    monkeypatch.undo()
+
+    assert dest.verify(spark, rec, pkg).verified
+    got = dest.read(spark)
+    assert got.count() == base.count()
+    assert (
+        got.filter((F.col("o_orderkey") <= 200) & (F.col("o_totalprice") != -7.0)).count()
+        == 0
+    )
+
+
+def test_partitioned_multiwriter_race_retries_to_serial_result(spark, tmp_path, orders):
+    """The multiwriter CAS-retry discipline extends to the partitioned
+    MERGE path: two racing partitioned upserts serialize to one of the
+    two serial orders with linear history."""
+    import threading
+
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter
+
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    w = IcebergFixtureWriter(
+        tmp_path / "t", seed=76, partition_by=[("bucket", 4, "o_orderkey")]
+    )
+    base = o.filter(F.col("o_orderkey") <= 900)
+    w.append(base, timestamp_ms=1000)
+
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    batch_a = o.filter(F.col("o_orderkey") <= 400).withColumn("o_totalprice", F.lit(-1.0))
+    batch_b = o.filter(
+        (F.col("o_orderkey") >= 200) & (F.col("o_orderkey") <= 600)
+    ).withColumn("o_totalprice", F.lit(-2.0))
+    pkg_a = builder.build(admitted=batch_a)
+    pkg_b = builder.build(admitted=batch_b)
+
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(2)
+
+    def commit(pkg):
+        try:
+            barrier.wait(timeout=30)
+            d = IcebergDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+            d.commit(spark, pkg, WriteDisposition.MERGE)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta = threading.Thread(target=commit, args=(pkg_a,))
+    tb = threading.Thread(target=commit, args=(pkg_b,))
+    ta.start(); tb.start(); ta.join(120); tb.join(120)
+    assert not errors, f"retry policy must absorb the race: {errors}"
+
+    t = IcebergTable(tmp_path / "t")
+    assert len(t.ancestry()) == 3
+    cur = t.read(spark)
+    assert cur.count() == base.count()
+    rows = {r.o_orderkey: r.o_totalprice for r in cur.collect()}
+    assert all(rows[k] == -1.0 for k in rows if k < 200)
+    assert all(rows[k] == -2.0 for k in rows if 400 < k <= 600)
+    overlap = {rows[k] for k in rows if 200 <= k <= 400}
+    assert overlap == {-1.0} or overlap == {-2.0}
+    assert all(rows[k] >= 0 for k in rows if k > 600)
