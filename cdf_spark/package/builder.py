@@ -100,8 +100,8 @@ class PackageBuilder:
         (pkg / "state").mkdir(exist_ok=True)
 
         # Evidence strategy (r6): the value hash rides the data write
-        # as a SINGLE-aggregate Observation (bit_xor of xxhash64 —
-        # ~0.3 s at 12M rows, unlike the old ~3-aggregates-per-column
+        # as a SINGLE-aggregate Observation (multiset sum of xxhash64
+        # — ~0.3 s at 12M rows, unlike the old ~3-aggregates-per-column
         # observation whose interpreted accumulator cost more than a
         # re-scan), and column stats come from the WRITTEN parquet
         # FOOTERS (~10 ms driver-side, O(files)) — which the encoder
@@ -112,11 +112,11 @@ class PackageBuilder:
         # re-scan of every written byte (~2.5 s per 12M-row batch —
         # the single largest ingest cost); byte-level tamper evidence
         # is verify()'s job, which re-reads at rest (falsification
-        # tests unchanged). Hash semantics identical: same expression,
-        # same values -> same pinned golden ids.
+        # tests unchanged). The fold is a sum mod 2^64 (r7) — an xor
+        # fold cancels duplicate pairs, hiding {X,X}->{Z,Z} tampering.
         from pyspark.sql import Observation
 
-        from .stats import footer_profile
+        from .stats import _vhash_aggs, _vhash_render, footer_profile
 
         spark = admitted.sparkSession
         hash_cols = sorted(admitted.columns)
@@ -124,7 +124,7 @@ class PackageBuilder:
         (
             admitted.observe(
                 obs,
-                F.bit_xor(F.xxhash64(*[F.col(c) for c in hash_cols])).alias("__vhash"),
+                *_vhash_aggs(hash_cols),
                 F.count(F.lit(1)).alias("__rows"),
             )
             .write.mode("overwrite")
@@ -134,9 +134,7 @@ class PackageBuilder:
         )
         observed = obs.get
         n_rows = int(observed["__rows"])
-        value_hash = (
-            f"xxh64-xor:{(observed['__vhash'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}:{n_rows}"
-        )
+        value_hash = _vhash_render(observed, n_rows)
         stats, incomplete = footer_profile(pkg / "data", admitted.schema)
         if stats["__table"]["rows"] != n_rows:
             raise ValueError(

@@ -9,9 +9,17 @@ maps for package pruning (`crates/cdf-engine/src/statistics_pruning.rs`).
 The dataset *value hash* replaces the reference's byte-exact Arrow
 segment hashing: Spark's task ordering is nondeterministic, so we hash
 values, not bytes — per-row xxhash64 over canonicalized columns,
-combined with an order- and partitioning-independent XOR aggregate.
-One pass, map-side combined, no shuffle beyond the final 1-row agg;
-this scales to any row count.
+combined with an order- and partitioning-independent MULTISET fold
+(sum of row hashes mod 2^64). A plain XOR fold looks tempting but
+cancels duplicate PAIRS: {X, X} xors to 0, so swapping a duplicated
+pair for {Z, Z} preserves both hash and count — invisible tampering,
+and training corpora are full of exact duplicates (the reference
+hashes bytes exactly, `crates/cdf-conformance/golden/.../expected.json`).
+The sum fold keeps every multiplicity distinct while staying
+commutative/associative. One pass, map-side combined, no shuffle
+beyond the final 1-row agg; the sum is computed as four 16-bit limb
+sums so it never overflows Spark's ANSI long arithmetic before
+~2^48 rows.
 """
 
 from __future__ import annotations
@@ -20,23 +28,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_LIMB_SHIFTS = (0, 16, 32, 48)
+
+
+def _vhash_aggs(cols: list[str]) -> list:
+    """Aggregates for the multiset value hash: per-limb sums of the
+    row xxhash64 (16-bit limbs -> ANSI-safe long sums)."""
+    rh = F.xxhash64(*[F.col(c) for c in cols])
+    return [
+        F.sum(F.shiftrightunsigned(rh, k).bitwiseAND(F.lit(0xFFFF))).alias(f"__vh{k}")
+        for k in _LIMB_SHIFTS
+    ]
+
+
+def _vhash_render(row: dict, n: int) -> str:
+    """Recombine limb sums into sum-mod-2^64 and render the hash."""
+    total = 0
+    for k in _LIMB_SHIFTS:
+        total += int(row[f"__vh{k}"] or 0) << k
+    return f"xxh64-msum:{total & 0xFFFFFFFFFFFFFFFF:016x}:{n}"
+
 
 def dataset_value_hash(df: DataFrame, columns: list[str] | None = None) -> str:
     """Order/partitioning-independent content hash of a DataFrame.
 
-    xor-combined xxhash64 over the row's columns (sorted by name,
-    hashed in their NATIVE types — xxhash64 folds nulls and every
-    atomic/nested type deterministically, and skipping the
+    Multiset-sum-combined xxhash64 over the row's columns (sorted by
+    name, hashed in their NATIVE types — xxhash64 folds nulls and
+    every atomic/nested type deterministically, and skipping the
     cast-to-string keeps the scan codegen'd and branch-free).
-    Deterministic across runs, partitionings, and cluster sizes.
+    Deterministic across runs, partitionings, and cluster sizes;
+    duplicate rows each contribute (no pair cancellation).
     """
     cols = columns or sorted(df.columns)
-    row_hash = F.xxhash64(*[F.col(c) for c in cols])
     agg = df.agg(
-        F.bit_xor(row_hash).alias("h"),
+        *_vhash_aggs(cols),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    return f"xxh64-xor:{(agg.h or 0) & 0xFFFFFFFFFFFFFFFF:016x}:{agg.n}"
+    row = agg.asDict()
+    return _vhash_render(row, int(row["n"]))
 
 
 _STATS_TYPES = (
@@ -75,9 +104,7 @@ def profile_and_hash(df: DataFrame, with_hash: bool = True) -> tuple[dict[str, d
             aggs.append(F.max(c).alias(f"{f.name}__max"))
     aggs.append(F.count(F.lit(1)).alias("__rows"))
     if with_hash:
-        cols = sorted(df.columns)
-        row_hash = F.xxhash64(*[F.col(c) for c in cols])
-        aggs.append(F.bit_xor(row_hash).alias("__vhash"))
+        aggs.extend(_vhash_aggs(sorted(df.columns)))
     row = df.agg(*aggs).collect()[0].asDict()
 
     out: dict[str, dict] = {}
@@ -92,9 +119,7 @@ def profile_and_hash(df: DataFrame, with_hash: bool = True) -> tuple[dict[str, d
         out[name] = entry
     n = int(row["__rows"])
     out["__table"] = {"rows": n}
-    vhash = None
-    if with_hash:
-        vhash = f"xxh64-xor:{(row['__vhash'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}:{n}"
+    vhash = _vhash_render(row, n) if with_hash else None
     return out, vhash
 
 
@@ -213,8 +238,7 @@ def _profile_aggs(df: DataFrame, with_hash: bool = True):
             aggs.append(F.max(c).alias(f"{f.name}__max"))
     aggs.append(F.count(F.lit(1)).alias("__rows"))
     if with_hash:
-        cols = sorted(df.columns)
-        aggs.append(F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])).alias("__vhash"))
+        aggs.extend(_vhash_aggs(sorted(df.columns)))
     return aggs, plan
 
 
@@ -248,8 +272,7 @@ def _parse_observation(df: DataFrame, row: dict) -> tuple[dict[str, dict], str]:
         out[name] = entry
     n = int(row["__rows"])
     out["__table"] = {"rows": n}
-    vhash = f"xxh64-xor:{(row['__vhash'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}:{n}"
-    return out, vhash
+    return out, _vhash_render(row, n)
 
 
 def prune_segments(segments: list[dict], column: str, op: str, value) -> list[dict]:

@@ -52,7 +52,7 @@ def test_golden_layout_and_manifest(spark, sf_dir, tmp_path):
     assert manifest["manifest_version"] == "cdf-spark-package@1"
     assert manifest["rows_admitted"] > 0
     assert manifest["segments"], "data segments must be listed"
-    assert manifest["value_hash"].startswith("xxh64-xor:")
+    assert manifest["value_hash"].startswith("xxh64-msum:")
     assert manifest["schema_fingerprint"].startswith("sha256:")
     assert manifest["plan_hash"].startswith("sha256:")
     # plan artifact records the pushed predicate + fidelity
@@ -136,7 +136,7 @@ def test_falsification_tampered_manifest_detected(spark, tmp_path):
     pkg = PackageBuilder(tmp_path, "kv").build(admitted=_golden_frame(spark))
     mpath = Path(pkg.path) / "manifest.json"
     manifest = json.loads(mpath.read_text())
-    manifest["value_hash"] = "xxh64-xor:0000000000000000:4"
+    manifest["value_hash"] = "xxh64-msum:0000000000000000:4"
     mpath.write_text(json.dumps(manifest))
     assert not PackageBuilder.verify(spark, pkg.path)
 
@@ -151,7 +151,7 @@ def test_falsification_replay_rejects_tampered_package(spark, tmp_path):
     pkg = PackageBuilder(tmp_path / "p", "kv").build(admitted=_golden_frame(spark))
     mpath = Path(pkg.path) / "manifest.json"
     manifest = json.loads(mpath.read_text())
-    manifest["value_hash"] = "xxh64-xor:ffffffffffffffff:4"
+    manifest["value_hash"] = "xxh64-msum:ffffffffffffffff:4"
     mpath.write_text(json.dumps(manifest))
 
     receipt = replay_package(
@@ -173,3 +173,31 @@ def test_falsification_quarantine_accounting(spark, tmp_path, sf_dir):
     )
     assert pkg.rows_admitted + pkg.rows_quarantined == n
     assert pkg.rows_quarantined > 0  # the rule actually fires on this data
+
+
+def test_falsification_duplicate_pair_swap_detected(spark, tmp_path):
+    """The multiset value hash must see {X,X} -> {Z,Z} tampering: an
+    xor fold cancels duplicate pairs (two copies of any row xor to 0),
+    so swapping one duplicated pair for another preserved both hash
+    and row count — invisible. Training corpora are full of exact
+    duplicates, so this is a realistic tamper shape."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), True), T.StructField("v", T.StringType(), True)]
+    )
+    x2 = spark.createDataFrame([(1, "x"), (1, "x")], schema)
+    z2 = spark.createDataFrame([(2, "z"), (2, "z")], schema)
+    pkg = PackageBuilder(tmp_path, "kv").build(admitted=x2)
+    assert PackageBuilder.verify(spark, pkg.path)
+
+    import shutil
+
+    shutil.rmtree(pkg.data_path())
+    z2.write.parquet(pkg.data_path())
+    assert not PackageBuilder.verify(spark, pkg.path)
+
+    # and the hashes themselves differ (the xor fold mapped both to 0)
+    from cdf_spark.package.stats import dataset_value_hash
+
+    assert dataset_value_hash(x2) != dataset_value_hash(z2)

@@ -63,7 +63,7 @@ def test_package_build_and_verify(spark, tmp_path, orders):
 
     # tamper -> verify fails
     manifest = json.loads((d / "manifest.json").read_text())
-    manifest["value_hash"] = "xxh64-xor:0000000000000000:1"
+    manifest["value_hash"] = "xxh64-msum:0000000000000000:1"
     (d / "manifest.json").write_text(json.dumps(manifest))
     assert not PackageBuilder.verify(spark, pkg.path)
 
