@@ -2320,6 +2320,38 @@ def delta_deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "delta_column_mapping_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > 100 AND o_orderkey <= 900
+    """,
+)
+def delta_column_mapping_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta COLUMN MAPPING, name mode (`sources/delta.py
+    _column_mapping`): the table's parquet files carry physical
+    `col-<uuid>` column names (the default layout of newer Delta
+    writers — minReaderVersion 2, `delta.columnMapping.physicalName`
+    per field); the reader resolves physical -> logical names from the
+    metaData schemaString at scan time, the same field-discipline as
+    the Iceberg reader's field ids. Composes with deletion vectors
+    (the DV delete here uses a logical-name predicate). Values must
+    equal the plain relational result; id mode stays refused."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t", column_mapping="name")
+        w.append(o.filter(F.col("o_orderkey") <= 900), timestamp_ms=1000)
+        w.delete_where(spark, "o_orderkey <= 100", timestamp_ms=2000)
+
+    tmp = _session_fixture("delta_cm", sf, build)
+    df = DeltaTable(f"{tmp}/t").read(spark)
+    if set(df.columns) != {"o_orderkey", "o_custkey", "o_totalprice"}:
+        raise AssertionError(f"logical names not restored: {df.columns}")
+    return df
+
+
+@_register(
     "iceberg_schema_evolution",
     """
     SELECT o_orderkey,

@@ -179,15 +179,17 @@ class DeltaTable:
 
         - minReaderVersion > 1 (column mapping, reader features) unless
           every advertised readerFeature is one this reader honors:
-          deletionVectors (decoded merge-on-read, `delta_dv.py`) and
-          timestampNtz (type-level only).
-        - column mapping: physical parquet names differ from logical
-          schema names; a name-based read returns wrong columns.
+          deletionVectors (decoded merge-on-read, `delta_dv.py`),
+          columnMapping (name mode — physical->logical rename at scan,
+          same field-discipline as the Iceberg reader's field ids),
+          and timestampNtz (type-level only).
+        - column mapping mode 'id' stays refused: id mode requires
+          parquet field-id resolution, not name resolution.
 
         Checkpoint rows are checked too (a cleaned log may carry the
         protocol/metaData actions ONLY inside the checkpoint parquet).
         """
-        supported = {"timestampNtz", "deletionVectors"}
+        supported = {"timestampNtz", "deletionVectors", "columnMapping"}
 
         def check_action(a: dict) -> None:
             proto = a.get("protocol")
@@ -201,10 +203,10 @@ class DeltaTable:
             md = a.get("metaData")
             if md:
                 mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-                if mode not in ("none", "", None):
+                if mode not in ("none", "", None, "name"):
                     raise DeltaError(
                         f"column mapping mode {mode!r} is not supported "
-                        "(physical names differ from logical schema)"
+                        "(id mode resolves by parquet field id, not name)"
                     )
 
         ckpt = self._checkpoint_info()
@@ -216,6 +218,58 @@ class DeltaTable:
                 break
             for a in self.actions(v):
                 check_action(a)
+
+    def metadata_for_version(self, version: int) -> dict:
+        """The table's metaData action as of `version` (checkpoint
+        state then JSON commits, last writer wins)."""
+        out: dict = {}
+        ckpt = self._checkpoint_info()
+        if ckpt is not None and int(ckpt["version"]) <= version:
+            for a in self._checkpoint_actions(int(ckpt["version"])):
+                if a.get("metaData"):
+                    out = a["metaData"]
+        for v in self.versions():
+            if v > version:
+                break
+            for a in self.actions(v):
+                if a.get("metaData"):
+                    out = a["metaData"]
+        return out
+
+    def _column_mapping(self, version: int) -> list[tuple[str, str]] | None:
+        """[(physical_name, logical_name)] in schema order when the
+        table is column-mapped (name mode), else None. Top-level
+        columns only — a mapped NESTED field would need a recursive
+        struct rebuild, so complex-typed columns raise (honest refusal
+        rather than silently returning physical nested names)."""
+        md = self.metadata_for_version(version)
+        mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+        if mode != "name":
+            return None
+        schema = json.loads(md.get("schemaString") or "{}")
+        pairs: list[tuple[str, str]] = []
+        for f in schema.get("fields", []):
+            phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+            if phys is None:
+                # unmapped field in a mapped table: physical == logical
+                phys = f["name"]
+            if not isinstance(f.get("type"), str):
+                raise DeltaError(
+                    f"column-mapped NESTED column {f['name']!r} is not supported "
+                    "(rename would need a recursive struct rebuild)"
+                )
+            pairs.append((str(phys), str(f["name"])))
+        return pairs
+
+    def _apply_column_mapping(self, df: DataFrame, version: int) -> DataFrame:
+        """Rename physical parquet columns to logical schema names for
+        column-mapped tables; identity for unmapped tables."""
+        pairs = self._column_mapping(version)
+        if not pairs:
+            return df
+        from pyspark.sql import functions as F
+
+        return df.select(*[F.col(p).alias(l) for p, l in pairs])
 
     def files_for_version(self, version: int) -> list[str]:
         return [p for p, _dv in self.live_files_with_dvs(version)]
@@ -293,8 +347,12 @@ class DeltaTable:
         files = [p for p, _dv in pairs]
         dvs = [(p, dv) for p, dv in pairs if dv]
         if not dvs:
-            return spark.read.parquet(*files)
-        return self._read_with_dvs(spark, files, dvs)
+            df = spark.read.parquet(*files)
+        else:
+            df = self._read_with_dvs(spark, files, dvs)
+        # column-mapped tables: physical parquet names -> logical
+        # schema names (DVs key only on _metadata, so they compose)
+        return self._apply_column_mapping(df, version)
 
     def _read_with_dvs(
         self, spark: SparkSession, files: list[str], dvs: list[tuple[str, dict]]
@@ -405,7 +463,7 @@ class DeltaTable:
         files = [f for v in newer for f in self.added_files(v)]
         if not files:
             return None, new_pos
-        return spark.read.parquet(*files), new_pos
+        return self._apply_column_mapping(spark.read.parquet(*files), cur), new_pos
 
 
 # ---------------------------------------------------------------------------
@@ -424,13 +482,23 @@ class DeltaFixtureWriter:
         root: str | Path,
         table_id: str | None = None,
         checkpoint_interval: int | None = None,
+        column_mapping: str = "none",
     ):
+        """`column_mapping="name"` writes a NAME-mode column-mapped
+        table (the default layout of newer Delta writers): data files
+        carry physical `col-<uuid>` names, the schemaString carries
+        `delta.columnMapping.physicalName`/`.id` per field, and the
+        protocol advertises minReaderVersion=2/minWriterVersion=5."""
         self.root = Path(root)
         (self.root / "_delta_log").mkdir(parents=True, exist_ok=True)
         self.table_id = table_id or str(uuid.uuid4())
         # None = explicit checkpoints only (fixture default); real
         # writers use 10 (DeltaDestination passes it)
         self.checkpoint_interval = checkpoint_interval
+        if column_mapping not in ("none", "name"):
+            raise DeltaError(f"unsupported column_mapping {column_mapping!r}")
+        self.column_mapping = column_mapping
+        self._cm: dict[str, str] = {}  # logical -> physical
         # resume an existing log: destinations are constructed per run
         # and must continue the version sequence, not fork it
         existing = [
@@ -446,14 +514,59 @@ class DeltaFixtureWriter:
         # captured from the first DataFrame so commit 0 carries a real
         # schema (real readers reject an empty one)
         self._schema_string: str | None = None
+        if self._version >= 0:
+            # resuming: pick up the existing schema + mapping so new
+            # data files keep the SAME physical names
+            md = DeltaTable(self.root).metadata_for_version(self._version)
+            if md.get("schemaString"):
+                self._schema_string = md["schemaString"]
+                mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+                if mode == "name":
+                    self.column_mapping = "name"
+                    for f in json.loads(self._schema_string).get("fields", []):
+                        phys = (f.get("metadata") or {}).get(
+                            "delta.columnMapping.physicalName", f["name"]
+                        )
+                        self._cm[f["name"]] = str(phys)
+
+    def _mapped_schema_string(self, df: DataFrame) -> str:
+        """schemaString for a name-mode table: assigns a stable
+        physical `col-<uuid>` name + numeric field id per column (the
+        shape Spark's Delta writer emits when columnMapping.mode=name)."""
+        schema = json.loads(df.schema.json())
+        for i, f in enumerate(schema.get("fields", []), start=1):
+            if not isinstance(f.get("type"), str):
+                raise DeltaError(
+                    "column-mapped fixture writer supports atomic column types only"
+                )
+            phys = f"col-{uuid.uuid4().hex[:12]}"
+            self._cm[f["name"]] = phys
+            f["metadata"] = {
+                **(f.get("metadata") or {}),
+                "delta.columnMapping.id": i,
+                "delta.columnMapping.physicalName": phys,
+            }
+        return json.dumps(schema)
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        if not self._cm:
+            return df
+        from pyspark.sql import functions as F
+
+        return df.select(*[F.col(c).alias(self._cm.get(c, c)) for c in df.columns])
 
     def _write_data(self, df: DataFrame) -> list[dict]:
         import shutil
         import tempfile
 
         if self._schema_string is None:
-            self._schema_string = df.schema.json()
+            self._schema_string = (
+                self._mapped_schema_string(df)
+                if self.column_mapping == "name"
+                else df.schema.json()
+            )
         tmp = tempfile.mkdtemp(prefix="delta_commit_")
+        df = self._to_physical(df)
         df.write.mode("overwrite").parquet(tmp)
         adds = []
         for p in sorted(Path(tmp).glob("*.parquet")):
@@ -480,9 +593,16 @@ class DeltaFixtureWriter:
             json.dumps({"commitInfo": {"timestamp": ts, "operation": operation}}),
         ]
         if self._version == 0:
-            lines.append(
-                json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-            )
+            if self.column_mapping == "name":
+                proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+                conf = {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(len(self._cm)),
+                }
+            else:
+                proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+                conf = {}
+            lines.append(json.dumps({"protocol": proto}))
             lines.append(
                 json.dumps(
                     {
@@ -491,7 +611,7 @@ class DeltaFixtureWriter:
                             "format": {"provider": "parquet", "options": {}},
                             "schemaString": self._schema_string or "{}",
                             "partitionColumns": [],
-                            "configuration": {},
+                            "configuration": conf,
                         }
                     }
                 )
@@ -565,13 +685,18 @@ class DeltaFixtureWriter:
         uri = F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
         norm = F.regexp_replace(F.url_decode(uri), "^file:/+", "/")
         fkey, pkey = "__cdf_dv_file", "__cdf_dv_pos"
-        victims = (
+        staged = (
             spark.read.parquet(*[p for p, _ in pairs])
             .withColumn(fkey, norm)
             .withColumn(pkey, F.col("_metadata.row_index"))
-            .filter(condition)
-            .select(fkey, pkey)
         )
+        if self._cm:
+            # column-mapped table: the files carry physical names but
+            # `condition` is written against logical names
+            staged = staged.select(
+                *[F.col(p).alias(l) for l, p in self._cm.items()], fkey, pkey
+            )
+        victims = staged.filter(condition).select(fkey, pkey)
         rows = victims.limit(max_rows + 1).collect()
         if len(rows) > max_rows:
             raise DeltaError(
@@ -584,13 +709,14 @@ class DeltaFixtureWriter:
         if not by_file:
             return self._commit([], "DELETE", timestamp_ms)
         dv_of = dict(pairs)
+        feats = ["deletionVectors"] + (["columnMapping"] if self._cm else [])
         actions: list[dict] = [
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": feats,
+                    "writerFeatures": feats,
                 }
             }
         ]

@@ -152,13 +152,15 @@ def test_protocol_guard_refuses_unsupported_features(spark, tmp_path, orders):
         w.append(o, timestamp_ms=1000)
         return tmp_path / name
 
-    # column mapping
+    # column mapping: NAME mode is supported (r7, physical->logical
+    # rename at scan); ID mode needs parquet field-id resolution and
+    # stays refused
     root = fresh("cm")
     (root / "_delta_log" / f"{1:020d}.json").write_text(
         _json.dumps({"metaData": {"id": "m", "configuration":
-                     {"delta.columnMapping.mode": "name"}}})
+                     {"delta.columnMapping.mode": "id"}}})
     )
-    with _pytest.raises(DeltaError, match="column mapping"):
+    with _pytest.raises(DeltaError, match="id mode"):
         DeltaTable(root).read(spark)
 
     # raised reader protocol with unknown features
@@ -235,9 +237,9 @@ def test_checkpoint_replay_after_log_cleaning(spark, tmp_path, orders):
     rows = pq.read_table(ckpt_path).to_pylist()
     for r in rows:
         if r.get("metaData"):
-            r["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+            r["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
     pq.write_table(pa.Table.from_pylist(rows), ckpt_path)
-    with pytest.raises(DeltaError, match="column mapping"):
+    with pytest.raises(DeltaError, match="id mode"):
         DeltaTable(tmp_path / "t").read(spark)
 
 

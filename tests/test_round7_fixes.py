@@ -173,3 +173,84 @@ def test_pack_arrival_seq_no_collision_and_bounds():
         _pack_arrival_seq(1 << 19, 0)
     with pytest.raises(HudiError, match="overflow"):
         _pack_arrival_seq(0, 1 << 20)
+
+
+# -- 6. Delta column mapping (name mode) -----------------------------------
+
+
+def test_column_mapping_name_mode_roundtrip(spark, tmp_path):
+    """A name-mode column-mapped table (physical col-<uuid> parquet
+    names) reads back with LOGICAL column names and identical values;
+    a resuming writer keeps the same physical names."""
+    import json as _json
+
+    root = tmp_path / "t"
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    w = DeltaFixtureWriter(root, column_mapping="name")
+    w.append(df.filter("k < 60"), timestamp_ms=1000)
+    # physical file columns are NOT the logical names
+    t = DeltaTable(root)
+    files = t.files_for_version(t.current_version())
+    import pyarrow.parquet as pq
+
+    phys_cols = set(pq.read_schema(files[0]).names)
+    assert phys_cols.isdisjoint({"k", "v"})
+    assert all(c.startswith("col-") for c in phys_cols)
+    # logical read
+    out = t.read(spark)
+    assert set(out.columns) == {"k", "v"}
+    assert sorted(r.k for r in out.collect()) == list(range(60))
+    # resume: a NEW writer instance must reuse the mapping
+    w2 = DeltaFixtureWriter(root)
+    w2.append(df.filter("k >= 60"), timestamp_ms=2000)
+    out2 = DeltaTable(root).read(spark)
+    assert sorted(r.k for r in out2.collect()) == list(range(100))
+    assert {r.v for r in out2.filter("k = 99").collect()} == {198.0}
+
+
+def test_column_mapping_composes_with_deletion_vectors(spark, tmp_path):
+    root = tmp_path / "t"
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    w = DeltaFixtureWriter(root, column_mapping="name")
+    w.append(df, timestamp_ms=1000)
+    w.delete_where(spark, "k < 10", timestamp_ms=2000)  # logical-name predicate
+    out = DeltaTable(root).read(spark)
+    assert sorted(r.k for r in out.collect()) == list(range(10, 100))
+
+
+def test_column_mapping_id_mode_still_refused(spark, tmp_path):
+    import json as _json
+
+    root = tmp_path / "t"
+    w = DeltaFixtureWriter(root)
+    w.append(spark.range(0, 5).select(F.col("id").alias("k")), timestamp_ms=1000)
+    # tamper the metaData to claim id mode
+    log = root / "_delta_log" / f"{0:020d}.json"
+    lines = log.read_text().splitlines()
+    out = []
+    for ln in lines:
+        a = _json.loads(ln)
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+        out.append(_json.dumps(a))
+    log.write_text("\n".join(out) + "\n")
+    with pytest.raises(Exception, match="id"):
+        DeltaTable(root).read(spark)
+
+
+def test_column_mapping_changes_since_logical_names(spark, tmp_path):
+    from cdf_spark.positions import TableSnapshotPosition
+
+    root = tmp_path / "t"
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    w = DeltaFixtureWriter(root, column_mapping="name")
+    w.append(df.filter("k < 30"), timestamp_ms=1000)
+    t = DeltaTable(root)
+    full, pos = t.changes_since(spark, None)
+    assert set(full.columns) == {"k"}
+    w.append(df.filter("k >= 30"), timestamp_ms=2000)
+    inc, pos2 = DeltaTable(root).changes_since(spark, pos)
+    assert set(inc.columns) == {"k"}
+    assert sorted(r.k for r in inc.collect()) == list(range(30, 50))
