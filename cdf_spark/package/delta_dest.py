@@ -6,14 +6,12 @@ delta-rs / Spark-Delta / DuckDB's delta extension can read.
 
 - APPEND / REPLACE commit the package's canonical segments by COPY
   (add/remove actions, no decode/re-encode).
-- MERGE is COPY-ON-WRITE: a keyed merge rewrites — the staged keys
-  anti-join the current state, the union lands as a replace commit.
-  Correct, O(table) writes per batch; the merge-on-read alternatives
-  in this engine are IcebergDestination (equality deletes), the
-  tombstone destination, or DV deletes via the fixture writer's
-  `delete_where` (`sources/delta.py` — the READ side honors deletion
-  vectors; this destination keeps its merges copy-on-write because a
-  keyed upsert rewrites rows, not just deletes them).
+- MERGE is MERGE-ON-READ (r7): matched current rows are removed via
+  per-file DELETION VECTORS (built + written executor-side) and the
+  batch's segments append — ONE commit, O(batch) data movement, the
+  Delta twin of IcebergDestination's equality-delete upsert. The old
+  copy-on-write resolution lives on as `compact()` (resolves DVs into
+  a clean rewrite, the OPTIMIZE analogue).
 
 Commits are atomic at the log level: the numbered commit JSON is
 written last, so a crash mid-copy leaves orphaned parquet but the
@@ -94,33 +92,10 @@ class DeltaDestination:
         elif disposition is WriteDisposition.MERGE:
             if not self.merge_keys:
                 raise ValueError("merge disposition requires merge_keys")
-            staged = spark.read.parquet(package.data_path())
-            has_current = any(
-                p.stem.isdigit() for p in (self.table_path / "_delta_log").glob("*.json")
-            ) or (self.table_path / "_delta_log" / "_last_checkpoint").exists()
-            if has_current:
-                from pyspark.sql import functions as F
-
-                current = DeltaTable(self.table_path).read(spark)
-                keys = staged.select(*self.merge_keys).dropDuplicates()
-                survivors = current.join(
-                    F.broadcast(keys),
-                    on=[current[k].eqNullSafe(keys[k]) for k in self.merge_keys],
-                    how="left_anti",
-                )
-                merged = survivors.unionByName(staged)
-            else:
-                merged = staged
-            import shutil
-            import tempfile
-
-            tmp = tempfile.mkdtemp(prefix="delta_merge_")
-            try:
-                merged.write.mode("overwrite").parquet(tmp)
-                files = sorted(str(p) for p in Path(tmp).glob("*.parquet"))
-                w.replace_files(files)
-            finally:
-                shutil.rmtree(tmp, ignore_errors=True)
+            # merge-on-read: DV the matched rows in place + append the
+            # batch's segments — one commit, O(batch) data movement;
+            # compact() resolves accumulated DVs when maintenance runs
+            w.upsert_files_dv(spark, segments, self.merge_keys)
         else:
             raise ValueError(f"disposition {disposition} not supported by DeltaDestination")
         return Receipt(

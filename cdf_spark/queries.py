@@ -2194,12 +2194,12 @@ def segment_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
 )
 def delta_dest_merge(spark: SparkSession, sf: str) -> DataFrame:
     """Delta Lake as a DESTINATION (`package/delta_dest.py`): append by
-    segment copy, MERGE as honest copy-on-write (no deletion vectors
-    are written — the staged keys anti-join the current state and the
-    union lands as a replace commit). The query returns the merged
-    table as any Delta reader resolves it; the oracle recomputes the
-    merge relationally — same law the Iceberg-destination and
-    tombstone merges satisfy."""
+    segment copy, MERGE as merge-on-read (r7 — matched rows are DV'd
+    in place executor-side and the batch's segments append in ONE
+    commit; `delta_dest_merge_dv` asserts the no-rewrite property).
+    The query returns the merged table as any Delta reader resolves
+    it; the oracle recomputes the merge relationally — same law the
+    Iceberg-destination and tombstone merges satisfy."""
     from .package import PackageBuilder
     from .package.delta_dest import DeltaDestination
     from .sources.base import WriteDisposition
@@ -2220,6 +2220,63 @@ def delta_dest_merge(spark: SparkSession, sf: str) -> DataFrame:
             raise RuntimeError("delta commit receipt failed verification")
 
     tmp = _session_fixture("delta_dest_m", sf, build)
+    return DeltaDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)
+
+
+@_register(
+    "delta_dest_merge_dv",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice FROM orders
+      WHERE o_orderkey <= 400
+    )
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def delta_dest_merge_dv(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta destination MERGE as MERGE-ON-READ, with the no-rewrite
+    property asserted in-query: after the merge every base data file
+    is STILL live (re-added with a deletion-vector descriptor where
+    rows matched — DV blobs built and written EXECUTOR-side in
+    `DeltaFixtureWriter.upsert_files_dv`), so a 0.1%-of-keys batch
+    moves descriptors plus the batch, never the table. The oracle
+    recomputes the merge relationally; any Delta reader resolving
+    the DVs sees the same rows."""
+    from .package import PackageBuilder
+    from .package.delta_dest import DeltaDestination
+    from .sources.base import WriteDisposition
+    from .sources.delta import DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        dest = DeltaDestination(f"{tmp}/t", merge_keys=["o_orderkey"])
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_dmv")
+        base = builder.build(admitted=o.filter(F.col("o_orderkey") <= 900))
+        r1 = dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base)
+        t0 = DeltaTable(f"{tmp}/t")
+        base_files = set(t0.files_for_version(t0.current_version()))
+        batch = builder.build(
+            admitted=o.filter(F.col("o_orderkey") <= 400).withColumn(
+                "o_totalprice", F.lit(-1.0)
+            )
+        )
+        r2 = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+        if not (r1.verified and r2.verified):
+            raise RuntimeError("delta DV merge receipt failed verification")
+        t1 = DeltaTable(f"{tmp}/t")
+        pairs = t1.live_files_with_dvs(t1.current_version())
+        live = {f for f, _ in pairs}
+        if not base_files <= live:
+            raise AssertionError("DV merge rewrote base data files")
+        if not any(dv for f, dv in pairs if f in base_files):
+            raise AssertionError("DV merge attached no deletion vectors")
+
+    tmp = _session_fixture("delta_dest_mdv", sf, build)
     return DeltaDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)
 
 

@@ -765,6 +765,141 @@ class DeltaFixtureWriter:
             )
         return self._commit(actions, "DELETE", timestamp_ms)
 
+    def upsert_files_dv(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        merge_keys: list[str],
+        timestamp_ms: int | None = None,
+    ) -> int:
+        """MERGE-ON-READ upsert in ONE commit: current rows matching
+        the batch's keys are removed via per-file DELETION VECTORS and
+        the batch's segments are appended by COPY — no data-file
+        rewrite (a 0.1%-of-keys batch moves descriptors + the batch,
+        not the table; the Delta twin of IcebergDestination's
+        equality-delete upsert).
+
+        Scale posture: victim (file, row_index) pairs come from a
+        distributed `_metadata` scan semi-joined against the
+        broadcast key set; per-file DV blobs are built and written
+        EXECUTOR-side (`groupBy(file).applyInPandas`, one DV bin per
+        touched file), so only O(touched files) descriptor rows ever
+        reach the driver — row positions never do."""
+        import json as _json
+        import uuid as _uuid2
+
+        from pyspark.sql import functions as F
+
+        from .delta_dv import (
+            decode_descriptor,
+            dv_file_name,
+            encode_uuid_path,
+            serialize_dv_blob,
+            write_dv_file,
+        )
+
+        if not paths:
+            raise DeltaError("upsert_files_dv requires at least one segment")
+        if self._cm:
+            raise DeltaError(
+                "DV merge into a column-mapped table is not supported "
+                "(segments carry logical names; the table's files are physical)"
+            )
+        if self._version < 0:
+            # first commit: nothing to delete — plain append
+            return self._commit(self._copy_adds(paths), "MERGE", timestamp_ms)
+
+        t = DeltaTable(self.root)
+        pairs = t.live_files_with_dvs(self._version)
+        keys = spark.read.parquet(*paths).select(*merge_keys).dropDuplicates()
+        uri = F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+        norm = F.regexp_replace(F.url_decode(uri), "^file:/+", "/")
+        fkey, pkey = "__cdf_dv_file", "__cdf_dv_pos"
+        cur = (
+            spark.read.parquet(*[p for p, _ in pairs])
+            .withColumn(fkey, norm)
+            .withColumn(pkey, F.col("_metadata.row_index"))
+        )
+        cond = None
+        for k in merge_keys:
+            c = cur[k].eqNullSafe(keys[k])
+            cond = c if cond is None else (cond & c)
+        victims = cur.join(F.broadcast(keys), on=cond, how="left_semi").select(fkey, pkey)
+
+        root = str(self.root)
+        dv_of_js = {f: _json.dumps(d) for f, d in pairs if d}
+
+        def build_dv(key_tuple, pdf):
+            import pandas as pd
+
+            f = key_tuple[0]
+            positions = set(int(p) for p in pdf[pkey])
+            old = dv_of_js.get(f)
+            if old:
+                positions |= set(decode_descriptor(_json.loads(old), root))
+            blob = serialize_dv_blob(sorted(positions))
+            uid = _uuid2.uuid4()
+            ((off, size),) = write_dv_file(Path(root) / dv_file_name(uid), [blob])
+            return pd.DataFrame(
+                [
+                    {
+                        "file": f,
+                        "uuid": encode_uuid_path(uid),
+                        "offset": int(off),
+                        "size": int(size),
+                        "cardinality": len(positions),
+                    }
+                ]
+            )
+
+        desc_rows = (
+            victims.groupBy(fkey)
+            .applyInPandas(
+                build_dv, "file string, uuid string, offset long, size long, cardinality long"
+            )
+            .collect()
+        )
+        feats = ["deletionVectors"]
+        actions: list[dict] = []
+        if desc_rows:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": feats,
+                        "writerFeatures": feats,
+                    }
+                }
+            )
+        now_ms = int(time.time() * 1000)
+        for r in sorted(desc_rows, key=lambda r: r["file"]):
+            rel = str(Path(r["file"]).name)
+            desc = {
+                "storageType": "u",
+                "pathOrInlineDv": r["uuid"],
+                "offset": int(r["offset"]),
+                "sizeInBytes": int(r["size"]),
+                "cardinality": int(r["cardinality"]),
+            }
+            actions.append(
+                {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+            )
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "size": Path(r["file"]).stat().st_size,
+                        "partitionValues": {},
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                        "deletionVector": desc,
+                    }
+                }
+            )
+        actions.extend(self._copy_adds(paths))
+        return self._commit(actions, "MERGE", timestamp_ms)
+
     def _copy_adds(self, paths: list[str]) -> list[dict]:
         """Add actions from EXISTING canonical parquet files committed
         by COPY — no decode/re-encode (segment-copy posture)."""

@@ -31,6 +31,43 @@ def test_append_replace_and_time_travel(spark, tmp_path, orders):
     assert t.current_version() == 2  # per-run instances share one log
 
 
+def test_merge_is_merge_on_read_no_rewrite(spark, tmp_path, orders):
+    """MERGE must NOT rewrite untouched data: the base commit's data
+    files stay live (re-added with DV descriptors where rows matched),
+    only the batch's segments are new bytes, and compact() later
+    resolves the DVs into a clean rewrite."""
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    dest = DeltaDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    base = o.filter(F.col("o_orderkey") <= 900)
+    pkg = builder.build(admitted=base)
+    assert dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.APPEND), pkg).verified
+    t0 = DeltaTable(tmp_path / "t")
+    base_files = set(t0.files_for_version(t0.current_version()))
+
+    batch = o.filter(F.col("o_orderkey") <= 400).withColumn("o_totalprice", F.lit(-1.0))
+    pkg2 = builder.build(admitted=batch)
+    assert dest.verify(spark, dest.commit(spark, pkg2, WriteDisposition.MERGE), pkg2).verified
+
+    t1 = DeltaTable(tmp_path / "t")
+    pairs = t1.live_files_with_dvs(t1.current_version())
+    live = {f for f, _ in pairs}
+    # every base file is STILL live (no rewrite) and the matched ones
+    # carry deletion vectors
+    assert base_files <= live
+    assert any(dv for f, dv in pairs if f in base_files)
+    cur = dest.read(spark)
+    assert cur.count() == base.count()
+    assert cur.filter((F.col("o_orderkey") <= 400) & (F.col("o_totalprice") != -1.0)).count() == 0
+
+    # compact resolves the DVs into a clean rewrite with identical rows
+    n = cur.count()
+    dest.compact(spark, target_files=2)
+    t2 = DeltaTable(tmp_path / "t")
+    assert not any(dv for _f, dv in t2.live_files_with_dvs(t2.current_version()))
+    assert dest.read(spark).count() == n
+
+
 def test_merge_copy_on_write(spark, tmp_path, orders):
     o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
     dest = DeltaDestination(tmp_path / "t", merge_keys=["o_orderkey"])
