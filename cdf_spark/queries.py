@@ -2041,6 +2041,58 @@ def hudi_mor_snapshot(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "hudi_mor_partitioned_scan",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey > 400 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey > 100 AND o_orderkey <= 900 AND o_orderstatus = 'F'
+    """,
+)
+def hudi_mor_partitioned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi MoR over a HIVE-PARTITIONED layout (`sources/hudi_mor.py`
+    r7): base and log files under `o_orderstatus=<v>/` dirs, file
+    groups partition-local. The scan's partition-column predicate
+    prunes whole FILE GROUPS (base + their logs) BEFORE the merge —
+    safe because a group's base rows and log records all belong to its
+    partition — asserted in-query via the plan's pruning evidence; all
+    predicates stay engine-applied (the merge sits below them) and the
+    oracle recomputes upserts+deletes+filter relationally."""
+    from .expressions.ast import Col, Lit
+    from .plans.scan import ScanRequest
+    from .sources.hudi_mor import HudiMorFixtureWriter, HudiMorTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        o = o.filter(F.col("o_orderkey") <= 900)
+        w = HudiMorFixtureWriter(
+            f"{tmp}/t", record_key="o_orderkey", n_buckets=2,
+            partition_by=["o_orderstatus"],
+        )
+        w.insert(o)
+        w.upsert(
+            o.filter(F.col("o_orderkey") > 400).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            )
+        )
+        w.delete(
+            o.filter(F.col("o_orderkey") <= 100).select("o_orderkey", "o_orderstatus")
+        )
+
+    tmp = _session_fixture("hudi_mor_part", sf, build)
+    out, plan = HudiMorTable(f"{tmp}/t").scan(
+        spark, ScanRequest("mor_part", predicates=[Col("o_orderstatus") == Lit("F")])
+    )
+    meta = plan.partitions.meta
+    if not (meta["files_pruned"] > 0 and meta["file_groups_kept"] >= 1):
+        raise AssertionError(f"MoR partition pruning regressed: {meta}")
+    if plan.pushed:
+        raise AssertionError("MoR scan must not claim pushed predicates")
+    return out
+
+
+@_register(
     "hudi_mor_read_optimized",
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900",
 )

@@ -364,6 +364,7 @@ class HudiMorTable:
         instant: str | None = None,
         as_of_instant: str | None = None,
         keep_meta: bool = False,
+        _slices: list | None = None,
     ) -> DataFrame:
         """Snapshot query: base ∪ log records merged per record key,
         latest (precombine, instant, arrival) wins, delete tombstones
@@ -376,7 +377,7 @@ class HudiMorTable:
                 if as_of_instant is not None
                 else self.latest_instant()
             )
-        slices = self.file_slices(instant)
+        slices = _slices if _slices is not None else self.file_slices(instant)
         if not slices:
             raise HudiError(f"instant {instant} has no file slices")
         clean = [b for _, _, b, logs in slices if not logs]
@@ -464,7 +465,49 @@ class HudiMorTable:
                 if as_of_instant is not None
                 else self.latest_instant()
             )
-        df = self.snapshot(spark, instant=instant)
+        # hive-partitioned layouts: whole FILE GROUPS (base + their
+        # logs together) prune by the slice's partitionPath, tri-state
+        # (same discipline as the CoW reader and the catalog's manifest
+        # pruning). Safe below the merge because file groups are
+        # partition-local — a group's base rows AND its log records all
+        # belong to that partition, so dropping an excluded group can
+        # never change another group's merge; undecidable keeps the
+        # group, and every predicate is re-applied post-merge anyway.
+        from .catalog import _eval_on_values
+        from .hudi import HudiTable
+
+        slices = self.file_slices(instant)
+        kept = []
+        pruned = 0
+        for s in slices:
+            part = s[1]
+            values = HudiTable._partition_values(part) if part else {}
+            if values and any(
+                _eval_on_values(p, values) is False for p in request.predicates
+            ):
+                pruned += 1
+                continue
+            kept.append(s)
+        if kept:
+            df = self.snapshot(spark, instant=instant, _slices=kept)
+        else:
+            # every group pruned: empty result with the table's schema
+            schema = (
+                spark.read.parquet(slices[0][2]).drop(*META_COLS).schema
+            )
+            df = spark.createDataFrame([], schema)
+        from ..plans.scan import PartitionPlan as _PP
+
+        plan.partitions = _PP(
+            kind="files",
+            units=[{"path": b} for _, _, b, _ in kept],
+            meta={
+                "file_groups_total": len(slices),
+                "file_groups_kept": len(kept),
+                "files_pruned": pruned,
+                "instant": instant,
+            },
+        )
         for e in plan.all_engine_predicates():
             df = df.filter(lower(e))
         if plan.projection:
@@ -601,7 +644,16 @@ class HudiMorFixtureWriter:
         precombine: str | None = None,
         n_buckets: int = 4,
         max_rows: int = 100_000,
+        partition_by: list[str] | None = None,
     ):
+        """`partition_by` (identity columns) produces a hive-partitioned
+        MoR layout: base and log files live under `col=value/` dirs,
+        `partitionToWriteStats` is keyed by the partition path, and
+        file groups are PARTITION-LOCAL (fileId embeds a partition
+        digest) — the layout real Hudi writes with a partitioned bucket
+        index. Record keys must be globally unique (the engine-wide
+        fixture contract; Hudi's partition-local identity would treat
+        one key in two partitions as two records)."""
         self.root = Path(root)
         self.hoodie = self.root / ".hoodie"
         self.hoodie.mkdir(parents=True, exist_ok=True)
@@ -609,6 +661,7 @@ class HudiMorFixtureWriter:
         self.precombine = precombine
         self.n_buckets = n_buckets
         self.max_rows = max_rows
+        self.partition_by = list(partition_by or [])
         self._n = 0
         self._inserted = False
         props = [
@@ -618,6 +671,10 @@ class HudiMorFixtureWriter:
         ]
         if precombine:
             props.append(f"hoodie.table.precombine.field={precombine}")
+        if self.partition_by:
+            props.append(
+                f"hoodie.table.partition.fields={','.join(self.partition_by)}"
+            )
         (self.hoodie / "hoodie.properties").write_text("\n".join(props) + "\n")
 
     def _next_instant(self) -> str:
@@ -627,12 +684,26 @@ class HudiMorFixtureWriter:
     def _bucket_of(self, key) -> int:
         return zlib.crc32(str(key).encode("utf-8")) % self.n_buckets
 
+    def _part_path(self, values: dict) -> str:
+        """Hive partition path for one row's partition values."""
+        return "/".join(f"{c}={values[c]}" for c in self.partition_by)
+
+    @staticmethod
+    def _fid(part: str, bucket: int) -> str:
+        """Partition-local file group id: partition digest + bucket
+        (real Hudi fileIds are per-partition uuids; the digest keeps
+        them collision-free across partitions while staying
+        deterministic for the bucket-index routing)."""
+        if not part:
+            return f"bucket{bucket}"
+        return f"p{zlib.crc32(part.encode('utf-8')):08x}-bucket{bucket}"
+
     def insert(self, df: DataFrame) -> str:
         """Initial load: one distributed write, one base file group per
-        bucket, meta columns materialized (as real Hudi base files
-        are). Exactly one insert per fixture table — later data arrives
-        via upsert/delete/compact (bucket-index file groups are fixed
-        at load)."""
+        (partition, bucket), meta columns materialized (as real Hudi
+        base files are). Exactly one insert per fixture table — later
+        data arrives via upsert/delete/compact (bucket-index file
+        groups are fixed at load)."""
         import shutil
 
         if self._inserted:
@@ -652,21 +723,31 @@ class HudiMorFixtureWriter:
         )
         from .partitioned_write import hive_partitioned_write
 
+        # partition columns split the write but STAY in the data files
+        # (hive_partitioned_write re-injects them); only the derived
+        # bucket column is dropped
+        split_cols = [f"__hp_{c}" for c in self.partition_by] + ["_cdf_bucket"]
+        for c in self.partition_by:
+            staged = staged.withColumn(f"__hp_{c}", F.col(c))
         tmp_root, parts = hive_partitioned_write(
-            staged, ["_cdf_bucket"], drop_partition_cols=True,
-            max_partitions=self.n_buckets + 1,
+            staged, split_cols, drop_partition_cols=True,
+            max_partitions=10_000,
         )
-        stats: dict[str, list[dict]] = {"": []}
+        stats: dict[str, list[dict]] = {}
         for raw, files in parts:
             bucket = int(raw["_cdf_bucket"])
-            fid = f"bucket{bucket}"
-            rel = f"{fid}_0-0-0_{instant}.parquet"
+            part = "/".join(
+                f"{c}={raw[f'__hp_{c}']}" for c in self.partition_by
+            )
+            fid = self._fid(part, bucket)
+            rel = f"{part}/{fid}_0-0-0_{instant}.parquet" if part else f"{fid}_0-0-0_{instant}.parquet"
             if len(files) != 1:
                 # coalesce inside hive_partitioned_write should give one
                 # file per partition; merge defensively via pandas-free move
-                raise HudiError(f"expected one file per bucket, got {len(files)}")
+                raise HudiError(f"expected one file per group, got {len(files)}")
+            (self.root / rel).parent.mkdir(parents=True, exist_ok=True)
             shutil.move(files[0], str(self.root / rel))
-            stats[""].append({"fileId": fid, "path": rel, "numWrites": -1})
+            stats.setdefault(part, []).append({"fileId": fid, "path": rel, "numWrites": -1})
         shutil.rmtree(tmp_root, ignore_errors=True)
         meta = {"partitionToWriteStats": stats, "operationType": "INSERT"}
         (self.hoodie / f"{instant}.deltacommit").write_text(json.dumps(meta, indent=1))
@@ -674,18 +755,20 @@ class HudiMorFixtureWriter:
         return instant
 
     # -- log appends ------------------------------------------------------
-    def _base_instant(self, fid: str) -> str:
-        cands = sorted(self.root.glob(f"{fid}_*_*.parquet"))
+    def _base_instant(self, part: str, fid: str) -> str:
+        base_dir = self.root / part if part else self.root
+        cands = sorted(base_dir.glob(f"{fid}_*_*.parquet"))
         if not cands:
             raise HudiError(f"no base file for group {fid} — insert() first")
         return max(p.stem.rsplit("_", 1)[1] for p in cands)
 
-    def _append_log(self, fid: str, block: bytes) -> str:
-        base_instant = self._base_instant(fid)
+    def _append_log(self, part: str, fid: str, block: bytes) -> str:
+        base_instant = self._base_instant(part, fid)
         name = f".{fid}_{base_instant}.log.1_0-0-0"
-        with open(self.root / name, "ab") as f:
+        rel = f"{part}/{name}" if part else name
+        with open(self.root / rel, "ab") as f:
             f.write(block)
-        return name
+        return rel
 
     def _collect_capped(self, df: DataFrame, what: str) -> list:
         rows = df.limit(self.max_rows + 1).collect()
@@ -725,40 +808,51 @@ class HudiMorFixtureWriter:
         }
 
     def upsert(self, df: DataFrame) -> str:
-        """Appends one Avro data block per touched bucket."""
+        """Appends one Avro data block per touched (partition, bucket)
+        file group — rows route by their OWN partition column values
+        (partition-local groups)."""
         instant = self._next_instant()
         staged = df.withColumn(META_COMMIT_TIME, F.lit(instant)).withColumn(
             META_RECORD_KEY, F.col(self.record_key).cast("string")
         )
         schema = self._df_avro_schema(staged)
         rows = self._collect_capped(staged, "upsert")
-        by_bucket: dict[int, list[dict]] = {}
+        by_group: dict[tuple[str, int], list[dict]] = {}
         for r in rows:
             d = r.asDict()
-            by_bucket.setdefault(self._bucket_of(d[self.record_key]), []).append(d)
-        stats: dict[str, list[dict]] = {"": []}
-        for bucket, recs in sorted(by_bucket.items()):
-            fid = f"bucket{bucket}"
-            name = self._append_log(fid, encode_data_block(schema, recs, instant))
-            stats[""].append({"fileId": fid, "path": name, "numWrites": len(recs)})
+            part = self._part_path(d) if self.partition_by else ""
+            by_group.setdefault((part, self._bucket_of(d[self.record_key])), []).append(d)
+        stats: dict[str, list[dict]] = {}
+        for (part, bucket), recs in sorted(by_group.items()):
+            fid = self._fid(part, bucket)
+            name = self._append_log(part, fid, encode_data_block(schema, recs, instant))
+            stats.setdefault(part, []).append(
+                {"fileId": fid, "path": name, "numWrites": len(recs)}
+            )
         meta = {"partitionToWriteStats": stats, "operationType": "UPSERT"}
         (self.hoodie / f"{instant}.deltacommit").write_text(json.dumps(meta, indent=1))
         return instant
 
     def delete(self, keys_df: DataFrame) -> str:
-        """Appends one delete block per touched bucket; `keys_df` holds
-        the record-key column."""
+        """Appends one delete block per touched file group; `keys_df`
+        holds the record-key column (plus the partition columns for a
+        partitioned table — routing is partition-local)."""
         instant = self._next_instant()
-        rows = self._collect_capped(keys_df.select(self.record_key), "delete")
-        by_bucket: dict[int, list[tuple[str, str]]] = {}
+        cols = [self.record_key] + self.partition_by
+        rows = self._collect_capped(keys_df.select(*cols), "delete")
+        by_group: dict[tuple[str, int], list[tuple[str, str]]] = {}
         for r in rows:
-            k = r[0]
-            by_bucket.setdefault(self._bucket_of(k), []).append((str(k), ""))
-        stats: dict[str, list[dict]] = {"": []}
-        for bucket, keys in sorted(by_bucket.items()):
-            fid = f"bucket{bucket}"
-            name = self._append_log(fid, encode_delete_block(keys, instant))
-            stats[""].append({"fileId": fid, "path": name, "numWrites": len(keys)})
+            d = r.asDict()
+            k = d[self.record_key]
+            part = self._part_path(d) if self.partition_by else ""
+            by_group.setdefault((part, self._bucket_of(k)), []).append((str(k), ""))
+        stats: dict[str, list[dict]] = {}
+        for (part, bucket), keys in sorted(by_group.items()):
+            fid = self._fid(part, bucket)
+            name = self._append_log(part, fid, encode_delete_block(keys, instant))
+            stats.setdefault(part, []).append(
+                {"fileId": fid, "path": name, "numWrites": len(keys)}
+            )
         meta = {"partitionToWriteStats": stats, "operationType": "DELETE"}
         (self.hoodie / f"{instant}.deltacommit").write_text(json.dumps(meta, indent=1))
         return instant
@@ -774,23 +868,26 @@ class HudiMorFixtureWriter:
         table = HudiMorTable(self.root)
         latest = table.latest_instant()
         dirty = [
-            (fid, base, logs) for fid, _, base, logs in table.file_slices(latest) if logs
+            (fid, part, base, logs)
+            for fid, part, base, logs in table.file_slices(latest)
+            if logs
         ]
         if not dirty:
             return None
         instant = self._next_instant()
-        stats: dict[str, list[dict]] = {"": []}
-        for fid, base, logs in dirty:
+        stats: dict[str, list[dict]] = {}
+        for fid, part, base, logs in dirty:
             merged = table._merge_dirty(spark, [(base, logs)], latest)
             # compacted base keeps the last-touch commit time per record
             # (real compaction preserves each record's meta columns)
             tmp = tempfile.mkdtemp(prefix="hudi_compact_")
             merged.coalesce(1).write.mode("overwrite").parquet(tmp)
             files = sorted(str(p) for p in Path(tmp).glob("*.parquet"))
-            rel = f"{fid}_0-0-0_{instant}.parquet"
+            rel = f"{part}/{fid}_0-0-0_{instant}.parquet" if part else f"{fid}_0-0-0_{instant}.parquet"
+            (self.root / rel).parent.mkdir(parents=True, exist_ok=True)
             shutil.move(files[0], str(self.root / rel))
             shutil.rmtree(tmp, ignore_errors=True)
-            stats[""].append({"fileId": fid, "path": rel, "numWrites": -1})
+            stats.setdefault(part, []).append({"fileId": fid, "path": rel, "numWrites": -1})
         meta = {"partitionToWriteStats": stats, "operationType": "COMPACT"}
         (self.hoodie / f"{instant}.commit").write_text(json.dumps(meta, indent=1))
         return instant

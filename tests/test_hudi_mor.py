@@ -219,3 +219,114 @@ def test_catalog_routes_mor(spark, tmp_path):
     snap = src.snapshot_source()
     assert isinstance(snap, HudiMorTable)
     assert {(r.k, r.v) for r in snap.read(spark).collect()} == {(1, -1.0), (2, 2.0)}
+
+
+# -- partitioned layouts (r7) ----------------------------------------------
+
+
+@pytest.fixture()
+def mor_part(spark, tmp_path):
+    df = spark.range(1, 41).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10.0).alias("v"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("status"),
+    )
+    w = HudiMorFixtureWriter(
+        tmp_path / "t", record_key="k", n_buckets=2, partition_by=["status"]
+    )
+    w.insert(df)
+    return w, lambda: HudiMorTable(tmp_path / "t")
+
+
+def test_partitioned_layout_and_snapshot(spark, mor_part):
+    """Base + log files live under col=value/ dirs; snapshot merges
+    across partitions; upsert/delete route partition-locally."""
+    w, mk = mor_part
+    root = w.root
+    assert (root / "status=even").is_dir() and (root / "status=odd").is_dir()
+    w.upsert(
+        spark.createDataFrame(
+            [(2, -1.0, "even"), (3, -2.0, "odd")], "k long, v double, status string"
+        )
+    )
+    w.delete(spark.createDataFrame([(4, "even")], "k long, status string"))
+    # log files landed inside the partition dirs
+    assert list((root / "status=even").glob(".*.log.*"))
+    assert list((root / "status=odd").glob(".*.log.*"))
+    snap = {r.k: (r.v, r.status) for r in mk().snapshot(spark).collect()}
+    assert set(snap) == set(range(1, 41)) - {4}
+    assert snap[2] == (-1.0, "even") and snap[3] == (-2.0, "odd")
+    assert snap[5] == (50.0, "odd")
+
+
+def test_partitioned_scan_prunes_file_groups(spark, mor_part):
+    """A partition-column predicate drops whole file groups (base +
+    logs) BEFORE the merge — tri-state, so the result still equals the
+    residual filter over the full snapshot."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    w, mk = mor_part
+    w.upsert(
+        spark.createDataFrame(
+            [(2, -1.0, "even"), (3, -2.0, "odd")], "k long, v double, status string"
+        )
+    )
+    t = mk()
+    out, plan = t.scan(
+        spark, ScanRequest("mor", predicates=[Col("status") == Lit("odd")])
+    )
+    meta = plan.partitions.meta
+    assert meta["files_pruned"] > 0
+    assert meta["file_groups_kept"] < meta["file_groups_total"]
+    rows = {r.k: r.v for r in out.collect()}
+    full = {r.k: r.v for r in t.snapshot(spark).filter("status = 'odd'").collect()}
+    assert rows == full and rows[3] == -2.0
+    # no predicate is claimed as pushed (fidelity honesty unchanged:
+    # the merge sits below the filters, so all are engine-applied)
+    assert not plan.pushed and (plan.residual or plan.unsupported)
+
+
+def test_partitioned_scan_all_pruned_returns_empty(spark, mor_part):
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    w, mk = mor_part
+    out, plan = mk().scan(
+        spark, ScanRequest("mor", predicates=[Col("status") == Lit("nope")])
+    )
+    assert plan.partitions.meta["file_groups_kept"] == 0
+    assert out.count() == 0
+    assert "k" in out.columns and "status" in out.columns
+
+
+def test_partitioned_compaction_keeps_partition_dirs(spark, mor_part):
+    w, mk = mor_part
+    w.upsert(
+        spark.createDataFrame(
+            [(2, -1.0, "even"), (3, -2.0, "odd")], "k long, v double, status string"
+        )
+    )
+    inst = w.compact(spark)
+    assert inst is not None
+    t = mk()
+    # compacted bases landed under their partition dirs; no dirty logs
+    slices = t.file_slices(t.latest_instant())
+    assert all(not logs for _, _, _, logs in slices)
+    assert all(
+        part and f"/{part}/" in base.replace("\\", "/")
+        for _, part, base, _ in slices
+    )
+    snap = {r.k: r.v for r in t.snapshot(spark).collect()}
+    assert snap[2] == -1.0 and snap[3] == -2.0
+
+
+def test_partitioned_read_optimized_and_changes(spark, mor_part):
+    w, mk = mor_part
+    full, pos = mk().changes_since(spark, None)
+    assert full.count() == 40
+    w.upsert(spark.createDataFrame([(2, -1.0, "even")], "k long, v double, status string"))
+    inc, _ = mk().changes_since(spark, pos)
+    assert {(r.k, r.v) for r in inc.collect()} == {(2, -1.0)}
+    ro = {r.k: r.v for r in mk().read_optimized(spark).collect()}
+    assert ro[2] == 20.0  # pending log invisible to read-optimized
