@@ -2601,86 +2601,68 @@ PARITY_TWINS: set[str] = {
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # each round. Registration order is module-definition order, so newly
 # added operators landed BEHIND the window and never earned a driver
-# row (38 of 104 by round 4). This rotation puts never-driver-verified
-# queries first, followed by staleness sentinels (green in r1-r3 but
-# not re-checked since); everything else keeps registration order
-# behind them. Revisit each round: once a query is driver-green, move
-# fresher debt into the head.
+# row (38 of 104 by round 4). The r7 window is a pure
+# LEAST-RECENTLY-DRIVER-GREEN sort (the r6 verdict's rotation
+# discipline): the 4 never-checked r7 additions first, then every
+# query whose last driver-green row is round 4 — which is exactly 46,
+# so the window is the oldest-verified 50 with nothing arbitrary about
+# the cut. (r5-green and r6-green queries sit behind; the r7-touched
+# table-format paths — delta DV merge, iceberg upsert, hudi MoR — were
+# all driver-green in r6 and their r7 changes are covered by the four
+# new queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- new in r6 (Iceberg transforms, Delta DVs, Hudi merge-on-read) --
-    "iceberg_transform_prune",
-    "delta_deletion_vectors",
-    "hudi_mor_snapshot",
-    "hudi_mor_read_optimized",
-    "hudi_mor_changes_since",
-    "hudi_mor_compaction",
-    # -- new in r6 --
-    "declarative_iceberg_run",
-    "semantic_dedup_keep",
-    "mongo_extended_json_scan",
-    "mongo_change_stream_apply",
-    "clickhouse_transport_scan",
-    "airbyte_subprocess_scan",
-    "rest_paged_scan",
-    "python_resource_context_scan",
-    "cdc_epoch_apply",
-    "byte_transform_chain_scan",
-    "dlt_incremental_scan",
-    "schema_admission_ingest",
-    "correction_restatement",
-    # -- never driver-checked through r5 (4): closing these makes
-    #    cumulative driver coverage 116/116 --
-    "bloom_membership_keys",
-    "delta_dest_merge",
-    "hudi_partitioned_scan",
-    "stratified_topk_sample",
-    # -- staleness sentinels: last driver-green in r1/r2 --
-    "cube_agg",
-    "curation_pipeline",
-    "lag_lead_price_delta",
-    "variant_capture_json",
-    # -- last driver-green in r3 --
-    "q4_order_priority_semijoin",
-    "q13_customer_distribution",
-    "q18_large_volume_having",
-    "q19_disjunctive_filter",
-    "argmin_cheapest_supplier",
-    "anti_join_customers_without_orders",
-    "set_ops_intersect",
-    "union_all_sources",
-    "percentiles_exact",
-    # -- r6 code churn: table-format readers/destinations touched this
-    #    round (summary-position pruning, null-safe equality deletes,
-    #    date partition reconstitution, distributed MERGE keys, delta
-    #    checkpoint metadata) — re-verify even though r5-green --
-    "iceberg_equality_deletes",
-    "iceberg_partition_prune",
-    "iceberg_partitioned_scan",
-    "iceberg_dest_upsert",
-    "iceberg_schema_evolution",
-    "iceberg_row_deletes",
-    "iceberg_time_travel",
-    "iceberg_changes_since",
-    "delta_checkpoint_replay",
-    "hudi_time_travel",
-    "hudi_changes_since",
-    # -- last driver-green in r4, highest-traffic ops first --
-    "contract_verdicts",
-    "delta_time_travel",
-    "delta_changes_since",
-    # (rotated out for the r6 additions: range_join_campaigns,
-    # domain_mix_sample, hll_cardinality, stratified_sample,
-    # exact_dedup_docs, scan_pushdown_residual, projection_pruning,
-    # keyed_effects_reduce, dedup_keep_first, contract_quarantine_rows,
-    # transform_chain, q3, q6, and — for the four Hudi-MoR queries —
-    # q1_pricing_summary, q5_local_supplier_volume,
-    # asof_join_events_orders, dedup_keep_last, effects_apply_merge,
-    # late_data_classify: all r4-green, code
-    # paths unchanged since (late_counts_by_type keeps the late-data
-    # module in-window), and the rotated-out ones are
-    # re-measured every round by bench.py's headline set; everything
-    # else was driver-green in r4/r5 and unchanged this round; the
-    # window is exactly 50)
+    # -- new in r7, never driver-checked --
+    "iceberg_dest_partitioned_upsert",
+    "delta_dest_merge_dv",
+    "delta_column_mapping_scan",
+    "hudi_mor_partitioned_scan",
+    # -- last driver-green in r4 (46 queries: everything below) --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "window_running_total",
+    "topk_per_group",
+    "agg_rollup",
+    "set_ops_except",
+    "distinct_agg",
+    "sessionization",
+    "tumbling_window_agg",
+    "pivot_event_types",
+    "json_extract_props",
+    "asof_join_events_orders",
+    "scan_pushdown_residual",
+    "projection_pruning",
+    "contract_quarantine_rows",
+    "transform_chain",
+    "dedup_keep_last",
+    "dedup_keep_first",
+    "keyed_effects_reduce",
+    "effects_apply_merge",
+    "late_data_classify",
+    "stratified_sample",
+    "incremental_cursor_scan",
+    "docs_profile",
+    "docs_quality_lang",
+    "exact_dedup_docs",
+    "fingerprint_containment",
+    "ngram_jaccard_dups",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "token_stats_by_lang",
+    "bpe_token_stats",
+    "hashed_features_profile",
+    "decontamination_check",
+    "repetition_quality",
+    "hll_cardinality",
+    "pii_scan_customers",
+    "multimodal_features",
+    "image_pixel_stats",
+    "audio_sample_stats",
+    "cms_heavy_hitters",
+    "domain_mix_sample",
+    "range_join_campaigns",
+    "hypertable_rollup",
 ]
 
 
