@@ -2433,31 +2433,37 @@ def delta_deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
     WHERE o_orderkey > 100 AND o_orderkey <= 900
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > 100 AND o_orderkey <= 900
     """,
 )
 def delta_column_mapping_scan(spark: SparkSession, sf: str) -> DataFrame:
-    """Delta COLUMN MAPPING, name mode (`sources/delta.py
-    _column_mapping`): the table's parquet files carry physical
-    `col-<uuid>` column names (the default layout of newer Delta
-    writers — minReaderVersion 2, `delta.columnMapping.physicalName`
-    per field); the reader resolves physical -> logical names from the
-    metaData schemaString at scan time, the same field-discipline as
-    the Iceberg reader's field ids. Composes with deletion vectors
-    (the DV delete here uses a logical-name predicate). Values must
-    equal the plain relational result; id mode stays refused."""
+    """Delta COLUMN MAPPING, both modes (`sources/delta.py`): a
+    NAME-mode table (physical `col-<uuid>` parquet names resolved to
+    logical names from the metaData schemaString — the default layout
+    of newer Delta writers) unioned with an ID-mode table (parquet
+    FIELD IDS stamped into the files, resolved through Spark's
+    `fieldId.read` path so physical names never matter — the
+    protocol's id semantics). Both compose with deletion vectors (the
+    DV deletes here use logical-name predicates); each half must equal
+    the plain relational result."""
     from .sources.delta import DeltaFixtureWriter, DeltaTable
 
     def build(tmp: str) -> None:
         o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-        w = DeltaFixtureWriter(f"{tmp}/t", column_mapping="name")
-        w.append(o.filter(F.col("o_orderkey") <= 900), timestamp_ms=1000)
-        w.delete_where(spark, "o_orderkey <= 100", timestamp_ms=2000)
+        for mode in ("name", "id"):
+            w = DeltaFixtureWriter(f"{tmp}/{mode}", column_mapping=mode)
+            w.append(o.filter(F.col("o_orderkey") <= 900), timestamp_ms=1000)
+            w.delete_where(spark, "o_orderkey <= 100", timestamp_ms=2000)
 
     tmp = _session_fixture("delta_cm", sf, build)
-    df = DeltaTable(f"{tmp}/t").read(spark)
-    if set(df.columns) != {"o_orderkey", "o_custkey", "o_totalprice"}:
-        raise AssertionError(f"logical names not restored: {df.columns}")
-    return df
+    name_df = DeltaTable(f"{tmp}/name").read(spark)
+    id_df = DeltaTable(f"{tmp}/id").read(spark)
+    for df in (name_df, id_df):
+        if set(df.columns) != {"o_orderkey", "o_custkey", "o_totalprice"}:
+            raise AssertionError(f"logical names not restored: {df.columns}")
+    return name_df.unionByName(id_df)
 
 
 @_register(

@@ -183,8 +183,10 @@ class DeltaTable:
           columnMapping (name mode — physical->logical rename at scan,
           same field-discipline as the Iceberg reader's field ids),
           and timestampNtz (type-level only).
-        - column mapping mode 'id' stays refused: id mode requires
-          parquet field-id resolution, not name resolution.
+        - column mapping mode 'id' resolves through Spark's native
+          parquet field-id matching (`spark.sql.parquet.fieldId.read`),
+          so physical names are ignored entirely — the protocol's id
+          semantics, not a name-based approximation.
 
         Checkpoint rows are checked too (a cleaned log may carry the
         protocol/metaData actions ONLY inside the checkpoint parquet).
@@ -203,11 +205,8 @@ class DeltaTable:
             md = a.get("metaData")
             if md:
                 mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-                if mode not in ("none", "", None, "name"):
-                    raise DeltaError(
-                        f"column mapping mode {mode!r} is not supported "
-                        "(id mode resolves by parquet field id, not name)"
-                    )
+                if mode not in ("none", "", None, "name", "id"):
+                    raise DeltaError(f"column mapping mode {mode!r} is not supported")
 
         ckpt = self._checkpoint_info()
         if ckpt is not None and int(ckpt["version"]) <= version:
@@ -270,6 +269,47 @@ class DeltaTable:
         from pyspark.sql import functions as F
 
         return df.select(*[F.col(p).alias(l) for p, l in pairs])
+
+    def _id_read_schema(self, version: int):
+        """For ID-mode column mapping: the LOGICAL Spark schema with
+        `parquet.field.id` metadata per field (from the schemaString's
+        `delta.columnMapping.id`), which Spark's parquet reader matches
+        against the files' field ids when
+        `spark.sql.parquet.fieldId.read.enabled` is on — physical
+        names never matter, exactly the protocol's id semantics.
+        Returns None unless the table is in id mode."""
+        from pyspark.sql import types as T
+
+        md = self.metadata_for_version(version)
+        mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+        if mode != "id":
+            return None
+        schema = T.StructType.fromJson(json.loads(md.get("schemaString") or "{}"))
+        fields = []
+        for f in schema.fields:
+            cmid = (f.metadata or {}).get("delta.columnMapping.id")
+            if cmid is None:
+                raise DeltaError(
+                    f"id-mapped table field {f.name!r} carries no delta.columnMapping.id"
+                )
+            if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                raise DeltaError(
+                    f"column-mapped NESTED column {f.name!r} is not supported"
+                )
+            fields.append(
+                T.StructField(f.name, f.dataType, f.nullable, {"parquet.field.id": int(cmid)})
+            )
+        return T.StructType(fields)
+
+    def _read_files(self, spark: SparkSession, files: list[str], version: int) -> DataFrame:
+        """Read data files with the table's column-mapping discipline:
+        id mode -> field-id-matched read under the logical schema;
+        name mode -> physical read + rename; unmapped -> plain read."""
+        id_schema = self._id_read_schema(version)
+        if id_schema is not None:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            return spark.read.schema(id_schema).parquet(*files)
+        return self._apply_column_mapping(spark.read.parquet(*files), version)
 
     def files_for_version(self, version: int) -> list[str]:
         return [p for p, _dv in self.live_files_with_dvs(version)]
@@ -347,15 +387,19 @@ class DeltaTable:
         files = [p for p, _dv in pairs]
         dvs = [(p, dv) for p, dv in pairs if dv]
         if not dvs:
-            df = spark.read.parquet(*files)
-        else:
-            df = self._read_with_dvs(spark, files, dvs)
-        # column-mapped tables: physical parquet names -> logical
-        # schema names (DVs key only on _metadata, so they compose)
+            return self._read_files(spark, files, version)
+        df = self._read_with_dvs(spark, files, dvs, read_schema=self._id_read_schema(version))
+        # name-mode mapped tables: physical parquet names -> logical
+        # schema names (DVs key only on _metadata, so they compose;
+        # id mode already read under the logical schema)
         return self._apply_column_mapping(df, version)
 
     def _read_with_dvs(
-        self, spark: SparkSession, files: list[str], dvs: list[tuple[str, dict]]
+        self,
+        spark: SparkSession,
+        files: list[str],
+        dvs: list[tuple[str, dict]],
+        read_schema=None,
     ) -> DataFrame:
         """Merge-on-read DV application: descriptors (driver metadata —
         a few ints + a path each) are DISTRIBUTED and decoded
@@ -395,8 +439,12 @@ class DeltaTable:
         # collision-proof internal key names: withColumn("_file") would
         # silently overwrite (then drop) user columns of that name
         fkey, pkey = "__cdf_dv_file", "__cdf_dv_pos"
+        reader = spark.read
+        if read_schema is not None:  # id-mode mapping: field-id read
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            reader = reader.schema(read_schema)
         df = (
-            spark.read.parquet(*files)
+            reader.parquet(*files)
             .withColumn(fkey, norm)
             .withColumn(pkey, F.col("_metadata.row_index"))
         )
@@ -463,7 +511,7 @@ class DeltaTable:
         files = [f for v in newer for f in self.added_files(v)]
         if not files:
             return None, new_pos
-        return self._apply_column_mapping(spark.read.parquet(*files), cur), new_pos
+        return self._read_files(spark, files, cur), new_pos
 
 
 # ---------------------------------------------------------------------------
@@ -488,14 +536,17 @@ class DeltaFixtureWriter:
         table (the default layout of newer Delta writers): data files
         carry physical `col-<uuid>` names, the schemaString carries
         `delta.columnMapping.physicalName`/`.id` per field, and the
-        protocol advertises minReaderVersion=2/minWriterVersion=5."""
+        protocol advertises minReaderVersion=2/minWriterVersion=5.
+        `column_mapping="id"` additionally stamps parquet FIELD IDS
+        into the data files (Spark's fieldId.write path) and sets
+        mode=id — readers must resolve by field id, not name."""
         self.root = Path(root)
         (self.root / "_delta_log").mkdir(parents=True, exist_ok=True)
         self.table_id = table_id or str(uuid.uuid4())
         # None = explicit checkpoints only (fixture default); real
         # writers use 10 (DeltaDestination passes it)
         self.checkpoint_interval = checkpoint_interval
-        if column_mapping not in ("none", "name"):
+        if column_mapping not in ("none", "name", "id"):
             raise DeltaError(f"unsupported column_mapping {column_mapping!r}")
         self.column_mapping = column_mapping
         self._cm: dict[str, str] = {}  # logical -> physical
@@ -521,8 +572,8 @@ class DeltaFixtureWriter:
             if md.get("schemaString"):
                 self._schema_string = md["schemaString"]
                 mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-                if mode == "name":
-                    self.column_mapping = "name"
+                if mode in ("name", "id"):
+                    self.column_mapping = mode
                     for f in json.loads(self._schema_string).get("fields", []):
                         phys = (f.get("metadata") or {}).get(
                             "delta.columnMapping.physicalName", f["name"]
@@ -553,7 +604,20 @@ class DeltaFixtureWriter:
             return df
         from pyspark.sql import functions as F
 
-        return df.select(*[F.col(c).alias(self._cm.get(c, c)) for c in df.columns])
+        out = df.select(*[F.col(c).alias(self._cm.get(c, c)) for c in df.columns])
+        if self.column_mapping == "id" and self._schema_string:
+            # id mode: stamp the columnMapping ids as parquet FIELD IDS
+            # so field-id readers (including ours) resolve regardless
+            # of the physical names
+            ids = {
+                (f.get("metadata") or {}).get("delta.columnMapping.physicalName", f["name"]):
+                int((f.get("metadata") or {}).get("delta.columnMapping.id", 0))
+                for f in json.loads(self._schema_string).get("fields", [])
+            }
+            for c in out.columns:
+                if c in ids and ids[c]:
+                    out = out.withMetadata(c, {"parquet.field.id": ids[c]})
+        return out
 
     def _write_data(self, df: DataFrame) -> list[dict]:
         import shutil
@@ -562,7 +626,7 @@ class DeltaFixtureWriter:
         if self._schema_string is None:
             self._schema_string = (
                 self._mapped_schema_string(df)
-                if self.column_mapping == "name"
+                if self.column_mapping in ("name", "id")
                 else df.schema.json()
             )
         tmp = tempfile.mkdtemp(prefix="delta_commit_")
@@ -593,10 +657,10 @@ class DeltaFixtureWriter:
             json.dumps({"commitInfo": {"timestamp": ts, "operation": operation}}),
         ]
         if self._version == 0:
-            if self.column_mapping == "name":
+            if self.column_mapping in ("name", "id"):
                 proto = {"minReaderVersion": 2, "minWriterVersion": 5}
                 conf = {
-                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.mode": self.column_mapping,
                     "delta.columnMapping.maxColumnId": str(len(self._cm)),
                 }
             else:

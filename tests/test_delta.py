@@ -152,15 +152,14 @@ def test_protocol_guard_refuses_unsupported_features(spark, tmp_path, orders):
         w.append(o, timestamp_ms=1000)
         return tmp_path / name
 
-    # column mapping: NAME mode is supported (r7, physical->logical
-    # rename at scan); ID mode needs parquet field-id resolution and
-    # stays refused
+    # column mapping: NAME and ID modes are supported (r7); an
+    # UNKNOWN mode must refuse rather than misread
     root = fresh("cm")
     (root / "_delta_log" / f"{1:020d}.json").write_text(
         _json.dumps({"metaData": {"id": "m", "configuration":
-                     {"delta.columnMapping.mode": "id"}}})
+                     {"delta.columnMapping.mode": "bogus"}}})
     )
-    with _pytest.raises(DeltaError, match="id mode"):
+    with _pytest.raises(DeltaError, match="not supported"):
         DeltaTable(root).read(spark)
 
     # raised reader protocol with unknown features
@@ -237,9 +236,9 @@ def test_checkpoint_replay_after_log_cleaning(spark, tmp_path, orders):
     rows = pq.read_table(ckpt_path).to_pylist()
     for r in rows:
         if r.get("metaData"):
-            r["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+            r["metaData"]["configuration"] = {"delta.columnMapping.mode": "bogus"}
     pq.write_table(pa.Table.from_pylist(rows), ckpt_path)
-    with pytest.raises(DeltaError, match="id mode"):
+    with pytest.raises(DeltaError, match="not supported"):
         DeltaTable(tmp_path / "t").read(spark)
 
 

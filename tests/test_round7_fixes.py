@@ -220,13 +220,16 @@ def test_column_mapping_composes_with_deletion_vectors(spark, tmp_path):
     assert sorted(r.k for r in out.collect()) == list(range(10, 100))
 
 
-def test_column_mapping_id_mode_still_refused(spark, tmp_path):
+def test_column_mapping_id_mode_without_ids_refused(spark, tmp_path):
+    """A table CLAIMING id mode whose schemaString carries no
+    delta.columnMapping.id per field is malformed — refuse rather than
+    guess (id mode is otherwise supported via parquet field ids)."""
     import json as _json
 
     root = tmp_path / "t"
     w = DeltaFixtureWriter(root)
     w.append(spark.range(0, 5).select(F.col("id").alias("k")), timestamp_ms=1000)
-    # tamper the metaData to claim id mode
+    # tamper the metaData to claim id mode without per-field ids
     log = root / "_delta_log" / f"{0:020d}.json"
     lines = log.read_text().splitlines()
     out = []
@@ -236,7 +239,7 @@ def test_column_mapping_id_mode_still_refused(spark, tmp_path):
             a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
         out.append(_json.dumps(a))
     log.write_text("\n".join(out) + "\n")
-    with pytest.raises(Exception, match="id"):
+    with pytest.raises(Exception, match="delta.columnMapping.id"):
         DeltaTable(root).read(spark)
 
 
@@ -254,3 +257,118 @@ def test_column_mapping_changes_since_logical_names(spark, tmp_path):
     inc, pos2 = DeltaTable(root).changes_since(spark, pos)
     assert set(inc.columns) == {"k"}
     assert sorted(r.k for r in inc.collect()) == list(range(30, 50))
+
+
+# -- 7. Delta column mapping (id mode via parquet field ids) ---------------
+
+
+def test_column_mapping_id_mode_roundtrip(spark, tmp_path):
+    """An id-mode table (parquet field ids stamped into the data
+    files) reads back with logical names, composes with DVs, and a
+    resuming writer keeps the mapping."""
+    root = tmp_path / "t"
+    df = spark.range(0, 80).select(F.col("id").alias("k"), (F.col("id") * 3.0).alias("v"))
+    w = DeltaFixtureWriter(root, column_mapping="id")
+    w.append(df, timestamp_ms=1000)
+    # files carry field ids + physical names
+    t = DeltaTable(root)
+    files = t.files_for_version(t.current_version())
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(files[0])
+    assert all(f.metadata and b"PARQUET:field_id" in f.metadata for f in sch)
+    assert set(sch.names).isdisjoint({"k", "v"})
+    out = t.read(spark)
+    assert set(out.columns) == {"k", "v"}
+    assert sorted(r.k for r in out.collect()) == list(range(80))
+    w.delete_where(spark, "k < 5", timestamp_ms=2000)
+    out2 = DeltaTable(root).read(spark)
+    assert sorted(r.k for r in out2.collect()) == list(range(5, 80))
+
+
+def test_column_mapping_id_mode_resolves_by_id_not_name(spark, tmp_path):
+    """Falsification: physical names are SWAPPED relative to logical
+    names (logical `a` lives in physical column named `b` and vice
+    versa, same type). A name-based reader silently returns swapped
+    values; the field-id reader must return the correct ones."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    root = tmp_path / "t"
+    (root / "_delta_log").mkdir(parents=True)
+    # physical file: column NAMED 'b' holds logical a's data (id 1),
+    # column NAMED 'a' holds logical b's data (id 2)
+    phys_schema = T.StructType(
+        [
+            T.StructField("b", T.LongType(), True, {"parquet.field.id": 1}),
+            T.StructField("a", T.LongType(), True, {"parquet.field.id": 2}),
+        ]
+    )
+    data = spark.createDataFrame([(10, 100), (20, 200)], phys_schema)
+    data.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import shutil
+    from pathlib import Path as _P
+
+    src = sorted((tmp_path / "stage").glob("*.parquet"))[0]
+    shutil.copy(src, root / "part-0.parquet")
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "a",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "b",
+                    },
+                },
+                {
+                    "name": "b",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "a",
+                    },
+                },
+            ],
+        }
+    )
+    lines = [
+        _json.dumps({"commitInfo": {"timestamp": 1000, "operation": "WRITE"}}),
+        _json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}),
+        _json.dumps(
+            {
+                "metaData": {
+                    "id": "swap",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "2",
+                    },
+                }
+            }
+        ),
+        _json.dumps(
+            {
+                "add": {
+                    "path": "part-0.parquet",
+                    "size": (root / "part-0.parquet").stat().st_size,
+                    "partitionValues": {},
+                    "modificationTime": 1000,
+                    "dataChange": True,
+                }
+            }
+        ),
+    ]
+    (root / "_delta_log" / f"{0:020d}.json").write_text("\n".join(lines) + "\n")
+    rows = sorted(
+        (r.a, r.b) for r in DeltaTable(root).read(spark).collect()
+    )
+    # logical a (field id 1) holds 10/20; logical b (id 2) holds 100/200
+    assert rows == [(10, 100), (20, 200)]
