@@ -58,6 +58,29 @@ class DeltaError(ValueError):
     pass
 
 
+def _typed_partition_value(raw: str, dtype):
+    """partitionValues string -> typed python value by the declared
+    schema type. A value that fails its declared parse stays a string
+    (cross-type comparisons are undecidable in `_eval_on_values`, so a
+    miss widens the scan, never corrupts it)."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    try:
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(raw)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(raw)
+        if isinstance(dtype, T.DateType):
+            return _dt.date.fromisoformat(raw)
+        if isinstance(dtype, T.BooleanType):
+            return raw.lower() == "true"
+    except (ValueError, TypeError):
+        pass
+    return raw
+
+
 def is_delta_layout(root: str | Path) -> bool:
     """True when the directory carries a Delta transaction log."""
     log = Path(str(root)) / "_delta_log"
@@ -301,39 +324,85 @@ class DeltaTable:
             )
         return T.StructType(fields)
 
+    def partition_columns(self, version: int) -> list[str]:
+        return list(self.metadata_for_version(version).get("partitionColumns") or [])
+
+    def _logical_schema(self, version: int):
+        from pyspark.sql import types as T
+
+        ss = self.metadata_for_version(version).get("schemaString")
+        if not ss:
+            return None
+        try:
+            return T.StructType.fromJson(json.loads(ss))
+        except Exception:
+            return None
+
+    def _finish_partitioned(self, df: DataFrame, version: int) -> DataFrame:
+        """Partitioned tables: the hive-dir partition columns Spark
+        reconstitutes under `basePath` come back with INFERRED types
+        and appended last — cast them to the declared schemaString
+        types and restore the declared column order (the protocol
+        stores partition columns only as partitionValues strings; the
+        data files don't carry them)."""
+        pcols = self.partition_columns(version)
+        if not pcols:
+            return df
+        schema = self._logical_schema(version)
+        from pyspark.sql import functions as F
+
+        by_name = {f.name: f for f in schema.fields} if schema else {}
+        out = df
+        for c in pcols:
+            f = by_name.get(c)
+            if f is not None:
+                out = out.withColumn(c, F.col(c).cast(f.dataType))
+        order = [f.name for f in schema.fields] if schema else out.columns
+        return out.select(*[c for c in order if c in out.columns])
+
     def _read_files(self, spark: SparkSession, files: list[str], version: int) -> DataFrame:
-        """Read data files with the table's column-mapping discipline:
-        id mode -> field-id-matched read under the logical schema;
-        name mode -> physical read + rename; unmapped -> plain read."""
+        """Read data files with the table's column-mapping and
+        partitioning discipline: id mode -> field-id-matched read
+        under the logical schema; name mode -> physical read + rename;
+        partitioned -> basePath read (Spark reconstitutes the hive-dir
+        partition columns) + declared-type casts; unmapped -> plain."""
         id_schema = self._id_read_schema(version)
         if id_schema is not None:
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
             return spark.read.schema(id_schema).parquet(*files)
-        return self._apply_column_mapping(spark.read.parquet(*files), version)
+        reader = spark.read
+        if self.partition_columns(version):
+            reader = reader.option("basePath", str(self.root))
+        df = self._apply_column_mapping(reader.parquet(*files), version)
+        return self._finish_partitioned(df, version)
 
     def files_for_version(self, version: int) -> list[str]:
         return [p for p, _dv in self.live_files_with_dvs(version)]
 
-    def live_files_with_dvs(self, version: int) -> list[tuple[str, dict | None]]:
-        """Live (file, deletionVector-descriptor) pairs at `version`:
-        the checkpoint state (complete replay of 0..ckpt) when one
-        covers the pin, then the JSON add/remove actions after it. A
-        re-`add` of a path replaces its descriptor (the protocol's DV
-        attach: remove + add-with-DV in one commit). Every version in
-        the replayed range must actually be present — a cleaned gap
-        raises instead of silently dropping the missing commits'
-        files."""
+    def live_adds(self, version: int) -> list[tuple[str, dict | None, dict]]:
+        """Live (file, deletionVector-descriptor, partitionValues)
+        triples at `version`: the checkpoint state (complete replay of
+        0..ckpt) when one covers the pin, then the JSON add/remove
+        actions after it. A re-`add` of a path replaces its descriptor
+        (the protocol's DV attach: remove + add-with-DV in one
+        commit). Every version in the replayed range must actually be
+        present — a cleaned gap raises instead of silently dropping
+        the missing commits' files."""
         js = self.versions()
         ckpt = self._checkpoint_info()
         ckpt_v = int(ckpt["version"]) if ckpt is not None else None
         if version not in js and version != ckpt_v:
             raise DeltaError(f"version {version} not in log")
-        live: dict[str, dict | None] = {}
+        live: dict[str, tuple[dict | None, dict]] = {}
+
+        def record(add: dict) -> None:
+            live[add["path"]] = (add.get("deletionVector"), add.get("partitionValues") or {})
+
         if ckpt_v is not None and ckpt_v <= version:
             self._check_protocol(version)
             for a in self._checkpoint_actions(ckpt_v):
                 if "add" in a:
-                    live[a["add"]["path"]] = a["add"].get("deletionVector")
+                    record(a["add"])
             start = ckpt_v + 1
         else:
             self._check_protocol(version)
@@ -351,10 +420,13 @@ class DeltaTable:
                 break
             for a in self.actions(v):
                 if "add" in a:
-                    live[a["add"]["path"]] = a["add"].get("deletionVector")
+                    record(a["add"])
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
-        return sorted((self._resolve(p), dv) for p, dv in live.items())
+        return sorted((self._resolve(p), dv, pv) for p, (dv, pv) in live.items())
+
+    def live_files_with_dvs(self, version: int) -> list[tuple[str, dict | None]]:
+        return [(p, dv) for p, dv, _pv in self.live_adds(version)]
 
     def added_files(self, version: int) -> list[str]:
         self._check_protocol(version)
@@ -376,23 +448,39 @@ class DeltaTable:
         spark: SparkSession,
         version: int | None = None,
         as_of_ms: int | None = None,
+        _files: list[str] | None = None,
     ) -> DataFrame:
         if version is None:
             version = (
                 self.version_as_of(as_of_ms) if as_of_ms is not None else self.current_version()
             )
         pairs = self.live_files_with_dvs(version)
+        if _files is not None:
+            keep = set(_files)
+            pairs = [(p, dv) for p, dv in pairs if p in keep]
         if not pairs:
+            if _files is not None:
+                # every file pruned: empty result with the table schema
+                schema = self._logical_schema(version)
+                if schema is not None:
+                    return spark.createDataFrame([], schema)
             raise DeltaError(f"version {version} has no live data files")
         files = [p for p, _dv in pairs]
         dvs = [(p, dv) for p, dv in pairs if dv]
         if not dvs:
             return self._read_files(spark, files, version)
-        df = self._read_with_dvs(spark, files, dvs, read_schema=self._id_read_schema(version))
+        df = self._read_with_dvs(
+            spark,
+            files,
+            dvs,
+            read_schema=self._id_read_schema(version),
+            base_path=str(self.root) if self.partition_columns(version) else None,
+        )
         # name-mode mapped tables: physical parquet names -> logical
         # schema names (DVs key only on _metadata, so they compose;
         # id mode already read under the logical schema)
-        return self._apply_column_mapping(df, version)
+        df = self._apply_column_mapping(df, version)
+        return self._finish_partitioned(df, version)
 
     def _read_with_dvs(
         self,
@@ -400,6 +488,7 @@ class DeltaTable:
         files: list[str],
         dvs: list[tuple[str, dict]],
         read_schema=None,
+        base_path: str | None = None,
     ) -> DataFrame:
         """Merge-on-read DV application: descriptors (driver metadata —
         a few ints + a path each) are DISTRIBUTED and decoded
@@ -443,6 +532,8 @@ class DeltaTable:
         if read_schema is not None:  # id-mode mapping: field-id read
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
             reader = reader.schema(read_schema)
+        if base_path is not None:  # partitioned: reconstitute hive cols
+            reader = reader.option("basePath", base_path)
         df = (
             reader.parquet(*files)
             .withColumn(fkey, norm)
@@ -463,9 +554,49 @@ class DeltaTable:
         as_of_ms: int | None = None,
     ) -> tuple[DataFrame, ScanPlan]:
         """Negotiated scan against a pinned version (same pushdown
-        contract as the Iceberg/SnapshotTable readers)."""
+        contract as the Iceberg/SnapshotTable readers). Partitioned
+        tables prune files by their add-action partitionValues before
+        reading — tri-state (undecidable keeps the file; every
+        predicate re-applies below), same discipline as the Hudi and
+        catalog readers."""
         plan = negotiate(request, self.capabilities())
-        df = self.read(spark, version=version, as_of_ms=as_of_ms)
+        if version is None and as_of_ms is not None:
+            version = self.version_as_of(as_of_ms)
+        if version is None:
+            version = self.current_version()
+        kept_files = None
+        pcols = self.partition_columns(version)
+        if pcols and request.predicates:
+            from ..plans.scan import PartitionPlan as _PP
+            from .catalog import _eval_on_values
+
+            schema = self._logical_schema(version)
+            types_by_name = {f.name: f.dataType for f in (schema.fields if schema else [])}
+            adds = self.live_adds(version)
+            kept_files = []
+            for p, _dv, pv in adds:
+                values = {}
+                for c in pcols:
+                    raw = pv.get(c)
+                    if raw is None:
+                        continue
+                    values[c] = _typed_partition_value(raw, types_by_name.get(c))
+                if values and any(
+                    _eval_on_values(q, values) is False for q in request.predicates
+                ):
+                    continue
+                kept_files.append(p)
+            plan.partitions = _PP(
+                kind="files",
+                units=[{"path": p} for p in kept_files],
+                meta={
+                    "files_total": len(adds),
+                    "files_kept": len(kept_files),
+                    "files_pruned": len(adds) - len(kept_files),
+                    "version": version,
+                },
+            )
+        df = self.read(spark, version=version, _files=kept_files)
         if plan.projection:
             df = df.select(*plan.projection)
         for p in plan.pushed + plan.residual:
@@ -531,6 +662,7 @@ class DeltaFixtureWriter:
         table_id: str | None = None,
         checkpoint_interval: int | None = None,
         column_mapping: str = "none",
+        partition_by: list[str] | None = None,
     ):
         """`column_mapping="name"` writes a NAME-mode column-mapped
         table (the default layout of newer Delta writers): data files
@@ -550,6 +682,12 @@ class DeltaFixtureWriter:
             raise DeltaError(f"unsupported column_mapping {column_mapping!r}")
         self.column_mapping = column_mapping
         self._cm: dict[str, str] = {}  # logical -> physical
+        # Delta partitioning is identity columns, hive-laid-out; the
+        # protocol keys partitionValues by PHYSICAL name under column
+        # mapping, which this fixture doesn't model — refuse the combo
+        self.partition_by = list(partition_by or [])
+        if self.partition_by and column_mapping != "none":
+            raise DeltaError("partition_by with column mapping is not supported")
         # resume an existing log: destinations are constructed per run
         # and must continue the version sequence, not fork it
         existing = [
@@ -571,6 +709,8 @@ class DeltaFixtureWriter:
             md = DeltaTable(self.root).metadata_for_version(self._version)
             if md.get("schemaString"):
                 self._schema_string = md["schemaString"]
+                if md.get("partitionColumns"):
+                    self.partition_by = list(md["partitionColumns"])
                 mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
                 if mode in ("name", "id"):
                     self.column_mapping = mode
@@ -629,6 +769,11 @@ class DeltaFixtureWriter:
                 if self.column_mapping in ("name", "id")
                 else df.schema.json()
             )
+            for c in self.partition_by:
+                if c not in df.columns:
+                    raise DeltaError(f"partition column {c!r} not in first commit's schema")
+        if self.partition_by:
+            return self._write_data_partitioned(df)
         tmp = tempfile.mkdtemp(prefix="delta_commit_")
         df = self._to_physical(df)
         df.write.mode("overwrite").parquet(tmp)
@@ -648,6 +793,49 @@ class DeltaFixtureWriter:
                 }
             )
         shutil.rmtree(tmp, ignore_errors=True)
+        return adds
+
+    def _write_data_partitioned(self, df: DataFrame) -> list[dict]:
+        """Hive-partitioned add actions: ONE distributed partitionBy
+        write (O(partitions) driver walk), files under `col=value/`
+        dirs with the partition columns OMITTED from the parquet (the
+        protocol stores them only as add.partitionValues strings — the
+        layout real Delta writers produce)."""
+        import shutil
+        from urllib.parse import quote
+
+        from .partitioned_write import HIVE_NULL, hive_partitioned_write
+
+        tmp_root, parts = hive_partitioned_write(
+            df, self.partition_by, drop_partition_cols=True, max_partitions=10_000
+        )
+        adds = []
+        now_ms = int(time.time() * 1000)
+        for raw, files in parts:
+            pv = {c: raw[c] for c in self.partition_by}
+            segs = [
+                f"{c}={quote(str(pv[c]), safe='') if pv[c] is not None else HIVE_NULL}"
+                for c in self.partition_by
+            ]
+            part_dir = "/".join(segs)
+            (self.root / part_dir).mkdir(parents=True, exist_ok=True)
+            for p in files:
+                rel = f"{part_dir}/part-{uuid.uuid4().hex}.parquet"
+                shutil.move(str(p), str(self.root / rel))
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "size": (self.root / rel).stat().st_size,
+                            "partitionValues": {
+                                c: (None if v is None else str(v)) for c, v in pv.items()
+                            },
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        shutil.rmtree(tmp_root, ignore_errors=True)
         return adds
 
     def _commit(self, actions: list[dict], operation: str, timestamp_ms: int | None) -> int:
@@ -674,7 +862,7 @@ class DeltaFixtureWriter:
                             "id": self.table_id,
                             "format": {"provider": "parquet", "options": {}},
                             "schemaString": self._schema_string or "{}",
-                            "partitionColumns": [],
+                            "partitionColumns": list(self.partition_by),
                             "configuration": conf,
                         }
                     }
@@ -741,7 +929,9 @@ class DeltaFixtureWriter:
         )
 
         t = DeltaTable(self.root)
-        pairs = t.live_files_with_dvs(self._version)
+        adds = t.live_adds(self._version)
+        pairs = [(p, dv) for p, dv, _pv in adds]
+        pv_of = {p: pv for p, _dv, pv in adds}
         # percent-decode the file_path URI (protecting literal `+`) so
         # victim keys line up with the raw resolved paths DV
         # descriptors use; internal names are collision-proof against
@@ -749,8 +939,13 @@ class DeltaFixtureWriter:
         uri = F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
         norm = F.regexp_replace(F.url_decode(uri), "^file:/+", "/")
         fkey, pkey = "__cdf_dv_file", "__cdf_dv_pos"
+        reader = spark.read
+        if self.partition_by:
+            # partitioned layout: basePath reconstitutes the hive-dir
+            # partition columns so `condition` can reference them
+            reader = reader.option("basePath", str(self.root))
         staged = (
-            spark.read.parquet(*[p for p, _ in pairs])
+            reader.parquet(*[p for p, _ in pairs])
             .withColumn(fkey, norm)
             .withColumn(pkey, F.col("_metadata.row_index"))
         )
@@ -810,8 +1005,10 @@ class DeltaFixtureWriter:
                     "cardinality": card,
                 }
         now_ms = int(time.time() * 1000)
+        import os as _os
+
         for f in sorted(by_file):
-            rel = str(Path(f).name)
+            rel = _os.path.relpath(f, str(self.root))
             actions.append(
                 {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
             )
@@ -820,7 +1017,7 @@ class DeltaFixtureWriter:
                     "add": {
                         "path": rel,
                         "size": Path(f).stat().st_size,
-                        "partitionValues": {},
+                        "partitionValues": pv_of.get(f, {}),
                         "modificationTime": now_ms,
                         "dataChange": True,
                         "deletionVector": descs[f],
@@ -868,6 +1065,13 @@ class DeltaFixtureWriter:
             raise DeltaError(
                 "DV merge into a column-mapped table is not supported "
                 "(segments carry logical names; the table's files are physical)"
+            )
+        if self.partition_by:
+            raise DeltaError(
+                "DV merge into a partitioned Delta table is not supported "
+                "(the batch's segments would need a partition split with "
+                "partition columns stripped — use the Iceberg destination "
+                "for partitioned CDC upsert)"
             )
         if self._version < 0:
             # first commit: nothing to delete — plain append
@@ -969,6 +1173,13 @@ class DeltaFixtureWriter:
         by COPY — no decode/re-encode (segment-copy posture)."""
         import shutil
 
+        if self.partition_by:
+            raise DeltaError(
+                "segment-copy commits into a partitioned Delta table are not "
+                "supported (segments carry partition columns in-file; the "
+                "layout stores them as partitionValues) — append(df) instead"
+            )
+
         if self._schema_string is None and paths:
             # file-copy path (destinations hand over finished segments):
             # recover the logical schema from the first parquet footer
@@ -1060,7 +1271,11 @@ class DeltaFixtureWriter:
             {"metaData": meta},
         ]
         now_ms = int(time.time() * 1000)
-        pairs = t.live_files_with_dvs(v)
+        import os as _os
+
+        adds = t.live_adds(v)
+        pairs = [(p, dv) for p, dv, _pv in adds]
+        pv_of = {p: pv for p, _dv, pv in adds}
         if any(dv for _f, dv in pairs):
             # DV state survives log cleaning only through the
             # checkpoint, and a DV table's protocol row must advertise
@@ -1078,9 +1293,9 @@ class DeltaFixtureWriter:
             rows.append(
                 {
                     "add": {
-                        "path": str(Path(f).name),
+                        "path": _os.path.relpath(f, str(self.root)),
                         "size": Path(f).stat().st_size,
-                        "partitionValues": {},
+                        "partitionValues": pv_of.get(f, {}),
                         "modificationTime": now_ms,
                         "dataChange": False,
                         **({"deletionVector": dv} if dv else {}),

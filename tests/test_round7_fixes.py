@@ -372,3 +372,93 @@ def test_column_mapping_id_mode_resolves_by_id_not_name(spark, tmp_path):
     )
     # logical a (field id 1) holds 10/20; logical b (id 2) holds 100/200
     assert rows == [(10, 100), (20, 200)]
+
+
+# -- 8. partitioned Delta tables -------------------------------------------
+
+
+def test_delta_partitioned_write_read_prune(spark, tmp_path):
+    """Hive-partitioned Delta: partition columns live ONLY in
+    add.partitionValues + dir names (not in the files, the protocol's
+    layout); the reader reconstitutes them with declared types, and
+    the scan prunes files from partitionValues before reading."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    root = tmp_path / "t"
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("bucket3"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    w = DeltaFixtureWriter(root, partition_by=["bucket3"])
+    w.append(df, timestamp_ms=1000)
+    t = DeltaTable(root)
+    # files are under hive dirs and do NOT carry the partition column
+    files = t.files_for_version(t.current_version())
+    assert all("bucket3=" in f for f in files)
+    import pyarrow.parquet as pq
+
+    assert "bucket3" not in pq.read_schema(files[0]).names
+    out = t.read(spark)
+    assert set(out.columns) == {"k", "bucket3", "v"}
+    assert dict(out.dtypes)["bucket3"] == "int"  # declared type restored
+    assert out.count() == 120
+    assert out.filter("bucket3 = 1").count() == 40
+    # scan prunes by partitionValues
+    res, plan = t.scan(spark, ScanRequest("d", predicates=[Col("bucket3") == Lit(1)]))
+    meta = plan.partitions.meta
+    assert meta["files_pruned"] > 0 and meta["files_kept"] >= 1
+    assert res.count() == 40
+    assert {r.bucket3 for r in res.collect()} == {1}
+
+
+def test_delta_partitioned_dv_delete_and_checkpoint(spark, tmp_path):
+    """delete_where may reference partition columns (basePath read);
+    the DV re-add and the checkpoint both preserve partition dirs and
+    partitionValues, so a log-cleaned partitioned table still reads
+    and prunes."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    root = tmp_path / "t"
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("p")
+    )
+    w = DeltaFixtureWriter(root, partition_by=["p"])
+    w.append(df, timestamp_ms=1000)
+    w.delete_where(spark, "p = 2 AND k < 50", timestamp_ms=2000)
+    t = DeltaTable(root)
+    out = t.read(spark)
+    assert out.count() == 90 - df.filter("p = 2 AND k < 50").count()
+    assert out.filter("p = 2").count() == df.filter("p = 2 AND k >= 50").count()
+    # checkpoint + clean: state survives with partitions intact
+    w.checkpoint()
+    w.clean_log(before_version=t.current_version() + 1)
+    t2 = DeltaTable(root)
+    out2 = t2.read(spark)
+    assert out2.count() == out.count()
+    res, plan = t2.scan(spark, ScanRequest("d", predicates=[Col("p") == Lit(0)]))
+    assert plan.partitions.meta["files_pruned"] > 0
+    assert res.count() == 30
+
+
+def test_delta_partitioned_changes_since_and_resume(spark, tmp_path):
+    from cdf_spark.positions import TableSnapshotPosition
+
+    root = tmp_path / "t"
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("p")
+    )
+    w = DeltaFixtureWriter(root, partition_by=["p"])
+    w.append(df.filter("k < 40"), timestamp_ms=1000)
+    t = DeltaTable(root)
+    full, pos = t.changes_since(spark, None)
+    assert full.count() == 40 and set(full.columns) == {"k", "p"}
+    # resume with a FRESH writer (partition spec rehydrates from log)
+    w2 = DeltaFixtureWriter(root)
+    assert w2.partition_by == ["p"]
+    w2.append(df.filter("k >= 40"), timestamp_ms=2000)
+    inc, _ = DeltaTable(root).changes_since(spark, pos)
+    assert sorted(r.k for r in inc.collect()) == list(range(40, 60))
+    assert dict(inc.dtypes)["p"] == "int"
