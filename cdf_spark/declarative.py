@@ -380,7 +380,13 @@ def _build_destination(dest_cfg: dict, workspace: Path, resource_id: str, merge_
     if kind == "delta":
         from .package.delta_dest import DeltaDestination
 
-        return DeltaDestination(path, merge_keys=merge_keys)
+        # TOML partition_by: identity column names (Delta's native
+        # partitioning); an existing table's spec wins on rehydrate
+        return DeltaDestination(
+            path,
+            merge_keys=merge_keys,
+            partition_by=dest_cfg.get("partition_by"),
+        )
     if kind == "duckdb":
         from .package.duckdb_dest import DuckDbDestination
 

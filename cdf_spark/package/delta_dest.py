@@ -42,11 +42,20 @@ class DeltaDestination:
         merge_keys: list[str] | None = None,
         checkpoint_interval: int = 10,
         max_commit_retries: int = 5,
+        partition_by: list[str] | None = None,
     ):
+        """`partition_by` (identity columns) seeds a NEW table's hive
+        layout; an existing table's spec always wins (rehydrated from
+        its own metaData). Partitioned commits route through the
+        distributed partition-splitting write instead of segment copy
+        so every add carries its partitionValues and file pruning
+        works; MERGE into a partitioned table stays copy-on-write via
+        the resolved rewrite (the DV merge path refuses it honestly)."""
         self.table_path = Path(table_path)
         self.merge_keys = merge_keys or []
         self.checkpoint_interval = checkpoint_interval
         self.max_commit_retries = max_commit_retries
+        self.partition_by = list(partition_by or [])
 
     def _segments(self, package: PackageResult) -> list[str]:
         return sorted(str(p) for p in Path(package.data_path()).glob("*.parquet"))
@@ -84,8 +93,40 @@ class DeltaDestination:
         disposition: WriteDisposition,
     ) -> Receipt:
         segments = self._segments(package)
-        w = DeltaFixtureWriter(self.table_path, checkpoint_interval=self.checkpoint_interval)
-        if disposition is WriteDisposition.APPEND:
+        w = DeltaFixtureWriter(
+            self.table_path,
+            checkpoint_interval=self.checkpoint_interval,
+            partition_by=self.partition_by,
+        )
+        if w.partition_by:
+            # partitioned table (spec declared or rehydrated): commit
+            # through the partition-splitting write so adds carry
+            # partitionValues — the copy fast path would land
+            # tuple-less files that disable pruning
+            df = spark.read.parquet(package.data_path())
+            if disposition is WriteDisposition.APPEND:
+                w.append(df)
+            elif disposition is WriteDisposition.REPLACE:
+                w.replace(df)
+            elif disposition is WriteDisposition.MERGE:
+                if not self.merge_keys:
+                    raise ValueError("merge disposition requires merge_keys")
+                # copy-on-write keyed merge (the DV merge-on-read path
+                # refuses partitioned tables): survivors ∪ batch lands
+                # as one partition-split replace commit
+                from pyspark.sql import functions as F
+
+                current = DeltaTable(self.table_path).read(spark)
+                keys = df.select(*self.merge_keys).dropDuplicates()
+                cond = None
+                for k in self.merge_keys:
+                    c = current[k].eqNullSafe(keys[k])
+                    cond = c if cond is None else (cond & c)
+                survivors = current.join(F.broadcast(keys), on=cond, how="left_anti")
+                w.replace(survivors.unionByName(df))
+            else:
+                raise ValueError(f"disposition {disposition} not supported by DeltaDestination")
+        elif disposition is WriteDisposition.APPEND:
             w.append_files(segments)
         elif disposition is WriteDisposition.REPLACE:
             w.replace_files(segments)

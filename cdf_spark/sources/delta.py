@@ -897,6 +897,28 @@ class DeltaFixtureWriter:
     def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
         return self._commit(self._write_data(df), "WRITE", timestamp_ms)
 
+    def replace(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
+        """Replace commit from a DataFrame: remove every live file +
+        the new data's adds in ONE commit — the partition-aware
+        sibling of `replace_files` (prior files stay on disk for time
+        travel)."""
+        import os as _os
+
+        removes = []
+        if self._version >= 0:
+            now_ms = int(time.time() * 1000)
+            for f in DeltaTable(self.root).files_for_version(self._version):
+                removes.append(
+                    {
+                        "remove": {
+                            "path": _os.path.relpath(f, str(self.root)),
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        return self._commit(removes + self._write_data(df), "WRITE", timestamp_ms)
+
     def delete_where(
         self,
         spark: SparkSession,

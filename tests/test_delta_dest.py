@@ -170,3 +170,39 @@ def test_auto_checkpoint_and_compact(spark, tmp_path, orders):
     out = dest.compact(spark, target_files=1)
     assert out["files_after"] <= out["files_before"]
     assert dest.read(spark).count() == n
+
+
+def test_partitioned_destination_keeps_pruning(spark, tmp_path, orders):
+    """Commits into a partitioned Delta table route through the
+    partition-splitting write (declared on a new table, rehydrated on
+    an existing one), so adds carry partitionValues, pruning works
+    after append/replace/merge, and the copy-on-write merge stays
+    correct."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    o = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    dest = DeltaDestination(
+        tmp_path / "t", merge_keys=["o_orderkey"], partition_by=["o_orderstatus"]
+    )
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    base = o.filter(F.col("o_orderkey") <= 900)
+    pkg = builder.build(admitted=base)
+    assert dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.APPEND), pkg).verified
+
+    batch = o.filter(F.col("o_orderkey") <= 300).withColumn("o_totalprice", F.lit(-1.0))
+    pkg2 = builder.build(admitted=batch)
+    # a FRESH destination instance (no partition_by declared) must
+    # rehydrate the spec from the table's own metaData
+    dest2 = DeltaDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    assert dest2.verify(spark, dest2.commit(spark, pkg2, WriteDisposition.MERGE), pkg2).verified
+
+    t = DeltaTable(tmp_path / "t")
+    cur = t.read(spark)
+    assert cur.count() == base.count()
+    assert cur.filter((F.col("o_orderkey") <= 300) & (F.col("o_totalprice") != -1.0)).count() == 0
+    res, plan = t.scan(
+        spark, ScanRequest("d", predicates=[Col("o_orderstatus") == Lit("F")])
+    )
+    assert plan.partitions.meta["files_pruned"] > 0
+    assert res.count() == cur.filter("o_orderstatus = 'F'").count()
