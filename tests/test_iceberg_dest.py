@@ -567,3 +567,71 @@ def test_partitioned_multiwriter_race_retries_to_serial_result(spark, tmp_path, 
     overlap = {rows[k] for k in rows if 200 <= k <= 400}
     assert overlap == {-1.0} or overlap == {-2.0}
     assert all(rows[k] >= 0 for k in rows if k > 600)
+
+
+def test_streaming_cdc_upsert_into_partitioned_table(spark, tmp_path, orders):
+    """End-to-end CDC shape: a drain of keyed epochs MERGEs into a
+    PARTITIONED Iceberg table — each micro-batch is one upsert
+    snapshot (partition-scoped equality deletes + partition-split
+    data), later epochs overwrite earlier keys, and pruning still
+    works on the final table."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+    from cdf_spark.sources.base import ResourceDescriptor
+    from cdf_spark.streaming.pipeline import StreamingLoadPipeline
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    o = orders.select("o_orderkey", "o_totalprice").filter(F.col("o_orderkey") <= 600)
+    src = tmp_path / "in"
+    src.mkdir()
+    # epoch 0: all keys at their source price; epoch 1: keys <= 300
+    # restated to -1.0 (the CDC correction shape)
+    batches = [
+        o,
+        o.filter(F.col("o_orderkey") <= 300).withColumn("o_totalprice", F.lit(-1.0)),
+    ]
+    for i, b in enumerate(batches):
+        stage = tempfile.mkdtemp()
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        (f,) = Path(stage).glob("*.parquet")
+        shutil.move(str(f), str(src / f"part-{i}.parquet"))
+
+    pipe = StreamingLoadPipeline(
+        descriptor=ResourceDescriptor(resource_id="orders_cdc"),
+        source_path=str(src),
+        schema=schema,
+        package_root=str(tmp_path / "pkgs"),
+        ledger_root=str(tmp_path / "ledger"),
+        destination=IcebergDestination(
+            tmp_path / "t",
+            merge_keys=["o_orderkey"],
+            partition_by=[("bucket", 4, "o_orderkey")],
+        ),
+        disposition=WriteDisposition.MERGE,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    epochs = pipe.run(spark)
+    committed = [e for e in epochs if e.rows_admitted > 0]
+    assert len(committed) == 2 and all(e.receipt_verified for e in committed)
+
+    t = IcebergTable(tmp_path / "t")
+    cur = t.read(spark)
+    assert cur.count() == o.count()  # merge never duplicates keys
+    rows = {r.o_orderkey: r.o_totalprice for r in cur.collect()}
+    assert all(v == -1.0 for k, v in rows.items() if k <= 300)
+    assert all(v >= 0 for k, v in rows.items() if k > 300)
+    # pruning works on the final (merge-on-read) state
+    key = min(rows)
+    _out, plan = t.scan(spark, ScanRequest("s", predicates=[Col("o_orderkey") == Lit(key)]))
+    assert plan.partitions.meta["files_pruned"] > 0
