@@ -360,17 +360,49 @@ class DeltaTable:
         order = [f.name for f in schema.fields] if schema else out.columns
         return out.select(*[c for c in order if c in out.columns])
 
+    def _read_schema_for(self, version: int):
+        """(explicit read schema | None, needs_field_id_conf). The
+        declared schemaString drives every read: files written before
+        a widening commit lack the new columns and must null-fill
+        DETERMINISTICALLY (Spark's schema-less multi-file read picks
+        one file's footer — nondeterministic under evolution). Name
+        mode returns the PHYSICAL-named schema (renamed after read);
+        id mode the field-id schema."""
+        id_schema = self._id_read_schema(version)
+        if id_schema is not None:
+            return id_schema, True
+        schema = self._logical_schema(version)
+        if schema is None or not schema.fields:
+            return None, False
+        pairs = self._column_mapping(version)
+        if pairs:
+            from pyspark.sql import types as T
+
+            by_logical = {f.name: f for f in schema.fields}
+            return (
+                T.StructType(
+                    [
+                        T.StructField(p, by_logical[l].dataType, by_logical[l].nullable)
+                        for p, l in pairs
+                    ]
+                ),
+                False,
+            )
+        return schema, False
+
     def _read_files(self, spark: SparkSession, files: list[str], version: int) -> DataFrame:
         """Read data files with the table's column-mapping and
         partitioning discipline: id mode -> field-id-matched read
         under the logical schema; name mode -> physical read + rename;
         partitioned -> basePath read (Spark reconstitutes the hive-dir
-        partition columns) + declared-type casts; unmapped -> plain."""
-        id_schema = self._id_read_schema(version)
-        if id_schema is not None:
+        partition columns); schema-evolved -> declared-schema read
+        (older files null-fill the added columns); unmapped -> plain."""
+        schema, fid = self._read_schema_for(version)
+        if fid:
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-            return spark.read.schema(id_schema).parquet(*files)
         reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
         if self.partition_columns(version):
             reader = reader.option("basePath", str(self.root))
         df = self._apply_column_mapping(reader.parquet(*files), version)
@@ -469,11 +501,14 @@ class DeltaTable:
         dvs = [(p, dv) for p, dv in pairs if dv]
         if not dvs:
             return self._read_files(spark, files, version)
+        schema, fid = self._read_schema_for(version)
+        if fid:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         df = self._read_with_dvs(
             spark,
             files,
             dvs,
-            read_schema=self._id_read_schema(version),
+            read_schema=schema,
             base_path=str(self.root) if self.partition_columns(version) else None,
         )
         # name-mode mapped tables: physical parquet names -> logical
@@ -529,8 +564,9 @@ class DeltaTable:
         # silently overwrite (then drop) user columns of that name
         fkey, pkey = "__cdf_dv_file", "__cdf_dv_pos"
         reader = spark.read
-        if read_schema is not None:  # id-mode mapping: field-id read
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        if read_schema is not None:  # declared-schema read (id-mode
+            # field-id resolution / physical name-mode schema /
+            # evolution null-fill — caller sets the fieldId conf)
             reader = reader.schema(read_schema)
         if base_path is not None:  # partitioned: reconstitute hive cols
             reader = reader.option("basePath", base_path)
@@ -759,10 +795,61 @@ class DeltaFixtureWriter:
                     out = out.withMetadata(c, {"parquet.field.id": ids[c]})
         return out
 
+    def _maybe_widen_schema(self, df: DataFrame) -> dict | None:
+        """Append-time schema evolution: unseen df columns append to
+        the schemaString (mapped tables also assign a physical name +
+        column id), returned as a metaData action that rides the SAME
+        commit — real Delta's ADD COLUMNS shape, so the declared
+        schema never goes stale behind the data files."""
+        if self._schema_string is None:
+            return None
+        schema = json.loads(self._schema_string)
+        have = {f["name"] for f in schema.get("fields", [])}
+        new = [f for f in json.loads(df.schema.json())["fields"] if f["name"] not in have]
+        if not new:
+            return None
+        max_id = 0
+        for f in schema.get("fields", []):
+            max_id = max(max_id, int((f.get("metadata") or {}).get("delta.columnMapping.id", 0)))
+        for f in new:
+            if self.column_mapping in ("name", "id"):
+                if not isinstance(f.get("type"), str):
+                    raise DeltaError(
+                        "column-mapped fixture writer supports atomic column types only"
+                    )
+                max_id += 1
+                phys = f"col-{uuid.uuid4().hex[:12]}"
+                self._cm[f["name"]] = phys
+                f["metadata"] = {
+                    **(f.get("metadata") or {}),
+                    "delta.columnMapping.id": max_id,
+                    "delta.columnMapping.physicalName": phys,
+                }
+            schema["fields"].append(f)
+        self._schema_string = json.dumps(schema)
+        conf = (
+            {
+                "delta.columnMapping.mode": self.column_mapping,
+                "delta.columnMapping.maxColumnId": str(max_id),
+            }
+            if self.column_mapping in ("name", "id")
+            else {}
+        )
+        return {
+            "metaData": {
+                "id": self.table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": self._schema_string,
+                "partitionColumns": list(self.partition_by),
+                "configuration": conf,
+            }
+        }
+
     def _write_data(self, df: DataFrame) -> list[dict]:
         import shutil
         import tempfile
 
+        widen = None
         if self._schema_string is None:
             self._schema_string = (
                 self._mapped_schema_string(df)
@@ -772,8 +859,11 @@ class DeltaFixtureWriter:
             for c in self.partition_by:
                 if c not in df.columns:
                     raise DeltaError(f"partition column {c!r} not in first commit's schema")
+        else:
+            widen = self._maybe_widen_schema(df)
+        prefix = [widen] if widen else []
         if self.partition_by:
-            return self._write_data_partitioned(df)
+            return prefix + self._write_data_partitioned(df)
         tmp = tempfile.mkdtemp(prefix="delta_commit_")
         df = self._to_physical(df)
         df.write.mode("overwrite").parquet(tmp)
@@ -793,7 +883,7 @@ class DeltaFixtureWriter:
                 }
             )
         shutil.rmtree(tmp, ignore_errors=True)
-        return adds
+        return prefix + adds
 
     def _write_data_partitioned(self, df: DataFrame) -> list[dict]:
         """Hive-partitioned add actions: ONE distributed partitionBy

@@ -1593,8 +1593,26 @@ class IcebergFixtureWriter:
         """First data commit defines the field-id schema (ids 1..n)
         that equality-delete entries reference; iceberg types ride
         along so bound values round-trip through the spec's
-        single-value serialization."""
+        single-value serialization.
+
+        Later commits WIDEN: unseen columns become new schema fields
+        with fresh ids (the spec's safe evolution — older files read
+        them as null), so a CDC source that grows a column lands it
+        instead of silently dropping it. Missing columns stay legal
+        (the file simply lacks the field; readers null-fill by id)."""
         if self._schemas:
+            _SPARK_TO_ICE = {
+                "integer": "int",
+                "long": "long",
+                "float": "float",
+                "double": "double",
+                "string": "string",
+                "date": "date",
+                "timestamp": "timestamp",
+            }
+            for f in df.schema.fields:
+                if f.name not in self._field_ids:
+                    self.add_column(f.name, _SPARK_TO_ICE.get(f.dataType.typeName(), ""))
             return
         _SPARK_TO_ICE = {
             "integer": "int",
@@ -2043,9 +2061,9 @@ class IcebergFixtureWriter:
 
     def _ensure_schema_from_parquet(self, path: str) -> None:
         """First commit via the file path defines the field-id schema
-        from the parquet's own Arrow schema."""
-        if self._schemas:
-            return
+        from the parquet's own Arrow schema; later commits widen with
+        unseen columns (fresh ids — same evolution rule as the
+        DataFrame path)."""
         import pyarrow.parquet as pq
 
         _ARROW_TO_ICE = {
@@ -2057,6 +2075,13 @@ class IcebergFixtureWriter:
             "large_string": "string",
             "date32[day]": "date",
         }
+        if self._schemas:
+            for f in pq.read_schema(path):
+                if f.name not in self._field_ids:
+                    t = str(f.type)
+                    ice = _ARROW_TO_ICE.get(t, "timestamp" if t.startswith("timestamp") else "")
+                    self.add_column(f.name, ice)
+            return
         for f in pq.read_schema(path):
             t = str(f.type)
             ice = _ARROW_TO_ICE.get(t, "timestamp" if t.startswith("timestamp") else "")

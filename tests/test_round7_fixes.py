@@ -462,3 +462,63 @@ def test_delta_partitioned_changes_since_and_resume(spark, tmp_path):
     inc, _ = DeltaTable(root).changes_since(spark, pos)
     assert sorted(r.k for r in inc.collect()) == list(range(40, 60))
     assert dict(inc.dtypes)["p"] == "int"
+
+
+# -- 9. schema evolution on append (Iceberg widen + Delta metaData) --------
+
+
+def test_iceberg_append_widens_schema(spark, tmp_path):
+    """Appending a frame with an unseen column WIDENS the table schema
+    (fresh field id) instead of silently dropping the column; older
+    files read it as null — the spec's safe evolution, automatic on
+    the destination path."""
+    df1 = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    df2 = spark.range(10, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"), F.lit("web").alias("channel")
+    )
+    w = IcebergFixtureWriter(tmp_path / "t", seed=81)
+    w.append(df1, timestamp_ms=1000)
+    w.append(df2, timestamp_ms=2000)
+    out = IcebergTable(tmp_path / "t").read(spark)
+    assert set(out.columns) == {"k", "v", "channel"}
+    rows = {r.k: r.channel for r in out.collect()}
+    assert all(rows[k] is None for k in range(10))
+    assert all(rows[k] == "web" for k in range(10, 20))
+
+
+def test_delta_append_widens_schema_string(spark, tmp_path):
+    """A widening append rides an updated metaData action in the SAME
+    commit (real Delta's ADD COLUMNS shape) — the declared schema never
+    goes stale, and reads null-fill deterministically from the declared
+    schema rather than whichever file footer Spark samples."""
+    import json as _json
+
+    df1 = spark.range(0, 10).select(F.col("id").alias("k"))
+    df2 = spark.range(10, 20).select(F.col("id").alias("k"), F.lit(1.5).alias("w"))
+    wt = DeltaFixtureWriter(tmp_path / "t")
+    wt.append(df1, timestamp_ms=1000)
+    wt.append(df2, timestamp_ms=2000)
+    t = DeltaTable(tmp_path / "t")
+    md = t.metadata_for_version(t.current_version())
+    names = [f["name"] for f in _json.loads(md["schemaString"])["fields"]]
+    assert names == ["k", "w"]
+    out = t.read(spark)
+    assert set(out.columns) == {"k", "w"}
+    rows = {r.k: r.w for r in out.collect()}
+    assert all(rows[k] is None for k in range(10))
+    assert all(rows[k] == 1.5 for k in range(10, 20))
+    # pre-widen pin still reads the old shape
+    assert set(t.read(spark, version=0).columns) == {"k"}
+
+
+def test_delta_mapped_append_widens_with_physical_name(spark, tmp_path):
+    df1 = spark.range(0, 10).select(F.col("id").alias("k"))
+    df2 = spark.range(10, 20).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    wt = DeltaFixtureWriter(tmp_path / "t", column_mapping="name")
+    wt.append(df1, timestamp_ms=1000)
+    wt.append(df2, timestamp_ms=2000)
+    out = DeltaTable(tmp_path / "t").read(spark)
+    assert set(out.columns) == {"k", "tag"}
+    rows = {r.k: r.tag for r in out.collect()}
+    assert all(rows[k] is None for k in range(10))
+    assert all(rows[k] == "x" for k in range(10, 20))
