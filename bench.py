@@ -49,6 +49,13 @@ BENCH_QUERIES = [
     # names are the xxhash64 bench twins of the oracled md5 queries.
     "minhash_lsh_dups_fast",
     "simhash_dups_fast",
+    # ngram_jaccard_dups_fast (prefix-filtered AllPairs/PPJoin exact
+    # join, oracled) is deliberately NOT in the headline: the fixture
+    # corpus is prefix-filtering's adversarial case (377 distinct
+    # trigrams — every gram is hot, so candidates degenerate toward
+    # all-pairs; ~9 s vs the naive plan's 97 s). On real text the gram
+    # vocabulary is 10^6+ and prefixes prune hard. The APPROXIMATE
+    # deploy path for near-dup at scale remains minhash_lsh (above).
     # cosine_topk (the oracled HOF baseline) is a PARITY TWIN
     # (queries.PARITY_TWINS): BNLJ brute force, broadcast-scale by
     # contract — headline runs only the deploy path, the vectorized

@@ -38,6 +38,7 @@ from .operators.dedup_approx import (
     fingerprint_containment_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_fast,
     simhash_pairs,
 )
 from .operators.effects import apply_effects_to_target, reduce_keyed_effects
@@ -807,6 +808,15 @@ def fingerprint_containment(spark: SparkSession, sf: str) -> DataFrame:
 @_register("ngram_jaccard_dups", _JACCARD_ORACLE)
 def ngram_jaccard_dups(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
+
+
+@_register("ngram_jaccard_dups_fast", _JACCARD_ORACLE)
+def ngram_jaccard_dups_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-filtered (AllPairs/PPJoin) EXACT Jaccard join — the
+    deploy twin of the ngram_jaccard_dups parity verifier. Same oracle
+    because prefix filtering is lossless: the candidate set is a
+    superset of all true pairs, then verified exactly."""
+    return ngram_jaccard_pairs_fast(_t(spark, sf, "documents"), threshold=0.8)
 
 
 # Bench-only fast variants (xxhash64 signatures): same algorithm as the
@@ -2637,7 +2647,7 @@ def stream_drain_equivalence(spark: SparkSession, sf: str) -> DataFrame:
 PARITY_TWINS: set[str] = {
     "cosine_topk",  # BNLJ brute force; deploy: cosine_topk_fast
     "ivf_kmeans_topk",  # unrolled Lloyd, 15 shuffles; deploy: ivf_ann_topk_fast
-    "ngram_jaccard_dups",  # O(sum bucket^2) exact verifier; deploy: minhash_lsh_dups
+    "ngram_jaccard_dups",  # O(sum bucket^2) exact verifier; deploy: ngram_jaccard_dups_fast (prefix-filtered, same exact output)
     "embedding_near_dups",  # exact crossJoin verifier; deploy: embedding_near_dups_lsh_fast
 }
 

@@ -8,6 +8,7 @@ from cdf_spark.operators.dedup_approx import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_fast,
     simhash_pairs,
 )
 from cdf_spark.operators.multimodal import (
@@ -104,6 +105,68 @@ def test_ngram_jaccard_vs_duckdb(spark, docs, sf_dir):
     """).fetchall()
     assert got == {(r[0], r[1]): r[2] for r in expected}
     assert len(got) > 0, "fixture should contain near-duplicates"
+
+
+def test_ngram_jaccard_fast_equals_brute(docs):
+    """Prefix-filtered (AllPairs/PPJoin) join is EXACT: identical pair
+    set and jaccard values as the brute explode-join verifier, at two
+    thresholds (the fixture corpus has 377 distinct trigrams, so this
+    exercises the small-vocabulary bitmap-verify branch)."""
+    for t in (0.5, 0.8):
+        brute = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        fast = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs_fast(docs, threshold=t).collect()
+        }
+        assert fast == brute
+    assert len(brute) > 0
+
+
+def test_ngram_jaccard_fast_large_vocab_branch(spark):
+    """High-entropy corpus (>1024 distinct grams) takes the
+    array_intersect verify branch; output must still equal brute."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    rows = []
+    for i in range(60):
+        base = "".join(rng.choice(alphabet) for _ in range(120))
+        rows.append((2 * i, base))
+        # near-dup: mutate a couple of characters
+        mut = list(base)
+        for p in rng.sample(range(120), 2):
+            mut[p] = rng.choice(alphabet)
+        rows.append((2 * i + 1, "".join(mut)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.7).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_fast(df, threshold=0.7).collect()
+    }
+    assert fast == brute
+    assert len(brute) >= 30  # mutated twins should mostly pair up
+
+
+def test_ngram_jaccard_fast_ceil_rounding(spark):
+    """Float-ceil slack: 0.8*5 in float64 is 4.000000000000001, whose
+    unslacked ceil (5) would shorten the prefix and drop a true pair.
+    Two 7-char docs sharing 4 of their 5 trigrams (J=2/3 < 0.8) and
+    two identical docs (J=1.0) pin the boundary."""
+    df = spark.createDataFrame(
+        [(1, "abcdefg"), (2, "abcdefg"), (3, "abcdefx")], ["doc_id", "text"]
+    )
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_fast(df, threshold=0.8).collect()
+    }
+    assert fast == {(1, 2): 1.0}
 
 
 def test_minhash_lsh_finds_near_dups(docs):
