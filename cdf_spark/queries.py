@@ -2477,6 +2477,81 @@ def delta_column_mapping_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_binpack_maintenance",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > 50 AND o_orderkey <= 800
+    """,
+)
+def iceberg_binpack_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg BIN-PACK compaction (`iceberg.py rewrite_small_files`):
+    four per-epoch small files + a live equality delete, then a
+    rewrite of ONLY the undersized files — one `replace` snapshot,
+    deletes resolved into the merged output, O(small files) not
+    O(table). The post-maintenance read must equal the logical content
+    (Iceberg's RewriteDataFiles binpack contract; the reference's
+    maintenance commits are likewise atomic —
+    crates/cdf-kernel/src/destination.rs)."""
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=11)
+        for lo, hi, ts in ((0, 200, 1000), (200, 400, 2000), (400, 600, 3000), (600, 800, 4000)):
+            w.append(
+                o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)),
+                timestamp_ms=ts,
+            )
+        keys = [r.o_orderkey for r in o.filter("o_orderkey <= 50").collect()]
+        w.delete_equality([{"o_orderkey": int(k)} for k in keys], ["o_orderkey"], timestamp_ms=5000)
+        res = w.rewrite_small_files(spark, small_bytes=1 << 30, target_bytes=1 << 30)
+        if res["rewritten"] != 4 or res["files_after"] >= res["files_before"]:
+            raise AssertionError(f"bin-pack did not merge: {res}")
+
+    tmp = _session_fixture("ice_binpack", sf, build)
+    return IcebergTable(f"{tmp}/t").read(spark)
+
+
+@_register(
+    "delta_optimize_maintenance",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > 100 AND o_orderkey <= 900
+    """,
+)
+def delta_optimize_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta bin-pack OPTIMIZE + VACUUM (`delta.py
+    optimize_small_files` / `vacuum`): three per-epoch files, a
+    deletion-vector DELETE, then a dataChange=false rewrite of the
+    small files (DVs resolved into the merged output) and a
+    retention-0 vacuum that reclaims the tombstoned parquet and the
+    now-unreferenced DV `.bin`. The read after maintenance must equal
+    the logical content — and it runs on the vacuumed layout, so a
+    vacuum that over-deletes fails the oracle."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t")
+        for lo, hi, ts in ((0, 300, 1000), (300, 600, 2000), (600, 900, 3000)):
+            w.append(
+                o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)),
+                timestamp_ms=ts,
+            )
+        w.delete_where(spark, "o_orderkey <= 100", timestamp_ms=4000)
+        res = w.optimize_small_files(spark, small_bytes=1 << 30)
+        if res["rewritten"] != 3:
+            raise AssertionError(f"OPTIMIZE did not merge: {res}")
+        t = DeltaTable(f"{tmp}/t")
+        vres = t.vacuum(retention_ms=0)
+        if not vres["deleted"]:
+            raise AssertionError(f"vacuum reclaimed nothing: {vres}")
+
+    tmp = _session_fixture("delta_optimize", sf, build)
+    return DeltaTable(f"{tmp}/t").read(spark)
+
+
+@_register(
     "delta_partitioned_scan",
     """
     SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -2656,15 +2731,21 @@ PARITY_TWINS: set[str] = {
 # added operators landed BEHIND the window and never earned a driver
 # row (38 of 104 by round 4). The r7 window is a pure
 # LEAST-RECENTLY-DRIVER-GREEN sort (the r6 verdict's rotation
-# discipline): the 4 never-checked r7 additions first, then every
-# query whose last driver-green row is round 4 — which is exactly 46,
-# so the window is the oldest-verified 50 with nothing arbitrary about
-# the cut. (r5-green and r6-green queries sit behind; the r7-touched
+# discipline): the never-checked r7 additions first (5 early-r7
+# table-format queries plus the late-r7 trio — prefix-filtered
+# Jaccard, Iceberg bin-pack, Delta OPTIMIZE+VACUUM), then every query
+# whose last driver-green row is round 4. The head grew to 53, so the
+# 3 oldest tail entries rotate into the r8 window instead — still
+# strictly least-recently-green order, nothing arbitrary about the
+# cut. (r5-green and r6-green queries sit behind; the r7-touched
 # table-format paths — delta DV merge, iceberg upsert, hudi MoR — were
-# all driver-green in r6 and their r7 changes are covered by the four
-# new queries at the head plus the in-session oracle re-drives.)
+# all driver-green in r6 and their r7 changes are covered by the new
+# queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "ngram_jaccard_dups_fast",
+    "iceberg_binpack_maintenance",
+    "delta_optimize_maintenance",
     "iceberg_dest_partitioned_upsert",
     "delta_dest_merge_dv",
     "delta_column_mapping_scan",

@@ -460,14 +460,93 @@ class DeltaTable:
     def live_files_with_dvs(self, version: int) -> list[tuple[str, dict | None]]:
         return [(p, dv) for p, dv, _pv in self.live_adds(version)]
 
-    def added_files(self, version: int) -> list[str]:
+    def added_files(self, version: int, data_change_only: bool = False) -> list[str]:
         self._check_protocol(version)
         return sorted(
-            self._resolve(a["add"]["path"]) for a in self.actions(version) if "add" in a
+            self._resolve(a["add"]["path"])
+            for a in self.actions(version)
+            if "add" in a
+            and (not data_change_only or a["add"].get("dataChange", True))
         )
 
     def has_removes(self, version: int) -> bool:
         return any("remove" in a and a["remove"].get("dataChange", True) for a in self.actions(version))
+
+    def vacuum(
+        self,
+        retention_ms: int = 7 * 24 * 3600 * 1000,
+        now_ms: int | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """Physical-storage maintenance (Delta VACUUM): delete data /
+        deletion-vector files that are NOT referenced by the CURRENT
+        version and whose last reference is older than the retention
+        window. The reclamation counterpart to `clean_log` (which only
+        trims commit JSONs): without it every overwrite / merge /
+        compaction keeps its superseded files forever.
+
+        Protocol semantics, same as delta.io VACUUM:
+        - the current version's live adds (and their 'u'/'p' DV files)
+          are NEVER touched;
+        - a tombstoned file's age is its remove action's
+          deletionTimestamp (file mtime as the fallback for orphans no
+          action references, e.g. a crashed writer's leftovers);
+        - time travel to versions older than the retention window
+          stops working once their files are reclaimed — by design.
+
+        Walks the table tree (partition dirs included), skipping
+        `_delta_log`. Dry-run returns the same report without
+        deleting."""
+        import time as _time
+
+        now = int(now_ms if now_ms is not None else _time.time() * 1000)
+        cur = self.current_version()
+        live: set[str] = set()
+        for path, dv, _pv in self.live_adds(cur):
+            live.add(str(Path(self._resolve(path)).resolve()))
+            if dv and dv.get("storageType") in ("u", "p"):
+                from .delta_dv import dv_file_name, z85_decode
+
+                if dv["storageType"] == "u":
+                    import uuid as _uuid
+
+                    enc = dv["pathOrInlineDv"]
+                    prefix, uid85 = enc[:-20], enc[-20:]
+                    uid = _uuid.UUID(bytes=z85_decode(uid85))
+                    live.add(str((self.root / dv_file_name(uid, prefix)).resolve()))
+                else:
+                    live.add(str(Path(dv["pathOrInlineDv"]).resolve()))
+        removed_at: dict[str, int] = {}
+        for v in self.versions():
+            for a in self.actions(v):
+                r = a.get("remove")
+                if r and r.get("path"):
+                    key = str(Path(self._resolve(r["path"])).resolve())
+                    ts = int(r.get("deletionTimestamp") or 0)
+                    removed_at[key] = max(removed_at.get(key, 0), ts)
+        deleted: list[str] = []
+        kept_recent: list[str] = []
+        for p in sorted(self.root.rglob("*")):
+            if not p.is_file() or "_delta_log" in p.parts:
+                continue
+            if p.suffix != ".parquet" and not p.name.startswith("deletion_vector_"):
+                continue
+            rp = str(p.resolve())
+            if rp in live:
+                continue
+            ts = removed_at.get(rp, int(p.stat().st_mtime * 1000))
+            if now - ts >= retention_ms:
+                if not dry_run:
+                    p.unlink()
+                deleted.append(rp)
+            else:
+                kept_recent.append(rp)
+        return {
+            "deleted": deleted,
+            "kept_recent": kept_recent,
+            "live": len(live),
+            "dry_run": dry_run,
+        }
 
     # -- reads -------------------------------------------------------------
     def capabilities(self) -> Capability:
@@ -675,7 +754,10 @@ class DeltaTable:
             return self.read(spark, version=cur), new_pos
         if any(self.has_removes(v) for v in newer):
             return self.read(spark, version=cur), new_pos
-        files = [f for v in newer for f in self.added_files(v)]
+        # dataChange=false adds are maintenance rewrites (OPTIMIZE):
+        # the rows were already delivered under their old files, so a
+        # consumer must NOT see them again
+        files = [f for v in newer for f in self.added_files(v, data_change_only=True)]
         if not files:
             return None, new_pos
         return self._read_files(spark, files, cur), new_pos
@@ -1339,6 +1421,110 @@ class DeltaFixtureWriter:
                     }
                 )
         return self._commit(removes + self._copy_adds(paths), "WRITE", timestamp_ms)
+
+    def optimize_small_files(
+        self,
+        spark: SparkSession,
+        small_bytes: int = 32 << 20,
+        target_bytes: int = 128 << 20,
+        timestamp_ms: int | None = None,
+    ) -> dict:
+        """Bin-pack OPTIMIZE: rewrite ONLY undersized live files into
+        ~target-size files, one commit, `dataChange=false` on every
+        action — O(small files), not the O(table) full rewrite of
+        `DeltaDestination.compact`. Because the commit carries no data
+        change, incremental consumers (`changes_since`) are NOT
+        invalidated — the protocol's contract for maintenance commits,
+        and the property that makes OPTIMIZE safe to run under live
+        CDC consumers at scale.
+
+        Deletion vectors on rewritten files are RESOLVED into the
+        merged output (the subset read applies them); their `.bin`
+        files become unreferenced and fall to `vacuum`. Merging happens
+        within a partition (files of one partitionValues tuple);
+        singleton groups are left alone. Merged files land under the
+        same partition dir, partition columns stripped from the parquet
+        as the layout requires; column-mapped tables are written back
+        under their physical names."""
+        import math
+        import shutil
+        import tempfile
+        from urllib.parse import quote
+
+        from .partitioned_write import HIVE_NULL
+
+        t = DeltaTable(self.root)
+        cur = t.current_version()
+        part_cols = t.partition_columns(cur)
+        groups: dict[tuple, list[tuple[str, int]]] = {}
+        total_live = 0
+        for path, _dv, pv in t.live_adds(cur):
+            total_live += 1
+            size = Path(t._resolve(path)).stat().st_size
+            if size < small_bytes:
+                key = tuple(sorted((pv or {}).items()))
+                groups.setdefault(key, []).append((path, size))
+        now_ms = int(timestamp_ms if timestamp_ms is not None else time.time() * 1000)
+        actions: list[dict] = []
+        rewritten = 0
+        root_resolved = self.root.resolve()
+        for key, items in sorted(groups.items()):
+            if len(items) < 2:
+                continue
+            rewritten += len(items)
+            resolved_paths = [p for p, _s in items]  # live_adds resolves
+            merged = t.read(spark, _files=resolved_paths)
+            if part_cols:
+                merged = merged.drop(*part_cols)
+            merged = self._to_physical(merged)
+            k = max(1, math.ceil(sum(s for _p, s in items) / max(1, target_bytes)))
+            pv = dict(key)
+            segs = [
+                f"{c}={quote(str(pv[c]), safe='') if pv[c] is not None else HIVE_NULL}"
+                for c in part_cols
+            ]
+            part_dir = "/".join(segs)
+            if part_dir:
+                (self.root / part_dir).mkdir(parents=True, exist_ok=True)
+            tmp = tempfile.mkdtemp(prefix="delta_optimize_")
+            try:
+                merged.repartition(k).write.mode("overwrite").parquet(tmp)
+                for p in sorted(Path(tmp).glob("*.parquet")):
+                    rel = (f"{part_dir}/" if part_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+                    shutil.move(str(p), str(self.root / rel))
+                    actions.append(
+                        {
+                            "add": {
+                                "path": rel,
+                                "size": (self.root / rel).stat().st_size,
+                                "partitionValues": pv,
+                                "modificationTime": now_ms,
+                                "dataChange": False,
+                            }
+                        }
+                    )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            for p in resolved_paths:
+                # remove actions must carry the STORED relative path
+                rel_remove = Path(p).resolve().relative_to(root_resolved).as_posix()
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel_remove,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": False,
+                        }
+                    }
+                )
+        result = {"files_before": total_live, "rewritten": rewritten}
+        if not rewritten:
+            result["files_after"] = total_live
+            return result
+        self._commit(actions, "OPTIMIZE", timestamp_ms)
+        after = DeltaTable(self.root)
+        result["files_after"] = len(after.files_for_version(after.current_version()))
+        return result
 
     def checkpoint(self) -> int:
         """Write a checkpoint parquet of the current state + the

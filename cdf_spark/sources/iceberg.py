@@ -2120,6 +2120,138 @@ class IcebergFixtureWriter:
             sid, parent, ts, self._copied_file_entries(paths, sid), "overwrite"
         )
 
+    def rewrite_small_files(
+        self,
+        spark: SparkSession,
+        small_bytes: int = 32 << 20,
+        target_bytes: int = 128 << 20,
+        timestamp_ms: int | None = None,
+    ) -> dict:
+        """Bin-pack compaction (Iceberg's RewriteDataFiles binpack
+        strategy): rewrite ONLY undersized live data files, leaving
+        full-size files untouched — O(small files), not the O(table)
+        full rewrite of `IcebergDestination.compact`. This is the
+        maintenance op per-epoch streaming commits need at 100 TB: each
+        micro-batch lands a small file forever unless something merges
+        them, and rewriting the whole table per maintenance run would
+        dwarf the ingest itself.
+
+        Correctness with row-level deletes, by sequence-number
+        arithmetic rather than special cases:
+        - Small files are read WITH their applicable deletes resolved
+          (the subset read applies positional deletes by path and
+          equality deletes by seq scoping), so merged files carry the
+          post-delete rows.
+        - Merged files take the NEW commit's sequence number, which is
+          strictly greater than every live delete's — no existing
+          delete re-applies to them.
+        - Untouched files are re-listed as status=EXISTING with their
+          ORIGINAL data sequence numbers written explicitly, so live
+          equality deletes keep applying to exactly the rows they did
+          before.
+        - Delete entries themselves are re-listed verbatim (explicit
+          seq). Positional deletes naming rewritten paths dangle
+          harmlessly (their target paths are no longer live) until
+          expire_snapshots reclaims them.
+
+        Merging happens within a partition (grouped by the entry's
+        partition record) — a merged file must describe one partition
+        tuple. Groups with fewer than two small files are left alone.
+
+        Ref parity: the reference's destination maintenance contract is
+        commit-atomic (crates/cdf-kernel/src/destination.rs) — this is
+        one snapshot, never an in-place edit."""
+        t = IcebergTable(self.root)
+        cur = t.current_snapshot_id()
+        if cur is None:
+            raise IcebergError("table has no snapshots to compact")
+        snap = t.snapshot(cur)
+        data_entries: list[tuple[dict, str, int, int]] = []  # (entry, path, size, seq)
+        delete_entries: list[dict] = []
+        for mp in t._manifest_paths(snap):
+            for e in t._manifest_entries(mp):
+                if int(e.get("status", 1)) == 2:
+                    continue
+                dfile = e["data_file"]
+                seq = t._entry_sequence(e)
+                if int(dfile.get("content") or 0) == 0:
+                    data_entries.append(
+                        (
+                            e,
+                            str(t._resolve(dfile["file_path"])),
+                            int(dfile.get("file_size_in_bytes") or 0),
+                            seq,
+                        )
+                    )
+                else:
+                    e = dict(e)
+                    e["status"] = 0
+                    e["sequence_number"] = seq
+                    delete_entries.append(e)
+
+        import json as _json
+        from collections import defaultdict
+
+        groups: dict[str, list[tuple[dict, str, int, int]]] = defaultdict(list)
+        survivors: list[tuple[dict, int]] = []
+        for item in data_entries:
+            entry, path, size, seq = item
+            if size < small_bytes:
+                key = _json.dumps(entry["data_file"].get("partition"), sort_keys=True, default=str)
+                groups[key].append(item)
+            else:
+                survivors.append((entry, seq))
+        rewrite_groups = {k: v for k, v in groups.items() if len(v) >= 2}
+        for k, v in groups.items():
+            if k not in rewrite_groups:
+                survivors.extend((entry, seq) for entry, _p, _s, seq in v)
+        result = {
+            "files_before": len(data_entries),
+            "rewritten": sum(len(v) for v in rewrite_groups.values()),
+            "groups": len(rewrite_groups),
+            "files_after": len(data_entries),
+        }
+        if not rewrite_groups:
+            return result
+
+        import math
+        import shutil
+        import tempfile
+
+        sid = self._rng.getrandbits(62)
+        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        self._seq += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+
+        new_entries: list[dict] = []
+        for _key, items in sorted(rewrite_groups.items()):
+            paths = [p for _e, p, _s, _q in items]
+            total = sum(s for _e, _p, s, _q in items)
+            k = max(1, math.ceil(total / max(1, target_bytes)))
+            part_record = items[0][0]["data_file"].get("partition")
+            merged = t.read(spark, _files=paths).repartition(k)
+            tmp = tempfile.mkdtemp(prefix="iceberg_binpack_")
+            try:
+                merged.write.mode("overwrite").parquet(tmp)
+                files = sorted(str(p) for p in Path(tmp).glob("*.parquet"))
+                copied = self._copied_file_entries(files, sid)
+                for ce in copied:
+                    ce["data_file"]["partition"] = part_record
+                new_entries.extend(copied)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        for entry, seq in survivors:
+            e = dict(entry)
+            e["status"] = 0  # EXISTING at this snapshot
+            e["sequence_number"] = seq  # pin: do NOT inherit the new commit's seq
+            new_entries.append(e)
+        new_entries.extend(delete_entries)
+        self._finish_commit(sid, parent, ts, new_entries, "replace")
+        after = IcebergTable(self.root)
+        result["files_after"] = len(after.files_for_snapshot(after.current_snapshot_id()))
+        return result
+
     def upsert_files(
         self,
         paths: list[str],

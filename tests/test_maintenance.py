@@ -1,0 +1,291 @@
+"""Table maintenance at scale: bin-pack compaction (rewrite ONLY small
+files) and physical-storage reclamation (Delta VACUUM), composing with
+row-level deletes, sequence scoping, incremental consumers, and
+expire_snapshots.
+
+The full-table `compact()` on the destinations is O(table); these ops
+are O(small files) / O(tombstones) — the only shapes that survive at
+100 TB. Reference parity: the reference's destination protocol is
+commit-atomic maintenance (crates/cdf-kernel/src/destination.rs) — every
+op here is one new snapshot/commit, never an in-place edit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+from cdf_spark.sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Iceberg rewrite_small_files (bin-pack)
+
+
+def test_iceberg_binpack_merges_small_files_only(spark, tmp_path, orders):
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    o = orders.select("o_orderkey", "o_totalprice")
+    for i in range(4):  # four per-epoch small files
+        w.append(o.offset(40 * i).limit(40), timestamp_ms=1_000 + i)
+    t = IcebergTable(tmp_path / "t")
+    before = _rows(t.read(spark))
+    res = w.rewrite_small_files(spark, small_bytes=1 << 30, target_bytes=1 << 30)
+    assert res["rewritten"] == 4 and res["files_after"] < res["files_before"]
+    after = IcebergTable(tmp_path / "t")
+    assert _rows(after.read(spark)) == before
+    # history intact: pre-compaction snapshot still time-travels
+    snaps = after.snapshots()
+    assert len(snaps) == 5
+    first = int(snaps[0]["snapshot-id"])
+    assert after.read(spark, snapshot_id=first).count() == 40
+
+
+def test_iceberg_binpack_leaves_big_files(spark, tmp_path, orders):
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.limit(150), timestamp_ms=1_000)  # "big"
+    w.append(o.offset(150).limit(5), timestamp_ms=2_000)  # small
+    w.append(o.offset(155).limit(5), timestamp_ms=3_000)  # small
+    t = IcebergTable(tmp_path / "t")
+    big_file = t.files_for_snapshot(int(t.snapshots()[0]["snapshot-id"]))[0]
+    # threshold between the small files (~5 rows) and the big one
+    small_cut = (tmp_path / "t" / "data").stat
+    sizes = sorted(
+        (p.stat().st_size) for p in (tmp_path / "t" / "data").glob("*.parquet")
+    )
+    cut = (sizes[-1] + sizes[-2]) // 2
+    res = w.rewrite_small_files(spark, small_bytes=cut, target_bytes=1 << 30)
+    assert res["rewritten"] == 2
+    after = IcebergTable(tmp_path / "t")
+    live = after.files_for_snapshot(after.current_snapshot_id())
+    assert big_file in live  # untouched survivor, same physical file
+    assert len(live) == 2  # big + one merged
+    assert after.read(spark).count() == 160
+
+
+def test_iceberg_binpack_resolves_deletes_and_keeps_seq_scoping(spark, tmp_path, orders):
+    """Positional + equality deletes: merged files carry post-delete
+    rows; the surviving big file keeps its ORIGINAL sequence number so
+    the live equality delete still applies to it after the rewrite."""
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.limit(100), timestamp_ms=1_000)  # big file, seq 1
+    w.append(o.offset(100).limit(8), timestamp_ms=2_000)  # small, seq 2
+    w.append(o.offset(108).limit(8), timestamp_ms=3_000)  # small, seq 3
+    t = IcebergTable(tmp_path / "t")
+    # positional delete: first row of one small file
+    small_files = t.files_for_snapshot(t.current_snapshot_id())
+    sizes = {p: __import__("pathlib").Path(p).stat().st_size for p in small_files}
+    ordered = sorted(sizes, key=sizes.get)
+    w.delete_positions([(ordered[0], 0)], timestamp_ms=4_000)
+    # equality delete hitting rows in the BIG file
+    keys = [r.o_orderkey for r in o.limit(3).collect()]
+    w.delete_equality([{"o_orderkey": k} for k in keys], ["o_orderkey"], timestamp_ms=5_000)
+    t = IcebergTable(tmp_path / "t")
+    before = _rows(t.read(spark))
+    assert len(before) == 100 + 16 - 1 - 3
+    cut = sizes[ordered[-1]]  # big file's size: everything below it is small
+    res = w.rewrite_small_files(spark, small_bytes=cut, target_bytes=1 << 30)
+    assert res["rewritten"] == 2
+    after = IcebergTable(tmp_path / "t")
+    assert _rows(after.read(spark)) == before
+    # the equality delete is still live and still applies to the big
+    # file (original seq 1 < delete seq); merged file exempt (new seq)
+    assert len(after._eq_delete_entries(after.current_snapshot_id())) == 1
+
+
+def test_iceberg_binpack_partitioned_groups_within_partition(spark, tmp_path):
+    w = IcebergFixtureWriter(tmp_path / "t", seed=5, partition_by=["bucket"])
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(40)],
+        ["id", "bucket", "v"],
+    )
+    for j in range(3):
+        w.append(df.filter(f"id % 3 = {j}"), timestamp_ms=1_000 + j)
+    t = IcebergTable(tmp_path / "t")
+    before = _rows(t.read(spark))
+    files_before = len(t.files_for_snapshot(t.current_snapshot_id()))
+    assert files_before >= 6  # 3 commits x 2 partitions
+    res = w.rewrite_small_files(spark, small_bytes=1 << 30, target_bytes=1 << 30)
+    assert res["groups"] == 2  # one merge group per partition
+    after = IcebergTable(tmp_path / "t")
+    assert len(after.files_for_snapshot(after.current_snapshot_id())) == 2
+    assert _rows(after.read(spark)) == before
+    # partition pruning still works on the merged layout
+    from cdf_spark.expressions.ast import Binary, Col, Lit
+
+    pruned, _ev = after.data_files_pruned(
+        after.current_snapshot_id(), [Binary("eq", Col("bucket"), Lit("a"))]
+    )
+    assert len(pruned) == 1
+
+
+def test_iceberg_binpack_noop_below_two_files(spark, tmp_path, orders):
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    w.append(orders.select("o_orderkey").limit(10), timestamp_ms=1_000)
+    t = IcebergTable(tmp_path / "t")
+    v_before = len(t.snapshots())
+    res = w.rewrite_small_files(spark, small_bytes=1 << 30)
+    assert res["rewritten"] == 0
+    assert len(IcebergTable(tmp_path / "t").snapshots()) == v_before  # no commit
+
+
+def test_iceberg_binpack_then_expire_reclaims_old_files(spark, tmp_path, orders):
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.limit(20), timestamp_ms=1_000)
+    w.append(o.offset(20).limit(20), timestamp_ms=2_000)
+    w.rewrite_small_files(spark, small_bytes=1 << 30, timestamp_ms=3_000)
+    t = IcebergTable(tmp_path / "t")
+    res = t.expire_snapshots(keep_last=1, delete_orphans=True)
+    assert len(res["expired"]) == 2 and res["deleted"]
+    t2 = IcebergTable(tmp_path / "t")
+    assert t2.read(spark).count() == 40
+    # the pre-compaction small files are physically gone
+    import pathlib
+
+    live = set(t2.files_for_snapshot(t2.current_snapshot_id()))
+    on_disk = {
+        str(p)
+        for p in (tmp_path / "t" / "data").glob("*.parquet")
+        if not p.name.startswith("delete-")
+    }
+    assert on_disk == live
+
+
+# ---------------------------------------------------------------------------
+# Delta optimize_small_files (bin-pack OPTIMIZE)
+
+
+def test_delta_optimize_merges_and_preserves_content(spark, tmp_path, orders):
+    w = DeltaFixtureWriter(tmp_path / "t")
+    o = orders.select("o_orderkey", "o_totalprice")
+    for i in range(4):
+        w.append(o.offset(30 * i).limit(30), timestamp_ms=1_000 + i)
+    t = DeltaTable(tmp_path / "t")
+    before = _rows(t.read(spark))
+    res = w.optimize_small_files(spark, small_bytes=1 << 30, target_bytes=1 << 30)
+    assert res["rewritten"] == res["files_before"] and res["files_after"] == 1
+    after = DeltaTable(tmp_path / "t")
+    assert _rows(after.read(spark)) == before
+    # time travel to the pre-OPTIMIZE version still works (no vacuum yet)
+    assert after.read(spark, version=3).count() == 120
+
+
+def test_delta_optimize_does_not_invalidate_incremental(spark, tmp_path, orders):
+    """dataChange=false: a changes_since consumer sees NO new change
+    and NO invalidation across an OPTIMIZE commit."""
+    w = DeltaFixtureWriter(tmp_path / "t")
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.limit(30), timestamp_ms=1_000)
+    w.append(o.offset(30).limit(30), timestamp_ms=2_000)
+    t = DeltaTable(tmp_path / "t")
+    pin = t.current_version()
+    w.optimize_small_files(spark, small_bytes=1 << 30)
+    from cdf_spark.positions import TableSnapshotPosition
+
+    t2 = DeltaTable(tmp_path / "t")
+    assert t2.current_version() == pin + 1
+    changed, new_pos = t2.changes_since(spark, TableSnapshotPosition(snapshot_id=pin))
+    assert changed is None or changed.count() == 0
+    assert int(new_pos.snapshot_id) == pin + 1
+
+
+def test_delta_optimize_resolves_deletion_vectors(spark, tmp_path, orders):
+    w = DeltaFixtureWriter(tmp_path / "t")
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.limit(40), timestamp_ms=1_000)
+    w.append(o.offset(40).limit(40), timestamp_ms=2_000)
+    keys = [r.o_orderkey for r in o.limit(5).collect()]
+    w.delete_where(spark, f"o_orderkey in ({','.join(map(str, keys))})", timestamp_ms=3_000)
+    t = DeltaTable(tmp_path / "t")
+    before = _rows(t.read(spark))
+    assert len(before) == 75
+    res = w.optimize_small_files(spark, small_bytes=1 << 30)
+    after = DeltaTable(tmp_path / "t")
+    assert _rows(after.read(spark)) == before
+    # merged files carry no DVs
+    assert all(dv is None for _p, dv in after.live_files_with_dvs(after.current_version()))
+
+
+def test_delta_optimize_partitioned(spark, tmp_path):
+    w = DeltaFixtureWriter(tmp_path / "t", partition_by=["bucket"])
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 == 0 else "y", float(i)) for i in range(30)],
+        ["id", "bucket", "v"],
+    )
+    for j in range(3):
+        w.append(df.filter(f"id % 3 = {j}"), timestamp_ms=1_000 + j)
+    t = DeltaTable(tmp_path / "t")
+    before = _rows(t.read(spark))
+    res = w.optimize_small_files(spark, small_bytes=1 << 30)
+    after = DeltaTable(tmp_path / "t")
+    assert _rows(after.read(spark)) == before
+    live = after.live_adds(after.current_version())
+    assert len(live) == 2
+    assert {tuple(pv.items()) for _p, _dv, pv in live} == {
+        (("bucket", "x"),),
+        (("bucket", "y"),),
+    }
+    # files live under their partition dirs (paths come back resolved)
+    for p, _dv, pv in live:
+        assert f"/bucket={pv['bucket']}/" in p
+
+
+# ---------------------------------------------------------------------------
+# Delta vacuum
+
+
+def test_delta_vacuum_reclaims_tombstones_respects_retention(spark, tmp_path, orders):
+    w = DeltaFixtureWriter(tmp_path / "t")
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.limit(50), timestamp_ms=1_000)
+    w.overwrite(o.offset(50).limit(50), timestamp_ms=2_000)  # tombstones v0 files
+    t = DeltaTable(tmp_path / "t")
+    live_before = set(t.files_for_version(t.current_version()))
+    # retention not yet elapsed (remove deletionTimestamps are
+    # real-clock): a huge window reclaims nothing
+    res = t.vacuum(retention_ms=10**15)
+    assert res["deleted"] == [] and len(res["kept_recent"]) >= 1
+    # dry run past retention: reports but keeps
+    res = t.vacuum(retention_ms=0, dry_run=True)
+    assert len(res["deleted"]) >= 1
+    for f in res["deleted"]:
+        assert __import__("pathlib").Path(f).exists()
+    # real vacuum past retention
+    res = t.vacuum(retention_ms=0)
+    assert len(res["deleted"]) >= 1
+    for f in res["deleted"]:
+        assert not __import__("pathlib").Path(f).exists()
+    t2 = DeltaTable(tmp_path / "t")
+    assert set(t2.files_for_version(t2.current_version())) == live_before
+    assert t2.read(spark).count() == 50
+    # time travel to v0 is now broken — by protocol design
+    with pytest.raises(Exception):
+        t2.read(spark, version=0).count()
+
+
+def test_delta_vacuum_keeps_live_dv_files_reclaims_stale(spark, tmp_path, orders):
+    w = DeltaFixtureWriter(tmp_path / "t")
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.limit(40), timestamp_ms=1_000)
+    w.append(o.offset(40).limit(40), timestamp_ms=2_000)
+    keys = [r.o_orderkey for r in o.limit(3).collect()]
+    w.delete_where(spark, f"o_orderkey in ({','.join(map(str, keys))})", timestamp_ms=3_000)
+    t = DeltaTable(tmp_path / "t")
+    dv_files = [p for p in (tmp_path / "t").glob("deletion_vector_*.bin")]
+    assert dv_files, "delete_where should have written a DV file"
+    # live DV file survives vacuum
+    t.vacuum(retention_ms=0)
+    assert all(p.exists() for p in dv_files)
+    assert DeltaTable(tmp_path / "t").read(spark).count() == 77
+    # OPTIMIZE resolves the DV; now the .bin is unreferenced -> reclaimed
+    w.optimize_small_files(spark, small_bytes=1 << 30, timestamp_ms=4_000)
+    t2 = DeltaTable(tmp_path / "t")
+    res = t2.vacuum(retention_ms=0)
+    assert any(str(p.resolve()) in res["deleted"] for p in dv_files)
+    assert DeltaTable(tmp_path / "t").read(spark).count() == 77
