@@ -810,6 +810,33 @@ def ngram_jaccard_dups(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
 
 
+_CHUNK_ORACLE = r"""
+WITH t AS (SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 24)) AS st FROM t)
+SELECT doc_id, CAST(st // 24 AS INT) AS chunk_idx,
+       array_to_string(toks[st + 1 : st + 32], ' ') AS chunk_text,
+       CAST(len(toks[st + 1 : st + 32]) AS BIGINT) AS chunk_len
+FROM s
+"""
+
+
+@_register("doc_chunking_rag", _CHUNK_ORACLE)
+def doc_chunking_rag(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG chunking (`operators/chunking.py`): 32-token chunks with
+    8-token overlap, stable (doc_id, chunk_idx) identity. Pure
+    sequence->slice->join expressions — zero shuffle, zero UDF; the
+    oracle reproduces the exact slices with DuckDB list arithmetic."""
+    from .operators.chunking import chunk_by_tokens
+
+    out = chunk_by_tokens(_t(spark, sf, "documents"), chunk_tokens=32, overlap_tokens=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "chunk_text",
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+    )
+
+
 @_register("ngram_jaccard_dups_fast", _JACCARD_ORACLE)
 def ngram_jaccard_dups_fast(spark: SparkSession, sf: str) -> DataFrame:
     """Prefix-filtered (AllPairs/PPJoin) EXACT Jaccard join — the
@@ -2629,6 +2656,112 @@ def iceberg_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("ice_evo", sf, build)
     return IcebergTable(f"{tmp}/t").read(spark)
+
+
+@_register(
+    "stream_stream_join_drain",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id, p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+    """,
+)
+def stream_stream_join_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (Structured Streaming's
+    symmetric hash join), drained with Trigger.AvailableNow: clicks and
+    purchases arrive as two real file streams (maxFilesPerTrigger=1 ->
+    multiple genuine micro-batches), joined per user with the
+    event-time range constraint `purchase within 4h after the click`.
+    The range constraint is what bounds join state at scale — each
+    side's state evicts once the other side's watermark passes the
+    window. The drain must emit exactly the batch join's matches
+    (the oracle); the watermark delay here covers the fixture's whole
+    timeline so no match is late-dropped regardless of file arrival
+    order — the tight-watermark late-drop semantics are pinned by
+    tests/test_streaming.py instead, where arrival order is
+    controlled."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def build(tmp: str) -> None:
+        import shutil
+        import tempfile
+        from pathlib import Path as _Path
+
+        ev = _t(spark, sf, "events").select(*cols)
+        (_Path(tmp) / "in").mkdir()
+        for i in range(3):
+            stage = tempfile.mkdtemp(prefix="cdf_ssj_part_")
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            shutil.move(str(src), f"{tmp}/in/part-{i}.parquet")
+            shutil.rmtree(stage, ignore_errors=True)
+
+        clicks = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "90 days")
+        )
+        purchases = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            .withWatermark("p_ts", "90 days")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 4 HOURS")),
+            "inner",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.col("c_user").alias("user_id"),
+            "purchase_value",
+        )
+        q = (
+            joined.writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+
+    tmp = _session_fixture("ssj_drain", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select(
+        "click_id", "purchase_id", "user_id", "purchase_value"
+    )
 
 
 @_register(

@@ -543,3 +543,47 @@ def test_wav_codec_roundtrip_and_chunk_walking():
         bad = bytearray(data)
         struct.pack_into("<H", bad, 12 + 8 + 14, 8)
         decode_wav(bytes(bad))
+
+
+def test_chunk_by_tokens_coverage_and_overlap(spark):
+    from cdf_spark.operators.chunking import chunk_by_tokens
+
+    words = " ".join(f"w{i}" for i in range(75))
+    df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    chunks = chunk_by_tokens(df, chunk_tokens=32, overlap_tokens=8).collect()
+    # starts 0,24,48,72 -> 4 chunks; last one short
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2, 3]
+    assert [c.chunk_len for c in chunks] == [32, 32, 27, 3]
+    # overlap: each chunk's first 8 tokens == previous chunk's last 8
+    for prev, cur in zip(chunks, chunks[1:]):
+        ptoks, ctoks = prev.chunk_text.split(), cur.chunk_text.split()
+        assert ctoks[:8] == ptoks[24:32]
+    # coverage: stride-prefixes reassemble the doc exactly
+    rebuilt = []
+    for c in chunks:
+        rebuilt.extend(c.chunk_text.split()[:24])
+    assert rebuilt[:75] == words.split()
+
+
+def test_chunk_by_chars_identity(spark):
+    from cdf_spark.operators.chunking import chunk_by_chars
+
+    df = spark.createDataFrame([(1, "abcdefghij" * 10)], ["doc_id", "text"])  # 100 chars
+    chunks = chunk_by_chars(df, chunk_chars=40, overlap_chars=10).collect()
+    # stride 30: starts 0,30,60,90
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2, 3]
+    assert [c.chunk_len for c in chunks] == [40, 40, 40, 10]
+    text = "abcdefghij" * 10
+    for c in chunks:
+        start = c.chunk_idx * 30
+        assert c.chunk_text == text[start : start + 40]
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    from cdf_spark.operators.chunking import chunk_by_chars, chunk_by_tokens
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, chunk_tokens=8, overlap_tokens=8)
+    with pytest.raises(ValueError):
+        chunk_by_chars(df, chunk_chars=8, overlap_chars=9)

@@ -263,3 +263,140 @@ def test_resident_extent_live_epochs(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "dest"))
     assert out.count() == 15
     assert out.agg(F.countDistinct("event_id")).collect()[0][0] == 15
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join semantics (symmetric hash join + watermark state)
+
+
+def _ssj_write_file(df, dest, mtime):
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    stage = tempfile.mkdtemp(prefix="ssj_stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    (src,) = sorted(Path(stage).glob("*.parquet"))
+    shutil.move(str(src), dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.utime(dest, (mtime, mtime))
+
+
+def _ssj_run(spark, in_dir, out_dir, ck_dir, delay="8 hours"):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .filter(F.col("kind") == "c")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", delay)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .filter(F.col("kind") == "p")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", delay)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 4 HOURS")),
+        "inner",
+    ).select("click_id", "purchase_id")
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ck_dir))
+        .start()
+    )
+    q.awaitTermination()
+    return {(r.click_id, r.purchase_id) for r in spark.read.parquet(str(out_dir)).collect()}
+
+
+def _ssj_fixture_rows():
+    """Two days of (click, purchase-within-4h) pairs per user, one
+    cross-day NON-match (gap > 4h), plus a cross-FILE match near the
+    day boundary."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+
+    def ev(day, hour, user, kind, minute=0):
+        nonlocal eid
+        eid += 1
+        return (eid, base + dt.timedelta(days=day, hours=hour, minutes=minute), user, kind)
+
+    day0 = [
+        ev(0, 1, 1, "c"), ev(0, 3, 1, "p"),      # match (2h gap)
+        ev(0, 2, 2, "c"), ev(0, 9, 2, "p"),      # no match (7h gap)
+        ev(0, 22, 3, "c"),                        # click near boundary
+    ]
+    day1 = [
+        ev(1, 1, 3, "p"),                         # cross-file match (3h gap)
+        ev(1, 5, 4, "c"), ev(1, 6, 4, "p"),      # match (1h gap)
+    ]
+    return day0, day1
+
+
+def test_stream_stream_join_time_ordered_equals_batch(spark, tmp_path):
+    """Files arriving in event-time order with watermark delay > join
+    window: the drain emits EXACTLY the batch join's matches, including
+    the pair that spans two micro-batches (join state carried across
+    the epoch boundary, not evicted early)."""
+    day0, day1 = _ssj_fixture_rows()
+    cols = ["event_id", "ts", "user_id", "kind"]
+    (tmp_path / "in").mkdir()
+    _ssj_write_file(spark.createDataFrame(day0, cols), str(tmp_path / "in" / "f0.parquet"), 1_000)
+    _ssj_write_file(spark.createDataFrame(day1, cols), str(tmp_path / "in" / "f1.parquet"), 2_000)
+    got = _ssj_run(spark, tmp_path / "in", tmp_path / "out", tmp_path / "ck", delay="8 hours")
+    assert got == {(1, 2), (5, 6), (7, 8)}  # incl. cross-batch (5, 6)
+
+
+def test_stream_stream_join_late_arrival_state_evicted(spark, tmp_path):
+    """Out-of-order arrival with a tight watermark: the join state a
+    late row needed is EVICTED before it arrives, so the cross-batch
+    match is dropped — while same-batch matches among late rows still
+    emit (Spark joins a batch's own rows before watermark cleanup).
+    This is the state-bounding tradeoff the wide-delay registry query
+    avoids, and the falsification that the watermark actually governs
+    join state, not just decorates the plan."""
+    import datetime as dt
+
+    day0, day1 = _ssj_fixture_rows()
+    base = dt.datetime(2024, 3, 1)
+    # a day-2 filler batch that advances the watermark far past day 1
+    day2 = [(100, base + dt.timedelta(days=2, hours=6), 99, "c")]
+    cols = ["event_id", "ts", "user_id", "kind"]
+    (tmp_path / "in").mkdir()
+    _ssj_write_file(spark.createDataFrame(day1, cols), str(tmp_path / "in" / "f0.parquet"), 1_000)
+    _ssj_write_file(spark.createDataFrame(day2, cols), str(tmp_path / "in" / "f1.parquet"), 2_000)
+    _ssj_write_file(spark.createDataFrame(day0, cols), str(tmp_path / "in" / "f2.parquet"), 3_000)
+    got = _ssj_run(spark, tmp_path / "in", tmp_path / "out", tmp_path / "ck", delay="1 hour")
+    # day-1's in-batch match survives; EVERY day-0 match is dropped —
+    # the whole late file lands behind the watermark (which lags one
+    # batch, hence the day-2 filler) and its rows are filtered on
+    # input, including the same-batch pair (1, 2)
+    assert got == {(7, 8)}
