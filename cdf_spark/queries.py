@@ -2876,6 +2876,8 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "doc_chunking_rag",
+    "stream_stream_join_drain",
     "ngram_jaccard_dups_fast",
     "iceberg_binpack_maintenance",
     "delta_optimize_maintenance",
