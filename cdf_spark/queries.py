@@ -2579,6 +2579,59 @@ def delta_optimize_maintenance(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "metadata_only_count",
+    """
+    SELECT 'delta' AS fmt, count(*) AS cnt FROM orders
+    WHERE o_orderkey > 100 AND o_orderkey <= 800
+    UNION ALL
+    SELECT 'iceberg' AS fmt, count(*) - 1 AS cnt FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey <= 600
+    """,
+)
+def metadata_only_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only COUNT(*) (`iceberg.py metadata_count` / `delta.py
+    metadata_count`): the count comes from manifest record_count /
+    add-action stats arithmetic with ZERO data files opened — the
+    first thing every engine short-circuits on a 100 TB table. Both
+    tables carry row-level deletes that must subtract EXACTLY:
+    Iceberg positional deletes (one row per (file,pos)) and a Delta
+    deletion vector (descriptor cardinality). The query raises if
+    either table falls back to a scan, so the oracle match proves the
+    metadata arithmetic itself."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        iw = IcebergFixtureWriter(f"{tmp}/ice", seed=13)
+        for lo, hi, ts in ((0, 200, 1000), (200, 400, 2000), (400, 600, 3000)):
+            iw.append(
+                o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)),
+                timestamp_ms=ts,
+            )
+        t = IcebergTable(f"{tmp}/ice")
+        victim = t.files_for_snapshot(t.current_snapshot_id())[0]
+        iw.delete_positions([(victim, 0)], timestamp_ms=4000)
+
+        dw = DeltaFixtureWriter(f"{tmp}/delta")
+        for lo, hi, ts in ((0, 400, 1000), (400, 800, 2000)):
+            dw.append(
+                o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)),
+                timestamp_ms=ts,
+            )
+        dw.delete_where(spark, "o_orderkey <= 100", timestamp_ms=3000)
+
+    tmp = _session_fixture("meta_count", sf, build)
+    ice_cnt = IcebergTable(f"{tmp}/ice").metadata_count()
+    delta_cnt = DeltaTable(f"{tmp}/delta").metadata_count()
+    if ice_cnt is None or delta_cnt is None:
+        raise AssertionError("metadata count fell back to scan")
+    return spark.createDataFrame(
+        [("delta", delta_cnt), ("iceberg", ice_cnt)], "fmt string, cnt long"
+    )
+
+
+@_register(
     "delta_partitioned_scan",
     """
     SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -411,30 +411,25 @@ class DeltaTable:
     def files_for_version(self, version: int) -> list[str]:
         return [p for p, _dv in self.live_files_with_dvs(version)]
 
-    def live_adds(self, version: int) -> list[tuple[str, dict | None, dict]]:
-        """Live (file, deletionVector-descriptor, partitionValues)
-        triples at `version`: the checkpoint state (complete replay of
-        0..ckpt) when one covers the pin, then the JSON add/remove
-        actions after it. A re-`add` of a path replaces its descriptor
-        (the protocol's DV attach: remove + add-with-DV in one
-        commit). Every version in the replayed range must actually be
-        present — a cleaned gap raises instead of silently dropping
-        the missing commits' files."""
+    def live_add_actions(self, version: int) -> dict[str, dict]:
+        """Stored-path -> full `add` action dict at `version`: the
+        checkpoint state (complete replay of 0..ckpt) when one covers
+        the pin, then the JSON add/remove actions after it. A re-`add`
+        of a path replaces its action (the protocol's DV attach:
+        remove + add-with-DV in one commit). Every version in the
+        replayed range must actually be present — a cleaned gap raises
+        instead of silently dropping the missing commits' files."""
         js = self.versions()
         ckpt = self._checkpoint_info()
         ckpt_v = int(ckpt["version"]) if ckpt is not None else None
         if version not in js and version != ckpt_v:
             raise DeltaError(f"version {version} not in log")
-        live: dict[str, tuple[dict | None, dict]] = {}
-
-        def record(add: dict) -> None:
-            live[add["path"]] = (add.get("deletionVector"), add.get("partitionValues") or {})
-
+        live: dict[str, dict] = {}
         if ckpt_v is not None and ckpt_v <= version:
             self._check_protocol(version)
             for a in self._checkpoint_actions(ckpt_v):
                 if "add" in a:
-                    record(a["add"])
+                    live[a["add"]["path"]] = a["add"]
             start = ckpt_v + 1
         else:
             self._check_protocol(version)
@@ -452,10 +447,45 @@ class DeltaTable:
                 break
             for a in self.actions(v):
                 if "add" in a:
-                    record(a["add"])
+                    live[a["add"]["path"]] = a["add"]
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
-        return sorted((self._resolve(p), dv, pv) for p, (dv, pv) in live.items())
+        return live
+
+    def live_adds(self, version: int) -> list[tuple[str, dict | None, dict]]:
+        """Live (file, deletionVector-descriptor, partitionValues)
+        triples at `version` — see live_add_actions."""
+        return sorted(
+            (self._resolve(p), a.get("deletionVector"), a.get("partitionValues") or {})
+            for p, a in self.live_add_actions(version).items()
+        )
+
+    def metadata_count(self, version: int | None = None) -> int | None:
+        """COUNT(*) from log arithmetic alone — zero data files opened:
+        each live add's `stats.numRecords` minus its deletion vector's
+        `cardinality` (the descriptor carries the exact deleted-row
+        count, so DVs subtract exactly — unlike Iceberg equality
+        deletes, which force a scan fallback there). Returns None when
+        any live add lacks stats (e.g. written by a statless writer or
+        replayed through a pre-stats checkpoint) — the caller falls
+        back to a real scan rather than guessing."""
+        v = version if version is not None else self.current_version()
+        total = 0
+        for _p, add in self.live_add_actions(v).items():
+            st = add.get("stats")
+            if not st:
+                return None
+            n = json.loads(st).get("numRecords")
+            if n is None:
+                return None
+            total += int(n)
+            dv = add.get("deletionVector")
+            if dv is not None:
+                card = dv.get("cardinality")
+                if card is None:
+                    return None
+                total -= int(card)
+        return total
 
     def live_files_with_dvs(self, version: int) -> list[tuple[str, dict | None]]:
         return [(p, dv) for p, dv, _pv in self.live_adds(version)]
@@ -1011,6 +1041,20 @@ class DeltaFixtureWriter:
         return adds
 
     def _commit(self, actions: list[dict], operation: str, timestamp_ms: int | None) -> int:
+        # stamp add.stats (numRecords) from the parquet footer when the
+        # writer path didn't — one O(files-in-commit) metadata pass that
+        # makes metadata_count() exact for every table this writer
+        # produces (real Delta writers always emit stats)
+        for a in actions:
+            add = a.get("add")
+            if add is not None and "stats" not in add:
+                try:
+                    import pyarrow.parquet as _pq
+
+                    n = _pq.read_metadata(str(self.root / add["path"])).num_rows
+                    add["stats"] = json.dumps({"numRecords": int(n)})
+                except Exception:
+                    pass  # statless add: metadata_count degrades to None
         self._version += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         lines = [
@@ -1574,6 +1618,9 @@ class DeltaFixtureWriter:
         adds = t.live_adds(v)
         pairs = [(p, dv) for p, dv, _pv in adds]
         pv_of = {p: pv for p, _dv, pv in adds}
+        stats_of = {
+            t._resolve(p): a.get("stats") for p, a in t.live_add_actions(v).items()
+        }
         if any(dv for _f, dv in pairs):
             # DV state survives log cleaning only through the
             # checkpoint, and a DV table's protocol row must advertise
@@ -1596,6 +1643,7 @@ class DeltaFixtureWriter:
                         "partitionValues": pv_of.get(f, {}),
                         "modificationTime": now_ms,
                         "dataChange": False,
+                        **({"stats": stats_of[f]} if stats_of.get(f) else {}),
                         **({"deletionVector": dv} if dv else {}),
                     }
                 }
@@ -1646,6 +1694,9 @@ class DeltaFixtureWriter:
                             ("partitionValues", pa.map_(pa.string(), pa.string())),
                             ("modificationTime", pa.int64()),
                             ("dataChange", pa.bool_()),
+                            # stats ride the checkpoint so a log-cleaned
+                            # table keeps metadata-only count(*)
+                            ("stats", pa.string()),
                             (
                                 "deletionVector",
                                 pa.struct(

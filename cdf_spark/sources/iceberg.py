@@ -919,6 +919,67 @@ class IcebergTable:
         return sorted(files)
 
     # -- metadata tables ---------------------------------------------------
+    def metadata_count(self, snapshot_id: int | None = None) -> int | None:
+        """COUNT(*) from manifest arithmetic alone — zero data files
+        opened. Every engine's first 100 TB win: the manifests already
+        carry exact per-file record_count, so a full count is
+        O(manifest entries) driver metadata work instead of a cluster
+        scan. Returns None (caller falls back to a real scan) whenever
+        row-level deletes are live at the snapshot: positional deletes
+        subtract exactly, but equality deletes subtract an UNKNOWN
+        number of rows (their record_count counts delete keys, not
+        matches), so metadata cannot answer exactly.
+
+        Parity: Iceberg's own scan planning short-circuits count(*)
+        the same way; the reference records per-batch row counts in
+        package stats for the identical purpose
+        (crates/cdf-kernel/src/statistics.rs)."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            raise IcebergError("table has no current snapshot")
+        if self._eq_delete_entries(sid):
+            return None
+        total = 0
+        deleted = 0
+        for mp in self._manifest_paths(self.snapshot(sid)):
+            for e in self._manifest_entries(mp):
+                if int(e.get("status", 1)) == 2:
+                    continue
+                dfile = e["data_file"]
+                content = int(dfile.get("content") or 0)
+                if content == 0:
+                    total += int(dfile.get("record_count") or 0)
+                elif content == 1:
+                    # positional delete: each row kills exactly one
+                    # (file, pos) — exact subtraction
+                    deleted += int(dfile.get("record_count") or 0)
+        return total - deleted
+
+    def metadata_bounds(self, column: str, snapshot_id: int | None = None):
+        """(min, max) of a column from manifest entry bounds — exact
+        only when NO row-level deletes are live (deletes can shrink the
+        true range below what the bounds say); returns None then, or
+        when any live file lacks bounds for the column."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            raise IcebergError("table has no current snapshot")
+        if self._eq_delete_entries(sid) or self.delete_files_for_snapshot(sid):
+            return None
+        lo = hi = None
+        for mp in self._manifest_paths(self.snapshot(sid)):
+            for e in self._manifest_entries(mp):
+                dfile = e["data_file"]
+                if int(e.get("status", 1)) == 2 or int(dfile.get("content") or 0) != 0:
+                    continue
+                b = self._entry_bounds(e).get(column)
+                if b is None or b[0] is None or b[1] is None:
+                    return None
+                lo = b[0] if lo is None else min(lo, b[0])
+                hi = b[1] if hi is None else max(hi, b[1])
+        if lo is None:
+            return None
+        return lo, hi
+
     def metadata_table(self, spark: SparkSession, name: str) -> DataFrame:
         """The observability surface real Iceberg exposes as
         `table$snapshots` / `table$files` / `table$manifests`: the

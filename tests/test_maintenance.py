@@ -13,6 +13,7 @@ op here is one new snapshot/commit, never an in-place edit.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
 from cdf_spark.sources.iceberg import IcebergFixtureWriter, IcebergTable
@@ -289,3 +290,78 @@ def test_delta_vacuum_keeps_live_dv_files_reclaims_stale(spark, tmp_path, orders
     res = t2.vacuum(retention_ms=0)
     assert any(str(p.resolve()) in res["deleted"] for p in dv_files)
     assert DeltaTable(tmp_path / "t").read(spark).count() == 77
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only aggregates (count/bounds without opening data files)
+
+
+def test_iceberg_metadata_count_exact_and_fallback(spark, tmp_path, orders):
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.limit(100), timestamp_ms=1_000)
+    w.append(o.offset(100).limit(50), timestamp_ms=2_000)
+    t = IcebergTable(tmp_path / "t")
+    assert t.metadata_count() == 150 == t.read(spark).count()
+    # positional deletes subtract exactly
+    victim = t.files_for_snapshot(t.current_snapshot_id())[0]
+    w.delete_positions([(victim, 0), (victim, 1)], timestamp_ms=3_000)
+    t = IcebergTable(tmp_path / "t")
+    assert t.metadata_count() == 148 == t.read(spark).count()
+    # equality deletes kill an UNKNOWN number of rows -> scan fallback
+    w.delete_equality([{"o_orderkey": -1}], ["o_orderkey"], timestamp_ms=4_000)
+    t = IcebergTable(tmp_path / "t")
+    assert t.metadata_count() is None
+
+
+def test_iceberg_metadata_bounds(spark, tmp_path, orders):
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w.append(o.limit(100), timestamp_ms=1_000)
+    w.append(o.offset(100).limit(100), timestamp_ms=2_000)
+    t = IcebergTable(tmp_path / "t")
+    got = t.metadata_bounds("o_orderkey")
+    real = t.read(spark).agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    assert got == (real[0], real[1])
+    # any live delete makes bounds inexact -> None
+    victim = t.files_for_snapshot(t.current_snapshot_id())[0]
+    w.delete_positions([(victim, 0)], timestamp_ms=3_000)
+    assert IcebergTable(tmp_path / "t").metadata_bounds("o_orderkey") is None
+
+
+def test_delta_metadata_count_dv_and_checkpoint(spark, tmp_path, orders):
+    w = DeltaFixtureWriter(tmp_path / "t", checkpoint_interval=None)
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w.append(o.limit(100), timestamp_ms=1_000)
+    w.append(o.offset(100).limit(100), timestamp_ms=2_000)
+    t = DeltaTable(tmp_path / "t")
+    assert t.metadata_count() == 200 == t.read(spark).count()
+    # DV delete: descriptor cardinality subtracts exactly
+    keys = [r.o_orderkey for r in o.limit(5).collect()]
+    w.delete_where(spark, f"o_orderkey in ({','.join(map(str, keys))})", timestamp_ms=3_000)
+    t = DeltaTable(tmp_path / "t")
+    assert t.metadata_count() == 195 == t.read(spark).count()
+    # stats survive checkpoint + log cleaning
+    w.checkpoint()
+    w.clean_log(before_version=t.current_version())
+    t2 = DeltaTable(tmp_path / "t")
+    assert t2.metadata_count() == 195 == t2.read(spark).count()
+
+
+def test_delta_metadata_count_statless_fallback(spark, tmp_path, orders):
+    import json as _json
+
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(orders.select("o_orderkey").limit(10), timestamp_ms=1_000)
+    # strip the stats a statless writer wouldn't have produced
+    log = next((tmp_path / "t" / "_delta_log").glob("*.json"))
+    lines = []
+    for line in log.read_text().splitlines():
+        a = _json.loads(line)
+        if "add" in a:
+            a["add"].pop("stats", None)
+        lines.append(_json.dumps(a))
+    log.write_text("\n".join(lines) + "\n")
+    t = DeltaTable(tmp_path / "t")
+    assert t.metadata_count() is None  # honest fallback, no guess
+    assert t.read(spark).count() == 10  # reads unaffected
