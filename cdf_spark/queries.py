@@ -2579,6 +2579,49 @@ def delta_optimize_maintenance(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_sorted_layout_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey <= 800
+      AND o_custkey BETWEEN 100 AND 200
+    """,
+)
+def iceberg_sorted_layout_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Sort-clustered rewrite (`iceberg.py rewrite_sorted` — the
+    RewriteDataFiles sort strategy): ingest lands interleaved files
+    whose bounds all span the full o_custkey range; the rewrite
+    range-partitions on o_custkey so per-file bounds become selective.
+    The query raises unless the range probe actually prunes files
+    (layout evidence), then returns the filtered read — value-matched
+    against the plain relational oracle."""
+    from .expressions.ast import Binary, Col, Lit
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=17)
+        base = o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 800))
+        for i in range(4):  # interleaved: every file spans the key range
+            w.append(base.filter(F.pmod(F.col("o_custkey"), F.lit(4)) == i), timestamp_ms=1000 + i)
+        res = w.rewrite_sorted(spark, by=["o_custkey"], target_files=4, timestamp_ms=5000)
+        if res["files_after"] < 2:
+            raise AssertionError(f"rewrite produced too few files: {res}")
+
+    tmp = _session_fixture("ice_sorted", sf, build)
+    t = IcebergTable(f"{tmp}/t")
+    probe = [
+        Binary("ge", Col("o_custkey"), Lit(100)),
+        Binary("le", Col("o_custkey"), Lit(200)),
+    ]
+    kept, ev = t.data_files_pruned(t.current_snapshot_id(), probe)
+    if ev["files_pruned"] == 0:
+        raise AssertionError(f"sorted layout did not prune: {ev}")
+    return t.read(spark, _files=kept).filter(
+        (F.col("o_custkey") >= 100) & (F.col("o_custkey") <= 200)
+    )
+
+
+@_register(
     "metadata_only_count",
     """
     SELECT 'delta' AS fmt, count(*) AS cnt FROM orders
@@ -2929,6 +2972,8 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "iceberg_sorted_layout_scan",
+    "metadata_only_count",
     "doc_chunking_rag",
     "stream_stream_join_drain",
     "ngram_jaccard_dups_fast",

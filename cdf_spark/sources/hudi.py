@@ -117,6 +117,60 @@ class HudiTable:
     def files_for_instant(self, instant: str) -> list[str]:
         return sorted(p for _, p in self.file_slices_for_instant(instant))
 
+    def clean(self, retain_commits: int = 10, dry_run: bool = False) -> dict:
+        """Hudi cleaner, KEEP_LATEST_COMMITS policy: every copy-on-write
+        UPSERT rewrites whole file groups, so superseded slice versions
+        accumulate forever without this — at per-epoch CDC cadence the
+        table's physical size is O(commits), not O(rows). Retain the
+        slices needed to serve the newest `retain_commits` instants
+        (for each file group: its latest version at-or-before the
+        earliest retained instant, plus everything newer); delete older
+        versions and record them in a `.clean` instant on the timeline,
+        exactly where real Hudi readers look for cleaner history.
+        Time travel to instants older than the earliest retained one
+        stops resolving cleaned slices — the documented tradeoff."""
+        instants = self.instants()
+        if not instants:
+            raise HudiError("empty timeline")
+        retained = instants[-retain_commits:]
+        earliest = retained[0]
+        keep: set[str] = set()
+        # newest version per file group at-or-before each retained
+        # instant stays readable
+        for i in retained:
+            keep.update(p for _part, p in self.file_slices_for_instant(i))
+        deleted: list[str] = []
+        all_written: list[tuple[str, str]] = []  # (instant, abs path)
+        for i in instants:
+            for _fid, inst, path, _part in self._written_files(i):
+                all_written.append((inst, str(self.root / path)))
+        for inst, p in sorted(all_written):
+            if p in keep:
+                continue
+            if inst >= earliest:
+                # a superseded slice inside the retained window still
+                # serves time travel to mid-window instants
+                continue
+            if not dry_run:
+                Path(p).unlink(missing_ok=True)
+            deleted.append(p)
+        if deleted and not dry_run:
+            clean_instant = f"{int(self.latest_instant()) + 1:017d}"
+            (self.root / ".hoodie" / f"{clean_instant}.clean").write_text(
+                json.dumps(
+                    {
+                        "earliestCommitToRetain": earliest,
+                        "filesDeleted": [str(Path(p).relative_to(self.root)) for p in deleted],
+                    },
+                    indent=1,
+                )
+            )
+        return {
+            "deleted": deleted,
+            "earliest_retained": earliest,
+            "dry_run": dry_run,
+        }
+
     @staticmethod
     def _partition_values(partition_path: str) -> dict[str, object]:
         """Hive-style partition path -> typed values ("status=F/y=2024"

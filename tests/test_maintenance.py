@@ -365,3 +365,89 @@ def test_delta_metadata_count_statless_fallback(spark, tmp_path, orders):
     t = DeltaTable(tmp_path / "t")
     assert t.metadata_count() is None  # honest fallback, no guess
     assert t.read(spark).count() == 10  # reads unaffected
+
+
+# ---------------------------------------------------------------------------
+# Iceberg orphan files + Hudi cleaner
+
+
+def test_iceberg_remove_orphans(spark, tmp_path, orders):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    w.append(orders.select("o_orderkey").limit(20), timestamp_ms=1_000)
+    t = IcebergTable(tmp_path / "t")
+    live = set(t.files_for_snapshot(t.current_snapshot_id()))
+    # a crashed writer's staged file: on disk, referenced by nothing
+    orphan = tmp_path / "t" / "data" / "stray-uncommitted.parquet"
+    pq.write_table(pa.table({"o_orderkey": [1, 2]}), orphan)
+    # too young under the default 3-day grace -> kept
+    res = t.remove_orphan_files()
+    assert res["deleted"] == [] and str(orphan) in res["kept_recent"]
+    # explicit future cutoff: dry run reports, real run reclaims
+    future = 10**15 * 10
+    res = t.remove_orphan_files(older_than_ms=future, dry_run=True)
+    assert res["deleted"] == [str(orphan)] and orphan.exists()
+    res = t.remove_orphan_files(older_than_ms=future)
+    assert res["deleted"] == [str(orphan)] and not orphan.exists()
+    # every referenced file untouched (incl. historical snapshots)
+    assert all(__import__("pathlib").Path(p).exists() for p in live)
+    assert t.read(spark).count() == 20
+
+
+def test_hudi_clean_keeps_retained_window(spark, tmp_path, orders):
+    from cdf_spark.sources.hudi import HudiFixtureWriter, HudiTable
+
+    w = HudiFixtureWriter(tmp_path / "t")
+    o = orders.select("o_orderkey", "o_totalprice")
+    i1 = w.commit(o.limit(10))
+    t = HudiTable(tmp_path / "t")
+    fid = t._written_files(i1)[0][0]
+    i2 = w.commit(o.offset(10).limit(10), file_id=fid)  # rewrites the group
+    i3 = w.commit(o.offset(20).limit(10), file_id=fid)  # rewrites again
+    t = HudiTable(tmp_path / "t")
+    all_files = [str(tmp_path / "t" / p) for i in t.instants() for _f, _i, p, _pt in t._written_files(i)]
+    assert len(all_files) == 3
+    # retain last 2 commits: i1's superseded slice is reclaimable
+    res = t.clean(retain_commits=2, dry_run=True)
+    assert len(res["deleted"]) == 1 and res["earliest_retained"] == i2
+    assert __import__("pathlib").Path(res["deleted"][0]).exists()
+    res = t.clean(retain_commits=2)
+    old_slice = res["deleted"][0]
+    assert not __import__("pathlib").Path(old_slice).exists()
+    # retained instants still read correctly
+    t2 = HudiTable(tmp_path / "t")
+    assert t2.read(spark).count() == 10
+    assert sorted(r.o_orderkey for r in t2.read(spark).collect()) == sorted(
+        r.o_orderkey for r in o.offset(20).limit(10).collect()
+    )
+    # cleaner history landed on the timeline
+    cleans = list((tmp_path / "t" / ".hoodie").glob("*.clean"))
+    assert len(cleans) == 1
+    # and the timeline's commit instants are unaffected
+    assert t2.instants() == [i1, i2, i3]
+
+
+def test_iceberg_rewrite_sorted_enables_pruning(spark, tmp_path, orders):
+    """Ingest-order files each span the whole key range (no pruning);
+    after the sort-clustered rewrite a point query prunes to 1 file."""
+    from cdf_spark.expressions.ast import Binary, Col, Lit
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    # interleaved appends: every file covers ~the full o_orderkey range
+    for i in range(4):
+        w.append(o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == i), timestamp_ms=1_000 + i)
+    t = IcebergTable(tmp_path / "t")
+    before = _rows(t.read(spark))
+    # a MID-RANGE key sits inside every ingest-order file's bounds
+    probe = [Binary("eq", Col("o_orderkey"), Lit(int(before[len(before) // 2][0])))]
+    kept0, _ = t.data_files_pruned(t.current_snapshot_id(), probe)
+    assert len(kept0) == 4  # ingest order: nothing prunable
+    res = w.rewrite_sorted(spark, by=["o_orderkey"], target_files=4)
+    assert res["files_after"] == 4
+    after = IcebergTable(tmp_path / "t")
+    assert _rows(after.read(spark)) == before  # content identical
+    kept1, ev = after.data_files_pruned(after.current_snapshot_id(), probe)
+    assert len(kept1) == 1, ev  # clustered: point query -> one file
