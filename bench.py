@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "cosine_topk_fast",
     "ann_lsh_topk_fast",
     "ivf_ann_topk_fast",
+    "pq_ann_topk_fast",
     "embedding_near_dups_lsh_fast",
     "stratified_sample",
     "exact_dedup_docs",

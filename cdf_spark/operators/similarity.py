@@ -911,3 +911,246 @@ def ivf_ann_topk_fast(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    cb_modulus: int = 25,
+    shortlist: int = 3,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): split each vector into
+    `m` subspaces, quantize every subvector to its nearest codeword,
+    and score queries against the RECONSTRUCTED (quantized) vectors to
+    build a shortlist of `shortlist*k` candidates that are then
+    re-scored exactly.
+
+    Codebooks are a DETERMINISTIC sample — the subvectors of corpus
+    vectors with id % `cb_modulus` == 0, indexed in id order. No RNG,
+    no k-means state: encoding is argmin of the ROUNDED squared L2 per
+    subspace with codeword-index tie-break, so the entire operator —
+    codebook, codes, reconstruction, shortlist, re-score — is
+    reproducible in ANSI SQL and the correctness gate verifies it
+    EXACTLY (same discipline as ivf_ann_topk; k-means refinement
+    composes via kmeans_refine_centroids if wanted).
+
+    Scale shape: the codebook is tiny and broadcast; encoding is a
+    broadcast map pass over the corpus (no shuffle); the quantized
+    scan replaces 4*d bytes/vector with m bytes + table lookups (the
+    deploy path `pq_ann_topk_fast` does the real ADC); the exact
+    re-score touches only the shortlist. Recall < 1 by construction —
+    quantified by the recall gate in tests/test_lsh_recall.py."""
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    d = int(first["d"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+
+    wcb = Window.orderBy("cbid")
+    cb = (
+        corpus.filter((F.col(corpus_id) % cb_modulus) == 0)
+        .select(F.col(corpus_id).alias("cbid"), F.col(vec_col).alias("_ce"))
+        .withColumn("cidx", F.row_number().over(wcb))
+    )
+
+    def _sq_l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    base = corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("_v"))
+    pairs = base.crossJoin(F.broadcast(cb.select("cidx", "_ce")))
+    dist_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("sub"),
+                F.round(
+                    _sq_l2(
+                        F.slice("_v", i * sd + 1, sd), F.slice("_ce", i * sd + 1, sd)
+                    ),
+                    6,
+                ).alias("dist"),
+            )
+            for i in range(m)
+        ]
+    )
+    melted = pairs.select(
+        "id", "cidx", F.explode(dist_structs).alias("s")
+    ).select("id", "cidx", F.col("s.sub").alias("sub"), F.col("s.dist").alias("dist"))
+    wmin = Window.partitionBy("id", "sub").orderBy(F.col("dist").asc(), F.col("cidx").asc())
+    codes = (
+        melted.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("id", "sub", "cidx")
+    )
+    # reconstruction: concat each chosen codeword's subvector in order
+    parts = codes.join(F.broadcast(cb.select("cidx", "_ce")), "cidx").select(
+        "id",
+        "sub",
+        F.expr(f"slice(_ce, sub * {sd} + 1, {sd})").alias("piece"),
+    )
+    recon = parts.groupBy("id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "piece"))),
+                lambda s: s["piece"],
+            )
+        ).alias("_recon")
+    )
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
+    approx = (
+        q.crossJoin(recon)
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("asim", F.round(cosine(F.col("_qv"), F.col("_recon")), round_to))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("asim").desc(), F.col("id").asc())
+    short = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= shortlist * k)
+        .select("query_id", "_qv", "id")
+    )
+    rescored = short.join(
+        F.broadcast(base.select(F.col("id").alias("id"), F.col("_v").alias("_cv"))), "id"
+    ).withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_cv")), round_to))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "sim", "rank")
+    )
+
+
+def pq_ann_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    cb_modulus: int = 25,
+    shortlist: int = 3,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Deploy-path PQ with REAL asymmetric-distance computation: the
+    codebook and the query set broadcast; each corpus partition
+    (a) encodes its vectors to m uint8 codes with one GEMM per
+    subspace, (b) builds per-query lookup tables (m x K dot products
+    plus codeword norms), and (c) scores every (query, vector) pair
+    with m table lookups instead of d multiplies — the memory-
+    bandwidth win PQ exists for (m bytes/vector vs 4d). Candidates are
+    shortlisted per partition, exact-rescored, and reduced to global
+    top-k. Identical contract to pq_ann_topk; parity asserted in
+    tests."""
+    import pandas as pd  # noqa: F811
+
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    d = int(first["d"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+
+    cb_rows = (
+        corpus.filter((F.col(corpus_id) % cb_modulus) == 0)
+        .select(corpus_id, vec_col)
+        .orderBy(corpus_id)
+        .collect()
+    )  # codebook is tiny and bounded by contract (n / cb_modulus)
+    C = np.asarray([r[1] for r in cb_rows], dtype=np.float64)  # K x d
+    K = C.shape[0]
+    q_rows = (
+        queries.select(query_id, vec_col).orderBy(query_id).collect()
+    )  # query batch is the small side by contract (same as *_fast ANN)
+    qids = np.asarray([r[0] for r in q_rows])
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)  # nq x d
+    qn = np.linalg.norm(Q, axis=1)
+    spark = corpus.sparkSession
+    bC = spark.sparkContext.broadcast(C)
+    bQ = spark.sparkContext.broadcast((qids, Q, qn))
+    nshort = shortlist * k
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        C = bC.value
+        qids, Q, qn = bQ.value
+        # per-subspace codebooks: m x K x sd
+        Csub = C.reshape(K, m, sd).transpose(1, 0, 2)
+        # query ADC tables: dot(q_sub, cw_sub) -> nq x m x K
+        Qsub = Q.reshape(-1, m, sd)
+        tables = np.einsum("qms,mks->qmk", Qsub, Csub)
+        # reconstructed codeword norms accumulate per subspace: K-dim
+        # norm parts per subspace: m x K
+        cw_sq = (Csub * Csub).sum(axis=2)  # m x K
+        for pdf in batches:
+            ids = pdf[corpus_id].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # n x d
+            Vsub = V.reshape(-1, m, sd)
+            # encode: argmin_k ||v_sub - c_k||^2 per subspace
+            # dists: n x m x K
+            d2 = (
+                (Vsub * Vsub).sum(axis=2)[:, :, None]
+                - 2.0 * np.einsum("nms,mks->nmk", Vsub, Csub)
+                + cw_sq[None, :, :]
+            )
+            # round before argmin: same tie discipline as the oracled
+            # path (rounded dist, then lowest codeword index — argmin
+            # returns the first minimum)
+            codes = np.round(d2, 6).argmin(axis=2)  # n x m (uint8-sized)
+            # recon norm per vector from codeword parts
+            rn = np.sqrt(np.take_along_axis(cw_sq[None], codes[:, None, :].transpose(0, 2, 1), axis=2).squeeze(axis=2).sum(axis=1))
+            # ADC: approx dot = sum_m tables[q, m, codes[n, m]]
+            # -> nq x n via take per subspace
+            approx = np.zeros((len(qids), len(ids)))
+            for mm in range(m):
+                approx += tables[:, mm, :][:, codes[:, mm]]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                asim = np.round(approx / (qn[:, None] * rn[None, :]), round_to)
+            rows = {"query_id": [], "neighbor_id": [], "sim": []}
+            for qi in range(len(qids)):
+                not_self = ids != qids[qi]
+                cand_ids = np.nonzero(not_self)[0]
+                # deterministic shortlist: rounded asim desc, id asc —
+                # the oracled path's exact tie discipline
+                order = np.lexsort((ids[cand_ids], -asim[qi, cand_ids]))
+                cand = cand_ids[order[: min(nshort, len(cand_ids))]]
+                # exact re-score of the shortlist only
+                sims = (V[cand] @ Q[qi]) / (
+                    np.linalg.norm(V[cand], axis=1) * qn[qi]
+                )
+                rows["query_id"].extend([qids[qi]] * len(cand))
+                rows["neighbor_id"].extend(ids[cand].tolist())
+                rows["sim"].extend(np.round(sims, round_to).tolist())
+            out = pd.DataFrame(rows)
+            if len(out):
+                yield out
+
+    scored = _spread(corpus.select(corpus_id, vec_col), 64.0).mapInPandas(
+        score, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -2953,6 +2953,7 @@ PARITY_TWINS: set[str] = {
     "ivf_kmeans_topk",  # unrolled Lloyd, 15 shuffles; deploy: ivf_ann_topk_fast
     "ngram_jaccard_dups",  # O(sum bucket^2) exact verifier; deploy: ngram_jaccard_dups_fast (prefix-filtered, same exact output)
     "embedding_near_dups",  # exact crossJoin verifier; deploy: embedding_near_dups_lsh_fast
+    "pq_ann_topk",  # recon cross-join scores every (q, vec) pair JVM-side; deploy: pq_ann_topk_fast (ADC table lookups)
 }
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
@@ -2972,6 +2973,7 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "pq_ann_topk",
     "iceberg_sorted_layout_scan",
     "metadata_only_count",
     "doc_chunking_rag",
@@ -3617,6 +3619,61 @@ def ivf_ann_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_ann_topk(emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50)
 
 
+_PQ_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, e AS ce FROM c WHERE vec_id % 10 = 0),
+dists AS (
+  SELECT c.vec_id AS id, cb.cidx, s.sub,
+         round(list_sum(list_transform(range(1, 9),
+            i -> (c.e[s.sub*8 + i] - cb.ce[s.sub*8 + i])^2)), 6) AS dist
+  FROM c CROSS JOIN cb CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+),
+codes AS (
+  SELECT id, sub, cidx FROM (
+    SELECT id, sub, cidx,
+           row_number() OVER (PARTITION BY id, sub ORDER BY dist ASC, cidx ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+recon AS (
+  SELECT codes.id,
+         flatten(list(cb.ce[codes.sub*8 + 1 : codes.sub*8 + 8] ORDER BY codes.sub)) AS r
+  FROM codes JOIN cb ON cb.cidx = codes.cidx GROUP BY codes.id
+),
+q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 20),
+approx AS (
+  SELECT q.qid, recon.id, round(list_cosine_similarity(q.qe, recon.r), 4) AS asim
+  FROM q CROSS JOIN recon WHERE recon.id != q.qid
+),
+short AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY asim DESC, id ASC) AS ar
+    FROM approx) WHERE ar <= 100
+),
+scored AS (
+  SELECT s.qid AS query_id, s.id AS neighbor_id,
+         round(list_cosine_similarity(qc.e, cc.e), 4) AS sim
+  FROM short s JOIN c qc ON qc.vec_id = s.qid JOIN c cc ON cc.vec_id = s.id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
+@_register("pq_ann_topk", _PQ_ORACLE)
+def pq_ann_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with deterministic sampled codebooks —
+    the whole pipeline (codebook, per-subspace argmin encoding,
+    reconstruction, shortlist, exact re-score) reproduced in ANSI SQL,
+    so the gate value-verifies a PQ index end to end. The ADC deploy
+    path lives in BENCH_ONLY as pq_ann_topk_fast."""
+    from .operators.similarity import pq_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return pq_ann_topk(emb, emb.filter("vec_id < 20"), k=10, m=8, cb_modulus=10, shortlist=10)
+
+
 _MINHASH_ORACLE = """
 WITH grams AS (
   SELECT doc_id, text,
@@ -3851,6 +3908,13 @@ def embedding_near_dups_lsh_fast(spark: SparkSession, sf: str) -> DataFrame:
 def ivf_ann_topk_fast_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     return ivf_ann_topk_fast(emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50)
+
+
+def pq_ann_topk_fast_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import pq_ann_topk_fast
+
+    emb = _t(spark, sf, "embeddings")
+    return pq_ann_topk_fast(emb, emb.filter("vec_id < 20"), k=10, m=8, cb_modulus=10, shortlist=10)
 
 
 @_register(
@@ -4436,6 +4500,7 @@ BENCH_ONLY: dict[str, QueryFn] = {
     "cosine_topk_fast": cosine_topk_fast_q,
     "ann_lsh_topk_fast": ann_lsh_topk_fast_q,
     "ivf_ann_topk_fast": ivf_ann_topk_fast_q,
+    "pq_ann_topk_fast": pq_ann_topk_fast_q,
     "embedding_near_dups_lsh_fast": embedding_near_dups_lsh_fast,
     "decontamination_check_fast": decontamination_check_fast,
 }

@@ -156,3 +156,47 @@ def test_rhp_lsh_fast_matches_hof_path(spark):
     fast = {tuple(r) for r in rhp_lsh_topk_fast(emb, queries, **kw).collect()}
     assert len(slow) == 200
     assert fast == slow
+
+
+def test_pq_ann_topk_recall(spark):
+    """PQ (m=8 subspaces, deterministic sampled codebooks, 3k
+    shortlist + exact re-score) recovers a measured fraction of the
+    exact top-k on REAL sf0.01 embeddings."""
+    from cdf_spark.operators.similarity import pq_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_ann_topk(emb, queries, k=10, m=8, cb_modulus=10, shortlist=10).collect()
+    }
+    assert len(exact) == 200
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.85, f"PQ recall {recall:.3f} fell below the measured floor"
+
+
+def test_pq_ann_fast_matches_hof_path(spark):
+    """The ADC fast twin must return EXACTLY the oracled path's rows
+    (rounded encode argmin, rounded asim shortlist, id tie-breaks) —
+    it is the deploy configuration the bench times, so parity is the
+    license for substituting it."""
+    from cdf_spark.operators.similarity import pq_ann_topk, pq_ann_topk_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    kw = dict(k=10, m=8, cb_modulus=10, shortlist=10)
+    slow = {tuple(r) for r in pq_ann_topk(emb, queries, **kw).collect()}
+    fast = {tuple(r) for r in pq_ann_topk_fast(emb, queries, **kw).collect()}
+    assert len(slow) == 200
+    assert fast == slow
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from cdf_spark.operators.similarity import pq_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError):
+        pq_ann_topk(emb, emb.limit(1), m=7)
