@@ -2370,6 +2370,76 @@ def delta_dest_merge_dv(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "cross_format_replication",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey <= 100 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 900
+    """,
+)
+def cross_format_replication(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ICEBERG -> DELTA replication — the cross-format CDC
+    sync a real migration runs, composed entirely from engine pieces:
+    `IcebergTable.changes_since` (ancestry-walk incremental
+    consumption) feeding `DeltaDestination` MERGE commits through the
+    package/receipt protocol. Three cycles: initial full sync, an
+    append consumed INCREMENTALLY (the cycle must deliver only the new
+    files' rows — asserted), and an upstream UPSERT whose non-append
+    snapshot correctly RESETS consumption to a full re-read that the
+    key-merge makes idempotent. The oracle recomputes the final state
+    relationally; the query returns the DELTA side's read."""
+    from .package import PackageBuilder
+    from .package.delta_dest import DeltaDestination
+    from .sources.base import WriteDisposition
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        iw = IcebergFixtureWriter(f"{tmp}/src", seed=23)
+        dest = DeltaDestination(f"{tmp}/dst", merge_keys=["o_orderkey"])
+        builder = PackageBuilder(f"{tmp}/pkgs", "ice_to_delta")
+
+        def sync(position, expect_rows=None):
+            t = IcebergTable(f"{tmp}/src")
+            changed, new_pos = t.changes_since(spark, position)
+            if changed is None:
+                return position
+            n = changed.count()
+            if expect_rows is not None and n != expect_rows:
+                raise AssertionError(
+                    f"incremental cycle delivered {n} rows, expected {expect_rows}"
+                )
+            pkg = builder.build(admitted=changed)
+            receipt = dest.verify(
+                spark, dest.commit(spark, pkg, WriteDisposition.MERGE), pkg
+            )
+            if not receipt.verified:
+                raise RuntimeError("replication commit failed receipt verification")
+            return new_pos
+
+        # cycle 1: initial full sync
+        a = o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 600))
+        iw.append(a, timestamp_ms=1000)
+        pos = sync(None, expect_rows=a.count())
+        # cycle 2: upstream append, consumed incrementally (only the
+        # new files' rows cross)
+        b = o.filter((F.col("o_orderkey") > 600) & (F.col("o_orderkey") <= 900))
+        iw.append(b, timestamp_ms=2000)
+        pos = sync(pos, expect_rows=b.count())
+        # cycle 3: upstream upsert (non-append snapshot) -> consumption
+        # resets to a full re-read; the key-merge keeps the sync
+        # idempotent
+        restated = a.filter(F.col("o_orderkey") <= 100).withColumn(
+            "o_totalprice", F.lit(-1.0)
+        )
+        iw.upsert(restated, ["o_orderkey"], timestamp_ms=3000)
+        sync(pos)
+
+    tmp = _session_fixture("xfmt_repl", sf, build)
+    return DeltaDestination(f"{tmp}/dst", merge_keys=["o_orderkey"]).read(spark)
+
+
+@_register(
     "iceberg_partitioned_scan",
     """
     SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -2973,6 +3043,7 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "cross_format_replication",
     "pq_ann_topk",
     "iceberg_sorted_layout_scan",
     "metadata_only_count",
