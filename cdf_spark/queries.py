@@ -2692,6 +2692,50 @@ def iceberg_sorted_layout_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_zorder_layout_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey <= 800
+      AND o_totalprice BETWEEN 50000 AND 80000
+    """,
+)
+def iceberg_zorder_layout_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-ORDER rewrite (`iceberg.py rewrite_zorder` — bit-interleaved
+    space-filling curve over (o_custkey, o_totalprice)): after the
+    rewrite a range probe on the SECOND cluster column must prune
+    files — the multi-dimensional locality lexicographic sort cannot
+    give — asserted in-query before value-matching the filtered read
+    against the relational oracle."""
+    from .expressions.ast import Binary, Col, Lit
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=19)
+        base = o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 800))
+        for i in range(4):
+            w.append(base.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == i), timestamp_ms=1000 + i)
+        res = w.rewrite_zorder(
+            spark, by=["o_custkey", "o_totalprice"], target_files=16, timestamp_ms=5000
+        )
+        if res["files_after"] < 4:
+            raise AssertionError(f"zorder produced too few files: {res}")
+
+    tmp = _session_fixture("ice_zorder", sf, build)
+    t = IcebergTable(f"{tmp}/t")
+    probe = [
+        Binary("ge", Col("o_totalprice"), Lit(50000.0)),
+        Binary("le", Col("o_totalprice"), Lit(80000.0)),
+    ]
+    kept, ev = t.data_files_pruned(t.current_snapshot_id(), probe)
+    if ev["files_pruned"] == 0:
+        raise AssertionError(f"zorder layout did not prune on the trailing column: {ev}")
+    return t.read(spark, _files=kept).filter(
+        (F.col("o_totalprice") >= 50000) & (F.col("o_totalprice") <= 80000)
+    )
+
+
+@_register(
     "metadata_only_count",
     """
     SELECT 'delta' AS fmt, count(*) AS cnt FROM orders
@@ -3043,6 +3087,7 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "iceberg_zorder_layout_scan",
     "cross_format_replication",
     "pq_ann_topk",
     "iceberg_sorted_layout_scan",

@@ -2414,6 +2414,92 @@ class IcebergFixtureWriter:
             "clustered_by": list(by),
         }
 
+    def rewrite_zorder(
+        self,
+        spark: SparkSession,
+        by: list[str],
+        target_files: int = 8,
+        bits: int = 16,
+        timestamp_ms: int | None = None,
+    ) -> dict:
+        """Multi-column Z-ORDER rewrite (bit-interleaved space-filling
+        curve — the layout Delta OPTIMIZE ZORDER BY and Iceberg's
+        sort-order zorder build): each cluster column is min-max
+        scaled to a `bits`-wide integer, the bits are interleaved into
+        one z-value, and the table is range-partitioned + sorted on
+        it. Unlike the lexicographic `rewrite_sorted`, file bounds
+        become selective on EVERY cluster column — a predicate on any
+        one of them prunes — because the curve keeps multi-dimensional
+        locality.
+
+        Numeric columns only (scaling needs an ordered domain);
+        min/max come from one tiny agg over the current state. Full
+        rewrite; deletes resolved; history stays until
+        expire_snapshots."""
+        from pyspark.sql import functions as F
+
+        if not 1 <= len(by) <= 4:
+            raise IcebergError("zorder supports 1-4 cluster columns")
+        t = IcebergTable(self.root)
+        cur = t.current_snapshot_id()
+        if cur is None:
+            raise IcebergError("table has no snapshots to rewrite")
+        before_files = len(t.files_for_snapshot(cur))
+        current = t.read(spark)
+        missing = [c for c in by if c not in current.columns]
+        if missing:
+            raise IcebergError(f"zorder columns not in table: {missing}")
+        stats = current.agg(
+            *[f(c).alias(f"{n}_{c}") for c in by for n, f in (("min", F.min), ("max", F.max))]
+        ).first()
+        scaled = []
+        for c in by:
+            lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+            span = float(hi) - float(lo)
+            if span <= 0:
+                scaled.append(F.lit(0).cast("long"))
+            else:
+                frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
+                scaled.append(
+                    F.least(
+                        F.floor(frac * ((1 << bits) - 1)).cast("long"),
+                        F.lit((1 << bits) - 1).cast("long"),
+                    )
+                )
+        ncols = len(by)
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, s in enumerate(scaled):
+                bit = F.shiftright(s, i).bitwiseAND(F.lit(1).cast("long"))
+                z = z.bitwiseOR(
+                    F.call_function(
+                        "shiftleft", bit, F.lit(i * ncols + j).cast("int")
+                    )
+                )
+        clustered = (
+            current.withColumn("__z", z)
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="iceberg_zorder_")
+        try:
+            clustered.write.mode("overwrite").parquet(tmp)
+            files = sorted(str(p) for p in Path(tmp).glob("*.parquet"))
+            self.replace_files(files, timestamp_ms=timestamp_ms)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        after = IcebergTable(self.root)
+        return {
+            "files_before": before_files,
+            "files_after": len(after.files_for_snapshot(after.current_snapshot_id())),
+            "zorder_by": list(by),
+        }
+
     def upsert_files(
         self,
         paths: list[str],

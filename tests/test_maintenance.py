@@ -451,3 +451,45 @@ def test_iceberg_rewrite_sorted_enables_pruning(spark, tmp_path, orders):
     assert _rows(after.read(spark)) == before  # content identical
     kept1, ev = after.data_files_pruned(after.current_snapshot_id(), probe)
     assert len(kept1) == 1, ev  # clustered: point query -> one file
+
+
+def test_iceberg_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Bit-interleaved z-order: after the rewrite, point-range probes
+    on EITHER cluster column prune files — the property lexicographic
+    sort only gives the leading column."""
+    from cdf_spark.expressions.ast import Binary, Col, Lit
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    # two independent uniform keys; ingest order correlates with neither
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000, (i * 104729) % 1000, float(i)) for i in range(4000)],
+        ["rid", "x", "y", "v"],
+    )
+    for j in range(4):
+        w.append(df.filter(f"rid % 4 = {j}"), timestamp_ms=1_000 + j)
+    t = IcebergTable(tmp_path / "t")
+    before = _rows(t.read(spark))
+    probe_x = [Binary("ge", Col("x"), Lit(100)), Binary("le", Col("x"), Lit(160))]
+    probe_y = [Binary("ge", Col("y"), Lit(500)), Binary("le", Col("y"), Lit(560))]
+    nfiles0 = len(t.files_for_snapshot(t.current_snapshot_id()))
+    kx0, _ = t.data_files_pruned(t.current_snapshot_id(), probe_x)
+    ky0, _ = t.data_files_pruned(t.current_snapshot_id(), probe_y)
+    assert len(kx0) == nfiles0 and len(ky0) == nfiles0  # ingest order: no pruning
+    res = w.rewrite_zorder(spark, by=["x", "y"], target_files=16)
+    assert res["files_after"] == 16
+    after = IcebergTable(tmp_path / "t")
+    assert _rows(after.read(spark)) == before  # content identical
+    kx1, evx = after.data_files_pruned(after.current_snapshot_id(), probe_x)
+    ky1, evy = after.data_files_pruned(after.current_snapshot_id(), probe_y)
+    assert len(kx1) < 16, evx  # prunes on x ...
+    assert len(ky1) < 16, evy  # ... AND on y
+    # lexicographic sort on (x, y) for contrast: y probes cannot prune
+    w2 = IcebergFixtureWriter(tmp_path / "lex", seed=3)
+    for j in range(4):
+        w2.append(df.filter(f"rid % 4 = {j}"), timestamp_ms=1_000 + j)
+    w2.rewrite_sorted(spark, by=["x", "y"], target_files=16)
+    tlex = IcebergTable(tmp_path / "lex")
+    klx, _ = tlex.data_files_pruned(tlex.current_snapshot_id(), probe_x)
+    kly, _ = tlex.data_files_pruned(tlex.current_snapshot_id(), probe_y)
+    assert len(klx) < 16  # leading column prunes
+    assert len(kly) == 16  # trailing column cannot
