@@ -1,0 +1,253 @@
+"""Policy-driven table maintenance orchestration.
+
+A 100 TB deployment does not run compaction by hand: per-epoch
+streaming commits accrete small files, CDC merges accrete tombstones
+and deletion vectors, and snapshot history grows without bound. This
+module is the autopilot: `plan_maintenance` INSPECTS a table's own
+metadata (manifests / log actions / timeline — never the data) and
+emits the actions a policy says are due, with the evidence that
+triggered each; `run_maintenance` executes them through the format's
+maintenance ops (bin-pack, expire/vacuum/clean, orphan removal).
+
+Planning is read-only and O(metadata); running an empty plan is a
+no-op, so the orchestrator is safe on a schedule (idempotence is
+tested). Format detection mirrors the catalog router
+(`sources/catalog.py classify_table`).
+
+Reference parity: the reference schedules per-resource freshness and
+scope leases (crates/cdf-kernel/src/lib.rs freshness/trust exports,
+package/lease.py here); maintenance is the destination-side analogue —
+declarative thresholds, evidence-carrying decisions, commit-atomic
+execution.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class MaintenancePolicy:
+    """Thresholds that make maintenance due. Defaults are the common
+    production shape: 32 MiB small-file cutoff packing toward 128 MiB,
+    bin-pack once 4+ small files share a partition, keep 20 snapshots,
+    reclaim storage after 7 days."""
+
+    small_file_bytes: int = 32 << 20
+    target_file_bytes: int = 128 << 20
+    min_small_files: int = 4
+    max_snapshots: int = 20
+    retention_ms: int = 7 * 24 * 3600 * 1000
+    hudi_retain_commits: int = 10
+
+
+@dataclass
+class MaintenanceAction:
+    action: str
+    reason: str
+    evidence: dict = field(default_factory=dict)
+
+
+def _plan_iceberg(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction]:
+    from ..sources.iceberg import IcebergTable
+
+    t = IcebergTable(root)
+    cur = t.current_snapshot_id()
+    actions: list[MaintenanceAction] = []
+    if cur is None:
+        return actions
+    # small files per partition record, from manifest entries alone
+    from collections import Counter
+    import json as _json
+
+    small_by_part: Counter = Counter()
+    for mp in t._manifest_paths(t.snapshot(cur)):
+        for e in t._manifest_entries(mp):
+            dfile = e["data_file"]
+            if int(e.get("status", 1)) == 2 or int(dfile.get("content") or 0) != 0:
+                continue
+            if int(dfile.get("file_size_in_bytes") or 0) < policy.small_file_bytes:
+                key = _json.dumps(dfile.get("partition"), sort_keys=True, default=str)
+                small_by_part[key] += 1
+    packable = {k: n for k, n in small_by_part.items() if n >= policy.min_small_files}
+    if packable:
+        actions.append(
+            MaintenanceAction(
+                "rewrite_small_files",
+                f"{sum(packable.values())} files under "
+                f"{policy.small_file_bytes} B across {len(packable)} partition(s)",
+                {"small_files": sum(packable.values()), "partitions": len(packable)},
+            )
+        )
+    snaps = t.snapshots()
+    if len(snaps) > policy.max_snapshots:
+        actions.append(
+            MaintenanceAction(
+                "expire_snapshots",
+                f"{len(snaps)} snapshots exceed the {policy.max_snapshots} cap",
+                {"snapshots": len(snaps)},
+            )
+        )
+    orphans = t.remove_orphan_files(older_than_ms=_now_ms() - policy.retention_ms, dry_run=True)
+    if orphans["deleted"]:
+        actions.append(
+            MaintenanceAction(
+                "remove_orphan_files",
+                f"{len(orphans['deleted'])} unreferenced data file(s) past retention",
+                {"orphans": len(orphans["deleted"])},
+            )
+        )
+    return actions
+
+
+def _plan_delta(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction]:
+    from ..sources.delta import DeltaTable
+
+    t = DeltaTable(root)
+    cur = t.current_version()
+    actions: list[MaintenanceAction] = []
+    from collections import Counter
+
+    small_by_part: Counter = Counter()
+    dv_files = 0
+    for path, add in t.live_add_actions(cur).items():
+        if int(add.get("size") or 0) < policy.small_file_bytes:
+            small_by_part[tuple(sorted((add.get("partitionValues") or {}).items()))] += 1
+        if add.get("deletionVector"):
+            dv_files += 1
+    packable = {k: n for k, n in small_by_part.items() if n >= policy.min_small_files}
+    if packable:
+        actions.append(
+            MaintenanceAction(
+                "optimize_small_files",
+                f"{sum(packable.values())} files under "
+                f"{policy.small_file_bytes} B across {len(packable)} partition(s)"
+                + (f"; {dv_files} carrying deletion vectors" if dv_files else ""),
+                {"small_files": sum(packable.values()), "dv_files": dv_files},
+            )
+        )
+    vac = t.vacuum(retention_ms=policy.retention_ms, dry_run=True)
+    if vac["deleted"]:
+        actions.append(
+            MaintenanceAction(
+                "vacuum",
+                f"{len(vac['deleted'])} unreferenced file(s) past retention",
+                {"reclaimable": len(vac["deleted"])},
+            )
+        )
+    if len(t.versions()) > policy.max_snapshots:
+        actions.append(
+            MaintenanceAction(
+                "checkpoint_and_clean_log",
+                f"{len(t.versions())} commit JSONs exceed the {policy.max_snapshots} cap",
+                {"versions": len(t.versions())},
+            )
+        )
+    return actions
+
+
+def _plan_hudi(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction]:
+    from ..sources.hudi import HudiTable
+
+    t = HudiTable(root)
+    res = t.clean(retain_commits=policy.hudi_retain_commits, dry_run=True)
+    if res["deleted"]:
+        return [
+            MaintenanceAction(
+                "clean",
+                f"{len(res['deleted'])} superseded slice version(s) beyond "
+                f"the last {policy.hudi_retain_commits} commits",
+                {"reclaimable": len(res["deleted"])},
+            )
+        ]
+    return []
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def plan_maintenance(
+    table_path: str | Path, policy: MaintenancePolicy | None = None
+) -> list[MaintenanceAction]:
+    """Read-only inspection: which maintenance the policy says is due,
+    each with the metadata evidence that triggered it."""
+    from ..sources.delta import is_delta_layout
+    from ..sources.hudi import is_hudi_layout
+    from ..sources.iceberg import is_iceberg_layout
+
+    root = Path(table_path)
+    policy = policy or MaintenancePolicy()
+    if is_iceberg_layout(root):
+        return _plan_iceberg(root, policy)
+    if is_delta_layout(root):
+        return _plan_delta(root, policy)
+    if is_hudi_layout(root):
+        return _plan_hudi(root, policy)
+    raise ValueError(f"{root} is not a recognized table layout")
+
+
+def run_maintenance(
+    spark: SparkSession,
+    table_path: str | Path,
+    policy: MaintenancePolicy | None = None,
+) -> dict:
+    """Plan, then execute each due action through the format's
+    maintenance op. Returns {planned: [...], results: {action: ...}};
+    an empty plan executes nothing (idempotent on a schedule)."""
+    from ..sources.delta import DeltaFixtureWriter, DeltaTable, is_delta_layout
+    from ..sources.hudi import HudiTable, is_hudi_layout
+    from ..sources.iceberg import IcebergFixtureWriter, IcebergTable, is_iceberg_layout
+
+    root = Path(table_path)
+    policy = policy or MaintenancePolicy()
+    plan = plan_maintenance(root, policy)
+    results: dict[str, object] = {}
+    for act in plan:
+        if is_iceberg_layout(root):
+            if act.action == "rewrite_small_files":
+                w = IcebergFixtureWriter(root)
+                results[act.action] = w.rewrite_small_files(
+                    spark,
+                    small_bytes=policy.small_file_bytes,
+                    target_bytes=policy.target_file_bytes,
+                )
+            elif act.action == "expire_snapshots":
+                results[act.action] = IcebergTable(root).expire_snapshots(
+                    keep_last=policy.max_snapshots, delete_orphans=True
+                )
+            elif act.action == "remove_orphan_files":
+                results[act.action] = IcebergTable(root).remove_orphan_files(
+                    older_than_ms=_now_ms() - policy.retention_ms
+                )
+        elif is_delta_layout(root):
+            w = DeltaFixtureWriter(root)
+            if act.action == "optimize_small_files":
+                results[act.action] = w.optimize_small_files(
+                    spark,
+                    small_bytes=policy.small_file_bytes,
+                    target_bytes=policy.target_file_bytes,
+                )
+            elif act.action == "vacuum":
+                results[act.action] = DeltaTable(root).vacuum(
+                    retention_ms=policy.retention_ms
+                )
+            elif act.action == "checkpoint_and_clean_log":
+                v = w.checkpoint()
+                removed = w.clean_log(before_version=v)
+                results[act.action] = {"checkpoint": v, "cleaned": removed}
+        elif is_hudi_layout(root):
+            if act.action == "clean":
+                results[act.action] = HudiTable(root).clean(
+                    retain_commits=policy.hudi_retain_commits
+                )
+    return {
+        "planned": [
+            {"action": a.action, "reason": a.reason, "evidence": a.evidence} for a in plan
+        ],
+        "results": results,
+    }

@@ -151,6 +151,8 @@ class HudiTable:
                 # a superseded slice inside the retained window still
                 # serves time travel to mid-window instants
                 continue
+            if not Path(p).exists():
+                continue  # reclaimed by an earlier clean
             if not dry_run:
                 Path(p).unlink(missing_ok=True)
             deleted.append(p)

@@ -1,0 +1,88 @@
+"""Policy-driven maintenance orchestration: plan from metadata only,
+execute through the format ops, converge to an empty plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.package.maintenance import (
+    MaintenancePolicy,
+    plan_maintenance,
+    run_maintenance,
+)
+from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+from cdf_spark.sources.hudi import HudiFixtureWriter, HudiTable
+from cdf_spark.sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+
+def test_unknown_layout_raises(tmp_path):
+    with pytest.raises(ValueError):
+        plan_maintenance(tmp_path)
+
+
+def test_iceberg_plan_run_converges(spark, tmp_path, orders):
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    o = orders.select("o_orderkey", "o_totalprice")
+    for i in range(5):
+        w.append(o.offset(20 * i).limit(20), timestamp_ms=1_000 + i)
+    pol = MaintenancePolicy(small_file_bytes=1 << 30, min_small_files=4, max_snapshots=3)
+    plan = plan_maintenance(tmp_path / "t", pol)
+    acts = {a.action for a in plan}
+    assert "rewrite_small_files" in acts and "expire_snapshots" in acts
+    out = run_maintenance(spark, tmp_path / "t", pol)
+    assert set(out["results"]) >= {"rewrite_small_files", "expire_snapshots"}
+    t = IcebergTable(tmp_path / "t")
+    assert t.read(spark).count() == 100  # content preserved
+    # converged: the next plan is empty (merged file is one per
+    # partition; snapshots expired to the cap)
+    again = plan_maintenance(tmp_path / "t", pol)
+    assert again == []
+    # and running an empty plan mutates nothing
+    v_before = len(t.snapshots())
+    run_maintenance(spark, tmp_path / "t", pol)
+    assert len(IcebergTable(tmp_path / "t").snapshots()) == v_before
+
+
+def test_delta_plan_run_converges(spark, tmp_path, orders):
+    w = DeltaFixtureWriter(tmp_path / "t")
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    for i in range(4):
+        w.append(o.offset(25 * i).limit(25), timestamp_ms=1_000 + i)
+    keys = [r.o_orderkey for r in o.limit(3).collect()]
+    w.delete_where(spark, f"o_orderkey in ({','.join(map(str, keys))})", timestamp_ms=2_000)
+    pol = MaintenancePolicy(
+        small_file_bytes=1 << 30, min_small_files=4, retention_ms=0, max_snapshots=3
+    )
+    plan = plan_maintenance(tmp_path / "t", pol)
+    acts = {a.action for a in plan}
+    assert "optimize_small_files" in acts
+    assert "checkpoint_and_clean_log" in acts
+    dv_evidence = [a for a in plan if a.action == "optimize_small_files"][0].evidence
+    assert dv_evidence["dv_files"] >= 1
+    out = run_maintenance(spark, tmp_path / "t", pol)
+    assert "optimize_small_files" in out["results"]
+    t = DeltaTable(tmp_path / "t")
+    assert t.read(spark).count() == 97
+    assert t.metadata_count() == 97  # DV resolved, stats intact
+    # second cycle may still owe a vacuum for files the optimize
+    # tombstoned; after it the plan is empty
+    run_maintenance(spark, tmp_path / "t", pol)
+    assert plan_maintenance(tmp_path / "t", pol) == []
+    assert DeltaTable(tmp_path / "t").read(spark).count() == 97
+
+
+def test_hudi_plan_run_converges(spark, tmp_path, orders):
+    w = HudiFixtureWriter(tmp_path / "t")
+    o = orders.select("o_orderkey", "o_totalprice")
+    i1 = w.commit(o.limit(10))
+    fid = HudiTable(tmp_path / "t")._written_files(i1)[0][0]
+    for j in range(3):
+        w.commit(o.offset(10 * (j + 1)).limit(10), file_id=fid)
+    pol = MaintenancePolicy(hudi_retain_commits=2)
+    plan = plan_maintenance(tmp_path / "t", pol)
+    assert [a.action for a in plan] == ["clean"]
+    out = run_maintenance(spark, tmp_path / "t", pol)
+    assert len(out["results"]["clean"]["deleted"]) == 2
+    assert HudiTable(tmp_path / "t").read(spark).count() == 10
+    assert plan_maintenance(tmp_path / "t", pol) == []
