@@ -431,6 +431,12 @@ class Workspace:
         # validation: these must construct
         compiled.descriptor()
         compiled.contract()
+        dest = declaration.get("destination") or {}
+        if dest.get("maintenance") and dest.get("kind", "parquet") not in ("iceberg", "delta"):
+            raise DeclarationError(
+                "destination.maintenance requires an iceberg or delta destination "
+                f"(kind={dest.get('kind', 'parquet')!r} has no maintenance surface)"
+            )
         js = json.dumps(declaration, sort_keys=True, default=str)
         h = hashlib.sha256(js.encode()).hexdigest()[:16]
         compiled.artifact_hash = f"sha256:{h}"
@@ -450,5 +456,36 @@ class Workspace:
 
     def run(self, spark, compiled: CompiledResource):
         if compiled.declaration.get("stream"):
-            return compiled.streaming_pipeline(self.root).run(spark)
-        return compiled.pipeline(self.root).run(spark)
+            result = compiled.streaming_pipeline(self.root).run(spark)
+        else:
+            result = compiled.pipeline(self.root).run(spark)
+        self._maybe_maintain(spark, compiled)
+        return result
+
+    def _maybe_maintain(self, spark, compiled: CompiledResource) -> dict | None:
+        """Declarative auto-maintenance: a
+        `[resources.X.destination.maintenance]` table turns the policy
+        orchestrator on after every successful run — per-epoch
+        streaming commits stay bounded (small files, tombstones,
+        snapshot history) without an external scheduler. The report is
+        persisted as an evidence artifact under
+        `<workspace>/maintenance/`, same discipline as compiled
+        resources and ledgers."""
+        dest_cfg = compiled.declaration.get("destination") or {}
+        mcfg = dest_cfg.get("maintenance")
+        if not mcfg or mcfg.get("auto", True) is False:
+            return None
+        from .package.maintenance import MaintenancePolicy, run_maintenance
+
+        path = dest_cfg.get("path", self.root / "warehouse" / compiled.resource_id)
+        fields = {k: int(v) for k, v in mcfg.items() if k != "auto"}
+        unknown = set(fields) - set(MaintenancePolicy.__dataclass_fields__)
+        if unknown:
+            raise DeclarationError(f"unknown maintenance policy fields: {sorted(unknown)}")
+        report = run_maintenance(spark, path, MaintenancePolicy(**fields))
+        out_dir = self.root / "maintenance"
+        out_dir.mkdir(exist_ok=True)
+        (out_dir / f"{compiled.resource_id}.json").write_text(
+            json.dumps(report, indent=1, default=str)
+        )
+        return report

@@ -86,3 +86,81 @@ def test_hudi_plan_run_converges(spark, tmp_path, orders):
     assert len(out["results"]["clean"]["deleted"]) == 2
     assert HudiTable(tmp_path / "t").read(spark).count() == 10
     assert plan_maintenance(tmp_path / "t", pol) == []
+
+
+# ---------------------------------------------------------------------------
+# Declarative auto-maintenance
+
+
+def test_declarative_maintenance_runs_after_load(spark, tmp_path, orders):
+    """[destination.maintenance] in TOML: after the load commits, the
+    policy orchestrator bin-packs the accumulated small files and the
+    report lands as a workspace evidence artifact."""
+    import json
+
+    from cdf_spark.declarative import Workspace
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    src = tmp_path / "src.parquet"
+    o.filter("o_orderkey > 0 AND o_orderkey <= 300").write.parquet(str(src))
+    decl = tmp_path / "cdf.toml"
+    dest_path = tmp_path / "ws" / "warehouse" / "ice_m"
+    decl.write_text(f"""
+[resources.ice_m]
+primary_key = ["o_orderkey"]
+
+[resources.ice_m.source]
+kind = "files"
+path = "{src}"
+format = "parquet"
+
+[resources.ice_m.destination]
+kind = "iceberg"
+
+[resources.ice_m.destination.maintenance]
+min_small_files = 2
+max_snapshots = 5
+""")
+    ws = Workspace(tmp_path / "ws")
+    compiled = ws.compile_file(decl)["ice_m"]
+    # two APPEND runs accumulate per-run files (300 rows each);
+    # maintenance after run 2 bin-packs them into one
+    ws.run(spark, compiled)
+    ws.run(spark, compiled)
+    report = json.loads((tmp_path / "ws" / "maintenance" / "ice_m.json").read_text())
+    assert any(p["action"] == "rewrite_small_files" for p in report["planned"])
+    t = IcebergTable(dest_path)
+    assert len(t.files_for_snapshot(t.current_snapshot_id())) == 1
+    assert t.read(spark).count() == 600
+
+
+def test_declarative_maintenance_rejects_bad_kind(tmp_path):
+    from cdf_spark.declarative import DeclarationError, Workspace
+
+    decl = tmp_path / "cdf.toml"
+    decl.write_text("""
+[resources.bad]
+source = { kind = "files", path = "/tmp/x", format = "parquet" }
+destination = { kind = "parquet", maintenance = { min_small_files = 2 } }
+""")
+    ws = Workspace(tmp_path / "ws")
+    with pytest.raises(DeclarationError):
+        ws.compile_file(decl)
+
+
+def test_declarative_maintenance_rejects_unknown_field(spark, tmp_path, orders):
+    from cdf_spark.declarative import DeclarationError, Workspace
+
+    src = tmp_path / "s.parquet"
+    orders.select("o_orderkey").limit(5).write.parquet(str(src))
+    decl = tmp_path / "cdf.toml"
+    decl.write_text(f"""
+[resources.x]
+source = {{ kind = "files", path = "{src}", format = "parquet" }}
+destination = {{ kind = "iceberg", maintenance = {{ frobnicate = 3 }} }}
+""")
+    ws = Workspace(tmp_path / "ws")
+    c = ws.compile_file(decl)["x"]
+    with pytest.raises(DeclarationError):
+        ws.run(spark, c)
