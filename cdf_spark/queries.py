@@ -2736,6 +2736,51 @@ def iceberg_zorder_layout_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "delta_data_skipping_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > 250 AND o_orderkey <= 350
+    """,
+)
+def delta_data_skipping_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta DATA SKIPPING (`delta.py _footer_stats` + scan): add
+    actions carry per-file min/max stats from the parquet footers
+    (the stats real Delta writers emit), and the negotiated scan
+    prunes whole files by the same tri-state bounds check the Iceberg
+    manifests get — asserted in-query — before the read. The
+    predicate is a COMPOSITE (AND) shape, which negotiate classifies
+    as unsupported-for-the-source: the engine must re-enforce it
+    row-level (the silent-drop defect this query regression-guards),
+    so the value match proves both the pruning and the residual
+    enforcement."""
+    from .expressions.ast import Col, Lit
+    from .plans.scan import ScanRequest
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t")
+        for lo, hi, ts in ((0, 200, 1000), (200, 400, 2000), (400, 600, 3000), (600, 800, 4000)):
+            w.append(
+                o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)).coalesce(1),
+                timestamp_ms=ts,
+            )
+
+    tmp = _session_fixture("delta_skip", sf, build)
+    t = DeltaTable(f"{tmp}/t")
+    req = ScanRequest(
+        "delta_skip",
+        projection=None,
+        predicates=[(Col("o_orderkey") > Lit(250)) & (Col("o_orderkey") <= Lit(350))],
+    )
+    df, plan = t.scan(spark, req)
+    meta = plan.partitions.meta
+    if meta["files_pruned_by_stats"] < 3:
+        raise AssertionError(f"data skipping did not prune: {meta}")
+    return df
+
+
+@_register(
     "metadata_only_count",
     """
     SELECT 'delta' AS fmt, count(*) AS cnt FROM orders
@@ -3087,6 +3132,7 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "delta_data_skipping_scan",
     "iceberg_zorder_layout_scan",
     "cross_format_replication",
     "pq_ann_topk",

@@ -87,6 +87,43 @@ def is_delta_layout(root: str | Path) -> bool:
     return log.is_dir() and any(log.glob("*.json"))
 
 
+def _footer_stats(path) -> dict:
+    """Delta add-action `stats` from the parquet footer: numRecords
+    plus per-column minValues/maxValues merged across row groups —
+    the data-skipping stats real Delta writers emit. Only
+    JSON-faithful comparable types are stamped (ints, floats,
+    strings); anything else is skipped, which the tri-state pruner
+    treats as unbounded (keep the file)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(str(path))
+    minv: dict[str, object] = {}
+    maxv: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
+                continue
+            minv[name] = lo if name not in minv else min(minv[name], lo)
+            maxv[name] = hi if name not in maxv else max(maxv[name], hi)
+    out: dict[str, object] = {"numRecords": int(md.num_rows)}
+    if minv:
+        out["minValues"] = minv
+        out["maxValues"] = maxv
+    return out
+
+
 class DeltaTable:
     """Read-side driver over a Delta table directory."""
 
@@ -711,40 +748,79 @@ class DeltaTable:
             version = self.current_version()
         kept_files = None
         pcols = self.partition_columns(version)
-        if pcols and request.predicates:
+        if request.predicates:
             from ..plans.scan import PartitionPlan as _PP
             from .catalog import _eval_on_values
+            from .iceberg import _file_can_match
 
             schema = self._logical_schema(version)
             types_by_name = {f.name: f.dataType for f in (schema.fields if schema else [])}
-            adds = self.live_adds(version)
+            actions = self.live_add_actions(version)
+            total = len(actions)
+            part_pruned = 0
+            stats_pruned = 0
             kept_files = []
-            for p, _dv, pv in adds:
-                values = {}
-                for c in pcols:
-                    raw = pv.get(c)
-                    if raw is None:
+            for stored, add in sorted(actions.items()):
+                pv = add.get("partitionValues") or {}
+                if pcols:
+                    values = {}
+                    for c in pcols:
+                        raw = pv.get(c)
+                        if raw is None:
+                            continue
+                        values[c] = _typed_partition_value(raw, types_by_name.get(c))
+                    if values and any(
+                        _eval_on_values(q, values) is False for q in request.predicates
+                    ):
+                        part_pruned += 1
                         continue
-                    values[c] = _typed_partition_value(raw, types_by_name.get(c))
-                if values and any(
-                    _eval_on_values(q, values) is False for q in request.predicates
-                ):
-                    continue
-                kept_files.append(p)
+                # DATA SKIPPING: per-file min/max from add.stats, the
+                # same tri-state bounds check the Iceberg manifests get
+                # — only a provable no-match prunes; files without
+                # stats (or with a DV, which can only SHRINK the true
+                # range below the recorded bounds — still safe) keep
+                # their recorded bounds semantics.
+                st = add.get("stats")
+                if st:
+                    try:
+                        s = json.loads(st)
+                        minv, maxv = s.get("minValues"), s.get("maxValues")
+                    except (ValueError, TypeError):
+                        minv = maxv = None
+                    if minv and maxv:
+                        bounds = {
+                            c: (minv[c], maxv[c]) for c in minv if c in maxv
+                        }
+                        if any(
+                            _file_can_match(q, bounds) is False
+                            for q in request.predicates
+                        ):
+                            stats_pruned += 1
+                            continue
+                kept_files.append(self._resolve(stored))
             plan.partitions = _PP(
                 kind="files",
                 units=[{"path": p} for p in kept_files],
                 meta={
-                    "files_total": len(adds),
+                    "files_total": total,
                     "files_kept": len(kept_files),
-                    "files_pruned": len(adds) - len(kept_files),
+                    "files_pruned": total - len(kept_files),
+                    "files_pruned_by_partition": part_pruned,
+                    "files_pruned_by_stats": stats_pruned,
                     "version": version,
                 },
             )
         df = self.read(spark, version=version, _files=kept_files)
         if plan.projection:
             df = df.select(*plan.projection)
-        for p in plan.pushed + plan.residual:
+        # pushed predicates re-apply row-level (these readers ARE the
+        # engine — Spark's parquet pushdown rides the filter), and
+        # UNSUPPORTED ones must apply too: negotiate() classifies
+        # composite/unfamiliar shapes as unsupported for the SOURCE,
+        # which obliges the engine to enforce them itself — silently
+        # dropping them returned extra rows (caught by the delta
+        # data-skipping tests, latent in five scan paths).
+        for p in plan.pushed + plan.residual + plan.unsupported:
             df = df.filter(lower(p.expr))
         if plan.order_by:
             from pyspark.sql import functions as F
@@ -1049,10 +1125,7 @@ class DeltaFixtureWriter:
             add = a.get("add")
             if add is not None and "stats" not in add:
                 try:
-                    import pyarrow.parquet as _pq
-
-                    n = _pq.read_metadata(str(self.root / add["path"])).num_rows
-                    add["stats"] = json.dumps({"numRecords": int(n)})
+                    add["stats"] = json.dumps(_footer_stats(self.root / add["path"]))
                 except Exception:
                     pass  # statless add: metadata_count degrades to None
         self._version += 1

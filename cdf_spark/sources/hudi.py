@@ -254,7 +254,14 @@ class HudiTable:
         df = self.read(spark, instant=instant, _files=kept)
         if plan.projection:
             df = df.select(*plan.projection)
-        for p in plan.pushed + plan.residual:
+        # pushed predicates re-apply row-level (these readers ARE the
+        # engine — Spark's parquet pushdown rides the filter), and
+        # UNSUPPORTED ones must apply too: negotiate() classifies
+        # composite/unfamiliar shapes as unsupported for the SOURCE,
+        # which obliges the engine to enforce them itself — silently
+        # dropping them returned extra rows (caught by the delta
+        # data-skipping tests, latent in five scan paths).
+        for p in plan.pushed + plan.residual + plan.unsupported:
             df = df.filter(lower(p.expr))
         if plan.order_by:
             from pyspark.sql import functions as F

@@ -493,3 +493,72 @@ def test_iceberg_zorder_prunes_on_both_columns(spark, tmp_path):
     kly, _ = tlex.data_files_pruned(tlex.current_snapshot_id(), probe_y)
     assert len(klx) < 16  # leading column prunes
     assert len(kly) == 16  # trailing column cannot
+
+
+# ---------------------------------------------------------------------------
+# Delta data skipping (file-level min/max stats)
+
+
+def test_delta_data_skipping_prunes_by_stats(spark, tmp_path, orders):
+    """Range-clustered appends: a key-range predicate prunes whole
+    files from the add-action stats BEFORE the read, with the pruning
+    evidence on the plan; results equal the unpruned filter."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    w = DeltaFixtureWriter(tmp_path / "t")
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice").filter("o_orderkey > 0")
+    for lo, hi, ts in ((0, 200, 1000), (200, 400, 2000), (400, 600, 3000), (600, 800, 4000)):
+        w.append(
+            o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)).coalesce(1),
+            timestamp_ms=ts,
+        )
+    t = DeltaTable(tmp_path / "t")
+    req = ScanRequest(
+        "d", projection=None, predicates=[(Col("o_orderkey") > Lit(250)) & (Col("o_orderkey") <= Lit(350))]
+    )
+    df, plan = t.scan(spark, req)
+    meta = plan.partitions.meta
+    assert meta["files_pruned_by_stats"] >= 3, meta
+    want = o.filter("o_orderkey > 250 AND o_orderkey <= 350").count()
+    assert df.count() == want
+    # stats survive checkpoint + log cleaning
+    w.checkpoint()
+    w.clean_log(before_version=t.current_version())
+    t2 = DeltaTable(tmp_path / "t")
+    df2, plan2 = t2.scan(spark, req)
+    assert plan2.partitions.meta["files_pruned_by_stats"] >= 3
+    assert df2.count() == want
+
+
+def test_delta_data_skipping_with_dv_and_statless(spark, tmp_path, orders):
+    """A deletion vector only shrinks a file's true range — recorded
+    bounds stay safe; a statless add is never pruned."""
+    import json as _json
+
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    w = DeltaFixtureWriter(tmp_path / "t")
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w.append(o.filter("o_orderkey <= 300").coalesce(1), timestamp_ms=1000)
+    w.append(o.filter("o_orderkey > 300 AND o_orderkey <= 600").coalesce(1), timestamp_ms=2000)
+    w.delete_where(spark, "o_orderkey <= 50", timestamp_ms=3000)
+    t = DeltaTable(tmp_path / "t")
+    req = ScanRequest("d", projection=None, predicates=[Col("o_orderkey") <= Lit(200)])
+    df, plan = t.scan(spark, req)
+    assert plan.partitions.meta["files_pruned_by_stats"] == 1  # second file
+    assert df.count() == 150  # 51..200 (DV killed 1..50)
+    # strip stats from one add: that file must now always be kept
+    for p in sorted((tmp_path / "t" / "_delta_log").glob("*.json")):
+        lines = []
+        for line in p.read_text().splitlines():
+            a = _json.loads(line)
+            if "add" in a:
+                a["add"].pop("stats", None)
+            lines.append(_json.dumps(a))
+        p.write_text("\n".join(lines) + "\n")
+    t3 = DeltaTable(tmp_path / "t")
+    df3, plan3 = t3.scan(spark, req)
+    assert plan3.partitions.meta["files_pruned_by_stats"] == 0
+    assert df3.count() == 150
