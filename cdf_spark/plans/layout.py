@@ -99,3 +99,45 @@ def salted_groupby_agg(
 def broadcast_threshold_hint(df: DataFrame, small: bool) -> DataFrame:
     """Explicit join-side hint (broadcast / shuffle-merge)."""
     return F.broadcast(df) if small else df.hint("merge")
+
+
+def zorder_value(df: DataFrame, by: list[str], bits: int = 16) -> Column:
+    """Bit-interleaved z-value over up to 4 numeric columns: each is
+    min-max scaled (one tiny agg over `df`) to a `bits`-wide rank,
+    then interleaved into one long. Sorting/range-partitioning on the
+    result gives every cluster column selective per-file bounds — the
+    multi-dimensional data-skipping layout (Delta OPTIMIZE ZORDER BY /
+    Iceberg zorder sort order). Shared by both formats' rewrites."""
+    if not 1 <= len(by) <= 4:
+        raise ValueError("zorder supports 1-4 cluster columns")
+    missing = [c for c in by if c not in df.columns]
+    if missing:
+        raise ValueError(f"zorder columns not in DataFrame: {missing}")
+    stats = df.agg(
+        *[f(c).alias(f"{n}_{c}") for c in by for n, f in (("min", F.min), ("max", F.max))]
+    ).first()
+    scaled = []
+    for c in by:
+        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        span = float(hi) - float(lo) if lo is not None and hi is not None else 0.0
+        if span <= 0:
+            scaled.append(F.lit(0).cast("long"))
+        else:
+            frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
+            scaled.append(
+                F.least(
+                    F.floor(frac * ((1 << bits) - 1)).cast("long"),
+                    F.lit((1 << bits) - 1).cast("long"),
+                )
+            )
+    ncols = len(by)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1).cast("long"))
+            # PySpark's shiftleft() wrapper only takes a Python-int
+            # shift; the SQL function accepts a column
+            z = z.bitwiseOR(
+                F.call_function("shiftleft", bit, F.lit(i * ncols + j).cast("int"))
+            )
+    return z

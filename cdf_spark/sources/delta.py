@@ -1643,6 +1643,88 @@ class DeltaFixtureWriter:
         result["files_after"] = len(after.files_for_version(after.current_version()))
         return result
 
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        by: list[str],
+        target_files: int = 8,
+        bits: int = 16,
+        timestamp_ms: int | None = None,
+    ) -> dict:
+        """OPTIMIZE ZORDER BY: full clustered rewrite on the
+        bit-interleaved z-value (shared curve with the Iceberg
+        rewrite — `plans/layout.zorder_value`), committed with
+        `dataChange=false` on every action so incremental consumers
+        are NOT invalidated. The payoff compounds with data skipping:
+        the rewritten adds' footer-derived min/max stats become
+        selective on EVERY cluster column, so the negotiated scan
+        prunes on any of them. Deletion vectors are resolved into the
+        rewrite; unpartitioned tables only (clustering is global)."""
+        import math
+        import shutil
+        import tempfile
+
+        from ..plans.layout import zorder_value
+
+        t = DeltaTable(self.root)
+        cur = t.current_version()
+        if t.partition_columns(cur):
+            raise DeltaError("optimize_zorder supports unpartitioned tables")
+        current = t.read(spark, version=cur)
+        z = zorder_value(current, by, bits=bits)
+        total = sum(
+            Path(t._resolve(p)).stat().st_size for p, _dv, _pv in t.live_adds(cur)
+        )
+        clustered = self._to_physical(
+            current.withColumn("__z", z)
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        now_ms = int(timestamp_ms if timestamp_ms is not None else time.time() * 1000)
+        actions: list[dict] = []
+        tmp = tempfile.mkdtemp(prefix="delta_zorder_")
+        try:
+            clustered.write.mode("overwrite").parquet(tmp)
+            for p in sorted(Path(tmp).glob("*.parquet")):
+                rel = f"part-{uuid.uuid4().hex}.parquet"
+                shutil.move(str(p), str(self.root / rel))
+                actions.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "size": (self.root / rel).stat().st_size,
+                            "partitionValues": {},
+                            "modificationTime": now_ms,
+                            "dataChange": False,
+                        }
+                    }
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        root_resolved = self.root.resolve()
+        removed = 0
+        for p, _dv, _pv in t.live_adds(cur):
+            rel_remove = Path(p).resolve().relative_to(root_resolved).as_posix()
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel_remove,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+            removed += 1
+        self._commit(actions, "OPTIMIZE ZORDER", timestamp_ms)
+        after = DeltaTable(self.root)
+        return {
+            "files_before": removed,
+            "files_after": len(after.files_for_version(after.current_version())),
+            "zorder_by": list(by),
+            "bytes_rewritten": total,
+        }
+
     def checkpoint(self) -> int:
         """Write a checkpoint parquet of the current state + the
         `_last_checkpoint` pointer — what Delta writers do every ~10

@@ -2445,44 +2445,18 @@ class IcebergFixtureWriter:
         expire_snapshots."""
         from pyspark.sql import functions as F
 
-        if not 1 <= len(by) <= 4:
-            raise IcebergError("zorder supports 1-4 cluster columns")
+        from ..plans.layout import zorder_value
+
         t = IcebergTable(self.root)
         cur = t.current_snapshot_id()
         if cur is None:
             raise IcebergError("table has no snapshots to rewrite")
         before_files = len(t.files_for_snapshot(cur))
         current = t.read(spark)
-        missing = [c for c in by if c not in current.columns]
-        if missing:
-            raise IcebergError(f"zorder columns not in table: {missing}")
-        stats = current.agg(
-            *[f(c).alias(f"{n}_{c}") for c in by for n, f in (("min", F.min), ("max", F.max))]
-        ).first()
-        scaled = []
-        for c in by:
-            lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
-            span = float(hi) - float(lo)
-            if span <= 0:
-                scaled.append(F.lit(0).cast("long"))
-            else:
-                frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
-                scaled.append(
-                    F.least(
-                        F.floor(frac * ((1 << bits) - 1)).cast("long"),
-                        F.lit((1 << bits) - 1).cast("long"),
-                    )
-                )
-        ncols = len(by)
-        z = F.lit(0).cast("long")
-        for i in range(bits):
-            for j, s in enumerate(scaled):
-                bit = F.shiftright(s, i).bitwiseAND(F.lit(1).cast("long"))
-                z = z.bitwiseOR(
-                    F.call_function(
-                        "shiftleft", bit, F.lit(i * ncols + j).cast("int")
-                    )
-                )
+        try:
+            z = zorder_value(current, by, bits=bits)
+        except ValueError as exc:
+            raise IcebergError(str(exc)) from exc
         clustered = (
             current.withColumn("__z", z)
             .repartitionByRange(target_files, "__z")

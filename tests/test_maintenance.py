@@ -562,3 +562,49 @@ def test_delta_data_skipping_with_dv_and_statless(spark, tmp_path, orders):
     df3, plan3 = t3.scan(spark, req)
     assert plan3.partitions.meta["files_pruned_by_stats"] == 0
     assert df3.count() == 150
+
+
+def test_delta_optimize_zorder_skips_on_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER + data skipping: after the clustered rewrite,
+    the negotiated scan prunes files on EITHER cluster column's range
+    probe; content identical; incremental consumers not invalidated."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+    from cdf_spark.positions import TableSnapshotPosition
+
+    w = DeltaFixtureWriter(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000, (i * 104729) % 1000, float(i)) for i in range(4000)],
+        ["rid", "x", "y", "v"],
+    )
+    for j in range(4):
+        w.append(df.filter(f"rid % 4 = {j}").coalesce(1), timestamp_ms=1_000 + j)
+    t = DeltaTable(tmp_path / "t")
+    before = _rows(t.read(spark))
+    pin = t.current_version()
+    res = w.optimize_zorder(spark, by=["x", "y"], target_files=16)
+    assert res["files_after"] == 16
+    t2 = DeltaTable(tmp_path / "t")
+    assert _rows(t2.read(spark)) == before
+    for col in ("x", "y"):
+        req = ScanRequest(
+            "z", projection=None,
+            predicates=[(Col(col) >= Lit(100)) & (Col(col) <= Lit(160))],
+        )
+        sdf, plan = t2.scan(spark, req)
+        meta = plan.partitions.meta
+        assert meta["files_pruned_by_stats"] > 0, (col, meta)
+        assert sdf.count() == df.filter(f"{col} >= 100 AND {col} <= 160").count()
+    # dataChange=false: a pinned consumer sees no new data
+    changed, _ = t2.changes_since(spark, TableSnapshotPosition(snapshot_id=pin))
+    assert changed is None or changed.count() == 0
+
+
+def test_delta_optimize_zorder_refuses_partitioned(spark, tmp_path):
+    from cdf_spark.sources.delta import DeltaError
+
+    w = DeltaFixtureWriter(tmp_path / "t", partition_by=["b"])
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], ["id", "b", "v"])
+    w.append(df, timestamp_ms=1_000)
+    with pytest.raises(DeltaError):
+        w.optimize_zorder(spark, by=["id"])
