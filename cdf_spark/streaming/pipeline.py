@@ -77,6 +77,15 @@ class StreamingLoadPipeline:
     # epoch size — the rows/bytes axis of EpochPolicy for file sources)
     reader_options: dict = field(default_factory=dict)
 
+    # run auto-maintenance on the destination's table every N verified
+    # epochs (0 = off): per-epoch streaming commits are exactly the
+    # workload that accretes small files/tombstones, and dataChange=
+    # false maintenance commits never disturb downstream incremental
+    # consumers. Policy = package.maintenance.MaintenancePolicy.
+    maintenance_every_epochs: int = 0
+    maintenance_policy: object | None = None
+    maintenance_reports: list[dict] = field(default_factory=list)
+
     epochs: list[EpochResult] = field(default_factory=list)
 
     def _process_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -193,6 +202,21 @@ class StreamingLoadPipeline:
                 watermark_after=wm_after,
             )
         )
+
+        if (
+            self.maintenance_every_epochs
+            and receipt_verified
+            and len([e for e in self.epochs if e.receipt_verified])
+            % self.maintenance_every_epochs
+            == 0
+        ):
+            table_path = getattr(self.destination, "table_path", None)
+            if table_path is not None:
+                from ..package.maintenance import run_maintenance
+
+                self.maintenance_reports.append(
+                    run_maintenance(spark, table_path, self.maintenance_policy)
+                )
 
     def run(self, spark: SparkSession, checkpoint_dir: str | None = None):
         """Start the stream. DRAIN blocks until the frontier is reached

@@ -164,3 +164,59 @@ destination = {{ kind = "iceberg", maintenance = {{ frobnicate = 3 }} }}
     c = ws.compile_file(decl)["x"]
     with pytest.raises(DeclarationError):
         ws.run(spark, c)
+
+
+def test_streaming_pipeline_maintains_every_n_epochs(spark, tmp_path, orders):
+    """maintenance_every_epochs on a drained stream into an Iceberg
+    destination: each micro-batch lands files; after every 2nd
+    verified epoch the orchestrator bin-packs, so the drained table
+    ends compacted without any external scheduler — and the drained
+    content still equals the source."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from cdf_spark.package.iceberg_dest import IcebergDestination
+    from cdf_spark.package.maintenance import MaintenancePolicy
+    from cdf_spark.sources.base import ResourceDescriptor
+    from cdf_spark.sources.iceberg import IcebergTable
+    from cdf_spark.streaming import StreamingLoadPipeline
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    schema = T.StructType(
+        [T.StructField("o_orderkey", T.LongType()), T.StructField("o_totalprice", T.DoubleType())]
+    )
+    (tmp_path / "in").mkdir()
+    for i in range(4):
+        stage = tempfile.mkdtemp()
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (src,) = sorted(__import__("pathlib").Path(stage).glob("*.parquet"))
+        shutil.move(str(src), str(tmp_path / "in" / f"p{i}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+    dest = IcebergDestination(tmp_path / "ice")
+    pipe = StreamingLoadPipeline(
+        descriptor=ResourceDescriptor(resource_id="stream_maint"),
+        source_path=str(tmp_path / "in"),
+        schema=schema,
+        destination=dest,
+        package_root=str(tmp_path / "pkgs"),
+        ledger_root=str(tmp_path / "ledger"),
+        reader_options={"maxFilesPerTrigger": 1},
+        maintenance_every_epochs=2,
+        maintenance_policy=MaintenancePolicy(
+            small_file_bytes=1 << 30, min_small_files=2, max_snapshots=100
+        ),
+    )
+    pipe.run(spark, checkpoint_dir=str(tmp_path / "ck"))
+    assert len([e for e in pipe.epochs if e.receipt_verified]) == 4
+    assert len(pipe.maintenance_reports) == 2
+    assert any(
+        "rewrite_small_files" in r["results"] for r in pipe.maintenance_reports
+    )
+    t = IcebergTable(tmp_path / "ice")
+    assert t.read(spark).count() == o.count()
+    # the last maintenance cycle left the live set compacted
+    assert len(t.files_for_snapshot(t.current_snapshot_id())) <= 3
