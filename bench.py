@@ -181,14 +181,18 @@ def main() -> None:
         from cdf_spark.operators.similarity import cosine_topk_fast, ivf_ann_topk_fast
         from cdf_spark.plans.checkpoint import release_local_checkpoint
 
-        # Parameters chosen so the advantage is STRUCTURAL: brute
-        # flops scale with nq (nq*N*d) while IVF's assignment GEMM
-        # (N*nlist*d) does not, so the flop ratio is ~nq/nlist + the
-        # per-batch top-k merge that grows with nq. With BLAS pinned
-        # to 1 thread/worker (session.py) the brute GEMM at nq=2048
-        # became so fast (~2.7s) that overheads equalized the two
-        # paths; at nq=4096 the crossover is unambiguous again
-        # (measured at nq=8192: brute 57s vs IVF 3.9s, 14.6x).
+        # HONESTY NOTE (r7): earlier single-pass ratios up to 23.9x
+        # were cold-vs-warm artifacts — the brute pass paid python-
+        # worker/pipeline warmup the ivf pass then skipped. Best-of-2
+        # per path (below) removes that. Warm-vs-warm at this config
+        # the measured gap is ~1.5-2x (brute ~2.8 s, ivf ~1.8 s):
+        # per-candidate flops drop ~75x (nprobe/nlist rescore), but at
+        # this corpus size both paths are memory-bandwidth-bound, so
+        # wall converges toward the bytes moved. The per-query flop
+        # model (and the ratio) grows with corpus size; larger nq
+        # configs were measured unstable under ambient join-plan
+        # flips, so the bench pins the stable regime and reports both
+        # walls rather than chasing a headline ratio.
         N, dim, nq = 150_000, 256, 4096
         corpus = (
             spark.range(N)
@@ -204,15 +208,24 @@ def main() -> None:
             .localCheckpoint(eager=True)
         )
         qs = corpus.filter(F.col("vec_id") % (N // nq) == 0)
-        # single pass each: at nq=4096 the brute side costs tens of
-        # seconds — a second pass buys noise-robustness the magnitude
-        # of the gap no longer needs
-        t0 = time.perf_counter()
-        _materialize(cosine_topk_fast(corpus, qs, k=10))
-        brute = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _materialize(ivf_ann_topk_fast(corpus, qs, k=10, nprobe=4, centroid_modulus=500))
-        ivf = time.perf_counter() - t0
+        # best of TWO passes per path: observed run-to-run swings of
+        # 2x on the brute side (15-31 s) and ivf side (3-6 s) from
+        # page-cache / python-worker state made the single-pass
+        # speedup ratio noisy (2.4x-24x across r6/r7 runs); min() is
+        # the same noise-robust estimator the headline uses
+        def _best_of(fn, passes=2):
+            best = None
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                _materialize(fn())
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        brute = _best_of(lambda: cosine_topk_fast(corpus, qs, k=10))
+        ivf = _best_of(
+            lambda: ivf_ann_topk_fast(corpus, qs, k=10, nprobe=4, centroid_modulus=500)
+        )
         ann_crossover = {
             "n": N,
             "nq": nq,
