@@ -2781,6 +2781,35 @@ def delta_data_skipping_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "delta_rename_column_scan",
+    """
+    SELECT o_orderkey, o_totalprice AS price FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey <= 500 AND o_totalprice >= 10000
+    """,
+)
+def delta_rename_column_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-mapping RENAME (`delta.py rename_column`): metadata-only
+    — the physical parquet names never change — then a deletion-vector
+    DELETE predicated on the NEW logical name. The read must resolve
+    the renamed schema over the untouched data files and compose with
+    the DV; the oracle recomputes relationally under the new name."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t", column_mapping="name")
+        w.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 500)),
+            timestamp_ms=1000,
+        )
+        w.rename_column("o_totalprice", "price", timestamp_ms=2000)
+        w.delete_where(spark, "price < 10000", timestamp_ms=3000)
+
+    tmp = _session_fixture("delta_rename", sf, build)
+    return DeltaTable(f"{tmp}/t").read(spark)
+
+
+@_register(
     "metadata_only_count",
     """
     SELECT 'delta' AS fmt, count(*) AS cnt FROM orders
@@ -3121,17 +3150,21 @@ PARITY_TWINS: set[str] = {
 # row (38 of 104 by round 4). The r7 window is a pure
 # LEAST-RECENTLY-DRIVER-GREEN sort (the r6 verdict's rotation
 # discipline): the never-checked r7 additions first (5 early-r7
-# table-format queries plus the late-r7 trio — prefix-filtered
-# Jaccard, Iceberg bin-pack, Delta OPTIMIZE+VACUUM), then every query
-# whose last driver-green row is round 4. The head grew to 53, so the
-# 3 oldest tail entries rotate into the r8 window instead — still
-# strictly least-recently-green order, nothing arbitrary about the
-# cut. (r5-green and r6-green queries sit behind; the r7-touched
+# table-format queries plus the late-r7 batch — prefix-filtered
+# Jaccard, bin-pack/OPTIMIZE+VACUUM maintenance, sorted/Z-ORDER
+# layouts, Delta data skipping, metadata-only count, PQ ANN, RAG
+# chunking, stream-stream join, cross-format replication), then every
+# query whose last driver-green row is round 4. The head grew to 61,
+# so the oldest tail entries past position 50 rotate into the r8
+# window instead — still strictly least-recently-green order, nothing
+# arbitrary about the cut. (r5-green and r6-green queries sit behind;
+# the r7-touched
 # table-format paths — delta DV merge, iceberg upsert, hudi MoR — were
 # all driver-green in r6 and their r7 changes are covered by the new
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "delta_rename_column_scan",
     "delta_data_skipping_scan",
     "iceberg_zorder_layout_scan",
     "cross_format_replication",

@@ -1539,6 +1539,50 @@ class DeltaFixtureWriter:
                 )
         return self._commit(removes + self._copy_adds(paths), "WRITE", timestamp_ms)
 
+    def rename_column(self, old: str, new: str, timestamp_ms: int | None = None) -> int:
+        """Metadata-only column rename — THE operation column mapping
+        exists for: the physical parquet name (`col-<uuid>` / field id)
+        never changes, so no data file is touched; only the
+        schemaString's logical field name moves, in one metaData
+        commit. Reads at earlier versions keep the earlier name
+        (metadata is resolved per version), and deletion vectors
+        compose (they key on `_metadata`, not names). Same field-id
+        discipline as `IcebergFixtureWriter.rename_column`."""
+        if self.column_mapping not in ("name", "id"):
+            raise DeltaError(
+                "rename_column requires a column-mapped table "
+                "(column_mapping='name' or 'id') — without mapping the "
+                "physical parquet names ARE the logical names"
+            )
+        if self._schema_string is None:
+            raise DeltaError("nothing committed yet — no schema to rename in")
+        schema = json.loads(self._schema_string)
+        names = [f["name"] for f in schema.get("fields", [])]
+        if old not in names:
+            raise DeltaError(f"column {old!r} not in schema {names}")
+        if new in names:
+            raise DeltaError(f"column {new!r} already exists")
+        max_id = 0
+        for f in schema["fields"]:
+            max_id = max(max_id, int((f.get("metadata") or {}).get("delta.columnMapping.id", 0)))
+            if f["name"] == old:
+                f["name"] = new
+        self._schema_string = json.dumps(schema)
+        self._cm[new] = self._cm.pop(old)
+        meta = {
+            "metaData": {
+                "id": self.table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": self._schema_string,
+                "partitionColumns": list(self.partition_by),
+                "configuration": {
+                    "delta.columnMapping.mode": self.column_mapping,
+                    "delta.columnMapping.maxColumnId": str(max_id),
+                },
+            }
+        }
+        return self._commit([meta], "RENAME COLUMN", timestamp_ms)
+
     def optimize_small_files(
         self,
         spark: SparkSession,

@@ -258,3 +258,45 @@ def test_delta_history_table(spark, tmp_path, orders):
     assert rows[1].operation == "CHECKPOINT" and rows[1].num_adds >= 2
     assert rows[2].operation == "WRITE" and rows[2].num_adds == 1
     assert 0 not in rows  # cleaned version is gone; state lives in the checkpoint
+
+
+def test_column_mapping_rename_is_metadata_only(spark, tmp_path, orders):
+    """rename_column on a name-mode table: zero data files touched,
+    new logical name resolves to the same physical column, earlier
+    versions keep the earlier name, and a post-rename DV delete
+    predicates on the NEW name."""
+    from cdf_spark.sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = DeltaFixtureWriter(tmp_path / "t", column_mapping="name")
+    w.append(o.limit(100), timestamp_ms=1_000)
+    t0 = DeltaTable(tmp_path / "t")
+    files_before = set(t0.files_for_version(t0.current_version()))
+    w.rename_column("o_totalprice", "price", timestamp_ms=2_000)
+    t1 = DeltaTable(tmp_path / "t")
+    # metadata-only: identical physical files
+    assert set(t1.files_for_version(t1.current_version())) == files_before
+    df = t1.read(spark)
+    assert set(df.columns) == {"o_orderkey", "price"}
+    assert df.agg({"price": "sum"}).first()[0] == o.limit(100).agg(
+        {"o_totalprice": "sum"}
+    ).first()[0]
+    # time travel: version 0 still presents the OLD logical name
+    assert set(t1.read(spark, version=0).columns) == {"o_orderkey", "o_totalprice"}
+    # DV delete composes with the renamed schema
+    w.delete_where(spark, "price < 10000", timestamp_ms=3_000)
+    t2 = DeltaTable(tmp_path / "t")
+    remaining = t2.read(spark)
+    assert remaining.filter("price < 10000").count() == 0
+    assert remaining.count() == t1.read(spark, version=1).filter("price >= 10000").count()
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(DeltaError):
+        w.rename_column("nope", "x")
+    with _pytest.raises(DeltaError):
+        w.rename_column("price", "o_orderkey")
+    w2 = DeltaFixtureWriter(tmp_path / "plain")
+    w2.append(o.limit(5), timestamp_ms=1_000)
+    with _pytest.raises(DeltaError):
+        w2.rename_column("o_orderkey", "k")
