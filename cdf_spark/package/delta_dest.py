@@ -49,8 +49,9 @@ class DeltaDestination:
         its own metaData). Partitioned commits route through the
         distributed partition-splitting write instead of segment copy
         so every add carries its partitionValues and file pruning
-        works; MERGE into a partitioned table stays copy-on-write via
-        the resolved rewrite (the DV merge path refuses it honestly)."""
+        works; MERGE is merge-on-read via deletion vectors on flat AND
+        partitioned tables (victims found under a basePath scan, the
+        batch partition-split in one distributed write)."""
         self.table_path = Path(table_path)
         self.merge_keys = merge_keys or []
         self.checkpoint_interval = checkpoint_interval
@@ -111,19 +112,12 @@ class DeltaDestination:
             elif disposition is WriteDisposition.MERGE:
                 if not self.merge_keys:
                     raise ValueError("merge disposition requires merge_keys")
-                # copy-on-write keyed merge (the DV merge-on-read path
-                # refuses partitioned tables): survivors ∪ batch lands
-                # as one partition-split replace commit
-                from pyspark.sql import functions as F
-
-                current = DeltaTable(self.table_path).read(spark)
-                keys = df.select(*self.merge_keys).dropDuplicates()
-                cond = None
-                for k in self.merge_keys:
-                    c = current[k].eqNullSafe(keys[k])
-                    cond = c if cond is None else (cond & c)
-                survivors = current.join(F.broadcast(keys), on=cond, how="left_anti")
-                w.replace(survivors.unionByName(df))
+                # merge-on-read, same as the flat path: DV the matched
+                # rows in place (basePath victim scan reconstitutes
+                # partition columns, so keys may include them) + the
+                # batch lands through the partition-splitting write —
+                # one commit, O(batch) data movement, pruning intact
+                w.upsert_files_dv(spark, segments, self.merge_keys)
             else:
                 raise ValueError(f"disposition {disposition} not supported by DeltaDestination")
         elif disposition is WriteDisposition.APPEND:

@@ -2781,6 +2781,76 @@ def delta_data_skipping_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "delta_dest_partitioned_merge_dv",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey > 0 AND o_orderkey <= 600
+    ),
+    batch AS (
+      SELECT o_orderkey, o_orderstatus, -1.0 AS o_totalprice FROM orders
+      WHERE (o_orderkey > 0 AND o_orderkey <= 100)
+         OR (o_orderkey > 600 AND o_orderkey <= 700)
+    )
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def delta_dest_partitioned_merge_dv(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE into a PARTITIONED Delta table as MERGE-ON-READ — the
+    last Delta disposition carve-out closed: victims are found under a
+    basePath scan (partition columns reconstituted, so merge keys may
+    include them), per-file deletion vectors attach without rewriting
+    any base file (asserted in-query), the batch partition-splits in
+    one distributed write, and partition pruning still works after the
+    merge (asserted). The oracle recomputes the merge relationally."""
+    from .expressions.ast import Col, Lit
+    from .package import PackageBuilder
+    from .package.delta_dest import DeltaDestination
+    from .plans.scan import ScanRequest
+    from .sources.base import WriteDisposition
+    from .sources.delta import DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        dest = DeltaDestination(
+            f"{tmp}/t", merge_keys=["o_orderkey"], partition_by=["o_orderstatus"]
+        )
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_dpmd")
+        base = builder.build(
+            admitted=o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 600))
+        )
+        r1 = dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base)
+        t0 = DeltaTable(f"{tmp}/t")
+        base_files = set(t0.files_for_version(t0.current_version()))
+        batch = builder.build(
+            admitted=o.filter(
+                ((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 100))
+                | ((F.col("o_orderkey") > 600) & (F.col("o_orderkey") <= 700))
+            ).withColumn("o_totalprice", F.lit(-1.0))
+        )
+        r2 = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+        if not (r1.verified and r2.verified):
+            raise RuntimeError("partitioned delta DV merge receipt failed verification")
+        t1 = DeltaTable(f"{tmp}/t")
+        live = t1.live_adds(t1.current_version())
+        if not base_files <= {p for p, _dv, _pv in live}:
+            raise AssertionError("partitioned DV merge rewrote base files")
+        if not any(dv for _p, dv, _pv in live):
+            raise AssertionError("partitioned DV merge attached no deletion vectors")
+
+    tmp = _session_fixture("delta_dest_pmd", sf, build)
+    t = DeltaTable(f"{tmp}/t")
+    _df, plan = t.scan(
+        spark, ScanRequest("dpmd", predicates=[Col("o_orderstatus") == Lit("F")])
+    )
+    if plan.partitions.meta["files_pruned_by_partition"] == 0:
+        raise AssertionError(f"post-merge pruning regressed: {plan.partitions.meta}")
+    return t.read(spark)
+
+
+@_register(
     "delta_rename_column_scan",
     """
     SELECT o_orderkey, o_totalprice AS price FROM orders
@@ -3164,6 +3234,7 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "delta_dest_partitioned_merge_dv",
     "delta_rename_column_scan",
     "delta_data_skipping_scan",
     "iceberg_zorder_layout_scan",

@@ -1377,25 +1377,31 @@ class DeltaFixtureWriter:
                 "DV merge into a column-mapped table is not supported "
                 "(segments carry logical names; the table's files are physical)"
             )
-        if self.partition_by:
-            raise DeltaError(
-                "DV merge into a partitioned Delta table is not supported "
-                "(the batch's segments would need a partition split with "
-                "partition columns stripped — use the Iceberg destination "
-                "for partitioned CDC upsert)"
-            )
         if self._version < 0:
-            # first commit: nothing to delete — plain append
+            # first commit: nothing to delete — plain append (the
+            # partition-splitting write when a spec is declared)
+            if self.partition_by:
+                return self._commit(
+                    self._write_data(spark.read.parquet(*paths)), "MERGE", timestamp_ms
+                )
             return self._commit(self._copy_adds(paths), "MERGE", timestamp_ms)
 
         t = DeltaTable(self.root)
-        pairs = t.live_files_with_dvs(self._version)
+        adds3 = t.live_adds(self._version)
+        pairs = [(p, dv) for p, dv, _pv in adds3]
+        pv_of = {p: pv for p, _dv, pv in adds3}
         keys = spark.read.parquet(*paths).select(*merge_keys).dropDuplicates()
         uri = F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
         norm = F.regexp_replace(F.url_decode(uri), "^file:/+", "/")
         fkey, pkey = "__cdf_dv_file", "__cdf_dv_pos"
+        # partitioned layouts read with basePath so hive partition
+        # columns reconstitute — merge keys MAY include them, and the
+        # victim positions stay per-physical-file via _metadata
+        reader = spark.read
+        if self.partition_by:
+            reader = reader.option("basePath", str(self.root))
         cur = (
-            spark.read.parquet(*[p for p, _ in pairs])
+            reader.parquet(*[p for p, _ in pairs])
             .withColumn(fkey, norm)
             .withColumn(pkey, F.col("_metadata.row_index"))
         )
@@ -1452,8 +1458,12 @@ class DeltaFixtureWriter:
                 }
             )
         now_ms = int(time.time() * 1000)
+        root_resolved = self.root.resolve()
         for r in sorted(desc_rows, key=lambda r: r["file"]):
-            rel = str(Path(r["file"]).name)
+            # stored relative path (partition dirs included) + the
+            # original add's partitionValues ride the re-add, so
+            # pruning keeps working on the DV'd file
+            rel = Path(r["file"]).resolve().relative_to(root_resolved).as_posix()
             desc = {
                 "storageType": "u",
                 "pathOrInlineDv": r["uuid"],
@@ -1469,14 +1479,19 @@ class DeltaFixtureWriter:
                     "add": {
                         "path": rel,
                         "size": Path(r["file"]).stat().st_size,
-                        "partitionValues": {},
+                        "partitionValues": pv_of.get(r["file"], {}),
                         "modificationTime": now_ms,
                         "dataChange": True,
                         "deletionVector": desc,
                     }
                 }
             )
-        actions.extend(self._copy_adds(paths))
+        if self.partition_by:
+            # batch segments carry partition columns in-file; split
+            # them through the ONE distributed hive-partitioned write
+            actions.extend(self._write_data(spark.read.parquet(*paths)))
+        else:
+            actions.extend(self._copy_adds(paths))
         return self._commit(actions, "MERGE", timestamp_ms)
 
     def _copy_adds(self, paths: list[str]) -> list[dict]:

@@ -608,3 +608,61 @@ def test_delta_optimize_zorder_refuses_partitioned(spark, tmp_path):
     w.append(df, timestamp_ms=1_000)
     with pytest.raises(DeltaError):
         w.optimize_zorder(spark, by=["id"])
+
+
+# ---------------------------------------------------------------------------
+# Partitioned Delta DV merge (the last Delta merge carve-out)
+
+
+def test_delta_partitioned_dv_merge_no_rewrite(spark, tmp_path, orders):
+    """MERGE into a PARTITIONED Delta table is now merge-on-read:
+    base files stay live with DVs attached (no rewrite), the batch
+    partition-splits, partition pruning still works, and the merge
+    key can include the partition column."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.plans.scan import ScanRequest
+
+    w = DeltaFixtureWriter(tmp_path / "t", partition_by=["o_orderstatus"])
+    o = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").filter("o_orderkey > 0")
+    w.append(o.filter("o_orderkey <= 600"), timestamp_ms=1_000)
+    t0 = DeltaTable(tmp_path / "t")
+    base_files = set(t0.files_for_version(t0.current_version()))
+    # batch: restate keys <= 100 with price -1, plus new keys 600-700
+    import shutil
+    import tempfile
+
+    batch = (
+        o.filter("o_orderkey <= 100").withColumn("o_totalprice", F.lit(-1.0))
+        .unionByName(o.filter("o_orderkey > 600 AND o_orderkey <= 700"))
+    )
+    seg = tempfile.mkdtemp()
+    batch.coalesce(1).write.mode("overwrite").parquet(seg)
+    segs = sorted(str(p) for p in __import__("pathlib").Path(seg).glob("*.parquet"))
+    w.upsert_files_dv(spark, segs, ["o_orderkey"], timestamp_ms=2_000)
+    shutil.rmtree(seg, ignore_errors=True)
+    t1 = DeltaTable(tmp_path / "t")
+    live = t1.live_adds(t1.current_version())
+    live_paths = {p for p, _dv, _pv in live}
+    assert base_files <= live_paths  # merge-on-read: no base rewrite
+    assert any(dv for _p, dv, _pv in live)  # DVs attached
+    # every live add still carries its partitionValues
+    assert all(pv.get("o_orderstatus") is not None for _p, _dv, pv in live)
+    got = t1.read(spark)
+    assert got.count() == 700
+    assert got.filter("o_orderkey <= 100 AND o_totalprice != -1.0").count() == 0
+    # partition pruning intact across the merge
+    req = ScanRequest("d", projection=None, predicates=[Col("o_orderstatus") == Lit("F")])
+    _df, plan = t1.scan(spark, req)
+    assert plan.partitions.meta["files_pruned_by_partition"] > 0
+    # merge key CAN include the partition column (basePath read
+    # reconstitutes it for the victim match)
+    batch2 = o.filter("o_orderkey <= 10").withColumn("o_totalprice", F.lit(-2.0))
+    seg2 = tempfile.mkdtemp()
+    batch2.coalesce(1).write.mode("overwrite").parquet(seg2)
+    segs2 = sorted(str(p) for p in __import__("pathlib").Path(seg2).glob("*.parquet"))
+    w.upsert_files_dv(spark, segs2, ["o_orderkey", "o_orderstatus"], timestamp_ms=3_000)
+    shutil.rmtree(seg2, ignore_errors=True)
+    t2 = DeltaTable(tmp_path / "t")
+    got2 = t2.read(spark)
+    assert got2.count() == 700
+    assert got2.filter("o_orderkey <= 10").agg(F.max("o_totalprice")).first()[0] == -2.0
