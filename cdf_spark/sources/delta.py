@@ -1372,15 +1372,16 @@ class DeltaFixtureWriter:
 
         if not paths:
             raise DeltaError("upsert_files_dv requires at least one segment")
-        if self._cm:
-            raise DeltaError(
-                "DV merge into a column-mapped table is not supported "
-                "(segments carry logical names; the table's files are physical)"
-            )
+        # column-mapped tables: the victim scan reads PHYSICAL files,
+        # so the key match runs under physical names (the _cm map),
+        # and the batch lands through the physical-writing path
+        # instead of segment copy — logical segments never touch disk
+        # with logical names
         if self._version < 0:
             # first commit: nothing to delete — plain append (the
-            # partition-splitting write when a spec is declared)
-            if self.partition_by:
+            # partition-splitting / physical-name write when a spec or
+            # column mapping is declared)
+            if self.partition_by or self.column_mapping in ("name", "id"):
                 return self._commit(
                     self._write_data(spark.read.parquet(*paths)), "MERGE", timestamp_ms
                 )
@@ -1407,7 +1408,10 @@ class DeltaFixtureWriter:
         )
         cond = None
         for k in merge_keys:
-            c = cur[k].eqNullSafe(keys[k])
+            phys = self._cm.get(k, k)  # physical name under column mapping
+            if phys not in cur.columns:
+                raise DeltaError(f"merge key {k!r} (physical {phys!r}) not in table files")
+            c = cur[phys].eqNullSafe(keys[k])
             cond = c if cond is None else (cond & c)
         victims = cur.join(F.broadcast(keys), on=cond, how="left_semi").select(fkey, pkey)
 
@@ -1486,9 +1490,11 @@ class DeltaFixtureWriter:
                     }
                 }
             )
-        if self.partition_by:
-            # batch segments carry partition columns in-file; split
-            # them through the ONE distributed hive-partitioned write
+        if self.partition_by or self._cm:
+            # partitioned: segments carry partition columns in-file and
+            # need the distributed hive split; column-mapped: segments
+            # carry logical names and need the physical rewrite — both
+            # go through _write_data rather than segment copy
             actions.extend(self._write_data(spark.read.parquet(*paths)))
         else:
             actions.extend(self._copy_adds(paths))

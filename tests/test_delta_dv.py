@@ -170,3 +170,46 @@ def test_unknown_reader_features_still_refused(spark, table):
     )
     with pytest.raises(DeltaError, match="v2Checkpoint"):
         mk().read(spark)
+
+
+def test_dv_merge_into_column_mapped_table(spark, tmp_path, orders):
+    """DV MERGE into a NAME-mode column-mapped table: victims matched
+    under physical names, batch rewritten to physical names, base
+    files untouched with DVs attached, logical reads correct — and it
+    composes with a prior rename (merge keyed on the current logical
+    name)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = DeltaFixtureWriter(tmp_path / "t", column_mapping="name")
+    w.append(o.filter("o_orderkey <= 500"), timestamp_ms=1_000)
+    w.rename_column("o_totalprice", "price", timestamp_ms=2_000)
+    t0 = DeltaTable(tmp_path / "t")
+    base_files = set(t0.files_for_version(t0.current_version()))
+    batch = (
+        o.filter("o_orderkey <= 50").withColumnRenamed("o_totalprice", "price")
+        .withColumn("price", F.lit(-1.0))
+        .unionByName(
+            o.filter("o_orderkey > 500 AND o_orderkey <= 550")
+            .withColumnRenamed("o_totalprice", "price")
+        )
+    )
+    seg = tempfile.mkdtemp()
+    batch.coalesce(1).write.mode("overwrite").parquet(seg)
+    segs = sorted(str(p) for p in __import__("pathlib").Path(seg).glob("*.parquet"))
+    w.upsert_files_dv(spark, segs, ["o_orderkey"], timestamp_ms=3_000)
+    shutil.rmtree(seg, ignore_errors=True)
+    t1 = DeltaTable(tmp_path / "t")
+    live = t1.live_files_with_dvs(t1.current_version())
+    assert base_files <= {p for p, _dv in live}  # no base rewrite
+    assert any(dv for _p, dv in live)  # DVs attached
+    got = t1.read(spark)
+    assert set(got.columns) == {"o_orderkey", "price"}
+    assert got.count() == 550
+    assert got.filter("o_orderkey <= 50 AND price != -1.0").count() == 0
+    assert got.filter("o_orderkey > 50 AND o_orderkey <= 500 AND price = -1.0").count() == 0
