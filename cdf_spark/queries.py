@@ -2851,6 +2851,65 @@ def delta_dest_partitioned_merge_dv(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "recovery_rollback_restore",
+    """
+    SELECT 'iceberg' AS fmt, o_orderkey, o_totalprice FROM orders
+    WHERE (o_orderkey > 0 AND o_orderkey <= 100)
+       OR (o_orderkey > 200 AND o_orderkey <= 250)
+    UNION ALL
+    SELECT 'delta' AS fmt, o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey > 3 AND o_orderkey <= 100
+    """,
+)
+def recovery_rollback_restore(spark: SparkSession, sf: str) -> DataFrame:
+    """Bad-commit recovery on both formats (`iceberg.py rollback_to`,
+    `delta.py restore`): the Iceberg table rolls back past a bad
+    append and CONTINUES committing (the new snapshot parents on the
+    rolled-back-to ancestor, so the abandoned branch never rides
+    along); the Delta table restores to a deletion-vector'd version in
+    one commit, bit-faithful including the DV. The oracle recomputes
+    both recovered states relationally."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        iw = IcebergFixtureWriter(f"{tmp}/ice", seed=29)
+        iw.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 100)),
+            timestamp_ms=1000,
+        )
+        good = IcebergTable(f"{tmp}/ice").current_snapshot_id()
+        iw.append(  # the bad commit
+            o.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)),
+            timestamp_ms=2000,
+        )
+        IcebergTable(f"{tmp}/ice").rollback_to(good)
+        iw2 = IcebergFixtureWriter(f"{tmp}/ice")  # fresh writer resumes
+        iw2.append(
+            o.filter((F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 250)),
+            timestamp_ms=3000,
+        )
+
+        dw = DeltaFixtureWriter(f"{tmp}/delta")
+        dw.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 100)),
+            timestamp_ms=1000,
+        )
+        dw.delete_where(spark, "o_orderkey <= 3", timestamp_ms=2000)  # v1 (DV)
+        dw.overwrite(  # the bad commit, v2
+            o.filter((F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 400)),
+            timestamp_ms=3000,
+        )
+        dw.restore(1, timestamp_ms=4000)
+
+    tmp = _session_fixture("recovery", sf, build)
+    ice = IcebergTable(f"{tmp}/ice").read(spark).withColumn("fmt", F.lit("iceberg"))
+    dl = DeltaTable(f"{tmp}/delta").read(spark).withColumn("fmt", F.lit("delta"))
+    return ice.unionByName(dl).select("fmt", "o_orderkey", "o_totalprice")
+
+
+@_register(
     "delta_rename_column_scan",
     """
     SELECT o_orderkey, o_totalprice AS price FROM orders
@@ -3234,6 +3293,7 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "recovery_rollback_restore",
     "delta_dest_partitioned_merge_dv",
     "delta_rename_column_scan",
     "delta_data_skipping_scan",

@@ -1604,6 +1604,45 @@ class DeltaFixtureWriter:
         }
         return self._commit([meta], "RENAME COLUMN", timestamp_ms)
 
+    def restore(self, version: int, timestamp_ms: int | None = None) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF — the bad-commit recovery
+        op: ONE new commit whose live set equals the target version's
+        (re-adds what current lost, removes what current gained; adds
+        carry their original stats and DV descriptors, so the restored
+        state is bit-faithful including merge-on-read deletes). History
+        is preserved — the undone versions stay in the log and remain
+        time-travelable until clean_log/vacuum. Fails loudly if a
+        target file was already vacuumed (same constraint as delta.io
+        RESTORE)."""
+        t = DeltaTable(self.root)
+        cur = t.current_version()
+        if version == cur:
+            raise DeltaError(f"already at version {version}")
+        target = t.live_add_actions(version)
+        current = t.live_add_actions(cur)
+        missing = [p for p in target if not Path(t._resolve(p)).exists()]
+        if missing:
+            raise DeltaError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                f"file(s) already vacuumed (e.g. {missing[0]!r})"
+            )
+        now_ms = int(timestamp_ms if timestamp_ms is not None else time.time() * 1000)
+        actions: list[dict] = []
+        for p, add in sorted(target.items()):
+            if current.get(p) != add:
+                a = dict(add)
+                a["modificationTime"] = now_ms
+                a["dataChange"] = True
+                actions.append({"add": a})
+        for p in sorted(current):
+            if p not in target:
+                actions.append(
+                    {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+                )
+        if not actions:
+            raise DeltaError(f"version {version} is identical to current — nothing to restore")
+        return self._commit(actions, "RESTORE", timestamp_ms)
+
     def optimize_small_files(
         self,
         spark: SparkSession,

@@ -1125,6 +1125,37 @@ class IcebergTable:
             result["deleted"] = True
         return result
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """ROLLBACK (Iceberg's rollback_to_snapshot): make an ANCESTOR
+        snapshot current again — the first-reach-for op after a bad
+        commit. Metadata-only and history-preserving: a NEW
+        metadata.json version points current-snapshot-id at the
+        ancestor; the abandoned snapshots stay in the snapshot list
+        (and on disk) until expire_snapshots reclaims them, so the
+        mistake remains inspectable. Only ancestors are valid targets
+        (rolling 'back' to a non-ancestor would silently fork
+        history); incremental consumers positioned past the rollback
+        point correctly fail their ancestry check and re-read."""
+        chain = {int(s["snapshot-id"]) for s in self.ancestry()}
+        if snapshot_id not in chain:
+            raise IcebergError(
+                f"snapshot {snapshot_id} is not an ancestor of the current "
+                "snapshot — rollback would fork history"
+            )
+        hint = self.meta_dir / "version-hint.text"
+        version = int(hint.read_text().strip()) + 1 if hint.exists() else 1
+        meta = dict(self._meta)
+        meta["current-snapshot-id"] = int(snapshot_id)
+        log = list(meta.get("snapshot-log", []))
+        log.append(
+            {"snapshot-id": int(snapshot_id), "timestamp-ms": int(time.time() * 1000)}
+        )
+        meta["snapshot-log"] = log
+        (self.meta_dir / f"v{version}.metadata.json").write_text(json.dumps(meta, indent=2))
+        hint.write_text(str(version))
+        self._meta = meta
+        return int(snapshot_id)
+
     def remove_orphan_files(
         self,
         older_than_ms: int | None = None,
@@ -1604,6 +1635,10 @@ class IcebergFixtureWriter:
         meta = t.metadata
         self.table_uuid = meta.get("table-uuid", self.table_uuid)
         self._snapshots = list(meta.get("snapshots", []))
+        # current != last after a rollback_to: new commits must parent
+        # on the CURRENT snapshot, not the abandoned tip
+        cur = meta.get("current-snapshot-id")
+        self._cur_sid = None if cur in (None, -1) else int(cur)
         self._seq = int(meta.get("last-sequence-number", 0))
         hint = self.root / "metadata" / "version-hint.text"
         if hint.exists():
@@ -1701,7 +1736,7 @@ class IcebergFixtureWriter:
     ) -> int:
         self._ensure_schema_from_df(df)
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
-        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         data_files = self._write_df_entries(df, sid)
@@ -1958,7 +1993,7 @@ class IcebergFixtureWriter:
         import pyarrow.parquet as pq
 
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
-        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         dest = self.root / "data" / f"delete-{uuid.uuid4().hex}.parquet"
@@ -2006,7 +2041,7 @@ class IcebergFixtureWriter:
         import pyarrow.parquet as pq
 
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
-        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         dest = self.root / "data" / f"eqdelete-{uuid.uuid4().hex}.parquet"
@@ -2217,7 +2252,7 @@ class IcebergFixtureWriter:
             raise IcebergError("append_files requires at least one parquet file")
         self._ensure_schema_from_parquet(paths[0])
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
-        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         return self._finish_commit(sid, parent, ts, self._copied_file_entries(paths, sid), "append")
@@ -2231,7 +2266,7 @@ class IcebergFixtureWriter:
             raise IcebergError("replace_files requires at least one parquet file")
         self._ensure_schema_from_parquet(paths[0])
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
-        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         return self._finish_commit(
@@ -2337,7 +2372,7 @@ class IcebergFixtureWriter:
         import tempfile
 
         sid = self._rng.getrandbits(62)
-        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
 
@@ -2512,7 +2547,7 @@ class IcebergFixtureWriter:
             raise IcebergError("upsert_files requires at least one parquet file")
         self._ensure_schema_from_parquet(paths[0])
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
-        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         entries = [
@@ -2555,7 +2590,7 @@ class IcebergFixtureWriter:
         if missing:
             raise IcebergError(f"equality columns not in schema: {missing}")
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
-        parent = int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+        parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
 
@@ -2649,6 +2684,14 @@ class IcebergFixtureWriter:
             },
         }
 
+    def _parent_snapshot_id(self) -> int | None:
+        """Parent for the next commit: the CURRENT snapshot (tracked
+        through rollback_to), falling back to the list tip."""
+        cur = getattr(self, "_cur_sid", None)
+        if cur is not None:
+            return cur
+        return int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
+
     def _finish_commit(self, sid, parent, ts, entries, operation, retain_prior=None) -> int:
         manifest = self.root / "metadata" / f"manifest-{sid}-{uuid.uuid4().hex[:8]}.avro"
         if not self.partition_by:
@@ -2676,11 +2719,20 @@ class IcebergFixtureWriter:
         # table; the fixture keeps it simpler by re-listing prior
         # manifests in the new list (an overwrite references only its
         # own manifest)
-        prior = [s["manifest-list"] for s in self._snapshots]
+        # re-list the PARENT snapshot's manifests — not blindly the
+        # list tip: after rollback_to the tip is an abandoned branch
+        # whose files must NOT ride into the new commit
+        prior_ml = None
+        for s in self._snapshots:
+            if parent is not None and int(s["snapshot-id"]) == int(parent):
+                prior_ml = s["manifest-list"]
+                break
+        if prior_ml is None and self._snapshots:
+            prior_ml = self._snapshots[-1]["manifest-list"]
         if retain_prior is None:
             retain_prior = operation in ("append", "delete")
-        if prior and retain_prior:
-            _, rows = decode_container(Path(_strip_uri(prior[-1])).read_bytes())
+        if prior_ml and retain_prior:
+            _, rows = decode_container(Path(_strip_uri(prior_ml)).read_bytes())
             for r in rows:
                 r.setdefault("partitions", None)  # rows from pre-summary containers
             new_rows = rows + [
@@ -2709,6 +2761,7 @@ class IcebergFixtureWriter:
                 "summary": {"operation": operation},
             }
         )
+        self._cur_sid = sid
         self._write_metadata()
         return sid
 
@@ -2741,7 +2794,7 @@ class IcebergFixtureWriter:
                 }
             ],
             "current-snapshot-id": (
-                int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else -1
+                self._parent_snapshot_id() if self._snapshots else -1
             ),
             "snapshots": self._snapshots,
             "snapshot-log": [

@@ -666,3 +666,73 @@ def test_delta_partitioned_dv_merge_no_rewrite(spark, tmp_path, orders):
     got2 = t2.read(spark)
     assert got2.count() == 700
     assert got2.filter("o_orderkey <= 10").agg(F.max("o_totalprice")).first()[0] == -2.0
+
+
+# ---------------------------------------------------------------------------
+# Bad-commit recovery: Iceberg ROLLBACK + Delta RESTORE
+
+
+def test_iceberg_rollback_and_continue(spark, tmp_path, orders):
+    """rollback_to an ancestor: reads serve the ancestor, the bad
+    snapshot stays inspectable until expire, and the NEXT commit
+    parents on the rolled-back-to snapshot (not the abandoned tip) —
+    so history walks clean and expire reclaims the dead branch."""
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w.append(o.filter("o_orderkey <= 100"), timestamp_ms=1_000)
+    t = IcebergTable(tmp_path / "t")
+    good = t.current_snapshot_id()
+    w.append(o.filter("o_orderkey > 100 AND o_orderkey <= 200"), timestamp_ms=2_000)  # "bad"
+    t = IcebergTable(tmp_path / "t")
+    bad = t.current_snapshot_id()
+    t.rollback_to(good)
+    t2 = IcebergTable(tmp_path / "t")
+    assert t2.current_snapshot_id() == good
+    assert t2.read(spark).count() == 100
+    # the bad snapshot is still inspectable (time travel by id)
+    assert t2.read(spark, snapshot_id=bad).count() == 200
+    # non-ancestor rollback refused
+    with pytest.raises(Exception):
+        t2.rollback_to(123456789)
+    # a FRESH writer continues from the rolled-back-to snapshot
+    w2 = IcebergFixtureWriter(tmp_path / "t")
+    w2.append(o.filter("o_orderkey > 200 AND o_orderkey <= 250"), timestamp_ms=3_000)
+    t3 = IcebergTable(tmp_path / "t")
+    assert t3.read(spark).count() == 150  # 100 + 50, bad 100 gone
+    chain = [int(s["snapshot-id"]) for s in t3.ancestry()]
+    assert good in chain and bad not in chain
+    # expire reclaims the abandoned branch
+    res = t3.expire_snapshots(keep_last=10, delete_orphans=True)
+    assert bad in res["expired"]
+    assert IcebergTable(tmp_path / "t").read(spark).count() == 150
+
+
+def test_delta_restore_roundtrip(spark, tmp_path, orders):
+    """RESTORE to an earlier version: one commit, bit-faithful
+    including DV state; undone versions stay time-travelable; restore
+    to a vacuumed version fails loudly."""
+    from cdf_spark.sources.delta import DeltaError
+
+    w = DeltaFixtureWriter(tmp_path / "t")
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w.append(o.filter("o_orderkey <= 100"), timestamp_ms=1_000)  # v0
+    keys = [r.o_orderkey for r in o.limit(3).collect()]
+    w.delete_where(spark, f"o_orderkey in ({','.join(map(str, keys))})", timestamp_ms=2_000)  # v1 (DV)
+    t = DeltaTable(tmp_path / "t")
+    v1_rows = _rows(t.read(spark))
+    assert len(v1_rows) == 97
+    w.overwrite(o.filter("o_orderkey > 100 AND o_orderkey <= 300"), timestamp_ms=3_000)  # v2 "bad"
+    assert DeltaTable(tmp_path / "t").read(spark).count() == 200
+    w.restore(1, timestamp_ms=4_000)  # back to the DV'd state
+    t2 = DeltaTable(tmp_path / "t")
+    assert _rows(t2.read(spark)) == v1_rows  # DV state restored exactly
+    assert t2.metadata_count() == 97
+    # the undone v2 still time-travels
+    assert t2.read(spark, version=2).count() == 200
+    # no-op restore refused
+    with pytest.raises(DeltaError):
+        w.restore(t2.current_version())
+    # vacuum the v2 files, then restoring to v2 fails loudly
+    t2.vacuum(retention_ms=0)
+    with pytest.raises(DeltaError):
+        w.restore(2)
