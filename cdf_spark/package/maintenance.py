@@ -150,16 +150,29 @@ def _plan_delta(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction
     return actions
 
 
-def _plan_hudi(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction]:
-    from ..sources.hudi import HudiTable
+def _is_hudi_mor(root: Path) -> bool:
+    hoodie = root / ".hoodie"
+    return hoodie.is_dir() and any(hoodie.glob("*.deltacommit"))
 
-    t = HudiTable(root)
+
+def _plan_hudi(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction]:
+    # merge-on-read timelines route to the MoR cleaner (the CoW reader
+    # refuses them); slice resolution there already encodes compaction
+    # supersession, so pre-compaction bases AND their logs reclaim
+    if _is_hudi_mor(root):
+        from ..sources.hudi_mor import HudiMorTable
+
+        t = HudiMorTable(root)
+    else:
+        from ..sources.hudi import HudiTable
+
+        t = HudiTable(root)
     res = t.clean(retain_commits=policy.hudi_retain_commits, dry_run=True)
     if res["deleted"]:
         return [
             MaintenanceAction(
                 "clean",
-                f"{len(res['deleted'])} superseded slice version(s) beyond "
+                f"{len(res['deleted'])} superseded slice/log version(s) beyond "
                 f"the last {policy.hudi_retain_commits} commits",
                 {"reclaimable": len(res["deleted"])},
             )
@@ -186,7 +199,7 @@ def plan_maintenance(
         return _plan_iceberg(root, policy)
     if is_delta_layout(root):
         return _plan_delta(root, policy)
-    if is_hudi_layout(root):
+    if is_hudi_layout(root) or _is_hudi_mor(root):
         return _plan_hudi(root, policy)
     raise ValueError(f"{root} is not a recognized table layout")
 
@@ -240,11 +253,18 @@ def run_maintenance(
                 v = w.checkpoint()
                 removed = w.clean_log(before_version=v)
                 results[act.action] = {"checkpoint": v, "cleaned": removed}
-        elif is_hudi_layout(root):
+        elif is_hudi_layout(root) or _is_hudi_mor(root):
             if act.action == "clean":
-                results[act.action] = HudiTable(root).clean(
-                    retain_commits=policy.hudi_retain_commits
-                )
+                if _is_hudi_mor(root):
+                    from ..sources.hudi_mor import HudiMorTable
+
+                    results[act.action] = HudiMorTable(root).clean(
+                        retain_commits=policy.hudi_retain_commits
+                    )
+                else:
+                    results[act.action] = HudiTable(root).clean(
+                        retain_commits=policy.hudi_retain_commits
+                    )
     return {
         "planned": [
             {"action": a.action, "reason": a.reason, "evidence": a.evidence} for a in plan

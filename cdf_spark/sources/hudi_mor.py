@@ -338,6 +338,54 @@ class HudiMorTable:
             out.append((fid, part, str(self.root / path), [(str(self.root / p), v) for p, v in group_logs]))
         return out
 
+    def clean(self, retain_commits: int = 10, dry_run: bool = False) -> dict:
+        """Merge-on-read cleaner, KEEP_LATEST_COMMITS: compaction
+        leaves the pre-compaction base AND its log files on disk
+        forever without this — a CDC-cadence MoR table's physical size
+        is O(log blocks), not O(rows). Keep every base/log a file
+        slice of the newest `retain_commits` instants needs (slice
+        resolution already encodes compaction supersession: logs
+        against an older base are superseded by the newer base);
+        delete anything older, record a `.clean` instant. Same policy
+        and timeline discipline as the copy-on-write cleaner."""
+        instants = self.instants()
+        retained = instants[-retain_commits:]
+        earliest = retained[0]
+        keep: set[str] = set()
+        for i in retained:
+            for _fid, _part, base, logs in self.file_slices(i):
+                keep.add(base)
+                keep.update(p for p, _v in logs)
+        all_written: list[tuple[str, str]] = []
+        for i in instants:
+            meta = self._commit_meta(i)
+            for _part, stats in meta.get("partitionToWriteStats", {}).items():
+                for st in stats:
+                    all_written.append((i, str(self.root / st["path"])))
+        deleted: list[str] = []
+        for inst, p in sorted(all_written):
+            if p in keep or inst >= earliest:
+                continue
+            if not Path(p).exists():
+                continue  # reclaimed by an earlier clean
+            if not dry_run:
+                Path(p).unlink(missing_ok=True)
+            deleted.append(p)
+        if deleted and not dry_run:
+            clean_instant = f"{int(self.latest_instant()) + 1:017d}"
+            (self.hoodie / f"{clean_instant}.clean").write_text(
+                json.dumps(
+                    {
+                        "earliestCommitToRetain": earliest,
+                        "filesDeleted": [
+                            str(Path(p).relative_to(self.root)) for p in deleted
+                        ],
+                    },
+                    indent=1,
+                )
+            )
+        return {"deleted": deleted, "earliest_retained": earliest, "dry_run": dry_run}
+
     def capabilities(self) -> Capability:
         # merge-on-read: predicates cannot be pushed below the merge (a
         # log record can move a row across the predicate boundary), so

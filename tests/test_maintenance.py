@@ -736,3 +736,38 @@ def test_delta_restore_roundtrip(spark, tmp_path, orders):
     t2.vacuum(retention_ms=0)
     with pytest.raises(DeltaError):
         w.restore(2)
+
+
+def test_hudi_mor_clean_after_compaction(spark, tmp_path):
+    """MoR cleaner: compaction supersedes the old base + its logs;
+    clean reclaims them beyond retention while the snapshot (and the
+    auto-maintenance route for a deltacommit timeline) stays correct."""
+    from cdf_spark.package.maintenance import MaintenancePolicy, plan_maintenance, run_maintenance
+    from cdf_spark.sources.hudi_mor import HudiMorFixtureWriter, HudiMorTable
+
+    df = spark.range(1, 41).select(F.col("id").alias("k"), (F.col("id") * 10.0).alias("v"))
+    w = HudiMorFixtureWriter(tmp_path / "t", record_key="k", n_buckets=2)
+    w.insert(df)
+    w.upsert(spark.createDataFrame([(1, -1.0), (2, -2.0)], ["k", "v"]))
+    w.upsert(spark.createDataFrame([(3, -3.0)], ["k", "v"]))
+    w.compact(spark)
+    w.upsert(spark.createDataFrame([(4, -4.0)], ["k", "v"]))
+    t = HudiMorTable(tmp_path / "t")
+    before = _rows(t.read(spark))
+    files_on_disk = [p for p in (tmp_path / "t").rglob("*") if p.is_file() and ".hoodie" not in p.parts]
+    # retain last 2 instants: pre-compaction bases + their logs reclaim
+    res = t.clean(retain_commits=2, dry_run=True)
+    assert len(res["deleted"]) >= 2
+    # the auto-maintenance router recognizes the MoR timeline
+    pol = MaintenancePolicy(hudi_retain_commits=2)
+    plan = plan_maintenance(tmp_path / "t", pol)
+    assert [a.action for a in plan] == ["clean"]
+    out = run_maintenance(spark, tmp_path / "t", pol)
+    assert len(out["results"]["clean"]["deleted"]) >= 2
+    for p in out["results"]["clean"]["deleted"]:
+        assert not __import__("pathlib").Path(p).exists()
+    t2 = HudiMorTable(tmp_path / "t")
+    assert _rows(t2.read(spark)) == before  # snapshot unchanged
+    assert plan_maintenance(tmp_path / "t", pol) == []  # converged
+    cleans = list((tmp_path / "t" / ".hoodie").glob("*.clean"))
+    assert len(cleans) == 1
