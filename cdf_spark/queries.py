@@ -2910,6 +2910,68 @@ def recovery_rollback_restore(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "delta_change_data_feed",
+    """
+    SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _commit_version
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 300
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 1
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 50
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'update_preimage', 2
+    FROM orders WHERE o_orderkey > 50 AND o_orderkey <= 100
+    UNION ALL
+    SELECT o_orderkey, -1.0, 'update_postimage', 2
+    FROM orders WHERE o_orderkey > 50 AND o_orderkey <= 100
+    UNION ALL
+    SELECT o_orderkey, -1.0, 'insert', 2
+    FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 350
+    """,
+)
+def delta_change_data_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """CHANGE DATA FEED (`delta.py _cdc_actions` + `table_changes`):
+    an append (inserts derived from add files), a deletion-vector
+    DELETE (row-level delete change file), and a DV MERGE
+    (update_preimage / update_postimage / insert classified against
+    the RESOLVED state) replayed as exact row-level changes with
+    commit versions — what removes the full-reread reset for CDC
+    consumers. The oracle recomputes every change row relationally."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        import shutil
+        import tempfile
+        from pathlib import Path as _P
+
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t", change_data_feed=True)
+        w.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 300)),
+            timestamp_ms=1000,
+        )
+        w.delete_where(spark, "o_orderkey <= 50", timestamp_ms=2000)
+        batch = (
+            o.filter((F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 100))
+            .withColumn("o_totalprice", F.lit(-1.0))
+            .unionByName(
+                o.filter((F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 350))
+                .withColumn("o_totalprice", F.lit(-1.0))
+            )
+        )
+        seg = tempfile.mkdtemp()
+        batch.coalesce(1).write.mode("overwrite").parquet(seg)
+        segs = sorted(str(p) for p in _P(seg).glob("*.parquet"))
+        w.upsert_files_dv(spark, segs, ["o_orderkey"], timestamp_ms=3000)
+        shutil.rmtree(seg, ignore_errors=True)
+
+    tmp = _session_fixture("delta_cdf", sf, build)
+    return DeltaTable(f"{tmp}/t").table_changes(spark, 0).select(
+        "o_orderkey", "o_totalprice", "_change_type", "_commit_version"
+    )
+
+
+@_register(
     "delta_rename_column_scan",
     """
     SELECT o_orderkey, o_totalprice AS price FROM orders
@@ -3293,6 +3355,7 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "delta_change_data_feed",
     "recovery_rollback_restore",
     "delta_dest_partitioned_merge_dv",
     "delta_rename_column_scan",

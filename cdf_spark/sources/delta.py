@@ -264,6 +264,9 @@ class DeltaTable:
                     )
             md = a.get("metaData")
             if md:
+                cdf_on = (md.get("configuration") or {}).get("delta.enableChangeDataFeed")
+                if str(cdf_on).lower() == "true":
+                    self.change_data_feed = True
                 mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
                 if mode not in ("none", "", None, "name", "id"):
                     raise DeltaError(f"column mapping mode {mode!r} is not supported")
@@ -538,6 +541,88 @@ class DeltaTable:
 
     def has_removes(self, version: int) -> bool:
         return any("remove" in a and a["remove"].get("dataChange", True) for a in self.actions(version))
+
+    def table_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """CHANGE DATA FEED reader (`table_changes`): row-level changes
+        between versions, each row tagged `_change_type`
+        (insert / update_preimage / update_postimage / delete) and
+        `_commit_version`. Per version:
+
+        - `cdc` actions present -> the commit's `_change_data/` files
+          ARE the change set (written by delete_where / DV merge);
+        - data-changing adds with NO removes (blind append) -> the
+          added files' rows are the inserts, derived without cdc files
+          (the protocol's optimization for append-only commits);
+        - data-changing removes without cdc -> raise: the change set
+          is not reconstructible (overwrite/restore) — delta.io errors
+          identically rather than guessing;
+        - dataChange=false commits (OPTIMIZE/ZORDER) -> no changes.
+
+        This is what removes the full-reread reset for CDC consumers:
+        changes_since() must reset on any remove, table_changes()
+        replays exact row-level deltas through merges and deletes."""
+        cur = self.current_version()
+        hi = cur if to_version is None else to_version
+        cfg = (self.metadata_for_version(hi).get("configuration") or {})
+        if str(cfg.get("delta.enableChangeDataFeed")).lower() != "true":
+            raise DeltaError(
+                "change data feed is not enabled on this table "
+                "(delta.enableChangeDataFeed)"
+            )
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        parts: list[DataFrame] = []
+        for v in self.versions():
+            if v < from_version or v > hi:
+                continue
+            acts = self.actions(v)
+            cdc = [a["cdc"] for a in acts if "cdc" in a]
+            adds = [
+                a["add"]
+                for a in acts
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in acts
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if cdc:
+                df = spark.read.parquet(*[self._resolve(c["path"]) for c in cdc])
+            elif adds and not removes:
+                df = self._read_files(
+                    spark, [self._resolve(a["path"]) for a in adds], v
+                )
+                df = self._apply_column_mapping(df, v)
+                df = self._finish_partitioned(df, v)
+                df = df.withColumn("_change_type", F.lit("insert"))
+            elif removes:
+                raise DeltaError(
+                    f"version {v} changed data without a change file "
+                    "(overwrite/restore) — its row-level change set is not "
+                    "reconstructible; consume from a snapshot instead"
+                )
+            else:
+                continue  # maintenance-only commit
+            parts.append(
+                df.withColumn("_commit_version", F.lit(int(v)).cast("long"))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.lit(self.commit_timestamp_ms(v) / 1000.0).cast("timestamp"),
+                )
+            )
+        if not parts:
+            raise DeltaError(
+                f"no versions in range [{from_version}, {hi}] produced changes"
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def vacuum(
         self,
@@ -887,6 +972,7 @@ class DeltaFixtureWriter:
         checkpoint_interval: int | None = None,
         column_mapping: str = "none",
         partition_by: list[str] | None = None,
+        change_data_feed: bool = False,
     ):
         """`column_mapping="name"` writes a NAME-mode column-mapped
         table (the default layout of newer Delta writers): data files
@@ -910,6 +996,10 @@ class DeltaFixtureWriter:
         # protocol keys partitionValues by PHYSICAL name under column
         # mapping, which this fixture doesn't model — refuse the combo
         self.partition_by = list(partition_by or [])
+        # CHANGE DATA FEED: commits that modify existing rows also
+        # write row-level change files under _change_data/ for
+        # table_changes() consumers (delta.enableChangeDataFeed)
+        self.change_data_feed = bool(change_data_feed)
         if self.partition_by and column_mapping != "none":
             raise DeltaError("partition_by with column mapping is not supported")
         # resume an existing log: destinations are constructed per run
@@ -935,6 +1025,9 @@ class DeltaFixtureWriter:
                 self._schema_string = md["schemaString"]
                 if md.get("partitionColumns"):
                     self.partition_by = list(md["partitionColumns"])
+                cdf_on = (md.get("configuration") or {}).get("delta.enableChangeDataFeed")
+                if str(cdf_on).lower() == "true":
+                    self.change_data_feed = True
                 mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
                 if mode in ("name", "id"):
                     self.column_mapping = mode
@@ -1143,6 +1236,8 @@ class DeltaFixtureWriter:
             else:
                 proto = {"minReaderVersion": 1, "minWriterVersion": 2}
                 conf = {}
+            if self.change_data_feed:
+                conf["delta.enableChangeDataFeed"] = "true"
             lines.append(json.dumps({"protocol": proto}))
             lines.append(
                 json.dumps(
@@ -1335,6 +1430,14 @@ class DeltaFixtureWriter:
                     }
                 }
             )
+        if self.change_data_feed:
+            # row-level change file: the deleted rows with their full
+            # (logical) columns, taken from the RESOLVED state so rows
+            # an earlier DV already deleted don't re-appear as deletes
+            cdc_df = t.read(spark).filter(condition).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            actions.extend(self._cdc_actions(cdc_df))
         return self._commit(actions, "DELETE", timestamp_ms)
 
     def upsert_files_dv(
@@ -1490,6 +1593,32 @@ class DeltaFixtureWriter:
                     }
                 }
             )
+        if self.change_data_feed:
+            # CDC classification: existing rows matching batch keys are
+            # update_preimage; batch rows whose key existed are
+            # update_postimage; the rest are inserts. Victim rows come
+            # from the same basePath scan (full columns, logical names
+            # restored for mapped tables).
+            # classify against the RESOLVED current state (DVs
+            # applied, logical names): rows already deleted must not
+            # re-appear as preimages, and a batch row whose key only
+            # ever existed as a deleted row is an INSERT
+            resolved = t.read(spark)
+            pre = resolved.join(F.broadcast(keys), on=[
+                resolved[k].eqNullSafe(keys[k]) for k in merge_keys
+            ], how="left_semi").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            cur_keys = resolved.select(*merge_keys).dropDuplicates()
+            batch_df = spark.read.parquet(*paths)
+            matched = batch_df.join(F.broadcast(cur_keys), on=merge_keys, how="left_semi")
+            fresh = batch_df.join(F.broadcast(cur_keys), on=merge_keys, how="left_anti")
+            cdc_df = (
+                pre
+                .unionByName(matched.withColumn("_change_type", F.lit("update_postimage")))
+                .unionByName(fresh.withColumn("_change_type", F.lit("insert")))
+            )
+            actions.extend(self._cdc_actions(cdc_df))
         if self.partition_by or self._cm:
             # partitioned: segments carry partition columns in-file and
             # need the distributed hive split; column-mapped: segments
@@ -1603,6 +1732,38 @@ class DeltaFixtureWriter:
             }
         }
         return self._commit([meta], "RENAME COLUMN", timestamp_ms)
+
+    def _cdc_actions(self, df: DataFrame) -> list[dict]:
+        """Write a commit's row-level change file under `_change_data/`
+        (the Change Data Feed layout): `df` carries the table's LOGICAL
+        columns plus `_change_type`. One distributed write; the action
+        is `cdc` with dataChange=false (CDC files are derived data —
+        snapshot readers skip them, table_changes readers require
+        them)."""
+        import shutil
+        import tempfile
+
+        (self.root / "_change_data").mkdir(exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="delta_cdc_")
+        actions: list[dict] = []
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+            for p in sorted(Path(tmp).glob("*.parquet")):
+                rel = f"_change_data/cdc-{uuid.uuid4().hex}.parquet"
+                shutil.move(str(p), str(self.root / rel))
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": rel,
+                            "size": (self.root / rel).stat().st_size,
+                            "partitionValues": {},
+                            "dataChange": False,
+                        }
+                    }
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return actions
 
     def restore(self, version: int, timestamp_ms: int | None = None) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — the bad-commit recovery

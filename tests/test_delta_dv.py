@@ -213,3 +213,51 @@ def test_dv_merge_into_column_mapped_table(spark, tmp_path, orders):
     assert got.count() == 550
     assert got.filter("o_orderkey <= 50 AND price != -1.0").count() == 0
     assert got.filter("o_orderkey > 50 AND o_orderkey <= 500 AND price = -1.0").count() == 0
+
+
+def test_change_data_feed_edges(spark, tmp_path, orders):
+    """CDF edge semantics: previously-DELETED keys re-upserted classify
+    as INSERT (resolved-state classification); non-CDF tables refuse
+    table_changes; an overwrite makes its range honestly
+    unreconstructible; maintenance commits contribute nothing."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from cdf_spark.sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(o.filter("o_orderkey <= 100"), timestamp_ms=1_000)  # v0
+    w.delete_where(spark, "o_orderkey <= 10", timestamp_ms=2_000)  # v1
+    # v2: re-upsert the deleted keys 1..10 — resolved-state
+    # classification makes them INSERTS, not updates
+    batch = o.filter("o_orderkey <= 10").withColumn("o_totalprice", F.lit(-5.0))
+    seg = tempfile.mkdtemp()
+    batch.coalesce(1).write.mode("overwrite").parquet(seg)
+    segs = sorted(str(p) for p in Path(seg).glob("*.parquet"))
+    w.upsert_files_dv(spark, segs, ["o_orderkey"], timestamp_ms=3_000)
+    shutil.rmtree(seg, ignore_errors=True)
+    t = DeltaTable(tmp_path / "t")
+    v2 = t.table_changes(spark, 2, 2)
+    by_type = {r["_change_type"]: r["count"] for r in v2.groupBy("_change_type").count().collect()}
+    assert by_type == {"insert": 10}
+    # v3: OPTIMIZE contributes no changes and doesn't break the range
+    w.optimize_small_files(spark, small_bytes=1 << 30, timestamp_ms=4_000)
+    all_ch = t.table_changes(spark, 0)
+    assert all_ch.filter("_commit_version = 3").count() == 0
+    assert all_ch.count() == 100 + 10 + 10
+    # v4: overwrite — its range is honestly unreconstructible
+    w.overwrite(o.filter("o_orderkey > 100 AND o_orderkey <= 150"), timestamp_ms=5_000)
+    t2 = DeltaTable(tmp_path / "t")
+    with pytest.raises(DeltaError):
+        t2.table_changes(spark, 0).count()
+    # ... but ranges before it still replay
+    assert t2.table_changes(spark, 0, 3).count() == 120
+    # non-CDF table refuses
+    w2 = DeltaFixtureWriter(tmp_path / "plain")
+    w2.append(o.limit(5), timestamp_ms=1_000)
+    with pytest.raises(DeltaError):
+        DeltaTable(tmp_path / "plain").table_changes(spark, 0)
