@@ -2972,6 +2972,53 @@ def delta_change_data_feed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_changelog_scan",
+    """
+    SELECT o_orderkey, o_totalprice, 'insert' AS _change_type
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 300
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete'
+    FROM orders WHERE o_orderkey > 50 AND o_orderkey <= 100
+    UNION ALL
+    SELECT o_orderkey, -1.0, 'insert'
+    FROM orders WHERE (o_orderkey > 50 AND o_orderkey <= 100)
+                   OR (o_orderkey > 300 AND o_orderkey <= 350)
+    """,
+)
+def iceberg_changelog_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg CHANGELOG replay (`iceberg.py changelog_scan` — the
+    incremental-changelog-scan twin of Delta's table_changes): an
+    append contributes its files' rows as inserts; an equality-delete
+    upsert contributes the PARENT state's matching rows as deletes
+    plus its data files as inserts — exact row-level CDC derived from
+    manifests, no change files needed. The oracle recomputes every
+    change row relationally."""
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=31)
+        w.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 300)),
+            timestamp_ms=1000,
+        )
+        batch = (
+            o.filter((F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 100))
+            .withColumn("o_totalprice", F.lit(-1.0))
+            .unionByName(
+                o.filter((F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 350))
+                .withColumn("o_totalprice", F.lit(-1.0))
+            )
+        )
+        w.upsert(batch, ["o_orderkey"], timestamp_ms=2000)
+
+    tmp = _session_fixture("ice_changelog", sf, build)
+    return IcebergTable(f"{tmp}/t").changelog_scan(spark).select(
+        "o_orderkey", "o_totalprice", "_change_type"
+    )
+
+
+@_register(
     "delta_rename_column_scan",
     """
     SELECT o_orderkey, o_totalprice AS price FROM orders
@@ -3355,6 +3402,7 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "iceberg_changelog_scan",
     "delta_change_data_feed",
     "recovery_rollback_restore",
     "delta_dest_partitioned_merge_dv",

@@ -1125,6 +1125,114 @@ class IcebergTable:
             result["deleted"] = True
         return result
 
+    def changelog_scan(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level CHANGELOG replay (Iceberg's
+        incremental-changelog-scan): every snapshot strictly after
+        `from_snapshot_id` (None = table start) contributes its exact
+        changes, tagged `_change_type` ('insert' / 'delete') and
+        `_snapshot_id` — the Iceberg twin of Delta's table_changes,
+        and what removes changes_since's full-reread reset for CDC
+        consumers across upserts.
+
+        Per snapshot, derived from the commit's own metadata:
+        - append: rows of the files ADDED by it are inserts (read at
+          that snapshot, so its own sequence-scoped delete state
+          applies — exactly the rows the commit introduced);
+        - equality-delete upsert (the CDC shape `upsert_files` emits):
+          delete preimages are the PARENT state's rows matching the
+          snapshot's added delete-key files (null-safe), inserts are
+          its added data files;
+        - replace (maintenance rewrites): no logical change, nothing;
+        - positional-delete commits and opaque overwrites raise —
+          their row-level change set is not reconstructible from
+          manifests alone, same honesty as Delta's overwrite ranges."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        chain = list(reversed(self.ancestry()))  # oldest-first
+        ids = [int(s["snapshot-id"]) for s in chain]
+        if from_snapshot_id is not None:
+            if int(from_snapshot_id) not in ids:
+                raise IcebergError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of current"
+                )
+            chain = chain[ids.index(int(from_snapshot_id)) + 1 :]
+        if to_snapshot_id is not None:
+            keep = []
+            for s in chain:
+                keep.append(s)
+                if int(s["snapshot-id"]) == int(to_snapshot_id):
+                    break
+            chain = keep
+        parts: list[DataFrame] = []
+        for snap in chain:
+            sid = int(snap["snapshot-id"])
+            op = str((snap.get("summary") or {}).get("operation", "append"))
+            added_data: list[str] = []
+            added_eq: list[dict] = []
+            added_pos = 0
+            for mp in self._manifest_paths(snap):
+                for e in self._manifest_entries(mp):
+                    if int(e.get("status", 1)) != 1 or int(e.get("snapshot_id") or -1) != sid:
+                        continue
+                    dfile = e["data_file"]
+                    content = int(dfile.get("content") or 0)
+                    if content == 0:
+                        added_data.append(str(self._resolve(dfile["file_path"])))
+                    elif content == 2:
+                        added_eq.append(
+                            {
+                                "path": str(self._resolve(dfile["file_path"])),
+                                "ids": [int(i) for i in (dfile.get("equality_ids") or [])],
+                            }
+                        )
+                    else:
+                        added_pos += 1
+            if op == "replace":
+                continue  # maintenance rewrite: no logical change
+            if added_pos or (op in ("overwrite", "delete") and not added_eq and not added_data):
+                raise IcebergError(
+                    f"snapshot {sid} ({op}) changed rows without an equality-"
+                    "delete upsert shape — its row-level change set is not "
+                    "reconstructible from manifests; consume from a snapshot"
+                )
+            snap_parts: list[DataFrame] = []
+            parent = snap.get("parent-snapshot-id")
+            if added_eq and parent is not None:
+                names = self._field_names_by_id()
+                prev = self.read(spark, snapshot_id=int(parent))
+                keys = None
+                for d in added_eq:
+                    cols = [names[i] for i in d["ids"]]
+                    k = spark.read.parquet(d["path"]).select(*cols).dropDuplicates()
+                    keys = k if keys is None else keys.unionByName(k).dropDuplicates()
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [prev[c].eqNullSafe(keys[c]) for c in keys.columns],
+                )
+                snap_parts.append(
+                    prev.join(F.broadcast(keys), on=cond, how="left_semi").withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            if added_data:
+                snap_parts.append(
+                    self.read(spark, snapshot_id=sid, _files=added_data).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            for p in snap_parts:
+                parts.append(p.withColumn("_snapshot_id", F.lit(sid).cast("long")))
+        if not parts:
+            raise IcebergError("no snapshots in range produced changes")
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     def rollback_to(self, snapshot_id: int) -> int:
         """ROLLBACK (Iceberg's rollback_to_snapshot): make an ANCESTOR
         snapshot current again — the first-reach-for op after a bad

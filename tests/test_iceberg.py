@@ -552,3 +552,43 @@ def test_metadata_tables(spark, table):
 
     with _pytest.raises(IcebergError, match="unknown metadata table"):
         table.metadata_table(spark, "partitions")
+
+
+def test_changelog_scan_semantics(spark, tmp_path, orders):
+    """Changelog edges: from-snapshot windows, maintenance rewrites
+    contribute nothing, positional-delete commits raise honestly,
+    non-ancestor from raises."""
+    from pyspark.sql import functions as F
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=5)
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w.append(o.filter("o_orderkey <= 100"), timestamp_ms=1_000)
+    t = IcebergTable(tmp_path / "t")
+    s0 = t.current_snapshot_id()
+    w.append(o.filter("o_orderkey > 100 AND o_orderkey <= 150"), timestamp_ms=2_000)
+    w.upsert(
+        o.filter("o_orderkey <= 20").withColumn("o_totalprice", F.lit(-1.0)),
+        ["o_orderkey"],
+        timestamp_ms=3_000,
+    )
+    w.rewrite_small_files(spark, small_bytes=1 << 30, timestamp_ms=4_000)  # replace
+    t = IcebergTable(tmp_path / "t")
+    # window strictly after s0: append(50 ins) + upsert(20 del + 20 ins)
+    ch = t.changelog_scan(spark, from_snapshot_id=s0)
+    counts = {r["_change_type"]: r["count"] for r in ch.groupBy("_change_type").count().collect()}
+    assert counts == {"insert": 70, "delete": 20}
+    # full-range replay nets out to the current snapshot's row count
+    full = t.changelog_scan(spark)
+    assert full.filter("_change_type = 'insert'").count() - full.filter(
+        "_change_type = 'delete'"
+    ).count() == t.read(spark).count()
+    with pytest.raises(IcebergError):
+        t.changelog_scan(spark, from_snapshot_id=42)
+    # positional deletes: honestly unreconstructible
+    victim = t.files_for_snapshot(t.current_snapshot_id())[0]
+    w.delete_positions([(victim, 0)], timestamp_ms=5_000)
+    t2 = IcebergTable(tmp_path / "t")
+    with pytest.raises(IcebergError):
+        t2.changelog_scan(spark).count()
+    # ... but the pre-delete window still replays
+    assert t2.changelog_scan(spark, to_snapshot_id=t.current_snapshot_id()).count() > 0
