@@ -3019,6 +3019,103 @@ def iceberg_changelog_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "cross_format_cdc_replication",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey > 0 AND o_orderkey <= 600
+    ),
+    upserted AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey <= 100 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+      FROM base
+      UNION ALL
+      SELECT o_orderkey, -1.0 FROM orders
+      WHERE o_orderkey > 600 AND o_orderkey <= 700
+    )
+    SELECT * FROM upserted WHERE o_orderkey NOT BETWEEN 200 AND 250
+    """,
+)
+def cross_format_cdc_replication(spark: SparkSession, sf: str) -> DataFrame:
+    """ROW-LEVEL cross-format CDC sync: Iceberg `changelog_scan`
+    windows feed a Delta replica through keyed effect application —
+    upserts land as DV merges, pure deletes as DV deletes — with NO
+    full re-read at any cycle (the changelog replays exact deltas
+    across upserts, unlike changes_since's reset; each cycle's
+    delivered row count is asserted). Three upstream cycles: append,
+    equality-delete upsert, pure keyed delete. The oracle recomputes
+    the final replica relationally."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        import shutil
+        import tempfile
+        from pathlib import Path as _P
+
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        iw = IcebergFixtureWriter(f"{tmp}/src", seed=37)
+        dw = DeltaFixtureWriter(f"{tmp}/dst")
+
+        def sync(position, expect_rows):
+            t = IcebergTable(f"{tmp}/src")
+            ch = t.changelog_scan(spark, from_snapshot_id=position)
+            n = ch.count()
+            if n != expect_rows:
+                raise AssertionError(f"cycle delivered {n} change rows, expected {expect_rows}")
+            # keyed effect application per snapshot window: a key with
+            # an insert wins (upsert); delete-only keys are removed
+            ins = ch.filter(F.col("_change_type") == "insert").drop(
+                "_change_type", "_snapshot_id"
+            )
+            del_keys = (
+                ch.filter(F.col("_change_type") == "delete")
+                .select("o_orderkey")
+                .join(ins.select("o_orderkey"), "o_orderkey", "left_anti")
+                .collect()
+            )
+            if ins.take(1):
+                seg = tempfile.mkdtemp()
+                ins.coalesce(1).write.mode("overwrite").parquet(seg)
+                segs = sorted(str(p) for p in _P(seg).glob("*.parquet"))
+                dw.upsert_files_dv(spark, segs, ["o_orderkey"])
+                shutil.rmtree(seg, ignore_errors=True)
+            if del_keys:
+                dw.delete_where(
+                    spark,
+                    f"o_orderkey in ({','.join(str(int(r.o_orderkey)) for r in del_keys)})",
+                )
+            return t.current_snapshot_id()
+
+        a = o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 600))
+        iw.append(a, timestamp_ms=1000)
+        n_a = a.count()
+        pos = sync(None, expect_rows=n_a)
+        restated = (
+            a.filter(F.col("o_orderkey") <= 100)
+            .unionByName(
+                o.filter((F.col("o_orderkey") > 600) & (F.col("o_orderkey") <= 700))
+            )
+            .withColumn("o_totalprice", F.lit(-1.0))
+        )
+        iw.upsert(restated, ["o_orderkey"], timestamp_ms=2000)
+        # upsert delivers delete preimages for the 100 matched keys +
+        # inserts for all 200 batch rows — NOT the 600-row table
+        pos = sync(pos, expect_rows=100 + restated.count())
+        dead = o.filter((F.col("o_orderkey") >= 200) & (F.col("o_orderkey") <= 250))
+        iw2 = IcebergFixtureWriter(f"{tmp}/src")
+        iw2.delete_equality(
+            [{"o_orderkey": int(r.o_orderkey)} for r in dead.select("o_orderkey").collect()],
+            ["o_orderkey"],
+            timestamp_ms=3000,
+        )
+        sync(pos, expect_rows=dead.count())
+
+    tmp = _session_fixture("xfmt_cdc", sf, build)
+    return DeltaTable(f"{tmp}/dst").read(spark)
+
+
+@_register(
     "delta_rename_column_scan",
     """
     SELECT o_orderkey, o_totalprice AS price FROM orders
@@ -3402,6 +3499,7 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "cross_format_cdc_replication",
     "iceberg_changelog_scan",
     "delta_change_data_feed",
     "recovery_rollback_restore",
