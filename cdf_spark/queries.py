@@ -3116,6 +3116,51 @@ def cross_format_cdc_replication(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "hudi_mor_change_stream",
+    """
+    SELECT o_orderkey, o_totalprice, 'upsert' AS _change_type FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey <= 100
+    UNION ALL
+    SELECT o_orderkey, -1.0, 'upsert' FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey <= 20
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE), 'delete' FROM orders
+    WHERE o_orderkey BETWEEN 30 AND 40
+    """,
+)
+def hudi_mor_change_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi MoR CHANGE STREAM (`hudi_mor.py change_stream`): the log
+    blocks ARE the change stream — data blocks replay as upserts,
+    delete blocks as tombstones with the record key reconstituted into
+    its table column; log files come from the window's commit metadata
+    so changes survive compaction supersession (COMPACT itself
+    contributes nothing). Third format's row-level CDC, oracled like
+    Delta CDF and the Iceberg changelog."""
+    from .sources.hudi_mor import HudiMorFixtureWriter, HudiMorTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        w = HudiMorFixtureWriter(f"{tmp}/t", record_key="o_orderkey", n_buckets=2)
+        w.insert(o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 100)))
+        w.upsert(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 20)).withColumn(
+                "o_totalprice", F.lit(-1.0)
+            )
+        )
+        w.delete(
+            o.filter(
+                (F.col("o_orderkey") >= 30) & (F.col("o_orderkey") <= 40)
+            ).select("o_orderkey")
+        )
+        w.compact(spark)  # must contribute nothing to the stream
+
+    tmp = _session_fixture("hudi_mor_cs", sf, build)
+    return HudiMorTable(f"{tmp}/t").change_stream(spark).select(
+        "o_orderkey", "o_totalprice", "_change_type"
+    )
+
+
+@_register(
     "delta_rename_column_scan",
     """
     SELECT o_orderkey, o_totalprice AS price FROM orders
@@ -3489,9 +3534,9 @@ PARITY_TWINS: set[str] = {
 # Jaccard, bin-pack/OPTIMIZE+VACUUM maintenance, sorted/Z-ORDER
 # layouts, Delta data skipping, metadata-only count, PQ ANN, RAG
 # chunking, stream-stream join, cross-format replication), then every
-# query whose last driver-green row is round 4. The head grew to 61,
-# so the oldest tail entries past position 50 rotate into the r8
-# window instead — still strictly least-recently-green order, nothing
+# query whose last driver-green row is round 4. The never-checked
+# head has grown past 20 entries, so the oldest r4-green tail entries
+# past position 50 rotate into the r8 window instead — still strictly least-recently-green order, nothing
 # arbitrary about the cut. (r5-green and r6-green queries sit behind;
 # the r7-touched
 # table-format paths — delta DV merge, iceberg upsert, hudi MoR — were
@@ -3499,6 +3544,7 @@ PARITY_TWINS: set[str] = {
 # queries at the head plus the in-session oracle re-drives.)
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r7, never driver-checked --
+    "hudi_mor_change_stream",
     "cross_format_cdc_replication",
     "iceberg_changelog_scan",
     "delta_change_data_feed",

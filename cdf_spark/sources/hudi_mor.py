@@ -386,6 +386,113 @@ class HudiMorTable:
             )
         return {"deleted": deleted, "earliest_retained": earliest, "dry_run": dry_run}
 
+    def change_stream(
+        self,
+        spark: SparkSession,
+        from_instant: str | None = None,
+        to_instant: str | None = None,
+    ) -> DataFrame:
+        """Row-level CHANGE STREAM from the merge-on-read log itself —
+        the third format's CDC replay (Delta has table_changes,
+        Iceberg changelog_scan): MoR log blocks ARE the change
+        stream, so no derivation is needed at all. Per instant in
+        (from, to]: base-writing INSERT commits contribute their
+        files' rows as 'upsert'; log data blocks are 'upsert' rows
+        and delete blocks 'delete' tombstones (data columns null, the
+        record key reconstituted into its table column); COMPACT
+        commits contribute nothing (no logical change). Output: data
+        columns + `_change_type` + `_instant`."""
+        from functools import reduce as _reduce
+
+        instants = self.instants()
+        hi = to_instant if to_instant is not None else instants[-1]
+        lo = from_instant or ""
+        parts: list[DataFrame] = []
+        schema_src = self.read_optimized(spark, instant=hi)
+        data_cols = [c for c in schema_src.columns]
+        key_type = dict(schema_src.dtypes)[self.record_key]
+        for i in instants:
+            if not (lo < i <= hi):
+                continue
+            meta = self._commit_meta(i)
+            op = str(meta.get("operationType", ""))
+            if op == "COMPACT":
+                continue
+            base_files = [
+                str(self.root / st["path"])
+                for _part, stats in meta.get("partitionToWriteStats", {}).items()
+                for st in stats
+                if Path(st["path"]).name.endswith(".parquet")
+            ]
+            if base_files:
+                gone = [p for p in base_files if not Path(p).exists()]
+                if gone:
+                    raise HudiError(
+                        f"base file {gone[0]!r} was cleaned — the change "
+                        f"stream for instant {i} is no longer replayable"
+                    )
+                parts.append(
+                    spark.read.parquet(*base_files)
+                    .select(*data_cols)
+                    .withColumn("_change_type", F.lit("upsert"))
+                    .withColumn("_instant", F.lit(i))
+                )
+        # log blocks once (shared log files carry many instants): the
+        # decoder already tags every record with its block's commit
+        # time and op — the change stream is a filter + projection.
+        # Log files come from the WINDOW's commit metadata, NOT from
+        # current file slices: compaction supersedes old logs out of
+        # slice resolution, but their blocks are still this window's
+        # history (a cleaned log raises, honestly).
+        log_paths_set: set[str] = set()
+        log_version: dict[str, int] = {}
+        for i in instants:
+            if not (lo < i <= hi):
+                continue
+            meta = self._commit_meta(i)
+            for _part, stats in meta.get("partitionToWriteStats", {}).items():
+                for st in stats:
+                    name = Path(st["path"]).name
+                    if name.endswith(".parquet"):
+                        continue
+                    parsed = _parse_log_name(name)
+                    if parsed is None:
+                        raise HudiError(f"unrecognized write-stat path {st['path']!r}")
+                    p_abs = str(self.root / st["path"])
+                    if not Path(p_abs).exists():
+                        raise HudiError(
+                            f"log file {st['path']!r} was cleaned — the change "
+                            f"stream for instant {i} is no longer replayable"
+                        )
+                    log_paths_set.add(p_abs)
+                    log_version[p_abs] = parsed[2]
+        log_paths = sorted(log_paths_set)
+        if log_paths:
+            slices = self.file_slices(hi)
+            base = spark.read.parquet(*[b for _fid, _part, b, _l in slices])
+            recs = _read_log_records(spark, log_paths, log_version, base.schema, hi)
+            recs = recs.filter(F.col(META_COMMIT_TIME) > F.lit(lo))
+            key_col = F.when(
+                F.col("_cdf_op") == "d",
+                F.col(META_RECORD_KEY).cast(key_type),
+            ).otherwise(F.col(self.record_key))
+            proj = [
+                key_col.alias(c) if c == self.record_key else F.col(c)
+                for c in data_cols
+            ]
+            parts.append(
+                recs.select(
+                    *proj,
+                    F.when(F.col("_cdf_op") == "d", F.lit("delete"))
+                    .otherwise(F.lit("upsert"))
+                    .alias("_change_type"),
+                    F.col(META_COMMIT_TIME).alias("_instant"),
+                )
+            )
+        if not parts:
+            raise HudiError(f"no instants in ({lo!r}, {hi!r}] produced changes")
+        return _reduce(lambda a, b: a.unionByName(b), parts)
+
     def capabilities(self) -> Capability:
         # merge-on-read: predicates cannot be pushed below the merge (a
         # log record can move a row across the predicate boundary), so

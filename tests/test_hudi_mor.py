@@ -330,3 +330,45 @@ def test_partitioned_read_optimized_and_changes(spark, mor_part):
     assert {(r.k, r.v) for r in inc.collect()} == {(2, -1.0)}
     ro = {r.k: r.v for r in mk().read_optimized(spark).collect()}
     assert ro[2] == 20.0  # pending log invisible to read-optimized
+
+
+def test_change_stream_windows_and_compaction(spark, tmp_path):
+    """Change stream: per-instant windows, compaction contributes
+    nothing, delete tombstones reconstitute the record key, and a
+    cleaned log makes the affected window honestly unreplayable."""
+    import pytest as _pytest
+
+    from cdf_spark.sources.hudi_mor import HudiError
+
+    df = spark.range(1, 51).select(F.col("id").alias("k"), (F.col("id") * 10.0).alias("v"))
+    w = HudiMorFixtureWriter(tmp_path / "t", record_key="k", n_buckets=2)
+    w.insert(df)
+    w.upsert(spark.range(1, 11).select(F.col("id").alias("k"), F.lit(-1.0).alias("v")))
+    w.delete(spark.range(20, 26).select(F.col("id").alias("k")))
+    w.compact(spark)
+    t = HudiMorTable(tmp_path / "t")
+    insts = t.instants()
+    full = t.change_stream(spark)
+    counts = {
+        (r["_instant"], r["_change_type"]): r["count"]
+        for r in full.groupBy("_instant", "_change_type").count().collect()
+    }
+    assert counts == {
+        (insts[0], "upsert"): 50,
+        (insts[1], "upsert"): 10,
+        (insts[2], "delete"): 6,
+    }  # the compaction instant is absent
+    assert sorted(r.k for r in full.filter("_change_type='delete'").collect()) == list(
+        range(20, 26)
+    )
+    # window (insts[0], insts[1]]: just the upsert
+    win = t.change_stream(spark, from_instant=insts[0], to_instant=insts[1])
+    assert {r["_change_type"]: r["count"] for r in win.groupBy("_change_type").count().collect()} == {
+        "upsert": 10
+    }
+    # replay net effect matches the snapshot count
+    assert t.read(spark).count() == 50 - 6
+    # cleaned log -> the window raises instead of silently dropping
+    t.clean(retain_commits=1)
+    with _pytest.raises(HudiError):
+        t.change_stream(spark).count()
