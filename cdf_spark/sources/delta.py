@@ -597,12 +597,11 @@ class DeltaTable:
             if cdc:
                 df = spark.read.parquet(*[self._resolve(c["path"]) for c in cdc])
             elif adds and not removes:
+                # _read_files already applies column mapping and
+                # partition reconstitution for the pinned version
                 df = self._read_files(
                     spark, [self._resolve(a["path"]) for a in adds], v
-                )
-                df = self._apply_column_mapping(df, v)
-                df = self._finish_partitioned(df, v)
-                df = df.withColumn("_change_type", F.lit("insert"))
+                ).withColumn("_change_type", F.lit("insert"))
             elif removes:
                 raise DeltaError(
                     f"version {v} changed data without a change file "

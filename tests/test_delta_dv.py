@@ -261,3 +261,43 @@ def test_change_data_feed_edges(spark, tmp_path, orders):
     w2.append(o.limit(5), timestamp_ms=1_000)
     with pytest.raises(DeltaError):
         DeltaTable(tmp_path / "plain").table_changes(spark, 0)
+
+
+def test_change_data_feed_mapped_and_partitioned(spark, tmp_path, orders):
+    """CDF composes with column mapping (logical names in change
+    files, derived inserts resolved once, not double-mapped) and with
+    partitioning (partition columns ride the change rows)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    # -- column-mapped CDF table
+    w = DeltaFixtureWriter(tmp_path / "cm", column_mapping="name", change_data_feed=True)
+    w.append(o.filter("o_orderkey <= 50"), timestamp_ms=1_000)
+    w.delete_where(spark, "o_orderkey <= 5", timestamp_ms=2_000)
+    t = DeltaTable(tmp_path / "cm")
+    ch = t.table_changes(spark, 0)
+    assert set(ch.columns) >= {"o_orderkey", "o_totalprice", "_change_type"}
+    by = {r["_change_type"]: r["count"] for r in ch.groupBy("_change_type").count().collect()}
+    assert by == {"insert": 50, "delete": 5}
+    # -- partitioned CDF table: merge keyed on the partition column too
+    op = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").filter("o_orderkey > 0")
+    wp = DeltaFixtureWriter(tmp_path / "p", partition_by=["o_orderstatus"], change_data_feed=True)
+    wp.append(op.filter("o_orderkey <= 100"), timestamp_ms=1_000)
+    batch = op.filter("o_orderkey <= 10").withColumn("o_totalprice", F.lit(-1.0))
+    seg = tempfile.mkdtemp()
+    batch.coalesce(1).write.mode("overwrite").parquet(seg)
+    segs = sorted(str(p) for p in Path(seg).glob("*.parquet"))
+    wp.upsert_files_dv(spark, segs, ["o_orderkey"], timestamp_ms=2_000)
+    shutil.rmtree(seg, ignore_errors=True)
+    tp = DeltaTable(tmp_path / "p")
+    chp = tp.table_changes(spark, 0)
+    assert "o_orderstatus" in chp.columns  # partition col rides the changes
+    byp = {r["_change_type"]: r["count"] for r in chp.groupBy("_change_type").count().collect()}
+    assert byp == {"insert": 100, "update_preimage": 10, "update_postimage": 10}
+    assert chp.filter("o_orderstatus IS NULL").count() == 0
