@@ -386,6 +386,12 @@ def _file_can_match(expr, bounds: dict[str, tuple]) -> bool | None:
     return None
 
 
+def _norm_local(p: str) -> str:
+    """Normalize a local path/URI for identity comparison (the same
+    `^file:/+` collapse the positional-delete reader applies)."""
+    return re.sub(r"^file:/+", "/", p)
+
+
 def _strip_uri(p: str) -> str:
     return p[7:] if p.startswith("file://") else p
 
@@ -2507,7 +2513,45 @@ class IcebergFixtureWriter:
             e["status"] = 0  # EXISTING at this snapshot
             e["sequence_number"] = seq  # pin: do NOT inherit the new commit's seq
             new_entries.append(e)
-        new_entries.extend(delete_entries)
+        # Positional-delete hygiene: rows referencing REWRITTEN paths
+        # were resolved into the merged files — re-listing them would
+        # leave dangling rows that reads ignore but metadata_count
+        # still subtracts (double-counting the same deletes). Drop
+        # delete entries whose rows all reference rewritten files;
+        # TRIM mixed files to their surviving rows (tiny driver-side
+        # parquet rewrite, same boundary as delete_positions itself).
+        # Equality deletes (content=2) apply by value+sequence, not
+        # path — they pass through untouched.
+        rewritten_paths = {
+            _norm_local(p) for v in rewrite_groups.values() for _e, p, _s, _q in v
+        }
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        for e in delete_entries:
+            dfile = e["data_file"]
+            if int(dfile.get("content") or 0) != 1:
+                new_entries.append(e)
+                continue
+            dpath = t._resolve(dfile["file_path"])
+            dtab = _pq.read_table(dpath)
+            paths = [_norm_local(str(v)) for v in dtab.column("file_path").to_pylist()]
+            keep_rows = [i for i, p in enumerate(paths) if p not in rewritten_paths]
+            if len(keep_rows) == len(paths):
+                new_entries.append(e)
+            elif keep_rows:
+                trimmed = dtab.take(keep_rows)
+                dest = self.root / "data" / f"delete-{uuid.uuid4().hex}.parquet"
+                _pq.write_table(trimmed, dest)
+                ne = dict(e)
+                nd = dict(dfile)
+                nd["file_path"] = str(dest)
+                nd["record_count"] = len(keep_rows)
+                nd["file_size_in_bytes"] = dest.stat().st_size
+                ne["data_file"] = nd
+                ne["snapshot_id"] = sid
+                new_entries.append(ne)
+            # else: every row referenced a rewritten file — drop entirely
         self._finish_commit(sid, parent, ts, new_entries, "replace")
         after = IcebergTable(self.root)
         result["files_after"] = len(after.files_for_snapshot(after.current_snapshot_id()))

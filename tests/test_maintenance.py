@@ -771,3 +771,42 @@ def test_hudi_mor_clean_after_compaction(spark, tmp_path):
     assert plan_maintenance(tmp_path / "t", pol) == []  # converged
     cleans = list((tmp_path / "t" / ".hoodie").glob("*.clean"))
     assert len(cleans) == 1
+
+
+def test_binpack_trims_positional_deletes_metadata_count(spark, tmp_path, orders):
+    """Regression (found by self-review): bin-pack used to re-list
+    positional-delete entries whose rows were already RESOLVED into
+    the merged files — reads ignored the dangling rows but
+    metadata_count subtracted them a second time. Delete files fully
+    covering rewritten paths drop; mixed files trim to their
+    surviving rows; metadata_count equals the scan before and after."""
+    w = IcebergFixtureWriter(tmp_path / "t", seed=3)
+    o = orders.select("o_orderkey", "o_totalprice")
+    w.append(o.limit(50), timestamp_ms=1_000)
+    w.append(o.offset(50).limit(50), timestamp_ms=2_000)
+    w.append(o.offset(100).limit(150), timestamp_ms=2_500)  # big survivor
+    t = IcebergTable(tmp_path / "t")
+    import pathlib
+
+    files = sorted(
+        t.files_for_snapshot(t.current_snapshot_id()),
+        key=lambda p: pathlib.Path(p).stat().st_size,
+    )
+    # a delete file touching two small files AND the survivor
+    w.delete_positions(
+        [(files[0], 0), (files[0], 1), (files[1], 0), (files[-1], 0)], timestamp_ms=3_000
+    )
+    t = IcebergTable(tmp_path / "t")
+    assert t.metadata_count() == 246 == t.read(spark).count()
+    cut = pathlib.Path(files[-1]).stat().st_size
+    res = w.rewrite_small_files(spark, small_bytes=cut)
+    assert res["rewritten"] == 2
+    t2 = IcebergTable(tmp_path / "t")
+    assert t2.read(spark).count() == 246
+    assert t2.metadata_count() == 246  # no double subtraction
+    # exactly one trimmed delete entry survives (the survivor's row)
+    dels = t2.delete_files_for_snapshot(t2.current_snapshot_id())
+    assert len(dels) == 1
+    import pyarrow.parquet as pq
+
+    assert pq.read_metadata(dels[0]).num_rows == 1
