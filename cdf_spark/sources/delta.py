@@ -675,6 +675,14 @@ class DeltaTable:
                     key = str(Path(self._resolve(r["path"])).resolve())
                     ts = int(r.get("deletionTimestamp") or 0)
                     removed_at[key] = max(removed_at.get(key, 0), ts)
+                # change-data files referenced by a SURVIVING log
+                # version are live: table_changes replays them for as
+                # long as the commit JSON exists — only clean_log makes
+                # them reclaimable (found by self-review: vacuum used
+                # to delete a fresh commit's CDC file at retention 0)
+                c = a.get("cdc")
+                if c and c.get("path"):
+                    live.add(str(Path(self._resolve(c["path"])).resolve()))
         deleted: list[str] = []
         kept_recent: list[str] = []
         for p in sorted(self.root.rglob("*")):

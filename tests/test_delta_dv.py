@@ -301,3 +301,31 @@ def test_change_data_feed_mapped_and_partitioned(spark, tmp_path, orders):
     byp = {r["_change_type"]: r["count"] for r in chp.groupBy("_change_type").count().collect()}
     assert byp == {"insert": 100, "update_preimage": 10, "update_postimage": 10}
     assert chp.filter("o_orderstatus IS NULL").count() == 0
+
+
+def test_vacuum_keeps_referenced_cdc_files(spark, tmp_path, orders):
+    """Regression (found by self-review): vacuum at retention 0 used
+    to delete a fresh commit's CHANGE DATA file, breaking
+    table_changes for a fully live version. CDC files referenced by a
+    surviving commit JSON are live; once clean_log removes the
+    referencing commit, they reclaim."""
+    from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(o.limit(50), timestamp_ms=1_000)
+    w.delete_where(spark, "o_orderkey <= 5", timestamp_ms=2_000)  # v1 + cdc
+    t = DeltaTable(tmp_path / "t")
+    assert t.vacuum(retention_ms=0)["deleted"] == []
+    assert t.table_changes(spark, 0).count() == 55
+    # a later commit, then clean the log PAST the cdc commit: its
+    # change file is now unreferenced and reclaims
+    w.delete_where(spark, "o_orderkey = 7", timestamp_ms=3_000)
+    w.checkpoint()
+    w.clean_log(before_version=2)
+    t2 = DeltaTable(tmp_path / "t")
+    res = t2.vacuum(retention_ms=0)
+    reclaimed_cdc = [p for p in res["deleted"] if "_change_data" in p]
+    assert len(reclaimed_cdc) == 1  # v1's cdc file; v2's stays referenced
+    assert t2.read(spark).count() == 44
+    assert t2.table_changes(spark, 2).count() == 1  # v2 still replays
