@@ -621,7 +621,9 @@ class DeltaTable:
             raise DeltaError(
                 f"no versions in range [{from_version}, {hi}] produced changes"
             )
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        # schema widening inside the range: older versions' change
+        # rows null-fill the added columns
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
     def vacuum(
         self,

@@ -1237,7 +1237,10 @@ class IcebergTable:
                 parts.append(p.withColumn("_snapshot_id", F.lit(sid).cast("long")))
         if not parts:
             raise IcebergError("no snapshots in range produced changes")
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        # schema evolution inside the window: older snapshots lack the
+        # widened columns — null-fill them (the same semantics their
+        # snapshot reads have)
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
     def rollback_to(self, snapshot_id: int) -> int:
         """ROLLBACK (Iceberg's rollback_to_snapshot): make an ANCESTOR

@@ -592,3 +592,24 @@ def test_changelog_scan_semantics(spark, tmp_path, orders):
         t2.changelog_scan(spark).count()
     # ... but the pre-delete window still replays
     assert t2.changelog_scan(spark, to_snapshot_id=t.current_snapshot_id()).count() > 0
+
+
+def test_changelog_scan_across_schema_widening(spark, tmp_path, orders):
+    """A widening commit inside the changelog window: older snapshots'
+    change rows null-fill the added column (the same semantics their
+    snapshot reads have)."""
+    from pyspark.sql import functions as F
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=5)
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w.append(o.limit(20), timestamp_ms=1_000)
+    widened = (
+        o.offset(20).limit(10).withColumn("note", F.lit("new"))
+    )
+    w.append(widened, timestamp_ms=2_000)
+    t = IcebergTable(tmp_path / "t")
+    ch = t.changelog_scan(spark)
+    assert "note" in ch.columns
+    assert ch.count() == 30
+    assert ch.filter("note IS NULL").count() == 20  # pre-widening inserts
+    assert ch.filter("note = 'new'").count() == 10
