@@ -115,6 +115,11 @@ def _footer_stats(path) -> dict:
                     continue
             if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
                 continue
+            if isinstance(lo, str) and (len(lo) > 64 or len(hi) > 64):
+                # long string bounds may be writer-TRUNCATED in the
+                # footer; a truncated max understates the true max and
+                # would wrongly prune — skip rather than risk it
+                continue
             minv[name] = lo if name not in minv else min(minv[name], lo)
             maxv[name] = hi if name not in maxv else max(maxv[name], hi)
     out: dict[str, object] = {"numRecords": int(md.num_rows)}

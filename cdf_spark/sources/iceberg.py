@@ -1170,6 +1170,10 @@ class IcebergTable:
                 )
             chain = chain[ids.index(int(from_snapshot_id)) + 1 :]
         if to_snapshot_id is not None:
+            if int(to_snapshot_id) not in {int(s["snapshot-id"]) for s in chain}:
+                raise IcebergError(
+                    f"snapshot {to_snapshot_id} is not in the changelog window"
+                )
             keep = []
             for s in chain:
                 keep.append(s)

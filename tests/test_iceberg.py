@@ -584,6 +584,8 @@ def test_changelog_scan_semantics(spark, tmp_path, orders):
     ).count() == t.read(spark).count()
     with pytest.raises(IcebergError):
         t.changelog_scan(spark, from_snapshot_id=42)
+    with pytest.raises(IcebergError):
+        t.changelog_scan(spark, to_snapshot_id=42)  # unknown upper bound
     # positional deletes: honestly unreconstructible
     victim = t.files_for_snapshot(t.current_snapshot_id())[0]
     w.delete_positions([(victim, 0)], timestamp_ms=5_000)
