@@ -1078,7 +1078,12 @@ class IcebergTable:
         if cur is None:
             raise IcebergError("table has no snapshots to expire")
         chain = self.ancestry()
-        retain = {cur}
+        # tagged snapshots are PINNED: a tag is the promise that this
+        # snapshot stays readable until the tag is dropped
+        retain = {cur} | {
+            int(r["snapshot-id"])
+            for r in (self._meta.get("refs") or {}).values()
+        }
         if keep_last is not None:
             retain |= {int(s["snapshot-id"]) for s in chain[: max(1, keep_last)]}
         if older_than_ms is not None:
@@ -1246,6 +1251,46 @@ class IcebergTable:
         # snapshot reads have)
         return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Named snapshot TAG (Iceberg v2 `refs`): pin a snapshot under
+        a stable name — the release/audit pin that survives snapshot
+        expiry (expire_snapshots retains tagged snapshots and their
+        files). Metadata-only: a new metadata.json version carries the
+        ref; the tag resolves via `read(tag=...)` / `ref_snapshot`."""
+        sid = int(snapshot_id if snapshot_id is not None else self.current_snapshot_id())
+        self.snapshot(sid)  # must exist
+        refs = dict(self._meta.get("refs", {}))
+        if name in refs:
+            raise IcebergError(f"ref {name!r} already exists")
+        refs[name] = {"snapshot-id": sid, "type": "tag"}
+        hint = self.meta_dir / "version-hint.text"
+        version = int(hint.read_text().strip()) + 1 if hint.exists() else 1
+        meta = dict(self._meta)
+        meta["refs"] = refs
+        (self.meta_dir / f"v{version}.metadata.json").write_text(json.dumps(meta, indent=2))
+        hint.write_text(str(version))
+        self._meta = meta
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        refs = dict(self._meta.get("refs", {}))
+        if name not in refs:
+            raise IcebergError(f"ref {name!r} does not exist")
+        del refs[name]
+        hint = self.meta_dir / "version-hint.text"
+        version = int(hint.read_text().strip()) + 1 if hint.exists() else 1
+        meta = dict(self._meta)
+        meta["refs"] = refs
+        (self.meta_dir / f"v{version}.metadata.json").write_text(json.dumps(meta, indent=2))
+        hint.write_text(str(version))
+        self._meta = meta
+
+    def ref_snapshot(self, name: str) -> int:
+        ref = (self._meta.get("refs") or {}).get(name)
+        if ref is None:
+            raise IcebergError(f"ref {name!r} does not exist")
+        return int(ref["snapshot-id"])
+
     def rollback_to(self, snapshot_id: int) -> int:
         """ROLLBACK (Iceberg's rollback_to_snapshot): make an ANCESTOR
         snapshot current again — the first-reach-for op after a bad
@@ -1396,7 +1441,12 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         _files: list[str] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
+        if tag is not None:
+            if snapshot_id is not None or as_of_ms is not None:
+                raise IcebergError("pass exactly one of tag / snapshot_id / as_of_ms")
+            snapshot_id = self.ref_snapshot(tag)
         if snapshot_id is None:
             snap = (
                 self.snapshot_as_of(as_of_ms)

@@ -615,3 +615,35 @@ def test_changelog_scan_across_schema_widening(spark, tmp_path, orders):
     assert ch.count() == 30
     assert ch.filter("note IS NULL").count() == 20  # pre-widening inserts
     assert ch.filter("note = 'new'").count() == 10
+
+
+def test_snapshot_tags_pin_through_expiry(spark, tmp_path, orders):
+    """Tags (v2 refs): metadata-only pins that resolve via read(tag=)
+    and survive expire_snapshots until dropped."""
+    w = IcebergFixtureWriter(tmp_path / "t", seed=5)
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w.append(o.limit(30), timestamp_ms=1_000)
+    first = IcebergTable(tmp_path / "t").current_snapshot_id()
+    w.append(o.offset(30).limit(30), timestamp_ms=2_000)
+    w.append(o.offset(60).limit(30), timestamp_ms=3_000)
+    # metadata ops go through the TABLE; like rollback_to, writers
+    # constructed before an external metadata bump are stale
+    t = IcebergTable(tmp_path / "t")
+    t.create_tag("release-1", snapshot_id=first)
+    assert t.ref_snapshot("release-1") == first
+    assert t.read(spark, tag="release-1").count() == 30
+    # expire keep_last=1 would normally drop `first` — the tag pins it
+    res = t.expire_snapshots(keep_last=1, delete_orphans=True)
+    assert first not in res["expired"]
+    t2 = IcebergTable(tmp_path / "t")
+    assert t2.read(spark, tag="release-1").count() == 30
+    assert t2.read(spark).count() == 90
+    # duplicate / unknown guards
+    with pytest.raises(IcebergError):
+        t2.create_tag("release-1")
+    with pytest.raises(IcebergError):
+        t2.read(spark, tag="nope")
+    # dropped tag -> next expiry reclaims the snapshot
+    t2.drop_tag("release-1")
+    res2 = IcebergTable(tmp_path / "t").expire_snapshots(keep_last=1, delete_orphans=True)
+    assert first in res2["expired"]
