@@ -99,6 +99,7 @@ def _footer_stats(path) -> dict:
     md = pq.read_metadata(str(path))
     minv: dict[str, object] = {}
     maxv: dict[str, object] = {}
+    covered: dict[str, int] = {}  # row groups a column was stamped from
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -120,8 +121,17 @@ def _footer_stats(path) -> dict:
                 # footer; a truncated max understates the true max and
                 # would wrongly prune — skip rather than risk it
                 continue
+            covered[name] = covered.get(name, 0) + 1
             minv[name] = lo if name not in minv else min(minv[name], lo)
             maxv[name] = hi if name not in maxv else max(maxv[name], hi)
+    # a column is only stampable when EVERY row group contributed
+    # statistics: bounds merged from a subset understate the file's
+    # true range, and data skipping would then prune a file that
+    # contains matching rows — wrong results, not a missed
+    # optimization. Dropped columns read as unbounded (keep the file).
+    full = {n for n, c in covered.items() if c == md.num_row_groups}
+    minv = {n: v for n, v in minv.items() if n in full}
+    maxv = {n: v for n, v in maxv.items() if n in full}
     out: dict[str, object] = {"numRecords": int(md.num_rows)}
     if minv:
         out["minValues"] = minv
@@ -583,6 +593,19 @@ class DeltaTable:
 
         from pyspark.sql import functions as F
 
+        # completeness: every version in the window must still have its
+        # commit JSON — after clean_log a missing version would silently
+        # contribute NOTHING (a partial change set), where delta.io
+        # errors that the CDF range is unavailable. Same discipline as
+        # live_add_actions' cleaned-gap raise.
+        have = set(self.versions())
+        missing = sorted(v for v in range(from_version, hi + 1) if v not in have)
+        if missing:
+            raise DeltaError(
+                f"change data feed range [{from_version}, {hi}] is incomplete: "
+                f"versions {missing} are no longer in the log (clean_log) — "
+                "consume from a snapshot instead"
+            )
         parts: list[DataFrame] = []
         for v in self.versions():
             if v < from_version or v > hi:

@@ -1158,10 +1158,16 @@ class IcebergTable:
           delete preimages are the PARENT state's rows matching the
           snapshot's added delete-key files (null-safe), inserts are
           its added data files;
+        - positional-delete commits (the shape Spark/Trino MERGE
+          writes): delete preimages are the PARENT state's rows at
+          the (file, pos) addresses the added delete files name —
+          resolved with the same `_metadata.row_index` join the
+          merge-on-read path uses; added data files are inserts;
         - replace (maintenance rewrites): no logical change, nothing;
-        - positional-delete commits and opaque overwrites raise —
-          their row-level change set is not reconstructible from
-          manifests alone, same honesty as Delta's overwrite ranges."""
+        - opaque copy-on-write overwrites raise — an overwrite that
+          adds data files with NO delete files replaced rows the
+          manifests cannot identify (same honesty as Delta's
+          overwrite ranges)."""
         from functools import reduce
 
         from pyspark.sql import functions as F
@@ -1191,7 +1197,7 @@ class IcebergTable:
             op = str((snap.get("summary") or {}).get("operation", "append"))
             added_data: list[str] = []
             added_eq: list[dict] = []
-            added_pos = 0
+            added_pos: list[str] = []
             for mp in self._manifest_paths(snap):
                 for e in self._manifest_entries(mp):
                     if int(e.get("status", 1)) != 1 or int(e.get("snapshot_id") or -1) != sid:
@@ -1208,17 +1214,48 @@ class IcebergTable:
                             }
                         )
                     else:
-                        added_pos += 1
+                        added_pos.append(str(self._resolve(dfile["file_path"])))
             if op == "replace":
                 continue  # maintenance rewrite: no logical change
-            if added_pos or (op in ("overwrite", "delete") and not added_eq and not added_data):
+            if op in ("overwrite", "delete") and not added_eq and not added_pos:
+                # an overwrite/delete that adds NO delete files replaced
+                # or removed rows the manifests cannot identify (CoW
+                # overwrite / replace_files): raise rather than replay
+                # the whole table as fresh inserts
                 raise IcebergError(
-                    f"snapshot {sid} ({op}) changed rows without an equality-"
-                    "delete upsert shape — its row-level change set is not "
+                    f"snapshot {sid} ({op}) changed rows without delete "
+                    "files — its row-level change set is not "
                     "reconstructible from manifests; consume from a snapshot"
                 )
             snap_parts: list[DataFrame] = []
             parent = snap.get("parent-snapshot-id")
+            if added_pos:
+                if parent is None:
+                    raise IcebergError(
+                        f"snapshot {sid} carries positional deletes but has "
+                        "no parent — nothing to delete from"
+                    )
+                # preimages: rows live at the PARENT snapshot at the
+                # (file, pos) addresses the delete files name. The
+                # parent read keeps _file/_pos (the same row-address
+                # machinery the merge-on-read path uses), the delete
+                # side is tiny and broadcasts — one scan + a map-side
+                # semi-join, no shuffle.
+                norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+                prev = self.read(spark, snapshot_id=int(parent), _keep_meta=True)
+                dd = (
+                    spark.read.parquet(*added_pos)
+                    .select(
+                        norm(F.col("file_path")).alias("_file"),
+                        F.col("pos").alias("_pos"),
+                    )
+                    .dropDuplicates()
+                )
+                snap_parts.append(
+                    prev.join(F.broadcast(dd), on=["_file", "_pos"], how="left_semi")
+                    .drop("_file", "_pos")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
             if added_eq and parent is not None:
                 names = self._field_names_by_id()
                 prev = self.read(spark, snapshot_id=int(parent))
@@ -1442,6 +1479,7 @@ class IcebergTable:
         as_of_ms: int | None = None,
         _files: list[str] | None = None,
         tag: str | None = None,
+        _keep_meta: bool = False,
     ) -> DataFrame:
         if tag is not None:
             if snapshot_id is not None or as_of_ms is not None:
@@ -1468,7 +1506,7 @@ class IcebergTable:
             # every file pruned: empty result with the current schema
             schema = self._assemble(spark, entries, with_meta=False).schema
             return spark.createDataFrame([], schema)
-        with_meta = bool(dels or eq)
+        with_meta = bool(dels or eq) or _keep_meta
         df = self._assemble(spark, sel_entries, with_meta=with_meta)
         orig_cols = [c for c in df.columns if c not in ("_file", "_pos")]
         if dels:
@@ -1552,6 +1590,10 @@ class IcebergTable:
                     .filter(F.col("_del_seq").isNull() | (F.col("_del_seq") <= F.col("_dseq")))
                     .drop("_del_seq", *dk)
                 )
+        if _keep_meta:
+            # caller wants row addresses (_file, _pos) alongside the
+            # data — the changelog's pos-delete preimage join needs them
+            return df.select(*orig_cols, "_file", "_pos")
         return df.select(*orig_cols)  # drop helpers, restore column order
 
     def changes_since(
@@ -1791,6 +1833,12 @@ class IcebergFixtureWriter:
         self._next_fid = 1
         self._schemas: list[dict] = []
         self._current_schema_id = 0
+        # refs (tags/branches) ride through every metadata rewrite: a
+        # tag is the promise that its snapshot stays readable, so a
+        # writer that drops the `refs` key on its next commit silently
+        # breaks that promise (and expire_snapshots would then reclaim
+        # the "pinned" snapshot's files — data loss)
+        self._refs: dict[str, dict] = {}
         if any(self.meta_glob()):
             self._rehydrate()
 
@@ -1816,6 +1864,9 @@ class IcebergFixtureWriter:
             self._version = int(hint.read_text().strip())
         self._schemas = list(meta.get("schemas", []))
         self._current_schema_id = int(meta.get("current-schema-id", 0))
+        # carry tags/branches forward — a resumed writer that forgets
+        # them would erase every tag on its first commit
+        self._refs = dict(meta.get("refs") or {})
         cur = next(
             (s for s in self._schemas if s.get("schema-id", 0) == self._current_schema_id),
             {"fields": []},
@@ -2429,19 +2480,28 @@ class IcebergFixtureWriter:
         return self._finish_commit(sid, parent, ts, self._copied_file_entries(paths, sid), "append")
 
     def replace_files(
-        self, paths: list[str], timestamp_ms: int | None = None, snapshot_id: int | None = None
+        self,
+        paths: list[str],
+        timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+        operation: str = "overwrite",
     ) -> int:
         """Overwrite commit by segment COPY: the new snapshot's live
-        set is exactly these files (prior files stay for time travel)."""
+        set is exactly these files (prior files stay for time travel).
+        Maintenance rewrites pass operation='replace' (same live-set
+        semantics, but declares "no logical change" so changelog
+        consumers skip it instead of raising)."""
         if not paths:
             raise IcebergError("replace_files requires at least one parquet file")
+        if operation not in ("overwrite", "replace"):
+            raise IcebergError(f"unsupported replace operation {operation!r}")
         self._ensure_schema_from_parquet(paths[0])
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
         parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         return self._finish_commit(
-            sid, parent, ts, self._copied_file_entries(paths, sid), "overwrite"
+            sid, parent, ts, self._copied_file_entries(paths, sid), operation
         )
 
     def rewrite_small_files(
@@ -2655,7 +2715,9 @@ class IcebergFixtureWriter:
         try:
             clustered.write.mode("overwrite").parquet(tmp)
             files = sorted(str(p) for p in Path(tmp).glob("*.parquet"))
-            self.replace_files(files, timestamp_ms=timestamp_ms)
+            # 'replace': clustering is maintenance — same rows, new
+            # layout — so changelog consumers must see NO change here
+            self.replace_files(files, timestamp_ms=timestamp_ms, operation="replace")
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         after = IcebergTable(self.root)
@@ -2715,7 +2777,8 @@ class IcebergFixtureWriter:
         try:
             clustered.write.mode("overwrite").parquet(tmp)
             files = sorted(str(p) for p in Path(tmp).glob("*.parquet"))
-            self.replace_files(files, timestamp_ms=timestamp_ms)
+            # 'replace': same rows, new layout — no logical change
+            self.replace_files(files, timestamp_ms=timestamp_ms, operation="replace")
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         after = IcebergTable(self.root)
@@ -3011,6 +3074,8 @@ class IcebergFixtureWriter:
                 for s in self._snapshots
             ],
         }
+        if self._refs:
+            meta["refs"] = dict(self._refs)
         # optimistic concurrency: metadata versions are immutable and
         # the version number IS the compare-and-swap token (what a
         # catalog CAS provides on a real deployment). O_EXCL create

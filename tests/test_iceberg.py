@@ -586,14 +586,21 @@ def test_changelog_scan_semantics(spark, tmp_path, orders):
         t.changelog_scan(spark, from_snapshot_id=42)
     with pytest.raises(IcebergError):
         t.changelog_scan(spark, to_snapshot_id=42)  # unknown upper bound
-    # positional deletes: honestly unreconstructible
+    # positional deletes (the Spark/Trino MERGE shape): the changelog
+    # derives the delete PREIMAGE from the parent snapshot's row at
+    # the (file, pos) address — r8, was a refusal before
     victim = t.files_for_snapshot(t.current_snapshot_id())[0]
+    pre_sid = t.current_snapshot_id()
     w.delete_positions([(victim, 0)], timestamp_ms=5_000)
     t2 = IcebergTable(tmp_path / "t")
-    with pytest.raises(IcebergError):
-        t2.changelog_scan(spark).count()
-    # ... but the pre-delete window still replays
-    assert t2.changelog_scan(spark, to_snapshot_id=t.current_snapshot_id()).count() > 0
+    tail = t2.changelog_scan(spark, from_snapshot_id=pre_sid)
+    rows = tail.collect()
+    assert len(rows) == 1 and rows[0]["_change_type"] == "delete"
+    # the preimage is the actual row that was at (victim, 0)
+    victim_row = spark.read.parquet(victim).limit(1).collect()[0]
+    assert rows[0]["o_orderkey"] == victim_row["o_orderkey"]
+    # the pre-delete window still replays
+    assert t2.changelog_scan(spark, to_snapshot_id=pre_sid).count() > 0
 
 
 def test_changelog_scan_across_schema_widening(spark, tmp_path, orders):

@@ -1,0 +1,194 @@
+"""Round-8 regression tests: each test falsifies one of the
+advisor-flagged defects from round 7's review —
+
+1. Iceberg tags silently destroyed by the next writer commit
+   (writer resume never loaded `refs`; `_write_metadata` dropped them);
+2. `changelog_scan` replaying copy-on-write overwrites as blind
+   inserts (and maintenance rewrites committing as 'overwrite');
+3. Delta `table_changes` silently returning a PARTIAL change set when
+   `clean_log` removed versions inside the requested window;
+4. `_footer_stats` stamping min/max merged from a SUBSET of row
+   groups (understated bounds -> data skipping prunes matching rows).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.sources.delta import (
+    DeltaError,
+    DeltaFixtureWriter,
+    DeltaTable,
+    _footer_stats,
+)
+from cdf_spark.sources.iceberg import (
+    IcebergError,
+    IcebergFixtureWriter,
+    IcebergTable,
+)
+
+
+# -- 1. tags survive writer resume + commit --------------------------------
+
+
+def test_tag_survives_resumed_writer_commit(spark, tmp_path, orders):
+    """create_tag -> NEW writer instance commits -> the tag must still
+    resolve, and expire_snapshots must still pin the tagged snapshot.
+    The old writer rebuilt metadata.json without `refs`, so the first
+    post-tag commit erased every tag and a later expiry deleted the
+    'pinned' snapshot's data files — silent data loss."""
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = IcebergFixtureWriter(tmp_path / "t", seed=11)
+    w.append(o.limit(40), timestamp_ms=1_000)
+    t = IcebergTable(tmp_path / "t")
+    tagged_sid = t.create_tag("audit-v1")
+
+    # resume: destinations construct a fresh writer per run
+    w2 = IcebergFixtureWriter(tmp_path / "t", seed=12)
+    w2.append(o.offset(40).limit(30), timestamp_ms=2_000)
+    w2.append(o.offset(70).limit(20), timestamp_ms=3_000)
+
+    t2 = IcebergTable(tmp_path / "t")
+    assert t2.ref_snapshot("audit-v1") == tagged_sid  # tag still there
+    # expiry with orphan deletion keeps the tagged snapshot readable
+    t2.expire_snapshots(keep_last=1, delete_orphans=True)
+    t3 = IcebergTable(tmp_path / "t")
+    assert t3.ref_snapshot("audit-v1") == tagged_sid
+    assert t3.read(spark, tag="audit-v1").count() == 40
+
+
+def test_tag_survives_schema_evolution_commit(tmp_path, orders):
+    """Metadata-only commits (rename/add column) rewrite metadata.json
+    too — refs must ride through those as well."""
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = IcebergFixtureWriter(tmp_path / "t", seed=13)
+    w.append(o.limit(10), timestamp_ms=1_000)
+    t = IcebergTable(tmp_path / "t")
+    t.create_tag("pin")
+    w2 = IcebergFixtureWriter(tmp_path / "t", seed=14)
+    w2.rename_column("o_totalprice", "price")
+    t2 = IcebergTable(tmp_path / "t")
+    assert t2.ref_snapshot("pin") == t.ref_snapshot("pin")
+
+
+# -- 2. changelog vs copy-on-write overwrites ------------------------------
+
+
+def test_changelog_raises_on_cow_overwrite(spark, tmp_path, orders):
+    """overwrite()/replace_files() add data files with NO delete files:
+    the replaced rows are unidentifiable from manifests, so the window
+    must raise — the old guard let it replay the whole table as fresh
+    inserts (duplicated rows, lost deletions for CDC consumers)."""
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = IcebergFixtureWriter(tmp_path / "t", seed=21)
+    w.append(o.limit(50), timestamp_ms=1_000)
+    t = IcebergTable(tmp_path / "t")
+    s0 = t.current_snapshot_id()
+    w.overwrite(o.limit(30), timestamp_ms=2_000)  # CoW overwrite
+    t2 = IcebergTable(tmp_path / "t")
+    with pytest.raises(IcebergError, match="not\\s+reconstructible"):
+        t2.changelog_scan(spark, from_snapshot_id=s0).count()
+
+
+def test_changelog_skips_layout_rewrites(spark, tmp_path, orders):
+    """rewrite_sorted / rewrite_zorder are maintenance (same rows, new
+    layout) and now commit as 'replace': a changelog window spanning
+    them must contribute NOTHING for the rewrite — not replay the
+    table, not raise."""
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = IcebergFixtureWriter(tmp_path / "t", seed=22)
+    w.append(o.limit(40), timestamp_ms=1_000)
+    t = IcebergTable(tmp_path / "t")
+    s0 = t.current_snapshot_id()
+    w.append(o.offset(40).limit(10), timestamp_ms=2_000)
+    w.rewrite_sorted(spark, by=["o_orderkey"], target_files=2, timestamp_ms=3_000)
+    w.rewrite_zorder(
+        spark, by=["o_orderkey", "o_totalprice"], target_files=2, timestamp_ms=4_000
+    )
+    t2 = IcebergTable(tmp_path / "t")
+    ch = t2.changelog_scan(spark, from_snapshot_id=s0)
+    counts = {
+        r["_change_type"]: r["count"]
+        for r in ch.groupBy("_change_type").count().collect()
+    }
+    assert counts == {"insert": 10}  # only the real append
+
+
+def test_changelog_pos_delete_preimages(spark, tmp_path, orders):
+    """Positional-delete commits (what Spark/Trino MERGE writes): the
+    changelog derives exact delete preimages from the parent snapshot
+    at the delete files' (file, pos) addresses."""
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = IcebergFixtureWriter(tmp_path / "t", seed=23)
+    s1 = w.append(o.filter("o_orderkey <= 60"), timestamp_ms=1_000)
+    t = IcebergTable(tmp_path / "t")
+    located = (
+        t.read(spark, snapshot_id=s1)
+        .withColumn(
+            "_f", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        )
+        .withColumn("_p", F.col("_metadata.row_index"))
+        .filter(F.col("o_orderkey").isin(3, 7, 11))
+        .select("_f", "_p", "o_orderkey")
+        .collect()
+    )
+    assert len(located) == 3
+    w.delete_positions([(r._f, r._p) for r in located], timestamp_ms=2_000)
+    t2 = IcebergTable(tmp_path / "t")
+    ch = t2.changelog_scan(spark, from_snapshot_id=s1).collect()
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    assert sorted(r["o_orderkey"] for r in ch) == [3, 7, 11]
+    # replay still nets out to the live row count
+    full = t2.changelog_scan(spark)
+    net = (
+        full.filter("_change_type = 'insert'").count()
+        - full.filter("_change_type = 'delete'").count()
+    )
+    assert net == t2.read(spark).count()
+
+
+# -- 3. Delta CDF window completeness after clean_log ----------------------
+
+
+def test_table_changes_raises_on_cleaned_gap(spark, tmp_path, orders):
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = DeltaFixtureWriter(tmp_path / "d", change_data_feed=True)
+    w.append(o.limit(10), timestamp_ms=1_000)
+    w.append(o.offset(10).limit(10), timestamp_ms=2_000)
+    w.append(o.offset(20).limit(10), timestamp_ms=3_000)
+    w.checkpoint()
+    removed = w.clean_log(before_version=2)
+    assert removed  # versions 0..1 gone
+    t2 = DeltaTable(tmp_path / "d")
+    with pytest.raises(DeltaError, match="incomplete"):
+        t2.table_changes(spark, from_version=0)
+    # a window entirely inside the surviving log still replays
+    assert t2.table_changes(spark, from_version=2).count() == 10
+
+
+# -- 4. footer stats require FULL row-group coverage -----------------------
+
+
+def test_footer_stats_drop_partially_covered_columns(tmp_path):
+    """File with two row groups where the string column's stats are
+    usable in only one (the other's bounds exceed the 64-char
+    truncation guard): stamping bounds from the covered subset would
+    understate the file's true range and data skipping could prune a
+    file that CONTAINS matching rows. The column must be dropped
+    (unbounded); fully-covered columns still stamp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = tmp_path / "mixed.parquet"
+    t1 = pa.table({"k": pa.array([1, 2], pa.int64()), "s": ["a", "b"]})
+    t2 = pa.table({"k": pa.array([3, 4], pa.int64()), "s": ["z" * 100, "z" * 100]})
+    with pq.ParquetWriter(path, t1.schema) as wr:
+        wr.write_table(t1)  # row group 1: short strings, stats usable
+        wr.write_table(t2)  # row group 2: >64-char bounds, skipped
+    stats = _footer_stats(path)
+    assert stats["numRecords"] == 4
+    assert stats["minValues"]["k"] == 1 and stats["maxValues"]["k"] == 4
+    # 's' covered in only 1 of 2 row groups -> must NOT be stamped
+    assert "s" not in stats.get("minValues", {})
+    assert "s" not in stats.get("maxValues", {})
