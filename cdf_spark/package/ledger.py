@@ -197,6 +197,25 @@ class CheckpointLedger:
             f.write(json.dumps(asdict(entry)) + "\n")
         return entry
 
+    def epoch_committed(self, resource_id: str, epoch_id: int) -> bool:
+        """True when this stream epoch already checkpointed — the
+        foreachBatch exactly-once guard. Spark re-invokes foreachBatch
+        with the SAME epoch id when a crash lands between the sink
+        commit and the offset commit; a checkpointed epoch must be
+        skipped, not committed twice (the batchId-dedup discipline
+        every idempotent foreachBatch sink uses)."""
+        if not self.checkpoints.exists():
+            return False
+        with open(self.checkpoints) as f:
+            for line in f:
+                obj = json.loads(line)
+                if (
+                    obj["resource_id"] == resource_id
+                    and obj.get("positions", {}).get("epoch") == int(epoch_id)
+                ):
+                    return True
+        return False
+
     def latest(self, resource_id: str) -> CheckpointEntry | None:
         if not self.checkpoints.exists():
             return None

@@ -3019,6 +3019,80 @@ def iceberg_changelog_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_changelog_pos_deletes",
+    """
+    SELECT o_orderkey, o_totalprice, 'insert' AS _change_type
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 300
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete'
+    FROM orders WHERE o_orderkey > 50 AND o_orderkey <= 100
+    UNION ALL
+    SELECT o_orderkey, -1.0, 'insert'
+    FROM orders WHERE (o_orderkey > 50 AND o_orderkey <= 100)
+                   OR (o_orderkey > 300 AND o_orderkey <= 350)
+    """,
+)
+def iceberg_changelog_pos_deletes(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg CHANGELOG over POSITIONAL-delete commits — the commit
+    shape real engines' MERGE INTO writes (merge-on-read position
+    deletes + new data files in ONE 'overwrite' snapshot), which the
+    r7 changelog refused. Delete preimages are reconstructed from the
+    parent snapshot at the delete files' (file, pos) addresses via
+    the same `_metadata.row_index` join the merge-on-read read path
+    uses — one parent scan + a broadcast semi-join, no shuffle. The
+    oracle recomputes every change row relationally. Ref frame: the
+    destination protocol's addressed corrections make row-level
+    history first-class (crates/cdf-kernel/src/correction.rs)."""
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        import shutil
+        import tempfile
+        from pathlib import Path as _P
+
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=41)
+        s1 = w.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 300)),
+            timestamp_ms=1000,
+        )
+        # locate the MERGE victims' physical (file, pos) addresses —
+        # what a real engine's MERGE write phase resolves
+        t = IcebergTable(f"{tmp}/t")
+        located = (
+            t.read(spark, snapshot_id=s1)
+            .withColumn(
+                "_f",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            )
+            .withColumn("_p", F.col("_metadata.row_index"))
+            .filter((F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 100))
+            .select("_f", "_p")
+            .collect()
+        )
+        batch = (
+            o.filter((F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 100))
+            .withColumn("o_totalprice", F.lit(-1.0))
+            .unionByName(
+                o.filter((F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 350))
+                .withColumn("o_totalprice", F.lit(-1.0))
+            )
+        )
+        seg = tempfile.mkdtemp()
+        batch.coalesce(1).write.mode("overwrite").parquet(seg)
+        segs = sorted(str(p) for p in _P(seg).glob("*.parquet"))
+        w.merge_files_pos(
+            segs, [(r._f, r._p) for r in located], timestamp_ms=2000
+        )
+        shutil.rmtree(seg, ignore_errors=True)
+
+    tmp = _session_fixture("ice_changelog_pos", sf, build)
+    return IcebergTable(f"{tmp}/t").changelog_scan(spark).select(
+        "o_orderkey", "o_totalprice", "_change_type"
+    )
+
+
+@_register(
     "cross_format_cdc_replication",
     """
     WITH base AS (
@@ -3504,6 +3578,105 @@ def stream_drain_equivalence(spark: SparkSession, sf: str) -> DataFrame:
             raise AssertionError("an epoch's commit receipt failed verification")
 
     tmp = _session_fixture("stream_drain", sf, build)
+    return spark.read.parquet(f"{tmp}/dest").select(*cols)
+
+
+@_register(
+    "resident_restart_stream",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def resident_restart_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """RESIDENT extent proven end-to-end WITH a restart
+    (`streaming/pipeline.py` Trigger.ProcessingTime; the reference's
+    Resident extent + drain-epoch controller,
+    `crates/cdf-runtime/src/drain_epoch.rs:1-1258`): a live
+    processingTime stream consumes two file batches and is STOPPED;
+    more data lands while it is down; a FRESH pipeline object (what a
+    new driver process would build) restarts from the same Spark
+    checkpoint and processes ONLY the while-down files — asserted in
+    the fixture build, so reprocessing or loss fails the build. The
+    query returns the final committed table; the oracle recomputes it
+    as plain SQL over the same rows, so the value-hash check proves
+    exactly-once delivery across the restart."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from .package.ledger import ParquetDestination
+    from .sources.base import ResourceDescriptor, WriteDisposition
+    from .streaming.epochs import EpochPolicy, StreamExtent
+    from .streaming.pipeline import StreamingLoadPipeline
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def build(tmp: str) -> None:
+        import shutil
+        import tempfile
+        from pathlib import Path as _Path
+
+        ev = _t(spark, sf, "events").select(*cols)
+        (_Path(tmp) / "in").mkdir()
+
+        def _land(i: int) -> int:
+            part = ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            stage = tempfile.mkdtemp(prefix="cdf_resident_part_")
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            # resident file discovery lists only FLAT files — land the
+            # part file itself in the watched dir
+            shutil.move(str(src), f"{tmp}/in/part-{i}.parquet")
+            shutil.rmtree(stage, ignore_errors=True)
+            return part.count()
+
+        def _pipe() -> StreamingLoadPipeline:
+            return StreamingLoadPipeline(
+                descriptor=ResourceDescriptor(resource_id="resident_events"),
+                source_path=f"{tmp}/in",
+                schema=schema,
+                package_root=f"{tmp}/pkgs",
+                ledger_root=f"{tmp}/ledger",
+                destination=ParquetDestination(f"{tmp}/dest"),
+                disposition=WriteDisposition.APPEND,
+                extent=StreamExtent.RESIDENT,
+                epoch_policy=EpochPolicy(trigger_interval="1 seconds"),
+            )
+
+        def _run_until(pipe: StreamingLoadPipeline, expect_rows: int) -> None:
+            q = pipe.run(spark)
+            try:
+                deadline = _time.time() + 180
+                while (
+                    sum(e.rows_admitted for e in pipe.epochs) < expect_rows
+                    and _time.time() < deadline
+                ):
+                    _time.sleep(0.5)
+            finally:
+                q.stop()
+                q.awaitTermination()
+            got = sum(e.rows_admitted for e in pipe.epochs)
+            if got != expect_rows:
+                raise AssertionError(
+                    f"resident run admitted {got} rows, expected {expect_rows} "
+                    "— restart reprocessed or lost data"
+                )
+
+        n_first = _land(0) + _land(1)
+        _run_until(_pipe(), n_first)  # live run, then the kill
+        n_second = _land(2) + _land(3)  # lands while the stream is DOWN
+        _run_until(_pipe(), n_second)  # fresh pipeline, same checkpoint
+
+    tmp = _session_fixture("resident_restart", sf, build)
     return spark.read.parquet(f"{tmp}/dest").select(*cols)
 
 

@@ -2248,6 +2248,62 @@ class IcebergFixtureWriter:
         ]
         return self._finish_commit(sid, parent, ts, entries, "delete")
 
+    def merge_files_pos(
+        self,
+        paths: list[str],
+        pos_deletes: list[tuple[str, int]],
+        timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> int:
+        """ONE snapshot with operation 'overwrite' carrying a
+        positional-delete file AND the batch's data files — the commit
+        shape Spark's and Trino's MERGE INTO write (merge-on-read with
+        position deletes). Prior data manifests stay referenced;
+        readers resolve the deletes by (file, pos) and changelog
+        consumers reconstruct exact preimages from them."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not pos_deletes and not paths:
+            raise IcebergError("merge_files_pos requires deletes or data files")
+        if paths:
+            self._ensure_schema_from_parquet(paths[0])
+        sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
+        parent = self._parent_snapshot_id()
+        self._seq += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+        entries = list(self._copied_file_entries(paths, sid)) if paths else []
+        if pos_deletes:
+            dest = self.root / "data" / f"delete-{uuid.uuid4().hex}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array([p for p, _ in pos_deletes], pa.string()),
+                        "pos": pa.array([int(i) for _, i in pos_deletes], pa.int64()),
+                    }
+                ),
+                dest,
+            )
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": self._seq,
+                    "data_file": {
+                        "file_path": str(dest),
+                        "file_format": "PARQUET",
+                        "record_count": len(pos_deletes),
+                        "content": 1,
+                        "partition": None,
+                        "equality_ids": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "file_size_in_bytes": dest.stat().st_size,
+                    },
+                }
+            )
+        return self._finish_commit(sid, parent, ts, entries, "overwrite", retain_prior=True)
+
     def delete_equality(
         self,
         values: list[dict],

@@ -94,6 +94,26 @@ class StreamingLoadPipeline:
         wm_ledger = WatermarkLedger(self.ledger_root, desc.resource_id)
         ck_ledger = CheckpointLedger(self.ledger_root)
 
+        # exactly-once across restarts: after a crash between the sink
+        # commit and Spark's offset commit, the restarted query replays
+        # the batch under the SAME epoch id — the checkpoint ledger
+        # already holds its verified receipt, so the replay is skipped
+        # (recorded with package_id=None as the replay signature)
+        if self.destination is not None and ck_ledger.epoch_committed(
+            desc.resource_id, epoch_id
+        ):
+            self.epochs.append(
+                EpochResult(
+                    epoch_id=epoch_id,
+                    rows_admitted=0,
+                    rows_quarantined=0,
+                    rows_late=0,
+                    package_id=None,
+                    receipt_verified=True,
+                )
+            )
+            return
+
         df = batch_df
         quarantined = None
         cres = None

@@ -400,3 +400,109 @@ def test_stream_stream_join_late_arrival_state_evicted(spark, tmp_path):
     # batch, hence the day-2 filler) and its rows are filtered on
     # input, including the same-batch pair (1, 2)
     assert got == {(7, 8)}
+
+
+def test_resident_restart_exactly_once(spark, tmp_path):
+    """RESIDENT pipeline killed mid-stream and RESTARTED from the same
+    Spark checkpoint (a fresh pipeline object, as a new process would
+    build): committed epochs are NOT reprocessed, data landed while
+    the stream was down is picked up, a crash-replayed epoch id is
+    skipped by the checkpoint-ledger guard, and auto-maintenance fires
+    every N verified epochs — exactly-once delivery through
+    commit/verify across the restart (drain_epoch.rs:1-1258 parity)."""
+    import shutil
+    import tempfile as _tempfile
+    import time as _time
+    from pathlib import Path
+
+    from cdf_spark.package.delta_dest import DeltaDestination
+    from cdf_spark.package.ledger import CheckpointLedger
+    from cdf_spark.package.maintenance import MaintenancePolicy
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.streaming.epochs import EpochPolicy
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def _land(rows, name):
+        stage = _tempfile.mkdtemp()
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (f,) = Path(stage).glob("*.parquet")
+        shutil.move(str(f), str(src / name))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def _pipe():
+        # built fresh per run, exactly like a new driver process would
+        return StreamingLoadPipeline(
+            descriptor=ResourceDescriptor("restart_ev", primary_key=["event_id"]),
+            source_path=str(src),
+            schema=EVENT_SCHEMA,
+            package_root=str(tmp_path / "pkgs"),
+            ledger_root=str(tmp_path / "ledger"),
+            destination=DeltaDestination(tmp_path / "dest"),
+            extent=StreamExtent.RESIDENT,
+            epoch_policy=EpochPolicy(trigger_interval="1 seconds"),
+            maintenance_every_epochs=2,
+            maintenance_policy=MaintenancePolicy(
+                small_file_bytes=1 << 30, min_small_files=2
+            ),
+        )
+
+    def _wait(pred, deadline_s=90):
+        deadline = _time.time() + deadline_s
+        while not pred() and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert pred(), "condition not reached before deadline"
+
+    _land([(i, i * 10, float(i)) for i in range(1, 11)], "b1.parquet")
+    pipe_a = _pipe()
+    q = pipe_a.run(spark)
+    try:
+        _wait(lambda: sum(e.rows_admitted for e in pipe_a.epochs) >= 10)
+        _land([(i, i * 10, float(i)) for i in range(11, 16)], "b2.parquet")
+        _wait(lambda: sum(e.rows_admitted for e in pipe_a.epochs) >= 15)
+        # the 2nd verified epoch triggers maintenance — let it finish
+        # so the kill lands at an epoch boundary, not mid-maintenance
+        _wait(lambda: pipe_a.maintenance_reports)
+    finally:
+        q.stop()  # the kill
+        q.awaitTermination()
+    assert sum(e.rows_admitted for e in pipe_a.epochs) == 15
+    # maintenance fired on the verified-epoch cadence
+    assert pipe_a.maintenance_reports, "auto-maintenance never fired"
+
+    # stream is DOWN; more data lands
+    _land([(i, i * 10, float(i)) for i in range(16, 21)], "b3.parquet")
+
+    pipe_b = _pipe()
+    q2 = pipe_b.run(spark)
+    try:
+        _wait(lambda: sum(e.rows_admitted for e in pipe_b.epochs) >= 5)
+        # settle one extra trigger to catch any wrongful reprocessing
+        _time.sleep(2.0)
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+    # the restarted query processed ONLY the while-down data
+    assert sum(e.rows_admitted for e in pipe_b.epochs) == 5
+
+    out = DeltaTable(tmp_path / "dest").read(spark)
+    assert out.count() == 20  # no loss, no duplication
+    assert out.select("event_id").distinct().count() == 20
+
+    # crash-replay: Spark re-invokes foreachBatch with an ALREADY
+    # COMMITTED epoch id after a crash between sink commit and offset
+    # commit — the ledger guard must skip it, not double-commit
+    committed = [e for e in pipe_b.epochs if e.package_id is not None]
+    assert committed
+    replay_id = committed[0].epoch_id
+    ck = CheckpointLedger(str(tmp_path / "ledger"))
+    assert ck.epoch_committed("restart_ev", replay_id)
+    pipe_b.epochs = []
+    batch = spark.createDataFrame([(99, 990, 9.9)], EVENT_SCHEMA)
+    pipe_b._process_epoch(batch, replay_id)
+    assert pipe_b.epochs[0].package_id is None  # replay signature
+    assert pipe_b.epochs[0].receipt_verified
+    assert DeltaTable(tmp_path / "dest").read(spark).count() == 20  # unchanged
