@@ -2574,6 +2574,65 @@ def delta_column_mapping_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "delta_nested_column_mapping_scan",
+    """
+    SELECT o_orderkey, o_custkey AS cust, o_totalprice AS price,
+           o_orderpriority AS pri, 'name' AS mode
+    FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 900
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, 'id'
+    FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 900
+    """,
+)
+def delta_nested_column_mapping_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta column mapping over NESTED columns, both modes
+    (`sources/delta.py _cm_field_json` recursion — the r7 refusal
+    closed): struct and array<struct> columns whose INNER fields are
+    mapped too, exactly what real Delta writers emit for tables with
+    structs. Name mode reads under the recursive physical schema and
+    casts back to logical names (struct casts rename positionally at
+    any depth); id mode resolves nested parquet FIELD IDS through
+    Spark's fieldId.read path. The result projects through the nested
+    fields (`s.cust`, `s.price`, `arr[0].pri`), so a wrong nested
+    resolution cannot hash-match the relational oracle."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        nested = o.select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_custkey").alias("cust"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("s"),
+            F.array(F.struct(F.col("o_orderpriority").alias("pri"))).alias("arr"),
+        )
+        for mode in ("name", "id"):
+            w = DeltaFixtureWriter(f"{tmp}/{mode}", column_mapping=mode)
+            w.append(nested.filter(F.col("o_orderkey") <= 900), timestamp_ms=1000)
+            w.delete_where(spark, "o_orderkey <= 100", timestamp_ms=2000)
+
+    tmp = _session_fixture("delta_nested_cm", sf, build)
+    parts = []
+    for mode in ("name", "id"):
+        df = DeltaTable(f"{tmp}/{mode}").read(spark)
+        if df.schema["s"].dataType.fieldNames() != ["cust", "price"]:
+            raise AssertionError(f"nested logical names not restored: {df.schema}")
+        parts.append(
+            df.select(
+                "o_orderkey",
+                F.col("s.cust").alias("cust"),
+                F.col("s.price").alias("price"),
+                F.element_at("arr", 1).getField("pri").alias("pri"),
+                F.lit(mode).alias("mode"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@_register(
     "iceberg_binpack_maintenance",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders

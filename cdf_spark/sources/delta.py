@@ -81,6 +81,85 @@ def _typed_partition_value(raw: str, dtype):
     return raw
 
 
+def _cm_type_json(t, rename: bool, with_ids: bool):
+    """Recursive twin of `_cm_field_json` over a schemaString type
+    node: structs map their fields, arrays/maps recurse into their
+    element/key/value types (structs inside containers carry mapped
+    named fields too)."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    _cm_field_json(f, rename, with_ids) for f in t.get("fields", [])
+                ],
+            }
+        if k == "array":
+            return {
+                **t,
+                "elementType": _cm_type_json(t.get("elementType"), rename, with_ids),
+            }
+        if k == "map":
+            return {
+                **t,
+                "keyType": _cm_type_json(t.get("keyType"), rename, with_ids),
+                "valueType": _cm_type_json(t.get("valueType"), rename, with_ids),
+            }
+    return t
+
+
+def _cm_field_json(f: dict, rename: bool, with_ids: bool) -> dict:
+    """One schemaString field under column mapping, at ANY nesting
+    depth: `rename` swaps the name for delta.columnMapping.physicalName
+    (name-mode physical schemas); `with_ids` emits parquet.field.id
+    metadata from delta.columnMapping.id (id-mode field-id matching —
+    Spark's parquet reader/writer honor nested field ids, so the same
+    indirection that makes top-level renames safe covers struct fields
+    inside structs/arrays/maps)."""
+    meta = f.get("metadata") or {}
+    phys = meta.get("delta.columnMapping.physicalName", f["name"])
+    cmid = meta.get("delta.columnMapping.id")
+    if with_ids and cmid is None:
+        raise DeltaError(
+            f"id-mapped table field {f['name']!r} carries no delta.columnMapping.id"
+        )
+    return {
+        "name": str(phys) if rename else f["name"],
+        "type": _cm_type_json(f.get("type"), rename, with_ids),
+        "nullable": f.get("nullable", True),
+        "metadata": {"parquet.field.id": int(cmid)} if with_ids else {},
+    }
+
+
+def _rename_cast_type(fjson: dict):
+    """Spark DataType for renaming a complex column's nested fields via
+    CAST (struct casts match positionally), with nullability RELAXED at
+    every level: the cast exists only to rename, and Spark refuses a
+    cast that narrows nullability (a parquet read-back often reports
+    array elements nullable even when written non-null)."""
+    from pyspark.sql import types as T
+
+    def relax(t):
+        if isinstance(t, T.StructType):
+            # keep field metadata: id-mode write casts carry nested
+            # parquet.field.id stamps through this type
+            return T.StructType(
+                [
+                    T.StructField(f.name, relax(f.dataType), True, f.metadata)
+                    for f in t.fields
+                ]
+            )
+        if isinstance(t, T.ArrayType):
+            return T.ArrayType(relax(t.elementType), True)
+        if isinstance(t, T.MapType):
+            return T.MapType(relax(t.keyType), relax(t.valueType), True)
+        return t
+
+    dt = T.StructType.fromJson({"type": "struct", "fields": [fjson]}).fields[0].dataType
+    return relax(dt)
+
+
 def is_delta_layout(root: str | Path) -> bool:
     """True when the directory carries a Delta transaction log."""
     log = Path(str(root)) / "_delta_log"
@@ -313,71 +392,51 @@ class DeltaTable:
                     out = a["metaData"]
         return out
 
-    def _column_mapping(self, version: int) -> list[tuple[str, str]] | None:
-        """[(physical_name, logical_name)] in schema order when the
-        table is column-mapped (name mode), else None. Top-level
-        columns only — a mapped NESTED field would need a recursive
-        struct rebuild, so complex-typed columns raise (honest refusal
-        rather than silently returning physical nested names)."""
+    def _cm_mode(self, version: int) -> str:
+        md = self.metadata_for_version(version)
+        return (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+
+    def _column_mapping(self, version: int) -> list[tuple[str, str, dict]] | None:
+        """[(physical_name, logical_name, field_json)] in schema order
+        when the table is column-mapped (name OR id mode — the protocol
+        requires delta.columnMapping.physicalName in both), else None.
+        Nested fields are handled through the field json: the physical
+        read schema and the logical rebuild both derive from it
+        recursively (`_cm_field_json`), so struct/array/map columns
+        with mapped inner fields read correctly."""
         md = self.metadata_for_version(version)
         mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-        if mode != "name":
+        if mode not in ("name", "id"):
             return None
         schema = json.loads(md.get("schemaString") or "{}")
-        pairs: list[tuple[str, str]] = []
+        pairs: list[tuple[str, str, dict]] = []
         for f in schema.get("fields", []):
             phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
             if phys is None:
                 # unmapped field in a mapped table: physical == logical
                 phys = f["name"]
-            if not isinstance(f.get("type"), str):
-                raise DeltaError(
-                    f"column-mapped NESTED column {f['name']!r} is not supported "
-                    "(rename would need a recursive struct rebuild)"
-                )
-            pairs.append((str(phys), str(f["name"])))
+            pairs.append((str(phys), str(f["name"]), f))
         return pairs
 
     def _apply_column_mapping(self, df: DataFrame, version: int) -> DataFrame:
         """Rename physical parquet columns to logical schema names for
-        column-mapped tables; identity for unmapped tables."""
+        column-mapped tables; identity for unmapped tables. Complex
+        columns (mapped nested fields) rename via a CAST to the
+        logical type — struct casts match positionally, which is
+        exactly the recursive rename, at any depth."""
         pairs = self._column_mapping(version)
         if not pairs:
             return df
         from pyspark.sql import functions as F
-
-        return df.select(*[F.col(p).alias(l) for p, l in pairs])
-
-    def _id_read_schema(self, version: int):
-        """For ID-mode column mapping: the LOGICAL Spark schema with
-        `parquet.field.id` metadata per field (from the schemaString's
-        `delta.columnMapping.id`), which Spark's parquet reader matches
-        against the files' field ids when
-        `spark.sql.parquet.fieldId.read.enabled` is on — physical
-        names never matter, exactly the protocol's id semantics.
-        Returns None unless the table is in id mode."""
         from pyspark.sql import types as T
 
-        md = self.metadata_for_version(version)
-        mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-        if mode != "id":
-            return None
-        schema = T.StructType.fromJson(json.loads(md.get("schemaString") or "{}"))
-        fields = []
-        for f in schema.fields:
-            cmid = (f.metadata or {}).get("delta.columnMapping.id")
-            if cmid is None:
-                raise DeltaError(
-                    f"id-mapped table field {f.name!r} carries no delta.columnMapping.id"
-                )
-            if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
-                raise DeltaError(
-                    f"column-mapped NESTED column {f.name!r} is not supported"
-                )
-            fields.append(
-                T.StructField(f.name, f.dataType, f.nullable, {"parquet.field.id": int(cmid)})
-            )
-        return T.StructType(fields)
+        cols = []
+        for p, l, fjson in pairs:
+            expr = F.col(p)
+            if not isinstance(fjson.get("type"), str):
+                expr = expr.cast(_rename_cast_type(fjson))
+            cols.append(expr.alias(l))
+        return df.select(*cols)
 
     def partition_columns(self, version: int) -> list[str]:
         return list(self.metadata_for_version(version).get("partitionColumns") or [])
@@ -420,12 +479,17 @@ class DeltaTable:
         declared schemaString drives every read: files written before
         a widening commit lack the new columns and must null-fill
         DETERMINISTICALLY (Spark's schema-less multi-file read picks
-        one file's footer — nondeterministic under evolution). Name
-        mode returns the PHYSICAL-named schema (renamed after read);
-        id mode the field-id schema."""
-        id_schema = self._id_read_schema(version)
-        if id_schema is not None:
-            return id_schema, True
+        one file's footer — nondeterministic under evolution). Both
+        mapping modes return the PHYSICAL-named schema (renamed back
+        after read) — the same resolution delta-spark's
+        createPhysicalSchema uses. Id mode ADDITIONALLY attaches
+        `parquet.field.id` metadata at every depth and turns on
+        Spark's field-id matcher, so files whose physical names differ
+        (an external id-mode writer) still resolve by id; pruned
+        nested fields, whose id metadata Spark's nested-schema-pruning
+        drops, fall back to matching the physical NAME we requested —
+        reading the logical schema with ids alone silently nulls
+        those fields."""
         schema = self._logical_schema(version)
         if schema is None or not schema.fields:
             return None, False
@@ -433,15 +497,20 @@ class DeltaTable:
         if pairs:
             from pyspark.sql import types as T
 
-            by_logical = {f.name: f for f in schema.fields}
+            with_ids = self._cm_mode(version) == "id"
+            # PHYSICAL-named schema at every depth — the names the data
+            # files actually carry, nested struct fields included
             return (
-                T.StructType(
-                    [
-                        T.StructField(p, by_logical[l].dataType, by_logical[l].nullable)
-                        for p, l in pairs
-                    ]
+                T.StructType.fromJson(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            _cm_field_json(fjson, rename=True, with_ids=with_ids)
+                            for _p, _l, fjson in pairs
+                        ],
+                    }
                 ),
-                False,
+                with_ids,
             )
         return schema, False
 
@@ -1074,43 +1143,85 @@ class DeltaFixtureWriter:
                         )
                         self._cm[f["name"]] = str(phys)
 
+    def _assign_mapping(self, fields: list[dict], next_id: int) -> int:
+        """Assign delta.columnMapping.{id,physicalName} to every named
+        field at EVERY depth (struct fields inside structs/arrays/maps
+        included) — the shape Spark's Delta writer emits. Returns the
+        next free column id."""
+
+        def assign_type(t, nid: int) -> int:
+            if isinstance(t, dict):
+                k = t.get("type")
+                if k == "struct":
+                    return assign_fields(t.get("fields", []), nid)
+                if k == "array":
+                    return assign_type(t.get("elementType"), nid)
+                if k == "map":
+                    nid = assign_type(t.get("keyType"), nid)
+                    return assign_type(t.get("valueType"), nid)
+            return nid
+
+        def assign_fields(fs: list[dict], nid: int) -> int:
+            for f in fs:
+                phys = f"col-{uuid.uuid4().hex[:12]}"
+                f["metadata"] = {
+                    **(f.get("metadata") or {}),
+                    "delta.columnMapping.id": nid,
+                    "delta.columnMapping.physicalName": phys,
+                }
+                nid += 1
+                nid = assign_type(f.get("type"), nid)
+            return nid
+
+        return assign_fields(fields, next_id)
+
     def _mapped_schema_string(self, df: DataFrame) -> str:
-        """schemaString for a name-mode table: assigns a stable
-        physical `col-<uuid>` name + numeric field id per column (the
-        shape Spark's Delta writer emits when columnMapping.mode=name)."""
+        """schemaString for a column-mapped table: stable physical
+        `col-<uuid>` names + numeric field ids on every named field,
+        nested struct fields included."""
         schema = json.loads(df.schema.json())
-        for i, f in enumerate(schema.get("fields", []), start=1):
-            if not isinstance(f.get("type"), str):
-                raise DeltaError(
-                    "column-mapped fixture writer supports atomic column types only"
-                )
-            phys = f"col-{uuid.uuid4().hex[:12]}"
-            self._cm[f["name"]] = phys
-            f["metadata"] = {
-                **(f.get("metadata") or {}),
-                "delta.columnMapping.id": i,
-                "delta.columnMapping.physicalName": phys,
-            }
+        self._max_cm_id = self._assign_mapping(schema.get("fields", []), 1) - 1
+        for f in schema.get("fields", []):
+            self._cm[f["name"]] = f["metadata"]["delta.columnMapping.physicalName"]
         return json.dumps(schema)
 
     def _to_physical(self, df: DataFrame) -> DataFrame:
         if not self._cm:
             return df
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        out = df.select(*[F.col(c).alias(self._cm.get(c, c)) for c in df.columns])
-        if self.column_mapping == "id" and self._schema_string:
-            # id mode: stamp the columnMapping ids as parquet FIELD IDS
-            # so field-id readers (including ours) resolve regardless
-            # of the physical names
-            ids = {
-                (f.get("metadata") or {}).get("delta.columnMapping.physicalName", f["name"]):
-                int((f.get("metadata") or {}).get("delta.columnMapping.id", 0))
-                for f in json.loads(self._schema_string).get("fields", [])
-            }
-            for c in out.columns:
-                if c in ids and ids[c]:
-                    out = out.withMetadata(c, {"parquet.field.id": ids[c]})
+        with_ids = self.column_mapping == "id"
+        by_name = (
+            {f["name"]: f for f in json.loads(self._schema_string).get("fields", [])}
+            if self._schema_string
+            else {}
+        )
+        cols = []
+        metas: list[tuple[str, dict]] = []
+        for c in df.columns:
+            fjson = by_name.get(c)
+            if fjson is None:
+                cols.append(F.col(c).alias(self._cm.get(c, c)))
+                continue
+            pf = _cm_field_json(fjson, rename=True, with_ids=with_ids)
+            expr = F.col(c)
+            if not isinstance(fjson.get("type"), str):
+                # complex column: CAST renames nested fields to their
+                # physical names positionally (and, in id mode, the
+                # target type embeds nested parquet.field.id metadata
+                # that the parquet writer stamps into the files)
+                expr = expr.cast(_rename_cast_type(pf))
+            cols.append(expr.alias(pf["name"]))
+            if with_ids:
+                cmid = int(
+                    (fjson.get("metadata") or {}).get("delta.columnMapping.id", 0)
+                )
+                if cmid:
+                    metas.append((pf["name"], {"parquet.field.id": cmid}))
+        out = df.select(*cols)
+        for name, m in metas:
+            out = out.withMetadata(name, m)
         return out
 
     def _maybe_widen_schema(self, df: DataFrame) -> dict | None:
@@ -1126,24 +1237,32 @@ class DeltaFixtureWriter:
         new = [f for f in json.loads(df.schema.json())["fields"] if f["name"] not in have]
         if not new:
             return None
-        max_id = 0
-        for f in schema.get("fields", []):
-            max_id = max(max_id, int((f.get("metadata") or {}).get("delta.columnMapping.id", 0)))
-        for f in new:
-            if self.column_mapping in ("name", "id"):
-                if not isinstance(f.get("type"), str):
-                    raise DeltaError(
-                        "column-mapped fixture writer supports atomic column types only"
-                    )
-                max_id += 1
-                phys = f"col-{uuid.uuid4().hex[:12]}"
-                self._cm[f["name"]] = phys
-                f["metadata"] = {
-                    **(f.get("metadata") or {}),
-                    "delta.columnMapping.id": max_id,
-                    "delta.columnMapping.physicalName": phys,
-                }
-            schema["fields"].append(f)
+        def _scan_max(t, cur: int) -> int:
+            if isinstance(t, dict):
+                if t.get("type") == "struct":
+                    for f in t.get("fields", []):
+                        cur = max(
+                            cur,
+                            int(
+                                (f.get("metadata") or {}).get(
+                                    "delta.columnMapping.id", 0
+                                )
+                            ),
+                        )
+                        cur = _scan_max(f.get("type"), cur)
+                elif t.get("type") == "array":
+                    cur = _scan_max(t.get("elementType"), cur)
+                elif t.get("type") == "map":
+                    cur = _scan_max(t.get("keyType"), cur)
+                    cur = _scan_max(t.get("valueType"), cur)
+            return cur
+
+        max_id = _scan_max({"type": "struct", "fields": schema.get("fields", [])}, 0)
+        if self.column_mapping in ("name", "id"):
+            max_id = self._assign_mapping(new, max_id + 1) - 1
+            for f in new:
+                self._cm[f["name"]] = f["metadata"]["delta.columnMapping.physicalName"]
+        schema["fields"].extend(new)
         self._schema_string = json.dumps(schema)
         conf = (
             {
@@ -1268,7 +1387,9 @@ class DeltaFixtureWriter:
                 proto = {"minReaderVersion": 2, "minWriterVersion": 5}
                 conf = {
                     "delta.columnMapping.mode": self.column_mapping,
-                    "delta.columnMapping.maxColumnId": str(len(self._cm)),
+                    "delta.columnMapping.maxColumnId": str(
+                        getattr(self, "_max_cm_id", len(self._cm))
+                    ),
                 }
             else:
                 proto = {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -1394,10 +1515,22 @@ class DeltaFixtureWriter:
         )
         if self._cm:
             # column-mapped table: the files carry physical names but
-            # `condition` is written against logical names
-            staged = staged.select(
-                *[F.col(p).alias(l) for l, p in self._cm.items()], fkey, pkey
-            )
+            # `condition` is written against logical names; complex
+            # columns rebuild their nested logical names via cast
+            from pyspark.sql import types as T
+
+            by_name = {
+                f["name"]: f
+                for f in json.loads(self._schema_string or "{}").get("fields", [])
+            }
+            sel = []
+            for l, p in self._cm.items():
+                expr = F.col(p)
+                fjson = by_name.get(l)
+                if fjson is not None and not isinstance(fjson.get("type"), str):
+                    expr = expr.cast(_rename_cast_type(fjson))
+                sel.append(expr.alias(l))
+            staged = staged.select(*sel, fkey, pkey)
         victims = staged.filter(condition).select(fkey, pkey)
         rows = victims.limit(max_rows + 1).collect()
         if len(rows) > max_rows:

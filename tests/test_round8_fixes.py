@@ -192,3 +192,92 @@ def test_footer_stats_drop_partially_covered_columns(tmp_path):
     # 's' covered in only 1 of 2 row groups -> must NOT be stamped
     assert "s" not in stats.get("minValues", {})
     assert "s" not in stats.get("maxValues", {})
+
+
+# -- 5. nested column mapping (the r7 refusal, closed) ----------------------
+
+
+def _nested_orders(orders):
+    return orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("s"),
+        F.array(F.struct(F.col("o_orderpriority").alias("pri"))).alias("arr"),
+    ).filter("o_orderkey <= 200")
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_nested_column_mapping_roundtrip(spark, tmp_path, orders, mode):
+    """struct + array<struct> columns on a column-mapped table: the
+    data files carry PHYSICAL names at every depth, the read restores
+    logical names at every depth, values survive, and a DV delete
+    predicates on a NESTED logical field."""
+    nested = _nested_orders(orders)
+    w = DeltaFixtureWriter(tmp_path / "t", column_mapping=mode)
+    w.append(nested, timestamp_ms=1_000)
+
+    # physical check: raw parquet must NOT leak logical nested names
+    t = DeltaTable(tmp_path / "t")
+    f = (t.root / t.files_for_version(t.current_version())[0]).as_posix()
+    raw = spark.read.parquet(f)
+    assert "s" not in raw.columns and "arr" not in raw.columns
+    struct_cols = [c for c in raw.schema.fields if c.dataType.typeName() == "struct"]
+    assert struct_cols and all(
+        n.startswith("col-") for n in struct_cols[0].dataType.fieldNames()
+    )
+
+    df = t.read(spark)
+    assert df.schema["s"].dataType.fieldNames() == ["cust", "price"]
+    assert df.schema["arr"].dataType.elementType.fieldNames() == ["pri"]
+    expect = nested.select("o_orderkey", "s.cust").orderBy("o_orderkey").collect()
+    got = df.select("o_orderkey", "s.cust").orderBy("o_orderkey").collect()
+    assert got == expect
+
+    # DV delete against a nested logical field
+    w.delete_where(spark, "s.cust < 100", timestamp_ms=2_000)
+    t2 = DeltaTable(tmp_path / "t")
+    after = t2.read(spark)
+    assert after.filter("s.cust < 100").count() == 0
+    assert after.count() == nested.filter("s.cust >= 100").count()
+
+
+def test_nested_column_mapping_widen(spark, tmp_path, orders):
+    """schema widening adds a NESTED column to a mapped table: the new
+    struct's inner fields get fresh mapping ids past the existing max,
+    and both old and new rows read back under logical names."""
+    nested = _nested_orders(orders)
+    w = DeltaFixtureWriter(tmp_path / "t", column_mapping="name")
+    w.append(nested.limit(50), timestamp_ms=1_000)
+    widened = nested.offset(50).limit(30).withColumn(
+        "extra", F.struct(F.lit(7).alias("depth"))
+    )
+    w.append(widened, timestamp_ms=2_000)
+    t = DeltaTable(tmp_path / "t")
+    df = t.read(spark)
+    assert df.schema["extra"].dataType.fieldNames() == ["depth"]
+    assert df.filter("extra.depth = 7").count() == 30
+    assert df.filter("extra is null").count() == 50
+    # mapping ids are unique across every depth
+    import json as _json
+
+    md = t.metadata_for_version(t.current_version())
+    ids = []
+
+    def walk(fs):
+        for fld in fs:
+            meta = fld.get("metadata") or {}
+            if "delta.columnMapping.id" in meta:
+                ids.append(meta["delta.columnMapping.id"])
+            ty = fld.get("type")
+            if isinstance(ty, dict) and ty.get("type") == "struct":
+                walk(ty.get("fields", []))
+            elif isinstance(ty, dict) and ty.get("type") == "array":
+                el = ty.get("elementType")
+                if isinstance(el, dict) and el.get("type") == "struct":
+                    walk(el.get("fields", []))
+
+    walk(_json.loads(md["schemaString"])["fields"])
+    # 4 top-level (o_orderkey, s, arr, extra) + 4 nested (cust, price, pri, depth)
+    assert len(ids) == len(set(ids)) == 8
