@@ -3031,6 +3031,63 @@ def delta_change_data_feed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "delta_cdf_restore_replay",
+    """
+    SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _commit_version
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 500
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 1
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 100
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', 2
+    FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 700
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', 3
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 100
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 3
+    FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 700
+    """,
+)
+def delta_cdf_restore_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC THROUGH A RESTORE (`delta.py restore`'s `_restore_changes`
+    — the r7 verdict's stranded-consumer refusal closed): a RESTORE on
+    a CDF table commits its own change-data files (rows it brings back
+    as `insert`, rows it undoes as `delete`, a distributed multiset
+    diff over CHANGED files only), so `table_changes` replays the
+    whole history — append, DV delete, append, restore — without a
+    reset-to-full-read. The restore here undoes both a deletion vector
+    (its rows re-appear) and a later append (its rows delete); the
+    oracle recomputes every change row relationally, so a wrong diff
+    direction or a leaked unchanged-file row cannot hash-match."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t", change_data_feed=True)
+        w.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 500)),
+            timestamp_ms=1000,
+        )
+        w.delete_where(spark, "o_orderkey <= 100", timestamp_ms=2000)
+        w.append(
+            o.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 700)),
+            timestamp_ms=3000,
+        )
+        w.restore(0, timestamp_ms=4000, spark=spark)
+        got = DeltaTable(f"{tmp}/t").read(spark).count()
+        want = o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 500)).count()
+        if got != want:
+            raise AssertionError(f"restored state has {got} rows, expected {want}")
+
+    tmp = _session_fixture("delta_cdf_restore", sf, build)
+    return DeltaTable(f"{tmp}/t").table_changes(spark, 0).select(
+        "o_orderkey", "o_totalprice", "_change_type", "_commit_version"
+    )
+
+
+@_register(
     "iceberg_changelog_scan",
     """
     SELECT o_orderkey, o_totalprice, 'insert' AS _change_type

@@ -638,12 +638,14 @@ class DeltaTable:
         `_commit_version`. Per version:
 
         - `cdc` actions present -> the commit's `_change_data/` files
-          ARE the change set (written by delete_where / DV merge);
+          ARE the change set (written by delete_where / DV merge /
+          RESTORE on a CDF table);
         - data-changing adds with NO removes (blind append) -> the
           added files' rows are the inserts, derived without cdc files
           (the protocol's optimization for append-only commits);
         - data-changing removes without cdc -> raise: the change set
-          is not reconstructible (overwrite/restore) — delta.io errors
+          is not reconstructible (an opaque overwrite, or a restore
+          committed before CDF was enabled) — delta.io errors
           identically rather than guessing;
         - dataChange=false commits (OPTIMIZE/ZORDER) -> no changes.
 
@@ -1272,6 +1274,11 @@ class DeltaFixtureWriter:
             if self.column_mapping in ("name", "id")
             else {}
         )
+        if self.change_data_feed:
+            # the widening metaData REPLACES the table configuration —
+            # dropping this here silently disabled CDF after any
+            # schema-evolving append
+            conf["delta.enableChangeDataFeed"] = "true"
         return {
             "metaData": {
                 "id": self.table_id,
@@ -1889,16 +1896,21 @@ class DeltaFixtureWriter:
                 f["name"] = new
         self._schema_string = json.dumps(schema)
         self._cm[new] = self._cm.pop(old)
+        conf = {
+            "delta.columnMapping.mode": self.column_mapping,
+            "delta.columnMapping.maxColumnId": str(max_id),
+        }
+        if self.change_data_feed:
+            # this metaData REPLACES the configuration — dropping the
+            # flag here would silently disable CDF on rename
+            conf["delta.enableChangeDataFeed"] = "true"
         meta = {
             "metaData": {
                 "id": self.table_id,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": self._schema_string,
                 "partitionColumns": list(self.partition_by),
-                "configuration": {
-                    "delta.columnMapping.mode": self.column_mapping,
-                    "delta.columnMapping.maxColumnId": str(max_id),
-                },
+                "configuration": conf,
             }
         }
         return self._commit([meta], "RENAME COLUMN", timestamp_ms)
@@ -1935,7 +1947,12 @@ class DeltaFixtureWriter:
             shutil.rmtree(tmp, ignore_errors=True)
         return actions
 
-    def restore(self, version: int, timestamp_ms: int | None = None) -> int:
+    def restore(
+        self,
+        version: int,
+        timestamp_ms: int | None = None,
+        spark: SparkSession | None = None,
+    ) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — the bad-commit recovery
         op: ONE new commit whose live set equals the target version's
         (re-adds what current lost, removes what current gained; adds
@@ -1944,7 +1961,18 @@ class DeltaFixtureWriter:
         is preserved — the undone versions stay in the log and remain
         time-travelable until clean_log/vacuum. Fails loudly if a
         target file was already vacuumed (same constraint as delta.io
-        RESTORE)."""
+        RESTORE).
+
+        CDF-enabled tables additionally emit the RESTORE's row-level
+        change set (pass `spark`), so `table_changes` replays straight
+        through a restore instead of stranding CDC consumers: rows the
+        restore brings back are `insert`, rows it undoes are `delete`
+        — the distributed multiset diff of the two snapshots restricted
+        to the CHANGED files only (O(changed files), never O(table);
+        files live in both versions with identical add actions
+        contribute no read and no shuffle). Columns added between the
+        two versions null-fill on the target side — exactly how the
+        restored state reads back under the current schema."""
         t = DeltaTable(self.root)
         cur = t.current_version()
         if version == cur:
@@ -1972,7 +2000,52 @@ class DeltaFixtureWriter:
                 )
         if not actions:
             raise DeltaError(f"version {version} is identical to current — nothing to restore")
+        if self.change_data_feed:
+            if spark is None:
+                raise DeltaError(
+                    "restore on a change-data-feed table must derive the "
+                    "restore's row-level changes — pass `spark`"
+                )
+            actions.extend(
+                self._cdc_actions(self._restore_changes(spark, t, version, cur))
+            )
         return self._commit(actions, "RESTORE", timestamp_ms)
+
+    def _restore_changes(
+        self, spark: SparkSession, t: "DeltaTable", target_v: int, cur_v: int
+    ) -> DataFrame:
+        """Row-level change set of a RESTORE from `cur_v` back to
+        `target_v`, computed only over files whose add action differs
+        between the versions (new DV, re-added, or removed): inserts =
+        target-side rows minus current-side rows; deletes = the
+        reverse. Both sides read version-pinned (DVs, column mapping,
+        partition reconstitution all apply), so a file whose DV grew
+        contributes exactly the re-appearing rows."""
+        from pyspark.sql import functions as F
+
+        target = t.live_add_actions(target_v)
+        current = t.live_add_actions(cur_v)
+        tgt_files = [t._resolve(p) for p, a in target.items() if current.get(p) != a]
+        cur_files = [t._resolve(p) for p, a in current.items() if target.get(p) != a]
+        tgt_rows = t.read(spark, version=target_v, _files=tgt_files)
+        cur_rows = t.read(spark, version=cur_v, _files=cur_files)
+
+        def align(a: DataFrame, b: DataFrame) -> DataFrame:
+            for c in b.columns:
+                if c not in a.columns:
+                    a = a.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
+            return a
+
+        tgt_rows, cur_rows = align(tgt_rows, cur_rows), align(cur_rows, tgt_rows)
+        cols = sorted(tgt_rows.columns)
+        tgt_rows, cur_rows = tgt_rows.select(*cols), cur_rows.select(*cols)
+        return (
+            tgt_rows.exceptAll(cur_rows)
+            .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                cur_rows.exceptAll(tgt_rows).withColumn("_change_type", F.lit("delete"))
+            )
+        )
 
     def optimize_small_files(
         self,

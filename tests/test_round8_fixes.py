@@ -281,3 +281,73 @@ def test_nested_column_mapping_widen(spark, tmp_path, orders):
     walk(_json.loads(md["schemaString"])["fields"])
     # 4 top-level (o_orderkey, s, arr, extra) + 4 nested (cust, price, pri, depth)
     assert len(ids) == len(set(ids)) == 8
+
+
+# -- 6. CDC through RESTORE --------------------------------------------------
+
+
+def test_restore_emits_cdf_and_replays(spark, tmp_path, orders):
+    """RESTORE on a CDF table writes its own change-data files: rows
+    the restore brings back are inserts, rows it undoes are deletes,
+    and table_changes replays through the restore commit instead of
+    raising. Unchanged files contribute nothing."""
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(o.filter("o_orderkey <= 100"), timestamp_ms=1_000)  # v0
+    w.delete_where(spark, "o_orderkey <= 20", timestamp_ms=2_000)  # v1 DV
+    w.append(
+        o.filter("o_orderkey > 100 AND o_orderkey <= 150"), timestamp_ms=3_000
+    )  # v2
+    w.restore(0, timestamp_ms=4_000, spark=spark)  # v3
+    t = DeltaTable(tmp_path / "t")
+    feed = t.table_changes(spark, 3)  # the restore commit alone
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_restored = o.filter("o_orderkey <= 20").count()
+    n_undone = o.filter("o_orderkey > 100 AND o_orderkey <= 150").count()
+    assert by_type == {"insert": n_restored, "delete": n_undone}
+    # full-history replay nets to the restored state
+    full = t.table_changes(spark, 0)
+    net = (
+        full.groupBy("o_orderkey")
+        .agg(
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(-1)).alias("n")
+        )
+        .filter("n > 0")
+        .count()
+    )
+    assert net == t.read(spark).count() == o.filter("o_orderkey <= 100").count()
+
+
+def test_restore_cdf_requires_spark(spark, tmp_path, orders):
+    o = orders.select("o_orderkey").limit(10)
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(o, timestamp_ms=1_000)
+    w.append(o, timestamp_ms=2_000)
+    with pytest.raises(DeltaError, match="pass `spark`"):
+        w.restore(0, timestamp_ms=3_000)
+
+
+def test_restore_cdf_across_schema_widening(spark, tmp_path, orders):
+    """Restore across a widening commit: the undone rows carry the
+    added column, the restored side null-fills it — the same way the
+    restored state reads back under the current schema."""
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(o.filter("o_orderkey <= 50"), timestamp_ms=1_000)  # v0
+    w.append(
+        o.filter("o_orderkey > 50 AND o_orderkey <= 80").withColumn(
+            "tag", F.lit("late")
+        ),
+        timestamp_ms=2_000,
+    )  # v1 widens
+    w.restore(0, timestamp_ms=3_000, spark=spark)  # v2
+    t = DeltaTable(tmp_path / "t")
+    feed = t.table_changes(spark, 2)
+    rows = feed.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert len(rows) == o.filter("o_orderkey > 50 AND o_orderkey <= 80").count()
+    assert all(r["tag"] == "late" for r in rows)
+    assert t.read(spark).count() == o.filter("o_orderkey <= 50").count()
