@@ -72,6 +72,15 @@ class LoadPipeline:
     # storage trade); "none" for encode-roofline workloads where the
     # downstream rereads immediately and bytes are cheap
     package_compression: str = "snappy"
+    # settlement fencing (types/authority.py): when set (and the
+    # resource admits against a declared head), the run acquires a
+    # generation-bound settlement permit at admission and RE-ASSERTS it
+    # immediately before the destination commit — a schema promotion
+    # published mid-run fences the stale writer off BEFORE it mutates
+    # the destination (reference: SchemaSettlementStore's
+    # acquire/assert/commit discipline, schema_authority.rs:833-861)
+    settlement_run_id: str | None = None
+    settlement_permit_ms: int = 600_000
 
     def run(self, spark: SparkSession, as_of: datetime | None = None) -> RunResult:
         desc: ResourceDescriptor = self.resource.descriptor
@@ -122,6 +131,8 @@ class LoadPipeline:
         # observed scan schema must reconcile with the promoted head —
         # exact/widened/extra admit (extras feed variant capture),
         # drift refuses the run before any data moves.
+        permit = None
+        authority = None
         if self.ledger is not None and desc.trust_level == "declared":
             from .types.authority import SchemaAuthority, SchemaDriftError
 
@@ -130,6 +141,15 @@ class LoadPipeline:
                 authority.promote(authority.propose(df.schema).version)
             admission = authority.admit(df.schema)
             _trace("schema_admission", verdict=admission.verdict)
+            if self.settlement_run_id is not None:
+                permit = authority.acquire_permit(
+                    self.settlement_run_id, duration_ms=self.settlement_permit_ms
+                )
+                _trace(
+                    "settlement_permit_acquired",
+                    permit_id=permit.permit_id,
+                    generation=permit.generation,
+                )
             if not admission.admissible:
                 raise SchemaDriftError(
                     f"schema drift on {desc.resource_id}: drifted={admission.drifted_fields} "
@@ -250,6 +270,17 @@ class LoadPipeline:
         # 7. commit -> receipt -> verify -> checkpoint
         receipt = None
         if self.destination is not None:
+            if permit is not None:
+                # settlement boundary: re-read the authority (another
+                # writer may have published a promotion since
+                # admission) and re-assert the permit — a fenced run
+                # aborts HERE, before the destination mutates
+                from .types.authority import SchemaAuthority as _SA
+
+                _SA(
+                    Path(self.ledger.root) / "schemas", desc.resource_id
+                ).assert_permit(permit)
+                _trace("settlement_permit_asserted", permit_id=permit.permit_id)
             receipt = self.destination.commit(spark, package, self.disposition)
             receipt = self.destination.verify(spark, receipt, package)
             _trace("committed", receipt_id=receipt.receipt_id, verified=receipt.verified)
@@ -258,6 +289,12 @@ class LoadPipeline:
                 positions = {desc.cursor.field: new_position} if desc.cursor else {}
                 positions.update(self.extra_positions)
                 self.ledger.advance(desc.resource_id, receipt, positions)
+        if permit is not None and authority is not None:
+            from .types.authority import SchemaAuthority as _SA
+
+            _SA(Path(self.ledger.root) / "schemas", desc.resource_id).release_permit(
+                permit
+            )
 
         return RunResult(
             package=package,
