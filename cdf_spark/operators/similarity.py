@@ -339,6 +339,7 @@ def cosine_topk_fast(
     query_id: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    dtype=np.float64,
 ) -> DataFrame:
     """Brute-force cosine top-k, vectorized: the query matrix is
     collected driver-side (top-k against a broadcast-scale query set is
@@ -346,10 +347,15 @@ def cosine_topk_fast(
     broadcast) and closed over by a mapInPandas kernel that scores each
     corpus Arrow batch with one GEMM, emitting only the per-batch top-k
     per query. A final window rank merges the per-batch survivors:
-    |batches| x |Q| x k rows instead of |C| x |Q|."""
+    |batches| x |Q| x k rows instead of |C| x |Q|.
+
+    `dtype=np.float32` halves the kernel's memory traffic and doubles
+    BLAS throughput — pair it with an `array<float>` corpus column so
+    the Arrow transfer is float32 end-to-end. Default float64 keeps
+    the oracle-checked tie behavior bit-stable."""
     qrows = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")).collect()
     qids = np.array([r["qid"] for r in qrows])
-    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])  # m x dim
+    Q = np.stack([np.asarray(r["qv"], dtype=dtype) for r in qrows])  # m x dim
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     m = len(qids)
 
@@ -363,7 +369,7 @@ def cosine_topk_fast(
 
     def score(batches):
         for pdf in batches:
-            C = np.stack(pdf["_cv"].values).astype(np.float64)
+            C = np.stack(pdf["_cv"].values).astype(dtype, copy=False)
             cn = np.linalg.norm(C, axis=1, keepdims=True)
             with np.errstate(divide="ignore", invalid="ignore"):
                 S = np.where(cn > 0, C / cn, 0.0) @ Qn.T  # n x m
@@ -808,12 +814,18 @@ def ivf_ann_topk_fast(
     vec_col: str = "embedding",
     centroid_modulus: int = 50,
     round_to: int = 4,
+    dtype=np.float64,
 ) -> DataFrame:
-    """ivf_ann_topk with the assignment pass as a GEMM pandas UDF
-    (corpus x centroid-matrix per Arrow batch) and the probe computed
+    """ivf_ann_topk with assignment AND rescore fused into ONE GEMM
+    mapInPandas kernel — the corpus crosses the Python/Arrow boundary
+    exactly once (the pre-r8 shape ran assignment as a separate
+    pandas_udf column, paying a second full-corpus Arrow round trip
+    that dominated wall at bandwidth-bound sizes). Probes are computed
     driver-side (centroids and queries are both broadcast-scale).
     Tie-handling mirrors the oracle path: rounded similarity, smallest
-    centroid id wins."""
+    centroid id wins. `dtype=np.float32` halves kernel memory traffic
+    (pair with an `array<float>` corpus column); the float64 default
+    keeps the oracle twin's tie behavior bit-stable."""
     cent_rows = (
         corpus.filter((F.col(corpus_id) % centroid_modulus) == 0)
         .select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("ce"))
@@ -821,23 +833,15 @@ def ivf_ann_topk_fast(
     )
     cent_rows.sort(key=lambda r: r["cid"])  # argmax -> first max -> smallest cid
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-    C = np.stack([np.asarray(r["ce"], dtype=np.float64) for r in cent_rows])
+    C = np.stack([np.asarray(r["ce"], dtype=dtype) for r in cent_rows])
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-
-    @F.pandas_udf(T.LongType())
-    def assign(v: pd.Series) -> pd.Series:
-        V = np.stack(v.values).astype(np.float64)
-        vn = np.linalg.norm(V, axis=1, keepdims=True)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            S = np.round(np.where(vn > 0, V / vn, 0.0) @ Cn.T, 4)
-        return pd.Series(cids[np.argmax(S, axis=1)])
 
     # probe driver-side: top-nprobe clusters per query (rounded sims,
     # cid-ascending tiebreak via stable lexsort)
     q_rows = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")).collect()
     q_rows.sort(key=lambda r: r["qid"])
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
-    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    Q = np.stack([np.asarray(r["qv"], dtype=dtype) for r in q_rows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     probe_map: dict[int, list[int]] = {}
     for qi in range(len(qids)):
@@ -846,15 +850,12 @@ def ivf_ann_topk_fast(
             probe_map.setdefault(int(cids[ci]), []).append(qi)
     probe_idx = {c: np.array(v, dtype=np.int64) for c, v in probe_map.items()}
 
-    # rescore as a cluster-grouped GEMM mapInPandas: the corpus is
-    # scanned ONCE; each Arrow batch is split by assigned cluster and
-    # scored only against the queries probing that cluster, emitting
-    # per-(batch, query) top-k survivors. This replaces the previous
-    # probes-join + pairwise-cosine shape, whose candidate join
-    # duplicated (query_vec, corpus_vec) per candidate row — at 250k
-    # vectors x 1k queries that's GBs of Arrow traffic and made the
-    # "scale path" LOSE to brute force. Candidate flops drop from
-    # |C| x |Q| (brute) to |C| x nprobe x |Q| / ncentroids.
+    # fused assign+rescore mapInPandas: each Arrow batch is normalized
+    # once, assigned by a corpus x centroid GEMM, split by cluster, and
+    # scored only against the queries probing that cluster — emitting
+    # per-(batch, query) top-k survivors. Candidate flops drop from
+    # |C| x |Q| (brute) to |C| x (ncent + nprobe x |Q| / ncent), and
+    # the corpus moves through Arrow once.
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -865,12 +866,16 @@ def ivf_ann_topk_fast(
 
     def rescore(batches):
         for pdf in batches:
-            V = np.stack(pdf["_v"].values).astype(np.float64)
+            V = np.stack(pdf["_v"].values).astype(dtype, copy=False)
             vn = np.linalg.norm(V, axis=1, keepdims=True)
             with np.errstate(divide="ignore", invalid="ignore"):
                 Vn = np.where(vn > 0, V / vn, 0.0)
+            # assignment: same rounded-sim / first-max (smallest cid,
+            # cids sorted) rule the unfused pandas_udf applied
+            clusters = cids[
+                np.argmax(np.round(Vn @ Cn.T, 4), axis=1)
+            ]
             ids = pdf["id"].values
-            clusters = pdf["cluster"].values
             out_q, out_n, out_s = [], [], []
             for c in np.unique(clusters):
                 qsel = probe_idx.get(int(c))
@@ -900,7 +905,7 @@ def ivf_ann_topk_fast(
     ncent = max(len(cids), 1)
     work = (2.0 * ncent + 2.0 * nprobe * len(qids) / ncent) / 4.0
     assigned = _spread(corpus, work).select(
-        F.col(corpus_id).alias("id"), F.col(vec_col).alias("_v"), assign(F.col(vec_col)).alias("cluster")
+        F.col(corpus_id).alias("id"), F.col(vec_col).alias("_v")
     )
     scored = assigned.mapInPandas(rescore, schema=out_schema).withColumn(
         "sim", F.round(F.col("sim"), round_to)
