@@ -2795,6 +2795,85 @@ def iceberg_zorder_layout_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_spec_evolution_scan",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'status' AS probe
+    FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey <= 800 AND o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'key'
+    FROM orders
+    WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders
+                        WHERE o_orderkey > 400 AND o_orderkey <= 800)
+    """,
+)
+def iceberg_spec_evolution_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION (`iceberg.py update_spec` +
+    `data_files_pruned`'s per-spec manifest interpretation): the table
+    starts identity-partitioned on o_orderstatus, then evolves to
+    bucket(8, o_orderkey) — old files keep their original spec, no
+    rewrite, exactly how real engines re-partition hot tables. Probe 1
+    (status equality) must prune OLD-era files through their identity
+    partition records; probe 2 (point key in the new era) must prune
+    NEW-era files through the bucket transform AND old-era files
+    through column bounds. Both probes' results value-match the plain
+    relational oracle, so a spec misread (old record decoded under the
+    new field list) cannot hash-match."""
+    from .expressions.ast import Binary, Col, Lit
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=37, partition_by=["o_orderstatus"])
+        w.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 400)),
+            timestamp_ms=1000,
+        )
+        new_spec = w.update_spec([("bucket", 8, "o_orderkey")])
+        if new_spec != 1:
+            raise AssertionError(f"expected spec-id 1, got {new_spec}")
+        w.append(
+            o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 800)),
+            timestamp_ms=2000,
+        )
+
+    tmp = _session_fixture("ice_spec_evo", sf, build)
+    t = IcebergTable(f"{tmp}/t")
+    sid = t.current_snapshot_id()
+    # probe 1: identity partition of the OLD spec
+    kept1, ev1 = t.data_files_pruned(sid, [Binary("eq", Col("o_orderstatus"), Lit("F"))])
+    if ev1["files_pruned"] == 0:
+        raise AssertionError(f"old-spec identity partition did not prune: {ev1}")
+    part1 = (
+        t.read(spark, _files=kept1)
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumn("probe", F.lit("status"))
+    )
+    # probe 2: bucket transform of the NEW spec (point key in era B)
+    key = (
+        _t(spark, sf, "orders")
+        .filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 800))
+        .agg(F.max("o_orderkey"))
+        .first()[0]
+    )
+    kept2, ev2 = t.data_files_pruned(sid, [Binary("eq", Col("o_orderkey"), Lit(int(key)))])
+    if ev2["files_pruned"] == 0 or len(kept2) > 2:
+        raise AssertionError(
+            f"bucket pruning under the evolved spec failed: kept={len(kept2)} {ev2}"
+        )
+    part2 = (
+        t.read(spark, _files=kept2)
+        .filter(F.col("o_orderkey") == int(key))
+        .withColumn("probe", F.lit("key"))
+    )
+    return part1.unionByName(part2).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "probe"
+    )
+
+
+@_register(
     "delta_data_skipping_scan",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -3815,77 +3894,25 @@ PARITY_TWINS: set[str] = {
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 registry entries
 # each round. Registration order is module-definition order, so newly
-# added operators landed BEHIND the window and never earned a driver
-# row (38 of 104 by round 4). The r7 window is a pure
-# LEAST-RECENTLY-DRIVER-GREEN sort (the r6 verdict's rotation
-# discipline): the never-checked r7 additions first (5 early-r7
-# table-format queries plus the late-r7 batch — prefix-filtered
-# Jaccard, bin-pack/OPTIMIZE+VACUUM maintenance, sorted/Z-ORDER
-# layouts, Delta data skipping, metadata-only count, PQ ANN, RAG
-# chunking, stream-stream join, cross-format replication), then every
-# query whose last driver-green row is round 4. The never-checked
-# head has grown past 20 entries, so the oldest r4-green tail entries
-# past position 50 rotate into the r8 window instead — still strictly least-recently-green order, nothing
-# arbitrary about the cut. (r5-green and r6-green queries sit behind;
-# the r7-touched
-# table-format paths — delta DV merge, iceberg upsert, hudi MoR — were
-# all driver-green in r6 and their r7 changes are covered by the new
-# queries at the head plus the in-session oracle re-drives.)
+# added operators would land BEHIND the window and never earn a driver
+# row. The window is therefore a pure LEAST-RECENTLY-DRIVER-GREEN sort,
+# recomputed each round from the CORRECTNESS_r*.json history (the r6
+# verdict's rotation discipline): never-driver-checked queries first
+# (the r8 additions), then everything whose last driver-green row is
+# r4 (the r2/r3 LLM-ops family the r7 verdict flagged as stale), then
+# the oldest r5-green entries up to the 50 cut
+# (q20_excess_shipments is the first r5 entry rotated out — it and the
+# remaining r5/r6/r7-green queries sit behind the window for the next
+# rotation). Nothing arbitrary about the cut: the list below is the
+# verbatim output of sorting (never-green, then min last-green round,
+# then registration order).
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- new in r7, never driver-checked --
-    "hudi_mor_change_stream",
-    "cross_format_cdc_replication",
-    "iceberg_changelog_scan",
-    "delta_change_data_feed",
-    "recovery_rollback_restore",
-    "delta_dest_partitioned_merge_dv",
-    "delta_rename_column_scan",
-    "delta_data_skipping_scan",
-    "iceberg_zorder_layout_scan",
-    "cross_format_replication",
-    "pq_ann_topk",
-    "iceberg_sorted_layout_scan",
-    "metadata_only_count",
-    "doc_chunking_rag",
-    "stream_stream_join_drain",
-    "ngram_jaccard_dups_fast",
-    "iceberg_binpack_maintenance",
-    "delta_optimize_maintenance",
-    "iceberg_dest_partitioned_upsert",
-    "delta_dest_merge_dv",
-    "delta_column_mapping_scan",
-    "delta_partitioned_scan",
-    "hudi_mor_partitioned_scan",
-    # -- last driver-green in r4 (45 queries: everything below;
-    #    hypertable_rollup, also r4-green, is the one cut to keep the
-    #    window at exactly 50 — it rotates in next round) --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "window_running_total",
-    "topk_per_group",
-    "agg_rollup",
-    "set_ops_except",
-    "distinct_agg",
-    "sessionization",
-    "tumbling_window_agg",
-    "pivot_event_types",
-    "json_extract_props",
-    "asof_join_events_orders",
-    "scan_pushdown_residual",
-    "projection_pruning",
-    "contract_quarantine_rows",
-    "transform_chain",
-    "dedup_keep_last",
-    "dedup_keep_first",
-    "keyed_effects_reduce",
-    "effects_apply_merge",
-    "late_data_classify",
-    "stratified_sample",
-    "incremental_cursor_scan",
-    "docs_profile",
-    "docs_quality_lang",
+    # -- new in r8, never driver-checked --
+    "delta_nested_column_mapping_scan",
+    "delta_cdf_restore_replay",
+    "iceberg_changelog_pos_deletes",
+    "resident_restart_stream",
+    # -- last driver-green in r4 --
     "exact_dedup_docs",
     "fingerprint_containment",
     "ngram_jaccard_dups",
@@ -3904,6 +3931,35 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "cms_heavy_hitters",
     "domain_mix_sample",
     "range_join_campaigns",
+    "hypertable_rollup",
+    # -- last driver-green in r5 (least-recently-green order) --
+    "pack_sequences_by_lang",
+    "training_shuffle_order",
+    "segment_dedup_docs",
+    "stream_drain_equivalence",
+    "docs_embeddings_join",
+    "events_user_rollup",
+    "late_counts_by_type",
+    "simhash_dups",
+    "ivf_kmeans_topk",
+    "ivf_ann_topk",
+    "minhash_lsh_dups",
+    "session_window_agg",
+    "q12_shipmode_priority",
+    "q14_promo_effect",
+    "q17_small_quantity_avg",
+    "moving_average_frame",
+    "q22_global_sales_opportunity",
+    "tfidf_top_terms",
+    "near_dup_clusters",
+    "q2_min_unit_price_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
 ]
 
 

@@ -522,15 +522,22 @@ class IcebergTable:
             if tname == "identity"
         ]
 
-    def _partition_fields_all(self) -> list[tuple[int, str, str, str, str, int | None]]:
-        """EVERY field of the default partition spec as (spec_position,
+    def _partition_fields_all(
+        self, spec_id: int | None = None
+    ) -> list[tuple[int, str, str, str, str, int | None]]:
+        """EVERY field of one partition spec (default when `spec_id` is
+        None — under PARTITION SPEC EVOLUTION each manifest names the
+        spec its files were written with, and partition records must be
+        interpreted under THAT spec) as (spec_position,
         spec_field_name, current_column_name, source_iceberg_type,
         transform_name, transform_arg). Transform-aware pruning
         projects predicates into the transform's value space (bucket:
         murmur3 eq-only; truncate/year/month/day/hour: order-preserving
         range projection) instead of skipping non-identity fields."""
         specs = {s.get("spec-id", 0): s for s in self._meta.get("partition-specs", [])}
-        spec = specs.get(self._meta.get("default-spec-id", 0)) or {}
+        if spec_id is None:
+            spec_id = self._meta.get("default-spec-id", 0)
+        spec = specs.get(int(spec_id)) or {}
         names = self._field_names_by_id()
         types = self._field_types_by_id()
         out = []
@@ -664,7 +671,6 @@ class IcebergTable:
         point query. Conservative: a file is dropped only when a
         predicate is provably false over its [lower, upper] bounds.
         Returns (kept_paths, evidence) with total/kept/pruned counts."""
-        part_fields = self._partition_fields()
         # non-identity transform fields prune through PROJECTED
         # predicates evaluated against the transformed partition value
         # under a synthetic `$part$<spec_name>` key (keys never collide
@@ -679,41 +685,61 @@ class IcebergTable:
         def _prunable(typ: str, tname: str) -> bool:
             return tname != "identity" and (ts_ok or typ not in ("timestamp", "timestamptz"))
 
-        tfields = {
-            cur: (f"$part${spec_name}", tname, arg, typ)
-            for _pos, spec_name, cur, typ, tname, arg in self._partition_fields_all()
-            if _prunable(typ, tname)
-        }
-        transform_meta = {
-            spec_name: (pos, f"$part${spec_name}", _transform_value_type(tname, typ))
-            for pos, spec_name, _cur, typ, tname, arg in self._partition_fields_all()
-            if _prunable(typ, tname)
-        }
-        projected = [
-            q for p in predicates if (q := _project_predicate(p, tfields)) is not None
-        ]
+        # PARTITION SPEC EVOLUTION: a manifest's partition records and
+        # summaries are positional/named under the spec its files were
+        # WRITTEN with (the row's partition_spec_id), not the table's
+        # default — interpreting an old-spec record under the new spec
+        # could wrongly prune live rows (same-named field, different
+        # transform) or silently forgo pruning old-era files. Per-spec
+        # interpretation is cached; rows with no spec id (pre-summary
+        # containers) fall back to the default spec.
+        default_spec = int(self._meta.get("default-spec-id", 0))
+        _spec_cache: dict[int, tuple] = {}
+
+        def spec_ctx(spec_id: int) -> tuple:
+            got = _spec_cache.get(spec_id)
+            if got is None:
+                pfa = self._partition_fields_all(spec_id)
+                p_fields = [
+                    (pos, sn, cur, typ)
+                    for pos, sn, cur, typ, tn, _a in pfa
+                    if tn == "identity"
+                ]
+                tfields = {
+                    cur: (f"$part${sn}", tn, arg, typ)
+                    for _pos, sn, cur, typ, tn, arg in pfa
+                    if _prunable(typ, tn)
+                }
+                t_meta = {
+                    sn: (pos, f"$part${sn}", _transform_value_type(tn, typ))
+                    for pos, sn, _cur, typ, tn, arg in pfa
+                    if _prunable(typ, tn)
+                }
+                proj = [
+                    q
+                    for p in predicates
+                    if (q := _project_predicate(p, tfields)) is not None
+                ]
+                got = _spec_cache[spec_id] = (p_fields, t_meta, proj)
+            return got
+
         kept: list[str] = []
         total = 0
         manifests_total = manifests_skipped = 0
         for row in self._manifest_list_rows(self.snapshot(snapshot_id)):
             manifests_total += 1
+            row_spec = row.get("partition_spec_id")
+            part_fields, transform_meta, projected = spec_ctx(
+                default_spec if row_spec is None else int(row_spec)
+            )
             # manifest-LEVEL skip from the list's partition summaries:
             # at a 100k-file snapshot this avoids even OPENING manifests
             # whose partition range excludes the predicates. Summaries
-            # are positional over the writing spec's FULL field list,
-            # so each identity field indexes summaries[spec_position];
-            # manifests written under a non-default spec are not
-            # summary-pruned at all (their positions belong to a
-            # different field list — misaligned bounds would decode as
-            # the wrong field and could silently skip live rows).
+            # are positional over the WRITING spec's full field list
+            # (spec_ctx above), so old-spec manifests summary-prune
+            # under their own field positions.
             summaries = row.get("partitions")
-            row_spec = row.get("partition_spec_id")
-            default_spec = int(self._meta.get("default-spec-id", 0))
-            if (
-                summaries
-                and (part_fields or transform_meta)
-                and (row_spec is None or int(row_spec) == default_spec)
-            ):
+            if summaries and (part_fields or transform_meta):
                 mbounds: dict[str, tuple] = {}
                 summary_fields = [
                     (pos, cur_name, typ) for pos, _s, cur_name, typ in part_fields
@@ -1796,22 +1822,13 @@ class IcebergFixtureWriter:
         # reconstitute the column from partition metadata) and is only
         # meaningful for all-identity specs (a transformed value
         # cannot reconstitute its source).
-        _SUFFIX = {"bucket": "_bucket", "truncate": "_trunc",
-                   "year": "_year", "month": "_month", "day": "_day"}
-        self._spec_fields: list[tuple[str, str, int | None, str]] = []
-        for ent in partition_by or []:
-            if isinstance(ent, str):
-                self._spec_fields.append((ent, "identity", None, ent))
-                continue
-            tname, *rest = ent
-            if tname not in _SUFFIX:
-                raise IcebergError(f"unsupported partition transform {tname!r}")
-            if tname in ("bucket", "truncate"):
-                arg, col = int(rest[0]), str(rest[1])
-            else:
-                arg, col = None, str(rest[0])
-            self._spec_fields.append((col, tname, arg, f"{col}{_SUFFIX[tname]}"))
+        self._spec_fields = self._parse_partition_by(partition_by)
         self.partition_by = [c for c, _t, _a, _sn in self._spec_fields]
+        # PARTITION SPEC EVOLUTION state: specs already frozen into
+        # metadata (update_spec appends; spec-0 freezes on first
+        # commit) and the id new manifests are stamped with
+        self._specs_json: list[dict] = []
+        self._default_spec_id = 0
         if omit_partition_cols and any(t != "identity" for _c, t, _a, _sn in self._spec_fields):
             raise IcebergError("omit_partition_cols requires an all-identity spec")
         self.omit_partition_cols = omit_partition_cols
@@ -1841,6 +1858,31 @@ class IcebergFixtureWriter:
         self._refs: dict[str, dict] = {}
         if any(self.meta_glob()):
             self._rehydrate()
+
+    @staticmethod
+    def _parse_partition_by(
+        partition_by,
+    ) -> list[tuple[str, str, int | None, str]]:
+        """Parse spec entries — a column name (identity) or a tuple
+        ("bucket", 4, "col") / ("truncate", 3, "col") /
+        ("year"|"month"|"day", "col") — into
+        (source_col, transform, arg, spec_field_name)."""
+        _SUFFIX = {"bucket": "_bucket", "truncate": "_trunc",
+                   "year": "_year", "month": "_month", "day": "_day"}
+        fields: list[tuple[str, str, int | None, str]] = []
+        for ent in partition_by or []:
+            if isinstance(ent, str):
+                fields.append((ent, "identity", None, ent))
+                continue
+            tname, *rest = ent
+            if tname not in _SUFFIX:
+                raise IcebergError(f"unsupported partition transform {tname!r}")
+            if tname in ("bucket", "truncate"):
+                arg, col = int(rest[0]), str(rest[1])
+            else:
+                arg, col = None, str(rest[0])
+            fields.append((col, tname, arg, f"{col}{_SUFFIX[tname]}"))
+        return fields
 
     def meta_glob(self):
         return (self.root / "metadata").glob("*.metadata.json")
@@ -1877,7 +1919,9 @@ class IcebergFixtureWriter:
             self._field_types[f["name"]] = str(f.get("type") or "")
         self._next_fid = max(self._field_ids.values(), default=0) + 1
         specs = {s.get("spec-id", 0): s for s in meta.get("partition-specs", [])}
-        spec = specs.get(meta.get("default-spec-id", 0)) or {}
+        self._specs_json = list(meta.get("partition-specs", []))
+        self._default_spec_id = int(meta.get("default-spec-id", 0))
+        spec = specs.get(self._default_spec_id) or {}
         by_id = {v: k for k, v in self._field_ids.items()}
         self._spec_fields = []
         for f in spec.get("fields", []):
@@ -3034,7 +3078,7 @@ class IcebergFixtureWriter:
                     {
                         "manifest_path": str(manifest),
                         "manifest_length": manifest.stat().st_size,
-                        "partition_spec_id": 0,
+                        "partition_spec_id": self._default_spec_id,
                         "added_snapshot_id": sid,
                         "partitions": self._partition_summaries(entries),
                     }
@@ -3067,7 +3111,7 @@ class IcebergFixtureWriter:
                 {
                     "manifest_path": str(manifest),
                     "manifest_length": manifest.stat().st_size,
-                    "partition_spec_id": 0,
+                    "partition_spec_id": self._default_spec_id,
                     "added_snapshot_id": sid,
                     "partitions": self._partition_summaries(entries),
                 }
@@ -3093,19 +3137,13 @@ class IcebergFixtureWriter:
         self._write_metadata()
         return sid
 
-    def _write_metadata(self) -> None:
-        """New metadata.json version (every commit AND every schema
-        change — Iceberg metadata versions are immutable)."""
-        self._version += 1
-        meta = {
-            "format-version": 2,
-            "table-uuid": self.table_uuid,
-            "location": str(self.root),
-            "last-sequence-number": self._seq,
-            "current-schema-id": self._current_schema_id,
-            "schemas": list(self._schemas),
-            "default-spec-id": 0,
-            "partition-specs": [
+    def _frozen_specs(self) -> list[dict]:
+        """Partition-spec history for metadata: spec-0 freezes from
+        the live `_spec_fields` on first write; `update_spec` appends
+        later specs. Old specs never mutate — files written under them
+        keep resolving through their own field list."""
+        if not self._specs_json:
+            self._specs_json = [
                 {
                     "spec-id": 0,
                     "fields": [
@@ -3120,7 +3158,74 @@ class IcebergFixtureWriter:
                         for i, (c, tname, arg, sn) in enumerate(self._spec_fields)
                     ],
                 }
-            ],
+            ]
+        return list(self._specs_json)
+
+    def update_spec(self, partition_by) -> int:
+        """PARTITION SPEC EVOLUTION (Iceberg spec §Partition Evolution;
+        reader counterpart in `data_files_pruned`'s per-spec
+        interpretation): a NEW spec becomes the default for future
+        commits while existing files keep their original spec — no
+        data is rewritten, exactly how real engines re-partition
+        hot tables. Partition field ids continue from the table-wide
+        max (they are table-unique across specs). Metadata-only: the
+        spec change is a new metadata.json version, not a snapshot."""
+        if self.omit_partition_cols:
+            raise IcebergError(
+                "update_spec on an omit_partition_cols table would orphan "
+                "reconstitution metadata — not supported"
+            )
+        if not self._schemas:
+            raise IcebergError(
+                "update_spec requires a committed schema (field ids are "
+                "assigned by the first append)"
+            )
+        new_fields = self._parse_partition_by(partition_by)
+        for c, _t, _a, _sn in new_fields:
+            if c not in self._field_ids:
+                raise IcebergError(f"partition source column {c!r} not in schema")
+        specs = self._frozen_specs()  # freezes spec-0 if needed
+        next_spec_id = max(int(s.get("spec-id", 0)) for s in specs) + 1
+        next_pfid = (
+            max(
+                (int(f.get("field-id", 999)) for s in specs for f in s.get("fields", [])),
+                default=999,
+            )
+            + 1
+        )
+        self._specs_json.append(
+            {
+                "spec-id": next_spec_id,
+                "fields": [
+                    {
+                        "name": sn,
+                        "transform": tname if arg is None else f"{tname}[{arg}]",
+                        "source-id": self._field_ids[c],
+                        "field-id": next_pfid + i,
+                    }
+                    for i, (c, tname, arg, sn) in enumerate(new_fields)
+                ],
+            }
+        )
+        self._default_spec_id = next_spec_id
+        self._spec_fields = new_fields
+        self.partition_by = [c for c, _t, _a, _sn in new_fields]
+        self._write_metadata()
+        return next_spec_id
+
+    def _write_metadata(self) -> None:
+        """New metadata.json version (every commit AND every schema
+        change — Iceberg metadata versions are immutable)."""
+        self._version += 1
+        meta = {
+            "format-version": 2,
+            "table-uuid": self.table_uuid,
+            "location": str(self.root),
+            "last-sequence-number": self._seq,
+            "current-schema-id": self._current_schema_id,
+            "schemas": list(self._schemas),
+            "default-spec-id": self._default_spec_id,
+            "partition-specs": self._frozen_specs(),
             "current-snapshot-id": (
                 self._parent_snapshot_id() if self._snapshots else -1
             ),
