@@ -23,9 +23,11 @@ those parity modes back the exact-match correctness oracles.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as _np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -737,3 +739,168 @@ def fingerprint_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+class MinHashLSHIndex:
+    """Persisted MinHash-LSH INDEX for INCREMENTAL near-dup: build once
+    over the corpus, then probe each new batch against the stored band
+    buckets — O(batch x collisions), never re-joining corpus x corpus
+    (the whole point of indexing a continuously-ingested corpus; plain
+    `minhash_lsh_pairs` re-pays the full self-join every run).
+
+    Layout under `root/`: `bands/` (id, band, bh — the bucket index,
+    written partitioned by `band` so a probe's band-equi-join prunes
+    to matching band directories), `shingles/` (id + the doc's
+    distinct shingle set, for exact-Jaccard verification of
+    candidates), `meta.json` (n, k, bands, hash_fn — probes must hash
+    identically or buckets are meaningless, so query() re-reads and
+    enforces these). `add()` appends a batch to both tables — the
+    incremental ingest path.
+
+    hash_fn="md5" keeps the DuckDB-parity construction end-to-end so
+    an index-backed probe is exact-oracled; "xxhash64" is the fast
+    deploy twin (same structure, JVM-native hashing over hashed
+    shingles)."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+
+    # -- shared banded-signature projection --------------------------------
+    @staticmethod
+    def _project(
+        df: DataFrame, text_col: str, id_col: str, n: int, k: int, bands: int, hash_fn: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """(banded bucket rows, per-doc shingle sets) for one batch —
+        the same signature/banding construction `minhash_lsh_pairs`
+        uses, emitted as two joinable frames instead of a self-join."""
+        r = k // bands
+        # docs shorter than one shingle carry no signal (the oracle's
+        # `WHERE len(gs) >= 1` guard)
+        df = df.filter(F.length(F.col(text_col)) >= n)
+        sig = _spread(df, 100.0).select(
+            F.col(id_col).alias("id"),
+            minhash_signature(F.col(text_col), n, k, hash_fn=hash_fn).alias("sig"),
+        )
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+        banded = sig.select(
+            "id", F.explode(F.array(*band_structs)).alias("bb")
+        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        if hash_fn == "xxhash64":
+            sh = df.select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.length(F.col(text_col)) - n + 1, F.lit(0)),
+                        ),
+                        lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(n))),
+                    )
+                ).alias("sh"),
+            )
+        else:
+            sh = df.select(
+                F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+            )
+        return banded, sh
+
+    def _meta(self) -> dict:
+        import json as _json
+
+        return _json.loads((self.root / "meta.json").read_text())
+
+    def build(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 5,
+        k: int = 32,
+        bands: int = 8,
+        hash_fn: str = "xxhash64",
+    ) -> dict:
+        import json as _json
+
+        banded, sh = self._project(df, text_col, id_col, n, k, bands, hash_fn)
+        banded.write.mode("overwrite").partitionBy("band").parquet(
+            str(self.root / "bands")
+        )
+        sh.write.mode("overwrite").parquet(str(self.root / "shingles"))
+        meta = {"n": n, "k": k, "bands": bands, "hash_fn": hash_fn}
+        self.root.mkdir(parents=True, exist_ok=True)
+        (self.root / "meta.json").write_text(_json.dumps(meta))
+        return meta
+
+    def add(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> None:
+        """Incremental ingest: append a batch's bands + shingles under
+        the INDEX's recorded parameters (a batch hashed differently
+        would never collide with existing buckets)."""
+        m = self._meta()
+        banded, sh = self._project(
+            df, text_col, id_col, m["n"], m["k"], m["bands"], m["hash_fn"]
+        )
+        banded.write.mode("append").partitionBy("band").parquet(str(self.root / "bands"))
+        sh.write.mode("append").parquet(str(self.root / "shingles"))
+
+    def query(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.8,
+        bucket_cap: int | None = 200,
+    ) -> DataFrame:
+        """Near-dups of `batch` docs against the INDEXED corpus:
+        (batch_id, corpus_id, jaccard) for exact Jaccard >= threshold.
+        The probe bands equi-join the stored bucket table (partitioned
+        by band -> partition-pruned scan), candidates dedup, and exact
+        verification joins the stored corpus shingle sets — the batch's
+        own text is shingled locally. The corpus is touched only at
+        its collision rows."""
+        m = self._meta()
+        banded_q, sh_q = self._project(
+            batch, text_col, id_col, m["n"], m["k"], m["bands"], m["hash_fn"]
+        )
+        idx = spark.read.parquet(str(self.root / "bands"))
+        if bucket_cap is not None:
+            wcount = Window.partitionBy("band", "bh")
+            idx = (
+                idx.withColumn("_bc", F.count(F.lit(1)).over(wcount))
+                .filter(F.col("_bc") <= bucket_cap)
+                .drop("_bc")
+            )
+        cand = (
+            idx.alias("c")
+            .join(
+                banded_q.alias("q"),
+                (F.col("c.band") == F.col("q.band")) & (F.col("c.bh") == F.col("q.bh")),
+            )
+            .filter(F.col("c.id") != F.col("q.id"))
+            .select(F.col("q.id").alias("id_batch"), F.col("c.id").alias("id_corpus"))
+            .dropDuplicates(["id_batch", "id_corpus"])
+        )
+        sh_c = spark.read.parquet(str(self.root / "shingles"))
+        pairs = cand.join(
+            sh_q.select(F.col("id").alias("id_batch"), F.col("sh").alias("sh_b")),
+            on="id_batch",
+        ).join(
+            sh_c.select(F.col("id").alias("id_corpus"), F.col("sh").alias("sh_c")),
+            on="id_corpus",
+        )
+        inter = F.size(F.array_intersect(F.col("sh_b"), F.col("sh_c")))
+        union = F.size(F.col("sh_b")) + F.size(F.col("sh_c")) - inter
+        return (
+            pairs.withColumn(
+                "jaccard",
+                F.round(inter.cast("double") / union.cast("double"), 6),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_batch", "id_corpus", "jaccard")
+        )

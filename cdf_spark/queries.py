@@ -3698,6 +3698,79 @@ def stream_stream_join_drain(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "stream_dedup_drain",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE event_id IS NOT NULL
+    """,
+)
+def stream_dedup_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING STATEFUL DEDUP under a watermark
+    (`dropDuplicatesWithinWatermark` — the exactly-once event-ingest
+    pattern a training-data pipeline runs in front of every sink):
+    the events table is split into 3 file micro-batches where a dup
+    subset (event_id % 10 == 0) rides in EVERY file, so duplicates
+    arrive both within a batch and across batches — only keyed state
+    can drop the cross-batch repeats. The watermark bounds that state
+    at scale: keys older than the delay are evicted instead of held
+    forever (the unbounded-state failure mode of plain
+    dropDuplicates). Drained with Trigger.AvailableNow; the committed
+    table must be EXACTLY one copy of every event — the plain
+    relational oracle."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def build(tmp: str) -> None:
+        import shutil
+        import tempfile
+        from pathlib import Path as _Path
+
+        ev = _t(spark, sf, "events").select(*cols).filter("event_id IS NOT NULL")
+        dups = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
+        (_Path(tmp) / "in").mkdir()
+        for i in range(3):
+            stage = tempfile.mkdtemp(prefix="cdf_sdd_part_")
+            part = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).unionByName(dups)
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            shutil.move(str(src), f"{tmp}/in/part-{i}.parquet")
+            shutil.rmtree(stage, ignore_errors=True)
+
+        deduped = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+            .withWatermark("ts", "90 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            deduped.writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(f"{tmp}/out").count()
+        want = ev.count()
+        if n != want:
+            raise AssertionError(f"stream dedup kept {n} rows, expected {want}")
+
+    tmp = _session_fixture("stream_dedup", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select(*cols)
+
+
+@_register(
     "stream_drain_equivalence",
     """
     SELECT event_id, ts, user_id, event_type, value FROM events
@@ -3912,6 +3985,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "delta_cdf_restore_replay",
     "iceberg_changelog_pos_deletes",
     "resident_restart_stream",
+    "iceberg_spec_evolution_scan",
+    "stream_dedup_drain",
+    "minhash_index_incremental",
     # -- last driver-green in r4 --
     "exact_dedup_docs",
     "fingerprint_containment",
@@ -3957,9 +4033,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q8_market_share",
     "q9_product_type_profit",
     "q10_returned_items",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
+    # (q11_important_stock / q15_top_supplier / q16_supplier_part_counts
+    # rotated out to keep the window at exactly 50 when the three
+    # late-r8 queries joined the never-checked head — they are the
+    # newest r5-green entries and front the r9 rotation)
 ]
 
 
@@ -4644,6 +4721,72 @@ def minhash_lsh_dups(spark: SparkSession, sf: str) -> DataFrame:
     minhash_lsh_dups_fast."""
     return minhash_lsh_pairs(
         _t(spark, sf, "documents"), threshold=0.8, bucket_cap=None, hash_fn="md5"
+    )
+
+
+_MINHASH_INCR_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, text,
+         [substr(text, p, 5) for p in range(1, greatest(length(text) - 4, 0) + 1)] AS gs
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, text,
+         [list_min([CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||':'||g),1,15)) AS BIGINT) for g in gs])
+          for i in range(0, 32)] AS s
+  FROM grams WHERE len(gs) >= 1
+),
+bands AS (
+  SELECT doc_id, text, unnest(range(0, 8)) AS band,
+         array_to_string(s[unnest(range(0, 8)) * 4 + 1 : unnest(range(0, 8)) * 4 + 4], '|') AS bh
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS id_batch, c.doc_id AS id_corpus, b.text AS tb, c.text AS tc
+  FROM bands c JOIN bands b ON c.band = b.band AND c.bh = b.bh AND c.doc_id <> b.doc_id
+  WHERE c.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+),
+verified AS (
+  SELECT id_batch, id_corpus,
+         list_distinct([substr(tb, p, 5) for p in range(1, length(tb) - 3)]) AS sb,
+         list_distinct([substr(tc, p, 5) for p in range(1, length(tc) - 3)]) AS sc
+  FROM cand
+),
+jac AS (
+  SELECT id_batch, id_corpus,
+         round(CAST(len(list_intersect(sb, sc)) AS DOUBLE)
+               / (len(sb) + len(sc) - len(list_intersect(sb, sc))), 6) AS jaccard
+  FROM verified
+)
+SELECT id_batch, id_corpus, jaccard FROM jac WHERE jaccard >= 0.6
+"""
+
+
+@_register("minhash_index_incremental", _MINHASH_INCR_ORACLE)
+def minhash_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL near-dup against a PERSISTED LSH index
+    (`dedup_approx.MinHashLSHIndex`): the corpus (doc_id % 5 != 0) is
+    indexed once — half at build, half through the `add()` ingest path
+    — then the new batch (doc_id % 5 == 0) probes the stored band
+    buckets and verifies exact Jaccard against the stored shingle
+    sets. O(batch x collisions): the corpus is never self-joined
+    again, which is the entire economics of continuously deduping a
+    growing 100 TB corpus. md5 SQL-parity hashing end-to-end, so the
+    oracle reproduces build+probe verbatim."""
+    from .operators.dedup_approx import MinHashLSHIndex
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+
+    def build(tmp: str) -> None:
+        idx = MinHashLSHIndex(f"{tmp}/idx")
+        idx.build(corpus.filter(F.col("doc_id") % 2 == 1), hash_fn="md5")
+        idx.add(corpus.filter(F.col("doc_id") % 2 == 0))  # incremental ingest
+
+    tmp = _session_fixture("minhash_idx", sf, build)
+    return MinHashLSHIndex(f"{tmp}/idx").query(
+        spark, batch, threshold=0.6, bucket_cap=None
     )
 
 

@@ -200,3 +200,56 @@ def test_pq_rejects_indivisible_dim(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError):
         pq_ann_topk(emb, emb.limit(1), m=7)
+
+
+def test_minhash_index_incremental_matches_self_join(spark, tmp_path):
+    """Index-backed incremental probe == the self-join operator's
+    pairs restricted to (corpus, batch), on the same corpus with the
+    same hashing — the index changes the ECONOMICS (no corpus
+    self-join), never the answer. Also exercises add(): half the
+    corpus arrives through the incremental ingest path."""
+    from cdf_spark.operators.dedup_approx import MinHashLSHIndex, minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+
+    idx = MinHashLSHIndex(tmp_path / "idx")
+    idx.build(corpus.filter("doc_id % 2 = 1"))
+    idx.add(corpus.filter("doc_id % 2 = 0"))
+    got = {
+        (r.id_batch, r.id_corpus, r.jaccard)
+        for r in idx.query(spark, batch, threshold=0.6, bucket_cap=None).collect()
+    }
+
+    want = {
+        (r.id_a, r.id_b, r.jaccard) if r.id_a % 5 == 0 else (r.id_b, r.id_a, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.6, bucket_cap=None).collect()
+        if (r.id_a % 5 == 0) != (r.id_b % 5 == 0)
+    }
+    assert got == want and len(got) > 0
+
+
+def test_minhash_index_bucket_cap_and_meta_enforced(spark, tmp_path):
+    from cdf_spark.operators.dedup_approx import MinHashLSHIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = MinHashLSHIndex(tmp_path / "idx")
+    meta = idx.build(docs.filter("doc_id % 2 = 1"), n=5, k=16, bands=4, hash_fn="md5")
+    assert meta == {"n": 5, "k": 16, "bands": 4, "hash_fn": "md5"}
+    # probes re-read meta: the stored hash_fn/banding is what hashes
+    # the batch (a mismatched probe would never collide)
+    batch = docs.filter("doc_id % 2 = 0")
+    uncapped = {
+        (r.id_batch, r.id_corpus)
+        for r in idx.query(spark, batch, threshold=0.5, bucket_cap=None).collect()
+    }
+    capped = {
+        (r.id_batch, r.id_corpus)
+        for r in idx.query(spark, batch, threshold=0.5, bucket_cap=1).collect()
+    }
+    # the cap drops HOT index buckets (recall-bounding, never adds
+    # false positives): capped results are a subset of uncapped
+    assert capped <= uncapped and len(uncapped) > 0
+    # impossible threshold -> exact verification kills every candidate
+    assert idx.query(spark, batch, threshold=1.01, bucket_cap=None).count() == 0
