@@ -2795,6 +2795,60 @@ def iceberg_zorder_layout_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "delta_check_constraints",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey <= 400
+    """,
+)
+def delta_check_constraints(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta CHECK constraints (`delta.py add_check_constraint` —
+    delta.constraints.* configuration, minWriterVersion 3): adding
+    validates existing data, every subsequent data-adding commit is
+    enforced writer-side, and a violating batch is refused WITHOUT a
+    commit — the final table contains exactly the conforming appends.
+    The constraint flag must survive the widening metaData rewrite in
+    between (a rebuild-from-scratch configuration silently disables
+    enforcement — the bug class the CDF restore work surfaced)."""
+    from .sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t")
+        w.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 300)),
+            timestamp_ms=1000,
+        )
+        w.add_check_constraint(spark, "price_pos", "o_totalprice > 0", timestamp_ms=2000)
+        try:
+            w.append(
+                o.limit(5).withColumn("o_totalprice", F.lit(-1.0)), timestamp_ms=3000
+            )
+            raise AssertionError("violating batch was not refused")
+        except DeltaError:
+            pass
+        # widening append: constraint must ride the metaData rewrite
+        w.append(
+            o.filter((F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 400))
+            .withColumn("batch", F.lit("late")),
+            timestamp_ms=4000,
+        )
+        try:
+            w.append(
+                o.limit(5).withColumn("o_totalprice", F.lit(-2.0)), timestamp_ms=5000
+            )
+            raise AssertionError("constraint lost after schema widening")
+        except DeltaError:
+            pass
+
+    tmp = _session_fixture("delta_check", sf, build)
+    t = DeltaTable(f"{tmp}/t")
+    if t.check_constraints() != {"price_pos": "o_totalprice > 0"}:
+        raise AssertionError(f"constraints not persisted: {t.check_constraints()}")
+    return t.read(spark).select("o_orderkey", "o_totalprice")
+
+
+@_register(
     "iceberg_spec_evolution_scan",
     """
     SELECT o_orderkey, o_orderstatus, o_totalprice, 'status' AS probe
@@ -3988,6 +4042,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "iceberg_spec_evolution_scan",
     "stream_dedup_drain",
     "minhash_index_incremental",
+    "delta_check_constraints",
     # -- last driver-green in r4 --
     "exact_dedup_docs",
     "fingerprint_containment",
@@ -4032,8 +4087,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_type_profit",
-    "q10_returned_items",
-    # (q11_important_stock / q15_top_supplier / q16_supplier_part_counts
+    # (q10_returned_items / q11_important_stock / q15_top_supplier / q16_supplier_part_counts
     # rotated out to keep the window at exactly 50 when the three
     # late-r8 queries joined the never-checked head — they are the
     # newest r5-green entries and front the r9 rotation)

@@ -392,6 +392,17 @@ class DeltaTable:
                     out = a["metaData"]
         return out
 
+    def check_constraints(self, version: int | None = None) -> dict[str, str]:
+        """CHECK constraints in force at `version` (current when None):
+        {name: SQL expr} from the configuration's `delta.constraints.*`
+        keys. Readers don't enforce them (a writer-side protocol
+        feature, minWriterVersion>=3); surfaced for inspection and for
+        contract admission to mirror."""
+        v = version if version is not None else self.current_version()
+        cfg = self.metadata_for_version(v).get("configuration") or {}
+        pre = "delta.constraints."
+        return {k[len(pre):]: str(val) for k, val in cfg.items() if k.startswith(pre)}
+
     def _cm_mode(self, version: int) -> str:
         md = self.metadata_for_version(version)
         return (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
@@ -1108,6 +1119,9 @@ class DeltaFixtureWriter:
         # write row-level change files under _change_data/ for
         # table_changes() consumers (delta.enableChangeDataFeed)
         self.change_data_feed = bool(change_data_feed)
+        # CHECK constraints (delta.constraints.<name> = SQL expr):
+        # every data-adding commit must satisfy all of them
+        self._constraints: dict[str, str] = {}
         if self.partition_by and column_mapping != "none":
             raise DeltaError("partition_by with column mapping is not supported")
         # resume an existing log: destinations are constructed per run
@@ -1136,6 +1150,9 @@ class DeltaFixtureWriter:
                 cdf_on = (md.get("configuration") or {}).get("delta.enableChangeDataFeed")
                 if str(cdf_on).lower() == "true":
                     self.change_data_feed = True
+                for ck, cv in (md.get("configuration") or {}).items():
+                    if ck.startswith("delta.constraints."):
+                        self._constraints[ck[len("delta.constraints."):]] = str(cv)
                 mode = (md.get("configuration") or {}).get("delta.columnMapping.mode", "none")
                 if mode in ("name", "id"):
                     self.column_mapping = mode
@@ -1274,11 +1291,10 @@ class DeltaFixtureWriter:
             if self.column_mapping in ("name", "id")
             else {}
         )
-        if self.change_data_feed:
-            # the widening metaData REPLACES the table configuration —
-            # dropping this here silently disabled CDF after any
-            # schema-evolving append
-            conf["delta.enableChangeDataFeed"] = "true"
+        # the widening metaData REPLACES the table configuration —
+        # carry every flag (CDF, CHECK constraints) or they silently
+        # turn off on any schema-evolving append
+        conf.update(self._conf_extras())
         return {
             "metaData": {
                 "id": self.table_id,
@@ -1289,10 +1305,123 @@ class DeltaFixtureWriter:
             }
         }
 
+    def _conf_extras(self) -> dict:
+        """Table configuration that must ride through EVERY metaData
+        rewrite (initial commit, schema widening, rename, constraint
+        changes): a metaData action REPLACES the configuration, so any
+        builder that forgets a flag silently disables the feature."""
+        extras: dict[str, str] = {}
+        if self.change_data_feed:
+            extras["delta.enableChangeDataFeed"] = "true"
+        for cname, cexpr in sorted(self._constraints.items()):
+            extras[f"delta.constraints.{cname}"] = cexpr
+        return extras
+
+    def _enforce_constraints(self, df: DataFrame, what: str) -> None:
+        """Writer-side CHECK enforcement (Delta protocol: writers at
+        minWriterVersion>=3 MUST validate delta.constraints.*): refuse
+        the commit if any batch row violates any constraint. One
+        short-circuiting probe per constraint (limit 1) — fixture-scale
+        batches; real Delta folds the invariant check into the write
+        job itself."""
+        from pyspark.sql import functions as F
+
+        for cname, cexpr in sorted(self._constraints.items()):
+            bad = df.filter(~F.expr(cexpr).eqNullSafe(F.lit(True))).limit(1).collect()
+            if bad:
+                raise DeltaError(
+                    f"{what} violates CHECK constraint {cname!r} ({cexpr}): "
+                    f"e.g. {bad[0].asDict()}"
+                )
+
+    def _constraints_meta_commit(self, operation: str, timestamp_ms: int | None) -> int:
+        meta = {
+            "metaData": {
+                "id": self.table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": self._schema_string,
+                "partitionColumns": list(self.partition_by),
+                "configuration": {
+                    **(
+                        {
+                            "delta.columnMapping.mode": self.column_mapping,
+                            "delta.columnMapping.maxColumnId": str(
+                                getattr(self, "_max_cm_id", len(self._cm))
+                            ),
+                        }
+                        if self.column_mapping in ("name", "id")
+                        else {}
+                    ),
+                    **self._conf_extras(),
+                },
+            }
+        }
+        actions: list[dict] = [meta]
+        if self.column_mapping == "none":
+            # CHECK constraints are a minWriterVersion-3 feature; the
+            # mapping protocol (writer 5) already covers it
+            actions.insert(
+                0, {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}}
+            )
+        return self._commit(actions, operation, timestamp_ms)
+
+    def add_check_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        expr: str,
+        timestamp_ms: int | None = None,
+    ) -> int:
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): EXISTING
+        rows must already satisfy the expression (delta.io validates
+        with a scan before committing — adding a constraint the data
+        violates would make the table unwritable), then the constraint
+        rides the configuration as `delta.constraints.<name>` and every
+        subsequent data-adding commit is enforced against it."""
+        if not name.isidentifier():
+            raise DeltaError(f"constraint name {name!r} must be an identifier")
+        if name in self._constraints:
+            raise DeltaError(f"constraint {name!r} already exists")
+        if self._schema_string is None:
+            raise DeltaError("nothing committed yet — no schema to constrain")
+        t = DeltaTable(self.root)
+        if t.live_add_actions(t.current_version()):
+            from pyspark.sql import functions as F
+
+            bad = (
+                t.read(spark)
+                .filter(~F.expr(expr).eqNullSafe(F.lit(True)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise DeltaError(
+                    f"existing rows violate CHECK {name!r} ({expr}): "
+                    f"e.g. {bad[0].asDict()}"
+                )
+        self._constraints[name] = expr
+        try:
+            return self._constraints_meta_commit("ADD CONSTRAINT", timestamp_ms)
+        except Exception:
+            self._constraints.pop(name, None)
+            raise
+
+    def drop_check_constraint(self, name: str, timestamp_ms: int | None = None) -> int:
+        if name not in self._constraints:
+            raise DeltaError(f"no CHECK constraint {name!r}")
+        dropped = self._constraints.pop(name)
+        try:
+            return self._constraints_meta_commit("DROP CONSTRAINT", timestamp_ms)
+        except Exception:
+            self._constraints[name] = dropped
+            raise
+
     def _write_data(self, df: DataFrame) -> list[dict]:
         import shutil
         import tempfile
 
+        if self._constraints:
+            self._enforce_constraints(df, "batch")
         widen = None
         if self._schema_string is None:
             self._schema_string = (
@@ -1401,8 +1530,7 @@ class DeltaFixtureWriter:
             else:
                 proto = {"minReaderVersion": 1, "minWriterVersion": 2}
                 conf = {}
-            if self.change_data_feed:
-                conf["delta.enableChangeDataFeed"] = "true"
+            conf.update(self._conf_extras())
             lines.append(json.dumps({"protocol": proto}))
             lines.append(
                 json.dumps(
@@ -1652,6 +1780,10 @@ class DeltaFixtureWriter:
 
         if not paths:
             raise DeltaError("upsert_files_dv requires at least one segment")
+        if self._constraints:
+            # MERGE batches add rows too — same CHECK discipline as
+            # append (segment-copy commits would otherwise bypass it)
+            self._enforce_constraints(spark.read.parquet(*paths), "merge batch")
         # column-mapped tables: the victim scan reads PHYSICAL files,
         # so the key match runs under physical names (the _cm map),
         # and the batch lands through the physical-writing path
@@ -1900,10 +2032,8 @@ class DeltaFixtureWriter:
             "delta.columnMapping.mode": self.column_mapping,
             "delta.columnMapping.maxColumnId": str(max_id),
         }
-        if self.change_data_feed:
-            # this metaData REPLACES the configuration — dropping the
-            # flag here would silently disable CDF on rename
-            conf["delta.enableChangeDataFeed"] = "true"
+        # this metaData REPLACES the configuration — carry every flag
+        conf.update(self._conf_extras())
         meta = {
             "metaData": {
                 "id": self.table_id,

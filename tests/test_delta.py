@@ -300,3 +300,68 @@ def test_column_mapping_rename_is_metadata_only(spark, tmp_path, orders):
     w2.append(o.limit(5), timestamp_ms=1_000)
     with _pytest.raises(DeltaError):
         w2.rename_column("o_orderkey", "k")
+
+
+def test_check_constraints_enforced_and_persisted(spark, tmp_path, orders):
+    """Delta CHECK constraints (delta.constraints.* configuration,
+    minWriterVersion 3): adding validates EXISTING data, every
+    data-adding commit is enforced, the flag survives schema widening
+    and rename (metaData rewrites REPLACE configuration), a resumed
+    writer keeps enforcing, and drop lifts enforcement."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cdf_spark.sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(o.filter("o_orderkey <= 100"), timestamp_ms=1_000)
+    w.add_check_constraint(spark, "price_pos", "o_totalprice > 0", timestamp_ms=2_000)
+    t = DeltaTable(tmp_path / "t")
+    assert t.check_constraints() == {"price_pos": "o_totalprice > 0"}
+    # protocol upgraded for the writer feature
+    assert any(
+        a.get("protocol", {}).get("minWriterVersion") == 3
+        for v in t.versions()
+        for a in t.actions(v)
+    )
+    # violating batch refused BEFORE any commit
+    v_before = t.current_version()
+    with _pytest.raises(DeltaError, match="price_pos"):
+        w.append(o.limit(5).withColumn("o_totalprice", F.lit(-1.0)), timestamp_ms=3_000)
+    assert DeltaTable(tmp_path / "t").current_version() == v_before
+    # conforming batch fine; widening keeps the constraint in conf
+    w.append(
+        o.filter("o_orderkey > 100 AND o_orderkey <= 150").withColumn(
+            "tag", F.lit("x")
+        ),
+        timestamp_ms=4_000,
+    )
+    t2 = DeltaTable(tmp_path / "t")
+    assert t2.check_constraints() == {"price_pos": "o_totalprice > 0"}
+    # resumed writer rehydrates + enforces
+    w2 = DeltaFixtureWriter(tmp_path / "t")
+    with _pytest.raises(DeltaError, match="price_pos"):
+        w2.append(o.limit(3).withColumn("o_totalprice", F.lit(-2.0)), timestamp_ms=5_000)
+    # adding a constraint existing rows violate is refused
+    with _pytest.raises(DeltaError, match="existing rows violate"):
+        w2.add_check_constraint(spark, "key_small", "o_orderkey < 10")
+    assert DeltaTable(tmp_path / "t").check_constraints() == {
+        "price_pos": "o_totalprice > 0"
+    }
+    # merge batches enforced too
+    import tempfile as _tf
+
+    seg = _tf.mkdtemp()
+    o.limit(4).withColumn("o_totalprice", F.lit(-3.0)).withColumn(
+        "tag", F.lit("y")
+    ).coalesce(1).write.mode("overwrite").parquet(seg)
+    from pathlib import Path as _P
+
+    segs = sorted(str(p) for p in _P(seg).glob("*.parquet"))
+    with _pytest.raises(DeltaError, match="merge batch"):
+        w2.upsert_files_dv(spark, segs, ["o_orderkey"], timestamp_ms=6_000)
+    # drop lifts enforcement
+    w2.drop_check_constraint("price_pos", timestamp_ms=7_000)
+    assert DeltaTable(tmp_path / "t").check_constraints() == {}
+    w2.append(o.limit(2).withColumn("o_totalprice", F.lit(-9.0)).withColumn("tag", F.lit("z")), timestamp_ms=8_000)
