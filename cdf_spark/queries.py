@@ -2795,6 +2795,59 @@ def iceberg_zorder_layout_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_wap_publish",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey <= 600
+    """,
+)
+def iceberg_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (`iceberg.py append(branch=)` +
+    `fast_forward` — Iceberg branch refs): two candidate appends stage
+    on an 'audit' branch where a quality gate reads them WITHOUT the
+    main table ever seeing uncommitted data (asserted in-query:
+    main-read row count is unchanged while the branch holds both
+    commits); fast_forward then publishes atomically — one metadata
+    pointer move, both staged snapshots become history. The final read
+    value-matches the relational oracle, so a branch commit leaking
+    into main early (or a publish dropping a staged commit) cannot
+    hash-match."""
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=53)
+        w.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 400)),
+            timestamp_ms=1000,
+        )
+        base_n = IcebergTable(f"{tmp}/t").read(spark).count()
+        # stage TWO commits on the audit branch
+        w.append(
+            o.filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 500)),
+            timestamp_ms=2000,
+            branch="audit",
+        )
+        w.append(
+            o.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 600)),
+            timestamp_ms=3000,
+            branch="audit",
+        )
+        t = IcebergTable(f"{tmp}/t")
+        if t.read(spark).count() != base_n:
+            raise AssertionError("staged branch commits leaked into the main table")
+        # audit gate runs against the BRANCH read
+        staged = t.read(spark, tag="audit")
+        bad = staged.filter(F.col("o_totalprice") <= 0).count()
+        if bad:
+            raise AssertionError(f"audit failed: {bad} non-positive prices")
+        t.fast_forward("audit")
+
+    tmp = _session_fixture("ice_wap", sf, build)
+    return IcebergTable(f"{tmp}/t").read(spark).select("o_orderkey", "o_totalprice")
+
+
+@_register(
     "delta_check_constraints",
     """
     SELECT o_orderkey, o_totalprice FROM orders
@@ -4043,6 +4096,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "stream_dedup_drain",
     "minhash_index_incremental",
     "delta_check_constraints",
+    "iceberg_wap_publish",
     # -- last driver-green in r4 --
     "exact_dedup_docs",
     "fingerprint_containment",
@@ -4086,8 +4140,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q2_min_unit_price_supplier",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_type_profit",
-    # (q10_returned_items / q11_important_stock / q15_top_supplier / q16_supplier_part_counts
+    # (q9_product_type_profit / q10_returned_items / q11_important_stock / q15_top_supplier / q16_supplier_part_counts
     # rotated out to keep the window at exactly 50 when the three
     # late-r8 queries joined the never-checked head — they are the
     # newest r5-green entries and front the r9 rotation)

@@ -1105,11 +1105,24 @@ class IcebergTable:
             raise IcebergError("table has no snapshots to expire")
         chain = self.ancestry()
         # tagged snapshots are PINNED: a tag is the promise that this
-        # snapshot stays readable until the tag is dropped
+        # snapshot stays readable until the tag is dropped. A BRANCH
+        # ref pins its whole reachable CHAIN back to the main ancestry
+        # — expiring an intermediate branch snapshot would orphan the
+        # head from its fork point and make fast_forward's ancestry
+        # check (and branch time travel) impossible.
         retain = {cur} | {
             int(r["snapshot-id"])
             for r in (self._meta.get("refs") or {}).values()
         }
+        by_id = {int(s["snapshot-id"]): s for s in self.snapshots()}
+        for r in (self._meta.get("refs") or {}).values():
+            if r.get("type") != "branch":
+                continue
+            node = int(r["snapshot-id"])
+            while node is not None:
+                retain.add(node)
+                parent = by_id.get(node, {}).get("parent-snapshot-id")
+                node = int(parent) if parent is not None else None
         if keep_last is not None:
             retain |= {int(s["snapshot-id"]) for s in chain[: max(1, keep_last)]}
         if older_than_ms is not None:
@@ -1347,6 +1360,67 @@ class IcebergTable:
         (self.meta_dir / f"v{version}.metadata.json").write_text(json.dumps(meta, indent=2))
         hint.write_text(str(version))
         self._meta = meta
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Named BRANCH ref (Iceberg v2 `refs`, type=branch): a movable
+        head forked from a snapshot — the staging side of
+        Write-Audit-Publish. Writer commits with `branch=name` advance
+        this ref; the main table never sees them until
+        `fast_forward`."""
+        sid = int(snapshot_id if snapshot_id is not None else self.current_snapshot_id())
+        self.snapshot(sid)  # must exist
+        refs = dict(self._meta.get("refs", {}))
+        if name in refs:
+            raise IcebergError(f"ref {name!r} already exists")
+        refs[name] = {"snapshot-id": sid, "type": "branch"}
+        hint = self.meta_dir / "version-hint.text"
+        version = int(hint.read_text().strip()) + 1 if hint.exists() else 1
+        meta = dict(self._meta)
+        meta["refs"] = refs
+        (self.meta_dir / f"v{version}.metadata.json").write_text(json.dumps(meta, indent=2))
+        hint.write_text(str(version))
+        self._meta = meta
+        return sid
+
+    def fast_forward(self, branch: str) -> int:
+        """PUBLISH a branch (Iceberg's fastForward): make the branch
+        head the table's current snapshot. Only legal when the current
+        snapshot is an ANCESTOR of the branch head — a diverged main
+        (someone committed to the table after the fork) must raise, or
+        the publish would silently drop those commits. Metadata-only;
+        the branch ref stays (drop it separately when the audit cycle
+        is done)."""
+        ref = (self._meta.get("refs") or {}).get(branch)
+        if ref is None or ref.get("type") != "branch":
+            raise IcebergError(f"branch {branch!r} does not exist")
+        head = int(ref["snapshot-id"])
+        cur = self.current_snapshot_id()
+        if head == cur:
+            raise IcebergError(f"branch {branch!r} is already at the current snapshot")
+        # walk the BRANCH's ancestry; current must be on it
+        by_id = {int(s["snapshot-id"]): s for s in self.snapshots()}
+        node, chain = head, set()
+        while node is not None:
+            chain.add(node)
+            parent = by_id.get(node, {}).get("parent-snapshot-id")
+            node = int(parent) if parent is not None else None
+        if cur not in chain:
+            raise IcebergError(
+                f"cannot fast-forward: current snapshot {cur} is not an "
+                f"ancestor of branch {branch!r} head {head} — main diverged "
+                "after the fork; rebase the branch instead"
+            )
+        hint = self.meta_dir / "version-hint.text"
+        version = int(hint.read_text().strip()) + 1 if hint.exists() else 1
+        meta = dict(self._meta)
+        meta["current-snapshot-id"] = head
+        log = list(meta.get("snapshot-log", []))
+        log.append({"snapshot-id": head, "timestamp-ms": int(time.time() * 1000)})
+        meta["snapshot-log"] = log
+        (self.meta_dir / f"v{version}.metadata.json").write_text(json.dumps(meta, indent=2))
+        hint.write_text(str(version))
+        self._meta = meta
+        return head
 
     def ref_snapshot(self, name: str) -> int:
         ref = (self._meta.get("refs") or {}).get(name)
@@ -1980,9 +2054,18 @@ class IcebergFixtureWriter:
         return self._current_schema_id
 
     def append(
-        self, df: DataFrame, timestamp_ms: int | None = None, snapshot_id: int | None = None
+        self,
+        df: DataFrame,
+        timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+        branch: str | None = None,
     ) -> int:
-        return self._commit(df, "append", timestamp_ms, snapshot_id)
+        """`branch=` stages the append on a BRANCH ref (forked from the
+        branch head, or from the current snapshot when the branch is
+        new) without moving the table's current snapshot — the
+        Write-Audit-Publish write side; `IcebergTable.fast_forward`
+        publishes."""
+        return self._commit(df, "append", timestamp_ms, snapshot_id, branch=branch)
 
     def overwrite(
         self, df: DataFrame, timestamp_ms: int | None = None, snapshot_id: int | None = None
@@ -1999,14 +2082,29 @@ class IcebergFixtureWriter:
         operation: str,
         timestamp_ms: int | None = None,
         snapshot_id: int | None = None,
+        branch: str | None = None,
     ) -> int:
         self._ensure_schema_from_df(df)
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
-        parent = self._parent_snapshot_id()
+        if branch is not None:
+            if not self._snapshots:
+                raise IcebergError(
+                    "cannot stage a branch commit on an empty table — "
+                    "there is no snapshot to fork from"
+                )
+            ref = self._refs.get(branch)
+            if ref is not None and ref.get("type") != "branch":
+                raise IcebergError(f"ref {branch!r} exists and is not a branch")
+            # parent on the branch head; a new branch forks from current
+            parent = (
+                int(ref["snapshot-id"]) if ref is not None else self._parent_snapshot_id()
+            )
+        else:
+            parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         data_files = self._write_df_entries(df, sid)
-        return self._finish_commit(sid, parent, ts, data_files, operation)
+        return self._finish_commit(sid, parent, ts, data_files, operation, branch=branch)
 
     def _ensure_schema_from_df(self, df: DataFrame) -> None:
         """First data commit defines the field-id schema (ids 1..n)
@@ -3064,7 +3162,9 @@ class IcebergFixtureWriter:
             return cur
         return int(self._snapshots[-1]["snapshot-id"]) if self._snapshots else None
 
-    def _finish_commit(self, sid, parent, ts, entries, operation, retain_prior=None) -> int:
+    def _finish_commit(
+        self, sid, parent, ts, entries, operation, retain_prior=None, branch=None
+    ) -> int:
         manifest = self.root / "metadata" / f"manifest-{sid}-{uuid.uuid4().hex[:8]}.avro"
         if not self.partition_by:
             for e in entries:
@@ -3133,7 +3233,13 @@ class IcebergFixtureWriter:
                 "summary": {"operation": operation},
             }
         )
-        self._cur_sid = sid
+        if branch is not None:
+            # branch commit: advance the REF, not the table head — the
+            # staged snapshot is invisible to main-table readers until
+            # fast_forward publishes it
+            self._refs[branch] = {"snapshot-id": sid, "type": "branch"}
+        else:
+            self._cur_sid = sid
         self._write_metadata()
         return sid
 

@@ -654,3 +654,53 @@ def test_snapshot_tags_pin_through_expiry(spark, tmp_path, orders):
     t2.drop_tag("release-1")
     res2 = IcebergTable(tmp_path / "t").expire_snapshots(keep_last=1, delete_orphans=True)
     assert first in res2["expired"]
+
+
+def test_wap_branch_stage_publish_and_guards(spark, tmp_path, orders):
+    """Write-Audit-Publish: branch commits are invisible to main until
+    fast_forward; publish refuses a diverged main; branch heads are
+    pinned through expiry; a resumed writer continues the branch."""
+    from pyspark.sql import functions as F
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = IcebergFixtureWriter(tmp_path / "t", seed=61)
+    w.append(o.filter("o_orderkey <= 100"), timestamp_ms=1_000)
+    w.append(o.filter("o_orderkey > 100 AND o_orderkey <= 120"), timestamp_ms=2_000, branch="audit")
+    t = IcebergTable(tmp_path / "t")
+    assert t.read(spark).count() == o.filter("o_orderkey <= 100").count()
+    assert t.read(spark, tag="audit").count() == o.filter("o_orderkey <= 120").count()
+
+    # resumed writer continues the BRANCH lineage, not main
+    w2 = IcebergFixtureWriter(tmp_path / "t")
+    w2.append(o.filter("o_orderkey > 120 AND o_orderkey <= 140"), timestamp_ms=3_000, branch="audit")
+    t2 = IcebergTable(tmp_path / "t")
+    assert t2.read(spark).count() == o.filter("o_orderkey <= 100").count()
+    assert t2.read(spark, tag="audit").count() == o.filter("o_orderkey <= 140").count()
+
+    # branch-head snapshot survives expiry (ref-pinned)
+    t2.expire_snapshots(keep_last=1, delete_orphans=True)
+    t3 = IcebergTable(tmp_path / "t")
+    assert t3.read(spark, tag="audit").count() == o.filter("o_orderkey <= 140").count()
+
+    # publish: both staged commits become main atomically
+    t3.fast_forward("audit")
+    t4 = IcebergTable(tmp_path / "t")
+    assert t4.read(spark).count() == o.filter("o_orderkey <= 140").count()
+    with pytest.raises(IcebergError, match="already at the current"):
+        t4.fast_forward("audit")
+
+    # diverged main refuses the publish
+    w3 = IcebergFixtureWriter(tmp_path / "t")
+    w3.append(o.filter("o_orderkey > 140 AND o_orderkey <= 150"), timestamp_ms=4_000, branch="fix")
+    w3.append(o.filter("o_orderkey > 150 AND o_orderkey <= 160"), timestamp_ms=5_000)  # main moves
+    t5 = IcebergTable(tmp_path / "t")
+    with pytest.raises(IcebergError, match="diverged"):
+        t5.fast_forward("fix")
+
+    # guards: tag/branch namespace is shared; empty-table staging refused
+    with pytest.raises(IcebergError, match="not a branch"):
+        t5.create_tag("pin")
+        IcebergFixtureWriter(tmp_path / "t").append(o.limit(1), branch="pin")
+    w4 = IcebergFixtureWriter(tmp_path / "empty", seed=62)
+    with pytest.raises(IcebergError, match="empty table"):
+        w4.append(o.limit(1), branch="b")
