@@ -1037,6 +1037,20 @@ class IcebergTable:
                 "snapshot_id long, parent_id long, sequence_number long, "
                 "committed_at_ms long, operation string, schema_id int",
             )
+        if name == "refs":
+            # the `table$refs` surface: tags AND branches, plus the
+            # implicit main head — what an operator inspects before a
+            # WAP publish or a tag-drop
+            rows = [
+                (rname, str(r.get("type", "tag")), int(r["snapshot-id"]))
+                for rname, r in sorted((self._meta.get("refs") or {}).items())
+            ]
+            cur0 = self.current_snapshot_id()
+            if cur0 is not None:
+                rows.insert(0, ("main", "branch", int(cur0)))
+            return spark.createDataFrame(
+                rows, "name string, type string, snapshot_id long"
+            )
         cur = self.current_snapshot_id()
         if cur is None:
             raise IcebergError("table has no current snapshot")

@@ -548,6 +548,12 @@ def test_metadata_tables(spark, table):
     mans = table.metadata_table(spark, "manifests")
     assert mans.count() == 3  # one per commit, all referenced by current
 
+    # refs table: implicit main + declared tags/branches
+    table.create_tag("pin", IDS[0])
+    refs = {r.name: (r.type, r.snapshot_id) for r in table.metadata_table(spark, "refs").collect()}
+    assert refs["main"] == ("branch", IDS[2])
+    assert refs["pin"] == ("tag", IDS[0])
+
     import pytest as _pytest
 
     with _pytest.raises(IcebergError, match="unknown metadata table"):
