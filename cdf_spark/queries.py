@@ -887,6 +887,23 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return rhp_lsh_topk(emb, emb.filter("vec_id < 20"), k=10, bits=32, band_bits=2)
 
 
+@_register("ivf_pq_ann_topk", None)  # approximate by design; recall gated in test_lsh_recall
+def ivf_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ COMPOSITE (`similarity.ivf_pq_ann_topk_fast`) — the
+    standard deploy ANN architecture: coarse IVF routing confines
+    scoring to nprobe clusters per query, PQ asymmetric-distance
+    scores within them (m uint8 lookups per vector instead of d
+    multiplies), exact rescore of the shortlist. Rows-only gate
+    (approximation bounds recall by design); the recall floor AND
+    reported-sims-are-exact are pinned in test_lsh_recall."""
+    from .operators.similarity import ivf_pq_ann_topk_fast
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_pq_ann_topk_fast(
+        emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50, m=8
+    )
+
+
 def embedding_near_dups_raw(spark: SparkSession, sf: str) -> DataFrame:
     """Exact near-dup pairs over the RAW embeddings table. Unregistered:
     random unit vectors never reach cos >= 0.95, so as a gate entry
@@ -4097,6 +4114,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "minhash_index_incremental",
     "delta_check_constraints",
     "iceberg_wap_publish",
+    "ivf_pq_ann_topk",
     # -- last driver-green in r4 --
     "exact_dedup_docs",
     "fingerprint_containment",
@@ -4139,8 +4157,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "near_dup_clusters",
     "q2_min_unit_price_supplier",
     "q7_volume_shipping",
-    "q8_market_share",
-    # (q9_product_type_profit / q10_returned_items / q11_important_stock / q15_top_supplier / q16_supplier_part_counts
+    # (q8_market_share / q9_product_type_profit / q10_returned_items / q11_important_stock / q15_top_supplier / q16_supplier_part_counts
     # rotated out to keep the window at exactly 50 when the three
     # late-r8 queries joined the never-checked head — they are the
     # newest r5-green entries and front the r9 rotation)

@@ -253,3 +253,28 @@ def test_minhash_index_bucket_cap_and_meta_enforced(spark, tmp_path):
     assert capped <= uncapped and len(uncapped) > 0
     # impossible threshold -> exact verification kills every candidate
     assert idx.query(spark, batch, threshold=1.01, bucket_cap=None).count() == 0
+
+
+def test_ivf_pq_ann_topk_recall_and_exact_sims(spark):
+    """IVF-PQ composite: recall vs exact top-k on real sf0.01
+    embeddings at the deploy configuration, AND every reported sim is
+    the EXACT cosine (approximation shortlists, exact rescore reports)
+    — so a PQ quantization bug can only lower recall, never corrupt a
+    similarity."""
+    from cdf_spark.operators.similarity import cosine_topk_fast, ivf_pq_ann_topk_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    exact_rows = cosine_topk_fast(emb, queries, k=10).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    exact_sim = {(r.query_id, r.neighbor_id): r.sim for r in exact_rows}
+    got = ivf_pq_ann_topk_fast(
+        emb, queries, k=10, nprobe=8, centroid_modulus=50, m=8, cb_modulus=25
+    ).collect()
+    hits = {(r.query_id, r.neighbor_id) for r in got} & exact
+    recall = len(hits) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall {recall:.3f} fell below the floor"
+    for r in got:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_sim:
+            assert abs(r.sim - exact_sim[key]) < 1e-9, f"sim not exact at {key}"
