@@ -55,6 +55,7 @@ class IcebergDestination:
         merge_keys: list[str] | None = None,
         max_commit_retries: int = 5,
         partition_by: list | None = None,
+        stage_branch: str | None = None,
     ):
         """`partition_by` seeds the spec when the destination CREATES
         the table: column names (identity) or transform tuples/lists —
@@ -62,13 +63,23 @@ class IcebergDestination:
         "day", "col") — the same vocabulary as `IcebergFixtureWriter`.
         An EXISTING table's spec always wins (rehydrated from its own
         metadata; redeclaring a different spec is a no-op, never a
-        rewrite)."""
+        rewrite).
+
+        `stage_branch` turns the commit/verify protocol into
+        WRITE-AUDIT-PUBLISH: commit() stages the package on that
+        branch ref (main readers never see it), verify() audits the
+        BRANCH read and — only on success — fast-forwards main to the
+        staged snapshot. A failed verification leaves main untouched
+        with the bad data quarantined on the branch for inspection,
+        instead of already-committed. APPEND only (a staged
+        REPLACE/MERGE would need branch-aware delete scoping)."""
         self.table_path = Path(table_path)
         self.merge_keys = merge_keys or []
         self.max_commit_retries = max_commit_retries
         self.partition_by = [
             tuple(e) if isinstance(e, (list, tuple)) else e for e in (partition_by or [])
         ]
+        self.stage_branch = stage_branch
 
     def _segments(self, package: PackageResult) -> list[str]:
         return sorted(str(p) for p in Path(package.data_path()).glob("*.parquet"))
@@ -113,6 +124,29 @@ class IcebergDestination:
         # declared partition_by seeds a NEW table's spec; an existing
         # table rehydrates its own spec over it (existing wins)
         w = IcebergFixtureWriter(self.table_path, partition_by=self.partition_by)
+        if self.stage_branch is not None:
+            if disposition is not WriteDisposition.APPEND:
+                raise ValueError(
+                    "stage_branch supports APPEND only — a staged "
+                    f"{disposition.value} would need branch-aware delete scoping"
+                )
+            # first-ever commit: nothing to fork from — land on main
+            # directly (an empty table has no audited state to protect)
+            if w._snapshots:
+                if w.partition_by:
+                    w.append(spark.read.parquet(package.data_path()), branch=self.stage_branch)
+                else:
+                    w.append_files(segments, branch=self.stage_branch)
+                return Receipt(
+                    receipt_id="rcp-" + uuid.uuid4().hex[:16],
+                    package_id=package.package_id,
+                    destination=f"iceberg://{self.table_path}@{self.stage_branch}",
+                    disposition=disposition.value,
+                    delivery_guarantee=disposition.delivery_guarantee,
+                    rows_written=package.rows_admitted,
+                    value_hash=package.value_hash,
+                    committed_at_ms=int(time.time() * 1000),
+                )
         if w.partition_by:
             # partitioned table (spec rehydrated from metadata): commit
             # through the partition-splitting write path so entries
@@ -178,6 +212,20 @@ class IcebergDestination:
         )
 
     def verify(self, spark: SparkSession, receipt: Receipt, package: PackageResult) -> Receipt:
+        if self.stage_branch is not None and receipt.destination.endswith(
+            f"@{self.stage_branch}"
+        ):
+            # WAP audit: verify the BRANCH read, publish only on pass.
+            # Main is untouched either way until the fast-forward.
+            t = IcebergTable(self.table_path)
+            df = t.read(spark, tag=self.stage_branch)
+            staged = spark.read.parquet(package.data_path())
+            # every staged row must be present on the branch (multiset)
+            ok = staged.exceptAll(df.select(*staged.columns)).isEmpty()
+            receipt.verified = bool(ok)
+            if receipt.verified:
+                t.fast_forward(self.stage_branch)
+            return receipt
         df = self.read(spark)
         if receipt.disposition == WriteDisposition.REPLACE.value:
             ok = dataset_value_hash(df) == package.value_hash

@@ -2679,17 +2679,37 @@ class IcebergFixtureWriter:
         self._schemas.append(self._current_schema())
 
     def append_files(
-        self, paths: list[str], timestamp_ms: int | None = None, snapshot_id: int | None = None
+        self,
+        paths: list[str],
+        timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+        branch: str | None = None,
     ) -> int:
-        """Append commit by segment COPY (destination bulk path)."""
+        """Append commit by segment COPY (destination bulk path);
+        `branch=` stages it on a branch ref (WAP) like `append`."""
         if not paths:
             raise IcebergError("append_files requires at least one parquet file")
         self._ensure_schema_from_parquet(paths[0])
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
-        parent = self._parent_snapshot_id()
+        if branch is not None:
+            if not self._snapshots:
+                raise IcebergError(
+                    "cannot stage a branch commit on an empty table — "
+                    "there is no snapshot to fork from"
+                )
+            ref = self._refs.get(branch)
+            if ref is not None and ref.get("type") != "branch":
+                raise IcebergError(f"ref {branch!r} exists and is not a branch")
+            parent = (
+                int(ref["snapshot-id"]) if ref is not None else self._parent_snapshot_id()
+            )
+        else:
+            parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
-        return self._finish_commit(sid, parent, ts, self._copied_file_entries(paths, sid), "append")
+        return self._finish_commit(
+            sid, parent, ts, self._copied_file_entries(paths, sid), "append", branch=branch
+        )
 
     def replace_files(
         self,

@@ -635,3 +635,60 @@ def test_streaming_cdc_upsert_into_partitioned_table(spark, tmp_path, orders):
     key = min(rows)
     _out, plan = t.scan(spark, ScanRequest("s", predicates=[Col("o_orderkey") == Lit(key)]))
     assert plan.partitions.meta["files_pruned"] > 0
+
+
+def test_wap_destination_stages_then_publishes_on_verify(spark, tmp_path, orders):
+    """stage_branch: commit() lands the package on the branch (main
+    readers see nothing), verify() audits the BRANCH and only a PASS
+    fast-forwards main. A failed audit leaves main untouched with the
+    batch quarantined on the branch."""
+    from cdf_spark.package import PackageBuilder
+    from cdf_spark.package.iceberg_dest import IcebergDestination
+    from cdf_spark.sources.base import WriteDisposition
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    builder = PackageBuilder(tmp_path / "pkgs", "orders")
+    dest = IcebergDestination(tmp_path / "t", stage_branch="audit")
+
+    # first commit: empty table -> lands on main directly
+    p0 = builder.build(admitted=o.filter("o_orderkey <= 100"))
+    r0 = dest.verify(spark, dest.commit(spark, p0, WriteDisposition.APPEND), p0)
+    assert r0.verified
+    base_n = IcebergTable(tmp_path / "t").read(spark).count()
+
+    # staged commit: invisible to main until verify publishes
+    p1 = builder.build(admitted=o.filter("o_orderkey > 100 AND o_orderkey <= 150"))
+    r1 = dest.commit(spark, p1, WriteDisposition.APPEND)
+    t = IcebergTable(tmp_path / "t")
+    assert t.read(spark).count() == base_n  # main unchanged
+    assert r1.destination.endswith("@audit")
+    r1 = dest.verify(spark, r1, p1)
+    assert r1.verified
+    assert IcebergTable(tmp_path / "t").read(spark).count() == o.filter(
+        "o_orderkey <= 150"
+    ).count()
+
+    # failed audit: corrupt the package between commit and verify ->
+    # branch != staged -> no publish, main untouched
+    from pathlib import Path
+    p2 = builder.build(admitted=o.filter("o_orderkey > 150 AND o_orderkey <= 180"))
+    r2 = dest.commit(spark, p2, WriteDisposition.APPEND)
+    main_before = IcebergTable(tmp_path / "t").read(spark).count()
+    import shutil
+
+    extra = o.filter("o_orderkey > 900").limit(3)
+    tmp_seg = tmp_path / "tampered"
+    extra.coalesce(1).write.mode("overwrite").parquet(str(tmp_seg))
+    seg = sorted(Path(p2.data_path()).glob("*.parquet"))[0]
+    shutil.copy(sorted(tmp_seg.glob("*.parquet"))[0], seg)
+    for crc in Path(p2.data_path()).glob(".*.crc"):
+        crc.unlink()  # stale Hadoop checksum sidecars of the replaced file
+    r2 = dest.verify(spark, r2, p2)
+    assert not r2.verified
+    assert IcebergTable(tmp_path / "t").read(spark).count() == main_before
+
+    # non-append dispositions refuse staging
+    p3 = builder.build(admitted=o.limit(5))
+    with pytest.raises(ValueError, match="APPEND only"):
+        dest.commit(spark, p3, WriteDisposition.REPLACE)
