@@ -371,11 +371,14 @@ def _build_destination(dest_cfg: dict, workspace: Path, resource_id: str, merge_
         from .package.iceberg_dest import IcebergDestination
 
         # TOML partition_by: strings (identity) or arrays like
-        # ["bucket", 4, "col"] — the writer's transform vocabulary
+        # ["bucket", 4, "col"] — the writer's transform vocabulary.
+        # stage_branch = "audit" turns the commit/verify protocol into
+        # Write-Audit-Publish: verification gates main-table VISIBILITY
         return IcebergDestination(
             path,
             merge_keys=merge_keys,
             partition_by=dest_cfg.get("partition_by"),
+            stage_branch=dest_cfg.get("stage_branch"),
         )
     if kind == "delta":
         from .package.delta_dest import DeltaDestination

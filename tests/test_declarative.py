@@ -221,3 +221,41 @@ kind = "mystery"
 
     with _pytest.raises(DeclarationError, match="unknown destination kind"):
         compiled["x"].pipeline(tmp_path / "ws")
+
+
+def test_destination_stage_branch_wap(spark, tmp_path, sf_dir):
+    """TOML stage_branch: the first declarative run creates the table
+    on main (an empty table has nothing to fork from), the second
+    STAGES on the audit branch and publishes only through verify —
+    the branch ref exists, the receipt names the branch destination,
+    and the published table carries both runs' rows."""
+    from cdf_spark.declarative import Workspace
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    ws = Workspace(tmp_path / "ws")
+    toml = f"""
+[resources.orders_wap]
+[resources.orders_wap.source]
+kind = "files"
+path = "{sf_dir}/orders.parquet"
+format = "parquet"
+[resources.orders_wap.destination]
+kind = "iceberg"
+path = "{tmp_path}/ws/warehouse/orders_wap"
+stage_branch = "audit"
+"""
+    p = tmp_path / "cdf.toml"
+    p.write_text(toml)
+    compiled = ws.compile_file(str(p))
+    r1 = ws.run(spark, compiled["orders_wap"])
+    assert r1.receipt.verified and r1.rows_admitted > 0
+    t = IcebergTable(tmp_path / "ws" / "warehouse" / "orders_wap")
+    assert t.read(spark).count() == r1.rows_admitted
+
+    r2 = ws.run(spark, compiled["orders_wap"])  # full re-load, STAGED
+    assert r2.receipt.verified
+    assert r2.receipt.destination.endswith("@audit")
+    t2 = IcebergTable(tmp_path / "ws" / "warehouse" / "orders_wap")
+    assert t2.read(spark).count() == r1.rows_admitted + r2.rows_admitted
+    refs = {r.name for r in t2.metadata_table(spark, "refs").collect()}
+    assert "audit" in refs
