@@ -432,3 +432,113 @@ def sample_video_frames(df: DataFrame, every_n_ms: int = 1000, decode_stub: bool
             yield pd.DataFrame(rows)
 
     return df.select("asset_id", "payload").mapInPandas(run, schema)
+
+
+def resize_image(arr: np.ndarray, out_h: int, out_w: int, method: str = "bilinear") -> np.ndarray:
+    """Pure-numpy image resize (H x W x C uint8 -> out_h x out_w x C).
+
+    - "nearest": pixel-center mapping `src = floor((i + 0.5) * in/out)`
+      — every output pixel is an EXACT source lookup, so a SQL oracle
+      can recompute resized statistics from the synthetic corpus's
+      closed-form pixels (the parity mode).
+    - "bilinear": half-pixel-centers convention (`src = (i + 0.5) *
+      in/out - 0.5`, edges clamped) — the quality mode, the same
+      convention OpenCV/PIL default to."""
+    h, w = arr.shape[:2]
+    if method == "nearest":
+        sy = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+        sx = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+        return arr[sy[:, None], sx[None, :]]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = arr.astype(np.float64)
+    top = a[y0[:, None], x0[None, :]] * (1 - wx) + a[y0[:, None], x1[None, :]] * wx
+    bot = a[y1[:, None], x0[None, :]] * (1 - wx) + a[y1[:, None], x1[None, :]] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    method: str = "bilinear",
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Batch image resize as an Arrow-batched mapInPandas: decode
+    (BMP/PNM), resize, re-encode BMP — the media transform stage of a
+    multimodal pipeline. Output: (asset_id, payload, h, w). Payloads
+    stay opaque binary with typed metadata, per the media-table
+    contract."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("w", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "payload": [], "h": [], "w": []}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_image(bytes(payload))
+                res = resize_image(arr, out_h, out_w, method=method)
+                out["asset_id"].append(int(i))
+                out["payload"].append(encode_bmp(res))
+                out["h"].append(out_h)
+                out["w"].append(out_w)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def image_resize_stats(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    method: str = "nearest",
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-image channel means AFTER resize, rounded for cross-engine
+    comparison — decode -> resize -> stats in ONE Arrow-batched pass
+    (no intermediate payload materialization). With method="nearest"
+    over the synthetic closed-form corpus, a SQL oracle recomputes
+    every value exactly."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("mean_r", T.DoubleType(), False),
+            T.StructField("mean_g", T.DoubleType(), False),
+            T.StructField("mean_b", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "h", "w", "mean_r", "mean_g", "mean_b")}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = resize_image(decode_image(bytes(payload)), out_h, out_w, method=method)
+                m = arr.reshape(-1, arr.shape[2]).mean(axis=0)
+                out["asset_id"].append(int(i))
+                out["h"].append(out_h)
+                out["w"].append(out_w)
+                out["mean_r"].append(round(float(m[0]), 4))
+                out["mean_g"].append(round(float(m[1]), 4))
+                out["mean_b"].append(round(float(m[2]), 4))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -1288,6 +1288,45 @@ def image_pixel_stats_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "image_resize_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 23 AS w, 8 + doc_id % 17 AS h
+      FROM documents WHERE doc_id < 150
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, oi.range AS oi, oj.range AS oj,
+             CAST(floor((oi.range + 0.5) * d.h / 12.0) AS BIGINT) AS sy,
+             CAST(floor((oj.range + 0.5) * d.w / 10.0) AS BIGINT) AS sx
+      FROM d JOIN range(0, 12) oi ON true JOIN range(0, 10) oj ON true
+    )
+    SELECT doc_id AS asset_id, CAST(12 AS INT) AS h, CAST(10 AS INT) AS w,
+           round(avg((3*sx + 5*sy + doc_id) % 256), 4) AS mean_r,
+           round(avg((7*sx + 2*sy + 2*doc_id) % 256), 4) AS mean_g,
+           round(avg((sx + 11*sy + 3*doc_id) % 256), 4) AS mean_b
+    FROM px GROUP BY 1
+    """,
+)
+def image_resize_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE RESIZE end-to-end (`multimodal.resize_image` — the media
+    transform stage of a multimodal pipeline): closed-form BMPs decode,
+    resize to 12x10 with nearest-neighbor pixel-center mapping, and
+    per-channel means of the RESIZED pixels compare against a SQL
+    oracle that recomputes the same source lookups from the pixel
+    formula — a wrong coordinate mapping (off-by-half, axis swap,
+    truncation-vs-floor) shifts the means and breaks the match.
+    Bilinear (the quality mode, same half-pixel convention as
+    OpenCV/PIL) is pinned by unit tests instead — its interpolation
+    weights are not practical to reproduce in SQL."""
+    from .operators.multimodal import image_resize_stats, synthetic_bmp_table
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    return image_resize_stats(
+        synthetic_bmp_table(docs, "doc_id"), out_h=12, out_w=10, method="nearest"
+    )
+
+
+@_register(
     "audio_sample_stats",
     """
     WITH d AS (
@@ -4115,6 +4154,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "delta_check_constraints",
     "iceberg_wap_publish",
     "ivf_pq_ann_topk",
+    "image_resize_stats",
     # -- last driver-green in r4 --
     "exact_dedup_docs",
     "fingerprint_containment",
@@ -4156,7 +4196,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tfidf_top_terms",
     "near_dup_clusters",
     "q2_min_unit_price_supplier",
-    "q7_volume_shipping",
     # (q8_market_share / q9_product_type_profit / q10_returned_items / q11_important_stock / q15_top_supplier / q16_supplier_part_counts
     # rotated out to keep the window at exactly 50 when the three
     # late-r8 queries joined the never-checked head — they are the

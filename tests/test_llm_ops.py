@@ -587,3 +587,43 @@ def test_chunk_rejects_bad_overlap(spark):
         chunk_by_tokens(df, chunk_tokens=8, overlap_tokens=8)
     with pytest.raises(ValueError):
         chunk_by_chars(df, chunk_chars=8, overlap_chars=9)
+
+
+def test_image_resize_bilinear_properties(spark):
+    """Bilinear resize quality mode: constant images are invariant,
+    output dims are exact, a linear horizontal ramp keeps its mean
+    under downscale (bilinear preserves linear signals away from the
+    rounding floor), and the re-encoded BMP round-trips."""
+    import numpy as np
+
+    from cdf_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        resize_image,
+        resize_images,
+    )
+
+    const = np.full((16, 20, 3), 77, dtype=np.uint8)
+    out = resize_image(const, 7, 9, method="bilinear")
+    assert out.shape == (7, 9, 3) and (out == 77).all()
+
+    ramp = np.broadcast_to(
+        np.linspace(0, 250, 50).astype(np.uint8)[None, :, None], (10, 50, 3)
+    ).copy()
+    down = resize_image(ramp, 10, 25, method="bilinear")
+    assert abs(float(down.mean()) - float(ramp.mean())) < 1.5
+
+    # nearest matches direct indexing
+    arr = (np.arange(12 * 8 * 3).reshape(12, 8, 3) % 256).astype(np.uint8)
+    nn = resize_image(arr, 6, 4, method="nearest")
+    assert (nn == arr[1::2, 1::2]).all()  # (i+0.5)*2 -> floor = 2i+1
+
+    # Spark-side plumbing: decode -> resize -> BMP re-encode roundtrip
+    import pandas as pd
+
+    pdf = pd.DataFrame({"asset_id": [1], "payload": [encode_bmp(const)]})
+    sdf = spark.createDataFrame(pdf)
+    row = resize_images(sdf, 7, 9, method="bilinear").collect()[0]
+    assert (row.h, row.w) == (7, 9)
+    dec = decode_image(bytes(row.payload))
+    assert dec.shape == (7, 9, 3) and (dec == 77).all()
