@@ -542,3 +542,51 @@ def image_resize_stats(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def resample_audio_nearest(samples: np.ndarray, in_rate: int, out_rate: int) -> np.ndarray:
+    """Nearest-sample audio resample (the decimation/upsampling mode a
+    SQL oracle can reproduce — every output sample is an exact source
+    lookup at `floor((j + 0.5) * n / n_out)`). Linear-phase filtering
+    belongs to a DSP library; the Spark-side contract here is the
+    plumbing: decode -> rate change -> re-encode, Arrow-batched."""
+    n = samples.shape[0]
+    n_out = max(1, (n * out_rate) // in_rate)
+    src = np.minimum(((np.arange(n_out) + 0.5) * n / n_out).astype(np.int64), n - 1)
+    return samples[src]
+
+
+def audio_resample_stats(
+    df: DataFrame,
+    out_rate: int = 8_000,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode -> nearest-resample -> stats in ONE Arrow-batched pass:
+    (asset_id, n_samples, sample_rate, mean_abs) of the RESAMPLED
+    signal. Over the synthetic closed-form corpus a SQL oracle
+    recomputes every value — a wrong sample mapping (off-by-half,
+    rate inversion, channel mixup) shifts mean_abs and breaks it."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("mean_abs", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "n_samples", "sample_rate", "mean_abs")}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames, sr = decode_wav(bytes(payload))
+                mono = frames[:, 0]
+                res = resample_audio_nearest(mono, sr, out_rate)
+                out["asset_id"].append(int(i))
+                out["n_samples"].append(int(res.shape[0]))
+                out["sample_rate"].append(int(out_rate))
+                out["mean_abs"].append(round(float(np.abs(res.astype(np.float64)).mean()), 4))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -1327,6 +1327,39 @@ def image_resize_stats_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "audio_resample_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, 400 + doc_id % 700 AS n, 13 + doc_id % 7 AS k
+      FROM documents WHERE doc_id < 150
+    ),
+    o AS (SELECT doc_id, n, k, (n * 8000) // 16000 AS n_out FROM d),
+    px AS (
+      SELECT doc_id, n, k, n_out, j.range AS j,
+             CAST(floor((j.range + 0.5) * n / n_out) AS BIGINT) AS t
+      FROM o JOIN range(0, 550) j ON j.range < n_out
+    )
+    SELECT doc_id AS asset_id, CAST(n_out AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           round(avg(abs((t * k) % 2001 - 1000)), 4) AS mean_abs
+    FROM px GROUP BY 1, 2
+    """,
+)
+def audio_resample_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """AUDIO RESAMPLE end-to-end (`multimodal.resample_audio_nearest`
+    — the rate-change stage of an audio pipeline): closed-form 16 kHz
+    WAVs decode, nearest-resample to 8 kHz (every output sample an
+    exact source lookup at floor((j+0.5)·n/n_out)), and the RESAMPLED
+    signal's mean |amplitude| compares against a SQL oracle that
+    recomputes the same lookups from the waveform formula — a wrong
+    mapping (rate inversion, off-by-half, channel mixup) breaks it."""
+    from .operators.multimodal import audio_resample_stats, synthetic_wav_table
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    return audio_resample_stats(synthetic_wav_table(docs, "doc_id"), out_rate=8000)
+
+
+@_register(
     "audio_sample_stats",
     """
     WITH d AS (
@@ -4155,6 +4188,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "iceberg_wap_publish",
     "ivf_pq_ann_topk",
     "image_resize_stats",
+    "audio_resample_stats",
     # -- last driver-green in r4 --
     "exact_dedup_docs",
     "fingerprint_containment",
@@ -4195,7 +4229,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q22_global_sales_opportunity",
     "tfidf_top_terms",
     "near_dup_clusters",
-    "q2_min_unit_price_supplier",
     # (q8_market_share / q9_product_type_profit / q10_returned_items / q11_important_stock / q15_top_supplier / q16_supplier_part_counts
     # rotated out to keep the window at exactly 50 when the three
     # late-r8 queries joined the never-checked head — they are the
