@@ -590,3 +590,118 @@ def audio_resample_stats(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy video codec (YUV4MPEG2 / .y4m — raw uncompressed frames)
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode (T, H, W) uint8 LUMA frames as YUV4MPEG2 (4:2:0, U/V
+    planes constant 128 = grayscale) — the raw container ffmpeg and
+    mjpegtools speak, simple enough to be a real pure-numpy video
+    path (compressed codecs stay the library plug-in point)."""
+    t, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("y4m 4:2:0 needs even dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    chroma = np.full((h // 2, w // 2), 128, dtype=np.uint8).tobytes()
+    body = bytearray()
+    for f in frames:
+        body += b"FRAME\n" + f.astype(np.uint8).tobytes() + chroma + chroma
+    return head + bytes(body)
+
+
+def decode_y4m(data: bytes) -> np.ndarray:
+    """Decode YUV4MPEG2 (C420) to (T, H, W) uint8 luma frames."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a y4m payload")
+    nl = data.index(b"\n")
+    w = h = None
+    for tok in data[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and tok not in (b"C420", b"C420jpeg", b"C420mpeg2"):
+            raise NotImplementedError(f"y4m chroma {tok!r} unsupported")
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    frame_bytes = h * w + 2 * (h // 2) * (w // 2)
+    pos, frames = nl + 1, []
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos = data.index(b"\n", pos) + 1  # frame params allowed after FRAME
+        luma = np.frombuffer(data, dtype=np.uint8, count=h * w, offset=pos).reshape(h, w)
+        frames.append(luma)
+        pos += frame_bytes
+    return np.stack(frames)
+
+
+def synthetic_y4m_table(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL y4m clip per id from a closed-form luma formula a SQL
+    oracle can recompute:
+
+        T = 4 + id % 5,  w = 8 + 2*(id % 5),  h = 8 + 2*(id % 4)
+        y(t, x, y) = (5x + 7y + 11t + id) % 256
+    """
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "payload": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                nt, w, h = 4 + i % 5, 8 + 2 * (i % 5), 8 + 2 * (i % 4)
+                x = np.arange(w)[None, None, :]
+                y = np.arange(h)[None, :, None]
+                t = np.arange(nt)[:, None, None]
+                frames = ((5 * x + 7 * y + 11 * t + i) % 256).astype(np.uint8)
+                out["asset_id"].append(i)
+                out["payload"].append(encode_y4m(np.broadcast_to(frames, (nt, h, w)).copy()))
+            yield pd.DataFrame(out)
+
+    return ids_df.select(id_col).mapInPandas(gen, schema)
+
+
+def video_frame_sample_stats(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """FRAME SAMPLING over real decoded video: decode y4m, keep every
+    Nth frame, emit per-sampled-frame luma means — the
+    decode -> frame-sample -> feature stage of a video curation
+    pipeline, one Arrow-batched pass, one output row per sampled
+    frame (posexploded shape)."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("mean_y", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "frame_idx", "n_frames", "mean_y")}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_y4m(bytes(payload))
+                for idx in range(0, frames.shape[0], every_n):
+                    out["asset_id"].append(int(i))
+                    out["frame_idx"].append(int(idx))
+                    out["n_frames"].append(int(frames.shape[0]))
+                    out["mean_y"].append(
+                        round(float(frames[idx].astype(np.float64).mean()), 4)
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -1288,6 +1288,46 @@ def image_pixel_stats_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "video_frame_sample_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS nt,
+             8 + 2*(doc_id % 5) AS w, 8 + 2*(doc_id % 4) AS h
+      FROM documents WHERE doc_id < 150
+    ),
+    fr AS (
+      SELECT doc_id, nt, w, h, t.range AS t
+      FROM d JOIN range(0, 9) t ON t.range < nt AND t.range % 2 = 0
+    ),
+    px AS (
+      SELECT doc_id, nt, t, x.range AS x, y.range AS y
+      FROM fr
+      JOIN range(0, 17) x ON x.range < w
+      JOIN range(0, 15) y ON y.range < h
+    )
+    SELECT doc_id AS asset_id, CAST(t AS INT) AS frame_idx,
+           CAST(nt AS INT) AS n_frames,
+           round(avg((5*x + 7*y + 11*t + doc_id) % 256), 4) AS mean_y
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def video_frame_sample_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video decode + FRAME SAMPLING (`multimodal.decode_y4m` —
+    YUV4MPEG2, the raw container ffmpeg speaks; compressed codecs stay
+    the honest library plug-in point): closed-form clips are encoded
+    executor-side as genuine y4m bytes, decoded back by the pure-numpy
+    codec, every 2nd frame sampled, and per-sampled-frame luma means
+    compare against a SQL oracle recomputing the pixel formula —
+    a frame-offset bug (FRAME-marker mis-parse, chroma-plane stride)
+    shifts the means and breaks the match. Upgrades the video path
+    from stub to real for one honest format."""
+    from .operators.multimodal import synthetic_y4m_table, video_frame_sample_stats
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    return video_frame_sample_stats(synthetic_y4m_table(docs, "doc_id"), every_n=2)
+
+
+@_register(
     "image_resize_stats",
     """
     WITH d AS (
@@ -4169,12 +4209,13 @@ PARITY_TWINS: set[str] = {
 # verdict's rotation discipline): never-driver-checked queries first
 # (the r8 additions), then everything whose last driver-green row is
 # r4 (the r2/r3 LLM-ops family the r7 verdict flagged as stale), then
-# the oldest r5-green entries up to the 50 cut
-# (q20_excess_shipments is the first r5 entry rotated out — it and the
-# remaining r5/r6/r7-green queries sit behind the window for the next
-# rotation). Nothing arbitrary about the cut: the list below is the
-# verbatim output of sorting (never-green, then min last-green round,
-# then registration order).
+# the oldest r5-green entries up to the 50 cut. As late-r8 queries
+# joined the never-checked head across the round, the NEWEST r5-green
+# tail entries rotated out one-for-one (q7/q8/q9/q10/q11/q15/q16/q20
+# — they front the r9 rotation, behind the remaining r5/r6/r7-green
+# queries). Nothing arbitrary about the cut: the ordering is
+# (never-green, then min last-green round, then registration order),
+# truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
     "delta_nested_column_mapping_scan",
@@ -4189,6 +4230,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ivf_pq_ann_topk",
     "image_resize_stats",
     "audio_resample_stats",
+    "video_frame_sample_stats",
     # -- last driver-green in r4 --
     "exact_dedup_docs",
     "fingerprint_containment",
@@ -4228,9 +4270,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "moving_average_frame",
     "q22_global_sales_opportunity",
     "tfidf_top_terms",
-    "near_dup_clusters",
-    # (q8_market_share / q9_product_type_profit / q10_returned_items / q11_important_stock / q15_top_supplier / q16_supplier_part_counts
-    # rotated out to keep the window at exactly 50 when the three
+    # (q2/q7/q8/q9/q10/q11/q15/q16/q20 rotated out one-for-one as
     # late-r8 queries joined the never-checked head — they are the
     # newest r5-green entries and front the r9 rotation)
 ]

@@ -627,3 +627,23 @@ def test_image_resize_bilinear_properties(spark):
     assert (row.h, row.w) == (7, 9)
     dec = decode_image(bytes(row.payload))
     assert dec.shape == (7, 9, 3) and (dec == 77).all()
+
+
+def test_y4m_codec_roundtrip_and_guards():
+    import numpy as np
+    import pytest
+
+    from cdf_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    f = (np.arange(4 * 6 * 8).reshape(4, 6, 8) * 7 % 256).astype(np.uint8)
+    data = encode_y4m(f, fps=30)
+    assert data.startswith(b"YUV4MPEG2 W8 H6 F30:1")
+    assert (decode_y4m(data) == f).all()
+    with pytest.raises(ValueError, match="even dimensions"):
+        encode_y4m(f[:, :5, :])
+    with pytest.raises(ValueError, match="not a y4m"):
+        decode_y4m(b"RIFFxxxx")
+    # 4:2:2 chroma refused honestly
+    bad = data.replace(b"C420", b"C422")
+    with pytest.raises(NotImplementedError):
+        decode_y4m(bad)
