@@ -2906,6 +2906,118 @@ class IcebergFixtureWriter:
         result["files_after"] = len(after.files_for_snapshot(after.current_snapshot_id()))
         return result
 
+    def rewrite_position_deletes(self, timestamp_ms: int | None = None) -> dict:
+        """Consolidate accumulated POSITIONAL-DELETE files into one
+        (Iceberg's RewritePositionDeleteFiles): every MERGE/DELETE
+        commit lands another small content=1 parquet, and each one is
+        another file every snapshot read must open and anti-join —
+        at streaming-CDC cadence the delete-file count grows without
+        bound unless something merges them. One 'replace' snapshot:
+        the consolidated file plus every data/equality entry re-listed
+        as EXISTING with its ORIGINAL sequence number pinned.
+
+        Hygiene rides along: rows referencing data files that are no
+        longer live (their targets were themselves rewritten or
+        removed) are dropped, and duplicate (file, pos) rows from
+        overlapping delete commits dedupe — both keep
+        `metadata_count`'s delete-cardinality arithmetic exact.
+
+        Sequence safety: the consolidated entry takes the MAX of the
+        originals' sequence numbers. Positional deletes target
+        explicit file paths and this writer's paths are uuid-unique
+        (never reused), so widening the sequence window cannot make a
+        row apply to a file it didn't before. Driver-side parquet
+        consolidation — delete files are metadata-scale by
+        construction; at cluster scale this becomes one small
+        distributed job, same boundary as delete_positions itself."""
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        t = IcebergTable(self.root)
+        cur = t.current_snapshot_id()
+        if cur is None:
+            raise IcebergError("table has no snapshots")
+        snap = t.snapshot(cur)
+        pos_deletes: list[tuple[dict, int]] = []
+        others: list[tuple[dict, int]] = []
+        live_data_paths: set[str] = set()
+        for mp in t._manifest_paths(snap):
+            for e in t._manifest_entries(mp):
+                if int(e.get("status", 1)) == 2:
+                    continue
+                seq = t._entry_sequence(e)
+                content = int(e["data_file"].get("content") or 0)
+                if content == 1:
+                    pos_deletes.append((e, seq))
+                else:
+                    others.append((e, seq))
+                    if content == 0:
+                        live_data_paths.add(
+                            _norm_local(str(t._resolve(e["data_file"]["file_path"])))
+                        )
+        result = {
+            "delete_files_before": len(pos_deletes),
+            "delete_files_after": len(pos_deletes),
+            "rows_dropped": 0,
+        }
+        if len(pos_deletes) < 2:
+            return result
+
+        sid = self._rng.getrandbits(62)
+        parent = self._parent_snapshot_id()
+        self._seq += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+
+        tables = []
+        total_rows = 0
+        for e, _seq in pos_deletes:
+            dtab = _pq.read_table(t._resolve(e["data_file"]["file_path"]))
+            total_rows += dtab.num_rows
+            tables.append(dtab.select(["file_path", "pos"]))
+        merged = _pa.concat_tables(tables)
+        # drop dangling rows + dedupe (file, pos); sort for locality
+        norm = [_norm_local(str(v)) for v in merged.column("file_path").to_pylist()]
+        keep_mask = [p in live_data_paths for p in norm]
+        merged = merged.filter(_pa.array(keep_mask))
+        if merged.num_rows:
+            merged = (
+                merged.group_by(["file_path", "pos"])
+                .aggregate([])
+                .sort_by([("file_path", "ascending"), ("pos", "ascending")])
+            )
+        result["rows_dropped"] = total_rows - merged.num_rows
+        max_seq = max(seq for _e, seq in pos_deletes)
+        new_entries: list[dict] = []
+        if merged.num_rows:
+            dest = self.root / "data" / f"delete-{uuid.uuid4().hex}.parquet"
+            _pq.write_table(merged, dest)
+            new_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": max_seq,
+                    "data_file": {
+                        "file_path": str(dest),
+                        "file_format": "PARQUET",
+                        "record_count": merged.num_rows,
+                        "content": 1,
+                        "partition": None,
+                        "equality_ids": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "file_size_in_bytes": dest.stat().st_size,
+                    },
+                }
+            )
+        for e, seq in others:
+            ne = dict(e)
+            ne["status"] = 0  # EXISTING at this snapshot
+            ne["sequence_number"] = seq  # pin the original data seq
+            new_entries.append(ne)
+        self._finish_commit(sid, parent, ts, new_entries, "replace")
+        result["delete_files_after"] = 1 if merged.num_rows else 0
+        return result
+
     def rewrite_sorted(
         self,
         spark: SparkSession,

@@ -710,3 +710,55 @@ def test_wap_branch_stage_publish_and_guards(spark, tmp_path, orders):
     w4 = IcebergFixtureWriter(tmp_path / "empty", seed=62)
     with pytest.raises(IcebergError, match="empty table"):
         w4.append(o.limit(1), branch="b")
+
+
+def test_rewrite_position_deletes_consolidates(spark, tmp_path, orders):
+    """Accumulated pos-delete files (the merge-on-read CDC shape)
+    consolidate into ONE: reads identical, duplicates and dangling
+    rows dropped, original data sequence numbers pinned so equality
+    deletes keep scoping, changelog windows spanning the rewrite see
+    nothing from it."""
+    from pyspark.sql import functions as F
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = IcebergFixtureWriter(tmp_path / "t", seed=71)
+    s1 = w.append(o.filter("o_orderkey <= 80"), timestamp_ms=1_000)
+    t = IcebergTable(tmp_path / "t")
+
+    def locate(keys, sid):
+        return [
+            (r._f, r._p)
+            for r in t.read(spark, snapshot_id=sid)
+            .withColumn("_f", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"))
+            .withColumn("_p", F.col("_metadata.row_index"))
+            .filter(F.col("o_orderkey").isin(*keys))
+            .select("_f", "_p")
+            .collect()
+        ]
+
+    w.delete_positions(locate([3, 7], s1), timestamp_ms=2_000)
+    w.delete_positions(locate([11], s1), timestamp_ms=3_000)
+    # duplicate delete of key 3 (overlapping commits) — must dedupe
+    w.delete_positions(locate([3], s1), timestamp_ms=4_000)
+    t2 = IcebergTable(tmp_path / "t")
+    before = {tuple(r) for r in t2.read(spark).collect()}
+    n_del_before = sum(
+        1
+        for mp in t2._manifest_paths(t2.snapshot(t2.current_snapshot_id()))
+        for e in t2._manifest_entries(mp)
+        if int(e.get("status", 1)) != 2 and int(e["data_file"].get("content") or 0) == 1
+    )
+    assert n_del_before == 3
+    res = w.rewrite_position_deletes(timestamp_ms=5_000)
+    assert res["delete_files_before"] == 3 and res["delete_files_after"] == 1
+    assert res["rows_dropped"] == 1  # the duplicate (3) row
+    t3 = IcebergTable(tmp_path / "t")
+    assert {tuple(r) for r in t3.read(spark).collect()} == before
+    assert t3.read(spark).count() == o.filter("o_orderkey <= 80").count() - 3
+    # changelog across the rewrite: only the real deletes, no replay
+    ch = t3.changelog_scan(spark, from_snapshot_id=s1)
+    assert sorted(r["o_orderkey"] for r in ch.collect()) == [3, 7, 11]
+    assert {r["_change_type"] for r in ch.collect()} == {"delete"}
+    # no-op on an already-consolidated table
+    res2 = w.rewrite_position_deletes()
+    assert res2["delete_files_before"] == 1 and res2["delete_files_after"] == 1
