@@ -43,6 +43,12 @@ class MaintenancePolicy:
     max_snapshots: int = 20
     retention_ms: int = 7 * 24 * 3600 * 1000
     hudi_retain_commits: int = 10
+    # consolidate positional-delete files once this many accumulate
+    # (each is another anti-join side every snapshot read must open)
+    max_pos_delete_files: int = 4
+    # Delta REORG PURGE once this many live files carry deletion
+    # vectors (each pays its anti-join on every read)
+    max_dv_files: int = 4
 
 
 @dataclass
@@ -73,6 +79,22 @@ def _plan_iceberg(root: Path, policy: MaintenancePolicy) -> list[MaintenanceActi
             if int(dfile.get("file_size_in_bytes") or 0) < policy.small_file_bytes:
                 key = _json.dumps(dfile.get("partition"), sort_keys=True, default=str)
                 small_by_part[key] += 1
+    n_pos_deletes = sum(
+        1
+        for mp in t._manifest_paths(t.snapshot(cur))
+        for e in t._manifest_entries(mp)
+        if int(e.get("status", 1)) != 2
+        and int(e["data_file"].get("content") or 0) == 1
+    )
+    if n_pos_deletes >= policy.max_pos_delete_files:
+        actions.append(
+            MaintenanceAction(
+                "rewrite_position_deletes",
+                f"{n_pos_deletes} positional-delete files exceed the "
+                f"{policy.max_pos_delete_files} cap",
+                {"pos_delete_files": n_pos_deletes},
+            )
+        )
     packable = {k: n for k, n in small_by_part.items() if n >= policy.min_small_files}
     if packable:
         actions.append(
@@ -128,6 +150,15 @@ def _plan_delta(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction
                 f"{policy.small_file_bytes} B across {len(packable)} partition(s)"
                 + (f"; {dv_files} carrying deletion vectors" if dv_files else ""),
                 {"small_files": sum(packable.values()), "dv_files": dv_files},
+            )
+        )
+    if dv_files >= policy.max_dv_files:
+        actions.append(
+            MaintenanceAction(
+                "reorg_purge",
+                f"{dv_files} live files carry deletion vectors (cap "
+                f"{policy.max_dv_files}) — fold the deletes in",
+                {"dv_files": dv_files},
             )
         )
     vac = t.vacuum(retention_ms=policy.retention_ms, dry_run=True)
@@ -229,6 +260,9 @@ def run_maintenance(
                     small_bytes=policy.small_file_bytes,
                     target_bytes=policy.target_file_bytes,
                 )
+            elif act.action == "rewrite_position_deletes":
+                w = IcebergFixtureWriter(root)
+                results[act.action] = w.rewrite_position_deletes()
             elif act.action == "expire_snapshots":
                 results[act.action] = IcebergTable(root).expire_snapshots(
                     keep_last=policy.max_snapshots, delete_orphans=True
@@ -239,7 +273,9 @@ def run_maintenance(
                 )
         elif is_delta_layout(root):
             w = DeltaFixtureWriter(root)
-            if act.action == "optimize_small_files":
+            if act.action == "reorg_purge":
+                results[act.action] = w.reorg_purge(spark)
+            elif act.action == "optimize_small_files":
                 results[act.action] = w.optimize_small_files(
                     spark,
                     small_bytes=policy.small_file_bytes,

@@ -2177,6 +2177,94 @@ class DeltaFixtureWriter:
             )
         )
 
+    def reorg_purge(
+        self,
+        spark: SparkSession,
+        timestamp_ms: int | None = None,
+    ) -> dict:
+        """REORG TABLE ... APPLY (PURGE): rewrite ONLY the files
+        carrying DELETION VECTORS — regardless of size — materializing
+        their surviving rows and dropping the DVs. The merge-on-read
+        debt collector: every DV'd file pays its anti-join on every
+        read until something folds the deletes in, and at CDC cadence
+        the DV'd share of the table only grows. O(DV'd files), one
+        commit, dataChange=false on every action (no logical change —
+        incremental consumers are NOT invalidated), and the orphaned
+        `.bin` files fall to vacuum."""
+        import shutil
+        import tempfile
+        from urllib.parse import quote
+
+        from .partitioned_write import HIVE_NULL
+
+        t = DeltaTable(self.root)
+        cur = t.current_version()
+        part_cols = t.partition_columns(cur)
+        groups: dict[tuple, list[str]] = {}
+        n_dv = 0
+        for path, dv, pv in t.live_adds(cur):
+            if dv is None:
+                continue
+            n_dv += 1
+            groups.setdefault(tuple(sorted((pv or {}).items())), []).append(path)
+        result = {"dv_files": n_dv, "rewritten": 0}
+        if not groups:
+            return result
+        now_ms = int(timestamp_ms if timestamp_ms is not None else time.time() * 1000)
+        actions: list[dict] = []
+        root_resolved = self.root.resolve()
+        for key, resolved_paths in sorted(groups.items()):
+            # read WITH the DVs applied: the rewrite materializes
+            # exactly the surviving rows
+            merged = t.read(spark, _files=resolved_paths)
+            if part_cols:
+                merged = merged.drop(*part_cols)
+            merged = self._to_physical(merged)
+            pv = dict(key)
+            segs = [
+                f"{c}={quote(str(pv[c]), safe='') if pv[c] is not None else HIVE_NULL}"
+                for c in part_cols
+            ]
+            part_dir = "/".join(segs)
+            if part_dir:
+                (self.root / part_dir).mkdir(parents=True, exist_ok=True)
+            tmp = tempfile.mkdtemp(prefix="delta_purge_")
+            try:
+                merged.coalesce(max(1, len(resolved_paths))).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                for p in sorted(Path(tmp).glob("*.parquet")):
+                    rel = (f"{part_dir}/" if part_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+                    shutil.move(str(p), str(self.root / rel))
+                    actions.append(
+                        {
+                            "add": {
+                                "path": rel,
+                                "size": (self.root / rel).stat().st_size,
+                                "partitionValues": pv,
+                                "modificationTime": now_ms,
+                                "dataChange": False,
+                                "stats": json.dumps(_footer_stats(self.root / rel)),
+                            }
+                        }
+                    )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            for p in resolved_paths:
+                rel_remove = Path(p).resolve().relative_to(root_resolved).as_posix()
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel_remove,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": False,
+                        }
+                    }
+                )
+            result["rewritten"] += len(resolved_paths)
+        self._commit(actions, "REORG", timestamp_ms)
+        return result
+
     def optimize_small_files(
         self,
         spark: SparkSession,

@@ -220,3 +220,46 @@ def test_streaming_pipeline_maintains_every_n_epochs(spark, tmp_path, orders):
     assert t.read(spark).count() == o.count()
     # the last maintenance cycle left the live set compacted
     assert len(t.files_for_snapshot(t.current_snapshot_id())) <= 3
+
+
+def test_pos_delete_compaction_planned_and_converges(spark, tmp_path, orders):
+    """4+ accumulated positional-delete files make the
+    rewrite_position_deletes action due; running it consolidates to
+    one file and the re-plan no longer includes the action
+    (convergence on a schedule)."""
+    from pyspark.sql import functions as F
+
+    from cdf_spark.package.maintenance import (
+        MaintenancePolicy,
+        plan_maintenance,
+        run_maintenance,
+    )
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = IcebergFixtureWriter(tmp_path / "t", seed=81)
+    sid = w.append(o.filter("o_orderkey <= 60"), timestamp_ms=1_000)
+    t = IcebergTable(tmp_path / "t")
+    located = (
+        t.read(spark, snapshot_id=sid)
+        .withColumn("_f", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn("_p", F.col("_metadata.row_index"))
+        .filter(F.col("o_orderkey") <= 8)
+        .select("_f", "_p", "o_orderkey")
+        .collect()
+    )
+    for i, r in enumerate(located[:4]):
+        w.delete_positions([(r._f, r._p)], timestamp_ms=2_000 + i)
+
+    pol = MaintenancePolicy(max_pos_delete_files=4, max_snapshots=50)
+    plan = plan_maintenance(tmp_path / "t", pol)
+    assert any(a.action == "rewrite_position_deletes" for a in plan)
+    before = IcebergTable(tmp_path / "t").read(spark).count()
+    out = run_maintenance(spark, tmp_path / "t", pol)
+    assert out["results"]["rewrite_position_deletes"]["delete_files_after"] == 1
+    assert IcebergTable(tmp_path / "t").read(spark).count() == before
+    # converged: the action is no longer due
+    assert not any(
+        a.action == "rewrite_position_deletes"
+        for a in plan_maintenance(tmp_path / "t", pol)
+    )

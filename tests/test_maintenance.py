@@ -810,3 +810,40 @@ def test_binpack_trims_positional_deletes_metadata_count(spark, tmp_path, orders
     import pyarrow.parquet as pq
 
     assert pq.read_metadata(dels[0]).num_rows == 1
+
+
+def test_delta_reorg_purge_drops_dvs(spark, tmp_path, orders):
+    """REORG PURGE: only DV-carrying files rewrite (surviving rows
+    materialized, DVs gone), clean files untouched, dataChange=false
+    so incremental consumers keep their position, metadata_count
+    arithmetic stays exact, and vacuum then reclaims the orphaned
+    DV bins."""
+    from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(o.filter("o_orderkey <= 100"), timestamp_ms=1_000)
+    w.append(o.filter("o_orderkey > 100 AND o_orderkey <= 200"), timestamp_ms=2_000)
+    w.delete_where(spark, "o_orderkey <= 10", timestamp_ms=3_000)  # DVs file(s) of batch 1
+    t0 = DeltaTable(tmp_path / "t")
+    before_rows = {tuple(r) for r in t0.read(spark).collect()}
+    clean_before = {p for p, dv, _pv in t0.live_adds(t0.current_version()) if dv is None}
+    dv_before = [p for p, dv, _pv in t0.live_adds(t0.current_version()) if dv is not None]
+    assert dv_before
+    # incremental consumer position before the purge
+    _df, pos = t0.changes_since(spark, None)
+
+    res = w.reorg_purge(spark, timestamp_ms=4_000)
+    assert res["rewritten"] == len(dv_before) and res["dv_files"] == len(dv_before)
+    t1 = DeltaTable(tmp_path / "t")
+    adds = t1.live_adds(t1.current_version())
+    assert all(dv is None for _p, dv, _pv in adds)  # no DVs anywhere
+    assert clean_before <= {p for p, _dv, _pv in adds}  # untouched files stay
+    assert {tuple(r) for r in t1.read(spark).collect()} == before_rows
+    assert t1.metadata_count() == len(before_rows)
+    # dataChange=false: the consumer sees NO new changes from the purge
+    df2, _pos2 = t1.changes_since(spark, pos)
+    assert df2 is None or df2.count() == 0
+    # orphaned DV bins reclaim
+    vac = t1.vacuum(retention_ms=0)
+    assert any("deletion_vector" in p for p in vac["deleted"])
