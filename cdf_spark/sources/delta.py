@@ -637,6 +637,39 @@ class DeltaTable:
     def has_removes(self, version: int) -> bool:
         return any("remove" in a and a["remove"].get("dataChange", True) for a in self.actions(version))
 
+    def table_changes_between_timestamps(
+        self,
+        spark: SparkSession,
+        from_ts_ms: int,
+        to_ts_ms: int | None = None,
+    ) -> DataFrame:
+        """Timestamp-addressed CHANGE DATA FEED window (delta.io's
+        startingTimestamp/endingTimestamp): versions whose commit
+        timestamp falls in [from_ts_ms, to_ts_ms]. A start PAST the
+        latest commit raises (nothing can ever enter the window —
+        delta.io errors identically); a start before history begins
+        clamps to version 0, where the completeness check then raises
+        if that version was cleaned."""
+        versions = self.versions()
+        if not versions:
+            raise DeltaError("table has no commits")
+        ts_of = {v: self.commit_timestamp_ms(v) for v in versions}
+        if from_ts_ms > ts_of[versions[-1]]:
+            raise DeltaError(
+                f"startingTimestamp {from_ts_ms} is after the latest commit "
+                f"({ts_of[versions[-1]]}) — no changes can enter the window"
+            )
+        lo = next(v for v in versions if ts_of[v] >= from_ts_ms)
+        hi = None
+        if to_ts_ms is not None:
+            eligible = [v for v in versions if ts_of[v] <= to_ts_ms]
+            if not eligible:
+                raise DeltaError(
+                    f"endingTimestamp {to_ts_ms} precedes the first commit"
+                )
+            hi = eligible[-1]
+        return self.table_changes(spark, lo, hi)
+
     def table_changes(
         self,
         spark: SparkSession,

@@ -365,3 +365,27 @@ def test_check_constraints_enforced_and_persisted(spark, tmp_path, orders):
     w2.drop_check_constraint("price_pos", timestamp_ms=7_000)
     assert DeltaTable(tmp_path / "t").check_constraints() == {}
     w2.append(o.limit(2).withColumn("o_totalprice", F.lit(-9.0)).withColumn("tag", F.lit("z")), timestamp_ms=8_000)
+
+
+def test_table_changes_between_timestamps(spark, tmp_path, orders):
+    """Timestamp-addressed CDF windows map to the version window by
+    commit timestamps; a start past the latest commit raises (delta.io
+    parity) and a mid-history window excludes commits outside it."""
+    from cdf_spark.sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(o.filter("o_orderkey <= 50"), timestamp_ms=1_000)  # v0
+    w.append(o.filter("o_orderkey > 50 AND o_orderkey <= 80"), timestamp_ms=2_000)  # v1
+    w.delete_where(spark, "o_orderkey <= 10", timestamp_ms=3_000)  # v2
+    t = DeltaTable(tmp_path / "t")
+    full = t.table_changes_between_timestamps(spark, 0)
+    assert full.count() == t.table_changes(spark, 0).count()
+    mid = t.table_changes_between_timestamps(spark, 1_500, 2_500)  # v1 only
+    assert {r._commit_version for r in mid.select("_commit_version").collect()} == {1}
+    tail = t.table_changes_between_timestamps(spark, 2_500)  # v2 only
+    assert {r._change_type for r in tail.select("_change_type").collect()} == {"delete"}
+    with pytest.raises(DeltaError, match="after the latest commit"):
+        t.table_changes_between_timestamps(spark, 9_999)
+    with pytest.raises(DeltaError, match="precedes the first"):
+        t.table_changes_between_timestamps(spark, 0, 500)
