@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "ann_lsh_topk_fast",
     "ivf_ann_topk_fast",
     "pq_ann_topk_fast",
+    # IVF-PQ composite (registry entry IS the deploy path: fused
+    # routing + in-cluster ADC + exact rescore)
+    "ivf_pq_ann_topk",
     "embedding_near_dups_lsh_fast",
     "stratified_sample",
     "exact_dedup_docs",
