@@ -40,6 +40,7 @@ from .policy import (
     DeriveT,
     DomainRule,
     ExpandNestedT,
+    ExprRule,
     FilterT,
     FreshnessRule,
     NullabilityRule,
@@ -77,6 +78,11 @@ def _violation_column(rule: Rule, as_of: datetime | None) -> Column:
         cutoff = F.lit(as_of) - F.expr(f"INTERVAL {rule.max_age_ms // 1000} SECOND")
         c = F.col(rule.column)
         return (c < cutoff) | c.isNull()
+    if isinstance(rule, ExprRule):
+        if rule.predicate is None:
+            raise ValueError("ExprRule requires a predicate")
+        # null-safe: only a provably-true predicate admits the row
+        return ~lower(rule.predicate).eqNullSafe(F.lit(True))
     if isinstance(rule, DedupRule) and rule.keep == "fail":
         # handled separately (needs a window); placeholder never fires here
         return F.lit(False)

@@ -119,6 +119,26 @@ class DedupRule(Rule):
         return f"dedup({','.join(self.keys)})"
 
 
+@dataclass
+class ExprRule(Rule):
+    """Cross-field CHECK rule: a typed-AST predicate over the whole
+    row (`expressions/ast` — the same admitted, deterministic grammar
+    the scan planner pushes), e.g. Col("end_ts") >= Col("start_ts").
+    The contract-side twin of a table CHECK constraint: the table
+    constraint refuses a COMMIT wholesale, this rule disposes the
+    offending ROWS (quarantine/annotate) and lets the clean ones
+    load. Null or false both violate — a predicate that cannot be
+    proven true admits nothing, same discipline as the single-column
+    rules."""
+
+    predicate: Expr = None  # type: ignore[assignment]
+    label: str = "check"
+    on_violation: str = VERDICT_QUARANTINE
+
+    def name(self) -> str:
+        return f"expr({self.label})"
+
+
 # --- transforms --------------------------------------------------------------
 
 

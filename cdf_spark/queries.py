@@ -507,6 +507,43 @@ def contract_quarantine_rows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "contract_cross_field_check",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 50.0 * o_custkey THEN 'admitted'
+                ELSE 'quarantined' END AS disposition
+    FROM orders
+    """,
+)
+def contract_cross_field_check(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS-FIELD contract rule (`contracts.ExprRule` — a typed-AST
+    predicate over the whole row, the same admitted grammar the scan
+    planner pushes): rows failing `o_totalprice > 50 * o_custkey`
+    quarantine while clean rows admit. The contract-side twin of a
+    table CHECK constraint — the constraint refuses a COMMIT
+    wholesale, this disposes ROWS. Null-or-false both violate; the
+    oracle recomputes the disposition relationally."""
+    from .contracts import ExprRule
+    from .expressions.ast import Col, Lit
+
+    orders = _t(spark, sf, "orders")
+    contract = Contract(
+        rules=[
+            ExprRule(
+                predicate=Col("o_totalprice") > (Lit(50.0) * Col("o_custkey")),
+                label="price_vs_cust",
+            )
+        ]
+    )
+    res = evaluate_contract(orders, contract)
+    return res.admitted.select(
+        "o_orderkey", F.lit("admitted").alias("disposition")
+    ).unionByName(
+        res.quarantined.select("o_orderkey", F.lit("quarantined").alias("disposition"))
+    )
+
+
+@_register(
     "transform_chain",
     """
     SELECT p_partkey,
@@ -4231,6 +4268,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "image_resize_stats",
     "audio_resample_stats",
     "video_frame_sample_stats",
+    "contract_cross_field_check",
     # -- last driver-green in r4 --
     "exact_dedup_docs",
     "fingerprint_containment",
@@ -4269,7 +4307,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q17_small_quantity_avg",
     "moving_average_frame",
     "q22_global_sales_opportunity",
-    "tfidf_top_terms",
     # (q2/q7/q8/q9/q10/q11/q15/q16/q20 rotated out one-for-one as
     # late-r8 queries joined the never-checked head — they are the
     # newest r5-green entries and front the r9 rotation)

@@ -166,3 +166,23 @@ def test_lossy_cast_nulls_silently(spark):
     res = evaluate_contract(df, contract)
     assert res.quarantined.count() == 0
     assert {r.id: r.n for r in res.admitted.collect()} == {1: 10, 2: None}
+
+
+def test_expr_rule_cross_field(spark):
+    """ExprRule disposes rows by a typed-AST cross-field predicate:
+    true admits, false or null quarantines (a predicate that cannot
+    be proven true admits nothing)."""
+    from cdf_spark.contracts import Contract, ExprRule
+    from cdf_spark.contracts.evaluator import evaluate_contract
+    from cdf_spark.expressions.ast import Col
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 5.0), (2, 3.0, 5.0), (3, None, 5.0), (4, 9.0, None)],
+        "id long, a double, b double",
+    )
+    c = Contract(rules=[ExprRule(predicate=Col("a") > Col("b"), label="a_gt_b")])
+    res = evaluate_contract(df, c)
+    assert {r.id for r in res.admitted.collect()} == {1}
+    assert {r.id for r in res.quarantined.collect()} == {2, 3, 4}
+    # plan identity: the rule serializes with its AST (content hash)
+    assert "ExprRule" in str(c.to_json_obj() if hasattr(c, "to_json_obj") else c.rules[0].to_json_obj())
