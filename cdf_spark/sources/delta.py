@@ -2013,10 +2013,28 @@ class DeltaFixtureWriter:
             )
         return adds
 
+    def _enforce_constraints_on_segments(self, paths: list[str]) -> None:
+        """CHECK enforcement for the segment-COPY commit paths — they
+        never build a DataFrame, so without this a constrained table
+        written through the destination protocol silently skipped
+        validation (found by self-review; append/merge/partitioned
+        paths were covered, copies were not)."""
+        if not self._constraints or not paths:
+            return
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise DeltaError(
+                "table carries CHECK constraints but no active SparkSession "
+                "is available to validate the segment batch"
+            )
+        self._enforce_constraints(spark.read.parquet(*paths), "segment batch")
+
     def append_files(self, paths: list[str], timestamp_ms: int | None = None) -> int:
+        self._enforce_constraints_on_segments(paths)
         return self._commit(self._copy_adds(paths), "WRITE", timestamp_ms)
 
     def replace_files(self, paths: list[str], timestamp_ms: int | None = None) -> int:
+        self._enforce_constraints_on_segments(paths)
         removes = []
         if self._version >= 0:
             for f in DeltaTable(self.root).files_for_version(self._version):

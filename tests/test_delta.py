@@ -389,3 +389,38 @@ def test_table_changes_between_timestamps(spark, tmp_path, orders):
         t.table_changes_between_timestamps(spark, 9_999)
     with pytest.raises(DeltaError, match="precedes the first"):
         t.table_changes_between_timestamps(spark, 0, 500)
+
+
+def test_check_constraints_enforced_on_segment_copy(spark, tmp_path, orders):
+    """The segment-COPY commit paths (DeltaDestination's bulk
+    append/replace) must enforce CHECK constraints too — found by
+    self-review: they never build a DataFrame, so the df-based
+    enforcement didn't fire."""
+    import tempfile as _tf
+    from pathlib import Path
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cdf_spark.sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0")
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(o.limit(50), timestamp_ms=1_000)
+    w.add_check_constraint(spark, "pos", "o_totalprice > 0", timestamp_ms=2_000)
+
+    def seg_of(df):
+        d = _tf.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        return sorted(str(p) for p in Path(d).glob("*.parquet"))
+
+    bad = seg_of(o.limit(3).withColumn("o_totalprice", F.lit(-1.0)))
+    v = DeltaTable(tmp_path / "t").current_version()
+    with _pytest.raises(DeltaError, match="segment batch"):
+        w.append_files(bad, timestamp_ms=3_000)
+    with _pytest.raises(DeltaError, match="segment batch"):
+        w.replace_files(bad, timestamp_ms=3_000)
+    assert DeltaTable(tmp_path / "t").current_version() == v  # nothing committed
+    good = seg_of(o.filter("o_orderkey > 500").limit(3))
+    w.append_files(good, timestamp_ms=4_000)
+    assert DeltaTable(tmp_path / "t").current_version() == v + 1
