@@ -1,0 +1,127 @@
+"""Text normalization / canonicalization operators for web-scale
+training-data curation.
+
+Beyond-reference operators (SURVEY §7 step 8 family): the cleanup
+passes every web-crawl pipeline runs before dedup and quality
+filtering — HTML boilerplate stripping, control/zero-width character
+removal, Unicode NFC canonicalization, and URL canonicalization for
+per-domain dedup (the C4 / CCNet / RefinedWeb preprocessing shape).
+
+Everything except NFC is pure `pyspark.sql.functions` string/regexp
+arithmetic — whole-stage codegen, zero Python in the row path, and a
+regex subset chosen to evaluate identically under Java regex (Spark)
+and RE2 (DuckDB) so the oracle twin is exact. Unicode normalization
+has NO Spark built-in, so `nfc` is the documented Arrow-batched
+pandas_udf boundary (unicodedata.normalize over a pandas series);
+DuckDB's `nfc_normalize` is its oracle twin.
+
+At 100 TB each operator is a narrow projection over the documents
+scan — no shuffle, no join; URL canonicalization feeds a single
+hash-partitioned dedup shuffle downstream.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# The five entities every HTML tokenizer must decode (plus nbsp).
+# Order matters: '&amp;' must decode LAST — decoding it first turns
+# '&amp;lt;' (the ESCAPED text "&lt;") into '&lt;' and a later pass
+# double-decodes it to '<'; with '&amp;' last, '&amp;lt;' → '&lt;'.
+_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(col: Column) -> Column:
+    """Strip HTML to text: drop <script>/<style> elements wholesale
+    (their content is never prose), remove every remaining tag,
+    decode the core entities, collapse whitespace runs, trim.
+
+    Regex notes for engine parity: `(?s)` dotall + non-greedy body
+    for element removal and `<[^>]*>` for tags parse identically in
+    Java regex and RE2 — element removal is two literal-tag passes
+    (script, style) rather than one backreferenced `</\\1>` pattern
+    because RE2 (the oracle engine) has no pattern backreferences;
+    `\\s+` matches the same ASCII space class on the fixtures.
+    """
+    out = F.regexp_replace(col, r"(?s)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?s)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def clean_text(col: Column) -> Column:
+    """Control/zero-width character removal + whitespace collapse —
+    the per-document cleanup pass that precedes tokenization:
+    C0/C1 control chars (except \\t \\n \\r, which count as
+    whitespace), zero-width space/joiner/non-joiner and BOM dropped,
+    then whitespace runs collapsed to single spaces and trimmed."""
+    out = F.regexp_replace(col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    out = F.regexp_replace(out, "[\u200b\u200c\u200d\ufeff]", "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def _nfc_series(s: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return s.map(
+        lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+    )
+
+
+def nfc(col: Column) -> Column:
+    """Unicode NFC canonicalization. Spark has no normalization
+    built-in, so this is an Arrow-batched pandas_udf (the documented
+    vectorized boundary — same posture as the multimodal codecs);
+    DuckDB `nfc_normalize` is the exact oracle twin. Composed forms
+    are required before exact/fingerprint dedup: 'e'+U+0301 and
+    U+00E9 are distinct bytes but the same text. The udf object is
+    built per call (not at import) — decorating at module scope
+    requires an active SparkSession, which importers may not have."""
+    return pandas_udf(_nfc_series, "string")(col)
+
+
+# Tracking parameters stripped by URL canonicalization: the shared
+# utm_* set plus the common click-id params.
+_TRACKING_PARAMS = r"(utm_[a-z]+|gclid|fbclid|ref)"
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonicalize a URL for dedup identity: lowercase scheme+host,
+    strip tracking query params (utm_*, gclid, fbclid, ref), drop a
+    then-empty '?', drop fragments, strip one trailing slash from a
+    non-root path. Pure regexp arithmetic with an RE2-safe subset."""
+    # split scheme+host (lowercase) from the rest
+    scheme_host = F.lower(F.regexp_extract(col, r"^([a-zA-Z]+://[^/?#]*)", 1))
+    rest = F.regexp_replace(col, r"^[a-zA-Z]+://[^/?#]*", "")
+    # drop fragment
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    # drop tracking params wherever they sit in the query string
+    rest = F.regexp_replace(rest, r"[?&]" + _TRACKING_PARAMS + r"=[^&#]*", "")
+    # if the FIRST param was tracking, the survivor now leads with '&'
+    # right after the path (which never contains & or ?): promote it
+    rest = F.regexp_replace(rest, r"^([^?&]*)&", r"$1?")
+    # a query string reduced to nothing leaves a dangling '?'
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    # strip one trailing slash on a non-root path
+    rest = F.regexp_replace(rest, r"(.+)/$", r"$1")
+    return F.concat(scheme_host, rest)
+
+
+def url_host(col: Column) -> Column:
+    """Registrable host of a URL (lowercased, port dropped) — the
+    partition key for per-domain statistics and politeness limits."""
+    return F.lower(F.regexp_extract(col, r"^[a-zA-Z]+://([^/?#:]*)", 1))

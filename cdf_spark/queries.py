@@ -4255,6 +4255,9 @@ PARITY_TWINS: set[str] = {
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
+    "html_boilerplate_strip",
+    "unicode_nfc_normalize",
+    "url_canonicalize_dedup",
     "delta_nested_column_mapping_scan",
     "delta_cdf_restore_replay",
     "iceberg_changelog_pos_deletes",
@@ -7061,3 +7064,167 @@ def iceberg_changes_since(spark: SparkSession, sf: str) -> DataFrame:
         spark, TableSnapshotPosition(snapshot_id=ids[0])
     )
     return df
+
+
+@_register(
+    "html_boilerplate_strip",
+    """
+    WITH h AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id || '</title><style>p { margin: 0; }</style></head><body><script>var d='
+          || doc_id || ';</script><h1>' || lang || '</h1><p>' || text
+          || ' &amp;lt; &quot;' || source || '&quot; &nbsp;done</p></body></html>' AS html
+      FROM documents
+    ), c AS (
+      SELECT doc_id, trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(regexp_replace(regexp_replace(html,
+            '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+            '<[^>]*>', ' ', 'g'),
+        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+        '\\s+', ' ', 'g')) AS clean_text
+      FROM h
+    )
+    SELECT doc_id, clean_text,
+      CASE WHEN length(clean_text) = 0 THEN 0
+           ELSE CAST((length(clean_text) - length(replace(clean_text, ' ', ''))) AS BIGINT) + 1
+      END AS n_tokens
+    FROM c
+    """,
+)
+def html_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML boilerplate stripping (`operators/normalize.strip_html`) —
+    the first pass of every web-crawl curation pipeline: script/style
+    elements dropped wholesale, tags removed, core entities decoded
+    (&amp; LAST so escaped text is not double-decoded), whitespace
+    collapsed. The fixture wraps each document in a deterministic
+    HTML template carrying all three hazards (a <style> block, a
+    <script> block, and the '&amp;lt;' double-decode trap); the
+    oracle replays the identical chain in RE2. Pure regexp built-ins:
+    zero-shuffle narrow map under whole-stage codegen."""
+    from .operators.normalize import strip_html
+    from .operators.text import token_count
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p { margin: 0; }</style></head><body><script>var d="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><h1>"),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(' &amp;lt; &quot;'),
+        F.col("source"),
+        F.lit('&quot; &nbsp;done</p></body></html>'),
+    )
+    cleaned = strip_html(html)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        token_count(cleaned).cast("bigint").alias("n_tokens"),
+    )
+
+
+@_register(
+    "unicode_nfc_normalize",
+    """
+    WITH r AS (
+      SELECT doc_id, substr(text, 1, 24) ||
+        CASE doc_id % 3 WHEN 0 THEN ' cafe' || chr(769)
+                        WHEN 1 THEN ' A' || chr(778) || 'vv'
+                        ELSE ' caf' || chr(233) END AS raw
+      FROM documents
+    ), n AS (
+      SELECT doc_id, nfc_normalize(raw) AS norm_text,
+             CAST(length(raw) AS BIGINT) AS raw_len
+      FROM r
+    )
+    SELECT doc_id, norm_text, raw_len,
+           CAST(length(norm_text) AS BIGINT) AS norm_len
+    FROM n
+    """,
+)
+def unicode_nfc_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC canonicalization (`operators/normalize.nfc`) —
+    required before any byte-identity dedup: decomposed 'e'+U+0301
+    and precomposed U+00E9 are the same text in different bytes. The
+    fixture appends a decomposed suffix (combining acute / combining
+    ring) to two thirds of the corpus and a precomposed one to the
+    rest; NFC must compose the former (length shrinks) and fix the
+    latter (length unchanged). Spark has no normalization built-in,
+    so this is the documented Arrow-batched pandas_udf boundary;
+    DuckDB `nfc_normalize` is the exact oracle twin."""
+    from .operators.normalize import nfc
+
+    docs = _t(spark, sf, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" A\u030avv"))
+        .otherwise(F.lit(" caf\u00e9"))
+    )
+    raw = F.concat(F.substring(F.col("text"), 1, 24), suffix)
+    norm = nfc(raw)
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(raw).cast("bigint").alias("raw_len"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+@_register(
+    "url_canonicalize_dedup",
+    """
+    SELECT source || '.example.com' AS host,
+           CAST(3 * COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS n_canonical
+    FROM documents GROUP BY source
+    """,
+)
+def url_canonicalize_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + per-domain dedup
+    (`operators/normalize.canonical_url` / `url_host`) — collapse the
+    crawl-frontier variants of one page to a single dedup identity:
+    tracking params (utm_*, gclid, fbclid, ref) stripped, scheme+host
+    lowercased, fragments dropped, trailing slashes normalized. The
+    fixture emits THREE raw variants per document (tracking-tagged,
+    SHOUTED-host + trailing slash, fragment-tagged — plus a genuinely
+    distinct ?page=2 for every fifth doc), so per-host
+    countDistinct(canonical) must land on exactly the analytic count
+    the oracle computes from the generating formula. One shuffle
+    (groupBy host); the canonicalization itself is a narrow map."""
+    from .operators.normalize import canonical_url, url_host
+
+    docs = _t(spark, sf, "documents")
+    base = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    v1 = F.concat(base, F.lit("?utm_source=feed&ref=tw"))
+    v2 = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.col("source")),
+        F.lit(".EXAMPLE.COM/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/"),
+    )
+    v3 = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(base, F.lit("?page=2&utm_medium=em"))
+    ).otherwise(F.concat(base, F.lit("#section-2")))
+    urls = docs.select(F.explode(F.array(v1, v2, v3)).alias("url"))
+    return (
+        urls.select(
+            url_host(F.col("url")).alias("host"),
+            canonical_url(F.col("url")).alias("curl"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("curl").alias("n_canonical"),
+        )
+    )

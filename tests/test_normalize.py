@@ -1,0 +1,108 @@
+"""Edge-case tests for `operators/normalize` — HTML boilerplate
+stripping, control-char cleanup, Unicode NFC, URL canonicalization.
+
+The registry queries (`html_boilerplate_strip`, `unicode_nfc_normalize`,
+`url_canonicalize_dedup`) prove oracle parity over the corpus; these
+tests pin the hazards the fixtures cannot reach: entity double-decode
+order, nested/multiline script bodies, null propagation, URL corner
+forms (root slash, tracking-only query, param-name prefix traps).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.operators.normalize import (
+    canonical_url,
+    clean_text,
+    nfc,
+    strip_html,
+    url_host,
+)
+
+
+def _one(spark, col_expr, value: str | None) -> str | None:
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(col_expr(F.col("v")).alias("out")).collect()[0].out
+
+
+# ---------------------------------------------------------------- HTML
+
+
+def test_strip_html_entity_decode_order(spark):
+    # '&amp;lt;' is the ESCAPED text '&lt;' — one decode, not two.
+    assert _one(spark, strip_html, "a &amp;lt; b") == "a &lt; b"
+    assert _one(spark, strip_html, "x &amp; y &lt; z") == "x & y < z"
+
+
+def test_strip_html_script_style_wholesale(spark):
+    html = (
+        "<p>keep</p><script type='t'>\nvar a = '<b>not text</b>';\n</script>"
+        "<style media='all'>.c { color: red }</style><p>also</p>"
+    )
+    assert _one(spark, strip_html, html) == "keep also"
+
+
+def test_strip_html_plain_text_passthrough(spark):
+    assert _one(spark, strip_html, "no tags at all") == "no tags at all"
+
+
+def test_strip_html_whitespace_collapse_and_null(spark):
+    assert _one(spark, strip_html, "<div>a</div>\n\n<div>b</div>") == "a b"
+    assert _one(spark, strip_html, None) is None
+
+
+# ---------------------------------------------------------------- clean
+
+
+def test_clean_text_control_and_zero_width(spark):
+    raw = "a\x00b\x08\x7f c​d ⁠e﻿ f"
+    # ⁠ (word joiner) is NOT in the strip set — only zwsp/zwnj/zwj/bom.
+    assert _one(spark, clean_text, raw) == "ab cd ⁠e f"
+
+
+def test_clean_text_keeps_tab_newline_as_whitespace(spark):
+    assert _one(spark, clean_text, "a\tb\nc\r\nd") == "a b c d"
+
+
+# ----------------------------------------------------------------- NFC
+
+
+def test_nfc_composes_and_is_idempotent(spark):
+    decomposed = "café Å"
+    composed = _one(spark, nfc, decomposed)
+    assert composed == "café Å"
+    assert _one(spark, nfc, composed) == composed
+    assert _one(spark, nfc, None) is None
+
+
+# ----------------------------------------------------------------- URL
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        # tracking-only query -> dangling '?' dropped
+        ("https://Ex.com/a?utm_source=x", "https://ex.com/a"),
+        # tracking first, survivor promoted to '?'
+        ("http://h.io/p?utm_a=1&q=2", "http://h.io/p?q=2"),
+        # tracking in the middle
+        ("http://h.io/p?a=1&fbclid=z&b=2", "http://h.io/p?a=1&b=2"),
+        # fragment dropped, trailing slash stripped on non-root path
+        ("http://h.io/a/b/#frag", "http://h.io/a/b"),
+        # root slash kept
+        ("http://h.io/", "http://h.io/"),
+        # param NAMES that merely contain 'ref' are kept
+        ("http://h.io/p?pref=1&xref=2", "http://h.io/p?pref=1&xref=2"),
+        # scheme+host lowered, path case preserved
+        ("HTTPS://WWW.Ex.COM/CaseSensitive", "https://www.ex.com/CaseSensitive"),
+    ],
+)
+def test_canonical_url(spark, raw, want):
+    assert _one(spark, canonical_url, raw) == want
+
+
+def test_url_host_drops_port_and_lowers(spark):
+    assert _one(spark, url_host, "https://Ex.COM:8443/p?a=1") == "ex.com"
+    assert _one(spark, url_host, "http://sub.host.io/x") == "sub.host.io"
