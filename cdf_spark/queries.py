@@ -4255,6 +4255,7 @@ PARITY_TWINS: set[str] = {
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
+    "orc_source_scan",
     "html_boilerplate_strip",
     "unicode_nfc_normalize",
     "url_canonicalize_dedup",
@@ -7228,3 +7229,42 @@ def url_canonicalize_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("curl").alias("n_canonical"),
         )
     )
+
+
+@_register(
+    "orc_source_scan",
+    """
+    SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def orc_source_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC through the files source — the same negotiated scan the
+    parquet path runs (`sources/files.FileResource`, format='orc'):
+    the fixture round-trips lineitem into a real multi-file ORC
+    directory, then a ScanRequest with predicates + projection is
+    negotiated under the columnar capability set, so both filters
+    reach the ORC reader as PushedFilters and the projection prunes
+    the ReadSchema (asserted in test_normalize/test_files ORC tests).
+    ORC is Spark-native (spark.read.orc), so the declarative plan is
+    identical to parquet's — only the leaf format changes; at 100 TB
+    the scan properties (pushdown, pruning, maxPartitionBytes splits)
+    carry over unchanged."""
+    def build(tmp: str) -> None:
+        _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        ).repartition(4).write.mode("overwrite").orc(f"{tmp}/li_orc")
+
+    tmp = _session_fixture("orc_li", sf, build)
+    res = FileResource(
+        ResourceDescriptor(resource_id="lineitem_orc"), f"{tmp}/li_orc", format="orc"
+    )
+    df, _plan = res.scan(
+        spark,
+        ScanRequest(
+            "lineitem_orc",
+            projection=["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"],
+            predicates=[Col("l_quantity") > 45.0, Col("l_returnflag") == "R"],
+        ),
+    )
+    return df

@@ -106,3 +106,35 @@ def test_canonical_url(spark, raw, want):
 def test_url_host_drops_port_and_lowers(spark):
     assert _one(spark, url_host, "https://Ex.COM:8443/p?a=1") == "ex.com"
     assert _one(spark, url_host, "http://sub.host.io/x") == "sub.host.io"
+
+
+# ------------------------------------------------------------------ ORC
+# (housed here rather than a one-test module: the ORC scan is the only
+# non-normalize addition of this change set)
+
+
+def test_orc_scan_pushdown_evidence(spark, tmp_path):
+    from cdf_spark.expressions.ast import Col
+    from cdf_spark.plans.scan import ScanRequest
+    from cdf_spark.sources.base import ResourceDescriptor
+    from cdf_spark.sources.files import FileResource, pushdown_evidence
+
+    src = spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id % 7 AS DOUBLE) AS v", "CAST(id % 3 AS STRING) AS tag"
+    )
+    src.repartition(3).write.mode("overwrite").orc(str(tmp_path / "t"))
+
+    res = FileResource(ResourceDescriptor(resource_id="t"), str(tmp_path / "t"), format="orc")
+    df, plan = res.scan(
+        spark,
+        ScanRequest("t", projection=["k", "v"], predicates=[Col("v") > 3.0]),
+    )
+    rows = df.collect()
+    assert len(rows) == sum(1 for i in range(1000) if i % 7 > 3)
+    assert df.columns == ["k", "v"]
+    ev = pushdown_evidence(df)
+    # the predicate must reach the ORC reader, and the untouched
+    # column must be pruned out of the read schema
+    assert any("GreaterThan(v" in f for f in ev["pushed_filters"]), ev
+    assert "tag" not in str(ev["read_schema"]), ev
+    assert "k" in str(ev["read_schema"]), ev
