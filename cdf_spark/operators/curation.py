@@ -324,3 +324,97 @@ def segment_dedup(
             F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter
+
+
+# Stopword presence list (Rae et al. 2021 use a fixed 8-word list; the
+# fixture corpus vocabulary covers this 4-word subset).
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of")
+
+
+def gopher_rules(
+    col: Column,
+    *,
+    min_words: int = 30,
+    max_words: int = 90,
+    min_mean_word_len: float = 3.9,
+    max_mean_word_len: float = 5.1,
+    min_distinct_stopwords: int = 2,
+    min_alpha_word_ratio: float = 0.8,
+) -> dict[str, Column]:
+    """Gopher-style per-document quality rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", appendix A1.1 — the
+    rule-based filter every later curation stack inherits): word-count
+    bounds, mean-word-length window, minimum distinct stopwords,
+    minimum fraction of words containing an alphabetic character.
+
+    Returns named boolean rule columns plus the shared features, all
+    in pure built-in arithmetic (split/aggregate/length — identical in
+    ANSI SQL) so the oracle replays the thresholds bit-for-bit.
+    Zero-shuffle narrow map at any corpus size."""
+    trimmed = F.trim(col)
+    n_chars = F.length(trimmed)
+    n_words = F.when(n_chars == 0, F.lit(0)).otherwise(
+        (n_chars - F.length(F.replace(trimmed, F.lit(" "), F.lit("")))).cast("long")
+        + 1
+    )
+    mean_wl = F.round(
+        F.when(
+            n_words > 0, (n_chars - (n_words - 1)).cast("double") / n_words
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    words = F.filter(F.split(trimmed, " "), lambda w: F.length(w) > 0)
+    alpha_words = F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    alpha_ratio = F.round(
+        F.when(
+            n_words > 0, F.size(alpha_words).cast("double") / n_words
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    padded = F.concat(F.lit(" "), trimmed, F.lit(" "))
+    n_stop_distinct = sum(
+        (
+            F.when(F.contains(padded, F.lit(f" {w} ")), F.lit(1)).otherwise(F.lit(0))
+            for w in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "alpha_word_ratio": alpha_ratio,
+        "n_stopwords_distinct": n_stop_distinct.cast("int"),
+        "rule_min_words": n_words >= min_words,
+        "rule_max_words": n_words <= max_words,
+        "rule_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "rule_stopwords": n_stop_distinct >= min_distinct_stopwords,
+        "rule_alpha_words": alpha_ratio >= min_alpha_word_ratio,
+    }
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply the Gopher rules and emit a disposition per document:
+    kept + the FIRST violated rule (fixed evaluation order, so the
+    disposition is deterministic and SQL-replayable)."""
+    r = gopher_rules(F.col(text_col))
+    first_violation = (
+        F.when(~r["rule_min_words"], F.lit("min_words"))
+        .when(~r["rule_max_words"], F.lit("max_words"))
+        .when(~r["rule_mean_word_len"], F.lit("mean_word_len"))
+        .when(~r["rule_stopwords"], F.lit("stopwords"))
+        .when(~r["rule_alpha_words"], F.lit("alpha_words"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        id_col,
+        r["n_words"].alias("n_words"),
+        r["mean_word_len"].alias("mean_word_len"),
+        r["n_stopwords_distinct"].alias("n_stopwords_distinct"),
+        first_violation.isNull().alias("kept"),
+        first_violation.alias("first_violation"),
+    )

@@ -4255,6 +4255,7 @@ PARITY_TWINS: set[str] = {
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
+    "gopher_quality_filter",
     "orc_source_scan",
     "html_boilerplate_strip",
     "unicode_nfc_normalize",
@@ -7268,3 +7269,59 @@ def orc_source_scan(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return df
+
+
+@_register(
+    "gopher_quality_filter",
+    """
+    WITH f AS (
+      SELECT doc_id, trim(text) AS t,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) AS BIGINT) + 1
+        END AS n_words,
+        CAST(length(trim(text)) AS BIGINT) AS n_chars
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_words,
+        round(CASE WHEN n_words > 0
+                   THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+                   ELSE 0.0 END, 4) AS mean_word_len,
+        CAST((CASE WHEN contains(' ' || t || ' ', ' the ') THEN 1 ELSE 0 END)
+           + (CASE WHEN contains(' ' || t || ' ', ' a ') THEN 1 ELSE 0 END)
+           + (CASE WHEN contains(' ' || t || ' ', ' and ') THEN 1 ELSE 0 END)
+           + (CASE WHEN contains(' ' || t || ' ', ' of ') THEN 1 ELSE 0 END) AS INTEGER)
+          AS n_stopwords_distinct,
+        round(CASE WHEN n_words > 0
+                   THEN CAST(len(list_filter(list_filter(str_split(t, ' '), w -> length(w) > 0),
+                                             w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / n_words
+                   ELSE 0.0 END, 6) AS alpha_word_ratio
+      FROM f
+    ), d AS (
+      SELECT doc_id, n_words, mean_word_len, n_stopwords_distinct,
+        CASE WHEN NOT (n_words >= 30) THEN 'min_words'
+             WHEN NOT (n_words <= 90) THEN 'max_words'
+             WHEN NOT (mean_word_len >= 3.9 AND mean_word_len <= 5.1) THEN 'mean_word_len'
+             WHEN NOT (n_stopwords_distinct >= 2) THEN 'stopwords'
+             WHEN NOT (alpha_word_ratio >= 0.8) THEN 'alpha_words'
+             ELSE NULL END AS first_violation
+      FROM g
+    )
+    SELECT doc_id, n_words, mean_word_len, n_stopwords_distinct,
+           first_violation IS NULL AS kept, first_violation
+    FROM d
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style rule-based quality filter
+    (`operators/curation.gopher_rules` / `gopher_filter`; Rae et al.
+    2021 appendix A1.1): word-count bounds, mean-word-length window,
+    distinct-stopword minimum, alphabetic-word ratio — evaluated in a
+    FIXED order so every document carries a deterministic disposition
+    (kept / first violated rule). Thresholds are tuned to split the
+    fixture corpus (word counts 10-99, mean lengths 3.7-5.3), so all
+    of min_words/max_words/mean_word_len actually fire. Pure built-in
+    arithmetic, zero-shuffle narrow map; the oracle replays the rule
+    lattice in ANSI SQL."""
+    from .operators.curation import gopher_filter
+
+    return gopher_filter(_t(spark, sf, "documents"))

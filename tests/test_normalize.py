@@ -138,3 +138,41 @@ def test_orc_scan_pushdown_evidence(spark, tmp_path):
     assert any("GreaterThan(v" in f for f in ev["pushed_filters"]), ev
     assert "tag" not in str(ev["read_schema"]), ev
     assert "k" in str(ev["read_schema"]), ev
+
+
+# ----------------------------------------------------------- gopher
+# (the normalize/curation quality additions of this change set)
+
+
+def test_gopher_filter_rule_order_and_edges(spark):
+    from cdf_spark.operators.curation import gopher_filter
+
+    rows = [
+        (1, ""),  # empty -> min_words fires first
+        (2, "word " * 20 + "word"),  # 21 words, no stopwords -> min_words
+        (3, " ".join(["the", "a", "and", "of"] * 10)),  # 40 words, mwl=2.25 -> mean_word_len
+        (4, " ".join(["123456"] * 40) + " the a"),  # no-alpha words -> mean_word_len? mwl=6*... check below
+        (5, " ".join(["then"] * 38) + " the a"),  # 40 words, mwl~3.9, 2 stopwords -> kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.kept, r.first_violation) for r in gopher_filter(df).collect()}
+    assert got[1] == (False, "min_words")
+    assert got[2] == (False, "min_words")
+    assert got[3] == (False, "mean_word_len")
+    # doc 4: 42 words, mean len (6*40+3+1+41 sep -> (244+41? ) ...) computed
+    # by the operator itself; the pinned fact is WHICH rule fires: the
+    # mean-word-len window (5.83) precedes the alpha rule in the order.
+    assert got[4] == (False, "mean_word_len")
+    assert got[5][0] is True and got[5][1] is None
+
+
+def test_gopher_alpha_rule_fires_when_earlier_rules_pass(spark):
+    from cdf_spark.operators.curation import gopher_filter
+
+    # 40 words, mean word length 4.875 (inside [3.9, 5.1]), 2 distinct
+    # stopwords (the, of), but 38/40 words are digits -> alpha ratio
+    # 0.05 -> alpha_words is the first rule left to fire
+    text = " ".join(["12345"] * 38) + " the of"
+    df = spark.createDataFrame([(9, text)], ["doc_id", "text"])
+    row = gopher_filter(df).collect()[0]
+    assert row.kept is False and row.first_violation == "alpha_words", row
