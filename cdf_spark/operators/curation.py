@@ -418,3 +418,60 @@ def gopher_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         first_violation.isNull().alias("kept"),
         first_violation.alias("first_violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier
+
+
+# Fixed, documented logistic-regression weights over the deterministic
+# quality features (operators/text.quality_features). The coefficients
+# are illustrative constants — the OPERATOR contract is "score a doc
+# with a linear model someone trained elsewhere", which is the
+# classifier-filter shape (fastText/DCLM-style) every modern curation
+# stack runs after rule filters. Keeping them fixed makes the sigmoid
+# bit-replayable in the SQL oracle.
+QUALITY_CLF_WEIGHTS: dict[str, float] = {
+    "bias": -1.5,
+    "n_tokens": 0.02,
+    "avg_token_len": 0.35,
+    "stopword_ratio": 6.0,
+    "punct_ratio": -4.0,
+}
+
+
+def quality_clf_score(col: Column, round_to: int = 6) -> Column:
+    """Model-based quality score: sigmoid(w . features + b) over the
+    deterministic text features. Pure built-in arithmetic end-to-end
+    (exp/round are IEEE-double-identical across Spark and DuckDB, so
+    the oracle replays the exact score); zero-shuffle narrow map."""
+    from .text import quality_features
+
+    f = quality_features(col)
+    w = QUALITY_CLF_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + f["n_tokens"].cast("double") * w["n_tokens"]
+        + f["avg_token_len"] * w["avg_token_len"]
+        + f["stopword_ratio"] * w["stopword_ratio"]
+        + f["punct_ratio"] * w["punct_ratio"]
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
+
+
+def quality_clf_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.75,
+) -> DataFrame:
+    """Classifier-based keep/drop with the score carried for
+    inspection — the stage that runs AFTER rule filters (gopher_filter)
+    in a curation pipeline: rules catch structural garbage, the model
+    ranks the remainder."""
+    score = quality_clf_score(F.col(text_col))
+    return df.select(
+        id_col,
+        score.alias("clf_score"),
+        (score >= threshold).alias("kept"),
+    )

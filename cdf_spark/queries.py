@@ -4255,6 +4255,7 @@ PARITY_TWINS: set[str] = {
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
+    "quality_clf_filter",
     "gopher_quality_filter",
     "orc_source_scan",
     "html_boilerplate_strip",
@@ -7325,3 +7326,51 @@ def gopher_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.curation import gopher_filter
 
     return gopher_filter(_t(spark, sf, "documents"))
+
+
+@_register(
+    "quality_clf_filter",
+    """
+    WITH f AS (
+      SELECT doc_id, length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST((length(trim(text)) - length(replace(trim(text), ' ', ''))) AS BIGINT) + 1 END AS n_tokens,
+        CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')) AS BIGINT)/3
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')) AS BIGINT)/4 AS n_stop,
+        (length(text) - length(replace(text, '.', '')))
+          + (length(text) - length(replace(text, ',', '')))
+          + (length(text) - length(replace(text, '!', '')))
+          + (length(text) - length(replace(text, '?', '')))
+          + (length(text) - length(replace(text, ';', ''))) AS n_punct
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_tokens,
+        round(CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)/n_tokens ELSE 0.0 END, 4) AS atl,
+        round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS pr,
+        round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS sr
+      FROM f
+    ), z AS (
+      SELECT doc_id,
+        -1.5 + CAST(n_tokens AS DOUBLE) * 0.02 + atl * 0.35 + sr * 6.0 + pr * (-4.0) AS z
+      FROM g
+    )
+    SELECT doc_id, round(1.0/(1.0 + exp(-z)), 6) AS clf_score,
+           round(1.0/(1.0 + exp(-z)), 6) >= 0.75 AS kept
+    FROM z
+    """,
+)
+def quality_clf_filter_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier-based quality filter
+    (`operators/curation.quality_clf_score`) — the model-scoring stage
+    (fastText/DCLM-shape) that runs after rule filters: a fixed-weight
+    logistic over the deterministic text features, sigmoid computed in
+    built-in double arithmetic with a pinned term order so Spark and
+    DuckDB produce the identical IEEE result (exp is bit-identical in
+    both; intermediates use the features' documented rounding).
+    Zero-shuffle narrow map at any corpus size — at 100 TB this is one
+    pass fused into the same scan as the rule filter."""
+    from .operators.curation import quality_clf_filter
+
+    return quality_clf_filter(_t(spark, sf, "documents"))
