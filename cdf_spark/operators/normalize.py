@@ -125,3 +125,41 @@ def url_host(col: Column) -> Column:
     """Registrable host of a URL (lowercased, port dropped) — the
     partition key for per-domain statistics and politeness limits."""
     return F.lower(F.regexp_extract(col, r"^[a-zA-Z]+://([^/?#:]*)", 1))
+
+
+# C4 line-filter banned phrases (Raffel et al. 2020 §2.2 uses a longer
+# boilerplate list; this subset keeps SQL parity trivial).
+C4_BANNED_PHRASES: tuple[str, ...] = ("javascript", "lorem ipsum", "cookie")
+
+
+def c4_line_filter(
+    col: Column,
+    *,
+    min_words: int = 5,
+) -> dict[str, Column]:
+    """C4-style line-level cleanup (Raffel et al. 2020, §2.2): keep
+    only lines that end in terminal punctuation, have at least
+    `min_words` words, and contain none of the banned boilerplate
+    phrases ('javascript', 'lorem ipsum', 'cookie' — the
+    enable-JS/placeholder/cookie-notice lines every crawl carries).
+    Returns the cleaned text (kept lines re-joined), kept count and
+    total count. Pure higher-order-function expressions over the
+    split-lines array — zero shuffle, zero Python; the SQL twin is
+    list_filter with the identical predicates."""
+    lines = F.split(col, "\n")
+
+    def _keep(l: Column) -> Column:
+        t = F.trim(l)
+        words = F.filter(F.split(t, " "), lambda w: F.length(w) > 0)
+        ok = t.rlike('[.!?"]$') & (F.size(words) >= min_words)
+        low = F.lower(l)
+        for phrase in C4_BANNED_PHRASES:
+            ok = ok & ~F.contains(low, F.lit(phrase))
+        return ok
+
+    kept = F.filter(lines, _keep)
+    return {
+        "clean_text": F.array_join(kept, "\n"),
+        "n_lines_kept": F.size(kept).cast("bigint"),
+        "n_lines_total": F.size(lines).cast("bigint"),
+    }

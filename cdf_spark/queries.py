@@ -4255,6 +4255,7 @@ PARITY_TWINS: set[str] = {
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
+    "c4_line_filter_docs",
     "quality_clf_filter",
     "gopher_quality_filter",
     "orc_source_scan",
@@ -7374,3 +7375,64 @@ def quality_clf_filter_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.curation import quality_clf_filter
 
     return quality_clf_filter(_t(spark, sf, "documents"))
+
+
+@_register(
+    "c4_line_filter_docs",
+    """
+    WITH m AS (
+      SELECT doc_id,
+        substr(text, 1, 40) || '.' || chr(10)
+          || 'Please enable JavaScript to view this page' || chr(10)
+          || substr(text, 41, 30) || chr(10)
+          || CASE WHEN doc_id % 4 = 0 THEN 'lorem ipsum dolor sit amet consectetur.'
+                  ELSE substr(text, 71, 40) || '!' END || chr(10)
+          || CASE WHEN doc_id % 3 = 0 THEN 'We use cookies. Accept our policy now ok.'
+                  ELSE 'short line.' END AS multitext
+      FROM documents
+    ), k AS (
+      SELECT doc_id, multitext,
+        list_filter(str_split(multitext, chr(10)), l ->
+          regexp_matches(trim(l), '[.!?"]$')
+          AND len(list_filter(str_split(trim(l), ' '), w -> length(w) > 0)) >= 5
+          AND NOT contains(lower(l), 'javascript')
+          AND NOT contains(lower(l), 'lorem ipsum')
+          AND NOT contains(lower(l), 'cookie')) AS kept
+      FROM m
+    )
+    SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(len(str_split(multitext, chr(10))) AS BIGINT) AS n_lines_total
+    FROM k
+    """,
+)
+def c4_line_filter_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line-level cleanup (`operators/normalize.c4_line_filter`;
+    Raffel et al. 2020 §2.2): terminal-punctuation requirement,
+    per-line minimum word count, banned boilerplate phrases. The
+    fixture synthesizes a 5-line page per document carrying each
+    hazard class (an enable-JavaScript notice, a no-terminal-punct
+    fragment, a lorem-ipsum placeholder on every 4th doc, a
+    cookie-notice / too-short line) so every rule demonstrably fires;
+    the oracle replays the identical list_filter predicates. Pure
+    higher-order-function expressions — zero shuffle, zero Python."""
+    from .operators.normalize import c4_line_filter
+
+    docs = _t(spark, sf, "documents")
+    nl = F.lit("\n")
+    multitext = F.concat(
+        F.substring(F.col("text"), 1, 40), F.lit("."), nl,
+        F.lit("Please enable JavaScript to view this page"), nl,
+        F.substring(F.col("text"), 41, 30), nl,
+        F.when(F.col("doc_id") % 4 == 0, F.lit("lorem ipsum dolor sit amet consectetur."))
+         .otherwise(F.concat(F.substring(F.col("text"), 71, 40), F.lit("!"))), nl,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("We use cookies. Accept our policy now ok."))
+         .otherwise(F.lit("short line.")),
+    )
+    r = c4_line_filter(multitext)
+    return docs.select(
+        "doc_id",
+        r["clean_text"].alias("clean_text"),
+        r["n_lines_kept"].alias("n_lines_kept"),
+        r["n_lines_total"].alias("n_lines_total"),
+    )

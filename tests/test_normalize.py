@@ -176,3 +176,30 @@ def test_gopher_alpha_rule_fires_when_earlier_rules_pass(spark):
     df = spark.createDataFrame([(9, text)], ["doc_id", "text"])
     row = gopher_filter(df).collect()[0]
     assert row.kept is False and row.first_violation == "alpha_words", row
+
+
+# -------------------------------------------------------------- C4
+
+
+def test_c4_line_filter_rules(spark):
+    from cdf_spark.operators.normalize import c4_line_filter
+
+    page = "\n".join([
+        "This line is long enough and it terminates.",   # kept
+        "Please enable JavaScript to view comments",      # banned + no punct
+        "no terminal punctuation on this line here",      # no punct
+        "Short stop.",                                    # < 5 words
+        'He said "five words quoted here."',              # kept (quote end)
+        "This site uses COOKIES to track you.",           # banned (case-insensitive)
+    ])
+    df = spark.createDataFrame([(1, page)], ["doc_id", "text"])
+    r = c4_line_filter(F.col("text"))
+    row = df.select(
+        r["clean_text"].alias("c"), r["n_lines_kept"].alias("k"),
+        r["n_lines_total"].alias("t"),
+    ).collect()[0]
+    assert row.t == 6 and row.k == 2, row
+    assert row.c.splitlines() == [
+        "This line is long enough and it terminates.",
+        'He said "five words quoted here."',
+    ]
