@@ -4255,6 +4255,7 @@ PARITY_TWINS: set[str] = {
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
+    "llm_curation_pipeline",
     "c4_line_filter_docs",
     "quality_clf_filter",
     "gopher_quality_filter",
@@ -7435,4 +7436,82 @@ def c4_line_filter_docs(spark: SparkSession, sf: str) -> DataFrame:
         r["clean_text"].alias("clean_text"),
         r["n_lines_kept"].alias("n_lines_kept"),
         r["n_lines_total"].alias("n_lines_total"),
+    )
+
+
+@_register(
+    "llm_curation_pipeline",
+    """
+    WITH f AS (
+      SELECT doc_id, lang, text, trim(text) AS t, length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) AS BIGINT) + 1
+        END AS n_words,
+        CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')) AS BIGINT)/3
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')) AS BIGINT)/4 AS n_stop,
+        (length(text) - length(replace(text, '.', '')))
+          + (length(text) - length(replace(text, ',', '')))
+          + (length(text) - length(replace(text, '!', '')))
+          + (length(text) - length(replace(text, '?', '')))
+          + (length(text) - length(replace(text, ';', ''))) AS n_punct
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, text, n_words,
+        round(CASE WHEN n_words > 0 THEN CAST(length(t) - (n_words - 1) AS DOUBLE)/n_words ELSE 0.0 END, 4) AS mwl,
+        CAST((CASE WHEN contains(' '||t||' ', ' the ') THEN 1 ELSE 0 END)
+           + (CASE WHEN contains(' '||t||' ', ' a ') THEN 1 ELSE 0 END)
+           + (CASE WHEN contains(' '||t||' ', ' and ') THEN 1 ELSE 0 END)
+           + (CASE WHEN contains(' '||t||' ', ' of ') THEN 1 ELSE 0 END) AS INTEGER) AS n_sw,
+        round(CASE WHEN n_words > 0
+                   THEN CAST(len(list_filter(list_filter(str_split(t, ' '), w -> length(w) > 0),
+                                             w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)/n_words
+                   ELSE 0.0 END, 6) AS alpha_ratio,
+        round(CASE WHEN n_words > 0 THEN CAST(length(t) - (n_words - 1) AS DOUBLE)/n_words ELSE 0.0 END, 4) AS atl,
+        round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS pr,
+        round(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END, 6) AS sr
+      FROM f
+    ), kept AS (
+      SELECT doc_id, lang, text, n_words
+      FROM g
+      WHERE n_words >= 30 AND n_words <= 90
+        AND mwl >= 3.9 AND mwl <= 5.1
+        AND n_sw >= 2 AND alpha_ratio >= 0.8
+        AND round(1.0/(1.0 + exp(-(-1.5 + CAST(n_words AS DOUBLE) * 0.02 + atl * 0.35 + sr * 6.0 + pr * (-4.0)))), 6) >= 0.75
+    ), ded AS (
+      SELECT doc_id, lang, n_words
+      FROM kept
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_tokens
+    FROM ded GROUP BY lang
+    """,
+)
+def llm_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed modern curation pipeline: Gopher rule filter →
+    classifier filter → exact dedup (md5 fingerprint, keep-min-doc_id)
+    → per-language token accounting — the budget table a training run
+    is provisioned from. All quality predicates are narrow expressions
+    fused into ONE scan pass (no self-joins: `gopher_rules` and
+    `quality_clf_score` are column expressions over the same row);
+    dedup is the single shuffle (fingerprint window), the final
+    per-lang agg rides map-side combine. At 100 TB: one data pass +
+    one dedup shuffle, which is the floor for this pipeline."""
+    from .operators.curation import gopher_rules, quality_clf_score
+    from .operators.text import token_count
+
+    docs = _t(spark, sf, "documents")
+    r = gopher_rules(F.col("text"))
+    keep = (
+        r["rule_min_words"] & r["rule_max_words"] & r["rule_mean_word_len"]
+        & r["rule_stopwords"] & r["rule_alpha_words"]
+        & (quality_clf_score(F.col("text")) >= 0.75)
+    )
+    kept = docs.filter(keep)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
+    ded = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return ded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
     )
