@@ -56,6 +56,7 @@ class IcebergDestination:
         max_commit_retries: int = 5,
         partition_by: list | None = None,
         stage_branch: str | None = None,
+        merge_mode: str = "equality",
     ):
         """`partition_by` seeds the spec when the destination CREATES
         the table: column names (identity) or transform tuples/lists —
@@ -72,7 +73,24 @@ class IcebergDestination:
         staged snapshot. A failed verification leaves main untouched
         with the bad data quarantined on the branch for inspection,
         instead of already-committed. APPEND only (a staged
-        REPLACE/MERGE would need branch-aware delete scoping)."""
+        REPLACE/MERGE would need branch-aware delete scoping).
+
+        `merge_mode` picks the delete representation MERGE writes:
+        'equality' (default) commits the batch's keys as an
+        equality-delete file — zero table scan at write, the reader
+        pays a sequence-scoped key join (the Flink-CDC upsert shape);
+        'position' locates the victims NOW (one key-pruned scan of the
+        current snapshot joined against the broadcast batch keys,
+        written as positional-delete files by the executors) — the
+        shape Spark's and Trino's MERGE INTO write, cheaper for every
+        subsequent reader (a broadcast (file,pos) anti-join instead of
+        per-key equality resolution) and exactly what
+        RewritePositionDeleteFiles maintenance compacts. Flat tables
+        only; a partitioned position-merge refuses (equality mode
+        covers partitioned tables with scoped delete files)."""
+        if merge_mode not in ("equality", "position"):
+            raise ValueError(f"unknown merge_mode {merge_mode!r}")
+        self.merge_mode = merge_mode
         self.table_path = Path(table_path)
         self.merge_keys = merge_keys or []
         self.max_commit_retries = max_commit_retries
@@ -160,6 +178,12 @@ class IcebergDestination:
             elif disposition is WriteDisposition.MERGE:
                 if not self.merge_keys:
                     raise ValueError("merge disposition requires merge_keys")
+                if self.merge_mode == "position":
+                    raise ValueError(
+                        "merge_mode='position' supports flat tables only — "
+                        "partitioned MERGE uses equality mode (partition-"
+                        "scoped equality-delete files)"
+                    )
                 # ONE snapshot: partition-split data files + the
                 # batch's equality-delete key files (partition-scoped
                 # when the spec's source columns are merge keys,
@@ -175,6 +199,64 @@ class IcebergDestination:
             w.append_files(segments)
         elif disposition is WriteDisposition.REPLACE:
             w.replace_files(segments)
+        elif disposition is WriteDisposition.MERGE and self.merge_mode == "position":
+            if not self.merge_keys:
+                raise ValueError("merge disposition requires merge_keys")
+            # positional-delete MERGE — the commit shape Spark's and
+            # Trino's MERGE INTO write: victims are located NOW by a
+            # null-safe semi-join of the CURRENT snapshot (scanned with
+            # row addresses, column-pruned to the merge keys +
+            # _file/_pos by Catalyst) against the BROADCAST batch keys,
+            # and the (file, pos) rows are written to parquet BY THE
+            # EXECUTORS — victim rows never pass through the driver
+            # (same discipline as the equality path; falsified by the
+            # raising-collect test). Write-side cost is one key-pruned
+            # table scan per merge batch; every subsequent read gets a
+            # broadcast (file,pos) anti-join instead of per-key
+            # equality resolution, and RewritePositionDeleteFiles
+            # compacts the accreted delete files.
+            import shutil
+            import tempfile
+            from functools import reduce
+
+            from pyspark.sql import functions as F
+
+            if not w._snapshots:
+                # merge into an empty table is a pure insert
+                w.append_files(segments)
+            else:
+                keys_df = (
+                    spark.read.parquet(package.data_path())
+                    .select(*self.merge_keys)
+                    .distinct()
+                    .alias("k")
+                )
+                cur = (
+                    IcebergTable(self.table_path)
+                    .read(spark, _keep_meta=True)
+                    .select(*self.merge_keys, "_file", "_pos")
+                    .alias("c")
+                )
+                # null-safe key match — equality-mode deletes treat
+                # NULL keys as equal (spec semantics); position mode
+                # must kill the same rows
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"c.{k}").eqNullSafe(F.col(f"k.{k}"))
+                        for k in self.merge_keys
+                    ],
+                )
+                victims = cur.join(F.broadcast(keys_df), on=cond, how="left_semi").select(
+                    F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+                )
+                tmp = tempfile.mkdtemp(prefix="iceberg_pos_deletes_")
+                try:
+                    victims.write.mode("overwrite").parquet(tmp)
+                    delete_files = sorted(str(p) for p in Path(tmp).glob("*.parquet"))
+                    w.merge_pos_delete_files(segments, delete_files)
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
         elif disposition is WriteDisposition.MERGE:
             if not self.merge_keys:
                 raise ValueError("merge disposition requires merge_keys")

@@ -4255,6 +4255,7 @@ PARITY_TWINS: set[str] = {
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
+    "iceberg_dest_pos_merge",
     "llm_curation_pipeline",
     "c4_line_filter_docs",
     "quality_clf_filter",
@@ -7515,3 +7516,63 @@ def llm_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
     )
+
+
+@_register(
+    "iceberg_dest_pos_merge",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice FROM orders
+      WHERE o_orderkey <= 400 OR o_orderkey > 900
+    )
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def iceberg_dest_pos_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE with merge_mode='position' (`package/iceberg_dest.py`) —
+    the commit shape Spark's and Trino's MERGE INTO write: victims
+    located at write time by a null-safe semi-join of the current
+    snapshot (key-pruned scan with row addresses) against the
+    broadcast batch keys, positional-delete files written by the
+    EXECUTORS, then ONE 'overwrite' snapshot carrying deletes + the
+    batch's data files. Same relational result as the equality-mode
+    twin (`iceberg_dest_upsert`) — the oracle is identical — but reads
+    resolve a broadcast (file,pos) anti-join instead of per-key
+    equality matching, and RewritePositionDeleteFiles compacts the
+    accreted delete files. The fixture asserts the commit REALLY is
+    positional (>=1 pos-delete file, zero equality entries)."""
+    from .package import PackageBuilder
+    from .package.iceberg_dest import IcebergDestination
+    from .sources.base import WriteDisposition
+    from .sources.iceberg import IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        dest = IcebergDestination(
+            f"{tmp}/t", merge_keys=["o_orderkey"], merge_mode="position"
+        )
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_pm")
+        base = builder.build(admitted=o.filter(F.col("o_orderkey") <= 900))
+        r1 = dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base)
+        batch = builder.build(
+            admitted=o.filter(
+                (F.col("o_orderkey") <= 400) | (F.col("o_orderkey") > 900)
+            ).withColumn("o_totalprice", F.lit(-1.0))
+        )
+        r2 = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+        if not (r1.verified and r2.verified):
+            raise RuntimeError("iceberg commit receipt failed verification")
+        t = IcebergTable(f"{tmp}/t")
+        sid = t.current_snapshot_id()
+        if not t.delete_files_for_snapshot(sid):
+            raise RuntimeError("position merge wrote no positional-delete files")
+        if t._eq_delete_entries(sid):
+            raise RuntimeError("position merge leaked equality-delete entries")
+
+    tmp = _session_fixture("ice_dest_pm", sf, build)
+    return IcebergDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)

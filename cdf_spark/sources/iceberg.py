@@ -2460,6 +2460,68 @@ class IcebergFixtureWriter:
             )
         return self._finish_commit(sid, parent, ts, entries, "overwrite", retain_prior=True)
 
+    def merge_pos_delete_files(
+        self,
+        paths: list[str],
+        delete_paths: list[str],
+        timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> int:
+        """Distributed twin of :meth:`merge_files_pos`: ONE 'overwrite'
+        snapshot carrying the batch's data files plus PRE-WRITTEN
+        positional-delete parquet files (schema ``file_path: string,
+        pos: long`` with reader-normalized paths). The delete rows were
+        produced and written by EXECUTORS (the destination's
+        victim-location join) — control only copies the files into the
+        table directory and registers their footer counts, so victim
+        rows never pass through the driver. Zero-row part files (an
+        empty write partition) are dropped; a merge whose victim set is
+        entirely empty IS an append and commits as one, keeping the
+        changelog's CoW-overwrite guard meaningful."""
+        import shutil as _sh
+
+        import pyarrow.parquet as _pq
+
+        if not paths:
+            raise IcebergError("merge_pos_delete_files requires data files")
+        live: list[tuple[str, int]] = []
+        for p in delete_paths:
+            n = int(_pq.ParquetFile(p).metadata.num_rows)
+            if n > 0:
+                live.append((p, n))
+        if not live:
+            return self.append_files(
+                paths, timestamp_ms=timestamp_ms, snapshot_id=snapshot_id
+            )
+        self._ensure_schema_from_parquet(paths[0])
+        sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
+        parent = self._parent_snapshot_id()
+        self._seq += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+        entries = list(self._copied_file_entries(paths, sid))
+        for src, n in live:
+            dest = self.root / "data" / f"delete-{uuid.uuid4().hex}.parquet"
+            _sh.copyfile(src, dest)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": self._seq,
+                    "data_file": {
+                        "file_path": str(dest),
+                        "file_format": "PARQUET",
+                        "record_count": n,
+                        "content": 1,
+                        "partition": None,
+                        "equality_ids": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "file_size_in_bytes": dest.stat().st_size,
+                    },
+                }
+            )
+        return self._finish_commit(sid, parent, ts, entries, "overwrite", retain_prior=True)
+
     def delete_equality(
         self,
         values: list[dict],
