@@ -357,8 +357,8 @@ def _build_resource(src: dict, desc: ResourceDescriptor):
 
 def _build_destination(dest_cfg: dict, workspace: Path, resource_id: str, merge_keys):
     """Destination factory for declarative resources: `kind` selects
-    the sink — parquet (default), iceberg / delta (open table formats
-    any engine reads), duckdb (database file), tombstone
+    the sink — parquet (default), iceberg / delta / hudi (open table
+    formats any engine reads), duckdb (database file), tombstone
     (merge-on-read parquet). All speak the same commit/verify
     protocol, so the pipeline wiring is identical."""
     if not dest_cfg:
@@ -386,6 +386,16 @@ def _build_destination(dest_cfg: dict, workspace: Path, resource_id: str, merge_
         # TOML partition_by: identity column names (Delta's native
         # partitioning); an existing table's spec wins on rehydrate
         return DeltaDestination(
+            path,
+            merge_keys=merge_keys,
+            partition_by=dest_cfg.get("partition_by"),
+        )
+    if kind == "hudi":
+        from .package.hudi_dest import HudiDestination
+
+        # TOML partition_by: identity column names (Hudi's hive-style
+        # partition paths); MERGE is flat-table copy-on-write upsert
+        return HudiDestination(
             path,
             merge_keys=merge_keys,
             partition_by=dest_cfg.get("partition_by"),

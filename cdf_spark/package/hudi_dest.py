@@ -1,0 +1,193 @@
+"""Hudi copy-on-write destination: packages land in a real Hudi CoW
+table any Hudi reader resolves.
+
+Completes the open-table-format destination trio (Iceberg, Delta,
+Hudi) on the same commit/verify protocol — reference frame: the
+destination protocol's commit/verify receipts
+(`crates/cdf-kernel/src/destination.rs:370-410`); the table layout is
+the timeline + file-group shape `sources/hudi.HudiTable` already
+reads (and `sources/hudi_mor` extends).
+
+MERGE is the canonical Hudi copy-on-write UPSERT: updates are routed
+to the file group that currently holds their key and that group is
+rewritten as a new version (newest instant per group wins at read);
+inserts open a new group. The rewrite is ONE distributed job
+partitioned by file group — survivors + updates are shuffled by
+`_fid` and each group's new version is written by one task; control
+moves O(files) paths and never sees row data. Untouched groups are
+NOT rewritten (their latest version stays live), so write
+amplification is O(touched groups), not O(table).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from functools import reduce
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.base import WriteDisposition
+from ..sources.hudi import HudiFixtureWriter, HudiTable
+from .builder import PackageResult
+from .ledger import Receipt
+from .stats import dataset_value_hash
+
+
+class HudiDestination:
+    """A Hudi CoW destination speaking the commit protocol — drop-in
+    peer of IcebergDestination / DeltaDestination (same commit/verify
+    surface, same Receipt), so LoadPipeline and StreamingLoadPipeline
+    can land state in a Hudi table."""
+
+    def __init__(
+        self,
+        table_path: str | Path,
+        merge_keys: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ):
+        self.table_path = Path(table_path)
+        self.merge_keys = merge_keys or []
+        self.partition_by = list(partition_by or [])
+
+    def commit(
+        self,
+        spark: SparkSession,
+        package: PackageResult,
+        disposition: WriteDisposition = WriteDisposition.APPEND,
+    ) -> Receipt:
+        # the writer resumes the instant sequence from the existing
+        # timeline, so per-run destination instances continue one
+        # monotone commit lineage
+        w = HudiFixtureWriter(self.table_path, partition_by=self.partition_by)
+        batch = spark.read.parquet(package.data_path())
+        if disposition is WriteDisposition.APPEND:
+            w.commit(batch)
+        elif disposition is WriteDisposition.MERGE:
+            if not self.merge_keys:
+                raise ValueError("merge disposition requires merge_keys")
+            if self.partition_by:
+                raise ValueError(
+                    "Hudi MERGE supports flat tables only — partitioned "
+                    "upsert routing needs partition-local group maps"
+                )
+            self._upsert(spark, w, batch)
+        else:
+            raise ValueError(
+                f"disposition {disposition} not supported by HudiDestination "
+                "(REPLACE needs replacecommit reader support — refused, not faked)"
+            )
+        return Receipt(
+            receipt_id="rcp-" + uuid.uuid4().hex[:16],
+            package_id=package.package_id,
+            destination=f"hudi://{self.table_path}",
+            disposition=disposition.value,
+            delivery_guarantee=disposition.delivery_guarantee,
+            rows_written=package.rows_admitted,
+            value_hash=package.value_hash,
+            committed_at_ms=int(time.time() * 1000),
+        )
+
+    def _upsert(self, spark: SparkSession, w: HudiFixtureWriter, batch) -> None:
+        """Copy-on-write UPSERT: ONE new commit carrying a new version
+        of every TOUCHED file group (its surviving rows + the batch
+        rows keyed into it) plus one new group for inserts. Batch keys
+        and the (key -> group) routing table are broadcast (the
+        documented broadcast-scale batch contract shared with the
+        Iceberg/Delta merge paths); survivors never leave the
+        executors, and only O(touched groups) file ids reach control."""
+        t = HudiTable(self.table_path)
+        keys = self.merge_keys
+        data_cols = list(batch.columns)
+        try:
+            live = t.live_file_groups()
+        except Exception:
+            live = []
+        if not live:
+            w.commit(batch)  # merge into an empty table is an insert
+            return
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        fid_map = spark.createDataFrame(
+            [(p, fid) for fid, _part, p in live], "_path string, _fid string"
+        )
+        cur = (
+            spark.read.parquet(*[p for _, _, p in live])
+            .withColumn("_path", norm(F.col("_metadata.file_path")))
+            .join(F.broadcast(fid_map), on="_path")
+            .drop("_path")
+        )
+        keys_df = batch.select(*keys).distinct()
+        # (key -> existing group) routing: which group currently holds
+        # each updated key (a key lives in exactly one group under
+        # upsert discipline)
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"c.{k}").eqNullSafe(F.col(f"k.{k}")) for k in keys],
+        )
+        key_fid = (
+            cur.alias("c")
+            .join(F.broadcast(keys_df.alias("k")), on=cond, how="left_semi")
+            .select(*keys, "_fid")
+            .distinct()
+        )
+        touched = [r["_fid"] for r in key_fid.select("_fid").distinct().collect()]
+        new_fid = "g" + uuid.uuid4().hex[:8]
+        # updates ride to their existing group; inserts to the new one
+        kf_cols = [F.col(f"kf.{k}").alias(f"_kf_{k}") for k in keys]
+        route_cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"b.{k}").eqNullSafe(F.col(f"kf.{k}")) for k in keys],
+        )
+        routed = (
+            batch.alias("b")
+            .join(F.broadcast(key_fid.alias("kf")), on=route_cond, how="left")
+            .select(*[F.col(f"b.{c}") for c in data_cols], F.col("kf._fid").alias("_fid"))
+            .withColumn("_fid", F.coalesce(F.col("_fid"), F.lit(new_fid)))
+        )
+        anti_cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"c.{k}").eqNullSafe(F.col(f"k.{k}")) for k in keys],
+        )
+        survivors = (
+            cur.filter(F.col("_fid").isin(touched))
+            .alias("c")
+            .join(F.broadcast(keys_df.alias("k")), on=anti_cond, how="left_anti")
+            .select(*data_cols, "_fid")
+        )
+        new_versions = survivors.unionByName(routed)
+
+        from ..sources.partitioned_write import hive_partitioned_write
+
+        import shutil
+
+        tmp_root, parts = hive_partitioned_write(
+            new_versions, ["_fid"], drop_partition_cols=True
+        )
+        try:
+            groups = [(raw["_fid"], "", files) for raw, files in parts]
+            w.commit_file_groups(groups, operation="UPSERT")
+        finally:
+            shutil.rmtree(tmp_root, ignore_errors=True)
+
+    def verify(self, spark: SparkSession, receipt: Receipt, package: PackageResult) -> Receipt:
+        df = self.read(spark)
+        if receipt.disposition == WriteDisposition.MERGE.value:
+            staged = spark.read.parquet(package.data_path())
+            cond = reduce(
+                lambda a, b: a & b,
+                [staged[k].eqNullSafe(df[k]) for k in self.merge_keys],
+            )
+            ok = staged.join(df, on=cond, how="left_anti").isEmpty()
+        elif receipt.disposition == WriteDisposition.REPLACE.value:
+            ok = dataset_value_hash(df) == package.value_hash
+        else:  # append: package rows all present (count lower bound)
+            ok = df.count() >= receipt.rows_written
+        receipt.verified = bool(ok)
+        return receipt
+
+    def read(self, spark: SparkSession):
+        """The copy-on-write resolved current state — exactly what any
+        external Hudi reader sees at the latest instant."""
+        return HudiTable(self.table_path).read(spark)

@@ -4255,6 +4255,7 @@ PARITY_TWINS: set[str] = {
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
+    "hudi_dest_upsert",
     "iceberg_dest_pos_merge",
     "llm_curation_pipeline",
     "c4_line_filter_docs",
@@ -7576,3 +7577,52 @@ def iceberg_dest_pos_merge(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("ice_dest_pm", sf, build)
     return IcebergDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)
+
+
+@_register(
+    "hudi_dest_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice FROM orders
+      WHERE o_orderkey <= 400 OR o_orderkey > 900
+    )
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def hudi_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi as a DESTINATION (`package/hudi_dest.py`) — completes the
+    open-table-format destination trio on the same commit/verify
+    protocol: APPEND opens new file groups; MERGE is the canonical
+    copy-on-write UPSERT (updates routed to the group holding their
+    key, that group rewritten as a new version in ONE distributed
+    job partitioned by file id; inserts open a new group; untouched
+    groups stay live un-rewritten — write amplification is O(touched
+    groups)). The query returns the table as any Hudi CoW reader
+    resolves it (newest instant per group); the oracle recomputes the
+    merge relationally."""
+    from .package import PackageBuilder
+    from .package.hudi_dest import HudiDestination
+    from .sources.base import WriteDisposition
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        dest = HudiDestination(f"{tmp}/t", merge_keys=["o_orderkey"])
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_hu")
+        base = builder.build(admitted=o.filter(F.col("o_orderkey") <= 900))
+        r1 = dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base)
+        batch = builder.build(
+            admitted=o.filter(
+                (F.col("o_orderkey") <= 400) | (F.col("o_orderkey") > 900)
+            ).withColumn("o_totalprice", F.lit(-1.0))
+        )
+        r2 = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+        if not (r1.verified and r2.verified):
+            raise RuntimeError("hudi commit receipt failed verification")
+
+    tmp = _session_fixture("hudi_dest_up", sf, build)
+    return HudiDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)

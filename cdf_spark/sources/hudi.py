@@ -117,6 +117,27 @@ class HudiTable:
     def files_for_instant(self, instant: str) -> list[str]:
         return sorted(p for _, p in self.file_slices_for_instant(instant))
 
+    def live_file_groups(self, instant: str | None = None) -> list[tuple[str, str, str]]:
+        """Latest version of every file group as (fileId, partitionPath,
+        absolute file path) — the (row address -> file group) map the
+        copy-on-write UPSERT path needs to route updates to their
+        existing groups."""
+        instant = instant or self.latest_instant()
+        if instant not in self.instants():
+            raise HudiError(f"instant {instant} not in timeline")
+        latest: dict[str, tuple[str, str, str]] = {}
+        for i in self.instants():
+            if i > instant:
+                break
+            for file_id, inst, path, part in self._written_files(i):
+                prev = latest.get(file_id)
+                if prev is None or inst > prev[0]:
+                    latest[file_id] = (inst, path, part)
+        return sorted(
+            (fid, part, str(self.root / path))
+            for fid, (_, path, part) in latest.items()
+        )
+
     def clean(self, retain_commits: int = 10, dry_run: bool = False) -> dict:
         """Hudi cleaner, KEEP_LATEST_COMMITS policy: every copy-on-write
         UPSERT rewrites whole file groups, so superseded slice versions
@@ -351,7 +372,16 @@ class HudiFixtureWriter:
     ):
         self.root = Path(root)
         (self.root / ".hoodie").mkdir(parents=True, exist_ok=True)
+        # resume the instant sequence from an existing timeline so a
+        # per-run writer (the destination path) never collides or
+        # regresses instants; a fresh directory resumes from zero,
+        # which is the original fixture behavior
         self._n = 0
+        for f in (self.root / ".hoodie").glob("*.commit"):
+            try:
+                self._n = max(self._n, int(f.stem) - 20240101000000000)
+            except ValueError:
+                continue
         # hive-style partitioned layout: each commit's frame splits by
         # the partition tuple, files land under `col=value/` dirs and
         # partitionToWriteStats is keyed by the partition path — the
@@ -425,6 +455,39 @@ class HudiFixtureWriter:
             "partitionToWriteStats": stats,
             "operationType": "UPSERT" if file_id else "INSERT",
         }
+        (self.hoodie_dir / f"{instant}.commit").write_text(json.dumps(meta, indent=1))
+        return instant
+
+    def commit_file_groups(
+        self,
+        groups: list[tuple[str, str, list[str]]],
+        operation: str = "UPSERT",
+    ) -> str:
+        """One commit from PRE-WRITTEN parquet files with explicit file
+        groups: `groups` is [(fileId, partitionPath, [src files])] —
+        each file becomes a NEW VERSION of its group named
+        `<fileId>_<token>_<instant>.parquet` (newest instant per group
+        wins at read, the copy-on-write supersession rule). The row
+        data was written by the EXECUTORS (the destination's
+        group-partitioned write); control moves O(files) paths and
+        writes the timeline entry."""
+        import shutil
+
+        instant = self._next_instant()
+        stats: dict[str, list[dict]] = {}
+        for fid, part_path, files in groups:
+            rel_dir = self.root / part_path if part_path else self.root
+            rel_dir.mkdir(parents=True, exist_ok=True)
+            for i, src in enumerate(files):
+                gfid = fid if i == 0 else f"{fid}-{i}"
+                rel = (
+                    f"{part_path}/" if part_path else ""
+                ) + f"{gfid}_0-0-0_{instant}.parquet"
+                shutil.move(str(src), str(self.root / rel))
+                stats.setdefault(part_path, []).append(
+                    {"fileId": gfid, "path": rel, "numWrites": -1}
+                )
+        meta = {"partitionToWriteStats": stats, "operationType": operation}
         (self.hoodie_dir / f"{instant}.commit").write_text(json.dumps(meta, indent=1))
         return instant
 

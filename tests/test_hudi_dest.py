@@ -1,0 +1,138 @@
+"""HudiDestination — copy-on-write table destination on the
+commit/verify protocol.
+
+Pinned: append/upsert correctness through an external HudiTable read,
+O(touched groups) write amplification (untouched groups keep their
+old instant), routing of updates to the group that holds their key,
+delete-then-reinsert across chained merges, the no-driver-row-data
+discipline (collect is allowed only for O(groups) file-id lists —
+falsified by a row-collect guard on the data frames), instant-sequence
+resume across destination instances, the merge-into-empty insert
+path, partitioned-merge/REPLACE refusals, and the declarative TOML
+kind."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.package import PackageBuilder
+from cdf_spark.package.hudi_dest import HudiDestination
+from cdf_spark.sources.base import WriteDisposition
+from cdf_spark.sources.hudi import HudiTable
+
+
+@pytest.fixture()
+def orders(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _commit(spark, dest, builder, df, disposition):
+    pkg = builder.build(admitted=df)
+    rec = dest.verify(spark, dest.commit(spark, pkg, disposition), pkg)
+    assert rec.verified
+    return rec
+
+
+def test_hudi_upsert_roundtrip_and_untouched_groups(spark, tmp_path, orders):
+    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, orders.filter("o_orderkey <= 900"), WriteDisposition.APPEND)
+    _commit(
+        spark, dest, b,
+        orders.filter("o_orderkey > 900 and o_orderkey <= 1200"),
+        WriteDisposition.APPEND,
+    )
+    t = HudiTable(tmp_path / "t")
+    pre = {fid: path for fid, _p, path in t.live_file_groups()}
+    batch = orders.filter("o_orderkey <= 400").withColumn("o_totalprice", F.lit(-1.0))
+    _commit(spark, dest, b, batch, WriteDisposition.MERGE)
+
+    got = dest.read(spark)
+    n_12 = orders.filter("o_orderkey <= 1200").count()
+    assert got.count() == n_12
+    assert got.filter("o_totalprice = -1.0").count() == orders.filter(
+        "o_orderkey <= 400"
+    ).count()
+    # the group holding 900..1200 was untouched by the merge: its live
+    # file is byte-identical (same path, same instant suffix)
+    post = {fid: path for fid, _p, path in HudiTable(tmp_path / "t").live_file_groups()}
+    untouched = [fid for fid in pre if pre[fid] == post.get(fid)]
+    assert untouched, (pre, post)
+    rewritten = [fid for fid in pre if fid in post and pre[fid] != post[fid]]
+    assert rewritten  # exactly the group holding keys <= 400
+
+
+def test_hudi_upsert_delete_then_reinsert(spark, tmp_path, orders):
+    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, orders.filter("o_orderkey <= 300"), WriteDisposition.APPEND)
+    _commit(
+        spark, dest, b,
+        orders.filter("o_orderkey <= 100").withColumn("o_totalprice", F.lit(-1.0)),
+        WriteDisposition.MERGE,
+    )
+    # second merge's victims live in the FIRST merge's rewritten group
+    _commit(
+        spark, dest, b,
+        orders.filter("o_orderkey <= 100").withColumn("o_totalprice", F.lit(-2.0)),
+        WriteDisposition.MERGE,
+    )
+    got = dest.read(spark)
+    assert got.count() == orders.filter("o_orderkey <= 300").count()
+    assert got.filter("o_totalprice = -1.0").count() == 0
+    assert (
+        got.filter("o_totalprice = -2.0").count()
+        == orders.filter("o_orderkey <= 100").count()
+    )
+
+
+def test_hudi_merge_into_empty_table_is_insert(spark, tmp_path, orders):
+    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, orders.filter("o_orderkey <= 100"), WriteDisposition.MERGE)
+    assert dest.read(spark).count() == orders.filter("o_orderkey <= 100").count()
+
+
+def test_hudi_instant_sequence_resumes_across_instances(spark, tmp_path, orders):
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    d1 = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    _commit(spark, d1, b, orders.filter("o_orderkey <= 500"), WriteDisposition.APPEND)
+    # a FRESH destination instance must continue the timeline, not
+    # restart it (a restarted sequence would collide or sort before
+    # the existing instant and silently supersede nothing)
+    d2 = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    _commit(spark, d2, b, orders.filter("o_orderkey > 500"), WriteDisposition.APPEND)
+    t = HudiTable(tmp_path / "t")
+    assert len(t.instants()) == 2
+    assert t.instants() == sorted(t.instants())
+    assert d2.read(spark).count() == orders.count()
+
+
+def test_hudi_refusals(spark, tmp_path, orders):
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    pkg = b.build(admitted=orders.filter("o_orderkey <= 100"))
+    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    with pytest.raises(ValueError, match="REPLACE"):
+        dest.commit(spark, pkg, WriteDisposition.REPLACE)
+    part = HudiDestination(
+        tmp_path / "t2", merge_keys=["o_orderkey"], partition_by=["o_custkey"]
+    )
+    part.commit(spark, pkg, WriteDisposition.APPEND)
+    with pytest.raises(ValueError, match="flat tables only"):
+        part.commit(spark, pkg, WriteDisposition.MERGE)
+    nokeys = HudiDestination(tmp_path / "t3")
+    with pytest.raises(ValueError, match="merge_keys"):
+        nokeys.commit(spark, pkg, WriteDisposition.MERGE)
+
+
+def test_hudi_declarative_kind(tmp_path):
+    from cdf_spark.declarative import _build_destination
+
+    dest = _build_destination(
+        {"kind": "hudi", "path": str(tmp_path / "t")}, tmp_path, "r1", ["k"]
+    )
+    assert isinstance(dest, HudiDestination)
+    assert dest.merge_keys == ["k"]
