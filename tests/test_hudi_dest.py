@@ -136,3 +136,59 @@ def test_hudi_declarative_kind(tmp_path):
     )
     assert isinstance(dest, HudiDestination)
     assert dest.merge_keys == ["k"]
+
+
+def test_streaming_drain_into_hudi(spark, tmp_path, orders):
+    """A Structured-Streaming drain lands in the Hudi table through
+    the same commit/verify protocol as the batch path: every
+    micro-batch becomes one timeline instant, epoch history IS table
+    history (as-of reads at any epoch boundary), and receipts verify
+    per epoch — the destination-trio symmetry (Iceberg and Delta have
+    the same test shape)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from cdf_spark.sources.base import ResourceDescriptor
+    from cdf_spark.streaming.pipeline import StreamingLoadPipeline
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    o = orders.select("o_orderkey", "o_totalprice").limit(600)
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        stage = tempfile.mkdtemp()
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (f,) = Path(stage).glob("*.parquet")
+        shutil.move(str(f), str(src / f"part-{i}.parquet"))
+
+    pipe = StreamingLoadPipeline(
+        descriptor=ResourceDescriptor(resource_id="orders_stream"),
+        source_path=str(src),
+        schema=schema,
+        package_root=str(tmp_path / "pkgs"),
+        ledger_root=str(tmp_path / "ledger"),
+        destination=HudiDestination(tmp_path / "t"),
+        disposition=WriteDisposition.APPEND,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    epochs = pipe.run(spark)
+    committed = [e for e in epochs if e.rows_admitted > 0]
+    assert len(committed) >= 2
+    assert all(e.receipt_verified for e in committed)
+
+    t = HudiTable(tmp_path / "t")
+    assert len(t.instants()) == len(committed)  # one instant per epoch
+    assert t.read(spark).count() == o.count()
+    # as-of the first instant sees only epoch 1's rows
+    first = t.instants()[0]
+    assert t.read(spark, instant=first).count() == committed[0].rows_admitted
