@@ -4255,6 +4255,7 @@ PARITY_TWINS: set[str] = {
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
+    "cross_format_replication_hudi",
     "hudi_dest_upsert",
     "iceberg_dest_pos_merge",
     "llm_curation_pipeline",
@@ -7626,3 +7627,66 @@ def hudi_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("hudi_dest_up", sf, build)
     return HudiDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)
+
+
+@_register(
+    "cross_format_replication_hudi",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey <= 100 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 900
+    """,
+)
+def cross_format_replication_hudi(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ICEBERG -> HUDI replication — the same composed
+    cross-format CDC sync as `cross_format_replication`, landing in
+    the third open format: `IcebergTable.changes_since` (ancestry-walk
+    incremental consumption) feeding `HudiDestination` copy-on-write
+    MERGE commits through the package/receipt protocol. Same three
+    cycles (full sync, incremental append with a delivered-row-count
+    assertion, upstream upsert resetting consumption to an idempotent
+    full re-read); the query returns the HUDI side as any CoW reader
+    resolves it."""
+    from .package import PackageBuilder
+    from .package.hudi_dest import HudiDestination
+    from .sources.base import WriteDisposition
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        iw = IcebergFixtureWriter(f"{tmp}/src", seed=29)
+        dest = HudiDestination(f"{tmp}/dst", merge_keys=["o_orderkey"])
+        builder = PackageBuilder(f"{tmp}/pkgs", "ice_to_hudi")
+
+        def sync(position, expect_rows=None):
+            t = IcebergTable(f"{tmp}/src")
+            changed, new_pos = t.changes_since(spark, position)
+            if changed is None:
+                return position
+            n = changed.count()
+            if expect_rows is not None and n != expect_rows:
+                raise AssertionError(
+                    f"incremental cycle delivered {n} rows, expected {expect_rows}"
+                )
+            pkg = builder.build(admitted=changed)
+            receipt = dest.verify(
+                spark, dest.commit(spark, pkg, WriteDisposition.MERGE), pkg
+            )
+            if not receipt.verified:
+                raise RuntimeError("replication commit failed receipt verification")
+            return new_pos
+
+        a = o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 600))
+        iw.append(a, timestamp_ms=1000)
+        pos = sync(None, expect_rows=a.count())
+        b = o.filter((F.col("o_orderkey") > 600) & (F.col("o_orderkey") <= 900))
+        iw.append(b, timestamp_ms=2000)
+        pos = sync(pos, expect_rows=b.count())
+        restated = a.filter(F.col("o_orderkey") <= 100).withColumn(
+            "o_totalprice", F.lit(-1.0)
+        )
+        iw.upsert(restated, ["o_orderkey"], timestamp_ms=3000)
+        sync(pos)
+
+    tmp = _session_fixture("xfmt_repl_hudi", sf, build)
+    return HudiDestination(f"{tmp}/dst", merge_keys=["o_orderkey"]).read(spark)

@@ -203,3 +203,42 @@ def test_c4_line_filter_rules(spark):
         "This line is long enough and it terminates.",
         'He said "five words quoted here."',
     ]
+
+
+# ------------------------------------------------- idempotence batch
+# Canonicalizers must be IDEMPOTENT: applying them twice is the same
+# as once (otherwise two pipeline stages that each "normalize
+# defensively" produce different dedup identities). One Spark pass
+# over a generated batch checks f(f(x)) == f(x) for every operator.
+
+
+def test_normalizers_idempotent_on_generated_batch(spark):
+    import random
+
+    rng = random.Random(8)
+    frags = [
+        "word", "<b>", "</b>", "&amp;", "&lt;", "  ", "\n", ".",
+        "<script>x</script>", "UPPER", "café", "á", "\x07", "​",
+    ]
+    texts = ["".join(rng.choice(frags) for _ in range(rng.randint(1, 12))) for _ in range(200)]
+    url_bits = [
+        "https://", "HTTP://", "Ex.COM", "h.io", "/a", "/B/", "?utm_x=1",
+        "?q=2", "&ref=z", "&k=v", "#frag", ":8080",
+    ]
+    urls = [
+        rng.choice(url_bits[:2]) + rng.choice(url_bits[2:4])
+        + "".join(rng.choice(url_bits[4:]) for _ in range(rng.randint(0, 4)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(list(zip(texts, urls)), ["t", "u"])
+    checks = df.select(
+        (strip_html(strip_html(F.col("t"))) == strip_html(F.col("t"))).alias("html_ok"),
+        (clean_text(clean_text(F.col("t"))) == clean_text(F.col("t"))).alias("clean_ok"),
+        (nfc(nfc(F.col("t"))) == nfc(F.col("t"))).alias("nfc_ok"),
+        (canonical_url(canonical_url(F.col("u"))) == canonical_url(F.col("u"))).alias("url_ok"),
+        F.col("t"), F.col("u"),
+    )
+    bad = checks.filter(
+        ~F.col("html_ok") | ~F.col("clean_ok") | ~F.col("nfc_ok") | ~F.col("url_ok")
+    ).collect()
+    assert not bad, bad[:5]
