@@ -113,11 +113,18 @@ class HudiDestination:
             [(p, fid) for fid, _part, p in live], "_path string, _fid string"
         )
         cur = (
-            spark.read.parquet(*[p for _, _, p in live])
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[p for _, _, p in live])
             .withColumn("_path", norm(F.col("_metadata.file_path")))
             .join(F.broadcast(fid_map), on="_path")
             .drop("_path")
         )
+        # schema-widening merge: survivors from pre-widening groups
+        # lack the batch's new columns — null-fill them so the group
+        # rewrite lands the evolved schema (Hudi's evolution-on-upsert)
+        for c in data_cols:
+            if c not in cur.columns:
+                cur = cur.withColumn(c, F.lit(None).cast(batch.schema[c].dataType))
         keys_df = batch.select(*keys).distinct()
         # (key -> existing group) routing: which group currently holds
         # each updated key (a key lives in exactly one group under

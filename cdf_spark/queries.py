@@ -4255,6 +4255,7 @@ PARITY_TWINS: set[str] = {
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
+    "dest_schema_evolution_trio",
     "cross_format_replication_hudi",
     "hudi_dest_upsert",
     "iceberg_dest_pos_merge",
@@ -7690,3 +7691,76 @@ def cross_format_replication_hudi(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("xfmt_repl_hudi", sf, build)
     return HudiDestination(f"{tmp}/dst", merge_keys=["o_orderkey"]).read(spark)
+
+
+@_register(
+    "dest_schema_evolution_trio",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 200
+    ), merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey <= 100 THEN -1.0 ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey <= 100 THEN 'm' ELSE NULL END AS o_note
+      FROM base
+    )
+    SELECT fmt, o_orderkey, o_totalprice, o_note
+    FROM merged CROSS JOIN (SELECT unnest(['delta','hudi','iceberg']) AS fmt)
+    """,
+)
+def dest_schema_evolution_trio(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution THROUGH the destination protocol, all three
+    open formats: a narrow table takes a MERGE whose batch carries a
+    NEW column, and the widened schema must land in the same commit —
+    Iceberg adds the field id, Delta evolves the metaData schemaString
+    (the r8 fix: segment-copy and DV-merge commits previously landed
+    the data but left the declared schema stale, silently dropping
+    the column from every read), Hudi group rewrites carry the evolved
+    schema with old groups footer-merged and null-filled. Pre-widening
+    rows read as NULL in the new column. The oracle computes the
+    expected post-evolution state relationally for each format."""
+    from .package import PackageBuilder
+    from .package.delta_dest import DeltaDestination
+    from .package.hudi_dest import HudiDestination
+    from .package.iceberg_dest import IcebergDestination
+    from .sources.base import WriteDisposition
+
+    kinds = {
+        "delta": DeltaDestination,
+        "hudi": HudiDestination,
+        "iceberg": IcebergDestination,
+    }
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        for fmt, mk in kinds.items():
+            dest = mk(f"{tmp}/{fmt}", merge_keys=["o_orderkey"])
+            builder = PackageBuilder(f"{tmp}/pkgs_{fmt}", f"orders_{fmt}")
+            narrow = builder.build(admitted=o.filter(F.col("o_orderkey") <= 200))
+            r1 = dest.verify(
+                spark, dest.commit(spark, narrow, WriteDisposition.APPEND), narrow
+            )
+            wide = builder.build(
+                admitted=o.filter(F.col("o_orderkey") <= 100)
+                .withColumn("o_totalprice", F.lit(-1.0))
+                .withColumn("o_note", F.lit("m"))
+            )
+            r2 = dest.verify(
+                spark, dest.commit(spark, wide, WriteDisposition.MERGE), wide
+            )
+            if not (r1.verified and r2.verified):
+                raise RuntimeError(f"{fmt} widening commit failed verification")
+
+    tmp = _session_fixture("dest_widen_trio", sf, build)
+    parts = [
+        kinds[fmt](f"{tmp}/{fmt}", merge_keys=["o_orderkey"])
+        .read(spark)
+        .select(
+            F.lit(fmt).alias("fmt"), "o_orderkey", "o_totalprice", "o_note"
+        )
+        for fmt in kinds
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1276,6 +1276,23 @@ class DeltaFixtureWriter:
             out = out.withMetadata(name, m)
         return out
 
+    def _maybe_widen_schema_from_parquet(self, path: str) -> dict | None:
+        """Segment-copy twin of :meth:`_maybe_widen_schema` — the
+        destination's append_files/replace_files hand over finished
+        parquet segments, so the incoming schema comes from the first
+        footer. Without this the declared schemaString silently DROPS
+        any widened column: the commit lands the data, but the
+        metaData (which drives every read) never learns the column
+        exists — a silent-column-loss defect, not a refusal."""
+        if self._schema_string is None:
+            return None
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        incoming = json.loads(from_arrow_schema(pq.read_schema(str(path))).json())
+        return self._widen_from_fields(incoming.get("fields", []))
+
     def _maybe_widen_schema(self, df: DataFrame) -> dict | None:
         """Append-time schema evolution: unseen df columns append to
         the schemaString (mapped tables also assign a physical name +
@@ -1284,9 +1301,41 @@ class DeltaFixtureWriter:
         schema never goes stale behind the data files."""
         if self._schema_string is None:
             return None
+        return self._widen_from_fields(json.loads(df.schema.json())["fields"])
+
+    def _widen_from_fields(self, incoming_fields: list[dict]) -> dict | None:
         schema = json.loads(self._schema_string)
-        have = {f["name"] for f in schema.get("fields", [])}
-        new = [f for f in json.loads(df.schema.json())["fields"] if f["name"] not in have]
+        declared = {f["name"]: f for f in schema.get("fields", [])}
+        # evolution here is ADD-COLUMN only: a changed type on an
+        # existing column is not a widening — committing the file
+        # anyway would leave data the declared schema cannot read.
+        # Comparison is STRUCTURAL: declared nested fields carry
+        # column-mapping metadata the incoming df schema lacks.
+        def _shape(t):
+            if isinstance(t, dict):
+                if t.get("type") == "struct":
+                    return (
+                        "struct",
+                        tuple(
+                            (f["name"], _shape(f.get("type")), bool(f.get("nullable", True)))
+                            for f in t.get("fields", [])
+                        ),
+                    )
+                if t.get("type") == "array":
+                    return ("array", _shape(t.get("elementType")))
+                if t.get("type") == "map":
+                    return ("map", _shape(t.get("keyType")), _shape(t.get("valueType")))
+            return t
+
+        for f in incoming_fields:
+            d = declared.get(f["name"])
+            if d is not None and _shape(d.get("type")) != _shape(f.get("type")):
+                raise DeltaError(
+                    f"type change on column {f['name']!r} "
+                    f"({d.get('type')} -> {f.get('type')}) is not a "
+                    "schema widening — cast the batch or add a new column"
+                )
+        new = [f for f in incoming_fields if f["name"] not in declared]
         if not new:
             return None
         def _scan_max(t, cur: int) -> int:
@@ -1966,8 +2015,19 @@ class DeltaFixtureWriter:
             # need the distributed hive split; column-mapped: segments
             # carry logical names and need the physical rewrite — both
             # go through _write_data rather than segment copy
-            actions.extend(self._write_data(spark.read.parquet(*paths)))
+            batch_df = spark.read.parquet(*paths)
+            widen = self._maybe_widen_schema(batch_df)
+            if widen:
+                actions.insert(0, widen)
+            actions.extend(self._write_data(batch_df))
         else:
+            # a widened batch must evolve the declared schemaString in
+            # THE SAME commit (same rule as append_files) — otherwise
+            # the merge lands the data but every reader silently drops
+            # the new column
+            widen = self._maybe_widen_schema_from_parquet(paths[0]) if paths else None
+            if widen:
+                actions.insert(0, widen)
             actions.extend(self._copy_adds(paths))
         return self._commit(actions, "MERGE", timestamp_ms)
 
@@ -2031,11 +2091,14 @@ class DeltaFixtureWriter:
 
     def append_files(self, paths: list[str], timestamp_ms: int | None = None) -> int:
         self._enforce_constraints_on_segments(paths)
-        return self._commit(self._copy_adds(paths), "WRITE", timestamp_ms)
+        widen = self._maybe_widen_schema_from_parquet(paths[0]) if paths else None
+        actions = ([widen] if widen else []) + self._copy_adds(paths)
+        return self._commit(actions, "WRITE", timestamp_ms)
 
     def replace_files(self, paths: list[str], timestamp_ms: int | None = None) -> int:
         self._enforce_constraints_on_segments(paths)
-        removes = []
+        widen = self._maybe_widen_schema_from_parquet(paths[0]) if paths else None
+        removes = [widen] if widen else []
         if self._version >= 0:
             for f in DeltaTable(self.root).files_for_version(self._version):
                 removes.append(

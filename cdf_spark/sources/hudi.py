@@ -314,11 +314,17 @@ class HudiTable:
         if not all_files:
             raise HudiError(f"instant {instant} has no file slices")
         files = all_files if _files is None else _files
+        # mergeSchema: file groups written before a schema-widening
+        # commit lack the new columns — Spark's default single-footer
+        # schema would silently DROP a widened column whenever an old
+        # group's footer wins. Hudi readers reconcile by name and
+        # null-fill (the commit metadata carries the evolved schema in
+        # real Hudi; footer-merge is the jar-free equivalent).
         if not files:
             # every slice pruned: empty result with the table schema
-            schema = spark.read.parquet(*all_files).schema
+            schema = spark.read.option("mergeSchema", "true").parquet(*all_files).schema
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*files)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
 
     def changes_since(
         self, spark: SparkSession, position: TableSnapshotPosition | None
