@@ -68,11 +68,6 @@ class HudiDestination:
         elif disposition is WriteDisposition.MERGE:
             if not self.merge_keys:
                 raise ValueError("merge disposition requires merge_keys")
-            if self.partition_by:
-                raise ValueError(
-                    "Hudi MERGE supports flat tables only — partitioned "
-                    "upsert routing needs partition-local group maps"
-                )
             self._upsert(spark, w, batch)
         else:
             raise ValueError(
@@ -140,18 +135,51 @@ class HudiDestination:
             .distinct()
         )
         touched = [r["_fid"] for r in key_fid.select("_fid").distinct().collect()]
-        new_fid = "g" + uuid.uuid4().hex[:8]
-        # updates ride to their existing group; inserts to the new one
-        kf_cols = [F.col(f"kf.{k}").alias(f"_kf_{k}") for k in keys]
+        fid_part = {fid: part for fid, part, _ in live}
+        pcols = list(w.partition_by)
+        if pcols:
+            # Hudi non-global-index semantics would keep a row whose
+            # partition key changed in its OLD partition's group — the
+            # in-file value would then disagree with the directory and
+            # partition pruning would silently miss the row. Refuse:
+            # a partition move is a delete+insert, not an upsert.
+            pc_cond = reduce(
+                lambda a, b: a & b,
+                [F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys],
+            )
+            moved = (
+                batch.alias("b")
+                .join(cur.select(*keys, *pcols).alias("c"), on=pc_cond, how="inner")
+                .filter(
+                    reduce(
+                        lambda a, b: a | b,
+                        [~F.col(f"b.{p}").eqNullSafe(F.col(f"c.{p}")) for p in pcols],
+                    )
+                )
+                .limit(1)
+                .count()
+            )
+            if moved:
+                raise ValueError(
+                    "MERGE batch changes a partition column on an existing "
+                    "key — a partition move is delete+insert, not an upsert "
+                    "(Hudi non-global-index would strand the row in its old "
+                    "partition directory and break pruning)"
+                )
+        # updates ride to their existing group; inserts open new groups
         route_cond = reduce(
             lambda a, b: a & b,
             [F.col(f"b.{k}").eqNullSafe(F.col(f"kf.{k}")) for k in keys],
         )
         routed = (
             batch.alias("b")
-            .join(F.broadcast(key_fid.alias("kf")), on=route_cond, how="left")
+            .join(F.broadcast(key_fid.alias("kf")), on=route_cond, how="inner")
             .select(*[F.col(f"b.{c}") for c in data_cols], F.col("kf._fid").alias("_fid"))
-            .withColumn("_fid", F.coalesce(F.col("_fid"), F.lit(new_fid)))
+        )
+        inserts = (
+            batch.alias("b")
+            .join(F.broadcast(key_fid.alias("kf")), on=route_cond, how="left_anti")
+            .select(*data_cols)
         )
         anti_cond = reduce(
             lambda a, b: a & b,
@@ -165,18 +193,56 @@ class HudiDestination:
         )
         new_versions = survivors.unionByName(routed)
 
-        from ..sources.partitioned_write import hive_partitioned_write
-
         import shutil
 
-        tmp_root, parts = hive_partitioned_write(
-            new_versions, ["_fid"], drop_partition_cols=True
-        )
+        from ..sources.partitioned_write import HIVE_NULL, hive_partitioned_write
+
+        tmp_roots: list[str] = []
+        groups: list[tuple[str, str, list[str]]] = []
         try:
-            groups = [(raw["_fid"], "", files) for raw, files in parts]
+            tmp1, parts1 = hive_partitioned_write(
+                new_versions, ["_fid"], drop_partition_cols=True
+            )
+            tmp_roots.append(tmp1)
+            # rewritten versions stay in their group's partition dir
+            groups.extend(
+                (raw["_fid"], fid_part.get(raw["_fid"], ""), files)
+                for raw, files in parts1
+            )
+            if not inserts.isEmpty():
+                if pcols:
+                    # one NEW group per insert partition — the same
+                    # distributed hive split commit() uses; the driver
+                    # sees only O(partitions) directory names
+                    tmp2, parts2 = hive_partitioned_write(
+                        inserts, pcols, drop_partition_cols=False
+                    )
+                    tmp_roots.append(tmp2)
+                    base = "g" + uuid.uuid4().hex[:8]
+                    for raw, files in parts2:
+                        part_path = "/".join(
+                            f"{c}={raw[c] if raw[c] is not None else HIVE_NULL}"
+                            for c in pcols
+                        )
+                        fid = f"{base}-{part_path.replace('/', '_').replace('=', '-')}"
+                        groups.append((fid, part_path, files))
+                else:
+                    import tempfile
+
+                    tmp2 = tempfile.mkdtemp(prefix="hudi_ins_")
+                    tmp_roots.append(tmp2)
+                    inserts.coalesce(1).write.mode("overwrite").parquet(tmp2)
+                    groups.append(
+                        (
+                            "g" + uuid.uuid4().hex[:8],
+                            "",
+                            sorted(str(p) for p in Path(tmp2).glob("*.parquet")),
+                        )
+                    )
             w.commit_file_groups(groups, operation="UPSERT")
         finally:
-            shutil.rmtree(tmp_root, ignore_errors=True)
+            for r in tmp_roots:
+                shutil.rmtree(r, ignore_errors=True)
 
     def verify(self, spark: SparkSession, receipt: Receipt, package: PackageResult) -> Receipt:
         df = self.read(spark)

@@ -117,15 +117,37 @@ def test_hudi_refusals(spark, tmp_path, orders):
     dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"])
     with pytest.raises(ValueError, match="REPLACE"):
         dest.commit(spark, pkg, WriteDisposition.REPLACE)
-    part = HudiDestination(
-        tmp_path / "t2", merge_keys=["o_orderkey"], partition_by=["o_custkey"]
-    )
-    part.commit(spark, pkg, WriteDisposition.APPEND)
-    with pytest.raises(ValueError, match="flat tables only"):
-        part.commit(spark, pkg, WriteDisposition.MERGE)
     nokeys = HudiDestination(tmp_path / "t3")
     with pytest.raises(ValueError, match="merge_keys"):
         nokeys.commit(spark, pkg, WriteDisposition.MERGE)
+
+
+def test_hudi_partitioned_merge(spark, tmp_path):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    dest = HudiDestination(
+        tmp_path / "t", merge_keys=["o_orderkey"], partition_by=["o_orderstatus"]
+    )
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, o.filter("o_orderkey <= 900"), WriteDisposition.APPEND)
+    batch = o.filter("o_orderkey <= 300 or o_orderkey > 900").withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    _commit(spark, dest, b, batch, WriteDisposition.MERGE)
+    got = dest.read(spark)
+    assert got.count() == o.count()
+    assert got.filter("o_totalprice = -1.0").count() == batch.count()
+    # hive layout intact: every live file sits under its partition dir
+    t = HudiTable(tmp_path / "t")
+    for fid, part, path in t.live_file_groups():
+        assert part and f"/{part}/" in path, (fid, part, path)
+    # a partition-column change on an existing key refuses (a partition
+    # move is delete+insert, not an upsert)
+    mv = o.filter("o_orderkey <= 10").withColumn("o_orderstatus", F.lit("Z"))
+    pkg = b.build(admitted=mv)
+    with pytest.raises(ValueError, match="partition column"):
+        dest.commit(spark, pkg, WriteDisposition.MERGE)
 
 
 def test_hudi_declarative_kind(tmp_path):
