@@ -2725,11 +2725,36 @@ class IcebergFixtureWriter:
             "date32[day]": "date",
         }
         if self._schemas:
+            # the spec's only sanctioned in-place type evolutions: a
+            # wider incoming file PROMOTES the declared type; anything
+            # else is a mismatch the reader cannot cast losslessly —
+            # refuse rather than let the file land and silently
+            # truncate at read time
+            _PROMOTIONS = {("int", "long"), ("float", "double")}
+            promoted = False
             for f in pq.read_schema(path):
                 if f.name not in self._field_ids:
                     t = str(f.type)
                     ice = _ARROW_TO_ICE.get(t, "timestamp" if t.startswith("timestamp") else "")
                     self.add_column(f.name, ice)
+                    continue
+                t = str(f.type)
+                ice = _ARROW_TO_ICE.get(t, "timestamp" if t.startswith("timestamp") else "")
+                declared = self._field_types.get(f.name, "")
+                if ice and declared and ice != declared:
+                    if (declared, ice) in _PROMOTIONS:
+                        self._field_types[f.name] = ice  # int->long / float->double
+                        promoted = True
+                    else:
+                        raise IcebergError(
+                            f"type change on column {f.name!r} "
+                            f"({declared} -> {ice}) is not a sanctioned "
+                            "promotion (int->long, float->double) — cast "
+                            "the batch before committing"
+                        )
+            if promoted:
+                self._push_schema()
+                self._write_metadata()
             return
         for f in pq.read_schema(path):
             t = str(f.type)

@@ -132,3 +132,41 @@ def test_delta_type_change_refuses(spark, tmp_path, orders):
     pkg = b.build(admitted=retyped)
     with pytest.raises(DeltaError):
         dest.commit(spark, pkg, WriteDisposition.APPEND)
+
+
+def test_iceberg_type_promotion_and_refusal(spark, tmp_path):
+    """Iceberg's only sanctioned in-place type evolutions: int->long
+    and float->double PROMOTE the declared type when a wider file
+    arrives; any other drift refuses (a landed file the declared
+    schema can't losslessly read would silently truncate)."""
+    from cdf_spark.sources.iceberg import IcebergError, IcebergFixtureWriter, IcebergTable
+
+    narrow = spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id AS INT) AS v", "CAST(id AS FLOAT) AS f"
+    )
+    w = IcebergFixtureWriter(tmp_path / "t", seed=99)
+    w.append(narrow, timestamp_ms=1000)
+
+    wide = spark.range(100, 200).selectExpr(
+        "id AS k", "CAST(id * 10000000000 AS LONG) AS v", "CAST(id AS DOUBLE) AS f"
+    )
+    seg = tmp_path / "seg"
+    wide.coalesce(1).write.mode("overwrite").parquet(str(seg))
+    files = sorted(str(p) for p in seg.glob("*.parquet"))
+    w.append_files(files, timestamp_ms=2000)
+
+    got = IcebergTable(tmp_path / "t").read(spark)
+    types = dict(got.dtypes)
+    assert types["v"] == "bigint" and types["f"] == "double", types
+    assert got.count() == 200
+    # wide values survive (would truncate under the old declared int)
+    assert got.filter("v > 2147483647").count() == 100
+    # old narrow values intact
+    assert got.filter("k < 100 and v = k").count() == 100
+
+    bad = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS STRING) AS v", "CAST(id AS DOUBLE) AS f")
+    seg2 = tmp_path / "seg2"
+    bad.coalesce(1).write.mode("overwrite").parquet(str(seg2))
+    files2 = sorted(str(p) for p in seg2.glob("*.parquet"))
+    with pytest.raises(IcebergError, match="not a sanctioned promotion"):
+        w.append_files(files2, timestamp_ms=3000)
