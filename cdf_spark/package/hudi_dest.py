@@ -69,11 +69,14 @@ class HudiDestination:
             if not self.merge_keys:
                 raise ValueError("merge disposition requires merge_keys")
             self._upsert(spark, w, batch)
+        elif disposition is WriteDisposition.REPLACE:
+            # INSERT_OVERWRITE_TABLE: a `.replacecommit` marks every
+            # live group replaced and lands the batch as new groups —
+            # no file deleted, so time travel to pre-replace instants
+            # keeps resolving until the cleaner reclaims them
+            w.replace_table(batch)
         else:
-            raise ValueError(
-                f"disposition {disposition} not supported by HudiDestination "
-                "(REPLACE needs replacecommit reader support — refused, not faked)"
-            )
+            raise ValueError(f"disposition {disposition} not supported by HudiDestination")
         return Receipt(
             receipt_id="rcp-" + uuid.uuid4().hex[:16],
             package_id=package.package_id,

@@ -4255,6 +4255,7 @@ PARITY_TWINS: set[str] = {
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- new in r8, never driver-checked --
+    "hudi_dest_replace",
     "dest_schema_evolution_trio",
     "cross_format_replication_hudi",
     "hudi_dest_upsert",
@@ -7764,3 +7765,52 @@ def dest_schema_evolution_trio(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@_register(
+    "hudi_dest_replace",
+    """
+    WITH replaced AS (
+      SELECT o_orderkey, o_custkey, -9.0 AS o_totalprice FROM orders
+      WHERE o_orderkey > 500 AND o_orderkey <= 700
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey <= 550 THEN -5.0 ELSE o_totalprice END AS o_totalprice
+    FROM replaced
+    """,
+)
+def hudi_dest_replace(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi REPLACE disposition (INSERT_OVERWRITE_TABLE as a
+    `.replacecommit`): the commit's partitionToReplaceFileIds marks
+    every live group dark with NO file deleted — time travel to
+    pre-replace instants keeps resolving, the cleaner reclaims later.
+    The fixture appends a base, REPLACES it with a subset, then MERGES
+    an update into the post-replace groups; the final state is exactly
+    replace-then-merge, which the oracle recomputes relationally."""
+    from .package import PackageBuilder
+    from .package.hudi_dest import HudiDestination
+    from .sources.base import WriteDisposition
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        dest = HudiDestination(f"{tmp}/t", merge_keys=["o_orderkey"])
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_hr")
+        base = builder.build(admitted=o.filter(F.col("o_orderkey") <= 900))
+        r1 = dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base)
+        rep = builder.build(
+            admitted=o.filter(
+                (F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 700)
+            ).withColumn("o_totalprice", F.lit(-9.0))
+        )
+        r2 = dest.verify(spark, dest.commit(spark, rep, WriteDisposition.REPLACE), rep)
+        upd = builder.build(
+            admitted=o.filter(
+                (F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 550)
+            ).withColumn("o_totalprice", F.lit(-5.0))
+        )
+        r3 = dest.verify(spark, dest.commit(spark, upd, WriteDisposition.MERGE), upd)
+        if not (r1.verified and r2.verified and r3.verified):
+            raise RuntimeError("hudi replace sequence failed receipt verification")
+
+    tmp = _session_fixture("hudi_dest_rep", sf, build)
+    return HudiDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)

@@ -65,7 +65,11 @@ class HudiTable:
 
     # -- timeline ---------------------------------------------------------
     def instants(self) -> list[str]:
-        out = sorted(p.stem for p in self.hoodie.glob("*.commit"))
+        out = sorted(
+            p.stem
+            for pat in ("*.commit", "*.replacecommit")
+            for p in self.hoodie.glob(pat)
+        )
         if not out:
             raise HudiError(f"no completed commits under {self.hoodie}")
         return out
@@ -74,10 +78,22 @@ class HudiTable:
         return self.instants()[-1]
 
     def commit_meta(self, instant: str) -> dict:
-        p = self.hoodie / f"{instant}.commit"
-        if not p.exists():
-            raise HudiError(f"instant {instant} not in timeline")
-        return json.loads(p.read_text())
+        for ext in ("commit", "replacecommit"):
+            p = self.hoodie / f"{instant}.{ext}"
+            if p.exists():
+                return json.loads(p.read_text())
+        raise HudiError(f"instant {instant} not in timeline")
+
+    def _replaced_fids(self, instant: str) -> set[str]:
+        """File groups REPLACED by this instant (insert_overwrite's
+        `partitionToReplaceFileIds`) — they stop being live even though
+        no new version of them is written."""
+        meta = self.commit_meta(instant)
+        return {
+            fid
+            for fids in meta.get("partitionToReplaceFileIds", {}).values()
+            for fid in fids
+        }
 
     def instant_as_of(self, instant: str) -> str:
         eligible = [i for i in self.instants() if i <= instant]
@@ -108,6 +124,10 @@ class HudiTable:
         for i in self.instants():
             if i > instant:
                 break
+            # replacecommit first: replaced groups go dark at this
+            # instant; the same commit's NEW groups are added below
+            for fid in self._replaced_fids(i):
+                latest.pop(fid, None)
             for file_id, inst, path, part in self._written_files(i):
                 prev = latest.get(file_id)
                 if prev is None or inst > prev[0]:
@@ -129,6 +149,8 @@ class HudiTable:
         for i in self.instants():
             if i > instant:
                 break
+            for fid in self._replaced_fids(i):
+                latest.pop(fid, None)
             for file_id, inst, path, part in self._written_files(i):
                 prev = latest.get(file_id)
                 if prev is None or inst > prev[0]:
@@ -351,6 +373,10 @@ class HudiTable:
         # already saw invalidates delivered rows -> full re-read.
         latest_new: dict[str, tuple[str, str]] = {}  # fid -> (instant, path)
         for i in newer:
+            if self._replaced_fids(i):
+                # insert_overwrite replaced groups the consumer may have
+                # seen — delivered rows are invalidated, full re-read
+                return self.read(spark, instant=cur), new_pos
             for fid, inst, path, _part in self._written_files(i):
                 if fid in prior_groups:
                     return self.read(spark, instant=cur), new_pos  # group rewrite
@@ -383,11 +409,12 @@ class HudiFixtureWriter:
         # regresses instants; a fresh directory resumes from zero,
         # which is the original fixture behavior
         self._n = 0
-        for f in (self.root / ".hoodie").glob("*.commit"):
-            try:
-                self._n = max(self._n, int(f.stem) - 20240101000000000)
-            except ValueError:
-                continue
+        for pat in ("*.commit", "*.replacecommit"):
+            for f in (self.root / ".hoodie").glob(pat):
+                try:
+                    self._n = max(self._n, int(f.stem) - 20240101000000000)
+                except ValueError:
+                    continue
         # hive-style partitioned layout: each commit's frame splits by
         # the partition tuple, files land under `col=value/` dirs and
         # partitionToWriteStats is keyed by the partition path — the
@@ -462,6 +489,75 @@ class HudiFixtureWriter:
             "operationType": "UPSERT" if file_id else "INSERT",
         }
         (self.hoodie_dir / f"{instant}.commit").write_text(json.dumps(meta, indent=1))
+        return instant
+
+    def replace_table(self, df: DataFrame) -> str:
+        """INSERT_OVERWRITE_TABLE as a `.replacecommit`: one instant
+        whose `partitionToWriteStats` carries the NEW file groups and
+        whose `partitionToReplaceFileIds` marks every currently-live
+        group replaced — readers drop them at this instant without any
+        file being touched, so time travel to earlier instants still
+        resolves the old state (until the cleaner reclaims it)."""
+        import shutil
+        import tempfile
+
+        replaced: dict[str, list[str]] = {}
+        try:
+            for fid, part, _path in HudiTable(self.root).live_file_groups():
+                replaced.setdefault(part, []).append(fid)
+        except HudiError:
+            pass  # empty timeline: a replace of nothing is an insert
+
+        instant = self._next_instant()
+        base_fid = uuid.uuid4().hex[:8]
+        slices: list[tuple[str, list[str]]] = []
+        tmps: list[str] = []
+        if self.partition_by:
+            from .partitioned_write import HIVE_NULL, hive_partitioned_write
+
+            tmp_root, parts = hive_partitioned_write(
+                df,
+                self.partition_by,
+                drop_partition_cols=False,
+                max_partitions=self.max_partitions_per_commit,
+            )
+            tmps.append(tmp_root)
+            for raw, files in parts:
+                part_path = "/".join(
+                    f"{c}={raw[c] if raw[c] is not None else HIVE_NULL}"
+                    for c in self.partition_by
+                )
+                slices.append((part_path, files))
+        else:
+            tmp = tempfile.mkdtemp(prefix="hudi_replace_")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            tmps.append(tmp)
+            slices.append(("", sorted(str(p) for p in Path(tmp).glob("*.parquet"))))
+
+        stats: dict[str, list[dict]] = {}
+        for part_path, files in slices:
+            base = (
+                f"{base_fid}-{part_path.replace('/', '_').replace('=', '-')}"
+                if part_path
+                else base_fid
+            )
+            rel_dir = self.root / part_path if part_path else self.root
+            rel_dir.mkdir(parents=True, exist_ok=True)
+            for i, src in enumerate(files):
+                fid = base if i == 0 else f"{base}-{i}"
+                rel = (f"{part_path}/" if part_path else "") + f"{fid}_0-0-0_{instant}.parquet"
+                shutil.move(str(src), str(self.root / rel))
+                stats.setdefault(part_path, []).append(
+                    {"fileId": fid, "path": rel, "numWrites": -1}
+                )
+        for t in tmps:
+            shutil.rmtree(t, ignore_errors=True)
+        meta = {
+            "partitionToWriteStats": stats,
+            "partitionToReplaceFileIds": replaced,
+            "operationType": "INSERT_OVERWRITE_TABLE",
+        }
+        (self.hoodie_dir / f"{instant}.replacecommit").write_text(json.dumps(meta, indent=1))
         return instant
 
     def commit_file_groups(

@@ -114,12 +114,47 @@ def test_hudi_instant_sequence_resumes_across_instances(spark, tmp_path, orders)
 def test_hudi_refusals(spark, tmp_path, orders):
     b = PackageBuilder(tmp_path / "pkgs", "orders")
     pkg = b.build(admitted=orders.filter("o_orderkey <= 100"))
-    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"])
-    with pytest.raises(ValueError, match="REPLACE"):
-        dest.commit(spark, pkg, WriteDisposition.REPLACE)
     nokeys = HudiDestination(tmp_path / "t3")
     with pytest.raises(ValueError, match="merge_keys"):
         nokeys.commit(spark, pkg, WriteDisposition.MERGE)
+
+
+def test_hudi_replace_commit(spark, tmp_path, orders):
+    """REPLACE = INSERT_OVERWRITE_TABLE via `.replacecommit`: the new
+    state is exactly the batch, replaced groups go dark WITHOUT any
+    file being deleted (time travel to pre-replace instants still
+    resolves), a later MERGE operates on the new groups, and
+    incremental consumption across the replace resets to a full
+    re-read."""
+    from cdf_spark.positions import TableSnapshotPosition
+
+    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, orders.filter("o_orderkey <= 900"), WriteDisposition.APPEND)
+    rep = orders.filter("o_orderkey > 500 and o_orderkey <= 700").withColumn(
+        "o_totalprice", F.lit(-9.0)
+    )
+    _commit(spark, dest, b, rep, WriteDisposition.REPLACE)
+    t = HudiTable(tmp_path / "t")
+    got = t.read(spark)
+    assert got.count() == rep.count()
+    assert got.filter("o_totalprice != -9.0").count() == 0
+    # time travel to the pre-replace instant sees the old state
+    first = t.instants()[0]
+    assert t.read(spark, instant=first).count() == orders.filter(
+        "o_orderkey <= 900"
+    ).count()
+    # merge after replace upserts into the NEW groups
+    m = orders.filter("o_orderkey > 500 and o_orderkey <= 550").withColumn(
+        "o_totalprice", F.lit(-5.0)
+    )
+    _commit(spark, dest, b, m, WriteDisposition.MERGE)
+    got3 = dest.read(spark)
+    assert got3.count() == rep.count()
+    assert got3.filter("o_totalprice = -5.0").count() == m.count()
+    # incremental consumption across the replace resets to full read
+    df, _pos = t.changes_since(spark, TableSnapshotPosition(snapshot_id=int(first)))
+    assert df.count() == got3.count()
 
 
 def test_hudi_partitioned_merge(spark, tmp_path):
