@@ -143,22 +143,24 @@ def main() -> None:
         "noop"
     ).save()
 
-    # Two passes: pass 1 (recorded as cold_queries) pays per-plan
-    # codegen compile + any residual python-runner init; pass 2 is the
-    # warm steady state. The headline takes each query's BEST pass:
-    # on a shared machine ambient load can contaminate either pass
-    # (observed: a "steady" pass 2x slower than its own cold pass),
-    # and min() is the standard noise-robust estimator of intrinsic
-    # cost. Both raw maps are reported for inspection. (Through r01
-    # the headline was a single cold pass — deltas vs r01 mix
-    # methodology + real wins.)
+    # Three passes, MEDIAN headline (r8 verdict item 5): pass 1
+    # (recorded as cold_queries) pays per-plan codegen compile + any
+    # residual python-runner init; passes 2-3 are warm steady state.
+    # Through r8 the headline was best-of-2 (min) — robust against a
+    # contaminated slow pass but blind to a contaminated FAST pass and
+    # unable to state a noise floor. The r8-vs-r7 comparison showed a
+    # ~±20% lockstep drift band on this shared machine; median-of-3 is
+    # the estimator that makes single-round deltas interpretable
+    # against that band (one outlier in either direction is discarded).
+    # All three raw maps are reported in BENCH_DETAIL for inspection.
     # Fault isolation: one broken query must never abort the bench (r02
     # shipped zero numbers because the 7th query threw). Each query is
     # wrapped; failures are recorded under "errors" and the summary JSON
     # is always emitted.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for pass_timings in (cold, warm):
+    warm2: dict[str, float] = {}
+    for pass_timings in (cold, warm, warm2):
         for name in BENCH_QUERIES:
             if name in errors:
                 continue
@@ -171,9 +173,9 @@ def main() -> None:
                 continue
             pass_timings[name] = round(time.perf_counter() - t0, 3)
     for name in BENCH_QUERIES:
-        passes = [d[name] for d in (cold, warm) if name in d]
+        passes = sorted(d[name] for d in (cold, warm, warm2) if name in d)
         if passes:
-            timings[name] = min(passes)
+            timings[name] = passes[len(passes) // 2]  # median
 
 
     # ingest roofline: parquet -> contract -> dedup -> package (+ commit)
@@ -339,23 +341,32 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # per-query deltas vs the newest recorded round (BENCH_r{N}.json),
-    # so each round's output shows the trend, not just the level
+    # per-query deltas vs the newest PARSEABLE recorded round: walk
+    # BENCH_r{N}.json newest-first until one actually carries a query
+    # map (r9's record was rc=0/parsed=null — only a shutdown stack in
+    # the tail — so anchoring blindly to the newest file would make
+    # every delta silently empty; the r9 ADVICE defect at the old
+    # bench.py:355)
     deltas: dict[str, float] = {}
     prev_name = None
     try:
         import glob
 
         here = os.path.dirname(os.path.abspath(__file__))
-        prevs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-        if prevs:
-            prev_name = os.path.basename(prevs[-1])
-            with open(prevs[-1]) as fh:
-                prev = json.load(fh)
-            prev_q = (prev.get("parsed") or prev).get("queries", {})
+        for cand in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+            try:
+                with open(cand) as fh:
+                    prev = json.load(fh)
+            except Exception:  # noqa: BLE001 — unreadable round, keep walking
+                continue
+            prev_q = (prev.get("parsed") or prev).get("queries") or {}
+            if not prev_q:
+                continue
+            prev_name = os.path.basename(cand)
             for k, v in timings.items():
                 if k in prev_q:
                     deltas[k] = round(v - prev_q[k], 3)
+            break
     except Exception:
         deltas = {}
 
@@ -488,19 +499,44 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["ann_crossover"] = f"{type(exc).__name__}: {exc}"[:400]
 
-    # BENCH_DETAIL.json next to this script.
+    headline = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": sf,
+        "ingest_mib_s": ingest_mib_s,
+        "ingest_rows_s": ingest_rows_s,
+        "ingest_big_mib_s": ingest_big_mib_s,
+        "ingest_big_rows_s": ingest_big_rows_s,
+        "ingest_big_none_mib_s": ingest_big_none_mib_s,
+        "ann_crossover": ann_crossover,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+
+    # BENCH_DETAIL.json next to this script. The full headline is
+    # embedded here too: the r9 round lost its driver-certified record
+    # when a JVM-shutdown stack trace flooded the tail capture AFTER
+    # the stdout line — the detail file is the on-disk copy that
+    # survives any stdout mishap.
     detail = {
         "methodology": (
-            "per-query best of 2 passes (noise-robust); cold/warm are the raw "
+            "per-query MEDIAN of 3 passes (1 cold + 2 warm; one contaminated "
+            "pass in either direction is discarded — the shared-machine noise "
+            "band measured r6-r8 is ~±20%, so single-round deltas inside that "
+            "band are environment, not code); cold/warm/warm2 are the raw "
             "passes; session_cold = first-ever pass before any warmup"
         ),
         "cold_queries": cold,
         "warm_queries": warm,
+        "warm2_queries": warm2,
         "cold_total": round(sum(cold.values()), 3),
         "session_cold": session_cold,
         "delta_vs": prev_name,
         "deltas_sec": deltas,
         "errors": errors,
+        "headline": headline,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -509,27 +545,23 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — detail file is best-effort
         pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "sf": sf,
-                "ingest_mib_s": ingest_mib_s,
-                "ingest_rows_s": ingest_rows_s,
-                "ingest_big_mib_s": ingest_big_mib_s,
-                "ingest_big_rows_s": ingest_big_rows_s,
-                "ingest_big_none_mib_s": ingest_big_none_mib_s,
-                "ann_crossover": ann_crossover,
-                "detail_file": "BENCH_DETAIL.json",
-            },
-            separators=(",", ":"),
-        )
-    )
-    spark.stop()
+    # Shutdown ordering (the r9 tail-capture defect): spark.stop() in
+    # Spark 4 can emit an async RejectedExecutionException stack AFTER
+    # our JSON line, and the driver's bounded tail capture then records
+    # only the stack (rc=0, parsed=null — a lost round). So: stop the
+    # session FIRST (exceptions swallowed), give async shutdown threads
+    # a beat to flush their noise, print the headline as the absolute
+    # last stdout line, and hard-exit so no atexit/JVM hook can write
+    # after it.
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 — shutdown noise must not cost the record
+        pass
+    time.sleep(2.0)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(json.dumps(headline, separators=(",", ":")), flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":
