@@ -75,20 +75,40 @@ def test_tag_survives_schema_evolution_commit(tmp_path, orders):
 # -- 2. changelog vs copy-on-write overwrites ------------------------------
 
 
-def test_changelog_raises_on_cow_overwrite(spark, tmp_path, orders):
-    """overwrite()/replace_files() add data files with NO delete files:
-    the replaced rows are unidentifiable from manifests, so the window
-    must raise — the old guard let it replay the whole table as fresh
-    inserts (duplicated rows, lost deletions for CDC consumers)."""
+def test_changelog_derives_cow_overwrite_net_changes(spark, tmp_path, orders):
+    """overwrite()/replace_files() add data files with NO delete files.
+    r8 raised here; r10 derives the change set from manifests (removed
+    files' parent rows = delete preimages, added files = inserts, a
+    multiset EXCEPT-ALL cancels rewritten-unchanged false pairs) — the
+    net-changes mode of Spark's own changelog procedure. The pre-r10
+    refusal survives behind cow_mode='refuse'."""
+    from pyspark.sql import functions as F
+
     o = orders.select("o_orderkey", "o_totalprice")
     w = IcebergFixtureWriter(tmp_path / "t", seed=21)
-    w.append(o.limit(50), timestamp_ms=1_000)
+    w.append(o.filter(F.col("o_orderkey") <= 200), timestamp_ms=1_000)
     t = IcebergTable(tmp_path / "t")
     s0 = t.current_snapshot_id()
-    w.overwrite(o.limit(30), timestamp_ms=2_000)  # CoW overwrite
+    # CoW overwrite: keeps rows <= 100 unchanged, drops (100, 200]
+    w.overwrite(o.filter(F.col("o_orderkey") <= 100), timestamp_ms=2_000)
     t2 = IcebergTable(tmp_path / "t")
-    with pytest.raises(IcebergError, match="not\\s+reconstructible"):
-        t2.changelog_scan(spark, from_snapshot_id=s0).count()
+    ch = t2.changelog_scan(spark, from_snapshot_id=s0)
+    got = {(r.o_orderkey, r._change_type) for r in ch.collect()}
+    want = {
+        (r.o_orderkey, "delete")
+        for r in o.filter(
+            (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
+        ).collect()
+    }
+    assert got == want  # unchanged rows produced NO false pairs
+    with pytest.raises(IcebergError, match="refuse"):
+        t2.changelog_scan(spark, from_snapshot_id=s0, cow_mode="refuse").count()
+    # pairs mode: carried-over rows appear as delete+insert pairs
+    pairs = t2.changelog_scan(spark, from_snapshot_id=s0, cow_mode="pairs")
+    n_del = pairs.filter(F.col("_change_type") == "delete").count()
+    n_ins = pairs.filter(F.col("_change_type") == "insert").count()
+    assert n_del == o.filter(F.col("o_orderkey") <= 200).count()
+    assert n_ins == o.filter(F.col("o_orderkey") <= 100).count()
 
 
 def test_changelog_skips_layout_rewrites(spark, tmp_path, orders):
