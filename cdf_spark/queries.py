@@ -3561,6 +3561,110 @@ def iceberg_changelog_pos_deletes(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "iceberg_changelog_cow_overwrite",
+    """
+    SELECT o_orderkey, o_totalprice, 'insert' AS _change_type
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 300
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete'
+    FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 300
+    UNION ALL
+    SELECT o_orderkey, -1.0, 'insert'
+    FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 150
+    """,
+)
+def iceberg_changelog_cow_overwrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg CHANGELOG over a COPY-ON-WRITE overwrite commit — the
+    last refusal class closed (r8 verdict item 2): an overwrite that
+    adds data files with NO delete files still names its change set in
+    the manifests (removed files = parent-vs-current live-set diff;
+    their parent rows are delete preimages, added files are inserts),
+    and the default cow_mode='net' multiset EXCEPT-ALL cancels the
+    rewritten-unchanged false pairs — so the unchanged keys <=100 the
+    overwrite carried over contribute NOTHING, exactly as Spark's own
+    create_changelog_view net-changes mode computes it. Reads touch
+    only the commit's removed+added files (O(commit), never O(table)).
+    The oracle recomputes every net-change row relationally; a leaked
+    false pair or a missed delete cannot hash-match. Ref frame: the
+    reference's addressed-correction history surface
+    (crates/cdf-kernel/src/correction.rs)."""
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=43)
+        w.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 300)),
+            timestamp_ms=1000,
+        )
+        # CoW overwrite: keys <=100 carried over unchanged (must emit
+        # no changelog rows), (100, 150] rewritten to -1.0 (delete +
+        # insert), (150, 300] dropped (delete only)
+        w.overwrite(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 100)).unionByName(
+                o.filter(
+                    (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 150)
+                ).withColumn("o_totalprice", F.lit(-1.0))
+            ),
+            timestamp_ms=2000,
+        )
+
+    tmp = _session_fixture("ice_changelog_cow", sf, build)
+    return IcebergTable(f"{tmp}/t").changelog_scan(spark).select(
+        "o_orderkey", "o_totalprice", "_change_type"
+    )
+
+
+@_register(
+    "delta_cdf_overwrite_range",
+    """
+    SELECT o_orderkey, o_totalprice, 'insert' AS _change_type, 0 AS _commit_version
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 200
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 1
+    FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 50
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 2
+    FROM orders WHERE o_orderkey > 50 AND o_orderkey <= 200
+    UNION ALL
+    SELECT o_orderkey, -1.0, 'insert', 2
+    FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 300
+    """,
+)
+def delta_cdf_overwrite_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta CDF straight through an OVERWRITE commit (r8 verdict item
+    2, Delta half): a data-changing commit with removes and no change
+    files — where delta.io errors — now derives its net change set
+    with the same changed-files multiset diff RESTORE commits
+    (`DeltaTable._restore_changes`, reused in-window): previous-live
+    rows EXCEPT-ALL new rows are deletes, the reverse are inserts, and
+    the diff shuffles only the commit's changed-file rows. The window
+    replays append -> cdc delete -> overwrite with no reset; the
+    oracle recomputes every change row per version."""
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t", change_data_feed=True)
+        w.append(
+            o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 200)),
+            timestamp_ms=1000,
+        )
+        w.delete_where(spark, "o_orderkey <= 50", timestamp_ms=2000)
+        w.overwrite(
+            o.filter(
+                (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 300)
+            ).withColumn("o_totalprice", F.lit(-1.0)),
+            timestamp_ms=3000,
+        )
+
+    tmp = _session_fixture("delta_cdf_overwrite", sf, build)
+    return DeltaTable(f"{tmp}/t").table_changes(spark, 0).select(
+        "o_orderkey", "o_totalprice", "_change_type", "_commit_version"
+    )
+
+
+@_register(
     "cross_format_cdc_replication",
     """
     WITH base AS (

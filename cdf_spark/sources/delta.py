@@ -687,10 +687,18 @@ class DeltaTable:
         - data-changing adds with NO removes (blind append) -> the
           added files' rows are the inserts, derived without cdc files
           (the protocol's optimization for append-only commits);
-        - data-changing removes without cdc -> raise: the change set
-          is not reconstructible (an opaque overwrite, or a restore
-          committed before CDF was enabled) — delta.io errors
-          identically rather than guessing;
+        - data-changing removes without cdc (an opaque overwrite /
+          delete, or a restore committed before CDF was enabled) ->
+          the change set is DERIVED from the log with the same
+          changed-files multiset diff `restore()` commits
+          (`_restore_changes`): rows of the previous version's
+          changed files EXCEPT-ALL rows of this version's changed
+          files are deletes, the reverse are inserts. delta.io errors
+          here; we derive net changes instead (the diff shuffles only
+          the commit's changed-file rows — O(commit), not O(table)).
+          Updates surface as delete+insert, not
+          update_preimage/update_postimage: without change files the
+          log carries no row pairing;
         - dataChange=false commits (OPTIMIZE/ZORDER) -> no changes.
 
         This is what removes the full-reread reset for CDC consumers:
@@ -746,11 +754,17 @@ class DeltaTable:
                     spark, [self._resolve(a["path"]) for a in adds], v
                 ).withColumn("_change_type", F.lit("insert"))
             elif removes:
-                raise DeltaError(
-                    f"version {v} changed data without a change file "
-                    "(overwrite/restore) — its row-level change set is not "
-                    "reconstructible; consume from a snapshot instead"
-                )
+                # overwrite/delete/old-restore without change files:
+                # net-diff the versions over CHANGED files only — the
+                # machinery restore() already commits, reused for
+                # in-window derivation (r8 verdict item 2). v must
+                # have a predecessor (v=0 cannot carry removes of
+                # nothing; guard anyway).
+                if v == 0:
+                    raise DeltaError(
+                        "version 0 carries removes — corrupt log"
+                    )
+                df = self._restore_changes(spark, v, v - 1)
             else:
                 continue  # maintenance-only commit
             parts.append(
@@ -767,6 +781,46 @@ class DeltaTable:
         # schema widening inside the range: older versions' change
         # rows null-fill the added columns
         return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
+    def _restore_changes(
+        self, spark: SparkSession, target_v: int, cur_v: int
+    ) -> DataFrame:
+        """Row-level change set of moving from `cur_v` to `target_v`,
+        computed only over files whose add action differs between the
+        versions (new DV, re-added, or removed): inserts =
+        target-side rows minus current-side rows; deletes = the
+        reverse. Both sides read version-pinned (DVs, column mapping,
+        partition reconstitution all apply), so a file whose DV grew
+        contributes exactly the re-appearing rows. Used by RESTORE's
+        CDF emission (target < cur) and by `table_changes` to derive
+        an overwrite commit's net changes in-window (target = v,
+        cur = v-1). The EXCEPT-ALL shuffles only the changed files'
+        rows — O(commit), never O(table)."""
+        from pyspark.sql import functions as F
+
+        target = self.live_add_actions(target_v)
+        current = self.live_add_actions(cur_v)
+        tgt_files = [self._resolve(p) for p, a in target.items() if current.get(p) != a]
+        cur_files = [self._resolve(p) for p, a in current.items() if target.get(p) != a]
+        tgt_rows = self.read(spark, version=target_v, _files=tgt_files)
+        cur_rows = self.read(spark, version=cur_v, _files=cur_files)
+
+        def align(a: DataFrame, b: DataFrame) -> DataFrame:
+            for c in b.columns:
+                if c not in a.columns:
+                    a = a.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
+            return a
+
+        tgt_rows, cur_rows = align(tgt_rows, cur_rows), align(cur_rows, tgt_rows)
+        cols = sorted(tgt_rows.columns)
+        tgt_rows, cur_rows = tgt_rows.select(*cols), cur_rows.select(*cols)
+        return (
+            tgt_rows.exceptAll(cur_rows)
+            .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                cur_rows.exceptAll(tgt_rows).withColumn("_change_type", F.lit("delete"))
+            )
+        )
 
     def vacuum(
         self,
@@ -2258,38 +2312,10 @@ class DeltaFixtureWriter:
     def _restore_changes(
         self, spark: SparkSession, t: "DeltaTable", target_v: int, cur_v: int
     ) -> DataFrame:
-        """Row-level change set of a RESTORE from `cur_v` back to
-        `target_v`, computed only over files whose add action differs
-        between the versions (new DV, re-added, or removed): inserts =
-        target-side rows minus current-side rows; deletes = the
-        reverse. Both sides read version-pinned (DVs, column mapping,
-        partition reconstitution all apply), so a file whose DV grew
-        contributes exactly the re-appearing rows."""
-        from pyspark.sql import functions as F
-
-        target = t.live_add_actions(target_v)
-        current = t.live_add_actions(cur_v)
-        tgt_files = [t._resolve(p) for p, a in target.items() if current.get(p) != a]
-        cur_files = [t._resolve(p) for p, a in current.items() if target.get(p) != a]
-        tgt_rows = t.read(spark, version=target_v, _files=tgt_files)
-        cur_rows = t.read(spark, version=cur_v, _files=cur_files)
-
-        def align(a: DataFrame, b: DataFrame) -> DataFrame:
-            for c in b.columns:
-                if c not in a.columns:
-                    a = a.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
-            return a
-
-        tgt_rows, cur_rows = align(tgt_rows, cur_rows), align(cur_rows, tgt_rows)
-        cols = sorted(tgt_rows.columns)
-        tgt_rows, cur_rows = tgt_rows.select(*cols), cur_rows.select(*cols)
-        return (
-            tgt_rows.exceptAll(cur_rows)
-            .withColumn("_change_type", F.lit("insert"))
-            .unionByName(
-                cur_rows.exceptAll(tgt_rows).withColumn("_change_type", F.lit("delete"))
-            )
-        )
+        """Delegates to :meth:`DeltaTable._restore_changes` — the diff
+        now lives on the table so `table_changes` can reuse it for
+        in-window overwrite commits (r10)."""
+        return t._restore_changes(spark, target_v, cur_v)
 
     def reorg_purge(
         self,

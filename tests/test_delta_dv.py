@@ -249,12 +249,16 @@ def test_change_data_feed_edges(spark, tmp_path, orders):
     all_ch = t.table_changes(spark, 0)
     assert all_ch.filter("_commit_version = 3").count() == 0
     assert all_ch.count() == 100 + 10 + 10
-    # v4: overwrite — its range is honestly unreconstructible
+    # v4: overwrite — r10 derives its net change set from the log diff
+    # (r8 raised here): 100 prior live rows delete, 50 new rows insert
     w.overwrite(o.filter("o_orderkey > 100 AND o_orderkey <= 150"), timestamp_ms=5_000)
     t2 = DeltaTable(tmp_path / "t")
-    with pytest.raises(DeltaError):
-        t2.table_changes(spark, 0).count()
-    # ... but ranges before it still replay
+    v4 = t2.table_changes(spark, 4, 4)
+    by4 = {r["_change_type"]: r["count"] for r in v4.groupBy("_change_type").count().collect()}
+    assert by4 == {"delete": 100, "insert": 50}
+    # the full range replays straight through the overwrite
+    assert t2.table_changes(spark, 0).count() == 120 + 150
+    # ... and ranges before it are unchanged
     assert t2.table_changes(spark, 0, 3).count() == 120
     # non-CDF table refuses
     w2 = DeltaFixtureWriter(tmp_path / "plain")
