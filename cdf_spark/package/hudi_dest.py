@@ -36,6 +36,58 @@ from .ledger import Receipt
 from .stats import dataset_value_hash
 
 
+def _group_prunable_by_stats(
+    path: str, keys: list[str], batch_bounds: dict[str, tuple]
+) -> bool:
+    """True when the parquet footer min/max of `path` on some merge key
+    provably excludes every batch key: footer range and batch range are
+    disjoint, the batch has no nulls in that column, and the footer
+    actually carries usable stats. Any missing/undecodable stat keeps
+    the file (returns False) — pruning is an optimization, never a
+    correctness dependency."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(path)
+        names = list(md.schema.to_arrow_schema().names)
+        for k in keys:
+            b = batch_bounds.get(k)
+            if b is None:
+                continue
+            bmn, bmx, has_null = b
+            if has_null or bmn is None:
+                continue  # null keys match rows bounds cannot see
+            if k not in names:
+                continue
+            idx = names.index(k)
+            fmn = fmx = None
+            usable = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    usable = False
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except Exception:  # noqa: BLE001
+                        usable = False
+                        break
+                fmn = mn if fmn is None else min(fmn, mn)
+                fmx = mx if fmx is None else max(fmx, mx)
+            if not usable or fmn is None:
+                continue
+            try:
+                if fmx < bmn or fmn > bmx:
+                    return True  # disjoint on this key column
+            except TypeError:
+                continue
+        return False
+    except Exception:  # noqa: BLE001 — unreadable footer: keep the group
+        return False
+
+
 class HudiDestination:
     """A Hudi CoW destination speaking the commit protocol — drop-in
     peer of IcebergDestination / DeltaDestination (same commit/verify
@@ -105,6 +157,47 @@ class HudiDestination:
             live = []
         if not live:
             w.commit(batch)  # merge into an empty table is an insert
+            return
+        # STATS-PRUNED ROUTING (r8 verdict item 3): before scanning
+        # live groups to tag batch keys, drop every group whose parquet
+        # footer min/max on the merge keys provably cannot overlap the
+        # batch's key range — the same candidate pruning Hudi's bloom/
+        # column-stats index does before tagging. The batch bounds are
+        # one tiny agg (2 scalars per key column); footers are O(live
+        # groups) driver-side metadata reads, each a few KB. At a
+        # streaming-upsert table this turns the per-batch routing scan
+        # from O(table) into O(groups overlapping the batch) — pruning
+        # is conservative (missing stats / non-comparable types keep
+        # the group) so correctness never depends on it: a pruned
+        # group, by bounds, cannot hold any batch key.
+        bounds_row = batch.agg(
+            *[F.min(F.col(k)).alias(f"_mn_{i}") for i, k in enumerate(keys)],
+            *[F.max(F.col(k)).alias(f"_mx_{i}") for i, k in enumerate(keys)],
+            *[
+                F.sum(F.col(k).isNull().cast("long")).alias(f"_nl_{i}")
+                for i, k in enumerate(keys)
+            ],
+        ).collect()[0]
+        batch_bounds = {
+            k: (
+                bounds_row[f"_mn_{i}"],
+                bounds_row[f"_mx_{i}"],
+                bool(bounds_row[f"_nl_{i}"]),
+            )
+            for i, k in enumerate(keys)
+        }
+        kept = [
+            g
+            for g in live
+            if not _group_prunable_by_stats(g[2], keys, batch_bounds)
+        ]
+        self._last_routing_scan_paths = sorted(p for _, _, p in kept)
+        # survivors come only from TOUCHED groups, and a touched group
+        # is by definition un-pruned — so the routing scan and every
+        # downstream use of `cur` can run on the kept subset
+        live = kept
+        if not live:
+            w.commit(batch)  # no group can hold any batch key: all inserts
             return
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         fid_map = spark.createDataFrame(

@@ -249,3 +249,53 @@ def test_streaming_drain_into_hudi(spark, tmp_path, orders):
     # as-of the first instant sees only epoch 1's rows
     first = t.instants()[0]
     assert t.read(spark, instant=first).count() == committed[0].rows_admitted
+
+
+def test_merge_routing_pruned_by_footer_stats(spark, tmp_path, orders):
+    """r10: the key->group routing scan must not open groups whose
+    parquet footer min/max on the merge keys cannot overlap the batch
+    key range — `_last_routing_scan_paths` records exactly what the
+    routing scan was given (Hudi's bloom/column-stats candidate
+    pruning, footer edition)."""
+    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    # three groups with disjoint key ranges
+    for lo, hi in [(0, 400), (400, 800), (800, 1200)]:
+        _commit(
+            spark, dest, b,
+            orders.filter(f"o_orderkey > {lo} and o_orderkey <= {hi}"),
+            WriteDisposition.APPEND,
+        )
+    t = HudiTable(tmp_path / "t")
+    live = t.live_file_groups()
+    assert len(live) == 3
+    # batch touches only the middle range
+    batch = orders.filter("o_orderkey > 500 and o_orderkey <= 600").withColumn(
+        "o_totalprice", F.lit(-9.0)
+    )
+    _commit(spark, dest, b, batch, WriteDisposition.MERGE)
+    scanned = dest._last_routing_scan_paths
+    assert len(scanned) == 1, scanned  # only the overlapping group opened
+    # and the merge is still correct end-to-end
+    got = dest.read(spark)
+    assert got.count() == orders.filter("o_orderkey > 0 and o_orderkey <= 1200").count()
+    assert got.filter("o_totalprice = -9.0").count() == batch.count()
+
+
+def test_merge_prune_all_groups_is_pure_insert(spark, tmp_path, orders):
+    """A batch whose key range overlaps NO live group commits as pure
+    inserts without opening any group."""
+    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"])
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, orders.filter("o_orderkey <= 500"), WriteDisposition.APPEND)
+    pre = {fid: p for fid, _x, p in HudiTable(tmp_path / "t").live_file_groups()}
+    batch = orders.filter("o_orderkey > 1400 and o_orderkey <= 1499")
+    assert batch.count() > 0
+    _commit(spark, dest, b, batch, WriteDisposition.MERGE)
+    assert dest._last_routing_scan_paths == []
+    post = {fid: p for fid, _x, p in HudiTable(tmp_path / "t").live_file_groups()}
+    for fid in pre:  # old group untouched, new group(s) added
+        assert post.get(fid) == pre[fid]
+    assert dest.read(spark).count() == orders.filter(
+        "o_orderkey <= 500 or (o_orderkey > 1400 and o_orderkey <= 1499)"
+    ).count()
