@@ -49,6 +49,10 @@ class MaintenancePolicy:
     # Delta REORG PURGE once this many live files carry deletion
     # vectors (each pays its anti-join on every read)
     max_dv_files: int = 4
+    # MoR compaction once this many file groups carry pending log
+    # files (each dirty group pays its log decode + key merge on
+    # every snapshot read; compaction folds the debt into new bases)
+    max_dirty_mor_groups: int = 4
 
 
 @dataclass
@@ -190,25 +194,42 @@ def _plan_hudi(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction]
     # merge-on-read timelines route to the MoR cleaner (the CoW reader
     # refuses them); slice resolution there already encodes compaction
     # supersession, so pre-compaction bases AND their logs reclaim
+    actions: list[MaintenanceAction] = []
     if _is_hudi_mor(root):
         from ..sources.hudi_mor import HudiMorTable
 
         t = HudiMorTable(root)
+        # merge-on-read read debt: every dirty group pays its log
+        # decode + key merge per snapshot read until compaction
+        dirty = [
+            fid
+            for fid, _p, _b, logs in t.file_slices(t.latest_instant())
+            if logs
+        ]
+        if len(dirty) >= policy.max_dirty_mor_groups:
+            actions.append(
+                MaintenanceAction(
+                    "mor_compact",
+                    f"{len(dirty)} file group(s) carry pending log files "
+                    f"(threshold {policy.max_dirty_mor_groups})",
+                    {"dirty_groups": len(dirty)},
+                )
+            )
     else:
         from ..sources.hudi import HudiTable
 
         t = HudiTable(root)
     res = t.clean(retain_commits=policy.hudi_retain_commits, dry_run=True)
     if res["deleted"]:
-        return [
+        actions.append(
             MaintenanceAction(
                 "clean",
                 f"{len(res['deleted'])} superseded slice/log version(s) beyond "
                 f"the last {policy.hudi_retain_commits} commits",
                 {"reclaimable": len(res["deleted"])},
             )
-        ]
-    return []
+        )
+    return actions
 
 
 def _now_ms() -> int:
@@ -290,7 +311,29 @@ def run_maintenance(
                 removed = w.clean_log(before_version=v)
                 results[act.action] = {"checkpoint": v, "cleaned": removed}
         elif is_hudi_layout(root) or _is_hudi_mor(root):
-            if act.action == "clean":
+            if act.action == "mor_compact":
+                from ..sources.hudi_mor import HudiMorFixtureWriter
+
+                props = {}
+                for line in (
+                    (root / ".hoodie" / "hoodie.properties").read_text().splitlines()
+                ):
+                    if "=" in line:
+                        k, v = line.split("=", 1)
+                        props[k.strip()] = v.strip()
+                w_mor = HudiMorFixtureWriter(
+                    root,
+                    record_key=props["hoodie.table.recordkey.fields"],
+                    precombine=props.get("hoodie.table.precombine.field"),
+                    n_buckets=int(props.get("hoodie.index.bucket.num", "4")),
+                    partition_by=[
+                        c
+                        for c in props.get("hoodie.table.partition.fields", "").split(",")
+                        if c
+                    ],
+                )
+                results[act.action] = {"instant": w_mor.compact(spark)}
+            elif act.action == "clean":
                 if _is_hudi_mor(root):
                     from ..sources.hudi_mor import HudiMorTable
 

@@ -7736,6 +7736,81 @@ def hudi_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "hudi_mor_dest_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice FROM orders
+      WHERE o_orderkey <= 400 OR (o_orderkey > 900 AND o_orderkey <= 1100)
+    ),
+    batch2 AS (
+      SELECT o_orderkey, o_custkey, -2.0 AS o_totalprice FROM orders
+      WHERE o_orderkey <= 100
+    ),
+    m1 AS (
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+      UNION ALL SELECT * FROM batch
+    )
+    SELECT * FROM m1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch2)
+    UNION ALL
+    SELECT * FROM batch2
+    """,
+)
+def hudi_mor_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi MERGE-ON-READ as a DESTINATION
+    (`package/hudi_mor_dest.py`) — the write path that makes streaming
+    upsert ingest O(batch) instead of O(touched groups rewritten)
+    (r8 verdict item 4): each MERGE appends one Avro log block file
+    per touched file group (bucket-index routing — fileId is a pure
+    function of the record key, zero table reads per batch); the
+    rewrite debt is paid ONCE by compaction on the maintenance
+    autopilot. Two chained merges here land as log appends over the
+    initial base load; the query returns the SNAPSHOT read (base +
+    logs merged, latest instant per key wins) and the oracle
+    recomputes both merges relationally — a lost log block, a wrong
+    merge order, or a leaked pre-update row cannot hash-match."""
+    from .package import PackageBuilder
+    from .package.hudi_mor_dest import HudiMorDestination
+    from .sources.base import WriteDisposition
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        dest = HudiMorDestination(f"{tmp}/t", record_key="o_orderkey")
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_mor")
+        base = builder.build(admitted=o.filter(F.col("o_orderkey") <= 900))
+        r1 = dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base)
+        batch = builder.build(
+            admitted=o.filter(
+                (F.col("o_orderkey") <= 400)
+                | ((F.col("o_orderkey") > 900) & (F.col("o_orderkey") <= 1100))
+            ).withColumn("o_totalprice", F.lit(-1.0))
+        )
+        r2 = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+        batch2 = builder.build(
+            admitted=o.filter(F.col("o_orderkey") <= 100).withColumn(
+                "o_totalprice", F.lit(-2.0)
+            )
+        )
+        r3 = dest.verify(
+            spark, dest.commit(spark, batch2, WriteDisposition.MERGE), batch2
+        )
+        if not (r1.verified and r2.verified and r3.verified):
+            raise RuntimeError("hudi mor commit receipt failed verification")
+        # the MoR contract itself: the merges appended logs, no base
+        # rewritten after the initial load
+        from pathlib import Path as _P
+
+        logs = [p for p in _P(f"{tmp}/t").rglob(".*.log.*") if ".hoodie" not in p.parts]
+        if not logs:
+            raise RuntimeError("MoR merges wrote no log files — CoW leak")
+
+    tmp = _session_fixture("hudi_mor_dest_up", sf, build)
+    return HudiMorDestination(f"{tmp}/t", record_key="o_orderkey").read(spark)
+
+
+@_register(
     "cross_format_replication_hudi",
     """
     SELECT o_orderkey, o_custkey,

@@ -93,6 +93,7 @@ HEADER_COMMAND_BLOCK_TYPE = 3
 LOG_FORMAT_VERSION = 1
 DATA_BLOCK_FORMAT_VERSION = 3  # HoodieAvroDataBlock content version
 
+_INSTANT_BASE = 20240101000000000
 META_COMMIT_TIME = "_hoodie_commit_time"
 META_RECORD_KEY = "_hoodie_record_key"
 META_COLS = (META_COMMIT_TIME, META_RECORD_KEY)
@@ -817,8 +818,21 @@ class HudiMorFixtureWriter:
         self.n_buckets = n_buckets
         self.max_rows = max_rows
         self.partition_by = list(partition_by or [])
+        # resume the instant sequence and insert state from an existing
+        # timeline, so per-run writer/destination instances continue one
+        # monotone commit lineage (same discipline as the CoW writer)
         self._n = 0
         self._inserted = False
+        existing = sorted(
+            p.name.split(".")[0]
+            for p in self.hoodie.glob("*")
+            if p.suffix in (".deltacommit", ".commit")
+        )
+        if existing:
+            self._n = max(0, int(existing[-1]) - _INSTANT_BASE)
+            self._inserted = any(
+                self.hoodie.glob("*.deltacommit")
+            )
         props = [
             "hoodie.table.type=MERGE_ON_READ",
             f"hoodie.table.recordkey.fields={record_key}",
@@ -834,7 +848,7 @@ class HudiMorFixtureWriter:
 
     def _next_instant(self) -> str:
         self._n += 1
-        return f"{20240101000000000 + self._n:017d}"
+        return f"{_INSTANT_BASE + self._n:017d}"
 
     def _bucket_of(self, key) -> int:
         return zlib.crc32(str(key).encode("utf-8")) % self.n_buckets

@@ -263,3 +263,33 @@ def test_pos_delete_compaction_planned_and_converges(spark, tmp_path, orders):
         a.action == "rewrite_position_deletes"
         for a in plan_maintenance(tmp_path / "t", pol)
     )
+
+
+def test_mor_compaction_planned_and_converges(spark, tmp_path, orders):
+    """r10: the autopilot plans MoR compaction once enough file groups
+    carry pending logs, executes it through the timeline writer, and a
+    re-plan finds nothing due — the MoR read-debt collector."""
+    from cdf_spark.package.maintenance import (
+        MaintenancePolicy,
+        plan_maintenance,
+        run_maintenance,
+    )
+    from cdf_spark.sources.hudi_mor import HudiMorFixtureWriter, HudiMorTable
+
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = HudiMorFixtureWriter(tmp_path / "t", record_key="o_orderkey", n_buckets=4)
+    w.insert(o.filter("o_orderkey <= 800"))
+    # dirty all 4 buckets with log appends
+    w.upsert(o.filter("o_orderkey <= 200").withColumn("o_totalprice", F.lit(-1.0)))
+    pol = MaintenancePolicy(max_dirty_mor_groups=2)
+    plan = plan_maintenance(tmp_path / "t", pol)
+    assert any(a.action == "mor_compact" for a in plan)
+    before = HudiMorTable(tmp_path / "t").snapshot(spark).count()
+    res = run_maintenance(spark, tmp_path / "t", pol)
+    assert res["results"]["mor_compact"]["instant"] is not None
+    t = HudiMorTable(tmp_path / "t")
+    assert all(not logs for _f, _p, _b, logs in t.file_slices(t.latest_instant()))
+    assert t.snapshot(spark).count() == before
+    assert not any(
+        a.action == "mor_compact" for a in plan_maintenance(tmp_path / "t", pol)
+    )

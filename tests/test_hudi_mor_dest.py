@@ -1,0 +1,226 @@
+"""HudiMorDestination — merge-on-read destination on the commit/verify
+protocol (r8 verdict item 4).
+
+Pinned: snapshot correctness through an external HudiMorTable read,
+O(batch) write amplification (NO base file rewritten by a merge — the
+whole point of MoR; each batch appends one log file per touched
+group), bucket-index routing with zero table reads, new-partition
+rows opening fresh file groups, compaction folding the log debt into
+new base versions, instant-sequence resume across destination
+instances, and a streaming drain landing one delta commit per epoch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.package import PackageBuilder
+from cdf_spark.package.hudi_mor_dest import HudiMorDestination
+from cdf_spark.sources.base import WriteDisposition
+from cdf_spark.sources.hudi_mor import HudiMorTable
+
+
+@pytest.fixture()
+def orders(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _commit(spark, dest, builder, df, disposition):
+    pkg = builder.build(admitted=df)
+    rec = dest.verify(spark, dest.commit(spark, pkg, disposition), pkg)
+    assert rec.verified
+    return rec
+
+
+def _base_files(root):
+    return sorted(
+        str(p) for p in root.rglob("*.parquet") if ".hoodie" not in p.parts
+    )
+
+
+def _log_files(root):
+    return sorted(str(p) for p in root.rglob(".*.log.*") if ".hoodie" not in p.parts)
+
+
+def test_mor_upsert_appends_logs_not_bases(spark, tmp_path, orders):
+    dest = HudiMorDestination(tmp_path / "t", record_key="o_orderkey")
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, orders.filter("o_orderkey <= 900"), WriteDisposition.APPEND)
+    bases_before = _base_files(tmp_path / "t")
+    assert bases_before and not _log_files(tmp_path / "t")
+
+    batch = orders.filter("o_orderkey <= 400").withColumn("o_totalprice", F.lit(-1.0))
+    _commit(spark, dest, b, batch, WriteDisposition.MERGE)
+    # O(batch): merge rewrote NO base file, only appended logs
+    assert _base_files(tmp_path / "t") == bases_before
+    assert _log_files(tmp_path / "t")
+
+    got = dest.read(spark)
+    assert got.count() == orders.filter("o_orderkey <= 900").count()
+    assert got.filter("o_totalprice = -1.0").count() == batch.count()
+    # untouched keys keep their original price
+    assert (
+        got.filter("o_orderkey > 400 and o_totalprice = -1.0").count() == 0
+    )
+
+
+def test_mor_chained_merges_latest_wins(spark, tmp_path, orders):
+    dest = HudiMorDestination(tmp_path / "t", record_key="o_orderkey")
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, orders.filter("o_orderkey <= 300"), WriteDisposition.APPEND)
+    _commit(
+        spark, dest, b,
+        orders.filter("o_orderkey <= 100").withColumn("o_totalprice", F.lit(-1.0)),
+        WriteDisposition.MERGE,
+    )
+    _commit(
+        spark, dest, b,
+        orders.filter("o_orderkey <= 100").withColumn("o_totalprice", F.lit(-2.0)),
+        WriteDisposition.MERGE,
+    )
+    got = dest.read(spark)
+    assert got.count() == orders.filter("o_orderkey <= 300").count()
+    assert got.filter("o_totalprice = -1.0").count() == 0
+    assert got.filter("o_totalprice = -2.0").count() == orders.filter(
+        "o_orderkey <= 100"
+    ).count()
+
+
+def test_mor_new_keys_append_and_new_partition_groups(spark, tmp_path):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    dest = HudiMorDestination(
+        tmp_path / "t", record_key="o_orderkey", partition_by=["o_orderstatus"]
+    )
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    init = o.filter("o_orderstatus = 'O' and o_orderkey <= 900")
+    _commit(spark, dest, b, init, WriteDisposition.APPEND)
+    # merge rows of a partition the initial load never saw: a NEW file
+    # group must open (parquet base), existing groups get log appends
+    batch = o.filter(
+        "(o_orderstatus = 'F' and o_orderkey <= 200) or "
+        "(o_orderstatus = 'O' and o_orderkey <= 100)"
+    ).withColumn("o_totalprice", F.lit(-7.0))
+    assert batch.filter("o_orderstatus = 'F'").count() > 0
+    _commit(spark, dest, b, batch, WriteDisposition.MERGE)
+    got = dest.read(spark)
+    expect = init.count() + batch.filter("o_orderstatus = 'F'").count()
+    assert got.count() == expect
+    assert got.filter("o_totalprice = -7.0").count() == batch.count()
+    assert (tmp_path / "t" / "o_orderstatus=F").is_dir()
+
+
+def test_mor_compaction_folds_log_debt(spark, tmp_path, orders):
+    dest = HudiMorDestination(tmp_path / "t", record_key="o_orderkey")
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, orders.filter("o_orderkey <= 600"), WriteDisposition.APPEND)
+    _commit(
+        spark, dest, b,
+        orders.filter("o_orderkey <= 200").withColumn("o_totalprice", F.lit(-3.0)),
+        WriteDisposition.MERGE,
+    )
+    before = dest.read(spark).orderBy("o_orderkey").collect()
+    inst = dest.compact(spark)
+    assert inst is not None
+    t = HudiMorTable(tmp_path / "t")
+    # post-compaction: no dirty groups, snapshot unchanged
+    assert all(not logs for _f, _p, _b, logs in t.file_slices(t.latest_instant()))
+    after = dest.read(spark).orderBy("o_orderkey").collect()
+    assert before == after
+    # ... and a further merge keeps working against the new bases
+    _commit(
+        spark, dest, b,
+        orders.filter("o_orderkey <= 50").withColumn("o_totalprice", F.lit(-4.0)),
+        WriteDisposition.MERGE,
+    )
+    got = dest.read(spark)
+    assert got.filter("o_totalprice = -4.0").count() == orders.filter(
+        "o_orderkey <= 50"
+    ).count()
+
+
+def test_mor_instant_sequence_resumes_across_instances(spark, tmp_path, orders):
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    d1 = HudiMorDestination(tmp_path / "t", record_key="o_orderkey")
+    _commit(spark, d1, b, orders.filter("o_orderkey <= 500"), WriteDisposition.APPEND)
+    d2 = HudiMorDestination(tmp_path / "t", record_key="o_orderkey")
+    _commit(
+        spark, d2, b,
+        orders.filter("o_orderkey <= 100").withColumn("o_totalprice", F.lit(-1.0)),
+        WriteDisposition.MERGE,
+    )
+    t = HudiMorTable(tmp_path / "t")
+    assert t.instants() == sorted(t.instants())
+    assert len(set(t.instants())) == len(t.instants()) == 2
+    assert d2.read(spark).filter("o_totalprice = -1.0").count() == orders.filter(
+        "o_orderkey <= 100"
+    ).count()
+
+
+def test_mor_replace_refused(spark, tmp_path, orders):
+    dest = HudiMorDestination(tmp_path / "t", record_key="o_orderkey")
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    pkg = b.build(admitted=orders.filter("o_orderkey <= 100"))
+    with pytest.raises(ValueError, match="not supported"):
+        dest.commit(spark, pkg, WriteDisposition.REPLACE)
+
+
+def test_streaming_drain_into_mor(spark, tmp_path, orders):
+    """A Structured-Streaming drain lands in the MoR table with one
+    delta commit per epoch — epoch 1 is the initial load (base files),
+    later epochs are log appends: per-epoch write cost is O(epoch
+    batch), the MoR streaming-ingest shape."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from cdf_spark.sources.base import ResourceDescriptor
+    from cdf_spark.streaming.pipeline import StreamingLoadPipeline
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    o = orders.select("o_orderkey", "o_totalprice").limit(600)
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        stage = tempfile.mkdtemp()
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (f,) = Path(stage).glob("*.parquet")
+        shutil.move(str(f), str(src / f"part-{i}.parquet"))
+
+    pipe = StreamingLoadPipeline(
+        descriptor=ResourceDescriptor(resource_id="orders_mor_stream"),
+        source_path=str(src),
+        schema=schema,
+        package_root=str(tmp_path / "pkgs"),
+        ledger_root=str(tmp_path / "ledger"),
+        destination=HudiMorDestination(tmp_path / "t", record_key="o_orderkey"),
+        disposition=WriteDisposition.APPEND,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    epochs = pipe.run(spark)
+    committed = [e for e in epochs if e.rows_admitted > 0]
+    assert len(committed) >= 2
+    assert all(e.receipt_verified for e in committed)
+
+    t = HudiMorTable(tmp_path / "t")
+    delta_commits = [
+        p for p in (tmp_path / "t" / ".hoodie").glob("*.deltacommit")
+    ]
+    assert len(delta_commits) == len(committed)  # one instant per epoch
+    got = HudiMorDestination(tmp_path / "t", record_key="o_orderkey").read(spark)
+    assert got.count() == o.count()
+    # epochs after the first landed as log appends, not base rewrites
+    assert _log_files(tmp_path / "t")
