@@ -240,3 +240,79 @@ def test_pipeline_permit_acquired_and_released_on_success(spark, tmp_path, sf_di
     assert res.receipt.verified
     a = SchemaAuthority(Path(ledger.root) / "schemas", "orders_ok")
     assert a.permits == {}  # released after the verified commit
+
+
+def test_two_pipelines_race_promotion_thread_level(spark, tmp_path, sf_dir, monkeypatch):
+    """CHAOS (r8 verdict item 7): two real threads race end-to-end —
+    thread A runs a full LoadPipeline; thread B, woken the moment A
+    finishes packaging (after admission, before commit), pushes a
+    promotion through the complete lifecycle (propose -> begin ->
+    force-cutoff -> publish). A must abort at the settlement boundary
+    with SchemaFencedError: destination never mutated, no receipt,
+    A's permit revoked, generation advanced — and the authority is
+    immediately usable by a successor writer."""
+    import threading
+
+    from cdf_spark.package import CheckpointLedger, PackageBuilder
+    from cdf_spark.package.ledger import ParquetDestination
+    from cdf_spark.runtime import LoadPipeline
+    from cdf_spark.sources import FileResource, ResourceDescriptor
+    from cdf_spark.sources.base import WriteDisposition
+
+    desc = ResourceDescriptor(resource_id="orders_race")
+    ledger = CheckpointLedger(tmp_path / "ledger")
+    dest_dir = tmp_path / "dest"
+
+    built = threading.Event()
+    published = threading.Event()
+    real_build = PackageBuilder.build
+
+    def gated_build(self, **kw):
+        pkg = real_build(self, **kw)
+        built.set()  # A is now between admission and commit
+        assert published.wait(timeout=120), "promoter thread never published"
+        return pkg
+
+    monkeypatch.setattr(PackageBuilder, "build", gated_build)
+
+    outcome: dict = {}
+
+    def run_a():
+        pipe = LoadPipeline(
+            resource=FileResource(desc, f"{sf_dir}/orders.parquet"),
+            package_root=str(tmp_path / "pkgs"),
+            ledger=ledger,
+            destination=ParquetDestination(dest_dir),
+            disposition=WriteDisposition.APPEND,
+            settlement_run_id="run-A",
+        )
+        try:
+            outcome["result"] = pipe.run(spark)
+        except BaseException as exc:  # noqa: BLE001 — the assertion target
+            outcome["error"] = exc
+
+    def run_b():
+        assert built.wait(timeout=120), "pipeline thread never packaged"
+        other = SchemaAuthority(Path(ledger.root) / "schemas", "orders_race")
+        gen_before = other.generation
+        v = other.propose(_schema("o_orderkey", "extra")).version
+        other.begin_promotion(v)
+        other.establish_cutoff(force=True)  # revokes A's live permit
+        other.publish_promotion()
+        outcome["gen_before"] = gen_before
+        published.set()
+
+    ta = threading.Thread(target=run_a, name="pipeline-A")
+    tb = threading.Thread(target=run_b, name="promoter-B")
+    ta.start()
+    tb.start()
+    ta.join(timeout=300)
+    tb.join(timeout=300)
+    assert not ta.is_alive() and not tb.is_alive()
+
+    assert isinstance(outcome.get("error"), SchemaFencedError), outcome
+    assert not dest_dir.exists()  # destination never mutated
+    assert ledger.latest("orders_race") is None  # no receipt recorded
+    a = SchemaAuthority(Path(ledger.root) / "schemas", "orders_race")
+    assert a.permits == {}  # the stale writer's permit did not survive
+    assert a.generation > outcome["gen_before"]  # B's promotion won
