@@ -400,6 +400,25 @@ def _build_destination(dest_cfg: dict, workspace: Path, resource_id: str, merge_
             merge_keys=merge_keys,
             partition_by=dest_cfg.get("partition_by"),
         )
+    if kind == "hudi_mor":
+        from .package.hudi_mor_dest import HudiMorDestination
+
+        # merge-on-read: MERGE appends log blocks (O(batch) write
+        # amplification — the streaming-upsert shape); compaction and
+        # cleaning ride the auto-maintenance block. record_key defaults
+        # to the single merge key.
+        rk = dest_cfg.get("record_key") or (merge_keys[0] if merge_keys else None)
+        if not rk:
+            raise DeclarationError(
+                "destination kind 'hudi_mor' needs record_key (or one merge key)"
+            )
+        return HudiMorDestination(
+            path,
+            record_key=rk,
+            precombine=dest_cfg.get("precombine"),
+            n_buckets=int(dest_cfg.get("n_buckets", 4)),
+            partition_by=dest_cfg.get("partition_by"),
+        )
     if kind == "duckdb":
         from .package.duckdb_dest import DuckDbDestination
 

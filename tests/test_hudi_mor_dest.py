@@ -224,3 +224,18 @@ def test_streaming_drain_into_mor(spark, tmp_path, orders):
     assert got.count() == o.count()
     # epochs after the first landed as log appends, not base rewrites
     assert _log_files(tmp_path / "t")
+
+
+def test_hudi_mor_declarative_kind(tmp_path):
+    from cdf_spark.declarative import DeclarationError, _build_destination
+
+    dest = _build_destination(
+        {"kind": "hudi_mor", "path": str(tmp_path / "t"), "n_buckets": 8},
+        tmp_path, "r1", ["k"],
+    )
+    assert isinstance(dest, HudiMorDestination)
+    assert dest.record_key == "k" and dest.n_buckets == 8
+    with pytest.raises(DeclarationError, match="record_key"):
+        _build_destination(
+            {"kind": "hudi_mor", "path": str(tmp_path / "t2")}, tmp_path, "r2", []
+        )
