@@ -4358,59 +4358,13 @@ PARITY_TWINS: set[str] = {
 # (never-green, then min last-green round, then registration order),
 # truncated at the driver's 50.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- new in r8, never driver-checked --
-    "hudi_dest_replace",
-    "dest_schema_evolution_trio",
-    "cross_format_replication_hudi",
-    "hudi_dest_upsert",
-    "iceberg_dest_pos_merge",
-    "llm_curation_pipeline",
-    "c4_line_filter_docs",
-    "quality_clf_filter",
-    "gopher_quality_filter",
-    "orc_source_scan",
-    "html_boilerplate_strip",
-    "unicode_nfc_normalize",
-    "url_canonicalize_dedup",
-    "delta_nested_column_mapping_scan",
-    "delta_cdf_restore_replay",
-    "iceberg_changelog_pos_deletes",
-    "resident_restart_stream",
-    "iceberg_spec_evolution_scan",
-    "stream_dedup_drain",
-    "minhash_index_incremental",
-    "delta_check_constraints",
-    "iceberg_wap_publish",
-    "ivf_pq_ann_topk",
-    "image_resize_stats",
-    "audio_resample_stats",
-    "video_frame_sample_stats",
-    "contract_cross_field_check",
-    # -- last driver-green in r4 --
-    "exact_dedup_docs",
-    "fingerprint_containment",
-    "ngram_jaccard_dups",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "token_stats_by_lang",
-    "bpe_token_stats",
-    "hashed_features_profile",
-    "decontamination_check",
-    "repetition_quality",
-    "hll_cardinality",
-    "pii_scan_customers",
-    "multimodal_features",
-    "image_pixel_stats",
-    "audio_sample_stats",
-    "cms_heavy_hitters",
-    "domain_mix_sample",
-    "range_join_campaigns",
-    "hypertable_rollup",
-    # -- last driver-green in r5 (least-recently-green order) --
-    "pack_sequences_by_lang",
-    "training_shuffle_order",
-    "segment_dedup_docs",
-    "stream_drain_equivalence",
+    # -- new in r10, never driver-checked --
+    "iceberg_changelog_cow_overwrite",
+    "delta_cdf_overwrite_range",
+    "hudi_mor_dest_upsert",
+    # -- last driver-green in r5, oldest cohort left after the r9
+    #    window re-greened the r8 additions and the r4 family
+    #    (registration order within the cohort) --
     "docs_embeddings_join",
     "events_user_rollup",
     "late_counts_by_type",
@@ -4424,9 +4378,49 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q17_small_quantity_avg",
     "moving_average_frame",
     "q22_global_sales_opportunity",
-    # (q2/q7/q8/q9/q10/q11/q15/q16/q20 rotated out one-for-one as
-    # late-r8 queries joined the never-checked head — they are the
-    # newest r5-green entries and front the r9 rotation)
+    "tfidf_top_terms",
+    "near_dup_clusters",
+    "q2_min_unit_price_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_shipments",
+    "q21_waiting_suppliers",
+    "duckdb_commit_roundtrip",
+    "tombstone_merge_read",
+    "duckdb_source_scan",
+    "sqlite_commit_roundtrip",
+    "catalog_partition_scan",
+    "embedding_near_dups",
+    "pg_copy_roundtrip_scan",
+    "avro_roundtrip_scan",
+    "protobuf_roundtrip_scan",
+    "snapshot_time_travel",
+    # -- oldest r6-green entries fill to the 50 cut (the rest of the
+    #    r6 cohort fronts the r11 rotation) --
+    "contract_verdicts",
+    "delta_time_travel",
+    "delta_changes_since",
+    "hudi_time_travel",
+    "hudi_changes_since",
+    "iceberg_row_deletes",
+    "iceberg_equality_deletes",
+    "iceberg_partition_prune",
+    "iceberg_transform_prune",
+    "iceberg_dest_upsert",
+    "declarative_iceberg_run",
+    "bloom_membership_keys",
+    # ivf_pq_ann_topk is deliberately NOT window-fronted anymore: it is
+    # the one STANDING rows-only entry (approximate by design — exact
+    # recall + re-reported-sims gates live in tests/test_lsh_recall.py;
+    # a value oracle would have to BE the brute-force twin, which the
+    # registry already value-checks as pq_ann_topk/cosine_topk). The
+    # driver records it no_oracle whenever it rotates in; counting it
+    # toward a 50/50 "oracled" claim was the r9 ADVICE defect.
 ]
 
 
