@@ -53,6 +53,7 @@ from ..sources.hudi_mor import (
     HudiMorFixtureWriter,
     HudiMorTable,
     encode_data_block,
+    encode_delete_block,
 )
 from .builder import PackageResult
 from .ledger import Receipt
@@ -101,6 +102,17 @@ class HudiMorDestination:
         self.precombine = precombine
         self.n_buckets = n_buckets
         self.partition_by = list(partition_by or [])
+        self.cdc_op_col = "op"
+
+    def _initial_insert(self, batch) -> None:
+        w = HudiMorFixtureWriter(
+            self.table_path,
+            record_key=self.record_key,
+            precombine=self.precombine,
+            n_buckets=self.n_buckets,
+            partition_by=self.partition_by,
+        )
+        w.insert(batch)
 
     # -- protocol ----------------------------------------------------------
     def commit(
@@ -115,21 +127,31 @@ class HudiMorDestination:
         )
         if disposition in (WriteDisposition.APPEND, WriteDisposition.MERGE):
             if empty:
-                w = HudiMorFixtureWriter(
-                    self.table_path,
-                    record_key=self.record_key,
-                    precombine=self.precombine,
-                    n_buckets=self.n_buckets,
-                    partition_by=self.partition_by,
-                )
-                w.insert(batch)
+                self._initial_insert(batch)
             else:
                 self._append_log_commit(spark, batch)
+        elif disposition is WriteDisposition.CDC_APPLY:
+            # row-level CDC feed: the package carries an op column
+            # (insert/update/delete). Upserts land as Avro data
+            # blocks, deletes as native DELETE blocks — both in ONE
+            # log file per touched group, one delta commit. The MoR
+            # twin of the Delta DV-merge/DV-delete CDC application.
+            if self.cdc_op_col not in batch.columns:
+                raise ValueError(
+                    f"cdc_apply package must carry op column {self.cdc_op_col!r}"
+                )
+            if empty:
+                ups = batch.filter(
+                    F.col(self.cdc_op_col) != "delete"
+                ).drop(self.cdc_op_col)
+                self._initial_insert(ups)  # deletes on empty are no-ops
+            else:
+                self._append_log_commit(spark, batch, op_col=self.cdc_op_col)
         else:
             raise ValueError(
                 f"disposition {disposition} not supported by HudiMorDestination "
                 "(REPLACE belongs to the CoW destination; MoR streaming ingest "
-                "is APPEND/MERGE + compaction)"
+                "is APPEND/MERGE/CDC_APPLY + compaction)"
             )
         return Receipt(
             receipt_id="rcp-" + uuid.uuid4().hex[:16],
@@ -142,12 +164,15 @@ class HudiMorDestination:
             committed_at_ms=int(time.time() * 1000),
         )
 
-    def _append_log_commit(self, spark: SparkSession, batch) -> None:
+    def _append_log_commit(self, spark: SparkSession, batch, op_col: str | None = None) -> None:
         """ONE delta commit: per touched (partition, bucket) file group
         either a new log file (group exists) or a new parquet base
-        (first rows ever routed to that group). Everything row-shaped
-        happens executor-side; the driver handles O(touched groups)
-        stats."""
+        (first rows ever routed to that group). With `op_col`, rows
+        whose op is 'delete' encode as native DELETE blocks in the
+        same per-group log file (one file can carry a data block AND a
+        delete block); the effect stream should be pre-reduced to one
+        winner per key. Everything row-shaped happens executor-side;
+        the driver handles O(touched groups) stats."""
         t = HudiMorTable(self.table_path)
         latest = t.latest_instant()
         instant = f"{max(int(latest), _INSTANT_BASE) + 1:017d}"
@@ -181,7 +206,8 @@ class HudiMorDestination:
         # included, routing helpers excluded) — built once, shipped in
         # the UDF closure
         w_probe = HudiMorFixtureWriter.__new__(HudiMorFixtureWriter)
-        schema = w_probe._df_avro_schema(staged.drop("_cdf_part", "_cdf_bucket"))
+        drop_helpers = ["_cdf_part", "_cdf_bucket"] + ([op_col] if op_col else [])
+        schema = w_probe._df_avro_schema(staged.drop(*drop_helpers))
         avro_types = {
             f["name"]: (f["type"][1] if isinstance(f["type"], list) else f["type"])
             for f in schema["fields"]
@@ -195,6 +221,14 @@ class HudiMorDestination:
             part = str(pdf["_cdf_part"].iloc[0])
             bucket = int(pdf["_cdf_bucket"].iloc[0])
             fid = fid_of(part, bucket)
+            if op_col is not None:
+                del_keys = [
+                    str(k)
+                    for k in pdf.loc[pdf[op_col] == "delete", META_RECORD_KEY]
+                ]
+                pdf = pdf[pdf[op_col] != "delete"]
+            else:
+                del_keys = []
             recs = [
                 {c: _py(r[c], avro_types[c]) for c in data_cols}
                 for r in pdf[data_cols].to_dict("records")
@@ -204,8 +238,21 @@ class HudiMorDestination:
                 base_instant, ver = info
                 name = f".{fid}_{base_instant}.log.{ver}_0-0-0"
                 rel = f"{part}/{name}" if part else name
+                block = b""
+                if recs:
+                    block += encode_data_block(schema, recs, instant)
+                if del_keys:
+                    block += encode_delete_block(
+                        [(k, part) for k in del_keys], instant
+                    )
                 with open(f"{root}/{rel}", "wb") as f:
-                    f.write(encode_data_block(schema, recs, instant))
+                    f.write(block)
+            elif not recs:
+                # delete-only rows routed to a group that never
+                # existed: nothing to delete, nothing to write
+                return pd.DataFrame(
+                    [{"part": part, "fileId": fid, "path": "", "numWrites": 0}]
+                )
             else:
                 # first rows ever routed here: open the group with a
                 # parquet base (bulk-insert path)
@@ -223,7 +270,14 @@ class HudiMorDestination:
                     f"{root}/{rel}",
                 )
             return pd.DataFrame(
-                [{"part": part, "fileId": fid, "path": rel, "numWrites": len(recs)}]
+                [
+                    {
+                        "part": part,
+                        "fileId": fid,
+                        "path": rel,
+                        "numWrites": len(recs) + len(del_keys),
+                    }
+                ]
             )
 
         stats_rows = (
@@ -235,9 +289,13 @@ class HudiMorDestination:
         )
         stats: dict[str, list[dict]] = {}
         for r in stats_rows:
+            if not r["path"]:
+                continue  # delete-only rows into a nonexistent group
             stats.setdefault(r["part"], []).append(
                 {"fileId": r["fileId"], "path": r["path"], "numWrites": int(r["numWrites"])}
             )
+        if not stats:
+            return  # whole batch was no-op deletes: no commit
         meta = {"partitionToWriteStats": stats, "operationType": "UPSERT"}
         (self.table_path / ".hoodie" / f"{instant}.deltacommit").write_text(
             json.dumps(meta, indent=1)
@@ -246,6 +304,17 @@ class HudiMorDestination:
     def verify(self, spark: SparkSession, receipt: Receipt, package: PackageResult) -> Receipt:
         df = self.read(spark)
         staged = spark.read.parquet(package.data_path())
+        if receipt.disposition == WriteDisposition.CDC_APPLY.value:
+            ups = staged.filter(F.col(self.cdc_op_col) != "delete")
+            dels = staged.filter(F.col(self.cdc_op_col) == "delete")
+            cond_u = ups[self.record_key].eqNullSafe(df[self.record_key])
+            ok = ups.join(df, on=cond_u, how="left_anti").isEmpty()
+            # delete winners must be gone (unless a same-batch upsert
+            # re-asserted the key — reduced streams cannot have both)
+            cond_d = dels[self.record_key].eqNullSafe(df[self.record_key])
+            ok = ok and dels.join(df, on=cond_d, how="left_semi").isEmpty()
+            receipt.verified = bool(ok)
+            return receipt
         if receipt.disposition == WriteDisposition.MERGE.value:
             cond = reduce(
                 lambda a, b: a & b,

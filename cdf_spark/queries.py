@@ -4362,6 +4362,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "iceberg_changelog_cow_overwrite",
     "delta_cdf_overwrite_range",
     "hudi_mor_dest_upsert",
+    "cross_format_replication_hudi_mor",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -7865,6 +7866,98 @@ def cross_format_replication_hudi(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("xfmt_repl_hudi", sf, build)
     return HudiDestination(f"{tmp}/dst", merge_keys=["o_orderkey"]).read(spark)
+
+
+@_register(
+    "cross_format_replication_hudi_mor",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey > 0 AND o_orderkey <= 600
+    ),
+    upserted AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey <= 100 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+      FROM base
+      UNION ALL
+      SELECT o_orderkey, -1.0 FROM orders
+      WHERE o_orderkey > 600 AND o_orderkey <= 700
+    )
+    SELECT * FROM upserted WHERE o_orderkey NOT BETWEEN 200 AND 250
+    """,
+)
+def cross_format_replication_hudi_mor(spark: SparkSession, sf: str) -> DataFrame:
+    """ROW-LEVEL Iceberg -> Hudi MERGE-ON-READ CDC replication: each
+    `changelog_scan` window reduces to one effect per key (a key with
+    an insert wins as an upsert; delete-only keys become deletes) and
+    lands through ONE CDC_APPLY commit — upserts as Avro data blocks,
+    deletes as NATIVE delete blocks, per touched file group. This is
+    the replication shape whose per-cycle write cost is O(cycle
+    changes): no file group is rewritten at any cycle (the CoW twin
+    `cross_format_replication_hudi` rewrites touched groups each
+    cycle). Three upstream cycles: append, equality-delete upsert,
+    pure keyed delete; the oracle recomputes the final replica
+    relationally — a lost delete block, a wrong winner, or a replayed
+    false pair cannot hash-match."""
+    from .package import PackageBuilder
+    from .package.hudi_mor_dest import HudiMorDestination
+    from .sources.base import WriteDisposition
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        iw = IcebergFixtureWriter(f"{tmp}/src", seed=47)
+        dest = HudiMorDestination(f"{tmp}/dst", record_key="o_orderkey")
+        builder = PackageBuilder(f"{tmp}/pkgs", "ice_to_mor")
+
+        def sync(position):
+            t = IcebergTable(f"{tmp}/src")
+            ch = t.changelog_scan(spark, from_snapshot_id=position)
+            ins = ch.filter(F.col("_change_type") == "insert").drop(
+                "_change_type", "_snapshot_id"
+            )
+            dels = (
+                ch.filter(F.col("_change_type") == "delete")
+                .drop("_change_type", "_snapshot_id")
+                .join(ins.select("o_orderkey"), "o_orderkey", "left_anti")
+            )
+            effects = ins.withColumn("op", F.lit("update")).unionByName(
+                dels.withColumn("op", F.lit("delete"))
+            )
+            pkg = builder.build(admitted=effects)
+            rec = dest.verify(
+                spark, dest.commit(spark, pkg, WriteDisposition.CDC_APPLY), pkg
+            )
+            if not rec.verified:
+                raise RuntimeError("mor cdc_apply receipt failed verification")
+            return t.current_snapshot_id()
+
+        a = o.filter((F.col("o_orderkey") > 0) & (F.col("o_orderkey") <= 600))
+        iw.append(a, timestamp_ms=1000)
+        pos = sync(None)
+        restated = (
+            a.filter(F.col("o_orderkey") <= 100)
+            .unionByName(
+                o.filter((F.col("o_orderkey") > 600) & (F.col("o_orderkey") <= 700))
+            )
+            .withColumn("o_totalprice", F.lit(-1.0))
+        )
+        iw.upsert(restated, ["o_orderkey"], timestamp_ms=2000)
+        pos = sync(pos)
+        dead = o.filter((F.col("o_orderkey") >= 200) & (F.col("o_orderkey") <= 250))
+        iw2 = IcebergFixtureWriter(f"{tmp}/src")
+        iw2.delete_equality(
+            [
+                {"o_orderkey": int(r.o_orderkey)}
+                for r in dead.select("o_orderkey").collect()
+            ],
+            ["o_orderkey"],
+            timestamp_ms=3000,
+        )
+        sync(pos)
+
+    tmp = _session_fixture("xfmt_repl_mor", sf, build)
+    return HudiMorDestination(f"{tmp}/dst", record_key="o_orderkey").read(spark)
 
 
 @_register(

@@ -239,3 +239,40 @@ def test_hudi_mor_declarative_kind(tmp_path):
         _build_destination(
             {"kind": "hudi_mor", "path": str(tmp_path / "t2")}, tmp_path, "r2", []
         )
+
+
+def test_mor_cdc_apply_with_native_delete_blocks(spark, tmp_path, orders):
+    """CDC_APPLY: a reduced effect stream (op column) lands upserts as
+    Avro data blocks and deletes as NATIVE delete blocks, one log file
+    per touched group, one delta commit — the MoR twin of the Delta
+    DV-merge/DV-delete CDC application."""
+    dest = HudiMorDestination(tmp_path / "t", record_key="o_orderkey")
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, orders.filter("o_orderkey <= 500"), WriteDisposition.APPEND)
+    bases = _base_files(tmp_path / "t")
+    effects = (
+        orders.filter("o_orderkey <= 100")
+        .withColumn("o_totalprice", F.lit(-1.0))
+        .withColumn("op", F.lit("update"))
+        .unionByName(
+            orders.filter("o_orderkey > 400 and o_orderkey <= 500").withColumn(
+                "op", F.lit("delete")
+            )
+        )
+    )
+    pkg = b.build(admitted=effects)
+    rec = dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.CDC_APPLY), pkg)
+    assert rec.verified
+    assert _base_files(tmp_path / "t") == bases  # log-only commit
+    got = dest.read(spark)
+    n_del = orders.filter("o_orderkey > 400 and o_orderkey <= 500").count()
+    assert got.count() == orders.filter("o_orderkey <= 500").count() - n_del
+    assert got.filter("o_totalprice = -1.0").count() == orders.filter(
+        "o_orderkey <= 100"
+    ).count()
+    assert got.filter("o_orderkey > 400").count() == 0
+    # deletes survive compaction (folded into the new bases)
+    dest.compact(spark)
+    got2 = dest.read(spark)
+    assert got2.count() == got.count()
+    assert got2.filter("o_orderkey > 400").count() == 0
