@@ -1482,6 +1482,52 @@ class IcebergTable:
         # snapshot reads have)
         return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
+    def changelog_scan_between_timestamps(
+        self,
+        spark: SparkSession,
+        start_ms: int | None = None,
+        end_ms: int | None = None,
+        cow_mode: str = "net",
+    ) -> DataFrame:
+        """Timestamp-addressed CHANGELOG window — the Iceberg twin of
+        Delta's `table_changes_between_timestamps` and the resolution
+        Spark's incremental read options (`start-timestamp` /
+        `end-timestamp`) use: a bound maps to the LATEST snapshot with
+        timestamp-ms <= the bound (the same `snapshot_as_of` rule as
+        time travel), so the window replays every snapshot committed
+        strictly after `start_ms`'s resolution up to and including
+        `end_ms`'s. `start_ms` before the first commit means
+        table-start (changes from the beginning); `end_ms=None` means
+        the current head. Errors on an empty resolved window rather
+        than returning a silent nothing."""
+        chain = list(reversed(self.ancestry()))
+        if not chain:
+            raise IcebergError("table has no snapshots")
+        from_id: int | None = None
+        if start_ms is not None:
+            at_or_before = [
+                s for s in chain if int(s["timestamp-ms"]) <= int(start_ms)
+            ]
+            if at_or_before:
+                from_id = int(at_or_before[-1]["snapshot-id"])
+            # else: start precedes the first commit -> table start
+        to_id: int | None = None
+        if end_ms is not None:
+            at_or_before = [s for s in chain if int(s["timestamp-ms"]) <= int(end_ms)]
+            if not at_or_before:
+                raise IcebergError(
+                    f"no snapshot at or before end timestamp {end_ms}"
+                )
+            to_id = int(at_or_before[-1]["snapshot-id"])
+            if from_id is not None and to_id == from_id:
+                raise IcebergError(
+                    f"timestamp window [{start_ms}, {end_ms}] resolves to an "
+                    "empty snapshot range"
+                )
+        return self.changelog_scan(
+            spark, from_snapshot_id=from_id, to_snapshot_id=to_id, cow_mode=cow_mode
+        )
+
     def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
         """Named snapshot TAG (Iceberg v2 `refs`): pin a snapshot under
         a stable name — the release/audit pin that survives snapshot

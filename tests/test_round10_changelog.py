@@ -184,3 +184,36 @@ def test_unknown_cow_mode_raises(spark, tmp_path, orders):
     t2 = IcebergTable(tmp_path / "t")
     with pytest.raises(Exception, match="cow_mode"):
         t2.changelog_scan(spark, from_snapshot_id=s0, cow_mode="bogus").count()
+
+
+def test_changelog_between_timestamps(spark, tmp_path, orders):
+    """Timestamp bounds resolve like time travel (latest snapshot <=
+    bound); a pre-history start means table start; an empty resolved
+    range errors."""
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = IcebergFixtureWriter(tmp_path / "t", seed=106)
+    w.append(o.filter(F.col("o_orderkey") <= 100), timestamp_ms=1_000)
+    w.append(
+        o.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)),
+        timestamp_ms=2_000,
+    )
+    w.append(
+        o.filter((F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 300)),
+        timestamp_ms=3_000,
+    )
+    t = IcebergTable(tmp_path / "t")
+    n = lambda lo, hi: o.filter(
+        (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+    ).count()
+    # start resolves to the ts=1000 snapshot -> changes after it
+    assert t.changelog_scan_between_timestamps(spark, 1_500).count() == n(100, 300)
+    # bounded window: (ts<=1000, ts<=2000] -> only the second commit
+    assert t.changelog_scan_between_timestamps(spark, 1_000, 2_500).count() == n(100, 200)
+    # pre-history start replays from table start
+    assert t.changelog_scan_between_timestamps(spark, 10).count() == o.filter(
+        F.col("o_orderkey") <= 300
+    ).count()
+    with pytest.raises(Exception, match="empty snapshot range"):
+        t.changelog_scan_between_timestamps(spark, 3_000, 3_500)
+    with pytest.raises(Exception, match="at or before"):
+        t.changelog_scan_between_timestamps(spark, None, 10)
