@@ -231,25 +231,72 @@ class IcebergDestination:
                     .distinct()
                     .alias("k")
                 )
-                cur = (
-                    IcebergTable(self.table_path)
-                    .read(spark, _keep_meta=True)
-                    .select(*self.merge_keys, "_file", "_pos")
-                    .alias("c")
-                )
-                # null-safe key match — equality-mode deletes treat
-                # NULL keys as equal (spec semantics); position mode
-                # must kill the same rows
-                cond = reduce(
-                    lambda a, b: a & b,
-                    [
-                        F.col(f"c.{k}").eqNullSafe(F.col(f"k.{k}"))
-                        for k in self.merge_keys
-                    ],
-                )
-                victims = cur.join(F.broadcast(keys_df), on=cond, how="left_semi").select(
-                    F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
-                )
+                # STATS-PRUNED victim scan (r10, same idea as the Hudi
+                # routing prune): the victim semi-join is a JOIN, so
+                # Catalyst cannot push the batch's key range into the
+                # scan — but the manifest column bounds can prune files
+                # that provably cannot hold any batch key. One tiny agg
+                # for the batch bounds, then the existing
+                # `data_files_pruned` machinery (conservative: files
+                # without bounds stay; a null batch key disables the
+                # prune on that column since bounds cannot see nulls).
+                t_read = IcebergTable(self.table_path)
+                victim_files = None
+                try:
+                    from ..expressions.ast import Binary, Col, Lit
+
+                    b = spark.read.parquet(package.data_path()).agg(
+                        *[
+                            F.min(F.col(k)).alias(f"_mn_{i}")
+                            for i, k in enumerate(self.merge_keys)
+                        ],
+                        *[
+                            F.max(F.col(k)).alias(f"_mx_{i}")
+                            for i, k in enumerate(self.merge_keys)
+                        ],
+                        *[
+                            F.sum(F.col(k).isNull().cast("long")).alias(f"_nl_{i}")
+                            for i, k in enumerate(self.merge_keys)
+                        ],
+                    ).collect()[0]
+                    preds = []
+                    for i, k in enumerate(self.merge_keys):
+                        if b[f"_nl_{i}"] or b[f"_mn_{i}"] is None:
+                            continue
+                        preds.append(Binary("ge", Col(k), Lit(b[f"_mn_{i}"])))
+                        preds.append(Binary("le", Col(k), Lit(b[f"_mx_{i}"])))
+                    if preds:
+                        kept, _ev = t_read.data_files_pruned(
+                            t_read.current_snapshot_id(), preds
+                        )
+                        victim_files = kept
+                except Exception:  # noqa: BLE001 — pruning is an optimization only
+                    victim_files = None
+                if victim_files is not None and not victim_files:
+                    # every live file bounds-excluded: no victims, no
+                    # scan at all — the merge is a pure insert
+                    victims = spark.createDataFrame(
+                        [], "file_path string, pos long"
+                    )
+                else:
+                    cur = (
+                        t_read.read(spark, _keep_meta=True, _files=victim_files)
+                        .select(*self.merge_keys, "_file", "_pos")
+                        .alias("c")
+                    )
+                    # null-safe key match — equality-mode deletes treat
+                    # NULL keys as equal (spec semantics); position mode
+                    # must kill the same rows
+                    cond = reduce(
+                        lambda a, b: a & b,
+                        [
+                            F.col(f"c.{k}").eqNullSafe(F.col(f"k.{k}"))
+                            for k in self.merge_keys
+                        ],
+                    )
+                    victims = cur.join(
+                        F.broadcast(keys_df), on=cond, how="left_semi"
+                    ).select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
                 tmp = tempfile.mkdtemp(prefix="iceberg_pos_deletes_")
                 try:
                     victims.write.mode("overwrite").parquet(tmp)

@@ -181,3 +181,39 @@ def test_position_merge_changelog_reconstructs(spark, tmp_path, orders):
     # delete preimages carry the PRE-merge values
     pre = cl.filter("_change_type = 'delete' and o_totalprice = -1.0").count()
     assert pre == 0
+
+
+def test_position_merge_victim_scan_pruned_by_bounds(spark, tmp_path, orders, monkeypatch):
+    """r10: the victim semi-join is a JOIN, so Catalyst cannot push the
+    batch key range into the scan — manifest column bounds must prune
+    files that provably cannot hold any batch key before the scan
+    opens them (same discipline as the Hudi routing prune)."""
+    dest = IcebergDestination(
+        tmp_path / "t", merge_keys=["o_orderkey"], merge_mode="position"
+    )
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    # three appends -> three data files with disjoint key ranges
+    for lo, hi in [(0, 400), (400, 800), (800, 1200)]:
+        _commit(
+            spark, dest, b,
+            orders.filter(f"o_orderkey > {lo} and o_orderkey <= {hi}"),
+            WriteDisposition.APPEND,
+        )
+    calls: list = []
+    orig = IcebergTable.read
+
+    def spy(self, spark_, *a, **kw):
+        calls.append(kw.get("_files"))
+        return orig(self, spark_, *a, **kw)
+
+    monkeypatch.setattr(IcebergTable, "read", spy)
+    batch = orders.filter("o_orderkey > 500 and o_orderkey <= 600").withColumn(
+        "o_totalprice", F.lit(-5.0)
+    )
+    _commit(spark, dest, b, batch, WriteDisposition.MERGE)
+    keep_meta_calls = [c for c in calls if c is not None]
+    assert keep_meta_calls, "victim scan was not file-pruned"
+    assert len(keep_meta_calls[0]) == 1  # only the overlapping file opened
+    got = dest.read(spark)
+    assert got.filter("o_totalprice = -5.0").count() == batch.count()
+    assert got.count() == orders.filter("o_orderkey > 0 and o_orderkey <= 1200").count()
