@@ -276,3 +276,103 @@ def test_mor_cdc_apply_with_native_delete_blocks(spark, tmp_path, orders):
     got2 = dest.read(spark)
     assert got2.count() == got.count()
     assert got2.filter("o_orderkey > 400").count() == 0
+
+
+def test_mor_crash_between_logs_and_commit_is_invisible_then_idempotent(
+    spark, tmp_path, orders, monkeypatch
+):
+    """Commit-protocol chaos: a writer that crashes AFTER its log files
+    hit storage but BEFORE the delta-commit JSON lands must leave the
+    table unchanged (slices resolve from write stats, never from
+    directory listing — orphan logs are invisible), and re-committing
+    the same package lands exactly once."""
+    import json as _json
+    from pathlib import Path as _P
+
+    dest = HudiMorDestination(tmp_path / "t", record_key="o_orderkey")
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, orders.filter("o_orderkey <= 500"), WriteDisposition.APPEND)
+    before = dest.read(spark).orderBy("o_orderkey").collect()
+
+    # crash seam: kill the write of the .deltacommit file once
+    real_write_text = _P.write_text
+    state = {"crashed": False}
+
+    def crashing_write_text(self, *a, **kw):
+        if self.suffix == ".deltacommit" and not state["crashed"]:
+            state["crashed"] = True
+            raise OSError("simulated crash before timeline commit")
+        return real_write_text(self, *a, **kw)
+
+    monkeypatch.setattr(_P, "write_text", crashing_write_text)
+    batch = orders.filter("o_orderkey <= 100").withColumn("o_totalprice", F.lit(-8.0))
+    pkg = b.build(admitted=batch)
+    with pytest.raises(OSError, match="simulated crash"):
+        dest.commit(spark, pkg, WriteDisposition.MERGE)
+    # orphan log bytes exist, but the table state is UNCHANGED
+    assert _log_files(tmp_path / "t")
+    assert dest.read(spark).orderBy("o_orderkey").collect() == before
+    # resume: the SAME package re-commits and lands exactly once
+    rec = dest.verify(spark, dest.commit(spark, pkg, WriteDisposition.MERGE), pkg)
+    assert rec.verified
+    got = dest.read(spark)
+    assert got.count() == orders.filter("o_orderkey <= 500").count()
+    assert got.filter("o_totalprice = -8.0").count() == batch.count()
+    # timeline carries exactly the two successful instants
+    commits = sorted((tmp_path / "t" / ".hoodie").glob("*.deltacommit"))
+    assert len(commits) == 2
+    for c in commits:
+        _json.loads(c.read_text())  # every landed commit is complete
+
+
+def test_streaming_mor_pipeline_compacts_mid_stream(spark, tmp_path, orders):
+    """maintenance_every_epochs on a drained stream into a MoR
+    destination: log debt accumulates per epoch, the autopilot's
+    mor_compact folds it mid-stream, and the drained content still
+    equals the source."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from cdf_spark.package.maintenance import MaintenancePolicy
+    from cdf_spark.sources.base import ResourceDescriptor
+    from cdf_spark.streaming import StreamingLoadPipeline
+
+    o = orders.select("o_orderkey", "o_totalprice").filter("o_orderkey > 0").limit(800)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    (tmp_path / "in").mkdir()
+    for i in range(4):
+        stage = tempfile.mkdtemp()
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (src,) = sorted(Path(stage).glob("*.parquet"))
+        shutil.move(str(src), str(tmp_path / "in" / f"p{i}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+    dest = HudiMorDestination(tmp_path / "t", record_key="o_orderkey")
+    pipe = StreamingLoadPipeline(
+        descriptor=ResourceDescriptor(resource_id="mor_stream_maint"),
+        source_path=str(tmp_path / "in"),
+        schema=schema,
+        destination=dest,
+        package_root=str(tmp_path / "pkgs"),
+        ledger_root=str(tmp_path / "ledger"),
+        disposition=WriteDisposition.APPEND,
+        reader_options={"maxFilesPerTrigger": 1},
+        maintenance_every_epochs=2,
+        maintenance_policy=MaintenancePolicy(
+            max_dirty_mor_groups=1, hudi_retain_commits=100
+        ),
+    )
+    pipe.run(spark, checkpoint_dir=str(tmp_path / "ck"))
+    assert len([e for e in pipe.epochs if e.receipt_verified]) == 4
+    assert len(pipe.maintenance_reports) == 2
+    assert any("mor_compact" in r["results"] for r in pipe.maintenance_reports)
+    assert dest.read(spark).count() == o.count()
