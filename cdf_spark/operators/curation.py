@@ -475,3 +475,77 @@ def quality_clf_filter(
         score.alias("clf_score"),
         (score >= threshold).alias("kept"),
     )
+
+
+def lm_perplexity_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """N-gram LANGUAGE-MODEL quality signal (r10) — the CCNet/Gopher
+    curation stage this suite was missing: documents scored by the
+    mean negative log-probability of their tokens under a unigram LM
+    with add-one smoothing, trained on the corpus itself (CCNet trains
+    a 5-gram KenLM on a reference corpus and buckets docs by
+    perplexity; a unigram LM over the corpus is the jar-free
+    relational analog — same signal shape: gibberish and boilerplate
+    score high, fluent text low). Returns (id, n_tokens, nll_bits):
+    nll_bits = mean -ln P(token) in 1e-6-bit units / 1e6 — the log2
+    perplexity exponent up to the ln->log2 constant.
+
+    Determinism discipline (the reason this oracles exactly): the
+    per-token log-prob is computed ONCE as a double, then scaled to
+    integer MICRO-NATS (round(ln * 1e6) as BIGINT) BEFORE any
+    aggregation — per-doc sums are exact integer arithmetic, immune
+    to float summation order across partitions and runs; the single
+    final division + round is the only float op after aggregation.
+    DuckDB replays the identical pipeline.
+
+    Scale: tokenize + explode is a narrow map; the LM is one groupBy
+    on tokens (1 shuffle, map-side combined) whose result joins back
+    BROADCAST (a natural-language vocabulary is ~1e5-1e6 rows at any
+    corpus size — the fixed-LM property CCNet relies on); per-doc
+    aggregation is 1 shuffle on doc id. At 100 TB: 2 shuffles + 1
+    broadcast, zero Python anywhere."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_total, v = int(totals["n_total"]), int(totals["v"])
+    # micro-nat integer log-prob per vocab entry: round(ln((c+1)/(N+V)) * 1e6)
+    lm = counts.select(
+        "tok",
+        F.round(
+            (F.log(F.col("c") + F.lit(1.0)) - F.lit(float(__import__("math").log(n_total + v))))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lp_unat"),
+    )
+    scored = (
+        toks.join(F.broadcast(lm), on="tok", how="left")  # corpus-trained: no OOV
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_unat").alias("_sum_unat"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens"),
+            F.round(
+                -F.col("_sum_unat").cast("double")
+                / (F.col("n_tokens").cast("double") * F.lit(1_000_000.0)),
+                round_to,
+            ).alias("nll_nats"),
+        )
+    )
+    return scored

@@ -4363,6 +4363,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "delta_cdf_overwrite_range",
     "hudi_mor_dest_upsert",
     "cross_format_replication_hudi_mor",
+    "lm_perplexity_scores",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -7483,6 +7484,49 @@ def quality_clf_filter_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "lm_perplexity_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id AS _id, t.tok
+      FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM counts),
+    lm AS (
+      SELECT tok,
+             CAST(round((ln(c + 1.0) - ln(CAST(n_total + v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp_unat
+      FROM counts, tot
+    ),
+    agg AS (
+      SELECT _id, COUNT(*) AS n_tokens, SUM(lp_unat) AS s
+      FROM toks JOIN lm USING (tok) GROUP BY _id
+    )
+    SELECT _id AS doc_id, n_tokens,
+           round(-CAST(s AS DOUBLE)/(CAST(n_tokens AS DOUBLE)*1000000.0), 6) AS nll_nats
+    FROM agg
+    """,
+)
+def lm_perplexity_scores_q(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram LM PERPLEXITY quality signal
+    (`operators/curation.lm_perplexity_scores`) — the CCNet/Gopher
+    curation stage between rule filters and classifier scoring:
+    documents ranked by mean negative log-prob of their tokens under
+    an add-one-smoothed unigram LM trained on the corpus (CCNet's
+    KenLM-perplexity bucketing, jar-free relational analog). Exact
+    cross-engine parity comes from the micro-nat integer discipline:
+    each token's log-prob is scaled to round(ln*1e6) AS BIGINT before
+    aggregation, so per-doc sums are exact integers — immune to float
+    summation order across partitions, runs, and engines; DuckDB
+    replays the identical pipeline. 2 shuffles (LM build, per-doc agg)
+    + 1 broadcast (the vocabulary — fixed-size at any corpus scale),
+    zero Python."""
+    from .operators.curation import lm_perplexity_scores
+
+    return lm_perplexity_scores(_t(spark, sf, "documents"))
+
+
+@_register(
     "c4_line_filter_docs",
     """
     WITH m AS (
@@ -7870,6 +7914,7 @@ def cross_format_replication_hudi(spark: SparkSession, sf: str) -> DataFrame:
 
 @_register(
     "cross_format_replication_hudi_mor",
+    "lm_perplexity_scores",
     """
     WITH base AS (
       SELECT o_orderkey, o_totalprice FROM orders

@@ -242,3 +242,23 @@ def test_normalizers_idempotent_on_generated_batch(spark):
         ~F.col("html_ok") | ~F.col("clean_ok") | ~F.col("nfc_ok") | ~F.col("url_ok")
     ).collect()
     assert not bad, bad[:5]
+
+
+def test_lm_perplexity_scores_semantics(spark):
+    """Common-token documents score LOWER mean NLL than rare-token
+    documents under the corpus-trained unigram LM; integer micro-nat
+    sums make the score exactly reproducible run-to-run."""
+    from cdf_spark.operators.curation import lm_perplexity_scores
+
+    rows = [
+        ("common", "the the the cat sat on the mat the end"),
+        ("mixed", "the cat contemplated quixotic zephyrs"),
+        ("rare", "quixotic zephyrs vex jumbled sphinxes"),
+    ] + [(f"filler{i}", "the cat sat on the mat again and again") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r for r in lm_perplexity_scores(df).collect()}
+    assert got["common"].nll_nats < got["mixed"].nll_nats < got["rare"].nll_nats
+    assert got["common"].n_tokens == 10
+    # exact reproducibility across a second independent run
+    got2 = {r.doc_id: r.nll_nats for r in lm_perplexity_scores(df).collect()}
+    assert got2 == {k: v.nll_nats for k, v in got.items()}
