@@ -4364,6 +4364,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hudi_mor_dest_upsert",
     "cross_format_replication_hudi_mor",
     "lm_perplexity_scores",
+    "ccnet_perplexity_buckets",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -7527,6 +7528,63 @@ def lm_perplexity_scores_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "ccnet_perplexity_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id AS _id, t.tok
+      FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM counts),
+    lm AS (
+      SELECT tok,
+             CAST(round((ln(c + 1.0) - ln(CAST(n_total + v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp_unat
+      FROM counts, tot
+    ),
+    agg AS (
+      SELECT _id, COUNT(*) AS n_tokens, SUM(lp_unat) AS s
+      FROM toks JOIN lm USING (tok) GROUP BY _id
+    ),
+    scored AS (
+      SELECT _id AS doc_id,
+             round(-CAST(s AS DOUBLE)/(CAST(n_tokens AS DOUBLE)*1000000.0), 6) AS nll_nats
+      FROM agg
+    )
+    SELECT d.doc_id, d.lang, sc.nll_nats,
+           NTILE(3) OVER (PARTITION BY d.lang ORDER BY sc.nll_nats, d.doc_id) AS ppl_bucket
+    FROM documents d JOIN scored sc ON d.doc_id = sc.doc_id
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's PERPLEXITY BUCKETING: per language, documents split
+    into head/middle/tail terciles by LM score (bucket 1 = most
+    fluent) — the standard way LM quality becomes a sampling weight
+    for training-data mixes (head oversampled, tail dropped or
+    down-weighted). Composes `lm_perplexity_scores` with one window
+    (NTILE over (lang) partitions, ties broken by doc_id for
+    determinism). Adds ONE shuffle on lang to the LM pipeline; at
+    100 TB the per-language windows are independent and parallel."""
+    from pyspark.sql.window import Window
+
+    from .operators.curation import lm_perplexity_scores
+
+    docs = _t(spark, sf, "documents")
+    scores = lm_perplexity_scores(docs).select("doc_id", "nll_nats")
+    w = Window.partitionBy("lang").orderBy("nll_nats", "doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "nll_nats",
+            F.ntile(3).over(w).alias("ppl_bucket"),
+        )
+    )
+
+
+@_register(
     "c4_line_filter_docs",
     """
     WITH m AS (
@@ -7914,7 +7972,6 @@ def cross_format_replication_hudi(spark: SparkSession, sf: str) -> DataFrame:
 
 @_register(
     "cross_format_replication_hudi_mor",
-    "lm_perplexity_scores",
     """
     WITH base AS (
       SELECT o_orderkey, o_totalprice FROM orders
