@@ -549,3 +549,97 @@ def lm_perplexity_scores(
         )
     )
     return scored
+
+
+def lm_bigram_perplexity_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """BIGRAM LM perplexity (r10) — one order up from
+    `lm_perplexity_scores`, the n-gram generalization CCNet's 5-gram
+    KenLM sits on: each document scored by the mean negative log-prob
+    of its token sequence under P(w2|w1) with add-one smoothing over
+    the corpus-trained bigram table (first token scored by the unigram
+    LM). Fluent word ORDER now matters, not just word choice — a
+    bag-of-common-words doc that reads as gibberish scores high here
+    and low on the unigram signal.
+
+    Same micro-nat integer discipline as the unigram LM (exact
+    order-independent sums, engine-exact oracle). Scale: tokenize +
+    lead() pair building costs one shuffle on doc id; the bigram table
+    is NOT broadcast (distinct bigrams grow with the corpus, unlike
+    the unigram vocabulary) — the transition scoring join is a plain
+    shuffle equi-join on (w1, w2), the deploy lever at 100 TB being a
+    top-K bigram cap + backoff. 4 shuffles total, zero Python."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    seq = toks.withColumn("w2", F.lead("tok").over(w))
+    trans = seq.filter(F.col("w2").isNotNull()).select(
+        "_id", F.col("tok").alias("w1"), "w2"
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    n_total, v = int(totals["n"]), int(totals["v"])
+    c12 = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lm2 = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            (
+                F.log(F.col("c12") + F.lit(1.0))
+                - F.log((F.col("c1") + F.lit(v)).cast("double"))
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lp2"),
+    )
+    lm1 = uni.select(
+        "tok",
+        F.round(
+            (F.log(F.col("c") + F.lit(1.0)) - F.lit(float(math.log(n_total + v))))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lp1"),
+    )
+    first = (
+        seq.filter(F.col("pos") == 0)
+        .join(F.broadcast(lm1), on="tok")
+        .groupBy("_id")
+        .agg(F.sum("lp1").alias("s1"))
+    )
+    tr = (
+        trans.join(lm2, on=["w1", "w2"])
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_trans"), F.sum("lp2").alias("s2"))
+    )
+    return (
+        first.join(tr, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            (F.coalesce(F.col("n_trans"), F.lit(0)) + F.lit(1)).alias("n_tokens"),
+            F.round(
+                -(F.col("s1") + F.coalesce(F.col("s2"), F.lit(0))).cast("double")
+                / (
+                    (F.coalesce(F.col("n_trans"), F.lit(0)) + F.lit(1)).cast("double")
+                    * F.lit(1_000_000.0)
+                ),
+                round_to,
+            ).alias("nll_nats"),
+        )
+    )

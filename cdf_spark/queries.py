@@ -4365,6 +4365,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "cross_format_replication_hudi_mor",
     "lm_perplexity_scores",
     "ccnet_perplexity_buckets",
+    "lm_bigram_perplexity",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -7582,6 +7583,71 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
             F.ntile(3).over(w).alias("ppl_bucket"),
         )
     )
+
+
+@_register(
+    "lm_bigram_perplexity",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    toks AS (
+      SELECT d.doc_id AS _id, u.tok, u.ord
+      FROM docs d,
+      LATERAL (SELECT unnest(d.arr) AS tok, generate_subscripts(d.arr, 1) AS ord) u
+    ),
+    seq AS (
+      SELECT _id, tok, ord,
+             lead(tok) OVER (PARTITION BY _id ORDER BY ord) AS w2
+      FROM toks
+    ),
+    trans AS (SELECT _id, tok AS w1, w2 FROM seq WHERE w2 IS NOT NULL),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM uni),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM trans GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    lm2 AS (
+      SELECT c12.w1, c12.w2,
+             CAST(round((ln(c12 + 1.0) - ln(CAST(c1.c1 + tot.v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp2
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN tot
+    ),
+    lm1 AS (
+      SELECT tok,
+             CAST(round((ln(c + 1.0) - ln(CAST(n_total + v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp1
+      FROM uni CROSS JOIN tot
+    ),
+    first AS (
+      SELECT s._id, SUM(l.lp1) AS s1
+      FROM seq s JOIN lm1 l ON s.tok = l.tok WHERE s.ord = 1 GROUP BY s._id
+    ),
+    tr AS (
+      SELECT t._id, COUNT(*) AS n_trans, SUM(l.lp2) AS s2
+      FROM trans t JOIN lm2 l ON t.w1 = l.w1 AND t.w2 = l.w2 GROUP BY t._id
+    )
+    SELECT f._id AS doc_id,
+           COALESCE(tr.n_trans, 0) + 1 AS n_tokens,
+           round(-CAST(f.s1 + COALESCE(tr.s2, 0) AS DOUBLE)
+                 / (CAST(COALESCE(tr.n_trans, 0) + 1 AS DOUBLE) * 1000000.0), 6) AS nll_nats
+    FROM first f LEFT JOIN tr ON f._id = tr._id
+    """,
+)
+def lm_bigram_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram LM perplexity
+    (`operators/curation.lm_bigram_perplexity_scores`): P(w2|w1) with
+    add-one smoothing over the corpus-trained transition table, first
+    token under the unigram LM — word ORDER now carries signal, the
+    n-gram step toward CCNet's 5-gram KenLM. Exactness via the same
+    micro-nat integer sums; the transition-scoring join is a plain
+    shuffle equi-join (bigram tables grow with the corpus and must not
+    broadcast — the deploy lever at 100 TB is a top-K bigram cap with
+    backoff). The oracle replays the identical pipeline including the
+    lead() pair construction."""
+    from .operators.curation import lm_bigram_perplexity_scores
+
+    return lm_bigram_perplexity_scores(_t(spark, sf, "documents"))
 
 
 @_register(

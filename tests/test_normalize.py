@@ -262,3 +262,26 @@ def test_lm_perplexity_scores_semantics(spark):
     # exact reproducibility across a second independent run
     got2 = {r.doc_id: r.nll_nats for r in lm_perplexity_scores(df).collect()}
     assert got2 == {k: v.nll_nats for k, v in got.items()}
+
+
+def test_lm_bigram_perplexity_orders_by_fluency(spark):
+    """Word ORDER carries signal under the bigram LM: a document made
+    of corpus-frequent TRANSITIONS scores lower than a shuffled
+    bag of the same common words."""
+    from cdf_spark.operators.curation import (
+        lm_bigram_perplexity_scores,
+        lm_perplexity_scores,
+    )
+
+    fluent = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"  # same multiset of words
+    rows = [("fluent", fluent), ("shuffled", shuffled)] + [
+        (f"bg{i}", fluent) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    bg = {r.doc_id: r.nll_nats for r in lm_bigram_perplexity_scores(df).collect()}
+    assert bg["fluent"] < bg["shuffled"]  # order matters to the bigram LM
+    un = {r.doc_id: r.nll_nats for r in lm_perplexity_scores(df).collect()}
+    assert un["fluent"] == un["shuffled"]  # ...and not to the unigram LM
+    got = lm_bigram_perplexity_scores(df).collect()
+    assert all(r.n_tokens == 6 for r in got)
