@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     # and the zero-shuffle repetition/diversity projection
     "decontamination_check_fast",
     "repetition_quality",
+    # round 10: the LM-quality layer — unigram perplexity (2 shuffles
+    # + broadcast vocab) and the order-sensitive bigram variant (adds
+    # the lead() pairing + a non-broadcast transition join)
+    "lm_perplexity_scores",
+    "lm_bigram_perplexity",
     # round 2: the two heaviest new TPC-H shapes (5-way and 4-way
     # join aggregations) — plan-quality sentinels for join strategy
     "q9_product_type_profit",
