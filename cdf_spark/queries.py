@@ -4366,6 +4366,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "lm_perplexity_scores",
     "ccnet_perplexity_buckets",
     "lm_bigram_perplexity",
+    "llm_curation_pipeline_v2",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -7781,6 +7782,117 @@ def llm_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         & (quality_clf_score(F.col("text")) >= 0.75)
     )
     kept = docs.filter(keep)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
+    ded = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return ded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+    )
+
+
+@_register(
+    "llm_curation_pipeline_v2",
+    """
+    WITH toksrc AS (
+      SELECT doc_id AS _id, t.tok
+      FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toksrc GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM counts),
+    lm AS (
+      SELECT tok,
+             CAST(round((ln(c + 1.0) - ln(CAST(n_total + v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp_unat
+      FROM counts, tot
+    ),
+    lmscore AS (
+      SELECT _id AS doc_id,
+             round(-CAST(SUM(lp_unat) AS DOUBLE)/(CAST(COUNT(*) AS DOUBLE)*1000000.0), 6) AS nll_nats
+      FROM toksrc JOIN lm USING (tok) GROUP BY _id
+    ),
+    buckets AS (
+      SELECT d.doc_id,
+             NTILE(3) OVER (PARTITION BY d.lang ORDER BY sc.nll_nats, d.doc_id) AS ppl_bucket
+      FROM documents d JOIN lmscore sc ON d.doc_id = sc.doc_id
+    ),
+    f AS (
+      SELECT doc_id, lang, text, trim(text) AS t, length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) AS BIGINT) + 1
+        END AS n_words,
+        CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')) AS BIGINT)/3
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')) AS BIGINT)/4 AS n_stop,
+        (length(text) - length(replace(text, '.', '')))
+          + (length(text) - length(replace(text, ',', '')))
+          + (length(text) - length(replace(text, '!', '')))
+          + (length(text) - length(replace(text, '?', '')))
+          + (length(text) - length(replace(text, ';', ''))) AS n_punct
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, text, n_words,
+        round(CASE WHEN n_words > 0 THEN CAST(length(t) - (n_words - 1) AS DOUBLE)/n_words ELSE 0.0 END, 4) AS mwl,
+        CAST((CASE WHEN contains(' '||t||' ', ' the ') THEN 1 ELSE 0 END)
+           + (CASE WHEN contains(' '||t||' ', ' a ') THEN 1 ELSE 0 END)
+           + (CASE WHEN contains(' '||t||' ', ' and ') THEN 1 ELSE 0 END)
+           + (CASE WHEN contains(' '||t||' ', ' of ') THEN 1 ELSE 0 END) AS INTEGER) AS n_sw,
+        round(CASE WHEN n_words > 0
+                   THEN CAST(len(list_filter(list_filter(str_split(t, ' '), w -> length(w) > 0),
+                                             w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)/n_words
+                   ELSE 0.0 END, 6) AS alpha_ratio,
+        round(CASE WHEN n_words > 0 THEN CAST(length(t) - (n_words - 1) AS DOUBLE)/n_words ELSE 0.0 END, 4) AS atl,
+        round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS pr,
+        round(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END, 6) AS sr
+      FROM f
+    ), kept AS (
+      SELECT g.doc_id, g.lang, g.text, g.n_words
+      FROM g JOIN buckets b ON g.doc_id = b.doc_id
+      WHERE n_words >= 30 AND n_words <= 90
+        AND mwl >= 3.9 AND mwl <= 5.1
+        AND n_sw >= 2 AND alpha_ratio >= 0.8
+        AND round(1.0/(1.0 + exp(-(-1.5 + CAST(n_words AS DOUBLE) * 0.02 + atl * 0.35 + sr * 6.0 + pr * (-4.0)))), 6) >= 0.75
+        AND b.ppl_bucket <= 2
+    ), ded AS (
+      SELECT doc_id, lang, n_words
+      FROM kept
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_tokens
+    FROM ded GROUP BY lang
+    """,
+)
+def llm_curation_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL modern curation stack in one composed pipeline (r10):
+    Gopher rule filter -> classifier filter -> CCNet LM-perplexity
+    tercile gate (per-language tail bucket dropped) -> exact dedup ->
+    per-language token accounting. This is the rules+model+LM
+    composition the production pipelines (CCNet, Gopher, DCLM) run:
+    rules catch structural garbage, the classifier ranks form, the LM
+    catches fluent-looking token soup the other two pass. Plan shape:
+    the rule/classifier predicates stay fused in one scan pass; the
+    LM adds its 2 aggregation shuffles + the broadcast vocabulary;
+    the tercile gate is one window on lang; dedup is one fingerprint
+    shuffle — at 100 TB the data passes stay O(1) and every shuffle
+    is on a bounded or well-distributed key."""
+    from .operators.curation import gopher_rules, lm_perplexity_scores, quality_clf_score
+    from .operators.text import token_count
+
+    docs = _t(spark, sf, "documents")
+    scores = lm_perplexity_scores(docs).select("doc_id", "nll_nats")
+    wb = Window.partitionBy("lang").orderBy("nll_nats", "doc_id")
+    buckets = (
+        docs.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .select("doc_id", F.ntile(3).over(wb).alias("ppl_bucket"))
+    )
+    r = gopher_rules(F.col("text"))
+    keep = (
+        r["rule_min_words"] & r["rule_max_words"] & r["rule_mean_word_len"]
+        & r["rule_stopwords"] & r["rule_alpha_words"]
+        & (quality_clf_score(F.col("text")) >= 0.75)
+    )
+    kept = docs.filter(keep).join(buckets, "doc_id").filter(F.col("ppl_bucket") <= 2)
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
     ded = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return ded.groupBy("lang").agg(
