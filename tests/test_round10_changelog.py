@@ -217,3 +217,104 @@ def test_changelog_between_timestamps(spark, tmp_path, orders):
         t.changelog_scan_between_timestamps(spark, 3_000, 3_500)
     with pytest.raises(Exception, match="at or before"):
         t.changelog_scan_between_timestamps(spark, None, 10)
+
+
+@pytest.mark.parametrize(
+    "ops",
+    [
+        ("append", "overwrite"),
+        ("append", "upsert", "overwrite"),
+        ("append", "overwrite", "upsert"),
+        ("append", "delete_eq", "overwrite", "append"),
+        ("append", "overwrite", "overwrite"),
+        ("append", "upsert", "delete_eq", "overwrite", "upsert"),
+    ],
+)
+def test_changelog_replay_reconstructs_final_state(spark, tmp_path, orders, ops):
+    """REPLAY PROPERTY, the CDC consumer's contract: for ANY commit
+    sequence (appends, equality-delete upserts, keyed deletes, CoW
+    overwrites), initial-state + changelog deltas applied in snapshot
+    order == final snapshot, as multisets. This is what net-change
+    correctness MEANS — a leaked false pair, a missed delete, or a
+    double-counted insert breaks the reconstruction."""
+    from collections import Counter
+
+    o = orders.select("o_orderkey", "o_totalprice")
+
+    def rows(df):
+        return Counter((r.o_orderkey, r.o_totalprice) for r in df.collect())
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=hash(ops) % 1000 + 1)
+    w.append(o.filter("o_orderkey > 0 and o_orderkey <= 120"), timestamp_ms=1_000)
+    t0 = IcebergTable(tmp_path / "t")
+    s0 = t0.current_snapshot_id()
+    initial = rows(t0.read(spark))
+
+    ts = 2_000
+    for i, op in enumerate(ops):
+        lo = 20 * (i + 1)
+        if op == "append":
+            w.append(
+                o.filter(f"o_orderkey > {120 + 40 * i} and o_orderkey <= {160 + 40 * i}"),
+                timestamp_ms=ts,
+            )
+        elif op == "upsert":
+            w.upsert(
+                o.filter(f"o_orderkey > {lo} and o_orderkey <= {lo + 30}").withColumn(
+                    "o_totalprice", F.lit(-float(i + 1))
+                ),
+                ["o_orderkey"],
+                timestamp_ms=ts,
+            )
+        elif op == "delete_eq":
+            keys = [
+                {"o_orderkey": r.o_orderkey}
+                for r in IcebergTable(tmp_path / "t")
+                .read(spark)
+                .filter(f"o_orderkey > {lo} and o_orderkey <= {lo + 15}")
+                .select("o_orderkey")
+                .collect()
+            ]
+            if not keys:
+                continue
+            w.delete_equality(keys, ["o_orderkey"], timestamp_ms=ts)
+        elif op == "overwrite":
+            cur = IcebergTable(tmp_path / "t").read(spark)
+            # CoW rewrite: keep a prefix unchanged, restate a slice
+            w.overwrite(
+                cur.filter("o_orderkey <= 200").unionByName(
+                    cur.filter("o_orderkey > 200").withColumn(
+                        "o_totalprice", F.lit(-99.0)
+                    )
+                ),
+                timestamp_ms=ts,
+            )
+        ts += 1_000
+
+    t = IcebergTable(tmp_path / "t")
+    final = rows(t.read(spark))
+    ch = t.changelog_scan(spark, from_snapshot_id=s0)
+    # apply deltas in snapshot order (the ancestry walk already yields
+    # oldest-first; group by _snapshot_id to respect commit boundaries)
+    state = Counter(initial)
+    sid_order = []
+    for r in ch.select("_snapshot_id").distinct().collect():
+        sid_order.append(r._snapshot_id)
+    chain = [int(s["snapshot-id"]) for s in reversed(t.ancestry())]
+    sid_order.sort(key=chain.index)
+    by_sid = {}
+    for r in ch.collect():
+        by_sid.setdefault(r._snapshot_id, []).append(r)
+    for sid in sid_order:
+        for r in by_sid[sid]:
+            key = (r.o_orderkey, r.o_totalprice)
+            if r._change_type == "delete":
+                state[key] -= 1
+                if state[key] == 0:
+                    del state[key]
+            else:
+                state[key] += 1
+    assert state == final, (
+        f"replay diverged for ops={ops}: "
+        f"missing={final - state} extra={state - final}"
+    )
