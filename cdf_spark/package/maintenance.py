@@ -216,9 +216,33 @@ def _plan_hudi(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction]
                 )
             )
     else:
-        from ..sources.hudi import HudiTable
+        from ..sources.hudi import HudiError, HudiTable
 
         t = HudiTable(root)
+        # CoW small-file debt: enough under-threshold file groups in
+        # one partition make CLUSTERING due (Hudi's replacecommit
+        # layout optimizer — the trio twin of Iceberg bin-pack /
+        # Delta OPTIMIZE)
+        from collections import defaultdict
+
+        try:
+            by_part: dict[str, int] = defaultdict(int)
+            for _fid, part, path in t.live_file_groups():
+                if Path(path).stat().st_size < policy.small_file_bytes:
+                    by_part[part] += 1
+            worst = max(by_part.values(), default=0)
+            if worst >= policy.min_small_files:
+                actions.append(
+                    MaintenanceAction(
+                        "hudi_cluster",
+                        f"{worst} file group(s) under "
+                        f"{policy.small_file_bytes >> 20} MiB share a partition "
+                        f"(threshold {policy.min_small_files})",
+                        {"small_groups_worst_partition": worst},
+                    )
+                )
+        except HudiError:
+            pass
     res = t.clean(retain_commits=policy.hudi_retain_commits, dry_run=True)
     if res["deleted"]:
         actions.append(
@@ -333,6 +357,15 @@ def run_maintenance(
                     ],
                 )
                 results[act.action] = {"instant": w_mor.compact(spark)}
+            elif act.action == "hudi_cluster":
+                from ..sources.hudi import HudiFixtureWriter
+
+                results[act.action] = HudiFixtureWriter(root).cluster_small_file_groups(
+                    spark,
+                    small_bytes=policy.small_file_bytes,
+                    target_bytes=policy.target_file_bytes,
+                    min_small_groups=policy.min_small_files,
+                )
             elif act.action == "clean":
                 if _is_hudi_mor(root):
                     from ..sources.hudi_mor import HudiMorTable

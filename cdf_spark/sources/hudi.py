@@ -560,6 +560,81 @@ class HudiFixtureWriter:
         (self.hoodie_dir / f"{instant}.replacecommit").write_text(json.dumps(meta, indent=1))
         return instant
 
+    def cluster_small_file_groups(
+        self,
+        spark: SparkSession,
+        small_bytes: int = 32 << 20,
+        target_bytes: int = 128 << 20,
+        min_small_groups: int = 2,
+    ) -> dict:
+        """CLUSTERING (r10) — Hudi's small-file layout optimizer as a
+        partial `.replacecommit`: per partition, live file groups whose
+        base file is under `small_bytes` merge into new right-sized
+        group(s) (ceil(total/target) files); ONLY those group ids land
+        in `partitionToReplaceFileIds`, so untouched groups stay live
+        and time travel to pre-cluster instants still resolves (no file
+        deleted — the cleaner reclaims). The CoW twin of Iceberg
+        bin-pack / Delta OPTIMIZE, completing maintenance symmetry
+        across the destination trio. One distributed read+write over
+        the small groups only; control moves O(groups) paths."""
+        import math
+        import shutil
+        import tempfile
+        from collections import defaultdict
+
+        t = HudiTable(self.root)
+        try:
+            live = t.live_file_groups()
+        except HudiError:
+            return {"clustered_groups": 0, "new_groups": 0}
+        by_part: dict[str, list[tuple[str, str, int]]] = defaultdict(list)
+        for fid, part, path in live:
+            sz = Path(path).stat().st_size
+            if sz < small_bytes:
+                by_part[part].append((fid, path, sz))
+        todo = {p: g for p, g in by_part.items() if len(g) >= min_small_groups}
+        if not todo:
+            return {"clustered_groups": 0, "new_groups": 0}
+        instant = self._next_instant()
+        stats: dict[str, list[dict]] = {}
+        replaced: dict[str, list[str]] = {}
+        n_new = 0
+        for part, smalls in sorted(todo.items()):
+            merged = spark.read.option("mergeSchema", "true").parquet(
+                *[p for _f, p, _s in smalls]
+            )
+            k = max(1, math.ceil(sum(s for _f, _p, s in smalls) / target_bytes))
+            tmp = tempfile.mkdtemp(prefix="hudi_cluster_")
+            try:
+                merged.coalesce(k).write.mode("overwrite").parquet(tmp)
+                base = "c" + uuid.uuid4().hex[:8]
+                rel_dir = self.root / part if part else self.root
+                rel_dir.mkdir(parents=True, exist_ok=True)
+                for i, src in enumerate(sorted(Path(tmp).glob("*.parquet"))):
+                    fid = base if i == 0 else f"{base}-{i}"
+                    rel = (f"{part}/" if part else "") + f"{fid}_0-0-0_{instant}.parquet"
+                    shutil.move(str(src), str(self.root / rel))
+                    stats.setdefault(part, []).append(
+                        {"fileId": fid, "path": rel, "numWrites": -1}
+                    )
+                    n_new += 1
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            replaced[part] = sorted(f for f, _p, _s in smalls)
+        meta = {
+            "partitionToWriteStats": stats,
+            "partitionToReplaceFileIds": replaced,
+            "operationType": "CLUSTER",
+        }
+        (self.hoodie_dir / f"{instant}.replacecommit").write_text(
+            json.dumps(meta, indent=1)
+        )
+        return {
+            "clustered_groups": sum(len(v) for v in replaced.values()),
+            "new_groups": n_new,
+            "instant": instant,
+        }
+
     def commit_file_groups(
         self,
         groups: list[tuple[str, str, list[str]]],

@@ -293,3 +293,67 @@ def test_mor_compaction_planned_and_converges(spark, tmp_path, orders):
     assert not any(
         a.action == "mor_compact" for a in plan_maintenance(tmp_path / "t", pol)
     )
+
+
+def test_hudi_cluster_planned_and_converges(spark, tmp_path, orders):
+    """r10: the autopilot plans Hudi CoW CLUSTERING when enough small
+    file groups share a partition, executes it as a partial
+    replacecommit (only the small groups replaced — big groups stay
+    live untouched), and a re-plan finds nothing due."""
+    from cdf_spark.package.maintenance import (
+        MaintenancePolicy,
+        plan_maintenance,
+        run_maintenance,
+    )
+
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = HudiFixtureWriter(tmp_path / "t")
+    for lo in range(0, 400, 100):  # 4 small single-group commits
+        w.commit(o.filter(f"o_orderkey > {lo} and o_orderkey <= {lo + 100}"))
+    t = HudiTable(tmp_path / "t")
+    pre_groups = t.live_file_groups()
+    assert len(pre_groups) == 4
+    pol = MaintenancePolicy(small_file_bytes=1 << 30, min_small_files=3)
+    plan = plan_maintenance(tmp_path / "t", pol)
+    assert any(a.action == "hudi_cluster" for a in plan)
+    before = t.read(spark).count()
+    res = run_maintenance(spark, tmp_path / "t", pol)
+    assert res["results"]["hudi_cluster"]["clustered_groups"] == 4
+    t2 = HudiTable(tmp_path / "t")
+    post = t2.live_file_groups()
+    assert len(post) < 4  # merged toward target size
+    assert t2.read(spark).count() == before  # no logical change
+    # time travel to the pre-cluster instant still resolves
+    first = t2.instants()[0]
+    assert t2.read(spark, instant=first).count() == o.filter(
+        "o_orderkey > 0 and o_orderkey <= 100"
+    ).count()
+    assert not any(
+        a.action == "hudi_cluster" for a in plan_maintenance(tmp_path / "t", pol)
+    )
+
+
+def test_hudi_cluster_partial_keeps_big_groups(spark, tmp_path, orders):
+    """Clustering replaces ONLY the small groups: a big group keeps its
+    original live file byte-identical."""
+    from cdf_spark.sources.hudi import HudiFixtureWriter as W
+
+    o = orders.select("o_orderkey", "o_totalprice")
+    w = W(tmp_path / "t")
+    w.commit(o.filter("o_orderkey <= 1200"))  # the "big" group
+    w.commit(o.filter("o_orderkey > 1200 and o_orderkey <= 1250"))
+    w.commit(o.filter("o_orderkey > 1250 and o_orderkey <= 1300"))
+    t = HudiTable(tmp_path / "t")
+    big_path = max(
+        ((p, __import__("pathlib").Path(p).stat().st_size) for _f, _pt, p in t.live_file_groups()),
+        key=lambda x: x[1],
+    )[0]
+    big_size = __import__("pathlib").Path(big_path).stat().st_size
+    res = w.cluster_small_file_groups(
+        spark, small_bytes=big_size, target_bytes=1 << 30, min_small_groups=2
+    )
+    assert res["clustered_groups"] == 2 and res["new_groups"] == 1
+    t2 = HudiTable(tmp_path / "t")
+    post_paths = [p for _f, _pt, p in t2.live_file_groups()]
+    assert big_path in post_paths  # untouched group still live, same file
+    assert t2.read(spark).count() == o.filter("o_orderkey <= 1300").count()
