@@ -643,3 +643,108 @@ def lm_bigram_perplexity_scores(
             ).alias("nll_nats"),
         )
     )
+
+
+class LMIndex:
+    """Persisted INCREMENTAL unigram LM for a GROWING corpus (r10) —
+    the quality-scoring analog of `dedup_approx.MinHashLSHIndex`:
+    `lm_perplexity_scores` re-trains the LM over the whole corpus per
+    call, which is the wrong shape once the corpus is continuously
+    ingested; this index stores the vocabulary counts once and folds
+    each new batch in with O(batch) token work + an O(vocab) merge
+    rewrite (a natural-language vocabulary is bounded, so the rewrite
+    amortizes to a constant), then scores any batch against the
+    CURRENT LM without touching the corpus.
+
+    Layout under `root/`: `counts_v<N>/` parquet (tok, c) + `meta.json`
+    {version, n_total, v} — updates write the NEXT version directory
+    and swap the meta pointer last, so a crashed update leaves the
+    index at the old version (same staged-commit discipline as the
+    destinations). Scoring uses the identical micro-nat integer
+    log-prob pipeline as `lm_perplexity_scores`; tokens the index has
+    never seen score at the add-one floor 1/(N+V)."""
+
+    def __init__(self, root):
+        from pathlib import Path as _P
+
+        self.root = _P(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _meta(self) -> dict | None:
+        import json as _json
+
+        p = self.root / "meta.json"
+        return _json.loads(p.read_text()) if p.exists() else None
+
+    @staticmethod
+    def _toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: x != "",
+                )
+            ).alias("tok"),
+        )
+
+    def update(self, spark, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> dict:
+        import json as _json
+
+        batch = self._toks(df, text_col, id_col).groupBy("tok").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        meta = self._meta()
+        if meta is None:
+            merged, version = batch, 1
+        else:
+            cur = spark.read.parquet(str(self.root / f"counts_v{meta['version']}"))
+            merged = (
+                cur.unionByName(batch).groupBy("tok").agg(F.sum("c").alias("c"))
+            )
+            version = int(meta["version"]) + 1
+        out = self.root / f"counts_v{version}"
+        merged.write.mode("overwrite").parquet(str(out))
+        stats = spark.read.parquet(str(out)).agg(
+            F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+        ).collect()[0]
+        new_meta = {"version": version, "n_total": int(stats["n"]), "v": int(stats["v"])}
+        (self.root / "meta.json").write_text(_json.dumps(new_meta))  # the swap
+        return new_meta
+
+    def score(self, spark, df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 6) -> DataFrame:
+        import math
+
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("LMIndex is empty — update() first")
+        n_total, v = int(meta["n_total"]), int(meta["v"])
+        counts = spark.read.parquet(str(self.root / f"counts_v{meta['version']}"))
+        ln_denom = float(math.log(n_total + v))
+        lm = counts.select(
+            "tok",
+            F.round(
+                (F.log(F.col("c") + F.lit(1.0)) - F.lit(ln_denom)) * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("lp_unat"),
+        )
+        oov = int(round((0.0 - ln_denom) * 1_000_000.0))  # add-one floor ln(1/(N+V))
+        toks = self._toks(df, text_col, id_col)
+        return (
+            toks.join(F.broadcast(lm), on="tok", how="left")
+            .groupBy("_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum(F.coalesce(F.col("lp_unat"), F.lit(oov))).alias("_s"),
+            )
+            .select(
+                F.col("_id").alias(id_col),
+                "n_tokens",
+                F.round(
+                    -F.col("_s").cast("double")
+                    / (F.col("n_tokens").cast("double") * F.lit(1_000_000.0)),
+                    round_to,
+                ).alias("nll_nats"),
+            )
+        )

@@ -4367,6 +4367,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ccnet_perplexity_buckets",
     "lm_bigram_perplexity",
     "llm_curation_pipeline_v2",
+    "lm_index_incremental",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -7649,6 +7650,56 @@ def lm_bigram_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.curation import lm_bigram_perplexity_scores
 
     return lm_bigram_perplexity_scores(_t(spark, sf, "documents"))
+
+
+@_register(
+    "lm_index_incremental",
+    """
+    WITH toks AS (
+      SELECT doc_id AS _id, t.tok
+      FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM counts),
+    lm AS (
+      SELECT tok,
+             CAST(round((ln(c + 1.0) - ln(CAST(n_total + v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp_unat
+      FROM counts, tot
+    ),
+    agg AS (
+      SELECT _id, COUNT(*) AS n_tokens, SUM(lp_unat) AS s
+      FROM toks JOIN lm USING (tok) GROUP BY _id
+    )
+    SELECT _id AS doc_id, n_tokens,
+           round(-CAST(s AS DOUBLE)/(CAST(n_tokens AS DOUBLE)*1000000.0), 6) AS nll_nats
+    FROM agg
+    """,
+)
+def lm_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL persisted LM (`operators/curation.LMIndex`) — the
+    growing-corpus shape: the corpus folds in through THREE
+    incremental `update()` batches (each O(batch) token work + an
+    O(vocab) merge whose cost is bounded by the natural-language
+    vocabulary, with a version-directory swap that survives crashes),
+    then every document scores against the stored LM with zero corpus
+    work. Because add-one counts are exact integers, the fully-folded
+    index is BIT-IDENTICAL to the one-shot corpus LM — so the oracle
+    is the same relational recompute, and any drift in the merge
+    (lost batch, double count, stale version read) hash-mismatches."""
+    from .operators.curation import LMIndex
+
+    def build(tmp: str) -> None:
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        idx = LMIndex(f"{tmp}/lm")
+        third = F.abs(F.xxhash64("doc_id")) % 3
+        for i in range(3):
+            idx.update(spark, docs.filter(third == i))
+
+    tmp = _session_fixture("lm_index", sf, build)
+    return LMIndex(f"{tmp}/lm").score(
+        spark, _t(spark, sf, "documents").select("doc_id", "text")
+    )
 
 
 @_register(

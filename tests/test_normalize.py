@@ -285,3 +285,54 @@ def test_lm_bigram_perplexity_orders_by_fluency(spark):
     assert un["fluent"] == un["shuffled"]  # ...and not to the unigram LM
     got = lm_bigram_perplexity_scores(df).collect()
     assert all(r.n_tokens == 6 for r in got)
+
+
+def test_lm_index_incremental_matches_batch_lm(spark, tmp_path):
+    """After folding the corpus in through TWO incremental updates,
+    index scores equal the one-shot corpus-trained LM EXACTLY (same
+    counts -> same micro-nat integers); a crashed update leaves the
+    index at its old version; unseen tokens score at the add-one
+    floor."""
+    from cdf_spark.operators.curation import LMIndex, lm_perplexity_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    half1 = docs.filter("doc_id like '%0' or doc_id like '%1' or doc_id like '%2'")
+    half2 = docs.exceptAll(half1)
+    idx = LMIndex(tmp_path / "lm")
+    m1 = idx.update(spark, half1)
+    m2 = idx.update(spark, half2)
+    assert m2["version"] == 2 and m2["n_total"] > m1["n_total"]
+    got = {r.doc_id: (r.n_tokens, r.nll_nats) for r in idx.score(spark, docs).collect()}
+    want = {
+        r.doc_id: (r.n_tokens, r.nll_nats)
+        for r in lm_perplexity_scores(docs).collect()
+    }
+    assert got == want  # exact equality, not approximate
+    # unseen tokens score at the add-one floor (worse than anything seen)
+    probe = spark.createDataFrame(
+        [("new", "zzqqxxyy zzqqxxyy wwvvuu")], "doc_id string, text string"
+    )
+    floor = idx.score(spark, probe).collect()[0]
+    assert floor.nll_nats >= max(v[1] for v in want.values())
+    # crashed update (write fails) leaves version + scores unchanged
+    import pyspark.sql.readwriter as _rw
+    real_parquet = _rw.DataFrameWriter.parquet
+
+    def boom(self, path, *a, **kw):
+        if "counts_v3" in str(path):
+            raise OSError("simulated crash mid-update")
+        return real_parquet(self, path, *a, **kw)
+
+    _rw.DataFrameWriter.parquet = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(OSError):
+            idx.update(spark, probe)
+    finally:
+        _rw.DataFrameWriter.parquet = real_parquet
+    assert idx._meta()["version"] == 2  # old version intact
+    got2 = {r.doc_id: (r.n_tokens, r.nll_nats) for r in idx.score(spark, docs).collect()}
+    assert got2 == want
