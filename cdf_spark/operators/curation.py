@@ -748,3 +748,65 @@ class LMIndex:
                 ).alias("nll_nats"),
             )
         )
+
+
+def lm_perplexity_scores_by_lang(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    round_to: int = 6,
+) -> DataFrame:
+    """PER-LANGUAGE LM perplexity (r10) — CCNet's actual shape: one LM
+    per language (a French doc scored under the English LM reads as
+    noise; cross-language scoring is the classic curation bug this
+    variant removes). Counts key on (lang, token); each doc scores
+    under ITS language's add-one unigram LM. Same micro-nat integer
+    discipline; denominators ln(N_lang + V_lang) compute row-wise from
+    the broadcast per-language totals, so adding a language never
+    touches another language's scores. Shuffle shape identical to the
+    global LM (the lang key rides the same aggregations)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("_lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("_lang").agg(
+        F.sum("c").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    lm = counts.join(F.broadcast(totals), on="_lang").select(
+        "_lang",
+        "tok",
+        F.round(
+            (
+                F.log(F.col("c") + F.lit(1.0))
+                - F.log((F.col("_n") + F.col("_v")).cast("double"))
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lp_unat"),
+    )
+    return (
+        toks.join(F.broadcast(lm), on=["_lang", "tok"])
+        .groupBy("_id", "_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_unat").alias("_s"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_lang").alias(lang_col),
+            "n_tokens",
+            F.round(
+                -F.col("_s").cast("double")
+                / (F.col("n_tokens").cast("double") * F.lit(1_000_000.0)),
+                round_to,
+            ).alias("nll_nats"),
+        )
+    )

@@ -4368,6 +4368,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "lm_bigram_perplexity",
     "llm_curation_pipeline_v2",
     "lm_index_incremental",
+    "lm_perplexity_by_lang",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -7700,6 +7701,45 @@ def lm_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return LMIndex(f"{tmp}/lm").score(
         spark, _t(spark, sf, "documents").select("doc_id", "text")
     )
+
+
+@_register(
+    "lm_perplexity_by_lang",
+    """
+    WITH toks AS (
+      SELECT doc_id AS _id, lang AS _lang, t.tok
+      FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    counts AS (SELECT _lang, tok, COUNT(*) AS c FROM toks GROUP BY _lang, tok),
+    tot AS (SELECT _lang, SUM(c) AS n_total, COUNT(*) AS v FROM counts GROUP BY _lang),
+    lm AS (
+      SELECT c._lang, c.tok,
+             CAST(round((ln(c.c + 1.0) - ln(CAST(t.n_total + t.v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp_unat
+      FROM counts c JOIN tot t ON c._lang = t._lang
+    ),
+    agg AS (
+      SELECT tk._id, tk._lang, COUNT(*) AS n_tokens, SUM(l.lp_unat) AS s
+      FROM toks tk JOIN lm l ON tk._lang = l._lang AND tk.tok = l.tok
+      GROUP BY tk._id, tk._lang
+    )
+    SELECT _id AS doc_id, _lang AS lang, n_tokens,
+           round(-CAST(s AS DOUBLE)/(CAST(n_tokens AS DOUBLE)*1000000.0), 6) AS nll_nats
+    FROM agg
+    """,
+)
+def lm_perplexity_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """PER-LANGUAGE LM perplexity
+    (`operators/curation.lm_perplexity_scores_by_lang`) — CCNet's
+    actual configuration: one LM per language, each document scored
+    under its own language's model (cross-language scoring is the
+    classic curation bug: fluent French reads as noise under an
+    English LM). Counts key on (lang, token); per-language add-one
+    denominators compute row-wise from the broadcast totals. Same
+    micro-nat exactness; same shuffle shape as the global LM."""
+    from .operators.curation import lm_perplexity_scores_by_lang
+
+    return lm_perplexity_scores_by_lang(_t(spark, sf, "documents"))
 
 
 @_register(
