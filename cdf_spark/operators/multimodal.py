@@ -705,3 +705,144 @@ def video_frame_sample_stats(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def synthetic_bmp_near_dup_table(
+    ids_df: DataFrame, id_col: str = "doc_id", copy_base: int = 1000, brightness: int = 8
+) -> DataFrame:
+    """`synthetic_bmp_table` plus NEAR-DUPLICATE construction: an id
+    >= `copy_base` encodes the SAME closed-form image as id -
+    copy_base (same dims, same pixel formulas) with every channel
+    brightness-shifted by min(255, v + brightness) — a perceptual
+    near-dup whose dHash differs only where the clip zone flips
+    gradient signs. The closed form (including the clip) keeps the
+    whole path SQL-recomputable."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "payload": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                src = i - copy_base if i >= copy_base else i
+                w, h = 8 + src % 23, 8 + src % 17
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                # hash-ish (not gradient) pixels: distinct ids get
+                # effectively independent bit patterns, so banded
+                # collisions are confined to the PLANTED copies — the
+                # smooth-gradient formula of synthetic_bmp_table makes
+                # every image's gradient-sign pattern near-identical
+                # (useless as a near-dup fixture)
+                arr = np.stack(
+                    [
+                        np.broadcast_to(
+                            (2654435761 * x + 40503 * y + 97 * src) % 256, (h, w)
+                        ),
+                        np.broadcast_to(
+                            (2246822519 * x + 3266489917 * y + 131 * src) % 256, (h, w)
+                        ),
+                        np.broadcast_to(
+                            (668265263 * x + 374761393 * y + 193 * src) % 256, (h, w)
+                        ),
+                    ],
+                    axis=2,
+                ).astype(np.int64)
+                if i >= copy_base:
+                    arr = np.minimum(255, arr + brightness)
+                out["asset_id"].append(i)
+                out["payload"].append(encode_bmp(arr.astype(np.uint8)))
+            yield pd.DataFrame(out)
+
+    return ids_df.select(id_col).mapInPandas(gen, schema)
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload", id_col: str = "asset_id") -> DataFrame:
+    """Perceptual dHash (difference hash) over REAL decoded images —
+    the standard image near-dup fingerprint (pHash family): integer
+    grayscale (299r+587g+114b)//1000, NEAREST-neighbor resize to 9x8
+    (src = (dst*dim)//target — exact integer index math, which is what
+    lets a SQL oracle recompute the hash from the pixel formula), then
+    bit(y,x) = gray[y,x+1] > gray[y,x], emitted as a 64-char '0'/'1'
+    string in row-major order. Brightness/contrast shifts that
+    preserve gradient signs leave the hash unchanged — the invariance
+    image dedup wants. One narrow mapInPandas pass, no shuffle."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("dhash", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[0], arr.shape[1]
+                gray = (299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]) // 1000
+                sx = (np.arange(9) * w) // 9
+                sy = (np.arange(8) * h) // 8
+                g = gray[np.ix_(sy, sx)]  # 8 rows x 9 cols
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8)  # 8x8
+                hashes.append("".join("1" if b else "0" for b in bits.ravel()))
+                ids.append(int(i))
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.mapInPandas(gen, schema)
+
+
+def image_dhash_near_dups(
+    hashes: DataFrame,
+    id_col: str = "asset_id",
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Banded Hamming join over dHash fingerprints — the image twin of
+    the SimHash text matcher: 4 x 16-bit bands, candidates collide in
+    >= 1 band (guaranteed recall for Hamming <= bands - 1, high recall
+    well past it), exact Hamming distance verifies candidates. One
+    shuffle on (band, value); no all-pairs anywhere."""
+    r = 64 // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("dhash", b * r + 1, r).alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    banded = hashes.select(
+        F.col(id_col).alias("id"), "dhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "dhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.col("ha").substr(i, F.lit(1)) != F.col("hb").substr(i, F.lit(1)),
+        )
+    )
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

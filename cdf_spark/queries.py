@@ -4369,6 +4369,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_curation_pipeline_v2",
     "lm_index_incremental",
     "lm_perplexity_by_lang",
+    "image_dhash_near_dups",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -7740,6 +7741,95 @@ def lm_perplexity_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.curation import lm_perplexity_scores_by_lang
 
     return lm_perplexity_scores_by_lang(_t(spark, sf, "documents"))
+
+
+@_register(
+    "image_dhash_near_dups",
+    """
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 80
+      UNION ALL
+      SELECT CAST(doc_id + 1000 AS BIGINT) FROM documents WHERE doc_id < 40
+    ),
+    dims AS (
+      SELECT id, CASE WHEN id >= 1000 THEN id - 1000 ELSE id END AS src,
+             8 + (CASE WHEN id >= 1000 THEN id - 1000 ELSE id END) % 23 AS w,
+             8 + (CASE WHEN id >= 1000 THEN id - 1000 ELSE id END) % 17 AS h
+      FROM ids
+    ),
+    grid AS (
+      SELECT d.id, d.src, d.w, d.h, dy.range AS dy, dx.range AS dx,
+             (dx.range * d.w) // 9 AS sx, (dy.range * d.h) // 8 AS sy
+      FROM dims d CROSS JOIN range(0, 8) dy CROSS JOIN range(0, 9) dx
+    ),
+    gray AS (
+      SELECT id, dy, dx,
+        (299 * (CASE WHEN id >= 1000 THEN least(255, (2654435761*sx + 40503*sy + 97*src) % 256 + 8)
+                     ELSE (2654435761*sx + 40503*sy + 97*src) % 256 END)
+       + 587 * (CASE WHEN id >= 1000 THEN least(255, (2246822519*sx + 3266489917*sy + 131*src) % 256 + 8)
+                     ELSE (2246822519*sx + 3266489917*sy + 131*src) % 256 END)
+       + 114 * (CASE WHEN id >= 1000 THEN least(255, (668265263*sx + 374761393*sy + 193*src) % 256 + 8)
+                     ELSE (668265263*sx + 374761393*sy + 193*src) % 256 END)) // 1000 AS g
+      FROM grid
+    ),
+    bits AS (
+      SELECT a.id, a.dy, a.dx, CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+      FROM gray a JOIN gray b ON a.id = b.id AND a.dy = b.dy AND b.dx = a.dx + 1
+      WHERE a.dx < 8
+    ),
+    hashes AS (
+      SELECT id, string_agg(bit, '' ORDER BY dy, dx) AS dhash FROM bits GROUP BY id
+    ),
+    banded AS (
+      SELECT id, dhash, b.range AS band,
+             substr(dhash, CAST(b.range*16 + 1 AS INT), 16) AS bv
+      FROM hashes CROSS JOIN range(0, 4) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.dhash AS ha, b.dhash AS hb
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(len([i for i in range(1,65)
+                     if substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)]) AS INT) AS hamming
+    FROM pairs
+    WHERE len([i for i in range(1,65)
+               if substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)]) <= 6
+    """,
+)
+def image_dhash_near_dups_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE near-duplicate detection over REAL decoded pixels — the
+    multimodal twin of SimHash text dedup and a first-class
+    training-data op (web-scale image corpora are full of re-encoded /
+    brightness-shifted copies): perceptual dHash (integer grayscale,
+    NEAREST 9x8 resize, adjacent-gradient bits) computed from decoded
+    BMP bytes in one narrow mapInPandas pass, then a banded Hamming
+    join (4 x 16-bit bands, one shuffle, no all-pairs) with exact
+    Hamming verification. The fixture plants brightness-shifted copies
+    (min(255, v+8) per channel — most gradient signs survive, clip-
+    zone bits flip) of 40 images among 80 bases; the oracle recomputes
+    the ENTIRE path — decode-equivalent grayscale from the closed-form
+    pixels, resize index math, bit extraction, banding, Hamming — in
+    SQL, so a decoder bug, a resize off-by-one, or a band split error
+    all hash-mismatch."""
+    from .operators.multimodal import (
+        image_dhash,
+        image_dhash_near_dups,
+        synthetic_bmp_near_dup_table,
+    )
+
+    docs = _t(spark, sf, "documents")
+    ids = (
+        docs.filter(F.col("doc_id") < 80)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .unionByName(
+            docs.filter(F.col("doc_id") < 40).select(
+                (F.col("doc_id") + 1000).cast("long").alias("doc_id")
+            )
+        )
+    )
+    imgs = synthetic_bmp_near_dup_table(ids)
+    return image_dhash_near_dups(image_dhash(imgs))
 
 
 @_register(
