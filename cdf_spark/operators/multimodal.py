@@ -797,17 +797,18 @@ def image_dhash(df: DataFrame, payload_col: str = "payload", id_col: str = "asse
     return df.mapInPandas(gen, schema)
 
 
-def image_dhash_near_dups(
+def banded_hamming_near_dups(
     hashes: DataFrame,
     id_col: str = "asset_id",
     bands: int = 4,
     max_hamming: int = 6,
 ) -> DataFrame:
-    """Banded Hamming join over dHash fingerprints — the image twin of
-    the SimHash text matcher: 4 x 16-bit bands, candidates collide in
-    >= 1 band (guaranteed recall for Hamming <= bands - 1, high recall
-    well past it), exact Hamming distance verifies candidates. One
-    shuffle on (band, value); no all-pairs anywhere."""
+    """Banded Hamming join over 64-bit fingerprint strings — the
+    modality-generic matcher behind image dHash AND audio envelope
+    hashes (the SimHash banding idea): 4 x 16-bit bands, candidates
+    collide in >= 1 band (guaranteed recall for Hamming <= bands - 1,
+    high recall well past it), exact Hamming distance verifies
+    candidates. One shuffle on (band, value); no all-pairs anywhere."""
     r = 64 // bands
     band_structs = [
         F.struct(
@@ -846,3 +847,98 @@ def image_dhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def image_dhash_near_dups(
+    hashes: DataFrame,
+    id_col: str = "asset_id",
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    return banded_hamming_near_dups(hashes, id_col, bands, max_hamming)
+
+
+def synthetic_wav_near_dup_table(
+    ids_df: DataFrame,
+    id_col: str = "doc_id",
+    copy_base: int = 1000,
+    gain_num: int = 9,
+    gain_den: int = 8,
+) -> DataFrame:
+    """WAV fixture with PLANTED near-duplicates: an id >= `copy_base`
+    encodes the SAME closed-form signal as id - copy_base with a
+    gain_num/gain_den amplitude scale (integer floor division,
+    clipped to int16) — a re-levelled copy of the same recording, the
+    audio analog of a brightness-shifted image. Signal is hash-ish so
+    unrelated ids get independent envelope patterns:
+
+        n   = 400 + src % 700
+        s_t = ((t*t*(7 + src % 13) + t*(11 + src % 17) + 97*src) % 4001) - 2000
+    """
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "payload": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                src = i - copy_base if i >= copy_base else i
+                n = 400 + src % 700
+                t = np.arange(n, dtype=np.int64)
+                s = ((t * t * (7 + src % 13) + t * (11 + src % 17) + 97 * src) % 4001) - 2000
+                if i >= copy_base:
+                    s = np.clip((s * gain_num) // gain_den, -32768, 32767)
+                out["asset_id"].append(i)
+                out["payload"].append(encode_wav(s.astype(np.int16)))
+            yield pd.DataFrame(out)
+
+    return ids_df.select(id_col).mapInPandas(gen, schema)
+
+
+def audio_envelope_hash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "asset_id"
+) -> DataFrame:
+    """Audio ENVELOPE hash — the dHash idea on the loudness envelope:
+    decode the WAV, split into 65 integer-boundary frames
+    (lo = (f*n)//65), per-frame mean absolute amplitude (integer), and
+    bit f = energy[f+1] > energy[f] -> a 64-char '0'/'1' string.
+    Uniform gain changes scale every frame energy together, so a
+    re-levelled copy keeps (almost) every comparison — the invariance
+    audio dedup wants; time-structure changes scramble the bits. One
+    narrow mapInPandas pass; pairs come from the shared
+    `banded_hamming_near_dups` matcher. All integer math so a SQL
+    oracle recomputes the hash exactly from the closed-form signal."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("dhash", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                s, _sr = decode_wav(bytes(payload))
+                s = s.astype(np.int64)
+                n = len(s)
+                bounds = (np.arange(66) * n) // 65
+                e = np.array(
+                    [
+                        int(np.sum(np.abs(s[bounds[f] : bounds[f + 1]])))
+                        // max(1, int(bounds[f + 1] - bounds[f]))
+                        for f in range(65)
+                    ],
+                    dtype=np.int64,
+                )
+                bits = (e[1:] > e[:-1]).astype(np.uint8)
+                hashes.append("".join("1" if b else "0" for b in bits))
+                ids.append(int(i))
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.mapInPandas(gen, schema)

@@ -7833,6 +7833,99 @@ def image_dhash_near_dups_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "audio_envelope_near_dups",
+    """
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 80
+      UNION ALL
+      SELECT CAST(doc_id + 1000 AS BIGINT) FROM documents WHERE doc_id < 40
+    ),
+    meta AS (
+      SELECT id, CASE WHEN id >= 1000 THEN id - 1000 ELSE id END AS src,
+             400 + (CASE WHEN id >= 1000 THEN id - 1000 ELSE id END) % 700 AS n
+      FROM ids
+    ),
+    sig AS (
+      SELECT m.id, (65 * t.range + 64) // m.n AS f,
+        CASE WHEN m.id >= 1000 THEN greatest(-32768, least(32767,
+               CAST(floor(CAST(((t.range*t.range*(7 + m.src % 13)
+                                 + t.range*(11 + m.src % 17)
+                                 + 97*m.src) % 4001 - 2000) * 9 AS DOUBLE) / 8.0) AS BIGINT)))
+             ELSE (t.range*t.range*(7 + m.src % 13)
+                   + t.range*(11 + m.src % 17)
+                   + 97*m.src) % 4001 - 2000 END AS s
+      FROM meta m CROSS JOIN range(0, 1100) t
+      WHERE t.range < m.n
+    ),
+    energy AS (
+      SELECT id, f, SUM(abs(s)) // greatest(1, COUNT(*)) AS e
+      FROM sig GROUP BY id, f
+    ),
+    bits AS (
+      SELECT a.id, a.f, CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+      FROM energy a JOIN energy b ON a.id = b.id AND b.f = a.f + 1
+      WHERE a.f < 64
+    ),
+    hashes AS (
+      SELECT id, string_agg(bit, '' ORDER BY f) AS dhash FROM bits GROUP BY id
+    ),
+    banded AS (
+      SELECT id, dhash, b.range AS band,
+             substr(dhash, CAST(b.range*16 + 1 AS INT), 16) AS bv
+      FROM hashes CROSS JOIN range(0, 4) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.dhash AS ha, b.dhash AS hb
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(len([i for i in range(1,65)
+                     if substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)]) AS INT) AS hamming
+    FROM pairs
+    WHERE len([i for i in range(1,65)
+               if substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)]) <= 6
+    """,
+)
+def audio_envelope_near_dups_q(spark: SparkSession, sf: str) -> DataFrame:
+    """AUDIO near-duplicate detection over REAL decoded WAV bytes —
+    completes perceptual dedup across all three modalities (SimHash
+    text, dHash image, envelope-hash audio). The hash is dHash's idea
+    on the loudness envelope: decode the WAV in one narrow mapInPandas
+    pass, 65 integer-boundary frames, per-frame mean |amplitude|
+    (pure integer math), bit f = energy rises into frame f+1. Uniform
+    gain re-levelling (the audio analog of a brightness shift — same
+    recording, different mastering level) scales all frame energies
+    together so the comparison bits survive; time-structure changes
+    scramble them. Pairs come from the SAME banded Hamming matcher the
+    image path uses (4 x 16-bit bands, one shuffle, no all-pairs).
+    The fixture plants 9/8-gain copies of 40 clips among 80 hash-
+    diverse bases; the oracle recomputes the ENTIRE path — closed-form
+    signal, floor(s*9/8) gain (DuckDB // truncates toward zero on
+    negatives, so the oracle uses floor() to match numpy), frame
+    boundary index math, integer energies, bits, banding, Hamming —
+    in SQL. The engine finds exactly the 40 planted pairs, zero false
+    positives, max Hamming 1."""
+    from .operators.multimodal import (
+        audio_envelope_hash,
+        banded_hamming_near_dups,
+        synthetic_wav_near_dup_table,
+    )
+
+    docs = _t(spark, sf, "documents")
+    ids = (
+        docs.filter(F.col("doc_id") < 80)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .unionByName(
+            docs.filter(F.col("doc_id") < 40).select(
+                (F.col("doc_id") + 1000).cast("long").alias("doc_id")
+            )
+        )
+    )
+    wavs = synthetic_wav_near_dup_table(ids)
+    return banded_hamming_near_dups(audio_envelope_hash(wavs))
+
+
+@_register(
     "c4_line_filter_docs",
     """
     WITH m AS (
