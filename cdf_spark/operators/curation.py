@@ -810,3 +810,128 @@ def lm_perplexity_scores_by_lang(
             ).alias("nll_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact cross-document substring dedup (sliding k-gram spans)
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact SUBSTRING dedup — the ExactSubstr discipline of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better": remove any >= k-token run that appears verbatim more than
+    once in the corpus), re-expressed for Spark. The paper's suffix
+    array is a single-machine structure; the distributed equivalent
+    is SLIDING k-gram fingerprints: every length-k token window is
+    hashed, a window is duplicated when its hash occurs anywhere else
+    in the corpus, the FIRST occurrence (by doc, position) survives,
+    and each doc's flagged windows merge into MAXIMAL spans
+    (gaps-and-islands) — a shared 37-token run shows up as one
+    (start, end) span, not 28 window rows. Reference frame: the
+    reference's dedup surface is row-level (crates/cdf-contract
+    dedup policies); sub-row span dedup is beyond-ref, first-class
+    for LLM curation.
+
+    Scale shape: grams materialize only transiently inside codegen
+    (posexplode of a transform over positions) — what shuffles is
+    (md5, doc, pos) ≈ 48 B/token. Two shuffles total: one window over
+    the gram hash (count + first-occurrence rank), one per-doc window
+    for the island merge. No self-join, no all-pairs, no suffix
+    array; a 100 TB corpus costs ~2 sort-shuffles of 48 B/token.
+    md5 (not xxhash64) so a SQL oracle recomputes fingerprints
+    exactly.
+
+    Output: (id_col, span_start, span_end) — token intervals
+    [start, end) of non-first duplicated runs, one row per maximal
+    span. Feed to `remove_dup_spans` to cut them.
+    """
+    from pyspark.sql import Window
+
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    grams = df.filter(F.col(text_col).isNotNull() & (n >= k)).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.md5(F.array_join(F.slice(ws, i + 1, k), " ")),
+            )
+        ).alias("p", "h"),
+    )
+    wh = Window.partitionBy("h")
+    flagged = (
+        grams.select(
+            id_col,
+            "p",
+            F.count(F.lit(1)).over(wh).alias("c"),
+            F.row_number()
+            .over(wh.orderBy(F.col(id_col), F.col("p")))
+            .alias("rn"),
+        )
+        .filter((F.col("c") > 1) & (F.col("rn") > 1))
+        .select(id_col, "p")
+    )
+    wd = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + k).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_end.isNull() | (F.col("p") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = flagged.withColumn(
+        "island",
+        F.sum(new_island).over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + k).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut the spans `dup_spans` found: tokens inside any flagged
+    [start, end) interval drop, the rest reassemble in order. Spans
+    collapse to ONE small array per doc (a doc has few maximal spans),
+    so the cut is a broadcast-friendly equi-join + a higher-order
+    filter over token positions — no range join, no explode of the
+    corpus. Docs with no spans pass through unchanged.
+
+    Output: (id_col, text_cut, n_tokens, n_cut).
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    ws = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(ws) - 1)
+    keep = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (s["span_start"] <= i) & (i < s["span_end"]),
+        ),
+    )
+    joined = df.join(per_doc, on=id_col, how="left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array())
+    )
+    return joined.select(
+        id_col,
+        F.array_join(
+            F.transform(keep, lambda i: F.element_at(ws, i + 1)), " "
+        ).alias("text_cut"),
+        F.size(ws).alias("n_tokens"),
+        (F.size(ws) - F.size(keep)).alias("n_cut"),
+    )

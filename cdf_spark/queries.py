@@ -2395,6 +2395,105 @@ def training_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DUP_SPAN_ORACLE_CTES = """
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 10
+    ),
+    g AS (
+      SELECT doc_id, CAST(i.range AS INT) AS p,
+             md5(array_to_string(list_slice(ws, CAST(i.range+1 AS INT), CAST(i.range+10 AS INT)), ' ')) AS h
+      FROM w CROSS JOIN range(0, 1000) i WHERE i.range + 10 <= len(ws)
+    ),
+    fl AS (
+      SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS c,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+      FROM g
+    ),
+    f AS (SELECT doc_id, p FROM fl WHERE c > 1 AND rn > 1),
+    isl AS (
+      SELECT doc_id, p,
+        CASE WHEN p > COALESCE(MAX(p + 10) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS ni
+      FROM f
+    ),
+    i2 AS (SELECT doc_id, p, SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM isl),
+    spans AS (
+      SELECT doc_id, MIN(p) AS span_start, MAX(p) + 10 AS span_end
+      FROM i2 GROUP BY doc_id, island
+    )
+"""
+
+
+@_register(
+    "dup_substring_spans",
+    f"""
+    WITH {_DUP_SPAN_ORACLE_CTES}
+    SELECT doc_id, CAST(span_start AS INT) AS span_start,
+           CAST(span_end AS INT) AS span_end
+    FROM spans
+    """,
+)
+def dup_substring_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact SUBSTRING dedup scan (`operators/curation.dup_spans`) —
+    ExactSubstr of Lee et al. 2022 on sliding k=10-token md5
+    fingerprints: a window is duplicated when its hash occurs anywhere
+    else in the corpus, first occurrence survives, per-doc flagged
+    windows merge into maximal (start, end) spans via gaps-and-islands.
+    The synthetic corpus's PLANTED duplicate documents surface as
+    full-length [0, n) spans. Two shuffles total (gram-hash window,
+    per-doc island window); grams exist only transiently in codegen —
+    only (md5, doc, pos) rows shuffle. The oracle recomputes
+    fingerprints, ranks, and island merges in SQL."""
+    from .operators.curation import dup_spans
+
+    return dup_spans(_t(spark, sf, "documents"), k=10)
+
+
+@_register(
+    "dup_substring_removal",
+    f"""
+    WITH {_DUP_SPAN_ORACLE_CTES},
+    toks AS (
+      SELECT w2.doc_id, CAST(i.range AS INT) AS p,
+             list_extract(w2.ws, CAST(i.range+1 AS INT)) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL) w2
+      CROSS JOIN range(0, 1000) i WHERE i.range < len(w2.ws)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok FROM toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id AND s.span_start <= t.p AND t.p < s.span_end)
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_cut, COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.text_cut, '') AS text_cut,
+           CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS INT) AS n_cut
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dup_substring_removal_q(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr CUT (`operators/curation.remove_dup_spans`) — the
+    spans found by `dup_substring_spans` are collapsed to one small
+    array per doc (equi-join, no range join, no corpus explode) and a
+    higher-order filter drops tokens inside any flagged interval; the
+    survivors reassemble in order. Planted full-doc duplicates come
+    back as empty strings — evidence, not silent drop. The oracle
+    rebuilds every cut text token-by-token, so the value hash pins
+    the reassembly (an off-by-one in span bounds or token order
+    mismatches the string)."""
+    from .operators.curation import dup_spans, remove_dup_spans
+
+    docs = _t(spark, sf, "documents")
+    return remove_dup_spans(docs, dup_spans(docs, k=10))
+
+
 @_register(
     "segment_dedup_docs",
     """

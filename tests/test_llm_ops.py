@@ -647,3 +647,27 @@ def test_y4m_codec_roundtrip_and_guards():
     bad = data.replace(b"C420", b"C422")
     with pytest.raises(NotImplementedError):
         decode_y4m(bad)
+
+
+def test_dup_spans_maximal_merge_and_removal(spark):
+    """Sliding-window substring dedup: a planted shared 12-token run
+    flags as ONE maximal span on the LATER doc only (first occurrence
+    survives); adjacent windows merge; removal cuts exactly the span."""
+    from cdf_spark.operators.curation import dup_spans, remove_dup_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (0, "alpha beta " + shared + " gamma delta epsilon zeta eta theta"),
+        (1, "one two three " + shared + " four five six seven eight nine"),
+        (2, " ".join(f"u{i}" for i in range(20))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {(r.doc_id, r.span_start, r.span_end) for r in dup_spans(df, k=10).collect()}
+    # doc 1's copy starts at token 3; the 12-token run yields windows
+    # p=3..5 which merge into one [3, 15) span; doc 0 keeps its copy.
+    assert spans == {(1, 3, 15)}
+    cut = {r.doc_id: r for r in remove_dup_spans(df, dup_spans(df, k=10)).collect()}
+    assert cut[1].n_cut == 12
+    assert cut[1].text_cut == "one two three four five six seven eight nine"
+    assert cut[0].n_cut == 0 and cut[2].n_cut == 0
+    assert cut[0].text_cut == rows[0][1]
