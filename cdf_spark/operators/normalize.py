@@ -163,3 +163,66 @@ def c4_line_filter(
         "n_lines_kept": F.size(kept).cast("bigint"),
         "n_lines_total": F.size(lines).cast("bigint"),
     }
+
+
+def boilerplate_line_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_frac: float = 0.05,
+) -> DataFrame:
+    """CORPUS-LEVEL boilerplate line removal — the CCNet / web-crawl
+    discipline C4's phrase list can't reach: a line is boilerplate
+    not because of WHAT it says but because it appears in too many
+    DOCUMENTS (site footers, licence blocks, nav text, cookie banners
+    in any language). Every line whose document frequency reaches
+    `min_doc_frac` of the corpus drops from ALL documents — unlike
+    `curation.segment_dedup` (keep-first), frequency-boilerplate keeps
+    ZERO copies; it is template noise, not content.
+
+    Scale shape: one posexplode (narrow) -> one distinct-count shuffle
+    keyed on the normalized line -> the boilerplate SET is inherently
+    small (only lines common to >= frac of docs survive the HAVING),
+    so the removal join BROADCASTS it -> one per-doc reassembly
+    shuffle. The corpus size feeds the threshold via a 1-row agg
+    cross-join, not a driver collect.
+
+    Output: (id_col, text_kept, n_lines, n_dropped) — one row per
+    input doc; a doc that was ALL boilerplate keeps an empty string
+    (evidence, not silent drop).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    ex = df.select(
+        F.col(id_col), F.posexplode(lines).alias("p", "line")
+    ).withColumn("k", F.lower(F.trim("line")))
+    total = df.select(F.count(F.lit(1)).alias("_n"))
+    boiler = (
+        ex.groupBy("k")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_df") >= F.ceil(F.col("_n") * F.lit(min_doc_frac)))
+        .select("k")
+    )
+    kept = ex.join(F.broadcast(boiler), on="k", how="left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_kept"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        df.select(id_col, lines.alias("_lines"))
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+            F.size("_lines").alias("n_lines"),
+            (F.size("_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast(
+                "int"
+            ).alias("n_dropped"),
+        )
+    )

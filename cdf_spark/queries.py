@@ -2428,6 +2428,75 @@ _DUP_SPAN_ORACLE_CTES = """
 
 
 @_register(
+    "boilerplate_line_removal",
+    """
+    WITH m AS (
+      SELECT doc_id,
+        substr(text, 1, 40) || chr(10)
+          || 'All rights reserved (c) Example Corp' || chr(10)
+          || substr(text, 41, 30) || chr(10)
+          || CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter today'
+                  ELSE substr(text, 71, 40) END AS mt
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, CAST(i.range AS INT) AS p,
+             list_extract(str_split(mt, chr(10)), CAST(i.range + 1 AS INT)) AS line
+      FROM m CROSS JOIN range(0, 4) i
+    ),
+    exk AS (SELECT doc_id, p, line, lower(trim(line)) AS k FROM ex),
+    boiler AS (
+      SELECT k FROM exk GROUP BY k
+      HAVING COUNT(DISTINCT doc_id) >= ceil((SELECT COUNT(*) FROM documents) * 0.05)
+    ),
+    kept AS (
+      SELECT doc_id, p, line FROM exk WHERE k NOT IN (SELECT k FROM boiler)
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS text_kept,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT m.doc_id, COALESCE(a.text_kept, '') AS text_kept,
+           CAST(4 AS INT) AS n_lines,
+           CAST(4 - COALESCE(a.n_kept, 0) AS INT) AS n_dropped
+    FROM m LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def boilerplate_line_removal_q(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-FREQUENCY boilerplate removal
+    (`operators/normalize.boilerplate_line_removal`) — the CCNet-style
+    complement to the C4 phrase filter: lines drop because they appear
+    in >= 5% of DOCUMENTS, no phrase list needed, zero copies kept
+    (template noise, not content — vs `segment_dedup`'s keep-first).
+    The fixture wraps each doc in a crawl-shaped page: unique content
+    lines plus a footer planted in EVERY doc (df=100%) and a
+    newsletter line in half (df=50%); both drop corpus-wide, content
+    survives. The boilerplate SET is small by construction (only
+    corpus-common lines pass the HAVING), so the removal join
+    broadcasts; threshold comes from a 1-row agg cross-join, not a
+    driver collect. The oracle replays explode -> doc-frequency ->
+    threshold -> line-exact reassembly in SQL."""
+    from .operators.normalize import boilerplate_line_removal
+
+    docs = _t(spark, sf, "documents")
+    mt = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.lit("All rights reserved (c) Example Corp"),
+            F.substring("text", 41, 30),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                F.lit("Subscribe to our newsletter today"),
+            ).otherwise(F.substring("text", 71, 40)),
+        ).alias("text"),
+    )
+    return boilerplate_line_removal(mt, min_doc_frac=0.05)
+
+
+@_register(
     "dup_substring_spans",
     f"""
     WITH {_DUP_SPAN_ORACLE_CTES}
@@ -4244,6 +4313,113 @@ def stream_dedup_drain(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("stream_dedup", sf, build)
     return spark.read.parquet(f"{tmp}/out").select(*cols)
+
+
+@_register(
+    "streaming_curation_drain",
+    """
+    WITH f AS (
+      SELECT doc_id, lang, length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST((length(trim(text)) - length(replace(trim(text), ' ', ''))) AS BIGINT) + 1 END AS n_tokens,
+        CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')) AS BIGINT)/3
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')) AS BIGINT)/4 AS n_stop,
+        (length(text) - length(replace(text, '.', '')))
+          + (length(text) - length(replace(text, ',', '')))
+          + (length(text) - length(replace(text, '!', '')))
+          + (length(text) - length(replace(text, '?', '')))
+          + (length(text) - length(replace(text, ';', ''))) AS n_punct
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, n_tokens,
+        round(CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)/n_tokens ELSE 0.0 END, 4) AS atl,
+        round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS pr,
+        round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS sr
+      FROM f
+    ), z AS (
+      SELECT doc_id, lang,
+        -1.5 + CAST(n_tokens AS DOUBLE) * 0.02 + atl * 0.35 + sr * 6.0 + pr * (-4.0) AS z
+      FROM g
+    )
+    SELECT doc_id, lang, round(1.0/(1.0 + exp(-z)), 6) AS clf_score
+    FROM z WHERE round(1.0/(1.0 + exp(-z)), 6) >= 0.75
+    """,
+)
+def streaming_curation_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING CURATION — the quality gate + exactly-once dedup a
+    training-data pipeline runs in FRONT of the corpus sink, composed
+    on a real `readStream` drain: 3 file micro-batches where a
+    redelivered subset (doc_id % 10 == 0) rides in EVERY file (the
+    at-least-once delivery shape of real ingest), each batch flows
+    through the model-based quality classifier (pure narrow arithmetic
+    — stream-safe, no shuffle) and then
+    `dropDuplicatesWithinWatermark` keyed state drops the cross-batch
+    redeliveries while the watermark bounds the state. The committed
+    table must be EXACTLY the batch answer — every passing doc once —
+    so the plain relational oracle (the same classifier in SQL) value-
+    checks the whole streaming composition."""
+    from pyspark.sql import types as T
+
+    from .operators.curation import quality_clf_score
+
+    def build(tmp: str) -> None:
+        import shutil
+        import tempfile
+        from pathlib import Path as _Path
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            "text",
+            "lang",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+        )
+        dups = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+        (_Path(tmp) / "in").mkdir()
+        for i in range(3):
+            stage = tempfile.mkdtemp(prefix="cdf_scd_part_")
+            part = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).unionByName(dups)
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            shutil.move(str(src), f"{tmp}/in/part-{i}.parquet")
+            shutil.rmtree(stage, ignore_errors=True)
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        curated = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+            .withColumn("clf_score", quality_clf_score(F.col("text")))
+            .filter(F.col("clf_score") >= 0.75)
+            .withWatermark("ts", "90 days")
+            .dropDuplicatesWithinWatermark(["doc_id"])
+            .select("doc_id", "lang", "clf_score")
+        )
+        q = (
+            curated.writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(f"{tmp}/out").count()
+        want = docs.filter(quality_clf_score(F.col("text")) >= 0.75).count()
+        if got != want:
+            raise AssertionError(
+                f"streaming curation kept {got} rows, batch recompute says {want}"
+            )
+
+    tmp = _session_fixture("streaming_curation", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select("doc_id", "lang", "clf_score")
 
 
 @_register(

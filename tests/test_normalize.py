@@ -336,3 +336,24 @@ def test_lm_index_incremental_matches_batch_lm(spark, tmp_path):
     assert idx._meta()["version"] == 2  # old version intact
     got2 = {r.doc_id: (r.n_tokens, r.nll_nats) for r in idx.score(spark, docs).collect()}
     assert got2 == want
+
+
+def test_boilerplate_line_removal_zero_copy_discipline(spark):
+    """Frequency-boilerplate drops ALL copies (unlike segment dedup's
+    keep-first); unique lines survive; an all-boilerplate doc keeps an
+    empty string, not a silent disappearance."""
+    from cdf_spark.operators.normalize import boilerplate_line_removal
+
+    footer = "all rights reserved"
+    rows = [
+        (0, f"unique zero\n{footer}"),
+        (1, f"unique one\n{footer}"),
+        (2, f"unique two\n{footer}"),
+        (3, footer),  # all boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_line_removal(df, min_doc_frac=0.5).collect()}
+    assert out[0].text_kept == "unique zero" and out[0].n_dropped == 1
+    assert out[3].text_kept == "" and out[3].n_dropped == 1 and out[3].n_lines == 1
+    # no doc keeps any copy of the footer
+    assert all(footer not in r.text_kept for r in out.values())
