@@ -7979,6 +7979,103 @@ def lm_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_chain(n_merges: int) -> str:
+    """Chained-CTE replay of the BPE training loop (one stage per
+    merge): pair counts from list_zip of adjacent symbols, argmax by
+    (count DESC, pair ASC), merge applied by the SAME literal
+    left-to-right replace the engine uses. Returns the CTE text up to
+    and including w{n_merges}."""
+    parts = [
+        """w0 AS MATERIALIZED (
+      SELECT word, '(' || array_to_string(str_split(word, ''), ')(') || ')' AS w,
+             CAST(cnt AS BIGINT) AS c
+      FROM (
+        SELECT t.tok AS word, COUNT(*) AS cnt
+        FROM documents, UNNEST(str_split(text, ' ')) AS t(tok)
+        WHERE regexp_matches(t.tok, '^[a-z0-9]+$')
+        GROUP BY t.tok
+      )
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT a, b, SUM(c) AS cnt FROM (
+        SELECT c, p[1] AS a, p[2] AS b FROM (
+          SELECT c, UNNEST(list_zip(list_slice(sy, 1, len(sy)-1), list_slice(sy, 2, len(sy)))) AS p
+          FROM (SELECT c, str_split(substr(w, 2, len(w)-2), ')(') AS sy FROM w{i})
+        )
+      ) GROUP BY a, b
+    )"""
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT a, b, cnt FROM s{i} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""w{i + 1} AS MATERIALIZED (
+      SELECT word, replace(w, '(' || bb.a || ')(' || bb.b || ')', '(' || bb.a || bb.b || ')') AS w, c
+      FROM w{i}, b{i} AS bb
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_N_MERGES = 8
+
+_BPE_MERGES_ORACLE = (
+    "WITH "
+    + _bpe_oracle_chain(_BPE_N_MERGES)
+    + "\n    SELECT * FROM (\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i + 1} AS step, a AS lhs, b AS rhs, a || b AS merged, cnt FROM b{i}"
+        for i in range(_BPE_N_MERGES)
+    )
+    + "\n    )"
+)
+
+_BPE_SEG_ORACLE = (
+    "WITH "
+    + _bpe_oracle_chain(_BPE_N_MERGES)
+    + f"""
+    SELECT word,
+           array_to_string(str_split(substr(w, 2, len(w)-2), ')('), ' ') AS segmented
+    FROM w{_BPE_N_MERGES}
+    """
+)
+
+
+@_register("bpe_learn_merges", _BPE_MERGES_ORACLE)
+def bpe_learn_merges_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE TOKENIZER TRAINING (`operators/bpe.learn_bpe`,
+    Sennrich et al. 2016) — the corpus collapses to the distinct-word
+    table in ONE corpus-scale shuffle; each of the 8 merge steps is a
+    pair-count aggregation over that table plus a 1-row argmax collect
+    (bounded driver state: n_merges rows) plus a narrow replace.
+    Merge application is literal left-to-right replace over
+    paren-wrapped symbols — byte-identical semantics in Spark, DuckDB
+    and Python (verified "(a)(a)(a)" -> "(aa)(a)" in all three), so
+    the oracle replays the ENTIRE training loop stage by stage: a
+    wrong pair count, a wrong tie-break, or a wrong merge application
+    at ANY step diverges every later step and hash-mismatches."""
+    from .operators.bpe import bpe_merges_df, learn_bpe
+
+    merges = learn_bpe(_t(spark, sf, "documents"), n_merges=_BPE_N_MERGES)
+    return bpe_merges_df(spark, merges)
+
+
+@_register("bpe_word_segmentation", _BPE_SEG_ORACLE)
+def bpe_word_segmentation_q(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE INFERENCE with the corpus-trained merges
+    (`operators/bpe.segmentation`): every distinct corpus word
+    segmented by the 8 learned merges applied in training order
+    (chained narrow replaces — BPE's exact inference rule). The
+    oracle re-trains AND re-segments in SQL; value equality pins both
+    the model and its application."""
+    from .operators.bpe import segmentation
+
+    return segmentation(_t(spark, sf, "documents"), n_merges=_BPE_N_MERGES)
+
+
 @_register(
     "lm_perplexity_by_lang",
     """

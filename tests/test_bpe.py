@@ -1,0 +1,88 @@
+"""Distributed BPE tokenizer training (operators/bpe.py, r10).
+
+Pins exact parity with a pure-Python reference implementation of
+Sennrich et al. 2016 (overlapping pair counts, deterministic
+(count DESC, pair ASC) tie-break, greedy left-to-right non-overlapping
+merge application), plus the paren-wrapped replace trick's semantics.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+
+def _ref_bpe(texts: list[str], n: int) -> list[tuple[int, str, str, str, int]]:
+    """Reference BPE: dict-of-symbol-tuples, explicit greedy merge."""
+    words: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if re.match(r"^[a-z0-9]+$", w):
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for step in range(1, n + 1):
+        stats: collections.Counter = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        mx = max(stats.values())
+        a, b = sorted(p for p, c in stats.items() if c == mx)[0]
+        merges.append((step, a, b, a + b, mx))
+        new: dict = {}
+        for syms, c in vocab.items():
+            out: list = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges
+
+
+def test_learn_bpe_matches_reference(spark):
+    from cdf_spark.operators.bpe import learn_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest lowest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    assert learn_bpe(df, n_merges=6) == _ref_bpe(texts, 6)
+
+
+def test_learn_bpe_repeated_symbol_greedy(spark):
+    """'aaaa' counts (a,a) overlapping (3 per word) but merges
+    non-overlapping left-to-right: aaaa -> (aa)(aa), aaa -> (aa)(a)."""
+    from cdf_spark.operators.bpe import apply_bpe, learn_bpe
+
+    texts = ["aaaa aaa aaaa"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = learn_bpe(df, n_merges=1)
+    assert merges == _ref_bpe(texts, 1)
+    # overlapping counts: aaaa has 3 (a,a) pairs and appears twice, aaa has 2
+    assert merges[0][1:] == ("a", "a", "aa", 8)
+    words = spark.createDataFrame([("aaaa",), ("aaa",)], "word string")
+    seg = {r.word: r.segmented for r in apply_bpe(words, merges).collect()}
+    assert seg == {"aaaa": "aa aa", "aaa": "aa a"}
+
+
+def test_apply_bpe_training_order(spark):
+    """Merges apply in training order: with merges (l,o)->(lo),(lo,w)
+    the word 'low' becomes one token; without the first merge the
+    second can never fire."""
+    from cdf_spark.operators.bpe import apply_bpe
+
+    words = spark.createDataFrame([("low",), ("owl",)], "word string")
+    merges = [(1, "l", "o", "lo", 5), (2, "lo", "w", "low", 4)]
+    seg = {r.word: r.segmented for r in apply_bpe(words, merges).collect()}
+    assert seg["low"] == "low"
+    assert seg["owl"] == "o w l"
