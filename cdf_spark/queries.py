@@ -4645,6 +4645,14 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "lm_index_incremental",
     "lm_perplexity_by_lang",
     "image_dhash_near_dups",
+    "audio_envelope_near_dups",
+    "dup_substring_spans",
+    "dup_substring_removal",
+    "streaming_curation_drain",
+    "boilerplate_line_removal",
+    "bpe_learn_merges",
+    "bpe_word_segmentation",
+    "bpe_doc_token_counts",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -8074,6 +8082,54 @@ def bpe_word_segmentation_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.bpe import segmentation
 
     return segmentation(_t(spark, sf, "documents"), n_merges=_BPE_N_MERGES)
+
+
+_BPE_DOC_COUNT_ORACLE = (
+    "WITH "
+    + _bpe_oracle_chain(_BPE_N_MERGES)
+    + f""",
+    wn AS MATERIALIZED (
+      SELECT word, len(str_split(substr(w, 2, len(w)-2), ')(')) AS n_sym FROM w{_BPE_N_MERGES}
+    ),
+    toks AS (
+      SELECT doc_id, t.tok FROM documents, UNNEST(str_split(text, ' ')) AS t(tok)
+      WHERE regexp_matches(t.tok, '^[a-z0-9]+$')
+    )
+    SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n.n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM toks JOIN wn n ON toks.tok = n.word
+    GROUP BY doc_id
+    """
+)
+
+
+@_register("bpe_doc_token_counts", _BPE_DOC_COUNT_ORACLE)
+def bpe_doc_token_counts_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TOKENIZER-AWARE token counting — the number every packing /
+    cost / mixing decision actually needs is tokens under the REAL
+    tokenizer, not whitespace words: each doc's count under the
+    corpus-trained 8-merge BPE. The segmentation lives on the
+    distinct-word table (small), so the per-doc count is one explode +
+    one BROADCAST join + one per-doc aggregation — the corpus never
+    joins against itself. Oracle replays training AND the counting
+    join in SQL."""
+    from .operators.bpe import apply_bpe, corpus_words, learn_bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = learn_bpe(docs, n_merges=_BPE_N_MERGES)
+    seg = apply_bpe(corpus_words(docs).select("word"), merges).select(
+        "word", F.size(F.split("segmented", " ")).alias("n_sym")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    return (
+        toks.join(F.broadcast(seg), on="word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
 
 
 @_register(
