@@ -138,6 +138,58 @@ def decontamination_overlap(
     )
 
 
+def decontamination_pairs(
+    candidates: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    n: int = 4,
+    threshold: float = 0.1,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """PER-PAIR decontamination report — `decontamination_overlap`
+    pools the eval set into one gram bag and answers "is this doc
+    contaminated"; a data card also needs WHICH benchmark item leaked
+    into WHICH training doc and how badly. For every (candidate, eval
+    item) pair sharing >= 1 distinct n-gram: the shared-gram count and
+    exact Jaccard over distinct gram sets, flagged at `threshold`.
+
+    Plan shape: same broadcast discipline — the eval side (bounded by
+    benchmark size, never by corpus size) explodes to (eval_id, gram)
+    and BROADCASTS; candidates explode once and equi-join on the gram
+    hash, then ONE per-(doc, eval) aggregation. Output is sparse:
+    pairs with zero shared grams never materialize.
+
+    Output: (id_col, eval_id_col, n_shared, jaccard, contaminated).
+    """
+    cand = candidates.select(
+        F.col(id_col).alias("_id"),
+        word_ngram_hashes(F.col(text_col), n, hash_fn).alias("grams"),
+    ).withColumn("n_grams", F.size("grams")).filter(F.col("n_grams") > 0)
+    ev = eval_set.select(
+        F.col(eval_id_col).alias("_eid"),
+        word_ngram_hashes(F.col(text_col), n, hash_fn).alias("egrams"),
+    ).withColumn("n_eval", F.size("egrams")).filter(F.col("n_eval") > 0)
+    ev_ex = ev.select("_eid", "n_eval", F.explode("egrams").alias("g"))
+    cand_ex = cand.select("_id", "n_grams", F.explode("grams").alias("g"))
+    pairs = (
+        cand_ex.join(F.broadcast(ev_ex), on="g")
+        .groupBy("_id", "_eid", "n_grams", "n_eval")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_grams") + F.col("n_eval") - F.col("n_shared")
+    ).cast("double")
+    return pairs.select(
+        F.col("_id").alias(id_col),
+        F.col("_eid").alias(eval_id_col),
+        "n_shared",
+        F.round(jac, 6).alias("jaccard"),
+        (F.round(jac, 6) >= threshold).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition / lexical-diversity signals (Gopher-style quality rules)
 

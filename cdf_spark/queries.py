@@ -2428,6 +2428,60 @@ _DUP_SPAN_ORACLE_CTES = """
 
 
 @_register(
+    "decontamination_pair_report",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(str_split(trim(text), ' '), t -> length(t) > 0) AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([CAST(('0x'||substr(md5(array_to_string(ts[i:i+3], ' ')),1,15)) AS BIGINT)
+                            for i in range(1, len(ts)-2)]) AS gs
+      FROM toks
+    ),
+    ev AS (
+      SELECT doc_id AS eval_id, gs AS egs, len(gs) AS n_eval FROM grams
+      WHERE doc_id % 97 = 0 AND len(gs) > 0
+    ),
+    cand AS (
+      SELECT doc_id, gs, len(gs) AS n_grams FROM grams
+      WHERE doc_id % 97 <> 0 AND len(gs) > 0
+    ),
+    ce AS (SELECT doc_id, n_grams, unnest(gs) AS g FROM cand),
+    ee AS (SELECT eval_id, n_eval, unnest(egs) AS g FROM ev),
+    pairs AS (
+      SELECT ce.doc_id, ee.eval_id, ce.n_grams, ee.n_eval, COUNT(*) AS n_shared
+      FROM ce JOIN ee ON ce.g = ee.g
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, eval_id, CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) / (n_grams + n_eval - n_shared), 6) AS jaccard,
+           round(CAST(n_shared AS DOUBLE) / (n_grams + n_eval - n_shared), 6) >= 0.1 AS contaminated
+    FROM pairs
+    """,
+)
+def decontamination_pair_report(spark: SparkSession, sf: str) -> DataFrame:
+    """PER-PAIR decontamination
+    (`operators/curation.decontamination_pairs`) — the data-card
+    report `decontamination_check` can't give: WHICH benchmark item
+    leaked into WHICH training doc, with the exact distinct-4-gram
+    Jaccard. Eval side (doc_id % 97 — bounded by benchmark size, not
+    corpus size) explodes and BROADCASTS; candidates explode once,
+    equi-join on the gram hash, one per-(doc, eval) aggregation;
+    zero-overlap pairs never materialize. Oracle recomputes every
+    pair's gram sets and Jaccard in SQL."""
+    from .operators.curation import decontamination_pairs
+
+    docs = _t(spark, sf, "documents")
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    cand = docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    return decontamination_pairs(cand, ev, n=4, threshold=0.1)
+
+
+@_register(
     "boilerplate_line_removal",
     """
     WITH m AS (
@@ -4653,6 +4707,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "bpe_learn_merges",
     "bpe_word_segmentation",
     "bpe_doc_token_counts",
+    "decontamination_pair_report",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --

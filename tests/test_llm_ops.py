@@ -671,3 +671,25 @@ def test_dup_spans_maximal_merge_and_removal(spark):
     assert cut[1].text_cut == "one two three four five six seven eight nine"
     assert cut[0].n_cut == 0 and cut[2].n_cut == 0
     assert cut[0].text_cut == rows[0][1]
+
+
+def test_decontamination_pairs_identifies_the_leaking_item(spark):
+    """Per-pair report: the candidate sharing a planted 6-token run
+    with eval item 100 flags against THAT item only; the clean
+    candidate produces no pair row at all (sparse output)."""
+    from cdf_spark.operators.curation import decontamination_pairs
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    cand = spark.createDataFrame(
+        [(1, leak + " one two three four"), (2, "u1 u2 u3 u4 u5 u6 u7 u8")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, leak), (200, "p1 p2 p3 p4 p5 p6")], "eval_id long, text string"
+    )
+    rows = decontamination_pairs(cand, ev, n=4, threshold=0.1).collect()
+    assert {(r.doc_id, r.eval_id) for r in rows} == {(1, 100)}
+    r = rows[0]
+    # cand 1 has 7 distinct 4-grams, eval 100 has 3, all 3 shared
+    # jaccard is round()ed to 6 decimals inside the operator
+    assert r.n_shared == 3 and abs(r.jaccard - 3 / 7) < 1e-6 and r.contaminated
