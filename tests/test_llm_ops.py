@@ -693,3 +693,57 @@ def test_decontamination_pairs_identifies_the_leaking_item(spark):
     # cand 1 has 7 distinct 4-grams, eval 100 has 3, all 3 shared
     # jaccard is round()ed to 6 decimals inside the operator
     assert r.n_shared == 3 and abs(r.jaccard - 3 / 7) < 1e-6 and r.contaminated
+
+
+def _brute_dup_spans(docs: dict[int, list[str]], k: int) -> set[tuple[int, int, int]]:
+    """Reference ExactSubstr: enumerate every k-window, first
+    occurrence by (doc, pos) survives, merge overlapping flags."""
+    occ: dict[tuple[str, ...], list[tuple[int, int]]] = {}
+    for d in sorted(docs):
+        toks = docs[d]
+        for p in range(len(toks) - k + 1):
+            occ.setdefault(tuple(toks[p : p + k]), []).append((d, p))
+    flagged: dict[int, list[int]] = {}
+    for positions in occ.values():
+        if len(positions) > 1:
+            for d, p in sorted(positions)[1:]:
+                flagged.setdefault(d, []).append(p)
+    spans = set()
+    for d, ps in flagged.items():
+        ps.sort()
+        start, end = ps[0], ps[0] + k
+        for p in ps[1:]:
+            if p > end:
+                spans.add((d, start, end))
+                start, end = p, p + k
+            else:
+                end = max(end, p + k)
+        spans.add((d, start, end))
+    return spans
+
+
+def test_dup_spans_property_random_corpora(spark):
+    """dup_spans equals the brute-force reference on adversarial small
+    corpora: tiny alphabet (forced collisions), repeated runs, docs
+    shorter than k, overlapping self-repeats within one doc."""
+    import random
+
+    rng = random.Random(20260815)
+    from cdf_spark.operators.curation import dup_spans
+
+    for trial in range(6):
+        k = rng.choice([3, 4])
+        vocab = [f"w{i}" for i in range(rng.choice([2, 3, 5]))]
+        docs = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+            for d in range(rng.randint(2, 7))
+        }
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+        )
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in dup_spans(df, k=k).collect()
+        }
+        want = _brute_dup_spans(docs, k)
+        assert got == want, f"trial {trial}: k={k} docs={docs}"
