@@ -82,6 +82,14 @@ BENCH_QUERIES = [
     # the lead() pairing + a non-broadcast transition join)
     "lm_perplexity_scores",
     "lm_bigram_perplexity",
+    # round 10 late: ExactSubstr sliding-gram span dedup (2 shuffles of
+    # (md5, doc, pos) — the distributed suffix-array answer), corpus-
+    # frequency boilerplate removal (distinct-count + broadcast
+    # anti-join), and BPE training + tokenizer-aware counting (ONE
+    # corpus shuffle, then 8 word-table iterations + broadcast count)
+    "dup_substring_spans",
+    "boilerplate_line_removal",
+    "bpe_doc_token_counts",
     # round 2: the two heaviest new TPC-H shapes (5-way and 4-way
     # join aggregations) — plan-quality sentinels for join strategy
     "q9_product_type_profit",
