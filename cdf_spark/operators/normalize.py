@@ -226,3 +226,58 @@ def boilerplate_line_removal(
             ).alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (UTF-8 read as cp1252 — the ftfy discipline's top class)
+
+# The single dominant mojibake class in web crawls: UTF-8 bytes decoded
+# as Windows-1252 ("cafÃ©", "â€œquotedâ€\x9d"). The repair map is
+# GENERATED, not hand-typed: for each target char, its UTF-8 bytes
+# re-decoded as cp1252 give the corrupted form. Applied longest-first
+# so 3-byte sequences ("â€œ") repair before any 2-byte prefix could
+# half-match. A replace CHAIN (not a regex) keeps the semantics
+# byte-identical across Spark, DuckDB and Python.
+_MOJIBAKE_CHARS = "éèêëáàâäíîïóôöúùûüñçãõ“”‘’–—€°"
+
+
+def _mojibake_map() -> list[tuple[str, str]]:
+    out = []
+    for good in _MOJIBAKE_CHARS:
+        try:
+            bad = good.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            # bytes undefined in cp1252 (e.g. 0x9d in the RIGHT DOUBLE
+            # QUOTATION MARK) — real decoders using strict cp1252 could
+            # not have produced this corruption, so skip it.
+            continue
+        out.append((bad, good))
+    out.sort(key=lambda p: (-len(p[0]), p[0]))
+    return out
+
+
+MOJIBAKE_FIXES: list[tuple[str, str]] = _mojibake_map()
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair cp1252-mojibake by the generated replace chain. Pure
+    built-in string ops, zero shuffle; each replacement shrinks the
+    text, so (len before - len after) is a free corruption signal."""
+    out = col
+    for bad, good in MOJIBAKE_FIXES:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_repair(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text_fixed, chars_collapsed) — chars_collapsed > 0 flags
+    documents that were corrupted (each repair shrinks a 2-3 char
+    corruption to 1 char)."""
+    fixed = fix_mojibake(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        fixed.alias("text_fixed"),
+        (F.length(F.col(text_col)) - F.length(fixed)).alias("chars_collapsed"),
+    )

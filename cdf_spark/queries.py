@@ -2427,6 +2427,200 @@ _DUP_SPAN_ORACLE_CTES = """
 """
 
 
+def _mojibake_oracle() -> str:
+    """Replace chain generated from the SAME map the operator uses —
+    the oracle and the engine cannot drift."""
+    from .operators.normalize import MOJIBAKE_FIXES
+
+    snippet = "naïve “quote café 25° déjà-vu – ".encode("utf-8").decode("cp1252")
+    expr = "mt"
+    for bad, good in MOJIBAKE_FIXES:
+        expr = f"replace({expr}, '{bad}', '{good}')"
+    return f"""
+    WITH m AS (
+      SELECT doc_id, '{snippet}' || text AS mt FROM documents
+    )
+    SELECT doc_id, {expr} AS text_fixed,
+           CAST(length(mt) - length({expr}) AS INT) AS chars_collapsed
+    FROM m
+    """
+
+
+@_register("mojibake_repair_docs", _mojibake_oracle())
+def mojibake_repair_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """MOJIBAKE repair (`operators/normalize.mojibake_repair`) — the
+    dominant encoding corruption in web crawls: UTF-8 bytes decoded as
+    Windows-1252 ('cafÃ©', 'â€œquoted'). The repair map is GENERATED
+    (each target char's UTF-8 bytes re-decoded as cp1252), applied as
+    a longest-first literal replace chain — pure built-ins, zero
+    shuffle, byte-identical semantics in Spark/DuckDB/Python; the
+    oracle's chain is generated from the SAME map so engine and oracle
+    cannot drift. The fixture prepends a corrupted snippet to every
+    doc; chars_collapsed counts the shrinkage (a free corruption
+    signal)."""
+    from .operators.normalize import mojibake_repair
+
+    snippet = "naïve “quote café 25° déjà-vu – ".encode("utf-8").decode("cp1252")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.concat(F.lit(snippet), F.col("text")).alias("text")
+    )
+    return mojibake_repair(docs)
+
+
+@_register(
+    "near_dup_keeper_selection",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS s
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+    p AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, a.sz sa, b.sz sb, count(*) inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1,2,3,4
+    ),
+    prs AS (
+      SELECT id_a, id_b FROM p WHERE inter::DOUBLE / (sa + sb - inter) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster FROM walk GROUP BY id),
+    f AS (
+      SELECT doc_id, length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST((length(trim(text)) - length(replace(trim(text), ' ', ''))) AS BIGINT) + 1 END AS n_tokens,
+        CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')) AS BIGINT)/3
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')) AS BIGINT)/4 AS n_stop,
+        (length(text) - length(replace(text, '.', '')))
+          + (length(text) - length(replace(text, ',', '')))
+          + (length(text) - length(replace(text, '!', '')))
+          + (length(text) - length(replace(text, '?', '')))
+          + (length(text) - length(replace(text, ';', ''))) AS n_punct
+      FROM documents
+    ), g2 AS (
+      SELECT doc_id, n_tokens,
+        round(CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)/n_tokens ELSE 0.0 END, 4) AS atl,
+        round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS pr,
+        round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS sr
+      FROM f
+    ),
+    sc AS (
+      SELECT doc_id,
+        round(1.0/(1.0 + exp(-(-1.5 + CAST(n_tokens AS DOUBLE) * 0.02 + atl * 0.35 + sr * 6.0 + pr * (-4.0)))), 6) AS clf_score
+      FROM g2
+    )
+    SELECT c.doc_id, c.cluster, s.clf_score,
+           (ROW_NUMBER() OVER (PARTITION BY c.cluster ORDER BY s.clf_score DESC, c.doc_id) = 1) AS keep
+    FROM cl c JOIN sc s USING (doc_id)
+    """,
+)
+def near_dup_keeper_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """CANONICAL KEEPER selection — real pipelines don't keep the
+    FIRST member of a near-dup cluster, they keep the BEST one:
+    connected-component clusters over jaccard>=0.8 pairs, then the
+    highest-classifier-score member wins (doc_id tiebreak). One window
+    over the cluster id on top of the existing cluster machinery; the
+    oracle replays clustering (recursive CTE), scoring, and the argmax
+    window."""
+    from .operators.curation import quality_clf_score
+    from .operators.dedup_approx import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    clusters = dedup_clusters(
+        docs.select("doc_id"),
+        ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b"),
+    )
+    scored = docs.select("doc_id", quality_clf_score(F.col("text")).alias("clf_score"))
+    j = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(F.col("clf_score").desc(), F.col("doc_id"))
+    return j.select(
+        "doc_id",
+        "cluster",
+        "clf_score",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+@_register(
+    "stream_static_enrich_drain",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_id IS NOT NULL
+    """,
+)
+def stream_static_enrich_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STATIC ENRICHMENT on a real readStream drain — the
+    dimension-join every event-ingest pipeline runs (enrich each event
+    with its slowly-changing dimension row at ingest time, so
+    downstream consumers never re-join): events split into 3 file
+    micro-batches, each epoch inner-joins the STATIC customer
+    dimension (broadcast — Spark re-plans the static side per
+    micro-batch, which is what makes stream-static joins safe without
+    watermarks). The committed table must equal the plain batch join —
+    the relational oracle."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def build(tmp: str) -> None:
+        import shutil
+        import tempfile
+        from pathlib import Path as _Path
+
+        ev = _t(spark, sf, "events").select(*cols).filter("event_id IS NOT NULL")
+        (_Path(tmp) / "in").mkdir()
+        for i in range(3):
+            stage = tempfile.mkdtemp(prefix="cdf_sse_part_")
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            shutil.move(str(src), f"{tmp}/in/part-{i}.parquet")
+            shutil.rmtree(stage, ignore_errors=True)
+
+        dim = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+        enriched = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+            .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "inner")
+            .select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+        )
+        q = (
+            enriched.writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+
+    tmp = _session_fixture("stream_static_enrich", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value"
+    )
+
+
 @_register(
     "decontamination_pair_report",
     """
@@ -4708,6 +4902,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "bpe_word_segmentation",
     "bpe_doc_token_counts",
     "decontamination_pair_report",
+    "mojibake_repair_docs",
+    "near_dup_keeper_selection",
+    "stream_static_enrich_drain",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --

@@ -357,3 +357,24 @@ def test_boilerplate_line_removal_zero_copy_discipline(spark):
     assert out[3].text_kept == "" and out[3].n_dropped == 1 and out[3].n_lines == 1
     # no doc keeps any copy of the footer
     assert all(footer not in r.text_kept for r in out.values())
+
+
+def test_mojibake_repair_roundtrip(spark):
+    """The generated map repairs every cp1252-mojibake form of its
+    target chars; clean ASCII passes through byte-identical."""
+    from cdf_spark.operators.normalize import MOJIBAKE_FIXES, mojibake_repair
+
+    good = "déjà-vu – “quoted” café 25° naïve"
+    repairable = {g for _bad, g in MOJIBAKE_FIXES}
+    # corrupt ONLY the repairable chars (” is undefined in cp1252 and
+    # correctly absent from the generated map — it stays intact)
+    bad = "".join(
+        ch.encode("utf-8").decode("cp1252") if ch in repairable else ch
+        for ch in good
+    )
+    assert bad != good
+    df = spark.createDataFrame([(0, bad), (1, "plain ascii text.")], "doc_id long, text string")
+    out = {r.doc_id: r for r in mojibake_repair(df).collect()}
+    assert out[0].text_fixed == good
+    assert out[0].chars_collapsed > 0
+    assert out[1].text_fixed == "plain ascii text." and out[1].chars_collapsed == 0
