@@ -928,6 +928,15 @@ def dup_spans(
         .filter((F.col("c") > 1) & (F.col("rn") > 1))
         .select(id_col, "p")
     )
+    return _windows_to_spans(flagged, id_col, k)
+
+
+def _windows_to_spans(flagged: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge flagged window positions (id_col, p) into maximal
+    [start, end) token spans — gaps-and-islands over one per-doc
+    window shuffle."""
+    from pyspark.sql import Window
+
     wd = Window.partitionBy(id_col).orderBy("p")
     prev_end = F.max(F.col("p") + k).over(
         wd.rowsBetween(Window.unboundedPreceding, -1)
@@ -987,3 +996,116 @@ def remove_dup_spans(
         F.size(ws).alias("n_tokens"),
         (F.size(ws) - F.size(keep)).alias("n_cut"),
     )
+
+
+class ExactSubstrIndex:
+    """Persisted EXACT-SUBSTRING index for INCREMENTAL ExactSubstr —
+    the growing-corpus form of `dup_spans`: the corpus's distinct
+    k-gram fingerprints persist once, and each new ingest batch PROBES
+    the index instead of re-hashing and re-shuffling the whole corpus
+    (plain `dup_spans` re-pays two corpus-scale shuffles every run).
+
+    Layout under `root/`: `grams/` — one row per DISTINCT gram hash
+    ever seen, written partitioned by `hb = pmod(h, 16)` so the probe
+    and fold joins co-partition against stable buckets; `meta.json`
+    pins k (a probe with a different k would fingerprint different
+    windows against meaningless buckets).
+
+    Semantics contract (pinned by the registry fixture): when batches
+    arrive in ascending id order, `probe(batch)` returns EXACTLY the
+    spans the full-corpus `dup_spans` would assign to the batch's
+    docs — a batch window is a non-first occurrence iff its gram is
+    already in the index (an earlier batch had it) or an earlier
+    (doc, p) within the batch has it. First occurrences stay unflagged
+    and are folded in by `add()`.
+
+    Cost: probe = one gram projection over the BATCH (narrow) + one
+    membership join against the bucket-partitioned index + the batch's
+    own hash window + one per-doc island window — O(batch + touched
+    buckets), never O(corpus). add() = distinct batch grams anti-join
+    the index, append — the index stays gram-unique so it grows with
+    the corpus's NOVELTY, not its size.
+    """
+
+    def __init__(self, root):
+        from pathlib import Path
+
+        self.root = Path(root)
+
+    @staticmethod
+    def _grams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+        """(id, p, h, hb) sliding k-gram fingerprints of a batch —
+        the same construction `dup_spans` shuffles, with the bigint
+        SQL-parity hash and the bucket column."""
+        from .text import hash64
+
+        ws = F.split(F.col(text_col), " ")
+        n = F.size(ws)
+        g = df.filter(F.col(text_col).isNotNull() & (n >= k)).select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: hash64(F.array_join(F.slice(ws, i + 1, k), " ")),
+                )
+            ).alias("p", "h"),
+        )
+        return g.withColumn("hb", F.pmod(F.col("h"), F.lit(16)).cast("int"))
+
+    def _meta(self) -> dict:
+        import json as _json
+
+        return _json.loads((self.root / "meta.json").read_text())
+
+    def build(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 10
+    ) -> dict:
+        import json as _json
+
+        g = self._grams(df, text_col, id_col, k)
+        g.select("hb", "h").distinct().write.mode("overwrite").partitionBy(
+            "hb"
+        ).parquet(str(self.root / "grams"))
+        self.root.mkdir(parents=True, exist_ok=True)
+        meta = {"k": k}
+        (self.root / "meta.json").write_text(_json.dumps(meta))
+        return meta
+
+    def add(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> None:
+        """Fold a batch's NOVEL grams in (distinct anti-join append —
+        the index stays gram-unique)."""
+        spark = df.sparkSession
+        k = self._meta()["k"]
+        g = self._grams(df, text_col, id_col, k).select("hb", "h").distinct()
+        idx = spark.read.parquet(str(self.root / "grams"))
+        novel = g.join(idx, on=["hb", "h"], how="left_anti")
+        novel.write.mode("append").partitionBy("hb").parquet(str(self.root / "grams"))
+
+    def probe(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Dup spans of the batch against everything ingested before
+        it (plus within-batch repeats): (id_col, span_start, span_end),
+        the exact spans full-corpus `dup_spans` would assign these
+        docs."""
+        from pyspark.sql import Window
+
+        spark = df.sparkSession
+        k = self._meta()["k"]
+        g = self._grams(df, text_col, id_col, k)
+        idx = spark.read.parquet(str(self.root / "grams")).withColumn(
+            "_seen", F.lit(1)
+        )
+        joined = g.join(idx, on=["hb", "h"], how="left")
+        wh = Window.partitionBy("h").orderBy(F.col(id_col), F.col("p"))
+        flagged = (
+            joined.select(
+                id_col,
+                "p",
+                "_seen",
+                F.row_number().over(wh).alias("rn"),
+            )
+            .filter((F.col("_seen").isNotNull()) | (F.col("rn") > 1))
+            .select(id_col, "p")
+        )
+        return _windows_to_spans(flagged, id_col, k)

@@ -2812,6 +2812,51 @@ def dup_substring_removal_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "dup_substring_index_incremental",
+    f"""
+    WITH {_DUP_SPAN_ORACLE_CTES}
+    SELECT doc_id, CAST(span_start AS INT) AS span_start,
+           CAST(span_end AS INT) AS span_end
+    FROM spans WHERE doc_id >= 250
+    """,
+)
+def dup_substring_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL ExactSubstr against a PERSISTED gram index
+    (`operators/curation.ExactSubstrIndex`) — the growing-corpus form:
+    docs < 150 build the index, 150-249 fold in through `add()` (the
+    ingest path: distinct novel grams anti-join + append, bucket-
+    partitioned), and the NEW batch (doc_id >= 250) PROBES the stored
+    buckets — one membership join, O(batch + touched buckets), the
+    corpus never re-hashes or re-shuffles. The fixture asserts the
+    incremental contract in-build: probe spans == the full-corpus
+    `dup_spans` restricted to the batch's docs; the oracle then
+    value-checks those spans against the same full-corpus SQL replay
+    the batch query uses."""
+    from .operators.curation import ExactSubstrIndex, dup_spans
+
+    def build(tmp: str) -> None:
+        docs = _t(spark, sf, "documents")
+        idx = ExactSubstrIndex(f"{tmp}/idx")
+        idx.build(docs.filter(F.col("doc_id") < 150), k=10)
+        idx.add(docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250)))
+        batch = docs.filter(F.col("doc_id") >= 250)
+        got = idx.probe(batch)
+        want = dup_spans(docs, k=10).filter(F.col("doc_id") >= 250)
+        g = {(r.doc_id, r.span_start, r.span_end) for r in got.collect()}
+        w = {(r.doc_id, r.span_start, r.span_end) for r in want.collect()}
+        if g != w:
+            raise AssertionError(
+                f"incremental probe != full recompute: only_probe={g - w} only_full={w - g}"
+            )
+        got.write.mode("overwrite").parquet(f"{tmp}/out")
+
+    tmp = _session_fixture("dup_substr_index", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "span_start", "span_end"
+    )
+
+
+@_register(
     "segment_dedup_docs",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -4905,6 +4950,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "mojibake_repair_docs",
     "near_dup_keeper_selection",
     "stream_static_enrich_drain",
+    "dup_substring_index_incremental",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --

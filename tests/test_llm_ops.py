@@ -747,3 +747,42 @@ def test_dup_spans_property_random_corpora(spark):
         }
         want = _brute_dup_spans(docs, k)
         assert got == want, f"trial {trial}: k={k} docs={docs}"
+
+
+def test_exact_substr_index_incremental_contract(spark, tmp_path):
+    """Probe == full-corpus dup_spans for the batch docs; add() keeps
+    the index gram-unique; within-batch repeats also flag."""
+    from cdf_spark.operators.curation import ExactSubstrIndex, dup_spans
+
+    run_a = " ".join(f"a{i}" for i in range(12))
+    run_b = " ".join(f"b{i}" for i in range(10))
+    docs = [
+        (0, "x0 x1 " + run_a + " x2 x3 x4 x5 x6 x7"),          # build
+        (1, run_b + " y0 y1 y2 y3 y4 y5 y6 y7 y8 y9"),          # add()
+        # probe: repeats run_a (from build) AND run_b (from add) AND
+        # its own prefix z-run twice
+        (2, run_a + " z0 z1 z2 z3 " + run_b + " w0 w1 w2"),
+        (3, " ".join(f"z{i % 10}" for i in range(10)) + " q0 q1 q2 "
+            + " ".join(f"z{i % 10}" for i in range(10))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = ExactSubstrIndex(str(tmp_path / "esi"))
+    idx.build(df.filter("doc_id = 0"), k=10)
+    idx.add(df.filter("doc_id = 1"))
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in idx.probe(df.filter("doc_id >= 2")).collect()
+    }
+    want = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dup_spans(df, k=10).filter("doc_id >= 2").collect()
+    }
+    assert got == want
+    assert any(d == 2 for d, _s, _e in got)  # cross-batch dups found
+    assert any(d == 3 for d, _s, _e in got)  # within-batch repeat found
+    # gram-unique after add: re-adding doc 1 must append nothing
+    grams = spark.read.parquet(str(tmp_path / "esi" / "grams"))
+    n_before = grams.count()
+    assert n_before == grams.distinct().count()
+    idx.add(df.filter("doc_id = 1"))
+    assert spark.read.parquet(str(tmp_path / "esi" / "grams")).count() == n_before
