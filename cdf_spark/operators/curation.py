@@ -1063,39 +1063,74 @@ class ExactSubstrIndex:
         import json as _json
 
         g = self._grams(df, text_col, id_col, k)
-        g.select("hb", "h").distinct().write.mode("overwrite").partitionBy(
-            "hb"
-        ).parquet(str(self.root / "grams"))
+        g.select("hb", "h").distinct().withColumn(
+            "epoch", F.lit(0)
+        ).write.mode("overwrite").partitionBy("hb").parquet(str(self.root / "grams"))
         self.root.mkdir(parents=True, exist_ok=True)
         meta = {"k": k}
         (self.root / "meta.json").write_text(_json.dumps(meta))
         return meta
 
-    def add(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> None:
+    def _read_grams(self, spark) -> DataFrame:
+        """Index gram table; an index built over zero docs (the
+        streaming-from-nothing start) has no part files, so fall back
+        to an explicit-schema empty frame instead of letting parquet
+        schema inference fail."""
+        from pathlib import Path
+
+        root = self.root / "grams"
+        if not any(Path(root).rglob("*.parquet")):
+            return spark.createDataFrame([], "hb int, h bigint, epoch int")
+        return spark.read.parquet(str(root)).select("hb", "h", "epoch")
+
+    def add(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch: int | None = None,
+    ) -> None:
         """Fold a batch's NOVEL grams in (distinct anti-join append —
-        the index stays gram-unique)."""
+        the index stays gram-unique, stamped with the ingest epoch of
+        its FIRST fold). `epoch` is the replay fence: a streaming
+        caller passes its micro-batch epoch so a replayed `probe`
+        can exclude the batch's own earlier (crashed) fold; batch
+        callers omit it and get max+1 (one bounded 1-row agg)."""
         spark = df.sparkSession
         k = self._meta()["k"]
         g = self._grams(df, text_col, id_col, k).select("hb", "h").distinct()
-        idx = spark.read.parquet(str(self.root / "grams"))
-        novel = g.join(idx, on=["hb", "h"], how="left_anti")
+        idx = self._read_grams(spark)
+        if epoch is None:
+            row = idx.agg(F.max("epoch").alias("m")).collect()[0]
+            epoch = (row.m if row.m is not None else 0) + 1
+        novel = g.join(idx, on=["hb", "h"], how="left_anti").withColumn(
+            "epoch", F.lit(int(epoch))
+        )
         novel.write.mode("append").partitionBy("hb").parquet(str(self.root / "grams"))
 
     def probe(
-        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        before_epoch: int | None = None,
     ) -> DataFrame:
         """Dup spans of the batch against everything ingested before
         it (plus within-batch repeats): (id_col, span_start, span_end),
         the exact spans full-corpus `dup_spans` would assign these
-        docs."""
+        docs. `before_epoch` is the AT-LEAST-ONCE replay fence: a
+        retried micro-batch whose crashed first attempt already folded
+        its grams (epoch e) probes with before_epoch=e so its own
+        replayed grams don't flag every window as seen-before."""
         from pyspark.sql import Window
 
         spark = df.sparkSession
         k = self._meta()["k"]
         g = self._grams(df, text_col, id_col, k)
-        idx = spark.read.parquet(str(self.root / "grams")).withColumn(
-            "_seen", F.lit(1)
-        )
+        idx = self._read_grams(spark)
+        if before_epoch is not None:
+            idx = idx.filter(F.col("epoch") < F.lit(int(before_epoch)))
+        idx = idx.select("hb", "h").withColumn("_seen", F.lit(1))
         joined = g.join(idx, on=["hb", "h"], how="left")
         wh = Window.partitionBy("h").orderBy(F.col(id_col), F.col("p"))
         flagged = (

@@ -2857,6 +2857,87 @@ def dup_substring_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "streaming_dup_span_index_drain",
+    f"""
+    WITH {_DUP_SPAN_ORACLE_CTES}
+    SELECT doc_id, CAST(span_start AS INT) AS span_start,
+           CAST(span_end AS INT) AS span_end
+    FROM spans
+    """,
+)
+def streaming_dup_span_index_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING ExactSubstr — the shape a continuously-growing corpus
+    actually runs: a real readStream drain where every micro-batch (a)
+    PROBES the persisted gram index for duplicated spans against
+    everything ingested before it, (b) appends the spans to the output
+    sink, and (c) folds its own novel grams into the index
+    (`foreachBatch` over `ExactSubstrIndex`, starting from an EMPTY
+    index). Per-epoch cost is O(batch + touched buckets) — the corpus
+    never re-processes, the whole point at 100 TB ingest rates. With
+    batches arriving in doc order (mod-times pin the file order), the
+    UNION of all epochs' spans must be EXACTLY the batch `dup_spans`
+    answer over the full corpus — the same SQL replay oracles it
+    value-for-value."""
+    from .operators.curation import ExactSubstrIndex
+
+    def build(tmp: str) -> None:
+        import os
+        import shutil
+        import tempfile
+        import time
+        from pathlib import Path as _Path
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        bounds = [(0, 166), (166, 333), (333, 10_000_000)]
+        (_Path(tmp) / "in").mkdir()
+        t0 = time.time() - 1000
+        for i, (lo, hi) in enumerate(bounds):
+            stage = tempfile.mkdtemp(prefix="cdf_sdsi_part_")
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            dst = f"{tmp}/in/part-{i}.parquet"
+            shutil.move(str(src), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))  # pin arrival order
+            shutil.rmtree(stage, ignore_errors=True)
+
+        idx = ExactSubstrIndex(f"{tmp}/idx")
+        idx.build(docs.limit(0), k=10)  # stream starts from NOTHING
+
+        def handle(batch_df, epoch_id: int) -> None:
+            # foreachBatch is AT-LEAST-ONCE: a retried epoch must not
+            # double its spans (per-epoch dir, overwrite = idempotent)
+            # nor see its own crashed fold as "earlier corpus"
+            # (before_epoch fence; add() stamps the fold epoch and is
+            # itself idempotent via the novel-gram anti-join). The
+            # crash/replay path is pinned in test_llm_ops::
+            # test_streaming_substr_index_replay_idempotent.
+            fence = int(epoch_id) + 1
+            idx.probe(batch_df, before_epoch=fence).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/out/epoch={epoch_id}")
+            idx.add(batch_df, epoch=fence)
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+
+    tmp = _session_fixture("streaming_dup_span_index", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "span_start", "span_end"
+    )
+
+
+@_register(
     "segment_dedup_docs",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -4951,6 +5032,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "near_dup_keeper_selection",
     "stream_static_enrich_drain",
     "dup_substring_index_incremental",
+    "streaming_dup_span_index_drain",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --

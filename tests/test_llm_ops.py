@@ -786,3 +786,86 @@ def test_exact_substr_index_incremental_contract(spark, tmp_path):
     assert n_before == grams.distinct().count()
     idx.add(df.filter("doc_id = 1"))
     assert spark.read.parquet(str(tmp_path / "esi" / "grams")).count() == n_before
+
+
+def test_streaming_substr_index_replay_idempotent(spark, tmp_path):
+    """The worst at-least-once case: an epoch crashes AFTER its spans
+    landed AND its grams folded into the index, then replays from the
+    checkpoint. The before_epoch fence keeps the replayed probe from
+    seeing its own crashed fold (which would flag every window), the
+    per-epoch overwrite keeps spans un-duplicated, and the novel-gram
+    anti-join keeps the re-add a no-op. Final output must equal the
+    clean batch dup_spans answer."""
+    import os
+    import time
+
+    from cdf_spark.operators.curation import ExactSubstrIndex, dup_spans
+
+    run = " ".join(f"s{i}" for i in range(12))
+    docs = [
+        (0, "a0 a1 " + run + " a2 a3 a4 a5 a6 a7"),
+        (1, " ".join(f"b{i}" for i in range(20))),
+        (2, run + " c0 c1 c2 c3 c4 c5 c6 c7"),      # dups doc 0's run
+        (3, "d0 d1 d2 " + run + " d3 d4 d5 d6"),     # dups again
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/in")
+    t0 = time.time() - 1000
+    for i, (lo, hi) in enumerate([(0, 2), (2, 3), (3, 4)]):
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp()
+        df.filter(f"doc_id >= {lo} and doc_id < {hi}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (src,) = [p for p in sorted(os.listdir(stage)) if p.endswith(".parquet")]
+        shutil.move(f"{stage}/{src}", f"{tmp}/in/part-{i}.parquet")
+        os.utime(f"{tmp}/in/part-{i}.parquet", (t0 + i * 10, t0 + i * 10))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    idx = ExactSubstrIndex(f"{tmp}/idx")
+    idx.build(df.limit(0), k=10)
+    crashed = {"done": False}
+
+    def handle(batch_df, epoch_id: int) -> None:
+        fence = int(epoch_id) + 1
+        idx.probe(batch_df, before_epoch=fence).write.mode("overwrite").parquet(
+            f"{tmp}/out/epoch={epoch_id}"
+        )
+        idx.add(batch_df, epoch=fence)
+        if epoch_id == 1 and not crashed["done"]:
+            crashed["done"] = True  # crash AFTER spans + fold landed
+            raise RuntimeError("injected crash after epoch 1 side effects")
+
+    def drain():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException):
+        drain().awaitTermination()
+    assert crashed["done"]
+    drain().awaitTermination()  # replay epoch 1 + run epoch 2
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spark.read.parquet(f"{tmp}/out").select(
+            "doc_id", "span_start", "span_end"
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dup_spans(df, k=10).collect()
+    }
+    assert got == want and any(d == 2 for d, *_ in got) and any(d == 3 for d, *_ in got)
