@@ -1,0 +1,113 @@
+"""Cross-format METADATA translation (Apache XTable / Delta UniForm).
+
+A table's data is parquet either way; what makes it "a Delta table" or
+"an Iceberg table" is metadata. Translation is therefore a
+METADATA-ONLY operation: write the other format's manifests/log
+pointing at the SAME data files in place — no rewrite, no copy, O(live
+files) metadata work regardless of data size. That is Apache XTable's
+premise and Delta UniForm's implementation (Iceberg metadata generated
+alongside the Delta log over shared parquet).
+
+Contrast with `cross_format_replication` (operators/effects.py
+consumers): replication moves ROWS through a changelog — O(data),
+needed when the target must own its files. Translation shares files —
+O(metadata), the right call when one engine just needs to READ the
+other's table.
+
+Refusal posture (detect-and-refuse, same as the MoR and column-mapping
+readers): translation is only honest when the target format can
+express the source's CURRENT snapshot losslessly from the shared
+files alone —
+- Delta deletion vectors / Iceberg delete files: merge-on-read state
+  lives in format-specific sidecars the other format cannot read.
+  Compact first (REORG PURGE / rewrite_position_deletes + overwrite),
+  then translate.
+- Column mapping (Delta) / renamed Iceberg fields: physical parquet
+  names differ from the logical schema; linking would expose physical
+  names. Refused.
+- Partitioned sources: both formats omit identity-partition columns
+  from data files in their hive-ish layouts, so linked files would
+  lose columns. Refused (a follow-up could reconstitute metadata-only
+  partition columns).
+
+Reference frame: the reference's destination protocol moves verified
+ROWS (crates/cdf-kernel/src/destination.rs); metadata translation is
+beyond-ref surface.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from ..sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
+from ..sources.iceberg import IcebergError, IcebergFixtureWriter, IcebergTable
+
+__all__ = ["delta_to_iceberg", "iceberg_to_delta"]
+
+
+def delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> dict:
+    """Expose a Delta table's CURRENT version as an Iceberg table over
+    the same parquet files (UniForm direction). Returns
+    {delta_version, iceberg_snapshot_id, files_linked}."""
+    dt = DeltaTable(delta_root)
+    v = dt.current_version()
+    if dt._cm_mode(v) != "none":
+        raise DeltaError(
+            "delta_to_iceberg: column-mapped tables carry physical "
+            "col-<uuid> parquet names — translation would expose them; refused"
+        )
+    if dt.partition_columns(v):
+        raise DeltaError(
+            "delta_to_iceberg: partitioned Delta omits partition columns "
+            "from data files; linking would lose them — refused"
+        )
+    adds = dt.live_adds(v)
+    dv_files = [p for p, dv, _pv in adds if dv is not None]
+    if dv_files:
+        raise DeltaError(
+            f"delta_to_iceberg: {len(dv_files)} live file(s) carry deletion "
+            "vectors (Delta-physical merge-on-read state); run REORG PURGE "
+            "first, then translate"
+        )
+    files = [p for p, _dv, _pv in adds]
+    w = IcebergFixtureWriter(iceberg_root)
+    sid = w.link_files(files)
+    return {
+        "delta_version": v,
+        "iceberg_snapshot_id": sid,
+        "files_linked": len(files),
+    }
+
+
+def iceberg_to_delta(iceberg_root: str | Path, delta_root: str | Path) -> dict:
+    """Expose an Iceberg table's CURRENT snapshot as a Delta table over
+    the same parquet files (XTable direction). Returns
+    {iceberg_snapshot_id, delta_version, files_linked}."""
+    t = IcebergTable(iceberg_root)
+    sid = t.current_snapshot_id()
+    if sid is None:
+        raise IcebergError("iceberg_to_delta: empty table has no snapshot")
+    if t.delete_files_for_snapshot(sid):
+        raise IcebergError(
+            "iceberg_to_delta: the snapshot carries row-level delete files "
+            "(merge-on-read state Delta cannot read); compact them away "
+            "(rewrite_position_deletes / overwrite) first"
+        )
+    specs = t._meta.get("partition-specs", [])
+    default_spec = next(
+        (s for s in specs if s.get("spec-id", 0) == int(t._meta.get("default-spec-id", 0))),
+        {"fields": []},
+    )
+    if default_spec.get("fields"):
+        raise IcebergError(
+            "iceberg_to_delta: partitioned Iceberg may omit identity "
+            "partition columns from data files; linking would lose them — refused"
+        )
+    files = t.files_for_snapshot(sid)
+    w = DeltaFixtureWriter(delta_root)
+    v = w.link_files(files)
+    return {
+        "iceberg_snapshot_id": sid,
+        "delta_version": v,
+        "files_linked": len(files),
+    }

@@ -5033,6 +5033,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "stream_static_enrich_drain",
     "dup_substring_index_incremental",
     "streaming_dup_span_index_drain",
+    "xtable_delta_to_iceberg_scan",
+    "xtable_iceberg_to_delta_scan",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -9165,6 +9167,101 @@ def hudi_mor_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("hudi_mor_dest_up", sf, build)
     return HudiMorDestination(f"{tmp}/t", record_key="o_orderkey").read(spark)
+
+
+@_register(
+    "xtable_delta_to_iceberg_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 900
+    """,
+)
+def xtable_delta_to_iceberg_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """METADATA-ONLY format translation, UniForm direction
+    (`package/xtable.delta_to_iceberg`): a Delta table (append, then a
+    REPLACE that retires the first commit's files from the live set)
+    is exposed as an Iceberg table whose manifests LINK the same
+    parquet files in place — zero copy, O(live files) metadata work at
+    any data size. The fixture asserts translation follows the LOG,
+    not the directory (the retired file is on disk but must not link),
+    that nothing was copied, and that the Iceberg read equals the
+    Delta read; the oracle value-checks the rows."""
+    from .package.xtable import delta_to_iceberg
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+    from .sources.iceberg import IcebergTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        dw = DeltaFixtureWriter(f"{tmp}/delta")
+        dw.append(orders.filter("o_orderkey <= 600"))
+        dw.replace(orders.filter("o_orderkey <= 900"))  # retires commit 0's files
+        info = delta_to_iceberg(f"{tmp}/delta", f"{tmp}/ice")
+        live = len(DeltaTable(f"{tmp}/delta").files_for_version(info["delta_version"]))
+        if info["files_linked"] != live:
+            raise AssertionError(
+                f"linked {info['files_linked']} files, live set has {live}"
+            )
+        import os
+
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/ice/data")):
+            raise AssertionError("translation copied data — must be metadata-only")
+        ice = IcebergTable(f"{tmp}/ice").read(spark)
+        delta = DeltaTable(f"{tmp}/delta").read(spark)
+        if ice.exceptAll(delta).count() or delta.exceptAll(ice).count():
+            raise AssertionError("iceberg view of the delta table diverges")
+
+    tmp = _session_fixture("xtable_d2i", sf, build)
+    return IcebergTable(f"{tmp}/ice").read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_iceberg_to_delta_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 800
+    """,
+)
+def xtable_iceberg_to_delta_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """METADATA-ONLY format translation, XTable direction
+    (`package/xtable.iceberg_to_delta`): an Iceberg table's current
+    snapshot exposed as a Delta table whose log LINKS the same parquet
+    files by absolute path (the protocol's shallow-clone mechanism) —
+    zero copy. In-build: linked count == live snapshot files, no
+    parquet landed in the Delta root, Delta read == Iceberg read; the
+    oracle value-checks the rows."""
+    from .package.xtable import iceberg_to_delta
+    from .sources.delta import DeltaTable
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        iw = IcebergFixtureWriter(f"{tmp}/ice")
+        iw.append(orders.filter("o_orderkey <= 500"))
+        iw.append(orders.filter("o_orderkey > 500 AND o_orderkey <= 800"))
+        info = iceberg_to_delta(f"{tmp}/ice", f"{tmp}/delta")
+        t = IcebergTable(f"{tmp}/ice")
+        live = len(t.files_for_snapshot(t.current_snapshot_id()))
+        if info["files_linked"] != live:
+            raise AssertionError(
+                f"linked {info['files_linked']} files, live set has {live}"
+            )
+        import os
+
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/delta")):
+            raise AssertionError("translation copied data — must be metadata-only")
+        d = DeltaTable(f"{tmp}/delta").read(spark)
+        i = t.read(spark)
+        if d.exceptAll(i).count() or i.exceptAll(d).count():
+            raise AssertionError("delta view of the iceberg table diverges")
+
+    tmp = _session_fixture("xtable_i2d", sf, build)
+    return DeltaTable(f"{tmp}/delta").read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
 
 
 @_register(

@@ -1710,6 +1710,49 @@ class DeltaFixtureWriter:
     def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
         return self._commit(self._write_data(df), "WRITE", timestamp_ms)
 
+    def link_files(self, paths: list[str], timestamp_ms: int | None = None) -> int:
+        """Append commit that LINKS existing parquet files IN PLACE —
+        add actions carry the source files' ABSOLUTE paths (the
+        protocol allows absolute URIs; shallow clones use exactly
+        this), nothing is copied. The XTable / UniForm translation
+        primitive in the Iceberg→Delta direction: the linked files'
+        lifecycle stays owned by the source table (vacuum there, not
+        here). Refused under column mapping (linked files carry the
+        source table's physical names, not this log's) and under
+        partitioning (partitionValues would need trusted re-derivation
+        from file contents)."""
+        import pyarrow.parquet as pq
+
+        if not paths:
+            raise DeltaError("link_files requires at least one parquet file")
+        if self.column_mapping != "none":
+            raise DeltaError("link_files under column mapping is not supported")
+        if self.partition_by:
+            raise DeltaError("link_files into a partitioned table is not supported")
+        if self._schema_string is None:
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            self._schema_string = from_arrow_schema(
+                pq.read_schema(paths[0])
+            ).json()
+        adds = []
+        for src in paths:
+            p = Path(src).resolve()
+            md = pq.read_metadata(p)
+            adds.append(
+                {
+                    "add": {
+                        "path": str(p),
+                        "size": p.stat().st_size,
+                        "partitionValues": {},
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": md.num_rows}),
+                    }
+                }
+            )
+        return self._commit(adds, "WRITE", timestamp_ms)
+
     def replace(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
         """Replace commit from a DataFrame: remove every live file +
         the new data's adds in ONE commit — the partition-aware

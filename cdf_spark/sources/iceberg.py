@@ -2861,18 +2861,51 @@ class IcebergFixtureWriter:
             },
         }
 
+    def link_files(
+        self,
+        paths: list[str],
+        timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> int:
+        """Append commit that LINKS existing parquet files IN PLACE —
+        manifests reference the source files' absolute paths, nothing
+        is copied. This is the XTable / Delta-UniForm translation
+        primitive: exposing another format's data files through
+        Iceberg metadata is a metadata-only operation (Apache XTable's
+        whole premise); the linked files' lifecycle stays owned by the
+        source table (expire/vacuum there, not here)."""
+        if not paths:
+            raise IcebergError("link_files requires at least one parquet file")
+        self._ensure_schema_from_parquet(paths[0])
+        sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
+        parent = self._parent_snapshot_id()
+        self._seq += 1
+        ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
+        return self._finish_commit(
+            sid, parent, ts, self._file_entries(paths, sid, copy=False), "append"
+        )
+
     def _copied_file_entries(self, paths: list[str], sid: int) -> list[dict]:
+        return self._file_entries(paths, sid, copy=True)
+
+    def _file_entries(
+        self, paths: list[str], sid: int, copy: bool = True
+    ) -> list[dict]:
         """Data-file entries from EXISTING canonical parquet files,
         committed by COPY (no decode/re-encode — the segment-copy
-        posture); bounds come from each file's own footer."""
+        posture) or LINKED in place (copy=False, the XTable path);
+        bounds come from each file's own footer."""
         import shutil
 
         import pyarrow.parquet as pq
 
         entries = []
         for src in paths:
-            dest = self.root / "data" / f"{uuid.uuid4().hex}.parquet"
-            shutil.copy(str(src), str(dest))
+            if copy:
+                dest = self.root / "data" / f"{uuid.uuid4().hex}.parquet"
+                shutil.copy(str(src), str(dest))
+            else:
+                dest = Path(src).resolve()
             md = pq.read_metadata(dest)
             lower, upper = self._footer_bounds(md)
             entries.append(

@@ -1,0 +1,96 @@
+"""Cross-format metadata translation (package/xtable.py, r10).
+
+Positive paths (zero-copy, read-equality, log-not-directory) are
+asserted inside the registry fixtures; this file pins the REFUSALS —
+translation must detect-and-refuse every case the shared files can't
+express losslessly, never silently misread.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def test_d2i_refuses_deletion_vectors(spark, orders, tmp_path):
+    from cdf_spark.package.xtable import delta_to_iceberg
+    from cdf_spark.sources.delta import DeltaError, DeltaFixtureWriter
+
+    base = orders.filter("o_orderkey <= 300")
+    n_base = base.count()
+    dw = DeltaFixtureWriter(str(tmp_path / "d"))
+    dw.append(base)
+    dw.delete_where(spark, "o_orderkey <= 50")
+    n_deleted = base.filter("o_orderkey <= 50").count()
+    with pytest.raises(DeltaError, match="deletion vectors"):
+        delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))
+    # REORG PURGE materializes the DVs away; translation then proceeds
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    dw.reorg_purge(spark)
+    info = delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))
+    ice = IcebergTable(str(tmp_path / "i")).read(spark)
+    assert ice.count() == n_base - n_deleted and info["files_linked"] >= 1
+
+
+def test_d2i_refuses_column_mapping_and_partitioning(spark, orders, tmp_path):
+    from cdf_spark.package.xtable import delta_to_iceberg
+    from cdf_spark.sources.delta import DeltaError, DeltaFixtureWriter
+
+    cm = DeltaFixtureWriter(str(tmp_path / "cm"), column_mapping="name")
+    cm.append(orders.filter("o_orderkey <= 100"))
+    with pytest.raises(DeltaError, match="column-mapped"):
+        delta_to_iceberg(str(tmp_path / "cm"), str(tmp_path / "i1"))
+
+    pt = DeltaFixtureWriter(str(tmp_path / "pt"), partition_by=["o_custkey"])
+    pt.append(orders.filter("o_orderkey <= 100"))
+    with pytest.raises(DeltaError, match="partitioned"):
+        delta_to_iceberg(str(tmp_path / "pt"), str(tmp_path / "i2"))
+
+
+def test_i2d_refuses_delete_files_until_compacted(spark, orders, tmp_path):
+    from cdf_spark.package.xtable import iceberg_to_delta
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.iceberg import IcebergError, IcebergFixtureWriter, IcebergTable
+
+    base = orders.filter("o_orderkey <= 300")
+    n_base = base.count()
+    iw = IcebergFixtureWriter(str(tmp_path / "i"))
+    iw.append(base)
+    t = IcebergTable(str(tmp_path / "i"))
+    (victim,) = t.files_for_snapshot(t.current_snapshot_id())
+    iw.delete_positions([(victim, 0), (victim, 1)])
+    with pytest.raises(IcebergError, match="delete files"):
+        iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))
+    # an overwrite that materializes the live rows clears the refusal
+    live = IcebergTable(str(tmp_path / "i")).read(spark)
+    iw.overwrite(live)
+    info = iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))
+    got = DeltaTable(str(tmp_path / "d")).read(spark)
+    assert got.count() == n_base - 2 and info["files_linked"] >= 1
+
+
+def test_linked_lifecycle_stays_with_source(spark, orders, tmp_path):
+    """The translated table is a VIEW over the source's files: a new
+    source commit after translation doesn't change the translated
+    snapshot (translation is point-in-time, like UniForm's per-commit
+    generation)."""
+    from cdf_spark.package.xtable import delta_to_iceberg
+    from cdf_spark.sources.delta import DeltaFixtureWriter
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    first = orders.filter("o_orderkey <= 200")
+    n_first = first.count()
+    dw = DeltaFixtureWriter(str(tmp_path / "d"))
+    dw.append(first)
+    delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))
+    before = IcebergTable(str(tmp_path / "i")).read(spark).count()
+    dw.append(orders.filter("o_orderkey > 200 and o_orderkey <= 400"))
+    after = IcebergTable(str(tmp_path / "i")).read(spark).count()
+    assert before == after == n_first
