@@ -42,7 +42,7 @@ from pathlib import Path
 from ..sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
 from ..sources.iceberg import IcebergError, IcebergFixtureWriter, IcebergTable
 
-__all__ = ["delta_to_iceberg", "iceberg_to_delta"]
+__all__ = ["delta_to_iceberg", "iceberg_to_delta", "sync_delta_to_iceberg"]
 
 
 def delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> dict:
@@ -76,6 +76,90 @@ def delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> dict:
         "delta_version": v,
         "iceberg_snapshot_id": sid,
         "files_linked": len(files),
+    }
+
+
+def sync_delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> dict:
+    """CONTINUOUS UniForm sync: one Iceberg snapshot PER Delta commit,
+    not a point-in-time export — the translated table keeps the
+    source's whole history, so Iceberg time travel lands on the same
+    states as Delta time travel (each Iceberg commit is stamped with
+    its Delta commit's timestamp). Idempotent and resumable: a durable
+    cursor (`xtable_sync.json` beside the Iceberg metadata) records
+    the last synced Delta version; re-running syncs only the new
+    commits, O(new commits) metadata work.
+
+    Per-commit mapping: adds-only Delta commit -> Iceberg append
+    linking the NEW files; any commit with removes (overwrite, delete,
+    compaction) -> Iceberg overwrite linking that version's live set;
+    metadata-only commits advance the cursor without a snapshot;
+    DV-carrying versions are SKIPPED with a recorded gap (linking
+    cannot express Delta-physical sidecars) and the translated table
+    stays at the last representable state — `stale` in the return
+    value flags when that is still the case at the sync head."""
+    import json
+
+    dt = DeltaTable(delta_root)
+    cur = dt.current_version()
+    state_path = Path(iceberg_root) / "xtable_sync.json"
+    last = -1
+    if state_path.exists():
+        last = int(json.loads(state_path.read_text())["last_delta_version"])
+    if dt._cm_mode(cur) != "none":
+        raise DeltaError("sync_delta_to_iceberg: column-mapped tables refused")
+    if dt.partition_columns(cur):
+        raise DeltaError("sync_delta_to_iceberg: partitioned tables refused")
+    w = IcebergFixtureWriter(iceberg_root)
+    synced = []
+    for v in range(last + 1, cur + 1):
+        if any(dv for _p, dv, _pv in dt.live_adds(v)):
+            # a DV-carrying state cannot be expressed by linking (the
+            # DVs are Delta-physical sidecars) — SKIP it with a recorded
+            # gap rather than wedging the sync forever: the translated
+            # table stays at the last representable state until a
+            # DV-free commit (REORG PURGE, a later overwrite) arrives,
+            # whose live set then lands as one overwrite. If the
+            # CURRENT version still carries DVs when the sync ends,
+            # that staleness is surfaced in the return value.
+            synced.append(
+                {
+                    "delta_version": v,
+                    "iceberg_snapshot_id": None,
+                    "skipped": "deletion-vectors",
+                }
+            )
+            state_path.write_text(json.dumps({"last_delta_version": v}))
+            continue
+        actions = dt.actions(v)
+        adds = [a["add"] for a in actions if "add" in a]
+        removes = [a for a in actions if "remove" in a]
+        ts = dt.commit_timestamp_ms(v)
+        if adds and not removes:
+            sid = w.link_files(
+                [dt._resolve(a["path"]) for a in adds], timestamp_ms=ts
+            )
+        elif removes:
+            sid = w.replace_files(
+                dt.files_for_version(v), timestamp_ms=ts, copy=False
+            )
+        else:
+            sid = None  # metadata-only commit: cursor advances, no snapshot
+        synced.append({"delta_version": v, "iceberg_snapshot_id": sid})
+        state_path.write_text(json.dumps({"last_delta_version": v}))
+    # stale = a skipped (unrepresentable) version is newer than the
+    # last landed snapshot — the translated table lags the source
+    last_landed = max(
+        (i for i, e in enumerate(synced) if e["iceberg_snapshot_id"] is not None),
+        default=-1,
+    )
+    last_skipped = max(
+        (i for i, e in enumerate(synced) if e.get("skipped") is not None),
+        default=-1,
+    )
+    return {
+        "synced": synced,
+        "last_delta_version": cur,
+        "stale": last_skipped > last_landed,
     }
 
 

@@ -5035,6 +5035,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "streaming_dup_span_index_drain",
     "xtable_delta_to_iceberg_scan",
     "xtable_iceberg_to_delta_scan",
+    "xtable_sync_history_scan",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -9260,6 +9261,65 @@ def xtable_iceberg_to_delta_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("xtable_i2d", sf, build)
     return DeltaTable(f"{tmp}/delta").read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_sync_history_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 450
+    """,
+)
+def xtable_sync_history_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """CONTINUOUS UniForm sync (`package/xtable.sync_delta_to_iceberg`)
+    — one Iceberg snapshot per Delta commit, each stamped with the
+    Delta commit's timestamp, so the translated table keeps the WHOLE
+    history: the fixture syncs a 3-commit Delta table (append, append,
+    overwrite) and asserts per-version read parity for EVERY synced
+    pair, timestamp-addressed time travel parity, idempotent re-sync
+    (cursor, zero new snapshots), and zero copied parquet. The oracle
+    value-checks the final state."""
+    from .package.xtable import sync_delta_to_iceberg
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+    from .sources.iceberg import IcebergTable
+
+    def build(tmp: str) -> None:
+        import os
+
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        dw = DeltaFixtureWriter(f"{tmp}/delta")
+        dw.append(orders.filter("o_orderkey <= 300"), timestamp_ms=1_000_000)
+        dw.append(
+            orders.filter("o_orderkey > 300 AND o_orderkey <= 600"),
+            timestamp_ms=2_000_000,
+        )
+        dw.replace(orders.filter("o_orderkey <= 450"), timestamp_ms=3_000_000)
+        r = sync_delta_to_iceberg(f"{tmp}/delta", f"{tmp}/ice")
+        dt, it = DeltaTable(f"{tmp}/delta"), IcebergTable(f"{tmp}/ice")
+        for e in r["synced"]:
+            v, sid = e["delta_version"], e["iceberg_snapshot_id"]
+            d = dt.read(spark, version=v)
+            i = it.read(spark, snapshot_id=sid)
+            if d.exceptAll(i).count() or i.exceptAll(d).count():
+                raise AssertionError(f"history diverges at delta v{v}")
+        # timestamp-addressed parity: both engines resolve 2.5M ms to v1
+        v_ts = dt.version_as_of(2_500_000)
+        s_ts = it.snapshot_as_of(2_500_000)["snapshot-id"]
+        d = dt.read(spark, version=v_ts)
+        i = it.read(spark, snapshot_id=int(s_ts))
+        if d.exceptAll(i).count() or i.exceptAll(d).count():
+            raise AssertionError("timestamp time travel diverges")
+        r2 = sync_delta_to_iceberg(f"{tmp}/delta", f"{tmp}/ice")
+        if r2["synced"]:
+            raise AssertionError("re-sync was not a no-op")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/ice/data")):
+            raise AssertionError("sync copied data — must be metadata-only")
+
+    tmp = _session_fixture("xtable_sync", sf, build)
+    return IcebergTable(f"{tmp}/ice").read(spark).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
 

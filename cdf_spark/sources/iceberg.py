@@ -3024,12 +3024,15 @@ class IcebergFixtureWriter:
         timestamp_ms: int | None = None,
         snapshot_id: int | None = None,
         operation: str = "overwrite",
+        copy: bool = True,
     ) -> int:
         """Overwrite commit by segment COPY: the new snapshot's live
         set is exactly these files (prior files stay for time travel).
         Maintenance rewrites pass operation='replace' (same live-set
         semantics, but declares "no logical change" so changelog
-        consumers skip it instead of raising)."""
+        consumers skip it instead of raising). copy=False LINKS the
+        files in place (the XTable sync path for a source overwrite
+        commit — metadata-only, lifecycle stays with the source)."""
         if not paths:
             raise IcebergError("replace_files requires at least one parquet file")
         if operation not in ("overwrite", "replace"):
@@ -3040,7 +3043,7 @@ class IcebergFixtureWriter:
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         return self._finish_commit(
-            sid, parent, ts, self._copied_file_entries(paths, sid), operation
+            sid, parent, ts, self._file_entries(paths, sid, copy=copy), operation
         )
 
     def rewrite_small_files(

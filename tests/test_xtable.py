@@ -94,3 +94,32 @@ def test_linked_lifecycle_stays_with_source(spark, orders, tmp_path):
     dw.append(orders.filter("o_orderkey > 200 and o_orderkey <= 400"))
     after = IcebergTable(str(tmp_path / "i")).read(spark).count()
     assert before == after == n_first
+
+
+def test_sync_skips_dv_versions_then_catches_up(spark, orders, tmp_path):
+    """A DV-carrying commit cannot be expressed by linking: the sync
+    SKIPS it with a recorded gap (stale=True, translated table stays
+    at the last representable state) instead of wedging; REORG PURGE
+    produces a DV-free commit and the next sync lands the purged
+    state."""
+    from cdf_spark.package.xtable import sync_delta_to_iceberg
+    from cdf_spark.sources.delta import DeltaFixtureWriter
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    base = orders.filter("o_orderkey <= 200")
+    n_base = base.count()
+    dw = DeltaFixtureWriter(str(tmp_path / "d"))
+    dw.append(base)
+    r1 = sync_delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))
+    assert r1["last_delta_version"] == 0 and not r1["stale"]
+    dw.delete_where(spark, "o_orderkey <= 20")
+    n_del = base.filter("o_orderkey <= 20").count()
+    r2 = sync_delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))
+    assert r2["stale"] and r2["synced"][-1]["skipped"] == "deletion-vectors"
+    # translated table is stale-but-correct: still the pre-delete state
+    assert IcebergTable(str(tmp_path / "i")).read(spark).count() == n_base
+    dw.reorg_purge(spark)
+    r3 = sync_delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))
+    assert not r3["stale"] and r3["synced"]
+    got = IcebergTable(str(tmp_path / "i")).read(spark)
+    assert got.count() == n_base - n_del
