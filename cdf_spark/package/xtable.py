@@ -42,7 +42,12 @@ from pathlib import Path
 from ..sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
 from ..sources.iceberg import IcebergError, IcebergFixtureWriter, IcebergTable
 
-__all__ = ["delta_to_iceberg", "iceberg_to_delta", "sync_delta_to_iceberg"]
+__all__ = [
+    "delta_to_iceberg",
+    "hudi_to_iceberg",
+    "iceberg_to_delta",
+    "sync_delta_to_iceberg",
+]
 
 
 def delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> dict:
@@ -160,6 +165,29 @@ def sync_delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> d
         "synced": synced,
         "last_delta_version": cur,
         "stale": last_skipped > last_landed,
+    }
+
+
+def hudi_to_iceberg(hudi_root: str | Path, iceberg_root: str | Path) -> dict:
+    """Expose a Hudi COPY-ON-WRITE table's latest instant as an
+    Iceberg table over the same parquet files (the XTable Hudi leg).
+    CoW file slices are plain parquet carrying ALL columns (Hudi keeps
+    partition columns in the data files, unlike Delta/Iceberg hive
+    layouts), so even partitioned tables link losslessly. Merge-on-read
+    tables refuse at the reader layer (`HudiTable` rejects
+    .deltacommit timelines — log blocks are Hudi-physical sidecars).
+    Returns {hudi_instant, iceberg_snapshot_id, files_linked}."""
+    from ..sources.hudi import HudiTable
+
+    ht = HudiTable(hudi_root)  # raises HudiError on a MoR timeline
+    instant = ht.latest_instant()
+    files = ht.files_for_instant(instant)
+    w = IcebergFixtureWriter(iceberg_root)
+    sid = w.link_files(files)
+    return {
+        "hudi_instant": instant,
+        "iceberg_snapshot_id": sid,
+        "files_linked": len(files),
     }
 
 

@@ -5036,6 +5036,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "xtable_delta_to_iceberg_scan",
     "xtable_iceberg_to_delta_scan",
     "xtable_sync_history_scan",
+    "xtable_hudi_to_iceberg_scan",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -9320,6 +9321,67 @@ def xtable_sync_history_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("xtable_sync", sf, build)
     return IcebergTable(f"{tmp}/ice").read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_hudi_to_iceberg_scan",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 600
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey <= 100 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+    FROM base
+    """,
+)
+def xtable_hudi_to_iceberg_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """XTable's Hudi leg (`package/xtable.hudi_to_iceberg`): a Hudi
+    copy-on-write table — including an UPSERT that rewrote a file
+    group — exposed as Iceberg over the same parquet. The fixture's
+    upsert proves translation links each group's LATEST slice only
+    (the superseded slice is on disk for time travel but must not
+    link); zero copy and read equality asserted in-build, rows
+    oracled."""
+    from .package.xtable import hudi_to_iceberg
+    from .sources.hudi import HudiFixtureWriter, HudiTable
+    from .sources.iceberg import IcebergTable
+
+    def build(tmp: str) -> None:
+        import os
+
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        base = orders.filter("o_orderkey <= 600")
+        hw = HudiFixtureWriter(f"{tmp}/h")
+        hw.commit(base, file_id="g0")
+        # upsert: the group's NEW slice carries the merged rows — the
+        # CoW rewrite shape; the superseded slice stays for time travel
+        merged = base.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") <= 100, F.lit(-1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        hw.commit(merged, file_id="g0")
+        info = hudi_to_iceberg(f"{tmp}/h", f"{tmp}/i")
+        ht = HudiTable(f"{tmp}/h")
+        live = len(ht.files_for_instant(ht.latest_instant()))
+        if info["files_linked"] != live:
+            raise AssertionError(
+                f"linked {info['files_linked']}, live set has {live}"
+            )
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/i/data")):
+            raise AssertionError("translation copied data — must be metadata-only")
+        i = IcebergTable(f"{tmp}/i").read(spark)
+        h = ht.read(spark)
+        if i.exceptAll(h).count() or h.exceptAll(i).count():
+            raise AssertionError("iceberg view of the hudi table diverges")
+
+    tmp = _session_fixture("xtable_h2i", sf, build)
+    return IcebergTable(f"{tmp}/i").read(spark).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
 

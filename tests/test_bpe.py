@@ -86,3 +86,27 @@ def test_apply_bpe_training_order(spark):
     seg = {r.word: r.segmented for r in apply_bpe(words, merges).collect()}
     assert seg["low"] == "low"
     assert seg["owl"] == "o w l"
+
+
+def test_learn_bpe_random_corpora_match_reference(spark):
+    """Randomized parity: tiny alphabets force heavy pair ties (the
+    tie-break path) and repeated symbols (the overlap-count vs
+    non-overlap-merge distinction)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(4):
+        alpha = "ab" if trial % 2 == 0 else "abc"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 10))
+            )
+            for _ in range(rng.randint(2, 5))
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        from cdf_spark.operators.bpe import learn_bpe
+
+        got = learn_bpe(df, n_merges=5)
+        want = _ref_bpe(texts, 5)
+        assert got == want, f"trial {trial}: {texts}"

@@ -123,3 +123,30 @@ def test_sync_skips_dv_versions_then_catches_up(spark, orders, tmp_path):
     assert not r3["stale"] and r3["synced"]
     got = IcebergTable(str(tmp_path / "i")).read(spark)
     assert got.count() == n_base - n_del
+
+
+def test_hudi_to_iceberg_cow_partitioned_links(spark, orders, tmp_path):
+    """The Hudi leg: CoW slices keep ALL columns in the parquet (even
+    partitioned), so linking is lossless; an upsert's rewritten group
+    links at its LATEST slice only; MoR timelines refuse at the reader."""
+    from cdf_spark.package.xtable import hudi_to_iceberg
+    from cdf_spark.sources.hudi import HudiError, HudiFixtureWriter, HudiTable
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    hw = HudiFixtureWriter(str(tmp_path / "h"))
+    hw.commit(orders.filter("o_orderkey <= 300"))
+    hw.commit(orders.filter("o_orderkey > 300 and o_orderkey <= 500"))
+    info = hudi_to_iceberg(str(tmp_path / "h"), str(tmp_path / "i"))
+    ice = IcebergTable(str(tmp_path / "i")).read(spark)
+    hud = HudiTable(str(tmp_path / "h")).read(spark)
+    assert info["files_linked"] >= 1
+    assert ice.exceptAll(hud).count() == 0 and hud.exceptAll(ice).count() == 0
+
+    import pytest as _p
+
+    from cdf_spark.sources.hudi_mor import HudiMorFixtureWriter
+
+    mw = HudiMorFixtureWriter(str(tmp_path / "m"), record_key="o_orderkey")
+    mw.insert(orders.filter("o_orderkey <= 100"))
+    with _p.raises(HudiError, match="merge-on-read"):
+        hudi_to_iceberg(str(tmp_path / "m"), str(tmp_path / "i2"))
