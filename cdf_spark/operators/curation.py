@@ -902,8 +902,6 @@ def dup_spans(
     [start, end) of non-first duplicated runs, one row per maximal
     span. Feed to `remove_dup_spans` to cut them.
     """
-    from pyspark.sql import Window
-
     ws = F.split(F.col(text_col), " ")
     n = F.size(ws)
     grams = df.filter(F.col(text_col).isNotNull() & (n >= k)).select(
@@ -915,17 +913,29 @@ def dup_spans(
             )
         ).alias("p", "h"),
     )
-    wh = Window.partitionBy("h")
-    flagged = (
-        grams.select(
-            id_col,
-            "p",
-            F.count(F.lit(1)).over(wh).alias("c"),
-            F.row_number()
-            .over(wh.orderBy(F.col(id_col), F.col("p")))
-            .alias("rn"),
+    # Hot-gram safe: first-occurrence via COMBINABLE aggregates
+    # (count + min(struct)) instead of a window over the gram hash — a
+    # corpus-boilerplate gram with 10^9 occurrences would pile every
+    # row into one window partition with no mitigation, while partial
+    # aggregation collapses it map-side and the join back is only
+    # against DUPLICATED grams (AQE skew-join applies to joins).
+    dup_stats = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(F.col(id_col), F.col("p"))).alias("_first"),
         )
-        .filter((F.col("c") > 1) & (F.col("rn") > 1))
+        .filter(F.col("_c") > 1)
+        .select("h", "_first")
+    )
+    flagged = (
+        grams.join(dup_stats, on="h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("p") == F.col("_first.p"))
+            )
+        )
         .select(id_col, "p")
     )
     return _windows_to_spans(flagged, id_col, k)
@@ -1122,8 +1132,6 @@ class ExactSubstrIndex:
         retried micro-batch whose crashed first attempt already folded
         its grams (epoch e) probes with before_epoch=e so its own
         replayed grams don't flag every window as seen-before."""
-        from pyspark.sql import Window
-
         spark = df.sparkSession
         k = self._meta()["k"]
         g = self._grams(df, text_col, id_col, k)
@@ -1132,15 +1140,28 @@ class ExactSubstrIndex:
             idx = idx.filter(F.col("epoch") < F.lit(int(before_epoch)))
         idx = idx.select("hb", "h").withColumn("_seen", F.lit(1))
         joined = g.join(idx, on=["hb", "h"], how="left")
-        wh = Window.partitionBy("h").orderBy(F.col(id_col), F.col("p"))
-        flagged = (
-            joined.select(
-                id_col,
-                "p",
-                "_seen",
-                F.row_number().over(wh).alias("rn"),
+        # hot-gram safe, same shape as dup_spans: within-batch
+        # first-occurrence via combinable aggregates, not a window
+        batch_stats = (
+            g.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min(F.struct(F.col(id_col), F.col("p"))).alias("_first"),
             )
-            .filter((F.col("_seen").isNotNull()) | (F.col("rn") > 1))
+            .select("h", "_c", "_first")
+        )
+        flagged = (
+            joined.join(batch_stats, on="h")
+            .filter(
+                F.col("_seen").isNotNull()
+                | (
+                    (F.col("_c") > 1)
+                    & ~(
+                        (F.col(id_col) == F.col(f"_first.{id_col}"))
+                        & (F.col("p") == F.col("_first.p"))
+                    )
+                )
+            )
             .select(id_col, "p")
         )
         return _windows_to_spans(flagged, id_col, k)
