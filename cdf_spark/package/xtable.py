@@ -46,6 +46,7 @@ __all__ = [
     "delta_to_iceberg",
     "hudi_to_iceberg",
     "iceberg_to_delta",
+    "iceberg_to_hudi",
     "sync_delta_to_iceberg",
 ]
 
@@ -187,6 +188,41 @@ def hudi_to_iceberg(hudi_root: str | Path, iceberg_root: str | Path) -> dict:
     return {
         "hudi_instant": instant,
         "iceberg_snapshot_id": sid,
+        "files_linked": len(files),
+    }
+
+
+def iceberg_to_hudi(iceberg_root: str | Path, hudi_root: str | Path) -> dict:
+    """Expose an Iceberg table's CURRENT snapshot as a Hudi
+    copy-on-write table over the same parquet files — completes the
+    any-to-any translation matrix (D→I, I→D, H→I, I→H; D→H composes
+    as D→I→H since both are metadata-only). Same refusals as
+    `iceberg_to_delta` (delete files, partition specs).
+    Returns {iceberg_snapshot_id, hudi_instant, files_linked}."""
+    from ..sources.hudi import HudiFixtureWriter
+
+    t = IcebergTable(iceberg_root)
+    sid = t.current_snapshot_id()
+    if sid is None:
+        raise IcebergError("iceberg_to_hudi: empty table has no snapshot")
+    if t.delete_files_for_snapshot(sid):
+        raise IcebergError(
+            "iceberg_to_hudi: the snapshot carries row-level delete files; "
+            "compact them away first"
+        )
+    specs = t._meta.get("partition-specs", [])
+    default_spec = next(
+        (s for s in specs if s.get("spec-id", 0) == int(t._meta.get("default-spec-id", 0))),
+        {"fields": []},
+    )
+    if default_spec.get("fields"):
+        raise IcebergError("iceberg_to_hudi: partitioned Iceberg refused")
+    files = t.files_for_snapshot(sid)
+    w = HudiFixtureWriter(hudi_root)
+    instant = w.link_files(files)
+    return {
+        "iceberg_snapshot_id": sid,
+        "hudi_instant": instant,
         "files_linked": len(files),
     }
 

@@ -5037,6 +5037,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "xtable_iceberg_to_delta_scan",
     "xtable_sync_history_scan",
     "xtable_hudi_to_iceberg_scan",
+    "xtable_iceberg_to_hudi_scan",
     # -- last driver-green in r5, oldest cohort left after the r9
     #    window re-greened the r8 additions and the r4 family
     #    (registration order within the cohort) --
@@ -9382,6 +9383,48 @@ def xtable_hudi_to_iceberg_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("xtable_h2i", sf, build)
     return IcebergTable(f"{tmp}/i").read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_iceberg_to_hudi_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 700
+    """,
+)
+def xtable_iceberg_to_hudi_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """XTable →Hudi direction (`package/xtable.iceberg_to_hudi`) —
+    completes the any-to-any translation matrix (D→I, I→D, H→I, I→H;
+    D→H composes from metadata-only legs): the Hudi timeline's write
+    stats carry the Iceberg data files' absolute paths, nothing
+    copied; in-build zero-copy + read-equality assertions, rows
+    oracled."""
+    from .package.xtable import iceberg_to_hudi
+    from .sources.hudi import HudiTable
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        import os
+
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        iw = IcebergFixtureWriter(f"{tmp}/i")
+        iw.append(orders.filter("o_orderkey <= 400"))
+        iw.append(orders.filter("o_orderkey > 400 AND o_orderkey <= 700"))
+        info = iceberg_to_hudi(f"{tmp}/i", f"{tmp}/h")
+        if info["files_linked"] != 2:
+            raise AssertionError(f"expected 2 linked files, got {info}")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/h")):
+            raise AssertionError("translation copied data — must be metadata-only")
+        h = HudiTable(f"{tmp}/h").read(spark)
+        i = IcebergTable(f"{tmp}/i").read(spark)
+        if h.exceptAll(i).count() or i.exceptAll(h).count():
+            raise AssertionError("hudi view of the iceberg table diverges")
+
+    tmp = _session_fixture("xtable_i2h", sf, build)
+    return HudiTable(f"{tmp}/h").read(spark).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
 

@@ -491,6 +491,34 @@ class HudiFixtureWriter:
         (self.hoodie_dir / f"{instant}.commit").write_text(json.dumps(meta, indent=1))
         return instant
 
+    def link_files(self, paths: list[str]) -> str:
+        """One commit that LINKS existing parquet files IN PLACE —
+        write stats carry the source files' ABSOLUTE paths (the
+        timeline resolver's `root / path` join yields the absolute
+        path unchanged), nothing is copied. The XTable translation
+        primitive in the →Hudi direction; the linked files' lifecycle
+        stays with the source table (clean there, not here). Refused
+        on partitioned writers (partition paths would need trusted
+        re-derivation from file contents)."""
+        if not paths:
+            raise HudiError("link_files requires at least one parquet file")
+        if self.partition_by:
+            raise HudiError("link_files into a partitioned table is not supported")
+        instant = self._next_instant()
+        stats = {
+            "": [
+                {
+                    "fileId": uuid.uuid4().hex[:8],
+                    "path": str(Path(p).resolve()),
+                    "numWrites": -1,
+                }
+                for p in paths
+            ]
+        }
+        meta = {"partitionToWriteStats": stats, "operationType": "INSERT"}
+        (self.hoodie_dir / f"{instant}.commit").write_text(json.dumps(meta, indent=1))
+        return instant
+
     def replace_table(self, df: DataFrame) -> str:
         """INSERT_OVERWRITE_TABLE as a `.replacecommit`: one instant
         whose `partitionToWriteStats` carries the NEW file groups and

@@ -150,3 +150,31 @@ def test_hudi_to_iceberg_cow_partitioned_links(spark, orders, tmp_path):
     mw.insert(orders.filter("o_orderkey <= 100"))
     with _p.raises(HudiError, match="merge-on-read"):
         hudi_to_iceberg(str(tmp_path / "m"), str(tmp_path / "i2"))
+
+
+def test_iceberg_to_hudi_links_and_reads(spark, orders, tmp_path):
+    """The →Hudi direction: linked absolute paths resolve through the
+    timeline, read equality holds, nothing copied, delete files refuse."""
+    from cdf_spark.package.xtable import iceberg_to_hudi
+    from cdf_spark.sources.hudi import HudiTable
+    from cdf_spark.sources.iceberg import IcebergError, IcebergFixtureWriter, IcebergTable
+
+    iw = IcebergFixtureWriter(str(tmp_path / "i"))
+    iw.append(orders.filter("o_orderkey <= 400"))
+    iw.append(orders.filter("o_orderkey > 400 and o_orderkey <= 700"))
+    info = iceberg_to_hudi(str(tmp_path / "i"), str(tmp_path / "h"))
+    hud = HudiTable(str(tmp_path / "h")).read(spark)
+    ice = IcebergTable(str(tmp_path / "i")).read(spark)
+    assert info["files_linked"] == 2
+    assert hud.exceptAll(ice).count() == 0 and ice.exceptAll(hud).count() == 0
+    import os
+
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(str(tmp_path / "h"))
+    ), "translation copied data"
+
+    t = IcebergTable(str(tmp_path / "i"))
+    (victim, *_rest) = t.files_for_snapshot(t.current_snapshot_id())
+    iw.delete_positions([(victim, 0)])
+    with pytest.raises(IcebergError, match="delete files"):
+        iceberg_to_hudi(str(tmp_path / "i"), str(tmp_path / "h2"))
