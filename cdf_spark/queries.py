@@ -8393,7 +8393,7 @@ def _bpe_oracle_chain(n_merges: int) -> str:
     for i in range(n_merges):
         parts.append(
             f"""s{i} AS MATERIALIZED (
-      SELECT a, b, SUM(c) AS cnt FROM (
+      SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt FROM (
         SELECT c, p[1] AS a, p[2] AS b FROM (
           SELECT c, UNNEST(list_zip(list_slice(sy, 1, len(sy)-1), list_slice(sy, 2, len(sy)))) AS p
           FROM (SELECT c, str_split(substr(w, 2, len(w)-2), ')(') AS sy FROM w{i})
