@@ -1189,6 +1189,19 @@ def ivf_pq_ann_topk_fast(
     and the query set broadcast (broadcast-scale by the same contract
     as every *_fast ANN path).
 
+    DISTRIBUTIVE shortlist (r11): each Arrow batch emits its local
+    per-(cluster, query) ADC top-`shortlist*k` candidates carrying
+    BOTH the ADC score (`asim`) and the exact rescored `sim`; a
+    global window then cuts the union to the true per-query ADC
+    top-`shortlist*k` before the final exact-sim top-k. Any member
+    of the global ADC shortlist is in its batch's local shortlist
+    (top-k distributes over a partition under the total order
+    (asim DESC, id ASC)), so the result is PARTITION-INDEPENDENT —
+    identical on 1 or 1000 executors — and therefore exactly
+    reproducible in ANSI SQL: the correctness gate value-verifies
+    this deploy path end to end (centroids → routing → PQ codes →
+    ADC → shortlist → exact rescore), not just a recall floor.
+
     Flops per corpus vector: nlist (assign) + m lookups x (nprobe x
     nq / nlist) (ADC) + d x shortlisted (exact) — vs IVF-flat's d x
     (nprobe x nq / nlist) and flat-PQ's m x nq. Non-residual variant
@@ -1242,6 +1255,7 @@ def ivf_pq_ann_topk_fast(
         [
             T.StructField("query_id", T.LongType()),
             T.StructField("neighbor_id", T.LongType()),
+            T.StructField("asim", T.DoubleType()),
             T.StructField("sim", T.DoubleType()),
         ]
     )
@@ -1273,7 +1287,7 @@ def ivf_pq_ann_topk_fast(
                 .squeeze(axis=2)
                 .sum(axis=1)
             )
-            rows = {"query_id": [], "neighbor_id": [], "sim": []}
+            rows = {"query_id": [], "neighbor_id": [], "asim": [], "sim": []}
             for c in np.unique(clusters):
                 qsel = probe_idx.get(int(c))
                 if qsel is None:
@@ -1296,6 +1310,7 @@ def ivf_pq_ann_topk_fast(
                     sims = (V[sel] @ Q[qi]) / (np.linalg.norm(V[sel], axis=1) * qn[qi])
                     rows["query_id"].extend([qids[qi]] * len(sel))
                     rows["neighbor_id"].extend(ids[sel].tolist())
+                    rows["asim"].extend(asim[j, cand].tolist())
                     rows["sim"].extend(np.round(sims, round_to).tolist())
             out = pd.DataFrame(rows)
             if len(out):
@@ -1306,9 +1321,14 @@ def ivf_pq_ann_topk_fast(
     scored = _spread(corpus.select(corpus_id, vec_col), work).mapInPandas(
         score, schema=out_schema
     )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("asim").desc(), F.col("neighbor_id").asc()
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= nshort)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )

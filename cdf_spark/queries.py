@@ -924,20 +924,95 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return rhp_lsh_topk(emb, emb.filter("vec_id < 20"), k=10, bits=32, band_bits=2)
 
 
-@_register("ivf_pq_ann_topk", None)  # approximate by design; recall gated in test_lsh_recall
+_IVF_PQ_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT id, cluster FROM (
+    SELECT c.vec_id AS id, cents.cid AS cluster,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.e, cents.ce), 4) DESC, cents.cid ASC) AS rn
+    FROM c CROSS JOIN cents) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 20),
+probes AS (
+  SELECT qid, cluster FROM (
+    SELECT q.qid, cents.cid AS cluster,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.qe, cents.ce), 4) DESC, cents.cid ASC) AS rn
+    FROM q CROSS JOIN cents) WHERE rn <= 8
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cidx, e AS ce
+  FROM c WHERE vec_id % 25 = 0
+),
+dists AS (
+  SELECT c.vec_id AS id, s.sub, cb.cidx,
+         round(list_sum(list_transform(range(1, 9),
+            i -> (c.e[s.sub*8 + i] - cb.ce[s.sub*8 + i])^2)), 6) AS dist
+  FROM c CROSS JOIN cb CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+),
+codes AS (
+  SELECT id, sub, cidx FROM (
+    SELECT id, sub, cidx,
+           row_number() OVER (PARTITION BY id, sub ORDER BY dist ASC, cidx ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+recon AS (
+  SELECT codes.id,
+         flatten(list(cb.ce[codes.sub*8 + 1 : codes.sub*8 + 8] ORDER BY codes.sub)) AS r
+  FROM codes JOIN cb ON cb.cidx = codes.cidx GROUP BY codes.id
+),
+cand AS (
+  SELECT p.qid, a.id FROM probes p JOIN assigned a ON a.cluster = p.cluster
+  WHERE a.id != p.qid
+),
+adc AS (
+  SELECT cand.qid, cand.id,
+         round(list_cosine_similarity(qc.qe, recon.r), 4) AS asim
+  FROM cand JOIN q qc ON qc.qid = cand.qid JOIN recon ON recon.id = cand.id
+),
+short AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY asim DESC, id ASC) AS ar
+    FROM adc) WHERE ar <= 200
+),
+scored AS (
+  SELECT s.qid AS query_id, s.id AS neighbor_id,
+         round(list_cosine_similarity(qc.e, cc.e), 4) AS sim
+  FROM short s JOIN c qc ON qc.vec_id = s.qid JOIN c cc ON cc.vec_id = s.id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
+@_register("ivf_pq_ann_topk", _IVF_PQ_ORACLE)
 def ivf_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ COMPOSITE (`similarity.ivf_pq_ann_topk_fast`) — the
     standard deploy ANN architecture: coarse IVF routing confines
     scoring to nprobe clusters per query, PQ asymmetric-distance
     scores within them (m uint8 lookups per vector instead of d
-    multiplies), exact rescore of the shortlist. Rows-only gate
-    (approximation bounds recall by design); the recall floor AND
-    reported-sims-are-exact are pinned in test_lsh_recall."""
+    multiplies), exact rescore of the ADC shortlist. Since r11 the
+    fast path's shortlist is DISTRIBUTIVE (per-batch local ADC
+    top-nshort, global window cut under the total order
+    (asim DESC, id ASC)), making the deploy path partition-
+    independent and exactly SQL-reproducible: the oracle replays
+    centroids → routing → probes → PQ codes → ADC (cosine against
+    the reconstruction — identical to the table-lookup form since
+    sum_m q_m.cw_m = q.recon and sqrt(sum_m |cw_m|^2) = |recon|) →
+    global shortlist → exact rescore. ADC = round-4 cosine, PQ code
+    argmin at round-6 squared L2 — the same rounding discipline every
+    oracled ANN entry uses. Recall floor additionally pinned in
+    test_lsh_recall."""
     from .operators.similarity import ivf_pq_ann_topk_fast
 
     emb = _t(spark, sf, "embeddings")
     return ivf_pq_ann_topk_fast(
-        emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50, m=8
+        emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50, m=8,
+        shortlist=20,
     )
 
 

@@ -269,7 +269,8 @@ def test_ivf_pq_ann_topk_recall_and_exact_sims(spark):
     exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
     exact_sim = {(r.query_id, r.neighbor_id): r.sim for r in exact_rows}
     got = ivf_pq_ann_topk_fast(
-        emb, queries, k=10, nprobe=8, centroid_modulus=50, m=8, cb_modulus=25
+        emb, queries, k=10, nprobe=8, centroid_modulus=50, m=8, cb_modulus=25,
+        shortlist=20,
     ).collect()
     hits = {(r.query_id, r.neighbor_id) for r in got} & exact
     recall = len(hits) / len(exact)
@@ -278,3 +279,23 @@ def test_ivf_pq_ann_topk_recall_and_exact_sims(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact_sim:
             assert abs(r.sim - exact_sim[key]) < 1e-9, f"sim not exact at {key}"
+
+
+def test_ivf_pq_partition_independent(spark):
+    """The r11 distributive shortlist makes IVF-PQ's output invariant
+    to the corpus partitioning: each Arrow batch emits its local ADC
+    top-nshort and a global window cuts the union, so 1 partition and
+    13 partitions must produce IDENTICAL rows (this invariance is what
+    licenses the exact SQL oracle in the registry)."""
+    from cdf_spark.operators.similarity import ivf_pq_ann_topk_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    kw = dict(k=10, nprobe=8, centroid_modulus=50, m=8, cb_modulus=25, shortlist=20)
+    one = sorted(
+        map(tuple, ivf_pq_ann_topk_fast(emb.coalesce(1), queries, **kw).collect())
+    )
+    many = sorted(
+        map(tuple, ivf_pq_ann_topk_fast(emb.repartition(13), queries, **kw).collect())
+    )
+    assert one == many and len(one) == 200
