@@ -83,38 +83,127 @@ def _pair_counts(cur: DataFrame) -> DataFrame:
     )
 
 
+def _exact_batch(
+    rows: list, vocab: set[str], k: int, exhausted: bool
+) -> list[tuple[str, str, int]]:
+    """The EXACT batching rule: from the (cnt DESC, a, b)-sorted pair
+    prefix, accept a maximal PREFIX of pairwise-independent merges
+    that sequential BPE would provably pick in the same order.
+
+    Walk in sorted order, accepting (a, b) until the first STOP pair —
+    one that (i) shares a symbol with an accepted merge's {lhs, rhs,
+    merged}, or (ii) whose merged string already exists as a corpus
+    symbol (merging would then INCREASE existing pairs involving that
+    symbol — the 'ing' via in+g vs i+ng collision). Then drop accepted
+    pairs whose count ties the stop pair's.
+
+    Why this is exact (batched merges == sequential merges):
+    - Accepted pairs are mutually independent, so applying any of them
+      leaves the others' counts unchanged; sequential visits them in
+      exactly this sorted order.
+    - Every pair whose count CHANGES under the batch involves an
+      accepted symbol or merged string, i.e. is a stop-class pair, and
+      the prefix rule puts all of those at/after the stop — T0 count
+      <= the stop count. Old stop-class pairs can only DECREASE
+      (gains require a pre-existing merged-string symbol, excluded by
+      (ii)). A NEW pair like (x, merged_j) descends from an occurrence
+      of (x, lhs_j) — itself stop-class — so its count is bounded by
+      the stop count too.
+    - Dropping ties with the stop count makes every accepted count
+      STRICTLY greater than any changed pair's, so no changed pair
+      can overtake on count or on tie-order mid-batch.
+    If the collected prefix runs out before a stop (`exhausted` False),
+    the last row's count bounds everything below the horizon and acts
+    as the stop count."""
+    accepted: list[tuple[str, str, int]] = []
+    touched: set[str] = set()
+    stop_cnt: int | None = None
+    for r in rows:
+        a, b, cnt = r.a, r.b, int(r.cnt)
+        if len(accepted) >= k:
+            stop_cnt = cnt
+            break
+        m = a + b
+        if a in touched or b in touched or m in touched or m in vocab:
+            stop_cnt = cnt
+            break
+        accepted.append((a, b, cnt))
+        touched.update((a, b, m))
+    if stop_cnt is None and not exhausted and rows:
+        stop_cnt = int(rows[-1].cnt)  # horizon bound: unseen pairs <= this
+    if stop_cnt is not None:
+        accepted = [p for p in accepted if p[2] > stop_cnt]
+    return accepted
+
+
 def learn_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     word_pattern: str = WORD_PATTERN,
+    batch: int = 1,
 ) -> list[tuple[int, str, str, str, int]]:
     """Train `n_merges` BPE merges on the corpus. Returns the merge
     table [(step, lhs, rhs, merged, cnt)] — the learned model, small
-    by definition (driver state = n_merges rows; each step's argmax is
-    a 1-row collect, the same bounded pattern as watermark reads)."""
+    by definition (driver state = n_merges rows).
+
+    batch=1 (default) is the classic loop: each step is one pair-count
+    aggregation + a 1-ROW collect (argmax) + one narrow replace.
+
+    batch=K is the real-vocab regime (30k-50k merges): per ROUND, the
+    top pairwise-INDEPENDENT merges from one pair-count pass apply in
+    ONE chained replace — driver round-trips drop from O(n_merges) to
+    O(n_merges / <batch yield>) with EXACTNESS PRESERVED (see
+    `_exact_batch`; the property gate asserts batched == sequential on
+    adversarial corpora). The symbol vocabulary needed for the
+    collision guard is maintained driver-side: one distinct-symbol
+    pass up front (alphabet-sized), then each merge adds its own
+    string — no per-round vocabulary scan."""
     words = corpus_words(df, text_col, word_pattern)
     cur = words.select(_wrap(F.col("word")).alias("w"), "c").persist()
     cur.count()  # materialize once; iterations replan from here
     merges: list[tuple[int, str, str, str, int]] = []
+    vocab: set[str] = set()
+    if batch > 1:
+        vocab = {
+            r.s
+            for r in cur.select(
+                F.explode(_symbols(F.col("w"))).alias("s")
+            ).distinct().collect()
+        }
     try:
-        for step in range(1, n_merges + 1):
-            top = (
-                _pair_counts(cur)
-                .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
+        while len(merges) < n_merges:
+            want = min(batch, n_merges - len(merges))
+            if want <= 1:
+                top = (
+                    _pair_counts(cur)
+                    .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+                    .limit(1)
+                    .collect()
+                )
+                picked = [(r.a, r.b, int(r.cnt)) for r in top]
+            else:
+                horizon = max(4 * want, 64)
+                rows = (
+                    _pair_counts(cur)
+                    .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+                    .limit(horizon)
+                    .collect()
+                )
+                picked = _exact_batch(rows, vocab, want, exhausted=len(rows) < horizon)
+                if not picked and rows:
+                    # conflict at the very top: fall back to the plain
+                    # argmax for this round (always exact)
+                    r = rows[0]
+                    picked = [(r.a, r.b, int(r.cnt))]
+            if not picked:
                 break
-            a, b, cnt = top[0].a, top[0].b, top[0].cnt
-            merges.append((step, a, b, a + b, int(cnt)))
-            nxt = cur.select(
-                F.replace(
-                    F.col("w"), F.lit(f"({a})({b})"), F.lit(f"({a}{b})")
-                ).alias("w"),
-                "c",
-            ).persist()
+            expr = F.col("w")
+            for a, b, cnt in picked:
+                merges.append((len(merges) + 1, a, b, a + b, cnt))
+                vocab.add(a + b)
+                expr = F.replace(expr, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+            nxt = cur.select(expr.alias("w"), "c").persist()
             nxt.count()
             cur.unpersist()
             cur = nxt

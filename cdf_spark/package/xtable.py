@@ -25,10 +25,18 @@ files alone —
 - Column mapping (Delta) / renamed Iceberg fields: physical parquet
   names differ from the logical schema; linking would expose physical
   names. Refused.
-- Partitioned sources: both formats omit identity-partition columns
-  from data files in their hive-ish layouts, so linked files would
-  lose columns. Refused (a follow-up could reconstitute metadata-only
-  partition columns).
+- Partitioned sources (Delta <-> Iceberg): both formats omit
+  identity-partition columns from data files in their hive-ish
+  layouts, but both CARRY the values in metadata (Delta
+  add.partitionValues, Iceberg manifest partition records) — so
+  translation reconstitutes them METADATA-ONLY: Delta partitionValues
+  become Iceberg identity-spec partition records (the Flink-writer
+  metadata-only shape the Iceberg reader already reconstitutes), and
+  Iceberg partition records become add.partitionValues (from which
+  the Delta reader reconstitutes literal columns for linked files).
+  This is the mapping Apache XTable ships. Non-identity Iceberg
+  transforms still refuse — a derived value (bucket/truncate/year)
+  cannot reconstitute its source column.
 
 Reference frame: the reference's destination protocol moves verified
 ROWS (crates/cdf-kernel/src/destination.rs); metadata translation is
@@ -43,12 +51,129 @@ from ..sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
 from ..sources.iceberg import IcebergError, IcebergFixtureWriter, IcebergTable
 
 __all__ = [
+    "delta_to_hudi",
     "delta_to_iceberg",
     "hudi_to_iceberg",
     "iceberg_to_delta",
     "iceberg_to_hudi",
+    "sync_delta_to_hudi",
     "sync_delta_to_iceberg",
 ]
+
+# Spark schemaString type-name <-> Iceberg primitive type, for carrying
+# a declared logical schema (incl. partition columns the data files
+# omit) across the translation boundary. Only the types both formats
+# express losslessly; anything else refuses rather than corrupting.
+_SPARK_TO_ICE = {
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+    "timestamp": "timestamp",
+}
+_ICE_TO_SPARK = {v: k for k, v in _SPARK_TO_ICE.items()}
+_ICE_TO_SPARK["timestamptz"] = "timestamp"
+
+
+def _delta_schema_to_ice_fields(dt: "DeltaTable", version: int) -> list[tuple[str, str]]:
+    """Delta schemaString -> ordered (name, iceberg_type) pairs."""
+    import json
+
+    ss = dt.metadata_for_version(version).get("schemaString")
+    fields = []
+    for f in json.loads(ss).get("fields", []):
+        t = f.get("type")
+        if not isinstance(t, str) or t not in _SPARK_TO_ICE:
+            raise DeltaError(
+                f"column {f.get('name')!r} has type {t!r} which translation "
+                "does not carry losslessly — refused"
+            )
+        fields.append((f["name"], _SPARK_TO_ICE[t]))
+    return fields
+
+
+def _ice_schema_to_delta_string(t: "IcebergTable") -> str:
+    """Iceberg current schema -> Delta schemaString JSON (declared
+    column order preserved)."""
+    import json
+
+    cur = next(
+        (
+            s
+            for s in t._meta.get("schemas", [])
+            if s.get("schema-id", 0) == int(t._meta.get("current-schema-id", 0))
+        ),
+        {"fields": []},
+    )
+    out = []
+    for f in cur.get("fields", []):
+        ice_t = str(f.get("type") or "")
+        if ice_t not in _ICE_TO_SPARK:
+            raise IcebergError(
+                f"column {f.get('name')!r} has iceberg type {ice_t!r} which "
+                "translation does not carry losslessly — refused"
+            )
+        out.append(
+            {
+                "name": f["name"],
+                "type": _ICE_TO_SPARK[ice_t],
+                "nullable": True,
+                "metadata": {},
+            }
+        )
+    return json.dumps({"type": "struct", "fields": out})
+
+
+def _ice_partition_to_delta_string(v, ice_type: str):
+    """Iceberg partition-record single-value -> Delta partitionValues
+    STRING (date: days-since-epoch int -> ISO; numbers/strings: str)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if ice_type == "date" and isinstance(v, int):
+        return (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+    if ice_type in ("timestamp", "timestamptz"):
+        raise IcebergError(
+            "timestamp partition columns are not carried across translation "
+            "(protocol string form is writer-dependent) — refused"
+        )
+    return str(v)
+
+
+def _identity_spec_fields(t: "IcebergTable") -> list[tuple[str, str]]:
+    """Default-spec fields as (column, iceberg_type), refusing
+    non-identity transforms (derived values cannot reconstitute their
+    source column)."""
+    specs = t._meta.get("partition-specs", [])
+    default_spec = next(
+        (s for s in specs if s.get("spec-id", 0) == int(t._meta.get("default-spec-id", 0))),
+        {"fields": []},
+    )
+    cur = next(
+        (
+            s
+            for s in t._meta.get("schemas", [])
+            if s.get("schema-id", 0) == int(t._meta.get("current-schema-id", 0))
+        ),
+        {"fields": []},
+    )
+    by_id = {int(f["id"]): f for f in cur.get("fields", [])}
+    out = []
+    for pf in default_spec.get("fields", []):
+        if pf.get("transform") != "identity":
+            raise IcebergError(
+                f"partition transform {pf.get('transform')!r} is not identity — "
+                "a derived partition value cannot reconstitute its source "
+                "column; refused"
+            )
+        src = by_id.get(int(pf.get("source-id", -1)))
+        if src is None:
+            raise IcebergError("partition spec references an unknown field id")
+        out.append((src["name"], str(src.get("type") or "")))
+    return out
 
 
 def delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> dict:
@@ -62,11 +187,6 @@ def delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> dict:
             "delta_to_iceberg: column-mapped tables carry physical "
             "col-<uuid> parquet names — translation would expose them; refused"
         )
-    if dt.partition_columns(v):
-        raise DeltaError(
-            "delta_to_iceberg: partitioned Delta omits partition columns "
-            "from data files; linking would lose them — refused"
-        )
     adds = dt.live_adds(v)
     dv_files = [p for p, dv, _pv in adds if dv is not None]
     if dv_files:
@@ -76,12 +196,26 @@ def delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> dict:
             "first, then translate"
         )
     files = [p for p, _dv, _pv in adds]
-    w = IcebergFixtureWriter(iceberg_root)
-    sid = w.link_files(files)
+    pcols = dt.partition_columns(v)
+    if not pcols:
+        w = IcebergFixtureWriter(iceberg_root)
+        sid = w.link_files(files)
+    else:
+        # Partitioned: the data files omit the partition columns, but
+        # add.partitionValues carries them — reconstitute METADATA-ONLY
+        # as an identity spec whose manifest partition records hold the
+        # typed values (the Flink-writer metadata-only shape the
+        # Iceberg reader reconstitutes as per-group constants).
+        w = IcebergFixtureWriter(
+            iceberg_root, partition_by=list(pcols), omit_partition_cols=True
+        )
+        w.declare_schema(_delta_schema_to_ice_fields(dt, v))
+        sid = w.link_files(files, partition_values=[pv for _p, _dv, pv in adds])
     return {
         "delta_version": v,
         "iceberg_snapshot_id": sid,
         "files_linked": len(files),
+        "partition_columns": list(pcols),
     }
 
 
@@ -113,9 +247,15 @@ def sync_delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> d
         last = int(json.loads(state_path.read_text())["last_delta_version"])
     if dt._cm_mode(cur) != "none":
         raise DeltaError("sync_delta_to_iceberg: column-mapped tables refused")
-    if dt.partition_columns(cur):
-        raise DeltaError("sync_delta_to_iceberg: partitioned tables refused")
-    w = IcebergFixtureWriter(iceberg_root)
+    pcols = dt.partition_columns(cur)
+    if not pcols:
+        w = IcebergFixtureWriter(iceberg_root)
+    else:
+        w = IcebergFixtureWriter(
+            iceberg_root, partition_by=list(pcols), omit_partition_cols=True
+        )
+        if not w._schemas:  # first sync declares; resume rehydrates
+            w.declare_schema(_delta_schema_to_ice_fields(dt, cur))
     synced = []
     for v in range(last + 1, cur + 1):
         if any(dv for _p, dv, _pv in dt.live_adds(v)):
@@ -142,11 +282,19 @@ def sync_delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> d
         ts = dt.commit_timestamp_ms(v)
         if adds and not removes:
             sid = w.link_files(
-                [dt._resolve(a["path"]) for a in adds], timestamp_ms=ts
+                [dt._resolve(a["path"]) for a in adds],
+                timestamp_ms=ts,
+                partition_values=(
+                    [a.get("partitionValues") or {} for a in adds] if pcols else None
+                ),
             )
         elif removes:
+            live = dt.live_adds(v)
             sid = w.replace_files(
-                dt.files_for_version(v), timestamp_ms=ts, copy=False
+                [p for p, _dv, _pv in live],
+                timestamp_ms=ts,
+                copy=False,
+                partition_values=([pv for _p, _dv, pv in live] if pcols else None),
             )
         else:
             sid = None  # metadata-only commit: cursor advances, no snapshot
@@ -246,16 +394,139 @@ def iceberg_to_delta(iceberg_root: str | Path, delta_root: str | Path) -> dict:
         (s for s in specs if s.get("spec-id", 0) == int(t._meta.get("default-spec-id", 0))),
         {"fields": []},
     )
-    if default_spec.get("fields"):
-        raise IcebergError(
-            "iceberg_to_delta: partitioned Iceberg may omit identity "
-            "partition columns from data files; linking would lose them — refused"
-        )
-    files = t.files_for_snapshot(sid)
-    w = DeltaFixtureWriter(delta_root)
-    v = w.link_files(files)
+    if not default_spec.get("fields"):
+        files = t.files_for_snapshot(sid)
+        w = DeltaFixtureWriter(delta_root)
+        v = w.link_files(files)
+        pcols: list[str] = []
+    else:
+        # Partitioned (identity transforms only): manifest partition
+        # records -> add.partitionValues protocol strings; the Delta
+        # reader reconstitutes literal columns for linked files from
+        # the log, never from directory names.
+        spec_fields = _identity_spec_fields(t)  # (column, ice_type), refuses derived
+        pcols = [c for c, _t in spec_fields]
+        typ_of = dict(spec_fields)
+        entries = t._data_entries(sid)
+        files = [e["path"] for e in entries]
+        pvs = [
+            {
+                c: _ice_partition_to_delta_string((e["partition"] or {}).get(c), typ_of[c])
+                for c in pcols
+            }
+            for e in entries
+        ]
+        w = DeltaFixtureWriter(delta_root, partition_by=pcols)
+        w.declare_schema(_ice_schema_to_delta_string(t))
+        v = w.link_files(files, partition_values=pvs)
     return {
         "iceberg_snapshot_id": sid,
         "delta_version": v,
         "files_linked": len(files),
+        "partition_columns": pcols,
+    }
+
+
+def delta_to_hudi(delta_root: str | Path, hudi_root: str | Path) -> dict:
+    """Expose a Delta table's CURRENT version as a Hudi copy-on-write
+    table over the same parquet files — the DIRECT leg of the
+    any-to-any matrix (previously documented as the D→I→H
+    composition). Same refusals as `delta_to_iceberg` for column
+    mapping and deletion vectors; partitioned Delta additionally
+    refuses for the Hudi target specifically: Hudi carries partition
+    values only in partition PATHS and expects CoW base files to carry
+    the columns, while Delta's hive layout omits them from the files —
+    there is no typed per-file partition record to reconstitute from
+    on the Hudi side. Returns {delta_version, hudi_instant,
+    files_linked}."""
+    from ..sources.hudi import HudiFixtureWriter
+
+    dt = DeltaTable(delta_root)
+    v = dt.current_version()
+    if dt._cm_mode(v) != "none":
+        raise DeltaError(
+            "delta_to_hudi: column-mapped tables carry physical col-<uuid> "
+            "parquet names — translation would expose them; refused"
+        )
+    if dt.partition_columns(v):
+        raise DeltaError(
+            "delta_to_hudi: partitioned Delta omits partition columns from "
+            "data files and Hudi has no typed per-file partition record to "
+            "reconstitute them from — refused (translate to Iceberg instead)"
+        )
+    adds = dt.live_adds(v)
+    dv_files = [p for p, dv, _pv in adds if dv is not None]
+    if dv_files:
+        raise DeltaError(
+            f"delta_to_hudi: {len(dv_files)} live file(s) carry deletion "
+            "vectors; run REORG PURGE first, then translate"
+        )
+    files = [p for p, _dv, _pv in adds]
+    w = HudiFixtureWriter(hudi_root)
+    instant = w.link_files(files)
+    return {
+        "delta_version": v,
+        "hudi_instant": instant,
+        "files_linked": len(files),
+    }
+
+
+def sync_delta_to_hudi(delta_root: str | Path, hudi_root: str | Path) -> dict:
+    """CONTINUOUS sync into a Hudi target: one Hudi instant PER Delta
+    commit, so the translated table keeps the source's whole history
+    and Hudi time travel (instant-addressed) lands on the same states
+    as Delta version travel. Same cursor discipline as
+    `sync_delta_to_iceberg` (durable `xtable_sync.json` under
+    `.hoodie`, idempotent resume, O(new commits) metadata work); the
+    same DV-gap semantics (unrepresentable versions skip with a
+    recorded gap and `stale` flags a lagging head). Per-commit
+    mapping: adds-only -> link commit; any removes -> replacecommit
+    linking that version's live set; metadata-only -> cursor only."""
+    import json
+
+    from ..sources.hudi import HudiFixtureWriter
+
+    dt = DeltaTable(delta_root)
+    cur = dt.current_version()
+    if dt._cm_mode(cur) != "none":
+        raise DeltaError("sync_delta_to_hudi: column-mapped tables refused")
+    if dt.partition_columns(cur):
+        raise DeltaError(
+            "sync_delta_to_hudi: partitioned Delta refused for the Hudi "
+            "target (no typed per-file partition record to reconstitute from)"
+        )
+    w = HudiFixtureWriter(hudi_root)
+    state_path = Path(hudi_root) / ".hoodie" / "xtable_sync.json"
+    last = -1
+    if state_path.exists():
+        last = int(json.loads(state_path.read_text())["last_delta_version"])
+    synced = []
+    for v in range(last + 1, cur + 1):
+        if any(dv for _p, dv, _pv in dt.live_adds(v)):
+            synced.append(
+                {"delta_version": v, "hudi_instant": None, "skipped": "deletion-vectors"}
+            )
+            state_path.write_text(json.dumps({"last_delta_version": v}))
+            continue
+        actions = dt.actions(v)
+        adds = [a["add"] for a in actions if "add" in a]
+        removes = [a for a in actions if "remove" in a]
+        if adds and not removes:
+            instant = w.link_files([dt._resolve(a["path"]) for a in adds])
+        elif removes:
+            instant = w.replace_with_links(dt.files_for_version(v))
+        else:
+            instant = None  # metadata-only commit: cursor advances
+        synced.append({"delta_version": v, "hudi_instant": instant})
+        state_path.write_text(json.dumps({"last_delta_version": v}))
+    last_landed = max(
+        (i for i, e in enumerate(synced) if e["hudi_instant"] is not None), default=-1
+    )
+    last_skipped = max(
+        (i for i, e in enumerate(synced) if e.get("skipped") is not None), default=-1
+    )
+    return {
+        "synced": synced,
+        "last_delta_version": cur,
+        "stale": last_skipped > last_landed,
     }

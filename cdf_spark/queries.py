@@ -9470,8 +9470,8 @@ def xtable_hudi_to_iceberg_scan(spark: SparkSession, sf: str) -> DataFrame:
 )
 def xtable_iceberg_to_hudi_scan(spark: SparkSession, sf: str) -> DataFrame:
     """XTable →Hudi direction (`package/xtable.iceberg_to_hudi`) —
-    completes the any-to-any translation matrix (D→I, I→D, H→I, I→H;
-    D→H composes from metadata-only legs): the Hudi timeline's write
+    part of the any-to-any translation matrix (D→I, I→D, H→I, I→H,
+    and since r11 a DIRECT D→H leg): the Hudi timeline's write
     stats carry the Iceberg data files' absolute paths, nothing
     copied; in-build zero-copy + read-equality assertions, rows
     oracled."""
@@ -9499,6 +9499,199 @@ def xtable_iceberg_to_hudi_scan(spark: SparkSession, sf: str) -> DataFrame:
             raise AssertionError("hudi view of the iceberg table diverges")
 
     tmp = _session_fixture("xtable_i2h", sf, build)
+    return HudiTable(f"{tmp}/h").read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_partitioned_delta_to_iceberg_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey <= 900
+    """,
+)
+def xtable_partitioned_delta_to_iceberg_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PARTITIONED metadata translation, UniForm direction (r11,
+    `package/xtable.delta_to_iceberg`): a hive-partitioned Delta table
+    — whose data files OMIT the partition column — translates by
+    reconstituting add.partitionValues as Iceberg identity-spec
+    partition records in the linked manifests (the Flink metadata-only
+    shape the Iceberg reader reconstitutes as per-group constants).
+    This was the repo's highest-rate refusal: most production
+    lakehouse tables are partitioned. In-build: zero copy, full read
+    parity INCLUDING the reconstituted column, and partition-predicate
+    parity; the oracle value-checks the rows."""
+    import os
+
+    from .package.xtable import delta_to_iceberg
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+    from .sources.iceberg import IcebergTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+        dw = DeltaFixtureWriter(f"{tmp}/delta", partition_by=["o_orderpriority"])
+        dw.append(orders.filter("o_orderkey <= 600"))
+        dw.replace(orders.filter("o_orderkey <= 900"))
+        info = delta_to_iceberg(f"{tmp}/delta", f"{tmp}/ice")
+        if info["partition_columns"] != ["o_orderpriority"]:
+            raise AssertionError(f"partition spec not carried: {info}")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/ice/data")):
+            raise AssertionError("translation copied data — must be metadata-only")
+        ice = IcebergTable(f"{tmp}/ice").read(spark)
+        delta = DeltaTable(f"{tmp}/delta").read(spark)
+        if ice.exceptAll(delta).count() or delta.exceptAll(ice).count():
+            raise AssertionError("iceberg view of the partitioned delta diverges")
+        a = ice.filter("o_orderpriority = '1-URGENT'")
+        b = delta.filter("o_orderpriority = '1-URGENT'")
+        if a.exceptAll(b).count() or b.exceptAll(a).count():
+            raise AssertionError("partition-predicate read diverges")
+
+    tmp = _session_fixture("xtable_pd2i", sf, build)
+    return IcebergTable(f"{tmp}/ice").read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_partitioned_iceberg_to_delta_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey <= 800
+    """,
+)
+def xtable_partitioned_iceberg_to_delta_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PARTITIONED metadata translation, reverse direction (r11,
+    `package/xtable.iceberg_to_delta`): an identity-partitioned
+    Iceberg table's manifest partition records become
+    add.partitionValues, and the Delta reader reconstitutes the
+    columns as literals from the LOG (linked absolute-path files live
+    in the source's layout, so hive-directory inference cannot apply —
+    the shallow-clone read discipline). Non-identity transforms
+    refuse. In-build: zero copy, read parity incl. the partition
+    column, partition-predicate parity; rows oracled."""
+    import os
+
+    from .package.xtable import iceberg_to_delta
+    from .sources.delta import DeltaTable
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+        iw = IcebergFixtureWriter(f"{tmp}/ice", partition_by=["o_orderpriority"])
+        iw.append(orders.filter("o_orderkey <= 500"))
+        iw.append(orders.filter("o_orderkey > 500 AND o_orderkey <= 800"))
+        info = iceberg_to_delta(f"{tmp}/ice", f"{tmp}/delta")
+        if info["partition_columns"] != ["o_orderpriority"]:
+            raise AssertionError(f"partition spec not carried: {info}")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/delta")):
+            raise AssertionError("translation copied data — must be metadata-only")
+        d = DeltaTable(f"{tmp}/delta").read(spark)
+        i = IcebergTable(f"{tmp}/ice").read(spark)
+        if d.exceptAll(i).count() or i.exceptAll(d).count():
+            raise AssertionError("delta view of the partitioned iceberg diverges")
+        a = d.filter("o_orderpriority = '2-HIGH'")
+        b = i.filter("o_orderpriority = '2-HIGH'")
+        if a.exceptAll(b).count() or b.exceptAll(a).count():
+            raise AssertionError("partition-predicate read diverges")
+
+    tmp = _session_fixture("xtable_pi2d", sf, build)
+    return DeltaTable(f"{tmp}/delta").read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_delta_to_hudi_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 450
+    """,
+)
+def xtable_delta_to_hudi_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """DIRECT D→H metadata translation (r11,
+    `package/xtable.delta_to_hudi`) — previously documented as the
+    D→I→H composition, now a first-class leg closing the any-to-any
+    matrix with point-in-time translation in all six directions. The
+    Hudi timeline's write stats link the Delta files' absolute paths;
+    a REPLACE in the Delta history proves translation follows the
+    LOG's live set. Zero copy and read parity in-build; rows
+    oracled."""
+    import os
+
+    from .package.xtable import delta_to_hudi
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+    from .sources.hudi import HudiTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        dw = DeltaFixtureWriter(f"{tmp}/delta")
+        dw.append(orders.filter("o_orderkey <= 300"))
+        dw.append(orders.filter("o_orderkey > 300 AND o_orderkey <= 600"))
+        dw.replace(orders.filter("o_orderkey <= 450"))
+        info = delta_to_hudi(f"{tmp}/delta", f"{tmp}/h")
+        live = len(DeltaTable(f"{tmp}/delta").files_for_version(info["delta_version"]))
+        if info["files_linked"] != live:
+            raise AssertionError(f"linked {info['files_linked']}, live set {live}")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/h")):
+            raise AssertionError("translation copied data — must be metadata-only")
+        h = HudiTable(f"{tmp}/h").read(spark)
+        d = DeltaTable(f"{tmp}/delta").read(spark)
+        if h.exceptAll(d).count() or d.exceptAll(h).count():
+            raise AssertionError("hudi view of the delta table diverges")
+
+    tmp = _session_fixture("xtable_d2h", sf, build)
+    return HudiTable(f"{tmp}/h").read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_sync_hudi_history_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 350
+    """,
+)
+def xtable_sync_hudi_history_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """CONTINUOUS sync into the HUDI target (r11,
+    `package/xtable.sync_delta_to_hudi`) — one Hudi instant per Delta
+    commit (adds-only → link commit; removes → replacecommit linking
+    the live set), durable cursor under `.hoodie`, so every target now
+    has BOTH point-in-time and continuous sync. In-build: per-version
+    instant-addressed read parity for the whole history, idempotent
+    re-sync, zero copy; the oracle value-checks the final state."""
+    import os
+
+    from .package.xtable import sync_delta_to_hudi
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+    from .sources.hudi import HudiTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        dw = DeltaFixtureWriter(f"{tmp}/delta")
+        dw.append(orders.filter("o_orderkey <= 200"))
+        dw.append(orders.filter("o_orderkey > 200 AND o_orderkey <= 500"))
+        dw.replace(orders.filter("o_orderkey <= 350"))
+        r = sync_delta_to_hudi(f"{tmp}/delta", f"{tmp}/h")
+        dt, ht = DeltaTable(f"{tmp}/delta"), HudiTable(f"{tmp}/h")
+        for e in r["synced"]:
+            d = dt.read(spark, version=e["delta_version"])
+            h = ht.read(spark, instant=e["hudi_instant"])
+            if d.exceptAll(h).count() or h.exceptAll(d).count():
+                raise AssertionError(f"history diverges at delta v{e['delta_version']}")
+        if sync_delta_to_hudi(f"{tmp}/delta", f"{tmp}/h")["synced"]:
+            raise AssertionError("re-sync was not a no-op")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/h")):
+            raise AssertionError("sync copied data — must be metadata-only")
+
+    tmp = _session_fixture("xtable_syncd2h", sf, build)
     return HudiTable(f"{tmp}/h").read(spark).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

@@ -539,9 +539,55 @@ class DeltaTable:
         if schema is not None:
             reader = reader.schema(schema)
         if self.partition_columns(version):
+            if any(not self._under_root(f) for f in files):
+                return self._read_linked_partitioned(spark, files, version)
             reader = reader.option("basePath", str(self.root))
         df = self._apply_column_mapping(reader.parquet(*files), version)
         return self._finish_partitioned(df, version)
+
+    def _under_root(self, path: str) -> bool:
+        try:
+            Path(path).resolve().relative_to(self.root.resolve())
+            return True
+        except ValueError:
+            return False
+
+    def _read_linked_partitioned(
+        self, spark: SparkSession, files: list[str], version: int
+    ) -> DataFrame:
+        """Partitioned table whose live files are LINKED by absolute
+        path (the XTable / shallow-clone shape): the files live in the
+        SOURCE table's layout, so Spark's hive-directory inference
+        cannot reconstitute the partition columns. Reconstitute from
+        the log's add.partitionValues instead — the protocol's
+        authoritative record — as per-partition-group literal columns:
+        one grouped parquet scan per live partition tuple (O(live
+        partitions) plan nodes, each a plain pushdown-capable
+        multi-file scan), unioned under the declared schema."""
+        from collections import defaultdict
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        schema = self._logical_schema(version)
+        if schema is None:
+            raise DeltaError("linked partitioned read requires a declared schema")
+        pv_of = {p: pv for p, _dv, pv in self.live_adds(version)}
+        groups: dict[tuple, list[str]] = defaultdict(list)
+        for f in files:
+            groups[tuple(sorted((pv_of.get(f) or {}).items()))].append(f)
+        by_name = {f.name: f for f in schema.fields}
+        dfs = []
+        for key, paths in sorted(groups.items()):
+            g = spark.read.schema(schema).parquet(*paths)
+            for c, raw in key:
+                fld = by_name.get(c)
+                if fld is None:
+                    continue
+                v = None if raw is None else _typed_partition_value(raw, fld.dataType)
+                g = g.withColumn(c, F.lit(v).cast(fld.dataType))
+            dfs.append(g.select(*[f.name for f in schema.fields]))
+        return reduce(DataFrame.unionByName, dfs)
 
     def files_for_version(self, version: int) -> list[str]:
         return [p for p, _dv in self.live_files_with_dvs(version)]
@@ -1710,7 +1756,23 @@ class DeltaFixtureWriter:
     def append(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
         return self._commit(self._write_data(df), "WRITE", timestamp_ms)
 
-    def link_files(self, paths: list[str], timestamp_ms: int | None = None) -> int:
+    def declare_schema(self, schema_string: str) -> None:
+        """Declare the table's schemaString up-front — the translation
+        path's entry point: a partitioned source's data files omit the
+        partition columns, so the full logical schema cannot be
+        inferred from any parquet footer. Must run before the first
+        commit fixes the schema."""
+        if self._schema_string is not None:
+            raise DeltaError("declare_schema requires a table with no schema yet")
+        json.loads(schema_string)  # must be valid schemaString JSON
+        self._schema_string = schema_string
+
+    def link_files(
+        self,
+        paths: list[str],
+        timestamp_ms: int | None = None,
+        partition_values: list[dict] | None = None,
+    ) -> int:
         """Append commit that LINKS existing parquet files IN PLACE —
         add actions carry the source files' ABSOLUTE paths (the
         protocol allows absolute URIs; shallow clones use exactly
@@ -1718,9 +1780,16 @@ class DeltaFixtureWriter:
         primitive in the Iceberg→Delta direction: the linked files'
         lifecycle stays owned by the source table (vacuum there, not
         here). Refused under column mapping (linked files carry the
-        source table's physical names, not this log's) and under
-        partitioning (partitionValues would need trusted re-derivation
-        from file contents)."""
+        source table's physical names, not this log's).
+
+        Partitioned linking: `partition_values` carries one dict per
+        path mapping partition column -> protocol STRING value (or
+        None for null) — it lands verbatim as add.partitionValues,
+        the log's authoritative record, from which the reader
+        reconstitutes the columns (linked files live in the SOURCE
+        table's layout, so hive-directory inference cannot apply).
+        Requires `declare_schema` or a prior schema that includes the
+        partition columns."""
         import pyarrow.parquet as pq
 
         if not paths:
@@ -1728,7 +1797,25 @@ class DeltaFixtureWriter:
         if self.column_mapping != "none":
             raise DeltaError("link_files under column mapping is not supported")
         if self.partition_by:
-            raise DeltaError("link_files into a partitioned table is not supported")
+            if partition_values is None or len(partition_values) != len(paths):
+                raise DeltaError(
+                    "partitioned link_files requires one partition_values "
+                    "dict per path"
+                )
+            declared = (
+                {f["name"] for f in json.loads(self._schema_string).get("fields", [])}
+                if self._schema_string
+                else set()
+            )
+            missing = [c for c in self.partition_by if c not in declared]
+            if missing:
+                raise DeltaError(
+                    f"partition columns {missing} absent from the declared "
+                    "schema — declare_schema() the full logical schema first "
+                    "(linked files do not carry partition columns)"
+                )
+        elif partition_values:
+            raise DeltaError("partition_values given for an unpartitioned table")
         if self._schema_string is None:
             from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -1736,15 +1823,21 @@ class DeltaFixtureWriter:
                 pq.read_schema(paths[0])
             ).json()
         adds = []
-        for src in paths:
+        for i, src in enumerate(paths):
             p = Path(src).resolve()
             md = pq.read_metadata(p)
+            pv = {}
+            if partition_values is not None:
+                pv = {
+                    c: (None if v is None else str(v))
+                    for c, v in (partition_values[i] or {}).items()
+                }
             adds.append(
                 {
                     "add": {
                         "path": str(p),
                         "size": p.stat().st_size,
-                        "partitionValues": {},
+                        "partitionValues": pv,
                         "modificationTime": int(time.time() * 1000),
                         "dataChange": True,
                         "stats": json.dumps({"numRecords": md.num_rows}),

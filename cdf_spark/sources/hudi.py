@@ -519,6 +519,44 @@ class HudiFixtureWriter:
         (self.hoodie_dir / f"{instant}.commit").write_text(json.dumps(meta, indent=1))
         return instant
 
+    def replace_with_links(self, paths: list[str]) -> str:
+        """INSERT_OVERWRITE_TABLE as a `.replacecommit` whose NEW file
+        groups LINK existing parquet in place (absolute paths, nothing
+        copied) while `partitionToReplaceFileIds` retires every
+        currently-live group — the XTable sync primitive for a source
+        overwrite commit: after it, the table's live set is exactly
+        the linked files, and time travel to earlier instants still
+        resolves the prior (linked) state. Unpartitioned only, like
+        `link_files`."""
+        if not paths:
+            raise HudiError("replace_with_links requires at least one parquet file")
+        if self.partition_by:
+            raise HudiError("replace_with_links into a partitioned table is not supported")
+        replaced: dict[str, list[str]] = {}
+        try:
+            for fid, part, _path in HudiTable(self.root).live_file_groups():
+                replaced.setdefault(part, []).append(fid)
+        except HudiError:
+            pass  # empty timeline: a replace of nothing is an insert
+        instant = self._next_instant()
+        stats = {
+            "": [
+                {
+                    "fileId": uuid.uuid4().hex[:8],
+                    "path": str(Path(p).resolve()),
+                    "numWrites": -1,
+                }
+                for p in paths
+            ]
+        }
+        meta = {
+            "partitionToWriteStats": stats,
+            "partitionToReplaceFileIds": replaced,
+            "operationType": "INSERT_OVERWRITE_TABLE",
+        }
+        (self.hoodie_dir / f"{instant}.replacecommit").write_text(json.dumps(meta, indent=1))
+        return instant
+
     def replace_table(self, df: DataFrame) -> str:
         """INSERT_OVERWRITE_TABLE as a `.replacecommit`: one instant
         whose `partitionToWriteStats` carries the NEW file groups and

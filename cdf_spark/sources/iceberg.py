@@ -2861,11 +2861,33 @@ class IcebergFixtureWriter:
             },
         }
 
+    def declare_schema(self, fields: list[tuple[str, str]]) -> int:
+        """Declare the FULL field-id schema up-front, in order —
+        the translation path's entry point: a partitioned source
+        format's declared column order includes partition columns its
+        data files omit, so the schema cannot be inferred from any
+        parquet footer. Must run before the first commit (spec-0
+        freezes against these field ids); later commits widen as
+        usual."""
+        if self._schemas:
+            raise IcebergError("declare_schema requires a table with no schema yet")
+        for name, ice_t in fields:
+            if name in self._field_ids:
+                raise IcebergError(f"duplicate column {name!r} in declared schema")
+            self._field_order.append(name)
+            self._field_ids[name] = self._next_fid
+            self._next_fid += 1
+            self._field_types[name] = ice_t
+        self._schemas.append(self._current_schema())
+        self._write_metadata()
+        return self._current_schema_id
+
     def link_files(
         self,
         paths: list[str],
         timestamp_ms: int | None = None,
         snapshot_id: int | None = None,
+        partition_values: list[dict] | None = None,
     ) -> int:
         """Append commit that LINKS existing parquet files IN PLACE —
         manifests reference the source files' absolute paths, nothing
@@ -2873,34 +2895,73 @@ class IcebergFixtureWriter:
         primitive: exposing another format's data files through
         Iceberg metadata is a metadata-only operation (Apache XTable's
         whole premise); the linked files' lifecycle stays owned by the
-        source table (expire/vacuum there, not here)."""
+        source table (expire/vacuum there, not here).
+
+        Partitioned linking (identity specs only): `partition_values`
+        carries one dict per path mapping partition COLUMN -> value
+        (raw hive/Delta strings or typed values). The entries' typed
+        partition records are the only place the partition columns
+        exist — the linked files omit them — which is exactly the
+        metadata-only identity shape the reader already reconstitutes
+        (the Flink-writer layout)."""
         if not paths:
             raise IcebergError("link_files requires at least one parquet file")
+        self._check_link_partitioning(paths, partition_values)
         self._ensure_schema_from_parquet(paths[0])
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
         parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         return self._finish_commit(
-            sid, parent, ts, self._file_entries(paths, sid, copy=False), "append"
+            sid,
+            parent,
+            ts,
+            self._file_entries(paths, sid, copy=False, partitions=partition_values),
+            "append",
         )
+
+    def _check_link_partitioning(
+        self, paths: list[str], partition_values: list[dict] | None
+    ) -> None:
+        if self.partition_by:
+            if any(t != "identity" for _c, t, _a, _sn in self._spec_fields):
+                raise IcebergError(
+                    "partitioned link/replace supports identity transforms only "
+                    "(derived values cannot reconstitute their source column)"
+                )
+            if partition_values is None or len(partition_values) != len(paths):
+                raise IcebergError(
+                    "partitioned link/replace requires one partition_values "
+                    "dict per path"
+                )
+        elif partition_values:
+            raise IcebergError(
+                "partition_values given but the table has no partition spec"
+            )
 
     def _copied_file_entries(self, paths: list[str], sid: int) -> list[dict]:
         return self._file_entries(paths, sid, copy=True)
 
     def _file_entries(
-        self, paths: list[str], sid: int, copy: bool = True
+        self,
+        paths: list[str],
+        sid: int,
+        copy: bool = True,
+        partitions: list[dict] | None = None,
     ) -> list[dict]:
         """Data-file entries from EXISTING canonical parquet files,
         committed by COPY (no decode/re-encode — the segment-copy
         posture) or LINKED in place (copy=False, the XTable path);
-        bounds come from each file's own footer."""
+        bounds come from each file's own footer. `partitions` (aligned
+        with paths) carries per-file partition values keyed by source
+        column — raw strings (hive/Delta partitionValues) or typed —
+        encoded into the entry's typed partition record."""
         import shutil
 
         import pyarrow.parquet as pq
 
         entries = []
-        for src in paths:
+        for i, src in enumerate(paths):
             if copy:
                 dest = self.root / "data" / f"{uuid.uuid4().hex}.parquet"
                 shutil.copy(str(src), str(dest))
@@ -2908,6 +2969,16 @@ class IcebergFixtureWriter:
                 dest = Path(src).resolve()
             md = pq.read_metadata(dest)
             lower, upper = self._footer_bounds(md)
+            rec = None
+            if partitions is not None:
+                raw = partitions[i] or {}
+                rec = {}
+                for c, _tname, _arg, sn in self._spec_fields:
+                    typ = self._field_types.get(c, "")
+                    v = raw.get(c, raw.get(sn))
+                    if v is None or isinstance(v, str):
+                        v = self._typed_raw(v, typ)
+                    rec[sn] = self._ice_single_value(v, typ)
             entries.append(
                 {
                     "status": 1,
@@ -2916,7 +2987,7 @@ class IcebergFixtureWriter:
                     "data_file": {
                         "file_path": str(dest),
                         "file_format": "PARQUET",
-                        "partition": None,
+                        "partition": rec,
                         "record_count": md.num_rows,
                         "content": 0,
                         "equality_ids": None,
@@ -3025,6 +3096,7 @@ class IcebergFixtureWriter:
         snapshot_id: int | None = None,
         operation: str = "overwrite",
         copy: bool = True,
+        partition_values: list[dict] | None = None,
     ) -> int:
         """Overwrite commit by segment COPY: the new snapshot's live
         set is exactly these files (prior files stay for time travel).
@@ -3032,18 +3104,26 @@ class IcebergFixtureWriter:
         semantics, but declares "no logical change" so changelog
         consumers skip it instead of raising). copy=False LINKS the
         files in place (the XTable sync path for a source overwrite
-        commit — metadata-only, lifecycle stays with the source)."""
+        commit — metadata-only, lifecycle stays with the source);
+        `partition_values` carries per-path identity partition values
+        for partitioned linking, same contract as `link_files`."""
         if not paths:
             raise IcebergError("replace_files requires at least one parquet file")
         if operation not in ("overwrite", "replace"):
             raise IcebergError(f"unsupported replace operation {operation!r}")
+        if partition_values is not None:
+            self._check_link_partitioning(paths, partition_values)
         self._ensure_schema_from_parquet(paths[0])
         sid = snapshot_id if snapshot_id is not None else self._rng.getrandbits(62)
         parent = self._parent_snapshot_id()
         self._seq += 1
         ts = timestamp_ms if timestamp_ms is not None else int(time.time() * 1000)
         return self._finish_commit(
-            sid, parent, ts, self._file_entries(paths, sid, copy=copy), operation
+            sid,
+            parent,
+            ts,
+            self._file_entries(paths, sid, copy=copy, partitions=partition_values),
+            operation,
         )
 
     def rewrite_small_files(

@@ -110,3 +110,61 @@ def test_learn_bpe_random_corpora_match_reference(spark):
         got = learn_bpe(df, n_merges=5)
         want = _ref_bpe(texts, 5)
         assert got == want, f"trial {trial}: {texts}"
+
+
+def test_learn_bpe_batched_matches_sequential(spark):
+    """r11 batched training: per round, a pairwise-independent top-K
+    batch applies in one pass. EXACTNESS is the contract — batched
+    merge lists must equal the pure-Python sequential reference
+    byte-for-byte, including tie-breaks and the collision guard (a
+    merged string that already exists as a symbol must stop the
+    batch: 'ing' via in+g vs i+ng)."""
+    from cdf_spark.operators.bpe import learn_bpe
+
+    corpora = [
+        # the fixture corpus: real-word structure, deep merges
+        [
+            "low lower lowest low low",
+            "new newer newest new",
+            "wide wider widest lowest",
+        ],
+        # dual-path collision bait: 'abc' reachable via (ab,c) and
+        # (a,bc); heavy repetition makes both paths competitive
+        [
+            "abc abc abc ab ab ab bc bc bc a b c",
+            "xabc xabc abcx cab cab",
+        ],
+        # tie-heavy tiny alphabet
+        ["ab ba ab ba aab abb bba baa", "aba bab aba bab"],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        want = _ref_bpe(texts, 12)
+        for batch in (2, 4, 8):
+            got = learn_bpe(df, n_merges=12, batch=batch)
+            assert got == want, f"batch={batch}: {texts}"
+
+
+def test_learn_bpe_batched_random_adversarial(spark):
+    """Randomized batched parity on small alphabets — maximal pair
+    conflicts (batches collapse to the single-argmax fallback) and
+    constant symbol-string collisions; any inexactness in the batch
+    rule trips here."""
+    import random
+
+    from cdf_spark.operators.bpe import learn_bpe
+
+    rng = random.Random(7)
+    for trial in range(4):
+        alpha = "abc" if trial % 2 == 0 else "abcd"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+                for _ in range(rng.randint(4, 12))
+            )
+            for _ in range(rng.randint(2, 4))
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        want = _ref_bpe(texts, 8)
+        got = learn_bpe(df, n_merges=8, batch=4)
+        assert got == want, f"trial {trial}: {texts}"

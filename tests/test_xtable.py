@@ -39,7 +39,7 @@ def test_d2i_refuses_deletion_vectors(spark, orders, tmp_path):
     assert ice.count() == n_base - n_deleted and info["files_linked"] >= 1
 
 
-def test_d2i_refuses_column_mapping_and_partitioning(spark, orders, tmp_path):
+def test_d2i_refuses_column_mapping(spark, orders, tmp_path):
     from cdf_spark.package.xtable import delta_to_iceberg
     from cdf_spark.sources.delta import DeltaError, DeltaFixtureWriter
 
@@ -47,11 +47,6 @@ def test_d2i_refuses_column_mapping_and_partitioning(spark, orders, tmp_path):
     cm.append(orders.filter("o_orderkey <= 100"))
     with pytest.raises(DeltaError, match="column-mapped"):
         delta_to_iceberg(str(tmp_path / "cm"), str(tmp_path / "i1"))
-
-    pt = DeltaFixtureWriter(str(tmp_path / "pt"), partition_by=["o_custkey"])
-    pt.append(orders.filter("o_orderkey <= 100"))
-    with pytest.raises(DeltaError, match="partitioned"):
-        delta_to_iceberg(str(tmp_path / "pt"), str(tmp_path / "i2"))
 
 
 def test_i2d_refuses_delete_files_until_compacted(spark, orders, tmp_path):
@@ -178,3 +173,133 @@ def test_iceberg_to_hudi_links_and_reads(spark, orders, tmp_path):
     iw.delete_positions([(victim, 0)])
     with pytest.raises(IcebergError, match="delete files"):
         iceberg_to_hudi(str(tmp_path / "i"), str(tmp_path / "h2"))
+
+
+def _parity(a, b) -> int:
+    return a.exceptAll(b).count() + b.exceptAll(a).count()
+
+
+def test_d2i_partitioned_reconstitutes_from_metadata(spark, orders, tmp_path):
+    """r11: partitioned Delta translates — add.partitionValues become
+    Iceberg identity-spec partition records; the linked files omit the
+    partition column and the Iceberg reader reconstitutes it as a
+    per-group constant (the Flink metadata-only shape). Zero copy."""
+    import os
+
+    from cdf_spark.package.xtable import delta_to_iceberg
+    from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    part = orders.withColumn("bucket", (orders.o_custkey % 3).cast("long"))
+    dw = DeltaFixtureWriter(str(tmp_path / "d"), partition_by=["bucket"])
+    dw.append(part.filter("o_orderkey <= 600"))
+    dw.replace(part.filter("o_orderkey <= 900"))
+    info = delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))
+    assert info["partition_columns"] == ["bucket"]
+    ice = IcebergTable(str(tmp_path / "i")).read(spark)
+    d = DeltaTable(str(tmp_path / "d")).read(spark)
+    assert ice.columns == d.columns
+    assert _parity(ice, d) == 0
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(str(tmp_path / "i" / "data"))
+    )
+    # partition predicates PRUNE on the reconstituted metadata records
+    assert _parity(ice.filter("bucket = 1"), d.filter("bucket = 1")) == 0
+
+
+def test_i2d_partitioned_reconstitutes_from_partition_values(spark, orders, tmp_path):
+    """r11 reverse: Iceberg identity partition records become
+    add.partitionValues; the Delta reader reconstitutes literal
+    columns for linked (absolute-path) files from the log, since
+    hive-directory inference cannot apply outside the table root."""
+    import os
+
+    from cdf_spark.package.xtable import iceberg_to_delta
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    part = orders.withColumn("bucket", (orders.o_custkey % 3).cast("long"))
+    iw = IcebergFixtureWriter(str(tmp_path / "i"), partition_by=["bucket"])
+    iw.append(part.filter("o_orderkey <= 500"))
+    iw.append(part.filter("o_orderkey > 500 AND o_orderkey <= 800"))
+    info = iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))
+    assert info["partition_columns"] == ["bucket"]
+    d = DeltaTable(str(tmp_path / "d")).read(spark)
+    i = IcebergTable(str(tmp_path / "i")).read(spark)
+    assert d.columns == i.columns
+    assert _parity(d, i) == 0
+    assert not any(f.endswith(".parquet") for f in os.listdir(str(tmp_path / "d")))
+    assert _parity(d.filter("bucket = 2"), i.filter("bucket = 2")) == 0
+
+
+def test_i2d_refuses_non_identity_transforms(spark, orders, tmp_path):
+    from cdf_spark.package.xtable import iceberg_to_delta
+    from cdf_spark.sources.iceberg import IcebergError, IcebergFixtureWriter
+
+    iw = IcebergFixtureWriter(
+        str(tmp_path / "i"), partition_by=[("bucket", 4, "o_custkey")]
+    )
+    iw.append(orders.filter("o_orderkey <= 200"))
+    with pytest.raises(IcebergError, match="not identity"):
+        iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))
+
+
+def test_sync_partitioned_history_parity(spark, orders, tmp_path):
+    """Continuous D->I sync over a PARTITIONED source: per-version
+    read parity incl. the reconstituted partition column, idempotent
+    resume."""
+    from cdf_spark.package.xtable import sync_delta_to_iceberg
+    from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    part = orders.withColumn("bucket", (orders.o_custkey % 2).cast("long"))
+    dw = DeltaFixtureWriter(str(tmp_path / "d"), partition_by=["bucket"])
+    dw.append(part.filter("o_orderkey <= 300"), timestamp_ms=1_000_000)
+    dw.append(
+        part.filter("o_orderkey > 300 AND o_orderkey <= 600"), timestamp_ms=2_000_000
+    )
+    dw.replace(part.filter("o_orderkey <= 450"), timestamp_ms=3_000_000)
+    r = sync_delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))
+    dt, it = DeltaTable(str(tmp_path / "d")), IcebergTable(str(tmp_path / "i"))
+    assert len(r["synced"]) == 3 and not r["stale"]
+    for e in r["synced"]:
+        d = dt.read(spark, version=e["delta_version"])
+        i = it.read(spark, snapshot_id=e["iceberg_snapshot_id"])
+        assert _parity(d, i) == 0, f"diverges at v{e['delta_version']}"
+    assert not sync_delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))["synced"]
+
+
+def test_delta_to_hudi_direct_and_sync(spark, orders, tmp_path):
+    """r11: the DIRECT D->H leg (no more D->I->H composition) plus the
+    continuous sync with replacecommit linking — per-version instant
+    parity, idempotent resume, zero copy, partitioned refusal."""
+    import os
+
+    from cdf_spark.package.xtable import delta_to_hudi, sync_delta_to_hudi
+    from cdf_spark.sources.delta import DeltaError, DeltaFixtureWriter, DeltaTable
+    from cdf_spark.sources.hudi import HudiTable
+
+    dw = DeltaFixtureWriter(str(tmp_path / "d"))
+    dw.append(orders.filter("o_orderkey <= 300"))
+    dw.append(orders.filter("o_orderkey > 300 AND o_orderkey <= 600"))
+    info = delta_to_hudi(str(tmp_path / "d"), str(tmp_path / "h"))
+    assert info["files_linked"] == 2
+    h = HudiTable(str(tmp_path / "h")).read(spark)
+    d = DeltaTable(str(tmp_path / "d")).read(spark)
+    assert _parity(h, d) == 0
+    assert not any(f.endswith(".parquet") for f in os.listdir(str(tmp_path / "h")))
+
+    dw.replace(orders.filter("o_orderkey <= 450"))
+    r = sync_delta_to_hudi(str(tmp_path / "d"), str(tmp_path / "h2"))
+    assert len(r["synced"]) == 3 and not r["stale"]
+    dt, ht = DeltaTable(str(tmp_path / "d")), HudiTable(str(tmp_path / "h2"))
+    for e in r["synced"]:
+        dd = dt.read(spark, version=e["delta_version"])
+        hh = ht.read(spark, instant=e["hudi_instant"])
+        assert _parity(dd, hh) == 0, f"diverges at v{e['delta_version']}"
+    assert not sync_delta_to_hudi(str(tmp_path / "d"), str(tmp_path / "h2"))["synced"]
+
+    pt = DeltaFixtureWriter(str(tmp_path / "pt"), partition_by=["o_custkey"])
+    pt.append(orders.filter("o_orderkey <= 100"))
+    with pytest.raises(DeltaError, match="partitioned"):
+        delta_to_hudi(str(tmp_path / "pt"), str(tmp_path / "h3"))
