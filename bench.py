@@ -388,6 +388,55 @@ def main() -> None:
     # running with no driver-certified bench). stdout now carries ONE
     # compact line with the headline scalars + best-of query map; the
     # raw cold/warm passes, session-cold probes, and deltas go to
+    # BPE real-vocab regime (r11): the headline's bpe_doc_token_counts
+    # trains 8 merges — the oracled fixture scale. A production
+    # tokenizer is 30k-50k merges, where the sequential loop's
+    # O(n_merges) driver round-trips are the scale-killer the r10
+    # verdict flagged. Batched training (exactness-preserving
+    # directional-independence batching, operators/bpe.py) is the
+    # answer, but its yield is a CORPUS property: the fixture
+    # documents table has only ~31 distinct words, so its pair head is
+    # maximally conflicted — the degenerate case. This entry measures
+    # BOTH: (a) the fixture corpus trained to saturation, (b) a
+    # deterministic hash-derived 50k-word corpus (the ann_crossover
+    # discipline: self-contained at any SF) where the realistic-
+    # vocabulary cadence claim — rounds << merges — is actually
+    # observable.
+    bpe_training = None
+    try:
+        from pyspark.sql import functions as F2
+
+        from cdf_spark.operators.bpe import learn_bpe
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        t0 = time.perf_counter()
+        merges = learn_bpe(docs, n_merges=256, batch=32)
+        wall = round(time.perf_counter() - t0, 2)
+        synth = (
+            spark.range(50_000)
+            .select(
+                F2.translate(
+                    F2.substring(F2.md5(F2.col("id").cast("string")), 1, 6 + F2.pmod(F2.col("id"), F2.lit(7)).cast("int")),
+                    "0123456789",
+                    "ghijklmnop",
+                ).alias("text")
+            )
+        )
+        t0 = time.perf_counter()
+        m2 = learn_bpe(synth, n_merges=256, batch=32)
+        wall2 = round(time.perf_counter() - t0, 2)
+        bpe_training = {
+            "fixture_corpus": {"n_merges": len(merges), "batch": 32, "wall_s": wall},
+            "synthetic_50k_words": {
+                "n_merges": len(m2),
+                "batch": 32,
+                "wall_s": wall2,
+                "merges_per_s": round(len(m2) / wall2, 2) if wall2 else None,
+            },
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["bpe_training"] = f"{type(exc).__name__}: {exc}"[:400]
+
     # ANN crossover runs LAST: the 1M-corpus block evicts page cache
     # that the headline + ingest numbers depend on (measured r8: the
     # ingest roofline doubled when this ran before it).
@@ -525,6 +574,7 @@ def main() -> None:
         "ingest_big_rows_s": ingest_big_rows_s,
         "ingest_big_none_mib_s": ingest_big_none_mib_s,
         "ann_crossover": ann_crossover,
+        "bpe_training": bpe_training,
         "detail_file": "BENCH_DETAIL.json",
     }
 

@@ -90,33 +90,42 @@ def _exact_batch(
     prefix, accept a maximal PREFIX of pairwise-independent merges
     that sequential BPE would provably pick in the same order.
 
-    Walk in sorted order, accepting (a, b) until the first STOP pair —
-    one that (i) shares a symbol with an accepted merge's {lhs, rhs,
-    merged}, or (ii) whose merged string already exists as a corpus
-    symbol (merging would then INCREASE existing pairs involving that
-    symbol — the 'ing' via in+g vs i+ng collision). Then drop accepted
-    pairs whose count ties the stop pair's.
+    Independence is DIRECTIONAL, not shares-a-symbol: merging
+    (a, b) -> m only changes the counts of pairs with y == a (an
+    "x a b" occurrence loses its (x, a)), x == b ("a b y" loses
+    (b, y) — and (b, a) in abab chains), or a member equal to m.
+    A later pair (a, c) or (x, b) is UNCHANGED — its shared symbol is
+    never the one consumed — so the head-of-Zipf families like
+    (e, r), (e, n), (e, s) batch together. The walk stops at the first
+    pair that (i) has y in {lhs_j}, x in {rhs_j}, or a member in
+    {merged_j} of the accepted set, or (ii) whose own merged string
+    already exists as a corpus symbol or an accepted merged string
+    (merging would then INCREASE pairs involving that symbol — the
+    'the' via th+e vs t+he collision). Then accepted pairs tying the
+    stop pair's count drop — except the first, the global argmax,
+    which is exact unconditionally.
 
     Why this is exact (batched merges == sequential merges):
-    - Accepted pairs are mutually independent, so applying any of them
-      leaves the others' counts unchanged; sequential visits them in
-      exactly this sorted order.
-    - Every pair whose count CHANGES under the batch involves an
-      accepted symbol or merged string, i.e. is a stop-class pair, and
-      the prefix rule puts all of those at/after the stop — T0 count
-      <= the stop count. Old stop-class pairs can only DECREASE
-      (gains require a pre-existing merged-string symbol, excluded by
-      (ii)). A NEW pair like (x, merged_j) descends from an occurrence
-      of (x, lhs_j) — itself stop-class — so its count is bounded by
-      the stop count too.
+    - Accepted pairs are pairwise count-independent under the
+      directional rule, so sequential visits them in exactly this
+      sorted order with exactly these counts.
+    - Every T0 pair whose count CHANGES under the batch is stop-class,
+      and the prefix rule puts all of those at/after the stop — T0
+      count <= the stop count — and they only DECREASE (gains require
+      a merged-string collision, excluded by (ii)).
+    - Every NEW pair (x, m_j) descends from an occurrence of
+      (x, lhs_j) — itself stop-class — so its count is also <= the
+      stop count; (m_j, m_k) descends from (rhs_j, lhs_k), likewise.
     - Dropping ties with the stop count makes every accepted count
-      STRICTLY greater than any changed pair's, so no changed pair
-      can overtake on count or on tie-order mid-batch.
-    If the collected prefix runs out before a stop (`exhausted` False),
-    the last row's count bounds everything below the horizon and acts
-    as the stop count."""
+      STRICTLY greater than any changed or new pair's, so nothing can
+      overtake on count or tie-order mid-batch.
+    If the collected prefix runs out before a stop (`exhausted`
+    False), the last row's count bounds everything below the horizon
+    and acts as the stop count."""
     accepted: list[tuple[str, str, int]] = []
-    touched: set[str] = set()
+    lhs_set: set[str] = set()
+    rhs_set: set[str] = set()
+    merged_set: set[str] = set()
     stop_cnt: int | None = None
     for r in rows:
         a, b, cnt = r.a, r.b, int(r.cnt)
@@ -124,15 +133,25 @@ def _exact_batch(
             stop_cnt = cnt
             break
         m = a + b
-        if a in touched or b in touched or m in touched or m in vocab:
+        if (
+            b in lhs_set
+            or a in rhs_set
+            or a in merged_set
+            or b in merged_set
+            or m in vocab
+            or m in merged_set
+        ):
             stop_cnt = cnt
             break
         accepted.append((a, b, cnt))
-        touched.update((a, b, m))
+        lhs_set.add(a)
+        rhs_set.add(b)
+        merged_set.add(m)
     if stop_cnt is None and not exhausted and rows:
         stop_cnt = int(rows[-1].cnt)  # horizon bound: unseen pairs <= this
-    if stop_cnt is not None:
-        accepted = [p for p in accepted if p[2] > stop_cnt]
+    if stop_cnt is not None and accepted:
+        head, rest = accepted[0], accepted[1:]
+        accepted = [head] + [p for p in rest if p[2] > stop_cnt]
     return accepted
 
 
@@ -159,9 +178,16 @@ def learn_bpe(
     collision guard is maintained driver-side: one distinct-symbol
     pass up front (alphabet-sized), then each merge adds its own
     string — no per-round vocabulary scan."""
+    from ..plans.checkpoint import release_local_checkpoint
+
     words = corpus_words(df, text_col, word_pattern)
-    cur = words.select(_wrap(F.col("word")).alias("w"), "c").persist()
-    cur.count()  # materialize once; iterations replan from here
+    # localCheckpoint (not persist): each round's chained replaces nest
+    # in the LOGICAL plan, and at real-vocab merge counts the
+    # accumulated expression tree OOMs the driver during planning —
+    # truncating lineage per round keeps every round's plan O(batch),
+    # at the cost of pinning one word-table copy in executor storage
+    # (released one round behind the materialization frontier)
+    cur = words.select(_wrap(F.col("word")).alias("w"), "c").localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
     vocab: set[str] = set()
     if batch > 1:
@@ -203,12 +229,11 @@ def learn_bpe(
                 merges.append((len(merges) + 1, a, b, a + b, cnt))
                 vocab.add(a + b)
                 expr = F.replace(expr, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
-            nxt = cur.select(expr.alias("w"), "c").persist()
-            nxt.count()
-            cur.unpersist()
+            nxt = cur.select(expr.alias("w"), "c").localCheckpoint(eager=True)
+            release_local_checkpoint(cur)
             cur = nxt
     finally:
-        cur.unpersist()
+        release_local_checkpoint(cur)
     return merges
 
 

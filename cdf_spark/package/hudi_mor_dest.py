@@ -104,6 +104,62 @@ class HudiMorDestination:
         self.partition_by = list(partition_by or [])
         self.cdc_op_col = "op"
 
+    def _bucket_authority(self) -> tuple[int, int]:
+        """(n_buckets, generation) from the table's hoodie.properties —
+        the durable authority a resize_buckets() rewrite updates;
+        routing with the constructor default after a resize would
+        scatter keys across the wrong groups. O(1) metadata read per
+        epoch, never a table scan."""
+        props_path = self.table_path / ".hoodie" / "hoodie.properties"
+        if props_path.exists():
+            rec = dict(
+                line.split("=", 1)
+                for line in props_path.read_text().splitlines()
+                if "=" in line
+            )
+            return (
+                int(rec.get("hoodie.index.bucket.num", self.n_buckets)),
+                int(rec.get("hoodie.index.bucket.generation", 0)),
+            )
+        return self.n_buckets, 0
+
+    def maybe_resize_buckets(
+        self,
+        spark: SparkSession,
+        max_group_bytes: int = 256 << 20,
+        quantile: float = 0.95,
+    ) -> str | None:
+        """Clustering-autopilot policy: when the p95 live file-group
+        size (base + pending logs) crosses `max_group_bytes`, rewrite
+        the table into 2x buckets (`resize_buckets`) so per-group
+        sizes halve and per-epoch log appends stay bounded. Sizing is
+        an O(groups) driver stat over slice paths — no data read; the
+        resize itself is the one O(table) rewrite clustering always
+        pays. Returns the replacecommit instant or None."""
+        t = HudiMorTable(self.table_path)
+        try:
+            slices = t.file_slices(t.latest_instant())
+        except Exception:
+            return None
+        if not slices:
+            return None
+        sizes = sorted(
+            Path(base).stat().st_size + sum(Path(p).stat().st_size for p, _v in logs)
+            for _fid, _part, base, logs in slices
+        )
+        p = sizes[min(len(sizes) - 1, int(quantile * len(sizes)))]
+        if p <= max_group_bytes:
+            return None
+        nb, _gen = self._bucket_authority()
+        w = HudiMorFixtureWriter(
+            self.table_path,
+            record_key=self.record_key,
+            precombine=self.precombine,
+            n_buckets=nb,
+            partition_by=self.partition_by,
+        )
+        return w.resize_buckets(spark, nb * 2)
+
     def _initial_insert(self, batch) -> None:
         w = HudiMorFixtureWriter(
             self.table_path,
@@ -177,7 +233,8 @@ class HudiMorDestination:
         latest = t.latest_instant()
         instant = f"{max(int(latest), _INSTANT_BASE) + 1:017d}"
         root = str(self.table_path)
-        rk, pcols, nb = self.record_key, self.partition_by, self.n_buckets
+        nb, gen = self._bucket_authority()
+        rk, pcols = self.record_key, self.partition_by
 
         # driver-side O(groups) metadata: base instant + next log
         # version per live group — what log file names need
@@ -213,7 +270,7 @@ class HudiMorDestination:
             for f in schema["fields"]
         }
         data_cols = [f["name"] for f in schema["fields"]]
-        fid_of = HudiMorFixtureWriter._fid
+        fid_of = lambda part, bucket: HudiMorFixtureWriter._fid(part, bucket, gen)  # noqa: E731
 
         import pandas as pd
 

@@ -53,6 +53,12 @@ class MaintenancePolicy:
     # files (each dirty group pays its log decode + key merge on
     # every snapshot read; compaction folds the debt into new bases)
     max_dirty_mor_groups: int = 4
+    # MoR bucket-count evolution: once the p95 live group size (base +
+    # pending logs) crosses this, the fixed-width bucket index has
+    # outgrown its width — rewrite into 2x buckets (one clustering
+    # replacecommit; routing stays a zero-read key function at the new
+    # generation). 0 disables.
+    max_mor_group_bytes: int = 256 << 20
 
 
 @dataclass
@@ -215,6 +221,25 @@ def _plan_hudi(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction]
                     {"dirty_groups": len(dirty)},
                 )
             )
+        # bucket-index width debt: O(groups) driver stat of slice
+        # file sizes, no data read
+        if policy.max_mor_group_bytes:
+            sizes = sorted(
+                Path(b).stat().st_size + sum(Path(p).stat().st_size for p, _v in logs)
+                for _fid, _p, b, logs in t.file_slices(t.latest_instant())
+            )
+            if sizes:
+                p95 = sizes[min(len(sizes) - 1, int(0.95 * len(sizes)))]
+                if p95 > policy.max_mor_group_bytes:
+                    actions.append(
+                        MaintenanceAction(
+                            "mor_resize_buckets",
+                            f"p95 file-group size {p95} exceeds "
+                            f"{policy.max_mor_group_bytes} — double the bucket "
+                            "count (clustering replacecommit)",
+                            {"p95_group_bytes": p95, "groups": len(sizes)},
+                        )
+                    )
     else:
         from ..sources.hudi import HudiError, HudiTable
 
@@ -357,6 +382,30 @@ def run_maintenance(
                     ],
                 )
                 results[act.action] = {"instant": w_mor.compact(spark)}
+            elif act.action == "mor_resize_buckets":
+                from ..sources.hudi_mor import HudiMorFixtureWriter
+
+                props = {}
+                for line in (
+                    (root / ".hoodie" / "hoodie.properties").read_text().splitlines()
+                ):
+                    if "=" in line:
+                        k, v = line.split("=", 1)
+                        props[k.strip()] = v.strip()
+                w_mor = HudiMorFixtureWriter(
+                    root,
+                    record_key=props["hoodie.table.recordkey.fields"],
+                    precombine=props.get("hoodie.table.precombine.field"),
+                    partition_by=[
+                        c
+                        for c in props.get("hoodie.table.partition.fields", "").split(",")
+                        if c
+                    ],
+                )  # constructor adopts (count, generation) from properties
+                results[act.action] = {
+                    "instant": w_mor.resize_buckets(spark, w_mor.n_buckets * 2),
+                    "n_buckets": w_mor.n_buckets,
+                }
             elif act.action == "hudi_cluster":
                 from ..sources.hudi import HudiFixtureWriter
 

@@ -278,9 +278,11 @@ class HudiMorTable:
 
     # -- timeline ---------------------------------------------------------
     def instants(self) -> list[str]:
-        out = sorted(
-            p.stem for p in self.hoodie.glob("*.deltacommit")
-        ) + sorted(p.stem for p in self.hoodie.glob("*.commit"))
+        out = (
+            sorted(p.stem for p in self.hoodie.glob("*.deltacommit"))
+            + sorted(p.stem for p in self.hoodie.glob("*.commit"))
+            + sorted(p.stem for p in self.hoodie.glob("*.replacecommit"))
+        )
         if not out:
             raise HudiError(f"no completed commits under {self.hoodie}")
         return sorted(out)
@@ -298,7 +300,7 @@ class HudiMorTable:
         return TableSnapshotPosition(snapshot_id=int(self.latest_instant()))
 
     def _commit_meta(self, instant: str) -> dict:
-        for suffix in (".deltacommit", ".commit"):
+        for suffix in (".deltacommit", ".commit", ".replacecommit"):
             p = self.hoodie / f"{instant}{suffix}"
             if p.exists():
                 return json.loads(p.read_text())
@@ -315,10 +317,19 @@ class HudiMorTable:
         are superseded by the compaction that produced the newer base)."""
         bases: dict[str, tuple[str, str, str]] = {}  # fid -> (instant, path, part)
         logs: dict[tuple[str, str], list[tuple[str, int]]] = {}
+        # replacecommit supersession (clustering / bucket resize): a
+        # group listed in partitionToReplaceFileIds at instant r is
+        # retired for any base written at or before r — readers drop
+        # it without any file being touched (time travel to < r still
+        # resolves it)
+        replaced_at: dict[str, str] = {}
         for i in self.instants():
             if i > instant:
                 continue
             meta = self._commit_meta(i)
+            for _part, fids in meta.get("partitionToReplaceFileIds", {}).items():
+                for fid in fids:
+                    replaced_at[fid] = max(replaced_at.get(fid, ""), i)
             for part, stats in meta.get("partitionToWriteStats", {}).items():
                 for st in stats:
                     path = st["path"]
@@ -335,6 +346,8 @@ class HudiMorTable:
                         logs.setdefault((fid, base_instant), []).append((path, ver))
         out = []
         for fid, (base_inst, path, part) in sorted(bases.items()):
+            if fid in replaced_at and base_inst <= replaced_at[fid]:
+                continue  # retired by a replacecommit at/after its base
             group_logs = sorted(set(logs.get((fid, base_inst), [])), key=lambda pv: pv[1])
             out.append((fid, part, str(self.root / path), [(str(self.root / p), v) for p, v in group_logs]))
         return out
@@ -417,8 +430,8 @@ class HudiMorTable:
                 continue
             meta = self._commit_meta(i)
             op = str(meta.get("operationType", ""))
-            if op == "COMPACT":
-                continue
+            if op in ("COMPACT", "CLUSTER"):
+                continue  # layout maintenance: no logical row change
             base_files = [
                 str(self.root / st["path"])
                 for _part, stats in meta.get("partitionToWriteStats", {}).items()
@@ -826,20 +839,45 @@ class HudiMorFixtureWriter:
         existing = sorted(
             p.name.split(".")[0]
             for p in self.hoodie.glob("*")
-            if p.suffix in (".deltacommit", ".commit")
+            if p.suffix in (".deltacommit", ".commit", ".replacecommit")
         )
         if existing:
             self._n = max(0, int(existing[-1]) - _INSTANT_BASE)
             self._inserted = any(
                 self.hoodie.glob("*.deltacommit")
             )
+        # BUCKET-INDEX AUTHORITY: an existing table's hoodie.properties
+        # owns the bucket count and generation — a resize_buckets()
+        # rewrite may have evolved them past any constructor default,
+        # and routing with a stale count would scatter keys across
+        # file groups. Per-run writer/destination instances ADOPT the
+        # table's recorded values; the constructor arg only seeds a
+        # fresh table.
+        self.bucket_generation = 0
+        props_path = self.hoodie / "hoodie.properties"
+        if existing and props_path.exists():
+            recorded = dict(
+                line.split("=", 1)
+                for line in props_path.read_text().splitlines()
+                if "=" in line
+            )
+            self.n_buckets = int(
+                recorded.get("hoodie.index.bucket.num", self.n_buckets)
+            )
+            self.bucket_generation = int(
+                recorded.get("hoodie.index.bucket.generation", 0)
+            )
+        self._write_properties()
+
+    def _write_properties(self) -> None:
         props = [
             "hoodie.table.type=MERGE_ON_READ",
-            f"hoodie.table.recordkey.fields={record_key}",
-            f"hoodie.index.bucket.num={n_buckets}",
+            f"hoodie.table.recordkey.fields={self.record_key}",
+            f"hoodie.index.bucket.num={self.n_buckets}",
+            f"hoodie.index.bucket.generation={self.bucket_generation}",
         ]
-        if precombine:
-            props.append(f"hoodie.table.precombine.field={precombine}")
+        if self.precombine:
+            props.append(f"hoodie.table.precombine.field={self.precombine}")
         if self.partition_by:
             props.append(
                 f"hoodie.table.partition.fields={','.join(self.partition_by)}"
@@ -858,14 +896,20 @@ class HudiMorFixtureWriter:
         return "/".join(f"{c}={values[c]}" for c in self.partition_by)
 
     @staticmethod
-    def _fid(part: str, bucket: int) -> str:
+    def _fid(part: str, bucket: int, gen: int = 0) -> str:
         """Partition-local file group id: partition digest + bucket
         (real Hudi fileIds are per-partition uuids; the digest keeps
         them collision-free across partitions while staying
-        deterministic for the bucket-index routing)."""
+        deterministic for the bucket-index routing). `gen` is the
+        bucket-index GENERATION: a resize_buckets() rewrite retires
+        every generation-g group and re-keys routing into
+        generation-g+1 names, so a pre- and post-resize group with the
+        same bucket number can never collide in the slice resolver
+        (generation 0 keeps the legacy names for existing tables)."""
+        prefix = f"g{gen}-" if gen else ""
         if not part:
-            return f"bucket{bucket}"
-        return f"p{zlib.crc32(part.encode('utf-8')):08x}-bucket{bucket}"
+            return f"{prefix}bucket{bucket}"
+        return f"{prefix}p{zlib.crc32(part.encode('utf-8')):08x}-bucket{bucket}"
 
     def insert(self, df: DataFrame) -> str:
         """Initial load: one distributed write, one base file group per
@@ -908,7 +952,7 @@ class HudiMorFixtureWriter:
             part = "/".join(
                 f"{c}={raw[f'__hp_{c}']}" for c in self.partition_by
             )
-            fid = self._fid(part, bucket)
+            fid = self._fid(part, bucket, self.bucket_generation)
             rel = f"{part}/{fid}_0-0-0_{instant}.parquet" if part else f"{fid}_0-0-0_{instant}.parquet"
             if len(files) != 1:
                 # coalesce inside hive_partitioned_write should give one
@@ -993,7 +1037,7 @@ class HudiMorFixtureWriter:
             by_group.setdefault((part, self._bucket_of(d[self.record_key])), []).append(d)
         stats: dict[str, list[dict]] = {}
         for (part, bucket), recs in sorted(by_group.items()):
-            fid = self._fid(part, bucket)
+            fid = self._fid(part, bucket, self.bucket_generation)
             name = self._append_log(part, fid, encode_data_block(schema, recs, instant))
             stats.setdefault(part, []).append(
                 {"fileId": fid, "path": name, "numWrites": len(recs)}
@@ -1017,7 +1061,7 @@ class HudiMorFixtureWriter:
             by_group.setdefault((part, self._bucket_of(k)), []).append((str(k), ""))
         stats: dict[str, list[dict]] = {}
         for (part, bucket), keys in sorted(by_group.items()):
-            fid = self._fid(part, bucket)
+            fid = self._fid(part, bucket, self.bucket_generation)
             name = self._append_log(part, fid, encode_delete_block(keys, instant))
             stats.setdefault(part, []).append(
                 {"fileId": fid, "path": name, "numWrites": len(keys)}
@@ -1059,4 +1103,83 @@ class HudiMorFixtureWriter:
             stats.setdefault(part, []).append({"fileId": fid, "path": rel, "numWrites": -1})
         meta = {"partitionToWriteStats": stats, "operationType": "COMPACT"}
         (self.hoodie / f"{instant}.commit").write_text(json.dumps(meta, indent=1))
+        return instant
+
+    def resize_buckets(self, spark: SparkSession, new_n: int) -> str | None:
+        """BUCKET-COUNT EVOLUTION (Hudi's bucket-rescale clustering):
+        rewrite every live file group into `new_n` buckets under the
+        NEXT bucket-index generation, committed as ONE `.replacecommit`
+        that retires all current groups (operationType CLUSTER — no
+        logical row change; change streams skip it, time travel to
+        earlier instants still resolves the old layout).
+
+        The fixed-width bucket index is what makes per-epoch routing a
+        zero-read pure key function; its cost is that groups grow
+        without bound as the table grows. Resize pays ONE O(table)
+        distributed rewrite — the same bill clustering always pays —
+        and every epoch after it routes `pmod(crc32(key), new_n)` into
+        generation-g+1 group names, still with zero table reads: the
+        authority for (count, generation) is hoodie.properties, O(1)
+        metadata adopted by each per-run writer/destination instance.
+        Generation naming keeps old and new groups collision-free in
+        the slice resolver (see `_fid`)."""
+        import shutil
+
+        if new_n == self.n_buckets:
+            return None
+        table = HudiMorTable(self.root)
+        latest = table.latest_instant()
+        live = table.file_slices(latest)
+        if not live:
+            return None
+        snap = table.snapshot(spark, instant=latest, keep_meta=True)
+        gen = self.bucket_generation + 1
+        instant = self._next_instant()
+        staged = snap.withColumn(
+            "_cdf_bucket",
+            F.pmod(
+                F.crc32(F.col(self.record_key).cast("string").cast("binary")),
+                F.lit(new_n),
+            ),
+        )
+        from .partitioned_write import hive_partitioned_write
+
+        split_cols = [f"__hp_{c}" for c in self.partition_by] + ["_cdf_bucket"]
+        for c in self.partition_by:
+            staged = staged.withColumn(f"__hp_{c}", F.col(c))
+        tmp_root, parts = hive_partitioned_write(
+            staged, split_cols, drop_partition_cols=True, max_partitions=10_000
+        )
+        stats: dict[str, list[dict]] = {}
+        for raw, files in parts:
+            bucket = int(raw["_cdf_bucket"])
+            part = "/".join(
+                f"{c}={raw[f'__hp_{c}']}" for c in self.partition_by
+            )
+            fid = self._fid(part, bucket, gen)
+            rel = (
+                f"{part}/{fid}_0-0-0_{instant}.parquet"
+                if part
+                else f"{fid}_0-0-0_{instant}.parquet"
+            )
+            if len(files) != 1:
+                raise HudiError(f"expected one file per group, got {len(files)}")
+            (self.root / rel).parent.mkdir(parents=True, exist_ok=True)
+            shutil.move(files[0], str(self.root / rel))
+            stats.setdefault(part, []).append(
+                {"fileId": fid, "path": rel, "numWrites": -1}
+            )
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        replaced: dict[str, list[str]] = {}
+        for fid, part, _base, _logs in live:
+            replaced.setdefault(part, []).append(fid)
+        meta = {
+            "partitionToWriteStats": stats,
+            "partitionToReplaceFileIds": replaced,
+            "operationType": "CLUSTER",
+        }
+        (self.hoodie / f"{instant}.replacecommit").write_text(json.dumps(meta, indent=1))
+        self.n_buckets = new_n
+        self.bucket_generation = gen
+        self._write_properties()
         return instant

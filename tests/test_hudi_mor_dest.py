@@ -376,3 +376,102 @@ def test_streaming_mor_pipeline_compacts_mid_stream(spark, tmp_path, orders):
     assert len(pipe.maintenance_reports) == 2
     assert any("mor_compact" in r["results"] for r in pipe.maintenance_reports)
     assert dest.read(spark).count() == o.count()
+
+
+def test_mor_bucket_resize_chaos(spark, tmp_path, orders):
+    """r11 bucket-count evolution: upserts land BEFORE and AFTER a
+    resize_buckets() rewrite and the snapshot stays exactly right —
+    the resize replacecommit retires every generation-0 group, new
+    generation-1 groups carry the rewritten data, post-resize routing
+    uses the doubled count from hoodie.properties (zero-read
+    authority), and a FRESH destination instance (constructor default
+    n_buckets=4) adopts the evolved count instead of scattering
+    keys."""
+    from cdf_spark.sources.hudi_mor import HudiMorFixtureWriter
+
+    dest = HudiMorDestination(tmp_path / "t", record_key="o_orderkey", n_buckets=2)
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    base = orders.filter("o_orderkey <= 600")
+    _commit(spark, dest, b, base, WriteDisposition.APPEND)
+    # pre-resize upsert (generation-0 log appends)
+    up1 = orders.filter("o_orderkey <= 100").withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    _commit(spark, dest, b, up1, WriteDisposition.MERGE)
+
+    w = HudiMorFixtureWriter(tmp_path / "t", record_key="o_orderkey")
+    assert w.n_buckets == 2 and w.bucket_generation == 0  # adopted
+    instant = w.resize_buckets(spark, 4)
+    assert instant is not None
+    props = (tmp_path / "t" / ".hoodie" / "hoodie.properties").read_text()
+    assert "hoodie.index.bucket.num=4" in props
+    assert "hoodie.index.bucket.generation=1" in props
+
+    t = HudiMorTable(tmp_path / "t")
+    slices = t.file_slices(t.latest_instant())
+    assert all(fid.startswith("g1-") for fid, _p, _b, _l in slices), slices
+    assert len(slices) == 4  # doubled bucket count, all groups live
+
+    # post-resize: a FRESH destination with the stale constructor
+    # default must adopt the evolved count and route correctly
+    dest2 = HudiMorDestination(tmp_path / "t", record_key="o_orderkey")  # default 4
+    up2 = orders.filter("o_orderkey > 100 AND o_orderkey <= 200").withColumn(
+        "o_totalprice", F.lit(-2.0)
+    )
+    _commit(spark, dest2, b, up2, WriteDisposition.MERGE)
+    new_keys = orders.filter("o_orderkey > 600 AND o_orderkey <= 700")
+    _commit(spark, dest2, b, new_keys, WriteDisposition.APPEND)
+
+    got = dest2.read(spark)
+    want = (
+        orders.filter("o_orderkey <= 700")
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") <= 100, F.lit(-1.0))
+            .when(
+                (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200), F.lit(-2.0)
+            )
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # time travel to the pre-resize instant still resolves gen-0 layout
+    pre = t.instants()[1]  # the pre-resize upsert's deltacommit
+    old = t.snapshot(spark, instant=pre).drop("_hoodie_commit_time", "_hoodie_record_key")
+    assert old.count() == 601
+    # change stream skips the CLUSTER replacecommit (no logical change)
+    ch = t.change_stream(spark, from_instant=t.instants()[1])
+    assert ch.filter(F.col("_instant") == instant).count() == 0
+
+
+def test_mor_resize_autopilot_policy(spark, tmp_path, orders):
+    """The maintenance planner flags mor_resize_buckets when the p95
+    group size crosses policy, and executing the plan doubles the
+    bucket count; below-threshold tables plan nothing."""
+    from cdf_spark.package.maintenance import (
+        MaintenancePolicy,
+        plan_maintenance,
+        run_maintenance,
+    )
+
+    dest = HudiMorDestination(tmp_path / "t", record_key="o_orderkey", n_buckets=2)
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, orders.filter("o_orderkey <= 500"), WriteDisposition.APPEND)
+
+    lax = MaintenancePolicy(max_mor_group_bytes=1 << 30, max_dirty_mor_groups=10**6)
+    assert not [
+        a
+        for a in plan_maintenance(tmp_path / "t", policy=lax)
+        if a.action == "mor_resize_buckets"
+    ]
+    tight = MaintenancePolicy(max_mor_group_bytes=1, max_dirty_mor_groups=10**6)
+    planned = plan_maintenance(tmp_path / "t", policy=tight)
+    assert any(a.action == "mor_resize_buckets" for a in planned)
+    out = run_maintenance(spark, tmp_path / "t", policy=tight)
+    assert out["results"]["mor_resize_buckets"]["instant"] is not None
+    props = (tmp_path / "t" / ".hoodie" / "hoodie.properties").read_text()
+    assert "hoodie.index.bucket.num=4" in props
+    # table still reads green after the autopilot resize
+    got = HudiMorTable(tmp_path / "t").snapshot(spark)
+    assert got.count() == orders.filter("o_orderkey <= 500").count()
