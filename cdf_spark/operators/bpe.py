@@ -37,7 +37,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_words", "learn_bpe", "bpe_merges_df", "apply_bpe", "segmentation"]
+__all__ = [
+    "apply_bpe",
+    "apply_bpe_fast",
+    "bpe_merges_df",
+    "corpus_words",
+    "learn_bpe",
+    "segmentation",
+]
 
 WORD_PATTERN = "^[a-z0-9]+$"
 
@@ -258,6 +265,83 @@ def apply_bpe(
         w = F.replace(w, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
     seg = F.array_join(_symbols(w), " ")
     return words.select(word_col, seg.alias("segmented"))
+
+
+def apply_bpe_fast(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    word_col: str = "word",
+) -> DataFrame:
+    """`apply_bpe` for the real-vocab regime: the chained-replace
+    apply nests one expression per merge — at 30k-50k merges the plan
+    tree is the same driver-heap bomb the training loop hit. This twin
+    BROADCASTS the merge-rank table (the learned model is tiny by
+    definition) into ONE vectorized mapInPandas kernel that segments
+    each word by iterative lowest-rank merging — the classic BPE
+    inference loop every production tokenizer runs.
+
+    Equivalence with training-order chained replaces (the oracled
+    semantics): a pair containing a merged symbol m_r can only have
+    been LEARNED after m_r existed, so its rank is > r — applying
+    merge r can never create an occurrence of an earlier-rank pair,
+    hence one LTR pass per rank in training order and iterative
+    lowest-rank-first produce identical segmentations (parity-gated in
+    tests/test_bpe.py).
+
+    Plan shape: zero shuffle, zero joins — a narrow map over the word
+    table with an O(model) broadcast; per word the loop is
+    O(len * merges_applied), and corpus-scale tokenization should run
+    it over DISTINCT words (vocabulary-sized work) then broadcast-join
+    segmentations back."""
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql import types as T
+
+    ranks: dict[tuple[str, str], int] = {
+        (a, b): step for step, a, b, _m, _c in merges
+    }
+
+    out_schema = T.StructType(
+        [
+            T.StructField(word_col, T.StringType()),
+            T.StructField("segmented", T.StringType()),
+        ]
+    )
+
+    def segment_word(word: str) -> str:
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank = None
+            best_pair = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (syms[i], syms[i + 1])
+            if best_pair is None:
+                break
+            a, b = best_pair
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return " ".join(syms)
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    word_col: pdf[word_col],
+                    "segmented": pdf[word_col].map(segment_word),
+                }
+            )
+
+    return words.select(word_col).mapInPandas(run, schema=out_schema)
 
 
 def segmentation(

@@ -5070,72 +5070,28 @@ PARITY_TWINS: set[str] = {
 # each round. Registration order is module-definition order, so newly
 # added operators would land BEHIND the window and never earn a driver
 # row. The window is therefore a pure LEAST-RECENTLY-DRIVER-GREEN sort,
-# recomputed each round from the CORRECTNESS_r*.json history (the r6
-# verdict's rotation discipline): never-driver-checked queries first
-# (the r8 additions), then everything whose last driver-green row is
-# r4 (the r2/r3 LLM-ops family the r7 verdict flagged as stale), then
-# the oldest r5-green entries up to the 50 cut. As late-r8 queries
-# joined the never-checked head across the round, the NEWEST r5-green
-# tail entries rotated out one-for-one (q7/q8/q9/q10/q11/q15/q16/q20
-# — they front the r9 rotation, behind the remaining r5/r6/r7-green
-# queries). Nothing arbitrary about the cut: the ordering is
-# (never-green, then min last-green round, then registration order),
-# truncated at the driver's 50.
+# recomputed each round from the CORRECTNESS_r*.json history: ordering
+# is (never-driver-green first, then ascending last-green round, then
+# registration order within a cohort), truncated at the driver's 50.
+# r11 rebuild: the never-green head is ivf_pq_ann_topk (rows-only
+# through r10; its distributive-shortlist rework gave it an EXACT
+# oracle this round — see the registry entry), bpe_learn_merges (red
+# through r10 on the oracle HUGEINT-vs-BIGINT dtype artifact, cast
+# fixed this round), and the four r11 XTable additions (partitioned
+# D<->I, direct D->H, continuous Hudi sync). Then the whole r5-green
+# cohort (15 queries — the oldest driver evidence left), then the
+# oldest 29 of the r6-green cohort fill to the cut; the remaining r6
+# entries front the r12 rotation.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- new in r10, never driver-checked --
-    "iceberg_changelog_cow_overwrite",
-    "delta_cdf_overwrite_range",
-    "hudi_mor_dest_upsert",
-    "cross_format_replication_hudi_mor",
-    "lm_perplexity_scores",
-    "ccnet_perplexity_buckets",
-    "lm_bigram_perplexity",
-    "llm_curation_pipeline_v2",
-    "lm_index_incremental",
-    "lm_perplexity_by_lang",
-    "image_dhash_near_dups",
-    "audio_envelope_near_dups",
-    "dup_substring_spans",
-    "dup_substring_removal",
-    "streaming_curation_drain",
-    "boilerplate_line_removal",
+    # -- never driver-green --
+    "ivf_pq_ann_topk",
     "bpe_learn_merges",
-    "bpe_word_segmentation",
-    "bpe_doc_token_counts",
-    "decontamination_pair_report",
-    "mojibake_repair_docs",
-    "near_dup_keeper_selection",
-    "stream_static_enrich_drain",
-    "dup_substring_index_incremental",
-    "streaming_dup_span_index_drain",
-    "xtable_delta_to_iceberg_scan",
-    "xtable_iceberg_to_delta_scan",
-    "xtable_sync_history_scan",
-    "xtable_hudi_to_iceberg_scan",
-    "xtable_iceberg_to_hudi_scan",
-    # -- last driver-green in r5, oldest cohort left after the r9
-    #    window re-greened the r8 additions and the r4 family
-    #    (registration order within the cohort) --
-    "docs_embeddings_join",
-    "events_user_rollup",
-    "late_counts_by_type",
-    "simhash_dups",
-    "ivf_kmeans_topk",
-    "ivf_ann_topk",
-    "minhash_lsh_dups",
-    "session_window_agg",
-    "q12_shipmode_priority",
-    "q14_promo_effect",
-    "q17_small_quantity_avg",
-    "moving_average_frame",
-    "q22_global_sales_opportunity",
-    "tfidf_top_terms",
-    "near_dup_clusters",
-    "q2_min_unit_price_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
+    "xtable_partitioned_delta_to_iceberg_scan",
+    "xtable_partitioned_iceberg_to_delta_scan",
+    "xtable_delta_to_hudi_scan",
+    "xtable_sync_hudi_history_scan",
+    "bpe_fast_apply_segmentation",
+    # -- last driver-green in r5 (whole cohort, registration order) --
     "q11_important_stock",
     "q15_top_supplier",
     "q16_supplier_part_counts",
@@ -5151,8 +5107,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "avro_roundtrip_scan",
     "protobuf_roundtrip_scan",
     "snapshot_time_travel",
-    # -- oldest r6-green entries fill to the 50 cut (the rest of the
-    #    r6 cohort fronts the r11 rotation) --
+    # -- oldest r6-green entries fill to the 50 cut --
     "contract_verdicts",
     "delta_time_travel",
     "delta_changes_since",
@@ -5165,14 +5120,24 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "iceberg_dest_upsert",
     "declarative_iceberg_run",
     "bloom_membership_keys",
-    # ivf_pq_ann_topk is deliberately NOT window-fronted anymore: it is
-    # the one STANDING rows-only entry (approximate by design — exact
-    # recall + re-reported-sims gates live in tests/test_lsh_recall.py;
-    # a value oracle would have to BE the brute-force twin, which the
-    # registry already value-checks as pq_ann_topk/cosine_topk). The
-    # driver records it no_oracle whenever it rotates in; counting it
-    # toward a 50/50 "oracled" claim was the r9 ADVICE defect.
+    "stratified_topk_sample",
+    "hudi_partitioned_scan",
+    "hudi_mor_snapshot",
+    "hudi_mor_read_optimized",
+    "hudi_mor_changes_since",
+    "hudi_mor_compaction",
+    "delta_dest_merge",
+    "iceberg_partitioned_scan",
+    "delta_checkpoint_replay",
+    "delta_deletion_vectors",
+    "iceberg_schema_evolution",
+    "q4_order_priority_semijoin",
+    "q13_customer_distribution",
+    "q18_large_volume_having",
+    "q19_disjunctive_filter",
+    "argmin_cheapest_supplier",
 ]
+
 
 
 def _rotated(d: dict) -> dict:
@@ -8542,6 +8507,27 @@ def bpe_word_segmentation_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.bpe import segmentation
 
     return segmentation(_t(spark, sf, "documents"), n_merges=_BPE_N_MERGES)
+
+
+@_register("bpe_fast_apply_segmentation", _BPE_SEG_ORACLE)
+def bpe_fast_apply_segmentation_q(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE inference through the REAL-VOCAB kernel
+    (`operators/bpe.apply_bpe_fast`, r11): merge ranks broadcast into
+    one vectorized mapInPandas that segments each word by iterative
+    lowest-rank merging — the inference loop every production
+    tokenizer runs, with O(1) plan size in n_merges (the chained-
+    replace twin nests one expression per merge and cannot carry a
+    30k-merge model). Value-gated against the SAME SQL replay oracle
+    as `bpe_word_segmentation`: the two apply algorithms are provably
+    equivalent (a pair containing a merged symbol is always learned
+    later, so one LTR pass per rank == lowest-rank-first), and this
+    entry pins that equivalence end-to-end on the corpus-trained
+    model."""
+    from .operators.bpe import apply_bpe_fast, corpus_words, learn_bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = learn_bpe(docs, n_merges=_BPE_N_MERGES)
+    return apply_bpe_fast(corpus_words(docs).select("word"), merges)
 
 
 _BPE_DOC_COUNT_ORACLE = (

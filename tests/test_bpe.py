@@ -168,3 +168,53 @@ def test_learn_bpe_batched_random_adversarial(spark):
         want = _ref_bpe(texts, 8)
         got = learn_bpe(df, n_merges=8, batch=4)
         assert got == want, f"trial {trial}: {texts}"
+
+
+def test_apply_bpe_fast_matches_chained_replace(spark):
+    """The real-vocab inference kernel (broadcast ranks, iterative
+    lowest-rank merging) must segment EXACTLY like the oracled
+    chained-replace apply, including on the saturation-trained model
+    (every merge the corpus supports) — the equivalence proof in the
+    docstring, measured."""
+    from cdf_spark.operators.bpe import (
+        apply_bpe,
+        apply_bpe_fast,
+        corpus_words,
+        learn_bpe,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest lowest",
+        "abc abc ab bc a b c abcabc",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n in (4, 12, 64):  # 64 > available merges: saturation model
+        merges = learn_bpe(df, n_merges=n, batch=4)
+        words = corpus_words(df).select("word")
+        slow = {r.word: r.segmented for r in apply_bpe(words, merges).collect()}
+        fast = {r.word: r.segmented for r in apply_bpe_fast(words, merges).collect()}
+        assert fast == slow, f"n={n}"
+
+
+def test_apply_bpe_fast_random_parity(spark):
+    import random
+
+    from cdf_spark.operators.bpe import apply_bpe, apply_bpe_fast, corpus_words, learn_bpe
+
+    rng = random.Random(11)
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(4, 10))
+            )
+            for _ in range(3)
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        merges = learn_bpe(df, n_merges=10)
+        words = corpus_words(df).select("word")
+        slow = {r.word: r.segmented for r in apply_bpe(words, merges).collect()}
+        fast = {r.word: r.segmented for r in apply_bpe_fast(words, merges).collect()}
+        assert fast == slow, f"trial {trial}: {texts}"
