@@ -53,6 +53,7 @@ from ..sources.iceberg import IcebergError, IcebergFixtureWriter, IcebergTable
 __all__ = [
     "delta_to_hudi",
     "delta_to_iceberg",
+    "hudi_to_delta",
     "hudi_to_iceberg",
     "iceberg_to_delta",
     "iceberg_to_hudi",
@@ -529,4 +530,58 @@ def sync_delta_to_hudi(delta_root: str | Path, hudi_root: str | Path) -> dict:
         "synced": synced,
         "last_delta_version": cur,
         "stale": last_skipped > last_landed,
+    }
+
+
+def hudi_to_delta(hudi_root: str | Path, delta_root: str | Path) -> dict:
+    """Expose a Hudi COPY-ON-WRITE table's latest instant as a Delta
+    table over the same parquet files — the last direct leg: with
+    r11's delta_to_hudi this closes the any-to-any matrix natively in
+    all six directions. Hudi CoW base files carry ALL columns
+    (partition columns included), so even partitioned tables link
+    losslessly: partition values parse from the hive partition paths
+    the timeline already records, landing as add.partitionValues so
+    the Delta side keeps partition pruning. Merge-on-read timelines
+    refuse at the reader (`HudiTable` rejects .deltacommit — log
+    blocks are Hudi-physical). Returns {hudi_instant, delta_version,
+    files_linked, partition_columns}."""
+    from urllib.parse import unquote
+
+    from ..sources.hudi import HudiTable
+    from ..sources.partitioned_write import HIVE_NULL
+
+    ht = HudiTable(hudi_root)  # raises HudiError on a MoR timeline
+    instant = ht.latest_instant()
+    groups = ht.live_file_groups(instant)
+    if not groups:
+        raise DeltaError("hudi_to_delta: no live file groups to link")
+    pcols: list[str] = []
+    first_part = groups[0][1]
+    if first_part:
+        pcols = [seg.split("=", 1)[0] for seg in first_part.split("/")]
+    files = [path for _fid, _part, path in groups]
+    if not pcols:
+        w = DeltaFixtureWriter(delta_root)
+        v = w.link_files(files)
+    else:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        pvs = []
+        for _fid, part, _path in groups:
+            pv: dict[str, str | None] = {}
+            for seg in part.split("/"):
+                c, _, raw = seg.partition("=")
+                pv[c] = None if raw == HIVE_NULL else unquote(raw)
+            pvs.append(pv)
+        w = DeltaFixtureWriter(delta_root, partition_by=pcols)
+        # CoW files carry the partition columns, so the footer schema
+        # is already the full logical schema
+        w.declare_schema(from_arrow_schema(pq.read_schema(files[0])).json())
+        v = w.link_files(files, partition_values=pvs)
+    return {
+        "hudi_instant": instant,
+        "delta_version": v,
+        "files_linked": len(files),
+        "partition_columns": pcols,
     }

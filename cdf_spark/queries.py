@@ -5090,6 +5090,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "xtable_partitioned_iceberg_to_delta_scan",
     "xtable_delta_to_hudi_scan",
     "xtable_sync_hudi_history_scan",
+    "xtable_hudi_to_delta_scan",
     "bpe_fast_apply_segmentation",
     # -- last driver-green in r5 (whole cohort, registration order) --
     "q11_important_stock",
@@ -5135,7 +5136,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q13_customer_distribution",
     "q18_large_volume_having",
     "q19_disjunctive_filter",
-    "argmin_cheapest_supplier",
 ]
 
 
@@ -9680,6 +9680,55 @@ def xtable_sync_hudi_history_scan(spark: SparkSession, sf: str) -> DataFrame:
     tmp = _session_fixture("xtable_syncd2h", sf, build)
     return HudiTable(f"{tmp}/h").read(spark).select(
         "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_hudi_to_delta_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey <= 650
+    """,
+)
+def xtable_hudi_to_delta_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """DIRECT H→D metadata translation (r11,
+    `package/xtable.hudi_to_delta`) over a PARTITIONED Hudi CoW table
+    — the last leg, closing the any-to-any matrix natively in all six
+    directions. CoW base files carry every column, so linking is
+    lossless; the hive partition paths the timeline records become
+    add.partitionValues, and the Delta side reads through the
+    linked-partitioned log path (keeping partition pruning). Zero
+    copy, read parity, and partition-predicate parity in-build; rows
+    oracled."""
+    import os
+
+    from .package.xtable import hudi_to_delta
+    from .sources.delta import DeltaTable
+    from .sources.hudi import HudiFixtureWriter, HudiTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+        hw = HudiFixtureWriter(f"{tmp}/h", partition_by=["o_orderpriority"])
+        hw.commit(orders.filter("o_orderkey <= 650"))
+        info = hudi_to_delta(f"{tmp}/h", f"{tmp}/delta")
+        if info["partition_columns"] != ["o_orderpriority"]:
+            raise AssertionError(f"partition columns not carried: {info}")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/delta")):
+            raise AssertionError("translation copied data — must be metadata-only")
+        d = DeltaTable(f"{tmp}/delta").read(spark)
+        h = HudiTable(f"{tmp}/h").read(spark).select(*d.columns)
+        if d.exceptAll(h).count() or h.exceptAll(d).count():
+            raise AssertionError("delta view of the hudi table diverges")
+        a = d.filter("o_orderpriority = '3-MEDIUM'")
+        b = h.filter("o_orderpriority = '3-MEDIUM'")
+        if a.exceptAll(b).count() or b.exceptAll(a).count():
+            raise AssertionError("partition-predicate read diverges")
+
+    tmp = _session_fixture("xtable_h2d", sf, build)
+    return DeltaTable(f"{tmp}/delta").read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
     )
 
 

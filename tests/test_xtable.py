@@ -303,3 +303,59 @@ def test_delta_to_hudi_direct_and_sync(spark, orders, tmp_path):
     pt.append(orders.filter("o_orderkey <= 100"))
     with pytest.raises(DeltaError, match="partitioned"):
         delta_to_hudi(str(tmp_path / "pt"), str(tmp_path / "h3"))
+
+
+def test_hudi_to_delta_direct_incl_partitioned(spark, orders, tmp_path):
+    """r11: the last direct leg (H->D) — unpartitioned link, an
+    upsert's rewritten group links at its LATEST slice only, and a
+    PARTITIONED CoW table links losslessly (files carry the columns;
+    hive partition paths become add.partitionValues so Delta keeps
+    pruning). MoR refuses at the reader."""
+    import os
+
+    import pytest as _p
+
+    from cdf_spark.package.xtable import hudi_to_delta
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.hudi import HudiError, HudiFixtureWriter, HudiTable
+
+    hw = HudiFixtureWriter(str(tmp_path / "h"))
+    base = orders.filter("o_orderkey <= 400")
+    hw.commit(base, file_id="g0")
+    from pyspark.sql import functions as F
+
+    hw.commit(
+        base.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") <= 50, F.lit(-1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        ),
+        file_id="g0",
+    )
+    info = hudi_to_delta(str(tmp_path / "h"), str(tmp_path / "d"))
+    d = DeltaTable(str(tmp_path / "d")).read(spark)
+    h = HudiTable(str(tmp_path / "h")).read(spark)
+    assert info["partition_columns"] == []
+    assert _parity(d, h) == 0
+    assert not any(f.endswith(".parquet") for f in os.listdir(str(tmp_path / "d")))
+
+    part = orders.withColumn("bucket", (orders.o_custkey % 3).cast("long"))
+    pw = HudiFixtureWriter(str(tmp_path / "hp"), partition_by=["bucket"])
+    pw.commit(part.filter("o_orderkey <= 500"))
+    info2 = hudi_to_delta(str(tmp_path / "hp"), str(tmp_path / "dp"))
+    assert info2["partition_columns"] == ["bucket"]
+    dp = DeltaTable(str(tmp_path / "dp")).read(spark)
+    hp = HudiTable(str(tmp_path / "hp")).read(spark)
+    assert _parity(dp.select(*sorted(dp.columns)), hp.select(*sorted(hp.columns))) == 0
+    assert _parity(
+        dp.filter("bucket = 1").select(*sorted(dp.columns)),
+        hp.filter("bucket = 1").select(*sorted(hp.columns)),
+    ) == 0
+
+    from cdf_spark.sources.hudi_mor import HudiMorFixtureWriter
+
+    mw = HudiMorFixtureWriter(str(tmp_path / "m"), record_key="o_orderkey")
+    mw.insert(orders.filter("o_orderkey <= 100"))
+    with _p.raises(HudiError, match="merge-on-read"):
+        hudi_to_delta(str(tmp_path / "m"), str(tmp_path / "dm"))
