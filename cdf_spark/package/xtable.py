@@ -343,11 +343,18 @@ def hudi_to_iceberg(hudi_root: str | Path, iceberg_root: str | Path) -> dict:
 
 def iceberg_to_hudi(iceberg_root: str | Path, hudi_root: str | Path) -> dict:
     """Expose an Iceberg table's CURRENT snapshot as a Hudi
-    copy-on-write table over the same parquet files — completes the
-    any-to-any translation matrix (D→I, I→D, H→I, I→H; D→H composes
-    as D→I→H since both are metadata-only). Same refusals as
-    `iceberg_to_delta` (delete files, partition specs).
-    Returns {iceberg_snapshot_id, hudi_instant, files_linked}."""
+    copy-on-write table over the same parquet files (part of the
+    direct any-to-any matrix). Same refusals as `iceberg_to_delta`
+    for delete files. Partitioned tables translate since r11 WHEN the
+    data files carry the partition columns (the regular Iceberg write
+    shape): identity partition records become hive partition paths in
+    the write stats, so Hudi-side partition pruning works on the
+    linked table. The metadata-only (Flink) shape — files OMIT the
+    columns — refuses for the Hudi target specifically: Hudi has no
+    typed per-file partition record to reconstitute from (translate
+    to Delta instead, whose log carries partitionValues). Returns
+    {iceberg_snapshot_id, hudi_instant, files_linked,
+    partition_columns}."""
     from ..sources.hudi import HudiFixtureWriter
 
     t = IcebergTable(iceberg_root)
@@ -364,15 +371,44 @@ def iceberg_to_hudi(iceberg_root: str | Path, hudi_root: str | Path) -> dict:
         (s for s in specs if s.get("spec-id", 0) == int(t._meta.get("default-spec-id", 0))),
         {"fields": []},
     )
-    if default_spec.get("fields"):
-        raise IcebergError("iceberg_to_hudi: partitioned Iceberg refused")
-    files = t.files_for_snapshot(sid)
-    w = HudiFixtureWriter(hudi_root)
-    instant = w.link_files(files)
+    if not default_spec.get("fields"):
+        files = t.files_for_snapshot(sid)
+        w = HudiFixtureWriter(hudi_root)
+        instant = w.link_files(files)
+        pcols: list[str] = []
+    else:
+        import pyarrow.parquet as pq
+
+        from ..sources.partitioned_write import HIVE_NULL
+
+        spec_fields = _identity_spec_fields(t)  # refuses derived transforms
+        pcols = [c for c, _t in spec_fields]
+        typ_of = dict(spec_fields)
+        entries = t._data_entries(sid)
+        files = [e["path"] for e in entries]
+        carried = set(pq.read_schema(files[0]).names)
+        missing = [c for c in pcols if c not in carried]
+        if missing:
+            raise IcebergError(
+                f"iceberg_to_hudi: data files omit partition columns {missing} "
+                "(the metadata-only identity shape) and Hudi has no typed "
+                "per-file partition record to reconstitute them from — "
+                "refused (translate to Delta instead)"
+            )
+        ppaths = []
+        for e in entries:
+            segs = []
+            for c in pcols:
+                v = _ice_partition_to_delta_string((e["partition"] or {}).get(c), typ_of[c])
+                segs.append(f"{c}={HIVE_NULL if v is None else v}")
+            ppaths.append("/".join(segs))
+        w = HudiFixtureWriter(hudi_root, partition_by=pcols)
+        instant = w.link_files(files, partition_paths=ppaths)
     return {
         "iceberg_snapshot_id": sid,
         "hudi_instant": instant,
         "files_linked": len(files),
+        "partition_columns": pcols,
     }
 
 

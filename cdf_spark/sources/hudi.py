@@ -491,30 +491,44 @@ class HudiFixtureWriter:
         (self.hoodie_dir / f"{instant}.commit").write_text(json.dumps(meta, indent=1))
         return instant
 
-    def link_files(self, paths: list[str]) -> str:
+    def link_files(
+        self, paths: list[str], partition_paths: list[str] | None = None
+    ) -> str:
         """One commit that LINKS existing parquet files IN PLACE —
         write stats carry the source files' ABSOLUTE paths (the
         timeline resolver's `root / path` join yields the absolute
         path unchanged), nothing is copied. The XTable translation
         primitive in the →Hudi direction; the linked files' lifecycle
-        stays with the source table (clean there, not here). Refused
-        on partitioned writers (partition paths would need trusted
-        re-derivation from file contents)."""
+        stays with the source table (clean there, not here).
+
+        Partitioned linking: `partition_paths` carries one hive-style
+        `col=value/...` key per path (derived from the SOURCE format's
+        partition metadata, never from file contents) — the write
+        stats key partitions exactly as a native partitioned commit
+        would, so partition-path pruning works on the linked table;
+        the linked files must carry the partition columns themselves
+        (Hudi base files always do — the caller enforces it for
+        foreign files)."""
         if not paths:
             raise HudiError("link_files requires at least one parquet file")
         if self.partition_by:
-            raise HudiError("link_files into a partitioned table is not supported")
+            if partition_paths is None or len(partition_paths) != len(paths):
+                raise HudiError(
+                    "partitioned link_files requires one partition path per file"
+                )
+        elif partition_paths:
+            raise HudiError("partition_paths given for an unpartitioned table")
         instant = self._next_instant()
-        stats = {
-            "": [
+        stats: dict[str, list[dict]] = {}
+        for i, p in enumerate(paths):
+            key = partition_paths[i] if partition_paths is not None else ""
+            stats.setdefault(key, []).append(
                 {
                     "fileId": uuid.uuid4().hex[:8],
                     "path": str(Path(p).resolve()),
                     "numWrites": -1,
                 }
-                for p in paths
-            ]
-        }
+            )
         meta = {"partitionToWriteStats": stats, "operationType": "INSERT"}
         (self.hoodie_dir / f"{instant}.commit").write_text(json.dumps(meta, indent=1))
         return instant

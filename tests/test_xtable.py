@@ -359,3 +359,38 @@ def test_hudi_to_delta_direct_incl_partitioned(spark, orders, tmp_path):
     mw.insert(orders.filter("o_orderkey <= 100"))
     with _p.raises(HudiError, match="merge-on-read"):
         hudi_to_delta(str(tmp_path / "m"), str(tmp_path / "dm"))
+
+
+def test_iceberg_to_hudi_partitioned_when_files_carry_columns(spark, orders, tmp_path):
+    """r11: partitioned I->H translates when the data files CARRY the
+    partition columns (regular Iceberg writes): identity partition
+    records become hive partition paths in the write stats, so the
+    Hudi side prunes; the metadata-only (Flink) shape refuses with a
+    pointer at the Delta target."""
+    import os
+
+    from cdf_spark.package.xtable import iceberg_to_hudi
+    from cdf_spark.sources.hudi import HudiTable
+    from cdf_spark.sources.iceberg import IcebergError, IcebergFixtureWriter, IcebergTable
+
+    part = orders.withColumn("bucket", (orders.o_custkey % 3).cast("long"))
+    iw = IcebergFixtureWriter(str(tmp_path / "i"), partition_by=["bucket"])
+    iw.append(part.filter("o_orderkey <= 500"))
+    info = iceberg_to_hudi(str(tmp_path / "i"), str(tmp_path / "h"))
+    assert info["partition_columns"] == ["bucket"]
+    h = HudiTable(str(tmp_path / "h")).read(spark)
+    i = IcebergTable(str(tmp_path / "i")).read(spark)
+    assert _parity(h.select(*sorted(h.columns)), i.select(*sorted(i.columns))) == 0
+    assert _parity(
+        h.filter("bucket = 2").select(*sorted(h.columns)),
+        i.filter("bucket = 2").select(*sorted(i.columns)),
+    ) == 0
+    assert not any(f.endswith(".parquet") for f in os.listdir(str(tmp_path / "h")))
+
+    # Flink shape (files omit the column) refuses toward Hudi
+    fw = IcebergFixtureWriter(
+        str(tmp_path / "fl"), partition_by=["bucket"], omit_partition_cols=True
+    )
+    fw.append(part.filter("o_orderkey <= 100"))
+    with pytest.raises(IcebergError, match="omit partition columns"):
+        iceberg_to_hudi(str(tmp_path / "fl"), str(tmp_path / "h2"))
