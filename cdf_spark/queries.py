@@ -5092,6 +5092,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "xtable_sync_hudi_history_scan",
     "xtable_hudi_to_delta_scan",
     "bpe_fast_apply_segmentation",
+    "hudi_mor_bucket_resize",
     # -- last driver-green in r5 (whole cohort, registration order) --
     "q11_important_stock",
     "q15_top_supplier",
@@ -5135,7 +5136,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q4_order_priority_semijoin",
     "q13_customer_distribution",
     "q18_large_volume_having",
-    "q19_disjunctive_filter",
 ]
 
 
@@ -9230,6 +9230,83 @@ def hudi_mor_dest_upsert(spark: SparkSession, sf: str) -> DataFrame:
             raise RuntimeError("MoR merges wrote no log files — CoW leak")
 
     tmp = _session_fixture("hudi_mor_dest_up", sf, build)
+    return HudiMorDestination(f"{tmp}/t", record_key="o_orderkey").read(spark)
+
+
+@_register(
+    "hudi_mor_bucket_resize",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 800
+    ),
+    pre AS (
+      SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice FROM orders WHERE o_orderkey <= 200
+    ),
+    post AS (
+      SELECT o_orderkey, o_custkey, -2.0 AS o_totalprice FROM orders
+      WHERE o_orderkey <= 50 OR (o_orderkey > 800 AND o_orderkey <= 900)
+    ),
+    m1 AS (
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM pre)
+      UNION ALL SELECT * FROM pre
+    )
+    SELECT * FROM m1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM post)
+    UNION ALL
+    SELECT * FROM post
+    """,
+)
+def hudi_mor_bucket_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """MoR BUCKET-COUNT EVOLUTION end-to-end (r11,
+    `HudiMorFixtureWriter.resize_buckets` + the destination's
+    hoodie.properties authority): load 2 buckets, merge (gen-0 log
+    appends), RESIZE to 4 buckets (one clustering replacecommit:
+    every gen-0 group retired, data rewritten into generation-1
+    groups, pending logs folded), then merge again through a FRESH
+    destination whose stale constructor default must adopt the
+    evolved (count, generation) from hoodie.properties — routing
+    stays a zero-read key function across the resize. The oracle
+    recomputes both merges relationally; a leaked retired group, a
+    lost pre-resize log, or post-resize routing at the old width
+    cannot hash-match."""
+    from .package import PackageBuilder
+    from .package.hudi_mor_dest import HudiMorDestination
+    from .sources.base import WriteDisposition
+    from .sources.hudi_mor import HudiMorFixtureWriter, HudiMorTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        dest = HudiMorDestination(f"{tmp}/t", record_key="o_orderkey", n_buckets=2)
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_resize")
+        base = builder.build(admitted=o.filter(F.col("o_orderkey") <= 800))
+        r1 = dest.verify(spark, dest.commit(spark, base, WriteDisposition.APPEND), base)
+        pre = builder.build(
+            admitted=o.filter(F.col("o_orderkey") <= 200).withColumn(
+                "o_totalprice", F.lit(-1.0)
+            )
+        )
+        r2 = dest.verify(spark, dest.commit(spark, pre, WriteDisposition.MERGE), pre)
+        w = HudiMorFixtureWriter(f"{tmp}/t", record_key="o_orderkey")
+        instant = w.resize_buckets(spark, 4)
+        if instant is None or w.bucket_generation != 1:
+            raise RuntimeError("resize did not land")
+        t = HudiMorTable(f"{tmp}/t")
+        fids = [fid for fid, _p, _b, _l in t.file_slices(t.latest_instant())]
+        if not all(f.startswith("g1-") for f in fids) or len(fids) != 4:
+            raise RuntimeError(f"gen-0 groups leaked past the resize: {fids}")
+        # fresh destination with the STALE default (4) — must adopt
+        # the evolved authority, not scatter keys
+        dest2 = HudiMorDestination(f"{tmp}/t", record_key="o_orderkey")
+        post = builder.build(
+            admitted=o.filter(
+                (F.col("o_orderkey") <= 50)
+                | ((F.col("o_orderkey") > 800) & (F.col("o_orderkey") <= 900))
+            ).withColumn("o_totalprice", F.lit(-2.0))
+        )
+        r3 = dest2.verify(spark, dest2.commit(spark, post, WriteDisposition.MERGE), post)
+        if not (r1.verified and r2.verified and r3.verified):
+            raise RuntimeError("resize-boundary commit receipt failed verification")
+
+    tmp = _session_fixture("hudi_mor_resize", sf, build)
     return HudiMorDestination(f"{tmp}/t", record_key="o_orderkey").read(spark)
 
 
