@@ -43,6 +43,7 @@ class DeltaDestination:
         checkpoint_interval: int = 10,
         max_commit_retries: int = 5,
         partition_by: list[str] | None = None,
+        uniform: str | None = None,
     ):
         """`partition_by` (identity columns) seeds a NEW table's hive
         layout; an existing table's spec always wins (rehydrated from
@@ -51,12 +52,26 @@ class DeltaDestination:
         so every add carries its partitionValues and file pruning
         works; MERGE is merge-on-read via deletion vectors on flat AND
         partitioned tables (victims found under a basePath scan, the
-        batch partition-split in one distributed write)."""
+        batch partition-split in one distributed write).
+
+        `uniform="iceberg"` is Delta UniForm: after every successful
+        commit, Iceberg metadata is generated IN the table directory
+        (`<table>/metadata/` beside `_delta_log` — the real UniForm
+        layout) linking the same data files, so Iceberg engines read
+        the table with zero copies and per-commit history parity.
+        DV-carrying versions cannot be expressed by linking and leave
+        the Iceberg view at the last representable state (a recorded
+        gap + `stale` flag in `last_uniform_sync` — real UniForm has
+        the same DV limitation); compaction/REORG catches it up."""
         self.table_path = Path(table_path)
         self.merge_keys = merge_keys or []
         self.checkpoint_interval = checkpoint_interval
         self.max_commit_retries = max_commit_retries
         self.partition_by = list(partition_by or [])
+        if uniform not in (None, "iceberg"):
+            raise ValueError(f"unsupported uniform target {uniform!r}")
+        self.uniform = uniform
+        self.last_uniform_sync: dict | None = None
 
     def _segments(self, package: PackageResult) -> list[str]:
         return sorted(str(p) for p in Path(package.data_path()).glob("*.parquet"))
@@ -133,6 +148,14 @@ class DeltaDestination:
             w.upsert_files_dv(spark, segments, self.merge_keys)
         else:
             raise ValueError(f"disposition {disposition} not supported by DeltaDestination")
+        if self.uniform == "iceberg":
+            from .xtable import sync_delta_to_iceberg
+
+            # per-commit UniForm sync: O(new commits) metadata, zero
+            # copies; the iceberg metadata lives inside the table dir
+            self.last_uniform_sync = sync_delta_to_iceberg(
+                self.table_path, self.table_path
+            )
         return Receipt(
             receipt_id="rcp-" + uuid.uuid4().hex[:16],
             package_id=package.package_id,

@@ -5093,6 +5093,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "xtable_hudi_to_delta_scan",
     "bpe_fast_apply_segmentation",
     "hudi_mor_bucket_resize",
+    "delta_uniform_dest_scan",
     # -- last driver-green in r5 (whole cohort, registration order) --
     "q11_important_stock",
     "q15_top_supplier",
@@ -5135,7 +5136,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "iceberg_schema_evolution",
     "q4_order_priority_semijoin",
     "q13_customer_distribution",
-    "q18_large_volume_having",
 ]
 
 
@@ -9806,6 +9806,59 @@ def xtable_hudi_to_delta_scan(spark: SparkSession, sf: str) -> DataFrame:
     tmp = _session_fixture("xtable_h2d", sf, build)
     return DeltaTable(f"{tmp}/delta").read(spark).select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@_register(
+    "delta_uniform_dest_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 550
+    """,
+)
+def delta_uniform_dest_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta UNIFORM as a destination mode (r11,
+    `DeltaDestination(uniform="iceberg")`): every successful commit
+    generates Iceberg metadata IN the table directory (the real
+    UniForm layout — `metadata/` beside `_delta_log`) linking the same
+    files, so Iceberg engines read the Delta table with zero copies
+    and per-commit history parity. The fixture lands two appends and a
+    replace through the commit/verify protocol, asserts per-commit
+    Iceberg==Delta parity and zero copied parquet, and the query
+    returns what an ICEBERG reader sees; the oracle value-checks the
+    rows."""
+    import os
+
+    from .package import PackageBuilder
+    from .package.delta_dest import DeltaDestination
+    from .sources.base import WriteDisposition
+    from .sources.delta import DeltaTable
+    from .sources.iceberg import IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        dest = DeltaDestination(f"{tmp}/t", uniform="iceberg")
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_uniform")
+        for df, disp in (
+            (o.filter("o_orderkey <= 300"), WriteDisposition.APPEND),
+            (o.filter("o_orderkey > 300 AND o_orderkey <= 600"), WriteDisposition.APPEND),
+            (o.filter("o_orderkey <= 550"), WriteDisposition.REPLACE),
+        ):
+            pkg = builder.build(admitted=df)
+            rec = dest.verify(spark, dest.commit(spark, pkg, disp), pkg)
+            if not rec.verified:
+                raise RuntimeError("uniform destination commit failed verification")
+            if dest.last_uniform_sync["stale"]:
+                raise RuntimeError("representable commit left the sync stale")
+            ice = IcebergTable(f"{tmp}/t").read(spark)
+            d = DeltaTable(f"{tmp}/t").read(spark)
+            if ice.exceptAll(d).count() or d.exceptAll(ice).count():
+                raise AssertionError("uniform iceberg view diverges from delta")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/t/data")):
+            raise AssertionError("uniform sync copied data — must be metadata-only")
+
+    tmp = _session_fixture("delta_uniform", sf, build)
+    return IcebergTable(f"{tmp}/t").read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
 
 

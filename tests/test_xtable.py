@@ -394,3 +394,64 @@ def test_iceberg_to_hudi_partitioned_when_files_carry_columns(spark, orders, tmp
     fw.append(part.filter("o_orderkey <= 100"))
     with pytest.raises(IcebergError, match="omit partition columns"):
         iceberg_to_hudi(str(tmp_path / "fl"), str(tmp_path / "h2"))
+
+
+def test_delta_destination_uniform_mode(spark, orders, tmp_path):
+    """r11 Delta UniForm: a DeltaDestination constructed with
+    uniform='iceberg' generates Iceberg metadata IN the table dir
+    after every commit — Iceberg engines read the same files with
+    zero copies and per-commit history parity; a DV-carrying merge
+    leaves the Iceberg view at the last representable state (recorded
+    gap, stale flag), and the next representable commit catches up."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdf_spark.package import PackageBuilder
+    from cdf_spark.package.delta_dest import DeltaDestination
+    from cdf_spark.sources.base import WriteDisposition
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    dest = DeltaDestination(
+        tmp_path / "t", merge_keys=["o_orderkey"], uniform="iceberg"
+    )
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+
+    def commit(df, disp):
+        pkg = b.build(admitted=df)
+        rec = dest.verify(spark, dest.commit(spark, pkg, disp), pkg)
+        assert rec.verified
+        return rec
+
+    commit(orders.filter("o_orderkey <= 300"), WriteDisposition.APPEND)
+    ice = IcebergTable(tmp_path / "t").read(spark)
+    d = DeltaTable(tmp_path / "t").read(spark)
+    assert _parity(ice, d) == 0
+    assert not dest.last_uniform_sync["stale"]
+
+    commit(
+        orders.filter("o_orderkey > 300 AND o_orderkey <= 500"),
+        WriteDisposition.APPEND,
+    )
+    assert _parity(IcebergTable(tmp_path / "t").read(spark),
+                   DeltaTable(tmp_path / "t").read(spark)) == 0
+    pre_merge = IcebergTable(tmp_path / "t").read(spark).count()
+
+    # DV merge: unrepresentable by linking -> iceberg view stays put
+    commit(
+        orders.filter("o_orderkey <= 50").withColumn("o_totalprice", F.lit(-1.0)),
+        WriteDisposition.MERGE,
+    )
+    assert dest.last_uniform_sync["stale"]
+    assert IcebergTable(tmp_path / "t").read(spark).count() == pre_merge
+
+    # a REPLACE commit is representable: the sync catches up
+    commit(orders.filter("o_orderkey <= 400"), WriteDisposition.REPLACE)
+    assert not dest.last_uniform_sync["stale"]
+    assert _parity(IcebergTable(tmp_path / "t").read(spark),
+                   DeltaTable(tmp_path / "t").read(spark)) == 0
+    # zero copies: no parquet under the iceberg data dir
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(tmp_path / "t" / "data")
+    )
