@@ -59,6 +59,7 @@ __all__ = [
     "iceberg_to_hudi",
     "sync_delta_to_hudi",
     "sync_delta_to_iceberg",
+    "sync_iceberg_to_delta",
 ]
 
 # Spark schemaString type-name <-> Iceberg primitive type, for carrying
@@ -620,4 +621,126 @@ def hudi_to_delta(hudi_root: str | Path, delta_root: str | Path) -> dict:
         "delta_version": v,
         "files_linked": len(files),
         "partition_columns": pcols,
+    }
+
+
+def sync_iceberg_to_delta(iceberg_root: str | Path, delta_root: str | Path) -> dict:
+    """CONTINUOUS sync in the REVERSE direction — one Delta commit per
+    Iceberg snapshot on the current ancestry, so both sync directions
+    exist (D→I since r10, I→D since r11; Apache XTable ships
+    incremental sync both ways). Cursor = the last synced snapshot's
+    SEQUENCE NUMBER (snapshot ids are random 64-bit by spec and carry
+    no order), durable in `xtable_sync.json` beside the Delta log;
+    idempotent resume, O(new snapshots) metadata work. Per snapshot:
+    append -> Delta commit LINKING the snapshot's added files;
+    anything else (overwrite/replace/delete) -> `replace_with_links`
+    of that snapshot's live set; each Delta commit is stamped with the
+    Iceberg snapshot's timestamp so timestamp time travel lands on the
+    same states. Snapshots carrying row-level delete files cannot be
+    expressed by linking — skipped with a recorded gap and a `stale`
+    flag, same semantics as the D→I sync's DV gaps. Partitioned
+    identity specs carry their partition records as
+    add.partitionValues."""
+    import json
+
+    t = IcebergTable(iceberg_root)
+    cur = t.current_snapshot_id()
+    if cur is None:
+        raise IcebergError("sync_iceberg_to_delta: empty table has no snapshot")
+    state_path = Path(delta_root) / "xtable_sync.json"
+    last_seq = -1
+    if state_path.exists():
+        last_seq = int(json.loads(state_path.read_text())["last_sequence_number"])
+
+    # current ancestry, oldest first (rollbacks abandon branch tips —
+    # they must not sync)
+    by_id = {int(s["snapshot-id"]): s for s in t._meta.get("snapshots", [])}
+    chain = []
+    sid = int(cur)
+    while sid in by_id:
+        s = by_id[sid]
+        chain.append(s)
+        parent = s.get("parent-snapshot-id")
+        if parent is None:
+            break
+        sid = int(parent)
+    chain.reverse()
+
+    spec_fields = []
+    pcols: list[str] = []
+    specs = t._meta.get("partition-specs", [])
+    default_spec = next(
+        (s for s in specs if s.get("spec-id", 0) == int(t._meta.get("default-spec-id", 0))),
+        {"fields": []},
+    )
+    if default_spec.get("fields"):
+        spec_fields = _identity_spec_fields(t)  # refuses derived transforms
+        pcols = [c for c, _t in spec_fields]
+    typ_of = dict(spec_fields)
+
+    w = DeltaFixtureWriter(delta_root, partition_by=list(pcols))
+    if pcols and w._schema_string is None:
+        w.declare_schema(_ice_schema_to_delta_string(t))
+
+    def _pvs(entries: list[dict]) -> list[dict] | None:
+        if not pcols:
+            return None
+        return [
+            {
+                c: _ice_partition_to_delta_string((e["partition"] or {}).get(c), typ_of[c])
+                for c in pcols
+            }
+            for e in entries
+        ]
+
+    synced = []
+    for s in chain:
+        seq = int(s.get("sequence-number", 0))
+        if seq <= last_seq:
+            continue
+        sid = int(s["snapshot-id"])
+        ts = int(s.get("timestamp-ms") or 0) or None
+        if t.delete_files_for_snapshot(sid):
+            synced.append(
+                {
+                    "iceberg_snapshot_id": sid,
+                    "delta_version": None,
+                    "skipped": "row-level-delete-files",
+                }
+            )
+            state_path.write_text(json.dumps({"last_sequence_number": seq}))
+            continue
+        op = str((s.get("summary") or {}).get("operation", ""))
+        entries = t._data_entries(sid)
+        if op == "append":
+            added = set(t.added_files(sid))
+            ents = [e for e in entries if e["path"] in added]
+            if ents:
+                v = w.link_files(
+                    [e["path"] for e in ents],
+                    timestamp_ms=ts,
+                    partition_values=_pvs(ents),
+                )
+            else:
+                v = None  # metadata-only append: cursor advances
+        else:
+            v = w.replace_with_links(
+                [e["path"] for e in entries],
+                timestamp_ms=ts,
+                partition_values=_pvs(entries),
+            )
+        synced.append({"iceberg_snapshot_id": sid, "delta_version": v})
+        state_path.write_text(json.dumps({"last_sequence_number": seq}))
+    last_landed = max(
+        (i for i, e in enumerate(synced) if e["delta_version"] is not None), default=-1
+    )
+    last_skipped = max(
+        (i for i, e in enumerate(synced) if e.get("skipped") is not None), default=-1
+    )
+    return {
+        "synced": synced,
+        "last_sequence_number": max(
+            (int(s.get("sequence-number", 0)) for s in chain), default=last_seq
+        ),
+        "stale": last_skipped > last_landed,
     }

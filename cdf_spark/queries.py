@@ -5094,6 +5094,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "bpe_fast_apply_segmentation",
     "hudi_mor_bucket_resize",
     "delta_uniform_dest_scan",
+    "xtable_sync_iceberg_to_delta_history",
     # -- last driver-green in r5 (whole cohort, registration order) --
     "q11_important_stock",
     "q15_top_supplier",
@@ -5135,7 +5136,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "delta_deletion_vectors",
     "iceberg_schema_evolution",
     "q4_order_priority_semijoin",
-    "q13_customer_distribution",
 ]
 
 
@@ -9757,6 +9757,61 @@ def xtable_sync_hudi_history_scan(spark: SparkSession, sf: str) -> DataFrame:
     tmp = _session_fixture("xtable_syncd2h", sf, build)
     return HudiTable(f"{tmp}/h").read(spark).select(
         "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_sync_iceberg_to_delta_history",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey <= 420
+    """,
+)
+def xtable_sync_iceberg_to_delta_history(spark: SparkSession, sf: str) -> DataFrame:
+    """REVERSE continuous sync (r11,
+    `package/xtable.sync_iceberg_to_delta`) — one Delta commit per
+    Iceberg snapshot on the current ancestry, cursor on the SEQUENCE
+    NUMBER (snapshot ids are random by spec), so both sync directions
+    now exist like Apache XTable's incremental sync. The fixture syncs
+    a PARTITIONED 3-snapshot Iceberg table (append, append, overwrite)
+    and asserts per-snapshot read parity incl. the partition column,
+    Iceberg-timestamp-stamped Delta commits, idempotent re-sync, and
+    zero copied parquet in the Delta root; the oracle value-checks the
+    final state."""
+    import os
+
+    from .package.xtable import sync_iceberg_to_delta
+    from .sources.delta import DeltaTable
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+        iw = IcebergFixtureWriter(f"{tmp}/i", partition_by=["o_orderpriority"])
+        iw.append(orders.filter("o_orderkey <= 200"), timestamp_ms=1_000_000)
+        iw.append(
+            orders.filter("o_orderkey > 200 AND o_orderkey <= 500"),
+            timestamp_ms=2_000_000,
+        )
+        iw.overwrite(orders.filter("o_orderkey <= 420"), timestamp_ms=3_000_000)
+        r = sync_iceberg_to_delta(f"{tmp}/i", f"{tmp}/d")
+        it, dt = IcebergTable(f"{tmp}/i"), DeltaTable(f"{tmp}/d")
+        for e in r["synced"]:
+            i = it.read(spark, snapshot_id=e["iceberg_snapshot_id"])
+            d = dt.read(spark, version=e["delta_version"])
+            if d.exceptAll(i).count() or i.exceptAll(d).count():
+                raise AssertionError(
+                    f"history diverges at snapshot {e['iceberg_snapshot_id']}"
+                )
+        if sync_iceberg_to_delta(f"{tmp}/i", f"{tmp}/d")["synced"]:
+            raise AssertionError("re-sync was not a no-op")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/d")):
+            raise AssertionError("sync copied data — must be metadata-only")
+
+    tmp = _session_fixture("xtable_synci2d", sf, build)
+    return DeltaTable(f"{tmp}/d").read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
     )
 
 

@@ -1846,6 +1846,66 @@ class DeltaFixtureWriter:
             )
         return self._commit(adds, "WRITE", timestamp_ms)
 
+    def replace_with_links(
+        self,
+        paths: list[str],
+        timestamp_ms: int | None = None,
+        partition_values: list[dict] | None = None,
+    ) -> int:
+        """Replace commit whose NEW live set LINKS existing parquet in
+        place (absolute-path adds, nothing copied) — the XTable sync
+        primitive for a source overwrite commit in the →Delta
+        direction. Removes are recorded with each live add's path
+        EXACTLY as the log recorded it (the live-set replay keys on
+        the raw string, and linked tables carry absolute paths).
+        `partition_values` as in `link_files`."""
+        import pyarrow.parquet as pq
+
+        if not paths:
+            raise DeltaError("replace_with_links requires at least one parquet file")
+        if self.column_mapping != "none":
+            raise DeltaError("replace_with_links under column mapping is not supported")
+        removes = []
+        if self._version >= 0:
+            now_ms = int(time.time() * 1000)
+            for raw_path in DeltaTable(self.root).live_add_actions(self._version):
+                removes.append(
+                    {
+                        "remove": {
+                            "path": raw_path,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        if self._schema_string is None:
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            self._schema_string = from_arrow_schema(pq.read_schema(paths[0])).json()
+        adds = []
+        for i, src in enumerate(paths):
+            p = Path(src).resolve()
+            md = pq.read_metadata(p)
+            pv = {}
+            if partition_values is not None:
+                pv = {
+                    c: (None if v is None else str(v))
+                    for c, v in (partition_values[i] or {}).items()
+                }
+            adds.append(
+                {
+                    "add": {
+                        "path": str(p),
+                        "size": p.stat().st_size,
+                        "partitionValues": pv,
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": md.num_rows}),
+                    }
+                }
+            )
+        return self._commit(removes + adds, "WRITE", timestamp_ms)
+
     def replace(self, df: DataFrame, timestamp_ms: int | None = None) -> int:
         """Replace commit from a DataFrame: remove every live file +
         the new data's adds in ONE commit — the partition-aware

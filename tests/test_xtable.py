@@ -455,3 +455,49 @@ def test_delta_destination_uniform_mode(spark, orders, tmp_path):
     assert not any(
         f.endswith(".parquet") for f in os.listdir(tmp_path / "t" / "data")
     )
+
+
+def test_sync_iceberg_to_delta_history_and_gaps(spark, orders, tmp_path):
+    """r11 REVERSE continuous sync: one Delta commit per Iceberg
+    snapshot on the current ancestry — per-snapshot read parity incl.
+    a partitioned source, timestamp time-travel parity, idempotent
+    resume, delete-file snapshots skipped with a recorded gap then
+    caught up by the next representable snapshot."""
+    from cdf_spark.package.xtable import sync_iceberg_to_delta
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    part = orders.withColumn("bucket", (orders.o_custkey % 2).cast("long"))
+    iw = IcebergFixtureWriter(str(tmp_path / "i"), partition_by=["bucket"])
+    iw.append(part.filter("o_orderkey <= 300"), timestamp_ms=1_000_000)
+    iw.append(
+        part.filter("o_orderkey > 300 AND o_orderkey <= 600"), timestamp_ms=2_000_000
+    )
+    iw.overwrite(part.filter("o_orderkey <= 450"), timestamp_ms=3_000_000)
+    r = sync_iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))
+    assert len(r["synced"]) == 3 and not r["stale"]
+    it, dt = IcebergTable(str(tmp_path / "i")), DeltaTable(str(tmp_path / "d"))
+    for e in r["synced"]:
+        i = it.read(spark, snapshot_id=e["iceberg_snapshot_id"])
+        d = dt.read(spark, version=e["delta_version"])
+        assert _parity(d, i) == 0, f"diverges at snapshot {e['iceberg_snapshot_id']}"
+    # timestamp-addressed parity: both engines resolve 2.5M ms to state 2
+    s_ts = int(it.snapshot_as_of(2_500_000)["snapshot-id"])
+    v_ts = dt.version_as_of(2_500_000)
+    assert _parity(dt.read(spark, version=v_ts), it.read(spark, snapshot_id=s_ts)) == 0
+    assert not sync_iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))["synced"]
+
+    # delete-file snapshot: unrepresentable -> gap; overwrite catches up
+    t = IcebergTable(str(tmp_path / "i"))
+    victim = t.files_for_snapshot(t.current_snapshot_id())[0]
+    iw.delete_positions([(victim, 0)])
+    r2 = sync_iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))
+    assert r2["stale"] and r2["synced"][-1]["skipped"] == "row-level-delete-files"
+    pre = DeltaTable(str(tmp_path / "d")).read(spark).count()
+    live = IcebergTable(str(tmp_path / "i")).read(spark)
+    iw.overwrite(live, timestamp_ms=4_000_000)
+    r3 = sync_iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))
+    assert not r3["stale"]
+    post = DeltaTable(str(tmp_path / "d")).read(spark)
+    assert post.count() == pre - 1
+    assert _parity(post, IcebergTable(str(tmp_path / "i")).read(spark)) == 0
