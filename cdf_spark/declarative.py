@@ -384,11 +384,14 @@ def _build_destination(dest_cfg: dict, workspace: Path, resource_id: str, merge_
         from .package.delta_dest import DeltaDestination
 
         # TOML partition_by: identity column names (Delta's native
-        # partitioning); an existing table's spec wins on rehydrate
+        # partitioning); an existing table's spec wins on rehydrate.
+        # uniform = "iceberg" turns on per-commit UniForm metadata
+        # generation inside the table dir (package/delta_dest.py).
         return DeltaDestination(
             path,
             merge_keys=merge_keys,
             partition_by=dest_cfg.get("partition_by"),
+            uniform=dest_cfg.get("uniform"),
         )
     if kind == "hudi":
         from .package.hudi_dest import HudiDestination

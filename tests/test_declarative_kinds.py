@@ -317,3 +317,41 @@ def test_kind_clickhouse_compiles_with_transport_seam(tmp_path):
     )
     sql = res.render_query(plan)
     assert "SELECT" in sql and "event_id" in sql
+
+
+def test_kind_delta_destination_uniform(spark, tmp_path, orders):
+    """r11: TOML `uniform = "iceberg"` on a delta destination turns on
+    per-commit UniForm metadata generation — after the declarative
+    run, an ICEBERG reader sees the Delta table's rows over the same
+    files, zero copies."""
+    import os
+
+    from cdf_spark.declarative import Workspace
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    src = tmp_path / "src.parquet"
+    o.filter("o_orderkey <= 250").write.parquet(str(src))
+    decl = tmp_path / "cdf.toml"
+    decl.write_text(f"""
+[resources.uni]
+primary_key = ["o_orderkey"]
+
+[resources.uni.source]
+kind = "files"
+path = "{src}"
+format = "parquet"
+
+[resources.uni.destination]
+kind = "delta"
+uniform = "iceberg"
+""")
+    ws = Workspace(tmp_path / "ws")
+    ws.run(spark, ws.compile_file(decl)["uni"])
+    root = tmp_path / "ws" / "warehouse" / "uni"
+    ice = IcebergTable(root).read(spark)
+    d = DeltaTable(root).read(spark)
+    assert ice.exceptAll(d).count() == 0 and d.exceptAll(ice).count() == 0
+    assert ice.count() == o.filter("o_orderkey <= 250").count()
+    assert not any(f.endswith(".parquet") for f in os.listdir(root / "data"))
