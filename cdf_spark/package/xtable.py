@@ -59,6 +59,7 @@ __all__ = [
     "iceberg_to_hudi",
     "sync_delta_to_hudi",
     "sync_delta_to_iceberg",
+    "sync_hudi_to_iceberg",
     "sync_iceberg_to_delta",
 ]
 
@@ -744,3 +745,69 @@ def sync_iceberg_to_delta(iceberg_root: str | Path, delta_root: str | Path) -> d
         ),
         "stale": last_skipped > last_landed,
     }
+
+
+def sync_hudi_to_iceberg(hudi_root: str | Path, iceberg_root: str | Path) -> dict:
+    """CONTINUOUS sync from a HUDI CoW source — one Iceberg snapshot
+    per Hudi instant, completing the continuous-sync fan: the
+    translated table keeps the whole timeline, so Iceberg time travel
+    lands on the same states as Hudi instant travel (each Iceberg
+    commit is stamped with the instant's wall-clock meaning where
+    parseable). Cursor = the last synced INSTANT string (Hudi instants
+    are totally ordered timestamps by construction), durable in
+    `xtable_sync.json` beside the Iceberg metadata; idempotent resume,
+    O(new instants) metadata work. Per instant: a commit writing only
+    NEW file groups -> Iceberg append linking the new base files; a
+    commit REWRITING existing groups (CoW upsert) or a replacecommit
+    -> Iceberg overwrite linking that instant's live slice set.
+    Merge-on-read timelines refuse at the reader, as every Hudi leg
+    does."""
+    import datetime as _dt
+    import json
+
+    from ..sources.hudi import HudiTable
+
+    ht = HudiTable(hudi_root)  # raises HudiError on a MoR timeline
+    instants = ht.instants()
+    state_path = Path(iceberg_root) / "xtable_sync.json"
+    last = ""
+    if state_path.exists():
+        last = str(json.loads(state_path.read_text())["last_hudi_instant"])
+    w = IcebergFixtureWriter(iceberg_root)
+
+    def _instant_ms(i: str) -> int | None:
+        try:
+            return int(
+                _dt.datetime.strptime(i[:17], "%Y%m%d%H%M%S%f")
+                .replace(tzinfo=_dt.timezone.utc)
+                .timestamp()
+                * 1000
+            )
+        except ValueError:
+            return None
+
+    seen_fids: set[str] = set()
+    synced = []
+    for i in instants:
+        written = ht._written_files(i)
+        replaced = ht._replaced_fids(i)
+        if i <= last:
+            seen_fids |= {fid for fid, _i, _p, _part in written}
+            continue
+        rewrites = bool(replaced) or any(
+            fid in seen_fids for fid, _i, _p, _part in written
+        )
+        ts = _instant_ms(i)
+        if not rewrites:
+            sid = w.link_files(
+                [str(Path(hudi_root) / p) for _f, _i, p, _part in written],
+                timestamp_ms=ts,
+            )
+        else:
+            sid = w.replace_files(
+                ht.files_for_instant(i), timestamp_ms=ts, copy=False
+            )
+        seen_fids |= {fid for fid, _i, _p, _part in written}
+        synced.append({"hudi_instant": i, "iceberg_snapshot_id": sid})
+        state_path.write_text(json.dumps({"last_hudi_instant": i}))
+    return {"synced": synced, "last_hudi_instant": instants[-1]}

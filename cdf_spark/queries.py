@@ -5095,6 +5095,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hudi_mor_bucket_resize",
     "delta_uniform_dest_scan",
     "xtable_sync_iceberg_to_delta_history",
+    "xtable_sync_hudi_to_iceberg_history",
     # -- last driver-green in r5 (whole cohort, registration order) --
     "q11_important_stock",
     "q15_top_supplier",
@@ -5135,7 +5136,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "delta_checkpoint_replay",
     "delta_deletion_vectors",
     "iceberg_schema_evolution",
-    "q4_order_priority_semijoin",
 ]
 
 
@@ -9812,6 +9812,68 @@ def xtable_sync_iceberg_to_delta_history(spark: SparkSession, sf: str) -> DataFr
     tmp = _session_fixture("xtable_synci2d", sf, build)
     return DeltaTable(f"{tmp}/d").read(spark).select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_sync_hudi_to_iceberg_history",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey <= 60 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+    FROM base
+    """,
+)
+def xtable_sync_hudi_to_iceberg_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous sync from a HUDI CoW source (r11,
+    `package/xtable.sync_hudi_to_iceberg`) — one Iceberg snapshot per
+    instant, completing the continuous-sync fan across all three
+    source formats (Delta since r10, Iceberg and Hudi since r11).
+    Insert-only instants land as appends linking the new base files; a
+    CoW upsert (group rewrite) lands as an overwrite of the live slice
+    set, so the superseded slice never leaks. In-build: per-instant
+    read parity across the whole timeline, idempotent resume, zero
+    copy; the oracle value-checks the final state."""
+    import os
+
+    from .package.xtable import sync_hudi_to_iceberg
+    from .sources.hudi import HudiFixtureWriter, HudiTable
+    from .sources.iceberg import IcebergTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        base = orders.filter("o_orderkey <= 300")
+        hw = HudiFixtureWriter(f"{tmp}/h")
+        hw.commit(base, file_id="g0")
+        hw.commit(orders.filter("o_orderkey > 300 AND o_orderkey <= 500"), file_id="g1")
+        hw.commit(
+            base.withColumn(
+                "o_totalprice",
+                F.when(F.col("o_orderkey") <= 60, F.lit(-1.0)).otherwise(
+                    F.col("o_totalprice")
+                ),
+            ),
+            file_id="g0",
+        )
+        r = sync_hudi_to_iceberg(f"{tmp}/h", f"{tmp}/i")
+        ht, it = HudiTable(f"{tmp}/h"), IcebergTable(f"{tmp}/i")
+        for e in r["synced"]:
+            h = ht.read(spark, instant=e["hudi_instant"])
+            i = it.read(spark, snapshot_id=e["iceberg_snapshot_id"])
+            if h.exceptAll(i).count() or i.exceptAll(h).count():
+                raise AssertionError(f"history diverges at {e['hudi_instant']}")
+        if sync_hudi_to_iceberg(f"{tmp}/h", f"{tmp}/i")["synced"]:
+            raise AssertionError("re-sync was not a no-op")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/i/data")):
+            raise AssertionError("sync copied data — must be metadata-only")
+
+    tmp = _session_fixture("xtable_synch2i", sf, build)
+    return IcebergTable(f"{tmp}/i").read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
 
 

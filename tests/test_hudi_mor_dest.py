@@ -475,3 +475,42 @@ def test_mor_resize_autopilot_policy(spark, tmp_path, orders):
     # table still reads green after the autopilot resize
     got = HudiMorTable(tmp_path / "t").snapshot(spark)
     assert got.count() == orders.filter("o_orderkey <= 500").count()
+
+
+def test_mor_bucket_resize_partitioned(spark, tmp_path, orders):
+    """Resize on a hive-partitioned MoR table: every (partition,
+    bucket) group rewrites into the doubled per-partition width,
+    partition pruning still works, snapshot exact across the
+    boundary."""
+    from cdf_spark.sources.hudi_mor import HudiMorFixtureWriter, HudiMorTable
+
+    part = orders.withColumn("seg", (orders.o_custkey % 2).cast("long"))
+    w = HudiMorFixtureWriter(
+        tmp_path / "t", record_key="o_orderkey", n_buckets=2, partition_by=["seg"]
+    )
+    w.insert(part.filter("o_orderkey <= 400"))
+    w.upsert(
+        part.filter("o_orderkey <= 80").withColumn("o_totalprice", F.lit(-1.0))
+    )
+    instant = w.resize_buckets(spark, 4)
+    assert instant is not None and w.bucket_generation == 1
+    t = HudiMorTable(tmp_path / "t")
+    slices = t.file_slices(t.latest_instant())
+    assert all(fid.startswith("g1-") for fid, _p, _b, _l in slices)
+    assert len({p for _f, p, _b, _l in slices}) == 2  # both partitions live
+    w.upsert(
+        part.filter("o_orderkey > 80 AND o_orderkey <= 120").withColumn(
+            "o_totalprice", F.lit(-2.0)
+        )
+    )
+    got = t.snapshot(spark).drop("_hoodie_commit_time", "_hoodie_record_key")
+    want = part.filter("o_orderkey <= 400").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") <= 80, F.lit(-1.0))
+        .when((F.col("o_orderkey") > 80) & (F.col("o_orderkey") <= 120), F.lit(-2.0))
+        .otherwise(F.col("o_totalprice")),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    a = got.filter("seg = 1")
+    b = want.filter("seg = 1")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

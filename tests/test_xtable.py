@@ -501,3 +501,42 @@ def test_sync_iceberg_to_delta_history_and_gaps(spark, orders, tmp_path):
     post = DeltaTable(str(tmp_path / "d")).read(spark)
     assert post.count() == pre - 1
     assert _parity(post, IcebergTable(str(tmp_path / "i")).read(spark)) == 0
+
+
+def test_sync_hudi_to_iceberg_history(spark, orders, tmp_path):
+    """r11: continuous sync from a HUDI CoW source — one Iceberg
+    snapshot per instant: insert-only commits land as appends, a CoW
+    upsert (group rewrite) lands as an overwrite of the live slice
+    set, per-instant read parity, idempotent resume."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdf_spark.package.xtable import sync_hudi_to_iceberg
+    from cdf_spark.sources.hudi import HudiFixtureWriter, HudiTable
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    hw = HudiFixtureWriter(str(tmp_path / "h"))
+    base = orders.filter("o_orderkey <= 300")
+    hw.commit(base, file_id="g0")
+    hw.commit(orders.filter("o_orderkey > 300 AND o_orderkey <= 500"), file_id="g1")
+    hw.commit(  # CoW upsert: rewrites g0 -> must sync as an overwrite
+        base.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") <= 40, F.lit(-1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        ),
+        file_id="g0",
+    )
+    r = sync_hudi_to_iceberg(str(tmp_path / "h"), str(tmp_path / "i"))
+    assert len(r["synced"]) == 3
+    ht, it = HudiTable(str(tmp_path / "h")), IcebergTable(str(tmp_path / "i"))
+    for e in r["synced"]:
+        h = ht.read(spark, instant=e["hudi_instant"])
+        i = it.read(spark, snapshot_id=e["iceberg_snapshot_id"])
+        assert _parity(h, i) == 0, f"diverges at instant {e['hudi_instant']}"
+    assert not sync_hudi_to_iceberg(str(tmp_path / "h"), str(tmp_path / "i"))["synced"]
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(str(tmp_path / "i" / "data"))
+    )
