@@ -179,6 +179,23 @@ def _identity_spec_fields(t: "IcebergTable") -> list[tuple[str, str]]:
     return out
 
 
+
+def _iceberg_live_set(iceberg_root: str | Path) -> set[str]:
+    """Current live data files of a (possibly empty) Iceberg target —
+    the crash-resume idempotence probe: every sync writes its cursor
+    AFTER the target commit, so a crash between the two re-offers the
+    same source commit on resume. Re-LINKING an append would duplicate
+    rows; the guard detects files already live (paths are unique per
+    source commit) and advances the cursor instead. O(live files)
+    driver metadata, no data read."""
+    try:
+        t = IcebergTable(iceberg_root)
+        sid = t.current_snapshot_id()
+        return set(t.files_for_snapshot(sid)) if sid is not None else set()
+    except Exception:
+        return set()
+
+
 def delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> dict:
     """Expose a Delta table's CURRENT version as an Iceberg table over
     the same parquet files (UniForm direction). Returns
@@ -284,13 +301,21 @@ def sync_delta_to_iceberg(delta_root: str | Path, iceberg_root: str | Path) -> d
         removes = [a for a in actions if "remove" in a]
         ts = dt.commit_timestamp_ms(v)
         if adds and not removes:
-            sid = w.link_files(
-                [dt._resolve(a["path"]) for a in adds],
-                timestamp_ms=ts,
-                partition_values=(
-                    [a.get("partitionValues") or {} for a in adds] if pcols else None
-                ),
-            )
+            files = [dt._resolve(a["path"]) for a in adds]
+            live_now = _iceberg_live_set(iceberg_root)
+            if files and all(f in live_now for f in files):
+                # crash-resume: this commit's files already linked
+                # (the crash hit between target commit and cursor
+                # write) — re-linking would DUPLICATE rows
+                sid = int(IcebergTable(iceberg_root).current_snapshot_id())
+            else:
+                sid = w.link_files(
+                    files,
+                    timestamp_ms=ts,
+                    partition_values=(
+                        [a.get("partitionValues") or {} for a in adds] if pcols else None
+                    ),
+                )
         elif removes:
             live = dt.live_adds(v)
             sid = w.replace_files(
@@ -551,7 +576,18 @@ def sync_delta_to_hudi(delta_root: str | Path, hudi_root: str | Path) -> dict:
         adds = [a["add"] for a in actions if "add" in a]
         removes = [a for a in actions if "remove" in a]
         if adds and not removes:
-            instant = w.link_files([dt._resolve(a["path"]) for a in adds])
+            files = [dt._resolve(a["path"]) for a in adds]
+            try:
+                from ..sources.hudi import HudiTable as _HT
+
+                ht = _HT(hudi_root)
+                live_now = set(ht.files_for_instant(ht.latest_instant()))
+            except Exception:
+                live_now = set()
+            if files and all(f in live_now for f in files):
+                instant = ht.latest_instant()  # crash-resume: already linked
+            else:
+                instant = w.link_files(files)
         elif removes:
             instant = w.replace_with_links(dt.files_for_version(v))
         else:
@@ -716,7 +752,14 @@ def sync_iceberg_to_delta(iceberg_root: str | Path, delta_root: str | Path) -> d
         if op == "append":
             added = set(t.added_files(sid))
             ents = [e for e in entries if e["path"] in added]
-            if ents:
+            try:
+                dt_probe = DeltaTable(delta_root)
+                live_now = set(dt_probe.live_add_actions(dt_probe.current_version()))
+            except Exception:
+                live_now = set()
+            if ents and all(e["path"] in live_now for e in ents):
+                v = DeltaTable(delta_root).current_version()  # crash-resume
+            elif ents:
                 v = w.link_files(
                     [e["path"] for e in ents],
                     timestamp_ms=ts,
@@ -799,10 +842,12 @@ def sync_hudi_to_iceberg(hudi_root: str | Path, iceberg_root: str | Path) -> dic
         )
         ts = _instant_ms(i)
         if not rewrites:
-            sid = w.link_files(
-                [str(Path(hudi_root) / p) for _f, _i, p, _part in written],
-                timestamp_ms=ts,
-            )
+            files = [str(Path(hudi_root) / p) for _f, _i, p, _part in written]
+            live_now = _iceberg_live_set(iceberg_root)
+            if files and all(f in live_now for f in files):
+                sid = int(IcebergTable(iceberg_root).current_snapshot_id())
+            else:
+                sid = w.link_files(files, timestamp_ms=ts)
         else:
             sid = w.replace_files(
                 ht.files_for_instant(i), timestamp_ms=ts, copy=False

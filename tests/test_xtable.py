@@ -540,3 +540,61 @@ def test_sync_hudi_to_iceberg_history(spark, orders, tmp_path):
     assert not any(
         f.endswith(".parquet") for f in os.listdir(str(tmp_path / "i" / "data"))
     )
+
+
+def test_sync_crash_resume_never_duplicates(spark, orders, tmp_path):
+    """Every sync writes its cursor AFTER the target commit, so a
+    crash between the two re-offers the same source commit on resume.
+    Simulate the crash window by REWINDING the cursor and re-running:
+    re-linking an append would duplicate rows; the idempotence guard
+    (files already live in the target) must land nothing twice — in
+    all three append-linking directions."""
+    import json
+
+    from cdf_spark.package.xtable import (
+        sync_delta_to_hudi,
+        sync_delta_to_iceberg,
+        sync_hudi_to_iceberg,
+        sync_iceberg_to_delta,
+    )
+    from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+    from cdf_spark.sources.hudi import HudiFixtureWriter, HudiTable
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    base = orders.filter("o_orderkey <= 200")
+    n = base.count()
+
+    # D -> I
+    dw = DeltaFixtureWriter(str(tmp_path / "d"))
+    dw.append(base)
+    sync_delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))
+    cur = tmp_path / "i" / "xtable_sync.json"
+    cur.write_text(json.dumps({"last_delta_version": -1}))  # rewind
+    r = sync_delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))
+    assert len(r["synced"]) == 1  # re-offered, guarded
+    assert IcebergTable(str(tmp_path / "i")).read(spark).count() == n
+
+    # D -> H
+    sync_delta_to_hudi(str(tmp_path / "d"), str(tmp_path / "h"))
+    cur = tmp_path / "h" / ".hoodie" / "xtable_sync.json"
+    cur.write_text(json.dumps({"last_delta_version": -1}))
+    sync_delta_to_hudi(str(tmp_path / "d"), str(tmp_path / "h"))
+    assert HudiTable(str(tmp_path / "h")).read(spark).count() == n
+
+    # I -> D
+    iw = IcebergFixtureWriter(str(tmp_path / "i2"))
+    iw.append(base)
+    sync_iceberg_to_delta(str(tmp_path / "i2"), str(tmp_path / "d2"))
+    cur = tmp_path / "d2" / "xtable_sync.json"
+    cur.write_text(json.dumps({"last_sequence_number": -1}))
+    sync_iceberg_to_delta(str(tmp_path / "i2"), str(tmp_path / "d2"))
+    assert DeltaTable(str(tmp_path / "d2")).read(spark).count() == n
+
+    # H -> I
+    hw = HudiFixtureWriter(str(tmp_path / "h2"))
+    hw.commit(base)
+    sync_hudi_to_iceberg(str(tmp_path / "h2"), str(tmp_path / "i3"))
+    cur = tmp_path / "i3" / "xtable_sync.json"
+    cur.write_text(json.dumps({"last_hudi_instant": ""}))
+    sync_hudi_to_iceberg(str(tmp_path / "h2"), str(tmp_path / "i3"))
+    assert IcebergTable(str(tmp_path / "i3")).read(spark).count() == n
