@@ -187,12 +187,21 @@ class HudiTable:
         for i in instants:
             for _fid, inst, path, _part in self._written_files(i):
                 all_written.append((inst, str(self.root / path)))
+        root_resolved = self.root.resolve()
         for inst, p in sorted(all_written):
             if p in keep:
                 continue
             if inst >= earliest:
                 # a superseded slice inside the retained window still
                 # serves time travel to mid-window instants
+                continue
+            try:
+                Path(p).resolve().relative_to(root_resolved)
+            except ValueError:
+                # LINKED file (absolute path outside this table) — its
+                # lifecycle belongs to the SOURCE table the translation
+                # layer linked it from; a cleaner that unlinked it
+                # would destroy another table's data. Never touch.
                 continue
             if not Path(p).exists():
                 continue  # reclaimed by an earlier clean

@@ -377,9 +377,14 @@ class HudiMorTable:
                 for st in stats:
                     all_written.append((i, str(self.root / st["path"])))
         deleted: list[str] = []
+        root_resolved = self.root.resolve()
         for inst, p in sorted(all_written):
             if p in keep or inst >= earliest:
                 continue
+            try:
+                Path(p).resolve().relative_to(root_resolved)
+            except ValueError:
+                continue  # linked file: lifecycle owned by the source table
             if not Path(p).exists():
                 continue  # reclaimed by an earlier clean
             if not dry_run:

@@ -1168,8 +1168,23 @@ class IcebergTable:
                         files.add(str(self._resolve(e["data_file"]["file_path"])))
             return files
 
-        orphans = sorted(_refs(expired) - _refs(retained))
+        root_resolved = self.root.resolve()
+
+        def _owned(f: str) -> bool:
+            # LINKED files (absolute paths outside this table — the
+            # XTable/UniForm translation shape) are owned by the SOURCE
+            # table; expiring a translated snapshot must never delete
+            # another table's data
+            try:
+                Path(f).resolve().relative_to(root_resolved)
+                return True
+            except ValueError:
+                return False
+
+        all_orphans = sorted(_refs(expired) - _refs(retained))
+        orphans = [f for f in all_orphans if _owned(f)]
         result["orphan_files"] = orphans
+        result["external_linked_skipped"] = [f for f in all_orphans if not _owned(f)]
 
         hint = self.meta_dir / "version-hint.text"
         version = int(hint.read_text().strip()) + 1 if hint.exists() else 1

@@ -8,6 +8,8 @@ express losslessly, never silently misread.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 
 
@@ -598,3 +600,49 @@ def test_sync_crash_resume_never_duplicates(spark, orders, tmp_path):
     cur.write_text(json.dumps({"last_hudi_instant": ""}))
     sync_hudi_to_iceberg(str(tmp_path / "h2"), str(tmp_path / "i3"))
     assert IcebergTable(str(tmp_path / "i3")).read(spark).count() == n
+
+
+def test_target_maintenance_never_deletes_linked_files(spark, orders, tmp_path):
+    """Linked files' LIFECYCLE belongs to the source table — the
+    translated/synced target's own maintenance must never unlink them,
+    even after they leave the target's live set: Hudi clean on a
+    synced table with a retired (replacecommit) generation, and
+    Iceberg expire_snapshots on a synced table with expired history,
+    both with aggressive retention."""
+    import json
+
+    from cdf_spark.package.xtable import sync_delta_to_hudi, sync_delta_to_iceberg
+    from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+    from cdf_spark.sources.hudi import HudiTable
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    base = orders.filter("o_orderkey <= 200")
+    dw = DeltaFixtureWriter(str(tmp_path / "d"))
+    dw.append(base)
+    dw.replace(orders.filter("o_orderkey <= 150"))  # retires commit 0's files
+
+    # Hudi target: the replace retired the first linked group; an
+    # aggressive clean must NOT unlink the source's files
+    sync_delta_to_hudi(str(tmp_path / "d"), str(tmp_path / "h"))
+    src_files = set(DeltaTable(str(tmp_path / "d")).files_for_version(0)) | set(
+        DeltaTable(str(tmp_path / "d")).files_for_version(1)
+    )
+    r = HudiTable(str(tmp_path / "h")).clean(retain_commits=1)
+    assert all(Path(f).exists() for f in src_files), "cleaner destroyed source data"
+    assert not r.get("filesDeleted") or all(
+        f not in src_files for f in r.get("filesDeleted", [])
+    )
+
+    # Iceberg target: expire the first synced snapshot with orphan
+    # deletion on — the linked (external) orphans must be skipped
+    sync_delta_to_iceberg(str(tmp_path / "d"), str(tmp_path / "i"))
+    it = IcebergTable(str(tmp_path / "i"))
+    res = it.expire_snapshots(keep_last=1, delete_orphans=True)
+    assert all(Path(f).exists() for f in src_files), "expire destroyed source data"
+    assert res.get("external_linked_skipped"), "expired linked files not flagged"
+    # the delta source still reads green at both versions
+    assert DeltaTable(str(tmp_path / "d")).read(spark, version=0).count() == base.count()
+    assert (
+        DeltaTable(str(tmp_path / "d")).read(spark, version=1).count()
+        == orders.filter("o_orderkey <= 150").count()
+    )
