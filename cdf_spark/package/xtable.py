@@ -59,8 +59,10 @@ __all__ = [
     "iceberg_to_hudi",
     "sync_delta_to_hudi",
     "sync_delta_to_iceberg",
+    "sync_hudi_to_delta",
     "sync_hudi_to_iceberg",
     "sync_iceberg_to_delta",
+    "sync_iceberg_to_hudi",
 ]
 
 # Spark schemaString type-name <-> Iceberg primitive type, for carrying
@@ -854,5 +856,163 @@ def sync_hudi_to_iceberg(hudi_root: str | Path, iceberg_root: str | Path) -> dic
             )
         seen_fids |= {fid for fid, _i, _p, _part in written}
         synced.append({"hudi_instant": i, "iceberg_snapshot_id": sid})
+        state_path.write_text(json.dumps({"last_hudi_instant": i}))
+    return {"synced": synced, "last_hudi_instant": instants[-1]}
+
+
+def sync_iceberg_to_hudi(iceberg_root: str | Path, hudi_root: str | Path) -> dict:
+    """CONTINUOUS sync Iceberg -> Hudi — with `sync_hudi_to_delta`
+    this closes the continuous matrix in all SIX directions (every
+    ordered pair of {Delta, Iceberg, Hudi} has both point-in-time
+    translation and incremental sync). Cursor on the snapshot
+    SEQUENCE NUMBER like the I->D sync; appends land as Hudi link
+    commits, anything else as a replacecommit linking the live set.
+    Same Hudi-target constraint as the point-in-time leg: data files
+    must CARRY any partition columns (unpartitioned tables always
+    qualify); delete-file snapshots skip with a recorded gap."""
+    import json
+
+    from ..sources.hudi import HudiFixtureWriter, HudiTable
+
+    t = IcebergTable(iceberg_root)
+    cur = t.current_snapshot_id()
+    if cur is None:
+        raise IcebergError("sync_iceberg_to_hudi: empty table has no snapshot")
+    specs = t._meta.get("partition-specs", [])
+    default_spec = next(
+        (s for s in specs if s.get("spec-id", 0) == int(t._meta.get("default-spec-id", 0))),
+        {"fields": []},
+    )
+    if default_spec.get("fields"):
+        raise IcebergError(
+            "sync_iceberg_to_hudi: partitioned Iceberg sync to the Hudi "
+            "target is not supported (per-commit partition-path derivation "
+            "composes later; use the point-in-time leg or the Delta target)"
+        )
+    state_path = Path(hudi_root) / ".hoodie" / "xtable_sync.json"
+    Path(hudi_root, ".hoodie").mkdir(parents=True, exist_ok=True)
+    last_seq = -1
+    if state_path.exists():
+        last_seq = int(json.loads(state_path.read_text())["last_sequence_number"])
+    by_id = {int(s["snapshot-id"]): s for s in t._meta.get("snapshots", [])}
+    chain = []
+    sid = int(cur)
+    while sid in by_id:
+        s = by_id[sid]
+        chain.append(s)
+        parent = s.get("parent-snapshot-id")
+        if parent is None:
+            break
+        sid = int(parent)
+    chain.reverse()
+    w = HudiFixtureWriter(hudi_root)
+    synced = []
+    for s in chain:
+        seq = int(s.get("sequence-number", 0))
+        if seq <= last_seq:
+            continue
+        sid = int(s["snapshot-id"])
+        if t.delete_files_for_snapshot(sid):
+            synced.append(
+                {
+                    "iceberg_snapshot_id": sid,
+                    "hudi_instant": None,
+                    "skipped": "row-level-delete-files",
+                }
+            )
+            state_path.write_text(json.dumps({"last_sequence_number": seq}))
+            continue
+        op = str((s.get("summary") or {}).get("operation", ""))
+        if op == "append":
+            files = t.added_files(sid)
+            try:
+                ht = HudiTable(hudi_root)
+                live_now = set(ht.files_for_instant(ht.latest_instant()))
+            except Exception:
+                live_now = set()
+            if files and all(f in live_now for f in files):
+                instant = ht.latest_instant()  # crash-resume guard
+            elif files:
+                instant = w.link_files(files)
+            else:
+                instant = None
+        else:
+            instant = w.replace_with_links(t.files_for_snapshot(sid))
+        synced.append({"iceberg_snapshot_id": sid, "hudi_instant": instant})
+        state_path.write_text(json.dumps({"last_sequence_number": seq}))
+    return {
+        "synced": synced,
+        "last_sequence_number": max(
+            (int(s.get("sequence-number", 0)) for s in chain), default=last_seq
+        ),
+    }
+
+
+def sync_hudi_to_delta(hudi_root: str | Path, delta_root: str | Path) -> dict:
+    """CONTINUOUS sync Hudi CoW -> Delta — one Delta commit per Hudi
+    instant, the sixth and last continuous direction. Cursor on the
+    instant string; insert-only commits link the new base files, a
+    group-rewriting upsert or replacecommit lands as
+    `replace_with_links` of that instant's live slice set. Each Delta
+    commit is stamped with the instant's wall-clock meaning where
+    parseable. Unpartitioned CoW timelines (partitioned composes via
+    the I or point-in-time legs); MoR refuses at the reader."""
+    import datetime as _dt
+    import json
+
+    from ..sources.hudi import HudiTable
+
+    ht = HudiTable(hudi_root)  # raises HudiError on a MoR timeline
+    instants = ht.instants()
+    if any(part for i in instants for _f, _i, _p, part in ht._written_files(i)):
+        raise DeltaError(
+            "sync_hudi_to_delta: partitioned Hudi sync is not supported "
+            "(use the point-in-time hudi_to_delta leg, which carries "
+            "partition paths)"
+        )
+    state_path = Path(delta_root) / "xtable_sync.json"
+    last = ""
+    if state_path.exists():
+        last = str(json.loads(state_path.read_text())["last_hudi_instant"])
+    w = DeltaFixtureWriter(delta_root)
+
+    def _instant_ms(i: str) -> int | None:
+        try:
+            return int(
+                _dt.datetime.strptime(i[:17], "%Y%m%d%H%M%S%f")
+                .replace(tzinfo=_dt.timezone.utc)
+                .timestamp()
+                * 1000
+            )
+        except ValueError:
+            return None
+
+    seen_fids: set[str] = set()
+    synced = []
+    for i in instants:
+        written = ht._written_files(i)
+        replaced = ht._replaced_fids(i)
+        if i <= last:
+            seen_fids |= {fid for fid, _i, _p, _part in written}
+            continue
+        rewrites = bool(replaced) or any(
+            fid in seen_fids for fid, _i, _p, _part in written
+        )
+        ts = _instant_ms(i)
+        if not rewrites:
+            files = [str(Path(hudi_root) / p) for _f, _i, p, _part in written]
+            try:
+                dt_probe = DeltaTable(delta_root)
+                live_now = set(dt_probe.live_add_actions(dt_probe.current_version()))
+            except Exception:
+                live_now = set()
+            if files and all(f in live_now for f in files):
+                v = DeltaTable(delta_root).current_version()  # crash-resume
+            else:
+                v = w.link_files(files, timestamp_ms=ts)
+        else:
+            v = w.replace_with_links(ht.files_for_instant(i), timestamp_ms=ts)
+        seen_fids |= {fid for fid, _i, _p, _part in written}
+        synced.append({"hudi_instant": i, "delta_version": v})
         state_path.write_text(json.dumps({"last_hudi_instant": i}))
     return {"synced": synced, "last_hudi_instant": instants[-1]}

@@ -5096,6 +5096,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "delta_uniform_dest_scan",
     "xtable_sync_iceberg_to_delta_history",
     "xtable_sync_hudi_to_iceberg_history",
+    "xtable_sync_iceberg_to_hudi_history",
+    "xtable_sync_hudi_to_delta_history",
     # -- last driver-green in r5 (whole cohort, registration order) --
     "q11_important_stock",
     "q15_top_supplier",
@@ -5134,8 +5136,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "delta_dest_merge",
     "iceberg_partitioned_scan",
     "delta_checkpoint_replay",
-    "delta_deletion_vectors",
-    "iceberg_schema_evolution",
 ]
 
 
@@ -9873,6 +9873,111 @@ def xtable_sync_hudi_to_iceberg_history(spark: SparkSession, sf: str) -> DataFra
 
     tmp = _session_fixture("xtable_synch2i", sf, build)
     return IcebergTable(f"{tmp}/i").read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_sync_iceberg_to_hudi_history",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 380
+    """,
+)
+def xtable_sync_iceberg_to_hudi_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous I→H sync (r11, `package/xtable.sync_iceberg_to_hudi`)
+    — with H→D below this closes the continuous matrix: every ordered
+    pair of {Delta, Iceberg, Hudi} has BOTH point-in-time translation
+    and incremental sync. Appends land as Hudi link commits, an
+    overwrite as a replacecommit linking the live set; cursor on the
+    sequence number. In-build: per-state read parity across the whole
+    history, idempotent resume, zero copy; rows oracled."""
+    import os
+
+    from .package.xtable import sync_iceberg_to_hudi
+    from .sources.hudi import HudiTable
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        iw = IcebergFixtureWriter(f"{tmp}/i")
+        iw.append(orders.filter("o_orderkey <= 250"))
+        iw.append(orders.filter("o_orderkey > 250 AND o_orderkey <= 500"))
+        iw.overwrite(orders.filter("o_orderkey <= 380"))
+        r = sync_iceberg_to_hudi(f"{tmp}/i", f"{tmp}/h")
+        it, ht = IcebergTable(f"{tmp}/i"), HudiTable(f"{tmp}/h")
+        for e in r["synced"]:
+            i = it.read(spark, snapshot_id=e["iceberg_snapshot_id"])
+            h = ht.read(spark, instant=e["hudi_instant"])
+            if i.exceptAll(h).count() or h.exceptAll(i).count():
+                raise AssertionError(f"diverges at {e['iceberg_snapshot_id']}")
+        if sync_iceberg_to_hudi(f"{tmp}/i", f"{tmp}/h")["synced"]:
+            raise AssertionError("re-sync was not a no-op")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/h")):
+            raise AssertionError("sync copied data — must be metadata-only")
+
+    tmp = _session_fixture("xtable_synci2h", sf, build)
+    return HudiTable(f"{tmp}/h").read(spark).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register(
+    "xtable_sync_hudi_to_delta_history",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 320
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey <= 70 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+    FROM base
+    """,
+)
+def xtable_sync_hudi_to_delta_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous H→D sync (r11, `package/xtable.sync_hudi_to_delta`)
+    — the sixth and last continuous direction: one Delta commit per
+    Hudi instant, insert-only commits link the new base files, a CoW
+    upsert (group rewrite) lands as replace_with_links of the live
+    slice set so the superseded slice never leaks. In-build:
+    per-instant read parity, idempotent resume, zero copy; rows
+    oracled."""
+    import os
+
+    from .package.xtable import sync_hudi_to_delta
+    from .sources.delta import DeltaTable
+    from .sources.hudi import HudiFixtureWriter, HudiTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        base = orders.filter("o_orderkey <= 320")
+        hw = HudiFixtureWriter(f"{tmp}/h")
+        hw.commit(base, file_id="g0")
+        hw.commit(
+            base.withColumn(
+                "o_totalprice",
+                F.when(F.col("o_orderkey") <= 70, F.lit(-1.0)).otherwise(
+                    F.col("o_totalprice")
+                ),
+            ),
+            file_id="g0",
+        )
+        r = sync_hudi_to_delta(f"{tmp}/h", f"{tmp}/d")
+        ht, dt = HudiTable(f"{tmp}/h"), DeltaTable(f"{tmp}/d")
+        for e in r["synced"]:
+            h = ht.read(spark, instant=e["hudi_instant"])
+            d = dt.read(spark, version=e["delta_version"])
+            if h.exceptAll(d).count() or d.exceptAll(h).count():
+                raise AssertionError(f"diverges at {e['hudi_instant']}")
+        if sync_hudi_to_delta(f"{tmp}/h", f"{tmp}/d")["synced"]:
+            raise AssertionError("re-sync was not a no-op")
+        if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/d")):
+            raise AssertionError("sync copied data — must be metadata-only")
+
+    tmp = _session_fixture("xtable_synch2d", sf, build)
+    return DeltaTable(f"{tmp}/d").read(spark).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
 

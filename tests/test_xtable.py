@@ -646,3 +646,68 @@ def test_target_maintenance_never_deletes_linked_files(spark, orders, tmp_path):
         DeltaTable(str(tmp_path / "d")).read(spark, version=1).count()
         == orders.filter("o_orderkey <= 150").count()
     )
+
+
+def test_sync_matrix_final_two_directions(spark, orders, tmp_path):
+    """r11: sync_iceberg_to_hudi and sync_hudi_to_delta close the
+    continuous matrix — all six ordered pairs now have incremental
+    sync. Per-state read parity across the whole history, upsert ->
+    replace semantics, idempotent resume, crash-resume rewind safety."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from cdf_spark.package.xtable import sync_hudi_to_delta, sync_iceberg_to_hudi
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.hudi import HudiFixtureWriter, HudiTable
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    base = orders.filter("o_orderkey <= 300")
+
+    # I -> H continuous
+    iw = IcebergFixtureWriter(str(tmp_path / "i"))
+    iw.append(base)
+    iw.append(orders.filter("o_orderkey > 300 AND o_orderkey <= 500"))
+    iw.overwrite(orders.filter("o_orderkey <= 400"))
+    r = sync_iceberg_to_hudi(str(tmp_path / "i"), str(tmp_path / "h"))
+    assert len(r["synced"]) == 3
+    it, ht = IcebergTable(str(tmp_path / "i")), HudiTable(str(tmp_path / "h"))
+    for e in r["synced"]:
+        i = it.read(spark, snapshot_id=e["iceberg_snapshot_id"])
+        h = ht.read(spark, instant=e["hudi_instant"])
+        assert _parity(i, h) == 0, f"I->H diverges at {e['iceberg_snapshot_id']}"
+    assert not sync_iceberg_to_hudi(str(tmp_path / "i"), str(tmp_path / "h"))["synced"]
+    # crash-resume rewind
+    (tmp_path / "h" / ".hoodie" / "xtable_sync.json").write_text(
+        json.dumps({"last_sequence_number": -1})
+    )
+    sync_iceberg_to_hudi(str(tmp_path / "i"), str(tmp_path / "h"))
+    assert HudiTable(str(tmp_path / "h")).read(spark).count() == orders.filter(
+        "o_orderkey <= 400"
+    ).count()
+
+    # H -> D continuous (incl. a CoW upsert -> replace)
+    hw = HudiFixtureWriter(str(tmp_path / "h2"))
+    hw.commit(base, file_id="g0")
+    hw.commit(
+        base.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") <= 30, F.lit(-1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        ),
+        file_id="g0",
+    )
+    r2 = sync_hudi_to_delta(str(tmp_path / "h2"), str(tmp_path / "d"))
+    assert len(r2["synced"]) == 2
+    ht2, dt = HudiTable(str(tmp_path / "h2")), DeltaTable(str(tmp_path / "d"))
+    for e in r2["synced"]:
+        h = ht2.read(spark, instant=e["hudi_instant"])
+        d = dt.read(spark, version=e["delta_version"])
+        assert _parity(h, d) == 0, f"H->D diverges at {e['hudi_instant']}"
+    assert not sync_hudi_to_delta(str(tmp_path / "h2"), str(tmp_path / "d"))["synced"]
+    (tmp_path / "d" / "xtable_sync.json").write_text(
+        json.dumps({"last_hudi_instant": ""})
+    )
+    sync_hudi_to_delta(str(tmp_path / "h2"), str(tmp_path / "d"))
+    assert DeltaTable(str(tmp_path / "d")).read(spark).count() == base.count()
