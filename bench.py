@@ -87,7 +87,11 @@ BENCH_QUERIES = [
     # frequency boilerplate removal (distinct-count + broadcast
     # anti-join), and BPE training + tokenizer-aware counting (ONE
     # corpus shuffle, then 8 word-table iterations + broadcast count)
-    "dup_substring_spans",
+    # dup_substring_spans_fast: xxhash64 twin of the md5-oracled
+    # ExactSubstr scan (same discipline as minhash/simhash: the
+    # oracled md5 construction exists for SQL parity; the bench times
+    # the JVM-native deploy hash)
+    "dup_substring_spans_fast",
     "boilerplate_line_removal",
     "bpe_doc_token_counts",
     # round 2: the two heaviest new TPC-H shapes (5-way and 4-way

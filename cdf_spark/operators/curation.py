@@ -873,6 +873,7 @@ def dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 10,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Exact SUBSTRING dedup — the ExactSubstr discipline of Lee et
     al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -895,8 +896,12 @@ def dup_spans(
     the gram hash (count + first-occurrence rank), one per-doc window
     for the island merge. No self-join, no all-pairs, no suffix
     array; a 100 TB corpus costs ~2 sort-shuffles of 48 B/token.
-    md5 (not xxhash64) so a SQL oracle recomputes fingerprints
-    exactly.
+    hash_fn="md5" (default) keeps fingerprints SQL-reproducible for
+    the oracle; hash_fn="xxhash64" is the deploy/bench twin — words
+    pre-hash to longs ONCE and each window fingerprint is xxhash64
+    over the k-long slice, so no k-word gram STRING is ever built
+    (the md5 path's dominant cost). Same dedup semantics modulo
+    64-bit collisions; span parity is test-gated at fixture scale.
 
     Output: (id_col, span_start, span_end) — token intervals
     [start, end) of non-first duplicated runs, one row per maximal
@@ -904,13 +909,15 @@ def dup_spans(
     """
     ws = F.split(F.col(text_col), " ")
     n = F.size(ws)
+    if hash_fn == "xxhash64":
+        wsh = F.transform(ws, lambda w: F.xxhash64(w))
+        gram = lambda i: F.xxhash64(F.slice(wsh, i + 1, k))  # noqa: E731
+    else:
+        gram = lambda i: F.md5(F.array_join(F.slice(ws, i + 1, k), " "))  # noqa: E731
     grams = df.filter(F.col(text_col).isNotNull() & (n >= k)).select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.md5(F.array_join(F.slice(ws, i + 1, k), " ")),
-            )
+            F.transform(F.sequence(F.lit(0), n - k), gram)
         ).alias("p", "h"),
     )
     # Hot-gram safe: first-occurrence via COMBINABLE aggregates

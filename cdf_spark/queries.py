@@ -2844,6 +2844,17 @@ def dup_substring_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     return dup_spans(_t(spark, sf, "documents"), k=10)
 
 
+def dup_substring_spans_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """xxhash64 bench twin of the oracled md5 ExactSubstr scan: words
+    pre-hash to longs once, each window fingerprint is xxhash64 over
+    the k-long slice — no k-word gram string ever materializes (the
+    md5 path's dominant CPU). Same plan shape, same spans modulo
+    64-bit collisions (parity test-gated)."""
+    from .operators.curation import dup_spans
+
+    return dup_spans(_t(spark, sf, "documents"), k=10, hash_fn="xxhash64")
+
+
 @_register(
     "dup_substring_removal",
     f"""
@@ -6672,6 +6683,7 @@ BENCH_ONLY: dict[str, QueryFn] = {
     "pq_ann_topk_fast": pq_ann_topk_fast_q,
     "embedding_near_dups_lsh_fast": embedding_near_dups_lsh_fast,
     "decontamination_check_fast": decontamination_check_fast,
+    "dup_substring_spans_fast": dup_substring_spans_fast,
 }
 
 

@@ -869,3 +869,16 @@ def test_streaming_substr_index_replay_idempotent(spark, tmp_path):
         for r in dup_spans(df, k=10).collect()
     }
     assert got == want and any(d == 2 for d, *_ in got) and any(d == 3 for d, *_ in got)
+
+
+def test_dup_spans_xxhash_twin_parity(spark):
+    """The xxhash64 bench twin (words pre-hashed to longs, window
+    fingerprint = xxhash64 over the k-long slice — no gram string
+    built) must find EXACTLY the md5 path's spans on the real corpus
+    — the license for benchmarking it in the md5 entry's place."""
+    from cdf_spark.operators.curation import dup_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    slow = sorted(map(tuple, dup_spans(docs, k=10).collect()))
+    fast = sorted(map(tuple, dup_spans(docs, k=10, hash_fn="xxhash64").collect()))
+    assert slow == fast and len(slow) > 0
