@@ -524,3 +524,90 @@ class Workspace:
             json.dumps(report, indent=1, default=str)
         )
         return report
+
+
+# ---------------------------------------------------------------------------
+# Declarative TRANSLATION jobs ([translations.NAME] tables): the
+# cross-format metadata layer (package/xtable.py) driven from TOML like
+# every source and destination kind — point-in-time ("snapshot") or
+# incremental ("sync") in any of the six directions.
+
+_TRANSLATION_SNAPSHOT = {
+    ("delta", "iceberg"): "delta_to_iceberg",
+    ("iceberg", "delta"): "iceberg_to_delta",
+    ("hudi", "iceberg"): "hudi_to_iceberg",
+    ("iceberg", "hudi"): "iceberg_to_hudi",
+    ("delta", "hudi"): "delta_to_hudi",
+    ("hudi", "delta"): "hudi_to_delta",
+}
+_TRANSLATION_SYNC = {
+    ("delta", "iceberg"): "sync_delta_to_iceberg",
+    ("iceberg", "delta"): "sync_iceberg_to_delta",
+    ("hudi", "iceberg"): "sync_hudi_to_iceberg",
+    ("iceberg", "hudi"): "sync_iceberg_to_hudi",
+    ("delta", "hudi"): "sync_delta_to_hudi",
+    ("hudi", "delta"): "sync_hudi_to_delta",
+}
+
+
+def run_translation(decl: dict) -> dict:
+    """Execute one translation declaration:
+    {source_format, source_path, target_format, target_path,
+    mode: "sync" (default) | "snapshot"}."""
+    from .package import xtable
+
+    sf_, tf = decl.get("source_format"), decl.get("target_format")
+    sp, tp = decl.get("source_path"), decl.get("target_path")
+    mode = decl.get("mode", "sync")
+    if not all((sf_, tf, sp, tp)):
+        raise DeclarationError(
+            "translation requires source_format, source_path, "
+            "target_format, target_path"
+        )
+    table = _TRANSLATION_SYNC if mode == "sync" else _TRANSLATION_SNAPSHOT
+    if mode not in ("sync", "snapshot"):
+        raise DeclarationError(f"unknown translation mode {mode!r}")
+    if mode == "snapshot":
+        # point-in-time translation is one-shot: re-running it into an
+        # existing target would LINK the same files again (duplicate
+        # rows); repeated runs belong to mode="sync", whose cursor
+        # makes them idempotent
+        t = Path(str(tp))
+        if any((t / d).exists() for d in ("_delta_log", "metadata", ".hoodie")):
+            raise DeclarationError(
+                f"snapshot translation target {tp!r} already exists — "
+                "snapshot mode is one-shot; use mode = \"sync\" for "
+                "repeated runs"
+            )
+    fn_name = table.get((str(sf_), str(tf)))
+    if fn_name is None:
+        raise DeclarationError(
+            f"no {mode} translation from {sf_!r} to {tf!r} "
+            f"(formats: delta, iceberg, hudi; source != target)"
+        )
+    return getattr(xtable, fn_name)(sp, tp)
+
+
+def _workspace_run_translations(self, path: str | Path) -> dict[str, dict]:
+    """Run every [translations.NAME] table in a declaration file;
+    reports persist under `<workspace>/translations/NAME.json` (the
+    same evidence-artifact discipline as maintenance reports).
+    Sync-mode jobs are idempotent — re-running a workspace re-syncs
+    only new source commits."""
+    import tomllib
+
+    doc = tomllib.loads(Path(path).read_text())
+    jobs = doc.get("translations") or {}
+    if not isinstance(jobs, dict):
+        raise DeclarationError("[translations] must be a table of named jobs")
+    out: dict[str, dict] = {}
+    out_dir = self.root / "translations"
+    for name, decl in jobs.items():
+        report = run_translation(decl)
+        out_dir.mkdir(exist_ok=True)
+        (out_dir / f"{name}.json").write_text(json.dumps(report, indent=1, default=str))
+        out[name] = report
+    return out
+
+
+Workspace.run_translations = _workspace_run_translations

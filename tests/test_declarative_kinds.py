@@ -355,3 +355,78 @@ uniform = "iceberg"
     assert ice.exceptAll(d).count() == 0 and d.exceptAll(ice).count() == 0
     assert ice.count() == o.filter("o_orderkey <= 250").count()
     assert not any(f.endswith(".parquet") for f in os.listdir(root / "data"))
+
+
+def test_translations_from_toml(spark, tmp_path, orders):
+    """r11: [translations.NAME] TOML tables drive the cross-format
+    metadata layer — a continuous D->I sync job and a snapshot H->D
+    job, reports persisted as workspace artifacts, sync re-runs
+    idempotent."""
+    import json
+
+    from cdf_spark.declarative import DeclarationError, Workspace, run_translation
+    from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+    from cdf_spark.sources.hudi import HudiFixtureWriter, HudiTable
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    dw = DeltaFixtureWriter(tmp_path / "d")
+    dw.append(o.filter("o_orderkey <= 200"))
+    hw = HudiFixtureWriter(tmp_path / "h")
+    hw.commit(o.filter("o_orderkey <= 150"))
+
+    decl = tmp_path / "cdf.toml"
+    decl.write_text(f"""
+[translations.orders_uniform]
+source_format = "delta"
+source_path = "{tmp_path / 'd'}"
+target_format = "iceberg"
+target_path = "{tmp_path / 'i'}"
+mode = "sync"
+
+[translations.hudi_export]
+source_format = "hudi"
+source_path = "{tmp_path / 'h'}"
+target_format = "delta"
+target_path = "{tmp_path / 'd2'}"
+mode = "snapshot"
+""")
+    ws = Workspace(tmp_path / "ws")
+    reports = ws.run_translations(decl)
+    assert set(reports) == {"orders_uniform", "hudi_export"}
+    ice = IcebergTable(tmp_path / "i").read(spark)
+    d = DeltaTable(tmp_path / "d").read(spark)
+    assert ice.exceptAll(d).count() == 0 and d.exceptAll(ice).count() == 0
+    d2 = DeltaTable(tmp_path / "d2").read(spark)
+    h = HudiTable(tmp_path / "h").read(spark)
+    assert d2.exceptAll(h).count() == 0 and h.exceptAll(d2).count() == 0
+    # artifacts persisted
+    assert json.loads(
+        (tmp_path / "ws" / "translations" / "orders_uniform.json").read_text()
+    )["last_delta_version"] == 0
+    # re-run: the snapshot job must REFUSE its existing target (one-
+    # shot by contract — re-linking would duplicate rows); drop it and
+    # the sync job re-runs idempotently
+    with pytest.raises(DeclarationError, match="one-shot"):
+        ws.run_translations(decl)
+    decl.write_text(f"""
+[translations.orders_uniform]
+source_format = "delta"
+source_path = "{tmp_path / 'd'}"
+target_format = "iceberg"
+target_path = "{tmp_path / 'i'}"
+mode = "sync"
+""")
+    reports2 = ws.run_translations(decl)
+    assert not reports2["orders_uniform"]["synced"]
+
+    # validation: unknown direction refuses
+    with pytest.raises(DeclarationError, match="no sync translation"):
+        run_translation(
+            {
+                "source_format": "delta",
+                "source_path": "x",
+                "target_format": "delta",
+                "target_path": "y",
+            }
+        )
