@@ -120,6 +120,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("resource")
     p.add_argument("--workspace", default=".cdf_spark")
 
+    p = sub.add_parser("translate", help="run [translations.*] jobs (xtable sync/snapshot)")
+    p.add_argument("declarations")
+    p.add_argument("--workspace", default=".cdf_spark")
+
     p = sub.add_parser("preview", help="bounded deterministic preview")
     p.add_argument("declarations")
     p.add_argument("resource")
@@ -366,6 +370,11 @@ def main(argv: list[str] | None = None) -> int:
 
     # ---- spark-backed verbs ------------------------------------------
     from pyspark.sql import SparkSession
+
+    # translation jobs are metadata-only — no Spark session needed
+    if args.cmd == "translate":
+        print(json.dumps(ws.run_translations(args.declarations), default=str))
+        return 0
 
     from .session import get_spark
 
