@@ -711,3 +711,31 @@ def test_sync_matrix_final_two_directions(spark, orders, tmp_path):
     )
     sync_hudi_to_delta(str(tmp_path / "h2"), str(tmp_path / "d"))
     assert DeltaTable(str(tmp_path / "d")).read(spark).count() == base.count()
+
+
+def test_synced_table_feeds_incremental_consumption(spark, orders, tmp_path):
+    """A translated table is not a dead-end view: a Delta table BUILT
+    BY the I->D sync feeds normal incremental consumption —
+    changes_since over the synced commits delivers exactly the new
+    snapshot's rows, so a downstream pipeline can consume a foreign
+    format's table through its translated log."""
+    from cdf_spark.package.xtable import sync_iceberg_to_delta
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter
+
+    iw = IcebergFixtureWriter(str(tmp_path / "i"))
+    iw.append(orders.filter("o_orderkey <= 200"))
+    sync_iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))
+    dt = DeltaTable(str(tmp_path / "d"))
+    first, pos = dt.changes_since(spark, None)
+    assert first.count() == orders.filter("o_orderkey <= 200").count()
+
+    iw.append(orders.filter("o_orderkey > 200 AND o_orderkey <= 350"))
+    sync_iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))
+    delta_rows, pos2 = DeltaTable(str(tmp_path / "d")).changes_since(spark, pos)
+    want = orders.filter("o_orderkey > 200 AND o_orderkey <= 350")
+    assert delta_rows.count() == want.count()
+    assert _parity(delta_rows, want) == 0
+    # nothing new -> no rows
+    again, _ = DeltaTable(str(tmp_path / "d")).changes_since(spark, pos2)
+    assert again is None or again.count() == 0
