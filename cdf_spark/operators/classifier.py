@@ -1,0 +1,194 @@
+"""Distributed Naive Bayes text classification — train AND score as
+pure relational aggregation.
+
+The missing member of the model-training trio this suite builds
+(BPE tokenizer training in `operators/bpe.py`, n-gram LM training in
+`operators/curation.py`): a multinomial Naive Bayes classifier — the
+jar-free relational analog of fastText's linear text classifier, the
+standard language-ID / quality-label stage of an LLM data pipeline
+(CCNet classifies language before perplexity bucketing; DCLM/FineWeb
+gate on a trained quality classifier).
+
+Why Naive Bayes and not logistic regression: NB training is CLOSED
+FORM — per-(label, token) counts plus per-label totals, i.e. two
+map-side-combinable aggregations. No iterations, no gradient state,
+no driver round-trips; the whole fit is one Spark job at any corpus
+size. That makes it the honest 100 TB choice AND exactly replayable
+in ANSI SQL, so the oracle gate verifies the full train+predict
+pipeline end to end.
+
+Determinism discipline (why this oracles exactly): every log-prob is
+scaled to integer MICRO-NATS — round(ln(...) * 1e6) AS BIGINT — at
+the leaf, the same trick `lm_perplexity_scores` proves out; per-doc
+per-label sums are exact integer arithmetic, immune to float
+summation order across partitions/engines, and the argmax over
+labels compares integers (ties broken by label asc).
+
+Reference frame: the reference's contract layer classifies rows by
+declarative rules (`crates/cdf-contract/src/policy.rs`); a trained
+classifier is the beyond-ref generalization its curation story needs.
+
+Scale posture (100 TB corpus):
+- train: tokenize+explode is a narrow map; ONE groupBy on
+  (label, token) with map-side partial aggregation — the model is
+  O(vocab × labels) rows, a fixed-size artifact like the LM vocab.
+- predict: the model broadcast-joins back to the token stream
+  (tokens × |labels| candidate scores via a broadcast of the tiny
+  label list), one groupBy on (doc, label), one per-doc window for
+  the argmax. 2 shuffles total, zero Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000.0
+
+
+def _toks(df: DataFrame, text_col: str, id_col: str, extra: list[str]) -> DataFrame:
+    """One token row per (doc, token) occurrence — the shared
+    lowercase [a-z0-9]+ tokenizer every text op in this suite uses
+    (so a classifier trained here scores the same token stream the
+    LM and BPE stages see)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in extra],
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+
+
+def _unat(ln_col: Column) -> Column:
+    """Integer micro-nats: round(ln * 1e6) AS BIGINT — the exact
+    cross-engine aggregation currency."""
+    return F.round(ln_col * F.lit(MICRO)).cast("long")
+
+
+def _fit(df: DataFrame, text_col: str, label_col: str):
+    """Shared closed-form fit: returns (counts, n_label, v) — the
+    per-(label, token) occurrence table, per-label token totals, and
+    the global vocabulary size. One tokenize pass + one groupBy; the
+    totals are a second tiny agg over the counts table (rows = vocab,
+    not corpus)."""
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("c"))
+    v = counts.select("tok").distinct().count()
+    n_label = counts.groupBy("label").agg(F.sum("c").alias("n_label"))
+    return counts, n_label, v
+
+
+def nb_train(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Fit a multinomial NB model: one row per (label, token) with
+    the add-one-smoothed log P(token | label) in integer micro-nats.
+
+    Output: (label, tok, c, lp_unat) where
+    lp_unat = round(ln((c+1)/(N_label+V)) * 1e6), N_label = token
+    occurrences under the label, V = GLOBAL vocabulary size (shared
+    smoothing denominator across labels, the textbook estimator).
+
+    The model table is O(vocab × labels) — a broadcastable fixed-size
+    artifact at any corpus scale."""
+    counts, n_label, v = _fit(df, text_col, label_col)
+    return (
+        counts.join(F.broadcast(n_label), on="label")
+        .select(
+            "label",
+            "tok",
+            "c",
+            _unat(
+                F.log(F.col("c") + F.lit(1.0))
+                - F.log(F.col("n_label").cast("double") + F.lit(float(v)))
+            ).alias("lp_unat"),
+        )
+    )
+
+
+def nb_predict(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train on the labeled corpus and score every document:
+    predicted label = argmax_label [ ln P(label) + Σ_tok ln P(tok|label) ],
+    all terms in integer micro-nats, OOV tokens under a label falling
+    back to the smoothed floor ln(1/(N_label+V)).
+
+    Output: (id, label, predicted, score_unat, margin_unat) — `label`
+    is the training label (so accuracy is one agg away), margin is the
+    integer gap to the runner-up (0 when only one label exists).
+
+    Shape: token stream × broadcast(label list) candidate pairs,
+    left-join the broadcast model on (label, tok), coalesce to the
+    per-label OOV floor, groupBy (doc, candidate) integer sum + prior,
+    per-doc window argmax. 2 shuffles + broadcasts, zero Python."""
+    toks = _toks(df, text_col, id_col, [])
+    counts, n_label, v = _fit(df, text_col, label_col)
+    counts = counts.withColumnRenamed("label", "_cand")
+    n_label = n_label.withColumnRenamed("label", "_cand")
+    model = counts.join(F.broadcast(n_label), on="_cand").select(
+        "_cand",
+        "tok",
+        _unat(
+            F.log(F.col("c") + F.lit(1.0))
+            - F.log(F.col("n_label").cast("double") + F.lit(float(v)))
+        ).alias("lp_unat"),
+    )
+    # per-label prior + OOV floor — O(labels) rows, broadcast
+    d_tot = df.count()
+    lab = (
+        df.groupBy(F.col(label_col).alias("_cand"))
+        .agg(F.count(F.lit(1)).alias("d_l"))
+        .join(F.broadcast(n_label), on="_cand")
+        .select(
+            "_cand",
+            _unat(F.log(F.col("d_l").cast("double")) - F.lit(math.log(d_tot))).alias(
+                "prior_unat"
+            ),
+            _unat(
+                -F.log(F.col("n_label").cast("double") + F.lit(float(v)))
+            ).alias("oov_unat"),
+        )
+    )
+    scored = (
+        toks.crossJoin(F.broadcast(lab.select("_cand", "oov_unat")))
+        .join(F.broadcast(model), on=["_cand", "tok"], how="left")
+        .groupBy("_id", "_cand")
+        .agg(F.sum(F.coalesce(F.col("lp_unat"), F.col("oov_unat"))).alias("_s"))
+        .join(F.broadcast(lab.select("_cand", "prior_unat")), on="_cand")
+        .select(
+            "_id", "_cand", (F.col("_s") + F.col("prior_unat")).alias("score_unat")
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("score_unat").desc(), F.col("_cand").asc())
+    ranked = scored.select(
+        "_id",
+        "_cand",
+        "score_unat",
+        F.row_number().over(w).alias("_rn"),
+        (F.col("score_unat") - F.lead("score_unat", 1, None).over(w)).alias("_gap"),
+    ).filter(F.col("_rn") == 1)
+    truth = df.select(F.col(id_col).alias("_id"), F.col(label_col).alias("label"))
+    return (
+        ranked.join(truth, on="_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "label",
+            F.col("_cand").alias("predicted"),
+            "score_unat",
+            F.coalesce(F.col("_gap"), F.lit(0)).cast("long").alias("margin_unat"),
+        )
+    )

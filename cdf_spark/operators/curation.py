@@ -190,6 +190,61 @@ def decontamination_pairs(
     )
 
 
+def embedding_decontamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    eval_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """EMBEDDING-SPACE decontamination — the semantic sibling of the
+    n-gram `decontamination_overlap`: n-grams catch verbatim and
+    near-verbatim benchmark leakage, but a paraphrased eval item
+    shares no 4-gram with its source. Flag every corpus vector whose
+    max cosine similarity against ANY eval-set vector reaches
+    `threshold` (the SemDeDup/Phi-style semantic-contamination gate).
+
+    Output: (id_col, matched_eval_id, max_sim, contaminated) — one row
+    per corpus vector, matched_eval_id = the argmax eval item (ties by
+    eval id asc), so the data card can name the leaking benchmark row.
+
+    Scale: the eval set is bounded by benchmark size (thousands), the
+    corpus is not — so the eval side BROADCASTS and the corpus streams
+    through one narrow crossJoin + per-vector min/max aggregation: one
+    shuffle on the corpus id, no corpus×corpus pair ever materializes.
+    Cosine parity with the SQL oracle follows the suite's proven
+    round(sim, 4) discipline (cosine_topk)."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine
+
+    ev = eval_set.select(
+        F.col(eval_id_col).alias("_eid"), F.col(vec_col).alias("_ev")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_cv"))
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "_id",
+            "_eid",
+            F.round(cosine(F.col("_cv"), F.col("_ev")), round_to).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("_eid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_eid").alias("matched_eval_id"),
+            F.col("_sim").alias("max_sim"),
+            (F.col("_sim") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition / lexical-diversity signals (Gopher-style quality rules)
 

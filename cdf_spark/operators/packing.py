@@ -117,6 +117,88 @@ def domain_mix_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TEMPERATURE-WEIGHTED token-budget selection — the corpus-mixing
+    stage between curation and packing: given a total training-token
+    budget B, allocate per-domain token targets by the standard
+    temperature rule w_d ∝ n_d^alpha (alpha=1 reproduces natural
+    proportions; alpha→0 flattens toward uniform — the multilingual
+    up-sampling trick of mBERT/XLM-R and the domain-mixing knob of
+    Pile-style corpora), then fill each domain's allocation with docs
+    in a deterministic pseudo-random order until the target is met.
+
+    `domain_mix_sample` answers "match these HAND-PICKED proportions
+    with per-row rate gates (approximate counts)"; this answers
+    "derive the proportions from the corpus itself and hit an EXACT
+    token budget" — the unit a trainer actually provisions.
+
+    Determinism discipline: per-domain token masses n_d are exact
+    integers; the temperature weight is pinned to integer micro-units
+    s_d = round(n_d^alpha * 1e6) BEFORE normalization, so the target
+    split target_d = (B * s_d) DIV Σs_d is pure integer arithmetic —
+    bit-identical in any engine. Selection order is md5(id) (the
+    suite's engine-portable shuffle key) and the cut keeps every doc
+    that STARTS before the target is exhausted (cum - tokens <
+    target), so the output overshoots by at most one doc per domain —
+    the canonical greedy fill.
+
+    Output: (id, domain, n_tokens, pick_order, cum_tokens,
+    target_tokens). Scale: one narrow token-count pass, one tiny
+    domain agg (O(domains), broadcast back), one per-domain window —
+    partitions are independent; 2 shuffles total at any corpus size.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(domain_col).alias("domain"),
+        F.size(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    dom = toks.groupBy("domain").agg(F.sum("n_tokens").alias("_nd"))
+    # sqrt is IEEE-correctly-rounded in every engine (JVM Math.pow is
+    # only 1-ulp), so the default temperature gets guaranteed parity;
+    # other alphas agree after the 1e-6 rounding for all practical
+    # inputs but carry no formal guarantee.
+    powed = (
+        F.sqrt(F.col("_nd").cast("double"))
+        if float(alpha) == 0.5
+        else F.pow(F.col("_nd").cast("double"), F.lit(float(alpha)))
+    )
+    dom = dom.withColumn("_s", F.round(powed * 1e6).cast("long"))
+    tot = dom.agg(F.sum("_s").alias("_stot"))
+    targets = dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        F.expr(f"CAST({int(budget_tokens)} AS BIGINT) * _s DIV _stot").alias(
+            "target_tokens"
+        ),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("_id").cast("string")), F.col("_id")
+    )
+    ranked = (
+        toks.join(F.broadcast(targets), on="domain")
+        .withColumn("pick_order", F.row_number().over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    return ranked.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < F.col("target_tokens")
+    ).select(
+        F.col("_id").alias(id_col),
+        "domain",
+        "n_tokens",
+        "pick_order",
+        "cum_tokens",
+        "target_tokens",
+    )
+
+
 def training_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

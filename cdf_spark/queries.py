@@ -5097,6 +5097,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- never driver-green --
     "ivf_pq_ann_topk",
     "bpe_learn_merges",
+    "nb_classifier_train",
+    "nb_classifier_predict",
+    "embedding_decontamination_report",
+    "token_budget_sample_docs",
     "xtable_partitioned_delta_to_iceberg_scan",
     "xtable_partitioned_iceberg_to_delta_scan",
     "xtable_delta_to_hudi_scan",
@@ -10371,3 +10375,203 @@ def hudi_dest_replace(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("hudi_dest_rep", sf, build)
     return HudiDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)
+
+
+# ---------------------------------------------------------------------------
+# r11 second wave: distributed NB classifier train+predict, embedding-space
+# decontamination, temperature token-budget corpus mixing
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "nb_classifier_train",
+    """
+    WITH toks AS (
+      SELECT d.lang AS label, t.tok
+      FROM documents d, UNNEST(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    counts AS (SELECT label, tok, COUNT(*) AS c FROM toks GROUP BY label, tok),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v FROM counts),
+    n AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n_label FROM counts GROUP BY label)
+    SELECT counts.label, counts.tok, counts.c,
+           CAST(round((ln(c + 1.0) - ln(CAST(n_label AS DOUBLE) + v)) * 1000000.0) AS BIGINT) AS lp_unat
+    FROM counts JOIN n USING (label) CROSS JOIN vv
+    """,
+)
+def nb_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed multinomial NAIVE BAYES training
+    (`operators/classifier.nb_train`) — the model-training member the
+    text-classifier story was missing (the suite already TRAINS a BPE
+    tokenizer and an n-gram LM; the quality/language classifier stage
+    previously only APPLIED fixed weights, quality_clf_filter). NB fit
+    is closed form — per-(label, token) counts + per-label totals —
+    so the whole fit is two map-side-combinable aggregations: the
+    honest 100 TB training choice (no gradient iterations, no driver
+    round-trips) AND exactly replayable in SQL. Micro-nat integer
+    log-probs (the lm_perplexity_scores discipline) make the model
+    table bit-identical across engines. Model = O(vocab x labels)
+    rows — a broadcastable artifact at any corpus scale."""
+    from .operators.classifier import nb_train
+
+    return nb_train(_t(spark, sf, "documents"))
+
+
+@_register(
+    "nb_classifier_predict",
+    """
+    WITH toks AS (
+      SELECT doc_id AS _id, t.tok
+      FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    ltoks AS (
+      SELECT d.lang AS _cand, t.tok
+      FROM documents d, UNNEST(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    counts AS (SELECT _cand, tok, COUNT(*) AS c FROM ltoks GROUP BY _cand, tok),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v FROM counts),
+    n AS (SELECT _cand, CAST(SUM(c) AS BIGINT) AS n_label FROM counts GROUP BY _cand),
+    model AS (
+      SELECT _cand, tok,
+             CAST(round((ln(c + 1.0) - ln(CAST(n_label AS DOUBLE) + v)) * 1000000.0) AS BIGINT) AS lp_unat
+      FROM counts JOIN n USING (_cand) CROSS JOIN vv
+    ),
+    dtot AS (SELECT COUNT(*) AS d FROM documents),
+    lab AS (
+      SELECT n._cand,
+             CAST(round((ln(CAST(dl.d_l AS DOUBLE)) - ln(CAST(dtot.d AS DOUBLE))) * 1000000.0) AS BIGINT) AS prior_unat,
+             CAST(round((0.0 - ln(CAST(n.n_label AS DOUBLE) + vv.v)) * 1000000.0) AS BIGINT) AS oov_unat
+      FROM n CROSS JOIN vv CROSS JOIN dtot
+      JOIN (SELECT lang AS _cand, COUNT(*) AS d_l FROM documents GROUP BY lang) dl USING (_cand)
+    ),
+    scored AS (
+      SELECT t._id, l._cand,
+             CAST(SUM(COALESCE(m.lp_unat, l.oov_unat)) AS BIGINT) + ANY_VALUE(l2.prior_unat) AS score_unat
+      FROM toks t
+      CROSS JOIN (SELECT _cand, oov_unat FROM lab) l
+      LEFT JOIN model m ON m._cand = l._cand AND m.tok = t.tok
+      JOIN lab l2 ON l2._cand = l._cand
+      GROUP BY t._id, l._cand
+    ),
+    ranked AS (
+      SELECT _id, _cand, score_unat,
+             row_number() OVER (PARTITION BY _id ORDER BY score_unat DESC, _cand ASC) AS rn,
+             score_unat - lead(score_unat, 1) OVER (PARTITION BY _id ORDER BY score_unat DESC, _cand ASC) AS gap
+      FROM scored
+    )
+    SELECT r._id AS doc_id, d.lang AS label, r._cand AS predicted, r.score_unat,
+           CAST(COALESCE(r.gap, 0) AS BIGINT) AS margin_unat
+    FROM ranked r JOIN documents d ON d.doc_id = r._id
+    WHERE r.rn = 1
+    """,
+)
+def nb_classifier_predict(spark: SparkSession, sf: str) -> DataFrame:
+    """NB language-ID PREDICTION over the corpus
+    (`operators/classifier.nb_predict`) — train-and-score end to end,
+    the fastText-language-ID analog of CCNet's first pipeline stage:
+    predicted = argmax_label [prior + sum token log-probs], OOV
+    tokens under a label falling back to the smoothed floor. All
+    scores are exact INTEGER micro-nat sums, so the per-doc argmax
+    (and the margin to the runner-up — the abstention signal a
+    curation gate thresholds on) is deterministic across engines,
+    partitionings, and runs. Shape: token stream x broadcast(labels)
+    -> left join broadcast(model) -> one (doc, label) agg -> per-doc
+    window argmax: 2 shuffles + broadcasts, zero Python, no driver
+    iteration at any corpus size."""
+    from .operators.classifier import nb_predict
+
+    return nb_predict(_t(spark, sf, "documents"))
+
+
+@_register(
+    "embedding_decontamination_report",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+    corp AS (SELECT vec_id AS id, e FROM c WHERE label < 8),
+    ev AS (SELECT vec_id AS eid, e AS ee FROM c WHERE label >= 8),
+    scored AS (
+      SELECT id, eid, round(list_cosine_similarity(e, ee), 4) AS sim
+      FROM corp CROSS JOIN ev
+    ),
+    best AS (
+      SELECT id, eid, sim,
+             row_number() OVER (PARTITION BY id ORDER BY sim DESC, eid ASC) AS rn
+      FROM scored
+    )
+    SELECT id AS vec_id, eid AS matched_eval_id, sim AS max_sim,
+           sim >= 0.8 AS contaminated
+    FROM best WHERE rn = 1
+    """,
+)
+def embedding_decontamination_report(spark: SparkSession, sf: str) -> DataFrame:
+    """EMBEDDING-SPACE decontamination
+    (`operators/curation.embedding_decontamination`) — the semantic
+    sibling of the n-gram decontamination family: paraphrased
+    benchmark leakage shares no 4-gram with its source but sits at
+    high cosine in embedding space (the SemDeDup/Phi semantic-
+    contamination gate). Every corpus vector reports its nearest
+    eval-set item and whether it crosses the threshold. The eval set
+    is bounded by benchmark size, so it BROADCASTS and the corpus
+    streams through one narrow scoring pass + per-vector argmax — no
+    corpus x corpus pair ever materializes; at 100 TB this is one
+    shuffle on the corpus id. Label split: labels 8-9 stand in as the
+    'benchmark' vectors, 0-7 as the training corpus."""
+    from .operators.curation import embedding_decontamination
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_decontamination(
+        emb.filter("label < 8"), emb.filter("label >= 8"), threshold=0.8
+    )
+
+
+@_register(
+    "token_budget_sample_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id AS _id, source AS domain,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    dom AS (SELECT domain, CAST(SUM(n_tokens) AS BIGINT) AS nd FROM toks GROUP BY domain),
+    s AS (SELECT domain, CAST(round(sqrt(CAST(nd AS DOUBLE)) * 1000000.0) AS BIGINT) AS sw FROM dom),
+    tot AS (SELECT CAST(SUM(sw) AS BIGINT) AS stot FROM s),
+    tgt AS (
+      SELECT domain, CAST((CAST(20000 AS BIGINT) * sw) // stot AS BIGINT) AS target_tokens
+      FROM s CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT t._id, t.domain, t.n_tokens, g.target_tokens,
+             row_number() OVER (PARTITION BY t.domain
+               ORDER BY md5(CAST(t._id AS VARCHAR)), t._id) AS pick_order,
+             CAST(SUM(t.n_tokens) OVER (PARTITION BY t.domain
+               ORDER BY md5(CAST(t._id AS VARCHAR)), t._id) AS BIGINT) AS cum_tokens
+      FROM toks t JOIN tgt g USING (domain)
+    )
+    SELECT _id AS doc_id, domain, n_tokens, pick_order, cum_tokens, target_tokens
+    FROM ranked WHERE cum_tokens - n_tokens < target_tokens
+    """,
+)
+def token_budget_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """TEMPERATURE-WEIGHTED token-budget corpus mixing
+    (`operators/packing.token_budget_sample`) — the stage between
+    curation and packing that turns "20k training tokens, alpha=0.5"
+    into an exact document selection: per-domain targets by the
+    n_d^alpha temperature rule (the mBERT/XLM-R multilingual
+    up-sampling law; alpha=1 = natural proportions), filled in
+    deterministic md5 order until each target is met.
+    `domain_mix_sample` gates rows at hand-picked RATES (approximate
+    counts); this hits an exact TOKEN budget — the unit a trainer
+    provisions. Integer discipline end to end: temperature weights
+    pinned to micro-units before normalization, targets by integer
+    division, cumulative sums exact — bit-identical across engines.
+    2 shuffles (domain agg broadcast back, per-domain window) at any
+    corpus size; sqrt (not pow) for the default alpha because sqrt is
+    IEEE-correctly-rounded in both engines."""
+    from .operators.packing import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf, "documents"), budget_tokens=20_000, alpha=0.5
+    )

@@ -1,0 +1,200 @@
+"""Distributed NB classifier, embedding decontamination, token-budget
+mixing — correctness vs brute-force Python and invariants."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.operators.classifier import nb_predict, nb_train
+from cdf_spark.operators.curation import embedding_decontamination
+from cdf_spark.operators.packing import token_budget_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tok(s: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def test_nb_train_matches_bruteforce(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "le chat noir", "fr"),
+        (3, "the dog ran", "en"),
+        (4, "le chien et le chat", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {(r.label, r.tok): (r.c, r.lp_unat) for r in nb_train(df).collect()}
+    # brute force
+    by_label: dict[str, Counter] = {}
+    for _, text, lang in rows:
+        by_label.setdefault(lang, Counter()).update(_tok(text))
+    vocab = {t for c in by_label.values() for t in c}
+    v = len(vocab)
+    for lang, c in by_label.items():
+        n = sum(c.values())
+        for tok, cnt in c.items():
+            lp = round((math.log(cnt + 1.0) - math.log(n + v)) * 1e6)
+            assert got[(lang, tok)] == (cnt, lp), (lang, tok)
+    assert len(got) == sum(len(c) for c in by_label.values())
+
+
+def test_nb_predict_argmax_and_margin(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "le chat noir", "fr"),
+        (3, "the dog ran on the mat", "en"),
+        (4, "le chien et le chat", "fr"),
+        (5, "the cat and the dog", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in nb_predict(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    for r in out.values():
+        assert r.margin_unat >= 0
+    # brute-force replication of the scoring rule
+    by_label: dict[str, Counter] = {}
+    for _, text, lang in rows:
+        by_label.setdefault(lang, Counter()).update(_tok(text))
+    vocab = {t for c in by_label.values() for t in c}
+    v = len(vocab)
+    d_tot = len(rows)
+    d_l = Counter(lang for _, _, lang in rows)
+    n_l = {la: sum(c.values()) for la, c in by_label.items()}
+    for doc_id, text, lang in rows:
+        scores = {}
+        for la in by_label:
+            prior = round((math.log(d_l[la]) - math.log(d_tot)) * 1e6)
+            s = prior
+            for tok in _tok(text):
+                cnt = by_label[la].get(tok)
+                if cnt:
+                    s += round((math.log(cnt + 1.0) - math.log(n_l[la] + v)) * 1e6)
+                else:
+                    s += round(-math.log(n_l[la] + v) * 1e6)
+            scores[la] = s
+        best = max(scores, key=lambda la: (scores[la], [la != x for x in sorted(scores)]))
+        best = sorted(scores, key=lambda la: (-scores[la], la))[0]
+        assert out[doc_id].predicted == best, doc_id
+        assert out[doc_id].score_unat == scores[best], doc_id
+        assert out[doc_id].label == lang
+
+
+def test_nb_predict_corpus_shape(docs):
+    """On the test corpus (whose lang labels deliberately share one
+    vocabulary — not linguistically separable) the classifier must
+    still emit exactly one prediction per tokenizable doc with a
+    non-negative margin."""
+    out = nb_predict(docs)
+    total = out.count()
+    assert total == docs.count()  # every test doc tokenizes
+    assert out.select("doc_id").distinct().count() == total
+    assert out.filter(F.col("margin_unat") < 0).count() == 0
+
+
+def test_nb_predict_separable_accuracy(spark):
+    """On a corpus whose labels have disjoint vocabularies the
+    classifier recovers every training label — the fastText-language-ID
+    behavior a curation gate relies on."""
+    vocab = {
+        "en": ["the", "cat", "dog", "house", "road"],
+        "fr": ["le", "chat", "chien", "maison", "rue"],
+        "de": ["der", "katze", "hund", "haus", "strasse"],
+    }
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for k in range(20):
+            text = " ".join(words[(k + j) % len(words)] for j in range(6))
+            rows.append((i, text, lang))
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = nb_predict(df)
+    assert out.filter(F.col("predicted") != F.col("label")).count() == 0
+
+
+def test_embedding_decontamination_flags_planted_dup(spark):
+    base = [float(i) for i in range(8)]
+    near = [v + (0.001 if i == 0 else 0.0) for i, v in enumerate(base)]
+    far = [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0]
+    corpus = spark.createDataFrame(
+        [(1, near, 0), (2, far, 0)], ["vec_id", "embedding", "label"]
+    )
+    ev = spark.createDataFrame([(100, base, 9)], ["vec_id", "embedding", "label"])
+    out = {r.vec_id: r for r in embedding_decontamination(corpus, ev, 0.99).collect()}
+    assert out[1].contaminated and out[1].matched_eval_id == 100
+    assert not out[2].contaminated
+    assert out[1].max_sim > 0.999
+
+
+def test_embedding_decontamination_one_row_per_corpus_vec(emb):
+    corpus, ev = emb.filter("label < 8"), emb.filter("label >= 8")
+    out = embedding_decontamination(corpus, ev, threshold=0.8)
+    assert out.count() == corpus.count()
+    assert out.select("vec_id").distinct().count() == corpus.count()
+
+
+def test_token_budget_sample_meets_targets(docs):
+    out = token_budget_sample(docs, budget_tokens=20_000, alpha=0.5)
+    rows = out.collect()
+    assert rows
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append(r)
+    total_target = 0
+    for dom, sel in by_dom.items():
+        target = sel[0].target_tokens
+        total_target += target
+        toks = sum(r.n_tokens for r in sel)
+        # greedy fill: the last pick STARTS inside the budget and the
+        # overshoot is bounded by one document
+        last = max(sel, key=lambda r: r.pick_order)
+        assert last.cum_tokens - last.n_tokens < target
+        assert toks - target < max(r.n_tokens for r in sel)
+    # integer-split targets sum to <= budget (floor division)
+    assert total_target <= 20_000
+
+
+def test_token_budget_alpha_flattens(docs):
+    """alpha=0.5 must allocate a LARGER share to small domains than
+    their natural proportion (the up-sampling property)."""
+    natural = {
+        r.domain: r.nd
+        for r in docs.select(
+            F.col("source").alias("domain"),
+            F.size(F.split(F.lower("text"), "[^a-z0-9]+")).alias("nd"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("nd").alias("nd"))
+        .collect()
+    }
+    out = token_budget_sample(docs, budget_tokens=20_000, alpha=0.5)
+    targets = {
+        r.domain: r.target_tokens
+        for r in out.select("domain", "target_tokens").distinct().collect()
+    }
+    tot_n = sum(natural.values())
+    tot_t = sum(targets.values())
+    small = min(natural, key=natural.get)
+    big = max(natural, key=natural.get)
+    if natural[small] < natural[big]:  # only meaningful when skewed
+        assert targets[small] / tot_t >= natural[small] / tot_n - 1e-9
+        assert targets[big] / tot_t <= natural[big] / tot_n + 1e-9
+
+
+def test_token_budget_deterministic(docs):
+    a = sorted(map(tuple, token_budget_sample(docs, 5_000).collect()))
+    b = sorted(map(tuple, token_budget_sample(docs, 5_000).collect()))
+    assert a == b
