@@ -192,3 +192,154 @@ def nb_predict(
             F.coalesce(F.col("_gap"), F.lit(0)).cast("long").alias("margin_unat"),
         )
     )
+
+
+class NBIndex:
+    """Persisted INCREMENTAL Naive Bayes model for a GROWING corpus —
+    the classifier member of this suite's incremental-index family
+    (`curation.LMIndex` for LM scores, `curation.ExactSubstrIndex` and
+    `dedup_approx.MinHashLSHIndex` for dedup): `nb_predict` re-fits
+    over the whole corpus per call, the wrong shape under continuous
+    ingestion. NB sufficient statistics are pure counts, so folding a
+    batch is exact: per-(label, token) occurrence counts and per-label
+    document counts ADD — the fully-folded index is bit-identical to a
+    one-shot fit, which is what lets the incremental query share the
+    one-shot SQL oracle.
+
+    Layout under `root/`: `counts_v<N>/` parquet (label, tok, c),
+    `labels_v<N>/` parquet (label, d_l) + `meta.json` {version, v,
+    d_tot} — updates write the NEXT version directories and swap the
+    meta pointer last, so a crashed update leaves the previous version
+    live (the suite's staged-commit discipline). update() is O(batch)
+    token work + an O(vocab x labels) merge rewrite, amortized
+    constant for a bounded vocabulary; predict() touches only the
+    stored model and the scored batch."""
+
+    def __init__(self, root):
+        from pathlib import Path as _P
+
+        self.root = _P(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _meta(self) -> dict | None:
+        import json as _json
+
+        p = self.root / "meta.json"
+        return _json.loads(p.read_text()) if p.exists() else None
+
+    def update(
+        self,
+        spark,
+        df: DataFrame,
+        text_col: str = "text",
+        label_col: str = "lang",
+    ) -> dict:
+        import json as _json
+
+        batch = (
+            df.select(
+                F.col(label_col).alias("label"),
+                F.explode(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                        lambda x: x != "",
+                    )
+                ).alias("tok"),
+            )
+            .groupBy("label", "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        bdocs = df.groupBy(F.col(label_col).alias("label")).agg(
+            F.count(F.lit(1)).alias("d_l")
+        )
+        meta = self._meta()
+        if meta is None:
+            merged, mdocs, version = batch, bdocs, 1
+        else:
+            cur = spark.read.parquet(str(self.root / f"counts_v{meta['version']}"))
+            merged = cur.unionByName(batch).groupBy("label", "tok").agg(
+                F.sum("c").alias("c")
+            )
+            curd = spark.read.parquet(str(self.root / f"labels_v{meta['version']}"))
+            mdocs = curd.unionByName(bdocs).groupBy("label").agg(
+                F.sum("d_l").alias("d_l")
+            )
+            version = int(meta["version"]) + 1
+        outc, outl = self.root / f"counts_v{version}", self.root / f"labels_v{version}"
+        merged.write.mode("overwrite").parquet(str(outc))
+        mdocs.write.mode("overwrite").parquet(str(outl))
+        v = spark.read.parquet(str(outc)).select("tok").distinct().count()
+        d_tot = spark.read.parquet(str(outl)).agg(F.sum("d_l")).collect()[0][0]
+        new_meta = {"version": version, "v": int(v), "d_tot": int(d_tot)}
+        (self.root / "meta.json").write_text(_json.dumps(new_meta))  # the swap
+        return new_meta
+
+    def predict(
+        self,
+        spark,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("NBIndex is empty — update() first")
+        v = int(meta["v"])
+        counts = spark.read.parquet(str(self.root / f"counts_v{meta['version']}"))
+        docs_l = spark.read.parquet(str(self.root / f"labels_v{meta['version']}"))
+        counts = counts.withColumnRenamed("label", "_cand")
+        n_label = counts.groupBy("_cand").agg(F.sum("c").alias("n_label"))
+        model = counts.join(F.broadcast(n_label), on="_cand").select(
+            "_cand",
+            "tok",
+            _unat(
+                F.log(F.col("c") + F.lit(1.0))
+                - F.log(F.col("n_label").cast("double") + F.lit(float(v)))
+            ).alias("lp_unat"),
+        )
+        lab = (
+            docs_l.withColumnRenamed("label", "_cand")
+            .join(F.broadcast(n_label), on="_cand")
+            .select(
+                "_cand",
+                _unat(
+                    F.log(F.col("d_l").cast("double"))
+                    - F.lit(math.log(int(meta["d_tot"])))
+                ).alias("prior_unat"),
+                _unat(
+                    -F.log(F.col("n_label").cast("double") + F.lit(float(v)))
+                ).alias("oov_unat"),
+            )
+        )
+        toks = _toks(df, text_col, id_col, [])
+        scored = (
+            toks.crossJoin(F.broadcast(lab.select("_cand", "oov_unat")))
+            .join(F.broadcast(model), on=["_cand", "tok"], how="left")
+            .groupBy("_id", "_cand")
+            .agg(F.sum(F.coalesce(F.col("lp_unat"), F.col("oov_unat"))).alias("_s"))
+            .join(F.broadcast(lab.select("_cand", "prior_unat")), on="_cand")
+            .select(
+                "_id", "_cand", (F.col("_s") + F.col("prior_unat")).alias("score_unat")
+            )
+        )
+        w = Window.partitionBy("_id").orderBy(
+            F.col("score_unat").desc(), F.col("_cand").asc()
+        )
+        return (
+            scored.select(
+                "_id",
+                "_cand",
+                "score_unat",
+                F.row_number().over(w).alias("_rn"),
+                (F.col("score_unat") - F.lead("score_unat", 1, None).over(w)).alias(
+                    "_gap"
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("_id").alias(id_col),
+                F.col("_cand").alias("predicted"),
+                "score_unat",
+                F.coalesce(F.col("_gap"), F.lit(0)).cast("long").alias("margin_unat"),
+            )
+        )

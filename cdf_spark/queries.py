@@ -5101,6 +5101,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "nb_classifier_predict",
     "embedding_decontamination_report",
     "token_budget_sample_docs",
+    "nb_index_incremental",
     "xtable_partitioned_delta_to_iceberg_scan",
     "xtable_partitioned_iceberg_to_delta_scan",
     "xtable_delta_to_hudi_scan",
@@ -10574,4 +10575,80 @@ def token_budget_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 
     return token_budget_sample(
         _t(spark, sf, "documents"), budget_tokens=20_000, alpha=0.5
+    )
+
+
+@_register(
+    "nb_index_incremental",
+    """
+    WITH toks AS (
+      SELECT doc_id AS _id, t.tok
+      FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    ltoks AS (
+      SELECT d.lang AS _cand, t.tok
+      FROM documents d, UNNEST(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    counts AS (SELECT _cand, tok, COUNT(*) AS c FROM ltoks GROUP BY _cand, tok),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v FROM counts),
+    n AS (SELECT _cand, CAST(SUM(c) AS BIGINT) AS n_label FROM counts GROUP BY _cand),
+    model AS (
+      SELECT _cand, tok,
+             CAST(round((ln(c + 1.0) - ln(CAST(n_label AS DOUBLE) + v)) * 1000000.0) AS BIGINT) AS lp_unat
+      FROM counts JOIN n USING (_cand) CROSS JOIN vv
+    ),
+    dtot AS (SELECT COUNT(*) AS d FROM documents),
+    lab AS (
+      SELECT n._cand,
+             CAST(round((ln(CAST(dl.d_l AS DOUBLE)) - ln(CAST(dtot.d AS DOUBLE))) * 1000000.0) AS BIGINT) AS prior_unat,
+             CAST(round((0.0 - ln(CAST(n.n_label AS DOUBLE) + vv.v)) * 1000000.0) AS BIGINT) AS oov_unat
+      FROM n CROSS JOIN vv CROSS JOIN dtot
+      JOIN (SELECT lang AS _cand, COUNT(*) AS d_l FROM documents GROUP BY lang) dl USING (_cand)
+    ),
+    scored AS (
+      SELECT t._id, l._cand,
+             CAST(SUM(COALESCE(m.lp_unat, l.oov_unat)) AS BIGINT) + ANY_VALUE(l2.prior_unat) AS score_unat
+      FROM toks t
+      CROSS JOIN (SELECT _cand, oov_unat FROM lab) l
+      LEFT JOIN model m ON m._cand = l._cand AND m.tok = t.tok
+      JOIN lab l2 ON l2._cand = l._cand
+      GROUP BY t._id, l._cand
+    ),
+    ranked AS (
+      SELECT _id, _cand, score_unat,
+             row_number() OVER (PARTITION BY _id ORDER BY score_unat DESC, _cand ASC) AS rn,
+             score_unat - lead(score_unat, 1) OVER (PARTITION BY _id ORDER BY score_unat DESC, _cand ASC) AS gap
+      FROM scored
+    )
+    SELECT _id AS doc_id, _cand AS predicted, score_unat,
+           CAST(COALESCE(gap, 0) AS BIGINT) AS margin_unat
+    FROM ranked WHERE rn = 1
+    """,
+)
+def nb_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL persisted NB classifier
+    (`operators/classifier.NBIndex`) — the growing-corpus shape of
+    nb_classifier_predict: the labeled corpus folds in through THREE
+    `update()` batches (NB sufficient statistics are pure counts, so
+    each fold is O(batch) token work + an O(vocab x labels) merge
+    with the suite's version-directory crash-safe swap), then every
+    document scores against the STORED model with zero corpus
+    re-training. Because counts ADD exactly, the fully-folded index
+    is bit-identical to a one-shot fit — the oracle is the same
+    relational recompute, and any merge drift (lost batch, double
+    count, stale version read) hash-mismatches."""
+    from .operators.classifier import NBIndex
+
+    def build(tmp: str) -> None:
+        docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+        idx = NBIndex(f"{tmp}/nb")
+        third = F.abs(F.xxhash64("doc_id")) % 3
+        for i in range(3):
+            idx.update(spark, docs.filter(third == i))
+
+    tmp = _session_fixture("nb_index", sf, build)
+    return NBIndex(f"{tmp}/nb").predict(
+        spark, _t(spark, sf, "documents").select("doc_id", "text")
     )

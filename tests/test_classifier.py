@@ -85,7 +85,6 @@ def test_nb_predict_argmax_and_margin(spark):
                 else:
                     s += round(-math.log(n_l[la] + v) * 1e6)
             scores[la] = s
-        best = max(scores, key=lambda la: (scores[la], [la != x for x in sorted(scores)]))
         best = sorted(scores, key=lambda la: (-scores[la], la))[0]
         assert out[doc_id].predicted == best, doc_id
         assert out[doc_id].score_unat == scores[best], doc_id
@@ -198,3 +197,52 @@ def test_token_budget_deterministic(docs):
     a = sorted(map(tuple, token_budget_sample(docs, 5_000).collect()))
     b = sorted(map(tuple, token_budget_sample(docs, 5_000).collect()))
     assert a == b
+
+
+def test_nb_index_fold_equivalence(spark, docs, tmp_path):
+    """Folded-in-batches index must predict bit-identically to the
+    one-shot fit — NB sufficient statistics are exact counts."""
+    from cdf_spark.operators.classifier import NBIndex
+
+    d = docs.select("doc_id", "text", "lang")
+    idx = NBIndex(tmp_path / "nb")
+    third = F.abs(F.xxhash64("doc_id")) % 3
+    for i in range(3):
+        idx.update(spark, d.filter(third == i))
+    inc = {
+        r.doc_id: (r.predicted, r.score_unat, r.margin_unat)
+        for r in idx.predict(spark, d.select("doc_id", "text")).collect()
+    }
+    one = {
+        r.doc_id: (r.predicted, r.score_unat, r.margin_unat)
+        for r in nb_predict(d).collect()
+    }
+    assert inc == one
+
+
+def test_nb_index_versioned_swap(spark, tmp_path):
+    """Each update writes the NEXT version and swaps meta last; the
+    previous version stays readable (crash leaves the old one live)."""
+    import json
+
+    from cdf_spark.operators.classifier import NBIndex
+
+    df1 = spark.createDataFrame([(1, "the cat", "en")], ["doc_id", "text", "lang"])
+    df2 = spark.createDataFrame([(2, "le chat", "fr")], ["doc_id", "text", "lang"])
+    idx = NBIndex(tmp_path / "nb")
+    m1 = idx.update(spark, df1)
+    assert m1["version"] == 1
+    m2 = idx.update(spark, df2)
+    assert m2["version"] == 2 and m2["d_tot"] == 2
+    assert (tmp_path / "nb" / "counts_v1").exists()
+    meta = json.loads((tmp_path / "nb" / "meta.json").read_text())
+    assert meta["version"] == 2
+
+
+def test_nb_index_empty_raises(spark, tmp_path):
+    from cdf_spark.operators.classifier import NBIndex
+
+    with pytest.raises(ValueError):
+        NBIndex(tmp_path / "nb").predict(
+            spark, spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        )
