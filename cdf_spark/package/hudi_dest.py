@@ -88,21 +88,55 @@ def _group_prunable_by_stats(
         return False
 
 
+_BLOOM_M = 1 << 16  # 65536 bits = 8 KiB per file-group version
+_BLOOM_K = 4
+
+
+def _bloom_key_expr(keys: list[str]):
+    """Null-safe key-tuple encoding shared by bloom BUILD (at write)
+    and PROBE (at routing) — a null key encodes to a sentinel no cast
+    string can produce, matching the eqNullSafe routing semantics."""
+    return F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(k).cast("string"), F.lit("\x00NULL")) for k in keys],
+    )
+
+
 class HudiDestination:
     """A Hudi CoW destination speaking the commit protocol — drop-in
     peer of IcebergDestination / DeltaDestination (same commit/verify
     surface, same Receipt), so LoadPipeline and StreamingLoadPipeline
-    can land state in a Hudi table."""
+    can land state in a Hudi table.
+
+    `key_index="bloom"` layers Hudi's BLOOM-INDEX candidate pruning on
+    top of the always-on footer min/max stats pruning: each committed
+    file-group version gets an 8 KiB bloom filter over its merge-key
+    tuples (`.hoodie/bloom/<fid>__<instant>.json` — the metadata-table
+    `bloom_filters` partition of real Hudi, kept beside the timeline),
+    and MERGE routing drops every group whose bloom provably holds no
+    batch key. Stats pruning only helps when key RANGES are disjoint
+    (monotonic keys); blooms prune scattered/random keys too — the
+    HoodieBloomIndex shape. Missing/stale blooms keep the group
+    (pruning stays an optimization, never a correctness dependency;
+    false positives only cost an unpruned scan, false negatives are
+    impossible). Build cost: one re-read of the instant's written
+    files per commit; probe cost: O(batch keys) positions + O(live
+    groups) 8 KiB reads — both bounded by the documented
+    broadcast-scale batch / O(touched groups) control contracts."""
 
     def __init__(
         self,
         table_path: str | Path,
         merge_keys: list[str] | None = None,
         partition_by: list[str] | None = None,
+        key_index: str = "stats",
     ):
+        if key_index not in ("stats", "bloom"):
+            raise ValueError("key_index must be 'stats' or 'bloom'")
         self.table_path = Path(table_path)
         self.merge_keys = merge_keys or []
         self.partition_by = list(partition_by or [])
+        self.key_index = key_index
 
     def commit(
         self,
@@ -129,6 +163,13 @@ class HudiDestination:
             w.replace_table(batch)
         else:
             raise ValueError(f"disposition {disposition} not supported by HudiDestination")
+        if self.key_index == "bloom" and self.merge_keys:
+            try:
+                instant = HudiTable(self.table_path).instants()[-1]
+            except Exception:
+                instant = None
+            if instant:
+                self._write_blooms(spark, instant)
         return Receipt(
             receipt_id="rcp-" + uuid.uuid4().hex[:16],
             package_id=package.package_id,
@@ -139,6 +180,107 @@ class HudiDestination:
             value_hash=package.value_hash,
             committed_at_ms=int(time.time() * 1000),
         )
+
+    def _bloom_dir(self) -> Path:
+        return self.table_path / ".hoodie" / "bloom"
+
+    def _write_blooms(self, spark: SparkSession, instant: str) -> None:
+        """Build one bloom per file-group version written at `instant`
+        (one distributed pass over exactly those files; positions are
+        DISTINCT set bits, <= m rows per group at any row count)."""
+        import base64
+        import json
+
+        files = [
+            p
+            for p in self.table_path.rglob(f"*_{instant}.parquet")
+            if ".hoodie" not in p.parts
+        ]
+        if not files:
+            return
+        from ..operators.sketches import bloom_positions
+
+        per = (
+            spark.read.parquet(*[str(p) for p in files])
+            .select(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"([^/]+)_0-0-0_\d+\.parquet$", 1
+                ).alias("_fid"),
+                F.explode(
+                    bloom_positions(
+                        _bloom_key_expr(self.merge_keys), _BLOOM_M, _BLOOM_K
+                    )
+                ).alias("p"),
+            )
+            .distinct()
+            .groupBy("_fid")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )
+        rel_by_fid = {
+            p.name.rsplit("_0-0-0_", 1)[0]: str(p.relative_to(self.table_path))
+            for p in files
+        }
+        bdir = self._bloom_dir()
+        bdir.mkdir(parents=True, exist_ok=True)
+        for r in per:
+            bits = bytearray(_BLOOM_M // 8)
+            for pos in r["ps"]:
+                bits[pos >> 3] |= 1 << (pos & 7)
+            (bdir / f"{r['_fid']}__{instant}.json").write_text(
+                json.dumps(
+                    {
+                        "m": _BLOOM_M,
+                        "k": _BLOOM_K,
+                        "path": rel_by_fid.get(r["_fid"], ""),
+                        "bits": base64.b64encode(bytes(bits)).decode(),
+                    }
+                )
+            )
+
+    def _bloom_prune(self, spark: SparkSession, batch, live: list) -> list:
+        """Drop live groups whose bloom filter provably holds no batch
+        key. A group survives when ANY batch key has all k positions
+        set (or when its bloom is missing/stale — conservative)."""
+        import base64
+        import json
+
+        import numpy as np
+
+        from ..operators.sketches import bloom_positions
+
+        key_pos = (
+            batch.select(
+                bloom_positions(
+                    _bloom_key_expr(self.merge_keys), _BLOOM_M, _BLOOM_K
+                ).alias("ps")
+            )
+            .distinct()
+            .collect()
+        )
+        if not key_pos:
+            return live
+        pos = np.asarray([r["ps"] for r in key_pos], dtype=np.int64)
+        out = []
+        for fid, part, path in live:
+            inst = Path(path).name.rsplit("_", 1)[1].split(".")[0]
+            bj = self._bloom_dir() / f"{fid}__{inst}.json"
+            if not bj.exists():
+                out.append((fid, part, path))
+                continue
+            try:
+                meta = json.loads(bj.read_text())
+                if meta.get("m") != _BLOOM_M or meta.get("k") != _BLOOM_K:
+                    out.append((fid, part, path))
+                    continue
+                bits = np.frombuffer(base64.b64decode(meta["bits"]), dtype=np.uint8)
+                hit = ((bits[pos >> 3] >> (pos & 7)) & 1).all(axis=1).any()
+            except Exception:  # noqa: BLE001 — unreadable bloom: keep
+                out.append((fid, part, path))
+                continue
+            if bool(hit):
+                out.append((fid, part, path))
+        return out
 
     def _upsert(self, spark: SparkSession, w: HudiFixtureWriter, batch) -> None:
         """Copy-on-write UPSERT: ONE new commit carrying a new version
@@ -191,6 +333,12 @@ class HudiDestination:
             for g in live
             if not _group_prunable_by_stats(g[2], keys, batch_bounds)
         ]
+        if self.key_index == "bloom":
+            # BLOOM-INDEX ROUTING: stats pruning only removes groups
+            # with disjoint key RANGES; the per-group bloom also prunes
+            # overlapping-range groups that hold none of the batch's
+            # scattered keys — the HoodieBloomIndex candidate cut.
+            kept = self._bloom_prune(spark, batch, kept)
         self._last_routing_scan_paths = sorted(p for _, _, p in kept)
         # survivors come only from TOUCHED groups, and a touched group
         # is by definition un-pruned — so the routing scan and every

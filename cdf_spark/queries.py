@@ -5102,6 +5102,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "embedding_decontamination_report",
     "token_budget_sample_docs",
     "nb_index_incremental",
+    "hudi_bloom_routed_upsert",
     "xtable_partitioned_delta_to_iceberg_scan",
     "xtable_partitioned_iceberg_to_delta_scan",
     "xtable_delta_to_hudi_scan",
@@ -10652,3 +10653,71 @@ def nb_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return NBIndex(f"{tmp}/nb").predict(
         spark, _t(spark, sf, "documents").select("doc_id", "text")
     )
+
+
+@_register(
+    "hudi_bloom_routed_upsert",
+    """
+    WITH ga AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey <= 1000 AND o_orderkey % 2 = 1
+    ),
+    gb AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey <= 1000 AND o_orderkey % 2 = 0
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, -7.0 AS o_totalprice FROM orders
+      WHERE o_orderkey <= 1000 AND o_orderkey % 50 = 5
+    )
+    SELECT * FROM ga WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL
+    SELECT * FROM gb WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+    """,
+)
+def hudi_bloom_routed_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi BLOOM-INDEX routing (`package/hudi_dest.py key_index=
+    "bloom"` — the HoodieBloomIndex candidate cut): two file groups
+    with fully INTERLEAVED key ranges (odd vs even keys — footer
+    min/max stats cannot separate them), then a MERGE whose keys
+    (x % 50 = 5, all odd) live only in the odd group. The per-group
+    8 KiB bloom over merge-key tuples proves the even group holds no
+    batch key, so the routing scan reads ONE group where stats-only
+    routing reads two — the scattered-key pruning a streaming-upsert
+    table needs at 100 TB (stats pruning only helps monotonic keys).
+    The fixture asserts the single-group routing scan; the oracle
+    recomputes the merge relationally, so any bloom false NEGATIVE
+    (which would lose an update) hash-mismatches."""
+    from .package import PackageBuilder
+    from .package.hudi_dest import HudiDestination
+    from .sources.base import WriteDisposition
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        le = o.filter(F.col("o_orderkey") <= 1000)
+        dest = HudiDestination(
+            f"{tmp}/t", merge_keys=["o_orderkey"], key_index="bloom"
+        )
+        builder = PackageBuilder(f"{tmp}/pkgs", "orders_hb")
+        ga = builder.build(admitted=le.filter(F.col("o_orderkey") % 2 == 1))
+        r1 = dest.verify(spark, dest.commit(spark, ga, WriteDisposition.APPEND), ga)
+        gb = builder.build(admitted=le.filter(F.col("o_orderkey") % 2 == 0))
+        r2 = dest.verify(spark, dest.commit(spark, gb, WriteDisposition.APPEND), gb)
+        batch = builder.build(
+            admitted=le.filter(F.col("o_orderkey") % 50 == 5).withColumn(
+                "o_totalprice", F.lit(-7.0)
+            )
+        )
+        r3 = dest.verify(spark, dest.commit(spark, batch, WriteDisposition.MERGE), batch)
+        if not (r1.verified and r2.verified and r3.verified):
+            raise RuntimeError("hudi bloom upsert receipt failed verification")
+        if len(dest._last_routing_scan_paths) != 1:
+            raise AssertionError(
+                "bloom routing did not prune the interleaved-range group: "
+                f"{dest._last_routing_scan_paths}"
+            )
+
+    tmp = _session_fixture("hudi_bloom_up", sf, build)
+    return HudiDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)

@@ -219,8 +219,25 @@ class HudiTable:
                     indent=1,
                 )
             )
+        # reclaim bloom-index entries (written by HudiDestination's
+        # key_index="bloom") whose file-group version no longer exists
+        # — keyed by the data file's RELATIVE path, so the sweep can
+        # never touch anything outside this table root
+        blooms_deleted: list[str] = []
+        bdir = self.root / ".hoodie" / "bloom"
+        if bdir.is_dir():
+            for bj in sorted(bdir.glob("*.json")):
+                try:
+                    rel = json.loads(bj.read_text()).get("path", "")
+                except Exception:  # noqa: BLE001 — unreadable: leave it
+                    continue
+                if rel and not (self.root / rel).exists():
+                    if not dry_run:
+                        bj.unlink(missing_ok=True)
+                    blooms_deleted.append(str(bj))
         return {
             "deleted": deleted,
+            "blooms_deleted": blooms_deleted,
             "earliest_retained": earliest,
             "dry_run": dry_run,
         }

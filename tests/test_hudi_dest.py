@@ -299,3 +299,111 @@ def test_merge_prune_all_groups_is_pure_insert(spark, tmp_path, orders):
     assert dest.read(spark).count() == orders.filter(
         "o_orderkey <= 500 or (o_orderkey > 1400 and o_orderkey <= 1499)"
     ).count()
+
+
+# ---------------------------------------------------------------------------
+# bloom key-index routing (key_index="bloom")
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+def test_bloom_prunes_overlapping_range_group(spark, tmp_path):
+    """Two groups with INTERLEAVED key ranges (stats cannot separate
+    them); a batch whose keys live only in group A must route-scan
+    only A under the bloom index."""
+    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"], key_index="bloom")
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    ga = _mk(spark, [(1, 10, 1.0), (100, 10, 1.0)])       # range [1, 100]
+    gb = _mk(spark, [(2, 20, 2.0), (101, 20, 2.0)])       # range [2, 101]
+    _commit(spark, dest, b, ga, WriteDisposition.APPEND)
+    _commit(spark, dest, b, gb, WriteDisposition.APPEND)
+    batch = _mk(spark, [(100, 10, -1.0)])  # inside BOTH ranges, only in A
+    _commit(spark, dest, b, batch, WriteDisposition.MERGE)
+    scanned = dest._last_routing_scan_paths
+    assert len(scanned) == 1, scanned  # stats alone would keep both
+    got = {r.o_orderkey: r.o_totalprice for r in dest.read(spark).collect()}
+    assert got == {1: 1.0, 100: -1.0, 2: 2.0, 101: 2.0}
+
+
+def test_bloom_missing_sidecar_is_conservative(spark, tmp_path):
+    """Deleting a bloom entry (crash between commit and bloom write,
+    or a pre-bloom table) must keep the group — correctness never
+    depends on the index."""
+    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"], key_index="bloom")
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, _mk(spark, [(1, 10, 1.0), (100, 10, 1.0)]), WriteDisposition.APPEND)
+    _commit(spark, dest, b, _mk(spark, [(2, 20, 2.0), (101, 20, 2.0)]), WriteDisposition.APPEND)
+    for bj in (tmp_path / "t" / ".hoodie" / "bloom").glob("*.json"):
+        bj.unlink()
+    _commit(spark, dest, b, _mk(spark, [(100, 10, -1.0)]), WriteDisposition.MERGE)
+    assert len(dest._last_routing_scan_paths) == 2  # both kept, no bloom
+    got = {r.o_orderkey: r.o_totalprice for r in dest.read(spark).collect()}
+    assert got == {1: 1.0, 100: -1.0, 2: 2.0, 101: 2.0}
+
+
+def test_bloom_equals_stats_result(spark, tmp_path, orders):
+    """bloom and stats routing must land byte-identical final state
+    (the index changes WHICH groups are scanned, never the answer)."""
+    outs = {}
+    for mode in ("stats", "bloom"):
+        dest = HudiDestination(
+            tmp_path / f"t_{mode}", merge_keys=["o_orderkey"], key_index=mode
+        )
+        b = PackageBuilder(tmp_path / f"pkgs_{mode}", "orders")
+        _commit(spark, dest, b, orders.filter("o_orderkey <= 600"), WriteDisposition.APPEND)
+        _commit(
+            spark, dest, b,
+            orders.filter("o_orderkey > 600 and o_orderkey <= 1200"),
+            WriteDisposition.APPEND,
+        )
+        batch = orders.filter("o_orderkey % 7 = 0 and o_orderkey <= 1200").withColumn(
+            "o_totalprice", F.lit(-3.0)
+        )
+        _commit(spark, dest, b, batch, WriteDisposition.MERGE)
+        outs[mode] = sorted(
+            (r.o_orderkey, r.o_custkey, r.o_totalprice)
+            for r in dest.read(spark).collect()
+        )
+    assert outs["stats"] == outs["bloom"]
+
+
+def test_bloom_updates_follow_rewrite(spark, tmp_path):
+    """After a MERGE rewrites a group, the NEW version's bloom must
+    reflect inserted keys: a second merge on a key added by the first
+    must scan the rewritten group (no false negative ever)."""
+    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"], key_index="bloom")
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, _mk(spark, [(1, 10, 1.0), (50, 10, 1.0)]), WriteDisposition.APPEND)
+    # insert key 30 (opens a new group), update 50
+    _commit(spark, dest, b, _mk(spark, [(30, 30, 3.0), (50, 10, -1.0)]), WriteDisposition.MERGE)
+    # now update 30 — must route to the group that holds it
+    _commit(spark, dest, b, _mk(spark, [(30, 30, -5.0)]), WriteDisposition.MERGE)
+    got = {r.o_orderkey: r.o_totalprice for r in dest.read(spark).collect()}
+    assert got == {1: 1.0, 50: -1.0, 30: -5.0}
+
+
+def test_clean_reclaims_stale_blooms(spark, tmp_path):
+    """The cleaner removes bloom entries whose file-group version it
+    reclaimed, and never touches entries for live versions."""
+    dest = HudiDestination(tmp_path / "t", merge_keys=["o_orderkey"], key_index="bloom")
+    b = PackageBuilder(tmp_path / "pkgs", "orders")
+    _commit(spark, dest, b, _mk(spark, [(1, 10, 1.0)]), WriteDisposition.APPEND)
+    for i in range(4):  # repeated rewrites of the same group
+        _commit(spark, dest, b, _mk(spark, [(1, 10, float(-i))]), WriteDisposition.MERGE)
+    bdir = tmp_path / "t" / ".hoodie" / "bloom"
+    n_before = len(list(bdir.glob("*.json")))
+    res = HudiTable(tmp_path / "t").clean(retain_commits=1)
+    assert res["deleted"], "clean reclaimed nothing — fixture too small"
+    assert res["blooms_deleted"]
+    n_after = len(list(bdir.glob("*.json")))
+    assert n_after < n_before
+    # every surviving bloom points at a live file
+    import json as _json
+
+    for bj in bdir.glob("*.json"):
+        rel = _json.loads(bj.read_text())["path"]
+        assert (tmp_path / "t" / rel).exists()
+    got = {r.o_orderkey: r.o_totalprice for r in dest.read(spark).collect()}
+    assert got == {1: -3.0}
