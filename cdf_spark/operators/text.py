@@ -135,6 +135,15 @@ def hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def hash64_py(s: str) -> int:
+    """Driver-side twin of `hash64` (bit-identical for utf-8 strings)
+    — lets plan-time code probe structures that executors built with
+    the Column form (e.g. the bloom-index sidecars)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def rolling_fingerprints(col: Column, window: int = 8) -> Column:
     """Winnowing-style k-gram fingerprints: hash each k-char gram and
     keep grams whose hash ≡ 0 (mod 16) — a deterministic 1/16 sampled

@@ -5103,6 +5103,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "token_budget_sample_docs",
     "nb_index_incremental",
     "hudi_bloom_routed_upsert",
+    "delta_bloom_point_lookup",
+    "iceberg_bloom_point_lookup",
     "xtable_partitioned_delta_to_iceberg_scan",
     "xtable_partitioned_iceberg_to_delta_scan",
     "xtable_delta_to_hudi_scan",
@@ -10721,3 +10723,116 @@ def hudi_bloom_routed_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("hudi_bloom_up", sf, build)
     return HudiDestination(f"{tmp}/t", merge_keys=["o_orderkey"]).read(spark)
+
+
+@_register(
+    "delta_bloom_point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey <= 1000 AND o_orderkey % 100 = 1
+    """,
+)
+def delta_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """BLOOM data skipping on a Delta scan (`sources/bloom_index.py` —
+    the Delta bloom-filter-index analog): two files with fully
+    INTERLEAVED key ranges (odd vs even — min/max stats span the whole
+    domain and prune NOTHING), a per-file 8 KiB bloom index on the key
+    column, then point lookups on odd keys. The fixture asserts every
+    probed scan pruned the even file BY BLOOM (stats pruned zero) —
+    the high-cardinality point-lookup case where bounds are useless at
+    any scale. The oracle recomputes the lookups relationally, so a
+    bloom false NEGATIVE (a lost row) hash-mismatches. Sidecars are
+    8 KiB per (file, column), read O(candidate files) at plan time —
+    the same metadata budget the footer-stats path already spends."""
+    from .expressions.ast import Col, Lit
+    from .plans.scan import ScanRequest
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        le = o.filter(F.col("o_orderkey") <= 1000)
+        w = DeltaFixtureWriter(f"{tmp}/t")
+        w.append(le.filter(F.col("o_orderkey") % 2 == 1), timestamp_ms=1_000)
+        w.append(le.filter(F.col("o_orderkey") % 2 == 0), timestamp_ms=2_000)
+        t = DeltaTable(f"{tmp}/t")
+        res = t.build_bloom_index(spark, "o_orderkey")
+        if res["built"] != 2:
+            raise AssertionError(f"expected 2 sidecars, built {res}")
+
+    tmp = _session_fixture("delta_bloom", sf, build)
+    t = DeltaTable(f"{tmp}/t")
+    keys = [
+        int(r[0])
+        for r in _t(spark, sf, "orders")
+        .filter("o_orderkey <= 1000 AND o_orderkey % 100 = 1")
+        .select("o_orderkey")
+        .collect()
+    ]
+    parts = []
+    for k in sorted(keys):
+        df, plan = t.scan(
+            spark, ScanRequest("t", predicates=[Col("o_orderkey") == Lit(k)])
+        )
+        meta = plan.partitions.meta
+        if meta["files_pruned_by_bloom"] != 1 or meta["files_pruned_by_stats"] != 0:
+            raise AssertionError(f"bloom did not prune the sibling file: {meta}")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_register(
+    "iceberg_bloom_point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey <= 1000 AND o_orderkey % 100 = 1
+    """,
+)
+def iceberg_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """BLOOM data skipping on an Iceberg scan — same shared sidecar
+    index as `delta_bloom_point_lookup`, consulted by the manifest
+    pruning path (`iceberg.data_files_pruned`) AFTER bounds and
+    partition pruning: interleaved odd/even files whose manifest
+    min/max cannot be separated, pruned per point lookup by the
+    per-file bloom. Linked files (metadata translation) never consult
+    or build this index — their sidecars belong to the source table.
+    The oracle recomputes the lookups relationally."""
+    from .expressions.ast import Col, Lit
+    from .plans.scan import ScanRequest
+    from .sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        le = o.filter(F.col("o_orderkey") <= 1000)
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=23)
+        w.append(le.filter(F.col("o_orderkey") % 2 == 1), timestamp_ms=1_000, snapshot_id=301)
+        w.append(le.filter(F.col("o_orderkey") % 2 == 0), timestamp_ms=2_000, snapshot_id=302)
+        t = IcebergTable(f"{tmp}/t")
+        res = t.build_bloom_index(spark, "o_orderkey")
+        if res["built"] != 2:
+            raise AssertionError(f"expected 2 sidecars, built {res}")
+
+    tmp = _session_fixture("ice_bloom", sf, build)
+    t = IcebergTable(f"{tmp}/t")
+    keys = [
+        int(r[0])
+        for r in _t(spark, sf, "orders")
+        .filter("o_orderkey <= 1000 AND o_orderkey % 100 = 1")
+        .select("o_orderkey")
+        .collect()
+    ]
+    parts = []
+    for k in sorted(keys):
+        df, plan = t.scan(
+            spark, ScanRequest("t", predicates=[Col("o_orderkey") == Lit(k)])
+        )
+        meta = plan.partitions.meta
+        if meta["files_pruned_by_bloom"] != 1:
+            raise AssertionError(f"bloom did not prune the sibling file: {meta}")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,210 @@
+"""Per-data-file BLOOM column index for scan-side data skipping —
+the point-lookup complement of min/max stats pruning, shared by the
+Delta and Iceberg readers.
+
+Real engines ship exactly this: Delta Lake bloom filter indexes
+(`_delta_index/` per-file sidecars), Iceberg parquet bloom filters
+(write-time `write.parquet.bloom-filter-enabled.column.*`), Hudi's
+metadata-table `bloom_filters` partition. Min/max bounds prune a file
+only when the probed value falls OUTSIDE its range — useless for a
+point lookup on a high-cardinality key whose every file spans nearly
+the full domain (uuid-ish ids, hashes, emails). A per-file bloom over
+the column answers "is this exact value possibly in this file" and
+prunes the rest of the table.
+
+Layout: `<table_root>/_bloom_index/<col>/<md5(relpath)[:16]>.json`
+holding {m, k, path, bits(base64)} — one sidecar per (data file,
+column), keyed by the file's table-relative path so reclaimers and
+rebuilds stay root-scoped (the linked-file discipline every cleaner
+here follows). Files without a sidecar are kept (conservative): an
+index can be partial, stale, or absent and only ever WIDENS the scan.
+
+Probe discipline: only equality predicates with int/str literals
+consult the index (their Python str() provably equals Spark's
+CAST(col AS STRING) encoding — floats/bools/dates do not round-trip
+identically and stay on the stats path). The tri-state combinator
+mirrors `_file_can_match`: only a provable False prunes.
+
+Scale: the build is one distributed pass over the indexed files
+(positions are DISTINCT set bits, <= m rows per file); sidecars are
+8 KiB each, read O(candidate files) at plan time — the same
+metadata-read budget the footer-stats path already spends.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+BLOOM_DIR = "_bloom_index"
+BLOOM_M = 1 << 16  # 65536 bits = 8 KiB per (file, column)
+BLOOM_K = 4
+
+
+def _sidecar(root: Path, col: str, rel: str) -> Path:
+    return root / BLOOM_DIR / col / (
+        hashlib.md5(rel.encode()).hexdigest()[:16] + ".json"
+    )
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    root: str | Path,
+    col: str,
+    files: list[str],
+    m: int = BLOOM_M,
+    k_hashes: int = BLOOM_K,
+) -> dict:
+    """Build (or refresh) the bloom index of `col` for the given data
+    files (absolute paths under `root`). Files that already have a
+    sidecar are skipped — incremental by default, so a maintenance
+    pass after each commit only indexes the new files. Returns
+    {built, skipped}."""
+    from ..operators.sketches import bloom_positions
+
+    root = Path(root)
+    todo: list[tuple[str, str]] = []  # (abs, rel)
+    skipped = 0
+    for f in files:
+        rel = str(Path(f).resolve().relative_to(root.resolve()))
+        if _sidecar(root, col, rel).exists():
+            skipped += 1
+        else:
+            todo.append((str(Path(f).resolve()), rel))
+    if not todo:
+        return {"built": 0, "skipped": skipped}
+    norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    per = (
+        spark.read.parquet(*[a for a, _ in todo])
+        .select(
+            norm.alias("_path"),
+            F.explode(
+                bloom_positions(F.col(col).cast("string"), m, k_hashes)
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("_path")
+        .agg(F.collect_set("p").alias("ps"))
+        .collect()
+    )
+    pos_by_path = {r["_path"]: r["ps"] for r in per}
+    built = 0
+    for abspath, rel in todo:
+        bits = bytearray(m // 8)
+        for p in pos_by_path.get(abspath, []):
+            bits[p >> 3] |= 1 << (p & 7)
+        sc = _sidecar(root, col, rel)
+        sc.parent.mkdir(parents=True, exist_ok=True)
+        sc.write_text(
+            json.dumps(
+                {
+                    "m": m,
+                    "k": k_hashes,
+                    "path": rel,
+                    "bits": base64.b64encode(bytes(bits)).decode(),
+                }
+            )
+        )
+        built += 1
+    return {"built": built, "skipped": skipped}
+
+
+def indexed_columns(root: str | Path) -> list[str]:
+    d = Path(root) / BLOOM_DIR
+    return sorted(p.name for p in d.iterdir() if p.is_dir()) if d.is_dir() else []
+
+
+def _encode_probe(value) -> str | None:
+    """The probe string for a literal — must equal Spark's
+    CAST(col AS STRING) of a matching cell. Only int and str provably
+    round-trip; everything else returns None (stats path handles it)."""
+    if isinstance(value, bool):  # bool is an int subclass — refuse first
+        return None
+    if isinstance(value, (int, str)):
+        return str(value)
+    return None
+
+
+class BloomProbe:
+    """Per-scan cached prober: maybe_contains(col, rel, value) is
+    tri-state — False only when a sidecar exists, parses, and proves
+    the value absent."""
+
+    def __init__(self, root: str | Path, cols: list[str]):
+        self.root = Path(root)
+        self.cols = set(cols)
+        self._cache: dict[tuple[str, str], tuple | None] = {}
+
+    def _load(self, col: str, rel: str):
+        key = (col, rel)
+        if key not in self._cache:
+            sc = _sidecar(self.root, col, rel)
+            loaded = None
+            if sc.exists():
+                try:
+                    meta = json.loads(sc.read_text())
+                    loaded = (
+                        int(meta["m"]),
+                        int(meta["k"]),
+                        base64.b64decode(meta["bits"]),
+                    )
+                except Exception:  # noqa: BLE001 — unreadable: no index
+                    loaded = None
+            self._cache[key] = loaded
+        return self._cache[key]
+
+    def maybe_contains(self, col: str, rel: str, value) -> bool | None:
+        if col not in self.cols:
+            return None
+        enc = _encode_probe(value)
+        if enc is None:
+            return None
+        loaded = self._load(col, rel)
+        if loaded is None:
+            return None
+        m, k, bits = loaded
+        from ..operators.text import hash64_py
+
+        for j in range(k):
+            p = hash64_py(f"{j}:{enc}") % m
+            if not (bits[p >> 3] >> (p & 7)) & 1:
+                return False
+        return True
+
+
+def bloom_can_match(expr, probe: BloomProbe, rel: str) -> bool | None:
+    """Tri-state: can any row of data file `rel` satisfy `expr`, per
+    the bloom index? Only equality (and conjunctions/disjunctions of
+    equalities) ever prove False — every other shape is undecidable
+    here and stays with the stats/partition prune. Same conservative
+    combinator discipline as `iceberg._file_can_match`."""
+    from ..expressions.ast import Binary, Col, Lit
+
+    if not isinstance(expr, Binary):
+        return None
+    op = expr.op
+    if op in ("and", "or"):
+        left = bloom_can_match(expr.left, probe, rel)
+        right = bloom_can_match(expr.right, probe, rel)
+        if op == "and":
+            if left is False or right is False:
+                return False
+            return True if (left is True and right is True) else None
+        if left is False and right is False:
+            return False
+        return True if (left is True or right is True) else None
+    if op != "eq":
+        return None
+    l, r = expr.left, expr.right
+    if isinstance(l, Lit) and isinstance(r, Col):
+        l, r = r, l
+    if not (isinstance(l, Col) and isinstance(r, Lit)):
+        return None
+    if r.value is None:
+        return None  # eq NULL never matches rows, but that's not ours to decide
+    return None if probe.maybe_contains(l.name, rel, r.value) in (True, None) else False

@@ -1065,6 +1065,22 @@ class DeltaTable:
         )
         return out.drop(fkey, pkey)
 
+    def build_bloom_index(
+        self, spark: SparkSession, col: str, version: int | None = None
+    ) -> dict:
+        """Build/refresh the per-file bloom index of `col` for the
+        live files of `version` (default current) — the Delta
+        bloom-filter-index analog (`_bloom_index/` sidecars) that
+        `scan` consults for equality data skipping. Incremental: files
+        already indexed are skipped, so running this after each commit
+        costs one pass over the NEW files only."""
+        from .bloom_index import build_bloom_index
+
+        if version is None:
+            version = self.current_version()
+        files = [self._resolve(p) for p in self.live_add_actions(version)]
+        return build_bloom_index(spark, self.root, col, files)
+
     def scan(
         self,
         spark: SparkSession,
@@ -1096,6 +1112,16 @@ class DeltaTable:
             total = len(actions)
             part_pruned = 0
             stats_pruned = 0
+            bloom_pruned = 0
+            # BLOOM DATA SKIPPING (point lookups): per-file bloom
+            # sidecars under _bloom_index/ prune equality probes on
+            # high-cardinality columns whose min/max spans every file
+            # — the Delta bloom-filter-index analog. Missing/partial
+            # index only widens the scan (tri-state, like stats).
+            from .bloom_index import BloomProbe, bloom_can_match, indexed_columns
+
+            _bcols = indexed_columns(self.root)
+            _probe = BloomProbe(self.root, _bcols) if _bcols else None
             kept_files = []
             for stored, add in sorted(actions.items()):
                 pv = add.get("partitionValues") or {}
@@ -1134,6 +1160,12 @@ class DeltaTable:
                         ):
                             stats_pruned += 1
                             continue
+                if _probe is not None and any(
+                    bloom_can_match(q, _probe, stored) is False
+                    for q in request.predicates
+                ):
+                    bloom_pruned += 1
+                    continue
                 kept_files.append(self._resolve(stored))
             plan.partitions = _PP(
                 kind="files",
@@ -1144,6 +1176,7 @@ class DeltaTable:
                     "files_pruned": total - len(kept_files),
                     "files_pruned_by_partition": part_pruned,
                     "files_pruned_by_stats": stats_pruned,
+                    "files_pruned_by_bloom": bloom_pruned,
                     "version": version,
                 },
             )

@@ -726,6 +726,19 @@ class IcebergTable:
         kept: list[str] = []
         total = 0
         manifests_total = manifests_skipped = 0
+        bloom_pruned = 0
+        # BLOOM DATA SKIPPING (point lookups): per-file sidecars under
+        # _bloom_index/ prune equality probes on high-cardinality
+        # columns whose manifest min/max spans every file — the
+        # Iceberg parquet-bloom-filter analog kept in table-local
+        # metadata. LINKED files (absolute paths outside this root,
+        # from metadata translation) never consult the index — their
+        # sidecars belong to the source table; they are simply kept.
+        from .bloom_index import BloomProbe, bloom_can_match, indexed_columns
+
+        _bcols = indexed_columns(self.root)
+        _probe = BloomProbe(self.root, _bcols) if _bcols else None
+        _root_resolved = self.root.resolve()
         for row in self._manifest_list_rows(self.snapshot(snapshot_id)):
             manifests_total += 1
             row_spec = row.get("partition_spec_id")
@@ -791,15 +804,52 @@ class IcebergTable:
                 if all(_file_can_match(p, bounds) is not False for p in predicates) and all(
                     _file_can_match(q, bounds) is not False for q in projected
                 ):
-                    kept.append(str(self._resolve(dfile["file_path"])))
+                    apath = str(self._resolve(dfile["file_path"]))
+                    if _probe is not None:
+                        try:
+                            rel = str(Path(apath).resolve().relative_to(_root_resolved))
+                        except ValueError:
+                            rel = None  # linked file — not ours to index
+                        if rel is not None and any(
+                            bloom_can_match(p, _probe, rel) is False
+                            for p in predicates
+                        ):
+                            bloom_pruned += 1
+                            continue
+                    kept.append(apath)
         kept.sort()
         return kept, {
             "files_total": total,
             "files_kept": len(kept),
             "files_pruned": total - len(kept),
+            "files_pruned_by_bloom": bloom_pruned,
             "manifests_total": manifests_total,
             "manifests_skipped": manifests_skipped,
         }
+
+    def build_bloom_index(
+        self, spark: SparkSession, col: str, snapshot_id: int | None = None
+    ) -> dict:
+        """Build/refresh the per-file bloom index of `col` for the
+        live data files of a snapshot (default current) — the Iceberg
+        parquet-bloom-filter analog (`_bloom_index/` sidecars) that
+        `data_files_pruned` consults for equality data skipping.
+        Incremental (already-indexed files skip); LINKED files outside
+        this table root are never indexed — their lifecycle belongs to
+        the source table."""
+        from .bloom_index import build_bloom_index
+
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+        root_resolved = self.root.resolve()
+        local = []
+        for p in self.files_for_snapshot(snapshot_id):
+            try:
+                Path(p).resolve().relative_to(root_resolved)
+            except ValueError:
+                continue
+            local.append(p)
+        return build_bloom_index(spark, self.root, col, local)
 
     def equality_deletes_for_snapshot(
         self, snapshot_id: int

@@ -1,0 +1,140 @@
+"""Scan-side bloom data skipping (_bloom_index/ sidecars) — point
+lookups on high-cardinality columns whose min/max spans every file."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.expressions.ast import Col, Lit
+from cdf_spark.plans.scan import ScanRequest
+from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+from cdf_spark.sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+
+@pytest.fixture()
+def orders(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _interleaved(spark, orders, parity):
+    """Keys of one parity over the full range — every file's min/max
+    spans nearly the whole key domain, so stats cannot separate them."""
+    return orders.filter(f"o_orderkey <= 1000 and o_orderkey % 2 = {parity}")
+
+
+def test_delta_bloom_point_lookup_prunes(spark, tmp_path, orders):
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(_interleaved(spark, orders, 1), timestamp_ms=1_000)
+    w.append(_interleaved(spark, orders, 0), timestamp_ms=2_000)
+    t = DeltaTable(tmp_path / "t")
+    res = t.build_bloom_index(spark, "o_orderkey")
+    assert res["built"] == 2 and res["skipped"] == 0
+    # an odd key: only the parity-1 file can hold it
+    key = int(
+        orders.filter("o_orderkey <= 1000 and o_orderkey % 2 = 1")
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    req = ScanRequest("t", predicates=[Col("o_orderkey") == Lit(key)])
+    df, plan = t.scan(spark, req)
+    meta = plan.partitions.meta
+    assert meta["files_pruned_by_bloom"] == 1, meta
+    assert meta["files_pruned_by_stats"] == 0  # ranges interleave
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].o_orderkey == key
+
+
+def test_delta_bloom_no_index_is_noop(spark, tmp_path, orders):
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(_interleaved(spark, orders, 1), timestamp_ms=1_000)
+    w.append(_interleaved(spark, orders, 0), timestamp_ms=2_000)
+    t = DeltaTable(tmp_path / "t")
+    req = ScanRequest("t", predicates=[Col("o_orderkey") == Lit(5)])
+    df, plan = t.scan(spark, req)
+    assert plan.partitions.meta["files_pruned_by_bloom"] == 0
+    assert df.count() == 1
+
+
+def test_delta_bloom_partial_index_conservative(spark, tmp_path, orders):
+    """Files committed AFTER the index build have no sidecar — they
+    are kept; an incremental rebuild indexes only the new files."""
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(_interleaved(spark, orders, 1), timestamp_ms=1_000)
+    t = DeltaTable(tmp_path / "t")
+    assert t.build_bloom_index(spark, "o_orderkey")["built"] == 1
+    w.append(_interleaved(spark, orders, 0), timestamp_ms=2_000)
+    t2 = DeltaTable(tmp_path / "t")
+    # even key, held by the UNINDEXED file: must not be pruned
+    key = int(
+        orders.filter("o_orderkey <= 1000 and o_orderkey % 2 = 0")
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    df, plan = t2.scan(spark, ScanRequest("t", predicates=[Col("o_orderkey") == Lit(key)]))
+    assert df.count() == 1
+    res = t2.build_bloom_index(spark, "o_orderkey")
+    assert res["built"] == 1 and res["skipped"] == 1
+
+
+def test_delta_bloom_refuses_unsafe_literals(spark, tmp_path, orders):
+    """Float/bool literals don't provably round-trip to Spark's string
+    cast — the index must not prune on them."""
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(_interleaved(spark, orders, 1), timestamp_ms=1_000)
+    w.append(_interleaved(spark, orders, 0), timestamp_ms=2_000)
+    t = DeltaTable(tmp_path / "t")
+    t.build_bloom_index(spark, "o_totalprice")
+    some = orders.filter("o_orderkey <= 1000").limit(1).collect()[0].o_totalprice
+    df, plan = t.scan(
+        spark, ScanRequest("t", predicates=[Col("o_totalprice") == Lit(float(some))])
+    )
+    assert plan.partitions.meta["files_pruned_by_bloom"] == 0
+    assert df.count() >= 1
+
+
+def test_iceberg_bloom_point_lookup_prunes(spark, tmp_path, orders):
+    w = IcebergFixtureWriter(tmp_path / "t", seed=11)
+    w.append(_interleaved(spark, orders, 1), timestamp_ms=1_000, snapshot_id=101)
+    w.append(_interleaved(spark, orders, 0), timestamp_ms=2_000, snapshot_id=102)
+    t = IcebergTable(tmp_path / "t")
+    res = t.build_bloom_index(spark, "o_orderkey")
+    assert res["built"] == 2
+    key = int(
+        orders.filter("o_orderkey <= 1000 and o_orderkey % 2 = 1")
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    df, plan = t.scan(spark, ScanRequest("t", predicates=[Col("o_orderkey") == Lit(key)]))
+    meta = plan.partitions.meta
+    assert meta["files_pruned_by_bloom"] == 1, meta
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].o_orderkey == key
+
+
+def test_iceberg_bloom_time_travel_consistent(spark, tmp_path, orders):
+    """Bloom pruning at an OLD snapshot still returns exactly the
+    old-snapshot rows (the index is per-file, snapshot-agnostic)."""
+    w = IcebergFixtureWriter(tmp_path / "t", seed=12)
+    w.append(_interleaved(spark, orders, 1), timestamp_ms=1_000, snapshot_id=201)
+    w.append(_interleaved(spark, orders, 0), timestamp_ms=2_000, snapshot_id=202)
+    t = IcebergTable(tmp_path / "t")
+    t.build_bloom_index(spark, "o_orderkey")
+    key = int(
+        orders.filter("o_orderkey <= 1000 and o_orderkey % 2 = 0")
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    # the even key exists only at snapshot 202
+    df_old, _ = t.scan(
+        spark, ScanRequest("t", predicates=[Col("o_orderkey") == Lit(key)]),
+        snapshot_id=201,
+    )
+    assert df_old.count() == 0
+    df_new, _ = t.scan(
+        spark, ScanRequest("t", predicates=[Col("o_orderkey") == Lit(key)]),
+        snapshot_id=202,
+    )
+    assert df_new.count() == 1
