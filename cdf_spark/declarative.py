@@ -397,11 +397,13 @@ def _build_destination(dest_cfg: dict, workspace: Path, resource_id: str, merge_
         from .package.hudi_dest import HudiDestination
 
         # TOML partition_by: identity column names (Hudi's hive-style
-        # partition paths); MERGE is flat-table copy-on-write upsert
+        # partition paths); MERGE is flat-table copy-on-write upsert;
+        # key_index="bloom" adds the per-group bloom routing cut
         return HudiDestination(
             path,
             merge_keys=merge_keys,
             partition_by=dest_cfg.get("partition_by"),
+            key_index=dest_cfg.get("key_index", "stats"),
         )
     if kind == "hudi_mor":
         from .package.hudi_mor_dest import HudiMorDestination

@@ -59,6 +59,11 @@ class MaintenancePolicy:
     # replacecommit; routing stays a zero-read key function at the new
     # generation). 0 disables.
     max_mor_group_bytes: int = 256 << 20
+    # scan-side bloom data skipping: keep a per-file bloom index on
+    # these columns (iceberg/delta) — each run indexes only the files
+    # new commits added (incremental), so the autopilot keeps point
+    # lookups pruned without a manual rebuild. Empty disables.
+    bloom_index_columns: tuple = ()
 
 
 @dataclass
@@ -133,7 +138,37 @@ def _plan_iceberg(root: Path, policy: MaintenancePolicy) -> list[MaintenanceActi
                 {"orphans": len(orphans["deleted"])},
             )
         )
+    if policy.bloom_index_columns:
+        missing = _bloom_missing(
+            root, policy.bloom_index_columns, t.files_for_snapshot(cur)
+        )
+        if missing:
+            actions.append(
+                MaintenanceAction(
+                    "build_bloom_index",
+                    f"{missing} live (file, column) pair(s) lack bloom sidecars",
+                    {"missing": missing, "columns": list(policy.bloom_index_columns)},
+                )
+            )
     return actions
+
+
+def _bloom_missing(root: Path, cols, files) -> int:
+    """How many live (file, column) pairs lack a bloom sidecar —
+    root-local files only (linked files are the source table's)."""
+    from ..sources.bloom_index import _sidecar
+
+    rr = root.resolve()
+    n = 0
+    for col in cols:
+        for f in files:
+            try:
+                rel = str(Path(f).resolve().relative_to(rr))
+            except ValueError:
+                continue
+            if not _sidecar(root, col, rel).exists():
+                n += 1
+    return n
 
 
 def _plan_delta(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction]:
@@ -188,6 +223,17 @@ def _plan_delta(root: Path, policy: MaintenancePolicy) -> list[MaintenanceAction
                 {"versions": len(t.versions())},
             )
         )
+    if policy.bloom_index_columns:
+        files = [t._resolve(p) for p in t.live_add_actions(t.current_version())]
+        missing = _bloom_missing(root, policy.bloom_index_columns, files)
+        if missing:
+            actions.append(
+                MaintenanceAction(
+                    "build_bloom_index",
+                    f"{missing} live (file, column) pair(s) lack bloom sidecars",
+                    {"missing": missing, "columns": list(policy.bloom_index_columns)},
+                )
+            )
     return actions
 
 
@@ -341,6 +387,12 @@ def run_maintenance(
                 results[act.action] = IcebergTable(root).remove_orphan_files(
                     older_than_ms=_now_ms() - policy.retention_ms
                 )
+            elif act.action == "build_bloom_index":
+                t_i = IcebergTable(root)
+                results[act.action] = {
+                    c: t_i.build_bloom_index(spark, c)
+                    for c in policy.bloom_index_columns
+                }
         elif is_delta_layout(root):
             w = DeltaFixtureWriter(root)
             if act.action == "reorg_purge":
@@ -359,6 +411,12 @@ def run_maintenance(
                 v = w.checkpoint()
                 removed = w.clean_log(before_version=v)
                 results[act.action] = {"checkpoint": v, "cleaned": removed}
+            elif act.action == "build_bloom_index":
+                t_d = DeltaTable(root)
+                results[act.action] = {
+                    c: t_d.build_bloom_index(spark, c)
+                    for c in policy.bloom_index_columns
+                }
         elif is_hudi_layout(root) or _is_hudi_mor(root):
             if act.action == "mor_compact":
                 from ..sources.hudi_mor import HudiMorFixtureWriter

@@ -430,3 +430,31 @@ mode = "sync"
                 "target_path": "y",
             }
         )
+
+
+def test_kind_hudi_dest_bloom_key_index(spark, tmp_path, orders):
+    """destination key_index="bloom" from TOML: the Hudi destination
+    writes bloom sidecars on every commit and the declarative MERGE
+    routes through them."""
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice").limit(200)
+    (tmp_path / "in").mkdir()
+    o.write.mode("overwrite").parquet(str(tmp_path / "in" / "batch"))
+
+    decl = tmp_path / "cdf.toml"
+    decl.write_text(
+        f"""
+[resources.hb_orders]
+primary_key = ["o_orderkey"]
+source = {{ kind = "files", path = "{tmp_path / 'in' / 'batch'}", format = "parquet" }}
+destination = {{ kind = "hudi", path = "{tmp_path / 'hb'}", disposition = "merge", key_index = "bloom" }}
+"""
+    )
+    ws = Workspace(tmp_path / "ws")
+    compiled = ws.compile_file(decl)
+    (_rid, c) = next(iter(compiled.items()))
+    ws.run(spark, c)
+    blooms = list((tmp_path / "hb" / ".hoodie" / "bloom").glob("*.json"))
+    assert blooms, "bloom sidecars not written by the declarative hudi destination"
+    from cdf_spark.sources.hudi import HudiTable
+
+    assert HudiTable(tmp_path / "hb").read(spark).count() == 200

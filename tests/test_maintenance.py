@@ -847,3 +847,61 @@ def test_delta_reorg_purge_drops_dvs(spark, tmp_path, orders):
     # orphaned DV bins reclaim
     vac = t1.vacuum(retention_ms=0)
     assert any("deletion_vector" in p for p in vac["deleted"])
+
+
+def test_bloom_index_autopilot_delta(spark, tmp_path):
+    """bloom_index_columns on the policy: the planner flags missing
+    sidecars, the runner builds them incrementally, and the plan
+    converges — after which point-lookup scans prune by bloom."""
+    from cdf_spark.expressions.ast import Col, Lit
+    from cdf_spark.package.maintenance import (
+        MaintenancePolicy,
+        plan_maintenance,
+        run_maintenance,
+    )
+    from cdf_spark.plans.scan import ScanRequest
+    from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+
+    w = DeltaFixtureWriter(tmp_path / "t")
+    ks = spark.range(0, 200).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    w.append(ks.filter("k % 2 = 1").coalesce(1), timestamp_ms=1_000)
+    w.append(ks.filter("k % 2 = 0").coalesce(1), timestamp_ms=2_000)
+    # min_small_files high keeps bin-packing out of the plan so the
+    # bloom action is exercised in isolation
+    pol = MaintenancePolicy(bloom_index_columns=("k",), min_small_files=99)
+    plan = plan_maintenance(tmp_path / "t", pol)
+    assert "build_bloom_index" in [a.action for a in plan]
+    out = run_maintenance(spark, tmp_path / "t", pol)
+    assert out["results"]["build_bloom_index"]["k"]["built"] == 2
+    # converged: nothing more to index
+    assert "build_bloom_index" not in [
+        a.action for a in plan_maintenance(tmp_path / "t", pol)
+    ]
+    # a new commit makes exactly one new file due
+    w.append(spark.createDataFrame([(1000, -1.0)], ["k", "v"]).coalesce(1), timestamp_ms=3_000)
+    out2 = run_maintenance(spark, tmp_path / "t", pol)
+    assert out2["results"]["build_bloom_index"]["k"]["built"] == 1
+    df, plan2 = DeltaTable(tmp_path / "t").scan(
+        spark, ScanRequest("t", predicates=[Col("k") == Lit(7)])
+    )
+    meta = plan2.partitions.meta
+    # even file by bloom; the (1000) file by stats; odd file kept
+    assert meta["files_pruned_by_bloom"] == 1 and meta["files_kept"] == 1, meta
+    assert df.count() == 1
+
+
+def test_bloom_index_autopilot_iceberg(spark, tmp_path):
+    from cdf_spark.package.maintenance import MaintenancePolicy, plan_maintenance, run_maintenance
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=31)
+    ks = spark.range(0, 200).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    w.append(ks.filter("k % 2 = 1").coalesce(1), timestamp_ms=1_000, snapshot_id=401)
+    w.append(ks.filter("k % 2 = 0").coalesce(1), timestamp_ms=2_000, snapshot_id=402)
+    pol = MaintenancePolicy(bloom_index_columns=("k",), min_small_files=99)
+    assert "build_bloom_index" in [a.action for a in plan_maintenance(tmp_path / "t", pol)]
+    out = run_maintenance(spark, tmp_path / "t", pol)
+    assert out["results"]["build_bloom_index"]["k"]["built"] == 2
+    assert "build_bloom_index" not in [
+        a.action for a in plan_maintenance(tmp_path / "t", pol)
+    ]
