@@ -98,6 +98,12 @@ BENCH_QUERIES = [
     # join aggregations) — plan-quality sentinels for join strategy
     "q9_product_type_profit",
     "q10_returned_items",
+    # round 11 second wave: closed-form NB train+score end to end
+    # (2 shuffles + broadcasts, the no-iteration distributed-training
+    # shape) and the temperature token-budget mixer (per-domain
+    # windows, 2 shuffles)
+    "nb_classifier_predict",
+    "token_budget_sample_docs",
 ]
 
 
