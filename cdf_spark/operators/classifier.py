@@ -233,9 +233,23 @@ class NBIndex:
         df: DataFrame,
         text_col: str = "text",
         label_col: str = "lang",
+        epoch: int | None = None,
     ) -> dict:
+        """Fold a labeled batch. `epoch` is the AT-LEAST-ONCE fence for
+        streaming folds (foreachBatch retries redeliver a batch): an
+        epoch already recorded in meta is skipped, so a replayed fold
+        cannot double its counts — NB counts are not idempotent under
+        re-addition, the fence is what makes the streaming drain
+        exactly-once."""
         import json as _json
 
+        meta0 = self._meta()
+        if (
+            epoch is not None
+            and meta0 is not None
+            and int(epoch) in meta0.get("epochs", [])
+        ):
+            return meta0  # replayed fold — already counted
         batch = (
             df.select(
                 F.col(label_col).alias("label"),
@@ -252,7 +266,7 @@ class NBIndex:
         bdocs = df.groupBy(F.col(label_col).alias("label")).agg(
             F.count(F.lit(1)).alias("d_l")
         )
-        meta = self._meta()
+        meta = meta0
         if meta is None:
             merged, mdocs, version = batch, bdocs, 1
         else:
@@ -270,7 +284,15 @@ class NBIndex:
         mdocs.write.mode("overwrite").parquet(str(outl))
         v = spark.read.parquet(str(outc)).select("tok").distinct().count()
         d_tot = spark.read.parquet(str(outl)).agg(F.sum("d_l")).collect()[0][0]
-        new_meta = {"version": version, "v": int(v), "d_tot": int(d_tot)}
+        epochs = list((meta or {}).get("epochs", []))
+        if epoch is not None:
+            epochs.append(int(epoch))
+        new_meta = {
+            "version": version,
+            "v": int(v),
+            "d_tot": int(d_tot),
+            "epochs": epochs,
+        }
         (self.root / "meta.json").write_text(_json.dumps(new_meta))  # the swap
         return new_meta
 

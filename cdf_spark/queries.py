@@ -5105,6 +5105,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "hudi_bloom_routed_upsert",
     "delta_bloom_point_lookup",
     "iceberg_bloom_point_lookup",
+    "streaming_nb_classify_drain",
     "xtable_partitioned_delta_to_iceberg_scan",
     "xtable_partitioned_iceberg_to_delta_scan",
     "xtable_delta_to_hudi_scan",
@@ -10836,3 +10837,148 @@ def iceberg_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _nb_online_epoch_oracle(epoch: int, train_where: str, score_where: str) -> str:
+    """One epoch of the ONLINE-classification oracle: the full NB
+    predict pipeline with the model fit ONLY on `train_where` docs
+    (the corpus folded before this epoch) scoring ONLY `score_where`
+    docs (this epoch's batch) — the same chained-replay discipline the
+    BPE oracle uses, so a wrong fold in ANY earlier epoch diverges
+    every later epoch's scores."""
+    return f"""
+    SELECT CAST({epoch} AS BIGINT) AS epoch, doc_id, predicted, score_unat, margin_unat
+    FROM (
+      WITH toks AS (
+        SELECT doc_id AS _id, t.tok
+        FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+        WHERE t.tok <> '' AND ({score_where})
+      ),
+      ltoks AS (
+        SELECT d.lang AS _cand, t.tok
+        FROM documents d, UNNEST(regexp_split_to_array(lower(d.text), '[^a-z0-9]+')) AS t(tok)
+        WHERE t.tok <> '' AND ({train_where})
+      ),
+      counts AS (SELECT _cand, tok, COUNT(*) AS c FROM ltoks GROUP BY _cand, tok),
+      vv AS (SELECT COUNT(DISTINCT tok) AS v FROM counts),
+      n AS (SELECT _cand, CAST(SUM(c) AS BIGINT) AS n_label FROM counts GROUP BY _cand),
+      model AS (
+        SELECT _cand, tok,
+               CAST(round((ln(c + 1.0) - ln(CAST(n_label AS DOUBLE) + v)) * 1000000.0) AS BIGINT) AS lp_unat
+        FROM counts JOIN n USING (_cand) CROSS JOIN vv
+      ),
+      dtot AS (SELECT COUNT(*) AS d FROM documents WHERE {train_where}),
+      lab AS (
+        SELECT n._cand,
+               CAST(round((ln(CAST(dl.d_l AS DOUBLE)) - ln(CAST(dtot.d AS DOUBLE))) * 1000000.0) AS BIGINT) AS prior_unat,
+               CAST(round((0.0 - ln(CAST(n.n_label AS DOUBLE) + vv.v)) * 1000000.0) AS BIGINT) AS oov_unat
+        FROM n CROSS JOIN vv CROSS JOIN dtot
+        JOIN (SELECT lang AS _cand, COUNT(*) AS d_l FROM documents WHERE {train_where} GROUP BY lang) dl USING (_cand)
+      ),
+      scored AS (
+        SELECT t._id, l._cand,
+               CAST(SUM(COALESCE(m.lp_unat, l.oov_unat)) AS BIGINT) + ANY_VALUE(l2.prior_unat) AS score_unat
+        FROM toks t
+        CROSS JOIN (SELECT _cand, oov_unat FROM lab) l
+        LEFT JOIN model m ON m._cand = l._cand AND m.tok = t.tok
+        JOIN lab l2 ON l2._cand = l._cand
+        GROUP BY t._id, l._cand
+      ),
+      ranked AS (
+        SELECT _id, _cand, score_unat,
+               row_number() OVER (PARTITION BY _id ORDER BY score_unat DESC, _cand ASC) AS rn,
+               score_unat - lead(score_unat, 1) OVER (PARTITION BY _id ORDER BY score_unat DESC, _cand ASC) AS gap
+        FROM scored
+      )
+      SELECT _id AS doc_id, _cand AS predicted, score_unat,
+             CAST(COALESCE(gap, 0) AS BIGINT) AS margin_unat
+      FROM ranked WHERE rn = 1
+    )
+    """
+
+
+_NB_BOUNDS = [(0, 166), (166, 333), (333, 10_000_000)]
+
+
+@_register(
+    "streaming_nb_classify_drain",
+    _nb_online_epoch_oracle(1, "doc_id < 166", "doc_id >= 166 AND doc_id < 333")
+    + " UNION ALL "
+    + _nb_online_epoch_oracle(2, "doc_id < 333", "doc_id >= 333"),
+)
+def streaming_nb_classify_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING online classification — the shape a continuously-
+    labeled corpus actually runs: a real readStream drain where every
+    micro-batch (a) is CLASSIFIED against the persisted NB model built
+    from everything ingested BEFORE it (epoch 0 has no model yet and
+    only trains), then (b) folds its own labels into the index
+    (`foreachBatch` over `NBIndex`, starting EMPTY). Per-epoch cost is
+    O(batch) token work + the bounded O(vocab x labels) model merge —
+    the corpus never re-fits, the whole point at 100 TB ingest rates.
+
+    foreachBatch is AT-LEAST-ONCE: predictions land in per-epoch
+    overwrite dirs (idempotent) and `update(epoch=)` carries the
+    replay fence — a redelivered epoch's fold is skipped, because NB
+    counts are NOT idempotent under re-addition and a double fold
+    would silently shift every later epoch's scores. The oracle
+    replays both scored epochs as full chained NB pipelines (the BPE
+    chained-CTE discipline): any wrong fold, double count, or stale
+    model read diverges the integer scores and hash-mismatches."""
+    from .operators.classifier import NBIndex
+
+    def build(tmp: str) -> None:
+        import os
+        import shutil
+        import tempfile
+        import time
+        from pathlib import Path as _Path
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+        (_Path(tmp) / "in").mkdir()
+        t0 = time.time() - 1000
+        for i, (lo, hi) in enumerate(_NB_BOUNDS):
+            stage = tempfile.mkdtemp(prefix="cdf_snb_part_")
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            dst = f"{tmp}/in/part-{i}.parquet"
+            shutil.move(str(src), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+            shutil.rmtree(stage, ignore_errors=True)
+
+        idx = NBIndex(f"{tmp}/nb")
+
+        def handle(batch_df, epoch_id: int) -> None:
+            # the epoch rides the hive dir name (epoch=N) so replayed
+            # epochs overwrite idempotently and the final read gets it
+            # back as a partition column
+            if idx._meta() is not None:
+                (
+                    idx.predict(spark, batch_df.select("doc_id", "text"))
+                    .select("doc_id", "predicted", "score_unat", "margin_unat")
+                    .write.mode("overwrite")
+                    .parquet(f"{tmp}/out/epoch={epoch_id}")
+                )
+            idx.update(spark, batch_df, epoch=int(epoch_id))
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+
+    tmp = _session_fixture("streaming_nb_classify", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        "predicted",
+        "score_unat",
+        "margin_unat",
+    )

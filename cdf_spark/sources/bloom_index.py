@@ -198,7 +198,10 @@ def bloom_can_match(expr, probe: BloomProbe, rel: str) -> bool | None:
         if left is False and right is False:
             return False
         return True if (left is True or right is True) else None
-    if op != "eq":
+    # null-safe equality against a NON-null literal is plain equality
+    # for pruning purposes (IN-lists need no special case: they lower
+    # to OR-of-eq, which the combinator above folds)
+    if op not in ("eq", "is_not_distinct_from"):
         return None
     l, r = expr.left, expr.right
     if isinstance(l, Lit) and isinstance(r, Col):

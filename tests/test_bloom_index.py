@@ -138,3 +138,28 @@ def test_iceberg_bloom_time_travel_consistent(spark, tmp_path, orders):
         snapshot_id=202,
     )
     assert df_new.count() == 1
+
+
+def test_delta_bloom_or_of_eq_in_list(spark, tmp_path, orders):
+    """IN-list shape (OR of equalities): pruned only when EVERY listed
+    value is provably absent; null-safe eq prunes like eq."""
+    from cdf_spark.expressions.ast import Binary
+
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(_interleaved(spark, orders, 1), timestamp_ms=1_000)
+    w.append(_interleaved(spark, orders, 0), timestamp_ms=2_000)
+    t = DeltaTable(tmp_path / "t")
+    t.build_bloom_index(spark, "o_orderkey")
+    odd = [
+        int(r[0])
+        for r in orders.filter("o_orderkey <= 1000 and o_orderkey % 2 = 1")
+        .select("o_orderkey").limit(2).collect()
+    ]
+    pred = Binary("or", Col("o_orderkey") == Lit(odd[0]), Col("o_orderkey") == Lit(odd[1]))
+    df, plan = t.scan(spark, ScanRequest("t", predicates=[pred]))
+    assert plan.partitions.meta["files_pruned_by_bloom"] == 1  # even file out
+    assert df.count() == 2
+    nseq = Binary("is_not_distinct_from", Col("o_orderkey"), Lit(odd[0]))
+    df2, plan2 = t.scan(spark, ScanRequest("t", predicates=[nseq]))
+    assert plan2.partitions.meta["files_pruned_by_bloom"] == 1
+    assert df2.count() == 1

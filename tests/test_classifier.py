@@ -246,3 +246,24 @@ def test_nb_index_empty_raises(spark, tmp_path):
         NBIndex(tmp_path / "nb").predict(
             spark, spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         )
+
+
+def test_nb_index_epoch_fence_replay(spark, tmp_path):
+    """foreachBatch at-least-once: a replayed epoch's fold must be
+    skipped (NB counts are not idempotent under re-addition) — crash
+    after fold, redelivery, fold again: counts unchanged."""
+    from cdf_spark.operators.classifier import NBIndex
+
+    df1 = spark.createDataFrame([(1, "the cat", "en")], ["doc_id", "text", "lang"])
+    df2 = spark.createDataFrame([(2, "le chat", "fr")], ["doc_id", "text", "lang"])
+    idx = NBIndex(tmp_path / "nb")
+    idx.update(spark, df1, epoch=0)
+    m = idx.update(spark, df2, epoch=1)
+    # redelivered epoch 1 (crash between fold and checkpoint advance)
+    m2 = idx.update(spark, df2, epoch=1)
+    assert m2 == m  # skipped: same version, same totals
+    assert m2["d_tot"] == 2 and m2["epochs"] == [0, 1]
+    # a genuinely new epoch still folds
+    df3 = spark.createDataFrame([(3, "der hund", "de")], ["doc_id", "text", "lang"])
+    m3 = idx.update(spark, df3, epoch=2)
+    assert m3["d_tot"] == 3 and m3["version"] == m["version"] + 1
