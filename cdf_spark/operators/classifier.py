@@ -237,17 +237,20 @@ class NBIndex:
     ) -> dict:
         """Fold a labeled batch. `epoch` is the AT-LEAST-ONCE fence for
         streaming folds (foreachBatch retries redeliver a batch): an
-        epoch already recorded in meta is skipped, so a replayed fold
-        cannot double its counts — NB counts are not idempotent under
-        re-addition, the fence is what makes the streaming drain
-        exactly-once."""
+        epoch at or below the recorded watermark is skipped, so a
+        replayed fold cannot double its counts — NB counts are not
+        idempotent under re-addition, the fence is what makes the
+        streaming drain exactly-once. foreachBatch epoch ids are
+        monotone, so the watermark is one integer (O(1) meta at any
+        epoch count), the checkpoint-ledger discipline the streaming
+        destinations already use."""
         import json as _json
 
         meta0 = self._meta()
         if (
             epoch is not None
             and meta0 is not None
-            and int(epoch) in meta0.get("epochs", [])
+            and int(epoch) <= meta0.get("last_epoch", -1)
         ):
             return meta0  # replayed fold — already counted
         batch = (
@@ -284,14 +287,12 @@ class NBIndex:
         mdocs.write.mode("overwrite").parquet(str(outl))
         v = spark.read.parquet(str(outc)).select("tok").distinct().count()
         d_tot = spark.read.parquet(str(outl)).agg(F.sum("d_l")).collect()[0][0]
-        epochs = list((meta or {}).get("epochs", []))
-        if epoch is not None:
-            epochs.append(int(epoch))
+        last = (meta or {}).get("last_epoch", -1)
         new_meta = {
             "version": version,
             "v": int(v),
             "d_tot": int(d_tot),
-            "epochs": epochs,
+            "last_epoch": int(epoch) if epoch is not None else last,
         }
         (self.root / "meta.json").write_text(_json.dumps(new_meta))  # the swap
         return new_meta

@@ -262,7 +262,7 @@ def test_nb_index_epoch_fence_replay(spark, tmp_path):
     # redelivered epoch 1 (crash between fold and checkpoint advance)
     m2 = idx.update(spark, df2, epoch=1)
     assert m2 == m  # skipped: same version, same totals
-    assert m2["d_tot"] == 2 and m2["epochs"] == [0, 1]
+    assert m2["d_tot"] == 2 and m2["last_epoch"] == 1
     # a genuinely new epoch still folds
     df3 = spark.createDataFrame([(3, "der hund", "de")], ["doc_id", "text", "lang"])
     m3 = idx.update(spark, df3, epoch=2)
