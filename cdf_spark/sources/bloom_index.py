@@ -114,6 +114,28 @@ def build_bloom_index(
     return {"built": built, "skipped": skipped}
 
 
+def sweep_stale_sidecars(root: str | Path) -> list[str]:
+    """Reclaim sidecars whose data file no longer exists (called by
+    each format's storage-reclamation op after it deletes files).
+    Keyed by the sidecar's own table-RELATIVE path record, so the
+    sweep can never touch anything outside this table root — the same
+    linked-file discipline every reclaimer here follows."""
+    root = Path(root)
+    d = root / BLOOM_DIR
+    removed: list[str] = []
+    if not d.is_dir():
+        return removed
+    for sc in sorted(d.rglob("*.json")):
+        try:
+            rel = json.loads(sc.read_text()).get("path", "")
+        except Exception:  # noqa: BLE001 — unreadable: leave it
+            continue
+        if rel and not (root / rel).exists():
+            sc.unlink(missing_ok=True)
+            removed.append(str(sc))
+    return removed
+
+
 def indexed_columns(root: str | Path) -> list[str]:
     d = Path(root) / BLOOM_DIR
     return sorted(p.name for p in d.iterdir() if p.is_dir()) if d.is_dir() else []

@@ -945,9 +945,15 @@ class DeltaTable:
                 deleted.append(rp)
             else:
                 kept_recent.append(rp)
+        blooms_deleted: list[str] = []
+        if deleted and not dry_run:
+            from .bloom_index import sweep_stale_sidecars
+
+            blooms_deleted = sweep_stale_sidecars(self.root)
         return {
             "deleted": deleted,
             "kept_recent": kept_recent,
+            "blooms_deleted": blooms_deleted,
             "live": len(live),
             "dry_run": dry_run,
         }

@@ -1252,6 +1252,9 @@ class IcebergTable:
             for f in orphans:
                 Path(f).unlink(missing_ok=True)
             result["deleted"] = True
+            from .bloom_index import sweep_stale_sidecars
+
+            result["blooms_deleted"] = sweep_stale_sidecars(self.root)
         return result
 
     def changelog_scan(
@@ -1773,7 +1776,17 @@ class IcebergTable:
                 if not dry_run:
                     p.unlink()
                 deleted.append(rp)
-        return {"deleted": deleted, "kept_recent": kept_recent, "dry_run": dry_run}
+        blooms_deleted: list[str] = []
+        if deleted and not dry_run:
+            from .bloom_index import sweep_stale_sidecars
+
+            blooms_deleted = sweep_stale_sidecars(self.root)
+        return {
+            "deleted": deleted,
+            "kept_recent": kept_recent,
+            "blooms_deleted": blooms_deleted,
+            "dry_run": dry_run,
+        }
 
     # -- reads -------------------------------------------------------------
     def capabilities(self) -> Capability:

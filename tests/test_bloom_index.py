@@ -163,3 +163,24 @@ def test_delta_bloom_or_of_eq_in_list(spark, tmp_path, orders):
     df2, plan2 = t.scan(spark, ScanRequest("t", predicates=[nseq]))
     assert plan2.partitions.meta["files_pruned_by_bloom"] == 1
     assert df2.count() == 1
+
+
+def test_delta_vacuum_sweeps_stale_sidecars(spark, tmp_path, orders):
+    """Storage reclamation removes sidecars with their data files and
+    keeps sidecars of live files."""
+    w = DeltaFixtureWriter(tmp_path / "t")
+    w.append(_interleaved(spark, orders, 1), timestamp_ms=1_000)
+    t = DeltaTable(tmp_path / "t")
+    t.build_bloom_index(spark, "o_orderkey")
+    # overwrite supersedes the v0 file; vacuum with zero retention
+    w.overwrite(_interleaved(spark, orders, 0), timestamp_ms=2_000)
+    t2 = DeltaTable(tmp_path / "t")
+    t2.build_bloom_index(spark, "o_orderkey")
+    res = t2.vacuum(retention_ms=0)
+    assert res["deleted"] and res["blooms_deleted"]
+    import json as _json
+
+    left = list((tmp_path / "t" / "_bloom_index" / "o_orderkey").glob("*.json"))
+    assert left  # live file's sidecar survives
+    for sc in left:
+        assert (tmp_path / "t" / _json.loads(sc.read_text())["path"]).exists()
