@@ -81,6 +81,15 @@ def _fit(df: DataFrame, text_col: str, label_col: str):
         ).alias("tok"),
     )
     counts = toks.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # the counts table fans out to THREE consumers (model, per-label
+    # totals, OOV floors) — without truncation Spark re-tokenizes the
+    # corpus once per consumer (~4 corpus scans in the executed plan).
+    # An eager localCheckpoint materializes the O(vocab x labels)
+    # table once, so every consumer reads the checkpoint: exactly one
+    # corpus tokenize pass no matter how the model is consumed. (The
+    # fit already pays one action here for the vocab size, so the
+    # checkpoint adds no extra job.)
+    counts = counts.localCheckpoint(eager=True)
     v = counts.select("tok").distinct().count()
     n_label = counts.groupBy("label").agg(F.sum("c").alias("n_label"))
     return counts, n_label, v
