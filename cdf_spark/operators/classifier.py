@@ -48,14 +48,13 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000.0
 
 
-def _toks(df: DataFrame, text_col: str, id_col: str, extra: list[str]) -> DataFrame:
+def _toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One token row per (doc, token) occurrence — the shared
     lowercase [a-z0-9]+ tokenizer every text op in this suite uses
     (so a classifier trained here scores the same token stream the
     LM and BPE stages see)."""
     return df.select(
         F.col(id_col).alias("_id"),
-        *[F.col(c) for c in extra],
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
         ).alias("tok"),
@@ -88,7 +87,10 @@ def _fit(df: DataFrame, text_col: str, label_col: str):
     # table once, so every consumer reads the checkpoint: exactly one
     # corpus tokenize pass no matter how the model is consumed. (The
     # fit already pays one action here for the vocab size, so the
-    # checkpoint adds no extra job.)
+    # checkpoint adds no extra job.) Tradeoff, stated: the checkpoint
+    # block (bounded by vocabulary size, a few MB) stays pinned in
+    # executor storage for the session — a session that re-fits in a
+    # tight loop should prefer NBIndex, whose model lives on disk.
     counts = counts.localCheckpoint(eager=True)
     v = counts.select("tok").distinct().count()
     n_label = counts.groupBy("label").agg(F.sum("c").alias("n_label"))
@@ -144,10 +146,32 @@ def nb_predict(
     left-join the broadcast model on (label, tok), coalesce to the
     per-label OOV floor, groupBy (doc, candidate) integer sum + prior,
     per-doc window argmax. 2 shuffles + broadcasts, zero Python."""
-    toks = _toks(df, text_col, id_col, [])
     counts, n_label, v = _fit(df, text_col, label_col)
-    counts = counts.withColumnRenamed("label", "_cand")
-    n_label = n_label.withColumnRenamed("label", "_cand")
+    d_tot = df.count()
+    doc_counts = df.groupBy(F.col(label_col).alias("_cand")).agg(
+        F.count(F.lit(1)).alias("d_l")
+    )
+    model, lab = _model_tables(
+        counts.withColumnRenamed("label", "_cand"),
+        n_label.withColumnRenamed("label", "_cand"),
+        v,
+        doc_counts,
+        math.log(d_tot),
+    )
+    ranked = _score(_toks(df, text_col, id_col), model, lab, id_col)
+    truth = df.select(F.col(id_col), F.col(label_col).alias("label"))
+    return ranked.join(truth, on=id_col).select(
+        id_col, "label", "predicted", "score_unat", "margin_unat"
+    )
+
+
+def _model_tables(counts, n_label, v: int, doc_counts, ln_d_tot: float):
+    """The two broadcastable model tables from the fitted counts:
+    `model` = (_cand, tok, lp_unat) add-one log-probs, `lab` =
+    (_cand, prior_unat, oov_unat) priors + smoothed OOV floors. Shared
+    by the one-shot fit and the persisted index so the scoring rule
+    can never diverge between them (the bit-identity the incremental
+    oracle relies on)."""
     model = counts.join(F.broadcast(n_label), on="_cand").select(
         "_cand",
         "tok",
@@ -156,46 +180,46 @@ def nb_predict(
             - F.log(F.col("n_label").cast("double") + F.lit(float(v)))
         ).alias("lp_unat"),
     )
-    # per-label prior + OOV floor — O(labels) rows, broadcast
-    d_tot = df.count()
-    lab = (
-        df.groupBy(F.col(label_col).alias("_cand"))
-        .agg(F.count(F.lit(1)).alias("d_l"))
-        .join(F.broadcast(n_label), on="_cand")
-        .select(
-            "_cand",
-            _unat(F.log(F.col("d_l").cast("double")) - F.lit(math.log(d_tot))).alias(
-                "prior_unat"
-            ),
-            _unat(
-                -F.log(F.col("n_label").cast("double") + F.lit(float(v)))
-            ).alias("oov_unat"),
-        )
+    lab = doc_counts.join(F.broadcast(n_label), on="_cand").select(
+        "_cand",
+        _unat(F.log(F.col("d_l").cast("double")) - F.lit(ln_d_tot)).alias(
+            "prior_unat"
+        ),
+        _unat(-F.log(F.col("n_label").cast("double") + F.lit(float(v)))).alias(
+            "oov_unat"
+        ),
     )
+    return model, lab
+
+
+def _score(toks: DataFrame, model, lab, id_col: str) -> DataFrame:
+    """Score a token stream against broadcast model tables and take
+    the per-doc argmax: token x label candidates, left-join the model
+    with the per-label OOV floor, one (doc, label) integer-sum agg,
+    one per-doc window. Output (id, predicted, score_unat,
+    margin_unat)."""
     scored = (
         toks.crossJoin(F.broadcast(lab.select("_cand", "oov_unat")))
         .join(F.broadcast(model), on=["_cand", "tok"], how="left")
         .groupBy("_id", "_cand")
         .agg(F.sum(F.coalesce(F.col("lp_unat"), F.col("oov_unat"))).alias("_s"))
         .join(F.broadcast(lab.select("_cand", "prior_unat")), on="_cand")
-        .select(
-            "_id", "_cand", (F.col("_s") + F.col("prior_unat")).alias("score_unat")
-        )
+        .select("_id", "_cand", (F.col("_s") + F.col("prior_unat")).alias("score_unat"))
     )
-    w = Window.partitionBy("_id").orderBy(F.col("score_unat").desc(), F.col("_cand").asc())
-    ranked = scored.select(
-        "_id",
-        "_cand",
-        "score_unat",
-        F.row_number().over(w).alias("_rn"),
-        (F.col("score_unat") - F.lead("score_unat", 1, None).over(w)).alias("_gap"),
-    ).filter(F.col("_rn") == 1)
-    truth = df.select(F.col(id_col).alias("_id"), F.col(label_col).alias("label"))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score_unat").desc(), F.col("_cand").asc()
+    )
     return (
-        ranked.join(truth, on="_id")
+        scored.select(
+            "_id",
+            "_cand",
+            "score_unat",
+            F.row_number().over(w).alias("_rn"),
+            (F.col("score_unat") - F.lead("score_unat", 1, None).over(w)).alias("_gap"),
+        )
+        .filter(F.col("_rn") == 1)
         .select(
             F.col("_id").alias(id_col),
-            "label",
             F.col("_cand").alias("predicted"),
             "score_unat",
             F.coalesce(F.col("_gap"), F.lit(0)).cast("long").alias("margin_unat"),
@@ -303,7 +327,13 @@ class NBIndex:
             "d_tot": int(d_tot),
             "last_epoch": int(epoch) if epoch is not None else last,
         }
-        (self.root / "meta.json").write_text(_json.dumps(new_meta))  # the swap
+        # atomic pointer swap (tmp + rename) — a crash mid-write must
+        # leave the PREVIOUS meta intact, or the documented
+        # crash-leaves-old-version-live guarantee is void at the one
+        # step that matters
+        tmp_meta = self.root / "meta.json.tmp"
+        tmp_meta.write_text(_json.dumps(new_meta))
+        tmp_meta.replace(self.root / "meta.json")
         return new_meta
 
     def predict(
@@ -321,57 +351,11 @@ class NBIndex:
         docs_l = spark.read.parquet(str(self.root / f"labels_v{meta['version']}"))
         counts = counts.withColumnRenamed("label", "_cand")
         n_label = counts.groupBy("_cand").agg(F.sum("c").alias("n_label"))
-        model = counts.join(F.broadcast(n_label), on="_cand").select(
-            "_cand",
-            "tok",
-            _unat(
-                F.log(F.col("c") + F.lit(1.0))
-                - F.log(F.col("n_label").cast("double") + F.lit(float(v)))
-            ).alias("lp_unat"),
+        model, lab = _model_tables(
+            counts,
+            n_label,
+            v,
+            docs_l.withColumnRenamed("label", "_cand"),
+            math.log(int(meta["d_tot"])),
         )
-        lab = (
-            docs_l.withColumnRenamed("label", "_cand")
-            .join(F.broadcast(n_label), on="_cand")
-            .select(
-                "_cand",
-                _unat(
-                    F.log(F.col("d_l").cast("double"))
-                    - F.lit(math.log(int(meta["d_tot"])))
-                ).alias("prior_unat"),
-                _unat(
-                    -F.log(F.col("n_label").cast("double") + F.lit(float(v)))
-                ).alias("oov_unat"),
-            )
-        )
-        toks = _toks(df, text_col, id_col, [])
-        scored = (
-            toks.crossJoin(F.broadcast(lab.select("_cand", "oov_unat")))
-            .join(F.broadcast(model), on=["_cand", "tok"], how="left")
-            .groupBy("_id", "_cand")
-            .agg(F.sum(F.coalesce(F.col("lp_unat"), F.col("oov_unat"))).alias("_s"))
-            .join(F.broadcast(lab.select("_cand", "prior_unat")), on="_cand")
-            .select(
-                "_id", "_cand", (F.col("_s") + F.col("prior_unat")).alias("score_unat")
-            )
-        )
-        w = Window.partitionBy("_id").orderBy(
-            F.col("score_unat").desc(), F.col("_cand").asc()
-        )
-        return (
-            scored.select(
-                "_id",
-                "_cand",
-                "score_unat",
-                F.row_number().over(w).alias("_rn"),
-                (F.col("score_unat") - F.lead("score_unat", 1, None).over(w)).alias(
-                    "_gap"
-                ),
-            )
-            .filter(F.col("_rn") == 1)
-            .select(
-                F.col("_id").alias(id_col),
-                F.col("_cand").alias("predicted"),
-                "score_unat",
-                F.coalesce(F.col("_gap"), F.lit(0)).cast("long").alias("margin_unat"),
-            )
-        )
+        return _score(_toks(df, text_col, id_col), model, lab, id_col)

@@ -223,9 +223,13 @@ def embedding_decontamination(
     ev = eval_set.select(
         F.col(eval_id_col).alias("_eid"), F.col(vec_col).alias("_ev")
     )
+    # LEFT join on a true condition (not crossJoin): an EMPTY eval set
+    # must still yield one row per corpus vector (contaminated=false,
+    # null match) — the documented contract; with a non-empty eval set
+    # the two are identical
     scored = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_cv"))
-        .crossJoin(F.broadcast(ev))
+        .join(F.broadcast(ev), F.lit(True), "left")
         .select(
             "_id",
             "_eid",
@@ -240,7 +244,9 @@ def embedding_decontamination(
             F.col("_id").alias(id_col),
             F.col("_eid").alias("matched_eval_id"),
             F.col("_sim").alias("max_sim"),
-            (F.col("_sim") >= F.lit(threshold)).alias("contaminated"),
+            F.coalesce(F.col("_sim") >= F.lit(threshold), F.lit(False)).alias(
+                "contaminated"
+            ),
         )
     )
 
@@ -816,7 +822,11 @@ class LMIndex:
             F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
         ).collect()[0]
         new_meta = {"version": version, "n_total": int(stats["n"]), "v": int(stats["v"])}
-        (self.root / "meta.json").write_text(_json.dumps(new_meta))  # the swap
+        # atomic pointer swap — a crash mid-write must leave the
+        # previous meta (and so the previous version) live
+        tmp_meta = self.root / "meta.json.tmp"
+        tmp_meta.write_text(_json.dumps(new_meta))
+        tmp_meta.replace(self.root / "meta.json")
         return new_meta
 
     def score(self, spark, df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 6) -> DataFrame:

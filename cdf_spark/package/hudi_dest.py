@@ -212,7 +212,8 @@ class HudiDestination:
                     )
                 ).alias("p"),
             )
-            .distinct()
+            # collect_set deduplicates with map-side partial agg — a
+            # pre-distinct would just double the shuffle
             .groupBy("_fid")
             .agg(F.collect_set("p").alias("ps"))
             .collect()

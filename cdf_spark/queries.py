@@ -10952,8 +10952,15 @@ def streaming_nb_classify_drain(spark: SparkSession, sf: str) -> DataFrame:
         def handle(batch_df, epoch_id: int) -> None:
             # the epoch rides the hive dir name (epoch=N) so replayed
             # epochs overwrite idempotently and the final read gets it
-            # back as a partition column
-            if idx._meta() is not None:
+            # back as a partition column. BOTH side effects are fenced
+            # on the fold watermark: a redelivery AFTER the fold landed
+            # must skip the predict too — re-scoring against a model
+            # that now contains this epoch's own labels would overwrite
+            # the output with scores trained on different data.
+            meta = idx._meta()
+            if meta is not None and int(epoch_id) <= meta.get("last_epoch", -1):
+                return  # fully-processed epoch redelivered
+            if meta is not None:
                 (
                     idx.predict(spark, batch_df.select("doc_id", "text"))
                     .select("doc_id", "predicted", "score_unat", "margin_unat")

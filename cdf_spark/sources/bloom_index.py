@@ -69,15 +69,22 @@ def build_bloom_index(
 
     root = Path(root)
     todo: list[tuple[str, str]] = []  # (abs, rel)
-    skipped = 0
+    skipped = linked_skipped = 0
     for f in files:
-        rel = str(Path(f).resolve().relative_to(root.resolve()))
+        try:
+            rel = str(Path(f).resolve().relative_to(root.resolve()))
+        except ValueError:
+            # LINKED file (absolute path outside this root, from
+            # metadata translation) — its sidecars belong to the
+            # SOURCE table; never index it here
+            linked_skipped += 1
+            continue
         if _sidecar(root, col, rel).exists():
             skipped += 1
         else:
             todo.append((str(Path(f).resolve()), rel))
     if not todo:
-        return {"built": 0, "skipped": skipped}
+        return {"built": 0, "skipped": skipped, "linked_skipped": linked_skipped}
     norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
     per = (
         spark.read.parquet(*[a for a, _ in todo])
@@ -87,16 +94,34 @@ def build_bloom_index(
                 bloom_positions(F.col(col).cast("string"), m, k_hashes)
             ).alias("p"),
         )
-        .distinct()
         .groupBy("_path")
         .agg(F.collect_set("p").alias("ps"))
         .collect()
     )
     pos_by_path = {r["_path"]: r["ps"] for r in per}
-    built = 0
+    built = unmatched = 0
     for abspath, rel in todo:
+        positions = pos_by_path.get(abspath, [])
+        if not positions:
+            # no positions came back under this file's path. Either the
+            # file is genuinely empty (an all-zero sidecar is correct)
+            # or _metadata.file_path didn't string-match the resolved
+            # path (URI-encoding, symlinks). Writing an all-zero bloom
+            # for a NON-empty file would manufacture false negatives —
+            # the one failure mode a bloom must never have — so verify
+            # emptiness from the footer and otherwise write NOTHING
+            # (a missing sidecar only widens the scan).
+            try:
+                import pyarrow.parquet as pq
+
+                if pq.read_metadata(abspath).num_rows > 0:
+                    unmatched += 1
+                    continue
+            except Exception:  # noqa: BLE001 — unreadable footer: skip
+                unmatched += 1
+                continue
         bits = bytearray(m // 8)
-        for p in pos_by_path.get(abspath, []):
+        for p in positions:
             bits[p >> 3] |= 1 << (p & 7)
         sc = _sidecar(root, col, rel)
         sc.parent.mkdir(parents=True, exist_ok=True)
@@ -111,7 +136,12 @@ def build_bloom_index(
             )
         )
         built += 1
-    return {"built": built, "skipped": skipped}
+    return {
+        "built": built,
+        "skipped": skipped,
+        "linked_skipped": linked_skipped,
+        "unmatched": unmatched,
+    }
 
 
 def sweep_stale_sidecars(root: str | Path) -> list[str]:

@@ -267,3 +267,28 @@ def test_nb_index_epoch_fence_replay(spark, tmp_path):
     df3 = spark.createDataFrame([(3, "der hund", "de")], ["doc_id", "text", "lang"])
     m3 = idx.update(spark, df3, epoch=2)
     assert m3["d_tot"] == 3 and m3["version"] == m["version"] + 1
+
+
+def test_embedding_decontamination_empty_eval_set(spark):
+    """An empty eval set must still yield one row per corpus vector,
+    all uncontaminated — the documented shape contract."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0)], ["vec_id", "embedding", "label"]
+    )
+    ev = corpus.filter("vec_id < 0")  # empty
+    out = {r.vec_id: r for r in embedding_decontamination(corpus, ev, 0.9).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.contaminated is False
+        assert r.matched_eval_id is None and r.max_sim is None
+
+
+def test_nb_index_meta_swap_is_atomic(spark, tmp_path):
+    """No partially-written meta.json can ever be observed: the swap
+    goes through tmp + rename (and the tmp never lingers)."""
+    from cdf_spark.operators.classifier import NBIndex
+
+    idx = NBIndex(tmp_path / "nb")
+    idx.update(spark, spark.createDataFrame([(1, "the cat", "en")], ["doc_id", "text", "lang"]))
+    assert not (tmp_path / "nb" / "meta.json.tmp").exists()
+    assert (tmp_path / "nb" / "meta.json").exists()
