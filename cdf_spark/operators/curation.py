@@ -212,12 +212,14 @@ def embedding_decontamination(
 
     Scale: the eval set is bounded by benchmark size (thousands), the
     corpus is not — so the eval side BROADCASTS and the corpus streams
-    through one narrow crossJoin + per-vector min/max aggregation: one
-    shuffle on the corpus id, no corpus×corpus pair ever materializes.
-    Cosine parity with the SQL oracle follows the suite's proven
-    round(sim, 4) discipline (cosine_topk)."""
-    from pyspark.sql import Window
-
+    through one narrow crossJoin + per-vector COMBINABLE argmax
+    aggregation (`min_by` over the (-sim, eval_id) struct key): the
+    corpus×|eval| scored fan is reduced to ONE row per corpus vector
+    map-side BEFORE the shuffle, so shuffle volume is corpus-sized —
+    a window argmax would have shuffled the full corpus×|eval| blowup
+    (×|eval| more IO for the same answer). Cosine parity with the SQL
+    oracle follows the suite's proven round(sim, 4) discipline
+    (cosine_topk)."""
     from .similarity import cosine
 
     ev = eval_set.select(
@@ -236,18 +238,33 @@ def embedding_decontamination(
             F.round(cosine(F.col("_cv"), F.col("_ev")), round_to).alias("_sim"),
         )
     )
-    w = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("_eid").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_eid").alias("matched_eval_id"),
-            F.col("_sim").alias("max_sim"),
-            F.coalesce(F.col("_sim") >= F.lit(threshold), F.lit(False)).alias(
-                "contaminated"
+    # argmax as a COMBINABLE aggregate: min_by over the key struct
+    # (-sim, eval_id) picks max sim with ties broken by eval id asc —
+    # identical output to the row_number() window, but HashAggregate
+    # gets a map-side partial pass, so only one row per corpus vector
+    # ever crosses the shuffle (a window ships the full corpus×|eval|
+    # fan). The key struct includes _eid, so the key is unique per
+    # scored row and the pick is deterministic. Empty-eval-set rows
+    # (null _sim/_eid from the left join) still aggregate to one
+    # null-match row per vector — the documented contract.
+    best = scored.groupBy("_id").agg(
+        F.min_by(
+            F.struct(F.col("_eid"), F.col("_sim")),
+            # null sims (empty eval set / null vectors) rank LAST —
+            # same as the former window's `sim DESC` nulls-last order
+            F.struct(
+                F.coalesce(-F.col("_sim"), F.lit(float("inf"))).alias("_k1"),
+                F.col("_eid").alias("_k2"),
             ),
-        )
+        ).alias("_best")
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("_best._eid").alias("matched_eval_id"),
+        F.col("_best._sim").alias("max_sim"),
+        F.coalesce(F.col("_best._sim") >= F.lit(threshold), F.lit(False)).alias(
+            "contaminated"
+        ),
     )
 
 

@@ -151,8 +151,17 @@ def token_budget_sample(
 
     Output: (id, domain, n_tokens, pick_order, cum_tokens,
     target_tokens). Scale: one narrow token-count pass, one tiny
-    domain agg (O(domains), broadcast back), one per-domain window —
-    partitions are independent; 2 shuffles total at any corpus size.
+    domain agg (O(domains), broadcast back), then the greedy fill by
+    the suite's TWO-PHASE cumulative-sum pattern (`training_shuffle`):
+    range-repartition on (domain, md5 key) so partitions tile each
+    domain's pick order, collect O(partitions × domains) count/token
+    subtotals to the driver, convert them to per-(partition, domain)
+    offsets, and finish with a per-(partition, domain) local window.
+    A naive `Window.partitionBy(domain)` cumsum serializes the
+    DOMINANT domain's entire document set through ONE reducer — with
+    a handful of domains (web/code/books/wiki, the normal case) that
+    one task is the job at 100 TB; here every partition carries a
+    bounded key range and works in parallel.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
@@ -179,13 +188,48 @@ def token_budget_sample(
             "target_tokens"
         ),
     )
-    w = Window.partitionBy("domain").orderBy(
-        F.md5(F.col("_id").cast("string")), F.col("_id")
+    # two-phase exact cumsum (the training_shuffle discipline): the
+    # global per-domain pick order is md5(id), id — range-repartition
+    # on (domain, md5, id) makes partitions tile that order, so a
+    # LOCAL window plus a driver-computed per-(partition, domain)
+    # offset reproduces the global window bit-for-bit with no
+    # single-domain reducer.
+    keyed = toks.withColumn(
+        "_mk", F.md5(F.col("_id").cast("string"))
     )
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    keyed = keyed.repartitionByRange(
+        n_parts, F.col("domain"), F.col("_mk"), F.col("_id")
+    ).withColumn("_pid", F.spark_partition_id())
+    # pass 1: per-(partition, domain) row counts + token subtotals —
+    # O(partitions × domains) rows, the only collected state
+    subtotals = (
+        keyed.groupBy("_pid", "domain")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("n_tokens").alias("_t"))
+        .collect()
+    )
+    by_dom: dict[str, list] = {}
+    for r in subtotals:
+        by_dom.setdefault(r.domain, []).append(r)
+    offsets = []
+    for d, rows in by_dom.items():
+        cnt_acc, tok_acc = 0, 0
+        for r in sorted(rows, key=lambda r: r._pid):
+            offsets.append((int(r._pid), d, cnt_acc, tok_acc))
+            cnt_acc += r._n
+            tok_acc += r._t
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_pid int, domain string, _cnt_off long, _tok_off long"
+    )
+    # pass 2: per-(partition, domain) local window — every partition
+    # holds a bounded key range, so no task sees more than ~1/parts
+    # of any domain
+    w = Window.partitionBy("_pid", "domain").orderBy("_mk", "_id")
     ranked = (
-        toks.join(F.broadcast(targets), on="domain")
-        .withColumn("pick_order", F.row_number().over(w))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        keyed.join(F.broadcast(off_df), on=["_pid", "domain"])
+        .join(F.broadcast(targets), on="domain")
+        .withColumn("pick_order", F.col("_cnt_off") + F.row_number().over(w))
+        .withColumn("cum_tokens", F.col("_tok_off") + F.sum("n_tokens").over(w))
     )
     return ranked.filter(
         F.col("cum_tokens") - F.col("n_tokens") < F.col("target_tokens")

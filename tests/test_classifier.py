@@ -199,6 +199,60 @@ def test_token_budget_deterministic(docs):
     assert a == b
 
 
+def test_embedding_decontamination_plan_is_combinable_agg(emb):
+    """100×-scale shape gate: the per-vector argmax must be a
+    COMBINABLE aggregate (map-side partial_min_by before the
+    exchange), never a row_number window — a window ships the full
+    corpus×|eval| fan through the shuffle; the partial agg cuts it to
+    one row per corpus vector."""
+    out = embedding_decontamination(
+        emb.filter("label < 8"), emb.filter("label >= 8"), threshold=0.8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_token_budget_sample_plan_has_no_domain_reducer(docs):
+    """100×-scale shape gate: the greedy fill must never serialize a
+    whole domain through one task. Every window in the plan must be
+    keyed by (_pid, domain) — the two-phase cumsum — not by domain
+    alone."""
+    out = token_budget_sample(docs, budget_tokens=20_000, alpha=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the local per-partition window"
+    for spec in specs:
+        assert spec.split(",")[0].startswith("_pid"), spec
+
+
+def test_token_budget_two_phase_matches_single_window(spark, docs):
+    """The two-phase cumsum must reproduce the naive global per-domain
+    window bit-for-bit (same order key, same cumulative sums)."""
+    from pyspark.sql import Window
+
+    out = token_budget_sample(docs, budget_tokens=20_000, alpha=0.5)
+    got = {r.doc_id: (r.pick_order, r.cum_tokens) for r in out.collect()}
+    toks = docs.select(
+        F.col("doc_id"),
+        F.col("source").alias("domain"),
+        F.size(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    naive = {
+        r.doc_id: (r.po, r.ct)
+        for r in toks.withColumn("po", F.row_number().over(w))
+        .withColumn("ct", F.sum("n_tokens").over(w))
+        .collect()
+        if r.doc_id in got
+    }
+    assert got == naive
+
+
 def test_nb_index_fold_equivalence(spark, docs, tmp_path):
     """Folded-in-batches index must predict bit-identically to the
     one-shot fit — NB sufficient statistics are exact counts."""
