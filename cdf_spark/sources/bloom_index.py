@@ -13,21 +13,34 @@ the column answers "is this exact value possibly in this file" and
 prunes the rest of the table.
 
 Layout: `<table_root>/_bloom_index/<col>/<md5(relpath)[:16]>.json`
-holding {m, k, path, bits(base64)} — one sidecar per (data file,
-column), keyed by the file's table-relative path so reclaimers and
-rebuilds stay root-scoped (the linked-file discipline every cleaner
-here follows). Files without a sidecar are kept (conservative): an
-index can be partial, stale, or absent and only ever WIDENS the scan.
+holding {m, k, path, coltype, bits(base64)} — one sidecar per (data
+file, column), keyed by the file's table-relative path so reclaimers
+and rebuilds stay root-scoped (the linked-file discipline every
+cleaner here follows). Files without a sidecar are kept
+(conservative): an index can be partial, stale, or absent and only
+ever WIDENS the scan.
 
-Probe discipline: only equality predicates with int/str literals
-consult the index (their Python str() provably equals Spark's
-CAST(col AS STRING) encoding — floats/bools/dates do not round-trip
-identically and stay on the stats path). The tri-state combinator
-mirrors `_file_can_match`: only a provable False prunes.
+Probe discipline is TYPED twice over. Build refuses any column that
+is not integer-family or string (floats/bools/dates/decimals do not
+round-trip Spark's CAST(col AS STRING) against Python's str(), so no
+probe encoding could be proven equal) and records the column family
+in the sidecar. Probe prunes only when the literal's Python type
+matches the RECORDED family: an int literal against a string-column
+index (or vice versa) returns None, because Spark's coercing equality
+can match cells the build encoded differently (col "05" = 5 matches
+rows whose bloom bits were set for "05", not "5") — without the gate,
+bloom pruning would be strictly less safe than the typed stats path
+(`_file_can_match`) it augments. The tri-state combinator mirrors
+`_file_can_match`: only a provable False prunes.
 
 Scale: the build is one distributed pass over the indexed files
-(positions are DISTINCT set bits, <= m rows per file); sidecars are
-8 KiB each, read O(candidate files) at plan time — the same
+(positions are DISTINCT set bits, <= m rows per file, map-side
+partial dedup) and sidecars are written EXECUTOR-SIDE via
+`groupBy(_path).applyInPandas` — each file's 8 KiB bitset is built
+and persisted where its positions land, and only one status row per
+file reaches the driver (a 100k-file backfill costs the driver
+O(files) tiny rows, never the ~0.5 MB/file of raw bit positions).
+Sidecars are read O(candidate files) at plan time — the same
 metadata-read budget the footer-stats path already spends.
 """
 
@@ -63,8 +76,13 @@ def build_bloom_index(
     """Build (or refresh) the bloom index of `col` for the given data
     files (absolute paths under `root`). Files that already have a
     sidecar are skipped — incremental by default, so a maintenance
-    pass after each commit only indexes the new files. Returns
-    {built, skipped}."""
+    pass after each commit only indexes the new files. Sidecars are
+    written EXECUTOR-SIDE (one applyInPandas group per file); only a
+    one-row-per-file status frame reaches the driver, so a backfill
+    over a 100k-file table costs the driver O(files) short strings,
+    not gigabytes of bit positions. Refuses columns outside the
+    int-family/string probe contract (see module docstring). Returns
+    {built, skipped, linked_skipped, unmatched}."""
     from ..operators.sketches import bloom_positions
 
     root = Path(root)
@@ -85,44 +103,93 @@ def build_bloom_index(
             todo.append((str(Path(f).resolve()), rel))
     if not todo:
         return {"built": 0, "skipped": skipped, "linked_skipped": linked_skipped}
+    df = spark.read.parquet(*[a for a, _ in todo])
+    coltype = _probe_family(df.schema[col].dataType.simpleString())
+    if coltype is None:
+        raise ValueError(
+            f"build_bloom_index({col!r}): column type "
+            f"{df.schema[col].dataType.simpleString()!r} has no provable "
+            "probe encoding (CAST AS STRING does not round-trip Python "
+            "str()); only integer-family and string columns are indexable"
+        )
     norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-    per = (
-        spark.read.parquet(*[a for a, _ in todo])
-        .select(
+    positions = (
+        df.select(
             norm.alias("_path"),
             F.explode(
                 bloom_positions(F.col(col).cast("string"), m, k_hashes)
             ).alias("p"),
         )
-        .groupBy("_path")
-        .agg(F.collect_set("p").alias("ps"))
+        # DISTINCT before the group shuffle: map-side partial dedup
+        # caps each file's contribution at m rows
+        .distinct()
+    )
+    rel_by_abs = {a: r for a, r in todo}
+    root_s, col_s = str(root), col
+
+    def _write_group(pdf):
+        import os
+
+        import pandas as pd
+
+        abspath = pdf["_path"].iloc[0]
+        rel = rel_by_abs.get(abspath)
+        if rel is None:
+            # _metadata path didn't match any todo entry (URI quirks);
+            # report it so the driver counts it unmatched
+            return pd.DataFrame({"path": [abspath], "built": [False]})
+        bits = bytearray(m // 8)
+        for p in pdf["p"]:
+            p = int(p)
+            bits[p >> 3] |= 1 << (p & 7)
+        sc = _sidecar(Path(root_s), col_s, rel)
+        sc.parent.mkdir(parents=True, exist_ok=True)
+        tmp = sc.with_suffix(".json.tmp")
+        tmp.write_text(
+            json.dumps(
+                {
+                    "m": m,
+                    "k": k_hashes,
+                    "path": rel,
+                    "coltype": coltype,
+                    "bits": base64.b64encode(bytes(bits)).decode(),
+                }
+            )
+        )
+        os.replace(tmp, sc)  # atomic: no torn sidecar is ever readable
+        return pd.DataFrame({"path": [abspath], "built": [True]})
+
+    status = (
+        positions.groupBy("_path")
+        .applyInPandas(_write_group, "path string, built boolean")
         .collect()
     )
-    pos_by_path = {r["_path"]: r["ps"] for r in per}
-    built = unmatched = 0
+    seen = {r["path"] for r in status if r["built"]}
+    built = len(seen)
+    # every todo file NOT built executor-side is accounted for below
+    # (footer-verified empty -> zero sidecar; otherwise unmatched), so
+    # built=False status rows need no separate tally
+    unmatched = 0
     for abspath, rel in todo:
-        positions = pos_by_path.get(abspath, [])
-        if not positions:
-            # no positions came back under this file's path. Either the
-            # file is genuinely empty (an all-zero sidecar is correct)
-            # or _metadata.file_path didn't string-match the resolved
-            # path (URI-encoding, symlinks). Writing an all-zero bloom
-            # for a NON-empty file would manufacture false negatives —
-            # the one failure mode a bloom must never have — so verify
-            # emptiness from the footer and otherwise write NOTHING
-            # (a missing sidecar only widens the scan).
-            try:
-                import pyarrow.parquet as pq
+        if abspath in seen:
+            continue
+        # no positions came back under this file's path. Either the
+        # file is genuinely empty (an all-zero sidecar is correct) or
+        # _metadata.file_path didn't string-match the resolved path
+        # (URI-encoding, symlinks). Writing an all-zero bloom for a
+        # NON-empty file would manufacture false negatives — the one
+        # failure mode a bloom must never have — so verify emptiness
+        # from the footer and otherwise write NOTHING (a missing
+        # sidecar only widens the scan).
+        try:
+            import pyarrow.parquet as pq
 
-                if pq.read_metadata(abspath).num_rows > 0:
-                    unmatched += 1
-                    continue
-            except Exception:  # noqa: BLE001 — unreadable footer: skip
+            if pq.read_metadata(abspath).num_rows > 0:
                 unmatched += 1
                 continue
-        bits = bytearray(m // 8)
-        for p in positions:
-            bits[p >> 3] |= 1 << (p & 7)
+        except Exception:  # noqa: BLE001 — unreadable footer: skip
+            unmatched += 1
+            continue
         sc = _sidecar(root, col, rel)
         sc.parent.mkdir(parents=True, exist_ok=True)
         sc.write_text(
@@ -131,7 +198,8 @@ def build_bloom_index(
                     "m": m,
                     "k": k_hashes,
                     "path": rel,
-                    "bits": base64.b64encode(bytes(bits)).decode(),
+                    "coltype": coltype,
+                    "bits": base64.b64encode(bytes(bytearray(m // 8))).decode(),
                 }
             )
         )
@@ -171,14 +239,32 @@ def indexed_columns(root: str | Path) -> list[str]:
     return sorted(p.name for p in d.iterdir() if p.is_dir()) if d.is_dir() else []
 
 
-def _encode_probe(value) -> str | None:
+def _probe_family(simple_type: str) -> str | None:
+    """The probe-type family of a Spark column type, or None when the
+    column has no provable probe encoding (CAST AS STRING must equal
+    Python str() of an equal literal — true only for integers and
+    strings)."""
+    if simple_type in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if simple_type == "string":
+        return "string"
+    return None
+
+
+def _encode_probe(value, coltype: str | None) -> str | None:
     """The probe string for a literal — must equal Spark's
     CAST(col AS STRING) of a matching cell. Only int and str provably
-    round-trip; everything else returns None (stats path handles it)."""
+    round-trip, and ONLY against a column of the SAME recorded family:
+    Spark's coercing equality can match an int literal against string
+    cells the build encoded differently (col '05' = 5), so a
+    cross-family probe (or a legacy sidecar with no recorded family)
+    returns None and the typed stats path decides."""
     if isinstance(value, bool):  # bool is an int subclass — refuse first
         return None
-    if isinstance(value, (int, str)):
+    if isinstance(value, int) and coltype == "int":
         return str(value)
+    if isinstance(value, str) and coltype == "string":
+        return value
     return None
 
 
@@ -204,6 +290,7 @@ class BloomProbe:
                         int(meta["m"]),
                         int(meta["k"]),
                         base64.b64decode(meta["bits"]),
+                        meta.get("coltype"),  # legacy sidecars: None
                     )
                 except Exception:  # noqa: BLE001 — unreadable: no index
                     loaded = None
@@ -213,13 +300,13 @@ class BloomProbe:
     def maybe_contains(self, col: str, rel: str, value) -> bool | None:
         if col not in self.cols:
             return None
-        enc = _encode_probe(value)
-        if enc is None:
-            return None
         loaded = self._load(col, rel)
         if loaded is None:
             return None
-        m, k, bits = loaded
+        m, k, bits, coltype = loaded
+        enc = _encode_probe(value, coltype)
+        if enc is None:
+            return None
         from ..operators.text import hash64_py
 
         for j in range(k):

@@ -80,19 +80,112 @@ def test_delta_bloom_partial_index_conservative(spark, tmp_path, orders):
 
 
 def test_delta_bloom_refuses_unsafe_literals(spark, tmp_path, orders):
-    """Float/bool literals don't provably round-trip to Spark's string
-    cast — the index must not prune on them."""
+    """Float columns have no provable probe encoding — the BUILD now
+    refuses them outright; float literals against an int-column index
+    must not prune either."""
     w = DeltaFixtureWriter(tmp_path / "t")
     w.append(_interleaved(spark, orders, 1), timestamp_ms=1_000)
     w.append(_interleaved(spark, orders, 0), timestamp_ms=2_000)
     t = DeltaTable(tmp_path / "t")
-    t.build_bloom_index(spark, "o_totalprice")
-    some = orders.filter("o_orderkey <= 1000").limit(1).collect()[0].o_totalprice
+    with pytest.raises(ValueError, match="probe encoding"):
+        t.build_bloom_index(spark, "o_totalprice")
+    t.build_bloom_index(spark, "o_orderkey")
+    key = int(
+        orders.filter("o_orderkey <= 1000 and o_orderkey % 2 = 1")
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
     df, plan = t.scan(
-        spark, ScanRequest("t", predicates=[Col("o_totalprice") == Lit(float(some))])
+        spark, ScanRequest("t", predicates=[Col("o_orderkey") == Lit(float(key))])
     )
     assert plan.partitions.meta["files_pruned_by_bloom"] == 0
     assert df.count() >= 1
+
+
+def test_bloom_typed_probe_guards_cross_type(spark, tmp_path):
+    """An int literal against a STRING-column index must return None
+    (no prune): Spark's coercing equality matches col '05' = 5, but
+    the build set bits for '05', not '5' — pruning would silently drop
+    matching rows. Same-family probes still prove presence/absence."""
+    from cdf_spark.sources.bloom_index import BloomProbe, build_bloom_index
+
+    root = tmp_path / "t"
+    spark.createDataFrame([("05",), ("7",)], ["k"]).coalesce(1).write.parquet(
+        str(root / "d")
+    )
+    files = [str(p) for p in (root / "d").glob("*.parquet")]
+    assert build_bloom_index(spark, root, "k", files)["built"] == 1
+    rel = str(__import__("pathlib").Path(files[0]).relative_to(root))
+    probe = BloomProbe(root, ["k"])
+    assert probe.maybe_contains("k", rel, 5) is None
+    assert probe.maybe_contains("k", rel, "05") is True
+    assert probe.maybe_contains("k", rel, "absent-value") is False
+
+
+def test_bloom_legacy_sidecar_without_coltype_never_prunes(spark, tmp_path):
+    """Sidecars written before the coltype field carry no recorded
+    family — the probe must treat them as undecidable (None), never
+    prune on an unproven encoding."""
+    import json as _json
+
+    from cdf_spark.sources.bloom_index import BLOOM_DIR, BloomProbe, build_bloom_index
+
+    root = tmp_path / "t"
+    spark.createDataFrame([("a",), ("b",)], ["k"]).coalesce(1).write.parquet(
+        str(root / "d")
+    )
+    files = [str(p) for p in (root / "d").glob("*.parquet")]
+    build_bloom_index(spark, root, "k", files)
+    sc = next((root / BLOOM_DIR / "k").glob("*.json"))
+    meta = _json.loads(sc.read_text())
+    del meta["coltype"]
+    sc.write_text(_json.dumps(meta))
+    rel = str(__import__("pathlib").Path(files[0]).relative_to(root))
+    probe = BloomProbe(root, ["k"])
+    assert probe.maybe_contains("k", rel, "a") is None
+    assert probe.maybe_contains("k", rel, "absent") is None
+
+
+def test_bloom_backfill_500_files_driver_budget(spark, tmp_path, monkeypatch):
+    """A backfill over 500 files must stay executor-side: the ONLY
+    rows that reach the driver are the one-per-file status rows —
+    never the raw bit positions (~rows x k per file)."""
+    from pyspark.sql import DataFrame
+
+    from cdf_spark.sources.bloom_index import BloomProbe, build_bloom_index
+
+    root = tmp_path / "t"
+    (
+        spark.range(5_000)
+        .select(F.col("id").alias("k"))
+        .repartition(500)
+        .write.parquet(str(root / "d"))
+    )
+    files = [str(p) for p in (root / "d").glob("*.parquet")]
+    assert len(files) == 500
+    collected = []
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    res = build_bloom_index(spark, root, "k", files)
+    monkeypatch.undo()
+    assert res["built"] == 500 and res["unmatched"] == 0
+    # driver budget: one status row per file (positions alone would be
+    # ~5000 x 4 rows)
+    assert sum(collected) <= 500, collected
+    # sidecars are real and probe-ready
+    probe = BloomProbe(root, ["k"])
+    import pathlib
+
+    rel = str(pathlib.Path(files[0]).relative_to(root))
+    hits = [v for v in range(5_000) if probe.maybe_contains("k", rel, v) is True]
+    assert hits  # the file's ~10 keys answer True
+    assert probe.maybe_contains("k", rel, 10_000_000) is False
 
 
 def test_iceberg_bloom_point_lookup_prunes(spark, tmp_path, orders):
