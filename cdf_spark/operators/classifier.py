@@ -334,7 +334,30 @@ class NBIndex:
         tmp_meta = self.root / "meta.json.tmp"
         tmp_meta.write_text(_json.dumps(new_meta))
         tmp_meta.replace(self.root / "meta.json")
+        self._reclaim(version)
         return new_meta
+
+    def _reclaim(self, live_version: int) -> None:
+        """Drop superseded version directories after the meta swap,
+        keeping live and live-1 (a reader that loaded the previous
+        meta an instant before the swap may still be scanning N-1).
+        Also sweeps any orphaned FUTURE dirs a crash left between the
+        parquet writes and a meta swap that never happened — without
+        this, a streaming drain (one fold per epoch) accumulates
+        O(vocab x labels) parquet copies without bound."""
+        import shutil
+
+        for d in self.root.iterdir():
+            if not d.is_dir():
+                continue
+            for prefix in ("counts_v", "labels_v"):
+                if d.name.startswith(prefix):
+                    try:
+                        ver = int(d.name[len(prefix):])
+                    except ValueError:
+                        continue
+                    if ver < live_version - 1 or ver > live_version:
+                        shutil.rmtree(d, ignore_errors=True)
 
     def predict(
         self,

@@ -342,10 +342,17 @@ def plan_maintenance(
 
     root = Path(table_path)
     policy = policy or MaintenancePolicy()
-    if is_iceberg_layout(root):
-        return _plan_iceberg(root, policy)
+    # Delta FIRST: a UniForm table (DeltaDestination uniform="iceberg")
+    # carries Iceberg metadata/ INSIDE the Delta root and satisfies
+    # both layout probes — but Delta OWNS the data files, and
+    # Iceberg-side expire_snapshots would delete root-local files
+    # still referenced by retained Delta versions (breaking Delta time
+    # travel/CDF ahead of Delta's own vacuum retention). Real UniForm
+    # forbids Iceberg-side maintenance for exactly this reason.
     if is_delta_layout(root):
         return _plan_delta(root, policy)
+    if is_iceberg_layout(root):
+        return _plan_iceberg(root, policy)
     if is_hudi_layout(root) or _is_hudi_mor(root):
         return _plan_hudi(root, policy)
     raise ValueError(f"{root} is not a recognized table layout")
@@ -367,8 +374,36 @@ def run_maintenance(
     policy = policy or MaintenancePolicy()
     plan = plan_maintenance(root, policy)
     results: dict[str, object] = {}
+    # same dispatch order as plan_maintenance: Delta before Iceberg,
+    # so a UniForm root (both layouts) only ever runs DELTA-side
+    # maintenance — Iceberg expire/orphan removal on a Delta-owned
+    # root would delete files retained Delta versions still reference
     for act in plan:
-        if is_iceberg_layout(root):
+        if is_delta_layout(root):
+            w = DeltaFixtureWriter(root)
+            if act.action == "reorg_purge":
+                results[act.action] = w.reorg_purge(spark)
+            elif act.action == "optimize_small_files":
+                results[act.action] = w.optimize_small_files(
+                    spark,
+                    small_bytes=policy.small_file_bytes,
+                    target_bytes=policy.target_file_bytes,
+                )
+            elif act.action == "vacuum":
+                results[act.action] = DeltaTable(root).vacuum(
+                    retention_ms=policy.retention_ms
+                )
+            elif act.action == "checkpoint_and_clean_log":
+                v = w.checkpoint()
+                removed = w.clean_log(before_version=v)
+                results[act.action] = {"checkpoint": v, "cleaned": removed}
+            elif act.action == "build_bloom_index":
+                t_d = DeltaTable(root)
+                results[act.action] = {
+                    c: t_d.build_bloom_index(spark, c)
+                    for c in policy.bloom_index_columns
+                }
+        elif is_iceberg_layout(root):
             if act.action == "rewrite_small_files":
                 w = IcebergFixtureWriter(root)
                 results[act.action] = w.rewrite_small_files(
@@ -391,30 +426,6 @@ def run_maintenance(
                 t_i = IcebergTable(root)
                 results[act.action] = {
                     c: t_i.build_bloom_index(spark, c)
-                    for c in policy.bloom_index_columns
-                }
-        elif is_delta_layout(root):
-            w = DeltaFixtureWriter(root)
-            if act.action == "reorg_purge":
-                results[act.action] = w.reorg_purge(spark)
-            elif act.action == "optimize_small_files":
-                results[act.action] = w.optimize_small_files(
-                    spark,
-                    small_bytes=policy.small_file_bytes,
-                    target_bytes=policy.target_file_bytes,
-                )
-            elif act.action == "vacuum":
-                results[act.action] = DeltaTable(root).vacuum(
-                    retention_ms=policy.retention_ms
-                )
-            elif act.action == "checkpoint_and_clean_log":
-                v = w.checkpoint()
-                removed = w.clean_log(before_version=v)
-                results[act.action] = {"checkpoint": v, "cleaned": removed}
-            elif act.action == "build_bloom_index":
-                t_d = DeltaTable(root)
-                results[act.action] = {
-                    c: t_d.build_bloom_index(spark, c)
                     for c in policy.bloom_index_columns
                 }
         elif is_hudi_layout(root) or _is_hudi_mor(root):

@@ -415,15 +415,22 @@ def iceberg_to_hudi(iceberg_root: str | Path, hudi_root: str | Path) -> dict:
         typ_of = dict(spec_fields)
         entries = t._data_entries(sid)
         files = [e["path"] for e in entries]
-        carried = set(pq.read_schema(files[0]).names)
-        missing = [c for c in pcols if c not in carried]
-        if missing:
-            raise IcebergError(
-                f"iceberg_to_hudi: data files omit partition columns {missing} "
-                "(the metadata-only identity shape) and Hudi has no typed "
-                "per-file partition record to reconstitute them from — "
-                "refused (translate to Delta instead)"
-            )
+        # check EVERY file's footer, not a sample: one snapshot can mix
+        # regular-write files (columns present) with metadata-only
+        # Flink-shape files (columns omitted) — linking such a mix
+        # would produce a Hudi table whose unchecked files fail or
+        # misread at scan time. Footer reads are O(files) metadata,
+        # the budget a translation already spends on the entries scan.
+        for f in files:
+            carried = set(pq.read_schema(f).names)
+            missing = [c for c in pcols if c not in carried]
+            if missing:
+                raise IcebergError(
+                    f"iceberg_to_hudi: data file {f} omits partition columns "
+                    f"{missing} (the metadata-only identity shape) and Hudi "
+                    "has no typed per-file partition record to reconstitute "
+                    "them from — refused (translate to Delta instead)"
+                )
         ppaths = []
         for e in entries:
             segs = []

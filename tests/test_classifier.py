@@ -346,3 +346,40 @@ def test_nb_index_meta_swap_is_atomic(spark, tmp_path):
     idx.update(spark, spark.createDataFrame([(1, "the cat", "en")], ["doc_id", "text", "lang"]))
     assert not (tmp_path / "nb" / "meta.json.tmp").exists()
     assert (tmp_path / "nb" / "meta.json").exists()
+
+
+def test_nb_index_reclaims_superseded_versions(spark, tmp_path):
+    """The streaming drain folds once per epoch — superseded
+    counts_v*/labels_v* dirs must not accumulate without bound. After
+    each swap only live and live-1 remain (live-1 kept for a reader
+    that loaded the previous meta just before the swap); orphaned
+    future dirs from a crash between parquet writes and the meta swap
+    are swept by the next successful fold."""
+    from cdf_spark.operators.classifier import NBIndex
+
+    idx = NBIndex(tmp_path / "nb")
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(i, f"the cat {i}", "en")], ["doc_id", "text", "lang"]
+        )
+        idx.update(spark, df, epoch=i)
+    vers = sorted(
+        d.name for d in (tmp_path / "nb").iterdir() if d.name.startswith("counts_v")
+    )
+    assert vers == ["counts_v3", "counts_v4"], vers
+    # crash orphan: a future version dir with no meta swap
+    (tmp_path / "nb" / "counts_v9").mkdir()
+    (tmp_path / "nb" / "labels_v9").mkdir()
+    idx.update(
+        spark,
+        spark.createDataFrame([(9, "le chat", "fr")], ["doc_id", "text", "lang"]),
+        epoch=9,
+    )
+    names = {d.name for d in (tmp_path / "nb").iterdir() if d.is_dir()}
+    assert "counts_v9" not in names and "labels_v9" not in names
+    assert {"counts_v4", "counts_v5", "labels_v4", "labels_v5"} <= names
+    # the folded model still predicts
+    out = idx.predict(
+        spark, spark.createDataFrame([(1, "the cat")], ["doc_id", "text"])
+    )
+    assert out.count() == 1

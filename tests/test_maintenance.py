@@ -905,3 +905,46 @@ def test_bloom_index_autopilot_iceberg(spark, tmp_path):
     assert "build_bloom_index" not in [
         a.action for a in plan_maintenance(tmp_path / "t", pol)
     ]
+
+
+def test_uniform_root_maintenance_is_delta_side(spark, tmp_path, orders):
+    """A UniForm root (Delta table carrying Iceberg metadata/ inside
+    the same dir) satisfies BOTH layout probes — maintenance must
+    dispatch DELTA-side: Iceberg expire_snapshots on a Delta-owned
+    root deletes files retained Delta versions still reference,
+    breaking time travel ahead of Delta's own vacuum retention (real
+    UniForm forbids Iceberg-side maintenance for this reason)."""
+    from cdf_spark.package.maintenance import (
+        MaintenancePolicy,
+        plan_maintenance,
+        run_maintenance,
+    )
+    from cdf_spark.package.xtable import sync_delta_to_iceberg
+    from cdf_spark.sources.delta import is_delta_layout
+    from cdf_spark.sources.iceberg import is_iceberg_layout
+
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    root = tmp_path / "t"
+    w = DeltaFixtureWriter(root)
+    v0_rows = o.filter("o_orderkey <= 100")
+    w.append(v0_rows.coalesce(1), timestamp_ms=1_000)
+    v0_files = set((root / "data").glob("*.parquet"))
+    w.overwrite(
+        o.filter("o_orderkey > 100 and o_orderkey <= 200").coalesce(1),
+        timestamp_ms=2_000,
+    )
+    sync_delta_to_iceberg(root, root)
+    assert is_delta_layout(root) and is_iceberg_layout(root)
+    # max_snapshots=1 makes Iceberg expire_snapshots due if (wrongly)
+    # dispatched; huge retention keeps Delta vacuum conservative
+    pol = MaintenancePolicy(max_snapshots=1, retention_ms=10**15)
+    plan = plan_maintenance(root, pol)
+    assert not any(
+        a.action in ("expire_snapshots", "remove_orphan_files") for a in plan
+    ), [a.action for a in plan]
+    run_maintenance(spark, root, pol)
+    # the superseded v0 data file survives: Delta vacuum respects the
+    # retention window; Iceberg-side expire (the wrong dispatch) would
+    # have deleted it from under retained Delta versions
+    for f in v0_files:
+        assert f.exists(), f

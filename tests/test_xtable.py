@@ -394,7 +394,7 @@ def test_iceberg_to_hudi_partitioned_when_files_carry_columns(spark, orders, tmp
         str(tmp_path / "fl"), partition_by=["bucket"], omit_partition_cols=True
     )
     fw.append(part.filter("o_orderkey <= 100"))
-    with pytest.raises(IcebergError, match="omit partition columns"):
+    with pytest.raises(IcebergError, match="omits partition columns"):
         iceberg_to_hudi(str(tmp_path / "fl"), str(tmp_path / "h2"))
 
 
@@ -739,3 +739,23 @@ def test_synced_table_feeds_incremental_consumption(spark, orders, tmp_path):
     # nothing new -> no rows
     again, _ = DeltaTable(str(tmp_path / "d")).changes_since(spark, pos2)
     assert again is None or again.count() == 0
+
+
+def test_iceberg_to_hudi_refuses_mixed_shape_snapshot(spark, orders, tmp_path):
+    """One snapshot mixing regular-write files (partition columns
+    present) with metadata-only Flink-shape files (columns omitted)
+    must refuse — validating only the first sorted file would link a
+    Hudi table whose OTHER files lack the columns and fail or misread
+    at scan time. Every entry's footer is checked."""
+    from cdf_spark.package.xtable import iceberg_to_hudi
+    from cdf_spark.sources.iceberg import IcebergError, IcebergFixtureWriter
+
+    part = orders.withColumn("bucket", (orders.o_custkey % 3).cast("long"))
+    iw = IcebergFixtureWriter(str(tmp_path / "i"), partition_by=["bucket"])
+    iw.append(part.filter("o_orderkey <= 200"))  # columns present
+    fw = IcebergFixtureWriter(
+        str(tmp_path / "i"), partition_by=["bucket"], omit_partition_cols=True
+    )
+    fw.append(part.filter("o_orderkey > 200 and o_orderkey <= 400"))  # omitted
+    with pytest.raises(IcebergError, match="omits partition columns"):
+        iceberg_to_hudi(str(tmp_path / "i"), str(tmp_path / "h"))
