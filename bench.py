@@ -117,6 +117,15 @@ def main() -> None:
     from cdf_spark.queries import QUERIES
     from cdf_spark.session import get_spark
 
+    # fd-level stdout quarantine (the r11 tail-fragment defect): the
+    # JVM inherits fd 1 at launch, and a task-retry stack trace it
+    # prints there lands in the driver's bounded tail capture,
+    # camouflaging real failures. Save the real stdout for the ONE
+    # JSON record, then point fd 1 at stderr for everything else —
+    # including the JVM about to be launched.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+
     spark = get_spark("cdf-spark-bench")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -633,7 +642,13 @@ def main() -> None:
     time.sleep(2.0)
     sys.stdout.flush()
     sys.stderr.flush()
-    print(json.dumps(headline, separators=(",", ":")), flush=True)
+    # the record goes to the SAVED real stdout — fd 1 has pointed at
+    # stderr since startup, so nothing the JVM ever printed shares the
+    # stream with this line
+    os.write(
+        real_stdout_fd,
+        (json.dumps(headline, separators=(",", ":")) + "\n").encode(),
+    )
     os._exit(0)
 
 

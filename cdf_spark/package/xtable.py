@@ -53,6 +53,8 @@ from ..sources.iceberg import IcebergError, IcebergFixtureWriter, IcebergTable
 __all__ = [
     "delta_to_hudi",
     "delta_to_iceberg",
+    "hudi_mor_to_delta",
+    "hudi_mor_to_iceberg",
     "hudi_to_delta",
     "hudi_to_iceberg",
     "iceberg_to_delta",
@@ -361,6 +363,105 @@ def hudi_to_iceberg(hudi_root: str | Path, iceberg_root: str | Path) -> dict:
     ht = HudiTable(hudi_root)  # raises HudiError on a MoR timeline
     instant = ht.latest_instant()
     files = ht.files_for_instant(instant)
+    w = IcebergFixtureWriter(iceberg_root)
+    sid = w.link_files(files)
+    return {
+        "hudi_instant": instant,
+        "iceberg_snapshot_id": sid,
+        "files_linked": len(files),
+    }
+
+
+def _mor_ro_slices(hudi_root: str | Path, direction: str):
+    """Shared compaction gate for the MoR source legs: resolve the
+    latest instant's file slices and REFUSE if any group carries
+    un-compacted log deltas — the read-optimized view would silently
+    drop those records, and log blocks are Hudi-physical sidecars no
+    other format can read. Apache XTable takes exactly this posture
+    for MoR sources (sync the read-optimized view; compaction is the
+    unlock). Returns (instant, clean slices)."""
+    from ..sources.hudi import HudiError
+    from ..sources.hudi_mor import HudiMorTable
+
+    t = HudiMorTable(hudi_root)
+    instant = t.latest_instant()
+    slices = t.file_slices(instant)
+    if not slices:
+        raise HudiError(f"{direction}: no live file slices to link")
+    dirty = sorted(fid for fid, _, _, logs in slices if logs)
+    if dirty:
+        raise HudiError(
+            f"{direction}: {len(dirty)} file group(s) carry un-compacted "
+            f"log deltas (e.g. {dirty[:3]}) — the read-optimized view would "
+            "drop those records; run compact() on the source table first, "
+            "then translate"
+        )
+    return instant, slices
+
+
+def hudi_mor_to_delta(hudi_root: str | Path, delta_root: str | Path) -> dict:
+    """Expose a COMPACTED Hudi MERGE-ON-READ table's read-optimized
+    view as a Delta table over the same base parquet files — the MoR
+    source leg of the translation matrix (production Hudi streaming
+    tables are overwhelmingly MoR). Compaction-gated: refuses while
+    any file group carries pending log deltas (see `_mor_ro_slices`);
+    after `compact()` the read-optimized view IS the snapshot view,
+    so the translation is lossless. Base files carry every column
+    (partition columns included — the MoR writer keeps them in data,
+    like CoW) plus Hudi's meta columns (_hoodie_commit_time,
+    _hoodie_record_key), which the linked table exposes exactly as
+    real XTable-translated tables expose Hudi meta columns. Partition
+    values parse from the timeline's hive paths into
+    add.partitionValues, so Delta-side pruning works. Returns
+    {hudi_instant, delta_version, files_linked, partition_columns}."""
+    from urllib.parse import unquote
+
+    from ..sources.partitioned_write import HIVE_NULL
+
+    instant, slices = _mor_ro_slices(hudi_root, "hudi_mor_to_delta")
+    pcols: list[str] = []
+    first_part = slices[0][1]
+    if first_part:
+        pcols = [seg.split("=", 1)[0] for seg in first_part.split("/")]
+    files = [base for _fid, _part, base, _logs in slices]
+    if not pcols:
+        w = DeltaFixtureWriter(delta_root)
+        v = w.link_files(files)
+    else:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        pvs = []
+        for _fid, part, _path, _logs in slices:
+            pv: dict[str, str | None] = {}
+            for seg in part.split("/"):
+                c, _, raw = seg.partition("=")
+                pv[c] = None if raw == HIVE_NULL else unquote(raw)
+            pvs.append(pv)
+        w = DeltaFixtureWriter(delta_root, partition_by=pcols)
+        # MoR base files carry the partition columns, so the footer
+        # schema is already the full logical schema
+        w.declare_schema(from_arrow_schema(pq.read_schema(files[0])).json())
+        v = w.link_files(files, partition_values=pvs)
+    return {
+        "hudi_instant": instant,
+        "delta_version": v,
+        "files_linked": len(files),
+        "partition_columns": pcols,
+    }
+
+
+def hudi_mor_to_iceberg(hudi_root: str | Path, iceberg_root: str | Path) -> dict:
+    """Expose a COMPACTED Hudi MERGE-ON-READ table's read-optimized
+    view as an Iceberg table over the same base parquet files — the
+    Iceberg twin of `hudi_mor_to_delta`, same compaction gate, same
+    lossless-after-compact premise. Like the CoW leg
+    (`hudi_to_iceberg`), files carry all columns so the link is plain
+    (Iceberg-side reads are correct; hive-path partition values stay
+    Hudi-side). Returns {hudi_instant, iceberg_snapshot_id,
+    files_linked}."""
+    instant, slices = _mor_ro_slices(hudi_root, "hudi_mor_to_iceberg")
+    files = [base for _fid, _part, base, _logs in slices]
     w = IcebergFixtureWriter(iceberg_root)
     sid = w.link_files(files)
     return {

@@ -10053,6 +10053,76 @@ def xtable_hudi_to_delta_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "xtable_mor_to_delta_scan",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey > 200 THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey <= 600
+    """,
+)
+def xtable_mor_to_delta_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """COMPACTION-GATED translation from a Hudi MERGE-ON-READ source
+    (r12, `package/xtable.hudi_mor_to_delta` / `hudi_mor_to_iceberg`)
+    — the MoR source shape the r11 verdict named as the
+    highest-rate refusal left in the translation fan (production Hudi
+    streaming tables are overwhelmingly MoR). The fixture lands an
+    insert + an upsert (log deltas), asserts the DIRTY table refuses
+    with compact() named as the unlock (Apache XTable's own posture:
+    sync the read-optimized view, never drop log records silently),
+    compacts, then translates to BOTH Delta and Iceberg and asserts
+    zero-copy read parity with the MoR read-optimized view on each.
+    The oracle value-checks the upserted state end to end."""
+    import os
+
+    from .package.xtable import hudi_mor_to_delta, hudi_mor_to_iceberg
+    from .sources.delta import DeltaTable
+    from .sources.hudi import HudiError
+    from .sources.hudi_mor import META_COLS, HudiMorFixtureWriter, HudiMorTable
+    from .sources.iceberg import IcebergTable
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        w = HudiMorFixtureWriter(f"{tmp}/m", record_key="o_orderkey")
+        w.insert(orders.filter("o_orderkey <= 400"))
+        w.upsert(
+            orders.filter("o_orderkey > 200 and o_orderkey <= 600").withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1
+            )
+        )
+        try:
+            hudi_mor_to_delta(f"{tmp}/m", f"{tmp}/d")
+            raise AssertionError("dirty MoR table must refuse translation")
+        except HudiError as e:
+            if "compact()" not in str(e):
+                raise AssertionError(f"refusal must name compact(): {e}") from e
+        w.compact(spark)
+        hudi_mor_to_delta(f"{tmp}/m", f"{tmp}/d")
+        hudi_mor_to_iceberg(f"{tmp}/m", f"{tmp}/i")
+        for root in ("d", "i"):
+            if any(f.endswith(".parquet") for f in os.listdir(f"{tmp}/{root}")):
+                raise AssertionError("translation copied data — must be metadata-only")
+        ro = HudiMorTable(f"{tmp}/m").read_optimized(spark)
+        d = DeltaTable(f"{tmp}/d").read(spark).drop(*META_COLS)
+        i = IcebergTable(f"{tmp}/i").read(spark).drop(*META_COLS)
+        for v, name in ((d, "delta"), (i, "iceberg")):
+            if v.exceptAll(ro).count() or ro.exceptAll(v).count():
+                raise AssertionError(f"{name} view of the compacted MoR diverges")
+
+    tmp = _session_fixture("xtable_mor2d", sf, build)
+    from .sources.hudi_mor import META_COLS
+
+    return (
+        DeltaTable(f"{tmp}/d")
+        .read(spark)
+        .drop(*META_COLS)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_register(
     "delta_uniform_dest_scan",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 550

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture()
@@ -759,3 +760,75 @@ def test_iceberg_to_hudi_refuses_mixed_shape_snapshot(spark, orders, tmp_path):
     fw.append(part.filter("o_orderkey > 200 and o_orderkey <= 400"))  # omitted
     with pytest.raises(IcebergError, match="omits partition columns"):
         iceberg_to_hudi(str(tmp_path / "i"), str(tmp_path / "h"))
+
+
+def test_hudi_mor_translation_compaction_gated(spark, orders, tmp_path):
+    """r12: MoR source legs translate the read-optimized view ONLY
+    when fully compacted — a dirty (log-bearing) group refuses with
+    compact() named as the unlock, the Apache XTable posture for MoR
+    sources. After compact(), both targets read bit-equal to the MoR
+    read-optimized view with zero copies."""
+    import os
+
+    from cdf_spark.package.xtable import hudi_mor_to_delta, hudi_mor_to_iceberg
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.hudi import HudiError
+    from cdf_spark.sources.hudi_mor import (
+        META_COLS,
+        HudiMorFixtureWriter,
+        HudiMorTable,
+    )
+    from cdf_spark.sources.iceberg import IcebergTable
+
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    w = HudiMorFixtureWriter(str(tmp_path / "m"), record_key="o_orderkey")
+    w.insert(o.filter("o_orderkey <= 300"))
+    w.upsert(o.filter("o_orderkey <= 100").withColumn("o_totalprice", F.lit(0.0)))
+    with pytest.raises(HudiError, match=r"compact\(\)"):
+        hudi_mor_to_delta(str(tmp_path / "m"), str(tmp_path / "d"))
+    with pytest.raises(HudiError, match=r"compact\(\)"):
+        hudi_mor_to_iceberg(str(tmp_path / "m"), str(tmp_path / "i"))
+    assert w.compact(spark)
+    hudi_mor_to_delta(str(tmp_path / "m"), str(tmp_path / "d"))
+    hudi_mor_to_iceberg(str(tmp_path / "m"), str(tmp_path / "i"))
+    ro = HudiMorTable(str(tmp_path / "m")).read_optimized(spark)
+    d = DeltaTable(str(tmp_path / "d")).read(spark).drop(*META_COLS)
+    i = IcebergTable(str(tmp_path / "i")).read(spark).drop(*META_COLS)
+    for v in (d, i):
+        assert _parity(v.select(*sorted(v.columns)), ro.select(*sorted(ro.columns))) == 0
+    assert not any(f.endswith(".parquet") for f in os.listdir(tmp_path / "d"))
+    assert not any(f.endswith(".parquet") for f in os.listdir(tmp_path / "i"))
+    # zeroed rows really came through the compacted view
+    assert d.filter("o_orderkey <= 100 and o_totalprice = 0.0").count() == d.filter("o_orderkey <= 100").count()
+
+
+def test_hudi_mor_partitioned_translation_prunes_on_delta(spark, orders, tmp_path):
+    """Partitioned MoR -> Delta: base files carry the partition
+    columns and hive paths land as add.partitionValues, so the Delta
+    side keeps partition pruning."""
+    from cdf_spark.package.xtable import hudi_mor_to_delta
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.hudi_mor import (
+        META_COLS,
+        HudiMorFixtureWriter,
+        HudiMorTable,
+    )
+
+    part = orders.withColumn("bucket", (orders.o_custkey % 3).cast("long")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "bucket"
+    )
+    w = HudiMorFixtureWriter(
+        str(tmp_path / "m"), record_key="o_orderkey", partition_by=["bucket"]
+    )
+    w.insert(part.filter("o_orderkey <= 300"))
+    w.upsert(part.filter("o_orderkey > 300 and o_orderkey <= 500"))
+    w.compact(spark)
+    info = hudi_mor_to_delta(str(tmp_path / "m"), str(tmp_path / "d"))
+    assert info["partition_columns"] == ["bucket"]
+    ro = HudiMorTable(str(tmp_path / "m")).read_optimized(spark)
+    d = DeltaTable(str(tmp_path / "d")).read(spark).drop(*META_COLS)
+    assert _parity(d.select(*sorted(d.columns)), ro.select(*sorted(ro.columns))) == 0
+    assert _parity(
+        d.filter("bucket = 1").select(*sorted(d.columns)),
+        ro.filter("bucket = 1").select(*sorted(ro.columns)),
+    ) == 0
