@@ -104,6 +104,11 @@ BENCH_QUERIES = [
     # windows, 2 shuffles)
     "nb_classifier_predict",
     "token_budget_sample_docs",
+    # round 12: persisted incremental ANN index — the COLD pass pays
+    # build+3 folds (session fixture); warm passes probe the on-disk
+    # index with no rebuild, which is the deployment wall that must
+    # stay independent of how many adds built the index
+    "ann_index_incremental",
 ]
 
 

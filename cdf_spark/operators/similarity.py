@@ -618,7 +618,26 @@ def ivf_ann_topk(
     assigned = ivf_assign(
         corpus, cents, id_col=corpus_id, vec_col=vec_col, round_to=round_to
     )
-    # query probe: nprobe nearest centroids per query
+    return _ivf_probe_topk(
+        assigned, cents, queries, k, nprobe, query_id, vec_col, round_to
+    )
+
+
+def _ivf_probe_topk(
+    assigned: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    query_id: str,
+    vec_col: str,
+    round_to: int,
+) -> DataFrame:
+    """The IVF probe: each query ranks the (broadcast) centroids,
+    takes its `nprobe` nearest lists, and re-scores exactly only the
+    postings in those lists. `assigned` is (id, cluster, _v) — from a
+    one-shot `ivf_assign` or a persisted `IVFIndex`; the probe is the
+    same code path either way."""
     wq = Window.partitionBy("query_id").orderBy(F.col("_qsim").desc(), F.col("cluster").asc())
     probes = (
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
@@ -638,6 +657,145 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "sim", "rank")
     )
+
+
+class IVFIndex:
+    """Persisted INCREMENTAL IVF ANN index — the similarity member of
+    the suite's incremental-index family (`NBIndex` for the
+    classifier, `curation.LMIndex`, `curation.ExactSubstrIndex`,
+    `dedup_approx.MinHashLSHIndex`): the deploy ANN paths re-derive
+    centroid assignments per call, the wrong shape for a GROWING
+    embedding store — a 100 TB similarity deployment builds once and
+    probes O(batch).
+
+    Layout under `root/`:
+    - `centroids/` parquet (cid, ce) — FROZEN at build(). Freezing is
+      what makes folding exact: per-row nearest-centroid assignment
+      against a fixed centroid set is independent of batching, so the
+      fully-folded postings are bit-identical to a one-shot
+      `ivf_assign` over the whole corpus with the same centroids —
+      which is what lets the incremental probe share the one-shot SQL
+      oracle. (Re-deriving centroids per add would reassign OLD rows —
+      O(index), not O(batch), and unverifiable.)
+    - `postings_p<N>/` parquet (id, cluster, _v) — append-only, one
+      dir per committed fold; never rewritten.
+    - `meta.json` {parts, n_rows, last_epoch} — atomic tmp+rename
+      swap AFTER the postings write, so a crash leaves the previous
+      index live and at most one unlisted dir, overwritten by the
+      retried fold and swept on the next successful one.
+
+    add() cost: one broadcast-centroid assignment over the BATCH (the
+    O(batch) GEMM) + one parquet write; no existing posting is read.
+    query() probes nprobe lists with no rebuild — probe wall depends
+    on the postings touched, never on how many folds built them.
+    `epoch` is the same at-least-once replay fence NBIndex uses
+    (postings re-appends are not idempotent)."""
+
+    def __init__(self, root):
+        from pathlib import Path as _P
+
+        self.root = _P(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _meta(self) -> dict | None:
+        import json as _json
+
+        p = self.root / "meta.json"
+        return _json.loads(p.read_text()) if p.exists() else None
+
+    def _swap_meta(self, meta: dict) -> None:
+        import json as _json
+
+        tmp = self.root / "meta.json.tmp"
+        tmp.write_text(_json.dumps(meta))
+        tmp.replace(self.root / "meta.json")
+
+    def build(
+        self,
+        spark,
+        batch: DataFrame,
+        centroid_modulus: int = 50,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        epoch: int | None = None,
+    ) -> dict:
+        """Seed the index: centroids are the DETERMINISTIC sample of
+        the seed batch (id % centroid_modulus == 0 — the same no-RNG
+        rule as `ivf_ann_topk`, so the whole lifecycle stays
+        SQL-verifiable), then the seed batch folds as the first
+        postings part."""
+        if self._meta() is not None:
+            raise ValueError("IVFIndex already built — use add()")
+        cents = batch.filter((F.col(id_col) % centroid_modulus) == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+        )
+        if not cents.take(1):
+            raise ValueError(
+                "IVFIndex.build: seed batch has no centroid-eligible ids "
+                f"(id % {centroid_modulus} == 0)"
+            )
+        cents.write.mode("overwrite").parquet(str(self.root / "centroids"))
+        self._swap_meta({"parts": [], "n_rows": 0, "last_epoch": -1})
+        return self.add(spark, batch, id_col=id_col, vec_col=vec_col, epoch=epoch)
+
+    def add(
+        self,
+        spark,
+        batch: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        epoch: int | None = None,
+    ) -> dict:
+        """Fold a batch: assign ONLY these rows against the broadcast
+        frozen centroids and commit them as a new postings part. Ids
+        must be new to the index (the fixture contract every index in
+        this family shares); replays are fenced by `epoch`."""
+        import shutil
+
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("IVFIndex is empty — build() first")
+        if epoch is not None and int(epoch) <= meta.get("last_epoch", -1):
+            return meta  # replayed fold — already assigned
+        cents = spark.read.parquet(str(self.root / "centroids"))
+        assigned = ivf_assign(batch, cents, id_col=id_col, vec_col=vec_col)
+        part = f"postings_p{len(meta['parts'])}"
+        assigned.write.mode("overwrite").parquet(str(self.root / part))
+        n = spark.read.parquet(str(self.root / part)).count()
+        new_meta = {
+            "parts": meta["parts"] + [part],
+            "n_rows": int(meta["n_rows"]) + int(n),
+            "last_epoch": int(epoch) if epoch is not None else meta.get("last_epoch", -1),
+        }
+        self._swap_meta(new_meta)
+        # sweep crash-orphaned postings dirs a failed fold left behind
+        listed = set(new_meta["parts"])
+        for d in self.root.iterdir():
+            if d.is_dir() and d.name.startswith("postings_p") and d.name not in listed:
+                shutil.rmtree(d, ignore_errors=True)
+        return new_meta
+
+    def query(
+        self,
+        spark,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id: str = "vec_id",
+        vec_col: str = "embedding",
+        round_to: int = 4,
+    ) -> DataFrame:
+        """Probe, no rebuild: read the frozen centroids + committed
+        postings and run the shared IVF probe. Same output contract as
+        `ivf_ann_topk` (query_id, neighbor_id, sim, rank)."""
+        meta = self._meta()
+        if meta is None or not meta["parts"]:
+            raise ValueError("IVFIndex is empty — build() first")
+        cents = spark.read.parquet(str(self.root / "centroids"))
+        assigned = spark.read.parquet(*[str(self.root / p) for p in meta["parts"]])
+        return _ivf_probe_topk(
+            assigned, cents, queries, k, nprobe, query_id, vec_col, round_to
+        )
 
 
 def semantic_dedup(

@@ -184,6 +184,102 @@ def _identity_spec_fields(t: "IcebergTable") -> list[tuple[str, str]]:
 
 
 
+def _derivable_spec_fields(t: "IcebergTable") -> list[dict]:
+    """Default-spec fields the DELTA leg can translate: identity plus
+    the time transforms whose values are pure derivable functions of a
+    DATE source column (year/month/day) — a translated reader can
+    reconstitute the partition column from add.partitionValues AND
+    recompute it from the source column via the recorded Delta
+    generated-column expression, so nothing is writer-dependent.
+    bucket (murmur3, engine-internal), truncate (reverse leg
+    underivable), hour, and time transforms over TIMESTAMP sources
+    (protocol string form writer-dependent, same refusal as identity
+    timestamps) still refuse. Returns dicts
+    {pcol, src, transform, ice_type} — pcol is the Delta partition
+    column (the spec field name for derived transforms, the source
+    column for identity)."""
+    specs = t._meta.get("partition-specs", [])
+    default_spec = next(
+        (s for s in specs if s.get("spec-id", 0) == int(t._meta.get("default-spec-id", 0))),
+        {"fields": []},
+    )
+    cur = next(
+        (
+            s
+            for s in t._meta.get("schemas", [])
+            if s.get("schema-id", 0) == int(t._meta.get("current-schema-id", 0))
+        ),
+        {"fields": []},
+    )
+    by_id = {int(f["id"]): f for f in cur.get("fields", [])}
+    out = []
+    for pf in default_spec.get("fields", []):
+        tr = str(pf.get("transform") or "identity")
+        src = by_id.get(int(pf.get("source-id", -1)))
+        if src is None:
+            raise IcebergError("partition spec references an unknown field id")
+        ice_type = str(src.get("type") or "")
+        if tr == "identity":
+            out.append(
+                {"pcol": src["name"], "src": src["name"], "transform": tr, "ice_type": ice_type}
+            )
+            continue
+        if tr in ("year", "month", "day") and ice_type == "date":
+            out.append(
+                {
+                    "pcol": str(pf.get("name") or f"{src['name']}_{tr}"),
+                    "src": src["name"],
+                    "transform": tr,
+                    "ice_type": ice_type,
+                }
+            )
+            continue
+        raise IcebergError(
+            f"partition transform {tr!r} over {ice_type!r} is not derivable "
+            "by a translated reader (bucket is engine-internal murmur3; "
+            "truncate cannot reverse; timestamp string forms are "
+            "writer-dependent); refused"
+        )
+    return out
+
+
+# Delta generated-column expression + protocol value per derivable
+# time transform (the generation expression is the standard Spark SQL
+# a real Delta reader would evaluate; the partition VALUE is what the
+# linked-file reader reconstitutes from add.partitionValues)
+def _derived_delta_field(pcol: str, src: str, transform: str) -> dict:
+    exprs = {
+        "day": (f"CAST({src} AS DATE)", "date"),
+        "year": (f"year({src})", "integer"),
+        "month": (f"(year({src}) - 1970) * 12 + month({src}) - 1", "integer"),
+    }
+    expr, dtype = exprs[transform]
+    return {
+        "name": pcol,
+        "type": dtype,
+        "nullable": True,
+        "metadata": {"delta.generationExpression": expr},
+    }
+
+
+def _derived_partition_value(v, transform: str, ice_type: str):
+    """Iceberg partition-record value of a derivable transform ->
+    Delta partitionValues protocol string."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if transform == "identity":
+        return _ice_partition_to_delta_string(v, ice_type)
+    if transform == "day":
+        return (_dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))).isoformat()
+    # year: years since 1970 -> calendar year; month: keep the spec's
+    # months-since-1970 ordinal (matches the recorded generation expr)
+    if transform == "year":
+        return str(1970 + int(v))
+    return str(int(v))
+
+
 def _iceberg_live_set(iceberg_root: str | Path) -> set[str]:
     """Current live data files of a (possibly empty) Iceberg target —
     the crash-resume idempotence probe: every sync writes its cursor
@@ -574,24 +670,40 @@ def iceberg_to_delta(iceberg_root: str | Path, delta_root: str | Path) -> dict:
         v = w.link_files(files)
         pcols: list[str] = []
     else:
-        # Partitioned (identity transforms only): manifest partition
-        # records -> add.partitionValues protocol strings; the Delta
-        # reader reconstitutes literal columns for linked files from
-        # the log, never from directory names.
-        spec_fields = _identity_spec_fields(t)  # (column, ice_type), refuses derived
-        pcols = [c for c, _t in spec_fields]
-        typ_of = dict(spec_fields)
+        # Partitioned: manifest partition records ->
+        # add.partitionValues protocol strings; the Delta reader
+        # reconstitutes literal columns for linked files from the log,
+        # never from directory names. Identity fields map 1:1;
+        # DERIVABLE time transforms (year/month/day over date) land as
+        # Delta GENERATED partition columns — the spec field becomes a
+        # synthesized column with its generation expression recorded
+        # in the schema metadata and its per-file value reconstituted
+        # from partitionValues, so Delta-side partition pruning works
+        # on the derived column (r12; bucket/truncate still refuse).
+        import json as _json
+
+        spec_fields = _derivable_spec_fields(t)
+        pcols = [sf_["pcol"] for sf_ in spec_fields]
         entries = t._data_entries(sid)
         files = [e["path"] for e in entries]
-        pvs = [
-            {
-                c: _ice_partition_to_delta_string((e["partition"] or {}).get(c), typ_of[c])
-                for c in pcols
-            }
-            for e in entries
-        ]
+        pvs = []
+        for e in entries:
+            rec = e["partition"] or {}
+            pv: dict[str, str | None] = {}
+            for sf_ in spec_fields:
+                raw = rec.get(sf_["pcol"]) if sf_["transform"] != "identity" else rec.get(sf_["src"])
+                pv[sf_["pcol"]] = _derived_partition_value(
+                    raw, sf_["transform"], sf_["ice_type"]
+                )
+            pvs.append(pv)
+        schema = _json.loads(_ice_schema_to_delta_string(t))
+        for sf_ in spec_fields:
+            if sf_["transform"] != "identity":
+                schema["fields"].append(
+                    _derived_delta_field(sf_["pcol"], sf_["src"], sf_["transform"])
+                )
         w = DeltaFixtureWriter(delta_root, partition_by=pcols)
-        w.declare_schema(_ice_schema_to_delta_string(t))
+        w.declare_schema(_json.dumps(schema))
         v = w.link_files(files, partition_values=pvs)
     return {
         "iceberg_snapshot_id": sid,

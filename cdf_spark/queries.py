@@ -5742,6 +5742,79 @@ def ivf_ann_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_ann_topk(emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50)
 
 
+@_register(
+    "ann_index_incremental",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id % 30 = 0),
+    assigned AS (
+      SELECT id, cluster FROM (
+        SELECT c.vec_id AS id, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.e, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM c CROSS JOIN cents) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 20),
+    probes AS (
+      SELECT qid, cluster FROM (
+        SELECT q.qid, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.qid, a.id FROM probes p JOIN assigned a ON a.cluster = p.cluster
+      WHERE a.id != p.qid
+    ),
+    scored AS (
+      SELECT cand.qid AS query_id, cand.id AS neighbor_id,
+             round(list_cosine_similarity(qc.e, cc.e), 4) AS sim
+      FROM cand JOIN c qc ON qc.vec_id = cand.qid JOIN c cc ON cc.vec_id = cand.id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted INCREMENTAL ANN index (r12,
+    `operators/similarity.IVFIndex`) — the similarity member of the
+    incremental-index family (NBIndex, LMIndex, ExactSubstrIndex,
+    MinHashLSHIndex): centroids FROZEN at build() (the deterministic
+    id-modulus sample over the seed batch, so the whole lifecycle is
+    SQL-verifiable), postings appended per fold with a crash-safe
+    atomic meta swap, probes with NO rebuild. Because per-row
+    assignment against frozen centroids is independent of batching,
+    the three-fold index probe below is bit-identical to a one-shot
+    `ivf_assign` over the full corpus with the same centroids — the
+    exact shape the oracle computes. The fixture also proves the
+    at-least-once replay fence (re-folding an already-counted epoch
+    is a no-op). Seed = vec_id%3=0, so centroid eligibility
+    (seed AND id%10=0) is vec_id%30=0 in the oracle."""
+    from .operators.similarity import IVFIndex
+
+    emb = _t(spark, sf, "embeddings")
+
+    def build(tmp: str) -> None:
+        idx = IVFIndex(f"{tmp}/ivf")
+        idx.build(spark, emb.filter("vec_id % 3 = 0"), centroid_modulus=10, epoch=0)
+        idx.add(spark, emb.filter("vec_id % 3 = 1"), epoch=1)
+        m2 = idx.add(spark, emb.filter("vec_id % 3 = 2"), epoch=2)
+        replay = idx.add(spark, emb.filter("vec_id % 3 = 2"), epoch=2)
+        if replay != m2:
+            raise AssertionError("replayed fold must be a fenced no-op")
+        if m2["n_rows"] != emb.count():
+            raise AssertionError(f"folded rows diverge: {m2}")
+
+    tmp = _session_fixture("ann_ivf_index", sf, build)
+    return IVFIndex(f"{tmp}/ivf").query(
+        spark, emb.filter("vec_id < 20"), k=10, nprobe=4
+    )
+
+
 _PQ_ORACLE = """
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 cb AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, e AS ce FROM c WHERE vec_id % 10 = 0),
@@ -10119,6 +10192,74 @@ def xtable_mor_to_delta_scan(spark: SparkSession, sf: str) -> DataFrame:
         .read(spark)
         .drop(*META_COLS)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_register(
+    "xtable_partitioned_days_iceberg_to_delta_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate_day
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def xtable_partitioned_days_iceberg_to_delta_scan(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """DERIVABLE-TRANSFORM partitioned translation (r12): an Iceberg
+    table partitioned by days(o_orderdate) translates to Delta as a
+    GENERATED partition column — the spec field lands as a synthesized
+    `o_orderdate_day` column whose generation expression
+    (CAST(o_orderdate AS DATE)) is recorded in the Delta schema
+    metadata and whose per-file value reconstitutes from
+    add.partitionValues, so Delta-side PARTITION PRUNING works on the
+    derived column (asserted in-build: an equality scan keeps exactly
+    the matching day's files). year/month translate the same way;
+    bucket (engine-internal murmur3) and truncate still refuse. The
+    oracle value-checks rows AND the derived column against its
+    defining expression."""
+    from .expressions.ast import Col, Lit
+    from .package.xtable import iceberg_to_delta
+    from .plans.scan import ScanRequest
+    from .sources.delta import DeltaTable
+    from .sources.iceberg import IcebergFixtureWriter
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        iw = IcebergFixtureWriter(f"{tmp}/i", partition_by=[("day", "o_orderdate")], seed=7)
+        iw.append(orders.filter("o_orderkey <= 500"))
+        info = iceberg_to_delta(f"{tmp}/i", f"{tmp}/d")
+        if info["partition_columns"] != ["o_orderdate_day"]:
+            raise AssertionError(f"derived partition column missing: {info}")
+        dt = DeltaTable(f"{tmp}/d")
+        d = dt.read(spark)
+        if d.filter("o_orderdate_day <> CAST(o_orderdate AS DATE)").count():
+            raise AssertionError("generated column diverges from its expression")
+        some_day = d.select("o_orderdate_day").first()[0]
+        _df, plan = dt.scan(
+            spark, ScanRequest("t", predicates=[Col("o_orderdate_day") == Lit(some_day)])
+        )
+        meta = plan.partitions.meta
+        if not meta["files_pruned_by_partition"]:
+            raise AssertionError(f"derived-column pruning inert: {meta}")
+        if meta["files_kept"] + meta["files_pruned"] != meta["files_total"]:
+            raise AssertionError(f"prune accounting broken: {meta}")
+
+    tmp = _session_fixture("xtable_days_i2d", sf, build)
+    # dates returned as ISO strings (both engines' canonical cast) —
+    # the typed date semantics are asserted in-build
+    return DeltaTable(f"{tmp}/d").read(spark).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.col("o_orderdate_day").cast("string").alias("o_orderdate_day"),
     )
 
 

@@ -1,0 +1,97 @@
+"""Persisted incremental IVF ANN index — fold-equivalence vs the
+one-shot assignment, replay fencing, crash-orphan sweep, and
+probe-without-rebuild."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.operators.similarity import IVFIndex, ivf_assign, _ivf_probe_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _folded(spark, emb, tmp_path, folds=3):
+    idx = IVFIndex(tmp_path / "ivf")
+    idx.build(spark, emb.filter("vec_id % 3 = 0"), centroid_modulus=10, epoch=0)
+    for i in range(1, folds):
+        idx.add(spark, emb.filter(f"vec_id % 3 = {i}"), epoch=i)
+    return idx
+
+
+def test_folded_index_equals_one_shot_assignment(spark, emb, tmp_path):
+    """Frozen centroids make folding exact: the union of per-batch
+    assignments is bit-identical to one ivf_assign over the whole
+    corpus with the same centroids."""
+    idx = _folded(spark, emb, tmp_path)
+    meta = idx._meta()
+    assert meta["n_rows"] == emb.count()
+    cents = spark.read.parquet(str(idx.root / "centroids"))
+    one_shot = ivf_assign(emb, cents).select("id", "cluster")
+    folded = spark.read.parquet(
+        *[str(idx.root / p) for p in meta["parts"]]
+    ).select("id", "cluster")
+    assert folded.exceptAll(one_shot).count() == 0
+    assert one_shot.exceptAll(folded).count() == 0
+
+
+def test_folded_probe_equals_one_shot_probe(spark, emb, tmp_path):
+    idx = _folded(spark, emb, tmp_path)
+    got = idx.query(spark, emb.filter("vec_id < 20"), k=10, nprobe=4)
+    cents = spark.read.parquet(str(idx.root / "centroids"))
+    want = _ivf_probe_topk(
+        ivf_assign(emb, cents), cents, emb.filter("vec_id < 20"),
+        10, 4, "vec_id", "embedding", 4,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_epoch_fence_makes_refold_noop(spark, emb, tmp_path):
+    idx = IVFIndex(tmp_path / "ivf")
+    idx.build(spark, emb.filter("vec_id % 3 = 0"), centroid_modulus=10, epoch=0)
+    m1 = idx.add(spark, emb.filter("vec_id % 3 = 1"), epoch=1)
+    replay = idx.add(spark, emb.filter("vec_id % 3 = 1"), epoch=1)
+    assert replay == m1
+    assert len(m1["parts"]) == 2  # seed + one fold, no duplicate part
+
+
+def test_crash_orphan_postings_swept(spark, emb, tmp_path):
+    """A postings dir written without a meta swap (crashed fold) is
+    invisible to query() and swept by the next successful add()."""
+    idx = IVFIndex(tmp_path / "ivf")
+    idx.build(spark, emb.filter("vec_id % 3 = 0"), centroid_modulus=10, epoch=0)
+    orphan = tmp_path / "ivf" / "postings_p7"
+    orphan.mkdir()
+    (orphan / "junk.txt").write_text("crashed fold remnant")
+    n_before = idx.query(spark, emb.filter("vec_id < 5"), k=5, nprobe=2).count()
+    assert n_before > 0  # orphan not read
+    idx.add(spark, emb.filter("vec_id % 3 = 1"), epoch=1)
+    assert not orphan.exists()
+
+
+def test_probe_reads_only_index_state_after_restart(spark, emb, tmp_path):
+    """A FRESH IVFIndex handle (new process restarting on the same
+    root) probes identically — all state is on disk."""
+    idx = _folded(spark, emb, tmp_path)
+    got = idx.query(spark, emb.filter("vec_id < 10"), k=5, nprobe=3)
+    again = IVFIndex(tmp_path / "ivf").query(
+        spark, emb.filter("vec_id < 10"), k=5, nprobe=3
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_build_refusals(spark, emb, tmp_path):
+    idx = IVFIndex(tmp_path / "ivf")
+    with pytest.raises(ValueError, match="build"):
+        idx.add(spark, emb.limit(5))
+    with pytest.raises(ValueError, match="build"):
+        idx.query(spark, emb.limit(5))
+    with pytest.raises(ValueError, match="centroid-eligible"):
+        idx.build(spark, emb.filter("vec_id % 10 = 3"), centroid_modulus=10)
+    idx.build(spark, emb.filter("vec_id % 3 = 0"), centroid_modulus=10)
+    with pytest.raises(ValueError, match="already built"):
+        idx.build(spark, emb.filter("vec_id % 3 = 1"), centroid_modulus=10)

@@ -243,7 +243,7 @@ def test_i2d_refuses_non_identity_transforms(spark, orders, tmp_path):
         str(tmp_path / "i"), partition_by=[("bucket", 4, "o_custkey")]
     )
     iw.append(orders.filter("o_orderkey <= 200"))
-    with pytest.raises(IcebergError, match="not identity"):
+    with pytest.raises(IcebergError, match="not derivable"):
         iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))
 
 
@@ -832,3 +832,54 @@ def test_hudi_mor_partitioned_translation_prunes_on_delta(spark, orders, tmp_pat
         d.filter("bucket = 1").select(*sorted(d.columns)),
         ro.filter("bucket = 1").select(*sorted(ro.columns)),
     ) == 0
+
+
+def test_iceberg_derivable_transforms_to_delta(spark, orders, tmp_path):
+    """r12: year/month/day Iceberg partition specs over DATE columns
+    translate to Delta as GENERATED partition columns (expression
+    recorded in schema metadata, per-file value from
+    add.partitionValues); bucket and truncate still refuse."""
+    from cdf_spark.package.xtable import iceberg_to_delta
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.iceberg import IcebergError, IcebergFixtureWriter
+
+    o = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .filter("o_orderkey <= 200")
+    )
+    for tr, pcol, check in (
+        ("year", "o_orderdate_year", "o_orderdate_year <> year(o_orderdate)"),
+        (
+            "month",
+            "o_orderdate_month",
+            "o_orderdate_month <> (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1",
+        ),
+    ):
+        iw = IcebergFixtureWriter(
+            str(tmp_path / f"i_{tr}"), partition_by=[(tr, "o_orderdate")], seed=3
+        )
+        iw.append(o)
+        info = iceberg_to_delta(str(tmp_path / f"i_{tr}"), str(tmp_path / f"d_{tr}"))
+        assert info["partition_columns"] == [pcol]
+        d = DeltaTable(str(tmp_path / f"d_{tr}")).read(spark)
+        assert d.filter(check).count() == 0
+        assert d.count() == o.count()
+        # the generation expression is recorded in the LOG's declared
+        # schema (the authoritative record a real Delta reader uses)
+        dt = DeltaTable(str(tmp_path / f"d_{tr}"))
+        declared = dt._logical_schema(dt.current_version())
+        fld = next(f for f in declared.fields if f.name == pcol)
+        assert "delta.generationExpression" in (fld.metadata or {})
+    # bucket and truncate remain refused
+    for spec in (("bucket", 4, "o_custkey"), ("truncate", 2, "o_custkey")):
+        iw = IcebergFixtureWriter(
+            str(tmp_path / f"i_{spec[0]}"), partition_by=[spec], seed=3
+        )
+        iw.append(o)
+        with pytest.raises(IcebergError, match="not derivable"):
+            iceberg_to_delta(str(tmp_path / f"i_{spec[0]}"), str(tmp_path / "dx"))
