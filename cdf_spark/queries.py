@@ -5094,68 +5094,60 @@ PARITY_TWINS: set[str] = {
 # oldest 29 of the r6-green cohort fill to the cut; the remaining r6
 # entries front the r12 rotation.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- never driver-green --
-    "ivf_pq_ann_topk",
-    "bpe_learn_merges",
-    "nb_classifier_train",
-    "nb_classifier_predict",
-    "embedding_decontamination_report",
-    "token_budget_sample_docs",
-    "nb_index_incremental",
-    "hudi_bloom_routed_upsert",
-    "delta_bloom_point_lookup",
-    "iceberg_bloom_point_lookup",
-    "streaming_nb_classify_drain",
-    "xtable_partitioned_delta_to_iceberg_scan",
-    "xtable_partitioned_iceberg_to_delta_scan",
-    "xtable_delta_to_hudi_scan",
-    "xtable_sync_hudi_history_scan",
-    "xtable_hudi_to_delta_scan",
-    "bpe_fast_apply_segmentation",
-    "hudi_mor_bucket_resize",
-    "delta_uniform_dest_scan",
-    "xtable_sync_iceberg_to_delta_history",
-    "xtable_sync_hudi_to_iceberg_history",
-    "xtable_sync_iceberg_to_hudi_history",
-    "xtable_sync_hudi_to_delta_history",
-    # -- last driver-green in r5 (whole cohort, registration order) --
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_excess_shipments",
-    "q21_waiting_suppliers",
-    "duckdb_commit_roundtrip",
-    "tombstone_merge_read",
-    "duckdb_source_scan",
-    "sqlite_commit_roundtrip",
-    "catalog_partition_scan",
-    "embedding_near_dups",
-    "pg_copy_roundtrip_scan",
-    "avro_roundtrip_scan",
-    "protobuf_roundtrip_scan",
-    "snapshot_time_travel",
-    # -- oldest r6-green entries fill to the 50 cut --
-    "contract_verdicts",
-    "delta_time_travel",
-    "delta_changes_since",
-    "hudi_time_travel",
-    "hudi_changes_since",
-    "iceberg_row_deletes",
-    "iceberg_equality_deletes",
-    "iceberg_partition_prune",
-    "iceberg_transform_prune",
-    "iceberg_dest_upsert",
-    "declarative_iceberg_run",
-    "bloom_membership_keys",
-    "stratified_topk_sample",
-    "hudi_partitioned_scan",
-    "hudi_mor_snapshot",
-    "hudi_mor_read_optimized",
+    # -- never driver-green (r12 additions) --
+    "xtable_mor_to_delta_scan",
+    "ann_index_incremental",
+    "xtable_partitioned_days_iceberg_to_delta_scan",
+    # -- last driver-green in r6 (whole cohort, 38 queries — the
+    #    least-recently-green rotation the verdict prescribes) --
+    "airbyte_subprocess_scan",
+    "anti_join_customers_without_orders",
+    "argmin_cheapest_supplier",
+    "byte_transform_chain_scan",
+    "cdc_epoch_apply",
+    "clickhouse_transport_scan",
+    "correction_restatement",
+    "cube_agg",
+    "curation_pipeline",
+    "delta_checkpoint_replay",
+    "delta_deletion_vectors",
+    "delta_dest_merge",
+    "dlt_incremental_scan",
     "hudi_mor_changes_since",
     "hudi_mor_compaction",
-    "delta_dest_merge",
+    "hudi_mor_read_optimized",
+    "hudi_mor_snapshot",
+    "hudi_partitioned_scan",
+    "iceberg_changes_since",
     "iceberg_partitioned_scan",
-    "delta_checkpoint_replay",
+    "iceberg_schema_evolution",
+    "iceberg_time_travel",
+    "lag_lead_price_delta",
+    "mongo_change_stream_apply",
+    "mongo_extended_json_scan",
+    "percentiles_exact",
+    "python_resource_context_scan",
+    "q13_customer_distribution",
+    "q18_large_volume_having",
+    "q19_disjunctive_filter",
+    "q4_order_priority_semijoin",
+    "rest_paged_scan",
+    "schema_admission_ingest",
+    "semantic_dedup_keep",
+    "set_ops_intersect",
+    "stratified_topk_sample",
+    "union_all_sources",
+    "variant_capture_json",
+    # -- oldest r7-green entries fill to the 50 cut --
+    "agg_rollup",
+    "asof_join_events_orders",
+    "contract_quarantine_rows",
+    "cross_format_cdc_replication",
+    "cross_format_replication",
+    "dedup_keep_first",
+    "dedup_keep_last",
+    "delta_change_data_feed",
+    "delta_column_mapping_scan",
 ]
 
 
