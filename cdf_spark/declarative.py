@@ -587,6 +587,24 @@ def run_translation(decl: dict) -> dict:
             f"no {mode} translation from {sf_!r} to {tf!r} "
             f"(formats: delta, iceberg, hudi; source != target)"
         )
+    # MERGE-ON-READ Hudi sources route to the compaction-gated MoR
+    # legs (r12): the CoW reader would refuse the .deltacommit
+    # timeline outright, but a compacted MoR table's read-optimized
+    # view translates losslessly — same routing rule the catalog and
+    # source kinds use
+    if str(sf_) == "hudi" and any(
+        (Path(str(sp)) / ".hoodie").glob("*.deltacommit")
+    ):
+        if mode == "sync":
+            raise DeclarationError(
+                "sync translation from a merge-on-read Hudi source is not "
+                "supported (log deltas are Hudi-physical); run compaction "
+                'and use mode = "snapshot", or replicate rows via CDC '
+                "(cross_format_replication)"
+            )
+        fn_name = {"delta": "hudi_mor_to_delta", "iceberg": "hudi_mor_to_iceberg"}[
+            str(tf)
+        ]
     return getattr(xtable, fn_name)(sp, tp)
 
 

@@ -458,3 +458,38 @@ destination = {{ kind = "hudi", path = "{tmp_path / 'hb'}", disposition = "merge
     from cdf_spark.sources.hudi import HudiTable
 
     assert HudiTable(tmp_path / "hb").read(spark).count() == 200
+
+
+def test_translation_job_routes_mor_source(spark, tmp_path, orders):
+    """r12: a [translations.*] job whose hudi source carries a
+    merge-on-read timeline routes to the compaction-gated MoR leg
+    (snapshot mode); sync mode refuses with the CDC pointer."""
+    import pytest as _pytest
+
+    from cdf_spark.declarative import DeclarationError, run_translation
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.hudi import HudiError
+    from cdf_spark.sources.hudi_mor import META_COLS, HudiMorFixtureWriter, HudiMorTable
+
+    o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    w = HudiMorFixtureWriter(str(tmp_path / "m"), record_key="o_orderkey")
+    w.insert(o.filter("o_orderkey <= 200"))
+    decl = {
+        "source_format": "hudi",
+        "source_path": str(tmp_path / "m"),
+        "target_format": "delta",
+        "target_path": str(tmp_path / "d"),
+        "mode": "snapshot",
+    }
+    # dirty timeline refuses through the job layer too
+    w.upsert(o.filter("o_orderkey <= 50"))
+    with _pytest.raises(HudiError, match=r"compact\(\)"):
+        run_translation(decl)
+    w.compact(spark)
+    report = run_translation(decl)
+    assert report["files_linked"] > 0
+    ro = HudiMorTable(str(tmp_path / "m")).read_optimized(spark)
+    d = DeltaTable(str(tmp_path / "d")).read(spark).drop(*META_COLS)
+    assert d.exceptAll(ro).count() == 0 and ro.exceptAll(d).count() == 0
+    with _pytest.raises(DeclarationError, match="merge-on-read"):
+        run_translation({**decl, "mode": "sync", "target_path": str(tmp_path / "d2")})
