@@ -933,24 +933,37 @@ def sync_iceberg_to_delta(iceberg_root: str | Path, delta_root: str | Path) -> d
         {"fields": []},
     )
     if default_spec.get("fields"):
-        spec_fields = _identity_spec_fields(t)  # refuses derived transforms
-        pcols = [c for c, _t in spec_fields]
-    typ_of = dict(spec_fields)
+        # identity + derivable time transforms (year/month/day over
+        # date), same generated-column mapping as the direct leg (r12)
+        spec_fields = _derivable_spec_fields(t)
+        pcols = [sf_["pcol"] for sf_ in spec_fields]
 
     w = DeltaFixtureWriter(delta_root, partition_by=list(pcols))
     if pcols and w._schema_string is None:
-        w.declare_schema(_ice_schema_to_delta_string(t))
+        schema = json.loads(_ice_schema_to_delta_string(t))
+        for sf_ in spec_fields:
+            if sf_["transform"] != "identity":
+                schema["fields"].append(
+                    _derived_delta_field(sf_["pcol"], sf_["src"], sf_["transform"])
+                )
+        w.declare_schema(json.dumps(schema))
 
     def _pvs(entries: list[dict]) -> list[dict] | None:
         if not pcols:
             return None
-        return [
-            {
-                c: _ice_partition_to_delta_string((e["partition"] or {}).get(c), typ_of[c])
-                for c in pcols
-            }
-            for e in entries
-        ]
+        out = []
+        for e in entries:
+            rec = e["partition"] or {}
+            pv: dict[str, str | None] = {}
+            for sf_ in spec_fields:
+                raw = rec.get(
+                    sf_["pcol"] if sf_["transform"] != "identity" else sf_["src"]
+                )
+                pv[sf_["pcol"]] = _derived_partition_value(
+                    raw, sf_["transform"], sf_["ice_type"]
+                )
+            out.append(pv)
+        return out
 
     synced = []
     for s in chain:

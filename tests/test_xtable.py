@@ -883,3 +883,35 @@ def test_iceberg_derivable_transforms_to_delta(spark, orders, tmp_path):
         iw.append(o)
         with pytest.raises(IcebergError, match="not derivable"):
             iceberg_to_delta(str(tmp_path / f"i_{spec[0]}"), str(tmp_path / "dx"))
+
+
+def test_sync_i2d_derivable_transform_history(spark, tmp_path):
+    """Continuous I->D sync over a days-partitioned source: per-commit
+    parity including the derived generated column, idempotent resume."""
+    from cdf_spark.package.xtable import sync_iceberg_to_delta
+    from cdf_spark.sources.delta import DeltaTable
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    o = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+    )
+    iw = IcebergFixtureWriter(
+        str(tmp_path / "i"), partition_by=[("day", "o_orderdate")], seed=5
+    )
+    iw.append(o.filter("o_orderkey <= 150"))
+    iw.append(o.filter("o_orderkey > 150 and o_orderkey <= 300"))
+    r = sync_iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))
+    assert len(r["synced"]) == 2 and not r["stale"]
+    i = IcebergTable(str(tmp_path / "i")).read(spark)
+    d = DeltaTable(str(tmp_path / "d")).read(spark)
+    assert "o_orderdate_day" in d.columns
+    assert d.filter("o_orderdate_day <> CAST(o_orderdate AS DATE)").count() == 0
+    dd = d.drop("o_orderdate_day")
+    assert _parity(dd.select(*sorted(dd.columns)), i.select(*sorted(i.columns))) == 0
+    # idempotent resume
+    assert not sync_iceberg_to_delta(str(tmp_path / "i"), str(tmp_path / "d"))["synced"]
