@@ -5097,6 +5097,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
+    "streaming_ann_index_drain",
     "xtable_partitioned_days_iceberg_to_delta_scan",
     # -- last driver-green in r6 (whole cohort, 38 queries — the
     #    least-recently-green rotation the verdict prescribes) --
@@ -5147,7 +5148,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dedup_keep_first",
     "dedup_keep_last",
     "delta_change_data_feed",
-    "delta_column_mapping_scan",
 ]
 
 
@@ -5804,6 +5804,125 @@ def ann_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
     tmp = _session_fixture("ann_ivf_index", sf, build)
     return IVFIndex(f"{tmp}/ivf").query(
         spark, emb.filter("vec_id < 20"), k=10, nprobe=4
+    )
+
+
+@_register(
+    "streaming_ann_index_drain",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id < 166 AND vec_id % 10 = 0),
+    ep AS (SELECT 1 AS epoch, 166 AS lo, 333 AS hi
+           UNION ALL SELECT 2, 333, 10000000),
+    assigned AS (
+      SELECT id, cluster FROM (
+        SELECT c.vec_id AS id, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.e, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM c CROSS JOIN cents) WHERE rn = 1
+    ),
+    q AS (SELECT ep.epoch, ep.lo, c.vec_id AS qid, c.e AS qe
+          FROM c JOIN ep ON c.vec_id >= ep.lo AND c.vec_id < ep.hi),
+    probes AS (
+      SELECT epoch, lo, qid, cluster FROM (
+        SELECT q.epoch, q.lo, q.qid, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY q.epoch, q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.epoch, p.qid, a.id FROM probes p JOIN assigned a ON a.cluster = p.cluster
+      WHERE a.id < p.lo
+    ),
+    scored AS (
+      SELECT cand.epoch, cand.qid AS query_id, cand.id AS neighbor_id,
+             round(list_cosine_similarity(qc.e, cc.e), 4) AS sim
+      FROM cand JOIN c qc ON qc.vec_id = cand.qid JOIN c cc ON cc.vec_id = cand.id
+    ),
+    ranked AS (
+      SELECT epoch, query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY epoch, query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, query_id, neighbor_id, sim, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def streaming_ann_index_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING online similarity lookup (r12) — the shape a
+    continuously-growing embedding store actually runs: a real
+    readStream drain where every micro-batch (a) probes the persisted
+    `IVFIndex` built from everything ingested BEFORE it (the online
+    near-dup / retrieval lookup; epoch 0 has no index yet and only
+    builds), then (b) folds its own vectors in (O(batch) assignment
+    against the frozen broadcast centroids — the corpus never
+    re-indexes). foreachBatch is AT-LEAST-ONCE: probe results land in
+    per-epoch overwrite dirs (idempotent) and the fold carries the
+    IVFIndex epoch fence; BOTH side effects skip on a redelivery
+    after the fold landed — re-probing against an index that now
+    contains the epoch's own vectors would return different
+    neighbors. The oracle replays both scored epochs' probes with the
+    prior-ingest corpus cut (a.id < epoch lo) — any stale index read,
+    double fold, or fence miss changes the neighbor sets and
+    hash-mismatches."""
+    from .operators.similarity import IVFIndex
+
+    def build(tmp: str) -> None:
+        import os
+        import shutil
+        import tempfile
+        import time
+        from pathlib import Path as _Path
+
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        (_Path(tmp) / "in").mkdir()
+        t0 = time.time() - 1000
+        for i, (lo, hi) in enumerate(_NB_BOUNDS):
+            stage = tempfile.mkdtemp(prefix="cdf_sann_part_")
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            dst = f"{tmp}/in/part-{i}.parquet"
+            shutil.move(str(src), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+            shutil.rmtree(stage, ignore_errors=True)
+
+        idx = IVFIndex(f"{tmp}/ivf")
+
+        def handle(batch_df, epoch_id: int) -> None:
+            meta = idx._meta()
+            if meta is not None and int(epoch_id) <= meta.get("last_epoch", -1):
+                return  # fully-processed epoch redelivered
+            if meta is None:
+                idx.build(spark, batch_df, centroid_modulus=10, epoch=int(epoch_id))
+                return
+            (
+                idx.query(spark, batch_df, k=3, nprobe=4)
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/out/epoch={epoch_id}")
+            )
+            idx.add(spark, batch_df, epoch=int(epoch_id))
+
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+
+    tmp = _session_fixture("streaming_ann_index", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "query_id",
+        "neighbor_id",
+        "sim",
+        "rank",
     )
 
 
