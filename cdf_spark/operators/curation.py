@@ -20,10 +20,14 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import hash64
+
+MICRO = 1_000_000.0
 
 # ---------------------------------------------------------------------------
 # word n-grams
@@ -1254,3 +1258,146 @@ class ExactSubstrIndex:
             .select(id_col, "p")
         )
         return _windows_to_spans(flagged, id_col, k)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling
+
+
+def _hashed_ngram_features(col: Column, dim: int) -> Column:
+    """DSIR's feature map: hashed word UNIGRAMS + BIGRAMS into `dim`
+    buckets (Xie et al. 2023 §3.2 use exactly this — hashed n-grams of
+    unigrams and bigrams into 10k buckets). Tokens are the suite's
+    shared lowercase [a-z0-9]+ stream (the same stream the NB
+    classifier / LM / BPE stages see); buckets via the md5-parity
+    `hash64` so the oracle replays bit-for-bit. Empty-safe: <2-token
+    docs contribute no bigrams; 0-token docs no features at all."""
+    toks = F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
+    unis = F.transform(toks, lambda t: hash64(t) % dim)
+    n_bi = F.size(toks) - 1
+    bis = F.when(
+        n_bi >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_bi),
+            lambda i: hash64(
+                F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1))
+            )
+            % dim,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(unis, bis)
+
+
+def _hashed_bucket_lm(feats: DataFrame, dim: int) -> tuple[DataFrame, int]:
+    """Add-one-smoothed bag-of-hashed-ngrams model over bucket rows
+    (`b`): returns (model, oov_floor_unat) where model = (b, lp_unat),
+    lp_unat = round(ln((c+1)/(N+dim)) * 1e6) AS BIGINT and the floor
+    is the never-seen-bucket log-prob ln(1/(N+dim)). The model is at
+    most `dim` rows — a broadcastable fixed-size artifact at any
+    corpus size; the 1-row total collect is bounded driver state."""
+    counts = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
+    ln_denom = math.log(n_total + dim)
+    model = counts.select(
+        "b",
+        F.round((F.log(F.col("c") + F.lit(1.0)) - F.lit(ln_denom)) * F.lit(MICRO))
+        .cast("long")
+        .alias("lp_unat"),
+    )
+    floor = int(round((0.0 - ln_denom) * MICRO))
+    return model, floor
+
+
+def dsir_importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every raw-corpus document by how much more likely its hashed
+    n-gram bag is under a TARGET-domain bag model than under the raw
+    model — log w(x) = log p_target(features) − log p_raw(features).
+    The standard pick-pretraining-data-that-looks-like-the-target op
+    (GPT-3/PaLM-style quality resampling, formalized); the suite's
+    n-gram/embedding decontamination REMOVES target lookalikes, this
+    SELECTS them.
+
+    Returns (id_col, n_feats, lw_unat): feature count and the exact
+    integer micro-nat log weight. Docs with zero features (no
+    [a-z0-9] tokens) carry no evidence and are excluded — stated
+    contract.
+
+    Determinism: per-bucket log-probs round to integer micro-nats at
+    the leaf (the proven lm_perplexity discipline), so per-doc sums
+    are order-independent exact integers and the oracle matches
+    bit-for-bit.
+
+    Scale posture (100 TB raw corpus):
+    - both bucket models are ≤ dim rows → BROADCAST; the target set
+      is bounded by definition (a benchmark / curated seed corpus).
+    - scoring = narrow feature explode + two broadcast joins + ONE
+      map-side-combinable groupBy(doc). 1 shuffle at any corpus size;
+      no corpus×corpus or corpus×target pair ever materializes.
+    Reference frame: the reference gates rows by declarative contract
+    policies (crates/cdf-contract/src/policy.rs); a distribution-
+    matching selector is the beyond-ref generalization its curation
+    story needs for training-data assembly."""
+    t_feats = target.select(
+        F.explode(_hashed_ngram_features(F.col(text_col), dim)).alias("b")
+    )
+    r_feats_per_doc = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_hashed_ngram_features(F.col(text_col), dim)).alias("b"),
+    )
+    t_model, t_floor = _hashed_bucket_lm(t_feats, dim)
+    r_model, r_floor = _hashed_bucket_lm(r_feats_per_doc.select("b"), dim)
+    t_model = t_model.withColumnRenamed("lp_unat", "_lp_t")
+    r_model = r_model.withColumnRenamed("lp_unat", "_lp_r")
+    return (
+        r_feats_per_doc.join(F.broadcast(t_model), on="b", how="left")
+        .join(F.broadcast(r_model), on="b", how="left")
+        .select(
+            "_id",
+            (
+                F.coalesce(F.col("_lp_t"), F.lit(t_floor))
+                - F.coalesce(F.col("_lp_r"), F.lit(r_floor))
+            ).alias("_d"),
+        )
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("_d").alias("lw_unat"))
+        .select(F.col("_id").alias(id_col), "n_feats", "lw_unat")
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+) -> DataFrame:
+    """Select the top-k raw documents by DSIR importance weight —
+    the paper's deterministic top-k variant (its §4 ablation; the
+    Gumbel-noise resampler differs only by adding per-doc noise,
+    which a reproducible data pipeline pins anyway). Ties break by
+    id asc so selection is total-order deterministic.
+
+    Output (id_col, n_feats, lw_unat, rk). Scale: the weight table is
+    one row per corpus doc; global top-k is a sort-limit Spark
+    executes as TakeOrderedAndProject (per-partition heap + driver
+    merge of k·partitions rows — no global sort shuffle)."""
+    w = dsir_importance_weights(corpus, target, text_col, id_col, dim)
+    return (
+        w.orderBy(F.col("lw_unat").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("lw_unat").desc(), F.col(id_col).asc())
+            ),
+        )
+    )

@@ -11311,3 +11311,72 @@ def streaming_nb_classify_drain(spark: SparkSession, sf: str) -> DataFrame:
         "score_unat",
         "margin_unat",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (r12)
+
+_DSIR_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             unnest(
+               [CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 4096 for t in ts]
+               ||
+               [CAST(('0x'||substr(md5(ts[i]||' '||ts[i+1]),1,15)) AS BIGINT) % 4096
+                for i in range(1, len(ts))]
+             ) AS b
+      FROM toks
+    ),
+    t_counts AS (SELECT b, COUNT(*) AS c FROM feats WHERE doc_id % 97 = 0 GROUP BY b),
+    r_counts AS (SELECT b, COUNT(*) AS c FROM feats WHERE doc_id % 97 <> 0 GROUP BY b),
+    t_tot AS (SELECT COALESCE(SUM(c), 0) AS n FROM t_counts),
+    r_tot AS (SELECT COALESCE(SUM(c), 0) AS n FROM r_counts),
+    t_model AS (
+      SELECT b, CAST(round((ln(c + 1.0) - ln(n + 4096)) * 1000000.0) AS BIGINT) AS lp_t
+      FROM t_counts, t_tot
+    ),
+    r_model AS (
+      SELECT b, CAST(round((ln(c + 1.0) - ln(n + 4096)) * 1000000.0) AS BIGINT) AS lp_r
+      FROM r_counts, r_tot
+    ),
+    t_floor AS (SELECT CAST(round((0.0 - ln(n + 4096)) * 1000000.0) AS BIGINT) AS f FROM t_tot),
+    r_floor AS (SELECT CAST(round((0.0 - ln(n + 4096)) * 1000000.0) AS BIGINT) AS f FROM r_tot),
+    scored AS (
+      SELECT f.doc_id,
+             COUNT(*) AS n_feats,
+             SUM(COALESCE(lp_t, (SELECT f FROM t_floor))
+                 - COALESCE(lp_r, (SELECT f FROM r_floor))) AS lw_unat
+      FROM feats f
+      LEFT JOIN t_model USING (b)
+      LEFT JOIN r_model USING (b)
+      WHERE f.doc_id % 97 <> 0
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_feats, lw_unat,
+           row_number() OVER (ORDER BY lw_unat DESC, doc_id ASC) AS rk
+    FROM scored
+    ORDER BY lw_unat DESC, doc_id ASC
+    LIMIT 200
+"""
+
+
+@_register("dsir_select_docs", _DSIR_ORACLE)
+def dsir_select_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): pick the 200 raw docs
+    whose hashed-n-gram bag looks most like the target split
+    (doc_id % 97 = 0 — the same held-out split the decontamination
+    family treats as the benchmark set). Both bucket models broadcast;
+    one shuffle over the corpus; exact integer micro-nat weights.
+    Oracle replays the full feature-hash -> two bag models -> log-ratio
+    -> top-k pipeline."""
+    from .operators.curation import dsir_select
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dsir_select(corpus, target, k=200, dim=4096)

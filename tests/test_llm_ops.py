@@ -882,3 +882,101 @@ def test_dup_spans_xxhash_twin_parity(spark):
     slow = sorted(map(tuple, dup_spans(docs, k=10).collect()))
     fast = sorted(map(tuple, dup_spans(docs, k=10, hash_fn="xxhash64").collect()))
     assert slow == fast and len(slow) > 0
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r12)
+
+
+def _dsir_brute(corpus_rows, target_rows, dim=64):
+    """Pure-Python DSIR twin: hashed unigram+bigram bag models with
+    add-one smoothing, integer micro-nat log-ratio per doc."""
+    import hashlib
+    import math
+    import re
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % dim
+
+    def feats(t):
+        ts = toks(t)
+        return [h(w) for w in ts] + [h(ts[i] + " " + ts[i + 1]) for i in range(len(ts) - 1)]
+
+    def model(all_feats):
+        counts = {}
+        for b in all_feats:
+            counts[b] = counts.get(b, 0) + 1
+        n = sum(counts.values())
+        ln_d = math.log(n + dim)
+        lp = {b: int(round((math.log(c + 1.0) - ln_d) * 1e6)) for b, c in counts.items()}
+        floor = int(round((0.0 - ln_d) * 1e6))
+        return lp, floor
+
+    t_feats = [b for _, t in target_rows for b in feats(t)]
+    r_feats = [b for _, t in corpus_rows for b in feats(t)]
+    lp_t, f_t = model(t_feats)
+    lp_r, f_r = model(r_feats)
+    out = {}
+    for did, t in corpus_rows:
+        fs = feats(t)
+        if not fs:
+            continue
+        out[did] = (len(fs), sum(lp_t.get(b, f_t) - lp_r.get(b, f_r) for b in fs))
+    return out
+
+
+def test_dsir_weights_match_brute_force(spark):
+    from cdf_spark.operators.curation import dsir_importance_weights
+
+    target_rows = [(100, "quantum energy states decay"), (101, "energy spectrum of quantum wells")]
+    corpus_rows = [
+        (1, "quantum decay rates in excited energy states"),
+        (2, "buy cheap watches online free shipping"),
+        (3, "casino bonus spins win big now"),
+        (4, "the energy of a quantum system"),
+        (5, "!!! ???"),  # zero features -> excluded
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    target = spark.createDataFrame(target_rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_feats"], r["lw_unat"])
+        for r in dsir_importance_weights(corpus, target, dim=64).collect()
+    }
+    assert got == _dsir_brute(corpus_rows, target_rows, dim=64)
+
+
+def test_dsir_select_prefers_target_lookalikes(spark):
+    from cdf_spark.operators.curation import dsir_select
+
+    target = spark.createDataFrame(
+        [(100, "quantum energy states decay"), (101, "energy spectrum of quantum wells")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quantum decay rates in excited energy states"),
+            (2, "buy cheap watches online free shipping today"),
+            (3, "casino bonus spins win big now friend"),
+            (4, "the energy of a quantum system"),
+            (6, "cheap casino watches free bonus shipping"),
+        ],
+        ["doc_id", "text"],
+    )
+    picked = dsir_select(corpus, target, k=2, dim=256).collect()
+    assert sorted(r["doc_id"] for r in picked) == [1, 4]
+    # rk is a total deterministic order: weight desc, id asc
+    by_rk = sorted(picked, key=lambda r: r["rk"])
+    assert [r["rk"] for r in by_rk] == [1, 2]
+    assert by_rk[0]["lw_unat"] >= by_rk[1]["lw_unat"]
+
+
+def test_dsir_zero_feature_docs_carry_no_row(spark):
+    from cdf_spark.operators.curation import dsir_importance_weights
+
+    corpus = spark.createDataFrame([(1, "real words here"), (2, "%%% ***")], ["doc_id", "text"])
+    target = spark.createDataFrame([(9, "real words")], ["doc_id", "text"])
+    ids = [r["doc_id"] for r in dsir_importance_weights(corpus, target, dim=32).collect()]
+    assert ids == [1]
