@@ -1,0 +1,317 @@
+"""Full-text retrieval: BM25 scoring and a persisted incremental
+inverted index.
+
+The retrieval member of this suite's training-data toolchain: corpus
+curation pipelines retrieve over their own corpus constantly —
+benchmark-contamination forensics ("which documents would answer this
+eval question"), RAG evaluation sets, targeted quality audits, and
+retrieval-based dedup all reduce to "top-k documents for a query" at
+corpus scale. The reference's query surface is declarative predicates
+(`crates/cdf-kernel/src/expr`); ranked retrieval is the beyond-ref
+generalization its curation story needs, in the same sense the NB
+classifier generalizes its contract rules.
+
+Scoring is Okapi BM25 (Robertson & Spärck Jones; the Lucene
+`ln(1 + (N - df + 0.5)/(df + 0.5))` non-negative idf form) with the
+standard k1=1.2, b=0.75. The constants are FIXED: they appear as
+identical numeric literals in the Spark expression and the DuckDB
+oracle, which is what keeps the double arithmetic bit-identical
+across engines (a configurable k1 recomputed as `k1 + 1.0` on one
+side and written `2.2` on the other would differ in the last ulp).
+
+Determinism discipline (the house rule): the per-(query, term, doc)
+partial score is ONE double expression over exact integer inputs
+(tf, dl, df, N — identical operand order on both engines), scaled to
+integer MICRO-UNITS (round(score * 1e6) AS BIGINT) at the leaf; the
+per-(query, doc) sum is exact integer arithmetic, immune to float
+summation order across partitions/engines; ranking compares integers
+with doc-id tie-breaks. BM25 partials are non-negative, so Spark's
+HALF_UP round and DuckDB's half-away-from-zero agree.
+
+Scale posture (100 TB corpus):
+- one-shot `bm25_topk`: tokenize+explode is narrow; ONE
+  map-side-combinable groupBy builds the (doc, term, tf, dl) table
+  (dl rides the grouping key — no corpus-sized lengths join); query
+  terms and their document frequencies BROADCAST (a query set is
+  bounded by definition); per-(query, doc) aggregation is the only
+  other shuffle.
+- `InvertedIndex`: the growing-corpus form. Postings parts are
+  append-only (a doc's (tok, tf, dl) rows are immutable — BM25
+  sufficient statistics are pure counts, so folds are exact and the
+  folded index answers bit-identically to a one-shot scoring run);
+  each part is hash-bucketed by term (`hb = hash64(tok) % 16`,
+  hive-partitioned) so a probe reads only the buckets its query
+  terms hash to — O(postings of the query terms), never O(index).
+  Corpus-level stats (N, total token count) fold as two integers in
+  the meta, so idf/avgdl need no corpus pass at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import hash64, hash64_py
+
+MICRO = 1_000_000.0
+_BUCKETS = 16
+
+
+def _tok_array(col: Column) -> Column:
+    """The suite's shared lowercase [a-z0-9]+ token stream (same
+    stream the NB classifier / LM / BPE / DSIR stages see)."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def _doc_tf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, dl, tok, tf): per-document term frequencies with the
+    document length riding the grouping key — dl is functionally
+    dependent on _id, so grouping by (_id, dl, tok) costs nothing
+    extra and saves the corpus-sized lengths join at scoring time."""
+    return (
+        df.select(F.col(id_col).alias("_id"), _tok_array(F.col(text_col)).alias("_ts"))
+        .select("_id", F.size("_ts").alias("dl"), F.explode("_ts").alias("tok"))
+        .groupBy("_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _bm25_partial_unat(n_docs: int, avgdl: float) -> Column:
+    """The per-(query term, doc) BM25 partial in integer micro-units.
+    Expects columns tf (BIGINT), dl (BIGINT), df (BIGINT). Operand
+    order mirrors the oracle SQL token for token:
+    round(ln(1.0 + (N - df + 0.5) / (df + 0.5))
+          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          * 1000000.0) — every float op is IEEE-identical given the
+    same operand order, ln parity is the suite's proven micro-nat
+    discipline, and the result is non-negative so both engines' round
+    modes agree."""
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(float(avgdl)))
+    return F.round(idf * (F.col("tf") * F.lit(2.2)) / denom * F.lit(MICRO)).cast("long")
+
+
+def _query_terms(queries: DataFrame, qid_col: str, qtext_col: str) -> DataFrame:
+    """(qid, tok) — DISTINCT query terms per query (standard bag-of-
+    words BM25 ignores query-side term repetition)."""
+    return (
+        queries.select(
+            F.col(qid_col).alias("qid"),
+            F.explode(F.array_distinct(_tok_array(F.col(qtext_col)))).alias("tok"),
+        )
+        .distinct()
+    )
+
+
+def _score_topk(
+    tf: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared scoring tail: df per query term from the (pre-filtered)
+    tf rows, broadcast both small sides, integer partial sums per
+    (query, doc), per-query top-k. The window partitions by qid —
+    bounded query-set cardinality, ranking only docs that matched at
+    least one term."""
+    matched = tf.join(F.broadcast(qterms.select("tok").distinct()), on="tok")
+    dfreq = matched.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        matched.join(F.broadcast(qterms), on="tok")
+        .join(F.broadcast(dfreq), on="tok")
+        .select("qid", "_id", _bm25_partial_unat(n_docs, avgdl).alias("_s"))
+        .groupBy("qid", "_id")
+        .agg(F.sum("_s").alias("score_unat"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score_unat").desc(), F.col("_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("_id").alias(id_col), "score_unat", "rk")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """One-shot BM25 top-k: rank every document against every query,
+    return (qid, id_col, score_unat, rk) for the k best per query
+    (ties break by doc id asc; docs matching no query term never
+    appear — stated contract).
+
+    2 shuffles at any corpus size (the tf groupBy and the per-
+    (query, doc) sum); both model-side tables broadcast. The 1-row
+    stats collect (N, total length) is bounded driver state. A
+    growing corpus should use `InvertedIndex` — this recomputes tf
+    from scratch per call."""
+    tf = _doc_tf(docs, text_col, id_col)
+    lens = docs.select(F.size(_tok_array(F.col(text_col))).alias("dl"))
+    n_docs, total = lens.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+    ).collect()[0]
+    avgdl = total / n_docs
+    return _score_topk(tf, _query_terms(queries, qid_col, qtext_col), int(n_docs), avgdl, k, id_col)
+
+
+class InvertedIndex:
+    """Persisted INCREMENTAL inverted index for BM25 retrieval over a
+    GROWING corpus — the retrieval member of the incremental-index
+    family (`NBIndex`, `curation.LMIndex`, `curation.ExactSubstrIndex`,
+    `dedup_approx.MinHashLSHIndex`, `similarity.IVFIndex`):
+    `bm25_topk` re-tokenizes the whole corpus per call, the wrong
+    shape under continuous ingestion.
+
+    Layout under `root/`:
+    - `postings_p<N>/hb=<b>/` parquet (tok, doc_id, tf, dl) —
+      append-only, one dir per committed fold, hive-partitioned on
+      `hb = hash64(tok) % 16`; never rewritten. A doc's postings are
+      immutable and live in exactly one part (doc ids are new to the
+      index per fold — the fixture contract this family shares), so
+      the fully-folded index is bit-identical to a one-shot build:
+      BM25 sufficient statistics (tf, dl, df, N, Σdl) are pure counts.
+    - `meta.json` {parts, n_docs, total_len, last_epoch} — atomic
+      tmp+rename swap AFTER the postings write (crash leaves the
+      previous index live; at most one unlisted dir, overwritten by
+      the retried fold and swept on the next successful one).
+
+    add() cost: O(batch) tokenize + one groupBy + one part write; no
+    existing posting is read. query() reads ONLY the hb buckets the
+    query terms hash to (hive partition pruning across every part)
+    and pushes the term filter into the scan — O(postings of the
+    query terms) at any index size. `epoch` is the same at-least-once
+    replay fence the family uses (postings re-appends are not
+    idempotent)."""
+
+    def __init__(self, root):
+        from pathlib import Path as _P
+
+        self.root = _P(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _meta(self) -> dict | None:
+        import json as _json
+
+        p = self.root / "meta.json"
+        return _json.loads(p.read_text()) if p.exists() else None
+
+    def _swap_meta(self, meta: dict) -> None:
+        import json as _json
+
+        tmp = self.root / "meta.json.tmp"
+        tmp.write_text(_json.dumps(meta))
+        tmp.replace(self.root / "meta.json")
+
+    def build(
+        self,
+        spark,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch: int | None = None,
+    ) -> dict:
+        """Seed the index with its first fold. Unlike IVFIndex there
+        is no frozen model to derive — BM25 stats fold exactly from
+        nothing — so build() is init + add()."""
+        if self._meta() is not None:
+            raise ValueError("InvertedIndex already built — use add()")
+        self._swap_meta({"parts": [], "n_docs": 0, "total_len": 0, "last_epoch": -1})
+        return self.add(spark, batch, text_col=text_col, id_col=id_col, epoch=epoch)
+
+    def add(
+        self,
+        spark,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch: int | None = None,
+    ) -> dict:
+        """Fold a batch: tokenize ONLY these rows, commit their
+        postings as a new bucket-partitioned part, fold the two
+        corpus counters. Ids must be new to the index; replays are
+        fenced by `epoch`."""
+        import shutil
+
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("InvertedIndex is empty — build() first")
+        if epoch is not None and int(epoch) <= meta.get("last_epoch", -1):
+            return meta  # replayed fold — already appended
+        tf = _doc_tf(batch, text_col, id_col).select(
+            (hash64(F.col("tok")) % _BUCKETS).alias("hb"),
+            "tok",
+            F.col("_id").alias("doc_id"),
+            "tf",
+            "dl",
+        )
+        part = f"postings_p{len(meta['parts'])}"
+        tf.write.mode("overwrite").partitionBy("hb").parquet(str(self.root / part))
+        # batch counters from the batch itself (zero-token docs count
+        # toward N with dl=0, exactly as the one-shot stats collect)
+        n_b, tot_b = batch.select(
+            F.size(_tok_array(F.col(text_col))).alias("dl")
+        ).agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))).collect()[0]
+        new_meta = {
+            "parts": meta["parts"] + [part],
+            "n_docs": int(meta["n_docs"]) + int(n_b),
+            "total_len": int(meta["total_len"]) + int(tot_b),
+            "last_epoch": int(epoch) if epoch is not None else meta.get("last_epoch", -1),
+        }
+        self._swap_meta(new_meta)
+        listed = set(new_meta["parts"])
+        for d in self.root.iterdir():
+            if d.is_dir() and d.name.startswith("postings_p") and d.name not in listed:
+                shutil.rmtree(d, ignore_errors=True)
+        return new_meta
+
+    def query(
+        self,
+        spark,
+        queries: DataFrame,
+        k: int = 10,
+        qid_col: str = "qid",
+        qtext_col: str = "qtext",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """BM25 top-k per query against everything folded so far —
+        bit-identical to `bm25_topk` over the union of all folds.
+        The query set is bounded by contract (it broadcasts), so
+        collecting its distinct terms to plan the bucket scan is
+        bounded driver state; the term list prunes hb partitions AND
+        pushes an IN filter to the parquet scan."""
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("InvertedIndex is empty — build() first")
+        if not meta["parts"]:
+            raise ValueError("InvertedIndex has no postings")
+        qterms = _query_terms(queries, qid_col, qtext_col)
+        terms = [r["tok"] for r in qterms.select("tok").distinct().collect()]
+        if not terms:
+            raise ValueError("query set tokenizes to no terms")
+        buckets = sorted({hash64_py(t) % _BUCKETS for t in terms})
+        # one read per part (each part is its own hive-partitioned
+        # root — a single multi-path read would see conflicting
+        # structures), pruned + filtered BEFORE the union so every
+        # branch scans only its touched buckets
+        from functools import reduce
+
+        parts = [
+            spark.read.parquet(str(self.root / p)).filter(
+                F.col("hb").isin(buckets) & F.col("tok").isin(terms)
+            )
+            for p in meta["parts"]
+        ]
+        tf = reduce(DataFrame.unionByName, parts).select(
+            "tok", F.col("doc_id").alias("_id"), "tf", "dl"
+        )
+        avgdl = meta["total_len"] / meta["n_docs"]
+        return _score_topk(tf, qterms, int(meta["n_docs"]), avgdl, k, id_col)

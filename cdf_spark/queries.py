@@ -11380,3 +11380,90 @@ def dsir_select_docs(spark: SparkSession, sf: str) -> DataFrame:
     target = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return dsir_select(corpus, target, k=200, dim=4096)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (r12)
+
+_BM25_QUERIES = [
+    ("q1", "hash join merge"),
+    ("q2", "window agg stream"),
+    ("q3", "fast table scan vector"),
+]
+
+_BM25_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, COALESCE(SUM(len(ts)), 0) AS total FROM toks),
+    flat AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks),
+    tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM flat GROUP BY doc_id, dl, tok),
+    qterms AS (
+      SELECT * FROM (VALUES
+        ('q1','hash'),('q1','join'),('q1','merge'),
+        ('q2','window'),('q2','agg'),('q2','stream'),
+        ('q3','fast'),('q3','table'),('q3','scan'),('q3','vector')
+      ) AS q(qid, tok)
+    ),
+    dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf
+      WHERE tok IN (SELECT tok FROM qterms) GROUP BY tok
+    ),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (n - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total AS DOUBLE) / n)))
+               * 1000000.0
+             ) AS BIGINT) AS s
+      FROM tf JOIN qterms q USING (tok) JOIN dfreq USING (tok), stats
+    ),
+    agg AS (SELECT qid, doc_id, CAST(SUM(s) AS BIGINT) AS score_unat FROM scored GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, doc_id, score_unat,
+             row_number() OVER (PARTITION BY qid ORDER BY score_unat DESC, doc_id ASC) AS rk
+      FROM agg
+    )
+    SELECT qid, doc_id, score_unat, rk FROM ranked WHERE rk <= 10
+"""
+
+
+def _bm25_query_df(spark: SparkSession):
+    return spark.createDataFrame(_BM25_QUERIES, ["qid", "qtext"])
+
+
+@_register("bm25_topk_docs", _BM25_ORACLE)
+def bm25_topk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval: top-10 documents per query for a
+    3-query set over the documents table. Integer micro-unit partial
+    scores (exact order-independent sums); query terms, their document
+    frequencies, and the corpus stats all broadcast/bounded; 2
+    shuffles at any corpus size. Oracle replays the full tf/df/idf/
+    length-normalization pipeline."""
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), _bm25_query_df(spark), k=10)
+
+
+@_register("bm25_index_incremental", _BM25_ORACLE)
+def bm25_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """The growing-corpus form: an `InvertedIndex` folded in THREE
+    batches (doc_id % 3 splits), probed with the same query set — the
+    folded probe must be bit-identical to the one-shot BM25 oracle
+    over the whole corpus (BM25 sufficient statistics are pure counts,
+    so folds are exact; any drift in tf/df/N/avgdl folding
+    hash-mismatches). Probe reads only the term-hash buckets the
+    query terms touch — O(query postings), not O(index)."""
+    from .operators.retrieval import InvertedIndex
+
+    def build(tmp: str) -> None:
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        idx = InvertedIndex(f"{tmp}/bm25")
+        idx.build(spark, docs.filter(F.col("doc_id") % 3 == 0))
+        idx.add(spark, docs.filter(F.col("doc_id") % 3 == 1))
+        idx.add(spark, docs.filter(F.col("doc_id") % 3 == 2))
+
+    tmp = _session_fixture("bm25_idx", sf, build)
+    return InvertedIndex(f"{tmp}/bm25").query(spark, _bm25_query_df(spark), k=10)

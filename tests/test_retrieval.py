@@ -1,0 +1,106 @@
+"""BM25 retrieval + persisted incremental inverted index."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.operators.retrieval import InvertedIndex, bm25_topk, hash64_py, _BUCKETS
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, ["qid", "qtext"])
+
+
+CORPUS = [
+    (1, "spark shuffle join merge join join"),
+    (2, "window functions over streams and watermarks"),
+    (3, "join"),
+    (4, "hash join strategies for big tables hash hash"),
+    (5, "completely unrelated text about gardening"),
+    (6, ",,, !!!"),  # zero tokens: counts toward N, never scored
+]
+
+
+def test_bm25_rare_term_and_tf_ordering(spark):
+    docs = _docs(spark, CORPUS)
+    out = bm25_topk(docs, _queries(spark, [("q", "join")]), k=10).collect()
+    got = [r["doc_id"] for r in sorted(out, key=lambda r: r["rk"])]
+    # doc 3 is a one-word doc containing only "join": maximal length
+    # normalization wins over doc 1's tf=3; doc 5/6 never appear
+    assert set(got) == {1, 3, 4}
+    assert got[0] == 3
+    assert all(r["score_unat"] > 0 for r in out)
+
+
+def test_index_folds_match_one_shot(spark, tmp_path):
+    docs = _docs(spark, CORPUS)
+    idx = InvertedIndex(tmp_path / "bm25")
+    idx.build(spark, docs.filter(F.col("doc_id") <= 2))
+    idx.add(spark, docs.filter((F.col("doc_id") > 2) & (F.col("doc_id") <= 4)))
+    idx.add(spark, docs.filter(F.col("doc_id") > 4))
+    qs = _queries(spark, [("q1", "hash join"), ("q2", "window streams")])
+    one_shot = sorted(map(tuple, bm25_topk(docs, qs, k=5).collect()))
+    folded = sorted(map(tuple, idx.query(spark, qs, k=5).collect()))
+    assert folded == one_shot and len(folded) > 0
+    # meta counters fold exactly (zero-token doc 6 counted, dl 0)
+    m = idx._meta()
+    assert m["n_docs"] == 6 and len(m["parts"]) == 3
+
+
+def test_index_epoch_fence_makes_replay_idempotent(spark, tmp_path):
+    docs = _docs(spark, CORPUS)
+    idx = InvertedIndex(tmp_path / "bm25")
+    idx.build(spark, docs.filter(F.col("doc_id") <= 3), epoch=0)
+    idx.add(spark, docs.filter(F.col("doc_id") > 3), epoch=1)
+    before = sorted(map(tuple, idx.query(spark, _queries(spark, [("q", "join hash")])).collect()))
+    # redelivered fold: same epoch -> skipped, counters unchanged
+    m1 = idx.add(spark, docs.filter(F.col("doc_id") > 3), epoch=1)
+    assert m1["n_docs"] == 6 and len(m1["parts"]) == 2
+    after = sorted(map(tuple, idx.query(spark, _queries(spark, [("q", "join hash")])).collect()))
+    assert after == before
+
+
+def test_index_sweeps_crash_orphaned_part(spark, tmp_path):
+    docs = _docs(spark, CORPUS)
+    idx = InvertedIndex(tmp_path / "bm25")
+    idx.build(spark, docs.filter(F.col("doc_id") <= 3))
+    # simulate a crash between the part write and the meta swap
+    orphan = tmp_path / "bm25" / "postings_p9"
+    orphan.mkdir()
+    (orphan / "junk").write_text("x")
+    idx.add(spark, docs.filter(F.col("doc_id") > 3))
+    assert not orphan.exists()
+
+
+def test_index_probe_reads_only_touched_buckets(spark, tmp_path):
+    docs = _docs(spark, CORPUS)
+    idx = InvertedIndex(tmp_path / "bm25")
+    idx.build(spark, docs)
+    out = idx.query(spark, _queries(spark, [("q", "join")]), k=5)
+    b = hash64_py("join") % _BUCKETS
+    # partition pruning is plan-time: the scan's PartitionFilters must
+    # pin hb to the probed bucket (inputFiles() lists pre-pruning)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert f"hb#" in plan and "PartitionFilters" in plan
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and all(f"({b})" in f or f" {b}," in f or f"{b}]" in f or str(b) in f for f in pf)
+    assert out.count() > 0
+
+
+def test_index_refusals(spark, tmp_path):
+    docs = _docs(spark, CORPUS)
+    idx = InvertedIndex(tmp_path / "bm25")
+    with pytest.raises(ValueError, match="empty"):
+        idx.add(spark, docs)
+    with pytest.raises(ValueError, match="empty"):
+        idx.query(spark, _queries(spark, [("q", "join")]))
+    idx.build(spark, docs)
+    with pytest.raises(ValueError, match="already built"):
+        idx.build(spark, docs)
+    with pytest.raises(ValueError, match="no terms"):
+        idx.query(spark, _queries(spark, [("q", "!!! ...")]))
