@@ -759,20 +759,115 @@ class IVFIndex:
             return meta  # replayed fold — already assigned
         cents = spark.read.parquet(str(self.root / "centroids"))
         assigned = ivf_assign(batch, cents, id_col=id_col, vec_col=vec_col)
-        part = f"postings_p{len(meta['parts'])}"
+        part = f"postings_p{int(meta.get('seq', len(meta['parts'])))}"
         assigned.write.mode("overwrite").parquet(str(self.root / part))
         n = spark.read.parquet(str(self.root / part)).count()
+        tombs = meta.get("tombstones", [])
         new_meta = {
             "parts": meta["parts"] + [part],
+            "seq": int(meta.get("seq", len(meta["parts"]))) + 1,
+            "tombstones": tombs,
+            "tseq": int(meta.get("tseq", len(tombs))),
             "n_rows": int(meta["n_rows"]) + int(n),
             "last_epoch": int(epoch) if epoch is not None else meta.get("last_epoch", -1),
         }
         self._swap_meta(new_meta)
-        # sweep crash-orphaned postings dirs a failed fold left behind
-        listed = set(new_meta["parts"])
+        self._sweep(new_meta)
+        return new_meta
+
+    def _sweep(self, meta: dict) -> None:
+        """Drop postings/tombstone dirs the live meta no longer lists:
+        crash-orphans (written but never swapped in) and dirs a
+        PREVIOUS compact() retired — retired dirs survive exactly one
+        further mutation (the NBIndex keep-live-minus-one discipline:
+        a reader that loaded the pre-compact meta an instant before
+        the swap may still be scanning them)."""
+        import shutil
+
+        keep = set(meta["parts"]) | set(meta.get("tombstones", [])) | set(meta.get("retired", []))
         for d in self.root.iterdir():
-            if d.is_dir() and d.name.startswith("postings_p") and d.name not in listed:
+            if not d.is_dir():
+                continue
+            if (
+                d.name.startswith("postings_p") or d.name.startswith("tombstones_t")
+            ) and d.name not in keep:
                 shutil.rmtree(d, ignore_errors=True)
+
+    def delete(
+        self,
+        spark,
+        ids: DataFrame,
+        id_col: str = "vec_id",
+        epoch: int | None = None,
+    ) -> dict:
+        """Delete vectors by id — the FAISS `remove_ids` contract:
+        the rows leave the POSTINGS (no probe returns them), the
+        frozen quantizer keeps every centroid (a centroid is a model
+        artifact derived from the seed batch, not a live row — FAISS
+        IVF deletion behaves identically, and re-deriving centroids
+        would reassign old rows, O(index) and batching-dependent).
+
+        O(batch): deletions append as tombstone parts; probes
+        anti-join the tombstone set; `compact()` folds them away.
+        Because assignment is per-row against frozen centroids,
+        probing (postings − tombstones) is bit-identical to a
+        one-shot assignment over only the live rows — deletes keep
+        the exact-oracle property. Same monotone `epoch` fence as
+        add() (tombstone re-appends are harmless for correctness but
+        would grow the anti-join side unboundedly under replay)."""
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("IVFIndex is empty — build() first")
+        if epoch is not None and int(epoch) <= meta.get("last_epoch", -1):
+            return meta  # replayed delete — already tombstoned
+        tombs = meta.get("tombstones", [])
+        part = f"tombstones_t{int(meta.get('tseq', len(tombs)))}"
+        ids.select(F.col(id_col).alias("id")).distinct().write.mode("overwrite").parquet(
+            str(self.root / part)
+        )
+        new_meta = {
+            "parts": meta["parts"],
+            "seq": int(meta.get("seq", len(meta["parts"]))),
+            "tombstones": tombs + [part],
+            "tseq": int(meta.get("tseq", len(tombs))) + 1,
+            "n_rows": int(meta["n_rows"]),
+            "last_epoch": int(epoch) if epoch is not None else meta.get("last_epoch", -1),
+        }
+        self._swap_meta(new_meta)
+        self._sweep(new_meta)
+        return new_meta
+
+    def compact(self, spark) -> dict:
+        """Fold all postings parts minus the tombstone set into ONE
+        part and clear the tombstones — bounds probe-side work (part
+        fan-in and the anti-join) after heavy churn. The replaced
+        dirs are RETIRED, not deleted: they survive until the next
+        successful mutation so a reader holding the pre-compact meta
+        finishes its scan (crash between write and swap leaves the
+        previous index live, the family's staged-commit rule). The
+        compacted part is a pure row-set rewrite — probe results are
+        bit-identical before and after."""
+        meta = self._meta()
+        if meta is None or not meta["parts"]:
+            raise ValueError("IVFIndex is empty — build() first")
+        live = spark.read.parquet(*[str(self.root / p) for p in meta["parts"]])
+        tombs = meta.get("tombstones", [])
+        if tombs:
+            dead = spark.read.parquet(*[str(self.root / t) for t in tombs])
+            live = live.join(dead.select("id"), on="id", how="left_anti")
+        part = f"postings_p{int(meta.get('seq', len(meta['parts'])))}"
+        live.write.mode("overwrite").parquet(str(self.root / part))
+        n = spark.read.parquet(str(self.root / part)).count()
+        new_meta = {
+            "parts": [part],
+            "seq": int(meta.get("seq", len(meta["parts"]))) + 1,
+            "tombstones": [],
+            "tseq": int(meta.get("tseq", len(tombs))),
+            "retired": meta["parts"] + tombs,
+            "n_rows": int(n),
+            "last_epoch": meta.get("last_epoch", -1),
+        }
+        self._swap_meta(new_meta)
         return new_meta
 
     def query(
@@ -786,13 +881,18 @@ class IVFIndex:
         round_to: int = 4,
     ) -> DataFrame:
         """Probe, no rebuild: read the frozen centroids + committed
-        postings and run the shared IVF probe. Same output contract as
-        `ivf_ann_topk` (query_id, neighbor_id, sim, rank)."""
+        postings (minus any tombstoned ids) and run the shared IVF
+        probe. Same output contract as `ivf_ann_topk`
+        (query_id, neighbor_id, sim, rank)."""
         meta = self._meta()
         if meta is None or not meta["parts"]:
             raise ValueError("IVFIndex is empty — build() first")
         cents = spark.read.parquet(str(self.root / "centroids"))
         assigned = spark.read.parquet(*[str(self.root / p) for p in meta["parts"]])
+        tombs = meta.get("tombstones", [])
+        if tombs:
+            dead = spark.read.parquet(*[str(self.root / t) for t in tombs])
+            assigned = assigned.join(dead.select("id"), on="id", how="left_anti")
         return _ivf_probe_topk(
             assigned, cents, queries, k, nprobe, query_id, vec_col, round_to
         )

@@ -5099,6 +5099,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ann_index_incremental",
     "streaming_ann_index_drain",
     "xtable_partitioned_days_iceberg_to_delta_scan",
+    "dsir_select_docs",
+    "bm25_topk_docs",
+    "bm25_index_incremental",
+    "ann_index_delete_compact",
     # -- last driver-green in r6 (whole cohort, 38 queries — the
     #    least-recently-green rotation the verdict prescribes) --
     "airbyte_subprocess_scan",
@@ -11467,3 +11471,84 @@ def bm25_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("bm25_idx", sf, build)
     return InvertedIndex(f"{tmp}/bm25").query(spark, _bm25_query_df(spark), k=10)
+
+
+# ---------------------------------------------------------------------------
+# ANN index deletes + compaction (r12)
+
+
+@_register(
+    "ann_index_delete_compact",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id % 30 = 0),
+    assigned AS (
+      SELECT id, cluster FROM (
+        SELECT c.vec_id AS id, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.e, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM c CROSS JOIN cents) x WHERE rn = 1 AND x.id % 7 <> 3
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 20),
+    probes AS (
+      SELECT qid, cluster FROM (
+        SELECT q.qid, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.qid, a.id FROM probes p JOIN assigned a ON a.cluster = p.cluster
+      WHERE a.id != p.qid
+    ),
+    scored AS (
+      SELECT cand.qid AS query_id, cand.id AS neighbor_id,
+             round(list_cosine_similarity(qc.e, cc.e), 4) AS sim
+      FROM cand JOIN c qc ON qc.vec_id = cand.qid JOIN c cc ON cc.vec_id = cand.id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_index_delete_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFIndex deletion + compaction lifecycle (r12): after the
+    three-fold build, vectors with vec_id % 7 = 3 are DELETED
+    (tombstone part, FAISS remove_ids semantics: postings leave, the
+    frozen quantizer keeps every centroid), then the index COMPACTS
+    (postings minus tombstones fold to one part; replaced dirs retired
+    one mutation for in-flight readers). In-build assertions prove the
+    compaction is a pure row-set rewrite: the pre-compact (anti-join)
+    probe and the post-compact probe are bit-identical, and the
+    compacted index is a single part with no tombstones. The oracle
+    assigns only live rows against the ORIGINAL frozen centroid set —
+    exactly what frozen-model deletion must produce."""
+    from .operators.similarity import IVFIndex
+
+    emb = _t(spark, sf, "embeddings")
+
+    def build(tmp: str) -> None:
+        idx = IVFIndex(f"{tmp}/ivf")
+        idx.build(spark, emb.filter("vec_id % 3 = 0"), centroid_modulus=10, epoch=0)
+        idx.add(spark, emb.filter("vec_id % 3 = 1"), epoch=1)
+        idx.add(spark, emb.filter("vec_id % 3 = 2"), epoch=2)
+        m = idx.delete(spark, emb.filter("vec_id % 7 = 3").select("vec_id"), epoch=3)
+        replay = idx.delete(spark, emb.filter("vec_id % 7 = 3").select("vec_id"), epoch=3)
+        if replay != m:
+            raise AssertionError("replayed delete must be a fenced no-op")
+        qs = emb.filter("vec_id < 20")
+        before = sorted(map(tuple, idx.query(spark, qs, k=10, nprobe=4).collect()))
+        mc = idx.compact(spark)
+        if len(mc["parts"]) != 1 or mc["tombstones"]:
+            raise AssertionError(f"compact must leave one part, no tombstones: {mc}")
+        after = sorted(map(tuple, idx.query(spark, qs, k=10, nprobe=4).collect()))
+        if before != after:
+            raise AssertionError("compaction changed probe results")
+
+    tmp = _session_fixture("ann_ivf_del_compact", sf, build)
+    return IVFIndex(f"{tmp}/ivf").query(
+        spark, emb.filter("vec_id < 20"), k=10, nprobe=4
+    )

@@ -95,3 +95,73 @@ def test_build_refusals(spark, emb, tmp_path):
     idx.build(spark, emb.filter("vec_id % 3 = 0"), centroid_modulus=10)
     with pytest.raises(ValueError, match="already built"):
         idx.build(spark, emb.filter("vec_id % 3 = 1"), centroid_modulus=10)
+
+
+# ---------------------------------------------------------------------------
+# deletes + compaction (r12)
+
+
+def test_delete_equals_one_shot_over_live_rows(spark, emb, tmp_path):
+    """Frozen-model deletion is exact: probing (postings − tombstones)
+    is bit-identical to a one-shot assignment over only the live rows
+    with the same centroid set."""
+    idx = _folded(spark, emb, tmp_path)
+    idx.delete(spark, emb.filter("vec_id % 7 = 3").select("vec_id"), epoch=10)
+    got = idx.query(spark, emb.filter("vec_id < 20"), k=10, nprobe=4)
+    cents = spark.read.parquet(str(idx.root / "centroids"))
+    live = emb.filter("vec_id % 7 != 3")
+    want = _ivf_probe_topk(
+        ivf_assign(live, cents), cents, emb.filter("vec_id < 20"),
+        10, 4, "vec_id", "embedding", 4,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # no deleted id survives as a neighbor
+    assert got.filter(F.col("neighbor_id") % 7 == 3).count() == 0
+
+
+def test_delete_keeps_frozen_centroids(spark, emb, tmp_path):
+    """FAISS remove_ids semantics: deleting a centroid-source vector
+    removes its POSTING, never the centroid (the quantizer is a frozen
+    model artifact)."""
+    idx = _folded(spark, emb, tmp_path)
+    cents_before = spark.read.parquet(str(idx.root / "centroids")).count()
+    # vec_id % 30 == 0 rows are centroid sources; delete one
+    idx.delete(spark, emb.filter("vec_id = 0").select("vec_id"), epoch=10)
+    assert spark.read.parquet(str(idx.root / "centroids")).count() == cents_before
+    got = idx.query(spark, emb.filter("vec_id < 20"), k=10, nprobe=4)
+    assert got.filter(F.col("neighbor_id") == 0).count() == 0
+
+
+def test_compact_is_pure_rewrite_and_retires_then_sweeps(spark, emb, tmp_path):
+    idx = _folded(spark, emb, tmp_path)
+    idx.delete(spark, emb.filter("vec_id % 7 = 3").select("vec_id"), epoch=10)
+    qs = emb.filter("vec_id < 20")
+    before = sorted(map(tuple, idx.query(spark, qs, k=10, nprobe=4).collect()))
+    old_meta = idx._meta()
+    mc = idx.compact(spark)
+    assert len(mc["parts"]) == 1 and mc["tombstones"] == []
+    assert mc["n_rows"] == emb.filter("vec_id % 7 != 3").count()
+    after = sorted(map(tuple, idx.query(spark, qs, k=10, nprobe=4).collect()))
+    assert after == before
+    # replaced dirs are RETIRED (still on disk for in-flight readers)...
+    for p in old_meta["parts"] + old_meta["tombstones"]:
+        assert (idx.root / p).exists()
+    # ...and swept by the NEXT successful mutation (fresh ids via a
+    # shifted projection of real rows)
+    mx = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    extra = emb.filter("vec_id < 3").select(
+        (F.col("vec_id") + mx + 1).alias("vec_id"), "embedding"
+    )
+    idx.add(spark, extra, epoch=11)
+    for p in old_meta["parts"] + old_meta["tombstones"]:
+        assert not (idx.root / p).exists()
+    # part naming never collides after compaction (monotone seq)
+    m = idx._meta()
+    assert len(set(m["parts"])) == len(m["parts"])
+
+
+def test_delete_replay_is_fenced_noop(spark, emb, tmp_path):
+    idx = _folded(spark, emb, tmp_path)
+    m1 = idx.delete(spark, emb.filter("vec_id % 7 = 3").select("vec_id"), epoch=10)
+    replay = idx.delete(spark, emb.filter("vec_id % 7 = 3").select("vec_id"), epoch=10)
+    assert replay == m1 and len(m1["tombstones"]) == 1
