@@ -109,6 +109,14 @@ BENCH_QUERIES = [
     # index with no rebuild, which is the deployment wall that must
     # stay independent of how many adds built the index
     "ann_index_incremental",
+    # round 12 second wave: DSIR distribution-matching selection (two
+    # broadcast bucket models + ONE corpus shuffle), one-shot BM25
+    # ranked retrieval (tf groupBy + broadcast df/qterms), and the
+    # persisted inverted index (cold pass = 3 folds; warm probes read
+    # only the term-hash buckets the query touches)
+    "dsir_select_docs",
+    "bm25_topk_docs",
+    "bm25_index_incremental",
 ]
 
 

@@ -5102,6 +5102,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dsir_select_docs",
     "bm25_topk_docs",
     "bm25_index_incremental",
+    "streaming_bm25_index_drain",
     "ann_index_delete_compact",
     # -- last driver-green in r6 (whole cohort, 38 queries — the
     #    least-recently-green rotation the verdict prescribes) --
@@ -11395,11 +11396,24 @@ _BM25_QUERIES = [
     ("q3", "fast table scan vector"),
 ]
 
-_BM25_ORACLE = """
+def _bm25_oracle(corpus_where: str = "TRUE", k: int = 10, epoch: int | None = None) -> str:
+    """The full BM25 replay, parameterized for the online drain: the
+    corpus cut is everything folded BEFORE an epoch, and the epoch
+    literal tags the rows (same chained-replay discipline as the NB /
+    ANN drains — a wrong fold in any earlier epoch diverges every
+    later epoch's rankings)."""
+    head = (
+        f"SELECT CAST({epoch} AS BIGINT) AS epoch, qid, doc_id, score_unat, rk FROM ("
+        if epoch is not None
+        else ""
+    )
+    tail = ")" if epoch is not None else ""
+    return f"""
+    {head}
     WITH toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
-      FROM documents
+      FROM documents WHERE {corpus_where}
     ),
     stats AS (SELECT COUNT(*) AS n, COALESCE(SUM(len(ts)), 0) AS total FROM toks),
     flat AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks),
@@ -11430,8 +11444,12 @@ _BM25_ORACLE = """
              row_number() OVER (PARTITION BY qid ORDER BY score_unat DESC, doc_id ASC) AS rk
       FROM agg
     )
-    SELECT qid, doc_id, score_unat, rk FROM ranked WHERE rk <= 10
-"""
+    SELECT qid, doc_id, score_unat, rk FROM ranked WHERE rk <= {k}
+    {tail}
+    """
+
+
+_BM25_ORACLE = _bm25_oracle()
 
 
 def _bm25_query_df(spark: SparkSession):
@@ -11551,4 +11569,86 @@ def ann_index_delete_compact(spark: SparkSession, sf: str) -> DataFrame:
     tmp = _session_fixture("ann_ivf_del_compact", sf, build)
     return IVFIndex(f"{tmp}/ivf").query(
         spark, emb.filter("vec_id < 20"), k=10, nprobe=4
+    )
+
+
+@_register(
+    "streaming_bm25_index_drain",
+    _bm25_oracle("doc_id < 166", 5, epoch=1)
+    + " UNION ALL "
+    + _bm25_oracle("doc_id < 333", 5, epoch=2),
+)
+def streaming_bm25_index_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING standing-query retrieval (r12) — the alerting shape a
+    curation pipeline runs over a growing corpus ("tell me when
+    target-looking documents arrive"): a real readStream drain where
+    every micro-batch first re-evaluates the STANDING query set
+    against the persisted `InvertedIndex` built from everything
+    ingested BEFORE it (epoch 0 only builds), then folds its own
+    documents in (O(batch) tokenize + one bucket-partitioned part
+    append — the corpus never re-tokenizes). Rankings legitimately
+    CHANGE across epochs as the corpus grows (df/N/avgdl shift —
+    that's BM25, not nondeterminism), which is exactly what the
+    chained oracle pins: each epoch's rows must equal the full BM25
+    replay over its prior-ingest corpus cut. Both side effects are
+    fenced on the index epoch watermark (a redelivery after the fold
+    would re-rank against an index containing its own docs)."""
+    from .operators.retrieval import InvertedIndex
+
+    def build(tmp: str) -> None:
+        import os
+        import shutil
+        import tempfile
+        import time
+        from pathlib import Path as _Path
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        (_Path(tmp) / "in").mkdir()
+        t0 = time.time() - 1000
+        for i, (lo, hi) in enumerate(_NB_BOUNDS):
+            stage = tempfile.mkdtemp(prefix="cdf_sbm25_part_")
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            dst = f"{tmp}/in/part-{i}.parquet"
+            shutil.move(str(src), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+            shutil.rmtree(stage, ignore_errors=True)
+
+        idx = InvertedIndex(f"{tmp}/bm25")
+
+        def handle(batch_df, epoch_id: int) -> None:
+            meta = idx._meta()
+            if meta is not None and int(epoch_id) <= meta.get("last_epoch", -1):
+                return  # fully-processed epoch redelivered
+            if meta is None:
+                idx.build(spark, batch_df, epoch=int(epoch_id))
+                return
+            (
+                idx.query(spark, _bm25_query_df(spark), k=5)
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/out/epoch={epoch_id}")
+            )
+            idx.add(spark, batch_df, epoch=int(epoch_id))
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+
+    tmp = _session_fixture("streaming_bm25_index", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "qid",
+        "doc_id",
+        "score_unat",
+        "rk",
     )
