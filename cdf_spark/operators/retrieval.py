@@ -239,13 +239,12 @@ class InvertedIndex:
         postings as a new bucket-partitioned part, fold the two
         corpus counters. Ids must be new to the index; replays are
         fenced by `epoch`."""
-        import shutil
-
         meta = self._meta()
         if meta is None:
             raise ValueError("InvertedIndex is empty — build() first")
         if epoch is not None and int(epoch) <= meta.get("last_epoch", -1):
             return meta  # replayed fold — already appended
+        seq = int(meta.get("seq", len(meta["parts"])))
         tf = _doc_tf(batch, text_col, id_col).select(
             (hash64(F.col("tok")) % _BUCKETS).alias("hb"),
             "tok",
@@ -253,24 +252,158 @@ class InvertedIndex:
             "tf",
             "dl",
         )
-        part = f"postings_p{len(meta['parts'])}"
+        part = f"postings_p{seq}"
         tf.write.mode("overwrite").partitionBy("hb").parquet(str(self.root / part))
-        # batch counters from the batch itself (zero-token docs count
-        # toward N with dl=0, exactly as the one-shot stats collect)
-        n_b, tot_b = batch.select(
-            F.size(_tok_array(F.col(text_col))).alias("dl")
-        ).agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))).collect()[0]
+        # per-fold LENGTHS sidecar (doc_id, dl) — one row per batch doc
+        # INCLUDING zero-token docs (they carry dl=0 but count toward
+        # N). This is what lets delete() adjust the corpus counters
+        # exactly without scanning postings: a deleted doc's dl is a
+        # point lookup here.
+        lpart = f"lengths_p{seq}"
+        lens = batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(_tok_array(F.col(text_col))).alias("dl"),
+        )
+        lens.write.mode("overwrite").parquet(str(self.root / lpart))
+        n_b, tot_b = spark.read.parquet(str(self.root / lpart)).agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+        ).collect()[0]
+        tombs = meta.get("tombstones", [])
         new_meta = {
             "parts": meta["parts"] + [part],
+            "lparts": meta.get("lparts", []) + [lpart],
+            "seq": seq + 1,
+            "tombstones": tombs,
+            "tseq": int(meta.get("tseq", len(tombs))),
             "n_docs": int(meta["n_docs"]) + int(n_b),
             "total_len": int(meta["total_len"]) + int(tot_b),
             "last_epoch": int(epoch) if epoch is not None else meta.get("last_epoch", -1),
         }
         self._swap_meta(new_meta)
-        listed = set(new_meta["parts"])
+        self._sweep(new_meta)
+        return new_meta
+
+    def _sweep(self, meta: dict) -> None:
+        """Drop postings/lengths/tombstone dirs the live meta no
+        longer lists: crash-orphans and dirs a previous compact()
+        retired — retired dirs survive exactly one further mutation
+        (the keep-live-minus-one discipline: a reader holding the
+        pre-compact meta may still be scanning them)."""
+        import shutil
+
+        keep = (
+            set(meta["parts"])
+            | set(meta.get("lparts", []))
+            | set(meta.get("tombstones", []))
+            | set(meta.get("retired", []))
+        )
         for d in self.root.iterdir():
-            if d.is_dir() and d.name.startswith("postings_p") and d.name not in listed:
+            if not d.is_dir():
+                continue
+            if (
+                d.name.startswith("postings_p")
+                or d.name.startswith("lengths_p")
+                or d.name.startswith("tombstones_t")
+            ) and d.name not in keep:
                 shutil.rmtree(d, ignore_errors=True)
+
+    def _read_dead(self, spark, meta: dict):
+        tombs = meta.get("tombstones", [])
+        if not tombs:
+            return None
+        return spark.read.parquet(*[str(self.root / t) for t in tombs]).select("doc_id")
+
+    def delete(
+        self,
+        spark,
+        ids: DataFrame,
+        id_col: str = "doc_id",
+        epoch: int | None = None,
+    ) -> dict:
+        """Delete documents by id: their postings leave every probe
+        and — unlike a vector index — the CORPUS STATISTICS shift too
+        (df, N, avgdl are all live-set quantities in BM25), so a
+        probe after a delete must equal a one-shot build over only
+        the live docs. df re-derives from live postings at probe time
+        (the tombstone anti-join runs before the df count); N and
+        Σdl adjust here by point-looking the deleted ids up in the
+        lengths sidecars — O(lengths ∩ batch), never a postings scan.
+        Already-deleted and never-ingested ids contribute nothing
+        (the tombstone part stores only NEWLY-dead ids, so counters
+        can never double-subtract). Same monotone `epoch` fence as
+        add()."""
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("InvertedIndex is empty — build() first")
+        if epoch is not None and int(epoch) <= meta.get("last_epoch", -1):
+            return meta  # replayed delete — already tombstoned
+        new_dead = ids.select(F.col(id_col).alias("doc_id")).distinct()
+        dead0 = self._read_dead(spark, meta)
+        if dead0 is not None:
+            new_dead = new_dead.join(dead0, on="doc_id", how="left_anti")
+        lens = spark.read.parquet(*[str(self.root / p) for p in meta.get("lparts", [])])
+        gone = lens.join(new_dead, on="doc_id", how="left_semi")
+        n_g, tot_g = gone.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+        ).collect()[0]
+        tombs = meta.get("tombstones", [])
+        part = f"tombstones_t{int(meta.get('tseq', len(tombs)))}"
+        # persist only ids that exist in the index (counter parity:
+        # the tombstone set and the counter adjustment cover exactly
+        # the same rows)
+        gone.select("doc_id").write.mode("overwrite").parquet(str(self.root / part))
+        new_meta = {
+            "parts": meta["parts"],
+            "lparts": meta.get("lparts", []),
+            "seq": int(meta.get("seq", len(meta["parts"]))),
+            "tombstones": tombs + [part],
+            "tseq": int(meta.get("tseq", len(tombs))) + 1,
+            "n_docs": int(meta["n_docs"]) - int(n_g),
+            "total_len": int(meta["total_len"]) - int(tot_g),
+            "last_epoch": int(epoch) if epoch is not None else meta.get("last_epoch", -1),
+        }
+        self._swap_meta(new_meta)
+        self._sweep(new_meta)
+        return new_meta
+
+    def compact(self, spark) -> dict:
+        """Fold postings and lengths minus the tombstone set into ONE
+        part each and clear the tombstones — bounds probe-side fan-in
+        and the anti-join after churn. Replaced dirs are RETIRED one
+        mutation (in-flight readers), then swept. Pure row-set
+        rewrite: probes are bit-identical before and after."""
+        from functools import reduce
+
+        meta = self._meta()
+        if meta is None or not meta["parts"]:
+            raise ValueError("InvertedIndex is empty — build() first")
+        seq = int(meta.get("seq", len(meta["parts"])))
+        dead = self._read_dead(spark, meta)
+        posts = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(str(self.root / p)) for p in meta["parts"]],
+        )
+        lens = spark.read.parquet(*[str(self.root / p) for p in meta.get("lparts", [])])
+        if dead is not None:
+            posts = posts.join(dead, on="doc_id", how="left_anti")
+            lens = lens.join(dead, on="doc_id", how="left_anti")
+        part, lpart = f"postings_p{seq}", f"lengths_p{seq}"
+        posts.select("hb", "tok", "doc_id", "tf", "dl").write.mode("overwrite").partitionBy(
+            "hb"
+        ).parquet(str(self.root / part))
+        lens.write.mode("overwrite").parquet(str(self.root / lpart))
+        new_meta = {
+            "parts": [part],
+            "lparts": [lpart],
+            "seq": seq + 1,
+            "tombstones": [],
+            "tseq": int(meta.get("tseq", len(meta.get("tombstones", [])))),
+            "retired": meta["parts"] + meta.get("lparts", []) + meta.get("tombstones", []),
+            "n_docs": int(meta["n_docs"]),
+            "total_len": int(meta["total_len"]),
+            "last_epoch": meta.get("last_epoch", -1),
+        }
+        self._swap_meta(new_meta)
         return new_meta
 
     def query(
@@ -310,8 +443,13 @@ class InvertedIndex:
             )
             for p in meta["parts"]
         ]
-        tf = reduce(DataFrame.unionByName, parts).select(
-            "tok", F.col("doc_id").alias("_id"), "tf", "dl"
-        )
+        posts = reduce(DataFrame.unionByName, parts)
+        # tombstoned docs leave BEFORE the df count — df, like N and
+        # avgdl (already live-adjusted in the meta), is a live-set
+        # quantity in BM25
+        dead = self._read_dead(spark, meta)
+        if dead is not None:
+            posts = posts.join(dead, on="doc_id", how="left_anti")
+        tf = posts.select("tok", F.col("doc_id").alias("_id"), "tf", "dl")
         avgdl = meta["total_len"] / meta["n_docs"]
         return _score_topk(tf, qterms, int(meta["n_docs"]), avgdl, k, id_col)

@@ -5103,6 +5103,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "bm25_topk_docs",
     "bm25_index_incremental",
     "streaming_bm25_index_drain",
+    "bm25_index_delete_compact",
     "ann_index_delete_compact",
     # -- last driver-green in r6 (whole cohort, 38 queries — the
     #    least-recently-green rotation the verdict prescribes) --
@@ -11652,3 +11653,45 @@ def streaming_bm25_index_drain(spark: SparkSession, sf: str) -> DataFrame:
         "score_unat",
         "rk",
     )
+
+
+@_register("bm25_index_delete_compact", _bm25_oracle("doc_id % 7 <> 3", 10))
+def bm25_index_delete_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """InvertedIndex deletion + compaction lifecycle (r12): after the
+    three-fold build, docs with doc_id % 7 = 3 are DELETED — and
+    unlike the vector index, BM25 deletion shifts the CORPUS
+    STATISTICS (df, N, avgdl are live-set quantities), so the
+    post-delete probe must equal a one-shot build over only the live
+    docs, which is exactly what the oracle computes. N and Σdl adjust
+    by point lookups in the per-fold lengths sidecars (never a
+    postings scan); df re-derives from live postings at probe time.
+    Then the index COMPACTS (postings+lengths minus tombstones fold
+    to one part each, retire-then-sweep) and the in-build assertion
+    proves compaction is a pure row-set rewrite: pre- and post-compact
+    probes are bit-identical."""
+    from .operators.retrieval import InvertedIndex
+
+    def build(tmp: str) -> None:
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        idx = InvertedIndex(f"{tmp}/bm25")
+        idx.build(spark, docs.filter(F.col("doc_id") % 3 == 0), epoch=0)
+        idx.add(spark, docs.filter(F.col("doc_id") % 3 == 1), epoch=1)
+        idx.add(spark, docs.filter(F.col("doc_id") % 3 == 2), epoch=2)
+        m = idx.delete(spark, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"), epoch=3)
+        replay = idx.delete(spark, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"), epoch=3)
+        if replay != m:
+            raise AssertionError("replayed delete must be a fenced no-op")
+        before = sorted(
+            map(tuple, idx.query(spark, _bm25_query_df(spark), k=10).collect())
+        )
+        mc = idx.compact(spark)
+        if len(mc["parts"]) != 1 or len(mc["lparts"]) != 1 or mc["tombstones"]:
+            raise AssertionError(f"compact must leave one part pair, no tombstones: {mc}")
+        after = sorted(
+            map(tuple, idx.query(spark, _bm25_query_df(spark), k=10).collect())
+        )
+        if before != after:
+            raise AssertionError("compaction changed probe results")
+
+    tmp = _session_fixture("bm25_idx_del_compact", sf, build)
+    return InvertedIndex(f"{tmp}/bm25").query(spark, _bm25_query_df(spark), k=10)

@@ -104,3 +104,66 @@ def test_index_refusals(spark, tmp_path):
         idx.build(spark, docs)
     with pytest.raises(ValueError, match="no terms"):
         idx.query(spark, _queries(spark, [("q", "!!! ...")]))
+
+
+# ---------------------------------------------------------------------------
+# deletes + compaction (r12)
+
+
+def test_delete_equals_one_shot_over_live_docs(spark, tmp_path):
+    """BM25 deletion shifts df/N/avgdl: the post-delete probe must be
+    bit-identical to a one-shot scoring over only the live docs."""
+    docs = _docs(spark, CORPUS)
+    idx = InvertedIndex(tmp_path / "bm25")
+    idx.build(spark, docs.filter(F.col("doc_id") <= 3))
+    idx.add(spark, docs.filter(F.col("doc_id") > 3))
+    idx.delete(spark, docs.filter(F.col("doc_id").isin(1, 6)).select("doc_id"))
+    qs = _queries(spark, [("q1", "hash join"), ("q2", "window streams")])
+    live = docs.filter(~F.col("doc_id").isin(1, 6))
+    want = sorted(map(tuple, bm25_topk(live, qs, k=5).collect()))
+    got = sorted(map(tuple, idx.query(spark, qs, k=5).collect()))
+    assert got == want and len(got) > 0
+    m = idx._meta()
+    assert m["n_docs"] == 4
+
+
+def test_delete_unknown_and_repeat_ids_never_double_subtract(spark, tmp_path):
+    docs = _docs(spark, CORPUS)
+    idx = InvertedIndex(tmp_path / "bm25")
+    idx.build(spark, docs)
+    m0 = idx._meta()
+    idx.delete(spark, spark.createDataFrame([(6,), (999,)], ["doc_id"]))
+    m1 = idx._meta()
+    # zero-token doc 6 exists (dl=0): N drops 1, total unchanged;
+    # id 999 was never ingested: contributes nothing
+    assert m1["n_docs"] == m0["n_docs"] - 1
+    assert m1["total_len"] == m0["total_len"]
+    idx.delete(spark, spark.createDataFrame([(6,), (1,)], ["doc_id"]))
+    m2 = idx._meta()
+    # 6 already dead -> only doc 1 (6 tokens) leaves
+    assert m2["n_docs"] == m1["n_docs"] - 1
+    assert m2["total_len"] == m1["total_len"] - 6
+
+
+def test_compact_pure_rewrite_retire_then_sweep(spark, tmp_path):
+    docs = _docs(spark, CORPUS)
+    idx = InvertedIndex(tmp_path / "bm25")
+    idx.build(spark, docs.filter(F.col("doc_id") <= 3), epoch=0)
+    idx.add(spark, docs.filter(F.col("doc_id") > 3), epoch=1)
+    idx.delete(spark, spark.createDataFrame([(4,)], ["doc_id"]), epoch=2)
+    qs = _queries(spark, [("q", "join hash window")])
+    before = sorted(map(tuple, idx.query(spark, qs, k=5).collect()))
+    old = idx._meta()
+    mc = idx.compact(spark)
+    assert len(mc["parts"]) == 1 and len(mc["lparts"]) == 1 and not mc["tombstones"]
+    after = sorted(map(tuple, idx.query(spark, qs, k=5).collect()))
+    assert after == before
+    # retired dirs survive the compact itself...
+    for p in old["parts"] + old["lparts"] + old["tombstones"]:
+        assert (tmp_path / "bm25" / p).exists()
+    # ...and are swept by the next successful mutation
+    idx.add(spark, _docs(spark, [(100, "fresh doc about merge")]), epoch=3)
+    for p in old["parts"] + old["lparts"] + old["tombstones"]:
+        assert not (tmp_path / "bm25" / p).exists()
+    m = idx._meta()
+    assert len(set(m["parts"])) == len(m["parts"])
