@@ -114,7 +114,10 @@ BENCH_QUERIES = [
     # ranked retrieval (tf groupBy + broadcast df/qterms), and the
     # persisted inverted index (cold pass = 3 folds; warm probes read
     # only the term-hash buckets the query touches)
-    "dsir_select_docs",
+    # dsir_select_docs (md5 SQL-parity) stays oracle-only: the bench
+    # times the xxhash64 deploy twin (same estimator, JVM-native hash
+    # — measured 33s -> ~3s at sf0.1, all of it md5 cost)
+    "dsir_select_docs_fast",
     "bm25_topk_docs",
     "bm25_index_incremental",
 ]

@@ -1264,27 +1264,31 @@ class ExactSubstrIndex:
 # DSIR — data selection via importance resampling
 
 
-def _hashed_ngram_features(col: Column, dim: int) -> Column:
+def _hashed_ngram_features(col: Column, dim: int, hash_fn: str = "md5") -> Column:
     """DSIR's feature map: hashed word UNIGRAMS + BIGRAMS into `dim`
     buckets (Xie et al. 2023 §3.2 use exactly this — hashed n-grams of
     unigrams and bigrams into 10k buckets). Tokens are the suite's
     shared lowercase [a-z0-9]+ stream (the same stream the NB
-    classifier / LM / BPE stages see); buckets via the md5-parity
-    `hash64` so the oracle replays bit-for-bit. Empty-safe: <2-token
-    docs contribute no bigrams; 0-token docs no features at all."""
+    classifier / LM / BPE stages see). hash_fn="md5" buckets via the
+    md5-parity `hash64` so the oracle replays bit-for-bit;
+    "xxhash64" is the JVM-native deploy/bench twin (~10× cheaper per
+    gram; the same estimator under a different hash — bucket
+    collisions differ, rankings agree up to hash choice, the
+    simhash/minhash twin discipline). Empty-safe: <2-token docs
+    contribute no bigrams; 0-token docs no features at all."""
     toks = F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
-    unis = F.transform(toks, lambda t: hash64(t) % dim)
-    n_bi = F.size(toks) - 1
-    bis = F.when(
-        n_bi >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_bi),
-            lambda i: hash64(
-                F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1))
-            )
-            % dim,
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    if hash_fn == "xxhash64":
+        h = lambda c: F.pmod(F.xxhash64(c), F.lit(dim))  # noqa: E731
+    else:
+        h = lambda c: hash64(c) % dim  # noqa: E731
+    # bigrams via the gram-STRING slice construction (_gram_join), NOT
+    # element_at(toks, i) lambdas: Catalyst does not CSE a captured
+    # array expression across HOF lambdas (the r6 measurement in
+    # word_ngram_hashes), so the element_at form recomputed the token
+    # split per bigram — O(words²) per doc, measured 44s at sf0.1
+    # where this form is ~3s. Same output strings either way.
+    unis = F.transform(toks, h)
+    bis = F.transform(_gram_join(toks, 2), h)
     return F.concat(unis, bis)
 
 
@@ -1294,8 +1298,15 @@ def _hashed_bucket_lm(feats: DataFrame, dim: int) -> tuple[DataFrame, int]:
     lp_unat = round(ln((c+1)/(N+dim)) * 1e6) AS BIGINT and the floor
     is the never-seen-bucket log-prob ln(1/(N+dim)). The model is at
     most `dim` rows — a broadcastable fixed-size artifact at any
-    corpus size; the 1-row total collect is bounded driver state."""
-    counts = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    corpus size; the 1-row total collect is bounded driver state.
+
+    The counts table is eagerly localCheckpoint-ed (the NB-fit
+    discipline): it has two consumers (the total collect here, the
+    model join in the scoring plan), and without truncation the
+    second consumer re-runs the FULL corpus feature explode+hash —
+    measured ~1/3 of dsir wall at sf0.1. The pinned block is ≤ dim
+    rows (KBs)."""
+    counts = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
     n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
     ln_denom = math.log(n_total + dim)
     model = counts.select(
@@ -1314,6 +1325,7 @@ def dsir_importance_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 4096,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """DSIR importance weights (Xie et al., "Data Selection for
     Language Models via Importance Resampling", NeurIPS 2023): score
@@ -1346,11 +1358,11 @@ def dsir_importance_weights(
     matching selector is the beyond-ref generalization its curation
     story needs for training-data assembly."""
     t_feats = target.select(
-        F.explode(_hashed_ngram_features(F.col(text_col), dim)).alias("b")
+        F.explode(_hashed_ngram_features(F.col(text_col), dim, hash_fn)).alias("b")
     )
     r_feats_per_doc = corpus.select(
         F.col(id_col).alias("_id"),
-        F.explode(_hashed_ngram_features(F.col(text_col), dim)).alias("b"),
+        F.explode(_hashed_ngram_features(F.col(text_col), dim, hash_fn)).alias("b"),
     )
     t_model, t_floor = _hashed_bucket_lm(t_feats, dim)
     r_model, r_floor = _hashed_bucket_lm(r_feats_per_doc.select("b"), dim)
@@ -1379,6 +1391,7 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 4096,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Select the top-k raw documents by DSIR importance weight —
     the paper's deterministic top-k variant (its §4 ablation; the
@@ -1390,7 +1403,7 @@ def dsir_select(
     one row per corpus doc; global top-k is a sort-limit Spark
     executes as TakeOrderedAndProject (per-partition heap + driver
     merge of k·partitions rows — no global sort shuffle)."""
-    w = dsir_importance_weights(corpus, target, text_col, id_col, dim)
+    w = dsir_importance_weights(corpus, target, text_col, id_col, dim, hash_fn)
     return (
         w.orderBy(F.col("lw_unat").desc(), F.col(id_col).asc())
         .limit(k)

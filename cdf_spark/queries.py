@@ -6872,7 +6872,23 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
 # QUERIES registry (and thus the driver's correctness gate) carries only
 # exact-oracled entries.
 
+def dsir_select_docs_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """xxhash64 bench twin of the md5-oracled dsir_select_docs: the
+    same estimator (hashed unigram+bigram bag models, integer
+    micro-nat log ratios, top-200) under the JVM-native hash — the
+    md5-parity construction exists for SQL verification; deployment
+    hashes ~10× cheaper. Rankings agree up to hash choice (bucket
+    collisions differ), the simhash/minhash twin discipline."""
+    from .operators.curation import dsir_select
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dsir_select(corpus, target, k=200, dim=4096, hash_fn="xxhash64")
+
+
 BENCH_ONLY: dict[str, QueryFn] = {
+    "dsir_select_docs_fast": dsir_select_docs_fast,
     "minhash_lsh_dups_fast": minhash_lsh_dups_fast,
     "simhash_dups_fast": simhash_dups_fast,
     "embedding_near_dups_lsh": embedding_near_dups_lsh,
