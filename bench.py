@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "dsir_select_docs_fast",
     "bm25_topk_docs",
     "bm25_index_incremental",
+    # IVF-SQ8 composite (registry entry IS the deploy path: routing +
+    # int8 candidate scan + exact rescore — the bandwidth-compression
+    # sibling of ivf_pq_ann_topk)
+    "ivf_sq8_ann_topk",
 ]
 
 

@@ -5105,6 +5105,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "streaming_bm25_index_drain",
     "bm25_index_delete_compact",
     "ann_index_delete_compact",
+    "ivf_sq8_ann_topk",
     # -- last driver-green in r6 (whole cohort, 38 queries — the
     #    least-recently-green rotation the verdict prescribes) --
     "airbyte_subprocess_scan",
@@ -11711,3 +11712,72 @@ def bm25_index_delete_compact(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("bm25_idx_del_compact", sf, build)
     return InvertedIndex(f"{tmp}/bm25").query(spark, _bm25_query_df(spark), k=10)
+
+
+@_register(
+    "ivf_sq8_ann_topk",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    qc AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(round(x / (list_max(list_transform(e, y -> abs(y))) / 127.0)) AS INTEGER)) AS q8
+      FROM c
+    ),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT id, cluster FROM (
+        SELECT c.vec_id AS id, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.e, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM c CROSS JOIN cents) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 20),
+    probes AS (
+      SELECT qid, cluster FROM (
+        SELECT q.qid, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= 8
+    ),
+    cand AS (
+      SELECT p.qid, a.id FROM probes p JOIN assigned a ON a.cluster = p.cluster
+      WHERE a.id != p.qid
+    ),
+    scored8 AS (
+      SELECT cand.qid, cand.id,
+             round(list_cosine_similarity(CAST(qq.q8 AS DOUBLE[]), CAST(cq.q8 AS DOUBLE[])), 4) AS csim
+      FROM cand JOIN qc qq ON qq.vec_id = cand.qid JOIN qc cq ON cq.vec_id = cand.id
+    ),
+    short AS (
+      SELECT qid, id FROM (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY csim DESC, id ASC) AS srank
+        FROM scored8) WHERE srank <= 40
+    ),
+    rescored AS (
+      SELECT s.qid AS query_id, s.id AS neighbor_id,
+             round(list_cosine_similarity(qe2.e, ce2.e), 4) AS sim
+      FROM short s JOIN c qe2 ON qe2.vec_id = s.qid JOIN c ce2 ON ce2.vec_id = s.id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM rescored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def ivf_sq8_ann_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF + SQ8 scalar-quantized ANN (r12): deterministic sampled
+    centroids route queries; the candidate scan runs on int8 codes
+    (4× less memory bandwidth than float32 — the lever when a 100 TB
+    candidate scan is bandwidth-bound); the code-similarity shortlist
+    re-scores exactly on the floats. Quantized cosine is exact across
+    engines (integer code products sum exactly in double), so the
+    WHOLE pipeline — quantization included — value-checks in SQL."""
+    from .operators.similarity import ivf_sq8_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_sq8_ann_topk(
+        emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50, shortlist=4
+    )

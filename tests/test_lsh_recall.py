@@ -299,3 +299,66 @@ def test_ivf_pq_partition_independent(spark):
         map(tuple, ivf_pq_ann_topk_fast(emb.repartition(13), queries, **kw).collect())
     )
     assert one == many and len(one) == 200
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (r12)
+
+
+def test_sq8_codes_roundtrip_bound_and_range(spark):
+    """Symmetric int8 quantization invariants: codes in [-127, 127],
+    the max-|x| component hits ±127 exactly, and dequantization error
+    is bounded by s/2 per component."""
+    import numpy as np
+
+    from cdf_spark.operators.similarity import sq8_codes
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    rows = emb.select("vec_id", "embedding", sq8_codes(F.col("embedding")).alias("q")).collect()
+    assert rows
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        q = np.asarray(r["q"], dtype=np.int64)
+        s = np.abs(x).max() / 127.0
+        assert q.min() >= -127 and q.max() <= 127
+        assert np.abs(q).max() == 127
+        assert np.abs(x - q * s).max() <= s / 2 + 1e-12
+
+
+def test_ivf_sq8_exhaustive_shortlist_equals_plain_ivf(spark):
+    """With a shortlist covering every candidate, the SQ8 stage is a
+    pure reordering before an exact rescore — the composite must be
+    bit-identical to plain IVF with the same routing."""
+    from cdf_spark.operators.similarity import ivf_ann_topk, ivf_sq8_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    plain = sorted(map(tuple, ivf_ann_topk(
+        emb, queries, k=10, nprobe=8, centroid_modulus=50).collect()))
+    sq8 = sorted(map(tuple, ivf_sq8_ann_topk(
+        emb, queries, k=10, nprobe=8, centroid_modulus=50, shortlist=10**6).collect()))
+    assert sq8 == plain and len(sq8) > 0
+
+
+def test_ivf_sq8_recall_vs_exact(spark):
+    """The deploy configuration (shortlist=4) keeps measured recall
+    against the exact top-k — int8 coarse scores rarely reorder past
+    the 4k shortlist cut."""
+    from cdf_spark.operators.similarity import ivf_ann_topk, ivf_sq8_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(emb, queries, k=10, nprobe=8, centroid_modulus=50).collect()
+    }
+    sq8 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_sq8_ann_topk(
+            emb, queries, k=10, nprobe=8, centroid_modulus=50, shortlist=4
+        ).collect()
+    }
+    overlap = len(sq8 & ivf) / len(ivf)
+    assert overlap >= 0.95, f"SQ8 shortlist lost too much vs plain IVF: {overlap:.3f}"
