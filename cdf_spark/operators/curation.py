@@ -1414,3 +1414,190 @@ def dsir_select(
             ),
         )
     )
+
+
+class DSIRIndex:
+    """Persisted INCREMENTAL DSIR selector for a GROWING raw corpus —
+    the data-selection member of the incremental-index family
+    (`NBIndex`, `LMIndex`, `ExactSubstrIndex`, `MinHashLSHIndex`,
+    `similarity.IVFIndex`, `retrieval.InvertedIndex`):
+    `dsir_importance_weights` re-fits the raw bag model over the whole
+    corpus per call, the wrong shape under continuous ingestion — and
+    DSIR's raw model exists precisely to track the corpus it selects
+    from, so it SHOULD fold as the corpus grows.
+
+    Both models are bucket-count tables (≤ dim rows), and counts ADD:
+    a fully-folded raw model is bit-identical to a one-shot fit, which
+    is what lets the incremental query share the one-shot SQL oracle.
+
+    Layout under `root/`: `target/` parquet (b, c) — the FIXED
+    reference-set model, written once at build() (the target corpus
+    is a curated seed / benchmark, not a stream); `raw_v<N>/` parquet
+    (b, c); `meta.json` {version, dim, n_target, n_raw, last_epoch} —
+    atomic tmp+rename swap last, superseded versions reclaimed
+    keep-live-minus-one (the NBIndex discipline). update() is
+    O(batch) feature work + an O(dim) merge rewrite; weights() reads
+    only the two stored models (KBs) plus the scored batch."""
+
+    def __init__(self, root):
+        from pathlib import Path as _P
+
+        self.root = _P(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _meta(self) -> dict | None:
+        import json as _json
+
+        p = self.root / "meta.json"
+        return _json.loads(p.read_text()) if p.exists() else None
+
+    def _swap_meta(self, meta: dict) -> None:
+        import json as _json
+
+        tmp = self.root / "meta.json.tmp"
+        tmp.write_text(_json.dumps(meta))
+        tmp.replace(self.root / "meta.json")
+
+    @staticmethod
+    def _bucket_counts(df: DataFrame, text_col: str, dim: int, hash_fn: str) -> DataFrame:
+        return (
+            df.select(F.explode(_hashed_ngram_features(F.col(text_col), dim, hash_fn)).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def build(
+        self,
+        spark,
+        target: DataFrame,
+        text_col: str = "text",
+        dim: int = 4096,
+        hash_fn: str = "md5",
+    ) -> dict:
+        """Freeze the target reference model; the raw model starts
+        empty (an empty raw model is the textbook add-one floor —
+        every bucket at ln(1/dim) mass — so weights() is defined from
+        the first fold on)."""
+        if self._meta() is not None:
+            raise ValueError("DSIRIndex already built — use update()")
+        tc = self._bucket_counts(target, text_col, dim, hash_fn)
+        tc.write.mode("overwrite").parquet(str(self.root / "target"))
+        n_t = spark.read.parquet(str(self.root / "target")).agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+        ).collect()[0][0]
+        self._swap_meta(
+            {
+                "version": 0,
+                "dim": int(dim),
+                "hash_fn": hash_fn,
+                "n_target": int(n_t),
+                "n_raw": 0,
+                "last_epoch": -1,
+            }
+        )
+        return self._meta()
+
+    def update(
+        self,
+        spark,
+        batch: DataFrame,
+        text_col: str = "text",
+        epoch: int | None = None,
+    ) -> dict:
+        """Fold a raw-corpus batch: feature-hash ONLY these rows, add
+        their bucket counts into the raw model (O(dim) merge). Same
+        monotone at-least-once `epoch` fence as the family (count
+        folds are not idempotent under replay)."""
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("DSIRIndex is empty — build() first")
+        if epoch is not None and int(epoch) <= meta.get("last_epoch", -1):
+            return meta  # replayed fold — already counted
+        dim, hash_fn = int(meta["dim"]), meta["hash_fn"]
+        bc = self._bucket_counts(batch, text_col, dim, hash_fn)
+        version = int(meta["version"]) + 1
+        if meta["version"] > 0:
+            cur = spark.read.parquet(str(self.root / f"raw_v{meta['version']}"))
+            bc = cur.unionByName(bc).groupBy("b").agg(F.sum("c").alias("c"))
+        out = self.root / f"raw_v{version}"
+        bc.write.mode("overwrite").parquet(str(out))
+        n_add = spark.read.parquet(str(out)).agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+        ).collect()[0][0]
+        new_meta = {
+            **meta,
+            "version": version,
+            "n_raw": int(n_add),
+            "last_epoch": int(epoch) if epoch is not None else meta.get("last_epoch", -1),
+        }
+        self._swap_meta(new_meta)
+        self._reclaim(version)
+        return new_meta
+
+    def _reclaim(self, live_version: int) -> None:
+        """Drop superseded raw_v dirs after the meta swap, keeping
+        live and live-1; sweep crash-orphaned future dirs."""
+        import shutil
+
+        for d in self.root.iterdir():
+            if d.is_dir() and d.name.startswith("raw_v"):
+                try:
+                    ver = int(d.name[len("raw_v"):])
+                except ValueError:
+                    continue
+                if ver < live_version - 1 or ver > live_version:
+                    shutil.rmtree(d, ignore_errors=True)
+
+    def weights(
+        self,
+        spark,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """DSIR log weights for a batch against the CURRENT models —
+        bit-identical to `dsir_importance_weights(all folded raw,
+        target)` scoring the same batch. Both models broadcast; one
+        shuffle over the batch."""
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("DSIRIndex is empty — build() first")
+        dim, hash_fn = int(meta["dim"]), meta["hash_fn"]
+        ln_t = math.log(int(meta["n_target"]) + dim)
+        ln_r = math.log(int(meta["n_raw"]) + dim)
+
+        def _model(df: DataFrame, ln_denom: float, out: str) -> DataFrame:
+            return df.select(
+                "b",
+                F.round((F.log(F.col("c") + F.lit(1.0)) - F.lit(ln_denom)) * F.lit(MICRO))
+                .cast("long")
+                .alias(out),
+            )
+
+        t_model = _model(spark.read.parquet(str(self.root / "target")), ln_t, "_lp_t")
+        if meta["version"] > 0:
+            r_model = _model(
+                spark.read.parquet(str(self.root / f"raw_v{meta['version']}")), ln_r, "_lp_r"
+            )
+        else:
+            r_model = spark.createDataFrame([], "b long, _lp_r long")
+        t_floor = int(round((0.0 - ln_t) * MICRO))
+        r_floor = int(round((0.0 - ln_r) * MICRO))
+        feats = batch.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_hashed_ngram_features(F.col(text_col), dim, hash_fn)).alias("b"),
+        )
+        return (
+            feats.join(F.broadcast(t_model), on="b", how="left")
+            .join(F.broadcast(r_model), on="b", how="left")
+            .select(
+                "_id",
+                (
+                    F.coalesce(F.col("_lp_t"), F.lit(t_floor))
+                    - F.coalesce(F.col("_lp_r"), F.lit(r_floor))
+                ).alias("_d"),
+            )
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("_d").alias("lw_unat"))
+            .select(F.col("_id").alias(id_col), "n_feats", "lw_unat")
+        )

@@ -5106,6 +5106,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "bm25_index_delete_compact",
     "ann_index_delete_compact",
     "ivf_sq8_ann_topk",
+    "dsir_index_incremental",
+    "streaming_dsir_select_drain",
     # -- last driver-green in r6 (whole cohort, 38 queries — the
     #    least-recently-green rotation the verdict prescribes) --
     "airbyte_subprocess_scan",
@@ -11339,7 +11341,35 @@ def streaming_nb_classify_drain(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # DSIR data selection (r12)
 
-_DSIR_ORACLE = """
+def _dsir_oracle(
+    raw_where: str = "doc_id % 97 <> 0",
+    score_where: str = "doc_id % 97 <> 0",
+    epoch: int | None = None,
+    topk: int | None = 200,
+) -> str:
+    """The full DSIR replay, parameterized for the incremental index
+    and online drain: `raw_where` cuts the raw-model corpus (for a
+    drain epoch: everything folded BEFORE it), `score_where` cuts the
+    scored batch; the target model is always the doc_id % 97 = 0
+    reference split. `topk` ranks and cuts (the one-shot selection
+    query); None emits per-doc weights (the drain shape)."""
+    head = (
+        f"SELECT CAST({epoch} AS BIGINT) AS epoch, doc_id, n_feats, lw_unat FROM ("
+        if epoch is not None
+        else ""
+    )
+    tail = ")" if epoch is not None else ""
+    if topk is not None:
+        sel = f"""
+    SELECT doc_id, n_feats, lw_unat,
+           row_number() OVER (ORDER BY lw_unat DESC, doc_id ASC) AS rk
+    FROM scored
+    ORDER BY lw_unat DESC, doc_id ASC
+    LIMIT {topk}"""
+    else:
+        sel = "\n    SELECT doc_id, n_feats, lw_unat FROM scored"
+    return f"""
+    {head}
     WITH toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
@@ -11356,7 +11386,10 @@ _DSIR_ORACLE = """
       FROM toks
     ),
     t_counts AS (SELECT b, COUNT(*) AS c FROM feats WHERE doc_id % 97 = 0 GROUP BY b),
-    r_counts AS (SELECT b, COUNT(*) AS c FROM feats WHERE doc_id % 97 <> 0 GROUP BY b),
+    r_counts AS (
+      SELECT b, COUNT(*) AS c FROM feats
+      WHERE doc_id % 97 <> 0 AND ({raw_where}) GROUP BY b
+    ),
     t_tot AS (SELECT COALESCE(SUM(c), 0) AS n FROM t_counts),
     r_tot AS (SELECT COALESCE(SUM(c), 0) AS n FROM r_counts),
     t_model AS (
@@ -11377,15 +11410,15 @@ _DSIR_ORACLE = """
       FROM feats f
       LEFT JOIN t_model USING (b)
       LEFT JOIN r_model USING (b)
-      WHERE f.doc_id % 97 <> 0
+      WHERE f.doc_id % 97 <> 0 AND ({score_where})
       GROUP BY f.doc_id
     )
-    SELECT doc_id, n_feats, lw_unat,
-           row_number() OVER (ORDER BY lw_unat DESC, doc_id ASC) AS rk
-    FROM scored
-    ORDER BY lw_unat DESC, doc_id ASC
-    LIMIT 200
-"""
+    {sel}
+    {tail}
+    """
+
+
+_DSIR_ORACLE = _dsir_oracle()
 
 
 @_register("dsir_select_docs", _DSIR_ORACLE)
@@ -11780,4 +11813,119 @@ def ivf_sq8_ann_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     return ivf_sq8_ann_topk(
         emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50, shortlist=4
+    )
+
+
+@_register("dsir_index_incremental", _DSIR_ORACLE)
+def dsir_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted incremental DSIR selector (r12,
+    `curation.DSIRIndex`): the target reference model freezes at
+    build(); the raw-corpus bag model FOLDS per batch (bucket counts
+    add, so the three-fold model is bit-identical to a one-shot fit —
+    the NBIndex exactness argument), and the top-200 selection over
+    the fully-folded index must equal the one-shot dsir_select_docs
+    oracle. The fixture also proves the at-least-once replay fence."""
+    from .operators.curation import DSIRIndex
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    def build(tmp: str) -> None:
+        idx = DSIRIndex(f"{tmp}/dsir")
+        idx.build(spark, docs.filter(F.col("doc_id") % 97 == 0))
+        idx.update(spark, corpus.filter(F.col("doc_id") % 3 == 0), epoch=0)
+        idx.update(spark, corpus.filter(F.col("doc_id") % 3 == 1), epoch=1)
+        m2 = idx.update(spark, corpus.filter(F.col("doc_id") % 3 == 2), epoch=2)
+        replay = idx.update(spark, corpus.filter(F.col("doc_id") % 3 == 2), epoch=2)
+        if replay != m2:
+            raise AssertionError("replayed fold must be a fenced no-op")
+
+    tmp = _session_fixture("dsir_index", sf, build)
+    w = DSIRIndex(f"{tmp}/dsir").weights(spark, corpus)
+    return (
+        w.orderBy(F.col("lw_unat").desc(), F.col("doc_id").asc())
+        .limit(200)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("lw_unat").desc(), F.col("doc_id").asc())
+            ),
+        )
+    )
+
+
+@_register(
+    "streaming_dsir_select_drain",
+    _dsir_oracle("doc_id < 166", "doc_id >= 166 AND doc_id < 333", epoch=1, topk=None)
+    + " UNION ALL "
+    + _dsir_oracle("doc_id < 333", "doc_id >= 333", epoch=2, topk=None),
+)
+def streaming_dsir_select_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING online data selection (r12) — the shape a live
+    ingestion pipeline runs DSIR in: every micro-batch of raw
+    documents is scored against the target model AND the raw model of
+    everything ingested BEFORE it (epoch 0 only folds — an empty raw
+    model scores nothing useful), then folds its own bucket counts in
+    (O(batch) + O(dim) merge; the corpus never re-hashes). Weights
+    legitimately drift as the raw model tracks the growing corpus —
+    exactly what the chained oracle pins per epoch. Both side effects
+    fenced on the index epoch watermark (count folds are not
+    idempotent under foreachBatch redelivery)."""
+    from .operators.curation import DSIRIndex
+
+    def build(tmp: str) -> None:
+        import os
+        import shutil
+        import tempfile
+        import time
+        from pathlib import Path as _Path
+
+        docs = _t(spark, sf, "documents")
+        raw = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+        (_Path(tmp) / "in").mkdir()
+        t0 = time.time() - 1000
+        for i, (lo, hi) in enumerate(_NB_BOUNDS):
+            stage = tempfile.mkdtemp(prefix="cdf_sdsir_part_")
+            raw.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            dst = f"{tmp}/in/part-{i}.parquet"
+            shutil.move(str(src), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+            shutil.rmtree(stage, ignore_errors=True)
+
+        idx = DSIRIndex(f"{tmp}/dsir")
+        idx.build(spark, docs.filter(F.col("doc_id") % 97 == 0))
+
+        def handle(batch_df, epoch_id: int) -> None:
+            meta = idx._meta()
+            if meta is not None and int(epoch_id) <= meta.get("last_epoch", -1):
+                return  # fully-processed epoch redelivered
+            if meta is not None and meta["version"] > 0:
+                (
+                    idx.weights(spark, batch_df)
+                    .write.mode("overwrite")
+                    .parquet(f"{tmp}/out/epoch={epoch_id}")
+                )
+            idx.update(spark, batch_df, epoch=int(epoch_id))
+
+        q = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+
+    tmp = _session_fixture("streaming_dsir", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        "n_feats",
+        "lw_unat",
     )

@@ -980,3 +980,59 @@ def test_dsir_zero_feature_docs_carry_no_row(spark):
     target = spark.createDataFrame([(9, "real words")], ["doc_id", "text"])
     ids = [r["doc_id"] for r in dsir_importance_weights(corpus, target, dim=32).collect()]
     assert ids == [1]
+
+
+def test_dsir_index_fold_equals_one_shot(spark, tmp_path):
+    """Bucket counts add: a 2-fold DSIRIndex scores bit-identically
+    to dsir_importance_weights over the union."""
+    from cdf_spark.operators.curation import DSIRIndex, dsir_importance_weights
+
+    target = spark.createDataFrame(
+        [(100, "quantum energy states decay"), (101, "energy spectrum of quantum wells")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quantum decay rates in excited energy states"),
+            (2, "buy cheap watches online free shipping today"),
+            (3, "casino bonus spins win big now friend"),
+            (4, "the energy of a quantum system"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = DSIRIndex(tmp_path / "dsir")
+    idx.build(spark, target, dim=64)
+    idx.update(spark, corpus.filter(F.col("doc_id") <= 2), epoch=0)
+    idx.update(spark, corpus.filter(F.col("doc_id") > 2), epoch=1)
+    folded = sorted(map(tuple, idx.weights(spark, corpus).collect()))
+    one_shot = sorted(map(tuple, dsir_importance_weights(corpus, target, dim=64).collect()))
+    assert folded == one_shot and len(folded) == 4
+
+
+def test_dsir_index_fence_reclaim_and_refusals(spark, tmp_path):
+    import pytest as _pytest
+
+    from cdf_spark.operators.curation import DSIRIndex
+
+    target = spark.createDataFrame([(9, "real words")], ["doc_id", "text"])
+    batch = spark.createDataFrame([(1, "real words here")], ["doc_id", "text"])
+    idx = DSIRIndex(tmp_path / "dsir")
+    with _pytest.raises(ValueError, match="empty"):
+        idx.update(spark, batch)
+    with _pytest.raises(ValueError, match="empty"):
+        idx.weights(spark, batch)
+    idx.build(spark, target, dim=32)
+    with _pytest.raises(ValueError, match="already built"):
+        idx.build(spark, target, dim=32)
+    m1 = idx.update(spark, batch, epoch=5)
+    assert idx.update(spark, batch, epoch=5) == m1  # fenced replay
+    # versions reclaim keep-live-minus-one
+    for i in range(6, 10):
+        idx.update(spark, batch.withColumn("doc_id", F.col("doc_id") + i), epoch=i)
+    live = idx._meta()["version"]
+    vers = sorted(
+        int(d.name[len("raw_v"):])
+        for d in (tmp_path / "dsir").iterdir()
+        if d.is_dir() and d.name.startswith("raw_v")
+    )
+    assert vers == [live - 1, live]
