@@ -1670,8 +1670,10 @@ def ivf_sq8_ann_topk(
     cand = assigned.join(F.broadcast(probes), on="cluster").filter(
         F.col("id") != F.col("query_id")
     )
-    # int8 candidate scan: exact-in-double code similarity
-    scored8 = cand.withColumn("_csim", F.round(cosine(F.col("_qq"), F.col("_qc")), 6))
+    # int8 candidate scan: exact-in-double code similarity (rounded at
+    # the SAME precision as the oracle so the shortlist cut can never
+    # diverge on a tie the other engine doesn't see)
+    scored8 = cand.withColumn("_csim", F.round(cosine(F.col("_qq"), F.col("_qc")), round_to))
     ws = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("id").asc())
     short = (
         scored8.withColumn("_srank", F.row_number().over(ws))
