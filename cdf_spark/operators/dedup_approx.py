@@ -904,3 +904,33 @@ class MinHashLSHIndex:
             .filter(F.col("jaccard") >= threshold)
             .select("id_batch", "id_corpus", "jaccard")
         )
+
+
+def leakage_safe_split(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_mod: int = 10,
+) -> DataFrame:
+    """Leakage-safe train/test split: near-duplicate CLUSTERS are the
+    atomic unit — a document and its near-dups can never straddle the
+    boundary (the standard eval-hygiene failure: a test doc whose
+    near-copy sits in train leaks the answer; real pipelines split by
+    cluster/URL-group for exactly this reason). Every connected
+    component of the `pairs` graph (plus every singleton) lands
+    wholly in test iff hash64(cluster id) % test_mod == 0 — the
+    deterministic md5-parity rule, so the split is reproducible
+    run-to-run, engine-to-engine, and at any partitioning.
+
+    Output: (id_col, cluster, split) with split ∈ {'train','test'}.
+
+    Scale: clustering is `dedup_clusters` (min-label propagation,
+    O(diameter) bounded rounds); the side assignment is one narrow
+    hash projection — no extra shuffle."""
+    from .text import hash64
+
+    clusters = dedup_clusters(ids, pairs, id_col=id_col)
+    side = F.when(
+        hash64(F.col("cluster").cast("string")) % test_mod == 0, F.lit("test")
+    ).otherwise(F.lit("train"))
+    return clusters.select(id_col, "cluster", side.alias("split"))

@@ -1686,3 +1686,66 @@ def ivf_sq8_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "sim", "rank")
     )
+
+
+def ivf_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    centroid_modulus: int = 50,
+    corpus_id: str = "vec_id",
+    anchor_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (the
+    DPR/SimCSE data-prep stage): for each anchor, the k most-SIMILAR
+    corpus vectors with a DIFFERENT label — near the anchor in
+    embedding space but semantically wrong, exactly the negatives
+    that sharpen a retriever/encoder (random negatives are too easy).
+    IVF routing keeps it a candidate-list scan, never corpus×anchors;
+    the label filter runs before ranking so the top-k is over true
+    negatives only.
+
+    Deterministic end to end (sampled centroids, rounded sims, id
+    tie-breaks) — the mined negative set is SQL-verifiable, which is
+    what makes a training-data artifact auditable.
+
+    Output: (query_id, neighbor_id, neg_label, sim, rank)."""
+    cents = corpus.filter((F.col(corpus_id) % centroid_modulus) == 0).select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("ce")
+    )
+    assigned = ivf_assign(corpus, cents, id_col=corpus_id, vec_col=vec_col, round_to=round_to)
+    labels = corpus.select(F.col(corpus_id).alias("id"), F.col(label_col).alias("_nl"))
+    assigned = assigned.join(labels, on="id")
+    wq = Window.partitionBy("query_id").orderBy(F.col("_qsim").desc(), F.col("cluster").asc())
+    probes = (
+        anchors.select(
+            F.col(anchor_id).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col(label_col).alias("_ql"),
+        )
+        .crossJoin(F.broadcast(cents.select(F.col("cid").alias("cluster"), F.col("ce").alias("_ce"))))
+        .withColumn("_qsim", F.round(cosine(F.col("_qv"), F.col("_ce")), round_to))
+        .withColumn("_qrank", F.row_number().over(wq))
+        .filter(F.col("_qrank") <= nprobe)
+        .select("query_id", "_qv", "_ql", "cluster")
+    )
+    cand = assigned.join(F.broadcast(probes), on="cluster").filter(
+        (F.col("id") != F.col("query_id")) & (F.col("_nl") != F.col("_ql"))
+    )
+    scored = cand.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_v")), round_to))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.col("_nl").alias("neg_label"),
+            "sim",
+            "rank",
+        )
+    )

@@ -5108,6 +5108,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ivf_sq8_ann_topk",
     "dsir_index_incremental",
     "streaming_dsir_select_drain",
+    "leakage_safe_split",
+    "ivf_hard_negative_mining",
     # -- last driver-green in r6 (whole cohort, 38 queries — the
     #    least-recently-green rotation the verdict prescribes) --
     "airbyte_subprocess_scan",
@@ -11928,4 +11930,105 @@ def streaming_dsir_select_drain(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "n_feats",
         "lw_unat",
+    )
+
+
+@_register(
+    "leakage_safe_split",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct([substr(text, i, 3) for i in range(1, length(text)-1)]) AS s
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+    p AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, a.sz sa, b.sz sb, count(*) inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1,2,3,4
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM p WHERE inter::DOUBLE / (sa + sb - inter) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+      FROM walk GROUP BY id
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN CAST(('0x'||substr(md5(CAST(cluster AS VARCHAR)),1,15)) AS BIGINT) % 10 = 0
+                THEN 'test' ELSE 'train' END AS split
+    FROM clusters
+    """,
+)
+def leakage_safe_split_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/test split (r12): near-dup clusters (the
+    jaccard>=0.8 components the near_dup_clusters query proves) are
+    assigned to a side ATOMICALLY — a test doc can never have a
+    near-copy in train. Side = hash64(cluster) % 10 (md5-parity, so
+    the split is engine- and partitioning-reproducible). The oracle
+    replays clustering (recursive CTE) + the hash rule."""
+    from .operators.dedup_approx import leakage_safe_split
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    return leakage_safe_split(docs.select("doc_id"), pairs)
+
+
+@_register(
+    "ivf_hard_negative_mining",
+    """
+    WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT id, lab, cluster FROM (
+        SELECT c.vec_id AS id, c.label AS lab, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.e, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM c CROSS JOIN cents) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, label AS qlab, e AS qe FROM c WHERE vec_id < 20),
+    probes AS (
+      SELECT qid, qlab, cluster FROM (
+        SELECT q.qid, q.qlab, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= 8
+    ),
+    cand AS (
+      SELECT p.qid, a.id, a.lab FROM probes p JOIN assigned a ON a.cluster = p.cluster
+      WHERE a.id != p.qid AND a.lab != p.qlab
+    ),
+    scored AS (
+      SELECT cand.qid AS query_id, cand.id AS neighbor_id, cand.lab AS neg_label,
+             round(list_cosine_similarity(qc.e, cc.e), 4) AS sim
+      FROM cand JOIN c qc ON qc.vec_id = cand.qid JOIN c cc ON cc.vec_id = cand.id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neg_label, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_label, sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def ivf_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (r12): for each anchor vector, the 10
+    most-similar corpus vectors with a DIFFERENT label — the
+    DPR/SimCSE contrastive-training negatives (near in embedding
+    space, semantically wrong). IVF routing keeps it a candidate-list
+    scan; the label filter precedes ranking; deterministic and
+    SQL-verified end to end like every ANN entry."""
+    from .operators.similarity import ivf_hard_negatives
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_hard_negatives(
+        emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50
     )

@@ -1036,3 +1036,54 @@ def test_dsir_index_fence_reclaim_and_refusals(spark, tmp_path):
         if d.is_dir() and d.name.startswith("raw_v")
     )
     assert vers == [live - 1, live]
+
+
+def test_leakage_safe_split_keeps_clusters_atomic(spark):
+    """A planted near-dup pair must land on ONE side; every doc gets
+    exactly one assignment; sides are the deterministic hash rule."""
+    from cdf_spark.operators.dedup_approx import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight!"),  # near-dup of 1
+            (3, "completely different text about gardening and soil"),
+            (4, "another unrelated document concerning financial markets"),
+        ],
+        ["doc_id", "text"],
+    )
+    from cdf_spark.operators.dedup_approx import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    out = leakage_safe_split(docs.select("doc_id"), pairs).collect()
+    assert len(out) == 4 and len({r["doc_id"] for r in out}) == 4
+    by_id = {r["doc_id"]: r for r in out}
+    # the planted pair clusters together and lands on one side
+    assert by_id[1]["cluster"] == by_id[2]["cluster"]
+    assert by_id[1]["split"] == by_id[2]["split"]
+    assert {r["split"] for r in out} <= {"train", "test"}
+    # deterministic: same rule, same answer
+    out2 = leakage_safe_split(docs.select("doc_id"), pairs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ivf_hard_negatives_exclude_anchor_label_and_self(spark):
+    from cdf_spark.operators.similarity import ivf_hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.filter("vec_id < 10")
+    out = ivf_hard_negatives(emb, anchors, k=5, nprobe=8, centroid_modulus=50)
+    rows = out.collect()
+    assert rows
+    labels = {r["vec_id"]: r["label"] for r in anchors.collect()}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["neg_label"] != labels[r["query_id"]]
+    # ranks are contiguous from 1 per anchor
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["query_id"]].append(r["rank"])
+    for q, rks in per.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
