@@ -64,15 +64,25 @@ def _tok_array(col: Column) -> Column:
 
 
 def _doc_tf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(_id, dl, tok, tf): per-document term frequencies with the
+    """(_id, dl, tok, tf, ps): per-document term frequencies with the
     document length riding the grouping key — dl is functionally
     dependent on _id, so grouping by (_id, dl, tok) costs nothing
-    extra and saves the corpus-sized lengths join at scoring time."""
+    extra and saves the corpus-sized lengths join at scoring time.
+    `ps` is the SORTED 1-based position list of the term (sorted so
+    the posting is deterministic under Spark's unordered
+    collect_list) — the positional payload phrase matching needs."""
     return (
         df.select(F.col(id_col).alias("_id"), _tok_array(F.col(text_col)).alias("_ts"))
-        .select("_id", F.size("_ts").alias("dl"), F.explode("_ts").alias("tok"))
+        .select(
+            "_id",
+            F.size("_ts").alias("dl"),
+            F.posexplode("_ts").alias("_p0", "tok"),
+        )
         .groupBy("_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list(F.col("_p0") + 1)).alias("ps"),
+        )
     )
 
 
@@ -251,6 +261,7 @@ class InvertedIndex:
             F.col("_id").alias("doc_id"),
             "tf",
             "dl",
+            "ps",
         )
         part = f"postings_p{seq}"
         tf.write.mode("overwrite").partitionBy("hb").parquet(str(self.root / part))
@@ -388,9 +399,9 @@ class InvertedIndex:
             posts = posts.join(dead, on="doc_id", how="left_anti")
             lens = lens.join(dead, on="doc_id", how="left_anti")
         part, lpart = f"postings_p{seq}", f"lengths_p{seq}"
-        posts.select("hb", "tok", "doc_id", "tf", "dl").write.mode("overwrite").partitionBy(
-            "hb"
-        ).parquet(str(self.root / part))
+        posts.select("hb", "tok", "doc_id", "tf", "dl", "ps").write.mode(
+            "overwrite"
+        ).partitionBy("hb").parquet(str(self.root / part))
         lens.write.mode("overwrite").parquet(str(self.root / lpart))
         new_meta = {
             "parts": [part],
@@ -453,3 +464,98 @@ class InvertedIndex:
         tf = posts.select("tok", F.col("doc_id").alias("_id"), "tf", "dl")
         avgdl = meta["total_len"] / meta["n_docs"]
         return _score_topk(tf, qterms, int(meta["n_docs"]), avgdl, k, id_col)
+
+    def phrase_query(
+        self,
+        spark,
+        phrases: DataFrame,
+        qid_col: str = "qid",
+        qtext_col: str = "qtext",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Exact phrase matching against everything folded so far —
+        bit-identical to `phrase_match` over the union of live folds.
+        The postings carry sorted position lists, so the probe is the
+        same bucket-pruned scan BM25 pays (only the buckets the
+        phrase's terms hash to), followed by the adjusted-position
+        join — O(postings of the phrase terms) at any index size."""
+        from functools import reduce
+
+        meta = self._meta()
+        if meta is None:
+            raise ValueError("InvertedIndex is empty — build() first")
+        if not meta["parts"]:
+            raise ValueError("InvertedIndex has no postings")
+        pterms = _phrase_terms(phrases, qid_col, qtext_col)
+        terms = [r["tok"] for r in pterms.select("tok").distinct().collect()]
+        if not terms:
+            raise ValueError("phrase set tokenizes to no terms")
+        buckets = sorted({hash64_py(t) % _BUCKETS for t in terms})
+        parts = [
+            spark.read.parquet(str(self.root / p)).filter(
+                F.col("hb").isin(buckets) & F.col("tok").isin(terms)
+            )
+            for p in meta["parts"]
+        ]
+        posts = reduce(DataFrame.unionByName, parts)
+        dead = self._read_dead(spark, meta)
+        if dead is not None:
+            posts = posts.join(dead, on="doc_id", how="left_anti")
+        tf = posts.select(F.col("doc_id").alias("_id"), "tok", "ps")
+        return _phrase_hits(tf, pterms, id_col)
+
+
+def _phrase_terms(phrases: DataFrame, qid_col: str, qtext_col: str) -> DataFrame:
+    """(qid, i, tok, n) — each phrase term with its 0-based offset and
+    the phrase length. Repeated terms keep their distinct offsets
+    (matching 'order order' needs both)."""
+    return phrases.select(
+        F.col(qid_col).alias("qid"),
+        F.posexplode(_tok_array(F.col(qtext_col))).alias("i", "tok"),
+        F.size(_tok_array(F.col(qtext_col))).alias("n"),
+    )
+
+
+def _phrase_hits(tf: DataFrame, pterms: DataFrame, id_col: str) -> DataFrame:
+    """Shared phrase tail over a positional tf table (_id, tok, ps):
+    the classic adjusted-position join — a phrase occurrence starting
+    at position p requires term i at position p+i, i.e. all n terms
+    sharing the same ADJUSTED position p = pos − i. One groupBy on
+    (qid, doc, adj) counting distinct offsets, then one per-(qid, doc)
+    occurrence count. Both shuffles carry only rows whose terms appear
+    in some phrase — never the corpus."""
+    occ = (
+        tf.join(F.broadcast(pterms), on="tok")
+        .select("qid", "_id", "n", "i", F.explode("ps").alias("_p"))
+        .select("qid", "_id", "n", "i", (F.col("_p") - F.col("i")).alias("adj"))
+    )
+    hits = (
+        occ.groupBy("qid", "_id", "n", "adj")
+        .agg(F.count_distinct("i").alias("_found"))
+        .filter(F.col("_found") == F.col("n"))
+    )
+    return (
+        hits.groupBy("qid", "_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .select("qid", F.col("_id").alias(id_col), "n_occurrences")
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Exact phrase matching at token level: for each phrase, every
+    document containing the EXACT consecutive token sequence, with its
+    occurrence count — the contamination-forensics primitive n-gram
+    hashing can't give you (hash overlap says "shares grams"; this
+    says "contains the eval answer verbatim, here's how many times").
+    Docs with zero occurrences never appear — stated contract.
+
+    Output: (qid, id_col, n_occurrences)."""
+    tf = _doc_tf(docs, text_col, id_col).select("_id", "tok", "ps")
+    return _phrase_hits(tf, _phrase_terms(phrases, qid_col, qtext_col), id_col)

@@ -5110,6 +5110,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "streaming_dsir_select_drain",
     "leakage_safe_split",
     "ivf_hard_negative_mining",
+    "phrase_match_docs",
+    "phrase_index_match",
     # -- last driver-green in r6 (whole cohort, 38 queries — the
     #    least-recently-green rotation the verdict prescribes) --
     "airbyte_subprocess_scan",
@@ -12032,3 +12034,74 @@ def ivf_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_hard_negatives(
         emb, emb.filter("vec_id < 20"), k=10, nprobe=8, centroid_modulus=50
     )
+
+
+_PHRASES = [("p1", "order fast"), ("p2", "order order"), ("p3", "big order scan")]
+
+_PHRASE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts)+1)) AS p FROM toks),
+    qterms AS (
+      SELECT * FROM (VALUES
+        ('p1',0,'order'),('p1',1,'fast'),
+        ('p2',0,'order'),('p2',1,'order'),
+        ('p3',0,'big'),('p3',1,'order'),('p3',2,'scan')
+      ) AS q(qid, i, tok)
+    ),
+    qn AS (SELECT qid, COUNT(*) AS n FROM qterms GROUP BY qid),
+    occ AS (
+      SELECT q.qid, pos.doc_id, q.i, pos.p - q.i AS adj
+      FROM pos JOIN qterms q USING (tok)
+    ),
+    hits AS (
+      SELECT o.qid, o.doc_id, o.adj
+      FROM occ o JOIN qn USING (qid)
+      GROUP BY o.qid, o.doc_id, o.adj, qn.n
+      HAVING COUNT(DISTINCT o.i) = qn.n
+    )
+    SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM hits GROUP BY qid, doc_id
+"""
+
+
+def _phrase_df(spark: SparkSession):
+    return spark.createDataFrame(_PHRASES, ["qid", "qtext"])
+
+
+@_register("phrase_match_docs", _PHRASE_ORACLE)
+def phrase_match_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-level phrase matching (r12): which documents
+    contain each phrase VERBATIM and how many times — the
+    contamination-forensics primitive gram-hash overlap can't answer.
+    Adjusted-position discipline: a phrase occurrence at p requires
+    term i at p+i, so all n terms share adj = pos − i; one groupBy
+    counts distinct offsets per (doc, adj). Repeated-term phrases
+    ('order order') exercise the distinct-offset rule."""
+    from .operators.retrieval import phrase_match
+
+    return phrase_match(_t(spark, sf, "documents"), _phrase_df(spark))
+
+
+@_register("phrase_index_match", _PHRASE_ORACLE)
+def phrase_index_match(spark: SparkSession, sf: str) -> DataFrame:
+    """The same phrase answers from the PERSISTED positional inverted
+    index (shares the three-fold bm25_idx fixture): postings carry
+    sorted per-term position lists, so the probe is the bucket-pruned
+    term scan BM25 pays plus the adjusted-position join — and the
+    folded index must answer bit-identically to the one-shot oracle
+    (positions are per-doc facts; folding cannot change them)."""
+    from .operators.retrieval import InvertedIndex
+
+    def build(tmp: str) -> None:
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        idx = InvertedIndex(f"{tmp}/bm25")
+        idx.build(spark, docs.filter(F.col("doc_id") % 3 == 0))
+        idx.add(spark, docs.filter(F.col("doc_id") % 3 == 1))
+        idx.add(spark, docs.filter(F.col("doc_id") % 3 == 2))
+
+    tmp = _session_fixture("bm25_idx", sf, build)
+    return InvertedIndex(f"{tmp}/bm25").phrase_query(spark, _phrase_df(spark))

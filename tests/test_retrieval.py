@@ -167,3 +167,54 @@ def test_compact_pure_rewrite_retire_then_sweep(spark, tmp_path):
         assert not (tmp_path / "bm25" / p).exists()
     m = idx._meta()
     assert len(set(m["parts"])) == len(m["parts"])
+
+
+# ---------------------------------------------------------------------------
+# positional phrase matching (r12)
+
+
+def test_phrase_match_counts_overlapping_and_repeated(spark):
+    from cdf_spark.operators.retrieval import phrase_match
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),
+            (2, "x x x"),
+            (3, "a b"),
+            (4, "b a b a"),
+        ],
+    )
+    phrases = _queries(
+        spark, [("q1", "a b"), ("q2", "x x"), ("q3", "a b a"), ("q4", "zz yy")]
+    )
+    got = {
+        (r["qid"], r["doc_id"]): r["n_occurrences"]
+        for r in phrase_match(docs, phrases).collect()
+    }
+    assert got == {
+        ("q1", 1): 3,  # "a b" at 1,3,5
+        ("q1", 3): 1,
+        ("q1", 4): 1,  # "b a b a" contains one "a b"
+        ("q2", 2): 2,  # overlapping "x x" at 1,2
+        ("q3", 1): 2,  # "a b a" at 1,3 (overlapping)
+        ("q3", 4): 1,  # "b [a b a]" at 2
+        # q4 matches nothing -> absent
+    }
+
+
+def test_phrase_index_matches_one_shot_and_respects_deletes(spark, tmp_path):
+    from cdf_spark.operators.retrieval import InvertedIndex, phrase_match
+
+    docs = _docs(spark, CORPUS)
+    idx = InvertedIndex(tmp_path / "bm25")
+    idx.build(spark, docs.filter(F.col("doc_id") <= 3))
+    idx.add(spark, docs.filter(F.col("doc_id") > 3))
+    phrases = _queries(spark, [("q", "hash join"), ("q2", "join merge join")])
+    one_shot = sorted(map(tuple, phrase_match(docs, phrases).collect()))
+    from_index = sorted(map(tuple, idx.phrase_query(spark, phrases).collect()))
+    assert from_index == one_shot and len(from_index) > 0
+    # deleting doc 4 removes its "hash join" hit
+    idx.delete(spark, spark.createDataFrame([(4,)], ["doc_id"]))
+    after = idx.phrase_query(spark, phrases).collect()
+    assert all(r["doc_id"] != 4 for r in after)
