@@ -462,6 +462,8 @@ class InvertedIndex:
         if dead is not None:
             posts = posts.join(dead, on="doc_id", how="left_anti")
         tf = posts.select("tok", F.col("doc_id").alias("_id"), "tf", "dl")
+        if int(meta["n_docs"]) <= 0:
+            raise ValueError("InvertedIndex has no live documents (all deleted)")
         avgdl = meta["total_len"] / meta["n_docs"]
         return _score_topk(tf, qterms, int(meta["n_docs"]), avgdl, k, id_col)
 

@@ -218,3 +218,12 @@ def test_phrase_index_matches_one_shot_and_respects_deletes(spark, tmp_path):
     idx.delete(spark, spark.createDataFrame([(4,)], ["doc_id"]))
     after = idx.phrase_query(spark, phrases).collect()
     assert all(r["doc_id"] != 4 for r in after)
+
+
+def test_query_refuses_fully_deleted_index(spark, tmp_path):
+    docs = _docs(spark, CORPUS[:2])
+    idx = InvertedIndex(tmp_path / "bm25")
+    idx.build(spark, docs)
+    idx.delete(spark, docs.select("doc_id"))
+    with pytest.raises(ValueError, match="no live documents"):
+        idx.query(spark, _queries(spark, [("q", "join")]))
