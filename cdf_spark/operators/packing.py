@@ -292,3 +292,51 @@ def training_shuffle(
         .withColumn("position", F.col("_off") + F.row_number().over(w) - 1)
         .drop("_pid", "_off")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum training order: easy buckets first, deterministic
+    shuffle WITHIN each bucket — the Bengio et al. curriculum recipe
+    as a data-pipeline artifact (each sample's exact global position,
+    the unit a sharded loader consumes). Sort key = (bucket asc,
+    md5(seed:id), id): bucket boundaries are curriculum stages, the
+    md5 key de-correlates order within a stage run-to-run-reproducibly.
+
+    Positions use `training_shuffle`'s two-phase discipline — a
+    global row_number would collapse to ONE reducer; instead
+    range-repartition on the COMPOSITE key (partitions tile the
+    (bucket, key) space in order), O(partitions) driver offsets, and
+    a per-partition local rank. No global window at any corpus size.
+
+    Output: all input columns + curriculum_key + position (0-based)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.withColumn("curriculum_key", key).repartitionByRange(
+        n_parts, F.col(bucket_col), F.col("curriculum_key")
+    )
+    with_pid = keyed.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r._pid: r.n
+        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(bucket_col, "curriculum_key", id_col)
+    return (
+        with_pid.join(F.broadcast(off_df), on="_pid")
+        .withColumn("position", F.col("_off") + F.row_number().over(w) - 1)
+        .drop("_pid", "_off")
+    )

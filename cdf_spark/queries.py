@@ -5112,6 +5112,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ivf_hard_negative_mining",
     "phrase_match_docs",
     "phrase_index_match",
+    "curriculum_training_order",
     # -- last driver-green in r6 (whole cohort, 38 queries — the
     #    least-recently-green rotation the verdict prescribes) --
     "airbyte_subprocess_scan",
@@ -12105,3 +12106,62 @@ def phrase_index_match(spark: SparkSession, sf: str) -> DataFrame:
 
     tmp = _session_fixture("bm25_idx", sf, build)
     return InvertedIndex(f"{tmp}/bm25").phrase_query(spark, _phrase_df(spark))
+
+
+@_register(
+    "curriculum_training_order",
+    """
+    WITH toks AS (
+      SELECT doc_id AS _id, t.tok
+      FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM counts),
+    lm AS (
+      SELECT tok,
+             CAST(round((ln(c + 1.0) - ln(CAST(n_total + v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp_unat
+      FROM counts, tot
+    ),
+    agg AS (
+      SELECT _id, COUNT(*) AS n_tokens, SUM(lp_unat) AS s
+      FROM toks JOIN lm USING (tok) GROUP BY _id
+    ),
+    scored AS (
+      SELECT _id AS doc_id,
+             round(-CAST(s AS DOUBLE)/(CAST(n_tokens AS DOUBLE)*1000000.0), 6) AS nll_nats
+      FROM agg
+    ),
+    bucketed AS (
+      SELECT d.doc_id,
+             NTILE(3) OVER (PARTITION BY d.lang ORDER BY sc.nll_nats, d.doc_id) AS ppl_bucket
+      FROM documents d JOIN scored sc ON d.doc_id = sc.doc_id
+    )
+    SELECT doc_id, ppl_bucket,
+           CAST(row_number() OVER (
+             ORDER BY ppl_bucket, md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS position
+    FROM bucketed
+    """,
+)
+def curriculum_training_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum data ordering (r12): CCNet perplexity terciles as
+    curriculum stages (bucket 1 = most fluent = first), deterministic
+    md5 shuffle within each stage, and each doc's EXACT global
+    position via the two-phase range-repartition discipline (no
+    global window — the oracle's row_number is the semantic spec,
+    not the plan). The unit a sharded training loader consumes."""
+    from .operators.curation import lm_perplexity_scores
+    from .operators.packing import curriculum_order
+
+    docs = _t(spark, sf, "documents")
+    scores = lm_perplexity_scores(docs).select("doc_id", "nll_nats")
+    w = Window.partitionBy("lang").orderBy("nll_nats", "doc_id")
+    bucketed = (
+        docs.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .select("doc_id", F.ntile(3).over(w).alias("ppl_bucket"))
+    )
+    return curriculum_order(bucketed, "ppl_bucket").select(
+        "doc_id", "ppl_bucket", "position"
+    )

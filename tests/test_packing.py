@@ -99,3 +99,39 @@ def test_training_shuffle_exact_permutation(spark, sf_dir):
     out3 = training_shuffle(d, seed=8, partitions=8)
     c = {r.doc_id: r.position for r in out3.collect()}
     assert c != a
+
+
+def test_curriculum_order_positions_and_plan_shape(spark):
+    """Positions are exactly 0..n-1, stage-monotone (every bucket-1
+    position precedes every bucket-2 position), deterministic across
+    runs — and the executed plan contains NO global window (every
+    window spec leads with the partition id, the two-phase
+    discipline)."""
+    from cdf_spark.operators.packing import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, (i % 3) + 1) for i in range(60)], ["doc_id", "ppl_bucket"]
+    )
+    out = curriculum_order(df, "ppl_bucket")
+    rows = out.select("doc_id", "ppl_bucket", "position").collect()
+    pos = sorted(r["position"] for r in rows)
+    assert pos == list(range(60))
+    max_by_bucket = {}
+    min_by_bucket = {}
+    for r in rows:
+        b = r["ppl_bucket"]
+        max_by_bucket[b] = max(max_by_bucket.get(b, -1), r["position"])
+        min_by_bucket[b] = min(min_by_bucket.get(b, 10**9), r["position"])
+    assert max_by_bucket[1] < min_by_bucket[2] < min_by_bucket[3]
+    assert max_by_bucket[2] < min_by_bucket[3]
+    # deterministic
+    rows2 = curriculum_order(df, "ppl_bucket").select("doc_id", "position").collect()
+    assert {r["doc_id"]: r["position"] for r in rows2} == {
+        r["doc_id"]: r["position"] for r in rows
+    }
+    # plan shape: no partition-less window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.strip().startswith("_pid"), spec
