@@ -127,7 +127,17 @@ def _score_topk(
     tf rows, broadcast both small sides, integer partial sums per
     (query, doc), per-query top-k. The window partitions by qid —
     bounded query-set cardinality, ranking only docs that matched at
-    least one term."""
+    least one term.
+
+    Measured non-optimization, banked (r12): eagerly checkpointing
+    the ≤|query terms|-row df table looks like the NB-fit discipline
+    (its lineage contains the corpus explode) but measures ~30%
+    SLOWER at sf0.1 — within ONE plan Catalyst's ReuseExchange
+    already dedupes the identical tf subtree across the df branch
+    and the scoring branch, so the checkpoint only adds a separate
+    eager job. The NB/DSIR checkpoints pay off because their counts
+    feed SEPARATE ACTIONS (collect + later plans), where exchange
+    reuse cannot apply."""
     matched = tf.join(F.broadcast(qterms.select("tok").distinct()), on="tok")
     dfreq = matched.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = (
