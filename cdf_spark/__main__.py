@@ -124,6 +124,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("declarations")
     p.add_argument("--workspace", default=".cdf_spark")
 
+    p = sub.add_parser("index", help="run [indexes.*] jobs (incremental persisted indexes)")
+    p.add_argument("declarations")
+    p.add_argument("--workspace", default=".cdf_spark")
+
     p = sub.add_parser("preview", help="bounded deterministic preview")
     p.add_argument("declarations")
     p.add_argument("resource")
@@ -383,6 +387,14 @@ def main(argv: list[str] | None = None) -> int:
     # a test or notebook), and stopping that would kill the host
     pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark("cdf-spark-cli")
+
+    if args.cmd == "index":
+        try:
+            print(json.dumps(ws.run_indexes(spark, args.declarations), default=str))
+        finally:
+            if not pre_existing:
+                spark.stop()
+        return 0
     try:
         if args.cmd == "run":
             result = ws.run(spark, _compiled(ws, args.declarations, args.resource))

@@ -631,3 +631,144 @@ def _workspace_run_translations(self, path: str | Path) -> dict[str, dict]:
 
 
 Workspace.run_translations = _workspace_run_translations
+
+
+# ---------------------------------------------------------------------------
+# Declarative INDEX jobs ([indexes.NAME] tables): the persisted
+# incremental-index family (LM, NB, ExactSubstr, MinHash-LSH, IVF ANN,
+# BM25 inverted, DSIR selector) driven from a declaration — build once,
+# then every run folds ONLY the source rows past a durable cursor
+# (monotone id/watermark column), the same
+# declare-don't-script discipline the source/destination/translation
+# kinds follow. Reference frame: the reference's TOML workspace is its
+# defining control surface (crates/cdf-runtime/src/workspace);
+# persisted index artifacts are the beyond-ref extension.
+
+_INDEX_KINDS = ("bm25", "nb", "dsir", "ivf", "lm", "exact_substr", "minhash")
+
+
+def run_index_job(spark, decl: dict, cursor: int | None = None) -> dict:
+    """Execute one index declaration incrementally:
+    {kind, root, source, [predicate], [cursor_col], [id_col],
+     [text_col], kind-specific knobs}. Folds rows with
+    cursor_col > cursor (all rows when cursor is None) and returns
+    {kind, rows_folded, cursor} — the caller persists the cursor, so
+    re-runs are incremental and a no-delta run is a no-op."""
+    from pyspark.sql import functions as F
+
+    kind, root, source = decl.get("kind"), decl.get("root"), decl.get("source")
+    if kind not in _INDEX_KINDS:
+        raise DeclarationError(f"unknown index kind {kind!r} (kinds: {_INDEX_KINDS})")
+    if not root or not source:
+        raise DeclarationError("index job requires kind, root, source")
+    id_col = decl.get("id_col", "vec_id" if kind == "ivf" else "doc_id")
+    text_col = decl.get("text_col", "text")
+    cursor_col = decl.get("cursor_col", id_col)
+    df = spark.read.parquet(str(source))
+    if decl.get("predicate"):
+        df = df.filter(str(decl["predicate"]))
+    batch = df if cursor is None else df.filter(F.col(cursor_col) > F.lit(cursor))
+    hi, n = batch.agg(F.max(cursor_col), F.count(F.lit(1))).collect()[0]
+    if not n:
+        return {"kind": kind, "root": str(root), "rows_folded": 0, "cursor": cursor}
+    from pathlib import Path as _P
+
+    built = (_P(str(root)) / "meta.json").exists()
+    if kind == "bm25":
+        from .operators.retrieval import InvertedIndex
+
+        idx = InvertedIndex(root)
+        (idx.add if built else idx.build)(spark, batch, text_col=text_col, id_col=id_col)
+    elif kind == "nb":
+        from .operators.classifier import NBIndex
+
+        NBIndex(root).update(
+            spark, batch, text_col=text_col, label_col=decl.get("label_col", "lang")
+        )
+    elif kind == "lm":
+        from .operators.curation import LMIndex
+
+        LMIndex(root).update(spark, batch, text_col=text_col, id_col=id_col)
+    elif kind == "dsir":
+        from .operators.curation import DSIRIndex
+
+        idx = DSIRIndex(root)
+        if not built:
+            tpath = decl.get("target")
+            if not tpath:
+                raise DeclarationError(
+                    "dsir index requires target (the reference-set parquet path)"
+                )
+            target = spark.read.parquet(str(tpath))
+            if decl.get("target_predicate"):
+                target = target.filter(str(decl["target_predicate"]))
+            idx.build(spark, target, text_col=text_col, dim=int(decl.get("dim", 4096)))
+        idx.update(spark, batch, text_col=text_col)
+    elif kind == "ivf":
+        from .operators.similarity import IVFIndex
+
+        idx = IVFIndex(root)
+        vec_col = decl.get("vec_col", "embedding")
+        if built:
+            idx.add(spark, batch, id_col=id_col, vec_col=vec_col)
+        else:
+            idx.build(
+                spark,
+                batch,
+                centroid_modulus=int(decl.get("centroid_modulus", 50)),
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+    elif kind == "exact_substr":
+        from .operators.curation import ExactSubstrIndex
+
+        idx = ExactSubstrIndex(root)
+        if built:
+            idx.add(batch, text_col=text_col, id_col=id_col)
+        else:
+            idx.build(batch, text_col=text_col, id_col=id_col, k=int(decl.get("gram_k", 10)))
+    elif kind == "minhash":
+        from .operators.dedup_approx import MinHashLSHIndex
+
+        idx = MinHashLSHIndex(root)
+        if built:
+            idx.add(batch, text_col=text_col, id_col=id_col)
+        else:
+            idx.build(
+                batch,
+                text_col=text_col,
+                id_col=id_col,
+                hash_fn=decl.get("hash_fn", "xxhash64"),
+            )
+    return {"kind": kind, "root": str(root), "rows_folded": int(n), "cursor": int(hi)}
+
+
+def _workspace_run_indexes(self, spark, path: str | Path) -> dict[str, dict]:
+    """Run every [indexes.NAME] table in a declaration file. Each
+    job's cursor persists at `<workspace>/indexes/NAME.cursor.json`
+    — repeated runs fold only rows past it (a no-delta run is a
+    no-op); reports land beside it (the evidence-artifact
+    discipline maintenance and translations follow)."""
+    import tomllib
+
+    doc = tomllib.loads(Path(path).read_text())
+    jobs = doc.get("indexes") or {}
+    if not isinstance(jobs, dict):
+        raise DeclarationError("[indexes] must be a table of named jobs")
+    out: dict[str, dict] = {}
+    out_dir = self.root / "indexes"
+    out_dir.mkdir(exist_ok=True)
+    for name, decl in jobs.items():
+        cfile = out_dir / f"{name}.cursor.json"
+        cursor = json.loads(cfile.read_text())["cursor"] if cfile.exists() else None
+        report = run_index_job(spark, decl, cursor)
+        if report["cursor"] is not None:
+            tmp = out_dir / f"{name}.cursor.json.tmp"
+            tmp.write_text(json.dumps({"cursor": report["cursor"]}))
+            tmp.replace(cfile)
+        (out_dir / f"{name}.json").write_text(json.dumps(report, indent=1, default=str))
+        out[name] = report
+    return out
+
+
+Workspace.run_indexes = _workspace_run_indexes

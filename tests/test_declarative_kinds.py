@@ -493,3 +493,111 @@ def test_translation_job_routes_mor_source(spark, tmp_path, orders):
     assert d.exceptAll(ro).count() == 0 and ro.exceptAll(d).count() == 0
     with _pytest.raises(DeclarationError, match="merge-on-read"):
         run_translation({**decl, "mode": "sync", "target_path": str(tmp_path / "d2")})
+
+
+def test_index_jobs_from_toml_incremental_cursor(spark, tmp_path):
+    """[indexes.*] jobs: first run builds from the full source, the
+    second folds ONLY rows past the durable cursor, a no-delta third
+    run is a no-op — and the folded BM25 index answers identically to
+    a one-shot build over everything ingested."""
+    from cdf_spark.declarative import Workspace
+    from cdf_spark.operators.retrieval import InvertedIndex, bm25_topk
+
+    src = tmp_path / "docs"
+    rows1 = [(1, "hash join merge"), (2, "window agg stream"), (3, "fast table scan")]
+    spark.createDataFrame(rows1, ["doc_id", "text"]).write.parquet(str(src))
+
+    decl = tmp_path / "jobs.toml"
+    decl.write_text(f"""
+[indexes.docs_bm25]
+kind = "bm25"
+root = "{tmp_path}/idx/bm25"
+source = "{src}"
+
+[indexes.docs_nb]
+kind = "nb"
+root = "{tmp_path}/idx/nb"
+source = "{src}"
+label_col = "text"
+""")
+    ws = Workspace(tmp_path / "ws")
+    r1 = ws.run_indexes(spark, decl)
+    assert r1["docs_bm25"]["rows_folded"] == 3 and r1["docs_bm25"]["cursor"] == 3
+    assert (tmp_path / "ws" / "indexes" / "docs_bm25.cursor.json").exists()
+
+    # grow the source; only the delta folds
+    rows2 = [(4, "hash hash hash"), (5, "merge window")]
+    spark.createDataFrame(rows2, ["doc_id", "text"]).write.mode("append").parquet(str(src))
+    r2 = ws.run_indexes(spark, decl)
+    assert r2["docs_bm25"]["rows_folded"] == 2 and r2["docs_bm25"]["cursor"] == 5
+
+    # no-delta run is a no-op
+    r3 = ws.run_indexes(spark, decl)
+    assert r3["docs_bm25"]["rows_folded"] == 0 and r3["docs_bm25"]["cursor"] == 5
+
+    # the folded index answers like a one-shot over all ingested rows
+    all_docs = spark.createDataFrame(rows1 + rows2, ["doc_id", "text"])
+    qs = spark.createDataFrame([("q", "hash merge")], ["qid", "qtext"])
+    want = sorted(map(tuple, bm25_topk(all_docs, qs, k=5).collect()))
+    got = sorted(
+        map(tuple, InvertedIndex(tmp_path / "idx" / "bm25").query(spark, qs, k=5).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_index_job_refusals(spark, tmp_path):
+    import pytest as _pytest
+
+    from cdf_spark.declarative import DeclarationError, run_index_job
+
+    with _pytest.raises(DeclarationError, match="unknown index kind"):
+        run_index_job(spark, {"kind": "nope", "root": "x", "source": "y"})
+    with _pytest.raises(DeclarationError, match="requires kind, root, source"):
+        run_index_job(spark, {"kind": "bm25"})
+    src = tmp_path / "docs"
+    spark.createDataFrame([(1, "a b")], ["doc_id", "text"]).write.parquet(str(src))
+    with _pytest.raises(DeclarationError, match="requires target"):
+        run_index_job(spark, {"kind": "dsir", "root": str(tmp_path / "d"), "source": str(src)})
+
+
+def test_index_job_ivf_and_dsir_kinds(spark, tmp_path):
+    from cdf_spark.declarative import Workspace
+
+    emb = tmp_path / "emb"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(str(emb))
+    docs = tmp_path / "docs2"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.parquet(str(docs))
+    decl = tmp_path / "jobs.toml"
+    decl.write_text(f"""
+[indexes.vecs]
+kind = "ivf"
+root = "{tmp_path}/idx/ivf"
+source = "{emb}"
+centroid_modulus = 10
+
+[indexes.sel]
+kind = "dsir"
+root = "{tmp_path}/idx/dsir"
+source = "{docs}"
+predicate = "doc_id % 97 != 0"
+target = "{docs}"
+target_predicate = "doc_id % 97 = 0"
+dim = 256
+""")
+    ws = Workspace(tmp_path / "ws")
+    r = ws.run_indexes(spark, decl)
+    assert r["vecs"]["rows_folded"] > 0 and r["sel"]["rows_folded"] > 0
+    # probes work against the declared artifacts
+    from cdf_spark.operators.curation import DSIRIndex
+    from cdf_spark.operators.similarity import IVFIndex
+
+    emb_df = spark.read.parquet(str(emb))
+    assert IVFIndex(tmp_path / "idx" / "ivf").query(
+        spark, emb_df.filter("vec_id < 5"), k=3
+    ).count() > 0
+    w = DSIRIndex(tmp_path / "idx" / "dsir").weights(
+        spark, spark.read.parquet(str(docs)).limit(20)
+    )
+    assert w.count() > 0
