@@ -1360,26 +1360,56 @@ def dsir_importance_weights(
     t_feats = target.select(
         F.explode(_hashed_ngram_features(F.col(text_col), dim, hash_fn)).alias("b")
     )
-    r_feats_per_doc = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.explode(_hashed_ngram_features(F.col(text_col), dim, hash_fn)).alias("b"),
-    )
     t_model, t_floor = _hashed_bucket_lm(t_feats, dim)
-    r_model, r_floor = _hashed_bucket_lm(r_feats_per_doc.select("b"), dim)
     t_model = t_model.withColumnRenamed("lp_unat", "_lp_t")
-    r_model = r_model.withColumnRenamed("lp_unat", "_lp_r")
+    # ONE corpus pass (r12 reshape): aggregate per-(doc, bucket)
+    # counts FIRST — the raw model (groupBy b), its total, and the
+    # per-doc scoring all consume the SAME (doc, bucket) exchange, so
+    # Catalyst's ReusedExchange executes the corpus feature
+    # explode+hash once where the per-occurrence form paid it twice
+    # (model-count pass + scoring pass — measured ~2x the wall).
+    # Scoring over bucket counts is the identical integer math:
+    # lw = Σ_b cnt_b · (lp_t(b) − lp_r(b)), n_feats = Σ_b cnt_b.
+    # The raw totals ride 1-row BROADCAST frames (not driver
+    # collects) so everything stays one action — floors compute
+    # in-row with F.round (HALF_UP = away-from-zero on these
+    # negative values, exactly DuckDB's round, strictly tighter
+    # parity than the Python-round literal it replaces).
+    fdoc = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_hashed_ngram_features(F.col(text_col), dim, hash_fn)).alias("b"),
+        )
+        .groupBy("_id", "b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    r_counts = fdoc.groupBy("b").agg(F.sum("_c").alias("c"))
+    r_tot = r_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("_n_r"))
+    ln_r = F.log(F.col("_n_r") + F.lit(float(dim)))
+    r_model = r_counts.crossJoin(F.broadcast(r_tot)).select(
+        "b",
+        F.round((F.log(F.col("c") + F.lit(1.0)) - ln_r) * F.lit(MICRO))
+        .cast("long")
+        .alias("_lp_r"),
+    )
+    r_floor_col = F.round((F.lit(0.0) - ln_r) * F.lit(MICRO)).cast("long")
     return (
-        r_feats_per_doc.join(F.broadcast(t_model), on="b", how="left")
+        fdoc.join(F.broadcast(t_model), on="b", how="left")
         .join(F.broadcast(r_model), on="b", how="left")
+        .crossJoin(F.broadcast(r_tot))
         .select(
             "_id",
+            "_c",
             (
                 F.coalesce(F.col("_lp_t"), F.lit(t_floor))
-                - F.coalesce(F.col("_lp_r"), F.lit(r_floor))
+                - F.coalesce(F.col("_lp_r"), r_floor_col)
             ).alias("_d"),
         )
         .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("_d").alias("lw_unat"))
+        .agg(
+            F.sum("_c").alias("n_feats"),
+            F.sum(F.col("_c") * F.col("_d")).alias("lw_unat"),
+        )
         .select(F.col("_id").alias(id_col), "n_feats", "lw_unat")
     )
 
