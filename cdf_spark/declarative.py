@@ -647,13 +647,34 @@ Workspace.run_translations = _workspace_run_translations
 _INDEX_KINDS = ("bm25", "nb", "dsir", "ivf", "lm", "exact_substr", "minhash")
 
 
+def _int_types():
+    from pyspark.sql import types as T
+
+    return (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+_INT_TYPES = _int_types()
+
+
 def run_index_job(spark, decl: dict, cursor: int | None = None) -> dict:
     """Execute one index declaration incrementally:
     {kind, root, source, [predicate], [cursor_col], [id_col],
      [text_col], kind-specific knobs}. Folds rows with
     cursor_col > cursor (all rows when cursor is None) and returns
     {kind, rows_folded, cursor} — the caller persists the cursor, so
-    re-runs are incremental and a no-delta run is a no-op."""
+    re-runs are incremental and a no-delta run is a no-op.
+
+    Crash-safety: the cursor file lands AFTER the fold, so a crash in
+    between re-offers the same batch — the fold itself must be the
+    fence. The batch watermark (max cursor value, a strictly
+    increasing integer across runs) is passed as the index `epoch`,
+    so a replayed fold is a fenced no-op for every kind that carries
+    the fence (all but minhash — its add() is append-only without an
+    epoch; the report's `fenced` field says which contract a job
+    got). The cursor column must be INTEGER-valued (ids, epoch
+    millis): that is what makes the watermark an epoch; a
+    non-integer column refuses up front instead of folding and then
+    failing to record the cursor."""
     from pyspark.sql import functions as F
 
     kind, root, source = decl.get("kind"), decl.get("root"), decl.get("source")
@@ -665,12 +686,25 @@ def run_index_job(spark, decl: dict, cursor: int | None = None) -> dict:
     text_col = decl.get("text_col", "text")
     cursor_col = decl.get("cursor_col", id_col)
     df = spark.read.parquet(str(source))
+    if not isinstance(df.schema[cursor_col].dataType, _INT_TYPES):
+        raise DeclarationError(
+            f"index cursor column {cursor_col!r} must be integer-typed "
+            f"(got {df.schema[cursor_col].dataType.simpleString()}) — the "
+            "watermark doubles as the replay-fence epoch"
+        )
     if decl.get("predicate"):
         df = df.filter(str(decl["predicate"]))
     batch = df if cursor is None else df.filter(F.col(cursor_col) > F.lit(cursor))
     hi, n = batch.agg(F.max(cursor_col), F.count(F.lit(1))).collect()[0]
     if not n:
-        return {"kind": kind, "root": str(root), "rows_folded": 0, "cursor": cursor}
+        return {
+            "kind": kind,
+            "root": str(root),
+            "rows_folded": 0,
+            "cursor": cursor,
+            "fenced": kind != "minhash",
+        }
+    epoch = int(hi)
     from pathlib import Path as _P
 
     built = (_P(str(root)) / "meta.json").exists()
@@ -678,17 +712,23 @@ def run_index_job(spark, decl: dict, cursor: int | None = None) -> dict:
         from .operators.retrieval import InvertedIndex
 
         idx = InvertedIndex(root)
-        (idx.add if built else idx.build)(spark, batch, text_col=text_col, id_col=id_col)
+        (idx.add if built else idx.build)(
+            spark, batch, text_col=text_col, id_col=id_col, epoch=epoch
+        )
     elif kind == "nb":
         from .operators.classifier import NBIndex
 
         NBIndex(root).update(
-            spark, batch, text_col=text_col, label_col=decl.get("label_col", "lang")
+            spark,
+            batch,
+            text_col=text_col,
+            label_col=decl.get("label_col", "lang"),
+            epoch=epoch,
         )
     elif kind == "lm":
         from .operators.curation import LMIndex
 
-        LMIndex(root).update(spark, batch, text_col=text_col, id_col=id_col)
+        LMIndex(root).update(spark, batch, text_col=text_col, id_col=id_col, epoch=epoch)
     elif kind == "dsir":
         from .operators.curation import DSIRIndex
 
@@ -703,14 +743,14 @@ def run_index_job(spark, decl: dict, cursor: int | None = None) -> dict:
             if decl.get("target_predicate"):
                 target = target.filter(str(decl["target_predicate"]))
             idx.build(spark, target, text_col=text_col, dim=int(decl.get("dim", 4096)))
-        idx.update(spark, batch, text_col=text_col)
+        idx.update(spark, batch, text_col=text_col, epoch=epoch)
     elif kind == "ivf":
         from .operators.similarity import IVFIndex
 
         idx = IVFIndex(root)
         vec_col = decl.get("vec_col", "embedding")
         if built:
-            idx.add(spark, batch, id_col=id_col, vec_col=vec_col)
+            idx.add(spark, batch, id_col=id_col, vec_col=vec_col, epoch=epoch)
         else:
             idx.build(
                 spark,
@@ -718,13 +758,14 @@ def run_index_job(spark, decl: dict, cursor: int | None = None) -> dict:
                 centroid_modulus=int(decl.get("centroid_modulus", 50)),
                 id_col=id_col,
                 vec_col=vec_col,
+                epoch=epoch,
             )
     elif kind == "exact_substr":
         from .operators.curation import ExactSubstrIndex
 
         idx = ExactSubstrIndex(root)
         if built:
-            idx.add(batch, text_col=text_col, id_col=id_col)
+            idx.add(batch, text_col=text_col, id_col=id_col, epoch=epoch)
         else:
             idx.build(batch, text_col=text_col, id_col=id_col, k=int(decl.get("gram_k", 10)))
     elif kind == "minhash":
@@ -740,7 +781,13 @@ def run_index_job(spark, decl: dict, cursor: int | None = None) -> dict:
                 id_col=id_col,
                 hash_fn=decl.get("hash_fn", "xxhash64"),
             )
-    return {"kind": kind, "root": str(root), "rows_folded": int(n), "cursor": int(hi)}
+    return {
+        "kind": kind,
+        "root": str(root),
+        "rows_folded": int(n),
+        "cursor": epoch,
+        "fenced": kind != "minhash",
+    }
 
 
 def _workspace_run_indexes(self, spark, path: str | Path) -> dict[str, dict]:

@@ -822,13 +822,32 @@ class LMIndex:
             ).alias("tok"),
         )
 
-    def update(self, spark, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> dict:
+    def update(
+        self,
+        spark,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch: int | None = None,
+    ) -> dict:
+        """Fold a batch's token counts. `epoch` is the same monotone
+        at-least-once replay fence the rest of the index family uses
+        (r12): LM counts are not idempotent under re-addition, so an
+        unfenced redelivery (foreachBatch retry, a declarative index
+        job crashing between its fold and its cursor write) would
+        silently double every folded token's mass."""
         import json as _json
 
+        meta = self._meta()
+        if (
+            epoch is not None
+            and meta is not None
+            and int(epoch) <= meta.get("last_epoch", -1)
+        ):
+            return meta  # replayed fold — already counted
         batch = self._toks(df, text_col, id_col).groupBy("tok").agg(
             F.count(F.lit(1)).alias("c")
         )
-        meta = self._meta()
         if meta is None:
             merged, version = batch, 1
         else:
@@ -842,7 +861,13 @@ class LMIndex:
         stats = spark.read.parquet(str(out)).agg(
             F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
         ).collect()[0]
-        new_meta = {"version": version, "n_total": int(stats["n"]), "v": int(stats["v"])}
+        last = (meta or {}).get("last_epoch", -1)
+        new_meta = {
+            "version": version,
+            "n_total": int(stats["n"]),
+            "v": int(stats["v"]),
+            "last_epoch": int(epoch) if epoch is not None else last,
+        }
         # atomic pointer swap — a crash mid-write must leave the
         # previous meta (and so the previous version) live
         tmp_meta = self.root / "meta.json.tmp"

@@ -265,21 +265,16 @@ class InvertedIndex:
         if epoch is not None and int(epoch) <= meta.get("last_epoch", -1):
             return meta  # replayed fold — already appended
         seq = int(meta.get("seq", len(meta["parts"])))
-        tf = _doc_tf(batch, text_col, id_col).select(
-            (hash64(F.col("tok")) % _BUCKETS).alias("hb"),
-            "tok",
-            F.col("_id").alias("doc_id"),
-            "tf",
-            "dl",
-            "ps",
-        )
-        part = f"postings_p{seq}"
-        tf.write.mode("overwrite").partitionBy("hb").parquet(str(self.root / part))
         # per-fold LENGTHS sidecar (doc_id, dl) — one row per batch doc
         # INCLUDING zero-token docs (they carry dl=0 but count toward
         # N). This is what lets delete() adjust the corpus counters
         # exactly without scanning postings: a deleted doc's dl is a
-        # point lookup here.
+        # point lookup here. Written FIRST so its stats gate the
+        # postings write: a zero-ROW partitioned parquet write leaves
+        # only _SUCCESS (unreadable on the probe path — verified), so
+        # an all-zero-token batch folds its lengths and counters but
+        # commits NO postings part, and an empty batch is a fenced
+        # no-op that only advances the epoch watermark.
         lpart = f"lengths_p{seq}"
         lens = batch.select(
             F.col(id_col).alias("doc_id"),
@@ -290,8 +285,32 @@ class InvertedIndex:
             F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
         ).collect()[0]
         tombs = meta.get("tombstones", [])
+        if not n_b:
+            new_meta = {
+                **meta,
+                "tombstones": tombs,
+                "tseq": int(meta.get("tseq", len(tombs))),
+                "seq": seq,
+                "last_epoch": int(epoch) if epoch is not None else meta.get("last_epoch", -1),
+            }
+            self._swap_meta(new_meta)
+            self._sweep(new_meta)  # the empty lengths dir is unlisted -> swept
+            return new_meta
+        parts = meta["parts"]
+        if int(tot_b) > 0:
+            tf = _doc_tf(batch, text_col, id_col).select(
+                (hash64(F.col("tok")) % _BUCKETS).alias("hb"),
+                "tok",
+                F.col("_id").alias("doc_id"),
+                "tf",
+                "dl",
+                "ps",
+            )
+            part = f"postings_p{seq}"
+            tf.write.mode("overwrite").partitionBy("hb").parquet(str(self.root / part))
+            parts = parts + [part]
         new_meta = {
-            "parts": meta["parts"] + [part],
+            "parts": parts,
             "lparts": meta.get("lparts", []) + [lpart],
             "seq": seq + 1,
             "tombstones": tombs,
@@ -409,12 +428,20 @@ class InvertedIndex:
             posts = posts.join(dead, on="doc_id", how="left_anti")
             lens = lens.join(dead, on="doc_id", how="left_anti")
         part, lpart = f"postings_p{seq}", f"lengths_p{seq}"
-        posts.select("hb", "tok", "doc_id", "tf", "dl", "ps").write.mode(
-            "overwrite"
-        ).partitionBy("hb").parquet(str(self.root / part))
+        # a fully-tombstoned token set would write a zero-row
+        # PARTITIONED part (unreadable — only _SUCCESS lands); the
+        # live-adjusted meta counter already knows whether any live
+        # token exists, so skip the postings write and leave parts
+        # empty (query() refuses with "no postings", the honest state)
+        new_parts: list[str] = []
+        if int(meta["total_len"]) > 0:
+            posts.select("hb", "tok", "doc_id", "tf", "dl", "ps").write.mode(
+                "overwrite"
+            ).partitionBy("hb").parquet(str(self.root / part))
+            new_parts = [part]
         lens.write.mode("overwrite").parquet(str(self.root / lpart))
         new_meta = {
-            "parts": [part],
+            "parts": new_parts,
             "lparts": [lpart],
             "seq": seq + 1,
             "tombstones": [],

@@ -821,16 +821,30 @@ class IVFIndex:
         if epoch is not None and int(epoch) <= meta.get("last_epoch", -1):
             return meta  # replayed delete — already tombstoned
         tombs = meta.get("tombstones", [])
+        new_dead = ids.select(F.col(id_col).alias("id")).distinct()
+        if tombs:
+            # overlapping delete calls (a retention job re-deleting a
+            # growing id set) must not append duplicate tombstone rows
+            # — the probe-side anti-join would grow unboundedly between
+            # compactions (the InvertedIndex.delete discipline)
+            dead0 = spark.read.parquet(*[str(self.root / t) for t in tombs]).select("id")
+            new_dead = new_dead.join(dead0, on="id", how="left_anti")
+        # count only ids that EXIST in the postings, so n_rows stays
+        # the live-row count (deleting unknown ids subtracts nothing);
+        # postings are one id-pruned column scan — a delete-time cost,
+        # never on the probe path
+        posts = spark.read.parquet(*[str(self.root / p) for p in meta["parts"]])
+        gone = posts.select("id").join(new_dead, on="id", how="left_semi")
+        new_dead = gone  # persist only ids the counter adjustment covered
+        n_g = gone.count()
         part = f"tombstones_t{int(meta.get('tseq', len(tombs)))}"
-        ids.select(F.col(id_col).alias("id")).distinct().write.mode("overwrite").parquet(
-            str(self.root / part)
-        )
+        new_dead.write.mode("overwrite").parquet(str(self.root / part))
         new_meta = {
             "parts": meta["parts"],
             "seq": int(meta.get("seq", len(meta["parts"]))),
             "tombstones": tombs + [part],
             "tseq": int(meta.get("tseq", len(tombs))) + 1,
-            "n_rows": int(meta["n_rows"]),
+            "n_rows": int(meta["n_rows"]) - int(n_g),
             "last_epoch": int(epoch) if epoch is not None else meta.get("last_epoch", -1),
         }
         self._swap_meta(new_meta)

@@ -153,6 +153,24 @@ def _plan_iceberg(root: Path, policy: MaintenancePolicy) -> list[MaintenanceActi
     return actions
 
 
+def _build_blooms(table, spark, cols) -> dict:
+    """Per-column bloom builds with per-column FAILURE ISOLATION: an
+    unindexable column (float/date/decimal — build_bloom_index refuses
+    types without a provable probe encoding, r12) records a refusal
+    instead of aborting the whole maintenance run mid-loop and
+    skipping the remaining actions (vacuum, checkpoints) that used to
+    run. The planner will keep flagging the column's files as missing
+    — the refusal record in every report is the operator's signal to
+    drop the column from bloom_index_columns."""
+    out = {}
+    for c in cols:
+        try:
+            out[c] = table.build_bloom_index(spark, c)
+        except ValueError as exc:
+            out[c] = {"refused": str(exc)}
+    return out
+
+
 def _bloom_missing(root: Path, cols, files) -> int:
     """How many live (file, column) pairs lack a bloom sidecar —
     root-local files only (linked files are the source table's)."""
@@ -399,10 +417,9 @@ def run_maintenance(
                 results[act.action] = {"checkpoint": v, "cleaned": removed}
             elif act.action == "build_bloom_index":
                 t_d = DeltaTable(root)
-                results[act.action] = {
-                    c: t_d.build_bloom_index(spark, c)
-                    for c in policy.bloom_index_columns
-                }
+                results[act.action] = _build_blooms(
+                    t_d, spark, policy.bloom_index_columns
+                )
         elif is_iceberg_layout(root):
             if act.action == "rewrite_small_files":
                 w = IcebergFixtureWriter(root)
@@ -424,10 +441,9 @@ def run_maintenance(
                 )
             elif act.action == "build_bloom_index":
                 t_i = IcebergTable(root)
-                results[act.action] = {
-                    c: t_i.build_bloom_index(spark, c)
-                    for c in policy.bloom_index_columns
-                }
+                results[act.action] = _build_blooms(
+                    t_i, spark, policy.bloom_index_columns
+                )
         elif is_hudi_layout(root) or _is_hudi_mor(root):
             if act.action == "mor_compact":
                 from ..sources.hudi_mor import HudiMorFixtureWriter

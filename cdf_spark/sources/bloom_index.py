@@ -97,10 +97,22 @@ def build_bloom_index(
             # SOURCE table; never index it here
             linked_skipped += 1
             continue
-        if _sidecar(root, col, rel).exists():
-            skipped += 1
-        else:
-            todo.append((str(Path(f).resolve()), rel))
+        sc = _sidecar(root, col, rel)
+        if sc.exists():
+            # LEGACY sidecars (pre-typed-probe, no coltype) never
+            # prune (maybe_contains returns undecidable without the
+            # type family) — treat them as missing so the next
+            # maintenance pass REBUILDS them with the type recorded,
+            # instead of leaving pre-upgrade tables silently paying
+            # full scans forever
+            try:
+                has_type = json.loads(sc.read_text()).get("coltype") is not None
+            except Exception:  # noqa: BLE001 — unreadable sidecar: rebuild
+                has_type = False
+            if has_type:
+                skipped += 1
+                continue
+        todo.append((str(Path(f).resolve()), rel))
     if not todo:
         return {"built": 0, "skipped": skipped, "linked_skipped": linked_skipped}
     df = spark.read.parquet(*[a for a, _ in todo])
@@ -124,18 +136,23 @@ def build_bloom_index(
         # caps each file's contribution at m rows
         .distinct()
     )
-    rel_by_abs = {a: r for a, r in todo}
     root_s, col_s = str(root), col
 
     def _write_group(pdf):
         import os
+        from pathlib import Path as _P
 
         import pandas as pd
 
         abspath = pdf["_path"].iloc[0]
-        rel = rel_by_abs.get(abspath)
-        if rel is None:
-            # _metadata path didn't match any todo entry (URI quirks);
+        # derive the table-relative path IN the executor instead of
+        # shipping an O(files) {abs: rel} map in the closure (a 100k-
+        # file backfill would serialize MBs into every task — the
+        # driver-budget failure this executor-side path exists to fix)
+        try:
+            rel = str(_P(abspath).resolve().relative_to(_P(root_s).resolve()))
+        except ValueError:
+            # _metadata path outside the root (URI quirks, symlinks);
             # report it so the driver counts it unmatched
             return pd.DataFrame({"path": [abspath], "built": [False]})
         bits = bytearray(m // 8)

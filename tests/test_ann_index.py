@@ -165,3 +165,23 @@ def test_delete_replay_is_fenced_noop(spark, emb, tmp_path):
     m1 = idx.delete(spark, emb.filter("vec_id % 7 = 3").select("vec_id"), epoch=10)
     replay = idx.delete(spark, emb.filter("vec_id % 7 = 3").select("vec_id"), epoch=10)
     assert replay == m1 and len(m1["tombstones"]) == 1
+
+
+def test_delete_overlap_and_unknown_ids_keep_live_count_exact(spark, emb, tmp_path):
+    """Overlapping deletes never re-tombstone (no anti-join growth)
+    and unknown ids subtract nothing — n_rows stays the live count."""
+    idx = _folded(spark, emb, tmp_path)
+    total = emb.count()
+    k7 = emb.filter("vec_id % 7 = 3").count()
+    m1 = idx.delete(spark, emb.filter("vec_id % 7 = 3").select("vec_id"), epoch=10)
+    assert m1["n_rows"] == total - k7
+    # superset re-delete: only the genuinely-new dead ids land
+    extra = emb.filter("(vec_id % 7 = 3) OR (vec_id % 11 = 5)").select("vec_id")
+    k11_new = emb.filter("(vec_id % 11 = 5) AND (vec_id % 7 != 3)").count()
+    m2 = idx.delete(spark, extra, epoch=11)
+    assert m2["n_rows"] == total - k7 - k11_new
+    tomb1 = spark.read.parquet(str(idx.root / m2["tombstones"][1])).count()
+    assert tomb1 == k11_new
+    # unknown ids: counter no-op, empty tombstone part
+    m3 = idx.delete(spark, spark.range(10**9, 10**9 + 5).selectExpr("id AS vec_id"), epoch=12)
+    assert m3["n_rows"] == m2["n_rows"]

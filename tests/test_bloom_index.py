@@ -277,3 +277,47 @@ def test_delta_vacuum_sweeps_stale_sidecars(spark, tmp_path, orders):
     assert left  # live file's sidecar survives
     for sc in left:
         assert (tmp_path / "t" / _json.loads(sc.read_text())["path"]).exists()
+
+
+def test_bloom_legacy_sidecar_rebuilt_with_coltype(spark, tmp_path):
+    """A legacy (coltype-less) sidecar is treated as MISSING by the
+    next build pass — pre-upgrade tables regain pruning instead of
+    silently paying full scans forever."""
+    import json as _json
+
+    from cdf_spark.sources.bloom_index import BLOOM_DIR, BloomProbe, build_bloom_index
+
+    root = tmp_path / "t"
+    spark.createDataFrame([("a",), ("b",)], ["k"]).coalesce(1).write.parquet(
+        str(root / "d")
+    )
+    files = [str(p) for p in (root / "d").glob("*.parquet")]
+    build_bloom_index(spark, root, "k", files)
+    sc = next((root / BLOOM_DIR / "k").glob("*.json"))
+    meta = _json.loads(sc.read_text())
+    del meta["coltype"]
+    sc.write_text(_json.dumps(meta))
+    rep = build_bloom_index(spark, root, "k", files)
+    assert rep["built"] == 1 and rep["skipped"] == 0  # rebuilt, not skipped
+    rel = str(__import__("pathlib").Path(files[0]).relative_to(root))
+    probe = BloomProbe(root, ["k"])
+    assert probe.maybe_contains("k", rel, "absent") is False  # pruning again
+    # a current sidecar skips as before
+    rep2 = build_bloom_index(spark, root, "k", files)
+    assert rep2["built"] == 0 and rep2["skipped"] == 1
+
+
+def test_maintenance_bloom_refusal_is_isolated(spark, tmp_path):
+    """An unindexable column in bloom_index_columns records a refusal
+    in the report instead of aborting the maintenance run."""
+    from cdf_spark.package.maintenance import _build_blooms
+    from cdf_spark.sources.delta import DeltaFixtureWriter, DeltaTable
+
+    root = tmp_path / "dt"
+    w = DeltaFixtureWriter(root)
+    df = spark.createDataFrame([(1, 2.5, "x")], ["k", "score", "s"])
+    w.append(df, timestamp_ms=1_000)
+    t = DeltaTable(root)
+    out = _build_blooms(t, spark, ("k", "score", "s"))
+    assert "refused" in out["score"] and "probe encoding" in out["score"]["refused"]
+    assert out["k"].get("built", 0) >= 0 and out["s"].get("built", 0) >= 0  # others ran

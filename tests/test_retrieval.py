@@ -227,3 +227,39 @@ def test_query_refuses_fully_deleted_index(spark, tmp_path):
     idx.delete(spark, docs.select("doc_id"))
     with pytest.raises(ValueError, match="no live documents"):
         idx.query(spark, _queries(spark, [("q", "join")]))
+
+
+def test_zero_token_and_empty_batches_never_brick_the_index(spark, tmp_path):
+    """A zero-ROW partitioned write is unreadable (only _SUCCESS) —
+    so an all-zero-token batch folds lengths/counters but commits no
+    postings part, and an empty batch is a fenced no-op. The index
+    keeps answering after both."""
+    docs = _docs(spark, CORPUS)
+    idx = InvertedIndex(tmp_path / "bm25")
+    idx.build(spark, docs.filter(F.col("doc_id") <= 4), epoch=0)
+    # all-zero-token batch (doc 6 is ",,, !!!")
+    m1 = idx.add(spark, docs.filter(F.col("doc_id") == 6), epoch=1)
+    assert m1["n_docs"] == 5 and len(m1["parts"]) == 1  # no new postings part
+    # empty batch: fenced no-op, watermark advances
+    m2 = idx.add(spark, docs.filter(F.col("doc_id") == 999), epoch=2)
+    assert m2["n_docs"] == 5 and m2["last_epoch"] == 2
+    qs = _queries(spark, [("q", "join hash")])
+    one_shot = sorted(
+        map(tuple, bm25_topk(docs.filter(F.col("doc_id").isin(1, 2, 3, 4, 6)), qs, k=5).collect())
+    )
+    assert sorted(map(tuple, idx.query(spark, qs, k=5).collect())) == one_shot
+
+
+def test_compact_of_fully_tombstoned_tokens_leaves_no_parts(spark, tmp_path):
+    docs = _docs(spark, CORPUS[:4])
+    idx = InvertedIndex(tmp_path / "bm25")
+    idx.build(spark, docs)
+    idx.delete(spark, docs.select("doc_id"))
+    mc = idx.compact(spark)
+    assert mc["parts"] == [] and mc["n_docs"] == 0
+    with pytest.raises(ValueError, match="no postings"):
+        idx.query(spark, _queries(spark, [("q", "join")]))
+    # the index revives on the next fold
+    idx.add(spark, _docs(spark, [(100, "join join join")]))
+    got = idx.query(spark, _queries(spark, [("q", "join")]), k=3).collect()
+    assert [r["doc_id"] for r in got] == [100]
