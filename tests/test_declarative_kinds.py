@@ -601,3 +601,42 @@ dim = 256
         spark, spark.read.parquet(str(docs)).limit(20)
     )
     assert w.count() > 0
+
+
+def test_index_job_crash_between_fold_and_cursor_is_exactly_once(spark, tmp_path):
+    """Worst-case at-least-once window: the fold lands, the process
+    dies BEFORE the cursor write, the job reruns with the stale
+    cursor. The batch-watermark epoch fence must make the replayed
+    fold a no-op — BM25 stats would otherwise silently double."""
+    from cdf_spark.declarative import run_index_job
+    from cdf_spark.operators.retrieval import InvertedIndex, bm25_topk
+
+    src = tmp_path / "docs"
+    rows = [(1, "hash join merge"), (2, "window agg stream"), (3, "hash hash")]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(str(src))
+    decl = {"kind": "bm25", "root": str(tmp_path / "idx"), "source": str(src)}
+
+    r1 = run_index_job(spark, decl, cursor=None)  # fold committed...
+    assert r1["rows_folded"] == 3 and r1["fenced"] is True
+    # ...crash: cursor never persisted; the rerun re-offers everything
+    r2 = run_index_job(spark, decl, cursor=None)
+    assert r2["cursor"] == 3  # watermark recomputed, fold itself fenced
+    idx = InvertedIndex(tmp_path / "idx")
+    m = idx._meta()
+    assert m["n_docs"] == 3 and len(m["parts"]) == 1  # no double-fold
+    qs = spark.createDataFrame([("q", "hash")], ["qid", "qtext"])
+    want = sorted(map(tuple, bm25_topk(spark.createDataFrame(rows, ["doc_id", "text"]), qs, k=5).collect()))
+    assert sorted(map(tuple, idx.query(spark, qs, k=5).collect())) == want
+
+
+def test_index_job_refuses_non_integer_cursor_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from cdf_spark.declarative import DeclarationError, run_index_job
+
+    src = tmp_path / "docs"
+    spark.createDataFrame([("a", "hash join")], ["doc_id", "text"]).write.parquet(str(src))
+    with _pytest.raises(DeclarationError, match="must be integer-typed"):
+        run_index_job(
+            spark, {"kind": "bm25", "root": str(tmp_path / "i"), "source": str(src)}
+        )
