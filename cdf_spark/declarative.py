@@ -686,6 +686,11 @@ def run_index_job(spark, decl: dict, cursor: int | None = None) -> dict:
     text_col = decl.get("text_col", "text")
     cursor_col = decl.get("cursor_col", id_col)
     df = spark.read.parquet(str(source))
+    if cursor_col not in df.columns:
+        raise DeclarationError(
+            f"index cursor column {cursor_col!r} not in source schema "
+            f"({', '.join(df.columns)})"
+        )
     if not isinstance(df.schema[cursor_col].dataType, _INT_TYPES):
         raise DeclarationError(
             f"index cursor column {cursor_col!r} must be integer-typed "
@@ -694,20 +699,41 @@ def run_index_job(spark, decl: dict, cursor: int | None = None) -> dict:
         )
     if decl.get("predicate"):
         df = df.filter(str(decl["predicate"]))
-    batch = df if cursor is None else df.filter(F.col(cursor_col) > F.lit(cursor))
+    from pathlib import Path as _P
+
+    # the index's OWN recorded watermark is the authoritative fence:
+    # a crashed run may have folded rows the cursor file never saw,
+    # and NEW rows may have landed since — a retry that re-selects
+    # `> stale cursor` would otherwise mix already-folded rows into a
+    # higher-watermark batch and double-fold them past the epoch
+    # check. Folding strictly ABOVE max(cursor, index last_epoch)
+    # re-offers only genuinely unfolded rows. (exact_substr records
+    # no meta watermark but its novel-gram anti-join fold is
+    # idempotent by construction; minhash has neither — its report
+    # says fenced=false.)
+    meta_p = _P(str(root)) / "meta.json"
+    built = meta_p.exists()
+    fence = None
+    if built:
+        try:
+            fence = json.loads(meta_p.read_text()).get("last_epoch")
+        except Exception:  # noqa: BLE001 — unreadable meta: job cursor only
+            fence = None
+    eff = cursor
+    if fence is not None and int(fence) >= 0:
+        eff = int(fence) if eff is None else max(int(eff), int(fence))
+    batch = df if eff is None else df.filter(F.col(cursor_col) > F.lit(eff))
     hi, n = batch.agg(F.max(cursor_col), F.count(F.lit(1))).collect()[0]
+    fenced = kind not in ("minhash",)
     if not n:
         return {
             "kind": kind,
             "root": str(root),
             "rows_folded": 0,
-            "cursor": cursor,
-            "fenced": kind != "minhash",
+            "cursor": eff if eff is not None else cursor,
+            "fenced": fenced,
         }
     epoch = int(hi)
-    from pathlib import Path as _P
-
-    built = (_P(str(root)) / "meta.json").exists()
     if kind == "bm25":
         from .operators.retrieval import InvertedIndex
 
@@ -786,7 +812,7 @@ def run_index_job(spark, decl: dict, cursor: int | None = None) -> dict:
         "root": str(root),
         "rows_folded": int(n),
         "cursor": epoch,
-        "fenced": kind != "minhash",
+        "fenced": fenced,
     }
 
 

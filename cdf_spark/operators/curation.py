@@ -858,8 +858,12 @@ class LMIndex:
             version = int(meta["version"]) + 1
         out = self.root / f"counts_v{version}"
         merged.write.mode("overwrite").parquet(str(out))
+        # coalesce: a batch whose docs all tokenize to zero tokens
+        # yields an EMPTY counts table — sum() would return null and
+        # int(None) would crash after the parquet write
         stats = spark.read.parquet(str(out)).agg(
-            F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+            F.count(F.lit(1)).alias("v"),
         ).collect()[0]
         last = (meta or {}).get("last_epoch", -1)
         new_meta = {

@@ -829,16 +829,36 @@ class IVFIndex:
             # compactions (the InvertedIndex.delete discipline)
             dead0 = spark.read.parquet(*[str(self.root / t) for t in tombs]).select("id")
             new_dead = new_dead.join(dead0, on="id", how="left_anti")
-        # count only ids that EXIST in the postings, so n_rows stays
+        # keep only ids that EXIST in the postings, so n_rows stays
         # the live-row count (deleting unknown ids subtracts nothing);
         # postings are one id-pruned column scan — a delete-time cost,
-        # never on the probe path
+        # never on the probe path. Write FIRST, count the written part
+        # (the family discipline add()/compact() follow) — counting
+        # the lazy plan and then writing it would run the scan+joins
+        # twice.
         posts = spark.read.parquet(*[str(self.root / p) for p in meta["parts"]])
         gone = posts.select("id").join(new_dead, on="id", how="left_semi")
-        new_dead = gone  # persist only ids the counter adjustment covered
-        n_g = gone.count()
         part = f"tombstones_t{int(meta.get('tseq', len(tombs)))}"
-        new_dead.write.mode("overwrite").parquet(str(self.root / part))
+        gone.write.mode("overwrite").parquet(str(self.root / part))
+        n_g = spark.read.parquet(str(self.root / part)).count()
+        if not n_g:
+            # nothing genuinely died: record only the epoch watermark —
+            # appending an empty tombstone part would grow the list
+            # every probe and delete must read until compact()
+            import shutil as _sh
+
+            _sh.rmtree(self.root / part, ignore_errors=True)
+            new_meta = {
+                "parts": meta["parts"],
+                "seq": int(meta.get("seq", len(meta["parts"]))),
+                "tombstones": tombs,
+                "tseq": int(meta.get("tseq", len(tombs))),
+                "n_rows": int(meta["n_rows"]),
+                "last_epoch": int(epoch) if epoch is not None else meta.get("last_epoch", -1),
+            }
+            self._swap_meta(new_meta)
+            self._sweep(new_meta)
+            return new_meta
         new_meta = {
             "parts": meta["parts"],
             "seq": int(meta.get("seq", len(meta["parts"]))),

@@ -166,15 +166,22 @@ def _build_blooms(table, spark, cols) -> dict:
     for c in cols:
         try:
             out[c] = table.build_bloom_index(spark, c)
-        except ValueError as exc:
+        except (ValueError, KeyError) as exc:
+            # ValueError: unindexable column type; KeyError: the column
+            # isn't in the schema at all (config typo) — both are
+            # per-column operator errors, never run-aborting
             out[c] = {"refused": str(exc)}
     return out
 
 
 def _bloom_missing(root: Path, cols, files) -> int:
-    """How many live (file, column) pairs lack a bloom sidecar —
-    root-local files only (linked files are the source table's)."""
-    from ..sources.bloom_index import _sidecar
+    """How many live (file, column) pairs lack a CURRENT bloom
+    sidecar — root-local files only (linked files are the source
+    table's). Legacy coltype-less sidecars count as missing, so the
+    planner actually schedules the rebuild the typed-probe upgrade
+    depends on (a pre-upgrade table would otherwise never regain
+    pruning through the maintenance path)."""
+    from ..sources.bloom_index import _sidecar, sidecar_is_current
 
     rr = root.resolve()
     n = 0
@@ -184,7 +191,8 @@ def _bloom_missing(root: Path, cols, files) -> int:
                 rel = str(Path(f).resolve().relative_to(rr))
             except ValueError:
                 continue
-            if not _sidecar(root, col, rel).exists():
+            sc = _sidecar(root, col, rel)
+            if not sc.exists() or not sidecar_is_current(sc):
                 n += 1
     return n
 

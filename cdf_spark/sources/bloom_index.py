@@ -98,20 +98,12 @@ def build_bloom_index(
             linked_skipped += 1
             continue
         sc = _sidecar(root, col, rel)
-        if sc.exists():
-            # LEGACY sidecars (pre-typed-probe, no coltype) never
-            # prune (maybe_contains returns undecidable without the
-            # type family) — treat them as missing so the next
-            # maintenance pass REBUILDS them with the type recorded,
-            # instead of leaving pre-upgrade tables silently paying
-            # full scans forever
-            try:
-                has_type = json.loads(sc.read_text()).get("coltype") is not None
-            except Exception:  # noqa: BLE001 — unreadable sidecar: rebuild
-                has_type = False
-            if has_type:
-                skipped += 1
-                continue
+        if sc.exists() and sidecar_is_current(sc):
+            skipped += 1
+            continue
+        # missing OR legACY (pre-typed-probe, no coltype — those never
+        # prune: maybe_contains returns undecidable without the type
+        # family) — rebuild so pre-upgrade tables regain pruning
         todo.append((str(Path(f).resolve()), rel))
     if not todo:
         return {"built": 0, "skipped": skipped, "linked_skipped": linked_skipped}
@@ -154,6 +146,13 @@ def build_bloom_index(
         except ValueError:
             # _metadata path outside the root (URI quirks, symlinks);
             # report it so the driver counts it unmatched
+            return pd.DataFrame({"path": [abspath], "built": [False]})
+        if not (_P(root_s) / rel).exists():
+            # _metadata.file_path can be URI-ENCODED (e.g. %20 for a
+            # space) — relative_to succeeds on the encoded string but
+            # the derived rel names no real file; writing a sidecar
+            # under it would orphan it where no probe ever looks.
+            # Refuse; the driver's footer check counts it unmatched.
             return pd.DataFrame({"path": [abspath], "built": [False]})
         bits = bytearray(m // 8)
         for p in pdf["p"]:
@@ -254,6 +253,21 @@ def sweep_stale_sidecars(root: str | Path) -> list[str]:
 def indexed_columns(root: str | Path) -> list[str]:
     d = Path(root) / BLOOM_DIR
     return sorted(p.name for p in d.iterdir() if p.is_dir()) if d.is_dir() else []
+
+
+def sidecar_is_current(path) -> bool:
+    """True iff a sidecar file carries the typed-probe `coltype`
+    field. Reads only the HEAD of the file: the writer emits keys in
+    insertion order (m, k, path, coltype, bits), so the field — when
+    present — appears before the ~11 KB base64 bitset; a full
+    json.loads per already-indexed file would cost a 100k-file table
+    ~1 GB of driver reads on EVERY incremental pass just to learn the
+    sidecars are fine."""
+    try:
+        with open(path, "rb") as fh:
+            return b'"coltype"' in fh.read(4096)
+    except OSError:
+        return False
 
 
 def _probe_family(simple_type: str) -> str | None:

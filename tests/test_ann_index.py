@@ -182,6 +182,8 @@ def test_delete_overlap_and_unknown_ids_keep_live_count_exact(spark, emb, tmp_pa
     assert m2["n_rows"] == total - k7 - k11_new
     tomb1 = spark.read.parquet(str(idx.root / m2["tombstones"][1])).count()
     assert tomb1 == k11_new
-    # unknown ids: counter no-op, empty tombstone part
+    # unknown ids: counter no-op AND no empty tombstone part appended
     m3 = idx.delete(spark, spark.range(10**9, 10**9 + 5).selectExpr("id AS vec_id"), epoch=12)
     assert m3["n_rows"] == m2["n_rows"]
+    assert m3["tombstones"] == m2["tombstones"]
+    assert m3["last_epoch"] == 12

@@ -321,3 +321,25 @@ def test_maintenance_bloom_refusal_is_isolated(spark, tmp_path):
     out = _build_blooms(t, spark, ("k", "score", "s"))
     assert "refused" in out["score"] and "probe encoding" in out["score"]["refused"]
     assert out["k"].get("built", 0) >= 0 and out["s"].get("built", 0) >= 0  # others ran
+
+
+def test_bloom_planner_schedules_legacy_sidecar_rebuild(spark, tmp_path):
+    """_bloom_missing treats a coltype-less sidecar as missing — the
+    maintenance planner actually schedules the rebuild the typed-probe
+    upgrade depends on."""
+    import json as _json
+    from pathlib import Path
+
+    from cdf_spark.package.maintenance import _bloom_missing
+    from cdf_spark.sources.bloom_index import BLOOM_DIR, build_bloom_index
+
+    root = tmp_path / "t"
+    spark.createDataFrame([("a",)], ["k"]).coalesce(1).write.parquet(str(root / "d"))
+    files = [str(p) for p in (root / "d").glob("*.parquet")]
+    build_bloom_index(spark, root, "k", files)
+    assert _bloom_missing(Path(root), ["k"], files) == 0
+    sc = next((root / BLOOM_DIR / "k").glob("*.json"))
+    meta = _json.loads(sc.read_text())
+    del meta["coltype"]
+    sc.write_text(_json.dumps(meta))
+    assert _bloom_missing(Path(root), ["k"], files) == 1

@@ -640,3 +640,41 @@ def test_index_job_refuses_non_integer_cursor_column(spark, tmp_path):
         run_index_job(
             spark, {"kind": "bm25", "root": str(tmp_path / "i"), "source": str(src)}
         )
+
+
+def test_index_job_crash_then_new_rows_folds_each_row_once(spark, tmp_path):
+    """The sharper replay window: fold lands, crash before the cursor
+    write, NEW rows arrive, the job reruns with the stale cursor. The
+    retry batch has a HIGHER watermark than the crashed fold, so the
+    index-internal epoch fence alone would pass — the job must fold
+    strictly above the index's own recorded watermark."""
+    from cdf_spark.declarative import run_index_job
+    from cdf_spark.operators.retrieval import InvertedIndex, bm25_topk
+
+    src = tmp_path / "docs"
+    rows1 = [(1, "hash join"), (2, "merge scan")]
+    spark.createDataFrame(rows1, ["doc_id", "text"]).write.parquet(str(src))
+    decl = {"kind": "bm25", "root": str(tmp_path / "idx"), "source": str(src)}
+    run_index_job(spark, decl, cursor=None)  # folds 1..2; cursor write "crashes"
+    rows2 = [(3, "hash hash window")]
+    spark.createDataFrame(rows2, ["doc_id", "text"]).write.mode("append").parquet(str(src))
+    r = run_index_job(spark, decl, cursor=None)  # stale cursor + new row
+    assert r["rows_folded"] == 1 and r["cursor"] == 3  # only doc 3 folded
+    idx = InvertedIndex(tmp_path / "idx")
+    assert idx._meta()["n_docs"] == 3
+    qs = spark.createDataFrame([("q", "hash")], ["qid", "qtext"])
+    want = sorted(
+        map(tuple, bm25_topk(spark.createDataFrame(rows1 + rows2, ["doc_id", "text"]), qs, k=5).collect())
+    )
+    assert sorted(map(tuple, idx.query(spark, qs, k=5).collect())) == want
+
+
+def test_index_job_missing_cursor_column_refuses(spark, tmp_path):
+    import pytest as _pytest
+
+    from cdf_spark.declarative import DeclarationError, run_index_job
+
+    src = tmp_path / "docs"
+    spark.createDataFrame([(1, "x")], ["some_id", "text"]).write.parquet(str(src))
+    with _pytest.raises(DeclarationError, match="not in source schema"):
+        run_index_job(spark, {"kind": "bm25", "root": str(tmp_path / "i"), "source": str(src)})

@@ -1087,3 +1087,14 @@ def test_ivf_hard_negatives_exclude_anchor_label_and_self(spark):
         per[r["query_id"]].append(r["rank"])
     for q, rks in per.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_lm_index_zero_token_first_batch_does_not_crash(spark, tmp_path):
+    from cdf_spark.operators.curation import LMIndex
+
+    idx = LMIndex(tmp_path / "lm")
+    m = idx.update(spark, spark.createDataFrame([(1, "!!! ,,,")], ["doc_id", "text"]))
+    assert m["n_total"] == 0 and m["v"] == 0
+    # a later real fold lands normally
+    m2 = idx.update(spark, spark.createDataFrame([(2, "real words")], ["doc_id", "text"]))
+    assert m2["n_total"] == 2
