@@ -45,6 +45,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .index_base import IndexArtifact
+
 MICRO = 1_000_000.0
 
 
@@ -227,7 +229,7 @@ def _score(toks: DataFrame, model, lab, id_col: str) -> DataFrame:
     )
 
 
-class NBIndex:
+class NBIndex(IndexArtifact):
     """Persisted INCREMENTAL Naive Bayes model for a GROWING corpus —
     the classifier member of this suite's incremental-index family
     (`curation.LMIndex` for LM scores, `curation.ExactSubstrIndex` and
@@ -248,18 +250,6 @@ class NBIndex:
     constant for a bounded vocabulary; predict() touches only the
     stored model and the scored batch."""
 
-    def __init__(self, root):
-        from pathlib import Path as _P
-
-        self.root = _P(root)
-        self.root.mkdir(parents=True, exist_ok=True)
-
-    def _meta(self) -> dict | None:
-        import json as _json
-
-        p = self.root / "meta.json"
-        return _json.loads(p.read_text()) if p.exists() else None
-
     def update(
         self,
         spark,
@@ -277,8 +267,6 @@ class NBIndex:
         monotone, so the watermark is one integer (O(1) meta at any
         epoch count), the checkpoint-ledger discipline the streaming
         destinations already use."""
-        import json as _json
-
         meta0 = self._meta()
         if (
             epoch is not None
@@ -327,13 +315,7 @@ class NBIndex:
             "d_tot": int(d_tot),
             "last_epoch": int(epoch) if epoch is not None else last,
         }
-        # atomic pointer swap (tmp + rename) — a crash mid-write must
-        # leave the PREVIOUS meta intact, or the documented
-        # crash-leaves-old-version-live guarantee is void at the one
-        # step that matters
-        tmp_meta = self.root / "meta.json.tmp"
-        tmp_meta.write_text(_json.dumps(new_meta))
-        tmp_meta.replace(self.root / "meta.json")
+        self._swap_meta(new_meta)
         self._reclaim(version)
         return new_meta
 

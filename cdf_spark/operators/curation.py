@@ -25,6 +25,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .index_base import IndexArtifact
 from .text import hash64
 
 MICRO = 1_000_000.0
@@ -779,7 +780,7 @@ def lm_bigram_perplexity_scores(
     )
 
 
-class LMIndex:
+class LMIndex(IndexArtifact):
     """Persisted INCREMENTAL unigram LM for a GROWING corpus (r10) —
     the quality-scoring analog of `dedup_approx.MinHashLSHIndex`:
     `lm_perplexity_scores` re-trains the LM over the whole corpus per
@@ -797,18 +798,6 @@ class LMIndex:
     destinations). Scoring uses the identical micro-nat integer
     log-prob pipeline as `lm_perplexity_scores`; tokens the index has
     never seen score at the add-one floor 1/(N+V)."""
-
-    def __init__(self, root):
-        from pathlib import Path as _P
-
-        self.root = _P(root)
-        self.root.mkdir(parents=True, exist_ok=True)
-
-    def _meta(self) -> dict | None:
-        import json as _json
-
-        p = self.root / "meta.json"
-        return _json.loads(p.read_text()) if p.exists() else None
 
     @staticmethod
     def _toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -836,8 +825,6 @@ class LMIndex:
         unfenced redelivery (foreachBatch retry, a declarative index
         job crashing between its fold and its cursor write) would
         silently double every folded token's mass."""
-        import json as _json
-
         meta = self._meta()
         if (
             epoch is not None
@@ -872,11 +859,7 @@ class LMIndex:
             "v": int(stats["v"]),
             "last_epoch": int(epoch) if epoch is not None else last,
         }
-        # atomic pointer swap — a crash mid-write must leave the
-        # previous meta (and so the previous version) live
-        tmp_meta = self.root / "meta.json.tmp"
-        tmp_meta.write_text(_json.dumps(new_meta))
-        tmp_meta.replace(self.root / "meta.json")
+        self._swap_meta(new_meta)
         return new_meta
 
     def score(self, spark, df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 6) -> DataFrame:
@@ -1475,7 +1458,7 @@ def dsir_select(
     )
 
 
-class DSIRIndex:
+class DSIRIndex(IndexArtifact):
     """Persisted INCREMENTAL DSIR selector for a GROWING raw corpus —
     the data-selection member of the incremental-index family
     (`NBIndex`, `LMIndex`, `ExactSubstrIndex`, `MinHashLSHIndex`,
@@ -1497,25 +1480,6 @@ class DSIRIndex:
     keep-live-minus-one (the NBIndex discipline). update() is
     O(batch) feature work + an O(dim) merge rewrite; weights() reads
     only the two stored models (KBs) plus the scored batch."""
-
-    def __init__(self, root):
-        from pathlib import Path as _P
-
-        self.root = _P(root)
-        self.root.mkdir(parents=True, exist_ok=True)
-
-    def _meta(self) -> dict | None:
-        import json as _json
-
-        p = self.root / "meta.json"
-        return _json.loads(p.read_text()) if p.exists() else None
-
-    def _swap_meta(self, meta: dict) -> None:
-        import json as _json
-
-        tmp = self.root / "meta.json.tmp"
-        tmp.write_text(_json.dumps(meta))
-        tmp.replace(self.root / "meta.json")
 
     @staticmethod
     def _bucket_counts(df: DataFrame, text_col: str, dim: int, hash_fn: str) -> DataFrame:

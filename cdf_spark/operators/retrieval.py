@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .index_base import IndexArtifact
 from .text import hash64, hash64_py
 
 MICRO = 1_000_000.0
@@ -183,7 +184,7 @@ def bm25_topk(
     return _score_topk(tf, _query_terms(queries, qid_col, qtext_col), int(n_docs), avgdl, k, id_col)
 
 
-class InvertedIndex:
+class InvertedIndex(IndexArtifact):
     """Persisted INCREMENTAL inverted index for BM25 retrieval over a
     GROWING corpus — the retrieval member of the incremental-index
     family (`NBIndex`, `curation.LMIndex`, `curation.ExactSubstrIndex`,
@@ -211,25 +212,6 @@ class InvertedIndex:
     query terms) at any index size. `epoch` is the same at-least-once
     replay fence the family uses (postings re-appends are not
     idempotent)."""
-
-    def __init__(self, root):
-        from pathlib import Path as _P
-
-        self.root = _P(root)
-        self.root.mkdir(parents=True, exist_ok=True)
-
-    def _meta(self) -> dict | None:
-        import json as _json
-
-        p = self.root / "meta.json"
-        return _json.loads(p.read_text()) if p.exists() else None
-
-    def _swap_meta(self, meta: dict) -> None:
-        import json as _json
-
-        tmp = self.root / "meta.json.tmp"
-        tmp.write_text(_json.dumps(meta))
-        tmp.replace(self.root / "meta.json")
 
     def build(
         self,

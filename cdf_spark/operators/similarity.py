@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from .index_base import IndexArtifact
 from .text import hash64
 
 
@@ -659,7 +660,7 @@ def _ivf_probe_topk(
     )
 
 
-class IVFIndex:
+class IVFIndex(IndexArtifact):
     """Persisted INCREMENTAL IVF ANN index — the similarity member of
     the suite's incremental-index family (`NBIndex` for the
     classifier, `curation.LMIndex`, `curation.ExactSubstrIndex`,
@@ -690,25 +691,6 @@ class IVFIndex:
     on the postings touched, never on how many folds built them.
     `epoch` is the same at-least-once replay fence NBIndex uses
     (postings re-appends are not idempotent)."""
-
-    def __init__(self, root):
-        from pathlib import Path as _P
-
-        self.root = _P(root)
-        self.root.mkdir(parents=True, exist_ok=True)
-
-    def _meta(self) -> dict | None:
-        import json as _json
-
-        p = self.root / "meta.json"
-        return _json.loads(p.read_text()) if p.exists() else None
-
-    def _swap_meta(self, meta: dict) -> None:
-        import json as _json
-
-        tmp = self.root / "meta.json.tmp"
-        tmp.write_text(_json.dumps(meta))
-        tmp.replace(self.root / "meta.json")
 
     def build(
         self,
