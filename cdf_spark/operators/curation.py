@@ -1183,7 +1183,11 @@ class ExactSubstrIndex:
         ).write.mode("overwrite").partitionBy("hb").parquet(str(self.root / "grams"))
         self.root.mkdir(parents=True, exist_ok=True)
         meta = {"k": k}
-        (self.root / "meta.json").write_text(_json.dumps(meta))
+        # atomic tmp+rename (the family's meta-swap discipline): a
+        # crash mid-write must not leave a torn meta.json
+        tmp_meta = self.root / "meta.json.tmp"
+        tmp_meta.write_text(_json.dumps(meta))
+        tmp_meta.replace(self.root / "meta.json")
         return meta
 
     def _read_grams(self, spark) -> DataFrame:

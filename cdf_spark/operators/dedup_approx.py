@@ -834,7 +834,11 @@ class MinHashLSHIndex:
         sh.write.mode("overwrite").parquet(str(self.root / "shingles"))
         meta = {"n": n, "k": k, "bands": bands, "hash_fn": hash_fn}
         self.root.mkdir(parents=True, exist_ok=True)
-        (self.root / "meta.json").write_text(_json.dumps(meta))
+        # atomic tmp+rename (the family's meta-swap discipline): a
+        # crash mid-write must not leave a torn meta.json
+        tmp_meta = self.root / "meta.json.tmp"
+        tmp_meta.write_text(_json.dumps(meta))
+        tmp_meta.replace(self.root / "meta.json")
         return meta
 
     def add(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> None:
