@@ -12171,3 +12171,85 @@ def curriculum_training_order(spark: SparkSession, sf: str) -> DataFrame:
     return curriculum_order(bucketed, "ppl_bucket").select(
         "doc_id", "ppl_bucket", "position"
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph processing (r12 third wave): PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iters: int = 5, k: int = 50) -> str:
+    """Unrolled power iteration — one CTE trio (dangling mass, edge
+    contributions, new scores) per iteration, in the exact integer
+    arithmetic `operators/graph.pagerank` uses, so an ITERATIVE
+    algorithm value-matches the gate bit-for-bit."""
+    body = """
+    WITH j AS (
+      SELECT o_custkey AS ck, l_suppkey AS sk, l_returnflag AS rf
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT DISTINCT 'c' || CAST(ck AS VARCHAR) AS src,
+                      's' || CAST(sk AS VARCHAR) AS dst FROM j
+      UNION ALL
+      SELECT DISTINCT 's' || CAST(sk AS VARCHAR),
+                      'c' || CAST(ck AS VARCHAR) FROM j WHERE rf = 'R'
+    ),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    it0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM nodes)"""
+    for i in range(iters):
+        body += f""",
+    d{i} AS (SELECT COALESCE(SUM(s), 0) AS dang FROM it{i}
+             WHERE id NOT IN (SELECT id FROM outdeg)),
+    c{i} AS (SELECT e.dst AS id, SUM(t.s // o.deg) AS contrib
+             FROM edges e JOIN it{i} t ON t.id = e.src
+             JOIN outdeg o ON o.id = e.src
+             GROUP BY e.dst),
+    it{i + 1} AS (SELECT nodes.id,
+             CAST(150000 + (85 * (COALESCE(c{i}.contrib, 0)
+                  + (SELECT dang FROM d{i}) // (SELECT n FROM nn))) // 100
+                  AS BIGINT) AS s
+             FROM nodes LEFT JOIN c{i} ON c{i}.id = nodes.id)"""
+    body += f""",
+    ranked AS (SELECT id, s AS score_unat,
+               row_number() OVER (ORDER BY s DESC, id ASC) AS rank FROM it{iters})
+    SELECT id, score_unat, rank FROM ranked WHERE rank <= {k}
+    """
+    return body
+
+
+@_register("pagerank_supplier_graph", _pagerank_oracle())
+def pagerank_supplier_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer fixed-point PageRank (r12, `operators/graph.pagerank`)
+    over the customer->supplier trade graph: a forward edge for every
+    distinct (customer, supplier) lineitem relationship, a reverse
+    edge only where the pair had a returned item (l_returnflag='R') —
+    so suppliers without returns are DANGLING nodes and the
+    redistribution path is load-bearing. Five iterations, damping 85%,
+    micro-unit scores: every contribution is `score DIV outdeg`, every
+    sum an exact integer, so the unrolled-CTE oracle matches an
+    ITERATIVE algorithm value-for-value. The web-graph quality-prior
+    stage of a CommonCrawl-style curation pipeline, expressed on the
+    fixture's graph."""
+    from .operators.graph import pagerank_topk
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    j = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "o_custkey", "l_suppkey", "l_returnflag"
+    )
+    fwd = j.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    rev = (
+        j.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_topk(fwd.unionAll(rev), k=50, iterations=5)

@@ -1,0 +1,81 @@
+"""Integer fixed-point PageRank: exactness against a pure-Python
+replica, partition independence, dangling redistribution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdf_spark.operators.graph import SCALE, pagerank, pagerank_topk
+
+
+def _py_pagerank(edges, iters=5, damping=85, scale=SCALE):
+    """Reference replica of the documented integer recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    n = len(nodes)
+    s = {v: scale for v in nodes}
+    teleport = ((100 - damping) * scale) // 100
+    for _ in range(iters):
+        dang = sum(s[v] for v in nodes if v not in out)
+        dshare = dang // n
+        contrib = {v: 0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += s[u] // out[u]
+        s = {v: teleport + (damping * (contrib[v] + dshare)) // 100 for v in nodes}
+    return s
+
+
+EDGES = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("d", "c"),  # d has out-edges but no in-edges
+    ("e", "a"),
+    # f: only a destination -> dangling (no out-edges)
+    ("a", "f"),
+]
+
+
+def test_pagerank_matches_integer_replica(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["id"]: r["score_unat"] for r in pagerank(df, iterations=5).collect()}
+    assert got == _py_pagerank(EDGES, iters=5)
+
+
+def test_pagerank_partition_independent(spark):
+    df1 = spark.createDataFrame(EDGES, ["src", "dst"]).repartition(7)
+    df8 = spark.createDataFrame(EDGES, ["src", "dst"]).coalesce(1)
+    r1 = {r["id"]: r["score_unat"] for r in pagerank(df1, iterations=3).collect()}
+    r8 = {r["id"]: r["score_unat"] for r in pagerank(df8, iterations=3).collect()}
+    assert r1 == r8
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    # Two nodes: a -> b, b dangling. Without redistribution b's mass
+    # would leave the system; with it, a keeps receiving b's share.
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    got = {r["id"]: r["score_unat"] for r in pagerank(df, iterations=1).collect()}
+    # dang = SCALE (b), dshare = SCALE // 2; a gets teleport + 85% of dshare
+    assert got["a"] == 150000 + (85 * (SCALE // 2)) // 100
+    # b gets a's full score plus the dangling share
+    assert got["b"] == 150000 + (85 * (SCALE + SCALE // 2)) // 100
+
+
+def test_pagerank_topk_ranks_bounded(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    top = pagerank_topk(df, k=3, iterations=2).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    scores = [r["score_unat"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_pagerank_rejects_bad_args(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping_pct=100)
