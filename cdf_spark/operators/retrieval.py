@@ -580,3 +580,50 @@ def phrase_match(
     Output: (qid, id_col, n_occurrences)."""
     tf = _doc_tf(docs, text_col, id_col).select("_id", "tok", "ps")
     return _phrase_hits(tf, _phrase_terms(phrases, qid_col, qtext_col), id_col)
+
+
+def rrf_fuse(
+    legs: dict[str, DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    two or more ranked retrieval legs — the standard hybrid-search
+    combiner (BM25 + dense ANN) every retrieval-augmented corpus
+    pipeline ends with.
+
+    Each leg is a DataFrame (qid, id, rk) — ALREADY cut to its own
+    top-k, so every input here is bounded by |queries| x k rows: the
+    fusion joins are broadcast-scale by construction and all the
+    100 TB heavy lifting stays inside the legs (BM25's two shuffles,
+    the ANN index probe). The classic fused score sum(1/(rrf_k+rank))
+    is computed in integer NANO-units via floor division
+    (1e9 DIV (rrf_k + rank)) so cross-leg sums are exact integers —
+    order-independent across engines, same discipline as the BM25
+    micro-unit scores. A document a leg did not rank contributes 0;
+    its rank column reports 0 (= absent) in the output.
+
+    Output: (qid, doc_id, rrf_unat, <leg>_rk per leg, rank), top-k
+    per query by fused score, doc-id tie-break.
+    """
+    if len(legs) < 2:
+        raise ValueError("rrf_fuse needs at least two legs")
+    names = list(legs)
+    joined = None
+    for name, df in legs.items():
+        cur = df.select("qid", "id", F.col("rk").cast("long").alias(f"{name}_rk"))
+        joined = cur if joined is None else joined.join(cur, ["qid", "id"], "full_outer")
+    score = None
+    for name in names:
+        part = F.coalesce(
+            F.expr(f"1000000000 div ({rrf_k} + {name}_rk)"), F.lit(0).cast("long")
+        )
+        score = part if score is None else score + part
+    fused = joined.select(
+        "qid",
+        F.col("id").alias("doc_id"),
+        score.alias("rrf_unat"),
+        *[F.coalesce(F.col(f"{n}_rk"), F.lit(0).cast("long")).alias(f"{n}_rk") for n in names],
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rrf_unat").desc(), F.col("doc_id").asc())
+    return fused.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -12253,3 +12253,121 @@ def pagerank_supplier_graph(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return pagerank_topk(fwd.unionAll(rev), k=50, iterations=5)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (r12 third wave): BM25 + ANN reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_HYBRID_RRF_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, COALESCE(SUM(len(ts)), 0) AS total FROM toks),
+    flat AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks),
+    tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM flat GROUP BY doc_id, dl, tok),
+    qterms AS (
+      SELECT * FROM (VALUES
+        ('q1','hash'),('q1','join'),('q1','merge'),
+        ('q2','window'),('q2','agg'),('q2','stream'),
+        ('q3','fast'),('q3','table'),('q3','scan'),('q3','vector')
+      ) AS q(qid, tok)
+    ),
+    dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf
+      WHERE tok IN (SELECT tok FROM qterms) GROUP BY tok
+    ),
+    bscored AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (n - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total AS DOUBLE) / n)))
+               * 1000000.0
+             ) AS BIGINT) AS s
+      FROM tf JOIN qterms q USING (tok) JOIN dfreq USING (tok), stats
+    ),
+    bagg AS (SELECT qid, doc_id, CAST(SUM(s) AS BIGINT) AS score_unat FROM bscored GROUP BY qid, doc_id),
+    branked AS (
+      SELECT qid, doc_id, score_unat,
+             row_number() OVER (PARTITION BY qid ORDER BY score_unat DESC, doc_id ASC) AS rk
+      FROM bagg
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT id, cluster FROM (
+        SELECT c.vec_id AS id, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.e, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM c CROSS JOIN cents) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 3),
+    probes AS (
+      SELECT qid, cluster FROM (
+        SELECT q.qid, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= 8
+    ),
+    cand AS (
+      SELECT p.qid, a.id FROM probes p JOIN assigned a ON a.cluster = p.cluster
+      WHERE a.id != p.qid
+    ),
+    vscored AS (
+      SELECT cand.qid AS query_id, cand.id AS neighbor_id,
+             round(list_cosine_similarity(qc.e, cc.e), 4) AS sim
+      FROM cand JOIN c qc ON qc.vec_id = cand.qid JOIN c cc ON cc.vec_id = cand.id
+    ),
+    vranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM vscored
+    ),
+    t AS (SELECT qid, doc_id AS id, rk FROM branked WHERE rk <= 20),
+    v AS (SELECT 'q' || CAST(query_id + 1 AS VARCHAR) AS qid, neighbor_id AS id,
+                 rank AS rk FROM vranked WHERE rank <= 20),
+    fused AS (
+      SELECT COALESCE(t.qid, v.qid) AS qid, COALESCE(t.id, v.id) AS doc_id,
+             COALESCE(1000000000 // (60 + t.rk), 0)
+               + COALESCE(1000000000 // (60 + v.rk), 0) AS rrf_unat,
+             COALESCE(t.rk, 0) AS bm25_rk, COALESCE(v.rk, 0) AS ann_rk
+      FROM t FULL JOIN v ON t.qid = v.qid AND t.id = v.id
+    ),
+    final AS (
+      SELECT qid, doc_id, rrf_unat, bm25_rk, ann_rk,
+             row_number() OVER (PARTITION BY qid ORDER BY rrf_unat DESC, doc_id ASC) AS rank
+      FROM fused
+    )
+    SELECT qid, doc_id, rrf_unat, bm25_rk, ann_rk, rank FROM final WHERE rank <= 10
+"""
+
+
+@_register("hybrid_rrf_retrieval", _HYBRID_RRF_ORACLE)
+def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid search (r12, `operators/retrieval.rrf_fuse`): the BM25
+    text leg (top-20 per query) and the IVF ANN dense leg (top-20,
+    deploy path — deterministic sampled centroids, nprobe=8) fused by
+    reciprocal-rank fusion in integer nano-units
+    (1e9 DIV (60 + rank), exact cross-engine sums). Query pairing:
+    text queries q1..q3 <-> query vectors vec_id 0..2 (qid = 'q'||
+    (vec_id+1)); candidate ids share the doc_id/vec_id space. The
+    fusion inputs are |queries| x 20 rows — broadcast-scale by
+    construction — so the 100 TB cost profile is exactly the two
+    legs'. A leg that did not rank a doc reports rank 0 (absent)."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import ivf_ann_topk
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    text_leg = bm25_topk(docs, _bm25_query_df(spark), k=20).select(
+        "qid", F.col("doc_id").alias("id"), "rk"
+    )
+    vec = ivf_ann_topk(emb, emb.filter("vec_id < 3"), k=20, nprobe=8, centroid_modulus=50)
+    vec_leg = vec.select(
+        F.concat(F.lit("q"), F.col("query_id") + 1).alias("qid"),
+        F.col("neighbor_id").alias("id"),
+        F.col("rank").alias("rk"),
+    )
+    return rrf_fuse({"bm25": text_leg, "ann": vec_leg}, k=10)

@@ -263,3 +263,43 @@ def test_compact_of_fully_tombstoned_tokens_leaves_no_parts(spark, tmp_path):
     idx.add(spark, _docs(spark, [(100, "join join join")]))
     got = idx.query(spark, _queries(spark, [("q", "join")]), k=3).collect()
     assert [r["doc_id"] for r in got] == [100]
+
+
+def test_rrf_fuse_integer_scores_and_absent_legs(spark):
+    from cdf_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)], ["qid", "id", "rk"]
+    )
+    b = spark.createDataFrame([("q", 2, 1), ("q", 9, 2)], ["qid", "id", "rk"])
+    got = {r["doc_id"]: r for r in rrf_fuse({"a": a, "b": b}, k=10).collect()}
+    # doc 2 ranked by both legs: 1e9//62 + 1e9//61
+    assert got[2]["rrf_unat"] == 1_000_000_000 // 62 + 1_000_000_000 // 61
+    assert (got[2]["a_rk"], got[2]["b_rk"]) == (2, 1)
+    # doc 1 only in leg a; absent leg contributes 0 and reports rank 0
+    assert got[1]["rrf_unat"] == 1_000_000_000 // 61
+    assert got[1]["b_rk"] == 0
+    # fused ranking: doc 2 (two legs) beats doc 1 (rank 1 in one leg)
+    assert got[2]["rank"] == 1 and got[1]["rank"] == 2
+    # doc 9: leg-b only
+    assert got[9]["rrf_unat"] == 1_000_000_000 // 62
+
+
+def test_rrf_fuse_k_cut_and_tiebreak(spark):
+    from cdf_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([("q", i, i) for i in range(1, 6)], ["qid", "id", "rk"])
+    b = spark.createDataFrame([("q", i + 10, i) for i in range(1, 6)], ["qid", "id", "rk"])
+    got = rrf_fuse({"a": a, "b": b}, k=4).collect()
+    assert len(got) == 4
+    # same-rank docs across legs tie on score; lower doc_id wins
+    first_two = sorted([r["doc_id"] for r in got if r["rank"] <= 2])
+    assert first_two == [1, 11]
+
+
+def test_rrf_fuse_rejects_single_leg(spark):
+    from cdf_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([("q", 1, 1)], ["qid", "id", "rk"])
+    with pytest.raises(ValueError, match="two legs"):
+        rrf_fuse({"a": a})
