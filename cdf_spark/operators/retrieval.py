@@ -627,3 +627,63 @@ def rrf_fuse(
     )
     w = Window.partitionBy("qid").orderBy(F.col("rrf_unat").desc(), F.col("doc_id").asc())
     return fused.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def bm25_prf_expand(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_k: int = 5,
+    expand_m: int = 3,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the Rocchio/RM3
+    family, two-pass form): rank with BM25, treat each query's top
+    ``fb_k`` documents as relevant, add the ``expand_m`` strongest
+    terms of that feedback set to the query (term weight = total term
+    frequency across the feedback docs — an exact integer; ties break
+    on the token), and re-rank with the expanded term set. Recovers
+    vocabulary-mismatch documents the literal query misses.
+
+    Determinism: both passes are the suite's integer micro-unit BM25;
+    the expansion choice ranks integer tf sums — every step replays
+    exactly in SQL.
+
+    Scale posture: the corpus tf table is built ONCE and feeds both
+    scoring passes and the feedback-term mining (within one action
+    Catalyst's ReuseExchange dedupes the identical tf subtree — the
+    banked `_score_topk` measurement). Feedback mining joins tf to the
+    BROADCAST |queries| x fb_k feedback set, so the candidate-term
+    aggregation only touches feedback-doc tokens; the expanded term
+    set stays query-bounded, so pass 2 costs what pass 1 does. The
+    1-row stats collect is bounded driver state.
+
+    Output: (qid, id_col, score_unat, rk) under the expanded queries.
+    """
+    tf = _doc_tf(docs, text_col, id_col)
+    lens = docs.select(F.size(_tok_array(F.col(text_col))).alias("dl"))
+    n_docs, total = lens.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+    ).collect()[0]
+    avgdl = total / n_docs
+    qterms = _query_terms(queries, qid_col, qtext_col)
+
+    fb = _score_topk(tf, qterms, int(n_docs), avgdl, fb_k, id_col)
+    fb_docs = fb.select("qid", F.col(id_col).alias("_id"))
+    cand = (
+        tf.join(F.broadcast(fb_docs), on="_id")
+        .join(F.broadcast(qterms), on=["qid", "tok"], how="left_anti")
+        .groupBy("qid", "tok")
+        .agg(F.sum("tf").alias("_w"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_w").desc(), F.col("tok").asc())
+    expansion = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= expand_m)
+        .select("qid", "tok")
+    )
+    qterms2 = qterms.union(expansion).distinct()
+    return _score_topk(tf, qterms2, int(n_docs), avgdl, k, id_col)

@@ -12371,3 +12371,100 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rank").alias("rk"),
     )
     return rrf_fuse({"bm25": text_leg, "ann": vec_leg}, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback expansion (r12 third wave)
+# ---------------------------------------------------------------------------
+
+_PRF_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, COALESCE(SUM(len(ts)), 0) AS total FROM toks),
+    flat AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks),
+    tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM flat GROUP BY doc_id, dl, tok),
+    qterms AS (
+      SELECT * FROM (VALUES
+        ('q1','hash'),('q1','join'),('q1','merge'),
+        ('q2','window'),('q2','agg'),('q2','stream'),
+        ('q3','fast'),('q3','table'),('q3','scan'),('q3','vector')
+      ) AS q(qid, tok)
+    ),
+    dfreq1 AS (
+      SELECT tok, COUNT(*) AS df FROM tf
+      WHERE tok IN (SELECT tok FROM qterms) GROUP BY tok
+    ),
+    scored1 AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (n - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total AS DOUBLE) / n)))
+               * 1000000.0
+             ) AS BIGINT) AS s
+      FROM tf JOIN qterms q USING (tok) JOIN dfreq1 USING (tok), stats
+    ),
+    agg1 AS (SELECT qid, doc_id, CAST(SUM(s) AS BIGINT) AS score_unat FROM scored1 GROUP BY qid, doc_id),
+    fb AS (
+      SELECT qid, doc_id FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score_unat DESC, doc_id ASC) AS rk
+        FROM agg1
+      ) WHERE rk <= 5
+    ),
+    cand AS (
+      SELECT fb.qid, tf.tok, SUM(tf.tf) AS w
+      FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM qterms q2 WHERE q2.qid = fb.qid AND q2.tok = tf.tok
+      )
+      GROUP BY fb.qid, tf.tok
+    ),
+    expansion AS (
+      SELECT qid, tok FROM (
+        SELECT qid, tok,
+               row_number() OVER (PARTITION BY qid ORDER BY w DESC, tok ASC) AS r
+        FROM cand
+      ) WHERE r <= 3
+    ),
+    qterms2 AS (SELECT qid, tok FROM qterms UNION SELECT qid, tok FROM expansion),
+    dfreq2 AS (
+      SELECT tok, COUNT(*) AS df FROM tf
+      WHERE tok IN (SELECT tok FROM qterms2) GROUP BY tok
+    ),
+    scored2 AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (n - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total AS DOUBLE) / n)))
+               * 1000000.0
+             ) AS BIGINT) AS s
+      FROM tf JOIN qterms2 q USING (tok) JOIN dfreq2 USING (tok), stats
+    ),
+    agg2 AS (SELECT qid, doc_id, CAST(SUM(s) AS BIGINT) AS score_unat FROM scored2 GROUP BY qid, doc_id),
+    ranked2 AS (
+      SELECT qid, doc_id, score_unat,
+             row_number() OVER (PARTITION BY qid ORDER BY score_unat DESC, doc_id ASC) AS rk
+      FROM agg2
+    )
+    SELECT qid, doc_id, score_unat, rk FROM ranked2 WHERE rk <= 10
+"""
+
+
+@_register("bm25_prf_expanded_topk", _PRF_ORACLE)
+def bm25_prf_expanded_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-pass pseudo-relevance-feedback retrieval (r12,
+    `operators/retrieval.bm25_prf_expand`): BM25 top-5 feedback docs
+    per query, the 3 strongest feedback terms (exact integer tf sums,
+    token tie-break, original terms excluded) join the query, and the
+    expanded term set re-ranks the corpus. The corpus tf table is
+    built once and shared by both passes and the term mining; the
+    oracle replays feedback selection, expansion mining, and the
+    second scoring pass end to end."""
+    from .operators.retrieval import bm25_prf_expand
+
+    return bm25_prf_expand(
+        _t(spark, sf, "documents"), _bm25_query_df(spark), fb_k=5, expand_m=3, k=10
+    )

@@ -303,3 +303,38 @@ def test_rrf_fuse_rejects_single_leg(spark):
     a = spark.createDataFrame([("q", 1, 1)], ["qid", "id", "rk"])
     with pytest.raises(ValueError, match="two legs"):
         rrf_fuse({"a": a})
+
+
+def test_prf_expansion_recovers_vocabulary_mismatch(spark):
+    from cdf_spark.operators.retrieval import bm25_prf_expand
+
+    # "shuffle" never appears in the query; it dominates the feedback
+    # doc (1), so expansion adds it and recovers doc 7 — which shares
+    # NO term with the original query.
+    docs = _docs(
+        spark,
+        CORPUS
+        + [
+            (7, "shuffle shuffle shuffle exchange partitions"),
+        ],
+    )
+    qs = _queries(spark, [("q", "merge join")])
+    literal = {r["doc_id"] for r in bm25_topk(docs, qs, k=10).collect()}
+    assert 7 not in literal
+    expanded = bm25_prf_expand(docs, qs, fb_k=1, expand_m=2, k=10)
+    got = {r["doc_id"] for r in expanded.collect()}
+    # feedback doc is 1 ("spark shuffle join merge join join"); its
+    # strongest non-query terms include "shuffle" (tf 1) -> doc 7 in
+    assert 7 in got
+
+
+def test_prf_expansion_never_reuses_original_terms(spark):
+    from cdf_spark.operators.retrieval import bm25_prf_expand
+
+    # corpus where feedback docs contain ONLY query terms: expansion
+    # finds nothing new and pass 2 equals pass 1.
+    docs = _docs(spark, [(1, "join merge"), (2, "join join"), (3, "merge")])
+    qs = _queries(spark, [("q", "join merge")])
+    base = sorted(map(tuple, bm25_topk(docs, qs, k=10).collect()))
+    exp = sorted(map(tuple, bm25_prf_expand(docs, qs, fb_k=2, expand_m=3, k=10).collect()))
+    assert base == exp
