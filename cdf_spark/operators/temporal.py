@@ -99,3 +99,67 @@ def hypertable_rollup(
         .agg(F.sum("sum_value").alias("sum_value"), F.sum("n_rows").alias("n_rows"))
     )
     return fine_df, coarse_df
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    within: str = "7 days",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence funnel (ClickHouse ``windowFunnel`` semantics,
+    strict-order/first-occurrence variant): for each user, step 1
+    anchors at the user's FIRST step-1 event; step i completes at the
+    first step-i event STRICTLY after step i-1's completion and within
+    ``within`` of the anchor. Returns one row per step:
+    (step_idx, step, n_users) — exact integer counts, so the whole
+    funnel replays in SQL.
+
+    Scale posture: one user-keyed min-aggregation per step (map-side
+    combinable) and one user-keyed equi-join per step transition — all
+    shuffles share the user key, so AQE plans one exchange layout and
+    per-user state is O(steps), never a per-user event sort. The
+    events scan is filtered to the step types before any shuffle.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    ev = events.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), F.col(ts_col).alias("_ts")
+    ).filter(F.col(type_col).isin(steps))
+
+    anchors = (
+        ev.filter(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_c1"))
+        .select("_u", "_c1", (F.col("_c1") + F.expr(f"INTERVAL {within}")).alias("_hz"))
+    )
+    reached = [anchors.select("_u", F.col("_c1").alias("_c"), "_hz")]
+    for step in steps[1:]:
+        prev = reached[-1]
+        nxt = (
+            ev.filter(F.col("_t") == step)
+            .join(prev, on="_u")
+            .filter((F.col("_ts") > F.col("_c")) & (F.col("_ts") <= F.col("_hz")))
+            .groupBy("_u", "_hz")
+            .agg(F.min("_ts").alias("_c"))
+            .select("_u", "_c", "_hz")
+        )
+        reached.append(nxt)
+
+    spark = events.sparkSession
+    labels = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], ["step_idx", "step"]
+    )
+    counts = None
+    for i, df in enumerate(reached):
+        c = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step_idx"), "n_users"
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    return labels.join(counts, on="step_idx").select(
+        "step_idx", "step", F.col("n_users").cast("long").alias("n_users")
+    )

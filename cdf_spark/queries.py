@@ -12468,3 +12468,50 @@ def bm25_prf_expanded_topk(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_prf_expand(
         _t(spark, sf, "documents"), _bm25_query_df(spark), fb_k=5, expand_m=3, k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (r12 third wave)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+    WITH a AS (
+      SELECT user_id AS u, MIN(ts) AS c1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (SELECT u, c1 AS c, c1 + INTERVAL 7 DAY AS hz FROM a),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS c, s1.hz
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.c AND e.ts <= s1.hz
+      GROUP BY e.user_id, s1.hz
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS c, s2.hz
+      FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.c AND e.ts <= s2.hz
+      GROUP BY e.user_id, s2.hz
+    )
+    SELECT * FROM (
+      SELECT 1 AS step_idx, 'view' AS step, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    )
+"""
+
+
+@_register("funnel_view_click_purchase", _FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-sequence funnel (r12, `operators/temporal.funnel_counts`,
+    ClickHouse windowFunnel semantics): users who viewed, then clicked
+    strictly after the first view, then purchased strictly after that
+    click — all within 7 days of the anchoring view. One user-keyed
+    min-agg + join per step, every shuffle on the same key; exact
+    integer counts replayed step-for-step by the oracle."""
+    from .operators.temporal import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf, "events"), ["view", "click", "purchase"], within="7 days"
+    )

@@ -104,3 +104,71 @@ def test_range_join_fractional_second_interval_end(spark):
     )
     got = {r.pid for r in range_join(points, intervals, "ts", "s", "e").collect()}
     assert got == {1, 2}
+
+
+def test_funnel_strict_order_and_horizon(spark):
+    from datetime import datetime
+
+    from cdf_spark.operators.temporal import funnel_counts
+
+    T = datetime
+    rows = [
+        # u1 completes all three in order within horizon
+        (1, "view", T(2024, 1, 1)),
+        (1, "click", T(2024, 1, 2)),
+        (1, "purchase", T(2024, 1, 3)),
+        # u2 clicks BEFORE viewing: click doesn't count; re-click after
+        # view is missing -> stops at step 1
+        (2, "click", T(2024, 1, 1)),
+        (2, "view", T(2024, 1, 2)),
+        (2, "purchase", T(2024, 1, 3)),  # purchase without valid click
+        # u3 completes but outside the 7-day horizon
+        (3, "view", T(2024, 1, 1)),
+        (3, "click", T(2024, 1, 2)),
+        (3, "purchase", T(2024, 1, 20)),
+        # u4 never views
+        (4, "click", T(2024, 1, 1)),
+        (4, "purchase", T(2024, 1, 2)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["view", "click", "purchase"], within="7 days").collect()
+    }
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_anchor_is_first_view_and_equal_ts_excluded(spark):
+    from datetime import datetime
+
+    from cdf_spark.operators.temporal import funnel_counts
+
+    T = datetime
+    rows = [
+        # horizon anchors at the FIRST view (Jan 1), so the Jan 10
+        # click is outside [anchor, anchor+7d] even though a later
+        # view exists; same-timestamp click is NOT strictly after.
+        (1, "view", T(2024, 1, 1)),
+        (1, "view", T(2024, 1, 9)),
+        (1, "click", T(2024, 1, 10)),
+        (2, "view", T(2024, 1, 1)),
+        (2, "click", T(2024, 1, 1)),  # equal ts: excluded (strict >)
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["view", "click"], within="7 days").collect()
+    }
+    assert got == {"view": 2, "click": 0}
+
+
+def test_funnel_rejects_bad_steps(spark):
+    import pytest
+
+    from cdf_spark.operators.temporal import funnel_counts
+
+    ev = spark.createDataFrame([(1, "view", None)], "user_id long, event_type string, ts timestamp")
+    with pytest.raises(ValueError):
+        funnel_counts(ev, ["view"])
+    with pytest.raises(ValueError):
+        funnel_counts(ev, ["view", "view"])
