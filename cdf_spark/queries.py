@@ -5094,6 +5094,12 @@ PARITY_TWINS: set[str] = {
 # oldest 29 of the r6-green cohort fill to the cut; the remaining r6
 # entries front the r12 rotation.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
+    # -- never driver-green (r12 third-wave additions, this session) --
+    "pagerank_supplier_graph",
+    "hybrid_rrf_retrieval",
+    "bm25_prf_expanded_topk",
+    "funnel_view_click_purchase",
+    "delta_ivm_rollup",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -12514,4 +12520,72 @@ def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
 
     return funnel_counts(
         _t(spark, sf, "events"), ["view", "click", "purchase"], within="7 days"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (r12 third wave)
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+    WITH final AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey > 500 AND o_orderkey <= 700
+                  THEN -1.0 ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 3500
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS sum_totalprice
+    FROM final GROUP BY o_orderpriority
+"""
+
+
+@_register("delta_ivm_rollup", _IVM_ORACLE)
+def delta_ivm_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance (r12,
+    `operators/matview.MaterializedAggregate`): a persisted
+    (priority -> COUNT, SUM(totalprice)) view over a CDF-enabled Delta
+    table, initialized from the v0 snapshot and then REFRESHED from
+    the change feed through a DV delete (retractions) and a DV merge
+    (update pre/post-image pairs + fresh inserts) — two incremental
+    folds plus a proven no-op refresh, never re-scanning the table.
+    DECIMAL(38,6) sums make the maintained state bit-identical to the
+    oracle's from-scratch aggregate of the final snapshot."""
+    from .operators.matview import MaterializedAggregate
+    from .sources.delta import DeltaFixtureWriter
+
+    def build(tmp: str) -> None:
+        import shutil
+        import tempfile
+        from pathlib import Path as _P
+
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t", change_data_feed=True)
+        w.append(o.filter(F.col("o_orderkey") <= 3000), timestamp_ms=1000)
+        mv = MaterializedAggregate(f"{tmp}/mv")
+        mv.build(spark, f"{tmp}/t", keys=["o_orderpriority"], sums=["o_totalprice"])
+        w.delete_where(spark, "o_orderkey <= 500", timestamp_ms=2000)
+        mv.refresh(spark)  # fold the retractions alone
+        batch = (
+            o.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 700))
+            .withColumn("o_totalprice", F.lit(-1.0))
+            .unionByName(
+                o.filter((F.col("o_orderkey") > 3000) & (F.col("o_orderkey") <= 3500))
+            )
+        )
+        seg = tempfile.mkdtemp()
+        batch.coalesce(1).write.mode("overwrite").parquet(seg)
+        segs = sorted(str(p) for p in _P(seg).glob("*.parquet"))
+        w.upsert_files_dv(spark, segs, ["o_orderkey"], timestamp_ms=3000)
+        shutil.rmtree(seg, ignore_errors=True)
+        m1 = mv.refresh(spark)  # fold updates + inserts
+        if mv.refresh(spark) != m1:
+            raise AssertionError("refresh with no new commits must be a no-op")
+
+    tmp = _session_fixture("delta_ivm", sf, build)
+    mv = MaterializedAggregate(f"{tmp}/mv")
+    return mv.read(spark).select(
+        "o_orderpriority",
+        "cnt",
+        F.col("sum_o_totalprice").cast("double").alias("sum_totalprice"),
     )
