@@ -1,9 +1,13 @@
-"""Iterative graph processing: integer fixed-point PageRank.
+"""Iterative graph processing: integer fixed-point PageRank, uniform
+and personalized.
 
 Why this lives in a data-curation engine: web-scale pretraining
 pipelines weight documents by the link-graph standing of their source
 (Common Crawl publishes host-level harmonic/PageRank centrality, and
-CCNet/RefinedWeb-style curation uses it as a quality prior). The
+CCNet/RefinedWeb-style curation uses it as a quality prior), and
+personalized PageRank — teleport restricted to a SEED set — is the
+standard "expand this trusted set through the graph" primitive
+(seed-site corpus expansion, curated-domain neighborhoods). The
 reference's surface has no graph operators — this is the
 beyond-reference generalization of its quality-scoring story, in the
 same sense the NB classifier generalizes its contract rules
@@ -15,7 +19,7 @@ micro-nat suite): every per-iteration quantity is an INTEGER —
 scores are micro-units (1e6 = mass 1.0), per-edge contributions are
 integer floor-divisions `score DIV outdeg`, the damping step is
 `(85 * x) DIV 100`, and the dangling redistribution is
-`dangling_mass DIV n_nodes`. Integer sums are immune to float
+`dangling_mass DIV n_targets`. Integer sums are immune to float
 summation order across partitions AND across engines, so a DuckDB
 oracle can replay the whole power iteration unrolled and match
 bit-for-bit. All quantities are non-negative, so Spark's `DIV`
@@ -39,7 +43,7 @@ Scale posture (1B-edge graph on a 1000-executor cluster):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000
@@ -52,6 +56,8 @@ def pagerank(
     scale: int = SCALE,
     src: str = "src",
     dst: str = "dst",
+    seeds: DataFrame | None = None,
+    seed_col: str = "id",
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge list.
 
@@ -59,17 +65,25 @@ def pagerank(
     destinations). ``edges`` is treated as a simple directed graph —
     callers dedup parallel edges if their model requires it.
 
-    Per iteration, with integer micro-unit scores s and the damping
-    percentage d (default 85):
+    With ``seeds`` (one-column DataFrame of node ids), the walk is
+    PERSONALIZED: initial mass, the teleport term, and the dangling
+    redistribution all land only on seed nodes, so scores measure
+    proximity to the seed set. Seeds that are not graph nodes are
+    ignored; an empty effective seed set errors.
+
+    Per iteration, with integer micro-unit scores s, damping d
+    (default 85), seed indicator sd[v] (1 everywhere when
+    unpersonalized) and n_t = number of teleport targets (all nodes,
+    or the seed count):
 
         contrib[v]  = sum over edges u->v of  s[u] DIV outdeg[u]
         dangling    = sum of s[u] over nodes with no out-edges
-        s'[v]       = (100-d)*scale DIV 100
-                      + (d * (contrib[v] + dangling DIV n)) DIV 100
+        s'[v]       = sd[v] * ((100-d)*scale DIV 100)
+                      + (d * (contrib[v] + sd[v]*(dangling DIV n_t))) DIV 100
 
     The floor divisions make the recurrence exactly reproducible in
     ANSI SQL (DuckDB `//`), which is what lets the correctness gate
-    value-match an iterative algorithm.
+    value-match an iterative algorithm — uniform AND personalized.
     """
     if iterations < 1:
         raise ValueError("pagerank needs at least one iteration")
@@ -81,16 +95,25 @@ def pagerank(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    if seeds is None:
+        nodes = nodes.select("id", F.lit(1).alias("_sd"))
+    else:
+        sd = seeds.select(F.col(seed_col).alias("id")).distinct().withColumn("_m", F.lit(1))
+        nodes = nodes.join(F.broadcast(sd), "id", "left").select(
+            "id", F.coalesce(F.col("_m"), F.lit(0)).alias("_sd")
+        )
+    nodes = nodes.localCheckpoint(eager=True)
+    n_t = nodes.agg(F.sum("_sd")).collect()[0][0]
+    if not n_t:
+        raise ValueError("no seed is a node of the graph")
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     # Edge table annotated with its source's out-degree, materialized
     # once — iterations re-join only the O(nodes) score table.
     e2 = e.join(deg, e["src"] == deg["id"]).select("src", "dst", "deg").localCheckpoint(eager=True)
 
     teleport = ((100 - damping_pct) * scale) // 100
-    scores = nodes.select("id", F.lit(scale).cast("long").alias("s"))
+    scores = nodes.select("id", (F.lit(scale) * F.col("_sd")).cast("long").alias("s"))
     for _ in range(iterations):
         scores = scores.localCheckpoint(eager=True)
         dangling = (
@@ -98,7 +121,7 @@ def pagerank(
             .agg(F.coalesce(F.sum("s"), F.lit(0)).cast("long"))
             .collect()[0][0]
         )
-        dshare = dangling // n
+        dshare = dangling // int(n_t)
         contrib = (
             e2.join(scores, e2["src"] == scores["id"])
             .select("dst", F.expr("s div deg").alias("_c"))
@@ -110,9 +133,9 @@ def pagerank(
             .select(
                 "id",
                 (
-                    F.lit(teleport)
+                    F.col("_sd") * F.lit(teleport)
                     + F.expr(
-                        f"({damping_pct} * (coalesce(contrib, 0) + {dshare})) div 100"
+                        f"({damping_pct} * (coalesce(contrib, 0) + _sd * {dshare})) div 100"
                     )
                 ).cast("long").alias("s"),
             )
@@ -127,15 +150,26 @@ def pagerank_topk(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    seeds: DataFrame | None = None,
+    seed_col: str = "id",
 ) -> DataFrame:
-    """Top-k nodes by PageRank with a deterministic dense ranking.
+    """Top-k nodes by (optionally personalized) PageRank with a
+    deterministic dense ranking.
 
     The cut is orderBy+limit (TakeOrderedAndProject — a per-partition
     top-k merge, never a global sort materialization); the rank column
     is computed over the k survivors only, so the single-partition
     window is bounded by k, not by the node count.
     """
-    scores = pagerank(edges, iterations=iterations, damping_pct=damping_pct, src=src, dst=dst)
+    scores = pagerank(
+        edges,
+        iterations=iterations,
+        damping_pct=damping_pct,
+        src=src,
+        dst=dst,
+        seeds=seeds,
+        seed_col=seed_col,
+    )
     from pyspark.sql.window import Window
 
     top = scores.orderBy(F.col("score_unat").desc(), F.col("id").asc()).limit(k)

@@ -5100,6 +5100,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "bm25_prf_expanded_topk",
     "funnel_view_click_purchase",
     "delta_ivm_rollup",
+    "personalized_pagerank_seeds",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -12589,3 +12590,84 @@ def delta_ivm_rollup(spark: SparkSession, sf: str) -> DataFrame:
         "cnt",
         F.col("sum_o_totalprice").cast("double").alias("sum_totalprice"),
     )
+
+
+def _ppr_oracle(iters: int = 5, k: int = 50) -> str:
+    """Personalized-PageRank replay: same unrolled trio per iteration
+    as `_pagerank_oracle`, with initial mass / teleport / dangling
+    redistribution all gated by the seed indicator."""
+    body = """
+    WITH j AS (
+      SELECT o_custkey AS ck, l_suppkey AS sk, l_returnflag AS rf
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT DISTINCT 'c' || CAST(ck AS VARCHAR) AS src,
+                      's' || CAST(sk AS VARCHAR) AS dst FROM j
+      UNION ALL
+      SELECT DISTINCT 's' || CAST(sk AS VARCHAR),
+                      'c' || CAST(ck AS VARCHAR) FROM j WHERE rf = 'R'
+    ),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    seeds AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS id
+              FROM customer WHERE c_nationkey = 1),
+    snodes AS (SELECT n.id, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS sd
+               FROM nodes n LEFT JOIN seeds s ON n.id = s.id),
+    ns AS (SELECT CAST(SUM(sd) AS BIGINT) AS n_t FROM snodes),
+    outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+    it0 AS (SELECT id, CAST(1000000 * sd AS BIGINT) AS s FROM snodes)"""
+    for i in range(iters):
+        body += f""",
+    d{i} AS (SELECT COALESCE(SUM(s), 0) AS dang FROM it{i}
+             WHERE id NOT IN (SELECT id FROM outdeg)),
+    c{i} AS (SELECT e.dst AS id, SUM(t.s // o.deg) AS contrib
+             FROM edges e JOIN it{i} t ON t.id = e.src
+             JOIN outdeg o ON o.id = e.src
+             GROUP BY e.dst),
+    it{i + 1} AS (SELECT sn.id,
+             CAST(sn.sd * 150000 + (85 * (COALESCE(c{i}.contrib, 0)
+                  + sn.sd * ((SELECT dang FROM d{i}) // (SELECT n_t FROM ns)))) // 100
+                  AS BIGINT) AS s
+             FROM snodes sn LEFT JOIN c{i} ON c{i}.id = sn.id)"""
+    body += f""",
+    ranked AS (SELECT id, s AS score_unat,
+               row_number() OVER (ORDER BY s DESC, id ASC) AS rank FROM it{iters})
+    SELECT id, score_unat, rank FROM ranked WHERE rank <= {k}
+    """
+    return body
+
+
+@_register("personalized_pagerank_seeds", _ppr_oracle())
+def personalized_pagerank_seeds(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank (r12, `operators/graph.pagerank` with
+    `seeds`): the same trade graph as `pagerank_supplier_graph`, but
+    the walk restarts ONLY at nation-1 customers — initial mass,
+    teleport, and dangling redistribution all land on the seed set,
+    so scores rank the graph by proximity to those customers (the
+    seed-set corpus-expansion primitive: 'given these trusted
+    sources, which nodes are close?'). Same integer recurrence,
+    seed-gated; oracle unrolls all five iterations."""
+    from .operators.graph import pagerank_topk
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    cust = _t(spark, sf, "customer")
+    j = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "o_custkey", "l_suppkey", "l_returnflag"
+    )
+    fwd = j.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    rev = (
+        j.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = cust.filter(F.col("c_nationkey") == 1).select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("id")
+    )
+    return pagerank_topk(fwd.unionAll(rev), k=50, iterations=5, seeds=seeds)

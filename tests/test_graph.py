@@ -79,3 +79,51 @@ def test_pagerank_rejects_bad_args(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         pagerank(df, damping_pct=100)
+
+
+def _py_ppr(edges, seed_set, iters=3, damping=85, scale=SCALE):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    sd = {v: (1 if v in seed_set else 0) for v in nodes}
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    n_t = sum(sd.values())
+    s = {v: scale * sd[v] for v in nodes}
+    teleport = ((100 - damping) * scale) // 100
+    for _ in range(iters):
+        dang = sum(s[v] for v in nodes if v not in out)
+        dshare = dang // n_t
+        contrib = {v: 0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += s[u] // out[u]
+        s = {
+            v: sd[v] * teleport + (damping * (contrib[v] + sd[v] * dshare)) // 100
+            for v in nodes
+        }
+    return s
+
+
+def test_personalized_pagerank_matches_replica_and_gates_mass(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    got = {
+        r["id"]: r["score_unat"]
+        for r in pagerank(df, iterations=3, seeds=seeds).collect()
+    }
+    assert got == _py_ppr(EDGES, {"a"}, iters=3)
+    # non-seed source-less nodes hold no mass: d only receives via edges
+    assert got["d"] == 0  # d has no in-edges and is not a seed
+
+
+def test_personalized_pagerank_ignores_unknown_seeds_and_rejects_empty(spark):
+    import pytest
+
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    both = spark.createDataFrame([("a",), ("zzz",)], ["id"])
+    only_a = spark.createDataFrame([("a",)], ["id"])
+    ra = {r["id"]: r["score_unat"] for r in pagerank(df, iterations=2, seeds=both).collect()}
+    rb = {r["id"]: r["score_unat"] for r in pagerank(df, iterations=2, seeds=only_a).collect()}
+    assert ra == rb  # "zzz" is not a graph node: ignored
+    ghost = spark.createDataFrame([("zzz",)], ["id"])
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(df, seeds=ghost)
