@@ -687,3 +687,81 @@ def bm25_prf_expand(
     )
     qterms2 = qterms.union(expansion).distinct()
     return _score_topk(tf, qterms2, int(n_docs), avgdl, k, id_col)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 5,
+    lambda_pct: int = 70,
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein
+    1998): greedily select ``k`` of each query's candidates, trading
+    relevance against redundancy with what is already selected —
+    the diversity stage a retrieval-augmented pipeline runs after
+    ANN/BM25 top-k, and the sampling stage dataset curators use to
+    de-clump near-identical examples.
+
+    Inputs (both ALREADY query-bounded — candidates are a prior
+    top-k cut, so every step below is broadcast-scale per query; the
+    100 TB cost lives in the retrieval legs that produced them):
+    - ``candidates``: (qid, id, rel_u) — relevance in integer
+      micro-units;
+    - ``pair_sims``: (qid, a, b, sim_u) — DIRECTED pairwise candidate
+      similarities in micro-units (both orientations present; absent
+      pairs count as similarity 0).
+
+    Selection step i maximizes the integer score
+    ``lambda_pct*rel_u - (100-lambda_pct)*max(sim_u to selected)``
+    (step 1 has no penalty), ties by candidate id asc. Every
+    comparison is integer-exact, so the greedy unrolls into SQL CTEs
+    and the gate value-matches the whole selection sequence.
+
+    Output: (qid, id, mmr_rank, sel_score_unat) — the score each item
+    was selected AT (step-1 scores carry no penalty term).
+    """
+    if k < 1:
+        raise ValueError("k must be positive")
+    if not 0 < lambda_pct <= 100:
+        raise ValueError("lambda_pct must be in (1, 100)")
+    mu = 100 - lambda_pct
+    cand = candidates.select("qid", "id", F.col("rel_u").cast("long").alias("rel_u"))
+    pairs = pair_sims.select(
+        "qid", "a", "b", F.col("sim_u").cast("long").alias("sim_u")
+    )
+
+    w = Window.partitionBy("qid").orderBy(F.col("_score").desc(), F.col("id").asc())
+    first = (
+        cand.withColumn("_score", F.lit(lambda_pct) * F.col("rel_u"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("qid", "id", F.lit(1).alias("mmr_rank"), F.col("_score").alias("sel_score_unat"))
+    )
+    selected = first
+    for step in range(2, k + 1):
+        remaining = cand.join(selected.select("qid", "id"), ["qid", "id"], "left_anti")
+        pen = (
+            pairs.join(
+                selected.select("qid", F.col("id").alias("b")), ["qid", "b"]
+            )
+            .groupBy("qid", F.col("a").alias("id"))
+            .agg(F.max("sim_u").alias("_pen"))
+        )
+        pick = (
+            remaining.join(pen, ["qid", "id"], "left")
+            .withColumn(
+                "_score",
+                F.lit(lambda_pct) * F.col("rel_u")
+                - F.lit(mu) * F.coalesce(F.col("_pen"), F.lit(0)),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "qid",
+                "id",
+                F.lit(step).alias("mmr_rank"),
+                F.col("_score").alias("sel_score_unat"),
+            )
+        )
+        selected = selected.unionAll(pick)
+    return selected

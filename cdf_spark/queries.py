@@ -5101,6 +5101,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "funnel_view_click_purchase",
     "delta_ivm_rollup",
     "personalized_pagerank_seeds",
+    "mmr_diversified_rerank",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -12671,3 +12672,133 @@ def personalized_pagerank_seeds(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("c_custkey")).alias("id")
     )
     return pagerank_topk(fwd.unionAll(rev), k=50, iterations=5, seeds=seeds)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking (r12 third wave)
+# ---------------------------------------------------------------------------
+
+
+def _mmr_oracle(k: int = 4, nc: int = 8) -> str:
+    """Unrolled greedy MMR: one (penalty, selection) CTE pair per
+    step over the IVF candidate CTEs — the same integer score
+    `70*rel_u - 30*max(sim_u to selected)` the operator maximizes."""
+    body = """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT id, cluster FROM (
+        SELECT c.vec_id AS id, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.e, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM c CROSS JOIN cents) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM c WHERE vec_id < 3),
+    probes AS (
+      SELECT qid, cluster FROM (
+        SELECT q.qid, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= 8
+    ),
+    candraw AS (
+      SELECT p.qid, a.id FROM probes p JOIN assigned a ON a.cluster = p.cluster
+      WHERE a.id != p.qid
+    ),
+    vscored AS (
+      SELECT candraw.qid AS query_id, candraw.id AS neighbor_id,
+             round(list_cosine_similarity(qc.e, cc.e), 4) AS sim
+      FROM candraw JOIN c qc ON qc.vec_id = candraw.qid JOIN c cc ON cc.vec_id = candraw.id
+    ),
+    vranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM vscored
+    ),"""
+    body += f"""
+    cand AS (
+      SELECT 'q' || CAST(query_id + 1 AS VARCHAR) AS qid, neighbor_id AS id,
+             CAST(round(sim * 1000000.0) AS BIGINT) AS rel_u
+      FROM vranked WHERE rank <= {nc}
+    ),
+    pair AS (
+      SELECT c1.qid, c1.id AS a, c2.id AS b,
+             CAST(round(round(list_cosine_similarity(e1.e, e2.e), 4) * 1000000.0) AS BIGINT) AS sim_u
+      FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.id != c2.id
+      JOIN c e1 ON e1.vec_id = c1.id JOIN c e2 ON e2.vec_id = c2.id
+    ),
+    sel1 AS (
+      SELECT qid, id, 1 AS mmr_rank, CAST(70 * rel_u AS BIGINT) AS sel_score_unat FROM (
+        SELECT qid, id, rel_u,
+               row_number() OVER (PARTITION BY qid ORDER BY 70 * rel_u DESC, id ASC) AS rn
+        FROM cand) WHERE rn = 1
+    ),
+    selset1 AS (SELECT qid, id FROM sel1)"""
+    for i in range(2, k + 1):
+        body += f""",
+    pen{i} AS (
+      SELECT pr.qid, pr.a AS id, MAX(pr.sim_u) AS pen
+      FROM pair pr JOIN selset{i - 1} s ON pr.qid = s.qid AND pr.b = s.id
+      GROUP BY pr.qid, pr.a
+    ),
+    sel{i} AS (
+      SELECT qid, id, {i} AS mmr_rank, CAST(score AS BIGINT) AS sel_score_unat FROM (
+        SELECT r.qid, r.id,
+               70 * r.rel_u - 30 * COALESCE(p.pen, 0) AS score,
+               row_number() OVER (PARTITION BY r.qid
+                 ORDER BY 70 * r.rel_u - 30 * COALESCE(p.pen, 0) DESC, r.id ASC) AS rn
+        FROM cand r LEFT JOIN pen{i} p ON p.qid = r.qid AND p.id = r.id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM selset{i - 1} s2 WHERE s2.qid = r.qid AND s2.id = r.id
+        )
+      ) WHERE rn = 1
+    ),
+    selset{i} AS (SELECT qid, id FROM selset{i - 1} UNION ALL SELECT qid, id FROM sel{i})"""
+    union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, k + 1))
+    body += f"""
+    {union}
+    """
+    return body
+
+
+@_register("mmr_diversified_rerank", _mmr_oracle())
+def mmr_diversified_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversified reranking (r12,
+    `operators/retrieval.mmr_rerank`): the IVF ANN deploy leg cuts 8
+    candidates per query vector; MMR then greedily selects 4, each
+    step maximizing 70%*relevance - 30%*max-similarity-to-selected
+    in integer micro-units (candidate-id tie-breaks). The de-clumping
+    stage after dense retrieval — near-identical neighbors cannot
+    crowd the final set. Candidates and their pairwise similarities
+    are query-bounded, so every greedy step is broadcast-scale; the
+    oracle unrolls all four selections."""
+    from .operators.retrieval import mmr_rerank
+    from .operators.similarity import cosine, ivf_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    raw = ivf_ann_topk(emb, emb.filter("vec_id < 3"), k=8, nprobe=8, centroid_modulus=50)
+    cand = raw.select(
+        F.concat(F.lit("q"), F.col("query_id") + 1).alias("qid"),
+        F.col("neighbor_id").alias("id"),
+        F.round(F.col("sim") * F.lit(1000000.0)).cast("long").alias("rel_u"),
+    )
+    ce = emb.select("vec_id", "embedding")
+    pa = cand.select("qid", F.col("id").alias("a")).join(
+        ce.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va")), on="a"
+    )
+    pb = cand.select("qid", F.col("id").alias("b")).join(
+        ce.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_vb")), on="b"
+    )
+    pairs = (
+        pa.join(pb, on="qid")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "qid",
+            "a",
+            "b",
+            F.round(F.round(cosine(F.col("_va"), F.col("_vb")), 4) * F.lit(1000000.0))
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )
+    return mmr_rerank(cand, pairs, k=4, lambda_pct=70)

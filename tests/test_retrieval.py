@@ -338,3 +338,53 @@ def test_prf_expansion_never_reuses_original_terms(spark):
     base = sorted(map(tuple, bm25_topk(docs, qs, k=10).collect()))
     exp = sorted(map(tuple, bm25_prf_expand(docs, qs, fb_k=2, expand_m=3, k=10).collect()))
     assert base == exp
+
+
+def test_mmr_demotes_redundant_candidates(spark):
+    from cdf_spark.operators.retrieval import mmr_rerank
+
+    # doc 2 is nearly identical to doc 1 (sim 0.99); doc 3 is less
+    # relevant but diverse. Pure relevance picks (1, 2); MMR picks
+    # (1, 3): 70*900000 - 30*990000 = 33.3e6 < 70*600000 - 30*100000.
+    cand = spark.createDataFrame(
+        [("q", 1, 1_000_000), ("q", 2, 900_000), ("q", 3, 600_000)],
+        ["qid", "id", "rel_u"],
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("q", 1, 2, 990_000), ("q", 2, 1, 990_000),
+            ("q", 1, 3, 100_000), ("q", 3, 1, 100_000),
+            ("q", 2, 3, 100_000), ("q", 3, 2, 100_000),
+        ],
+        ["qid", "a", "b", "sim_u"],
+    )
+    got = {r["mmr_rank"]: r["id"] for r in mmr_rerank(cand, pairs, k=3).collect()}
+    assert got == {1: 1, 2: 3, 3: 2}
+
+
+def test_mmr_missing_pairs_count_as_zero_and_short_candidate_sets(spark):
+    from cdf_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [("q", 1, 500_000), ("q", 2, 400_000)], ["qid", "id", "rel_u"]
+    )
+    pairs = spark.createDataFrame([], "qid string, a long, b long, sim_u long")
+    got = mmr_rerank(cand, pairs, k=5).collect()
+    # only 2 candidates -> only 2 selections, ranked 1..2
+    assert sorted((r["mmr_rank"], r["id"]) for r in got) == [(1, 1), (2, 2)]
+    # with no pair info, step-2 score is pure scaled relevance
+    by_rank = {r["mmr_rank"]: r for r in got}
+    assert by_rank[2]["sel_score_unat"] == 70 * 400_000
+
+
+def test_mmr_rejects_bad_params(spark):
+    import pytest
+
+    from cdf_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame([("q", 1, 1)], ["qid", "id", "rel_u"])
+    pairs = spark.createDataFrame([], "qid string, a long, b long, sim_u long")
+    with pytest.raises(ValueError):
+        mmr_rerank(cand, pairs, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(cand, pairs, lambda_pct=0)
