@@ -124,6 +124,17 @@ BENCH_QUERIES = [
     # int8 candidate scan + exact rescore — the bandwidth-compression
     # sibling of ivf_pq_ann_topk)
     "ivf_sq8_ann_topk",
+    # round 12 third wave: iterative graph processing (5 power
+    # iterations over the order-derived trade graph — per-iteration
+    # edge join + combinable contribution sum, localCheckpoint-
+    # truncated lineage), hybrid BM25+ANN RRF fusion (both retrieval
+    # legs end to end; the fusion itself is broadcast-scale), two-pass
+    # pseudo-relevance-feedback BM25 (shared corpus tf subtree), and
+    # the ordered-sequence funnel (per-step user-keyed min-join)
+    "pagerank_supplier_graph",
+    "hybrid_rrf_retrieval",
+    "bm25_prf_expanded_topk",
+    "funnel_view_click_purchase",
 ]
 
 
