@@ -90,7 +90,13 @@ def pagerank(
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (1, 99)")
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the edge list ONCE — everything else (degrees, the
+    # node set, the annotated edge table, the dangling set) derives
+    # from the checkpoint, so the possibly-expensive upstream build
+    # (joins/distincts in the caller's lineage) runs exactly one time.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -111,13 +117,18 @@ def pagerank(
     # Edge table annotated with its source's out-degree, materialized
     # once — iterations re-join only the O(nodes) score table.
     e2 = e.join(deg, e["src"] == deg["id"]).select("src", "dst", "deg").localCheckpoint(eager=True)
+    # The dangling-node SET is iteration-invariant: computing it once
+    # (O(nodes), checkpointed) turns the per-iteration dangling-mass
+    # read into a broadcast semi-join over the score table instead of
+    # a per-round degree recomputation.
+    dangset = nodes.select("id").join(deg, "id", "left_anti").localCheckpoint(eager=True)
 
     teleport = ((100 - damping_pct) * scale) // 100
     scores = nodes.select("id", (F.lit(scale) * F.col("_sd")).cast("long").alias("s"))
     for _ in range(iterations):
         scores = scores.localCheckpoint(eager=True)
         dangling = (
-            scores.join(deg, "id", "left_anti")
+            scores.join(dangset, "id", "left_semi")
             .agg(F.coalesce(F.sum("s"), F.lit(0)).cast("long"))
             .collect()[0][0]
         )
@@ -175,3 +186,68 @@ def pagerank_topk(
     top = scores.orderBy(F.col("score_unat").desc(), F.col("id").asc()).limit(k)
     w = Window.orderBy(F.col("score_unat").desc(), F.col("id").asc())
     return top.select("id", "score_unat", F.row_number().over(w).alias("rank"))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Connected components of the UNDIRECTED view of an edge list,
+    via min-label propagation: every node starts labeled with its own
+    id; each round a node takes the minimum of its label and its
+    neighbors' labels; at fixpoint each component is labeled by its
+    minimum node id. Converges in diameter(G) rounds — the driver
+    stops at the first round that changes no label (a 1-row bounded
+    collect per round, the suite's convergence-check contract; the
+    same algorithm the near-dup clusterer runs on its candidate
+    graph, exposed here as a first-class graph operator).
+
+    Deterministic by construction (MIN is order/partition-immune), so
+    a SQL oracle unrolled past the fixture graph's diameter matches
+    exactly: extra unrolled rounds are no-ops at fixpoint.
+
+    Returns (id, component). Per round: one edge⨝label join on the
+    edge key + one map-side-combinable MIN aggregation; per-round
+    localCheckpoint truncates lineage. Note for 100 TB graphs: label
+    propagation is O(diameter) rounds; web-scale graphs with long
+    chains want the large-star/small-star contraction variant — this
+    operator states its diameter-bound contract rather than hiding it.
+    """
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be positive")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
+        eager=True
+    )
+    labels = (
+        und.select(F.col("a").alias("id")).distinct().select("id", F.col("id").alias("l"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        cand = (
+            und.join(labels, und["a"] == labels["id"])
+            .select(F.col("b").alias("id"), F.col("l").alias("_nl"))
+            .groupBy("id")
+            .agg(F.min("_nl").alias("_m"))
+        )
+        # the change flag rides the label row, so convergence needs no
+        # second join against the previous round — one materialization
+        # + one tiny aggregate per round
+        nxt = (
+            labels.join(cand, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("l"), F.col("_m")).alias("l"),
+                (F.col("_m") < F.col("l")).alias("_ch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter(F.col("_ch")).count()
+        labels = nxt.select("id", "l")
+        if changed == 0:
+            return labels.select("id", F.col("l").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(graph diameter exceeds the bound — raise max_iterations)"
+    )

@@ -5102,6 +5102,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "delta_ivm_rollup",
     "personalized_pagerank_seeds",
     "mmr_diversified_rerank",
+    "connected_components_trade",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -12196,26 +12197,26 @@ def _pagerank_oracle(iters: int = 5, k: int = 50) -> str:
       SELECT o_custkey AS ck, l_suppkey AS sk, l_returnflag AS rf
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT 'c' || CAST(ck AS VARCHAR) AS src,
                       's' || CAST(sk AS VARCHAR) AS dst FROM j
       UNION ALL
       SELECT DISTINCT 's' || CAST(sk AS VARCHAR),
                       'c' || CAST(ck AS VARCHAR) FROM j WHERE rf = 'R'
     ),
-    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-    outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    outdeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
-    it0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM nodes)"""
+    it0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS s FROM nodes)"""
     for i in range(iters):
         body += f""",
-    d{i} AS (SELECT COALESCE(SUM(s), 0) AS dang FROM it{i}
+    d{i} AS MATERIALIZED (SELECT COALESCE(SUM(s), 0) AS dang FROM it{i}
              WHERE id NOT IN (SELECT id FROM outdeg)),
-    c{i} AS (SELECT e.dst AS id, SUM(t.s // o.deg) AS contrib
+    c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(t.s // o.deg) AS contrib
              FROM edges e JOIN it{i} t ON t.id = e.src
              JOIN outdeg o ON o.id = e.src
              GROUP BY e.dst),
-    it{i + 1} AS (SELECT nodes.id,
+    it{i + 1} AS MATERIALIZED (SELECT nodes.id,
              CAST(150000 + (85 * (COALESCE(c{i}.contrib, 0)
                   + (SELECT dang FROM d{i}) // (SELECT n FROM nn))) // 100
                   AS BIGINT) AS s
@@ -12602,30 +12603,30 @@ def _ppr_oracle(iters: int = 5, k: int = 50) -> str:
       SELECT o_custkey AS ck, l_suppkey AS sk, l_returnflag AS rf
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT 'c' || CAST(ck AS VARCHAR) AS src,
                       's' || CAST(sk AS VARCHAR) AS dst FROM j
       UNION ALL
       SELECT DISTINCT 's' || CAST(sk AS VARCHAR),
                       'c' || CAST(ck AS VARCHAR) FROM j WHERE rf = 'R'
     ),
-    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-    seeds AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS id
+    nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    seeds AS MATERIALIZED (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS id
               FROM customer WHERE c_nationkey = 1),
-    snodes AS (SELECT n.id, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS sd
+    snodes AS MATERIALIZED (SELECT n.id, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS sd
                FROM nodes n LEFT JOIN seeds s ON n.id = s.id),
     ns AS (SELECT CAST(SUM(sd) AS BIGINT) AS n_t FROM snodes),
-    outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
-    it0 AS (SELECT id, CAST(1000000 * sd AS BIGINT) AS s FROM snodes)"""
+    outdeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+    it0 AS MATERIALIZED (SELECT id, CAST(1000000 * sd AS BIGINT) AS s FROM snodes)"""
     for i in range(iters):
         body += f""",
-    d{i} AS (SELECT COALESCE(SUM(s), 0) AS dang FROM it{i}
+    d{i} AS MATERIALIZED (SELECT COALESCE(SUM(s), 0) AS dang FROM it{i}
              WHERE id NOT IN (SELECT id FROM outdeg)),
-    c{i} AS (SELECT e.dst AS id, SUM(t.s // o.deg) AS contrib
+    c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(t.s // o.deg) AS contrib
              FROM edges e JOIN it{i} t ON t.id = e.src
              JOIN outdeg o ON o.id = e.src
              GROUP BY e.dst),
-    it{i + 1} AS (SELECT sn.id,
+    it{i + 1} AS MATERIALIZED (SELECT sn.id,
              CAST(sn.sd * 150000 + (85 * (COALESCE(c{i}.contrib, 0)
                   + sn.sd * ((SELECT dang FROM d{i}) // (SELECT n_t FROM ns)))) // 100
                   AS BIGINT) AS s
@@ -12802,3 +12803,58 @@ def mmr_diversified_rerank(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return mmr_rerank(cand, pairs, k=4, lambda_pct=70)
+
+
+def _cc_oracle(unroll: int = 30) -> str:
+    """Min-label propagation unrolled past the fixture graph's
+    diameter (21 synchronous rounds at sf0.01; extra rounds are
+    no-ops at fixpoint, so unroll=30 is value-identical to the
+    operator's run-to-convergence)."""
+    body = """
+    WITH j AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                      's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_quantity >= 50 AND l_returnflag = 'R'
+    ),
+    und AS MATERIALIZED (SELECT a, b FROM j UNION ALL SELECT b, a FROM j),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM und),
+    it0 AS MATERIALIZED (SELECT id, id AS l FROM nodes)"""
+    for i in range(unroll):
+        body += f""",
+    c{i} AS MATERIALIZED (SELECT e.b AS id, MIN(t.l) AS m FROM und e
+             JOIN it{i} t ON t.id = e.a GROUP BY e.b),
+    it{i + 1} AS MATERIALIZED (SELECT t.id, LEAST(t.l, COALESCE(c{i}.m, t.l)) AS l
+             FROM it{i} t LEFT JOIN c{i} ON c{i}.id = t.id)"""
+    body += f"""
+    SELECT id, l AS component FROM it{unroll}
+    """
+    return body
+
+
+@_register("connected_components_trade", _cc_oracle())
+def connected_components_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components (r12, `operators/graph.
+    connected_components`): min-label propagation to fixpoint over
+    the sparse high-value returned-items trade graph (42 components
+    at sf0.01, diameter ~21 — a real multi-component instance, not a
+    giant-component triviality). The operator runs to CONVERGENCE
+    (per-round 1-row change count, the suite's bounded driver-side
+    contract); the oracle unrolls 30 synchronous rounds — past the
+    fixture diameter, where extra rounds are provably no-ops. The
+    same algorithm the near-dup clusterer uses on its candidate
+    graph, exposed as a first-class graph operator."""
+    from .operators.graph import connected_components
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    j = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter((F.col("l_quantity") >= 50) & (F.col("l_returnflag") == "R"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(j, max_iterations=80)

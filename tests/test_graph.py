@@ -127,3 +127,28 @@ def test_personalized_pagerank_ignores_unknown_seeds_and_rejects_empty(spark):
     ghost = spark.createDataFrame([("zzz",)], ["id"])
     with pytest.raises(ValueError, match="no seed"):
         pagerank(df, seeds=ghost)
+
+
+def test_connected_components_finds_all_components(spark):
+    from cdf_spark.operators.graph import connected_components
+
+    # two components: {a,b,c,d} (chain) and {x,y}; direction ignored
+    edges = [("b", "a"), ("b", "c"), ("d", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_partition_independent_and_bounded(spark):
+    import pytest
+
+    from cdf_spark.operators.graph import connected_components
+
+    edges = [(f"n{i}", f"n{i+1}") for i in range(12)]  # one long chain
+    d1 = spark.createDataFrame(edges, ["src", "dst"]).repartition(8)
+    r1 = {r["id"]: r["component"] for r in connected_components(d1).collect()}
+    assert set(r1.values()) == {"n0"}
+    # a diameter-12 chain cannot converge in 3 synchronous rounds
+    d2 = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(d2, max_iterations=3)
