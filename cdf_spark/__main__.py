@@ -128,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("declarations")
     p.add_argument("--workspace", default=".cdf_spark")
 
+    p = sub.add_parser("view", help="run [views.*] jobs (incremental materialized views)")
+    p.add_argument("declarations")
+    p.add_argument("--workspace", default=".cdf_spark")
+
     p = sub.add_parser("preview", help="bounded deterministic preview")
     p.add_argument("declarations")
     p.add_argument("resource")
@@ -391,6 +395,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "index":
         try:
             print(json.dumps(ws.run_indexes(spark, args.declarations), default=str))
+        finally:
+            if not pre_existing:
+                spark.stop()
+        return 0
+    if args.cmd == "view":
+        try:
+            print(json.dumps(ws.run_views(spark, args.declarations), default=str))
         finally:
             if not pre_existing:
                 spark.stop()

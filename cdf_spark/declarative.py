@@ -845,3 +845,73 @@ def _workspace_run_indexes(self, spark, path: str | Path) -> dict[str, dict]:
 
 
 Workspace.run_indexes = _workspace_run_indexes
+
+
+# Declarative VIEW jobs ([views.NAME] tables): incremental view
+# maintenance driven from a declaration — initialize once from the
+# Delta snapshot, then every run folds the change feed past the
+# view's own Delta-version cursor (the artifact is self-fencing, so
+# unlike [indexes.*] no workspace cursor file is needed). Same
+# declare-don't-script discipline as the source/destination/
+# translation/index kinds.
+
+
+def run_view_job(spark, decl: dict) -> dict:
+    """Execute one materialized-view declaration:
+    {table, root, keys, sums}. Builds on first run, refreshes after;
+    returns {action: build|refresh|noop, version, cursor, ...}. The
+    declared spec must match an already-initialized artifact — a
+    drifted declaration refuses instead of silently serving an
+    aggregate with different semantics."""
+    from .operators.matview import MaterializedAggregate
+
+    table, root = decl.get("table"), decl.get("root")
+    keys, sums = decl.get("keys"), decl.get("sums")
+    if not table or not root:
+        raise DeclarationError("view job requires table (delta root) and root")
+    if not isinstance(keys, list) or not isinstance(sums, list) or not keys or not sums:
+        raise DeclarationError("view job requires non-empty keys and sums lists")
+    mv = MaterializedAggregate(root)
+    meta0 = mv._meta()
+    if meta0 is None:
+        meta = mv.build(spark, str(table), keys=[str(k) for k in keys], sums=[str(c) for c in sums])
+        action = "build"
+    else:
+        if meta0["keys"] != [str(k) for k in keys] or meta0["sums"] != [str(c) for c in sums]:
+            raise DeclarationError(
+                f"view spec drift: artifact at {root} is keyed "
+                f"{meta0['keys']}/{meta0['sums']}, declaration says {keys}/{sums} — "
+                "declare a new root for a different aggregate"
+            )
+        meta = mv.refresh(spark)
+        action = "noop" if meta["cursor"] == meta0["cursor"] else "refresh"
+    return {
+        "root": str(root),
+        "table": str(table),
+        "action": action,
+        "version": meta["version"],
+        "cursor": meta["cursor"],
+    }
+
+
+def _workspace_run_views(self, spark, path: str | Path) -> dict[str, dict]:
+    """Run every [views.NAME] table in a declaration file; reports
+    land under `<workspace>/views/` (the evidence-artifact discipline
+    maintenance/translations/indexes follow)."""
+    import tomllib
+
+    doc = tomllib.loads(Path(path).read_text())
+    jobs = doc.get("views") or {}
+    if not isinstance(jobs, dict):
+        raise DeclarationError("[views] must be a table of named jobs")
+    out: dict[str, dict] = {}
+    out_dir = self.root / "views"
+    out_dir.mkdir(exist_ok=True)
+    for name, decl in jobs.items():
+        report = run_view_job(spark, decl)
+        (out_dir / f"{name}.json").write_text(json.dumps(report, indent=1, default=str))
+        out[name] = report
+    return out
+
+
+Workspace.run_views = _workspace_run_views

@@ -678,3 +678,50 @@ def test_index_job_missing_cursor_column_refuses(spark, tmp_path):
     spark.createDataFrame([(1, "x")], ["some_id", "text"]).write.parquet(str(src))
     with _pytest.raises(DeclarationError, match="not in source schema"):
         run_index_job(spark, {"kind": "bm25", "root": str(tmp_path / "i"), "source": str(src)})
+
+
+def test_view_jobs_from_toml_build_refresh_noop(spark, tmp_path):
+    """[views.*] jobs: first run initializes the materialized
+    aggregate from the Delta snapshot, later runs fold only the
+    change feed (action=refresh), a no-delta run reports noop, and a
+    drifted declaration refuses."""
+    import pytest as _pytest
+
+    from cdf_spark.declarative import DeclarationError, Workspace, run_view_job
+    from cdf_spark.sources.delta import DeltaFixtureWriter
+
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(
+        spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, x double"),
+        timestamp_ms=1000,
+    )
+    decl = tmp_path / "jobs.toml"
+    decl.write_text(f"""
+[views.rollup]
+table = "{tmp_path}/t"
+root = "{tmp_path}/mv"
+keys = ["k"]
+sums = ["x"]
+""")
+    ws = Workspace(tmp_path / "ws")
+    r1 = ws.run_views(spark, decl)
+    assert r1["rollup"]["action"] == "build" and r1["rollup"]["cursor"] == 0
+    assert (tmp_path / "ws" / "views" / "rollup.json").exists()
+
+    w.append(
+        spark.createDataFrame([("a", 10.0)], "k string, x double"), timestamp_ms=2000
+    )
+    r2 = ws.run_views(spark, decl)
+    assert r2["rollup"]["action"] == "refresh" and r2["rollup"]["cursor"] == 1
+
+    r3 = ws.run_views(spark, decl)
+    assert r3["rollup"]["action"] == "noop" and r3["rollup"]["version"] == r2["rollup"]["version"]
+
+    with _pytest.raises(DeclarationError, match="spec drift"):
+        run_view_job(
+            spark,
+            {"table": str(tmp_path / "t"), "root": str(tmp_path / "mv"),
+             "keys": ["k"], "sums": ["k"]},
+        )
+    with _pytest.raises(DeclarationError, match="non-empty"):
+        run_view_job(spark, {"table": "x", "root": "y", "keys": [], "sums": ["x"]})
