@@ -114,3 +114,53 @@ def test_build_rejects_reinit_and_bad_spec(spark, tmp_path):
         mv2.build(spark, str(tmp_path / "t"), keys=[], sums=["x"])
     with pytest.raises(ValueError, match="not initialized"):
         mv2.refresh(spark)
+
+
+def test_iceberg_refresh_tracks_upserts(spark, tmp_path):
+    from cdf_spark.sources.iceberg import IcebergFixtureWriter, IcebergTable
+
+    w = IcebergFixtureWriter(tmp_path / "t", seed=7)
+    w.append(
+        spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 4.0)], "k string, x double"),
+        timestamp_ms=1000,
+        snapshot_id=101,
+    )
+    mv = MaterializedAggregate(tmp_path / "mv")
+    meta = mv.build(
+        spark, str(tmp_path / "t"), keys=["k"], sums=["x"], source_format="iceberg"
+    )
+    assert meta["cursor"] == 101 and meta["format"] == "iceberg"
+    assert _view(spark, mv) == {"a": (2, 3.0), "b": (1, 4.0)}
+
+    # an upsert keyed on k replaces EVERY 'a' row with the batch
+    # (equality delete) and inserts 'c'
+    w.upsert(
+        spark.createDataFrame([("a", 10.0), ("c", 7.0)], "k string, x double"),
+        ["k"],
+        timestamp_ms=2000,
+        snapshot_id=55,  # smaller than parent: ancestry, not ordering
+    )
+    m2 = mv.refresh(spark)
+    assert m2["cursor"] == 55
+    assert _view(spark, mv) == {"a": (1, 10.0), "c": (1, 7.0), "b": (1, 4.0)}
+    # matches the from-scratch aggregate of the current snapshot
+    from pyspark.sql import functions as F
+
+    cur = IcebergTable(str(tmp_path / "t")).read(spark)
+    expect = {
+        r["k"]: (r["cnt"], float(r["s"]))
+        for r in cur.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert _view(spark, mv) == expect
+    assert mv.refresh(spark) == m2  # no-op
+
+
+def test_build_rejects_unknown_format(spark, tmp_path):
+    mv = MaterializedAggregate(tmp_path / "mv")
+    with pytest.raises(ValueError, match="unknown source format"):
+        mv.build(spark, str(tmp_path / "t"), keys=["k"], sums=["x"], source_format="hudi")
