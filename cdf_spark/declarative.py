@@ -874,7 +874,13 @@ def run_view_job(spark, decl: dict) -> dict:
     mv = MaterializedAggregate(root)
     meta0 = mv._meta()
     if meta0 is None:
-        meta = mv.build(spark, str(table), keys=[str(k) for k in keys], sums=[str(c) for c in sums])
+        meta = mv.build(
+            spark,
+            str(table),
+            keys=[str(k) for k in keys],
+            sums=[str(c) for c in sums],
+            source_format=str(decl.get("format", "delta")),
+        )
         action = "build"
     else:
         if meta0["keys"] != [str(k) for k in keys] or meta0["sums"] != [str(c) for c in sums]:

@@ -1,5 +1,6 @@
 """Incremental view maintenance: a persisted GROUP BY aggregate kept
-current from a Delta table's change data feed.
+current from a Delta table's change data feed or an Iceberg table's
+incremental changelog (both speak the same signed-delta algebra).
 
 The materialized-view member of the incremental-index family
 (`index_base.IndexArtifact`; siblings NBIndex / LMIndex / IVFIndex /
@@ -49,30 +50,92 @@ _PLUS = ("insert", "update_postimage")
 _MINUS = ("delete", "update_preimage")
 
 
+class _DeltaChanges:
+    """Delta leg: versions are the cursor domain, `table_changes` the
+    change feed (insert / delete / update pre+postimage rows)."""
+
+    def __init__(self, table_root: str):
+        from ..sources.delta import DeltaTable
+
+        self.t = DeltaTable(table_root)
+
+    def cursor(self) -> int:
+        return int(self.t.current_version())
+
+    def snapshot(self, spark, cursor: int):
+        from ..plans.scan import ScanRequest
+
+        df, _plan = self.t.scan(spark, ScanRequest("matview_build"), version=cursor)
+        return df
+
+    def changes_after(self, spark, cursor: int, to_cursor: int):
+        return self.t.table_changes(spark, cursor + 1, to_cursor)
+
+
+class _IcebergChanges:
+    """Iceberg leg: snapshot ids are the cursor domain,
+    `changelog_scan` the change feed (insert / delete rows — updates
+    surface as delete+insert pairs, which fold identically under the
+    signed-delta algebra)."""
+
+    def __init__(self, table_root: str):
+        from ..sources.iceberg import IcebergTable
+
+        self.t = IcebergTable(table_root)
+
+    def cursor(self) -> int:
+        sid = self.t.current_snapshot_id()
+        if sid is None:
+            raise ValueError("iceberg table has no snapshots")
+        return int(sid)
+
+    def snapshot(self, spark, cursor: int):
+        from ..plans.scan import ScanRequest
+
+        df, _plan = self.t.scan(spark, ScanRequest("matview_build"), snapshot_id=cursor)
+        return df
+
+    def changes_after(self, spark, cursor: int, to_cursor: int):
+        return self.t.changelog_scan(
+            spark, from_snapshot_id=cursor, to_snapshot_id=to_cursor
+        )
+
+
+_FORMATS = {"delta": _DeltaChanges, "iceberg": _IcebergChanges}
+
+
 class MaterializedAggregate(IndexArtifact):
-    """Persisted (keys -> COUNT(*), SUM(col)...) view over a Delta
-    table, refreshed from the change data feed.
+    """Persisted (keys -> COUNT(*), SUM(col)...) view over a Delta or
+    Iceberg table, refreshed from its row-level change feed (Delta
+    CDF `table_changes` / Iceberg incremental `changelog_scan`).
 
     Layout under ``root/``: ``state_v<N>/`` parquet
     (keys..., cnt BIGINT, sum_<col> DECIMAL(38,6)...) + ``meta.json``
-    {version, cursor, table, keys, sums}. ``cursor`` is the last
-    Delta commit version folded into the state.
+    {version, cursor, table, format, keys, sums}. ``cursor`` is the
+    last Delta commit version / Iceberg snapshot id folded in.
     """
 
-    def build(self, spark, table_root: str, keys: list[str], sums: list[str]) -> dict:
+    def build(
+        self,
+        spark,
+        table_root: str,
+        keys: list[str],
+        sums: list[str],
+        source_format: str = "delta",
+    ) -> dict:
         """Initial materialization: one full aggregate of the CURRENT
         snapshot; the cursor pins the version it saw."""
         if self._meta() is not None:
             raise ValueError("materialized aggregate already initialized")
         if not keys or not sums:
             raise ValueError("need at least one group key and one sum column")
-        from ..sources.delta import DeltaTable
-
-        from ..plans.scan import ScanRequest
-
-        t = DeltaTable(table_root)
-        cur = t.current_version()
-        df, _plan = t.scan(spark, ScanRequest("matview_build"), version=cur)
+        if source_format not in _FORMATS:
+            raise ValueError(
+                f"unknown source format {source_format!r} (formats: {sorted(_FORMATS)})"
+            )
+        t = _FORMATS[source_format](table_root)
+        cur = t.cursor()
+        df = t.snapshot(spark, cur)
         state = df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("cnt"),
             *[
@@ -86,6 +149,7 @@ class MaterializedAggregate(IndexArtifact):
             "version": 1,
             "cursor": int(cur),
             "table": str(table_root),
+            "format": source_format,
             "keys": list(keys),
             "sums": list(sums),
         }
@@ -98,15 +162,13 @@ class MaterializedAggregate(IndexArtifact):
         meta = self._meta()
         if meta is None:
             raise ValueError("materialized aggregate not initialized")
-        from ..sources.delta import DeltaTable
-
-        t = DeltaTable(meta["table"])
-        cur = t.current_version()
+        t = _FORMATS[meta.get("format", "delta")](meta["table"])
+        cur = t.cursor()
         cursor = int(meta["cursor"])
-        if cur <= cursor:
+        if cur == cursor:
             return meta
         keys, sums = meta["keys"], meta["sums"]
-        ch = t.table_changes(spark, cursor + 1, cur)
+        ch = t.changes_after(spark, cursor, cur)
         sign = (
             F.when(F.col("_change_type").isin(*_PLUS), F.lit(1))
             .when(F.col("_change_type").isin(*_MINUS), F.lit(-1))

@@ -5100,6 +5100,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "bm25_prf_expanded_topk",
     "funnel_view_click_purchase",
     "delta_ivm_rollup",
+    "iceberg_ivm_rollup",
+    "streaming_ivm_refresh_drain",
     "personalized_pagerank_seeds",
     "mmr_diversified_rerank",
     "connected_components_trade",
@@ -12858,3 +12860,179 @@ def connected_components_trade(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return connected_components(j, max_iterations=80)
+
+
+@_register(
+    "iceberg_ivm_rollup",
+    """
+    WITH final AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey > 500 AND o_orderkey <= 700 THEN -1.0
+                  WHEN o_orderkey > 700 AND o_orderkey <= 900 THEN -2.0
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey <= 3500
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS sum_totalprice
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def iceberg_ivm_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance over ICEBERG (r12,
+    `operators/matview.MaterializedAggregate` with
+    source_format='iceberg'): the same persisted aggregate, folded
+    from `changelog_scan` — two equality-delete upsert commits (each
+    yielding delete preimages for matched keys + inserts at the same
+    sequence number) refresh the view without re-scanning the table;
+    a third refresh is a proven no-op. Snapshot ids are the cursor
+    domain (non-monotonic — the ancestry-walking changelog is what
+    makes them usable as one). Delete/insert pairs fold under the
+    same signed-delta algebra as Delta's pre/post-images, so both
+    formats share one maintenance kernel."""
+    from .operators.matview import MaterializedAggregate
+    from .sources.iceberg import IcebergFixtureWriter
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        w = IcebergFixtureWriter(f"{tmp}/t", seed=41)
+        w.append(o.filter(F.col("o_orderkey") <= 3000), timestamp_ms=1000, snapshot_id=11)
+        mv = MaterializedAggregate(f"{tmp}/mv")
+        mv.build(
+            spark, f"{tmp}/t", keys=["o_orderpriority"], sums=["o_totalprice"],
+            source_format="iceberg",
+        )
+        b1 = (
+            o.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 700))
+            .withColumn("o_totalprice", F.lit(-1.0))
+            .unionByName(
+                o.filter((F.col("o_orderkey") > 3000) & (F.col("o_orderkey") <= 3500))
+            )
+        )
+        w.upsert(b1, ["o_orderkey"], timestamp_ms=2000, snapshot_id=22)
+        mv.refresh(spark)
+        b2 = (
+            o.filter((F.col("o_orderkey") > 700) & (F.col("o_orderkey") <= 900))
+            .withColumn("o_totalprice", F.lit(-2.0))
+        )
+        w.upsert(b2, ["o_orderkey"], timestamp_ms=3000, snapshot_id=33)
+        m1 = mv.refresh(spark)
+        if mv.refresh(spark) != m1:
+            raise AssertionError("refresh with no new snapshots must be a no-op")
+
+    tmp = _session_fixture("iceberg_ivm", sf, build)
+    mv = MaterializedAggregate(f"{tmp}/mv")
+    return mv.read(spark).select(
+        "o_orderpriority",
+        "cnt",
+        F.col("sum_o_totalprice").cast("double").alias("sum_totalprice"),
+    )
+
+
+_IVM_DRAIN_ORACLE = """
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS epoch, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_totalprice
+      FROM orders WHERE o_orderkey <= 1000 GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 1, o_orderpriority, CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      FROM orders WHERE o_orderkey <= 2000 GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 2, o_orderpriority, CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      FROM orders WHERE o_orderkey <= 3000 GROUP BY o_orderpriority
+    )
+"""
+
+
+@_register("streaming_ivm_refresh_drain", _IVM_DRAIN_ORACLE)
+def streaming_ivm_refresh_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING view maintenance — the continuous-dashboard shape: a
+    real readStream drain where every micro-batch lands in the
+    CDF-enabled Delta source table and the materialized aggregate
+    REFRESHES from the change feed (epoch 0 builds), with the
+    per-epoch view state captured — three epochs of cumulative
+    rollups, never a table re-scan after epoch 0.
+
+    foreachBatch is AT-LEAST-ONCE, and an APPEND is not idempotent —
+    the epoch->commit-version fence (skip when the table already has
+    this epoch's commit, the txn-appId discipline real Delta writers
+    use) makes the redelivered epoch a no-op; the view's own cursor
+    fence then keeps refresh exactly-once on top. The oracle replays
+    every epoch's cumulative aggregate — a double append or a missed
+    refresh diverges that epoch's counts and hash-mismatches."""
+    from .operators.matview import MaterializedAggregate
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    bounds = [(-1, 1000), (1000, 2000), (2000, 3000)]  # keys start at 0
+
+    def build(tmp: str) -> None:
+        import os
+        import shutil
+        import tempfile
+        import time
+        from pathlib import Path as _Path
+
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        (_Path(tmp) / "in").mkdir()
+        t0 = time.time() - 1000
+        for i, (lo, hi) in enumerate(bounds):
+            stage = tempfile.mkdtemp(prefix="cdf_ivm_part_")
+            o.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            dst = f"{tmp}/in/part-{i}.parquet"
+            shutil.move(str(src), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+            shutil.rmtree(stage, ignore_errors=True)
+
+        w = DeltaFixtureWriter(f"{tmp}/t", change_data_feed=True)
+        mv = MaterializedAggregate(f"{tmp}/mv")
+
+        def handle(batch_df, epoch_id: int) -> None:
+            e = int(epoch_id)
+            try:
+                cur = DeltaTable(f"{tmp}/t").current_version()
+            except Exception:  # noqa: BLE001 — table not created yet
+                cur = -1
+            if cur >= e:
+                return  # redelivered epoch: its commit already landed
+            w.append(batch_df, timestamp_ms=1000 * (e + 1))
+            if e == 0:
+                mv.build(
+                    spark, f"{tmp}/t",
+                    keys=["o_orderpriority"], sums=["o_totalprice"],
+                )
+            else:
+                mv.refresh(spark)
+            (
+                mv.read(spark)
+                .select(
+                    "o_orderpriority", "cnt",
+                    F.col("sum_o_totalprice").cast("double").alias("sum_totalprice"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/out/epoch={e}")
+            )
+
+        q = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+
+    tmp = _session_fixture("streaming_ivm", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "o_orderpriority",
+        "cnt",
+        "sum_totalprice",
+    )
