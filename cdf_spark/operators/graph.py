@@ -112,7 +112,9 @@ def pagerank(
     nodes = nodes.localCheckpoint(eager=True)
     n_t = nodes.agg(F.sum("_sd")).collect()[0][0]
     if not n_t:
-        raise ValueError("no seed is a node of the graph")
+        raise ValueError(
+            "graph has no edges" if seeds is None else "no seed is a node of the graph"
+        )
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     # Edge table annotated with its source's out-degree, materialized
     # once — iterations re-join only the O(nodes) score table.

@@ -663,6 +663,8 @@ def bm25_prf_expand(
 
     Output: (qid, id_col, score_unat, rk) under the expanded queries.
     """
+    if fb_k < 1 or expand_m < 1 or k < 1:
+        raise ValueError("fb_k, expand_m and k must all be positive")
     tf = _doc_tf(docs, text_col, id_col)
     lens = docs.select(F.size(_tok_array(F.col(text_col))).alias("dl"))
     n_docs, total = lens.agg(

@@ -12992,15 +12992,22 @@ def streaming_ivm_refresh_drain(spark: SparkSession, sf: str) -> DataFrame:
         mv = MaterializedAggregate(f"{tmp}/mv")
 
         def handle(batch_df, epoch_id: int) -> None:
+            # Each side effect carries its OWN fence, so a crash at
+            # any point between them replays safely: the append is
+            # version-fenced (skip when this epoch's commit already
+            # landed), build/refresh are fenced by the view's meta +
+            # cursor (refresh of a current view is a no-op), and the
+            # per-epoch output dir is an idempotent overwrite. An
+            # all-or-nothing epoch skip would instead strand the view
+            # stale when a crash lands between append and refresh.
             e = int(epoch_id)
             try:
                 cur = DeltaTable(f"{tmp}/t").current_version()
             except Exception:  # noqa: BLE001 — table not created yet
                 cur = -1
-            if cur >= e:
-                return  # redelivered epoch: its commit already landed
-            w.append(batch_df, timestamp_ms=1000 * (e + 1))
-            if e == 0:
+            if cur < e:
+                w.append(batch_df, timestamp_ms=1000 * (e + 1))
+            if mv._meta() is None:
                 mv.build(
                     spark, f"{tmp}/t",
                     keys=["o_orderpriority"], sums=["o_totalprice"],
