@@ -163,3 +163,47 @@ def funnel_counts(
     return labels.join(counts, on="step_idx").select(
         "step_idx", "step", F.col("n_users").cast("long").alias("n_users")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    max_offset: int = 8,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the Monday-based
+    week of their FIRST event; for each cohort and week offset 0..
+    ``max_offset``, counts the users active (any event) in that week.
+    The standard product-analytics retention triangle, and the
+    data-freshness view a streaming-corpus operator reads the same
+    way (contributors cohorted by first-ingest week).
+
+    Output: (cohort_week DATE, week_offset INT, n_users BIGINT) —
+    exact integer counts over exact date arithmetic, so the whole
+    triangle replays in SQL.
+
+    Scale posture: one user-keyed min-agg for cohorts, one
+    (user, week) DISTINCT for activity — both map-side combinable —
+    and one user-keyed join; the output is |cohorts| x |offsets|
+    rows. No per-user event buffering, no skew amplification (a hot
+    user reduces to one row per active week before the join).
+    """
+    if max_offset < 0:
+        raise ValueError("max_offset must be non-negative")
+    ev = events.select(
+        F.col(user_col).alias("_u"), F.date_trunc("week", F.col(ts_col)).cast("date").alias("_w")
+    )
+    cohorts = ev.groupBy("_u").agg(F.min("_w").alias("_cw"))
+    active = ev.distinct()
+    return (
+        active.join(cohorts, on="_u")
+        .select(
+            "_u",
+            "_cw",
+            (F.datediff(F.col("_w"), F.col("_cw")) / 7).cast("int").alias("week_offset"),
+        )
+        .filter(F.col("week_offset") <= max_offset)
+        .distinct()
+        .groupBy(F.col("_cw").alias("cohort_week"), "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

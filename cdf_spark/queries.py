@@ -5105,6 +5105,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "personalized_pagerank_seeds",
     "mmr_diversified_rerank",
     "connected_components_trade",
+    "cohort_retention_weekly",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -13042,4 +13043,36 @@ def streaming_ivm_refresh_drain(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderpriority",
         "cnt",
         "sum_totalprice",
+    )
+
+
+@_register(
+    "cohort_retention_weekly",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w FROM events
+    ),
+    cohorts AS (SELECT u, MIN(w) AS cw FROM ev GROUP BY u),
+    active AS (SELECT DISTINCT u, w FROM ev),
+    offsets AS (
+      SELECT DISTINCT a.u, c.cw, CAST((a.w - c.cw) / 7 AS INTEGER) AS off
+      FROM active a JOIN cohorts c ON a.u = c.u
+      WHERE CAST((a.w - c.cw) / 7 AS INTEGER) <= 8
+    )
+    SELECT CAST(cw AS VARCHAR) AS cohort_week, off AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM offsets GROUP BY cw, off
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention triangle (r12,
+    `operators/temporal.cohort_retention`): users cohorted by the
+    Monday week of their first event, counted per (cohort, week
+    offset 0..8). Two map-side-combinable aggregations + one
+    user-keyed join; exact integer counts over exact date arithmetic
+    — the oracle replays the whole triangle."""
+    from .operators.temporal import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"), max_offset=8).withColumn(
+        "cohort_week", F.col("cohort_week").cast("string")
     )

@@ -172,3 +172,42 @@ def test_funnel_rejects_bad_steps(spark):
         funnel_counts(ev, ["view"])
     with pytest.raises(ValueError):
         funnel_counts(ev, ["view", "view"])
+
+
+def test_cohort_retention_multi_cohort_triangle(spark):
+    from datetime import datetime
+
+    from cdf_spark.operators.temporal import cohort_retention
+
+    T = datetime
+    rows = [
+        # u1: cohort week of Jan 1 (Mon), active weeks 0 and 2
+        (1, T(2024, 1, 3)), (1, T(2024, 1, 17)),
+        # u2: same cohort, active week 0 only (two events, one week)
+        (2, T(2024, 1, 2)), (2, T(2024, 1, 5)),
+        # u3: cohort week of Jan 8, active weeks 0 and 1
+        (3, T(2024, 1, 9)), (3, T(2024, 1, 16)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+
+
+def test_cohort_retention_offset_cap(spark):
+    from datetime import datetime
+
+    from cdf_spark.operators.temporal import cohort_retention
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (1, datetime(2024, 6, 1))], ["user_id", "ts"]
+    )
+    got = cohort_retention(ev, max_offset=2).collect()
+    assert {(r["week_offset"]) for r in got} == {0}  # June is past the cap
