@@ -5106,6 +5106,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "mmr_diversified_rerank",
     "connected_components_trade",
     "cohort_retention_weekly",
+    "rag_chunk_retrieval",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -13075,4 +13076,83 @@ def cohort_retention_weekly(spark: SparkSession, sf: str) -> DataFrame:
 
     return cohort_retention(_t(spark, sf, "events"), max_offset=8).withColumn(
         "cohort_week", F.col("cohort_week").cast("string")
+    )
+
+
+_CHUNK_BM25_ORACLE = r"""
+    WITH t AS (SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks0 FROM documents),
+    s AS (SELECT doc_id, toks0, unnest(range(0, greatest(len(toks0), 1), 24)) AS st FROM t),
+    chunks AS (
+      SELECT doc_id * 1000 + CAST(st // 24 AS BIGINT) AS cid,
+             array_to_string(toks0[st + 1 : st + 32], ' ') AS ctext
+      FROM s
+    ),
+    toks AS (
+      SELECT cid,
+             list_filter(regexp_split_to_array(lower(ctext), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM chunks
+    ),
+    stats AS (SELECT COUNT(*) AS n, COALESCE(SUM(len(ts)), 0) AS total FROM toks),
+    flat AS (SELECT cid, len(ts) AS dl, unnest(ts) AS tok FROM toks),
+    tf AS (SELECT cid, dl, tok, COUNT(*) AS tf FROM flat GROUP BY cid, dl, tok),
+    qterms AS (
+      SELECT * FROM (VALUES
+        ('q1','hash'),('q1','join'),('q1','merge'),
+        ('q2','window'),('q2','agg'),('q2','stream'),
+        ('q3','fast'),('q3','table'),('q3','scan'),('q3','vector')
+      ) AS q(qid, tok)
+    ),
+    dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf
+      WHERE tok IN (SELECT tok FROM qterms) GROUP BY tok
+    ),
+    scored AS (
+      SELECT q.qid, tf.cid,
+             CAST(round(
+               ln(1.0 + (n - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total AS DOUBLE) / n)))
+               * 1000000.0
+             ) AS BIGINT) AS s
+      FROM tf JOIN qterms q USING (tok) JOIN dfreq USING (tok), stats
+    ),
+    agg AS (SELECT qid, cid, CAST(SUM(s) AS BIGINT) AS score_unat FROM scored GROUP BY qid, cid),
+    ranked AS (
+      SELECT qid, cid, score_unat,
+             row_number() OVER (PARTITION BY qid ORDER BY score_unat DESC, cid ASC) AS rk
+      FROM agg
+    )
+    SELECT qid, cid // 1000 AS doc_id, cid % 1000 AS chunk_idx, score_unat, rk
+    FROM ranked WHERE rk <= 10
+"""
+
+
+@_register("rag_chunk_retrieval", _CHUNK_BM25_ORACLE)
+def rag_chunk_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG retrieval composition (r12): the chunker's 32-token/8-
+    overlap windows become the BM25 corpus — top-10 CHUNKS per query
+    with (doc_id, chunk_idx) provenance, the passage-level retrieval
+    a RAG pipeline actually serves (document-level BM25 hands the
+    generator whole documents; chunk-level hands it the passage).
+    Chunk identity packs into one integer key (doc_id*1000+idx) so
+    the shared BM25 kernel applies unchanged; chunk lengths re-anchor
+    the length normalization (avgdl is chunk-scale, not doc-scale).
+    The oracle replays chunking AND ranked retrieval end to end."""
+    from .operators.chunking import chunk_by_tokens
+    from .operators.retrieval import bm25_topk
+
+    chunks = chunk_by_tokens(
+        _t(spark, sf, "documents"), chunk_tokens=32, overlap_tokens=8
+    ).select(
+        (F.col("id") * 1000 + F.col("chunk_idx")).cast("long").alias("cid"),
+        "chunk_text",
+    )
+    out = bm25_topk(
+        chunks, _bm25_query_df(spark), k=10, text_col="chunk_text", id_col="cid"
+    )
+    return out.select(
+        "qid",
+        F.expr("cid div 1000").alias("doc_id"),
+        (F.col("cid") % 1000).alias("chunk_idx"),
+        "score_unat",
+        "rk",
     )
