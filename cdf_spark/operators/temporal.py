@@ -207,3 +207,58 @@ def cohort_retention(
         .groupBy(F.col("_cw").alias("cohort_week"), "week_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def daily_count_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Three-sigma anomaly flags on per-(type, day) event counts,
+    computed in EXACT integer arithmetic: with per-type day count n,
+    count sum S and square-sum Q, a day with count c is anomalous iff
+
+        (c*n - S)^2 > 9 * (n*Q - S^2)
+
+    — the cross-multiplied form of |c - mean| > 3*stddev (population
+    sigma), which needs no division, no sqrt, and no floats, so the
+    flag is bit-identical across engines and partitionings. The
+    ops-monitoring twin of the curation layer's quality gates
+    (spike/outage detection over an ingest stream's own counts).
+
+    Output: (event_type, day, c, n_days, dev_sq, thresh, is_anomaly)
+    for every (type, day) — `dev_sq`/`thresh` expose the decision
+    margin. Two map-side-combinable aggregations (day counts, then
+    per-type moments joined back); the per-type moment table is
+    |types| rows — broadcast-scale.
+    """
+    daily = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").cast("string").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("_s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_q"),
+    )
+    dev = F.col("c") * F.col("n_days") - F.col("_s")
+    dev_sq = (dev * dev).cast("long")
+    thresh = (
+        F.lit(9) * (F.col("n_days") * F.col("_q") - F.col("_s") * F.col("_s"))
+    ).cast("long")
+    return (
+        daily.join(F.broadcast(moments), on="event_type")
+        .select(
+            "event_type",
+            "day",
+            "c",
+            "n_days",
+            dev_sq.alias("dev_sq"),
+            thresh.alias("thresh"),
+            (dev_sq > thresh).alias("is_anomaly"),
+        )
+    )

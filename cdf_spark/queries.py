@@ -5107,6 +5107,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "connected_components_trade",
     "cohort_retention_weekly",
     "rag_chunk_retrieval",
+    "daily_count_anomalies",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -13156,3 +13157,36 @@ def rag_chunk_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         "score_unat",
         "rk",
     )
+
+
+@_register(
+    "daily_count_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, day
+    ),
+    moments AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS q
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.c, m.n_days,
+           CAST((d.c * m.n_days - m.s) * (d.c * m.n_days - m.s) AS BIGINT) AS dev_sq,
+           CAST(9 * (m.n_days * m.q - m.s * m.s) AS BIGINT) AS thresh,
+           (d.c * m.n_days - m.s) * (d.c * m.n_days - m.s)
+             > 9 * (m.n_days * m.q - m.s * m.s) AS is_anomaly
+    FROM daily d JOIN moments m USING (event_type)
+    """,
+)
+def daily_count_anomalies_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact three-sigma spike detection (r12,
+    `operators/temporal.daily_count_anomalies`) over per-(type, day)
+    event counts — |c-mean| > 3*sigma evaluated in its cross-
+    multiplied integer form (no division/sqrt/floats), so the flag
+    replays bit-identically in SQL. Two combinable aggregations + a
+    broadcast of the |types|-row moment table."""
+    from .operators.temporal import daily_count_anomalies
+
+    return daily_count_anomalies(_t(spark, sf, "events"))

@@ -211,3 +211,43 @@ def test_cohort_retention_offset_cap(spark):
     )
     got = cohort_retention(ev, max_offset=2).collect()
     assert {(r["week_offset"]) for r in got} == {0}  # June is past the cap
+
+
+def test_daily_count_anomalies_flags_planted_spike(spark):
+    from datetime import datetime
+
+    from cdf_spark.operators.temporal import daily_count_anomalies
+
+    rows = []
+    # 10 quiet days with 5 events each, one day with 50
+    for d in range(1, 11):
+        rows += [("err", datetime(2024, 1, d, h)) for h in range(5)]
+    rows += [("err", datetime(2024, 1, 11, h)) for h in range(5, 24)] + [
+        ("err", datetime(2024, 1, 11, h, 30)) for h in range(0, 24)
+    ]  # 43 events
+    # a steady type never flags
+    rows += [("ok", datetime(2024, 1, d)) for d in range(1, 12)]
+    ev = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {
+        (r["event_type"], r["day"]): r["is_anomaly"]
+        for r in daily_count_anomalies(ev, type_col="event_type").collect()
+    }
+    assert got[("err", "2024-01-11")] is True
+    assert not any(v for (t, d), v in got.items() if (t, d) != ("err", "2024-01-11"))
+
+
+def test_daily_count_anomalies_integer_margin_columns(spark):
+    from datetime import datetime
+
+    from cdf_spark.operators.temporal import daily_count_anomalies
+
+    ev = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1)), ("a", datetime(2024, 1, 2)),
+         ("a", datetime(2024, 1, 2))],
+        ["event_type", "ts"],
+    )
+    # n=2 days, counts 1 and 2: S=3, Q=5; dev for c=1: (2-3)^2=1;
+    # thresh = 9*(2*5-9) = 9
+    r = {row["day"]: row for row in daily_count_anomalies(ev).collect()}
+    assert r["2024-01-01"]["dev_sq"] == 1 and r["2024-01-01"]["thresh"] == 9
+    assert r["2024-01-01"]["is_anomaly"] is False
