@@ -12,7 +12,7 @@ JVM-side xxhash64 keeps this in codegen; no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,8 +59,6 @@ def stratified_topk_sample(
     degrades to a global top-k (AQE splits the sort, the rank is
     still one reducer per stratum — the inherent cost of exactness).
     """
-    from pyspark.sql import Window
-
     if k <= 0:
         raise ValueError("k must be positive")
     ident = [F.col(c).cast("string") for c in (identity_cols or df.columns)]
@@ -70,4 +68,78 @@ def stratified_topk_sample(
         .withColumn("_rn", F.row_number().over(Window.partitionBy(*strata_cols).orderBy("_rk")))
         .filter(F.col("_rn") <= k)
         .drop("_rk", "_rn")
+    )
+
+
+def systematic_resample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic systematic resampling: draw ``n`` items WITH
+    replacement, each with probability proportional to its integer
+    weight — the statistically standard low-variance resampler
+    (particle filters; importance-weighted corpus mixing is the same
+    math). Where `dsir_select`'s top-k KEEPS the k heaviest docs,
+    this reproduces the full weight DISTRIBUTION: a doc with 2% of
+    the total weight gets ~2% of the draws, heavy docs get multiple
+    copies (`n_copies`), light docs drop out deterministically.
+
+    Draw positions are the systematic grid p_i = (i*W) DIV n for
+    i in [0, n) over total weight W; a doc owning cumulative weight
+    span [lo, hi) receives
+
+        n_copies = ceil(hi*n/W) - ceil(lo*n/W)
+
+    (exact integers — ceil(a/b) = (a+b-1) DIV b; floor-div monotony
+    makes the count formula closed-form, so no per-draw work exists
+    anywhere). Items are laid on the weight line in md5(id) order —
+    deterministic, uncorrelated with ingest order, and exactly
+    reproducible in SQL.
+
+    Scale posture: the cumulative weight line uses the suite's
+    two-phase exact-cumsum discipline (range-repartition on the md5
+    key so partitions tile the global order; per-partition offsets
+    are the only driver state, O(partitions) rows) — no
+    single-reducer global window. The closed-form count then needs
+    no join against draws: output cost is O(rows), independent of n.
+
+    Output: (id_col, weight, n_copies) for items with n_copies >= 1.
+    """
+    if n < 1:
+        raise ValueError("n must be positive")
+    keyed = df.select(
+        F.col(id_col).alias("_id"), F.col(weight_col).cast("long").alias("_w")
+    ).filter(F.col("_w") > 0)
+    keyed = keyed.withColumn("_mk", F.md5(F.col("_id").cast("string")))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    keyed = keyed.repartitionByRange(n_parts, F.col("_mk"), F.col("_id")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    subtotals = (
+        keyed.groupBy("_pid").agg(F.sum("_w").alias("_t")).collect()
+    )
+    acc, offsets = 0, []
+    for r in sorted(subtotals, key=lambda r: r._pid):
+        offsets.append((int(r._pid), acc))
+        acc += int(r._t)
+    total = acc
+    if total <= 0:
+        raise ValueError("total weight must be positive")
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("_mk", "_id")
+    spans = (
+        keyed.join(F.broadcast(off_df), on="_pid")
+        .withColumn("_hi", F.col("_off") + F.sum("_w").over(w))
+        .withColumn("_lo", F.col("_hi") - F.col("_w"))
+    )
+    copies = (
+        F.expr(f"(_hi * {n} + {total} - 1) div {total}")
+        - F.expr(f"(_lo * {n} + {total} - 1) div {total}")
+    ).cast("long")
+    return (
+        spans.withColumn("n_copies", copies)
+        .filter(F.col("n_copies") >= 1)
+        .select(F.col("_id").alias(id_col), F.col("_w").alias("weight"), "n_copies")
     )

@@ -5108,6 +5108,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "cohort_retention_weekly",
     "rag_chunk_retrieval",
     "daily_count_anomalies",
+    "systematic_resample_docs",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -13190,3 +13191,43 @@ def daily_count_anomalies_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.temporal import daily_count_anomalies
 
     return daily_count_anomalies(_t(spark, sf, "events"))
+
+
+@_register(
+    "systematic_resample_docs",
+    """
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             md5(CAST(doc_id AS VARCHAR)) AS mk
+      FROM documents WHERE n_chars > 0
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM keyed),
+    spans AS (
+      SELECT doc_id, w, CAST(SUM(w) OVER (ORDER BY mk, doc_id) AS BIGINT) AS hi
+      FROM keyed
+    ),
+    counted AS (
+      SELECT doc_id, w AS weight,
+             CAST((hi * 300 + tw - 1) // tw
+                  - ((hi - w) * 300 + tw - 1) // tw AS BIGINT) AS n_copies
+      FROM spans, tot
+    )
+    SELECT doc_id, weight, n_copies FROM counted WHERE n_copies >= 1
+    """,
+)
+def systematic_resample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Systematic weight-proportional resampling (r12,
+    `operators/sampling.systematic_resample`): 300 draws WITH
+    replacement over the documents table, weight = n_chars — the
+    low-variance resampler (particle-filter / importance-mixing
+    standard) that reproduces the weight DISTRIBUTION where DSIR's
+    top-k keeps only the heaviest. Copy counts come from the
+    closed-form integer grid formula (no per-draw work); the weight
+    line is laid in md5 order via the two-phase exact-cumsum
+    discipline (no single-reducer window). The oracle replays grid
+    arithmetic and cumsum exactly — the oracle's global window is
+    the SEMANTIC spec the two-phase plan must reproduce
+    bit-for-bit."""
+    from .operators.sampling import systematic_resample
+
+    return systematic_resample(_t(spark, sf, "documents"), weight_col="n_chars", n=300)

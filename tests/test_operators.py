@@ -102,3 +102,48 @@ def test_asof_join_tolerance(spark):
     out = asof_join(trades, quotes, on="t", by=["sym"], tolerance=5)
     got = {r.t: r.r_px for r in out.collect()}
     assert got == {3: 10.0, 50: None}
+
+
+def test_systematic_resample_distribution_and_total(spark):
+    from pyspark.sql import functions as F
+
+    from cdf_spark.operators.sampling import systematic_resample
+
+    rows = [(1, 500), (2, 250), (3, 250), (4, 0), (5, -3)] + [
+        (i, 1) for i in range(10, 20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "wt"])
+    out = systematic_resample(df, weight_col="wt", n=101, id_col="doc_id").collect()
+    got = {r["doc_id"]: r["n_copies"] for r in out}
+    # total draws are exactly n
+    assert sum(got.values()) == 101
+    # zero/negative weights can never be drawn
+    assert 4 not in got and 5 not in got
+    # a doc with half the total weight gets ~half the draws
+    total_w = 500 + 250 + 250 + 10
+    assert abs(got[1] - 101 * 500 / total_w) <= 1
+    assert abs(got[2] - 101 * 250 / total_w) <= 1
+
+
+def test_systematic_resample_partition_independent(spark):
+    from cdf_spark.operators.sampling import systematic_resample
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    a = spark.createDataFrame(rows, ["doc_id", "wt"]).repartition(11)
+    b = spark.createDataFrame(rows, ["doc_id", "wt"]).coalesce(1)
+    ra = sorted(map(tuple, systematic_resample(a, "wt", 57).collect()))
+    rb = sorted(map(tuple, systematic_resample(b, "wt", 57).collect()))
+    assert ra == rb
+
+
+def test_systematic_resample_refusals(spark):
+    import pytest
+
+    from cdf_spark.operators.sampling import systematic_resample
+
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "wt"])
+    with pytest.raises(ValueError, match="positive"):
+        systematic_resample(df, "wt", 0)
+    empty = spark.createDataFrame([(1, 0)], ["doc_id", "wt"])
+    with pytest.raises(ValueError, match="total weight"):
+        systematic_resample(empty, "wt", 5)
