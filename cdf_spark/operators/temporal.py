@@ -262,3 +262,77 @@ def daily_count_anomalies(
             (dev_sq > thresh).alias("is_anomaly"),
         )
     )
+
+
+def funnel_conversion_stats(
+    events: DataFrame,
+    steps: list[str],
+    within: str = "7 days",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert statistics for users who complete the WHOLE
+    funnel (same strict-order/first-occurrence/anchored-horizon
+    semantics as `funnel_counts`): one row with the converted-user
+    count and the exact lower-median and ceiling-p90 of
+    (last-step time - anchor time) in integer milliseconds.
+
+    Percentiles are ORDER STATISTICS (element at rank
+    (n+1) DIV 2 / ceil(9n/10)) — no interpolation, no floats, so the
+    values replay exactly in SQL. The ranking window runs over the
+    converted-user set only (bounded by the user count, stated), and
+    conversion times are exact integer millisecond differences.
+
+    Output: (n_converted, median_ms, p90_ms).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    ev = events.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), F.col(ts_col).alias("_ts")
+    ).filter(F.col(type_col).isin(steps))
+    anchors = (
+        ev.filter(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_a"))
+        .select("_u", "_a", F.col("_a").alias("_c"), (F.col("_a") + F.expr(f"INTERVAL {within}")).alias("_hz"))
+    )
+    reach = anchors
+    for step in steps[1:]:
+        reach = (
+            ev.filter(F.col("_t") == step)
+            .join(reach, on="_u")
+            .filter((F.col("_ts") > F.col("_c")) & (F.col("_ts") <= F.col("_hz")))
+            .groupBy("_u", "_a", "_hz")
+            .agg(F.min("_ts").alias("_c"))
+            .select("_u", "_a", "_c", "_hz")
+        )
+    conv = reach.select(
+        "_u",
+        (
+            F.unix_millis(F.col("_c").cast("timestamp"))
+            - F.unix_millis(F.col("_a").cast("timestamp"))
+        ).alias("_ms"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("_ms").asc(), F.col("_u").asc())
+    ranked = conv.withColumn("_rn", F.row_number().over(w))
+    n = conv.count()
+    if n == 0:
+        return events.sparkSession.createDataFrame(
+            [(0, None, None)], "n_converted long, median_ms long, p90_ms long"
+        )
+    med_rk, p90_rk = (n + 1) // 2, (9 * n + 9) // 10
+    med = ranked.filter(F.col("_rn") == med_rk).select(F.col("_ms"))
+    p90 = ranked.filter(F.col("_rn") == p90_rk).select(F.col("_ms"))
+    return (
+        med.crossJoin(p90.withColumnRenamed("_ms", "_ms90"))
+        .select(
+            F.lit(n).cast("long").alias("n_converted"),
+            F.col("_ms").cast("long").alias("median_ms"),
+            F.col("_ms90").cast("long").alias("p90_ms"),
+        )
+    )

@@ -5109,6 +5109,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rag_chunk_retrieval",
     "daily_count_anomalies",
     "systematic_resample_docs",
+    "funnel_conversion_stats",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -13231,3 +13232,50 @@ def systematic_resample_docs(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.sampling import systematic_resample
 
     return systematic_resample(_t(spark, sf, "documents"), weight_col="n_chars", n=300)
+
+
+@_register(
+    "funnel_conversion_stats",
+    """
+    WITH a AS (
+      SELECT user_id AS u, MIN(ts) AS anchor FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (SELECT u, anchor, anchor AS c, anchor + INTERVAL 7 DAY AS hz FROM a),
+    s2 AS (
+      SELECT e.user_id AS u, s1.anchor, MIN(e.ts) AS c, s1.hz
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.c AND e.ts <= s1.hz
+      GROUP BY e.user_id, s1.anchor, s1.hz
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, s2.anchor, MIN(e.ts) AS c, s2.hz
+      FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.c AND e.ts <= s2.hz
+      GROUP BY e.user_id, s2.anchor, s2.hz
+    ),
+    conv AS (
+      SELECT u, CAST(epoch_ms(c) - epoch_ms(anchor) AS BIGINT) AS ms FROM s3
+    ),
+    ranked AS (
+      SELECT u, ms, row_number() OVER (ORDER BY ms ASC, u ASC) AS rn FROM conv
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM conv)
+    SELECT n.n AS n_converted,
+           (SELECT ms FROM ranked, n WHERE rn = (n + 1) // 2) AS median_ms,
+           (SELECT ms FROM ranked, n WHERE rn = (9 * n + 9) // 10) AS p90_ms
+    FROM n
+    """,
+)
+def funnel_conversion_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel time-to-convert (r12,
+    `operators/temporal.funnel_conversion_stats`): for users who
+    complete view->click->purchase within the 7-day anchored horizon,
+    exact integer-millisecond conversion times with order-statistic
+    lower-median and ceiling-p90 — no interpolation, no floats, SQL-
+    replayed exactly."""
+    from .operators.temporal import funnel_conversion_stats
+
+    return funnel_conversion_stats(
+        _t(spark, sf, "events"), ["view", "click", "purchase"], within="7 days"
+    )

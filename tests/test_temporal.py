@@ -251,3 +251,38 @@ def test_daily_count_anomalies_integer_margin_columns(spark):
     r = {row["day"]: row for row in daily_count_anomalies(ev).collect()}
     assert r["2024-01-01"]["dev_sq"] == 1 and r["2024-01-01"]["thresh"] == 9
     assert r["2024-01-01"]["is_anomaly"] is False
+
+
+def test_funnel_conversion_stats_order_statistics(spark):
+    from datetime import datetime, timedelta
+
+    from cdf_spark.operators.temporal import funnel_conversion_stats
+
+    rows = []
+    base = datetime(2024, 1, 1)
+    # users 1..5 convert in 10, 20, 30, 40, 50 minutes
+    for u, mins in zip(range(1, 6), (10, 20, 30, 40, 50)):
+        rows += [
+            (u, "view", base),
+            (u, "click", base + timedelta(minutes=mins // 2)),
+            (u, "purchase", base + timedelta(minutes=mins)),
+        ]
+    rows.append((9, "view", base))  # never converts
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    (r,) = funnel_conversion_stats(ev, ["view", "click", "purchase"]).collect()
+    # n=5: lower median = rank 3 (30 min), p90 = rank ceil(4.5)=5 (50)
+    assert r["n_converted"] == 5
+    assert r["median_ms"] == 30 * 60_000
+    assert r["p90_ms"] == 50 * 60_000
+
+
+def test_funnel_conversion_stats_empty(spark):
+    from datetime import datetime
+
+    from cdf_spark.operators.temporal import funnel_conversion_stats
+
+    ev = spark.createDataFrame(
+        [(1, "view", datetime(2024, 1, 1))], ["user_id", "event_type", "ts"]
+    )
+    (r,) = funnel_conversion_stats(ev, ["view", "click"]).collect()
+    assert r["n_converted"] == 0 and r["median_ms"] is None
