@@ -767,3 +767,85 @@ def mmr_rerank(
         )
         selected = selected.unionAll(pick)
     return selected
+
+
+def tfidf_doc_similarity(
+    docs: DataFrame,
+    query_ids: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse lexical document-to-document similarity: top-k corpus
+    documents per query document by TF-IDF cosine, computed through
+    POSTING-LIST joins (the sparse-GEMM shape) — never a dense
+    vector, never an all-pairs product. The lexical complement of the
+    dense-embedding ANN family: retrieval-based dedup audits and
+    "more like this" corpus exploration run exactly this.
+
+    Determinism discipline: per-(doc, term) weights are integers
+    (round(tf * ln((N+1)/(df+1)) * 1000) — a single double expression
+    over exact integer inputs, the BM25 micro-unit rule), so dots and
+    squared norms are exact integer sums; the final cosine
+    round(dot / (sqrt(nn_q) * sqrt(nn_d)) * 1e6) is again ONE double
+    expression over three exact integers with fixed operand order —
+    bit-identical across engines and partitionings.
+
+    Scale posture: corpus tf builds with the shared one-shuffle
+    groupBy; document frequencies join term-keyed (map-side combined
+    first); the cross-products join only postings of the QUERY docs'
+    terms (query side broadcast), and partial products reduce
+    map-side per (query, candidate). Squared norms are one more
+    combinable aggregate. No stage touches corpus x corpus.
+
+    Output: (qid, id_col, sim_unat, rk) — self-matches excluded.
+    """
+    tf = _doc_tf(docs, text_col, id_col).select("_id", "tok", "tf")
+    n_docs = docs.count()
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    iw = tf.join(dfreq, on="tok").select(
+        "_id",
+        "tok",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            * F.lit(1000.0)
+        )
+        .cast("long")
+        .alias("iw"),
+    )
+    norms = iw.groupBy("_id").agg(F.sum(F.col("iw") * F.col("iw")).alias("nn"))
+    q = query_ids.select(F.col(id_col).alias("_qid"))
+    qiw = iw.join(F.broadcast(q), iw["_id"] == q["_qid"]).select(
+        F.col("_qid"), "tok", F.col("iw").alias("_qw")
+    )
+    dots = (
+        iw.join(F.broadcast(qiw), on="tok")
+        .filter(F.col("_id") != F.col("_qid"))
+        .groupBy("_qid", "_id")
+        .agg(F.sum(F.col("iw") * F.col("_qw")).alias("dot"))
+    )
+    qnorms = norms.join(F.broadcast(q), norms["_id"] == q["_qid"]).select(
+        "_qid", F.col("nn").alias("_qnn")
+    )
+    sim = (
+        dots.join(norms, on="_id")
+        .join(F.broadcast(qnorms), on="_qid")
+        .select(
+            "_qid",
+            "_id",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("_qnn")) * F.sqrt(F.col("nn")))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("sim_unat"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("sim_unat").desc(), F.col("_id").asc())
+    return (
+        sim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col("_qid").alias("qid"), F.col("_id").alias(id_col), "sim_unat", "rk")
+    )

@@ -5110,6 +5110,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "daily_count_anomalies",
     "systematic_resample_docs",
     "funnel_conversion_stats",
+    "tfidf_doc_similarity",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -13279,3 +13280,58 @@ def funnel_conversion_stats_q(spark: SparkSession, sf: str) -> DataFrame:
     return funnel_conversion_stats(
         _t(spark, sf, "events"), ["view", "click", "purchase"], within="7 days"
     )
+
+
+@_register(
+    "tfidf_doc_similarity",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM toks),
+    flat AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM flat GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    iw AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(round(tf * ln((n + 1.0) / (df + 1.0)) * 1000.0) AS BIGINT) AS iw
+      FROM tf JOIN dfreq USING (tok), n
+    ),
+    norms AS (SELECT doc_id, CAST(SUM(iw * iw) AS BIGINT) AS nn FROM iw GROUP BY doc_id),
+    q AS (SELECT doc_id AS qid FROM documents WHERE doc_id < 5),
+    qiw AS (SELECT q.qid, iw.tok, iw.iw AS qw FROM iw JOIN q ON iw.doc_id = q.qid),
+    dots AS (
+      SELECT qiw.qid, iw.doc_id, CAST(SUM(iw.iw * qiw.qw) AS BIGINT) AS dot
+      FROM iw JOIN qiw USING (tok)
+      WHERE iw.doc_id != qiw.qid
+      GROUP BY qiw.qid, iw.doc_id
+    ),
+    sims AS (
+      SELECT d.qid, d.doc_id,
+             CAST(round(d.dot / (sqrt(qn.nn) * sqrt(nm.nn)) * 1000000.0) AS BIGINT) AS sim_unat
+      FROM dots d
+      JOIN norms nm ON nm.doc_id = d.doc_id
+      JOIN norms qn ON qn.doc_id = d.qid
+    ),
+    ranked AS (
+      SELECT qid, doc_id, sim_unat,
+             row_number() OVER (PARTITION BY qid ORDER BY sim_unat DESC, doc_id ASC) AS rk
+      FROM sims
+    )
+    SELECT qid, doc_id, sim_unat, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def tfidf_doc_similarity_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse TF-IDF document similarity (r12,
+    `operators/retrieval.tfidf_doc_similarity`): top-10 corpus docs
+    for each of 5 query docs by TF-IDF cosine over posting-list
+    joins — integer micro-unit weights, exact integer dots/norms,
+    one fixed-order double per pair. The lexical complement of the
+    embedding ANN family. Oracle replays weights, norms, sparse
+    dots, and ranking end to end."""
+    from .operators.retrieval import tfidf_doc_similarity
+
+    docs = _t(spark, sf, "documents")
+    return tfidf_doc_similarity(docs, docs.filter("doc_id < 5").select("doc_id"), k=10)

@@ -388,3 +388,24 @@ def test_mmr_rejects_bad_params(spark):
         mmr_rerank(cand, pairs, k=0)
     with pytest.raises(ValueError):
         mmr_rerank(cand, pairs, lambda_pct=0)
+
+
+def test_tfidf_doc_similarity_prefers_shared_rare_terms(spark):
+    from cdf_spark.operators.retrieval import tfidf_doc_similarity
+
+    docs = _docs(
+        spark,
+        [
+            (1, "zebra quantum flux"),
+            (2, "zebra quantum flux extras"),   # near copy of 1
+            (3, "zebra common common common"),  # shares only one term
+            (4, "the completely different one"),
+            (5, "common the words"),
+        ],
+    )
+    out = tfidf_doc_similarity(docs, docs.filter("doc_id = 1").select("doc_id"), k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rk"])
+    assert rows[0]["doc_id"] == 2  # near-copy wins
+    assert all(r["qid"] == 1 and r["doc_id"] != 1 for r in rows)  # self excluded
+    sims = [r["sim_unat"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
