@@ -1765,3 +1765,85 @@ def ivf_hard_negatives(
             "rank",
         )
     )
+
+
+def margin_bitext_mine(
+    emb: DataFrame,
+    side_expr: str,
+    k: int = 4,
+    margin_threshold_micro: int = 1_200_000,
+    centroid_modulus: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Margin-criterion parallel-pair mining (Artetxe & Schwenk 2019,
+    the LASER/CCMatrix bitext-mining rule): candidate cross-side
+    pairs are scored by the RATIO of their similarity to the average
+    of each endpoint's k nearest candidates — absolute cosine alone
+    over-fires in dense neighborhoods; the margin normalizes by local
+    density. Pairs must be MUTUAL best matches and clear the margin
+    threshold.
+
+    ``side_expr`` is a boolean SQL expression splitting the corpus
+    into side A (true) and side B (false) — in production the
+    language id of each embedded sentence.
+
+    Deterministic-exact discipline: candidate generation is the
+    cluster-confined IVF shape (deterministic sampled centroids,
+    `ivf_assign` — no corpus x corpus stage); similarities become
+    integer micro-units (round-4 cosine x 1e6 is exact); top-k sums
+    and counts are exact integers; the margin is ONE integer floor
+    division `(sim * (cnt_x + cnt_y) * 1e6) DIV (sum_x + sum_y)`
+    (the counts generalize the 2k constant when a side has fewer
+    than k candidates). Everything replays in SQL.
+
+    Output: (a_id, b_id, sim_unat, margin_unat) — mutual-best pairs
+    with margin >= threshold and positive similarity.
+    """
+    c = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_e"), F.expr(side_expr).alias("_sa"))
+    cents = emb.filter(F.col(id_col) % centroid_modulus == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    )
+    assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col, round_to=round_to)
+    sided = assigned.join(c.select("id", "_sa"), on="id")
+    pa = sided.filter(F.col("_sa")).select(F.col("id").alias("xa"), F.col("cluster"), F.col("_v").alias("_va"))
+    pb = sided.filter(~F.col("_sa")).select(F.col("id").alias("yb"), F.col("cluster"), F.col("_v").alias("_vb"))
+    pairs = (
+        pa.join(pb, on="cluster")
+        .select(
+            "xa",
+            "yb",
+            F.round(F.round(cosine(F.col("_va"), F.col("_vb")), round_to) * F.lit(1000000.0))
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )
+    wx = Window.partitionBy("xa").orderBy(F.col("sim_u").desc(), F.col("yb").asc())
+    wy = Window.partitionBy("yb").orderBy(F.col("sim_u").desc(), F.col("xa").asc())
+    ranked = pairs.withColumn("_rx", F.row_number().over(wx)).withColumn(
+        "_ry", F.row_number().over(wy)
+    )
+    sx = (
+        ranked.filter(F.col("_rx") <= k)
+        .groupBy("xa")
+        .agg(F.sum("sim_u").alias("_sx"), F.count(F.lit(1)).alias("_cx"))
+    )
+    sy = (
+        ranked.filter(F.col("_ry") <= k)
+        .groupBy("yb")
+        .agg(F.sum("sim_u").alias("_sy"), F.count(F.lit(1)).alias("_cy"))
+    )
+    mutual = ranked.filter((F.col("_rx") == 1) & (F.col("_ry") == 1))
+    return (
+        mutual.join(sx, on="xa")
+        .join(sy, on="yb")
+        .filter((F.col("sim_u") > 0) & (F.col("_sx") + F.col("_sy") > 0))
+        .select(
+            F.col("xa").alias("a_id"),
+            F.col("yb").alias("b_id"),
+            F.col("sim_u").alias("sim_unat"),
+            F.expr("(sim_u * (_cx + _cy) * 1000000) div (_sx + _sy)").alias("margin_unat"),
+        )
+        .filter(F.col("margin_unat") >= margin_threshold_micro)
+    )

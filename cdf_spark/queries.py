@@ -5111,6 +5111,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "systematic_resample_docs",
     "funnel_conversion_stats",
     "tfidf_doc_similarity",
+    "bitext_margin_mining",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -13335,3 +13336,61 @@ def tfidf_doc_similarity_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     return tfidf_doc_similarity(docs, docs.filter("doc_id < 5").select("doc_id"), k=10)
+
+
+@_register(
+    "bitext_margin_mining",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cid, e AS ce FROM c WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT id, cluster FROM (
+        SELECT c.vec_id AS id, cents.cid AS cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.e, cents.ce), 4) DESC, cents.cid ASC) AS rn
+        FROM c CROSS JOIN cents) WHERE rn = 1
+    ),
+    pa AS (SELECT a.id, a.cluster, c.e FROM assigned a JOIN c ON c.vec_id = a.id WHERE a.id % 2 = 0),
+    pb AS (SELECT a.id, a.cluster, c.e FROM assigned a JOIN c ON c.vec_id = a.id WHERE a.id % 2 = 1),
+    pairs AS (
+      SELECT pa.id AS xa, pb.id AS yb,
+             CAST(round(round(list_cosine_similarity(pa.e, pb.e), 4) * 1000000.0) AS BIGINT) AS sim_u
+      FROM pa JOIN pb ON pa.cluster = pb.cluster
+    ),
+    ranked AS (
+      SELECT xa, yb, sim_u,
+             row_number() OVER (PARTITION BY xa ORDER BY sim_u DESC, yb ASC) AS rx,
+             row_number() OVER (PARTITION BY yb ORDER BY sim_u DESC, xa ASC) AS ry
+      FROM pairs
+    ),
+    sx AS (SELECT xa, CAST(SUM(sim_u) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ranked WHERE rx <= 4 GROUP BY xa),
+    sy AS (SELECT yb, CAST(SUM(sim_u) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ranked WHERE ry <= 4 GROUP BY yb),
+    scored AS (
+      SELECT r.xa AS a_id, r.yb AS b_id, r.sim_u AS sim_unat,
+             (r.sim_u * (sx.n + sy.n) * 1000000) // (sx.s + sy.s) AS margin_unat
+      FROM ranked r JOIN sx ON sx.xa = r.xa JOIN sy ON sy.yb = r.yb
+      WHERE r.rx = 1 AND r.ry = 1 AND r.sim_u > 0 AND sx.s + sy.s > 0
+    )
+    SELECT a_id, b_id, sim_unat, CAST(margin_unat AS BIGINT) AS margin_unat
+    FROM scored WHERE margin_unat >= 1200000
+    """,
+)
+def bitext_margin_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Margin-criterion parallel-pair mining (r12,
+    `operators/similarity.margin_bitext_mine` — the LASER/CCMatrix
+    bitext rule): even/odd vec_id halves stand in for two languages;
+    candidates are cluster-confined (IVF assignment, no corpus x
+    corpus), pairs must be MUTUAL best matches, and the ratio margin
+    (sim over the average of each endpoint's top-4 candidate sims,
+    one integer floor division) must clear 1.2 — absolute cosine
+    over-fires in dense neighborhoods, the margin normalizes by
+    local density. Oracle replays assignment, ranking, margins, and
+    the mutual filter end to end."""
+    from .operators.similarity import margin_bitext_mine
+
+    return margin_bitext_mine(
+        _t(spark, sf, "embeddings"), side_expr="vec_id % 2 = 0", k=4,
+        margin_threshold_micro=1_200_000,
+    )

@@ -147,3 +147,34 @@ def test_systematic_resample_refusals(spark):
     empty = spark.createDataFrame([(1, 0)], ["doc_id", "wt"])
     with pytest.raises(ValueError, match="total weight"):
         systematic_resample(empty, "wt", 5)
+
+
+def test_bitext_margin_mining_mutual_best_and_density_norm(spark):
+    import math
+
+    from cdf_spark.operators.similarity import margin_bitext_mine
+
+    # planted geometry in 4-d: a0<->b1 are near-identical (true pair);
+    # b3 is close to a0 but NOT a0's best; a2 sits in a dense clump
+    # with b5/b7 (high local averages -> low margin).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # side A (even)
+        (1, [0.99, 0.1, 0.0, 0.0]),       # side B: true pair of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),        # side A, dense clump
+        (3, [0.7, 0.5, 0.0, 0.0]),        # side B, nearish 0
+        (5, [0.0, 0.99, 0.1, 0.0]),       # side B, clump
+        (7, [0.0, 0.99, -0.1, 0.0]),      # side B, clump
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    out = margin_bitext_mine(
+        emb, side_expr="vec_id % 2 = 0", k=2,
+        margin_threshold_micro=0, centroid_modulus=5,
+    ).collect()
+    got = {(r["a_id"], r["b_id"]): r["margin_unat"] for r in out}
+    assert (0, 1) in got  # the true pair survives as mutual best
+    # every output pair is mutual-best: a_id and b_id each appear once
+    assert len({a for a, _ in got}) == len(got) and len({b for _, b in got}) == len(got)
+    # margins exceed 1.0 only where the pair beats its local density
+    assert got[(0, 1)] > 1_000_000
