@@ -5112,6 +5112,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "funnel_conversion_stats",
     "tfidf_doc_similarity",
     "bitext_margin_mining",
+    "bradley_terry_supplier_strengths",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -13394,3 +13395,91 @@ def bitext_margin_mining(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "embeddings"), side_expr="vec_id % 2 = 0", k=4,
         margin_threshold_micro=1_200_000,
     )
+
+
+def _bt_oracle(iters: int = 5, k: int = 20) -> str:
+    """Unrolled Bradley-Terry MM replay: the same symmetrized count
+    table and the same three integer floor divisions (pair term,
+    update, normalization) per iteration."""
+    body = """
+    WITH oq AS MATERIALIZED (
+      SELECT l_orderkey AS ok, l_suppkey AS s, SUM(l_quantity) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    duels AS MATERIALIZED (
+      SELECT a.s AS i, b.s AS j, CASE WHEN a.q > b.q THEN 1 ELSE 0 END AS win
+      FROM oq a JOIN oq b ON a.ok = b.ok AND a.s != b.s
+      WHERE a.q != b.q
+    ),
+    dstream AS MATERIALIZED (
+      SELECT i, j, win FROM duels
+      UNION ALL SELECT j, i, 1 - win FROM duels
+    ),
+    nij AS MATERIALIZED (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(win) AS BIGINT) AS wij
+      FROM dstream GROUP BY i, j
+    ),
+    wins AS MATERIALIZED (SELECT i AS id, CAST(SUM(wij) AS BIGINT) AS w FROM nij GROUP BY i),
+    np AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS np FROM nij),
+    it0 AS MATERIALIZED (SELECT DISTINCT i AS id, CAST(1000000 AS BIGINT) AS p FROM nij)"""
+    for t in range(iters):
+        body += f""",
+    d{t} AS MATERIALIZED (
+      SELECT nij.i, CAST(SUM((n * 1000000000000) // greatest(pi.p + pj.p, 1)) AS BIGINT) AS d
+      FROM nij JOIN it{t} pi ON pi.id = nij.i JOIN it{t} pj ON pj.id = nij.j
+      GROUP BY nij.i
+    ),
+    raw{t} AS MATERIALIZED (
+      SELECT d{t}.i AS id, CAST((w.w * 1000000000000) // greatest(d{t}.d, 1) AS BIGINT) AS praw
+      FROM d{t} JOIN wins w ON w.id = d{t}.i
+    ),
+    tot{t} AS (SELECT CAST(SUM(praw) AS BIGINT) AS t FROM raw{t}),
+    it{t + 1} AS MATERIALIZED (
+      SELECT id, CAST((praw * (SELECT np FROM np) * 1000000) // (SELECT t FROM tot{t})
+                 AS BIGINT) AS p
+      FROM raw{t}
+    )"""
+    body += f""",
+    ranked AS (
+      SELECT id, p AS strength_unat,
+             row_number() OVER (ORDER BY p DESC, id ASC) AS rank
+      FROM it{iters}
+    )
+    SELECT id, strength_unat, rank FROM ranked WHERE rank <= {k}
+    """
+    return body
+
+
+@_register("bradley_terry_supplier_strengths", _bt_oracle())
+def bradley_terry_supplier_strengths(spark: SparkSession, sf: str) -> DataFrame:
+    """Bradley-Terry preference fitting (r12,
+    `operators/preference.bradley_terry_strengths`) — the pairwise-
+    preference aggregation behind RLHF reward modeling and LLM-judge
+    leaderboards, run on the fixture's duel stream: within each
+    order, suppliers 'compete' (higher shipped quantity wins, ties
+    excluded). Five MM iterations (Hunter 2004) in integer
+    micro-units — pair terms, updates, and the drift-killing sum
+    normalization are each ONE floor division — so the oracle
+    unrolls an ITERATIVE ML fit exactly. Top-20 strengths."""
+    from pyspark.sql.window import Window as _W
+
+    from .operators.preference import bradley_terry_strengths
+
+    li = _t(spark, sf, "lineitem")
+    oq = li.groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")).agg(
+        F.sum("l_quantity").alias("q")
+    )
+    a, b = oq.alias("a"), oq.alias("b")
+    duels = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") != F.col("b.s")))
+        .filter(F.col("a.q") != F.col("b.q"))
+        .select(
+            F.col("a.s").alias("i"),
+            F.col("b.s").alias("j"),
+            F.when(F.col("a.q") > F.col("b.q"), F.lit(1)).otherwise(F.lit(0)).alias("win"),
+        )
+    )
+    strengths = bradley_terry_strengths(duels, iterations=5)
+    top = strengths.orderBy(F.col("strength_unat").desc(), F.col("id").asc()).limit(20)
+    w = _W.orderBy(F.col("strength_unat").desc(), F.col("id").asc())
+    return top.select("id", "strength_unat", F.row_number().over(w).alias("rank"))
