@@ -135,6 +135,13 @@ BENCH_QUERIES = [
     "hybrid_rrf_retrieval",
     "bm25_prf_expanded_topk",
     "funnel_view_click_purchase",
+    # round 12 third wave, later batch: the second iterative ML fit
+    # (pairwise counts reduce before the loop — the wall measures 5
+    # MM rounds over the O(distinct pairs) table) and two events/
+    # retrieval one-pass shapes
+    "bradley_terry_supplier_strengths",
+    "tfidf_doc_similarity",
+    "cohort_retention_weekly",
 ]
 
 

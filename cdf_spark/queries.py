@@ -5133,13 +5133,15 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "phrase_index_match",
     "curriculum_training_order",
     # -- last driver-green in r6 (the least-recently-green rotation
-    #    the verdict prescribes). With 18 never-green r12 additions at
-    #    the head, a 50-query window carries the first ~32 of this
-    #    cohort; never-green outranks r6-stale (a query with NO driver
-    #    row is strictly worse evidence than one last value-checked in
-    #    r6 — and every r6 entry below was also re-value-checked MATCH
-    #    by the r11 judge's full-registry run). The cohort tail
-    #    rotates in next round. --
+    #    the verdict prescribes). With 18 + 17 never-green r12
+    #    additions at the head (the first and second r12 sessions), a
+    #    50-query window carries only the first ~15 of this cohort;
+    #    never-green outranks r6-stale (a query with NO driver row is
+    #    strictly worse evidence than one last value-checked in r6 —
+    #    and every r6 entry below was also re-value-checked MATCH by
+    #    the r11 judge's full-registry run AND by this session's own
+    #    full compare_oracle runs). The cohort tail rotates in next
+    #    round. --
     "airbyte_subprocess_scan",
     "anti_join_customers_without_orders",
     "argmin_cheapest_supplier",
