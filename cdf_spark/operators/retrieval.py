@@ -727,9 +727,20 @@ def mmr_rerank(
     if not 0 < lambda_pct <= 100:
         raise ValueError("lambda_pct must be in (1, 100)")
     mu = 100 - lambda_pct
-    cand = candidates.select("qid", "id", F.col("rel_u").cast("long").alias("rel_u"))
-    pairs = pair_sims.select(
-        "qid", "a", "b", F.col("sim_u").cast("long").alias("sim_u")
+    # the greedy loop reuses cand/pairs every step and `selected`
+    # grows by self-reference — without materialization the final
+    # plan re-derives every prior step's subtree per step (measured:
+    # 329 exchanges for k=4 before this checkpoint discipline, the
+    # compounding-lineage failure the BPE/PageRank loops guard
+    # against). Both inputs are query-bounded prior cuts, so the
+    # checkpoints are small by contract.
+    cand = (
+        candidates.select("qid", "id", F.col("rel_u").cast("long").alias("rel_u"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        pair_sims.select("qid", "a", "b", F.col("sim_u").cast("long").alias("sim_u"))
+        .localCheckpoint(eager=True)
     )
 
     w = Window.partitionBy("qid").orderBy(F.col("_score").desc(), F.col("id").asc())
@@ -765,7 +776,7 @@ def mmr_rerank(
                 F.col("_score").alias("sel_score_unat"),
             )
         )
-        selected = selected.unionAll(pick)
+        selected = selected.unionAll(pick).localCheckpoint(eager=True)
     return selected
 
 

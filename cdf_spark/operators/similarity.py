@@ -1821,8 +1821,14 @@ def margin_bitext_mine(
     )
     wx = Window.partitionBy("xa").orderBy(F.col("sim_u").desc(), F.col("yb").asc())
     wy = Window.partitionBy("yb").orderBy(F.col("sim_u").desc(), F.col("xa").asc())
-    ranked = pairs.withColumn("_rx", F.row_number().over(wx)).withColumn(
-        "_ry", F.row_number().over(wy)
+    # ranked feeds FOUR consumers (both top-k sums, the mutual filter,
+    # and the final score join) across separate plan branches —
+    # materialize the candidate-pair table once instead of replaying
+    # the IVF assignment + cosine scoring per consumer
+    ranked = (
+        pairs.withColumn("_rx", F.row_number().over(wx))
+        .withColumn("_ry", F.row_number().over(wy))
+        .localCheckpoint(eager=True)
     )
     sx = (
         ranked.filter(F.col("_rx") <= k)
