@@ -409,3 +409,22 @@ def test_tfidf_doc_similarity_prefers_shared_rare_terms(spark):
     assert all(r["qid"] == 1 and r["doc_id"] != 1 for r in rows)  # self excluded
     sims = [r["sim_unat"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_mmr_final_plan_is_checkpoint_bounded(spark):
+    """Regression guard: the greedy loop must not compound lineage —
+    each step's state is checkpointed, so the FINAL plan is a union
+    of materialized selections with no re-derived subtrees (it was
+    329 exchanges for k=4 before the checkpoint discipline)."""
+    from cdf_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [("q", i, 1000 - i) for i in range(10)], ["qid", "id", "rel_u"]
+    )
+    pairs = spark.createDataFrame(
+        [("q", i, j, 500) for i in range(10) for j in range(10) if i != j],
+        ["qid", "a", "b", "sim_u"],
+    )
+    out = mmr_rerank(cand, pairs, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
