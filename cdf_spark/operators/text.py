@@ -227,3 +227,77 @@ def hashed_features(col: Column, dim: int = 64) -> Column:
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.size(F.filter(tokens, lambda t: hash64(t) % dim == i)),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual
+    information — the classic corpus-statistics tool for multiword-
+    expression discovery (Church & Hanks 1990), and the signal BPE/
+    WordPiece merge selection approximates: PMI ranks pairs that
+    co-occur far above chance, where raw bigram frequency just ranks
+    common function-word pairs.
+
+        pmi = ln( c_ab * N / (c_a * c_b) )
+
+    over exact integer counts (c_ab adjacent-pair count, c_a/c_b
+    unigram counts, N total tokens), emitted in integer micro-nats —
+    one fixed-order double per surviving pair, the suite's micro-nat
+    rule, so the ranking replays exactly in SQL. `min_count` drops
+    the low-count pairs whose PMI is spuriously high (the standard
+    correction).
+
+    Scale: unigram and bigram counts are map-side-combinable
+    aggregations of the token stream (the bigram pairing is one
+    per-document window); the PMI join touches only distinct bigrams
+    above min_count against the distinct-unigram table — vocabulary-
+    sized operands, never corpus-sized. Output: (tok_a, tok_b, c_ab,
+    pmi_unat, rank).
+    """
+    from pyspark.sql.window import Window as _W
+
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("_p", "tok"),
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tokens = toks.count()
+    w = _W.partitionBy("_d").orderBy("_p")
+    pairs = (
+        toks.withColumn("_nxt", F.lead("tok").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy(F.col("tok").alias("tok_a"), F.col("_nxt").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("_ca"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("_cb"))
+    scored = (
+        pairs.join(ua, on="tok_a")
+        .join(ub, on="tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab") * F.lit(float(n_tokens)) / (F.col("_ca") * F.col("_cb"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("pmi_unat"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi_unat").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+    ).limit(k)
+    w2 = _W.orderBy(F.col("pmi_unat").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+    return top.select("tok_a", "tok_b", "c_ab", "pmi_unat", F.row_number().over(w2).alias("rank"))

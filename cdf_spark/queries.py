@@ -5113,6 +5113,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tfidf_doc_similarity",
     "bitext_margin_mining",
     "bradley_terry_supplier_strengths",
+    "pmi_collocations_top",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -13485,3 +13486,47 @@ def bradley_terry_supplier_strengths(spark: SparkSession, sf: str) -> DataFrame:
     top = strengths.orderBy(F.col("strength_unat").desc(), F.col("id").asc()).limit(20)
     w = _W.orderBy(F.col("strength_unat").desc(), F.col("id").asc())
     return top.select("id", "strength_unat", F.row_number().over(w).alias("rank"))
+
+
+@_register(
+    "pmi_collocations_top",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    flat AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS p FROM toks),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM flat GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM flat),
+    prs AS (
+      SELECT tok AS tok_a, lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS tok_b
+      FROM flat
+    ),
+    bi AS (
+      SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM prs
+      WHERE tok_b IS NOT NULL GROUP BY tok_a, tok_b HAVING COUNT(*) >= 5
+    ),
+    scored AS (
+      SELECT bi.tok_a, bi.tok_b, bi.c_ab,
+             CAST(round(ln(c_ab * CAST(n.n AS DOUBLE) / (ua.c * ub.c)) * 1000000.0) AS BIGINT) AS pmi_unat
+      FROM bi JOIN uni ua ON ua.tok = bi.tok_a JOIN uni ub ON ub.tok = bi.tok_b, n
+    ),
+    ranked AS (
+      SELECT tok_a, tok_b, c_ab, pmi_unat,
+             row_number() OVER (ORDER BY pmi_unat DESC, tok_a ASC, tok_b ASC) AS rank
+      FROM scored
+    )
+    SELECT tok_a, tok_b, c_ab, pmi_unat, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def pmi_collocations_top(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocation extraction (r12,
+    `operators/text.pmi_collocations`): top-20 adjacent-token pairs
+    by pointwise mutual information (Church & Hanks) with the
+    standard min-count correction — exact integer counts, micro-nat
+    PMI (one fixed-order double per surviving pair). Count tables are
+    vocabulary-sized; the corpus is touched once."""
+    from .operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf, "documents"), k=20, min_count=5)

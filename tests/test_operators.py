@@ -178,3 +178,25 @@ def test_bitext_margin_mining_mutual_best_and_density_norm(spark):
     assert len({a for a, _ in got}) == len(got) and len({b for _, b in got}) == len(got)
     # margins exceed 1.0 only where the pair beats its local density
     assert got[(0, 1)] > 1_000_000
+
+
+def test_pmi_collocations_rank_planted_mwe_over_frequent_pair(spark):
+    from cdf_spark.operators.text import pmi_collocations
+
+    # "san mateo" always co-occurs (PMI high); "the cat" is frequent
+    # but both words appear everywhere (PMI low); low-count perfect
+    # pairs are dropped by min_count.
+    docs = [
+        (i, "san mateo is where the cat sleeps and the dog eats") for i in range(6)
+    ] + [(100, "rare pair"), (101, "the cat the dog the bird")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = pmi_collocations(df, k=20, min_count=5).collect()
+    pmis = {(r["tok_a"], r["tok_b"]): r["pmi_unat"] for r in out}
+    # exclusive pairs (san mateo, is where, ...) tie at max PMI;
+    # the planted MWE is in that top group
+    assert pmis[("san", "mateo")] == max(pmis.values())
+    assert ("rare", "pair") not in pmis  # min_count drops it
+    # 'the cat' survives min_count but scores below the true MWE:
+    # 'the' appears everywhere, so the pair is expected-by-chance
+    assert ("the", "cat") in pmis
+    assert pmis[("the", "cat")] < pmis[("san", "mateo")]
