@@ -228,7 +228,9 @@ def daily_count_anomalies(
 
     Output: (event_type, day, c, n_days, dev_sq, thresh, is_anomaly)
     for every (type, day) — `dev_sq`/`thresh` expose the decision
-    margin. Two map-side-combinable aggregations (day counts, then
+    margin. Int64 bound: |c*n_days - S| must stay under ~3e9 for the
+    square to fit (daily counts x series length < 3e9 — beyond that,
+    pre-bucket counts to thousands before flagging). Two map-side-combinable aggregations (day counts, then
     per-type moments joined back); the per-type moment table is
     |types| rows — broadcast-scale.
     """
@@ -335,4 +337,48 @@ def funnel_conversion_stats(
             F.col("_ms").cast("long").alias("median_ms"),
             F.col("_ms90").cast("long").alias("p90_ms"),
         )
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    within_seconds: int = 86400,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event is
+    credited to the user's most recent touch event at-or-before it
+    (as-of semantics) within ``within_seconds``; conversions with no
+    in-window touch land in the 'none' bucket. The classic marketing
+    attribution shape, built on the suite's `asof_join` (union +
+    per-user last-observation window — one shuffle, no range
+    self-join).
+
+    Same-timestamp touches are deduplicated deterministically (the
+    lexicographically greatest touch type wins per (user, ts)) so the
+    as-of pick is total-order stable and SQL-replayable.
+
+    Output: (touch_type, n_conversions) — exact integer counts.
+    """
+    from .asof import asof_join
+
+    # plain TIMESTAMP for the as-of tolerance arithmetic (the session
+    # pins UTC, so the NTZ->TZ cast is stable)
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"), F.col(ts_col).cast("timestamp").alias("_ts")
+    )
+    touches = (
+        events.filter(F.col(type_col).isin(*touch_types))
+        .groupBy(F.col(user_col).alias("_u"), F.col(ts_col).cast("timestamp").alias("_ts"))
+        .agg(F.max(type_col).alias("touch"))
+    )
+    att = asof_join(
+        conv, touches, on="_ts", by=["_u"], tolerance=within_seconds, direction="backward"
+    )
+    return (
+        att.groupBy(F.coalesce(F.col("r_touch"), F.lit("none")).alias("touch_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
     )

@@ -5114,6 +5114,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "bitext_margin_mining",
     "bradley_terry_supplier_strengths",
     "pmi_collocations_top",
+    "last_touch_attribution",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -13530,3 +13531,38 @@ def pmi_collocations_top(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import pmi_collocations
 
     return pmi_collocations(_t(spark, sf, "documents"), k=20, min_count=5)
+
+
+@_register(
+    "last_touch_attribution",
+    """
+    WITH conv AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, MAX(event_type) AS tt FROM events
+      WHERE event_type IN ('view', 'click') GROUP BY user_id, ts
+    ),
+    ranked AS (
+      SELECT c.event_id, t.tt,
+             row_number() OVER (PARTITION BY c.event_id ORDER BY t.ts DESC) AS rn
+      FROM conv c JOIN t ON t.user_id = c.user_id
+       AND t.ts <= c.ts AND t.ts >= c.ts - INTERVAL 1 DAY
+    ),
+    att AS (SELECT event_id, tt FROM ranked WHERE rn = 1)
+    SELECT COALESCE(a.tt, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM conv c LEFT JOIN att a USING (event_id)
+    GROUP BY 1
+    """,
+)
+def last_touch_attribution_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution (r12,
+    `operators/temporal.last_touch_attribution`): purchases credited
+    to the user's most recent view/click within 24h (as-of semantics,
+    deterministic same-ts dedup), unmatched purchases bucketed as
+    'none'. Rides the asof_join union+window machinery — one
+    user-keyed shuffle, no range self-join."""
+    from .operators.temporal import last_touch_attribution
+
+    return last_touch_attribution(_t(spark, sf, "events"))

@@ -286,3 +286,30 @@ def test_funnel_conversion_stats_empty(spark):
     )
     (r,) = funnel_conversion_stats(ev, ["view", "click"]).collect()
     assert r["n_converted"] == 0 and r["median_ms"] is None
+
+
+def test_last_touch_attribution_window_and_ties(spark):
+    from datetime import datetime, timedelta
+
+    from cdf_spark.operators.temporal import last_touch_attribution
+
+    T = datetime(2024, 1, 10, 12)
+    rows = [
+        # u1: click 1h before purchase -> attributed to click
+        (1, "view", T - timedelta(hours=5)),
+        (1, "click", T - timedelta(hours=1)),
+        (1, "purchase", T),
+        # u2: only touch is 2 days before -> outside 24h -> none
+        (2, "view", T - timedelta(days=2)),
+        (2, "purchase", T),
+        # u3: view and click at the SAME ts -> 'view' wins (max type)
+        (3, "view", T - timedelta(hours=2)),
+        (3, "click", T - timedelta(hours=2)),
+        (3, "purchase", T),
+        # u4: touch exactly AT the purchase ts counts (as-of <=)
+        (4, "click", T),
+        (4, "purchase", T),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {r["touch_type"]: r["n_conversions"] for r in last_touch_attribution(ev).collect()}
+    assert got == {"click": 2, "none": 1, "view": 1}
