@@ -382,3 +382,59 @@ def last_touch_attribution(
         att.groupBy(F.coalesce(F.col("r_touch"), F.lit("none")).alias("touch_type"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
     )
+
+
+def daily_trend_slopes(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-type linear trend of daily event counts — closed-form
+    least squares over exact integer sums ("is the error rate
+    trending up" without a model server):
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+
+    with x = day index (days since the type's first day — exact
+    integers from date arithmetic) and y = daily count. All five
+    sufficient statistics are map-side-combinable integer sums; the
+    slope is ONE fixed-order double per type, micro-rounded — the
+    closed-form cousin of the iterative fits (no iteration, no
+    shuffle beyond the two count/moment aggregations).
+
+    Output: (event_type, n_days, slope_micro) — slope in micro-counts
+    per day; single-day types report NULL slope (denominator zero is
+    undefined trend, not zero trend).
+    """
+    daily = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("_day"),
+        )
+        .groupBy("event_type", "_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    )
+    based = daily.join(
+        daily.groupBy("event_type").agg(F.min("_day").alias("_d0")), on="event_type"
+    ).select(
+        "event_type",
+        F.datediff(F.col("_day"), F.col("_d0")).cast("long").alias("_x"),
+        "_y",
+    )
+    stats = based.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    num = F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return stats.select(
+        "event_type",
+        "n_days",
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double") * F.lit(1000000.0)).cast("long"),
+        ).alias("slope_micro"),
+    )

@@ -5115,6 +5115,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "bradley_terry_supplier_strengths",
     "pmi_collocations_top",
     "last_touch_attribution",
+    "daily_trend_slopes",
     # -- never driver-green (r12 additions) --
     "xtable_mor_to_delta_scan",
     "ann_index_incremental",
@@ -13566,3 +13567,43 @@ def last_touch_attribution_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.temporal import last_touch_attribution
 
     return last_touch_attribution(_t(spark, sf, "events"))
+
+
+@_register(
+    "daily_trend_slopes",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, day
+    ),
+    based AS (
+      SELECT d.event_type,
+             CAST(d.day - m.d0 AS BIGINT) AS x, d.y
+      FROM daily d JOIN (
+        SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY event_type
+      ) m USING (event_type)
+    ),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM based GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CASE WHEN n_days * sxx - sx * sx != 0 THEN
+             CAST(round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                        / CAST(n_days * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)
+           END AS slope_micro
+    FROM stats
+    """,
+)
+def daily_trend_slopes_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type daily-count trend (r12,
+    `operators/temporal.daily_trend_slopes`): closed-form least
+    squares over exact integer sufficient statistics, slope as ONE
+    fixed-order micro-rounded double per type — the no-iteration
+    member of the fitting family."""
+    from .operators.temporal import daily_trend_slopes
+
+    return daily_trend_slopes(_t(spark, sf, "events"))

@@ -313,3 +313,24 @@ def test_last_touch_attribution_window_and_ties(spark):
     ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
     got = {r["touch_type"]: r["n_conversions"] for r in last_touch_attribution(ev).collect()}
     assert got == {"click": 2, "none": 1, "view": 1}
+
+
+def test_daily_trend_slopes_exact_fit_and_single_day_null(spark):
+    from datetime import datetime
+
+    from cdf_spark.operators.temporal import daily_trend_slopes
+
+    rows = []
+    # 'up': counts 1,2,3,4 on days 0..3 -> slope exactly 1.0/day
+    for d in range(4):
+        rows += [("up", datetime(2024, 1, 1 + d, h)) for h in range(d + 1)]
+    # 'flat': 2 events/day for 3 days -> slope 0
+    for d in range(3):
+        rows += [("flat", datetime(2024, 1, 1 + d, h)) for h in range(2)]
+    # 'once': a single day -> undefined trend (NULL)
+    rows += [("once", datetime(2024, 1, 1))]
+    ev = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {r["event_type"]: r for r in daily_trend_slopes(ev).collect()}
+    assert got["up"]["slope_micro"] == 1_000_000
+    assert got["flat"]["slope_micro"] == 0
+    assert got["once"]["slope_micro"] is None and got["once"]["n_days"] == 1
