@@ -11440,8 +11440,8 @@ def _dsir_oracle(
     scored AS (
       SELECT f.doc_id,
              COUNT(*) AS n_feats,
-             SUM(COALESCE(lp_t, (SELECT f FROM t_floor))
-                 - COALESCE(lp_r, (SELECT f FROM r_floor))) AS lw_unat
+             CAST(SUM(COALESCE(lp_t, (SELECT f FROM t_floor))
+                 - COALESCE(lp_r, (SELECT f FROM r_floor))) AS BIGINT) AS lw_unat
       FROM feats f
       LEFT JOIN t_model USING (b)
       LEFT JOIN r_model USING (b)

@@ -51,6 +51,18 @@ def compare(spark, con, name: str, fn, oracle: str | None, sf_dir: str) -> dict:
         out["ok"] = False
         return out
     a, b = _canon(spark_pd), _canon(duck_pd)
+    # Driver parity: its value hash is typed, so an integer Spark column
+    # vs a float oracle column (the DuckDB SUM(BIGINT)->HUGEINT->float64
+    # artifact, see r10 BPE / r12 DSIR) is RED even when values match.
+    kind_mismatch = [
+        (c, str(a[c].dtype), str(b[c].dtype))
+        for c in a.columns
+        if {a[c].dtype.kind, b[c].dtype.kind} == {"i", "f"}
+    ]
+    if kind_mismatch:
+        out["status"] = f"DTYPE-KIND-MISMATCH {kind_mismatch}"
+        out["ok"] = False
+        return out
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         out["status"] = "MATCH"
