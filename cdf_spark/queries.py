@@ -12941,6 +12941,139 @@ def iceberg_ivm_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "delta_ivm_minmax",
+    """
+    WITH final AS (
+      SELECT o_orderpriority, o_totalprice AS p FROM orders
+      WHERE o_orderkey <= 3500
+        AND o_totalprice <= 350000
+        AND (o_orderkey > 3000 OR o_totalprice >= 30000)
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS sum_totalprice,
+           CAST(MIN(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS min_totalprice,
+           CAST(MAX(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS max_totalprice
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def delta_ivm_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    """MIN/MAX incremental view maintenance (r13,
+    `operators/matview.MaterializedAggregate` with mins/maxs): the
+    persisted per-priority view also maintains MIN and MAX of
+    o_totalprice through an auxiliary bounded candidate heap
+    (extreme_k=8 nearest-to-extreme values + a discard bound). The
+    first refresh folds a multi-commit window — a delete that evicts
+    EVERY group's current minimum (15-47 smallest rows per group, well
+    past the heap, so the drain fence fires and heals each group with
+    a partial recompute confined to the fenced keys) plus an insert
+    batch folded through the heap; the second refresh deletes every
+    group's top ~180 values to drain the MAX heaps the same way. A
+    final no-op refresh proves the cursor fence. The oracle is a
+    from-scratch COUNT/SUM/MIN/MAX of the temporally-replayed final
+    snapshot — maintained extremes must be exact, never approximate."""
+    from .operators.matview import MaterializedAggregate
+    from .sources.delta import DeltaFixtureWriter
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        w = DeltaFixtureWriter(f"{tmp}/t", change_data_feed=True)
+        w.append(o.filter(F.col("o_orderkey") <= 3000), timestamp_ms=1000)
+        mv = MaterializedAggregate(f"{tmp}/mv")
+        mv.build(
+            spark, f"{tmp}/t", keys=["o_orderpriority"], sums=["o_totalprice"],
+            mins=["o_totalprice"], maxs=["o_totalprice"], extreme_k=8,
+        )
+        w.delete_where(spark, "o_totalprice < 30000", timestamp_ms=2000)
+        w.append(
+            o.filter((F.col("o_orderkey") > 3000) & (F.col("o_orderkey") <= 3500)),
+            timestamp_ms=3000,
+        )
+        mv.refresh(spark)  # one window, two commits: drain-fence + inserts
+        w.delete_where(spark, "o_totalprice > 350000", timestamp_ms=4000)
+        m1 = mv.refresh(spark)  # max-side heap drain
+        if mv.refresh(spark) != m1:
+            raise AssertionError("refresh with no new commits must be a no-op")
+
+    tmp = _session_fixture("delta_ivm_minmax", sf, build)
+    mv = MaterializedAggregate(f"{tmp}/mv")
+    return mv.read(spark).select(
+        "o_orderpriority",
+        "cnt",
+        F.col("sum_o_totalprice").cast("double").alias("sum_totalprice"),
+        F.col("min_o_totalprice").cast("double").alias("min_totalprice"),
+        F.col("max_o_totalprice").cast("double").alias("max_totalprice"),
+    )
+
+
+@_register(
+    "hudi_ivm_rollup",
+    """
+    WITH final AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey > 500 AND o_orderkey <= 700 THEN -1.0
+                  ELSE o_totalprice END AS p
+      FROM orders
+      WHERE o_orderkey <= 3500 AND NOT (o_orderkey > 700 AND o_orderkey <= 900)
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS sum_totalprice
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def hudi_ivm_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance over HUDI merge-on-read (r13,
+    `operators/matview._HudiMorChanges`): Hudi's log-block change
+    stream carries no pre-images (delete tombstones are key-only), so
+    the refresh derives them as a two-snapshot diff confined to
+    touched keys — (-1 x as-of-cursor row) + (+1 x as-of-now row) per
+    touched key, intermediate upserts cancelling algebraically. One
+    refresh folds an upsert (updates + fresh inserts) and a key-delete
+    in a single window; a compaction-only window then advances the
+    cursor with a zero logical delta; a final refresh is a proven
+    no-op. Compaction-gated: a cleaned prior slice refuses loudly
+    (HudiError) rather than folding a wrong pre-image."""
+    from .operators.matview import MaterializedAggregate
+    from .sources.hudi_mor import HudiMorFixtureWriter
+
+    def build(tmp: str) -> None:
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        w = HudiMorFixtureWriter(f"{tmp}/t", record_key="o_orderkey", n_buckets=4)
+        w.insert(o.filter(F.col("o_orderkey") <= 3000))
+        mv = MaterializedAggregate(f"{tmp}/mv")
+        mv.build(
+            spark, f"{tmp}/t", keys=["o_orderpriority"], sums=["o_totalprice"],
+            source_format="hudi",
+        )
+        batch = (
+            o.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 700))
+            .withColumn("o_totalprice", F.lit(-1.0))
+            .unionByName(
+                o.filter((F.col("o_orderkey") > 3000) & (F.col("o_orderkey") <= 3500))
+            )
+        )
+        w.upsert(batch)
+        w.delete(
+            o.filter((F.col("o_orderkey") > 700) & (F.col("o_orderkey") <= 900)).select(
+                "o_orderkey"
+            )
+        )
+        mv.refresh(spark)  # one window: updates + inserts + key deletes
+        if w.compact(spark) is None:
+            raise AssertionError("compaction expected to produce a commit")
+        m1 = mv.refresh(spark)  # compaction-only window: zero logical delta
+        if mv.refresh(spark) != m1:
+            raise AssertionError("refresh with no new instants must be a no-op")
+
+    tmp = _session_fixture("hudi_ivm", sf, build)
+    mv = MaterializedAggregate(f"{tmp}/mv")
+    return mv.read(spark).select(
+        "o_orderpriority",
+        "cnt",
+        F.col("sum_o_totalprice").cast("double").alias("sum_totalprice"),
+    )
+
+
 _IVM_DRAIN_ORACLE = """
     SELECT * FROM (
       SELECT CAST(0 AS BIGINT) AS epoch, o_orderpriority,
