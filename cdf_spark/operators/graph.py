@@ -125,6 +125,17 @@ def pagerank(
     # a per-round degree recomputation.
     dangset = nodes.select("id").join(deg, "id", "left_anti").localCheckpoint(eager=True)
 
+    # Size-gated broadcast for the per-round O(nodes) operands: the
+    # score table joining the O(edges) table as SortMergeJoin would
+    # re-sort the EDGE table every round. Under the gate (node table
+    # provably executor-memory-small: two longs/row), hint broadcast —
+    # the edge join degrades to a map-side hash probe with zero edge
+    # shuffles per round. Past the gate (1B-node web graphs) the SMJ /
+    # shuffled-hash plan is the right one and the hint must not force
+    # an OOM, so it is withheld.
+    n_nodes = nodes.count()
+    hint = F.broadcast if n_nodes <= 2_000_000 else (lambda df: df)
+
     teleport = ((100 - damping_pct) * scale) // 100
     scores = nodes.select("id", (F.lit(scale) * F.col("_sd")).cast("long").alias("s"))
     for _ in range(iterations):
@@ -136,13 +147,13 @@ def pagerank(
         )
         dshare = dangling // int(n_t)
         contrib = (
-            e2.join(scores, e2["src"] == scores["id"])
+            e2.join(hint(scores), e2["src"] == scores["id"])
             .select("dst", F.expr("s div deg").alias("_c"))
             .groupBy("dst")
             .agg(F.sum("_c").alias("contrib"))
         )
         scores = (
-            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            nodes.join(hint(contrib), nodes["id"] == contrib["dst"], "left")
             .select(
                 "id",
                 (
@@ -167,7 +178,8 @@ def pagerank_topk(
     seed_col: str = "id",
 ) -> DataFrame:
     """Top-k nodes by (optionally personalized) PageRank with a
-    deterministic dense ranking.
+    deterministic row-number ranking (ties broken by ascending id, so
+    equal scores get distinct consecutive ranks — not dense_rank).
 
     The cut is orderBy+limit (TakeOrderedAndProject — a per-partition
     top-k merge, never a global sort materialization); the rank column

@@ -74,17 +74,44 @@ def bradley_terry_strengths(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_w").alias("wij"))
         .localCheckpoint(eager=True)
     )
+    # int64 headroom, stated and ENFORCED (ANSI mode would raise loudly
+    # mid-fit anyway; this refuses up front with the actual bound): the
+    # pair term is n_ij * 1e12, so a directed pair may carry at most
+    # ~9.22e6 matches before the product leaves long range. Billions of
+    # COMPARISONS are fine — the bound is per distinct (i, j) pair.
+    max_n = nij.agg(F.max("n")).collect()[0][0]
+    if max_n is not None and int(max_n) > 9_200_000:
+        raise ValueError(
+            f"a directed pair carries {max_n} matches; the integer MM "
+            "update (n_ij * 1e12) is exact only to 9.2e6 matches per "
+            "pair — pre-aggregate duels (e.g. per epoch) or shard pairs"
+        )
     players = nij.select(F.col("_i").alias("id")).distinct().localCheckpoint(eager=True)
     n_players = players.count()
     if n_players == 0:
         raise ValueError("duel stream is empty")
+    # normalization headroom: praw <= w * 1e12 / d and the re-pin
+    # multiplies by n_players * 1e6 — enforced implicitly by ANSI long
+    # arithmetic (raises, never wraps); the up-front guard above bounds
+    # the dominant term.
     wins = nij.groupBy(F.col("_i").alias("id")).agg(F.sum("wij").alias("w"))
+
+    # The strength/win tables are O(players) rows of (key, long) —
+    # KB-to-MB scale for any leaderboard that fits the integer model —
+    # while the pair table is O(distinct pairs). Joining them as
+    # SortMergeJoin would re-sort the big pair table TWICE per MM
+    # round; below the broadcast gate we hint the small side instead
+    # (two broadcast joins, zero pair-table shuffles per round). Past
+    # the gate (multi-million players) SMJ is the right plan and the
+    # hint must not force an executor-memory blowup.
+    bcast = n_players <= 2_000_000
+    hint = F.broadcast if bcast else (lambda df: df)
 
     p = players.select("id", F.lit(MICRO).cast("long").alias("p"))
     for _ in range(iterations):
         p = p.localCheckpoint(eager=True)
-        pi = p.select(F.col("id").alias("_i"), F.col("p").alias("_pi"))
-        pj = p.select(F.col("id").alias("_j"), F.col("p").alias("_pj"))
+        pi = hint(p.select(F.col("id").alias("_i"), F.col("p").alias("_pi")))
+        pj = hint(p.select(F.col("id").alias("_j"), F.col("p").alias("_pj")))
         denom = (
             nij.join(pi, on="_i")
             .join(pj, on="_j")
@@ -93,7 +120,7 @@ def bradley_terry_strengths(
             .agg(F.sum("_t").alias("d"))
         )
         raw = (
-            denom.join(wins, denom["_i"] == wins["id"])
+            denom.join(hint(wins), denom["_i"] == wins["id"])
             .select("id", F.expr("(w * 1000000000000) div greatest(d, 1)").alias("praw"))
         )
         total = raw.agg(F.coalesce(F.sum("praw"), F.lit(0))).collect()[0][0]
