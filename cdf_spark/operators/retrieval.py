@@ -652,20 +652,29 @@ def bm25_prf_expand(
     the expansion choice ranks integer tf sums — every step replays
     exactly in SQL.
 
-    Scale posture: the corpus tf table is built ONCE and feeds both
-    scoring passes and the feedback-term mining (within one action
-    Catalyst's ReuseExchange dedupes the identical tf subtree — the
-    banked `_score_topk` measurement). Feedback mining joins tf to the
-    BROADCAST |queries| x fb_k feedback set, so the candidate-term
-    aggregation only touches feedback-doc tokens; the expanded term
-    set stays query-bounded, so pass 2 costs what pass 1 does. The
-    1-row stats collect is bounded driver state.
+    Scale posture: the corpus tf table is built ONCE — eagerly
+    checkpointed (positions payload dropped first; PRF never reads it)
+    — and the checkpoint feeds both scoring passes and the feedback-
+    term mining. MEASURED (r13, the banked reuse-or-checkpoint rule):
+    trusting ReuseExchange here was wrong — the AQE-final plan
+    re-derived the tf subtree per consumer (11 `documents` scans, 69
+    exchanges at sf0.1); with the checkpoint the final plan scans
+    `documents` 0 times and the tf build runs exactly once (the lens
+    stats collect is its own projection-pruned pass, as in bm25_topk).
+    Contrast `_score_topk`'s banked NON-checkpoint: its two consumers
+    share one matched subtree in one action where reuse does fire; the
+    difference is three consumers joined against three DIFFERENT
+    broadcast sides, which AQE replans independently. Feedback mining
+    joins tf to the BROADCAST |queries| x fb_k feedback set, so the
+    candidate-term aggregation only touches feedback-doc tokens; the
+    expanded term set stays query-bounded, so pass 2 costs what pass 1
+    does. The 1-row stats collect is bounded driver state.
 
     Output: (qid, id_col, score_unat, rk) under the expanded queries.
     """
     if fb_k < 1 or expand_m < 1 or k < 1:
         raise ValueError("fb_k, expand_m and k must all be positive")
-    tf = _doc_tf(docs, text_col, id_col)
+    tf = _doc_tf(docs, text_col, id_col).drop("ps").localCheckpoint(eager=True)
     lens = docs.select(F.size(_tok_array(F.col(text_col))).alias("dl"))
     n_docs, total = lens.agg(
         F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
@@ -687,7 +696,11 @@ def bm25_prf_expand(
         .filter(F.col("_r") <= expand_m)
         .select("qid", "tok")
     )
-    qterms2 = qterms.union(expansion).distinct()
+    # The expanded term set is O(query terms) rows but its LINEAGE is
+    # the whole pass-1 scoring + mining pipeline; left lazy it would be
+    # re-executed inside every pass-2 broadcast build (three of them).
+    # A tiny eager checkpoint truncates it.
+    qterms2 = qterms.union(expansion).distinct().localCheckpoint(eager=True)
     return _score_topk(tf, qterms2, int(n_docs), avgdl, k, id_col)
 
 

@@ -428,3 +428,27 @@ def test_mmr_final_plan_is_checkpoint_bounded(spark):
     out = mmr_rerank(cand, pairs, k=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0
+
+
+def test_prf_final_plan_never_rescans_the_corpus(spark):
+    """Regression guard (r13): bm25_prf_expand's tf table and expanded
+    term set are eagerly checkpointed — the FINAL plan must contain
+    ZERO scans of the docs source and a bounded exchange count (it was
+    11 re-derived corpus scans / 69 exchanges when the operator
+    trusted ReuseExchange across its three consumers)."""
+    import tempfile
+
+    from cdf_spark.operators.retrieval import bm25_prf_expand
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, f"zebra quantum flux token{i} alpha beta") for i in range(50)],
+            ["doc_id", "text"],
+        ).write.mode("overwrite").parquet(f"{tmp}/docs")
+        docs = spark.read.parquet(f"{tmp}/docs")
+        queries = spark.createDataFrame([(1, "zebra alpha")], ["qid", "qtext"])
+        out = bm25_prf_expand(docs, queries, fb_k=3, expand_m=2, k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(tmp) == 0  # corpus never re-scanned
+        assert plan.count("Exchange") <= 12
+        assert out.count() > 0
