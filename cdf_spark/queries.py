@@ -12855,10 +12855,13 @@ def connected_components_trade(spark: SparkSession, sf: str) -> DataFrame:
     at sf0.01, diameter ~21 — a real multi-component instance, not a
     giant-component triviality). The operator runs to CONVERGENCE
     (per-round 1-row change count, the suite's bounded driver-side
-    contract); the oracle unrolls 30 synchronous rounds — past the
-    fixture diameter, where extra rounds are provably no-ops. The
-    same algorithm the near-dup clusterer uses on its candidate
-    graph, exposed as a first-class graph operator."""
+    contract); the oracle unrolls 30 synchronous rounds. The round
+    budget is PINNED to the oracle's unroll (max_iterations=30): a
+    larger scale factor whose diameter overflowed the unroll raises
+    loudly in the operator instead of silently value-diverging from
+    the oracle. The same algorithm the near-dup clusterer uses on its
+    candidate graph; long-chain graphs past any sane round budget use
+    `connected_components_star` (O(log n) rounds)."""
     from .operators.graph import connected_components
 
     orders = _t(spark, sf, "orders")
@@ -12872,7 +12875,102 @@ def connected_components_trade(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    return connected_components(j, max_iterations=80)
+    return connected_components(j, max_iterations=30)
+
+
+def _cc_star_oracle(unroll: int = 16) -> str:
+    """Large-star/small-star replay: each round is the exact two-phase
+    contraction (undirected view -> large-star re-pointing bigger
+    neighbors at min(N(u) ∪ {u}) -> small-star re-pointing smaller
+    neighbors and u itself at min(Γ(u) ∪ {u})). The unroll is pinned
+    to the operator's max_rounds — a fixture that needed more rounds
+    raises in the operator instead of silently diverging here; extra
+    rounds at the star-forest fixpoint are provably no-ops."""
+    body = """
+    WITH trade AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                      's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_quantity >= 50 AND l_returnflag = 'R'
+    ),
+    ks AS MATERIALIZED (
+      SELECT o_orderkey AS k, row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey <= 6000)
+    ),
+    chain AS MATERIALIZED (
+      SELECT 'o' || CAST(x.k AS VARCHAR) AS a, 'o' || CAST(y.k AS VARCHAR) AS b
+      FROM ks x JOIN ks y ON y.rn = x.rn + 1
+    ),
+    raw AS MATERIALIZED (SELECT a, b FROM trade UNION ALL SELECT a, b FROM chain),
+    nodes AS MATERIALIZED (SELECT a AS id FROM raw UNION SELECT b FROM raw),
+    e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM raw WHERE a <> b)"""
+    for i in range(unroll):
+        body += f""",
+    ue{i} AS MATERIALIZED (SELECT a, b FROM e{i} UNION SELECT b, a FROM e{i}),
+    mn{i} AS MATERIALIZED (SELECT a, MIN(b) AS mb FROM ue{i} GROUP BY a),
+    bg{i} AS MATERIALIZED (
+      SELECT DISTINCT u.b AS a, LEAST(m.mb, u.a) AS b
+      FROM ue{i} u JOIN mn{i} m ON m.a = u.a WHERE u.b > u.a
+    ),
+    dl{i} AS MATERIALIZED (
+      SELECT GREATEST(a, b) AS u, LEAST(a, b) AS v FROM bg{i} WHERE a <> b
+    ),
+    m2{i} AS MATERIALIZED (SELECT u, MIN(v) AS m FROM dl{i} GROUP BY u),
+    e{i + 1} AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT d.v AS a, m2.m AS b FROM dl{i} d JOIN m2{i} m2 ON m2.u = d.u
+        UNION ALL
+        SELECT u, m FROM m2{i}
+      ) WHERE a <> b
+    )"""
+    body += f"""
+    SELECT n.id, COALESCE(s.b, n.id) AS component
+    FROM nodes n LEFT JOIN e{unroll} s ON s.a = n.id
+    """
+    return body
+
+
+@_register("connected_components_star_chain", _cc_star_oracle())
+def connected_components_star_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-scale connected components (r13,
+    `operators/graph.connected_components_star` — Kiveris et al. 2014
+    large-star/small-star contraction): the fixture welds the
+    multi-component trade graph to a ~1,500-link CHAIN over the first
+    orderkeys — diameter ~1,500, fifty times past the min-label
+    sibling's 30-round budget — and the contraction converges in 13
+    rounds (O(log^2 n), measured 12 on a pure 1,200-chain). The round
+    budget is pinned to the oracle's 16-round unroll: a deeper fixture
+    raises loudly in the operator instead of silently diverging from
+    the oracle. Every step is MIN over node-id strings, so the SQL
+    replay is exact; extra unrolled rounds are no-ops at the
+    star-forest fixpoint."""
+    from .operators.graph import connected_components_star
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    trade = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter((F.col("l_quantity") >= 50) & (F.col("l_returnflag") == "R"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    ks = (
+        orders.filter(F.col("o_orderkey") <= 6000)
+        .select("o_orderkey")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("o_orderkey")))
+    )
+    k2 = ks.select(F.col("o_orderkey").alias("k2"), (F.col("rn") - 1).alias("rn"))
+    chain = ks.join(k2, on="rn").select(
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("src"),
+        F.concat(F.lit("o"), F.col("k2")).alias("dst"),
+    )
+    return connected_components_star(trade.unionByName(chain), max_rounds=16)
 
 
 @_register(

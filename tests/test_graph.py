@@ -152,3 +152,39 @@ def test_connected_components_partition_independent_and_bounded(spark):
     d2 = spark.createDataFrame(edges, ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(d2, max_iterations=3)
+
+
+def test_star_cc_long_chain_converges_past_propagation_budget(spark):
+    """A 400-diameter chain converges in O(log n) star rounds — 13x
+    past what min-label propagation could do in the same 30-round
+    budget (it needs diameter rounds)."""
+    from cdf_spark.operators.graph import connected_components_star
+
+    rows = [(i, i + 1) for i in range(1000, 1399)] + [(1, 2), (2, 3), (3, 1), (7, 7)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    comp = {r["id"]: r["component"] for r in connected_components_star(e).collect()}
+    assert all(comp[i] == 1000 for i in range(1000, 1400))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == 7  # self-loop-only node labels itself
+
+
+def test_star_cc_matches_min_label_propagation(spark):
+    """Same labeling as the min-label sibling on a multi-component
+    graph (both label each component by its minimum node id)."""
+    from cdf_spark.operators.graph import connected_components, connected_components_star
+
+    rows = [(1, 5), (5, 9), (2, 6), (6, 2), (10, 11), (12, 12)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    a = {(r["id"], r["component"]) for r in connected_components(e, max_iterations=20).collect()}
+    b = {(r["id"], r["component"]) for r in connected_components_star(e).collect()}
+    assert a == b
+
+
+def test_star_cc_raises_past_round_budget(spark):
+    import pytest as _pytest
+
+    from cdf_spark.operators.graph import connected_components_star
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(100)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(e, max_rounds=2)
