@@ -858,35 +858,57 @@ Workspace.run_indexes = _workspace_run_indexes
 
 def run_view_job(spark, decl: dict) -> dict:
     """Execute one materialized-view declaration:
-    {table, root, keys, sums}. Builds on first run, refreshes after;
-    returns {action: build|refresh|noop, version, cursor, ...}. The
-    declared spec must match an already-initialized artifact — a
-    drifted declaration refuses instead of silently serving an
-    aggregate with different semantics."""
+    {table, root, keys, sums, mins?, maxs?, extreme_k?, format?}.
+    Builds on first run, refreshes after; returns
+    {action: build|refresh|noop, version, cursor, ...}. The declared
+    spec must match an already-initialized artifact — a drifted
+    declaration refuses instead of silently serving an aggregate with
+    different semantics. `format` picks the change-feed leg (delta /
+    iceberg / hudi); mins/maxs ride the r13 bounded-heap maintenance."""
     from .operators.matview import MaterializedAggregate
 
     table, root = decl.get("table"), decl.get("root")
-    keys, sums = decl.get("keys"), decl.get("sums")
+    keys = decl.get("keys")
+    sums = decl.get("sums") or []
+    mins = decl.get("mins") or []
+    maxs = decl.get("maxs") or []
     if not table or not root:
         raise DeclarationError("view job requires table (delta root) and root")
-    if not isinstance(keys, list) or not isinstance(sums, list) or not keys or not sums:
-        raise DeclarationError("view job requires non-empty keys and sums lists")
+    if not isinstance(keys, list) or not keys:
+        raise DeclarationError("view job requires a non-empty keys list")
+    for name, v in (("sums", sums), ("mins", mins), ("maxs", maxs)):
+        if not isinstance(v, list):
+            raise DeclarationError(f"view job {name} must be a list")
+    if not (sums or mins or maxs):
+        raise DeclarationError("view job requires at least one of sums/mins/maxs")
+    keys = [str(k) for k in keys]
+    sums, mins, maxs = [str(c) for c in sums], [str(c) for c in mins], [str(c) for c in maxs]
     mv = MaterializedAggregate(root)
     meta0 = mv._meta()
     if meta0 is None:
         meta = mv.build(
             spark,
             str(table),
-            keys=[str(k) for k in keys],
-            sums=[str(c) for c in sums],
+            keys=keys,
+            sums=sums,
+            mins=mins,
+            maxs=maxs,
+            extreme_k=int(decl.get("extreme_k", 16)),
             source_format=str(decl.get("format", "delta")),
         )
         action = "build"
     else:
-        if meta0["keys"] != [str(k) for k in keys] or meta0["sums"] != [str(c) for c in sums]:
+        declared = (keys, sums, mins, maxs)
+        recorded = (
+            meta0["keys"],
+            meta0["sums"],
+            meta0.get("mins", []),
+            meta0.get("maxs", []),
+        )
+        if recorded != declared:
             raise DeclarationError(
                 f"view spec drift: artifact at {root} is keyed "
-                f"{meta0['keys']}/{meta0['sums']}, declaration says {keys}/{sums} — "
+                f"{recorded}, declaration says {declared} — "
                 "declare a new root for a different aggregate"
             )
         meta = mv.refresh(spark)

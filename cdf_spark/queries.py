@@ -13325,7 +13325,7 @@ _CHUNK_BM25_ORACLE = r"""
     WITH t AS (SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks0 FROM documents),
     s AS (SELECT doc_id, toks0, unnest(range(0, greatest(len(toks0), 1), 24)) AS st FROM t),
     chunks AS (
-      SELECT doc_id * 1000 + CAST(st // 24 AS BIGINT) AS cid,
+      SELECT doc_id * 1048576 + CAST(st // 24 AS BIGINT) AS cid,
              array_to_string(toks0[st + 1 : st + 32], ' ') AS ctext
       FROM s
     ),
@@ -13363,7 +13363,7 @@ _CHUNK_BM25_ORACLE = r"""
              row_number() OVER (PARTITION BY qid ORDER BY score_unat DESC, cid ASC) AS rk
       FROM agg
     )
-    SELECT qid, cid // 1000 AS doc_id, cid % 1000 AS chunk_idx, score_unat, rk
+    SELECT qid, cid // 1048576 AS doc_id, cid % 1048576 AS chunk_idx, score_unat, rk
     FROM ranked WHERE rk <= 10
 """
 
@@ -13375,17 +13375,23 @@ def rag_chunk_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     with (doc_id, chunk_idx) provenance, the passage-level retrieval
     a RAG pipeline actually serves (document-level BM25 hands the
     generator whole documents; chunk-level hands it the passage).
-    Chunk identity packs into one integer key (doc_id*1000+idx) so
-    the shared BM25 kernel applies unchanged; chunk lengths re-anchor
-    the length normalization (avgdl is chunk-scale, not doc-scale).
+    Chunk identity packs into one integer key (doc_id*2^20+idx) so
+    the shared BM25 kernel applies unchanged; the packing GUARDS its
+    headroom in the expression itself (a 2^20-chunk document is ~25M
+    tokens at the 24-token stride — raise_error, never a silent
+    collision into the next doc_id); chunk lengths re-anchor the
+    length normalization (avgdl is chunk-scale, not doc-scale).
     The oracle replays chunking AND ranked retrieval end to end."""
     from .operators.chunking import chunk_by_tokens
     from .operators.retrieval import bm25_topk
 
+    guarded_idx = F.when(F.col("chunk_idx") < F.lit(1 << 20), F.col("chunk_idx")).otherwise(
+        F.raise_error(F.lit("chunk_idx overflows the 2^20 cid packing"))
+    )
     chunks = chunk_by_tokens(
         _t(spark, sf, "documents"), chunk_tokens=32, overlap_tokens=8
     ).select(
-        (F.col("id") * 1000 + F.col("chunk_idx")).cast("long").alias("cid"),
+        (F.col("id") * (1 << 20) + guarded_idx).cast("long").alias("cid"),
         "chunk_text",
     )
     out = bm25_topk(
@@ -13393,8 +13399,8 @@ def rag_chunk_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     )
     return out.select(
         "qid",
-        F.expr("cid div 1000").alias("doc_id"),
-        (F.col("cid") % 1000).alias("chunk_idx"),
+        F.expr("cid div 1048576").alias("doc_id"),
+        (F.col("cid") % (1 << 20)).alias("chunk_idx"),
         "score_unat",
         "rk",
     )

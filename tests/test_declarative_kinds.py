@@ -725,3 +725,52 @@ sums = ["x"]
         )
     with _pytest.raises(DeclarationError, match="non-empty"):
         run_view_job(spark, {"table": "x", "root": "y", "keys": [], "sums": ["x"]})
+
+
+def test_view_job_minmax_and_hudi_formats(spark, tmp_path):
+    """[views.*] r13 extensions: mins/maxs ride the declaration (heap
+    maintenance through a min-evicting delete), format=hudi drives the
+    MoR leg, and the drift check covers the extreme columns."""
+    import pytest as _pytest
+
+    from cdf_spark.declarative import DeclarationError, run_view_job
+    from cdf_spark.sources.delta import DeltaFixtureWriter
+    from cdf_spark.sources.hudi_mor import HudiMorFixtureWriter
+
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(
+        spark.createDataFrame([("a", 1.0), ("a", 5.0), ("b", 2.0)], "k string, x double"),
+        timestamp_ms=1000,
+    )
+    decl = {
+        "table": str(tmp_path / "t"), "root": str(tmp_path / "mv"),
+        "keys": ["k"], "mins": ["x"], "maxs": ["x"], "extreme_k": 4,
+    }
+    r1 = run_view_job(spark, decl)
+    assert r1["action"] == "build"
+    w.delete_where(spark, "x = 1.0", timestamp_ms=2000)  # evict a's MIN
+    r2 = run_view_job(spark, decl)
+    assert r2["action"] == "refresh"
+    from cdf_spark.operators.matview import MaterializedAggregate
+
+    got = {r["k"]: (float(r["min_x"]), float(r["max_x"]))
+           for r in MaterializedAggregate(tmp_path / "mv").read(spark).collect()}
+    assert got == {"a": (5.0, 5.0), "b": (2.0, 2.0)}
+    with _pytest.raises(DeclarationError, match="spec drift"):
+        run_view_job(spark, {**decl, "maxs": []})
+    with _pytest.raises(DeclarationError, match="at least one of"):
+        run_view_job(spark, {"table": "x", "root": "y", "keys": ["k"]})
+
+    hw = HudiMorFixtureWriter(tmp_path / "h", record_key="id", n_buckets=2)
+    hw.insert(spark.createDataFrame([(1, "a", 1.0), (2, "b", 3.0)], "id int, k string, x double"))
+    hdecl = {
+        "table": str(tmp_path / "h"), "root": str(tmp_path / "hmv"),
+        "keys": ["k"], "sums": ["x"], "format": "hudi",
+    }
+    assert run_view_job(spark, hdecl)["action"] == "build"
+    hw.upsert(spark.createDataFrame([(1, "a", 9.0)], "id int, k string, x double"))
+    r = run_view_job(spark, hdecl)
+    assert r["action"] == "refresh"
+    got = {r["k"]: float(r["sum_x"])
+           for r in MaterializedAggregate(tmp_path / "hmv").read(spark).collect()}
+    assert got == {"a": 9.0, "b": 3.0}
