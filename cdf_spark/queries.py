@@ -13844,3 +13844,227 @@ def daily_trend_slopes_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.temporal import daily_trend_slopes
 
     return daily_trend_slopes(_t(spark, sf, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Evaluation analytics (r13): retrieval metrics, PR sweep, Fleiss' kappa
+# ---------------------------------------------------------------------------
+
+_RETR_EVAL_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, COALESCE(SUM(len(ts)), 0) AS total FROM toks),
+    flat AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks),
+    tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM flat GROUP BY doc_id, dl, tok),
+    qterms AS (
+      SELECT * FROM (VALUES
+        ('q1','hash'),('q1','join'),('q1','merge'),
+        ('q2','window'),('q2','agg'),('q2','stream'),
+        ('q3','fast'),('q3','table'),('q3','scan'),('q3','vector')
+      ) AS q(qid, tok)
+    ),
+    dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf
+      WHERE tok IN (SELECT tok FROM qterms) GROUP BY tok
+    ),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (n - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total AS DOUBLE) / n)))
+               * 1000000.0
+             ) AS BIGINT) AS s
+      FROM tf JOIN qterms q USING (tok) JOIN dfreq USING (tok), stats
+    ),
+    agg AS (SELECT qid, doc_id, CAST(SUM(s) AS BIGINT) AS score_unat FROM scored GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid ORDER BY score_unat DESC, doc_id ASC) AS rk
+      FROM agg
+    ),
+    run AS (SELECT qid, doc_id, rk FROM ranked WHERE rk <= 10),
+    qrel AS (
+      SELECT q.qid, t.doc_id, CAST(COUNT(*) AS BIGINT) AS grade
+      FROM toks t, qterms q
+      WHERE list_contains(t.ts, q.tok)
+      GROUP BY q.qid, t.doc_id
+      HAVING COUNT(*) >= 2
+    ),
+    hits AS (
+      SELECT r.qid, r.rk,
+             CAST(round(qr.grade * 1000000.0 / (ln(r.rk + 1.0) / ln(2.0))) AS BIGINT) AS p
+      FROM run r JOIN qrel qr ON r.qid = qr.qid AND r.doc_id = qr.doc_id
+    ),
+    got AS (
+      SELECT qid, CAST(COUNT(*) AS BIGINT) AS hits, MIN(rk) AS minrk,
+             CAST(SUM(p) AS BIGINT) AS dcg
+      FROM hits GROUP BY qid
+    ),
+    ideal AS (
+      SELECT qid, CAST(SUM(ip) AS BIGINT) AS idcg FROM (
+        SELECT qid, CAST(round(grade * 1000000.0 / (ln(irk + 1.0) / ln(2.0))) AS BIGINT) AS ip
+        FROM (
+          SELECT qid, grade,
+                 row_number() OVER (PARTITION BY qid ORDER BY grade DESC, doc_id ASC) AS irk
+          FROM qrel
+        ) WHERE irk <= 10
+      ) GROUP BY qid
+    ),
+    tot AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS rel_total FROM qrel GROUP BY qid)
+    SELECT t.qid, t.rel_total,
+           CAST(COALESCE(g.hits, 0) AS BIGINT) AS hits,
+           CAST(1000000 // g.minrk AS BIGINT) AS mrr_unat,
+           CAST(COALESCE(g.hits, 0) * 1000000 // t.rel_total AS BIGINT) AS recall_unat,
+           CAST(COALESCE(g.dcg, 0) * 1000000 // i.idcg AS BIGINT) AS ndcg_unat
+    FROM tot t JOIN ideal i USING (qid) LEFT JOIN got g USING (qid)
+"""
+
+
+@_register("retrieval_eval_metrics", _RETR_EVAL_ORACLE)
+def retrieval_eval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval evaluation loop (r13,
+    `operators/evaluation.retrieval_metrics`): the BM25 top-10 run is
+    graded against derived qrels (grade = number of the query's terms
+    the document contains, relevant at grade >= 2 — the vocabulary-
+    overlap judgment a pooled eval set approximates) into per-query
+    MRR / recall@10 / nDCG@10, every metric an integer micro-unit
+    (reciprocal ranks and recalls are integer floor divisions; DCG
+    partials are single fixed-order doubles micro-rounded at the leaf
+    so per-query sums are exact). The oracle replays the retriever AND
+    the grader end to end — metric bugs can't hide behind a correct
+    run."""
+    from .operators.evaluation import retrieval_metrics
+    from .operators.retrieval import _tok_array, bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    run = bm25_topk(docs, _bm25_query_df(spark), k=10)
+    toks = docs.select("doc_id", _tok_array(F.col("text")).alias("_ts"))
+    qt = spark.createDataFrame(
+        [(q, t) for q, text in _BM25_QUERIES for t in text.split()], ["qid", "tok"]
+    )
+    qrels = (
+        toks.join(F.broadcast(qt), F.array_contains(F.col("_ts"), F.col("tok")))
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("grade"))
+        .filter(F.col("grade") >= 2)
+    )
+    return retrieval_metrics(run, qrels, k=10)
+
+
+_PR_SWEEP_ORACLE = """
+    WITH f AS (
+      SELECT doc_id, source, length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST((length(trim(text)) - length(replace(trim(text), ' ', ''))) AS BIGINT) + 1 END AS n_tokens,
+        CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')) AS BIGINT)/3
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')) AS BIGINT)/4 AS n_stop,
+        (length(text) - length(replace(text, '.', '')))
+          + (length(text) - length(replace(text, ',', '')))
+          + (length(text) - length(replace(text, '!', '')))
+          + (length(text) - length(replace(text, '?', '')))
+          + (length(text) - length(replace(text, ';', ''))) AS n_punct
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, source, n_tokens,
+        round(CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)/n_tokens ELSE 0.0 END, 4) AS atl,
+        round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS pr,
+        round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS sr
+      FROM f
+    ),
+    sc AS (
+      SELECT round(1.0/(1.0 + exp(-(-1.5 + CAST(n_tokens AS DOUBLE) * 0.02 + atl * 0.35 + sr * 6.0 + pr * (-4.0)))), 6) AS threshold,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 1 ELSE 0 END AS lab
+      FROM g2
+    ),
+    g AS (
+      SELECT threshold, CAST(SUM(lab) AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS tot
+      FROM sc GROUP BY threshold
+    ),
+    c AS (
+      SELECT threshold,
+             CAST(SUM(pos) OVER (ORDER BY threshold DESC) AS BIGINT) AS tp,
+             CAST(SUM(tot) OVER (ORDER BY threshold DESC) AS BIGINT) AS ctot
+      FROM g
+    ),
+    p AS (SELECT CAST(SUM(pos) AS BIGINT) AS pp FROM g)
+    SELECT threshold, tp, CAST(ctot - tp AS BIGINT) AS fp, CAST(pp - tp AS BIGINT) AS fn,
+           CAST(tp * 1000000 // ctot AS BIGINT) AS precision_unat,
+           CAST(tp * 1000000 // pp AS BIGINT) AS recall_unat
+    FROM c, p
+"""
+
+
+@_register("quality_pr_sweep", _PR_SWEEP_ORACLE)
+def quality_pr_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier calibration loop (r13,
+    `operators/evaluation.pr_threshold_sweep`): the model-based
+    quality score swept over every distinct threshold against a
+    domain-derived label (sources src0-src9 = positive — the
+    domain-level supervision quality classifiers are actually trained
+    on), yielding the exact precision-recall curve a curation pipeline
+    reads to pick `quality_clf_filter`'s threshold. Cumulation is the
+    suite's two-phase exact cumsum (range-repartition + O(partitions)
+    driver offsets) — no single-reducer global window; the oracle's
+    plain window replays it bit-for-bit."""
+    from .operators.curation import quality_clf_score
+    from .operators.evaluation import pr_threshold_sweep
+
+    scored = _t(spark, sf, "documents").select(
+        quality_clf_score(F.col("text")).alias("score"),
+        (F.expr("cast(substring(source, 4) as int)") < 10).cast("long").alias("label"),
+    )
+    return pr_threshold_sweep(scored)
+
+
+_FLEISS_ORACLE = """
+    WITH r AS (
+      SELECT doc_id // 4 AS item, substr(md5(text), 1, 1) AS label FROM documents
+    ),
+    cells AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY item, label),
+    a AS (
+      SELECT CAST(SUM(n * n) AS BIGINT) AS s,
+             CAST(COUNT(DISTINCT item) AS BIGINT) AS nn
+      FROM cells
+    ),
+    lab AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS e
+      FROM (SELECT CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY label)
+    )
+    SELECT nn AS n_items, CAST(4 AS BIGINT) AS n_raters,
+           CAST(round(CAST(s - nn * 4 AS DOUBLE) / CAST(nn * 4 * 3 AS DOUBLE) * 1000000.0) AS BIGINT) AS pbar_unat,
+           CAST(round(CAST(e AS DOUBLE) / CAST((nn * 4) * (nn * 4) AS DOUBLE) * 1000000.0) AS BIGINT) AS pe_unat,
+           CAST(round(
+             (CAST(s - nn * 4 AS DOUBLE) / CAST(nn * 4 * 3 AS DOUBLE)
+              - CAST(e AS DOUBLE) / CAST((nn * 4) * (nn * 4) AS DOUBLE))
+             / (1.0 - CAST(e AS DOUBLE) / CAST((nn * 4) * (nn * 4) AS DOUBLE))
+             * 1000000.0
+           ) AS BIGINT) AS kappa_unat
+    FROM a, lab
+"""
+
+
+@_register("annotation_fleiss_kappa", _FLEISS_ORACLE)
+def annotation_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-annotator agreement (r13,
+    `operators/evaluation.fleiss_kappa`): the documents table is
+    deterministically recast as an annotation task — items of 4 docs
+    each (doc_id DIV 4; the table's dense ids make n constant), each
+    'rater' assigning the doc's md5-derived label bucket — and Fleiss'
+    kappa over the item x label counts lands near zero, exactly as
+    independent raters should. All five sufficient statistics are
+    exact integers; P-bar, P-e and kappa are single fixed-order
+    doubles micro-rounded at the leaf, replayed token for token by
+    the oracle."""
+    from .operators.evaluation import fleiss_kappa
+
+    ratings = _t(spark, sf, "documents").select(
+        F.expr("doc_id div 4").alias("item"),
+        F.substring(F.md5(F.col("text")), 1, 1).alias("label"),
+    )
+    return fleiss_kappa(ratings, item_col="item", label_col="label")
