@@ -142,6 +142,14 @@ BENCH_QUERIES = [
     "bradley_terry_supplier_strengths",
     "tfidf_doc_similarity",
     "cohort_retention_weekly",
+    # round 13: O(log n) star-contraction components over the trade
+    # graph + a ~1500-link chain (the web-scale CC shape), the
+    # retrieval evaluation loop (BM25 run + derived qrels + integer
+    # MRR/recall/nDCG), and the classifier PR sweep (two-phase exact
+    # cumsum over distinct scores)
+    "connected_components_star_chain",
+    "retrieval_eval_metrics",
+    "quality_pr_sweep",
 ]
 
 

@@ -301,9 +301,14 @@ def connected_components_star(
 
     Returns (id, component) over all endpoint nodes; nodes whose only
     edges were self-loops label themselves. Per round: two grouped
-    MINs (map-side combinable) + two joins on the edge set, per-round
-    localCheckpoint truncating lineage — O(edges) shuffle per round,
-    O(log n) rounds, never O(diameter).
+    MINs (map-side combinable) + one dedup shuffle — intermediate
+    stages tolerate duplicate pairs (MIN is idempotent; the large-star
+    emission dedups at the round's single `distinct`), so the
+    undirected view and the large-star output skip their own shuffles.
+    The O(nodes) min tables take a size-gated broadcast hint (the
+    PageRank rule: map-side hash probe under the gate, SMJ above it).
+    Per-round localCheckpoint truncates lineage — O(edges) shuffle per
+    round, O(log n) rounds, never O(diameter).
     """
     if max_rounds < 1:
         raise ValueError("max_rounds must be positive")
@@ -314,6 +319,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    hint = F.broadcast if nodes.count() <= 2_000_000 else (lambda df: df)
     e = (
         raw.filter(F.col("a") != F.col("b"))
         .distinct()
@@ -321,17 +327,18 @@ def connected_components_star(
     )
     prev_cnt = e.count()
     for _ in range(max_rounds):
-        ue = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+        # duplicates from (a,b)+(b,a) pairs are harmless below: MIN
+        # absorbs them and the emission dedups at nxt — no distinct here
+        ue = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # large-star: (v, m(u)) for v ∈ N(u), v > u; m(u) ≤ u < v so no self-loops
         mins = ue.groupBy("a").agg(F.min("b").alias("_mb"))
         big = (
-            ue.join(mins, on="a")
+            ue.join(hint(mins), on="a")
             .filter(F.col("b") > F.col("a"))
             .select(
                 F.col("b").alias("a"),
                 F.least(F.col("_mb"), F.col("a")).alias("b"),
             )
-            .distinct()
         )
         # small-star: direct at the larger endpoint, re-point Γ(u) ∪ {u}
         dl = big.select(
@@ -339,7 +346,7 @@ def connected_components_star(
         ).filter(F.col("u") != F.col("v"))
         mins2 = dl.groupBy("u").agg(F.min("v").alias("_m"))
         nxt = (
-            dl.join(mins2, on="u")
+            dl.join(hint(mins2), on="u")
             .select(F.col("v").alias("a"), F.col("_m").alias("b"))
             .unionAll(mins2.select(F.col("u").alias("a"), F.col("_m").alias("b")))
             .filter(F.col("a") != F.col("b"))
