@@ -260,3 +260,52 @@ def fleiss_kappa(
             * F.lit(1000000.0)
         ).cast("long").alias("kappa_unat"),
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — the
+    calibration companion to `pr_threshold_sweep` (a quality filter
+    whose 0.9 means 60% is mis-weighted long before its threshold is
+    mis-picked; ECE = sum over bins of n_b/N * gap is one aggregate
+    away from this output).
+
+    Scores must lie in [0, 1]; bin = min(floor(score * n_bins),
+    n_bins - 1) so score 1.0 lands in the top bin. Scores become
+    exact micro-unit integers at the leaf (round(score * 1e6)), so
+    per-bin sums and both micro-unit rates are exact integer
+    arithmetic — order-immune and SQL-replayable.
+
+    Returns one row per non-empty bin: (bin, n, pos,
+    avg_score_unat = sum of micro scores DIV n, pos_rate_unat =
+    pos * 1e6 DIV n, gap_unat = |pos_rate - avg_score|).
+    One map-side-combinable aggregation; O(n_bins) output.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be at least 2")
+    s = F.col(score_col).cast("double")
+    binned = scored.select(
+        F.least(F.floor(s * n_bins).cast("long"), F.lit(n_bins - 1)).alias("bin"),
+        F.round(s * F.lit(1000000.0)).cast("long").alias("_su"),
+        F.col(label_col).cast("long").alias("_l"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_l").alias("pos"),
+            F.sum("_su").alias("_ssum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.expr("_ssum div n").alias("avg_score_unat"),
+            F.expr(f"pos * {MICRO} div n").alias("pos_rate_unat"),
+            F.expr(f"abs(pos * {MICRO} div n - _ssum div n)").alias("gap_unat"),
+        )
+    )

@@ -13289,6 +13289,129 @@ def streaming_ivm_refresh_drain(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_IVM_MINMAX_DRAIN_ORACLE = """
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS epoch, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS min_totalprice,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS max_totalprice
+      FROM orders WHERE o_orderkey <= 1000 GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 1, o_orderpriority, CAST(COUNT(*) AS BIGINT),
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE),
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      FROM orders WHERE o_orderkey <= 2000 AND o_totalprice >= 30000
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 2, o_orderpriority, CAST(COUNT(*) AS BIGINT),
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE),
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      FROM orders
+      WHERE (o_orderkey <= 2000 AND o_totalprice >= 30000)
+         OR (o_orderkey > 2000 AND o_orderkey <= 3000)
+      GROUP BY o_orderpriority
+    )
+"""
+
+
+@_register("streaming_ivm_minmax_drain", _IVM_MINMAX_DRAIN_ORACLE)
+def streaming_ivm_minmax_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING MIN/MAX view maintenance (r13): the continuous
+    dashboard with extremes — a real readStream drain lands each
+    micro-batch in the CDF-enabled Delta table, epoch 1 then runs a
+    scripted DELETE that evicts every group's current minimums
+    (o_totalprice < 30000 — past the extreme_k=8 heap, so the drain
+    fence heals groups from the snapshot MID-STREAM), and the view
+    refreshes its bounded candidate heaps from the change feed.
+    Epoch 2's inserts restock the heaps with smaller values appended
+    AFTER the delete (the temporal replay the oracle mirrors). Every
+    side effect carries its own fence (version-fenced append and
+    delete, cursor-fenced refresh, idempotent epoch output) so the
+    at-least-once foreachBatch replay is exactly-once end to end."""
+    from .operators.matview import MaterializedAggregate
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    bounds = [(-1, 1000), (1000, 2000), (2000, 3000)]
+
+    def build(tmp: str) -> None:
+        import os
+        import shutil
+        import tempfile
+        import time
+        from pathlib import Path as _Path
+
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        (_Path(tmp) / "in").mkdir()
+        t0 = time.time() - 1000
+        for i, (lo, hi) in enumerate(bounds):
+            stage = tempfile.mkdtemp(prefix="cdf_ivmm_part_")
+            o.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            dst = f"{tmp}/in/part-{i}.parquet"
+            shutil.move(str(src), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+            shutil.rmtree(stage, ignore_errors=True)
+
+        w = DeltaFixtureWriter(f"{tmp}/t", change_data_feed=True)
+        mv = MaterializedAggregate(f"{tmp}/mv")
+        # epoch -> table version AFTER that epoch's commits: epoch 0 =
+        # v0 (append), epoch 1 = v1 (append) + v2 (delete), epoch 2 = v3
+        ver_after = {0: 0, 1: 2, 2: 3}
+
+        def handle(batch_df, epoch_id: int) -> None:
+            e = int(epoch_id)
+            try:
+                cur = DeltaTable(f"{tmp}/t").current_version()
+            except Exception:  # noqa: BLE001 — table not created yet
+                cur = -1
+            if cur < ver_after[e] - (1 if e == 1 else 0):
+                w.append(batch_df, timestamp_ms=1000 * (e + 1))
+                cur = DeltaTable(f"{tmp}/t").current_version()
+            if e == 1 and cur < ver_after[1]:
+                w.delete_where(spark, "o_totalprice < 30000", timestamp_ms=1500 * (e + 1))
+            if mv._meta() is None:
+                mv.build(
+                    spark, f"{tmp}/t",
+                    keys=["o_orderpriority"], sums=[],
+                    mins=["o_totalprice"], maxs=["o_totalprice"], extreme_k=8,
+                )
+            else:
+                mv.refresh(spark)
+            (
+                mv.read(spark)
+                .select(
+                    "o_orderpriority", "cnt",
+                    F.col("min_o_totalprice").cast("double").alias("min_totalprice"),
+                    F.col("max_o_totalprice").cast("double").alias("max_totalprice"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/out/epoch={e}")
+            )
+
+        q = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+
+    tmp = _session_fixture("streaming_ivm_minmax", sf, build)
+    return spark.read.parquet(f"{tmp}/out").select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "o_orderpriority",
+        "cnt",
+        "min_totalprice",
+        "max_totalprice",
+    )
+
+
 @_register(
     "cohort_retention_weekly",
     """
@@ -14068,3 +14191,64 @@ def annotation_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(F.md5(F.col("text")), 1, 1).alias("label"),
     )
     return fleiss_kappa(ratings, item_col="item", label_col="label")
+
+
+_CALIB_ORACLE = """
+    WITH f AS (
+      SELECT doc_id, source, length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST((length(trim(text)) - length(replace(trim(text), ' ', ''))) AS BIGINT) + 1 END AS n_tokens,
+        CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' the ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' a ', '')) AS BIGINT)/3
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' and ', '')) AS BIGINT)/5
+          + CAST(length(' '||text||' ') - length(replace(' '||text||' ', ' of ', '')) AS BIGINT)/4 AS n_stop,
+        (length(text) - length(replace(text, '.', '')))
+          + (length(text) - length(replace(text, ',', '')))
+          + (length(text) - length(replace(text, '!', '')))
+          + (length(text) - length(replace(text, '?', '')))
+          + (length(text) - length(replace(text, ';', ''))) AS n_punct
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, source, n_tokens,
+        round(CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE)/n_tokens ELSE 0.0 END, 4) AS atl,
+        round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS pr,
+        round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS sr
+      FROM f
+    ),
+    sc AS (
+      SELECT round(1.0/(1.0 + exp(-(-1.5 + CAST(n_tokens AS DOUBLE) * 0.02 + atl * 0.35 + sr * 6.0 + pr * (-4.0)))), 6) AS s,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 1 ELSE 0 END AS lab
+      FROM g2
+    ),
+    binned AS (
+      SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+             CAST(round(s * 1000000.0) AS BIGINT) AS su, lab
+      FROM sc
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(lab) AS BIGINT) AS pos,
+           CAST(SUM(su) // COUNT(*) AS BIGINT) AS avg_score_unat,
+           CAST(SUM(lab) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_unat,
+           CAST(abs(SUM(lab) * 1000000 // COUNT(*) - SUM(su) // COUNT(*)) AS BIGINT) AS gap_unat
+    FROM binned GROUP BY bin
+"""
+
+
+@_register("quality_calibration_bins", _CALIB_ORACLE)
+def quality_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier calibration diagram (r13,
+    `operators/evaluation.calibration_bins`): the quality score
+    binned into deciles against the domain-derived label — per-bin
+    exact confidence (micro-unit score sums) vs accuracy (positive
+    rate) and their gap, the reliability diagram ECE is one aggregate
+    away from. Scores become exact micro integers at the leaf, so the
+    whole diagram is integer arithmetic after one combinable
+    aggregation; the oracle replays score, label, binning and rates."""
+    from .operators.curation import quality_clf_score
+    from .operators.evaluation import calibration_bins
+
+    scored = _t(spark, sf, "documents").select(
+        quality_clf_score(F.col("text")).alias("score"),
+        (F.expr("cast(substring(source, 4) as int)") < 10).cast("long").alias("label"),
+    )
+    return calibration_bins(scored, n_bins=10)

@@ -104,3 +104,25 @@ def test_fleiss_kappa_guards(spark):
     single = spark.createDataFrame([("A", "y"), ("B", "n")], ["item", "label"])
     with pytest.raises(ValueError, match="at least two"):
         fleiss_kappa(single)
+
+
+def test_calibration_bins_hand_computed(spark):
+    from cdf_spark.operators.evaluation import calibration_bins
+
+    rows = [(0.95, 1), (0.92, 1), (0.9, 0), (0.15, 0), (0.12, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    out = {r["bin"]: r for r in calibration_bins(df, n_bins=10).collect()}
+    assert set(out) == {1, 9}
+    b9 = out[9]  # scores .95 .92 .90 1.0 -> micro sum 3770000, pos 3/4
+    assert (b9["n"], b9["pos"]) == (4, 3)
+    assert b9["avg_score_unat"] == 942500
+    assert b9["pos_rate_unat"] == 750000
+    assert b9["gap_unat"] == 192500
+    b1 = out[1]  # .15 .12 -> avg 135000, pos 1/2
+    assert (b1["n"], b1["pos"], b1["avg_score_unat"], b1["pos_rate_unat"]) == (
+        2, 1, 135000, 500000,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        calibration_bins(df, n_bins=1)
