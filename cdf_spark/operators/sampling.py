@@ -143,3 +143,52 @@ def systematic_resample(
         .filter(F.col("n_copies") >= 1)
         .select(F.col("_id").alias(id_col), F.col("_w").alias("weight"), "n_copies")
     )
+
+
+def weighted_sample_no_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, A-ES): every item draws the key
+    u^(1/w) — equivalently ranks by ln(u)/w — and the k largest keys
+    are the sample; inclusion probability is proportional to weight,
+    no item twice. `systematic_resample` reproduces the weight
+    distribution WITH replacement (copies); this picks k DISTINCT
+    items — the curation shape for "take 10k docs, quality-weighted,
+    no duplicates".
+
+    The uniform u is the suite's engine-portable hash randomness:
+    u = (first-48-md5-bits + 1) / (2^48 + 1), in (0, 1) and an exact
+    IEEE double on both engines, so the ranking key ln(u)/w replays
+    in SQL bit-for-bit (one fixed-order expression; ln is the proven
+    micro-nat primitive).
+
+    Scale posture: the cut is orderBy(key desc) + limit(k) —
+    TakeOrderedAndProject, a per-partition top-k merge, never a
+    global sort materialization; the rank column windows only the k
+    survivors (the pagerank_topk rule).
+
+    Output: (id_col, weight, rank) — rank 1 = largest key.
+    """
+    if k < 1:
+        raise ValueError("k must be positive")
+    keyed = df.select(
+        F.col(id_col).alias("_id"), F.col(weight_col).cast("long").alias("_w")
+    ).filter(F.col("_w") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 12), 16, 10).cast(
+            "long"
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(float((1 << 48) + 1))
+    keyed = keyed.withColumn("_key", F.log(u) / F.col("_w").cast("double"))
+    top = keyed.orderBy(F.col("_key").desc(), F.col("_id").asc()).limit(k)
+    w = Window.orderBy(F.col("_key").desc(), F.col("_id").asc())
+    return top.select(
+        F.col("_id").alias(id_col),
+        F.col("_w").alias("weight"),
+        F.row_number().over(w).alias("rank"),
+    )

@@ -14252,3 +14252,105 @@ def quality_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
         (F.expr("cast(substring(source, 4) as int)") < 10).cast("long").alias("label"),
     )
     return calibration_bins(scored, n_bins=10)
+
+
+_PSI_ORACLE = """
+    WITH b AS (
+      SELECT CAST(MIN(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS lo,
+             CAST(MAX(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS hi
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    rb AS (
+      SELECT CAST(LEAST(GREATEST(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo) * 10.0 / (hi - lo)) AS BIGINT), 0), 9) AS VARCHAR) AS bin
+      FROM orders, b
+      WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice IS NOT NULL
+    ),
+    cb AS (
+      SELECT CAST(LEAST(GREATEST(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo) * 10.0 / (hi - lo)) AS BIGINT), 0), 9) AS VARCHAR) AS bin
+      FROM orders, b
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_totalprice IS NOT NULL
+    ),
+    rc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS ref_n FROM rb GROUP BY bin),
+    cc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cur_n FROM cb GROUP BY bin),
+    bo AS (
+      SELECT COALESCE(rc.bin, cc.bin) AS bin,
+             COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+      FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS kb,
+             CAST(SUM(ref_n) AS BIGINT) AS rt, CAST(SUM(cur_n) AS BIGINT) AS ct
+      FROM bo
+    )
+    SELECT bin, ref_n, cur_n,
+           CAST(round(
+             (CAST(cur_n + 1 AS DOUBLE) / CAST(ct + kb AS DOUBLE)
+              - CAST(ref_n + 1 AS DOUBLE) / CAST(rt + kb AS DOUBLE))
+             * ln(CAST((cur_n + 1) * (rt + kb) AS DOUBLE)
+                  / CAST((ref_n + 1) * (ct + kb) AS DOUBLE))
+             * 1000000.0
+           ) AS BIGINT) AS psi_unat
+    FROM bo, tot
+"""
+
+
+@_register("psi_drift_orders", _PSI_ORACLE)
+def psi_drift_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift monitor (r13, `operators/drift.psi_drift`):
+    population stability index of o_totalprice between the pre-1997
+    order book (the reference that defines the expected range and
+    deciles) and everything after — the alarm a pipeline runs between
+    corpus versions before retraining on the new one. Equal-width
+    bins over the reference's [min, max] with edge clamping; Laplace
+    add-1 smoothing keeps empty bins finite and deterministic; each
+    per-bin term is one fixed-order double over exact integer counts,
+    micro-nat rounded, so total PSI is an exact integer sum. The two
+    snapshots never join row-wise — only their O(bins) count tables
+    meet."""
+    from .operators.drift import psi_drift
+
+    o = _t(spark, sf, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    return psi_drift(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        bins=10,
+    )
+
+
+_WSAMPLE_ORACLE = """
+    WITH keyed AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+                / 281474976710657.0)
+             / CAST(length(text) AS DOUBLE) AS k
+      FROM documents WHERE length(text) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, weight,
+             row_number() OVER (ORDER BY k DESC, doc_id ASC) AS rank
+      FROM keyed
+    )
+    SELECT doc_id, weight, rank FROM ranked WHERE rank <= 64
+"""
+
+
+@_register("weighted_sample_docs", _WSAMPLE_ORACLE)
+def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (r13,
+    `operators/sampling.weighted_sample_no_replacement`, Efraimidis &
+    Spirakis 2006): 64 distinct documents drawn with probability
+    proportional to length — the "take k docs, quality-weighted, no
+    duplicates" curation cut that `systematic_resample`'s
+    with-replacement copies can't express. The A-ES key ln(u)/w rides
+    the suite's engine-portable md5 uniform (first 48 bits + 1 over
+    2^48 + 1, an exact IEEE double on both engines); the cut is
+    TakeOrderedAndProject (per-partition top-k merge, never a global
+    sort), ranks windowed over the 64 survivors only."""
+    from .operators.sampling import weighted_sample_no_replacement
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("w")
+    )
+    return weighted_sample_no_replacement(docs, 64, "w")

@@ -1,0 +1,71 @@
+"""PSI drift + Efraimidis-Spirakis weighted sampling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from cdf_spark.operators.drift import psi_drift
+from cdf_spark.operators.sampling import weighted_sample_no_replacement
+
+
+def test_psi_categorical_hand_computed(spark):
+    ref = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, ["c"])
+    cur = spark.createDataFrame([("a",)] * 2 + [("b",)] * 8, ["c"])
+    rows = {r["bin"]: r for r in psi_drift(ref, cur, "c").collect()}
+    assert set(rows) == {"a", "b"}
+    # add-1 over K=2 bins: pr_a=9/12, pc_a=3/12 -> (0.25-0.75)*ln(1/3)
+    exp_a = round((3 / 12 - 9 / 12) * math.log((3 * 12) / (9 * 12)) * 1e6)
+    assert rows["a"]["psi_unat"] == exp_a
+    assert (rows["a"]["ref_n"], rows["a"]["cur_n"]) == (8, 2)
+    # symmetric distributions -> symmetric terms
+    assert rows["b"]["psi_unat"] == exp_a
+    total = sum(r["psi_unat"] for r in rows.values())
+    assert total > 500000  # a hard shift reads as PSI >> 0.25
+
+
+def test_psi_identical_snapshots_is_zero(spark):
+    df = spark.createDataFrame([(float(i % 7),) for i in range(100)], ["x"])
+    rows = psi_drift(df, df, "x", bins=5).collect()
+    assert all(r["psi_unat"] == 0 for r in rows)
+    assert sum(r["ref_n"] for r in rows) == 100
+
+
+def test_psi_numeric_binning_clamps_and_counts_nulls_out(spark):
+    ref = spark.createDataFrame([(0.0,), (10.0,), (5.0,), (None,)], ["x"])
+    cur = spark.createDataFrame([(-99.0,), (99.0,), (5.0,)], ["x"])
+    rows = {r["bin"]: r for r in psi_drift(ref, cur, "x", bins=2).collect()}
+    # ref: 0 -> bin 0; 5 (floor(5*2/10)=1) and 10 (clamped top edge)
+    # -> bin 1; NULL excluded
+    assert (rows["0"]["ref_n"], rows["1"]["ref_n"]) == (1, 2)
+    # cur: -99 clamps to 0, 99 clamps to 1, 5 -> bin 1
+    assert (rows["0"]["cur_n"], rows["1"]["cur_n"]) == (1, 2)
+    with pytest.raises(ValueError, match="no spread"):
+        psi_drift(
+            spark.createDataFrame([(1.0,)], ["x"]),
+            cur,
+            "x",
+            bins=2,
+        )
+    with pytest.raises(ValueError, match="at least 2"):
+        psi_drift(ref, cur, "x", bins=1)
+
+
+def test_weighted_sample_properties(spark):
+    rows = [(i, 1 if i != 7 else 100000) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_sample_no_replacement(df, 20, "w")
+    got = out.collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == len(set(ids)) == 20  # without replacement
+    assert 7 in ids  # the 100000x weight is effectively certain
+    ranks = sorted(r["rank"] for r in got)
+    assert ranks == list(range(1, 21))
+    # deterministic under repartition
+    again = weighted_sample_no_replacement(df.repartition(17), 20, "w").collect()
+    assert {(r["doc_id"], r["rank"]) for r in again} == {
+        (r["doc_id"], r["rank"]) for r in got
+    }
+    with pytest.raises(ValueError, match="positive"):
+        weighted_sample_no_replacement(df, 0, "w")
