@@ -5084,114 +5084,68 @@ PARITY_TWINS: set[str] = {
 # recomputed each round from the CORRECTNESS_r*.json history: ordering
 # is (never-driver-green first, then ascending last-green round, then
 # registration order within a cohort), truncated at the driver's 50.
-# r11 rebuild: the never-green head is ivf_pq_ann_topk (rows-only
-# through r10; its distributive-shortlist rework gave it an EXACT
-# oracle this round — see the registry entry), bpe_learn_merges (red
-# through r10 on the oracle HUGEINT-vs-BIGINT dtype artifact, cast
-# fixed this round), and the four r11 XTable additions (partitioned
-# D<->I, direct D->H, continuous Hudi sync). Then the whole r5-green
-# cohort (15 queries — the oldest driver evidence left), then the
-# oldest 29 of the r6-green cohort fill to the cut; the remaining r6
-# entries front the r12 rotation.
+# r13 rebuild: 13 never-driver-green head entries (the 3 DSIR queries
+# — red through r12 on the oracle HUGEINT dtype artifact, CAST fixed
+# this round — then the 10 r13 additions: star-contraction CC, MIN/MAX
+# + Hudi + streaming-minmax IVM, the evaluation family, PSI drift,
+# A-ES sampling), then the ENTIRE 27-query r6-stale cohort (the
+# three-round staleness debt the r12 verdict ordered burned — after
+# this window lands, max driver-green staleness is r7), then the 10
+# oldest r7 entries fill to the driver's 50 cut.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- never driver-green (r12 third-wave additions, this session) --
-    "pagerank_supplier_graph",
-    "hybrid_rrf_retrieval",
-    "bm25_prf_expanded_topk",
-    "funnel_view_click_purchase",
-    "delta_ivm_rollup",
-    "iceberg_ivm_rollup",
-    "streaming_ivm_refresh_drain",
-    "personalized_pagerank_seeds",
-    "mmr_diversified_rerank",
-    "connected_components_trade",
-    "cohort_retention_weekly",
-    "rag_chunk_retrieval",
-    "daily_count_anomalies",
-    "systematic_resample_docs",
-    "funnel_conversion_stats",
-    "tfidf_doc_similarity",
-    "bitext_margin_mining",
-    "bradley_terry_supplier_strengths",
-    "pmi_collocations_top",
-    "last_touch_attribution",
-    "daily_trend_slopes",
-    # -- never driver-green (r12 additions) --
-    "xtable_mor_to_delta_scan",
-    "ann_index_incremental",
-    "streaming_ann_index_drain",
-    "xtable_partitioned_days_iceberg_to_delta_scan",
+    # -- never driver-green: DSIR (oracle cast fixed r13) + r13 additions --
     "dsir_select_docs",
-    "bm25_topk_docs",
-    "bm25_index_incremental",
-    "streaming_bm25_index_drain",
-    "bm25_index_delete_compact",
-    "ann_index_delete_compact",
-    "ivf_sq8_ann_topk",
     "dsir_index_incremental",
     "streaming_dsir_select_drain",
-    "leakage_safe_split",
-    "ivf_hard_negative_mining",
-    "phrase_match_docs",
-    "phrase_index_match",
-    "curriculum_training_order",
-    # -- last driver-green in r6 (the least-recently-green rotation
-    #    the verdict prescribes). With 18 + 17 never-green r12
-    #    additions at the head (the first and second r12 sessions), a
-    #    50-query window carries only the first ~15 of this cohort;
-    #    never-green outranks r6-stale (a query with NO driver row is
-    #    strictly worse evidence than one last value-checked in r6 —
-    #    and every r6 entry below was also re-value-checked MATCH by
-    #    the r11 judge's full-registry run AND by this session's own
-    #    full compare_oracle runs). The cohort tail rotates in next
-    #    round. --
-    "airbyte_subprocess_scan",
-    "anti_join_customers_without_orders",
-    "argmin_cheapest_supplier",
-    "byte_transform_chain_scan",
-    "cdc_epoch_apply",
-    "clickhouse_transport_scan",
-    "correction_restatement",
-    "cube_agg",
-    "curation_pipeline",
-    "delta_checkpoint_replay",
-    "delta_deletion_vectors",
-    "delta_dest_merge",
-    "dlt_incremental_scan",
+    "connected_components_star_chain",
+    "delta_ivm_minmax",
+    "hudi_ivm_rollup",
+    "streaming_ivm_minmax_drain",
+    "retrieval_eval_metrics",
+    "quality_pr_sweep",
+    "annotation_fleiss_kappa",
+    "quality_calibration_bins",
+    "psi_drift_orders",
+    "weighted_sample_docs",
+    # -- the full r6-stale cohort (registration order) --
+    "stratified_topk_sample",
+    "hudi_partitioned_scan",
+    "hudi_mor_snapshot",
+    "hudi_mor_read_optimized",
     "hudi_mor_changes_since",
     "hudi_mor_compaction",
-    "hudi_mor_read_optimized",
-    "hudi_mor_snapshot",
-    "hudi_partitioned_scan",
-    "iceberg_changes_since",
+    "delta_dest_merge",
     "iceberg_partitioned_scan",
     "iceberg_schema_evolution",
-    "iceberg_time_travel",
-    "lag_lead_price_delta",
-    "mongo_change_stream_apply",
-    "mongo_extended_json_scan",
-    "percentiles_exact",
-    "python_resource_context_scan",
+    "q4_order_priority_semijoin",
     "q13_customer_distribution",
     "q18_large_volume_having",
     "q19_disjunctive_filter",
-    "q4_order_priority_semijoin",
-    "rest_paged_scan",
-    "schema_admission_ingest",
-    "semantic_dedup_keep",
     "set_ops_intersect",
-    "stratified_topk_sample",
     "union_all_sources",
+    "percentiles_exact",
+    "lag_lead_price_delta",
     "variant_capture_json",
-    # -- oldest r7-green entries fill to the 50 cut --
+    "semantic_dedup_keep",
+    "mongo_extended_json_scan",
+    "schema_admission_ingest",
+    "dlt_incremental_scan",
+    "rest_paged_scan",
+    "python_resource_context_scan",
+    "mongo_change_stream_apply",
+    "iceberg_time_travel",
+    "iceberg_changes_since",
+    # -- oldest r7 entries fill to the 50 cut --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "window_running_total",
+    "topk_per_group",
     "agg_rollup",
-    "asof_join_events_orders",
-    "contract_quarantine_rows",
-    "cross_format_cdc_replication",
-    "cross_format_replication",
-    "dedup_keep_first",
-    "dedup_keep_last",
-    "delta_change_data_feed",
+    "set_ops_except",
+    "distinct_agg",
+    "sessionization",
 ]
 
 
