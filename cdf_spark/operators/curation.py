@@ -1628,3 +1628,117 @@ class DSIRIndex(IndexArtifact):
             .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("_d").alias("lw_unat"))
             .select(F.col("_id").alias(id_col), "n_feats", "lw_unat")
         )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every k-token gram, slide a
+    w-gram window, and keep each window's MINIMUM hash — a guaranteed-
+    coverage, position-robust fingerprint set whose size is ~2/(w+1)
+    of the gram count. The canonical "document fingerprinting"
+    primitive: MinHash answers "how similar", ExactSubstr answers
+    "which exact spans" — winnowing answers "which documents share
+    ANY sufficiently long run" at a tunable density, the plagiarism/
+    provenance shape.
+
+    Determinism discipline: gram hashes are 40-bit integers from the
+    suite's md5 stream; window selection packs (hash, position) into
+    ONE comparable integer `h * 2^20 + (2^20 - 1 - pos)` so the
+    window MIN itself implements the tie rule (smallest hash,
+    RIGHTMOST position — the paper's robust-winnowing choice) in
+    pure integer arithmetic, bit-identical in SQL. Positions are
+    guarded to 2^20 grams per document (a ~1M-token doc — raise, not
+    silent key collision; the rag-chunk packing rule).
+
+    Selection variant (documented): every window START contributes —
+    including the ragged tail windows shorter than w — so every
+    document with >= 1 gram carries >= 1 fingerprint and n < w
+    degrades gracefully. The per-doc window is position-ordered and
+    streaming (rowsBetween(0, w-1)); fingerprints dedup per doc.
+
+    Output: (id_col, fp) — distinct 40-bit fingerprints per document.
+    Scale: one narrow gram pass (grams live only inside codegen), one
+    per-doc window sort, one dedup — no joins, no corpus-wide state.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be positive")
+    from pyspark.sql import Window as _W
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    n = F.size(toks)
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i, k))  # noqa: E731
+    h40 = lambda g: F.conv(F.substring(F.md5(g), 1, 10), 16, 10).cast("long")  # noqa: E731
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .filter(n >= k)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: h40(gram(i)))
+            ).alias("pos", "_h"),
+        )
+    )
+    guarded_pos = F.when(F.col("pos") < F.lit(1 << 20), F.col("pos")).otherwise(
+        F.raise_error(F.lit("winnowing position overflows the 2^20 packing"))
+    )
+    packed = grams.select(
+        "_id",
+        "pos",
+        (F.col("_h") * (1 << 20) + (F.lit((1 << 20) - 1) - guarded_pos)).alias("_c"),
+    )
+    win = _W.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        packed.select("_id", F.min("_c").over(win).alias("_sel"))
+        .select(F.col("_id").alias(id_col), F.expr(f"_sel div {1 << 20}").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 5,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints: two
+    documents sharing >= ``min_shared`` selected fingerprints share
+    that many (approximately position-independent) k-token runs.
+
+    Fingerprints whose document frequency exceeds ``df_cap`` are
+    dropped BEFORE the pair join (boilerplate runs shared by everyone
+    carry no pairing signal and would make the fingerprint-bucket join
+    quadratic in the hottest bucket — the LSH-band discipline). The
+    join is bucketed by fingerprint: cost is sum over fingerprints of
+    docfreq^2 with docfreq <= df_cap, never corpus x corpus.
+
+    Output: (a, b, shared) with a < b by document id.
+    """
+    if min_shared < 1:
+        raise ValueError("min_shared must be positive")
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).localCheckpoint(
+        eager=True
+    )
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") > df_cap
+    )
+    cool = fps.join(hot, on="fp", how="left_anti")
+    a = cool.select(F.col("fp"), F.col(id_col).alias("a"))
+    b = cool.select(F.col("fp"), F.col(id_col).alias("b"))
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -14308,3 +14308,56 @@ def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.length("text").cast("long").alias("w")
     )
     return weighted_sample_no_replacement(docs, 64, "w")
+
+
+_WINNOW_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest([{'pos': i - 1,
+                      'h': CAST(('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 10)) AS BIGINT)}
+                     for i in range(1, len(ts) - 3)], recursive := true)
+      FROM toks
+    ),
+    p AS (SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS c FROM g),
+    s AS (
+      SELECT doc_id,
+             MIN(c) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      FROM p
+    ),
+    fps AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp FROM s),
+    hot AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS dfq FROM fps GROUP BY fp) WHERE dfq > 1000
+    ),
+    cool AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM cool x JOIN cool y ON x.fp = y.fp AND x.doc_id < y.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 5
+"""
+
+
+@_register("winnow_near_dups_docs", _WINNOW_ORACLE)
+def winnow_near_dups_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (r13,
+    `operators/curation.winnow_fingerprints` — Schleimer, Wilkerson &
+    Aiken 2003, the MOSS algorithm): every 5-token gram hashed to a
+    40-bit integer, each 4-gram window keeping its minimum — the
+    paper's smallest-hash/rightmost-tie rule implemented as ONE
+    integer window MIN over the packed (hash, position) key — then
+    near-dup pairs sharing >= 5 selected fingerprints via the
+    fingerprint-bucketed join (document-frequency cap drops
+    boilerplate fingerprints before the join, the LSH-band
+    discipline). The 7th member of the dedup family: MinHash answers
+    "how similar", ExactSubstr "which exact spans", winnowing "which
+    documents share ANY long run" at tunable density. The oracle
+    replays grams, packing, window selection and pairing exactly."""
+    from .operators.curation import winnow_near_dups
+
+    return winnow_near_dups(
+        _t(spark, sf, "documents"), k=5, w=4, min_shared=5, df_cap=1000
+    )

@@ -69,3 +69,41 @@ def test_weighted_sample_properties(spark):
     }
     with pytest.raises(ValueError, match="positive"):
         weighted_sample_no_replacement(df, 0, "w")
+
+
+def test_winnow_fingerprint_coverage_and_tie_rule(spark):
+    from cdf_spark.operators.curation import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "tiny doc"),  # fewer tokens than k -> no grams, no fingerprints
+            (4, "one two three four five"),  # exactly k tokens -> 1 gram
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] == by_doc[2]  # identical docs -> identical fingerprints
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1
+    # density: ~2/(w+1) of grams selected, never zero for n >= k
+    assert 1 <= len(by_doc[1]) <= 6  # 6 grams, w=4
+
+
+def test_winnow_near_dups_pairs_and_df_cap(spark):
+    from cdf_spark.operators.curation import winnow_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail tokens here"), (3, "completely different words nothing shared at all whatsoever believe me")],
+        ["doc_id", "text"],
+    )
+    pairs = winnow_near_dups(docs, k=5, w=4, min_shared=2)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in got and all(3 not in p for p in got)
+    # df_cap=1 drops every fingerprint shared by both docs -> no pairs
+    assert winnow_near_dups(docs, k=5, w=4, min_shared=1, df_cap=1).count() == 0
