@@ -132,6 +132,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("declarations")
     p.add_argument("--workspace", default=".cdf_spark")
 
+    p = sub.add_parser("monitor", help="run [monitors.*] jobs (PSI drift monitors)")
+    p.add_argument("declarations")
+    p.add_argument("--workspace", default=".cdf_spark")
+
     p = sub.add_parser("preview", help="bounded deterministic preview")
     p.add_argument("declarations")
     p.add_argument("resource")
@@ -402,6 +406,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "view":
         try:
             print(json.dumps(ws.run_views(spark, args.declarations), default=str))
+        finally:
+            if not pre_existing:
+                spark.stop()
+        return 0
+    if args.cmd == "monitor":
+        try:
+            print(json.dumps(ws.run_monitors(spark, args.declarations), default=str))
         finally:
             if not pre_existing:
                 spark.stop()

@@ -943,3 +943,109 @@ def _workspace_run_views(self, spark, path: str | Path) -> dict[str, dict]:
 
 
 Workspace.run_views = _workspace_run_views
+
+
+# Declarative DRIFT MONITOR jobs ([monitors.NAME] tables): population-
+# stability alarms driven from a declaration — the first run pins the
+# table's CURRENT version/snapshot/instant as the baseline; every later
+# run time-travels back to that baseline and reports the PSI of the
+# current snapshot against it (Siddiqi's conventional reading: < 0.10
+# stable, 0.10-0.25 drifting, > 0.25 shifted — thresholds in micro
+# units, overridable). `rebaseline = true` re-pins after reporting.
+# Same declare-don't-script discipline as the other kinds; the
+# baseline artifact is self-fencing like a view's cursor.
+
+
+def run_monitor_job(spark, decl: dict) -> dict:
+    """Execute one drift-monitor declaration: {table, root, column,
+    format?, bins?, drifting_unat?, shifted_unat?, rebaseline?}.
+    First run records the baseline cursor (action=baseline); later
+    runs report {action: report, total_psi_unat, verdict, bins,
+    baseline_cursor, cursor}."""
+    from .operators.drift import psi_drift
+    from .operators.index_base import IndexArtifact
+    from .operators.matview import _FORMATS
+
+    table, root, column = decl.get("table"), decl.get("root"), decl.get("column")
+    if not table or not root or not column:
+        raise DeclarationError("monitor job requires table, root and column")
+    fmt = str(decl.get("format", "delta"))
+    if fmt not in _FORMATS:
+        raise DeclarationError(
+            f"unknown monitor format {fmt!r} (formats: {sorted(_FORMATS)})"
+        )
+    bins = decl.get("bins")
+    if bins is not None:
+        bins = int(bins)
+    drifting = int(decl.get("drifting_unat", 100_000))
+    shifted = int(decl.get("shifted_unat", 250_000))
+    if not 0 < drifting < shifted:
+        raise DeclarationError("need 0 < drifting_unat < shifted_unat")
+
+    art = IndexArtifact(root)
+    t = _FORMATS[fmt](str(table))
+    cur = t.cursor()
+    meta = art._meta()
+    if meta is None:
+        meta = {
+            "table": str(table), "format": fmt, "column": str(column),
+            "baseline": cur if isinstance(cur, str) else int(cur),
+        }
+        art._swap_meta(meta)
+        return {**meta, "action": "baseline", "cursor": meta["baseline"]}
+    if (meta["table"], meta.get("format", "delta"), meta["column"]) != (
+        str(table), fmt, str(column)
+    ):
+        raise DeclarationError(
+            f"monitor spec drift: artifact at {root} watches "
+            f"{meta['table']}/{meta['column']}, declaration says {table}/{column}"
+        )
+    import pyspark.sql.functions as _F
+
+    per_bin = psi_drift(
+        t.snapshot(spark, meta["baseline"]),
+        t.snapshot(spark, cur),
+        str(column),
+        bins=bins,
+    )
+    n_bins, total = per_bin.agg(
+        _F.count(_F.lit(1)), _F.coalesce(_F.sum("psi_unat"), _F.lit(0))
+    ).collect()[0]
+    total = int(total)
+    verdict = "stable" if total < drifting else ("drifting" if total < shifted else "shifted")
+    report = {
+        "action": "report",
+        "table": str(table), "format": fmt, "column": str(column),
+        "baseline_cursor": meta["baseline"],
+        "cursor": cur if isinstance(cur, str) else int(cur),
+        "bins": int(n_bins),
+        "total_psi_unat": total,
+        "verdict": verdict,
+    }
+    if bool(decl.get("rebaseline", False)):
+        art._swap_meta({**meta, "baseline": report["cursor"]})
+        report["rebaselined"] = True
+    return report
+
+
+def _workspace_run_monitors(self, spark, path: str | Path) -> dict[str, dict]:
+    """Run every [monitors.NAME] table in a declaration file; reports
+    land under `<workspace>/monitors/` (the evidence-artifact
+    discipline views/translations/indexes follow)."""
+    import tomllib
+
+    doc = tomllib.loads(Path(path).read_text())
+    jobs = doc.get("monitors") or {}
+    if not isinstance(jobs, dict):
+        raise DeclarationError("[monitors] must be a table of named jobs")
+    out: dict[str, dict] = {}
+    out_dir = self.root / "monitors"
+    out_dir.mkdir(exist_ok=True)
+    for name, decl in jobs.items():
+        report = run_monitor_job(spark, decl)
+        (out_dir / f"{name}.json").write_text(json.dumps(report, indent=1, default=str))
+        out[name] = report
+    return out
+
+
+Workspace.run_monitors = _workspace_run_monitors

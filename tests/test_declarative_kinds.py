@@ -774,3 +774,64 @@ def test_view_job_minmax_and_hudi_formats(spark, tmp_path):
     got = {r["k"]: float(r["sum_x"])
            for r in MaterializedAggregate(tmp_path / "hmv").read(spark).collect()}
     assert got == {"a": 9.0, "b": 3.0}
+
+
+def test_monitor_jobs_baseline_report_rebaseline(spark, tmp_path):
+    """[monitors.*] r13: first run pins the baseline version, later
+    runs time-travel back to it and report PSI verdicts; rebaseline
+    re-pins; spec drift refuses."""
+    import pytest as _pytest
+
+    from cdf_spark.declarative import DeclarationError, Workspace, run_monitor_job
+    from cdf_spark.sources.delta import DeltaFixtureWriter
+
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(
+        spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double"),
+        timestamp_ms=1000,
+    )
+    decl = tmp_path / "jobs.toml"
+    decl.write_text(f"""
+[monitors.price]
+table = "{tmp_path}/t"
+root = "{tmp_path}/mon"
+column = "x"
+bins = 5
+""")
+    ws = Workspace(tmp_path / "ws")
+    r1 = ws.run_monitors(spark, decl)
+    assert r1["price"]["action"] == "baseline"
+    assert (tmp_path / "ws" / "monitors" / "price.json").exists()
+
+    # no movement: current == baseline distribution -> stable, PSI 0
+    r2 = ws.run_monitors(spark, decl)
+    assert r2["price"]["action"] == "report"
+    assert r2["price"]["verdict"] == "stable" and r2["price"]["total_psi_unat"] == 0
+
+    # hard shift: flood with values in one bin
+    w.append(
+        spark.createDataFrame([(9.0,)] * 400, "x double"), timestamp_ms=2000
+    )
+    r3 = ws.run_monitors(spark, decl)
+    assert r3["price"]["verdict"] == "shifted"
+    assert r3["price"]["total_psi_unat"] > 250_000
+    assert r3["price"]["baseline_cursor"] == 0 and r3["price"]["cursor"] == 1
+
+    # rebaseline pins the current version; next run is stable again
+    run_monitor_job(
+        spark,
+        {"table": str(tmp_path / "t"), "root": str(tmp_path / "mon"),
+         "column": "x", "bins": 5, "rebaseline": True},
+    )
+    r4 = ws.run_monitors(spark, decl)
+    assert r4["price"]["verdict"] == "stable"
+    assert r4["price"]["baseline_cursor"] == 1
+
+    with _pytest.raises(DeclarationError, match="spec drift"):
+        run_monitor_job(
+            spark,
+            {"table": str(tmp_path / "t"), "root": str(tmp_path / "mon"),
+             "column": "y", "bins": 5},
+        )
+    with _pytest.raises(DeclarationError, match="requires table"):
+        run_monitor_job(spark, {"root": "x", "column": "y"})
