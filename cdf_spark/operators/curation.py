@@ -1645,7 +1645,12 @@ def winnow_fingerprints(
     primitive: MinHash answers "how similar", ExactSubstr answers
     "which exact spans" — winnowing answers "which documents share
     ANY sufficiently long run" at a tunable density, the plagiarism/
-    provenance shape.
+    provenance shape. Distinct from `dedup_approx.
+    fingerprint_containment_pairs`' mod-16 hash sampler: window-min
+    selection GUARANTEES every w-gram window contributes a
+    fingerprint (the paper's coverage theorem), where mod-sampling
+    can miss arbitrarily long runs whose gram hashes all land off
+    the residue.
 
     Determinism discipline: gram hashes are 40-bit integers from the
     suite's md5 stream; window selection packs (hash, position) into
