@@ -340,3 +340,90 @@ def curriculum_order(
         .withColumn("position", F.col("_off") + F.row_number().over(w) - 1)
         .drop("_pid", "_off")
     )
+
+
+def unimax_allocate(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a total training-token budget UNIFORMLY
+    across domains, except that no domain may repeat more than
+    ``max_epochs`` times — small domains get capped at
+    cap_d = n_d * max_epochs and their unused share waterfalls to the
+    larger ones. The principled alternative to temperature mixing
+    (`token_budget_sample`): temperature still over-samples the very
+    largest domains; UniMax gives every uncapped domain the SAME
+    token count.
+
+    Closed form, no iteration: with caps sorted ascending, domain k is
+    CAPPED iff cap_k * (remaining after paying all smaller caps,
+    spread over the domains from k up) exceeds its cap — i.e.
+    cap_k * (n - k + 1) <= budget - prefix_caps_{k-1}; every capped
+    domain gets its cap, every uncapped one gets an equal integer
+    share of what's left (floor division; the remainder r goes one
+    token each to the r lexicographically-smallest uncapped domains —
+    a pinned deterministic tie rule, so allocations sum EXACTLY to
+    min(budget, total capacity)).
+
+    All integer arithmetic over exact token counts — replayed
+    bit-for-bit in SQL. The ranking window is single-partition but
+    bounded by the DOMAIN count (tens, not rows — the stated contract
+    of every per-domain step in this module).
+
+    Output: (domain, n_tokens, cap_tokens, alloc_tokens, capped).
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be non-negative")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be positive")
+    toks = df.select(
+        F.col(domain_col).alias("domain"),
+        F.size(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+        ).cast("long").alias("_nt"),
+    )
+    dom = toks.groupBy("domain").agg(F.sum("_nt").alias("n_tokens"))
+    dom = dom.withColumn("cap_tokens", F.col("n_tokens") * max_epochs)
+    w = Window.orderBy(F.col("cap_tokens").asc(), F.col("domain").asc())
+    ranked = (
+        dom.withColumn("_k", F.row_number().over(w))
+        .withColumn("_pfx", F.coalesce(
+            F.sum("cap_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ))
+        .withColumn("_n", F.count(F.lit(1)).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )))
+    )
+    b = F.lit(int(budget_tokens))
+    capped = (F.col("cap_tokens") * (F.col("_n") - F.col("_k") + 1)) <= (b - F.col("_pfx"))
+    ranked = ranked.withColumn("capped", capped)
+    # what the capped domains consume, and how many domains share the rest
+    paid = ranked.filter(F.col("capped")).agg(
+        F.coalesce(F.sum("cap_tokens"), F.lit(0)).alias("_paid"),
+        F.count(F.lit(1)).alias("_ncap"),
+    )
+    ranked = ranked.crossJoin(F.broadcast(paid))
+    # uncapped domains, ranked among themselves by (cap, domain): the
+    # floor-division remainder tops up the first `rest % n_unc` of them
+    wu = Window.partitionBy("capped").orderBy(F.col("cap_tokens").asc(), F.col("domain").asc())
+    ranked = ranked.withColumn("_uk", F.row_number().over(wu))
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        F.expr(f"({int(budget_tokens)} - _paid) div greatest(_n - _ncap, 1)")
+        + F.when(
+            F.col("_uk") <= F.expr(f"({int(budget_tokens)} - _paid) % greatest(_n - _ncap, 1)"),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return ranked.select(
+        "domain",
+        "n_tokens",
+        "cap_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        "capped",
+    )

@@ -14361,3 +14361,63 @@ def winnow_near_dups_docs(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_near_dups(
         _t(spark, sf, "documents"), k=5, w=4, min_shared=5, df_cap=1000
     )
+
+
+_UNIMAX_ORACLE = """
+    WITH toks AS (
+      SELECT source AS domain,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS nt
+      FROM documents
+    ),
+    dom AS (SELECT domain, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM toks GROUP BY domain),
+    c AS (SELECT domain, n_tokens, n_tokens * 1 AS cap FROM dom),
+    r AS (
+      SELECT domain, n_tokens, cap,
+             row_number() OVER (ORDER BY cap, domain) AS k,
+             COALESCE(SUM(cap) OVER (ORDER BY cap, domain
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+             COUNT(*) OVER () AS n
+      FROM c
+    ),
+    r2 AS (SELECT *, (cap * (n - k + 1)) <= (26000 - pfx) AS capped FROM r),
+    paid AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS paid,
+             CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS ncap
+      FROM r2
+    ),
+    r3 AS (
+      SELECT r2.*, paid.paid, paid.ncap,
+             row_number() OVER (PARTITION BY capped ORDER BY cap, domain) AS uk
+      FROM r2, paid
+    )
+    SELECT domain, n_tokens, CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(CASE WHEN capped THEN cap
+                ELSE (26000 - paid) // GREATEST(n - ncap, 1)
+                     + CASE WHEN uk <= (26000 - paid) % GREATEST(n - ncap, 1)
+                            THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc_tokens,
+           capped
+    FROM r3
+"""
+
+
+@_register("unimax_budget_allocation", _UNIMAX_ORACLE)
+def unimax_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax domain budget allocation (r13,
+    `operators/packing.unimax_allocate` — Chung et al. 2023): split a
+    26k-token training budget uniformly across the 20 document
+    domains with a 1-epoch repeat cap — small domains cap at their
+    own mass and the spare waterfalls to the rest, the fairer
+    alternative to temperature mixing's residual head bias. The
+    waterfill is CLOSED FORM over the ascending-cap order (capped iff
+    cap_k*(n-k+1) <= budget - prefix; prefix-capped monotonicity makes
+    the per-row rule exact), remainder tokens pinned to the smallest
+    uncapped domains — pure integer arithmetic, allocations summing
+    exactly to the budget, replayed by the oracle window-for-window.
+    The domain ranking window is bounded by the DOMAIN count (20),
+    never by rows."""
+    from .operators.packing import unimax_allocate
+
+    return unimax_allocate(
+        _t(spark, sf, "documents"), budget_tokens=26_000, max_epochs=1
+    )

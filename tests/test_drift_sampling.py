@@ -107,3 +107,38 @@ def test_winnow_near_dups_pairs_and_df_cap(spark):
     assert (1, 2) in got and all(3 not in p for p in got)
     # df_cap=1 drops every fingerprint shared by both docs -> no pairs
     assert winnow_near_dups(docs, k=5, w=4, min_shared=1, df_cap=1).count() == 0
+
+
+def test_unimax_allocate_waterfill(spark):
+    from cdf_spark.operators.packing import unimax_allocate
+
+    # domains with 2 / 10 / 10 tokens; max_epochs=2 -> caps 4/20/20
+    rows = (
+        [("tiny", "a b")]
+        + [("mid", "c d e f g h i j k l")]
+        + [("big", "m n o p q r s t u v")]
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {r["domain"]: r for r in unimax_allocate(df, 30, max_epochs=2).collect()}
+    # uniform share would be 10 each; tiny caps at 4, the spare 6
+    # waterfalls: mid/big get 13 each
+    assert out["tiny"]["capped"] and out["tiny"]["alloc_tokens"] == 4
+    assert not out["mid"]["capped"] and not out["big"]["capped"]
+    assert out["mid"]["alloc_tokens"] + out["big"]["alloc_tokens"] == 26
+    assert abs(out["mid"]["alloc_tokens"] - out["big"]["alloc_tokens"]) <= 1
+    assert sum(r["alloc_tokens"] for r in out.values()) == 30
+
+    # budget above total capacity: everyone capped, total = capacity
+    full = {r["domain"]: r for r in unimax_allocate(df, 10_000, max_epochs=2).collect()}
+    assert all(r["capped"] for r in full.values())
+    assert sum(r["alloc_tokens"] for r in full.values()) == 44
+
+    # remainder tie rule: budget 31 -> one uncapped domain gets the
+    # extra token, smallest (cap, domain) first
+    odd = {r["domain"]: r for r in unimax_allocate(df, 31, max_epochs=2).collect()}
+    assert odd["big"]["alloc_tokens"] == 14 and odd["mid"]["alloc_tokens"] == 13
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        unimax_allocate(df, -1)
