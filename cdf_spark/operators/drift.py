@@ -65,6 +65,13 @@ def psi_drift(
         r = ref.select(F.col(col).cast("string").alias("bin"))
         c = cur.select(F.col(col).cast("string").alias("bin"))
     else:
+        # NaN discipline: Spark's MIN/MAX order NaN largest and an ANSI
+        # cast of NaN to long throws mid-binning — exclude NaN rows up
+        # front (like NULLs, they are a missing-rate drift, not a value
+        # drift)
+        _clean = F.col(col).cast("double")
+        ref = ref.filter(_clean.isNotNull() & ~F.isnan(_clean))
+        cur = cur.filter(_clean.isNotNull() & ~F.isnan(_clean))
         lo, hi = ref.agg(
             F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
         ).collect()[0]

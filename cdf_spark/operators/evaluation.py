@@ -288,6 +288,12 @@ def calibration_bins(
     if n_bins < 2:
         raise ValueError("n_bins must be at least 2")
     s = F.col(score_col).cast("double")
+    # a probabilistic score outside [0, 1] is a caller bug — raise in
+    # the expression (the cid-packing rule), never a silent merge into
+    # an edge bin
+    s = F.when((s >= 0.0) & (s <= 1.0), s).otherwise(
+        F.raise_error(F.lit("calibration_bins: score outside [0, 1]"))
+    )
     binned = scored.select(
         F.least(F.floor(s * n_bins).cast("long"), F.lit(n_bins - 1)).alias("bin"),
         F.round(s * F.lit(1000000.0)).cast("long").alias("_su"),

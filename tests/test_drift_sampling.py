@@ -142,3 +142,25 @@ def test_unimax_allocate_waterfill(spark):
 
     with _pytest.raises(ValueError, match="non-negative"):
         unimax_allocate(df, -1)
+
+
+def test_psi_numeric_excludes_nan(spark):
+    from cdf_spark.operators.drift import psi_drift
+
+    ref = spark.createDataFrame([(0.0,), (10.0,), (float("nan"),)], ["x"])
+    cur = spark.createDataFrame([(5.0,), (float("nan"),)], ["x"])
+    rows = psi_drift(ref, cur, "x", bins=2).collect()
+    assert sum(r["ref_n"] for r in rows) == 2  # NaN excluded both sides
+    assert sum(r["cur_n"] for r in rows) == 1
+
+
+def test_calibration_bins_rejects_out_of_range_scores(spark):
+    from pyspark.sql.utils import PythonException
+
+    from cdf_spark.operators.evaluation import calibration_bins
+
+    df = spark.createDataFrame([(1.5, 1)], ["score", "label"])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="outside"):
+        calibration_bins(df).collect()
