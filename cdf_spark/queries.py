@@ -12832,6 +12832,33 @@ def connected_components_trade(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(j, max_iterations=30)
 
 
+def _star_rounds_sql(unroll: int) -> str:
+    """The large-star/small-star round CTE chain, shared by every
+    star-contraction oracle: expects an `e0(a, b)` CTE (distinct,
+    self-loop-free) in scope; leaves `e{unroll}` as the star forest."""
+    body = ""
+    for i in range(unroll):
+        body += f""",
+    ue{i} AS MATERIALIZED (SELECT a, b FROM e{i} UNION SELECT b, a FROM e{i}),
+    mn{i} AS MATERIALIZED (SELECT a, MIN(b) AS mb FROM ue{i} GROUP BY a),
+    bg{i} AS MATERIALIZED (
+      SELECT DISTINCT u.b AS a, LEAST(m.mb, u.a) AS b
+      FROM ue{i} u JOIN mn{i} m ON m.a = u.a WHERE u.b > u.a
+    ),
+    dl{i} AS MATERIALIZED (
+      SELECT GREATEST(a, b) AS u, LEAST(a, b) AS v FROM bg{i} WHERE a <> b
+    ),
+    m2{i} AS MATERIALIZED (SELECT u, MIN(v) AS m FROM dl{i} GROUP BY u),
+    e{i + 1} AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT d.v AS a, m2.m AS b FROM dl{i} d JOIN m2{i} m2 ON m2.u = d.u
+        UNION ALL
+        SELECT u, m FROM m2{i}
+      ) WHERE a <> b
+    )"""
+    return body
+
+
 def _cc_star_oracle(unroll: int = 16) -> str:
     """Large-star/small-star replay: each round is the exact two-phase
     contraction (undirected view -> large-star re-pointing bigger
@@ -14420,4 +14447,80 @@ def unimax_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
 
     return unimax_allocate(
         _t(spark, sf, "documents"), budget_tokens=26_000, max_epochs=1
+    )
+
+
+def _winnow_keep_oracle(unroll: int = 8) -> str:
+    """Winnow-pair near-dup clustering replay: the _WINNOW_ORACLE CTEs
+    produce the pair edges, the shared star rounds contract them, and
+    every document keeps itself iff it is its cluster's minimum id."""
+    head = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest([{'pos': i - 1,
+                      'h': CAST(('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 10)) AS BIGINT)}
+                     for i in range(1, len(ts) - 3)], recursive := true)
+      FROM toks
+    ),
+    p AS (SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS c FROM g),
+    s AS (
+      SELECT doc_id,
+             MIN(c) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      FROM p
+    ),
+    fps AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp FROM s),
+    hot AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS dfq FROM fps GROUP BY fp) WHERE dfq > 1000
+    ),
+    cool AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot)),
+    prs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM cool x JOIN cool y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM prs)"""
+    tail = f"""
+    SELECT d.doc_id, COALESCE(st.b, d.doc_id) AS cluster,
+           (d.doc_id = COALESCE(st.b, d.doc_id)) AS keep
+    FROM documents d LEFT JOIN e{unroll} st ON st.a = d.doc_id
+    """
+    return head + _star_rounds_sql(unroll) + tail
+
+
+@_register("winnow_dedup_keep", _winnow_keep_oracle())
+def winnow_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end fingerprint dedup (r13 capstone composition):
+    winnowing near-dup pairs (`curation.winnow_near_dups`) become the
+    candidate graph, large-star/small-star contraction
+    (`graph.connected_components_star`) clusters them in O(log n)
+    rounds, and each cluster keeps its minimum doc id — the full
+    "fingerprint -> pair -> cluster -> canonical survivor" pipeline a
+    provenance-grade dedup pass runs, three r13 operators composed.
+    Dup clusters are shallow so 8 rounds is pinned generously (the
+    operator raises past its budget rather than diverging from the
+    8-round oracle unroll); singletons keep themselves via the left
+    join. Oracle replays fingerprinting, pairing, every contraction
+    round, and the survivor rule."""
+    from .operators.curation import winnow_near_dups
+    from .operators.graph import connected_components_star
+
+    docs = _t(spark, sf, "documents")
+    pairs = winnow_near_dups(docs, k=5, w=4, min_shared=5, df_cap=1000)
+    comp = connected_components_star(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")), max_rounds=8
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+            (F.col("doc_id") == F.coalesce(F.col("component"), F.col("doc_id"))).alias("keep"),
+        )
     )
