@@ -5086,9 +5086,9 @@ PARITY_TWINS: set[str] = {
 # registration order within a cohort), truncated at the driver's 50.
 # r13 rebuild: 16 never-driver-green head entries (the 3 DSIR queries
 # — red through r12 on the oracle HUGEINT dtype artifact, CAST fixed
-# this round — then the 10 r13 additions: star-contraction CC, MIN/MAX
+# this round — then the 13 r13 additions: star-contraction CC, MIN/MAX
 # + Hudi + streaming-minmax IVM, the evaluation family, PSI drift,
-# A-ES sampling), then the ENTIRE 27-query r6-stale cohort (the
+# A-ES + winnowing sampling/dedup, UniMax, the winnow+CC capstone), then the ENTIRE 27-query r6-stale cohort (the
 # three-round staleness debt the r12 verdict ordered burned — after
 # this window lands, max driver-green staleness is r7), then the 7
 # oldest r7 entries fill to the driver's 50 cut.
