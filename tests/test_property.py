@@ -180,3 +180,65 @@ def test_file_can_match_never_prunes_a_matching_value(lo, span, v, op):
         # check the endpoints and a midpoint — for these monotone ops a
         # satisfying value inside the interval implies one at an endpoint
         assert not any(fn(x, v) for x in (lo, hi, (lo + hi) // 2))
+
+
+# --- matview MIN/MAX heap algebra --------------------------------------------
+
+from collections import Counter as _Counter
+from decimal import Decimal as _D
+
+from cdf_spark.operators.matview import _merge_extreme_rows
+
+
+def _heal(live, asc, k):
+    """Simulated fence recompute: the k nearest-to-extreme values with
+    multiplicity + the (k+1)-th as the bound (what _heap_agg builds)."""
+    vals = sorted(live.elements(), reverse=not asc)
+    heap = vals[:k]
+    bound = vals[k] if len(vals) > k else None
+    return heap, bound
+
+
+@given(
+    st.booleans(),
+    st.integers(min_value=1, max_value=4),
+    st.lists(  # batches of signed value-deltas; deletes drawn from live later
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=8),
+        min_size=1, max_size=6,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=150, deadline=None)
+def test_extreme_heap_fold_serves_exact_or_fences(asc, k, batches, rnd):
+    """Through ANY valid insert/delete sequence, the heap fold either
+    serves the exact extreme or fences — never a wrong answer. Fences
+    heal from the live multiset exactly as the snapshot recompute
+    does."""
+    live: _Counter = _Counter()
+    heap, bound = [], None
+    for batch in batches:
+        pairs = []
+        for v in batch:
+            dv = _D(v)
+            # half the time try a delete of a live value (valid feed)
+            if rnd.random() < 0.5 and live:
+                dv = rnd.choice(sorted(live.elements()))
+                live[dv] -= 1
+                if live[dv] == 0:
+                    del live[dv]
+                pairs.append({"v": dv, "sg": -1})
+            else:
+                live[dv] += 1
+                pairs.append({"v": dv, "sg": 1})
+        heap, bound, fence = _merge_extreme_rows(heap, bound, pairs, asc, k)
+        if fence:
+            heap, bound = _heal(live, asc, k)
+        if live:
+            true_ext = min(live) if asc else max(live)
+            assert heap, "nonempty live multiset must serve an extreme after heal"
+            assert heap[0] == true_ext, (
+                f"served {heap[0]} but true extreme is {true_ext} "
+                f"(asc={asc}, k={k}, live={dict(live)}, bound={bound})"
+            )
+        else:
+            assert not heap
