@@ -898,12 +898,18 @@ def run_view_job(spark, decl: dict) -> dict:
         )
         action = "build"
     else:
-        declared = (keys, sums, mins, maxs)
+        declared = (
+            keys, sums, mins, maxs,
+            str(decl.get("format", "delta")),
+            int(decl.get("extreme_k", 16)) if (mins or maxs) else int(meta0.get("extreme_k", 16)),
+        )
         recorded = (
             meta0["keys"],
             meta0["sums"],
             meta0.get("mins", []),
             meta0.get("maxs", []),
+            meta0.get("format", "delta"),
+            int(meta0.get("extreme_k", 16)),
         )
         if recorded != declared:
             raise DeclarationError(

@@ -92,12 +92,15 @@ def psi_drift(
 
         r, c = _bin(ref), _bin(cur)
 
-    rc = r.groupBy("bin").agg(F.count(F.lit(1)).alias("ref_n"))
-    cc = c.groupBy("bin").agg(F.count(F.lit(1)).alias("cur_n"))
+    rc = r.groupBy("bin").agg(F.count(F.lit(1)).alias("ref_n")).alias("_dl")
+    cc = c.groupBy("bin").agg(F.count(F.lit(1)).alias("cur_n")).alias("_dr")
+    # null-safe bin merge: NULL is a real categorical bin (the
+    # documented contract) and plain equality would split it into two
+    # phantom half-rows, inflating K and the PSI terms
     both = (
-        rc.join(cc, on="bin", how="full_outer")
+        rc.join(cc, on=F.col("_dl.bin").eqNullSafe(F.col("_dr.bin")), how="full_outer")
         .select(
-            F.col("bin"),
+            F.coalesce(F.col("_dl.bin"), F.col("_dr.bin")).alias("bin"),
             F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
             F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
         )

@@ -220,6 +220,8 @@ def fleiss_kappa(
     lo, hi, n_items = per_item.agg(
         F.min("_ni"), F.max("_ni"), F.count(F.lit(1))
     ).collect()[0]
+    if not n_items:
+        raise ValueError("fleiss_kappa: the ratings frame is empty")
     if lo != hi:
         raise ValueError(
             f"fleiss_kappa needs a constant rating count per item (saw {lo}..{hi})"
@@ -288,9 +290,11 @@ def calibration_bins(
     if n_bins < 2:
         raise ValueError("n_bins must be at least 2")
     s = F.col(score_col).cast("double")
-    # a probabilistic score outside [0, 1] is a caller bug — raise in
-    # the expression (the cid-packing rule), never a silent merge into
-    # an edge bin
+    # NULL/NaN scores are a missing-rate concern, excluded like
+    # psi_drift's; a NON-NULL score outside [0, 1] is a caller bug —
+    # raise in the expression (the cid-packing rule), never a silent
+    # merge into an edge bin
+    scored = scored.filter(s.isNotNull() & ~F.isnan(s))
     s = F.when((s >= 0.0) & (s <= 1.0), s).otherwise(
         F.raise_error(F.lit("calibration_bins: score outside [0, 1]"))
     )

@@ -46,7 +46,11 @@ destination table's own change log.
 
 from __future__ import annotations
 
-import pandas as pd
+try:  # only the MIN/MAX pandas UDF needs pandas; sums-only views and
+    # the _FORMATS adapters must import on pandas-free images
+    import pandas as pd
+except ImportError:  # pragma: no cover — exercised on slim executors
+    pd = None  # type: ignore[assignment]
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -271,6 +275,11 @@ def _merge_extreme_rows(heap, bound, pairs, asc: bool, k: int):
 
 
 def _merge_extreme_udf(asc: bool, k: int):
+    if pd is None:
+        raise ImportError(
+            "MIN/MAX view maintenance needs pandas for the Arrow heap "
+            "fold — install pandas or declare sums only"
+        )
     from pyspark.sql import types as T
 
     ret = T.StructType(

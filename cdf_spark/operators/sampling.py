@@ -178,6 +178,15 @@ def weighted_sample_no_replacement(
     keyed = df.select(
         F.col(id_col).alias("_id"), F.col(weight_col).cast("long").alias("_w")
     ).filter(F.col("_w") > 0)
+    # Weights are INTEGER masses (scale fractional scores to micro
+    # units first — the suite-wide rule). The long cast truncates, so
+    # a sub-1.0 weight column would silently empty the sample; refuse
+    # instead (the systematic_resample zero-total rule).
+    if keyed.isEmpty():
+        raise ValueError(
+            "no rows carry a positive integer weight — fractional "
+            "weights truncate; scale them to micro-units first"
+        )
     u = (
         F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 12), 16, 10).cast(
             "long"

@@ -835,3 +835,23 @@ bins = 5
         )
     with _pytest.raises(DeclarationError, match="requires table"):
         run_monitor_job(spark, {"root": "x", "column": "y"})
+
+
+def test_view_job_drift_covers_format_and_extreme_k(spark, tmp_path):
+    import pytest as _pytest
+
+    from cdf_spark.declarative import DeclarationError, run_view_job
+    from cdf_spark.sources.delta import DeltaFixtureWriter
+
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(spark.createDataFrame([("a", 1.0)], "k string, x double"), timestamp_ms=1000)
+    decl = {
+        "table": str(tmp_path / "t"), "root": str(tmp_path / "mv"),
+        "keys": ["k"], "mins": ["x"], "extreme_k": 4,
+    }
+    run_view_job(spark, decl)
+    with _pytest.raises(DeclarationError, match="spec drift"):
+        run_view_job(spark, {**decl, "extreme_k": 64})
+    with _pytest.raises(DeclarationError, match="spec drift"):
+        run_view_job(spark, {**decl, "format": "iceberg"})
+    assert run_view_job(spark, decl)["action"] == "noop"

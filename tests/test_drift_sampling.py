@@ -164,3 +164,42 @@ def test_calibration_bins_rejects_out_of_range_scores(spark):
 
     with _pytest.raises(Exception, match="outside"):
         calibration_bins(df).collect()
+
+
+def test_psi_categorical_null_bin_merges_once(spark):
+    from cdf_spark.operators.drift import psi_drift
+
+    ref = spark.createDataFrame([("a",), (None,), (None,)], ["c"])
+    cur = spark.createDataFrame([("a",), (None,)], ["c"])
+    rows = psi_drift(ref, cur, "c").collect()
+    assert len(rows) == 2  # NULL is ONE bin, not two phantom halves
+    null_row = next(r for r in rows if r["bin"] is None)
+    assert (null_row["ref_n"], null_row["cur_n"]) == (2, 1)
+
+
+def test_weighted_sample_refuses_truncated_weights(spark):
+    import pytest as _pytest
+
+    from cdf_spark.operators.sampling import weighted_sample_no_replacement
+
+    df = spark.createDataFrame([(1, 0.9), (2, 0.3)], ["doc_id", "w"])
+    with _pytest.raises(ValueError, match="micro-units"):
+        weighted_sample_no_replacement(df, 1, "w")
+
+
+def test_calibration_bins_excludes_null_scores(spark):
+    from cdf_spark.operators.evaluation import calibration_bins
+
+    df = spark.createDataFrame([(0.5, 1), (None, 0)], ["score", "label"])
+    rows = calibration_bins(df).collect()
+    assert sum(r["n"] for r in rows) == 1
+
+
+def test_fleiss_kappa_refuses_empty(spark):
+    import pytest as _pytest
+
+    from cdf_spark.operators.evaluation import fleiss_kappa
+
+    empty = spark.createDataFrame([], "item string, label string")
+    with _pytest.raises(ValueError, match="empty"):
+        fleiss_kappa(empty)
