@@ -301,3 +301,48 @@ def pmi_collocations(
     ).limit(k)
     w2 = _W.orderBy(F.col("pmi_unat").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
     return top.select("tok_a", "tok_b", "c_ab", "pmi_unat", F.row_number().over(w2).alias("rank"))
+
+
+def distinct_ngram_ratios(
+    df: DataFrame,
+    orders: tuple[int, ...] = (1, 2, 3),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level distinct-n diversity (the distinct-1/2/3 metric of
+    Li et al. 2016, corpus form): for each n-gram order, the number of
+    DISTINCT grams over the total gram count — the repetition/mode-
+    collapse signal curation pipelines track next to the per-document
+    repetition profile (`curation.repetition_profile` is within-doc;
+    this is across the corpus: templated spam collapses distinct-3
+    long before any single document looks repetitive).
+
+    Exact integers end to end: per order, one distinct-count and one
+    total-count aggregation over the exploded gram stream (grams exist
+    only inside codegen); the ratio is an integer micro-unit floor
+    division. Output: (n, distinct_grams, total_grams, ratio_unat),
+    one row per order.
+    """
+    if not orders or any(n < 1 for n in orders):
+        raise ValueError("orders must be positive n-gram sizes")
+    from .curation import _gram_join
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    out = None
+    for n in orders:
+        grams = df.select(F.explode(_gram_join(toks, n)).alias("g"))
+        one = grams.agg(
+            F.count_distinct(F.col("g")).alias("distinct_grams"),
+            F.count(F.lit(1)).alias("total_grams"),
+        ).select(
+            F.lit(int(n)).alias("n"),
+            "distinct_grams",
+            "total_grams",
+            F.expr("CASE WHEN total_grams > 0 THEN distinct_grams * 1000000 div total_grams END").alias(
+                "ratio_unat"
+            ),
+        )
+        out = one if out is None else out.unionByName(one)
+    assert out is not None
+    return out

@@ -14524,3 +14524,40 @@ def winnow_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("doc_id") == F.coalesce(F.col("component"), F.col("doc_id"))).alias("keep"),
         )
     )
+
+
+_DISTINCT_N_ORACLE = """
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    g1 AS (SELECT unnest(ts) AS g FROM toks),
+    g2 AS (
+      SELECT unnest([array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS g
+      FROM toks
+    ),
+    g3 AS (
+      SELECT unnest([array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]) AS g
+      FROM toks
+    ),
+    r1 AS (SELECT CAST(1 AS INT) AS n, CAST(COUNT(DISTINCT g) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS t FROM g1),
+    r2 AS (SELECT 2, CAST(COUNT(DISTINCT g) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM g2),
+    r3 AS (SELECT 3, CAST(COUNT(DISTINCT g) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM g3),
+    allr AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+    SELECT n, d AS distinct_grams, t AS total_grams,
+           CASE WHEN t > 0 THEN CAST(d * 1000000 // t AS BIGINT) END AS ratio_unat
+    FROM allr
+"""
+
+
+@_register("corpus_distinct_ngrams", _DISTINCT_N_ORACLE)
+def corpus_distinct_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus diversity (r13, `operators/text.distinct_ngram_ratios` —
+    the distinct-1/2/3 metric of Li et al. 2016 in corpus form):
+    distinct over total grams per order, the mode-collapse/templated-
+    spam signal that moves long before any single document's
+    repetition profile does. One distinct-count + one total per order
+    (grams live only inside codegen); integer micro-unit ratios."""
+    from .operators.text import distinct_ngram_ratios
+
+    return distinct_ngram_ratios(_t(spark, sf, "documents"), orders=(1, 2, 3))

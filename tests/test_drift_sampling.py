@@ -203,3 +203,22 @@ def test_fleiss_kappa_refuses_empty(spark):
     empty = spark.createDataFrame([], "item string, label string")
     with _pytest.raises(ValueError, match="empty"):
         fleiss_kappa(empty)
+
+
+def test_distinct_ngram_ratios_hand_computed(spark):
+    from cdf_spark.operators.text import distinct_ngram_ratios
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = {r["n"]: r for r in distinct_ngram_ratios(docs, orders=(1, 2)).collect()}
+    # unigrams: 7 total, 3 distinct (a, b, c)
+    assert (out[1]["distinct_grams"], out[1]["total_grams"]) == (3, 7)
+    assert out[1]["ratio_unat"] == 3 * 1000000 // 7
+    # bigrams: doc1 -> "a b","b a","a b"; doc2 -> "a b","b c": 5 total,
+    # 3 distinct
+    assert (out[2]["distinct_grams"], out[2]["total_grams"]) == (3, 5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        distinct_ngram_ratios(docs, orders=(0,))
