@@ -5084,13 +5084,13 @@ PARITY_TWINS: set[str] = {
 # recomputed each round from the CORRECTNESS_r*.json history: ordering
 # is (never-driver-green first, then ascending last-green round, then
 # registration order within a cohort), truncated at the driver's 50.
-# r13 rebuild: 16 never-driver-green head entries (the 3 DSIR queries
+# r13 rebuild: 17 never-driver-green head entries (the 3 DSIR queries
 # — red through r12 on the oracle HUGEINT dtype artifact, CAST fixed
-# this round — then the 13 r13 additions: star-contraction CC, MIN/MAX
+# this round — then the 14 r13 additions: star-contraction CC, MIN/MAX
 # + Hudi + streaming-minmax IVM, the evaluation family, PSI drift,
 # A-ES + winnowing sampling/dedup, UniMax, the winnow+CC capstone), then the ENTIRE 27-query r6-stale cohort (the
 # three-round staleness debt the r12 verdict ordered burned — after
-# this window lands, max driver-green staleness is r7), then the 7
+# this window lands, max driver-green staleness is r7), then the 6
 # oldest r7 entries fill to the driver's 50 cut.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- never driver-green: DSIR (oracle cast fixed r13) + r13 additions --
@@ -5110,6 +5110,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "winnow_near_dups_docs",
     "unimax_budget_allocation",
     "winnow_dedup_keep",
+    "corpus_distinct_ngrams",
     # -- the full r6-stale cohort (registration order) --
     "stratified_topk_sample",
     "hudi_partitioned_scan",
@@ -5145,7 +5146,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "window_running_total",
     "topk_per_group",
-    "agg_rollup",
 ]
 
 
