@@ -1747,3 +1747,124 @@ def winnow_near_dups(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def lm_kn_bigram_perplexity_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1999's interpolated form with the standard fixed
+    discount D = 0.75) — the smoothing every production n-gram filter
+    (KenLM/CCNet) actually runs, one theory step up from the sibling
+    `lm_bigram_perplexity_scores`' add-one estimate:
+
+        P(w2|w1) = (c12 - D)/c1 + D * N1+(w1,.)/c1 * Pcont(w2)
+        Pcont(w2) = N1+(., w2) / |distinct bigrams|
+
+    Continuation probability fixes add-one's classic failure: a token
+    frequent only inside one collocation ("francisco") stops inheriting
+    the mass its raw unigram count claims. Self-scoring (the corpus is
+    the training set) keeps every transition observed, so c12 >= 1 and
+    the discounted term is strictly positive — no max() clamp and no
+    unseen-backoff branch in the hot path.
+
+    Determinism: counts are exact integers; the per-transition log-prob
+    is ONE fixed-order double over five integers, micro-nat rounded at
+    the leaf (the suite's LM discipline), so per-doc sums are exact.
+    First tokens score under the sibling's add-one unigram (stated —
+    a 1-token boundary consistency choice, not a KN term). Scale: the
+    same 4-shuffle shape as the sibling + one combinable
+    distinct-count per side of the bigram table; the bigram join stays
+    a shuffle equi-join (never broadcast — distinct bigrams grow with
+    the corpus); the two corpus scalars are a 1-row bounded collect.
+
+    Output: (id_col, n_tokens, nll_nats).
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    seq = toks.withColumn("w2", F.lead("tok").over(w))
+    trans = seq.filter(F.col("w2").isNotNull()).select(
+        "_id", F.col("tok").alias("w1"), "w2"
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    n_total, v = int(totals["n"]), int(totals["v"])
+    c12 = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c12 = c12.localCheckpoint(eager=True)  # three consumers below
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    n_types = int(c12.count())
+    lp2 = (
+        c12.join(left, "w1")
+        .join(cont, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (
+                        F.col("c12").cast("double")
+                        - F.lit(0.75)
+                        + F.lit(0.75)
+                        * F.col("n1p")
+                        * (F.col("ncont").cast("double") / F.lit(float(n_types)))
+                    )
+                    / F.col("c1")
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("lp2"),
+        )
+    )
+    lp1 = uni.select(
+        "tok",
+        F.round(
+            (F.log(F.col("c") + F.lit(1.0)) - F.lit(float(math.log(n_total + v))))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lp1"),
+    )
+    first = (
+        seq.filter(F.col("pos") == 0)
+        .join(F.broadcast(lp1), on="tok")
+        .groupBy("_id")
+        .agg(F.sum("lp1").alias("s1"))
+    )
+    tr = (
+        trans.join(lp2, on=["w1", "w2"])
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_trans"), F.sum("lp2").alias("s2"))
+    )
+    return (
+        first.join(tr, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            (F.coalesce(F.col("n_trans"), F.lit(0)) + F.lit(1)).alias("n_tokens"),
+            F.round(
+                -(F.col("s1") + F.coalesce(F.col("s2"), F.lit(0))).cast("double")
+                / (
+                    (F.coalesce(F.col("n_trans"), F.lit(0)) + F.lit(1)).cast("double")
+                    * F.lit(1_000_000.0)
+                ),
+                round_to,
+            ).alias("nll_nats"),
+        )
+    )

@@ -5084,13 +5084,13 @@ PARITY_TWINS: set[str] = {
 # recomputed each round from the CORRECTNESS_r*.json history: ordering
 # is (never-driver-green first, then ascending last-green round, then
 # registration order within a cohort), truncated at the driver's 50.
-# r13 rebuild: 17 never-driver-green head entries (the 3 DSIR queries
+# r13 rebuild: 18 never-driver-green head entries (the 3 DSIR queries
 # — red through r12 on the oracle HUGEINT dtype artifact, CAST fixed
-# this round — then the 14 r13 additions: star-contraction CC, MIN/MAX
+# this round — then the 15 r13 additions: star-contraction CC, MIN/MAX
 # + Hudi + streaming-minmax IVM, the evaluation family, PSI drift,
 # A-ES + winnowing sampling/dedup, UniMax, the winnow+CC capstone), then the ENTIRE 27-query r6-stale cohort (the
 # three-round staleness debt the r12 verdict ordered burned — after
-# this window lands, max driver-green staleness is r7), then the 6
+# this window lands, max driver-green staleness is r7), then the 5
 # oldest r7 entries fill to the driver's 50 cut.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- never driver-green: DSIR (oracle cast fixed r13) + r13 additions --
@@ -5111,6 +5111,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "unimax_budget_allocation",
     "winnow_dedup_keep",
     "corpus_distinct_ngrams",
+    "lm_kn_bigram_perplexity",
     # -- the full r6-stale cohort (registration order) --
     "stratified_topk_sample",
     "hudi_partitioned_scan",
@@ -5145,7 +5146,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "window_running_total",
-    "topk_per_group",
 ]
 
 
@@ -14561,3 +14561,75 @@ def corpus_distinct_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import distinct_ngram_ratios
 
     return distinct_ngram_ratios(_t(spark, sf, "documents"), orders=(1, 2, 3))
+
+
+_LM_KN_ORACLE = """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    toks AS (
+      SELECT d.doc_id AS _id, u.tok, u.ord
+      FROM docs d,
+      LATERAL (SELECT unnest(d.arr) AS tok, generate_subscripts(d.arr, 1) AS ord) u
+    ),
+    seq AS (
+      SELECT _id, tok, ord,
+             lead(tok) OVER (PARTITION BY _id ORDER BY ord) AS w2
+      FROM toks
+    ),
+    trans AS (SELECT _id, tok AS w1, w2 FROM seq WHERE w2 IS NOT NULL),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM uni),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM trans GROUP BY w1, w2),
+    lft AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS ncont FROM c12 GROUP BY w2),
+    nt AS (SELECT COUNT(*) AS nt FROM c12),
+    lm2 AS (
+      SELECT c12.w1, c12.w2,
+             CAST(round(ln(
+               (CAST(c12.c12 AS DOUBLE) - 0.75
+                + 0.75 * lft.n1p * (CAST(cont.ncont AS DOUBLE) / CAST(nt.nt AS DOUBLE)))
+               / lft.c1
+             ) * 1000000.0) AS BIGINT) AS lp2
+      FROM c12 JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN nt
+    ),
+    lm1 AS (
+      SELECT tok,
+             CAST(round((ln(c + 1.0) - ln(CAST(n_total + v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lp1
+      FROM uni CROSS JOIN tot
+    ),
+    first AS (
+      SELECT s._id, SUM(l.lp1) AS s1
+      FROM seq s JOIN lm1 l ON s.tok = l.tok WHERE s.ord = 1 GROUP BY s._id
+    ),
+    tr AS (
+      SELECT t._id, COUNT(*) AS n_trans, SUM(l.lp2) AS s2
+      FROM trans t JOIN lm2 l ON t.w1 = l.w1 AND t.w2 = l.w2 GROUP BY t._id
+    )
+    SELECT f._id AS doc_id,
+           COALESCE(tr.n_trans, 0) + 1 AS n_tokens,
+           round(-CAST(f.s1 + COALESCE(tr.s2, 0) AS DOUBLE)
+                 / (CAST(COALESCE(tr.n_trans, 0) + 1 AS DOUBLE) * 1000000.0), 6) AS nll_nats
+    FROM first f LEFT JOIN tr ON f._id = tr._id
+"""
+
+
+@_register("lm_kn_bigram_perplexity", _LM_KN_ORACLE)
+def lm_kn_bigram_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (r13,
+    `operators/curation.lm_kn_bigram_perplexity_scores` — Kneser & Ney
+    1995, Chen & Goodman's interpolated form, fixed D=0.75): the
+    smoothing production n-gram filters (KenLM/CCNet) actually run.
+    Continuation probability N1+(.,w2)/|bigrams| replaces the raw
+    unigram in the backoff mass, so collocation-bound tokens stop
+    inheriting undeserved probability. Self-scoring keeps every
+    transition observed (no unseen branch); per-transition log-probs
+    are single fixed-order doubles over five exact integers, micro-nat
+    rounded — the oracle replays counts, discount, interpolation and
+    both boundary rules token for token."""
+    from .operators.curation import lm_kn_bigram_perplexity_scores
+
+    return lm_kn_bigram_perplexity_scores(_t(spark, sf, "documents"))

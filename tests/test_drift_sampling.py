@@ -222,3 +222,22 @@ def test_distinct_ngram_ratios_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         distinct_ngram_ratios(docs, orders=(0,))
+
+
+def test_kn_bigram_prefers_fluent_order(spark):
+    """KN bigram nll: a document whose transitions repeat the corpus's
+    dominant word order scores lower (more fluent) than one using the
+    same words shuffled into rare transitions."""
+    from cdf_spark.operators.curation import lm_kn_bigram_perplexity_scores
+
+    corpus = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    corpus.append((100, "dog lazy the over jumps fox brown quick the"))
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    out = {r["doc_id"]: r["nll_nats"] for r in lm_kn_bigram_perplexity_scores(df).collect()}
+    assert out[0] < out[100]
+    # identical docs score identically, independent of partitioning
+    out2 = {
+        r["doc_id"]: r["nll_nats"]
+        for r in lm_kn_bigram_perplexity_scores(df.repartition(7)).collect()
+    }
+    assert out == out2
