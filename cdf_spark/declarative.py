@@ -995,16 +995,19 @@ def run_monitor_job(spark, decl: dict) -> dict:
     if meta is None:
         meta = {
             "table": str(table), "format": fmt, "column": str(column),
+            "bins": bins,
             "baseline": cur if isinstance(cur, str) else int(cur),
         }
         art._swap_meta(meta)
         return {**meta, "action": "baseline", "cursor": meta["baseline"]}
-    if (meta["table"], meta.get("format", "delta"), meta["column"]) != (
-        str(table), fmt, str(column)
+    if (meta["table"], meta.get("format", "delta"), meta["column"], meta.get("bins")) != (
+        str(table), fmt, str(column), bins
     ):
         raise DeclarationError(
             f"monitor spec drift: artifact at {root} watches "
-            f"{meta['table']}/{meta['column']}, declaration says {table}/{column}"
+            f"{meta['table']}/{meta['column']} (bins={meta.get('bins')}), "
+            f"declaration says {table}/{column} (bins={bins}) — a changed "
+            "binning silently reinterprets PSI against the pinned baseline"
         )
     import pyspark.sql.functions as _F
 

@@ -148,8 +148,14 @@ def pr_threshold_sweep(
     offsets, per-partition local window. No global single-partition
     window at any score cardinality.
     """
+    sc = F.col(score_col).cast("double")
     g = (
-        scored.select(
+        scored
+        # NULL/NaN scores and NULL labels are missing-rate concerns,
+        # excluded like the calibration/PSI siblings — a NULL score
+        # must not become a phantom threshold nor skew total positives
+        .filter(sc.isNotNull() & ~F.isnan(sc) & F.col(label_col).isNotNull())
+        .select(
             F.col(score_col).alias("threshold"),
             F.col(label_col).cast("long").alias("_l"),
         )
@@ -213,9 +219,13 @@ def fleiss_kappa(
     mirrored by the SQL oracle); kappa = (P-bar - P-e) / (1 - P-e).
     Refuses the degenerate all-one-label case (P-e = 1).
     """
-    cells = ratings.groupBy(
-        F.col(item_col).alias("_i"), F.col(label_col).alias("_j")
-    ).agg(F.count(F.lit(1)).alias("_n"))
+    cells = (
+        ratings.groupBy(F.col(item_col).alias("_i"), F.col(label_col).alias("_j"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        # three consumers below (per-item check, S, label masses) —
+        # checkpoint so the ratings scan runs once (the c12 rule)
+        .localCheckpoint(eager=True)
+    )
     per_item = cells.groupBy("_i").agg(F.sum("_n").alias("_ni"))
     lo, hi, n_items = per_item.agg(
         F.min("_ni"), F.max("_ni"), F.count(F.lit(1))

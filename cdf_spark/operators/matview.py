@@ -144,20 +144,20 @@ class _HudiMorChanges:
         return self.t.snapshot(spark, instant=cursor)
 
     def changes_after(self, spark, cursor: str, to_cursor: str):
-        from ..sources.hudi_mor import HudiError
+        from ..sources.hudi import HudiEmptyWindowError
 
         key = self.t.record_key
         try:
             ch = self.t.change_stream(
                 spark, from_instant=cursor, to_instant=to_cursor
             )
-        except HudiError as e:
-            if "produced changes" in str(e):
-                # compaction/cluster-only window: the cursor must still
-                # advance, with a zero-row logical delta
-                snap = self.t.snapshot(spark, instant=to_cursor)
-                return snap.limit(0).withColumn("_change_type", F.lit("insert"))
-            raise
+        except HudiEmptyWindowError:
+            # compaction/cluster-only window (a TYPED signal — any
+            # other HudiError, e.g. a cleaned-file replay failure,
+            # propagates): the cursor must still advance, with a
+            # zero-row logical delta
+            snap = self.t.snapshot(spark, instant=to_cursor)
+            return snap.limit(0).withColumn("_change_type", F.lit("insert"))
         touched = ch.select(key).distinct()
         pre = (
             self.t.snapshot(spark, instant=cursor)

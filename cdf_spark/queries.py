@@ -12885,25 +12885,7 @@ def _cc_star_oracle(unroll: int = 16) -> str:
     raw AS MATERIALIZED (SELECT a, b FROM trade UNION ALL SELECT a, b FROM chain),
     nodes AS MATERIALIZED (SELECT a AS id FROM raw UNION SELECT b FROM raw),
     e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM raw WHERE a <> b)"""
-    for i in range(unroll):
-        body += f""",
-    ue{i} AS MATERIALIZED (SELECT a, b FROM e{i} UNION SELECT b, a FROM e{i}),
-    mn{i} AS MATERIALIZED (SELECT a, MIN(b) AS mb FROM ue{i} GROUP BY a),
-    bg{i} AS MATERIALIZED (
-      SELECT DISTINCT u.b AS a, LEAST(m.mb, u.a) AS b
-      FROM ue{i} u JOIN mn{i} m ON m.a = u.a WHERE u.b > u.a
-    ),
-    dl{i} AS MATERIALIZED (
-      SELECT GREATEST(a, b) AS u, LEAST(a, b) AS v FROM bg{i} WHERE a <> b
-    ),
-    m2{i} AS MATERIALIZED (SELECT u, MIN(v) AS m FROM dl{i} GROUP BY u),
-    e{i + 1} AS MATERIALIZED (
-      SELECT DISTINCT a, b FROM (
-        SELECT d.v AS a, m2.m AS b FROM dl{i} d JOIN m2{i} m2 ON m2.u = d.u
-        UNION ALL
-        SELECT u, m FROM m2{i}
-      ) WHERE a <> b
-    )"""
+    body += _star_rounds_sql(unroll)
     body += f"""
     SELECT n.id, COALESCE(s.b, n.id) AS component
     FROM nodes n LEFT JOIN e{unroll} s ON s.a = n.id

@@ -44,6 +44,14 @@ class HudiError(ValueError):
     pass
 
 
+class HudiEmptyWindowError(HudiError):
+    """A change-stream window containing no logical row changes
+    (compaction/cluster-only instants). A TYPED signal, not a message
+    substring: callers that treat an empty window as a benign
+    cursor-advance (matview's Hudi IVM leg) must never be able to
+    swallow a real replay failure by accident."""
+
+
 def is_hudi_layout(root: str | Path) -> bool:
     hoodie = Path(str(root)) / ".hoodie"
     return hoodie.is_dir() and any(hoodie.glob("*.commit"))

@@ -74,7 +74,7 @@ from ..expressions.lowering import lower
 from ..plans.scan import Capability, ScanPlan, ScanRequest, negotiate
 from ..positions import TableSnapshotPosition
 from .avro_format import AvroTypeError, _decode, _encode, avro_schema_to_spark
-from .hudi import HudiError
+from .hudi import HudiEmptyWindowError, HudiError
 
 MAGIC = b"#HUDI#"
 
@@ -509,7 +509,9 @@ class HudiMorTable:
                 )
             )
         if not parts:
-            raise HudiError(f"no instants in ({lo!r}, {hi!r}] produced changes")
+            raise HudiEmptyWindowError(
+                f"no instants in ({lo!r}, {hi!r}] produced changes"
+            )
         return _reduce(lambda a, b: a.unionByName(b), parts)
 
     def capabilities(self) -> Capability:

@@ -855,3 +855,20 @@ def test_view_job_drift_covers_format_and_extreme_k(spark, tmp_path):
     with _pytest.raises(DeclarationError, match="spec drift"):
         run_view_job(spark, {**decl, "format": "iceberg"})
     assert run_view_job(spark, decl)["action"] == "noop"
+
+
+def test_monitor_drift_covers_bins(spark, tmp_path):
+    import pytest as _pytest
+
+    from cdf_spark.declarative import DeclarationError, run_monitor_job
+    from cdf_spark.sources.delta import DeltaFixtureWriter
+
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(spark.createDataFrame([(1.0,), (2.0,)], "x double"), timestamp_ms=1000)
+    decl = {"table": str(tmp_path / "t"), "root": str(tmp_path / "m"),
+            "column": "x", "bins": 10}
+    run_monitor_job(spark, decl)
+    with _pytest.raises(DeclarationError, match="bins"):
+        run_monitor_job(spark, {**decl, "bins": 20})
+    with _pytest.raises(DeclarationError, match="bins"):
+        run_monitor_job(spark, {k: v for k, v in decl.items() if k != "bins"})

@@ -241,3 +241,13 @@ def test_kn_bigram_prefers_fluent_order(spark):
         for r in lm_kn_bigram_perplexity_scores(df.repartition(7)).collect()
     }
     assert out == out2
+
+
+def test_pr_sweep_excludes_null_scores_and_labels(spark):
+    from cdf_spark.operators.evaluation import pr_threshold_sweep
+
+    rows = [(0.9, 1), (None, 1), (0.4, None), (0.4, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["threshold"]: r for r in pr_threshold_sweep(df).collect()}
+    assert set(out) == {0.9, 0.4}  # NULL score is not a threshold
+    assert out[0.4]["fn"] == 0 and out[0.4]["recall_unat"] == 1000000
