@@ -5084,13 +5084,13 @@ PARITY_TWINS: set[str] = {
 # recomputed each round from the CORRECTNESS_r*.json history: ordering
 # is (never-driver-green first, then ascending last-green round, then
 # registration order within a cohort), truncated at the driver's 50.
-# r13 rebuild: 18 never-driver-green head entries (the 3 DSIR queries
+# r13 rebuild: 19 never-driver-green head entries (the 3 DSIR queries
 # — red through r12 on the oracle HUGEINT dtype artifact, CAST fixed
-# this round — then the 15 r13 additions: star-contraction CC, MIN/MAX
+# this round — then the 16 r13 additions: star-contraction CC, MIN/MAX
 # + Hudi + streaming-minmax IVM, the evaluation family, PSI drift,
 # A-ES + winnowing sampling/dedup, UniMax, the winnow+CC capstone), then the ENTIRE 27-query r6-stale cohort (the
 # three-round staleness debt the r12 verdict ordered burned — after
-# this window lands, max driver-green staleness is r7), then the 5
+# this window lands, max driver-green staleness is r7), then the 4
 # oldest r7 entries fill to the driver's 50 cut.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- never driver-green: DSIR (oracle cast fixed r13) + r13 additions --
@@ -5112,6 +5112,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "winnow_dedup_keep",
     "corpus_distinct_ngrams",
     "lm_kn_bigram_perplexity",
+    "streaming_psi_monitor_drain",
     # -- the full r6-stale cohort (registration order) --
     "stratified_topk_sample",
     "hudi_partitioned_scan",
@@ -5145,7 +5146,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "window_running_total",
 ]
 
 
@@ -14615,3 +14615,158 @@ def lm_kn_bigram_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.curation import lm_kn_bigram_perplexity_scores
 
     return lm_kn_bigram_perplexity_scores(_t(spark, sf, "documents"))
+
+
+_PSI_DRAIN_ORACLE = """
+    WITH b AS (
+      SELECT CAST(MIN(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS lo,
+             CAST(MAX(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS hi
+      FROM orders WHERE o_orderkey <= 1000
+    ),
+    rb AS (
+      SELECT CAST(LEAST(GREATEST(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo) * 10.0 / (hi - lo)) AS BIGINT), 0), 9) AS VARCHAR) AS bin
+      FROM orders, b WHERE o_orderkey <= 1000 AND o_totalprice IS NOT NULL
+    ),
+    rc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS ref_n FROM rb GROUP BY bin),
+    ep AS (SELECT * FROM (VALUES (1, 2000), (2, 3000)) AS e(epoch, hik)),
+    cb AS (
+      SELECT e.epoch,
+             CAST(LEAST(GREATEST(CAST(floor((CAST(o.o_totalprice AS DOUBLE) - b.lo) * 10.0 / (b.hi - b.lo)) AS BIGINT), 0), 9) AS VARCHAR) AS bin
+      FROM orders o, b, ep e
+      WHERE o.o_orderkey <= e.hik AND o.o_totalprice IS NOT NULL
+    ),
+    cc AS (SELECT epoch, bin, CAST(COUNT(*) AS BIGINT) AS cur_n FROM cb GROUP BY epoch, bin),
+    bo2 AS (
+      SELECT e.epoch, COALESCE(c2.bin, rc.bin) AS bin,
+             COALESCE(rc.ref_n, 0) AS ref_n, COALESCE(c2.cur_n, 0) AS cur_n
+      FROM ep e
+      JOIN (
+        SELECT epoch, bin FROM cc
+        UNION
+        SELECT e2.epoch, rc.bin FROM ep e2, rc
+      ) bins ON bins.epoch = e.epoch
+      LEFT JOIN cc c2 ON c2.epoch = bins.epoch AND c2.bin = bins.bin
+      LEFT JOIN rc ON rc.bin = bins.bin
+    ),
+    tot AS (
+      SELECT epoch, CAST(COUNT(*) AS BIGINT) AS kb,
+             CAST(SUM(ref_n) AS BIGINT) AS rt, CAST(SUM(cur_n) AS BIGINT) AS ct
+      FROM bo2 GROUP BY epoch
+    ),
+    terms AS (
+      SELECT bo2.epoch,
+             CAST(round(
+               (CAST(cur_n + 1 AS DOUBLE) / CAST(ct + kb AS DOUBLE)
+                - CAST(ref_n + 1 AS DOUBLE) / CAST(rt + kb AS DOUBLE))
+               * ln(CAST((cur_n + 1) * (rt + kb) AS DOUBLE)
+                    / CAST((ref_n + 1) * (ct + kb) AS DOUBLE))
+               * 1000000.0
+             ) AS BIGINT) AS psi
+      FROM bo2 JOIN tot ON tot.epoch = bo2.epoch
+    ),
+    reports AS (
+      SELECT epoch, CAST(SUM(psi) AS BIGINT) AS total_psi_unat FROM terms GROUP BY epoch
+    )
+    SELECT CAST(0 AS BIGINT) AS epoch, 'baseline' AS action,
+           CAST(NULL AS BIGINT) AS total_psi_unat, CAST(NULL AS VARCHAR) AS verdict
+    UNION ALL
+    SELECT CAST(epoch AS BIGINT), 'report', total_psi_unat,
+           CASE WHEN total_psi_unat < 100000 THEN 'stable'
+                WHEN total_psi_unat < 250000 THEN 'drifting'
+                ELSE 'shifted' END
+    FROM reports
+"""
+
+
+@_register("streaming_psi_monitor_drain", _PSI_DRAIN_ORACLE)
+def streaming_psi_monitor_drain(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING drift monitoring (r13): the declarative PSI monitor
+    run per micro-batch inside a real readStream drain — epoch 0's
+    commit pins the baseline version (action=baseline), every later
+    epoch's run_monitor_job time-travels back to it and reports the
+    PSI of the grown table against the pinned distribution, with the
+    Siddiqi verdict. Fences: the append is version-fenced per epoch,
+    the baseline artifact is self-fencing (a replayed epoch 0 sees
+    meta and reports instead of re-pinning), the per-epoch output an
+    idempotent overwrite. The oracle replays every epoch's cumulative
+    PSI — bins anchored to the BASELINE's [min, max], as the monitor
+    contract pins them."""
+    from .declarative import run_monitor_job
+    from .sources.delta import DeltaFixtureWriter, DeltaTable
+
+    bounds = [(-1, 1000), (1000, 2000), (2000, 3000)]
+
+    def build(tmp: str) -> None:
+        import json as _json
+        import os
+        import shutil
+        import tempfile
+        import time
+        from pathlib import Path as _Path
+
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        (_Path(tmp) / "in").mkdir()
+        t0 = time.time() - 1000
+        for i, (lo, hi) in enumerate(bounds):
+            stage = tempfile.mkdtemp(prefix="cdf_psi_part_")
+            o.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = sorted(_Path(stage).glob("*.parquet"))
+            dst = f"{tmp}/in/part-{i}.parquet"
+            shutil.move(str(src), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+            shutil.rmtree(stage, ignore_errors=True)
+
+        w = DeltaFixtureWriter(f"{tmp}/t", change_data_feed=True)
+
+        def handle(batch_df, epoch_id: int) -> None:
+            e = int(epoch_id)
+            try:
+                cur = DeltaTable(f"{tmp}/t").current_version()
+            except Exception:  # noqa: BLE001 — table not created yet
+                cur = -1
+            if cur < e:
+                w.append(batch_df, timestamp_ms=1000 * (e + 1))
+            report = run_monitor_job(
+                spark,
+                {"table": f"{tmp}/t", "root": f"{tmp}/mon",
+                 "column": "o_totalprice", "bins": 10},
+            )
+            row = {
+                "epoch": e,
+                "action": report["action"],
+                "total_psi_unat": report.get("total_psi_unat"),
+                "verdict": report.get("verdict"),
+            }
+            out = _Path(f"{tmp}/out")
+            out.mkdir(exist_ok=True)
+            (out / f"epoch-{e}.json").write_text(_json.dumps(row))
+
+        q = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.awaitTermination()
+
+    tmp = _session_fixture("streaming_psi_monitor", sf, build)
+    import json as _json
+    from pathlib import Path as _Path
+
+    rows = [
+        _json.loads(p.read_text())
+        for p in sorted(_Path(f"{tmp}/out").glob("epoch-*.json"))
+    ]
+    return spark.createDataFrame(
+        [
+            (r["epoch"], r["action"], r["total_psi_unat"], r["verdict"])
+            for r in rows
+        ],
+        "epoch long, action string, total_psi_unat long, verdict string",
+    )
