@@ -36,22 +36,68 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000
 
 
+def _ref_quantile_edges(ref: DataFrame, col: str, bins: int) -> list[float]:
+    """Exact decile-style edges: the reference values at ranks
+    ceil(i*N/bins), i in 1..bins-1 — order statistics, not
+    interpolation, so both engines agree bit-for-bit. Global ranks
+    come from the suite's two-phase pattern (range-repartition +
+    O(partitions) driver offsets + local row_number), never a
+    single-partition window; the collected state is the bins-1 edges
+    themselves."""
+    from pyspark.sql import Window
+
+    spark = ref.sparkSession
+    x = F.col(col).cast("double")
+    vals = ref.filter(x.isNotNull() & ~F.isnan(x)).select(x.alias("_v"))
+    n_parts = spark.sparkContext.defaultParallelism
+    keyed = vals.repartitionByRange(n_parts, F.col("_v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    subtotals = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    acc, offsets = 0, []
+    for r in sorted(subtotals, key=lambda r: r._pid):
+        offsets.append((int(r._pid), acc))
+        acc += int(r._n)
+    n = acc
+    if n == 0:
+        raise ValueError("reference snapshot has no binnable values")
+    ranks = sorted({-(-i * n // bins) for i in range(1, bins)})  # ceil(i*n/bins)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("_v")
+    edges = (
+        keyed.join(F.broadcast(off_df), on="_pid")
+        .withColumn("_rk", F.col("_off") + F.row_number().over(w))
+        .filter(F.col("_rk").isin(ranks))
+        .orderBy("_rk")
+        .select("_v")
+        .collect()
+    )
+    return [float(r["_v"]) for r in edges]
+
+
 def psi_drift(
     ref: DataFrame,
     cur: DataFrame,
     col: str,
     bins: int | None = None,
+    method: str = "width",
 ) -> DataFrame:
     """Per-bin PSI between ``ref`` and ``cur`` on ``col``.
 
     ``bins=None`` treats the column as CATEGORICAL: bins are the
     distinct values observed on either side (plus each side's add-1
     smoothing over that union). An integer ``bins`` treats it as
-    NUMERIC: equal-width bins over the REFERENCE's [min, max] (the
-    scorecard convention — the reference defines the expected range),
-    with out-of-range current values clamped into the edge bins, plus
-    bin assignment `least(greatest(floor((x - lo) * bins / span), 0),
-    bins - 1)` in fixed-order double arithmetic.
+    NUMERIC, under two binning methods:
+    - ``method="width"`` (default): equal-width bins over the
+      REFERENCE's [min, max] (the reference defines the expected
+      range), out-of-range current values clamped into the edge bins,
+      bin assignment in fixed-order double arithmetic.
+    - ``method="quantile"``: equal-POPULATION bins — the textbook PSI
+      form — anchored at the reference's exact rank-statistic edges
+      (value at rank ceil(i*N/bins)); bin(x) = number of edges <= x,
+      pure comparisons against collected edge literals, identical on
+      both engines. Duplicate edges on skewed data merge bins
+      naturally (empty bins stay finite under the add-1 smoothing).
 
     Returns one row per bin: (bin, ref_n, cur_n, psi_unat) with
     psi_unat the micro-nat PSI term; total PSI is their exact integer
@@ -61,6 +107,8 @@ def psi_drift(
     """
     if bins is not None and bins < 2:
         raise ValueError("numeric PSI needs at least 2 bins")
+    if method not in ("width", "quantile"):
+        raise ValueError(f"unknown binning method {method!r} (width | quantile)")
     if bins is None:
         r = ref.select(F.col(col).cast("string").alias("bin"))
         c = cur.select(F.col(col).cast("string").alias("bin"))
@@ -72,23 +120,35 @@ def psi_drift(
         _clean = F.col(col).cast("double")
         ref = ref.filter(_clean.isNotNull() & ~F.isnan(_clean))
         cur = cur.filter(_clean.isNotNull() & ~F.isnan(_clean))
-        lo, hi = ref.agg(
-            F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
-        ).collect()[0]
-        if lo is None or not (hi > lo):
-            raise ValueError(
-                f"reference column {col!r} has no spread to bin (min={lo}, max={hi})"
-            )
-        span = float(hi) - float(lo)
+        if method == "quantile":
+            edges = _ref_quantile_edges(ref, col, bins)
 
-        def _bin(df: DataFrame) -> DataFrame:
-            x = F.col(col).cast("double")
-            b = F.floor((x - F.lit(float(lo))) * F.lit(float(bins)) / F.lit(span))
-            return df.filter(x.isNotNull()).select(
-                F.least(
-                    F.greatest(b.cast("long"), F.lit(0)), F.lit(bins - 1)
-                ).cast("string").alias("bin")
-            )
+            def _bin(df: DataFrame) -> DataFrame:
+                x = F.col(col).cast("double")
+                b = None
+                for e in edges:
+                    term = F.when(x >= F.lit(float(e)), F.lit(1)).otherwise(F.lit(0))
+                    b = term if b is None else (b + term)
+                return df.select(b.cast("long").cast("string").alias("bin"))
+
+        else:
+            lo, hi = ref.agg(
+                F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+            ).collect()[0]
+            if lo is None or not (hi > lo):
+                raise ValueError(
+                    f"reference column {col!r} has no spread to bin (min={lo}, max={hi})"
+                )
+            span = float(hi) - float(lo)
+
+            def _bin(df: DataFrame) -> DataFrame:
+                x = F.col(col).cast("double")
+                b = F.floor((x - F.lit(float(lo))) * F.lit(float(bins)) / F.lit(span))
+                return df.select(
+                    F.least(
+                        F.greatest(b.cast("long"), F.lit(0)), F.lit(bins - 1)
+                    ).cast("string").alias("bin")
+                )
 
         r, c = _bin(ref), _bin(cur)
 

@@ -5084,13 +5084,13 @@ PARITY_TWINS: set[str] = {
 # recomputed each round from the CORRECTNESS_r*.json history: ordering
 # is (never-driver-green first, then ascending last-green round, then
 # registration order within a cohort), truncated at the driver's 50.
-# r13 rebuild: 19 never-driver-green head entries (the 3 DSIR queries
+# r13 rebuild: 20 never-driver-green head entries (the 3 DSIR queries
 # — red through r12 on the oracle HUGEINT dtype artifact, CAST fixed
-# this round — then the 16 r13 additions: star-contraction CC, MIN/MAX
+# this round — then the 17 r13 additions: star-contraction CC, MIN/MAX
 # + Hudi + streaming-minmax IVM, the evaluation family, PSI drift,
 # A-ES + winnowing sampling/dedup, UniMax, the winnow+CC capstone), then the ENTIRE 27-query r6-stale cohort (the
 # three-round staleness debt the r12 verdict ordered burned — after
-# this window lands, max driver-green staleness is r7), then the 4
+# this window lands, max driver-green staleness is r7), then the 3
 # oldest r7 entries fill to the driver's 50 cut.
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- never driver-green: DSIR (oracle cast fixed r13) + r13 additions --
@@ -5113,6 +5113,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "corpus_distinct_ngrams",
     "lm_kn_bigram_perplexity",
     "streaming_psi_monitor_drain",
+    "psi_drift_quantile_orders",
     # -- the full r6-stale cohort (registration order) --
     "stratified_topk_sample",
     "hudi_partitioned_scan",
@@ -5145,7 +5146,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
 ]
 
 
@@ -14769,4 +14769,81 @@ def streaming_psi_monitor_drain(spark: SparkSession, sf: str) -> DataFrame:
             for r in rows
         ],
         "epoch long, action string, total_psi_unat long, verdict string",
+    )
+
+
+_PSI_Q_ORACLE = """
+    WITH rv AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice IS NOT NULL
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rv),
+    rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM rv),
+    edges AS (
+      SELECT rk.v FROM rk, nn
+      WHERE rk.rn IN (
+        SELECT DISTINCT (i * nn.n + 9) // 10 FROM range(1, 10) t(i), nn
+      )
+    ),
+    cv AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_totalprice IS NOT NULL
+    ),
+    rvals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM rv GROUP BY v),
+    cvals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM cv GROUP BY v),
+    rc AS (
+      SELECT CAST((SELECT COUNT(*) FROM edges e WHERE e.v <= x.v) AS VARCHAR) AS bin,
+             CAST(SUM(cnt) AS BIGINT) AS ref_n
+      FROM rvals x GROUP BY bin
+    ),
+    cc AS (
+      SELECT CAST((SELECT COUNT(*) FROM edges e WHERE e.v <= x.v) AS VARCHAR) AS bin,
+             CAST(SUM(cnt) AS BIGINT) AS cur_n
+      FROM cvals x GROUP BY bin
+    ),
+    bo AS (
+      SELECT COALESCE(rc.bin, cc.bin) AS bin,
+             COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+      FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS kb,
+             CAST(SUM(ref_n) AS BIGINT) AS rt, CAST(SUM(cur_n) AS BIGINT) AS ct
+      FROM bo
+    )
+    SELECT bin, ref_n, cur_n,
+           CAST(round(
+             (CAST(cur_n + 1 AS DOUBLE) / CAST(ct + kb AS DOUBLE)
+              - CAST(ref_n + 1 AS DOUBLE) / CAST(rt + kb AS DOUBLE))
+             * ln(CAST((cur_n + 1) * (rt + kb) AS DOUBLE)
+                  / CAST((ref_n + 1) * (ct + kb) AS DOUBLE))
+             * 1000000.0
+           ) AS BIGINT) AS psi_unat
+    FROM bo, tot
+"""
+
+
+@_register("psi_drift_quantile_orders", _PSI_Q_ORACLE)
+def psi_drift_quantile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-binned PSI (r13, `operators/drift.psi_drift` with
+    method='quantile'): the textbook equal-POPULATION form — bins
+    anchored at the reference's exact decile rank statistics (value at
+    rank ceil(i*N/10), computed by the two-phase global-rank pattern,
+    never a single-partition sort), bin(x) = number of edges <= x as
+    pure comparisons against the collected edge values. Where
+    equal-width bins dilute drift into the fat middle, equal-
+    population bins weight every decile identically — the scorecard
+    standard. Same Laplace-smoothed micro-nat terms; the oracle
+    derives the identical edges by rank and replays the binning and
+    every PSI term."""
+    from .operators.drift import psi_drift
+
+    o = _t(spark, sf, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    return psi_drift(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        bins=10,
+        method="quantile",
     )

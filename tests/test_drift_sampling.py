@@ -251,3 +251,28 @@ def test_pr_sweep_excludes_null_scores_and_labels(spark):
     out = {r["threshold"]: r for r in pr_threshold_sweep(df).collect()}
     assert set(out) == {0.9, 0.4}  # NULL score is not a threshold
     assert out[0.4]["fn"] == 0 and out[0.4]["recall_unat"] == 1000000
+
+
+def test_psi_quantile_bins_equal_population(spark):
+    from cdf_spark.operators.drift import psi_drift
+
+    # uniform 0..99: decile edges at 10,20,...,90; identical snapshots
+    # -> every bin zero PSI and exactly 10 rows per bin
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["x"])
+    rows = psi_drift(df, df, "x", bins=10, method="quantile").collect()
+    assert len(rows) == 10
+    assert all(r["psi_unat"] == 0 for r in rows)  # identical -> zero drift
+    assert all(9 <= r["ref_n"] <= 11 for r in rows)  # equal-population ±1
+    # shifted current: everything above the old p90 lands in the top bin
+    hi = spark.createDataFrame([(999.0,)] * 50, ["x"])
+    rows = {r["bin"]: r for r in psi_drift(df, hi, "x", bins=10, method="quantile").collect()}
+    assert rows["9"]["cur_n"] == 50
+    total = sum(r["psi_unat"] for r in rows.values())
+    assert total > 250_000  # reads as shifted
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown binning method"):
+        psi_drift(df, df, "x", bins=10, method="exotic")
+    empty = spark.createDataFrame([], "x double")
+    with _pytest.raises(ValueError, match="no binnable"):
+        psi_drift(empty, df, "x", bins=10, method="quantile")
