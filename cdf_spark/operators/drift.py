@@ -50,8 +50,14 @@ def _ref_quantile_edges(ref: DataFrame, col: str, bins: int) -> list[float]:
     x = F.col(col).cast("double")
     vals = ref.filter(x.isNotNull() & ~F.isnan(x)).select(x.alias("_v"))
     n_parts = spark.sparkContext.defaultParallelism
-    keyed = vals.repartitionByRange(n_parts, F.col("_v")).withColumn(
-        "_pid", F.spark_partition_id()
+    # eager checkpoint PINS the range partitioning: the offsets job and
+    # the edge job below are separate actions, and re-executing the
+    # exchange must not be allowed to re-derive its bounds (belt and
+    # braces — it also stops the reference scan running twice)
+    keyed = (
+        vals.repartitionByRange(n_parts, F.col("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     subtotals = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     acc, offsets = 0, []

@@ -164,8 +164,12 @@ def pr_threshold_sweep(
     )
     spark = scored.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
-    keyed = g.repartitionByRange(n_parts, F.col("threshold").desc()).withColumn(
-        "_pid", F.spark_partition_id()
+    # eager checkpoint pins the range partitioning across the offsets
+    # action and the output action (and runs the grouping once)
+    keyed = (
+        g.repartitionByRange(n_parts, F.col("threshold").desc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     subtotals = (
         keyed.groupBy("_pid")
@@ -300,11 +304,14 @@ def calibration_bins(
     if n_bins < 2:
         raise ValueError("n_bins must be at least 2")
     s = F.col(score_col).cast("double")
-    # NULL/NaN scores are a missing-rate concern, excluded like
-    # psi_drift's; a NON-NULL score outside [0, 1] is a caller bug —
-    # raise in the expression (the cid-packing rule), never a silent
-    # merge into an edge bin
-    scored = scored.filter(s.isNotNull() & ~F.isnan(s))
+    # NULL/NaN scores AND NULL labels are missing-rate concerns,
+    # excluded like the pr_threshold_sweep sibling (a NULL label would
+    # count into n but not pos, silently deflating the positive rate);
+    # a NON-NULL score outside [0, 1] is a caller bug — raise in the
+    # expression (the cid-packing rule), never a silent edge-bin merge
+    scored = scored.filter(
+        s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull()
+    )
     s = F.when((s >= 0.0) & (s <= 1.0), s).otherwise(
         F.raise_error(F.lit("calibration_bins: score outside [0, 1]"))
     )

@@ -432,17 +432,6 @@ class MaterializedAggregate(IndexArtifact):
                     F.sum(F.col(c) * F.col("_sg")).cast(_DEC).alias(f"_dsum_{c}")
                     for c in sums
                 ],
-                # per-group (value, sign) pairs for the heap fold —
-                # O(changes in the group), the refresh's own contract
-                *[
-                    F.collect_list(
-                        F.when(
-                            F.col(c).isNotNull() & (F.col("_sg") != 0),
-                            F.struct(F.col(c).alias("v"), F.col("_sg").alias("sg")),
-                        )
-                    ).alias(f"_pairs_{c}")
-                    for c in ext_cols
-                ],
             )
         )
         state = spark.read.parquet(str(self.root / f"state_v{meta['version']}"))
@@ -472,9 +461,32 @@ class MaterializedAggregate(IndexArtifact):
                 for c in sums
             ],
             *carried,
-            *[F.col(f"_pairs_{c}") for c in ext_cols],
         ).filter(F.col("cnt") != 0)
         if ext_cols:
+            # NETTED (value, sign) pairs per group — the documented
+            # compression: duplicate values collapse to one struct with
+            # their signed net, so a per-group change storm (10M deletes
+            # of one value) folds as ONE pair, never an unbounded array
+            # in a single Arrow cell. Two combinable shuffles per
+            # extreme column; same-window insert+delete of a value nets
+            # to zero and vanishes before the merge.
+            for c in ext_cols:
+                netted = (
+                    ch.select(
+                        *keys, F.col(c).cast(_DEC).alias("_v"), sign.alias("_sg")
+                    )
+                    .filter(F.col("_v").isNotNull() & (F.col("_sg") != 0))
+                    .groupBy(*keys, "_v")
+                    .agg(F.sum("_sg").alias("_n"))
+                    .filter(F.col("_n") != 0)
+                    .groupBy(*keys)
+                    .agg(
+                        F.collect_list(
+                            F.struct(F.col("_v").alias("v"), F.col("_n").alias("sg"))
+                        ).alias(f"_pairs_{c}")
+                    )
+                )
+                merged = _nullsafe_join(merged, netted, keys, "left")
             merged = self._fold_extremes(spark, t, cur, merged, keys, mins, maxs, ek)
         version = int(meta["version"]) + 1
         out = self.root / f"state_v{version}"

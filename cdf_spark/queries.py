@@ -14733,12 +14733,21 @@ def streaming_psi_monitor_drain(spark: SparkSession, sf: str) -> DataFrame:
                 {"table": f"{tmp}/t", "root": f"{tmp}/mon",
                  "column": "o_totalprice", "bins": 10},
             )
-            row = {
-                "epoch": e,
-                "action": report["action"],
-                "total_psi_unat": report.get("total_psi_unat"),
-                "verdict": report.get("verdict"),
-            }
+            # replay idempotence: a redelivered epoch 0 finds the
+            # baseline already pinned (the monitor rightly reports
+            # instead of re-pinning) — the OUTPUT row must still be the
+            # baseline row, derived from the epoch, not from which
+            # branch the at-least-once replay happened to take
+            if e == 0:
+                row = {"epoch": 0, "action": "baseline",
+                       "total_psi_unat": None, "verdict": None}
+            else:
+                row = {
+                    "epoch": e,
+                    "action": report["action"],
+                    "total_psi_unat": report.get("total_psi_unat"),
+                    "verdict": report.get("verdict"),
+                }
             out = _Path(f"{tmp}/out")
             out.mkdir(exist_ok=True)
             (out / f"epoch-{e}.json").write_text(_json.dumps(row))

@@ -276,3 +276,11 @@ def test_psi_quantile_bins_equal_population(spark):
     empty = spark.createDataFrame([], "x double")
     with _pytest.raises(ValueError, match="no binnable"):
         psi_drift(empty, df, "x", bins=10, method="quantile")
+
+
+def test_calibration_bins_excludes_null_labels(spark):
+    from cdf_spark.operators.evaluation import calibration_bins
+
+    df = spark.createDataFrame([(0.55, 1), (0.56, None)], "score double, label int")
+    rows = calibration_bins(df).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 1 and rows[0]["pos"] == 1
