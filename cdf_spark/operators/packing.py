@@ -198,9 +198,13 @@ def token_budget_sample(
         "_mk", F.md5(F.col("_id").cast("string"))
     )
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    keyed = keyed.repartitionByRange(
-        n_parts, F.col("domain"), F.col("_mk"), F.col("_id")
-    ).withColumn("_pid", F.spark_partition_id())
+    keyed = (
+        keyed.repartitionByRange(n_parts, F.col("domain"), F.col("_mk"), F.col("_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        # pin the range partitioning across the offsets action and the
+        # output action (the r13 two-phase determinism rule)
+        .localCheckpoint(eager=True)
+    )
     # pass 1: per-(partition, domain) row counts + token subtotals —
     # O(partitions × domains) rows, the only collected state
     subtotals = (
@@ -271,7 +275,9 @@ def training_shuffle(
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
     keyed = df.withColumn("shuffle_key", key).repartitionByRange(n_parts, F.col("shuffle_key"))
-    with_pid = keyed.withColumn("_pid", F.spark_partition_id())
+    # pin the range partitioning across the offsets action and the
+    # output action (the r13 two-phase determinism rule)
+    with_pid = keyed.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     # pass 1: per-partition counts -> cumulative offsets (driver-side,
     # O(partitions) — the only collected state)
     counts = {
@@ -322,7 +328,9 @@ def curriculum_order(
     keyed = df.withColumn("curriculum_key", key).repartitionByRange(
         n_parts, F.col(bucket_col), F.col("curriculum_key")
     )
-    with_pid = keyed.withColumn("_pid", F.spark_partition_id())
+    # pin the range partitioning across the offsets action and the
+    # output action (the r13 two-phase determinism rule)
+    with_pid = keyed.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     counts = {
         r._pid: r.n
         for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -114,8 +114,12 @@ def systematic_resample(
     ).filter(F.col("_w") > 0)
     keyed = keyed.withColumn("_mk", F.md5(F.col("_id").cast("string")))
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    keyed = keyed.repartitionByRange(n_parts, F.col("_mk"), F.col("_id")).withColumn(
-        "_pid", F.spark_partition_id()
+    keyed = (
+        keyed.repartitionByRange(n_parts, F.col("_mk"), F.col("_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        # pin the range partitioning across the offsets action and the
+        # output action (the r13 two-phase determinism rule)
+        .localCheckpoint(eager=True)
     )
     subtotals = (
         keyed.groupBy("_pid").agg(F.sum("_w").alias("_t")).collect()
