@@ -85,16 +85,35 @@ def retrieval_metrics(
     """
     if k < 1:
         raise ValueError("k must be positive")
-    r = run.select(
-        F.col(qid_col).alias("qid"),
-        F.col(id_col).alias("_id"),
-        F.col(rank_col).cast("long").alias("_rk"),
-    ).filter(F.col("_rk") <= k)
-    qr = qrels.select(
-        F.col(qid_col).alias("qid"),
-        F.col(id_col).alias("_id"),
-        F.col(grade_col).cast("long").alias("_g"),
-    ).filter(F.col("_g") > 0)
+    # Both inputs are eval-set-bounded BY CONTRACT (the run is a top-k
+    # cut, qrels are human/pooled judgments) but their LINEAGE is not:
+    # a run arrives as a whole retriever pipeline and qrels often as a
+    # corpus-scale derivation. qr feeds THREE consumers below (hits,
+    # ideal, totals) and r's subtree is re-entered through the hits
+    # join — left lazy, the final plan re-derives each upstream
+    # pipeline per consumer (measured r13: 15 shuffles / 5 corpus scans
+    # in the retrieval_eval_metrics wrapper). Eager checkpoints pin the
+    # tiny normalized cuts once — the PRF/MMR discipline
+    # (`retrieval.bm25_prf_expand`), guarded by
+    # tests/test_evaluation.py::test_retrieval_metrics_plan_is_checkpoint_bounded.
+    r = (
+        run.select(
+            F.col(qid_col).alias("qid"),
+            F.col(id_col).alias("_id"),
+            F.col(rank_col).cast("long").alias("_rk"),
+        )
+        .filter(F.col("_rk") <= k)
+        .localCheckpoint(eager=True)
+    )
+    qr = (
+        qrels.select(
+            F.col(qid_col).alias("qid"),
+            F.col(id_col).alias("_id"),
+            F.col(grade_col).cast("long").alias("_g"),
+        )
+        .filter(F.col("_g") > 0)
+        .localCheckpoint(eager=True)
+    )
 
     hits = r.join(qr, on=["qid", "_id"]).select(
         "qid", "_rk", _dcg_partial_unat(F.col("_g"), F.col("_rk")).alias("_p")

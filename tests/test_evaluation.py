@@ -126,3 +126,33 @@ def test_calibration_bins_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="at least 2"):
         calibration_bins(df, n_bins=1)
+
+
+def test_retrieval_metrics_plan_is_checkpoint_bounded(spark):
+    """Regression guard (r14): retrieval_metrics consumes qrels through
+    THREE aggregations and the run through the hits join — both inputs
+    are eagerly checkpointed, so the FINAL plan re-derives NEITHER
+    upstream pipeline (it was 15 shuffles / 5 corpus scans in the
+    retrieval_eval_metrics wrapper when the cuts were left lazy)."""
+    import tempfile
+
+    from cdf_spark.operators.evaluation import retrieval_metrics
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, f"tok{i % 7} alpha beta") for i in range(60)], ["doc_id", "text"]
+        ).write.mode("overwrite").parquet(f"{tmp}/docs")
+        docs = spark.read.parquet(f"{tmp}/docs")
+        # corpus-scale lineage on BOTH inputs, eval-bounded outputs
+        run = (
+            docs.filter("doc_id % 7 = 0")
+            .selectExpr("'q1' AS qid", "doc_id", "doc_id % 10 + 1 AS rk")
+        )
+        qrels = docs.filter("doc_id % 3 = 0").selectExpr(
+            "'q1' AS qid", "doc_id", "1 AS grade"
+        )
+        out = retrieval_metrics(run, qrels, k=10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(tmp) == 0, "inputs must be checkpointed, not re-derived"
+        assert plan.count("Exchange") <= 6
+        assert out.count() == 1
