@@ -14856,3 +14856,50 @@ def psi_drift_quantile_orders(spark: SparkSession, sf: str) -> DataFrame:
         bins=10,
         method="quantile",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: sliding windows, per-stratum drift, unigram-LM tokenizer
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sliding_window_agg",
+    """
+    WITH assigned AS (
+      SELECT (epoch_ms(ts) // 1000 // 300) * 300 AS s0, event_type, value
+      FROM events
+    ),
+    exploded AS (
+      SELECT s0 AS start_s, event_type, value FROM assigned
+      UNION ALL
+      SELECT s0 - 300 AS start_s, event_type, value FROM assigned
+    )
+    SELECT start_s, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM exploded GROUP BY 1, 2
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-interval time windows — the third standard window shape
+    next to `tumbling_window_agg` and `session_window_agg`: Spark's
+    native `F.window(ts, 10min, 5min)` assigns each event to BOTH
+    overlapping windows (duration = 2 slides, epoch-aligned), then one
+    combinable count/sum aggregation per (window, type). The overlap
+    factor is duration/slide = 2x rows into the shuffle — the bounded,
+    stated cost of smooth trailing aggregates at any corpus size. The
+    oracle replays the assignment as a two-copy UNION of shifted
+    tumbling buckets (exact for duration = 2 slides) and re-aggregates;
+    the same frame runs unchanged under a watermarked streaming drain
+    (tests/test_streaming.py::test_sliding_window_drain_matches_batch)."""
+    e = _events(spark, sf)
+    return (
+        e.groupBy(F.window("ts", "600 seconds", "300 seconds"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("window.start").cast("long").alias("start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

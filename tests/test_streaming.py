@@ -506,3 +506,80 @@ def test_resident_restart_exactly_once(spark, tmp_path):
     assert pipe_b.epochs[0].package_id is None  # replay signature
     assert pipe_b.epochs[0].receipt_verified
     assert DeltaTable(tmp_path / "dest").read(spark).count() == 20  # unchanged
+
+
+def test_sliding_window_drain_matches_batch(spark, tmp_path):
+    """Sliding-interval windows under a watermarked streaming drain
+    (r14): the SAME F.window(ts, 10min, 5min) aggregation that backs
+    the batch `sliding_window_agg` query runs as an append-mode
+    availableNow drain; every window the watermark has closed must
+    equal the batch aggregation bit-for-bit, and the not-yet-closed
+    sentinel window is withheld (the late-data contract, not a loss)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + timedelta(seconds=37 * i % 1800), "click" if i % 3 else "view", float(i))
+        for i in range(40)
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(rows[:20], schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(rows[20:], schema).coalesce(1).write.parquet(str(src / "f2"))
+    # sentinel far past every real window: advances the watermark so
+    # every real window closes; its own window stays open and withheld
+    spark.createDataFrame(
+        [(base + timedelta(days=1), "view", 0.0)], schema
+    ).coalesce(1).write.parquet(str(src / "f3"))
+
+    def agg(df):
+        return (
+            df.groupBy(F.window("ts", "600 seconds", "300 seconds"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+            )
+            .select(
+                F.col("window.start").cast("long").alias("start_s"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+
+    out_dir, ck_dir = tmp_path / "out", tmp_path / "ck"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        agg(stream)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ck_dir))
+        .start()
+    )
+    q.awaitTermination()
+
+    drained = {
+        (r.start_s, r.event_type): (r.n, r.total_value)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    batch = {
+        (r.start_s, r.event_type): (r.n, r.total_value)
+        for r in agg(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert drained == batch and len(batch) > 4
