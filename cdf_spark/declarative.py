@@ -964,11 +964,16 @@ Workspace.run_views = _workspace_run_views
 
 def run_monitor_job(spark, decl: dict) -> dict:
     """Execute one drift-monitor declaration: {table, root, column,
-    format?, bins?, drifting_unat?, shifted_unat?, rebaseline?}.
+    format?, bins?, by?, drifting_unat?, shifted_unat?, rebaseline?}.
     First run records the baseline cursor (action=baseline); later
     runs report {action: report, total_psi_unat, verdict, bins,
-    baseline_cursor, cursor}."""
-    from .operators.drift import psi_drift
+    baseline_cursor, cursor}. With ``by`` (a stratum column —
+    language/domain/source), the PSI is computed per stratum in one
+    pass (`operators/drift.psi_drift_by`, numeric equal-width only)
+    and the report carries per-stratum verdicts under ``strata`` plus
+    the WORST stratum's verdict as the headline — the production cut
+    that catches a drift confined to one slice."""
+    from .operators.drift import psi_drift, psi_drift_by
     from .operators.index_base import IndexArtifact
     from .operators.matview import _FORMATS
 
@@ -983,6 +988,11 @@ def run_monitor_job(spark, decl: dict) -> dict:
     bins = decl.get("bins")
     if bins is not None:
         bins = int(bins)
+    by = decl.get("by")
+    if by is not None and bins is None:
+        raise DeclarationError(
+            "per-stratum monitors (by=...) are numeric equal-width — set bins"
+        )
     drifting = int(decl.get("drifting_unat", 100_000))
     shifted = int(decl.get("shifted_unat", 250_000))
     if not 0 < drifting < shifted:
@@ -998,10 +1008,15 @@ def run_monitor_job(spark, decl: dict) -> dict:
             "bins": bins,
             "baseline": cur if isinstance(cur, str) else int(cur),
         }
+        if by is not None:
+            meta["by"] = str(by)
         art._swap_meta(meta)
         return {**meta, "action": "baseline", "cursor": meta["baseline"]}
-    if (meta["table"], meta.get("format", "delta"), meta["column"], meta.get("bins")) != (
-        str(table), fmt, str(column), bins
+    if (
+        meta["table"], meta.get("format", "delta"), meta["column"],
+        meta.get("bins"), meta.get("by"),
+    ) != (
+        str(table), fmt, str(column), bins, str(by) if by is not None else None
     ):
         raise DeclarationError(
             f"monitor spec drift: artifact at {root} watches "
@@ -1010,6 +1025,51 @@ def run_monitor_job(spark, decl: dict) -> dict:
             "binning silently reinterprets PSI against the pinned baseline"
         )
     import pyspark.sql.functions as _F
+
+    def _verdict(total: int) -> str:
+        return "stable" if total < drifting else (
+            "drifting" if total < shifted else "shifted"
+        )
+
+    if by is not None:
+        per_bin = psi_drift_by(
+            t.snapshot(spark, meta["baseline"]),
+            t.snapshot(spark, cur),
+            str(column),
+            by=str(by),
+            bins=bins,
+        )
+        rows = (
+            per_bin.groupBy("stratum")
+            .agg(
+                _F.count(_F.lit(1)).alias("nb"),
+                _F.coalesce(_F.sum("psi_unat"), _F.lit(0)).alias("tot"),
+            )
+            .collect()
+        )
+        strata = {
+            str(r["stratum"]): {
+                "bins": int(r["nb"]),
+                "total_psi_unat": int(r["tot"]),
+                "verdict": _verdict(int(r["tot"])),
+            }
+            for r in rows
+        }
+        worst = max((s["total_psi_unat"] for s in strata.values()), default=0)
+        report = {
+            "action": "report",
+            "table": str(table), "format": fmt, "column": str(column),
+            "by": str(by),
+            "baseline_cursor": meta["baseline"],
+            "cursor": cur if isinstance(cur, str) else int(cur),
+            "total_psi_unat": worst,  # headline = worst stratum
+            "verdict": _verdict(worst),
+            "strata": strata,
+        }
+        if bool(decl.get("rebaseline", False)):
+            art._swap_meta({**meta, "baseline": report["cursor"]})
+            report["rebaselined"] = True
+        return report
 
     per_bin = psi_drift(
         t.snapshot(spark, meta["baseline"]),
@@ -1021,7 +1081,7 @@ def run_monitor_job(spark, decl: dict) -> dict:
         _F.count(_F.lit(1)), _F.coalesce(_F.sum("psi_unat"), _F.lit(0))
     ).collect()[0]
     total = int(total)
-    verdict = "stable" if total < drifting else ("drifting" if total < shifted else "shifted")
+    verdict = _verdict(total)
     report = {
         "action": "report",
         "table": str(table), "format": fmt, "column": str(column),

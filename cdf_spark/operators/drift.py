@@ -194,3 +194,107 @@ def psi_drift(
             "psi_unat"
         ),
     )
+
+
+def psi_drift_by(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    by: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Per-stratum PSI: one equal-width PSI per value of ``by``
+    (language / domain / source) in a single pass — the shape a
+    production monitor actually runs, because aggregate PSI washes out
+    a drift confined to one slice.
+
+    Semantics per stratum mirror ``psi_drift(method='width')``: the
+    REFERENCE defines each stratum's universe and [min, max]; bins are
+    equal-width over that range with edge clamping; Laplace add-1
+    smoothing over each stratum's own observed-bin count K_s; each
+    per-(stratum, bin) term is one fixed-order double over exact
+    integer counts, micro-nat rounded — total PSI per stratum is an
+    exact integer sum of its rows. Strata absent from the reference,
+    with a NULL stratum key, or with no spread (min == max after the
+    NULL/NaN value filter) are EXCLUDED — there is no expected range
+    to drift from; monitor them by presence/rate instead.
+
+    Scale posture: the per-stratum bounds are ONE tiny aggregation
+    (O(strata) rows) broadcast back into the bin assignment — the two
+    snapshots still never join row-wise and each side still reduces
+    map-side to O(strata x bins) counts; the smoothing totals are a
+    third tiny aggregation over the merged count table, broadcast
+    back. No collect grows with the corpus (the single-PSI 1-row
+    bounds collect becomes a broadcast join, strictly more
+    distributed).
+
+    Output: (stratum, bin, ref_n, cur_n, psi_unat).
+    """
+    if bins < 2:
+        raise ValueError("numeric PSI needs at least 2 bins")
+    x = F.col(col).cast("double")
+    s = F.col(by).alias("stratum")
+    refv = ref.filter(
+        x.isNotNull() & ~F.isnan(x) & F.col(by).isNotNull()
+    ).select(s, x.alias("_v"))
+    curv = cur.filter(
+        x.isNotNull() & ~F.isnan(x) & F.col(by).isNotNull()
+    ).select(s, x.alias("_v"))
+    bounds = (
+        refv.groupBy("stratum")
+        .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+        .filter(F.col("_hi") > F.col("_lo"))
+    )
+
+    def _binned(df: DataFrame) -> DataFrame:
+        # inner join: the reference's strata define the universe
+        b = F.floor(
+            (F.col("_v") - F.col("_lo")) * F.lit(float(bins)) / (F.col("_hi") - F.col("_lo"))
+        )
+        return (
+            df.join(F.broadcast(bounds), on="stratum")
+            .select(
+                "stratum",
+                F.least(F.greatest(b.cast("long"), F.lit(0)), F.lit(bins - 1))
+                .cast("string")
+                .alias("bin"),
+            )
+            .groupBy("stratum", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    rc = _binned(refv).withColumnRenamed("n", "ref_n").alias("_dl")
+    cc = _binned(curv).withColumnRenamed("n", "cur_n").alias("_dr")
+    both = rc.join(
+        cc,
+        on=(F.col("_dl.stratum") == F.col("_dr.stratum"))
+        & (F.col("_dl.bin") == F.col("_dr.bin")),
+        how="full_outer",
+    ).select(
+        F.coalesce(F.col("_dl.stratum"), F.col("_dr.stratum")).alias("stratum"),
+        F.coalesce(F.col("_dl.bin"), F.col("_dr.bin")).alias("bin"),
+        F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
+        F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
+    )
+    totals = both.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("_kb"),
+        F.sum("ref_n").alias("_rt"),
+        F.sum("cur_n").alias("_ct"),
+    )
+    j = both.join(F.broadcast(totals), on="stratum")
+    nr = F.col("_rt") + F.col("_kb")
+    nc = F.col("_ct") + F.col("_kb")
+    pc = (F.col("cur_n") + F.lit(1)).cast("double") / nc.cast("double")
+    pr = (F.col("ref_n") + F.lit(1)).cast("double") / nr.cast("double")
+    ratio = ((F.col("cur_n") + F.lit(1)) * nr).cast("double") / (
+        (F.col("ref_n") + F.lit(1)) * nc
+    ).cast("double")
+    return j.select(
+        "stratum",
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.round((pc - pr) * F.log(ratio) * F.lit(1000000.0)).cast("long").alias(
+            "psi_unat"
+        ),
+    )

@@ -14903,3 +14903,75 @@ def sliding_window_agg(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_PSI_BY_ORACLE = """
+    WITH v AS (
+      SELECT source AS stratum, CAST(n_chars AS DOUBLE) AS x, doc_id
+      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ),
+    b AS (
+      SELECT stratum, MIN(x) AS lo, MAX(x) AS hi
+      FROM v WHERE doc_id % 2 = 0
+      GROUP BY stratum HAVING MAX(x) > MIN(x)
+    ),
+    rb AS (
+      SELECT v.stratum,
+             CAST(LEAST(GREATEST(CAST(floor((x - lo) * 8.0 / (hi - lo)) AS BIGINT), 0), 7) AS VARCHAR) AS bin
+      FROM v JOIN b ON v.stratum = b.stratum WHERE doc_id % 2 = 0
+    ),
+    cb AS (
+      SELECT v.stratum,
+             CAST(LEAST(GREATEST(CAST(floor((x - lo) * 8.0 / (hi - lo)) AS BIGINT), 0), 7) AS VARCHAR) AS bin
+      FROM v JOIN b ON v.stratum = b.stratum WHERE doc_id % 2 = 1
+    ),
+    rc AS (SELECT stratum, bin, CAST(COUNT(*) AS BIGINT) AS ref_n FROM rb GROUP BY stratum, bin),
+    cc AS (SELECT stratum, bin, CAST(COUNT(*) AS BIGINT) AS cur_n FROM cb GROUP BY stratum, bin),
+    bo AS (
+      SELECT COALESCE(rc.stratum, cc.stratum) AS stratum,
+             COALESCE(rc.bin, cc.bin) AS bin,
+             COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+      FROM rc FULL OUTER JOIN cc ON rc.stratum = cc.stratum AND rc.bin = cc.bin
+    ),
+    tot AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS kb,
+             CAST(SUM(ref_n) AS BIGINT) AS rt, CAST(SUM(cur_n) AS BIGINT) AS ct
+      FROM bo GROUP BY stratum
+    )
+    SELECT bo.stratum, bin, ref_n, cur_n,
+           CAST(round(
+             (CAST(cur_n + 1 AS DOUBLE) / CAST(ct + kb AS DOUBLE)
+              - CAST(ref_n + 1 AS DOUBLE) / CAST(rt + kb AS DOUBLE))
+             * ln(CAST((cur_n + 1) * (rt + kb) AS DOUBLE)
+                  / CAST((ref_n + 1) * (ct + kb) AS DOUBLE))
+             * 1000000.0
+           ) AS BIGINT) AS psi_unat
+    FROM bo JOIN tot ON bo.stratum = tot.stratum
+"""
+
+
+@_register("psi_drift_by_source", _PSI_BY_ORACLE)
+def psi_drift_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum PSI drift (r14, `operators/drift.psi_drift_by`):
+    one equal-width PSI per document `source` in a single pass —
+    production monitors cut drift by language/domain/source because an
+    aggregate PSI washes out a shift confined to one slice. Each
+    stratum's reference half (even doc_id) defines its own [min, max]
+    and deciles for the current half (odd doc_id); per-stratum Laplace
+    smoothing over that stratum's observed bins; each term one
+    fixed-order micro-nat double over exact integer counts. The two
+    snapshots never join row-wise — each side reduces map-side to
+    O(strata x bins) counts, and the bounds/smoothing totals are tiny
+    broadcast joins (strictly more distributed than the single-PSI
+    1-row collects). The oracle replays bounds, binning, merge and
+    every term per stratum."""
+    from .operators.drift import psi_drift_by
+
+    d = _t(spark, sf, "documents")
+    return psi_drift_by(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        by="source",
+        bins=8,
+    )

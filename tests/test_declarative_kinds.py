@@ -872,3 +872,46 @@ def test_monitor_drift_covers_bins(spark, tmp_path):
         run_monitor_job(spark, {**decl, "bins": 20})
     with _pytest.raises(DeclarationError, match="bins"):
         run_monitor_job(spark, {k: v for k, v in decl.items() if k != "bins"})
+
+
+def test_monitor_job_per_stratum_verdicts(spark, tmp_path):
+    """[monitors.*] with by= (r14): the report carries one verdict per
+    stratum and the WORST stratum as headline — a drift confined to one
+    slice must flag even when the other strata are stable; spec drift
+    on the stratum column refuses; by without bins refuses."""
+    import pytest as _pytest
+
+    from cdf_spark.declarative import DeclarationError, run_monitor_job
+    from cdf_spark.sources.delta import DeltaFixtureWriter
+
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    base = [("en", float(i % 10)) for i in range(100)] + [
+        ("de", float(i % 10)) for i in range(100)
+    ]
+    w.append(spark.createDataFrame(base, "lang string, x double"), timestamp_ms=1000)
+    decl = {
+        "table": str(tmp_path / "t"), "root": str(tmp_path / "mon"),
+        "column": "x", "by": "lang", "bins": 5,
+    }
+    assert run_monitor_job(spark, decl)["action"] == "baseline"
+
+    # de floods into one bin; en stays put
+    w.append(
+        spark.createDataFrame([("de", 9.0)] * 400, "lang string, x double"),
+        timestamp_ms=2000,
+    )
+    r = run_monitor_job(spark, decl)
+    assert r["action"] == "report" and r["by"] == "lang"
+    assert r["strata"]["en"]["verdict"] == "stable"
+    assert r["strata"]["de"]["verdict"] == "shifted"
+    assert r["verdict"] == "shifted"  # headline = worst stratum
+    assert r["total_psi_unat"] == r["strata"]["de"]["total_psi_unat"]
+
+    with _pytest.raises(DeclarationError, match="spec drift"):
+        run_monitor_job(spark, {**decl, "by": "x"})
+    with _pytest.raises(DeclarationError, match="set bins"):
+        run_monitor_job(
+            spark,
+            {"table": str(tmp_path / "t"), "root": str(tmp_path / "mon2"),
+             "column": "x", "by": "lang"},
+        )

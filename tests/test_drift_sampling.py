@@ -284,3 +284,59 @@ def test_calibration_bins_excludes_null_labels(spark):
     df = spark.createDataFrame([(0.55, 1), (0.56, None)], "score double, label int")
     rows = calibration_bins(df).collect()
     assert len(rows) == 1 and rows[0]["n"] == 1 and rows[0]["pos"] == 1
+
+
+def test_psi_by_stratum_hand_computed(spark):
+    """psi_drift_by (r14): each stratum gets its own reference-anchored
+    equal-width bins, smoothing K, and totals — independent strata must
+    reproduce the single-PSI terms stratum by stratum."""
+    from cdf_spark.operators.drift import psi_drift, psi_drift_by
+
+    ref = spark.createDataFrame(
+        [("s1", float(i % 10)) for i in range(50)]
+        + [("s2", float(i % 4)) for i in range(40)],
+        ["src", "x"],
+    )
+    cur = spark.createDataFrame(
+        [("s1", float(i % 10)) for i in range(50)]       # s1 unchanged
+        + [("s2", 3.0) for _ in range(40)],               # s2 collapses
+        ["src", "x"],
+    )
+    out = psi_drift_by(ref, cur, "x", by="src", bins=5)
+    rows = [(r["stratum"], r["bin"], r["ref_n"], r["cur_n"], r["psi_unat"])
+            for r in out.collect()]
+    per = {}
+    for s, *rest in rows:
+        per.setdefault(s, set()).add(tuple(rest))
+    # stratum-by-stratum equality with the single-column operator
+    for s in ("s1", "s2"):
+        single = {
+            (r["bin"], r["ref_n"], r["cur_n"], r["psi_unat"])
+            for r in psi_drift(
+                ref.filter(f"src = '{s}'"), cur.filter(f"src = '{s}'"), "x", bins=5
+            ).collect()
+        }
+        assert per[s] == single
+    tot = {s: sum(t[-1] for t in v) for s, v in per.items()}
+    assert tot["s1"] == 0 and tot["s2"] > 250_000  # drift isolated to s2
+
+
+def test_psi_by_stratum_exclusion_rules(spark):
+    """Strata absent from the reference, NULL stratum keys, and
+    no-spread strata are excluded (documented contract)."""
+    from cdf_spark.operators.drift import psi_drift_by
+
+    ref = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("flat", 2.0), ("flat", 2.0), (None, 1.0), (None, 9.0)],
+        ["src", "x"],
+    )
+    cur = spark.createDataFrame(
+        [("a", 1.0), ("a", 4.0), ("flat", 2.0), ("new", 7.0), (None, 3.0)],
+        ["src", "x"],
+    )
+    out = psi_drift_by(ref, cur, "x", by="src", bins=4)
+    assert {r["stratum"] for r in out.collect()} == {"a"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        psi_drift_by(ref, cur, "x", by="src", bins=1)
