@@ -14975,3 +14975,134 @@ def psi_drift_by_source(spark: SparkSession, sf: str) -> DataFrame:
         by="source",
         bins=8,
     )
+
+
+def _unigram_oracle(rounds=2, max_piece_len=4, max_word_len=12, seed_multi=48, keep_multi=32):
+    """Chained-CTE replay of the unigram-LM training loop."""
+    P = max_piece_len
+    M = max_word_len
+    parts = [
+        f"""w AS MATERIALIZED (
+      SELECT word, CAST(cnt AS BIGINT) AS c, length(word) AS len FROM (
+        SELECT t.tok AS word, COUNT(*) AS cnt
+        FROM documents, UNNEST(str_split(text, ' ')) AS t(tok)
+        WHERE regexp_matches(t.tok, '^[a-z0-9]+$') AND length(t.tok) <= {M}
+        GROUP BY t.tok
+      )
+    )""",
+        f"""seedcnt AS MATERIALIZED (
+      SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+        SELECT substr(word, ss.s, kk.k) AS piece, c
+        FROM w
+        CROSS JOIN (SELECT UNNEST(generate_series(1, {P})) AS k) kk
+        CROSS JOIN (SELECT UNNEST(generate_series(1, {M})) AS s) ss
+        WHERE ss.s + kk.k - 1 <= len
+      ) GROUP BY piece
+    )""",
+        """chars AS MATERIALIZED (SELECT piece FROM seedcnt WHERE length(piece) = 1)""",
+        f"""sel0 AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM seedcnt WHERE length(piece) >= 2
+      ) WHERE rn <= {seed_multi}
+      UNION ALL
+      SELECT piece, cnt FROM seedcnt WHERE length(piece) = 1
+    )""",
+        """v0 AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(round(ln(CAST(t.total + t.k AS DOUBLE) / CAST(cnt + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS cost_unat
+      FROM sel0, (SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k FROM sel0) t
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        v = f"v{r-1}"
+        parts.append(
+            f"d{r}_0 AS (SELECT word, c, len, CAST(0 AS BIGINT) AS cost, '' AS seg FROM w)"
+        )
+        for j in range(1, M + 1):
+            unions = []
+            for k in range(1, min(P, j) + 1):
+                seg = (
+                    "v.piece" if j == k
+                    else "d.seg || ' ' || v.piece"
+                )
+                unions.append(
+                    f"""SELECT d.word, d.c, d.len, d.cost + v.cost_unat AS cost,
+               {seg} AS seg
+        FROM d{r}_{j-k} d JOIN {v} v ON v.piece = substr(d.word, {j-k+1}, {k})
+        WHERE d.len >= {j}"""
+                )
+            u = "\n        UNION ALL\n        ".join(unions)
+            parts.append(
+                f"""d{r}_{j} AS MATERIALIZED (
+      SELECT word, c, len, cost, seg FROM (
+        SELECT word, c, len, cost, seg,
+               row_number() OVER (PARTITION BY word ORDER BY cost, seg) AS rn
+        FROM (
+        {u}
+        )
+      ) WHERE rn = 1
+    )"""
+            )
+        finals = "\n        UNION ALL\n        ".join(
+            f"SELECT c, seg FROM d{r}_{j} WHERE len = {j}" for j in range(1, M + 1)
+        )
+        parts.append(
+            f"""cnt{r} AS MATERIALIZED (
+      SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+        SELECT c, UNNEST(str_split(seg, ' ')) AS piece FROM (
+        {finals}
+        )
+      ) GROUP BY piece
+    )"""
+        )
+        parts.append(
+            f"""sel{r} AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM cnt{r} WHERE length(piece) >= 2
+      ) WHERE rn <= {keep_multi}
+      UNION ALL
+      SELECT ch.piece, COALESCE(c2.cnt, 0) AS cnt
+      FROM chars ch LEFT JOIN cnt{r} c2 ON c2.piece = ch.piece
+    )"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(round(ln(CAST(t.total + t.k AS DOUBLE) / CAST(cnt + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS cost_unat
+      FROM sel{r}, (SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k FROM sel{r}) t
+    )"""
+        )
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT piece, cnt, cost_unat FROM v{rounds}"
+
+_UNIGRAM_ORACLE = _unigram_oracle()
+
+
+@_register("unigram_lm_tokenizer", _UNIGRAM_ORACLE)
+def unigram_lm_tokenizer(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) TOKENIZER TRAINING (r14,
+    `operators/unigram.learn_unigram`, Kudo 2018 hard-EM): the trainer
+    Llama/T5-class pipelines ship, completing the tokenizer family
+    next to `bpe_learn_merges`. Seed = every corpus character + the 48
+    most frequent substrings (len 2-4); two EM rounds of Viterbi
+    segmentation (integer micro-nat piece costs, (cost, segmentation
+    string) tie-break) -> usage re-count -> shrink to chars + top-32.
+    The corpus collapses to the distinct-word table once; each E-step
+    is a zero-shuffle mapInPandas kernel with the O(model) cost table
+    broadcast; each M-step one combinable count agg + a distributed
+    top-k. The oracle re-trains the WHOLE loop in SQL — seed counts,
+    selection, costs, an unrolled per-position Viterbi DP (12 stages,
+    row_number tie-break), re-estimation and pruning — so a wrong
+    count, tie-break or DP transition at any stage hash-mismatches.
+    Output: the final model (piece, cnt, cost_unat)."""
+    from .operators.unigram import learn_unigram
+
+    return learn_unigram(
+        _t(spark, sf, "documents"),
+        rounds=2,
+        max_piece_len=4,
+        max_word_len=12,
+        seed_multi=48,
+        keep_multi=32,
+    )
