@@ -5084,68 +5084,66 @@ PARITY_TWINS: set[str] = {
 # recomputed each round from the CORRECTNESS_r*.json history: ordering
 # is (never-driver-green first, then ascending last-green round, then
 # registration order within a cohort), truncated at the driver's 50.
-# r13 rebuild: 20 never-driver-green head entries (the 3 DSIR queries
-# — red through r12 on the oracle HUGEINT dtype artifact, CAST fixed
-# this round — then the 17 r13 additions: star-contraction CC, MIN/MAX
-# + Hudi + streaming-minmax IVM, the evaluation family, PSI drift,
-# A-ES + winnowing sampling/dedup, UniMax, the winnow+CC capstone), then the ENTIRE 27-query r6-stale cohort (the
-# three-round staleness debt the r12 verdict ordered burned — after
-# this window lands, max driver-green staleness is r7), then the 3
-# oldest r7 entries fill to the driver's 50 cut.
+# r14 rebuild: 3 never-driver-green head entries (this round's
+# additions: sliding windows, per-stratum PSI, the unigram-LM
+# tokenizer — the round's new-query budget was sized to exactly the
+# spare slots) + the ENTIRE 47-query r7-stale cohort in registration
+# order (the last staleness debt the r13 verdict ordered burned —
+# after this window lands, no query's last driver-green round is
+# older than r9 and the never-green head stays empty).
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- never driver-green: DSIR (oracle cast fixed r13) + r13 additions --
-    "dsir_select_docs",
-    "dsir_index_incremental",
-    "streaming_dsir_select_drain",
-    "connected_components_star_chain",
-    "delta_ivm_minmax",
-    "hudi_ivm_rollup",
-    "streaming_ivm_minmax_drain",
-    "retrieval_eval_metrics",
-    "quality_pr_sweep",
-    "annotation_fleiss_kappa",
-    "quality_calibration_bins",
-    "psi_drift_orders",
-    "weighted_sample_docs",
-    "winnow_near_dups_docs",
-    "unimax_budget_allocation",
-    "winnow_dedup_keep",
-    "corpus_distinct_ngrams",
-    "lm_kn_bigram_perplexity",
-    "streaming_psi_monitor_drain",
-    "psi_drift_quantile_orders",
-    # -- the full r6-stale cohort (registration order) --
-    "stratified_topk_sample",
-    "hudi_partitioned_scan",
-    "hudi_mor_snapshot",
-    "hudi_mor_read_optimized",
-    "hudi_mor_changes_since",
-    "hudi_mor_compaction",
-    "delta_dest_merge",
-    "iceberg_partitioned_scan",
-    "iceberg_schema_evolution",
-    "q4_order_priority_semijoin",
-    "q13_customer_distribution",
-    "q18_large_volume_having",
-    "q19_disjunctive_filter",
-    "set_ops_intersect",
-    "union_all_sources",
-    "percentiles_exact",
-    "lag_lead_price_delta",
-    "variant_capture_json",
-    "semantic_dedup_keep",
-    "mongo_extended_json_scan",
-    "schema_admission_ingest",
-    "dlt_incremental_scan",
-    "rest_paged_scan",
-    "python_resource_context_scan",
-    "mongo_change_stream_apply",
-    "iceberg_time_travel",
-    "iceberg_changes_since",
-    # -- oldest r7 entries fill to the 50 cut --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    # -- never driver-green: the r14 additions --
+    "sliding_window_agg",
+    "psi_drift_by_source",
+    "unigram_lm_tokenizer",
+    # -- the full r7-stale cohort (registration order) --
+    "q6_forecast_revenue",
+    "window_running_total",
+    "topk_per_group",
+    "agg_rollup",
+    "set_ops_except",
+    "distinct_agg",
+    "sessionization",
+    "tumbling_window_agg",
+    "pivot_event_types",
+    "json_extract_props",
+    "asof_join_events_orders",
+    "scan_pushdown_residual",
+    "projection_pruning",
+    "contract_quarantine_rows",
+    "transform_chain",
+    "dedup_keep_last",
+    "dedup_keep_first",
+    "keyed_effects_reduce",
+    "effects_apply_merge",
+    "late_data_classify",
+    "stratified_sample",
+    "incremental_cursor_scan",
+    "docs_profile",
+    "docs_quality_lang",
+    "doc_chunking_rag",
+    "ngram_jaccard_dups_fast",
+    "iceberg_dest_partitioned_upsert",
+    "hudi_mor_partitioned_scan",
+    "delta_dest_merge_dv",
+    "cross_format_replication",
+    "delta_column_mapping_scan",
+    "iceberg_binpack_maintenance",
+    "delta_optimize_maintenance",
+    "iceberg_sorted_layout_scan",
+    "iceberg_zorder_layout_scan",
+    "delta_data_skipping_scan",
+    "delta_dest_partitioned_merge_dv",
+    "recovery_rollback_restore",
+    "delta_change_data_feed",
+    "iceberg_changelog_scan",
+    "cross_format_cdc_replication",
+    "hudi_mor_change_stream",
+    "delta_rename_column_scan",
+    "metadata_only_count",
+    "delta_partitioned_scan",
+    "stream_stream_join_drain",
+    "pq_ann_topk",
 ]
 
 
