@@ -240,10 +240,14 @@ def psi_drift_by(
     curv = cur.filter(
         x.isNotNull() & ~F.isnan(x) & F.col(by).isNotNull()
     ).select(s, x.alias("_v"))
+    # O(strata) rows; eager checkpoint so the reference isn't
+    # re-scanned inside each side's broadcast build (the single-PSI
+    # bounds collect, kept distributed)
     bounds = (
         refv.groupBy("stratum")
         .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
         .filter(F.col("_hi") > F.col("_lo"))
+        .localCheckpoint(eager=True)
     )
 
     def _binned(df: DataFrame) -> DataFrame:
@@ -275,7 +279,7 @@ def psi_drift_by(
         F.coalesce(F.col("_dl.bin"), F.col("_dr.bin")).alias("bin"),
         F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
         F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
-    )
+    ).localCheckpoint(eager=True)  # O(strata x bins); feeds totals + terms
     totals = both.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("_kb"),
         F.sum("ref_n").alias("_rt"),

@@ -188,3 +188,25 @@ def test_star_cc_raises_past_round_budget(spark):
     e = spark.createDataFrame([(i, i + 1) for i in range(100)], "src long, dst long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components_star(e, max_rounds=2)
+
+
+def test_cc_star_final_plan_is_checkpoint_bounded(spark):
+    """Plan guard (r14): every star-contraction round localCheckpoints
+    its edge set, so the FINAL plan is just nodes ⋈ star over two
+    checkpointed tables — no re-derived rounds, no source scans,
+    bounded exchanges regardless of how many rounds ran."""
+    import tempfile
+
+    from cdf_spark.operators.graph import connected_components_star
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 40)] + [(100, 101)], ["src", "dst"]
+        ).write.mode("overwrite").parquet(f"{tmp}/edges")
+        edges = spark.read.parquet(f"{tmp}/edges")
+        out = connected_components_star(edges)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(tmp) == 0, "rounds must be checkpoint-truncated"
+        assert plan.count("Exchange") <= 3
+        comps = {r.id: r.component for r in out.collect()}
+        assert comps[39] == 1 and comps[101] == 100

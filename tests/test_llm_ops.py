@@ -1098,3 +1098,54 @@ def test_lm_index_zero_token_first_batch_does_not_crash(spark, tmp_path):
     # a later real fold lands normally
     m2 = idx.update(spark, spark.createDataFrame([(2, "real words")], ["doc_id", "text"]))
     assert m2["n_total"] == 2
+
+
+def test_winnow_near_dups_final_plan_is_fingerprint_bounded(spark):
+    """Plan guard (r14): winnow_near_dups checkpoints the fingerprint
+    table, so the FINAL plan never re-derives the gram/window pass or
+    re-scans the corpus — the pair join is bucketed by fingerprint
+    with the df-cap anti-join, bounded exchanges."""
+    import tempfile
+
+    from cdf_spark.operators.curation import winnow_near_dups
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta " * 3 + f"tail{i}")
+             for i in range(12)],
+            ["doc_id", "text"],
+        ).write.mode("overwrite").parquet(f"{tmp}/docs")
+        docs = spark.read.parquet(f"{tmp}/docs")
+        out = winnow_near_dups(docs, k=5, w=4, min_shared=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(tmp) == 0, "fingerprints must be checkpointed"
+        assert plan.count("Exchange") <= 6
+        assert out.count() > 0  # the shared boilerplate pairs everything
+
+
+def test_psi_final_plans_are_checkpoint_bounded(spark):
+    """Plan guard (r14): psi_drift (both binning methods) checkpoints
+    the merged O(bins) count table — the FINAL plan is a projection
+    over it: zero exchanges, zero source scans. psi_drift_by
+    checkpoints bounds + merged counts — the final plan is one tiny
+    totals join, no source scans."""
+    import tempfile
+
+    from cdf_spark.operators.drift import psi_drift, psi_drift_by
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(("s%d" % (i % 3)), float(i % 17)) for i in range(300)], ["src", "x"]
+        ).write.mode("overwrite").parquet(f"{tmp}/snap")
+        snap = spark.read.parquet(f"{tmp}/snap")
+        ref, cur = snap.filter("x < 12"), snap.filter("x >= 3")
+        for method in ("width", "quantile"):
+            out = psi_drift(ref, cur, "x", bins=5, method=method)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert plan.count(tmp) == 0, method
+            assert plan.count("Exchange") == 0, method
+        out = psi_drift_by(ref, cur, "x", by="src", bins=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(tmp) == 0
+        assert plan.count("Exchange") <= 2
+        assert out.count() > 0
