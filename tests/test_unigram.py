@@ -159,3 +159,38 @@ def test_learn_unigram_guards(spark):
     empty = spark.createDataFrame([("ÜBER",)], "text string")  # no symbol-safe words
     with pytest.raises(ValueError, match="no trainable"):
         learn_unigram(empty)
+
+
+def test_learn_unigram_property_random_corpora(spark):
+    """Property gate: on randomized corpora (skewed Zipf-ish words,
+    shared stems, repeated chars — the tie-heavy shapes), the Spark
+    trainer equals the pure-Python reference exactly. Catches
+    tie-break, selection-order, and smoothing divergences the fixture
+    corpus may not exercise."""
+    import random
+
+    from cdf_spark.operators.unigram import learn_unigram
+
+    rng = random.Random(14)
+    stems = ["ab", "abc", "ba", "aa", "xyz", "x"]
+    for trial in range(4):
+        vocab_words = [
+            s + rng.choice(["", "a", "ab", "ba", "s", "es"])
+            for s in stems
+            for _ in range(2)
+        ]
+        texts = [
+            " ".join(rng.choices(vocab_words, k=rng.randint(3, 9)))
+            for _ in range(6)
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = {
+            r["piece"]: (r["cnt"], r["cost_unat"])
+            for r in learn_unigram(
+                df, rounds=2, max_piece_len=3, seed_multi=6, keep_multi=4
+            ).collect()
+        }
+        want = _ref_unigram(
+            texts, rounds=2, max_piece_len=3, seed_multi=6, keep_multi=4
+        )
+        assert got == want, f"trial {trial}: {got} != {want}"
