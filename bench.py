@@ -150,6 +150,14 @@ BENCH_QUERIES = [
     "connected_components_star_chain",
     "retrieval_eval_metrics",
     "quality_pr_sweep",
+    # round 14: sliding windows (2x shuffle fan-out, stated), the
+    # per-stratum PSI monitor (two map-side count reductions + tiny
+    # broadcast joins), and the unigram-LM tokenizer trainer (two
+    # hard-EM rounds: zero-shuffle Viterbi kernel + one count agg
+    # each, over the distinct-word table)
+    "sliding_window_agg",
+    "psi_drift_by_source",
+    "unigram_lm_tokenizer",
 ]
 
 
