@@ -1020,9 +1020,10 @@ def run_monitor_job(spark, decl: dict) -> dict:
     ):
         raise DeclarationError(
             f"monitor spec drift: artifact at {root} watches "
-            f"{meta['table']}/{meta['column']} (bins={meta.get('bins')}), "
-            f"declaration says {table}/{column} (bins={bins}) — a changed "
-            "binning silently reinterprets PSI against the pinned baseline"
+            f"{meta['table']}/{meta['column']} (bins={meta.get('bins')}, "
+            f"by={meta.get('by')}), declaration says {table}/{column} "
+            f"(bins={bins}, by={by}) — a changed binning or stratum "
+            "column silently reinterprets PSI against the pinned baseline"
         )
     import pyspark.sql.functions as _F
 
@@ -1055,13 +1056,23 @@ def run_monitor_job(spark, decl: dict) -> dict:
             }
             for r in rows
         }
-        worst = max((s["total_psi_unat"] for s in strata.values()), default=0)
+        if not strata:
+            # every stratum excluded (NULL-keyed by column, or no
+            # stratum has spread): a dead monitor must not report
+            # healthy — mirror the single-column path's refusal
+            raise DeclarationError(
+                f"monitor {table}/{column} by={by}: every stratum was "
+                "excluded (NULL stratum keys or no spread in the "
+                "baseline) — nothing to certify"
+            )
+        worst = max(s["total_psi_unat"] for s in strata.values())
         report = {
             "action": "report",
             "table": str(table), "format": fmt, "column": str(column),
             "by": str(by),
             "baseline_cursor": meta["baseline"],
             "cursor": cur if isinstance(cur, str) else int(cur),
+            "bins": bins,  # the declared per-stratum bin count
             "total_psi_unat": worst,  # headline = worst stratum
             "verdict": _verdict(worst),
             "strata": strata,

@@ -178,14 +178,17 @@ def psi_drift(
     if not ref_total or not cur_total:
         raise ValueError("both snapshots must be non-empty")
     nr, nc, kb = int(ref_total) + int(k_bins), int(cur_total) + int(k_bins), int(k_bins)
-    # (pc - pr) * ln(pc / pr) with p = (n + 1)/(N + K); the ratio is
-    # exact-integer-over-exact-integer so the single ln and the single
-    # subtraction keep IEEE parity with the oracle's identical text
+    # (pc - pr) * ln(pc / pr) with p = (n + 1)/(N + K); each ratio
+    # factor is cast to double BEFORE the multiply (r14 — the integer
+    # product (cur_n+1)*(N+K) wraps past 2^63 at ~1e10-per-bin counts;
+    # double factors never overflow, and below 2^53 the product is
+    # bit-identical to the exact-integer form). Operand order mirrors
+    # the oracle token for token so IEEE parity holds at any scale.
     pc = (F.col("cur_n") + F.lit(1)).cast("double") / F.lit(float(nc))
     pr = (F.col("ref_n") + F.lit(1)).cast("double") / F.lit(float(nr))
-    ratio = ((F.col("cur_n") + F.lit(1)) * F.lit(nr)).cast("double") / (
-        (F.col("ref_n") + F.lit(1)) * F.lit(nc)
-    ).cast("double")
+    ratio = ((F.col("cur_n") + F.lit(1)).cast("double") * F.lit(float(nr))) / (
+        (F.col("ref_n") + F.lit(1)).cast("double") * F.lit(float(nc))
+    )
     return both.select(
         "bin",
         "ref_n",
@@ -280,6 +283,11 @@ def psi_drift_by(
         F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
         F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
     ).localCheckpoint(eager=True)  # O(strata x bins); feeds totals + terms
+    # bounds fed both binned sides, now folded into `both` — release
+    # its blocks (the result below never re-reads it)
+    from ..plans.checkpoint import release_local_checkpoint
+
+    release_local_checkpoint(bounds)
     totals = both.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("_kb"),
         F.sum("ref_n").alias("_rt"),
@@ -288,11 +296,13 @@ def psi_drift_by(
     j = both.join(F.broadcast(totals), on="stratum")
     nr = F.col("_rt") + F.col("_kb")
     nc = F.col("_ct") + F.col("_kb")
+    # double factors before the multiply — same overflow rationale and
+    # oracle mirroring as psi_drift above
     pc = (F.col("cur_n") + F.lit(1)).cast("double") / nc.cast("double")
     pr = (F.col("ref_n") + F.lit(1)).cast("double") / nr.cast("double")
-    ratio = ((F.col("cur_n") + F.lit(1)) * nr).cast("double") / (
-        (F.col("ref_n") + F.lit(1)) * nc
-    ).cast("double")
+    ratio = ((F.col("cur_n") + F.lit(1)).cast("double") * nr.cast("double")) / (
+        (F.col("ref_n") + F.lit(1)).cast("double") * nc.cast("double")
+    )
     return j.select(
         "stratum",
         "bin",

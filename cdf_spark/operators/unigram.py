@@ -230,7 +230,11 @@ def learn_unigram(
     # every round's E-step re-reads the word table — pin it once
     # (released when the last round's counts are materialized)
     words = words.localCheckpoint(eager=True)
-    seed = seed_piece_counts(words, max_piece_len)
+    # the seed aggregation is the widest pre-EM pass (explode fan-out
+    # up to max_word_len * max_piece_len per word) and feeds three
+    # consumers (chars, the top-k, the cost/collect) — pin it once,
+    # released as soon as the initial model is collected
+    seed = seed_piece_counts(words, max_piece_len).localCheckpoint(eager=True)
     chars = seed.filter(F.length("piece") == 1).localCheckpoint(eager=True)
     multi0 = (
         seed.filter(F.length("piece") >= 2)
@@ -239,6 +243,7 @@ def learn_unigram(
     )
     vocab_df = _costed(multi0.unionByName(chars.select("piece", "cnt")))
     model = [(r["piece"], int(r["cost_unat"])) for r in vocab_df.collect()]
+    release_local_checkpoint(seed)
     prev_cnt: DataFrame | None = None
     for _ in range(rounds):
         seg = viterbi_segment(words, model, max_piece_len)

@@ -14247,8 +14247,8 @@ _PSI_ORACLE = """
            CAST(round(
              (CAST(cur_n + 1 AS DOUBLE) / CAST(ct + kb AS DOUBLE)
               - CAST(ref_n + 1 AS DOUBLE) / CAST(rt + kb AS DOUBLE))
-             * ln(CAST((cur_n + 1) * (rt + kb) AS DOUBLE)
-                  / CAST((ref_n + 1) * (ct + kb) AS DOUBLE))
+             * ln((CAST(cur_n + 1 AS DOUBLE) * CAST(rt + kb AS DOUBLE))
+                  / (CAST(ref_n + 1 AS DOUBLE) * CAST(ct + kb AS DOUBLE)))
              * 1000000.0
            ) AS BIGINT) AS psi_unat
     FROM bo, tot
@@ -14656,8 +14656,8 @@ _PSI_DRAIN_ORACLE = """
              CAST(round(
                (CAST(cur_n + 1 AS DOUBLE) / CAST(ct + kb AS DOUBLE)
                 - CAST(ref_n + 1 AS DOUBLE) / CAST(rt + kb AS DOUBLE))
-               * ln(CAST((cur_n + 1) * (rt + kb) AS DOUBLE)
-                    / CAST((ref_n + 1) * (ct + kb) AS DOUBLE))
+               * ln((CAST(cur_n + 1 AS DOUBLE) * CAST(rt + kb AS DOUBLE))
+                    / (CAST(ref_n + 1 AS DOUBLE) * CAST(ct + kb AS DOUBLE)))
                * 1000000.0
              ) AS BIGINT) AS psi
       FROM bo2 JOIN tot ON tot.epoch = bo2.epoch
@@ -14822,8 +14822,8 @@ _PSI_Q_ORACLE = """
            CAST(round(
              (CAST(cur_n + 1 AS DOUBLE) / CAST(ct + kb AS DOUBLE)
               - CAST(ref_n + 1 AS DOUBLE) / CAST(rt + kb AS DOUBLE))
-             * ln(CAST((cur_n + 1) * (rt + kb) AS DOUBLE)
-                  / CAST((ref_n + 1) * (ct + kb) AS DOUBLE))
+             * ln((CAST(cur_n + 1 AS DOUBLE) * CAST(rt + kb AS DOUBLE))
+                  / (CAST(ref_n + 1 AS DOUBLE) * CAST(ct + kb AS DOUBLE)))
              * 1000000.0
            ) AS BIGINT) AS psi_unat
     FROM bo, tot
@@ -14940,8 +14940,8 @@ _PSI_BY_ORACLE = """
            CAST(round(
              (CAST(cur_n + 1 AS DOUBLE) / CAST(ct + kb AS DOUBLE)
               - CAST(ref_n + 1 AS DOUBLE) / CAST(rt + kb AS DOUBLE))
-             * ln(CAST((cur_n + 1) * (rt + kb) AS DOUBLE)
-                  / CAST((ref_n + 1) * (ct + kb) AS DOUBLE))
+             * ln((CAST(cur_n + 1 AS DOUBLE) * CAST(rt + kb AS DOUBLE))
+                  / (CAST(ref_n + 1 AS DOUBLE) * CAST(ct + kb AS DOUBLE)))
              * 1000000.0
            ) AS BIGINT) AS psi_unat
     FROM bo JOIN tot ON bo.stratum = tot.stratum

@@ -915,3 +915,33 @@ def test_monitor_job_per_stratum_verdicts(spark, tmp_path):
             {"table": str(tmp_path / "t"), "root": str(tmp_path / "mon2"),
              "column": "x", "by": "lang"},
         )
+
+
+def test_monitor_job_by_refuses_when_all_strata_excluded(spark, tmp_path):
+    """A by= monitor whose strata are ALL excluded (NULL stratum keys)
+    must refuse, not report 'stable' with empty strata — a dead
+    monitor reporting healthy is the worst failure mode (r14 review
+    finding)."""
+    import pytest as _pytest
+
+    from cdf_spark.declarative import DeclarationError, run_monitor_job
+    from cdf_spark.sources.delta import DeltaFixtureWriter
+
+    w = DeltaFixtureWriter(tmp_path / "t", change_data_feed=True)
+    w.append(
+        spark.createDataFrame(
+            [(None, float(i)) for i in range(20)], "lang string, x double"
+        ),
+        timestamp_ms=1000,
+    )
+    decl = {
+        "table": str(tmp_path / "t"), "root": str(tmp_path / "mon"),
+        "column": "x", "by": "lang", "bins": 4,
+    }
+    assert run_monitor_job(spark, decl)["action"] == "baseline"
+    w.append(
+        spark.createDataFrame([(None, 5.0)], "lang string, x double"),
+        timestamp_ms=2000,
+    )
+    with _pytest.raises(DeclarationError, match="every stratum was excluded"):
+        run_monitor_job(spark, decl)

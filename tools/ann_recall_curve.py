@@ -68,6 +68,12 @@ def pairs(df):
 
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [20_000, 150_000]
+    bad = [n for n in sizes if n < NQ]
+    if bad:
+        raise SystemExit(
+            f"corpus sizes {bad} are below the {NQ}-query sample stride; "
+            f"use N >= {NQ}"
+        )
     spark = get_spark("ann-recall", master="local[32]")
     for family in ("uniform", "clustered"):
         for n in sizes:
