@@ -59,6 +59,7 @@ from .bpe import WORD_PATTERN
 __all__ = [
     "learn_unigram",
     "seed_piece_counts",
+    "segment_corpus",
     "unigram_vocab_df",
     "viterbi_segment",
 ]
@@ -276,3 +277,72 @@ def unigram_vocab_df(
     spark: SparkSession, model: list[tuple[str, int, int]]
 ) -> DataFrame:
     return spark.createDataFrame(model, "piece string, cnt bigint, cost_unat bigint")
+
+
+def segment_corpus(
+    df: DataFrame,
+    model: list[tuple[str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+    word_pattern: str = WORD_PATTERN,
+) -> DataFrame:
+    """Corpus tokenization with a trained unigram model — the apply
+    path users run after `learn_unigram`, shaped for 100 TB: the
+    corpus collapses to DISTINCT words (one shuffle), the Viterbi
+    kernel runs over that vocabulary-sized table (narrow, model
+    broadcast), and segmentations broadcast-join back onto the
+    position-exploded word stream, re-assembled per document in
+    original word order.
+
+    Contract: words outside the symbol-safe pattern or containing a
+    character the model lacks pass through UNSEGMENTED as a single
+    piece (the <unk> passthrough — loud in the output, never dropped,
+    so detokenization round-trips). Documents with no words yield an
+    empty piece stream.
+
+    Output: (id_col, pieces) with pieces space-joined across the whole
+    document in word order.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .withColumn("c", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)  # feeds the kernel + the size gate
+    )
+    segmentable = words.filter(
+        F.col("word").rlike(word_pattern)
+    )
+    segs = viterbi_segment(segmentable, model, max_piece_len).select(
+        "word", F.col("seg")
+    )
+    # the seg map is DISTINCT-WORD-sized, not model-sized: broadcast
+    # under the suite's 2M-row gate (the PageRank/Bradley-Terry rule),
+    # shuffle-join above it
+    hint = F.broadcast if words.count() <= 2_000_000 else (lambda d: d)
+    stream = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+        .join(hint(segs), on="word", how="left")
+        .select(
+            id_col,
+            "pos",
+            F.coalesce(F.col("seg"), F.col("word")).alias("_p"),  # unk passthrough
+        )
+    )
+    return (
+        stream.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_p"))),
+                    lambda s: s["_p"],
+                ),
+                " ",
+            ).alias("pieces")
+        )
+    )

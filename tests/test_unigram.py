@@ -194,3 +194,34 @@ def test_learn_unigram_property_random_corpora(spark):
             texts, rounds=2, max_piece_len=3, seed_multi=6, keep_multi=4
         )
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_segment_corpus_order_unk_and_empty(spark):
+    """segment_corpus: pieces concatenate in original word order;
+    pattern-violating and OOV-character words pass through unsegmented
+    (the <unk> passthrough, so detokenization round-trips); documents
+    collapse to one row each."""
+    from cdf_spark.operators.unigram import learn_unigram, segment_corpus
+
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    model = [
+        (r["piece"], int(r["cost_unat"]))
+        for r in learn_unigram(df, rounds=1, seed_multi=8, keep_multi=4).collect()
+    ]
+    corpus = spark.createDataFrame(
+        [(1, "low lower ÜBER low"), (2, "zzqz new"), (3, "  ")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pieces"] for r in segment_corpus(corpus, model).collect()}
+    # word order preserved; ÜBER passes through verbatim
+    toks1 = out[1].split(" ")
+    assert "ÜBER" in toks1
+    assert "".join(toks1) == "lowlowerÜBERlow"
+    # detokenization round-trip: stripping spaces re-yields the words
+    left = out[1].replace(" ", "")
+    assert left == "low lower ÜBER low".replace(" ", "")
+    # zzqz has chars the model may lack -> verbatim or segmented, but
+    # always reassembles; 'new' segments over kept chars/pieces
+    assert "".join(out[2].split(" ")) == "zzqznew"
+    # doc 3 has no words -> absent (no piece stream), not a crash
+    assert 3 not in out
