@@ -827,19 +827,36 @@ def tfidf_doc_similarity(
     tf = _doc_tf(docs, text_col, id_col).select("_id", "tok", "tf")
     n_docs = docs.count()
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    iw = tf.join(dfreq, on="tok").select(
-        "_id",
-        "tok",
-        F.round(
-            F.col("tf")
-            * F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
-            * F.lit(1000.0)
+    # the weighted posting table feeds FOUR consumers below (norms,
+    # the query-side cut, and both sides of the dot join) — left lazy,
+    # each one re-derives the tokenize+tf+dfreq pipeline (measured
+    # r14: 10 corpus scans / 16 shuffles). The PRF/retrieval_metrics
+    # checkpoint discipline pins it once; norms (O(docs) x 2 ints,
+    # consumed twice) likewise. Guarded by
+    # tests/test_retrieval.py::test_tfidf_final_plan_is_checkpoint_bounded.
+    iw = (
+        tf.join(dfreq, on="tok")
+        .select(
+            "_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * F.lit(1000.0)
+            )
+            .cast("long")
+            .alias("iw"),
         )
-        .cast("long")
-        .alias("iw"),
+        .localCheckpoint(eager=True)
     )
-    norms = iw.groupBy("_id").agg(F.sum(F.col("iw") * F.col("iw")).alias("nn"))
-    q = query_ids.select(F.col(id_col).alias("_qid"))
+    norms = (
+        iw.groupBy("_id")
+        .agg(F.sum(F.col("iw") * F.col("iw")).alias("nn"))
+        .localCheckpoint(eager=True)
+    )
+    # query-scale by contract, but its LINEAGE is the caller's (often
+    # a corpus filter) and it feeds two broadcast builds
+    q = query_ids.select(F.col(id_col).alias("_qid")).localCheckpoint(eager=True)
     qiw = iw.join(F.broadcast(q), iw["_id"] == q["_qid"]).select(
         F.col("_qid"), "tok", F.col("iw").alias("_qw")
     )

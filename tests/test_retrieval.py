@@ -452,3 +452,27 @@ def test_prf_final_plan_never_rescans_the_corpus(spark):
         assert plan.count(tmp) == 0  # corpus never re-scanned
         assert plan.count("Exchange") <= 12
         assert out.count() > 0
+
+
+def test_tfidf_final_plan_is_checkpoint_bounded(spark):
+    """Regression guard (r14): tfidf_doc_similarity's weighted posting
+    table feeds four consumers and its norms two — both are eagerly
+    checkpointed, so the FINAL plan never re-derives the
+    tokenize+tf+dfreq pipeline (it was 10 corpus scans / 16 shuffles
+    left lazy)."""
+    import tempfile
+
+    from cdf_spark.operators.retrieval import tfidf_doc_similarity
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, f"zebra quantum tok{i % 5} alpha") for i in range(40)],
+            ["doc_id", "text"],
+        ).write.mode("overwrite").parquet(f"{tmp}/docs")
+        docs = spark.read.parquet(f"{tmp}/docs")
+        out = tfidf_doc_similarity(docs, docs.filter("doc_id = 1").select("doc_id"), k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(tmp) == 0, "posting table must be checkpointed"
+        # dots agg + the dots-norms SMJ pair + the top-k window (+ AQE)
+        assert plan.count("Exchange") <= 8
+        assert out.count() > 0
