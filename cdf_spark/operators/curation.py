@@ -712,6 +712,11 @@ def lm_bigram_perplexity_scores(
 
     from pyspark.sql.window import Window
 
+    # the token table feeds the unigram counts, the transition builder
+    # and the first-token cut — left lazy each consumer re-tokenizes
+    # the corpus; one eager checkpoint pins it, and the transition
+    # table (consumed by both the count training and the scoring join)
+    # gets the same pin (the PRF/tfidf discipline, r14)
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
@@ -719,11 +724,13 @@ def lm_bigram_perplexity_scores(
                 F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
             )
         ).alias("pos", "tok"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("_id").orderBy("pos")
     seq = toks.withColumn("w2", F.lead("tok").over(w))
-    trans = seq.filter(F.col("w2").isNotNull()).select(
-        "_id", F.col("tok").alias("w1"), "w2"
+    trans = (
+        seq.filter(F.col("w2").isNotNull())
+        .select("_id", F.col("tok").alias("w1"), "w2")
+        .localCheckpoint(eager=True)
     )
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     totals = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
@@ -753,7 +760,9 @@ def lm_bigram_perplexity_scores(
         .alias("lp1"),
     )
     first = (
-        seq.filter(F.col("pos") == 0)
+        # from toks, not seq: the first-token cut never reads the
+        # lead() column, so it must not pay the per-doc window sort
+        toks.filter(F.col("pos") == 0)
         .join(F.broadcast(lm1), on="tok")
         .groupBy("_id")
         .agg(F.sum("lp1").alias("s1"))
@@ -1787,6 +1796,11 @@ def lm_kn_bigram_perplexity_scores(
 
     from pyspark.sql.window import Window
 
+    # the token table feeds the unigram counts, the transition builder
+    # and the first-token cut — left lazy each consumer re-tokenizes
+    # the corpus; one eager checkpoint pins it, and the transition
+    # table (consumed by both the count training and the scoring join)
+    # gets the same pin (the PRF/tfidf discipline, r14)
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
@@ -1794,11 +1808,13 @@ def lm_kn_bigram_perplexity_scores(
                 F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
             )
         ).alias("pos", "tok"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("_id").orderBy("pos")
     seq = toks.withColumn("w2", F.lead("tok").over(w))
-    trans = seq.filter(F.col("w2").isNotNull()).select(
-        "_id", F.col("tok").alias("w1"), "w2"
+    trans = (
+        seq.filter(F.col("w2").isNotNull())
+        .select("_id", F.col("tok").alias("w1"), "w2")
+        .localCheckpoint(eager=True)
     )
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     totals = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
@@ -1843,7 +1859,9 @@ def lm_kn_bigram_perplexity_scores(
         .alias("lp1"),
     )
     first = (
-        seq.filter(F.col("pos") == 0)
+        # from toks, not seq: the first-token cut never reads the
+        # lead() column, so it must not pay the per-doc window sort
+        toks.filter(F.col("pos") == 0)
         .join(F.broadcast(lp1), on="tok")
         .groupBy("_id")
         .agg(F.sum("lp1").alias("s1"))

@@ -1149,3 +1149,30 @@ def test_psi_final_plans_are_checkpoint_bounded(spark):
         assert plan.count(tmp) == 0
         assert plan.count("Exchange") <= 2
         assert out.count() > 0
+
+
+def test_bigram_lm_final_plans_never_rescan_the_corpus(spark):
+    """Plan guard (r14): both bigram LMs (add-one and Kneser-Ney) pin
+    the token and transition tables — the FINAL plan re-tokenizes the
+    corpus ZERO times (it was 5 corpus scans each when every consumer
+    re-derived the tokenize), and the first-token cut reads the token
+    table directly, never paying the transition window."""
+    import tempfile
+
+    from cdf_spark.operators.curation import (
+        lm_bigram_perplexity_scores,
+        lm_kn_bigram_perplexity_scores,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, "the quick fox jumps over the lazy dog") for i in range(30)],
+            ["doc_id", "text"],
+        ).write.mode("overwrite").parquet(f"{tmp}/docs")
+        docs = spark.read.parquet(f"{tmp}/docs")
+        for fn in (lm_bigram_perplexity_scores, lm_kn_bigram_perplexity_scores):
+            out = fn(docs)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert plan.count(tmp) == 0, fn.__name__
+            assert plan.count("Exchange") <= 11, fn.__name__
+            assert out.count() == 30
