@@ -942,7 +942,14 @@ def semantic_dedup(
     cents = corpus.filter((F.col(id_col) % centroid_modulus) == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
     )
-    assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col, round_to=round_to)
+    # the assignment feeds BOTH sides of the within-cluster pair join
+    # AND the final anti-join — left lazy each consumer re-runs the
+    # broadcast assignment pass over the corpus (measured r14: 12
+    # corpus scans); one eager checkpoint pins it (the PRF/tfidf
+    # discipline)
+    assigned = ivf_assign(
+        corpus, cents, id_col=id_col, vec_col=vec_col, round_to=round_to
+    ).localCheckpoint(eager=True)
     a = assigned.select(F.col("id").alias("id_a"), "cluster", F.col("_v").alias("_va"))
     b = assigned.select(F.col("id").alias("id_b"), "cluster", F.col("_v").alias("_vb"))
     dropped = (

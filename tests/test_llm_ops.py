@@ -1176,3 +1176,25 @@ def test_bigram_lm_final_plans_never_rescan_the_corpus(spark):
             assert plan.count(tmp) == 0, fn.__name__
             assert plan.count("Exchange") <= 11, fn.__name__
             assert out.count() == 30
+
+
+def test_semantic_dedup_final_plan_is_checkpoint_bounded(spark):
+    """Plan guard (r14): semantic_dedup's cluster assignment feeds
+    both pair-join sides and the final anti-join — checkpointed, the
+    FINAL plan re-runs the assignment pass ZERO times (it was 12
+    corpus scans left lazy)."""
+    import tempfile
+
+    from cdf_spark.operators.similarity import semantic_dedup
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(60)],
+            ["vec_id", "embedding"],
+        ).write.mode("overwrite").parquet(f"{tmp}/emb")
+        emb = spark.read.parquet(f"{tmp}/emb")
+        out = semantic_dedup(emb, centroid_modulus=10, threshold=0.99)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(tmp) == 0, "assignment must be checkpointed"
+        assert plan.count("Exchange") <= 5
+        assert 0 < out.count() <= 60
