@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .index_base import IndexArtifact
-from .text import hash64
+from .text import hash64, spread_compute
 
 MICRO = 1_000_000.0
 
@@ -110,12 +110,7 @@ def decontamination_overlap(
     real scale the input already has thousands of splits and the guard
     is a no-op (no shuffle added).
     """
-    nparts = int(candidates.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    try:
-        if candidates.rdd.getNumPartitions() < nparts:
-            candidates = candidates.repartition(nparts)
-    except Exception:  # noqa: BLE001 — parallelism probe is best-effort
-        pass
+    candidates = spread_compute(candidates)  # r14: the shared guard
     cand = candidates.select(
         F.col(id_col).alias("id"),
         word_ngram_hashes(F.col(text_col), n, hash_fn).alias("grams"),
@@ -1021,7 +1016,10 @@ def dup_spans(
         gram = lambda i: F.xxhash64(F.slice(wsh, i + 1, k))  # noqa: E731
     else:
         gram = lambda i: F.md5(F.array_join(F.slice(ws, i + 1, k), " "))  # noqa: E731
-    grams = df.filter(F.col(text_col).isNotNull() & (n >= k)).select(
+    # gram hashing is the dominant CPU and runs in the SCAN stage — a
+    # single-split input would hash the whole corpus on one core (r14,
+    # guide §2.5 input parallelism; no-op at real scale)
+    grams = spread_compute(df.filter(F.col(text_col).isNotNull() & (n >= k))).select(
         F.col(id_col),
         F.posexplode(
             F.transform(F.sequence(F.lit(0), n - k), gram)
@@ -1400,8 +1398,11 @@ def dsir_importance_weights(
     # in-row with F.round (HALF_UP = away-from-zero on these
     # negative values, exactly DuckDB's round, strictly tighter
     # parity than the Python-round literal it replaces).
+    # feature hashing runs in the scan stage — spread a single-split
+    # corpus first (r14, guide §2.5; no-op at real scale)
     fdoc = (
-        corpus.select(
+        spread_compute(corpus)
+        .select(
             F.col(id_col).alias("_id"),
             F.explode(_hashed_ngram_features(F.col(text_col), dim, hash_fn)).alias("b"),
         )

@@ -110,7 +110,10 @@ def pagerank(
             "id", F.coalesce(F.col("_m"), F.lit(0)).alias("_sd")
         )
     nodes = nodes.localCheckpoint(eager=True)
-    n_t = nodes.agg(F.sum("_sd")).collect()[0][0]
+    # one bounded collect serves both scalars (node count for the
+    # broadcast gate, teleport-target count) — r14, one job instead of
+    # two over the same checkpointed table
+    n_nodes, n_t = nodes.agg(F.count(F.lit(1)), F.sum("_sd")).collect()[0]
     if not n_t:
         raise ValueError(
             "graph has no edges" if seeds is None else "no seed is a node of the graph"
@@ -133,19 +136,24 @@ def pagerank(
     # shuffles per round. Past the gate (1B-node web graphs) the SMJ /
     # shuffled-hash plan is the right one and the hint must not force
     # an OOM, so it is withheld.
-    n_nodes = nodes.count()
     hint = F.broadcast if n_nodes <= 2_000_000 else (lambda df: df)
 
     teleport = ((100 - damping_pct) * scale) // 100
     scores = nodes.select("id", (F.lit(scale) * F.col("_sd")).cast("long").alias("s"))
     for _ in range(iterations):
         scores = scores.localCheckpoint(eager=True)
-        dangling = (
+        # Dangling mass rides the plan as a 1-row broadcast frame
+        # instead of a per-round driver collect (r14, guide §5: the
+        # collect serialized a full driver round-trip between the
+        # checkpoint job and the update job every round; as a broadcast
+        # build it overlaps inside the single per-round action).
+        # `_dang div n_t` is the identical floor division the collected
+        # Python `dangling // n_t` performed — both operands
+        # non-negative.
+        dang = (
             scores.join(dangset, "id", "left_semi")
-            .agg(F.coalesce(F.sum("s"), F.lit(0)).cast("long"))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("_dang"))
         )
-        dshare = dangling // int(n_t)
         contrib = (
             e2.join(hint(scores), e2["src"] == scores["id"])
             .select("dst", F.expr("s div deg").alias("_c"))
@@ -154,12 +162,14 @@ def pagerank(
         )
         scores = (
             nodes.join(hint(contrib), nodes["id"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
                     F.col("_sd") * F.lit(teleport)
                     + F.expr(
-                        f"({damping_pct} * (coalesce(contrib, 0) + _sd * {dshare})) div 100"
+                        f"({damping_pct} * (coalesce(contrib, 0)"
+                        f" + _sd * (_dang div {int(n_t)}))) div 100"
                     )
                 ).cast("long").alias("s"),
             )

@@ -86,15 +86,25 @@ def bradley_terry_strengths(
             "update (n_ij * 1e12) is exact only to 9.2e6 matches per "
             "pair — pre-aggregate duels (e.g. per epoch) or shard pairs"
         )
-    players = nij.select(F.col("_i").alias("id")).distinct().localCheckpoint(eager=True)
-    n_players = players.count()
+    # One aggregation serves both the win totals AND the player set
+    # (every player appears as _i after symmetrization, zero-win
+    # players included with w = 0) — the separate players distinct
+    # paid its own shuffle + checkpoint for the same key set (r14,
+    # guide §2.4). wins is checkpointed because every MM round joins
+    # it; left lazy each round re-aggregated the pair table.
+    wins = (
+        nij.groupBy(F.col("_i").alias("id"))
+        .agg(F.sum("wij").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    n_players = wins.count()
     if n_players == 0:
         raise ValueError("duel stream is empty")
     # normalization headroom: praw <= w * 1e12 / d and the re-pin
     # multiplies by n_players * 1e6 — enforced implicitly by ANSI long
     # arithmetic (raises, never wraps); the up-front guard above bounds
     # the dominant term.
-    wins = nij.groupBy(F.col("_i").alias("id")).agg(F.sum("wij").alias("w"))
+    players = wins.select("id")
 
     # The strength/win tables are O(players) rows of (key, long) —
     # KB-to-MB scale for any leaderboard that fits the integer model —
@@ -109,7 +119,6 @@ def bradley_terry_strengths(
 
     p = players.select("id", F.lit(MICRO).cast("long").alias("p"))
     for _ in range(iterations):
-        p = p.localCheckpoint(eager=True)
         pi = hint(p.select(F.col("id").alias("_i"), F.col("p").alias("_pi")))
         pj = hint(p.select(F.col("id").alias("_j"), F.col("p").alias("_pj")))
         denom = (
@@ -119,9 +128,17 @@ def bradley_terry_strengths(
             .groupBy("_i")
             .agg(F.sum("_t").alias("d"))
         )
+        # Checkpoint RAW, not next-round p (r14, guide §1.2/§5): the
+        # normalization total below is a separate action over this same
+        # subtree, so with the checkpoint at the loop top the pair join
+        # + per-player reduce executed TWICE per MM round — once for
+        # the collect, once when the next round's checkpoint re-derived
+        # p. Pinning raw runs the heavy subtree exactly once; p and the
+        # total are narrow consumers of the pinned O(players) block.
         raw = (
             denom.join(hint(wins), denom["_i"] == wins["id"])
             .select("id", F.expr("(w * 1000000000000) div greatest(d, 1)").alias("praw"))
+            .localCheckpoint(eager=True)
         )
         total = raw.agg(F.coalesce(F.sum("praw"), F.lit(0))).collect()[0][0]
         if not total:  # unreachable for non-empty streams: a duel

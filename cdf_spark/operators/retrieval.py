@@ -52,7 +52,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .index_base import IndexArtifact
-from .text import hash64, hash64_py
+from .text import hash64, hash64_py, spread_compute
 
 MICRO = 1_000_000.0
 _BUCKETS = 16
@@ -175,6 +175,10 @@ def bm25_topk(
     stats collect (N, total length) is bounded driver state. A
     growing corpus should use `InvertedIndex` — this recomputes tf
     from scratch per call."""
+    # tokenization runs in the scan stage — spread a single-split
+    # corpus so both the tf build and the lens pass fan out (r14,
+    # guide §2.5; no-op at real scale)
+    docs = spread_compute(docs)
     tf = _doc_tf(docs, text_col, id_col)
     lens = docs.select(F.size(_tok_array(F.col(text_col))).alias("dl"))
     n_docs, total = lens.agg(
@@ -674,6 +678,7 @@ def bm25_prf_expand(
     """
     if fb_k < 1 or expand_m < 1 or k < 1:
         raise ValueError("fb_k, expand_m and k must all be positive")
+    docs = spread_compute(docs)  # r14, guide §2.5; no-op at real scale
     tf = _doc_tf(docs, text_col, id_col).drop("ps").localCheckpoint(eager=True)
     lens = docs.select(F.size(_tok_array(F.col(text_col))).alias("dl"))
     n_docs, total = lens.agg(

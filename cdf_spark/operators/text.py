@@ -31,6 +31,27 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def spread_compute(df: DataFrame) -> DataFrame:
+    """Parallelism guard for compute-bound text stages (r14; the rule
+    `decontamination_overlap` proved in r2 and `similarity._spread`
+    generalized): a small corpus file arrives as ONE input split
+    (openCostInBytes floors the split size), so a tokenize/gram-hash
+    stage downstream of the scan runs on a single core regardless of
+    cluster width. When the scan's parallelism is below the shuffle-
+    partition target, spread the rows first — the shuffle moves only
+    the raw text bytes once, and every hash/explode after it fans out.
+    At real scale the input already has >= target splits and this is a
+    NO-OP (no shuffle added) — the guard reads the plan, not a
+    constant tuned to local mode."""
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        if df.rdd.getNumPartitions() >= nparts:
+            return df
+    except Exception:  # noqa: BLE001 — parallelism probe is best-effort
+        return df
+    return df.repartition(nparts)
+
+
 def occurrences(col: Column, needle: str) -> Column:
     """Count non-overlapping occurrences of a literal substring —
     (len(s) - len(replace(s, needle, ''))) / len(needle)."""

@@ -14022,8 +14022,11 @@ def retrieval_eval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     run."""
     from .operators.evaluation import retrieval_metrics
     from .operators.retrieval import _tok_array, bm25_topk
+    from .operators.text import spread_compute
 
-    docs = _t(spark, sf, "documents")
+    # spread once here: the qrels tokenize leg below runs in the scan
+    # stage (r14, guide §2.5); bm25_topk's own guard then no-ops
+    docs = spread_compute(_t(spark, sf, "documents"))
     run = bm25_topk(docs, _bm25_query_df(spark), k=10)
     toks = docs.select("doc_id", _tok_array(F.col("text")).alias("_ts"))
     qt = spark.createDataFrame(
