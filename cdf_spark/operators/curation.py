@@ -111,10 +111,16 @@ def decontamination_overlap(
     is a no-op (no shuffle added).
     """
     candidates = spread_compute(candidates)  # r14: the shared guard
+    # NO .filter(n_grams > 0): the explode below already yields zero
+    # rows for gram-less docs (identical output), and the filter was
+    # actively harmful — Catalyst pushed it below the spread exchange,
+    # dragging the whole gram-hash expression into the single-split
+    # scan stage AND re-evaluating it after the shuffle (r14; the
+    # pure-JVM analog of guide §4.4's duplicated-UDF pushdown).
     cand = candidates.select(
         F.col(id_col).alias("id"),
         word_ngram_hashes(F.col(text_col), n, hash_fn).alias("grams"),
-    ).withColumn("n_grams", F.size("grams")).filter(F.col("n_grams") > 0)
+    ).withColumn("n_grams", F.size("grams"))
 
     eval_grams = (
         eval_set.select(F.explode(word_ngram_hashes(F.col(text_col), n, hash_fn)).alias("g"))
@@ -163,14 +169,17 @@ def decontamination_pairs(
 
     Output: (id_col, eval_id_col, n_shared, jaccard, contaminated).
     """
+    # no size>0 filters: explode + inner join already drop gram-less
+    # docs (identical output; the filters pushed the gram-hash below
+    # the scan exchange — see decontamination_overlap, r14)
     cand = candidates.select(
         F.col(id_col).alias("_id"),
         word_ngram_hashes(F.col(text_col), n, hash_fn).alias("grams"),
-    ).withColumn("n_grams", F.size("grams")).filter(F.col("n_grams") > 0)
+    ).withColumn("n_grams", F.size("grams"))
     ev = eval_set.select(
         F.col(eval_id_col).alias("_eid"),
         word_ngram_hashes(F.col(text_col), n, hash_fn).alias("egrams"),
-    ).withColumn("n_eval", F.size("egrams")).filter(F.col("n_eval") > 0)
+    ).withColumn("n_eval", F.size("egrams"))
     ev_ex = ev.select("_eid", "n_eval", F.explode("egrams").alias("g"))
     cand_ex = cand.select("_id", "n_grams", F.explode("grams").alias("g"))
     pairs = (

@@ -322,7 +322,13 @@ def connected_components_star(
     """
     if max_rounds < 1:
         raise ValueError("max_rounds must be positive")
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize the raw edge list ONCE — the node set and the deduped
+    # edge set both derive from it, and left lazy the caller's upstream
+    # build (typically a join+distinct pipeline) executed twice during
+    # setup (r14, guide §1.2)
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         raw.select(F.col("a").alias("id"))
         .union(raw.select(F.col("b").alias("id")))
@@ -335,7 +341,21 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_cnt = e.count()
+    # Convergence prefilter (r14): count equality alone is a WEAK
+    # signal — a contracting graph holds its edge count for many rounds
+    # while the set still changes, so the exact exceptAll set-diff (a
+    # full shuffle of the edge set) ran nearly every round. The
+    # order-independent XOR-of-hashes signature (valid on a DISTINCT
+    # edge set; never overflows under ANSI) changes whenever the set
+    # changes except with probability 2^-64, so exceptAll now runs
+    # ~once, at the true fixpoint — and it still CONFIRMS: a signature
+    # collision would be caught (non-empty diff -> keep iterating),
+    # preserving the exact-convergence contract at any scale.
+    _sig = [
+        F.count(F.lit(1)).alias("_n"),
+        F.expr("bit_xor(xxhash64(a, b))").alias("_h"),
+    ]
+    prev_cnt, prev_sig = e.agg(*_sig).collect()[0]
     for _ in range(max_rounds):
         # duplicates from (a,b)+(b,a) pairs are harmless below: MIN
         # absorbs them and the emission dedups at nxt — no distinct here
@@ -363,11 +383,11 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        cnt = nxt.count()
-        if cnt == prev_cnt and nxt.exceptAll(e).isEmpty():
+        cnt, sig = nxt.agg(*_sig).collect()[0]
+        if cnt == prev_cnt and sig == prev_sig and nxt.exceptAll(e).isEmpty():
             e = nxt
             break
-        e, prev_cnt = nxt, cnt
+        e, prev_cnt, prev_sig = nxt, cnt, sig
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_rounds} "

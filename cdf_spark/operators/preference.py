@@ -140,12 +140,15 @@ def bradley_terry_strengths(
             .select("id", F.expr("(w * 1000000000000) div greatest(d, 1)").alias("praw"))
             .localCheckpoint(eager=True)
         )
-        total = raw.agg(F.coalesce(F.sum("praw"), F.lit(0))).collect()[0][0]
-        if not total:  # unreachable for non-empty streams: a duel
-            # always has a winner after symmetrization — kept as an
-            # invariant guard, not a reachable contract
-            raise ValueError("all strengths collapsed to zero")
-        p = raw.select(
-            "id", F.expr(f"(praw * {n_players * MICRO}) div {int(total)}").alias("p")
+        # The normalization total rides the plan as a 1-row broadcast
+        # frame instead of a per-round driver collect (r14, the
+        # PageRank dangling-mass discipline): same floor division, one
+        # job per MM round instead of two. An all-zero collapse —
+        # unreachable for non-empty streams, since a duel always has a
+        # winner after symmetrization — now surfaces as ANSI division
+        # by zero (loud), replacing the old collected-total raise.
+        tot = raw.agg(F.coalesce(F.sum("praw"), F.lit(0)).alias("_tot"))
+        p = raw.crossJoin(F.broadcast(tot)).select(
+            "id", F.expr(f"(praw * {n_players * MICRO}) div _tot").alias("p")
         )
     return p.select("id", F.col("p").alias("strength_unat"))

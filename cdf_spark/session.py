@@ -26,6 +26,21 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Broadcast threshold: dims like region/nation/supplier always fit.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # InferFiltersFromGenerate synthesizes `size(arr)>0 AND isnotnull`
+    # below every explode. For this engine's explodes the array is an
+    # EXPENSIVE COMPUTED expression (tokenize / gram-hash / feature-
+    # hash), so the inferred filter re-evaluates that expression a
+    # second time AND filter-pushdown drags it below the nearest
+    # exchange into the scan stage — measured 3x on the
+    # decontamination gram pass at sf0.1, and the same duplicated CPU
+    # exists at any scale (guide §4.4's duplicated-evaluation pathology
+    # with a pure-JVM expression). Explode itself already drops empty
+    # arrays, so excluding the rule is semantics-neutral; the only
+    # forgone benefit is scan-level pruning of empty STORED arrays,
+    # which this engine never relies on.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # Don't let tiny local tests inherit the 200-partition default.
     "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
