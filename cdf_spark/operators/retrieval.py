@@ -130,20 +130,29 @@ def _score_topk(
     bounded query-set cardinality, ranking only docs that matched at
     least one term.
 
-    Measured non-optimization, banked (r12): eagerly checkpointing
-    the ≤|query terms|-row df table looks like the NB-fit discipline
-    (its lineage contains the corpus explode) but measures ~30%
-    SLOWER at sf0.1 — within ONE plan Catalyst's ReuseExchange
-    already dedupes the identical tf subtree across the df branch
-    and the scoring branch, so the checkpoint only adds a separate
-    eager job. The NB/DSIR checkpoints pay off because their counts
-    feed SEPARATE ACTIONS (collect + later plans), where exchange
-    reuse cannot apply."""
+    Measured non-optimization, banked (r12, amended r14): eagerly
+    checkpointing the ≤|query terms|-row df table measures ~30%
+    SLOWER at sf0.1 — the checkpoint adds a separate eager job, and
+    an eager tf checkpoint inside this shared tail double-pins when
+    the caller (PRF) already checkpoints its tf. The r14 fix is
+    structural instead: df rides a window over the matched rows, so
+    the tf subtree has exactly one consumer and no pin is needed."""
     matched = tf.join(F.broadcast(qterms.select("tok").distinct()), on="tok")
-    dfreq = matched.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # df per term as a WINDOW over matched rather than a groupBy +
+    # broadcast-join of the same subtree (r14, guide §2.4): the agg
+    # form made `matched` — whose lineage is the corpus-scale tf
+    # build — a two-consumer subtree, and under AQE the exchange is
+    # NOT reused across the branches (the before-plan shows the
+    # tokenize+tf pipeline twice). The window shuffles only the
+    # matched rows (postings of the query terms — query-set-bounded,
+    # never corpus-scale) and the tf pipeline now appears exactly
+    # once in the plan. Value-identical: count over the tok partition
+    # IS the per-term document frequency the agg computed.
+    with_df = matched.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
     scored = (
-        matched.join(F.broadcast(qterms), on="tok")
-        .join(F.broadcast(dfreq), on="tok")
+        with_df.join(F.broadcast(qterms), on="tok")
         .select("qid", "_id", _bm25_partial_unat(n_docs, avgdl).alias("_s"))
         .groupBy("qid", "_id")
         .agg(F.sum("_s").alias("score_unat"))
