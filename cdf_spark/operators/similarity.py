@@ -638,7 +638,14 @@ def _ivf_probe_topk(
     takes its `nprobe` nearest lists, and re-scores exactly only the
     postings in those lists. `assigned` is (id, cluster, _v) — from a
     one-shot `ivf_assign` or a persisted `IVFIndex`; the probe is the
-    same code path either way."""
+    same code path either way.
+
+    r14 (guide §4.2, hoisting invariant work): the candidate-scan
+    cosine is an interpreted HOF fold (array lambdas never enter
+    codegen), and `cosine(q, v)` re-folds BOTH norms per pair. The
+    norms are per-vector invariants — computed once per probe row and
+    once per corpus row, the per-pair work halves (dot only). Same
+    fold order and operand order -> bit-identical doubles."""
     wq = Window.partitionBy("query_id").orderBy(F.col("_qsim").desc(), F.col("cluster").asc())
     probes = (
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
@@ -646,12 +653,17 @@ def _ivf_probe_topk(
         .withColumn("_qsim", F.round(cosine(F.col("_qv"), F.col("_ce")), round_to))
         .withColumn("_qrank", F.row_number().over(wq))
         .filter(F.col("_qrank") <= nprobe)
-        .select("query_id", "_qv", "cluster")
+        .select("query_id", "_qv", norm(F.col("_qv")).alias("_qvn"), "cluster")
     )
-    cand = assigned.join(F.broadcast(probes), on="cluster").filter(
-        F.col("id") != F.col("query_id")
+    cand = (
+        assigned.withColumn("_vn", norm(F.col("_v")))
+        .join(F.broadcast(probes), on="cluster")
+        .filter(F.col("id") != F.col("query_id"))
     )
-    scored = cand.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_v")), round_to))
+    scored = cand.withColumn(
+        "sim",
+        F.round(dot(F.col("_qv"), F.col("_v")) / (F.col("_qvn") * F.col("_vn")), round_to),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1680,7 +1692,16 @@ def ivf_sq8_ann_topk(
         F.col(corpus_id).alias("cid"), F.col(vec_col).alias("ce")
     )
     assigned = ivf_assign(corpus, cents, id_col=corpus_id, vec_col=vec_col, round_to=round_to)
-    assigned = assigned.withColumn("_qc", sq8_codes(F.col("_v")))
+    # per-corpus-row invariants hoisted off the candidate scan (r14,
+    # guide §4.2): codes, code norm, and float norm fold ONCE per row
+    # here instead of once per candidate PAIR below — the HOF folds
+    # are interpreted, so this halves the scan's lambda evals. Same
+    # fold/operand order -> bit-identical doubles.
+    assigned = (
+        assigned.withColumn("_qc", sq8_codes(F.col("_v")))
+        .withColumn("_qcn", norm(F.col("_qc")))
+        .withColumn("_vn", norm(F.col("_v")))
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("_qsim").desc(), F.col("cluster").asc())
     probes = (
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
@@ -1688,7 +1709,14 @@ def ivf_sq8_ann_topk(
         .withColumn("_qsim", F.round(cosine(F.col("_qv"), F.col("_ce")), round_to))
         .withColumn("_qrank", F.row_number().over(wq))
         .filter(F.col("_qrank") <= nprobe)
-        .select("query_id", "_qv", sq8_codes(F.col("_qv")).alias("_qq"), "cluster")
+        .select(
+            "query_id",
+            "_qv",
+            norm(F.col("_qv")).alias("_qvn"),
+            sq8_codes(F.col("_qv")).alias("_qq"),
+            "cluster",
+        )
+        .withColumn("_qqn", norm(F.col("_qq")))
     )
     cand = assigned.join(F.broadcast(probes), on="cluster").filter(
         F.col("id") != F.col("query_id")
@@ -1696,13 +1724,19 @@ def ivf_sq8_ann_topk(
     # int8 candidate scan: exact-in-double code similarity (rounded at
     # the SAME precision as the oracle so the shortlist cut can never
     # diverge on a tie the other engine doesn't see)
-    scored8 = cand.withColumn("_csim", F.round(cosine(F.col("_qq"), F.col("_qc")), round_to))
+    scored8 = cand.withColumn(
+        "_csim",
+        F.round(dot(F.col("_qq"), F.col("_qc")) / (F.col("_qqn") * F.col("_qcn")), round_to),
+    )
     ws = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("id").asc())
     short = (
         scored8.withColumn("_srank", F.row_number().over(ws))
         .filter(F.col("_srank") <= k * shortlist)
     )
-    rescored = short.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_v")), round_to))
+    rescored = short.withColumn(
+        "sim",
+        F.round(dot(F.col("_qv"), F.col("_v")) / (F.col("_qvn") * F.col("_vn")), round_to),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
     return (
         rescored.withColumn("rank", F.row_number().over(w))
@@ -1754,12 +1788,18 @@ def ivf_hard_negatives(
         .withColumn("_qsim", F.round(cosine(F.col("_qv"), F.col("_ce")), round_to))
         .withColumn("_qrank", F.row_number().over(wq))
         .filter(F.col("_qrank") <= nprobe)
-        .select("query_id", "_qv", "_ql", "cluster")
+        # norms hoisted off the candidate scan — see _ivf_probe_topk (r14)
+        .select("query_id", "_qv", norm(F.col("_qv")).alias("_qvn"), "_ql", "cluster")
     )
-    cand = assigned.join(F.broadcast(probes), on="cluster").filter(
-        (F.col("id") != F.col("query_id")) & (F.col("_nl") != F.col("_ql"))
+    cand = (
+        assigned.withColumn("_vn", norm(F.col("_v")))
+        .join(F.broadcast(probes), on="cluster")
+        .filter((F.col("id") != F.col("query_id")) & (F.col("_nl") != F.col("_ql")))
     )
-    scored = cand.withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_v")), round_to))
+    scored = cand.withColumn(
+        "sim",
+        F.round(dot(F.col("_qv"), F.col("_v")) / (F.col("_qvn") * F.col("_vn")), round_to),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
