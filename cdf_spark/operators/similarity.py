@@ -565,22 +565,44 @@ def ivf_assign(
     step): one broadcast pass over the corpus, O(|C| x |centroids|)
     with NO shuffle of the corpus itself. Ties break on centroid id
     over the ROUNDED similarity so the assignment is reproducible in
-    SQL. Output: (id, cluster, vec)."""
-    w = Window.partitionBy("id").orderBy(F.col("_csim").desc(), F.col("cluster").asc())
-    return (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
-        .crossJoin(
-            F.broadcast(
-                centroids.select(
-                    F.col(centroid_id).alias("cluster"), F.col(centroid_vec).alias("_ce")
-                )
-            )
-        )
-        .withColumn("_csim", F.round(cosine(F.col("_v"), F.col("_ce")), round_to))
-        .withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") == 1)
-        .select("id", "cluster", "_v")
+    SQL. Output: (id, cluster, vec).
+
+    r14 (guide §2.2/§4.2): the argmax was a row_number window, which
+    SHUFFLED every (vector x centroid) pair row — vector payload
+    included — before cutting to rank 1; it is now a map-side-
+    combinable MIN over struct((-sim, centroid, vec)), so the exchange
+    carries one row per vector instead of |centroids| rows per vector
+    (the struct's lexicographic order IS the window's sort: highest
+    rounded sim, then lowest centroid id — the vec field is never
+    compared because centroid ids are distinct). Both norms are also
+    hoisted out of the per-pair cosine: the centroid norm folds once
+    per centroid on the broadcast side, the vector norm once per
+    corpus row before the join. Same fold/operand order, same rounded
+    doubles, same tie-break -> the assignment is value-identical."""
+    cents = F.broadcast(
+        centroids.select(
+            F.col(centroid_id).alias("cluster"), F.col(centroid_vec).alias("_ce")
+        ).withColumn("_cen", norm(F.col("_ce")))
     )
+    pairs = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .withColumn("_vn", norm(F.col("_v")))
+        .crossJoin(cents)
+        .withColumn(
+            "_csim",
+            F.round(dot(F.col("_v"), F.col("_ce")) / (F.col("_vn") * F.col("_cen")), round_to),
+        )
+    )
+    best = pairs.groupBy("id").agg(
+        F.min(
+            F.struct(
+                (-F.col("_csim")).alias("_ns"),
+                F.col("cluster").alias("_c"),
+                F.col("_v").alias("_bv"),
+            )
+        ).alias("_b")
+    )
+    return best.select("id", F.col("_b._c").alias("cluster"), F.col("_b._bv").alias("_v"))
 
 
 def ivf_ann_topk(
