@@ -8709,7 +8709,10 @@ def bpe_learn_merges_q(spark: SparkSession, sf: str) -> DataFrame:
     at ANY step diverges every later step and hash-mismatches."""
     from .operators.bpe import bpe_merges_df, learn_bpe
 
-    merges = learn_bpe(_t(spark, sf, "documents"), n_merges=_BPE_N_MERGES)
+    # batched-exact training (r14): identical merges, fewer driver rounds
+    merges = learn_bpe(
+        _t(spark, sf, "documents"), n_merges=_BPE_N_MERGES, batch=_BPE_N_MERGES
+    )
     return bpe_merges_df(spark, merges)
 
 
@@ -8743,7 +8746,11 @@ def bpe_fast_apply_segmentation_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.bpe import apply_bpe_fast, corpus_words, learn_bpe
 
     docs = _t(spark, sf, "documents")
-    merges = learn_bpe(docs, n_merges=_BPE_N_MERGES)
+    # batched-exact training (r14, guide §5.2): batch=K collapses the
+    # 8 sequential argmax rounds into ~2 pairwise-independent-merge
+    # rounds with IDENTICAL merges (the _exact_batch property gate),
+    # cutting driver round-trips; the oracle replays the same chain
+    merges = learn_bpe(docs, n_merges=_BPE_N_MERGES, batch=_BPE_N_MERGES)
     return apply_bpe_fast(corpus_words(docs).select("word"), merges)
 
 
@@ -8778,7 +8785,11 @@ def bpe_doc_token_counts_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.bpe import apply_bpe, corpus_words, learn_bpe
 
     docs = _t(spark, sf, "documents")
-    merges = learn_bpe(docs, n_merges=_BPE_N_MERGES)
+    # batched-exact training (r14, guide §5.2): batch=K collapses the
+    # 8 sequential argmax rounds into ~2 pairwise-independent-merge
+    # rounds with IDENTICAL merges (the _exact_batch property gate),
+    # cutting driver round-trips; the oracle replays the same chain
+    merges = learn_bpe(docs, n_merges=_BPE_N_MERGES, batch=_BPE_N_MERGES)
     seg = apply_bpe(corpus_words(docs).select("word"), merges).select(
         "word", F.size(F.split("segmented", " ")).alias("n_sym")
     )
