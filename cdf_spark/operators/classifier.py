@@ -147,7 +147,14 @@ def nb_predict(
     Shape: token stream × broadcast(label list) candidate pairs,
     left-join the broadcast model on (label, tok), coalesce to the
     per-label OOV floor, groupBy (doc, candidate) integer sum + prior,
-    per-doc window argmax. 2 shuffles + broadcasts, zero Python."""
+    per-doc window argmax. 2 shuffles + broadcasts, zero Python.
+
+    The training label RIDES the token stream (guide §2.4, r14):
+    label is functionally dependent on the doc id, so carrying it
+    through the explode and the (doc, label) agg key is free — the
+    earlier `ranked ⋈ truth` re-join on doc_id was a corpus-scale
+    SortMergeJoin (2 exchanges + 1 extra document scan) that existed
+    only to re-attach a column the scan already had."""
     counts, n_label, v = _fit(df, text_col, label_col)
     d_tot = df.count()
     doc_counts = df.groupBy(F.col(label_col).alias("_cand")).agg(
@@ -160,9 +167,14 @@ def nb_predict(
         doc_counts,
         math.log(d_tot),
     )
-    ranked = _score(_toks(df, text_col, id_col), model, lab, id_col)
-    truth = df.select(F.col(id_col), F.col(label_col).alias("label"))
-    return ranked.join(truth, on=id_col).select(
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    return _score(toks, model, lab, id_col, carry=("label",)).select(
         id_col, "label", "predicted", "score_unat", "margin_unat"
     )
 
@@ -194,19 +206,28 @@ def _model_tables(counts, n_label, v: int, doc_counts, ln_d_tot: float):
     return model, lab
 
 
-def _score(toks: DataFrame, model, lab, id_col: str) -> DataFrame:
+def _score(toks: DataFrame, model, lab, id_col: str, carry: tuple = ()) -> DataFrame:
     """Score a token stream against broadcast model tables and take
     the per-doc argmax: token x label candidates, left-join the model
     with the per-label OOV floor, one (doc, label) integer-sum agg,
-    one per-doc window. Output (id, predicted, score_unat,
-    margin_unat)."""
+    one per-doc window. Output (id, *carry, predicted, score_unat,
+    margin_unat). `carry` names token-stream columns functionally
+    dependent on the doc id (e.g. the training label) that ride the
+    agg key instead of being re-joined afterwards — free in the agg
+    (cardinality unchanged), saves the caller a doc-level join."""
+    carry = list(carry)
     scored = (
         toks.crossJoin(F.broadcast(lab.select("_cand", "oov_unat")))
         .join(F.broadcast(model), on=["_cand", "tok"], how="left")
-        .groupBy("_id", "_cand")
+        .groupBy("_id", *carry, "_cand")
         .agg(F.sum(F.coalesce(F.col("lp_unat"), F.col("oov_unat"))).alias("_s"))
         .join(F.broadcast(lab.select("_cand", "prior_unat")), on="_cand")
-        .select("_id", "_cand", (F.col("_s") + F.col("prior_unat")).alias("score_unat"))
+        .select(
+            "_id",
+            *carry,
+            "_cand",
+            (F.col("_s") + F.col("prior_unat")).alias("score_unat"),
+        )
     )
     w = Window.partitionBy("_id").orderBy(
         F.col("score_unat").desc(), F.col("_cand").asc()
@@ -214,6 +235,7 @@ def _score(toks: DataFrame, model, lab, id_col: str) -> DataFrame:
     return (
         scored.select(
             "_id",
+            *carry,
             "_cand",
             "score_unat",
             F.row_number().over(w).alias("_rn"),
@@ -222,6 +244,7 @@ def _score(toks: DataFrame, model, lab, id_col: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select(
             F.col("_id").alias(id_col),
+            *carry,
             F.col("_cand").alias("predicted"),
             "score_unat",
             F.coalesce(F.col("_gap"), F.lit(0)).cast("long").alias("margin_unat"),
