@@ -362,3 +362,46 @@ def test_ivf_sq8_recall_vs_exact(spark):
     }
     overlap = len(sq8 & ivf) / len(ivf)
     assert overlap >= 0.95, f"SQ8 shortlist lost too much vs plain IVF: {overlap:.3f}"
+
+
+def test_pin_cents_gate_is_value_neutral_and_cuts_scans(spark):
+    """r14 `_pin_cents`: the twice-consumed centroid sample (assignment
+    + probe ranking) re-reads the whole embedding column per consumer —
+    the modulo filter cannot prune parquet. Above the size gate the
+    sample is eagerly checkpointed; this asserts (a) the default gate
+    leaves small inputs unpinned, (b) a forced gate halves the corpus
+    scans in the final plan, and (c) pinned output is value-identical."""
+    from cdf_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+
+    def plan_scans(df) -> int:
+        df.write.mode("overwrite").format("noop").save()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return plan.count("Scan parquet")
+
+    gate_key = "spark.cdf.ivf.pinCentsMinBytes"
+    old = spark.conf.get(gate_key, None)
+    try:
+        spark.conf.set(gate_key, str(1 << 61))  # never pin
+        off = ivf_ann_topk(emb, queries, k=10, nprobe=4, centroid_modulus=50)
+        off_scans = plan_scans(off)
+        off_rows = sorted(map(tuple, off.collect()))
+
+        spark.conf.set(gate_key, "1")  # always pin
+        on = ivf_ann_topk(emb, queries, k=10, nprobe=4, centroid_modulus=50)
+        on_scans = plan_scans(on)
+        on_rows = sorted(map(tuple, on.collect()))
+    finally:
+        if old is None:
+            spark.conf.unset(gate_key)
+        else:
+            spark.conf.set(gate_key, old)
+
+    assert on_rows == off_rows
+    # formatted plans print each node twice (tree + detail): 4 scans
+    # unpinned (cents x2, corpus, queries) -> 2 pinned
+    assert off_scans == 8 and on_scans == 4, (off_scans, on_scans)
