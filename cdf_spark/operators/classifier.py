@@ -154,8 +154,34 @@ def nb_predict(
     through the explode and the (doc, label) agg key is free — the
     earlier `ranked ⋈ truth` re-join on doc_id was a corpus-scale
     SortMergeJoin (2 exchanges + 1 extra document scan) that existed
-    only to re-attach a column the scan already had."""
-    counts, n_label, v = _fit(df, text_col, label_col)
+    only to re-attach a column the scan already had.
+
+    ONE corpus tokenize feeds train AND predict (guide §1.2, r14):
+    train-and-score used to tokenize the corpus twice — once in the
+    fit's (label, token) count, once in the scoring stream. The
+    per-(doc, label, token) tf table subsumes both: summing tf by
+    (label, token) IS the fit's occurrence count, and scoring weights
+    each distinct (doc, token) row by tf (Σ over occurrences of
+    lp == tf · lp exactly — integer micro-nats), which also shrinks
+    the token × label candidate fan-out from per-occurrence to
+    per-distinct-token rows before the scoring aggregate (§2.3)."""
+    tokd = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("label"),
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .groupBy("_id", "label", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        tokd.groupBy("label", "tok").agg(F.sum("tf").alias("c")).localCheckpoint(eager=True)
+    )
+    v = counts.select("tok").distinct().count()
+    n_label = counts.groupBy("label").agg(F.sum("c").alias("n_label"))
     d_tot = df.count()
     doc_counts = df.groupBy(F.col(label_col).alias("_cand")).agg(
         F.count(F.lit(1)).alias("d_l")
@@ -167,14 +193,11 @@ def nb_predict(
         doc_counts,
         math.log(d_tot),
     )
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(label_col).alias("label"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
-        ).alias("tok"),
-    )
-    return _score(toks, model, lab, id_col, carry=("label",)).select(
+    # lab feeds two broadcast builds in _score (OOV floors + priors);
+    # left lazy each re-runs the doc_counts scan — the pin is
+    # O(labels) rows
+    lab = lab.localCheckpoint(eager=True)
+    return _score(tokd, model, lab, id_col, carry=("label",), weight="tf").select(
         id_col, "label", "predicted", "score_unat", "margin_unat"
     )
 
@@ -206,7 +229,9 @@ def _model_tables(counts, n_label, v: int, doc_counts, ln_d_tot: float):
     return model, lab
 
 
-def _score(toks: DataFrame, model, lab, id_col: str, carry: tuple = ()) -> DataFrame:
+def _score(
+    toks: DataFrame, model, lab, id_col: str, carry: tuple = (), weight: str | None = None
+) -> DataFrame:
     """Score a token stream against broadcast model tables and take
     the per-doc argmax: token x label candidates, left-join the model
     with the per-label OOV floor, one (doc, label) integer-sum agg,
@@ -214,13 +239,19 @@ def _score(toks: DataFrame, model, lab, id_col: str, carry: tuple = ()) -> DataF
     margin_unat). `carry` names token-stream columns functionally
     dependent on the doc id (e.g. the training label) that ride the
     agg key instead of being re-joined afterwards — free in the agg
-    (cardinality unchanged), saves the caller a doc-level join."""
+    (cardinality unchanged), saves the caller a doc-level join.
+    `weight` names an integer term-frequency column when `toks` is a
+    pre-aggregated (doc, token, tf) table instead of per-occurrence
+    rows: Σ over tf occurrences of lp == tf · lp exactly (integer
+    micro-nats), so both forms score bit-identically."""
     carry = list(carry)
+    per_tok = F.coalesce(F.col("lp_unat"), F.col("oov_unat"))
+    contrib = per_tok if weight is None else F.col(weight) * per_tok
     scored = (
         toks.crossJoin(F.broadcast(lab.select("_cand", "oov_unat")))
         .join(F.broadcast(model), on=["_cand", "tok"], how="left")
         .groupBy("_id", *carry, "_cand")
-        .agg(F.sum(F.coalesce(F.col("lp_unat"), F.col("oov_unat"))).alias("_s"))
+        .agg(F.sum(contrib).alias("_s"))
         .join(F.broadcast(lab.select("_cand", "prior_unat")), on="_cand")
         .select(
             "_id",

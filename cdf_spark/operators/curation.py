@@ -647,15 +647,29 @@ def lm_perplexity_scores(
     corpus size — the fixed-LM property CCNet relies on); per-doc
     aggregation is 1 shuffle on doc id. At 100 TB: 2 shuffles + 1
     broadcast, zero Python anywhere."""
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
-            )
-        ).alias("tok"),
+    # ONE corpus tokenize feeds the LM fit, its totals and the scoring
+    # pass (r14, guide §1.2 — the lm_bigram pin discipline applied to
+    # the unigram LM): the per-(doc, tok) tf table subsumes all three
+    # consumers, which used to re-tokenize the corpus each (2 scans in
+    # the AQE-final plan + 1 more in the totals collect). Scoring
+    # weights each distinct (doc, tok) row by tf — Σ over occurrences
+    # of lp == tf · lp exactly in integer micro-nats.
+    tokd = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+                )
+            ).alias("tok"),
+        )
+        .groupBy("_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    counts = (
+        tokd.groupBy("tok").agg(F.sum("tf").alias("c")).localCheckpoint(eager=True)
+    )
     totals = counts.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
@@ -671,11 +685,11 @@ def lm_perplexity_scores(
         .alias("lp_unat"),
     )
     scored = (
-        toks.join(F.broadcast(lm), on="tok", how="left")  # corpus-trained: no OOV
+        tokd.join(F.broadcast(lm), on="tok", how="left")  # corpus-trained: no OOV
         .groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lp_unat").alias("_sum_unat"),
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp_unat")).alias("_sum_unat"),
         )
         .select(
             F.col("_id").alias(id_col),
@@ -1409,6 +1423,15 @@ def dsir_importance_weights(
     # parity than the Python-round literal it replaces).
     # feature hashing runs in the scan stage — spread a single-split
     # corpus first (r14, guide §2.5; no-op at real scale)
+    # r12's reshape trusted ReusedExchange to share the (doc, bucket)
+    # exchange across the model and scoring branches — the AQE-final
+    # plan proves it does NOT fire (measured r14: 4 corpus scans, the
+    # explode+hash re-derived per broadcast build: scoring + r_model +
+    # two r_tot frames). Pin the per-(doc, bucket) counts once — the
+    # tfidf/PRF checkpoint discipline; the pin is 3 longs per distinct
+    # (doc, bucket), strictly smaller than the exchange bytes the old
+    # plan shuffled per pass — and pin the ≤ dim-row bucket model so
+    # its three consumers never re-aggregate the corpus-scale fdoc.
     fdoc = (
         spread_compute(corpus)
         .select(
@@ -1417,8 +1440,11 @@ def dsir_importance_weights(
         )
         .groupBy("_id", "b")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
-    r_counts = fdoc.groupBy("b").agg(F.sum("_c").alias("c"))
+    r_counts = (
+        fdoc.groupBy("b").agg(F.sum("_c").alias("c")).localCheckpoint(eager=True)
+    )
     r_tot = r_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("_n_r"))
     ln_r = F.log(F.col("_n_r") + F.lit(float(dim)))
     r_model = r_counts.crossJoin(F.broadcast(r_tot)).select(

@@ -597,6 +597,14 @@ def simhash_pairs(
         )
     else:
         sig = _simhash_hybrid(_spread(df, 100.0), text_col=text_col, id_col=id_col)
+    # the banded self-join consumes `sig` on BOTH sides, and the
+    # AQE-final plan re-derives the whole signature pipeline (corpus
+    # scan + tokenize + the 60-bit vote fold) per side — measured r14:
+    # 2 scans / 2 ArrowEvalPython (hybrid) in one action. The pin is
+    # (id, sh) = 2 longs per doc, the cheapest possible proxy for the
+    # heaviest subtree here (guide §5 localCheckpoint, §8 "decide with
+    # small rows"). Applies to both hash paths; values unchanged.
+    sig = sig.localCheckpoint(eager=True)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -203,28 +203,29 @@ def boilerplate_line_removal(
         .filter(F.col("_df") >= F.ceil(F.col("_n") * F.lit(min_doc_frac)))
         .select("k")
     )
-    kept = ex.join(F.broadcast(boiler), on="k", how="left_anti")
-    agg = kept.groupBy(id_col).agg(
+    # ONE per-doc aggregate does removal, reassembly and the counts
+    # (r14, guide §2.4): the old anti-join + re-join-with-df shape
+    # consumed the exploded corpus twice and the source three times
+    # (4 scans in the AQE-final plan, each re-running the caller's
+    # text-transform lineage). A left-join FLAG keeps every line row,
+    # so collect_list(when(kept)) rebuilds the doc (collect_list skips
+    # nulls), count(*) IS n_lines (split always yields >= 1 element),
+    # and the boilerplate count rides the same aggregate — the `total`
+    # leg remains, but it prunes to a column-less rowcount scan.
+    flagged = ex.join(
+        F.broadcast(boiler.withColumn("_b", F.lit(1))), on="k", how="left"
+    )
+    keep_struct = F.when(F.col("_b").isNull(), F.struct("p", "line"))
+    return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "line"))),
+                F.array_sort(F.collect_list(keep_struct)),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("text_kept"),
-        F.count(F.lit(1)).alias("_n_kept"),
-    )
-    return (
-        df.select(id_col, lines.alias("_lines"))
-        .join(agg, on=id_col, how="left")
-        .select(
-            id_col,
-            F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
-            F.size("_lines").alias("n_lines"),
-            (F.size("_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast(
-                "int"
-            ).alias("n_dropped"),
-        )
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.count("_b").cast("int").alias("n_dropped"),
     )
 
 

@@ -127,9 +127,20 @@ def funnel_counts(
         raise ValueError("a funnel needs at least two steps")
     if len(set(steps)) != len(steps):
         raise ValueError("funnel steps must be distinct event types")
-    ev = events.select(
-        F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), F.col(ts_col).alias("_ts")
-    ).filter(F.col(type_col).isin(steps))
+    # Each step table feeds TWO consumers (the next step's join and
+    # its own count leg), and the count legs re-derived the whole
+    # nested chain — the AQE-final plan scanned `events` 1+2+…+steps
+    # times (measured r14: 6 scans for the 3-step bench funnel). The
+    # iterative-loop checkpoint discipline (BPE/PageRank/MMR) pins the
+    # filtered event cut once and each O(users)-row step table once:
+    # one events scan total, and every count leg is an agg over a pin.
+    ev = (
+        events.select(
+            F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), F.col(ts_col).alias("_ts")
+        )
+        .filter(F.col(type_col).isin(steps))
+        .localCheckpoint(eager=True)
+    )
 
     anchors = (
         ev.filter(F.col("_t") == steps[0])
@@ -137,7 +148,7 @@ def funnel_counts(
         .agg(F.min("_ts").alias("_c1"))
         .select("_u", "_c1", (F.col("_c1") + F.expr(f"INTERVAL {within}")).alias("_hz"))
     )
-    reached = [anchors.select("_u", F.col("_c1").alias("_c"), "_hz")]
+    reached = [anchors.select("_u", F.col("_c1").alias("_c"), "_hz").localCheckpoint(eager=True)]
     for step in steps[1:]:
         prev = reached[-1]
         nxt = (
@@ -148,7 +159,7 @@ def funnel_counts(
             .agg(F.min("_ts").alias("_c"))
             .select("_u", "_c", "_hz")
         )
-        reached.append(nxt)
+        reached.append(nxt.localCheckpoint(eager=True))
 
     spark = events.sparkSession
     labels = spark.createDataFrame(
@@ -193,8 +204,14 @@ def cohort_retention(
     ev = events.select(
         F.col(user_col).alias("_u"), F.date_trunc("week", F.col(ts_col)).cast("date").alias("_w")
     )
-    cohorts = ev.groupBy("_u").agg(F.min("_w").alias("_cw"))
-    active = ev.distinct()
+    # cohorts fold from the DISTINCT activity table, not from raw
+    # events (r14, guide §1.2): min(_w) over distinct (user, week)
+    # equals min over all events exactly, so deriving cohorts from the
+    # pinned `active` cut halves the events scans (the AQE-final plan
+    # read events once per consumer) and the cohort agg now reduces
+    # O(users × active weeks) rows instead of O(events).
+    active = ev.distinct().localCheckpoint(eager=True)
+    cohorts = active.groupBy("_u").agg(F.min("_w").alias("_cw"))
     return (
         active.join(cohorts, on="_u")
         .select(

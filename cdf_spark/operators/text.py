@@ -214,7 +214,16 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"),
         F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)).alias("term"),
     )
-    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds two consumers (the document-frequency broadcast build
+    # and the scoring join) and AQE does not reuse the exchange across
+    # them — the AQE-final plan tokenized the corpus twice (r14). The
+    # pin is the narrow (id, term, tf) posting table, the same
+    # discipline as tfidf_doc_similarity's.
+    tf = (
+        terms.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     n_docs = df.count()
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
