@@ -43,7 +43,7 @@ Scale posture (1B-edge graph on a 1000-executor cluster):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000
@@ -223,8 +223,8 @@ def connected_components(
     id; each round a node takes the minimum of its label and its
     neighbors' labels; at fixpoint each component is labeled by its
     minimum node id. Converges in diameter(G) rounds — the driver
-    stops at the first round that changes no label (a 1-row bounded
-    collect per round, the suite's convergence-check contract; the
+    stops at the first round that changes no label (the changed-count
+    rides the round's checkpoint job as an observed metric; the
     same algorithm the near-dup clusterer runs on its candidate
     graph, exposed here as a first-class graph operator).
 
@@ -255,9 +255,14 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("_nl").alias("_m"))
         )
-        # the change flag rides the label row, so convergence needs no
-        # second join against the previous round — one materialization
-        # + one tiny aggregate per round
+        # the change flag rides the label row, and the changed-count
+        # rides the CHECKPOINT JOB as an observed metric (r14, guide
+        # §1.2/§5): the old `nxt.filter(_ch).count()` was a second
+        # full job over the pinned table every round — pure per-round
+        # scheduling overhead. sum(when(_ch,1)) over all rows equals
+        # the filtered count exactly (null _ch, a left-join miss,
+        # contributes 0 on both paths).
+        obs = Observation()
         nxt = (
             labels.join(cand, "id", "left")
             .select(
@@ -265,9 +270,15 @@ def connected_components(
                 F.least(F.col("l"), F.col("_m")).alias("l"),
                 (F.col("_m") < F.col("l")).alias("_ch"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("_ch"), 1).otherwise(0)), F.lit(0)
+                ).alias("_c"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = nxt.filter(F.col("_ch")).count()
+        changed = obs.get["_c"]
         labels = nxt.select("id", "l")
         if changed == 0:
             return labels.select("id", F.col("l").alias("component"))
@@ -299,8 +310,8 @@ def connected_components_star(
       smaller neighbor AND u itself re-pointed at min(Γ(u) ∪ {u}).
     The fixpoint is a star forest — every node carries one edge to its
     component's minimum id — detected when a round leaves the edge set
-    unchanged (same count + empty exceptAll, both bounded actions on
-    checkpointed sets).
+    unchanged (count + order-independent signature observed on the
+    round's own checkpoint job, then CONFIRMED by an exact exceptAll).
 
     Deterministic by construction (MIN over ids), so a SQL oracle that
     unrolls R >= convergence rounds replays it exactly — extra rounds
@@ -329,18 +340,18 @@ def connected_components_star(
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
+    # the node count (broadcast gate) and the initial edge signature
+    # ride their setup checkpoints as OBSERVED metrics — each used to
+    # be its own full job over the just-pinned table (r14, guide §1.2)
+    obs_nodes = Observation()
     nodes = (
         raw.select(F.col("a").alias("id"))
         .union(raw.select(F.col("b").alias("id")))
         .distinct()
+        .observe(obs_nodes, F.count(F.lit(1)).alias("_n"))
         .localCheckpoint(eager=True)
     )
-    hint = F.broadcast if nodes.count() <= 2_000_000 else (lambda df: df)
-    e = (
-        raw.filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    hint = F.broadcast if obs_nodes.get["_n"] <= 2_000_000 else (lambda df: df)
     # Convergence prefilter (r14): count equality alone is a WEAK
     # signal — a contracting graph holds its edge count for many rounds
     # while the set still changes, so the exact exceptAll set-diff (a
@@ -351,11 +362,21 @@ def connected_components_star(
     # ~once, at the true fixpoint — and it still CONFIRMS: a signature
     # collision would be caught (non-empty diff -> keep iterating),
     # preserving the exact-convergence contract at any scale.
-    _sig = [
-        F.count(F.lit(1)).alias("_n"),
-        F.expr("bit_xor(xxhash64(a, b))").alias("_h"),
-    ]
-    prev_cnt, prev_sig = e.agg(*_sig).collect()[0]
+    def _sig() -> list:
+        return [
+            F.count(F.lit(1)).alias("_n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("_h"),
+        ]
+
+    obs_e = Observation()
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .observe(obs_e, *_sig())
+        .localCheckpoint(eager=True)
+    )
+    _m = obs_e.get
+    prev_cnt, prev_sig = _m["_n"], _m["_h"]
     for _ in range(max_rounds):
         # duplicates from (a,b)+(b,a) pairs are harmless below: MIN
         # absorbs them and the emission dedups at nxt — no distinct here
@@ -375,15 +396,22 @@ def connected_components_star(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         ).filter(F.col("u") != F.col("v"))
         mins2 = dl.groupBy("u").agg(F.min("v").alias("_m"))
+        # the convergence signature rides the checkpoint job as an
+        # observed metric (r14): the separate `nxt.agg(*_sig)` job
+        # doubled the per-round job count — with a fixed O(log² n)
+        # round budget that overhead is the loop's whole local floor
+        obs = Observation()
         nxt = (
             dl.join(hint(mins2), on="u")
             .select(F.col("v").alias("a"), F.col("_m").alias("b"))
             .unionAll(mins2.select(F.col("u").alias("a"), F.col("_m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
+            .observe(obs, *_sig())
             .localCheckpoint(eager=True)
         )
-        cnt, sig = nxt.agg(*_sig).collect()[0]
+        _m = obs.get
+        cnt, sig = _m["_n"], _m["_h"]
         if cnt == prev_cnt and sig == prev_sig and nxt.exceptAll(e).isEmpty():
             e = nxt
             break
