@@ -144,7 +144,17 @@ def ngram_jaccard_pairs_fast(
             lambda i: F.col("_txt").substr(i, F.lit(n)),
         )
     )
-    ex = base.select("id", F.explode(grams).alias("g"))
+    # The gram explode feeds EVERY downstream consumer (freq, the
+    # prefix ranks on both self-join sides, the verify-side sets) and
+    # the AQE-final plan re-derived the whole substr+distinct pipeline
+    # — the dominant per-row CPU — once per consumer (8 corpus scans
+    # measured r14). Pin the narrow (id, g) rows ONCE; downstream
+    # re-reads of the pin are cheap. Pinning the later intermediates
+    # too (freq/prefix/packed) measured SLOWER — four sequential eager
+    # jobs cost more than re-running cheap aggs over this one pin —
+    # so only the expensive-to-derive table is pinned (guide §1.1
+    # empirical loop; §8 "decide with small rows").
+    ex = base.select("id", F.explode(grams).alias("g")).localCheckpoint(eager=True)
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("id").orderBy("c", "g")
     wsz = Window.partitionBy("id")
@@ -228,6 +238,8 @@ def ngram_jaccard_pairs_fast(
             ).alias(f"w{wd}")
 
         word_cols = [_word(wd) for wd in range(nw)]
+        # pa/pb both read this, but it folds from the pinned gram rows
+        # — re-running the cheap pack agg beat pinning it (measured)
         packed = (
             ex.join(F.broadcast(idx), "g")
             .groupBy("id")
@@ -277,7 +289,17 @@ def ngram_jaccard_pairs_fast(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = base.select("id", grams.alias("sh")).withColumn("sz", F.size("sh"))
+    # consumed twice (sa/sb verify sides) — derive the shingle sets
+    # from the pinned gram rows instead of re-running the substr
+    # pipeline per side (collect_list over the pinned (id, g) rows is
+    # the same distinct gram set; order is irrelevant to
+    # array_intersect/size; docs with zero grams can never be
+    # candidates, so their absence from the exploded rows is harmless)
+    sh = (
+        ex.groupBy("id")
+        .agg(F.collect_list("g").alias("sh"))
+        .withColumn("sz", F.size("sh"))
+    )
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
     return (
