@@ -309,9 +309,16 @@ def funnel_conversion_stats(
         raise ValueError("a funnel needs at least two steps")
     if len(set(steps)) != len(steps):
         raise ValueError("funnel steps must be distinct event types")
-    ev = events.select(
-        F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), F.col(ts_col).alias("_ts")
-    ).filter(F.col(type_col).isin(steps))
+    # the filtered event cut feeds the anchor build AND every step
+    # join — pin it once or events is scanned per consumer (r14, the
+    # funnel_counts discipline; was 3 scans for the 3-step funnel)
+    ev = (
+        events.select(
+            F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), F.col(ts_col).alias("_ts")
+        )
+        .filter(F.col(type_col).isin(steps))
+        .localCheckpoint(eager=True)
+    )
     anchors = (
         ev.filter(F.col("_t") == steps[0])
         .groupBy("_u")
@@ -337,9 +344,14 @@ def funnel_conversion_stats(
     )
     from pyspark.sql.window import Window
 
+    # ranked is consumed THREE times (the count plus the median and
+    # p90 branches) — left lazy, each consumer re-ran the whole
+    # step-join chain (r14: 6 scans in the final plan + 3 in the count
+    # job). The pin is O(converted users) rows of three longs; the
+    # count then reads the pin for free.
     w = Window.orderBy(F.col("_ms").asc(), F.col("_u").asc())
-    ranked = conv.withColumn("_rn", F.row_number().over(w))
-    n = conv.count()
+    ranked = conv.withColumn("_rn", F.row_number().over(w)).localCheckpoint(eager=True)
+    n = ranked.count()
     if n == 0:
         return events.sparkSession.createDataFrame(
             [(0, None, None)], "n_converted long, median_ms long, p90_ms long"

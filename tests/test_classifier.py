@@ -103,6 +103,29 @@ def test_nb_predict_corpus_shape(docs):
     assert out.filter(F.col("margin_unat") < 0).count() == 0
 
 
+def test_nb_predict_plan_tokenizes_the_corpus_once(spark):
+    """Regression guard (r14): train-and-score derives BOTH the fit
+    counts and the scoring stream from one pinned per-(doc,label,tok)
+    tf table, so the FINAL plan's only source reads are the bounded
+    doc-count legs — never a tokenize re-derivation (it was two full
+    tokenize pipelines left lazy)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, f"alpha beta tok{i % 4}", "en" if i % 2 else "de") for i in range(30)],
+            ["doc_id", "text", "lang"],
+        ).write.mode("overwrite").parquet(f"{tmp}/docs")
+        docs = spark.read.parquet(f"{tmp}/docs")
+        out = nb_predict(docs, label_col="lang")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the prior/doc-count legs may scan the source (projection-
+        # pruned, no text column); the tokenize pipeline must not
+        assert "pythonUDF" not in plan
+        assert plan.count("Generate") == 0, "explode must live in the pin build"
+        out.count()
+
+
 def test_nb_predict_separable_accuracy(spark):
     """On a corpus whose labels have disjoint vocabularies the
     classifier recovers every training label — the fastText-language-ID

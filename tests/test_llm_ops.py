@@ -169,6 +169,47 @@ def test_ngram_jaccard_fast_ceil_rounding(spark):
     assert fast == {(1, 2): 1.0}
 
 
+def test_ngram_jaccard_fast_plan_derives_everything_from_one_gram_pin(spark):
+    """Regression guard (r14): the substr+distinct gram pipeline — the
+    operator's dominant per-row CPU — is eagerly pinned ONCE and every
+    downstream consumer (freq, both prefix self-join sides, the
+    verify-side sets) derives from the pin; the FINAL plan must never
+    re-scan the source (it was 8 corpus scans left lazy)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, f"abcdefgh{i % 7}stuvwxyz") for i in range(40)],
+            ["doc_id", "text"],
+        ).write.mode("overwrite").parquet(f"{tmp}/docs")
+        docs = spark.read.parquet(f"{tmp}/docs")
+        out = ngram_jaccard_pairs_fast(docs, threshold=0.8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(tmp) == 0, "gram pipeline must be pinned once"
+        out.count()
+
+
+def test_simhash_fast_plan_consumes_one_signature_pin(spark):
+    """Regression guard (r14): simhash_pairs' signature table feeds
+    BOTH sides of the banded self-join — it is eagerly pinned, so the
+    FINAL plan never re-derives the corpus scan + vote fold (it was 2
+    scans / 2 Arrow evals left lazy)."""
+    import tempfile
+
+    from cdf_spark.operators.dedup_approx import simhash_pairs
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, f"common shared text body {i % 3}") for i in range(30)],
+            ["doc_id", "text"],
+        ).write.mode("overwrite").parquet(f"{tmp}/docs")
+        docs = spark.read.parquet(f"{tmp}/docs")
+        out = simhash_pairs(docs, max_hamming=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(tmp) == 0, "signature table must be pinned once"
+        out.count()
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     """LSH candidates verified by exact jaccard: no false positives,
     and high-similarity pairs (j>=0.8) are recovered."""
