@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from .index_base import IndexArtifact
@@ -165,14 +165,21 @@ def nb_predict(
     lp == tf · lp exactly — integer micro-nats), which also shrinks
     the token × label candidate fan-out from per-occurrence to
     per-distinct-token rows before the scoring aggregate (§2.3)."""
+    # the total document count RIDES the tokd pin as an observed
+    # metric over the pre-explode (one row per doc, zero-token docs
+    # included) projection — the separate df.count() was one more
+    # full-corpus job (r14, the §9.3 observe-on-checkpoint pattern)
+    obs = Observation()
     tokd = (
         df.select(
             F.col(id_col).alias("_id"),
             F.col(label_col).alias("label"),
-            F.explode(
-                F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
-            ).alias("tok"),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+            ).alias("_ts"),
         )
+        .observe(obs, F.count(F.lit(1)).alias("d_tot"))
+        .select("_id", "label", F.explode("_ts").alias("tok"))
         .groupBy("_id", "label", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=True)
@@ -182,7 +189,7 @@ def nb_predict(
     )
     v = counts.select("tok").distinct().count()
     n_label = counts.groupBy("label").agg(F.sum("c").alias("n_label"))
-    d_tot = df.count()
+    d_tot = int(obs.get["d_tot"])
     doc_counts = df.groupBy(F.col(label_col).alias("_cand")).agg(
         F.count(F.lit(1)).alias("d_l")
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from .index_base import IndexArtifact
@@ -667,13 +667,17 @@ def lm_perplexity_scores(
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=True)
     )
+    # vocabulary totals RIDE the counts-pin job as observed metrics
+    # (r14, the §9.3 observe-on-checkpoint pattern) — the separate
+    # totals agg was one more job over the just-pinned table
+    obs = Observation()
     counts = (
-        tokd.groupBy("tok").agg(F.sum("tf").alias("c")).localCheckpoint(eager=True)
+        tokd.groupBy("tok")
+        .agg(F.sum("tf").alias("c"))
+        .observe(obs, F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v"))
+        .localCheckpoint(eager=True)
     )
-    totals = counts.agg(
-        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
-    ).collect()[0]
-    n_total, v = int(totals["n_total"]), int(totals["v"])
+    n_total, v = int(obs.get["n_total"]), int(obs.get["v"])
     # micro-nat integer log-prob per vocab entry: round(ln((c+1)/(N+V)) * 1e6)
     lm = counts.select(
         "tok",
@@ -750,9 +754,19 @@ def lm_bigram_perplexity_scores(
         .select("_id", F.col("tok").alias("w1"), "w2")
         .localCheckpoint(eager=True)
     )
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    totals = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
-    n_total, v = int(totals["n"]), int(totals["v"])
+    # the unigram table has TWO consumers (the totals below and the
+    # lm1 broadcast build in the final plan) — unpinned, its token-
+    # scale groupBy ran once per consumer; a vocab-sized pin with the
+    # totals riding as observed metrics makes it one job (r14, the
+    # §9.3 observe-on-checkpoint pattern)
+    obs_uni = Observation()
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .observe(obs_uni, F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    n_total, v = int(obs_uni.get["n"]), int(obs_uni.get["v"])
     c12 = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lm2 = c12.join(c1, "w1").select(
@@ -1352,8 +1366,17 @@ def _hashed_bucket_lm(feats: DataFrame, dim: int) -> tuple[DataFrame, int]:
     second consumer re-runs the FULL corpus feature explode+hash —
     measured ~1/3 of dsir wall at sf0.1. The pinned block is ≤ dim
     rows (KBs)."""
-    counts = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
-    n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
+    # the total RIDES the counts-pin job as an observed metric (r14,
+    # the §9.3 observe-on-checkpoint pattern) — the separate agg was
+    # one more job over the just-pinned table
+    obs = Observation()
+    counts = (
+        feats.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .observe(obs, F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_total = int(obs.get["n"])
     ln_denom = math.log(n_total + dim)
     model = counts.select(
         "b",
@@ -1852,16 +1875,28 @@ def lm_kn_bigram_perplexity_scores(
         .select("_id", F.col("tok").alias("w1"), "w2")
         .localCheckpoint(eager=True)
     )
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    totals = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
-    n_total, v = int(totals["n"]), int(totals["v"])
+    # same two-consumer unigram table as lm_bigram_perplexity_scores:
+    # pin it vocab-sized and ride the totals as observed metrics (r14)
+    obs_uni = Observation()
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .observe(obs_uni, F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    n_total, v = int(obs_uni.get["n"]), int(obs_uni.get["v"])
+    obs_c12 = Observation()
     c12 = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c12 = c12.localCheckpoint(eager=True)  # three consumers below
+    # n_types (distinct bigram count) rides the c12 pin the same way —
+    # the separate count() was one more job over the pinned table
+    c12 = c12.observe(obs_c12, F.count(F.lit(1)).alias("n_types")).localCheckpoint(
+        eager=True
+    )  # three consumers below
     left = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p")
     )
     cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
-    n_types = int(c12.count())
+    n_types = int(obs_c12.get["n_types"])
     lp2 = (
         c12.join(left, "w1")
         .join(cont, "w2")

@@ -27,7 +27,7 @@ from pathlib import Path
 
 import numpy as _np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -704,10 +704,13 @@ def dedup_clusters(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        # one pass computes the new labels AND the changed count:
-        # max(changed) rides along the checkpoint materialization, so
-        # convergence detection costs one tiny agg over the checkpoint
-        # instead of a second join against the previous round.
+        # one pass computes the new labels AND the changed count: the
+        # count RIDES the checkpoint job itself as an observed metric
+        # (r14, the §9.3 observe-on-checkpoint pattern the star-CC loop
+        # banked), so convergence detection adds ZERO extra jobs —
+        # previously it was a second agg job over the just-pinned table
+        # every round.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, on="id", how="left")
             .select(
@@ -715,9 +718,10 @@ def dedup_clusters(
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
                 (F.coalesce("nlabel", "label") < F.col("label")).cast("int").alias("_changed"),
             )
+            .observe(obs, F.coalesce(F.sum("_changed"), F.lit(0)).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+        changed = int(obs.get["changed"])
         # the new round is materialized (eager) — the previous round's
         # blocks can never be read again; free them now
         release_local_checkpoint(prev_ckpt)

@@ -30,7 +30,7 @@ freshness/reconciliation rules point at.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
@@ -162,7 +162,11 @@ def psi_drift(
     cc = c.groupBy("bin").agg(F.count(F.lit(1)).alias("cur_n")).alias("_dr")
     # null-safe bin merge: NULL is a real categorical bin (the
     # documented contract) and plain equality would split it into two
-    # phantom half-rows, inflating K and the PSI terms
+    # phantom half-rows, inflating K and the PSI terms.
+    # K and the two totals RIDE the pin job as observed metrics (r14,
+    # the §9.3 observe-on-checkpoint pattern) — the separate agg was
+    # one more job over the just-pinned table.
+    obs = Observation()
     both = (
         rc.join(cc, on=F.col("_dl.bin").eqNullSafe(F.col("_dr.bin")), how="full_outer")
         .select(
@@ -170,11 +174,16 @@ def psi_drift(
             F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
             F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
         )
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("k"),
+            F.sum("ref_n").alias("rt"),
+            F.sum("cur_n").alias("ct"),
+        )
         .localCheckpoint(eager=True)
     )
-    k_bins, ref_total, cur_total = both.agg(
-        F.count(F.lit(1)), F.sum("ref_n"), F.sum("cur_n")
-    ).collect()[0]
+    _row = obs.get
+    k_bins, ref_total, cur_total = _row["k"], _row["rt"], _row["ct"]
     if not ref_total or not cur_total:
         raise ValueError("both snapshots must be non-empty")
     nr, nc, kb = int(ref_total) + int(k_bins), int(cur_total) + int(k_bins), int(k_bins)

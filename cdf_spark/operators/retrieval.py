@@ -48,7 +48,7 @@ Scale posture (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from .index_base import IndexArtifact
@@ -672,8 +672,12 @@ def bm25_prf_expand(
     trusting ReuseExchange here was wrong — the AQE-final plan
     re-derived the tf subtree per consumer (11 `documents` scans, 69
     exchanges at sf0.1); with the checkpoint the final plan scans
-    `documents` 0 times and the tf build runs exactly once (the lens
-    stats collect is its own projection-pruned pass, as in bm25_topk).
+    `documents` 0 times and the tf build runs exactly once. The corpus
+    stats (N, Σdl) ride that same checkpoint job as observed metrics
+    over the pre-explode projection (r14) — unlike bm25_topk, whose
+    single-consumer tf is never materialized, PRF already pays the
+    eager pin, so the former lens pass (a second full corpus scan +
+    tokenize) folds away for free.
     Contrast `_score_topk`'s banked NON-checkpoint: its two consumers
     share one matched subtree in one action where reuse does fire; the
     difference is three consumers joined against three DIFFERENT
@@ -688,11 +692,27 @@ def bm25_prf_expand(
     if fb_k < 1 or expand_m < 1 or k < 1:
         raise ValueError("fb_k, expand_m and k must all be positive")
     docs = spread_compute(docs)  # r14, guide §2.5; no-op at real scale
-    tf = _doc_tf(docs, text_col, id_col).drop("ps").localCheckpoint(eager=True)
-    lens = docs.select(F.size(_tok_array(F.col(text_col))).alias("dl"))
-    n_docs, total = lens.agg(
-        F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
-    ).collect()[0]
+    # corpus stats RIDE the tf checkpoint job as observed metrics over
+    # the pre-explode (one row per doc, zero-token docs included)
+    # projection — the separate lens pass was a second full corpus
+    # scan + tokenize just to learn two integers (r14, the §9.3
+    # observe-on-checkpoint pattern; guide §1.2). Same expressions the
+    # lens pass aggregated, so n/total are value-identical.
+    obs = Observation()
+    toks = docs.select(
+        F.col(id_col).alias("_id"), _tok_array(F.col(text_col)).alias("_ts")
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("_ts")), F.lit(0)).alias("total"),
+    )
+    tf = (
+        toks.select("_id", F.size("_ts").alias("dl"), F.explode("_ts").alias("tok"))
+        .groupBy("_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs, total = int(obs.get["n_docs"]), int(obs.get["total"])
     avgdl = total / n_docs
     qterms = _query_terms(queries, qid_col, qtext_col)
 

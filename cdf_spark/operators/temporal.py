@@ -29,7 +29,7 @@ DataFrame ops so Catalyst keeps planning them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -348,10 +348,16 @@ def funnel_conversion_stats(
     # p90 branches) — left lazy, each consumer re-ran the whole
     # step-join chain (r14: 6 scans in the final plan + 3 in the count
     # job). The pin is O(converted users) rows of three longs; the
-    # count then reads the pin for free.
+    # count RIDES the pin job itself as an observed metric (r14, the
+    # §9.3 observe-on-checkpoint pattern), zero extra jobs.
     w = Window.orderBy(F.col("_ms").asc(), F.col("_u").asc())
-    ranked = conv.withColumn("_rn", F.row_number().over(w)).localCheckpoint(eager=True)
-    n = ranked.count()
+    obs = Observation()
+    ranked = (
+        conv.withColumn("_rn", F.row_number().over(w))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n = int(obs.get["n"])
     if n == 0:
         return events.sparkSession.createDataFrame(
             [(0, None, None)], "n_converted long, median_ms long, p90_ms long"

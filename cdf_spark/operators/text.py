@@ -17,7 +17,7 @@ scan — no shuffle, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 # Marker words per language for the n-gram/stopword heuristic.
@@ -210,21 +210,26 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
-    terms = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)).alias("term"),
-    )
     # tf feeds two consumers (the document-frequency broadcast build
     # and the scoring join) and AQE does not reuse the exchange across
     # them — the AQE-final plan tokenized the corpus twice (r14). The
     # pin is the narrow (id, term, tf) posting table, the same
-    # discipline as tfidf_doc_similarity's.
+    # discipline as tfidf_doc_similarity's. N rides the pin job as an
+    # observed metric over the pre-explode (one row per doc) projection
+    # — the separate df.count() was one more corpus job (r14, §9.3
+    # observe-on-checkpoint pattern).
+    obs = Observation()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0).alias("_ts"),
+    ).observe(obs, F.count(F.lit(1)).alias("n_docs"))
     tf = (
-        terms.groupBy("id", "term")
+        toks.select("id", F.explode("_ts").alias("term"))
+        .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=True)
     )
-    n_docs = df.count()
+    n_docs = int(obs.get["n_docs"])
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(doc_freq), on="term")

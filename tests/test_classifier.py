@@ -406,3 +406,24 @@ def test_nb_index_reclaims_superseded_versions(spark, tmp_path):
         spark, spark.createDataFrame([(1, "the cat")], ["doc_id", "text"])
     )
     assert out.count() == 1
+
+
+def test_nb_predict_observed_dtot_counts_zero_token_docs(spark):
+    """r14 observe-ride regression: nb_predict's total document count
+    rides the tokd checkpoint job as an observed metric over the
+    PRE-explode projection. A zero-token doc produces no token rows
+    but must still count toward d_tot (priors = ln(d_l / d_tot)).
+    Fixture: label a has docs {1: "x", 2: ""}, label b has {3: "y"} —
+    doc 1 under a scores prior ln(2/3) + lp(x|a) ln(2/3) in micro-nats;
+    a d_tot that dropped the empty doc would give prior ln(2/2) = 0."""
+    import math
+
+    from cdf_spark.operators.classifier import nb_predict
+
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, "", "a"), (3, "y", "b")], ["doc_id", "text", "lang"]
+    )
+    rows = {r["doc_id"]: r for r in nb_predict(df).collect()}
+    unat = round((math.log(2.0) - math.log(3.0)) * 1_000_000.0)
+    assert rows[1]["predicted"] == "a"
+    assert rows[1]["score_unat"] == 2 * unat

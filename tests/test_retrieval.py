@@ -476,3 +476,41 @@ def test_tfidf_final_plan_is_checkpoint_bounded(spark):
         # dots agg + the dots-norms SMJ pair + the top-k window (+ AQE)
         assert plan.count("Exchange") <= 8
         assert out.count() > 0
+
+
+def test_prf_observed_stats_count_zero_token_docs(spark):
+    """r14 observe-ride regression: PRF's corpus stats (N, avgdl) ride
+    the tf checkpoint job as observed metrics over the PRE-explode
+    projection. A zero-token doc produces no tf rows but must still
+    count toward N — exactly as bm25_topk's separate stats pass counts
+    it. Feedback docs here contain only query terms, so expansion adds
+    nothing and pass 2 must equal a plain bm25_topk run; any miscount
+    of the empty doc would shift every idf/avgdl and break equality."""
+    from cdf_spark.operators.retrieval import bm25_prf_expand
+
+    docs = _docs(spark, [(1, "join merge"), (2, "join join"), (3, ""), (4, "merge")])
+    qs = _queries(spark, [("q", "join merge")])
+    base = sorted(map(tuple, bm25_topk(docs, qs, k=10).collect()))
+    exp = sorted(map(tuple, bm25_prf_expand(docs, qs, fb_k=2, expand_m=3, k=10).collect()))
+    assert base == exp
+
+
+def test_tfidf_top_terms_observed_n_counts_empty_docs(spark):
+    """r14 observe-ride regression: tfidf_top_terms' N rides the tf
+    pin as an observed metric over the pre-explode projection; an
+    empty doc contributes no terms but must still count toward N
+    (idf = ln(N/df)). With 3 docs (one empty), 'banana' (df=1) scores
+    tf * ln(3/1) — ln(2) would mean the empty doc was dropped."""
+    import math
+
+    from cdf_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple"), (2, "apple banana"), (3, "")], ["doc_id", "text"]
+    )
+    out = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in tfidf_top_terms(df, top_k=5).collect()
+    }
+    assert out[(2, "banana")] == round(math.log(3.0 / 1.0), 6)
+    assert out[(1, "apple")] == round(math.log(3.0 / 2.0), 6)
