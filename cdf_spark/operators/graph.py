@@ -109,11 +109,15 @@ def pagerank(
         nodes = nodes.join(F.broadcast(sd), "id", "left").select(
             "id", F.coalesce(F.col("_m"), F.lit(0)).alias("_sd")
         )
-    nodes = nodes.localCheckpoint(eager=True)
-    # one bounded collect serves both scalars (node count for the
-    # broadcast gate, teleport-target count) — r14, one job instead of
-    # two over the same checkpointed table
-    n_nodes, n_t = nodes.agg(F.count(F.lit(1)), F.sum("_sd")).collect()[0]
+    # both scalars (node count for the broadcast gate, teleport-target
+    # count) RIDE the nodes pin as observed metrics — zero extra jobs
+    # (r14, the §9.3 observe-on-checkpoint pattern; previously one
+    # bounded collect job over the just-pinned table)
+    obs_n = Observation()
+    nodes = nodes.observe(
+        obs_n, F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("_sd"), F.lit(0)).alias("t")
+    ).localCheckpoint(eager=True)
+    n_nodes, n_t = int(obs_n.get["n"]), int(obs_n.get["t"])
     if not n_t:
         raise ValueError(
             "graph has no edges" if seeds is None else "no seed is a node of the graph"

@@ -34,7 +34,7 @@ Scale posture (billions of comparisons, millions of players):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
@@ -69,9 +69,14 @@ def bradley_terry_strengths(
     both = d.unionAll(
         d.select(F.col("_j").alias("_i"), F.col("_i").alias("_j"), (F.lit(1) - F.col("_w")).alias("_w"))
     )
+    # the headroom bound RIDES the nij pin as an observed metric (r14,
+    # the §9.3 observe-on-checkpoint pattern) — the separate max() agg
+    # was one more job over the just-pinned pair table
+    obs_nij = Observation()
     nij = (
         both.groupBy("_i", "_j")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_w").alias("wij"))
+        .observe(obs_nij, F.max("n").alias("mx"))
         .localCheckpoint(eager=True)
     )
     # int64 headroom, stated and ENFORCED (ANSI mode would raise loudly
@@ -79,7 +84,7 @@ def bradley_terry_strengths(
     # pair term is n_ij * 1e12, so a directed pair may carry at most
     # ~9.22e6 matches before the product leaves long range. Billions of
     # COMPARISONS are fine — the bound is per distinct (i, j) pair.
-    max_n = nij.agg(F.max("n")).collect()[0][0]
+    max_n = obs_nij.get["mx"]
     if max_n is not None and int(max_n) > 9_200_000:
         raise ValueError(
             f"a directed pair carries {max_n} matches; the integer MM "
@@ -92,12 +97,14 @@ def bradley_terry_strengths(
     # paid its own shuffle + checkpoint for the same key set (r14,
     # guide §2.4). wins is checkpointed because every MM round joins
     # it; left lazy each round re-aggregated the pair table.
+    obs_w = Observation()
     wins = (
         nij.groupBy(F.col("_i").alias("id"))
         .agg(F.sum("wij").alias("w"))
+        .observe(obs_w, F.count(F.lit(1)).alias("np"))
         .localCheckpoint(eager=True)
     )
-    n_players = wins.count()
+    n_players = int(obs_w.get["np"])
     if n_players == 0:
         raise ValueError("duel stream is empty")
     # normalization headroom: praw <= w * 1e12 / d and the re-pin
