@@ -109,28 +109,34 @@ def pagerank(
         nodes = nodes.join(F.broadcast(sd), "id", "left").select(
             "id", F.coalesce(F.col("_m"), F.lit(0)).alias("_sd")
         )
-    # both scalars (node count for the broadcast gate, teleport-target
-    # count) RIDE the nodes pin as observed metrics — zero extra jobs
-    # (r14, the §9.3 observe-on-checkpoint pattern; previously one
-    # bounded collect job over the just-pinned table)
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    # The node table carries its iteration-invariant annotations from
+    # setup (r15): the seed indicator `_sd` and the dangling flag
+    # `_dg` (no out-edges). The flag is what lets the per-round
+    # dangling-mass aggregation ride the round's checkpoint as an
+    # OBSERVED metric instead of being its own semi-join + aggregate
+    # subtree in the round's plan (see the loop below).
+    # All three setup scalars (node count for the broadcast gate,
+    # teleport-target count, and nothing else) RIDE the nodes pin as
+    # observed metrics — zero extra jobs (r14 §9.3 pattern).
     obs_n = Observation()
-    nodes = nodes.observe(
-        obs_n, F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("_sd"), F.lit(0)).alias("t")
-    ).localCheckpoint(eager=True)
+    nodes = (
+        nodes.join(deg.select("id", F.lit(1).alias("_hd")), "id", "left")
+        .select("id", "_sd", F.coalesce(F.col("_hd"), F.lit(0)).alias("_dg"))
+        .withColumn("_dg", F.lit(1) - F.col("_dg"))
+        .observe(
+            obs_n, F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("_sd"), F.lit(0)).alias("t")
+        )
+        .localCheckpoint(eager=True)
+    )
     n_nodes, n_t = int(obs_n.get["n"]), int(obs_n.get["t"])
     if not n_t:
         raise ValueError(
             "graph has no edges" if seeds is None else "no seed is a node of the graph"
         )
-    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     # Edge table annotated with its source's out-degree, materialized
     # once — iterations re-join only the O(nodes) score table.
     e2 = e.join(deg, e["src"] == deg["id"]).select("src", "dst", "deg").localCheckpoint(eager=True)
-    # The dangling-node SET is iteration-invariant: computing it once
-    # (O(nodes), checkpointed) turns the per-iteration dangling-mass
-    # read into a broadcast semi-join over the score table instead of
-    # a per-round degree recomputation.
-    dangset = nodes.select("id").join(deg, "id", "left_anti").localCheckpoint(eager=True)
 
     # Size-gated broadcast for the per-round O(nodes) operands: the
     # score table joining the O(edges) table as SortMergeJoin would
@@ -143,37 +149,60 @@ def pagerank(
     hint = F.broadcast if n_nodes <= 2_000_000 else (lambda df: df)
 
     teleport = ((100 - damping_pct) * scale) // 100
-    scores = nodes.select("id", (F.lit(scale) * F.col("_sd")).cast("long").alias("s"))
+    scores = nodes.select(
+        "id", "_sd", "_dg", (F.lit(scale) * F.col("_sd")).cast("long").alias("s")
+    )
+    # Round shape (r15, guide §1.2/§2.4 — measured 52 jobs / 69 stages
+    # down to ~24 / ~35 at sf0.1):
+    # - The dangling mass is a SCALAR of the incoming score table, so
+    #   it rides the round's own checkpoint job as an observed metric
+    #   (the §9.3 pattern) and enters the next round's expression as a
+    #   literal — the former in-plan semi-join + aggregate + crossJoin
+    #   broadcast subtree (one exchange + two broadcast builds per
+    #   round) is gone. Same integer sum, same floor division.
+    # - The per-node update folds into the contribution aggregation:
+    #   instead of groupBy(dst) followed by a second `nodes ⋈ contrib`
+    #   left join (another broadcast build + join per round), the node
+    #   table contributes zero-valued BASE rows to the same exchange
+    #   and the join becomes part of the aggregate — every node has
+    #   exactly one base row, so max(_sd)/max(_dg) recover the node
+    #   annotations and sum(_c) over {edge contributions + 0} is the
+    #   identical integer contribution sum (left-join semantics
+    #   preserved: a node with no in-edges aggregates its base row
+    #   alone to contrib 0).
     for _ in range(iterations):
-        scores = scores.localCheckpoint(eager=True)
-        # Dangling mass rides the plan as a 1-row broadcast frame
-        # instead of a per-round driver collect (r14, guide §5: the
-        # collect serialized a full driver round-trip between the
-        # checkpoint job and the update job every round; as a broadcast
-        # build it overlaps inside the single per-round action).
-        # `_dang div n_t` is the identical floor division the collected
-        # Python `dangling // n_t` performed — both operands
-        # non-negative.
-        dang = (
-            scores.join(dangset, "id", "left_semi")
-            .agg(F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("_dang"))
+        obs_r = Observation()
+        scores = scores.observe(
+            obs_r,
+            F.coalesce(F.sum(F.col("s") * F.col("_dg")), F.lit(0)).cast("long").alias("dang"),
+        ).localCheckpoint(eager=True)
+        dang = int(obs_r.get["dang"])
+        contribs = e2.join(hint(scores), e2["src"] == scores["id"]).select(
+            "dst",
+            F.expr("s div deg").alias("_c"),
+            F.lit(0).alias("_sd"),
+            F.lit(0).alias("_dg"),
         )
-        contrib = (
-            e2.join(hint(scores), e2["src"] == scores["id"])
-            .select("dst", F.expr("s div deg").alias("_c"))
-            .groupBy("dst")
-            .agg(F.sum("_c").alias("contrib"))
+        base = nodes.select(
+            F.col("id").alias("dst"), F.lit(0).cast("long").alias("_c"), "_sd", "_dg"
         )
         scores = (
-            nodes.join(hint(contrib), nodes["id"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(dang))
+            contribs.unionByName(base)
+            .groupBy("dst")
+            .agg(
+                F.sum("_c").alias("contrib"),
+                F.max("_sd").alias("_sd"),
+                F.max("_dg").alias("_dg"),
+            )
             .select(
-                "id",
+                F.col("dst").alias("id"),
+                "_sd",
+                "_dg",
                 (
                     F.col("_sd") * F.lit(teleport)
                     + F.expr(
-                        f"({damping_pct} * (coalesce(contrib, 0)"
-                        f" + _sd * (_dang div {int(n_t)}))) div 100"
+                        f"({damping_pct} * (contrib"
+                        f" + _sd * (CAST({dang} AS BIGINT) div {int(n_t)}))) div 100"
                     )
                 ).cast("long").alias("s"),
             )
