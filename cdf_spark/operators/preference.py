@@ -124,38 +124,55 @@ def bradley_terry_strengths(
     bcast = n_players <= 2_000_000
     hint = F.broadcast if bcast else (lambda df: df)
 
+    # MM round shape (r15, guide §1.2/§2.4 — the PageRank round
+    # discipline applied to the MM update):
+    # - The win totals no longer join the per-player denominators:
+    #   `wins` contributes zero-term BASE rows to the same groupBy(_i)
+    #   exchange the pair terms reduce through, and max(w) recovers
+    #   the per-player total (pair rows carry w = 0, w >= 0, and every
+    #   player has exactly one base row) — one broadcast build + one
+    #   join less per round, identical integer sums.
+    # - The normalization total is a SCALAR of the raw table being
+    #   checkpointed anyway, so it rides that job as an observed
+    #   metric and enters the next round's projection as a literal —
+    #   the former in-plan 1-row aggregate + crossJoin broadcast
+    #   subtree is gone. Same floor division; an all-zero collapse
+    #   (unreachable for non-empty streams) still surfaces as ANSI
+    #   division by zero, now at the literal.
+    wbase = wins.select(
+        F.col("id").alias("_i"), F.lit(0).cast("long").alias("_t"), F.col("w")
+    )
     p = players.select("id", F.lit(MICRO).cast("long").alias("p"))
     for _ in range(iterations):
         pi = hint(p.select(F.col("id").alias("_i"), F.col("p").alias("_pi")))
         pj = hint(p.select(F.col("id").alias("_j"), F.col("p").alias("_pj")))
-        denom = (
+        pairs = (
             nij.join(pi, on="_i")
             .join(pj, on="_j")
-            .select("_i", F.expr("(n * 1000000000000) div greatest(_pi + _pj, 1)").alias("_t"))
-            .groupBy("_i")
-            .agg(F.sum("_t").alias("d"))
+            .select(
+                "_i",
+                F.expr("(n * 1000000000000) div greatest(_pi + _pj, 1)").alias("_t"),
+                F.lit(0).cast("long").alias("w"),
+            )
         )
-        # Checkpoint RAW, not next-round p (r14, guide §1.2/§5): the
-        # normalization total below is a separate action over this same
-        # subtree, so with the checkpoint at the loop top the pair join
-        # + per-player reduce executed TWICE per MM round — once for
-        # the collect, once when the next round's checkpoint re-derived
-        # p. Pinning raw runs the heavy subtree exactly once; p and the
-        # total are narrow consumers of the pinned O(players) block.
+        # Checkpoint RAW, not next-round p (r14, guide §1.2/§5): p is
+        # a narrow projection consumed by both broadcast sides of the
+        # next round; pinning raw runs the heavy subtree exactly once.
+        obs_r = Observation()
         raw = (
-            denom.join(hint(wins), denom["_i"] == wins["id"])
-            .select("id", F.expr("(w * 1000000000000) div greatest(d, 1)").alias("praw"))
+            pairs.unionByName(wbase)
+            .groupBy("_i")
+            .agg(F.sum("_t").alias("d"), F.max("w").alias("w"))
+            .select(
+                F.col("_i").alias("id"),
+                F.expr("(w * 1000000000000) div greatest(d, 1)").alias("praw"),
+            )
+            .observe(obs_r, F.coalesce(F.sum("praw"), F.lit(0)).alias("_tot"))
             .localCheckpoint(eager=True)
         )
-        # The normalization total rides the plan as a 1-row broadcast
-        # frame instead of a per-round driver collect (r14, the
-        # PageRank dangling-mass discipline): same floor division, one
-        # job per MM round instead of two. An all-zero collapse —
-        # unreachable for non-empty streams, since a duel always has a
-        # winner after symmetrization — now surfaces as ANSI division
-        # by zero (loud), replacing the old collected-total raise.
-        tot = raw.agg(F.coalesce(F.sum("praw"), F.lit(0)).alias("_tot"))
-        p = raw.crossJoin(F.broadcast(tot)).select(
-            "id", F.expr(f"(praw * {n_players * MICRO}) div _tot").alias("p")
+        tot = int(obs_r.get["_tot"])
+        p = raw.select(
+            "id",
+            F.expr(f"(praw * {n_players * MICRO}) div CAST({tot} AS BIGINT)").alias("p"),
         )
     return p.select("id", F.col("p").alias("strength_unat"))
