@@ -170,30 +170,32 @@ def pagerank(
     #   identical integer contribution sum (left-join semantics
     #   preserved: a node with no in-edges aggregates its base row
     #   alone to contrib 0).
+    # per-round Column expressions hoisted out of the loop (r15): the
+    # only per-round value is the observed dangling mass, which enters
+    # as a literal in the update expression
+    e_obs = F.coalesce(F.sum(F.col("s") * F.col("_dg")), F.lit(0)).cast("long").alias("dang")
+    e_contrib = [
+        F.col("dst"),
+        F.expr("s div deg").alias("_c"),
+        F.lit(0).alias("_sd"),
+        F.lit(0).alias("_dg"),
+    ]
+    e_base = [F.col("id").alias("dst"), F.lit(0).cast("long").alias("_c"), F.col("_sd"), F.col("_dg")]
+    e_agg = [
+        F.sum("_c").alias("contrib"),
+        F.max("_sd").alias("_sd"),
+        F.max("_dg").alias("_dg"),
+    ]
     for _ in range(iterations):
         obs_r = Observation()
-        scores = scores.observe(
-            obs_r,
-            F.coalesce(F.sum(F.col("s") * F.col("_dg")), F.lit(0)).cast("long").alias("dang"),
-        ).localCheckpoint(eager=True)
+        scores = scores.observe(obs_r, e_obs).localCheckpoint(eager=True)
         dang = int(obs_r.get["dang"])
-        contribs = e2.join(hint(scores), e2["src"] == scores["id"]).select(
-            "dst",
-            F.expr("s div deg").alias("_c"),
-            F.lit(0).alias("_sd"),
-            F.lit(0).alias("_dg"),
-        )
-        base = nodes.select(
-            F.col("id").alias("dst"), F.lit(0).cast("long").alias("_c"), "_sd", "_dg"
-        )
+        contribs = e2.join(hint(scores), e2["src"] == scores["id"]).select(*e_contrib)
+        base = nodes.select(*e_base)
         scores = (
             contribs.unionByName(base)
             .groupBy("dst")
-            .agg(
-                F.sum("_c").alias("contrib"),
-                F.max("_sd").alias("_sd"),
-                F.max("_dg").alias("_dg"),
-            )
+            .agg(*e_agg)
             .select(
                 F.col("dst").alias("id"),
                 "_sd",
@@ -281,12 +283,23 @@ def connected_components(
     labels = (
         und.select(F.col("a").alias("id")).distinct().select("id", F.col("id").alias("l"))
     ).localCheckpoint(eager=True)
+    # per-round Column expressions hoisted out of the loop (r15, the
+    # connected_components_star discipline): Columns are immutable, so
+    # reuse is plan-identical and saves the per-round py4j round-trips
+    e_cand = [F.col("b").alias("id"), F.col("l").alias("_nl")]
+    e_min = F.min("_nl").alias("_m")
+    e_nxt = [
+        "id",
+        F.least(F.col("l"), F.col("_m")).alias("l"),
+        (F.col("_m") < F.col("l")).alias("_ch"),
+    ]
+    e_obs = F.coalesce(F.sum(F.when(F.col("_ch"), 1).otherwise(0)), F.lit(0)).alias("_c")
     for _ in range(max_iterations):
         cand = (
             und.join(labels, und["a"] == labels["id"])
-            .select(F.col("b").alias("id"), F.col("l").alias("_nl"))
+            .select(*e_cand)
             .groupBy("id")
-            .agg(F.min("_nl").alias("_m"))
+            .agg(e_min)
         )
         # the change flag rides the label row, and the changed-count
         # rides the CHECKPOINT JOB as an observed metric (r14, guide
@@ -298,17 +311,8 @@ def connected_components(
         obs = Observation()
         nxt = (
             labels.join(cand, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("l"), F.col("_m")).alias("l"),
-                (F.col("_m") < F.col("l")).alias("_ch"),
-            )
-            .observe(
-                obs,
-                F.coalesce(
-                    F.sum(F.when(F.col("_ch"), 1).otherwise(0)), F.lit(0)
-                ).alias("_c"),
-            )
+            .select(*e_nxt)
+            .observe(obs, e_obs)
             .localCheckpoint(eager=True)
         )
         changed = obs.get["_c"]
@@ -395,17 +399,32 @@ def connected_components_star(
     # ~once, at the true fixpoint — and it still CONFIRMS: a signature
     # collision would be caught (non-empty diff -> keep iterating),
     # preserving the exact-convergence contract at any scale.
-    def _sig() -> list:
-        return [
-            F.count(F.lit(1)).alias("_n"),
-            F.expr("bit_xor(xxhash64(a, b))").alias("_h"),
-        ]
+    # Per-round Column expressions hoisted out of the loop (r15):
+    # PySpark Columns are immutable unresolved expressions, so reusing
+    # them across rounds is plan-identical — but building them fresh
+    # each round cost a py4j round-trip PER EXPRESSION, measured 2.6 s
+    # of pure driver-side construction over the 14-round sf0.1 chain
+    # (~0.19 s/round); hoisting cuts it to ~1.1 s (the residual is the
+    # DataFrame method calls themselves).
+    c_a, c_b, c_u, c_v = F.col("a"), F.col("b"), F.col("u"), F.col("v")
+    e_flip = [c_b.alias("a"), c_a.alias("b")]
+    e_min = F.min("b").alias("_mb")
+    e_big = [c_b.alias("a"), F.least(F.col("_mb"), c_a).alias("b")]
+    e_dl = [F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")]
+    e_m2 = F.min("v").alias("_m")
+    e_nxt = [c_v.alias("a"), F.col("_m").alias("b")]
+    e_nxt2 = [c_u.alias("a"), F.col("_m").alias("b")]
+    f_big = c_b > c_a
+    f_dl = c_u != c_v
+    f_nxt = c_a != c_b
+    sig_n = F.count(F.lit(1)).alias("_n")
+    sig_h = F.expr("bit_xor(xxhash64(a, b))").alias("_h")
 
     obs_e = Observation()
     e = (
-        raw.filter(F.col("a") != F.col("b"))
+        raw.filter(f_nxt)
         .distinct()
-        .observe(obs_e, *_sig())
+        .observe(obs_e, sig_n, sig_h)
         .localCheckpoint(eager=True)
     )
     _m = obs_e.get
@@ -413,22 +432,13 @@ def connected_components_star(
     for _ in range(max_rounds):
         # duplicates from (a,b)+(b,a) pairs are harmless below: MIN
         # absorbs them and the emission dedups at nxt — no distinct here
-        ue = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        ue = e.unionAll(e.select(*e_flip))
         # large-star: (v, m(u)) for v ∈ N(u), v > u; m(u) ≤ u < v so no self-loops
-        mins = ue.groupBy("a").agg(F.min("b").alias("_mb"))
-        big = (
-            ue.join(hint(mins), on="a")
-            .filter(F.col("b") > F.col("a"))
-            .select(
-                F.col("b").alias("a"),
-                F.least(F.col("_mb"), F.col("a")).alias("b"),
-            )
-        )
+        mins = ue.groupBy("a").agg(e_min)
+        big = ue.join(hint(mins), on="a").filter(f_big).select(*e_big)
         # small-star: direct at the larger endpoint, re-point Γ(u) ∪ {u}
-        dl = big.select(
-            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-        ).filter(F.col("u") != F.col("v"))
-        mins2 = dl.groupBy("u").agg(F.min("v").alias("_m"))
+        dl = big.select(*e_dl).filter(f_dl)
+        mins2 = dl.groupBy("u").agg(e_m2)
         # the convergence signature rides the checkpoint job as an
         # observed metric (r14): the separate `nxt.agg(*_sig)` job
         # doubled the per-round job count — with a fixed O(log² n)
@@ -436,11 +446,11 @@ def connected_components_star(
         obs = Observation()
         nxt = (
             dl.join(hint(mins2), on="u")
-            .select(F.col("v").alias("a"), F.col("_m").alias("b"))
-            .unionAll(mins2.select(F.col("u").alias("a"), F.col("_m").alias("b")))
-            .filter(F.col("a") != F.col("b"))
+            .select(*e_nxt)
+            .unionAll(mins2.select(*e_nxt2))
+            .filter(f_nxt)
             .distinct()
-            .observe(obs, *_sig())
+            .observe(obs, sig_n, sig_h)
             .localCheckpoint(eager=True)
         )
         _m = obs.get

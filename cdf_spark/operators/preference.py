@@ -142,19 +142,28 @@ def bradley_terry_strengths(
     wbase = wins.select(
         F.col("id").alias("_i"), F.lit(0).cast("long").alias("_t"), F.col("w")
     )
+    # per-round Column expressions hoisted out of the loop (r15, the
+    # graph-loop discipline): Columns are immutable, reuse is
+    # plan-identical and saves the per-round py4j round-trips; the
+    # only per-round value is the observed normalization total
+    e_pi = [F.col("id").alias("_i"), F.col("p").alias("_pi")]
+    e_pj = [F.col("id").alias("_j"), F.col("p").alias("_pj")]
+    e_pair = [
+        F.col("_i"),
+        F.expr("(n * 1000000000000) div greatest(_pi + _pj, 1)").alias("_t"),
+        F.lit(0).cast("long").alias("w"),
+    ]
+    e_agg = [F.sum("_t").alias("d"), F.max("w").alias("w")]
+    e_raw = [
+        F.col("_i").alias("id"),
+        F.expr("(w * 1000000000000) div greatest(d, 1)").alias("praw"),
+    ]
+    e_obs = F.coalesce(F.sum("praw"), F.lit(0)).alias("_tot")
     p = players.select("id", F.lit(MICRO).cast("long").alias("p"))
     for _ in range(iterations):
-        pi = hint(p.select(F.col("id").alias("_i"), F.col("p").alias("_pi")))
-        pj = hint(p.select(F.col("id").alias("_j"), F.col("p").alias("_pj")))
-        pairs = (
-            nij.join(pi, on="_i")
-            .join(pj, on="_j")
-            .select(
-                "_i",
-                F.expr("(n * 1000000000000) div greatest(_pi + _pj, 1)").alias("_t"),
-                F.lit(0).cast("long").alias("w"),
-            )
-        )
+        pi = hint(p.select(*e_pi))
+        pj = hint(p.select(*e_pj))
+        pairs = nij.join(pi, on="_i").join(pj, on="_j").select(*e_pair)
         # Checkpoint RAW, not next-round p (r14, guide §1.2/§5): p is
         # a narrow projection consumed by both broadcast sides of the
         # next round; pinning raw runs the heavy subtree exactly once.
@@ -162,12 +171,9 @@ def bradley_terry_strengths(
         raw = (
             pairs.unionByName(wbase)
             .groupBy("_i")
-            .agg(F.sum("_t").alias("d"), F.max("w").alias("w"))
-            .select(
-                F.col("_i").alias("id"),
-                F.expr("(w * 1000000000000) div greatest(d, 1)").alias("praw"),
-            )
-            .observe(obs_r, F.coalesce(F.sum("praw"), F.lit(0)).alias("_tot"))
+            .agg(*e_agg)
+            .select(*e_raw)
+            .observe(obs_r, e_obs)
             .localCheckpoint(eager=True)
         )
         tot = int(obs_r.get["_tot"])
