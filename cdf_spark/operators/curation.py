@@ -25,6 +25,7 @@ import math
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from ..plans.checkpoint import pinned_scalars
 from .index_base import IndexArtifact
 from .text import hash64, spread_compute
 
@@ -654,6 +655,11 @@ def lm_perplexity_scores(
     # the AQE-final plan + 1 more in the totals collect). Scoring
     # weights each distinct (doc, tok) row by tf — Σ over occurrences
     # of lp == tf · lp exactly in integer micro-nats.
+    # NOT size-gated (r15 measured rejection): the interleaved A/B at
+    # sf0.1 showed the lazy re-tokenize ~2x SLOWER than the pin
+    # (1.74-2.06s vs 1.06-1.08s solo median) — the tokenize+explode is
+    # already the dominant cost at bench scale, so the pin crossover
+    # sits below sf0.1 and the unconditional pin is correct.
     tokd = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -670,14 +676,11 @@ def lm_perplexity_scores(
     # vocabulary totals RIDE the counts-pin job as observed metrics
     # (r14, the §9.3 observe-on-checkpoint pattern) — the separate
     # totals agg was one more job over the just-pinned table
-    obs = Observation()
-    counts = (
-        tokd.groupBy("tok")
-        .agg(F.sum("tf").alias("c"))
-        .observe(obs, F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v"))
-        .localCheckpoint(eager=True)
+    counts, _stats = pinned_scalars(
+        tokd.groupBy("tok").agg(F.sum("tf").alias("c")),
+        [F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")],
     )
-    n_total, v = int(obs.get["n_total"]), int(obs.get["v"])
+    n_total, v = int(_stats["n_total"]), int(_stats["v"])
     # micro-nat integer log-prob per vocab entry: round(ln((c+1)/(N+V)) * 1e6)
     lm = counts.select(
         "tok",
@@ -739,6 +742,8 @@ def lm_bigram_perplexity_scores(
     # the corpus; one eager checkpoint pins it, and the transition
     # table (consumed by both the count training and the scoring join)
     # gets the same pin (the PRF/tfidf discipline, r14)
+    # NOT size-gated (r15 measured rejection, see lm_perplexity_scores:
+    # the lazy re-tokenize loses to the pin even at sf0.1).
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
@@ -759,14 +764,11 @@ def lm_bigram_perplexity_scores(
     # scale groupBy ran once per consumer; a vocab-sized pin with the
     # totals riding as observed metrics makes it one job (r14, the
     # §9.3 observe-on-checkpoint pattern)
-    obs_uni = Observation()
-    uni = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .observe(obs_uni, F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
-        .localCheckpoint(eager=True)
+    uni, _stats = pinned_scalars(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")),
+        [F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")],
     )
-    n_total, v = int(obs_uni.get["n"]), int(obs_uni.get["v"])
+    n_total, v = int(_stats["n"]), int(_stats["v"])
     c12 = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lm2 = c12.join(c1, "w1").select(
@@ -1860,6 +1862,8 @@ def lm_kn_bigram_perplexity_scores(
     # the corpus; one eager checkpoint pins it, and the transition
     # table (consumed by both the count training and the scoring join)
     # gets the same pin (the PRF/tfidf discipline, r14)
+    # NOT size-gated (r15 measured rejection, see lm_perplexity_scores:
+    # the lazy re-tokenize loses to the pin even at sf0.1).
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
@@ -1877,26 +1881,22 @@ def lm_kn_bigram_perplexity_scores(
     )
     # same two-consumer unigram table as lm_bigram_perplexity_scores:
     # pin it vocab-sized and ride the totals as observed metrics (r14)
-    obs_uni = Observation()
-    uni = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .observe(obs_uni, F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
-        .localCheckpoint(eager=True)
+    uni, _ustats = pinned_scalars(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")),
+        [F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")],
     )
-    n_total, v = int(obs_uni.get["n"]), int(obs_uni.get["v"])
-    obs_c12 = Observation()
-    c12 = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n_total, v = int(_ustats["n"]), int(_ustats["v"])
     # n_types (distinct bigram count) rides the c12 pin the same way —
     # the separate count() was one more job over the pinned table
-    c12 = c12.observe(obs_c12, F.count(F.lit(1)).alias("n_types")).localCheckpoint(
-        eager=True
+    c12, _cstats = pinned_scalars(
+        trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")),
+        [F.count(F.lit(1)).alias("n_types")],
     )  # three consumers below
     left = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p")
     )
     cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
-    n_types = int(obs_c12.get["n_types"])
+    n_types = int(_cstats["n_types"])
     lp2 = (
         c12.join(left, "w1")
         .join(cont, "w2")

@@ -29,8 +29,10 @@ DataFrame ops so Catalyst keeps planning them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..plans.checkpoint import pin_if_expensive, pinned_scalars
 
 
 def range_join(
@@ -134,12 +136,15 @@ def funnel_counts(
     # iterative-loop checkpoint discipline (BPE/PageRank/MMR) pins the
     # filtered event cut once and each O(users)-row step table once:
     # one events scan total, and every count leg is an agg over a pin.
-    ev = (
+    # SIZE-GATED (r15): each eager pin is a synchronous job with a
+    # fixed driver/barrier cost; below the gate the repeated scans are
+    # cheaper than 1+steps pin jobs (the r14 driver record: 0.48x at
+    # sf0.1), so small inputs keep the lazy single-job plan.
+    ev = pin_if_expensive(
         events.select(
             F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), F.col(ts_col).alias("_ts")
-        )
-        .filter(F.col(type_col).isin(steps))
-        .localCheckpoint(eager=True)
+        ).filter(F.col(type_col).isin(steps)),
+        source=events,
     )
 
     anchors = (
@@ -148,7 +153,11 @@ def funnel_counts(
         .agg(F.min("_ts").alias("_c1"))
         .select("_u", "_c1", (F.col("_c1") + F.expr(f"INTERVAL {within}")).alias("_hz"))
     )
-    reached = [anchors.select("_u", F.col("_c1").alias("_c"), "_hz").localCheckpoint(eager=True)]
+    reached = [
+        pin_if_expensive(
+            anchors.select("_u", F.col("_c1").alias("_c"), "_hz"), source=events
+        )
+    ]
     for step in steps[1:]:
         prev = reached[-1]
         nxt = (
@@ -159,7 +168,7 @@ def funnel_counts(
             .agg(F.min("_ts").alias("_c"))
             .select("_u", "_c", "_hz")
         )
-        reached.append(nxt.localCheckpoint(eager=True))
+        reached.append(pin_if_expensive(nxt, source=events))
 
     spark = events.sparkSession
     labels = spark.createDataFrame(
@@ -210,7 +219,9 @@ def cohort_retention(
     # pinned `active` cut halves the events scans (the AQE-final plan
     # read events once per consumer) and the cohort agg now reduces
     # O(users × active weeks) rows instead of O(events).
-    active = ev.distinct().localCheckpoint(eager=True)
+    # SIZE-GATED (r15): below the gate the second scan is cheaper than
+    # the synchronous pin job (r14 driver record: 0.57x at sf0.1).
+    active = pin_if_expensive(ev.distinct(), source=events)
     cohorts = active.groupBy("_u").agg(F.min("_w").alias("_cw"))
     return (
         active.join(cohorts, on="_u")
@@ -311,13 +322,14 @@ def funnel_conversion_stats(
         raise ValueError("funnel steps must be distinct event types")
     # the filtered event cut feeds the anchor build AND every step
     # join — pin it once or events is scanned per consumer (r14, the
-    # funnel_counts discipline; was 3 scans for the 3-step funnel)
-    ev = (
+    # funnel_counts discipline; was 3 scans for the 3-step funnel).
+    # SIZE-GATED (r15): small inputs keep the lazy plan (see
+    # funnel_counts).
+    ev = pin_if_expensive(
         events.select(
             F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), F.col(ts_col).alias("_ts")
-        )
-        .filter(F.col(type_col).isin(steps))
-        .localCheckpoint(eager=True)
+        ).filter(F.col(type_col).isin(steps)),
+        source=events,
     )
     anchors = (
         ev.filter(F.col("_t") == steps[0])
@@ -349,15 +361,16 @@ def funnel_conversion_stats(
     # step-join chain (r14: 6 scans in the final plan + 3 in the count
     # job). The pin is O(converted users) rows of three longs; the
     # count RIDES the pin job itself as an observed metric (r14, the
-    # §9.3 observe-on-checkpoint pattern), zero extra jobs.
+    # §9.3 observe-on-checkpoint pattern), zero extra jobs. SIZE-GATED
+    # (r15): below the gate the count is one bounded agg job and the
+    # median/p90 branches re-derive the (cheap at that scale) chain.
     w = Window.orderBy(F.col("_ms").asc(), F.col("_u").asc())
-    obs = Observation()
-    ranked = (
-        conv.withColumn("_rn", F.row_number().over(w))
-        .observe(obs, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+    ranked, _stats = pinned_scalars(
+        conv.withColumn("_rn", F.row_number().over(w)),
+        [F.count(F.lit(1)).alias("n")],
+        source=events,
     )
-    n = int(obs.get["n"])
+    n = int(_stats["n"])
     if n == 0:
         return events.sparkSession.createDataFrame(
             [(0, None, None)], "n_converted long, median_ms long, p90_ms long"

@@ -1197,7 +1197,10 @@ def test_bigram_lm_final_plans_never_rescan_the_corpus(spark):
     the token and transition tables — the FINAL plan re-tokenizes the
     corpus ZERO times (it was 5 corpus scans each when every consumer
     re-derived the tokenize), and the first-token cut reads the token
-    table directly, never paying the transition window."""
+    table directly, never paying the transition window. The LM pins
+    are deliberately NOT size-gated (r15 measured rejection: the lazy
+    re-tokenize loses to the pin even at sf0.1), so this shape must
+    hold with no gate conf set."""
     import tempfile
 
     from cdf_spark.operators.curation import (
