@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from ..plans.checkpoint import observed_get
 from .index_base import IndexArtifact
 from .text import hash64, hash64_py, spread_compute
 
@@ -85,6 +86,38 @@ def _doc_tf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.sort_array(F.collect_list(F.col("_p0") + 1)).alias("ps"),
         )
     )
+
+
+def _pinned_tf_stats(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, int, float]:
+    """ONE corpus tokenize for BM25: the positions-free (_id, dl, tok,
+    tf) table eagerly pinned, with the corpus stats (N, Σdl) riding
+    the pin job as OBSERVED metrics over the pre-explode projection —
+    zero-token documents count toward N/avgdl exactly as the former
+    separate lens pass counted them (r13 PRF shape, shared with
+    `bm25_topk` in r15: its lens pass was a second full corpus
+    tokenize just to learn two integers — guide §1.2, the r14 §9.3
+    observe-on-checkpoint pattern).
+
+    Returns (tf, n_docs, avgdl)."""
+    obs = Observation()
+    toks = df.select(
+        F.col(id_col).alias("_id"), _tok_array(F.col(text_col)).alias("_ts")
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("_ts")), F.lit(0)).alias("total"),
+    )
+    tf = (
+        toks.select("_id", F.size("_ts").alias("dl"), F.explode("_ts").alias("tok"))
+        .groupBy("_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    stats = observed_get(obs)
+    n_docs, total = int(stats["n_docs"]), int(stats["total"])
+    return tf, n_docs, total / n_docs
 
 
 def _bm25_partial_unat(n_docs: int, avgdl: float) -> Column:
@@ -180,21 +213,22 @@ def bm25_topk(
     appear — stated contract).
 
     2 shuffles at any corpus size (the tf groupBy and the per-
-    (query, doc) sum); both model-side tables broadcast. The 1-row
-    stats collect (N, total length) is bounded driver state. A
-    growing corpus should use `InvertedIndex` — this recomputes tf
-    from scratch per call."""
+    (query, doc) sum); both model-side tables broadcast. A growing
+    corpus should use `InvertedIndex` — this recomputes tf from
+    scratch per call.
+
+    r15: the corpus is tokenized ONCE — the tf table is eagerly
+    pinned with the stats riding the pin job as observed metrics
+    (`_pinned_tf_stats`); the former shape paid a second full corpus
+    tokenize (a separate `lens` stats job) just to learn N and Σdl,
+    and the AQE-final plan re-derived nothing but still scanned the
+    corpus once per pass (guide §1.2)."""
     # tokenization runs in the scan stage — spread a single-split
-    # corpus so both the tf build and the lens pass fan out (r14,
-    # guide §2.5; no-op at real scale)
+    # corpus so the tf build fans out (r14, guide §2.5; no-op at real
+    # scale)
     docs = spread_compute(docs)
-    tf = _doc_tf(docs, text_col, id_col)
-    lens = docs.select(F.size(_tok_array(F.col(text_col))).alias("dl"))
-    n_docs, total = lens.agg(
-        F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
-    ).collect()[0]
-    avgdl = total / n_docs
-    return _score_topk(tf, _query_terms(queries, qid_col, qtext_col), int(n_docs), avgdl, k, id_col)
+    tf, n_docs, avgdl = _pinned_tf_stats(docs, text_col, id_col)
+    return _score_topk(tf, _query_terms(queries, qid_col, qtext_col), n_docs, avgdl, k, id_col)
 
 
 class InvertedIndex(IndexArtifact):
@@ -697,23 +731,9 @@ def bm25_prf_expand(
     # projection — the separate lens pass was a second full corpus
     # scan + tokenize just to learn two integers (r14, the §9.3
     # observe-on-checkpoint pattern; guide §1.2). Same expressions the
-    # lens pass aggregated, so n/total are value-identical.
-    obs = Observation()
-    toks = docs.select(
-        F.col(id_col).alias("_id"), _tok_array(F.col(text_col)).alias("_ts")
-    ).observe(
-        obs,
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum(F.size("_ts")), F.lit(0)).alias("total"),
-    )
-    tf = (
-        toks.select("_id", F.size("_ts").alias("dl"), F.explode("_ts").alias("tok"))
-        .groupBy("_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
-    n_docs, total = int(obs.get["n_docs"]), int(obs.get["total"])
-    avgdl = total / n_docs
+    # lens pass aggregated, so n/total are value-identical. Shared
+    # with bm25_topk since r15 (`_pinned_tf_stats`).
+    tf, n_docs, avgdl = _pinned_tf_stats(docs, text_col, id_col)
     qterms = _query_terms(queries, qid_col, qtext_col)
 
     fb = _score_topk(tf, qterms, int(n_docs), avgdl, fb_k, id_col)

@@ -14032,20 +14032,26 @@ def retrieval_eval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     the grader end to end — metric bugs can't hide behind a correct
     run."""
     from .operators.evaluation import retrieval_metrics
-    from .operators.retrieval import _tok_array, bm25_topk
+    from .operators.retrieval import _pinned_tf_stats, _query_terms, _score_topk
     from .operators.text import spread_compute
 
-    # spread once here: the qrels tokenize leg below runs in the scan
-    # stage (r14, guide §2.5); bm25_topk's own guard then no-ops
+    # ONE corpus tokenize feeds the run AND the qrels (r15, guide
+    # §1.2): both legs read the pinned tf table — the qrels grade
+    # (number of the query's terms the document contains) is EXACTLY
+    # the count of matching tf rows, because tf holds one row per
+    # (doc, tok); the former array_contains leg re-tokenized the whole
+    # corpus a second time to learn the same membership.
     docs = spread_compute(_t(spark, sf, "documents"))
-    run = bm25_topk(docs, _bm25_query_df(spark), k=10)
-    toks = docs.select("doc_id", _tok_array(F.col("text")).alias("_ts"))
+    tf, n_docs, avgdl = _pinned_tf_stats(docs, "text", "doc_id")
+    run = _score_topk(
+        tf, _query_terms(_bm25_query_df(spark), "qid", "qtext"), n_docs, avgdl, 10, "doc_id"
+    )
     qt = spark.createDataFrame(
         [(q, t) for q, text in _BM25_QUERIES for t in text.split()], ["qid", "tok"]
     )
     qrels = (
-        toks.join(F.broadcast(qt), F.array_contains(F.col("_ts"), F.col("tok")))
-        .groupBy("qid", "doc_id")
+        tf.join(F.broadcast(qt), on="tok")
+        .groupBy("qid", F.col("_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("grade"))
         .filter(F.col("grade") >= 2)
     )
