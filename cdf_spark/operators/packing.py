@@ -170,24 +170,6 @@ def token_budget_sample(
             F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
         ).cast("long").alias("n_tokens"),
     )
-    dom = toks.groupBy("domain").agg(F.sum("n_tokens").alias("_nd"))
-    # sqrt is IEEE-correctly-rounded in every engine (JVM Math.pow is
-    # only 1-ulp), so the default temperature gets guaranteed parity;
-    # other alphas agree after the 1e-6 rounding for all practical
-    # inputs but carry no formal guarantee.
-    powed = (
-        F.sqrt(F.col("_nd").cast("double"))
-        if float(alpha) == 0.5
-        else F.pow(F.col("_nd").cast("double"), F.lit(float(alpha)))
-    )
-    dom = dom.withColumn("_s", F.round(powed * 1e6).cast("long"))
-    tot = dom.agg(F.sum("_s").alias("_stot"))
-    targets = dom.crossJoin(F.broadcast(tot)).select(
-        "domain",
-        F.expr(f"CAST({int(budget_tokens)} AS BIGINT) * _s DIV _stot").alias(
-            "target_tokens"
-        ),
-    )
     # two-phase exact cumsum (the training_shuffle discipline): the
     # global per-domain pick order is md5(id), id — range-repartition
     # on (domain, md5, id) makes partitions tile that order, so a
@@ -204,6 +186,30 @@ def token_budget_sample(
         # pin the range partitioning across the offsets action and the
         # output action (the r13 two-phase determinism rule)
         .localCheckpoint(eager=True)
+    )
+    # domain token masses fold from the PIN, not from raw rows (r15,
+    # guide §1.2): the targets broadcast build used to re-tokenize the
+    # corpus once per branch (the `dom` agg and its total — 2 extra
+    # full scans in the final plan); `keyed` carries (domain,
+    # n_tokens) for exactly these rows, so the aggs are value-
+    # identical and corpus-free.
+    dom = keyed.groupBy("domain").agg(F.sum("n_tokens").alias("_nd"))
+    # sqrt is IEEE-correctly-rounded in every engine (JVM Math.pow is
+    # only 1-ulp), so the default temperature gets guaranteed parity;
+    # other alphas agree after the 1e-6 rounding for all practical
+    # inputs but carry no formal guarantee.
+    powed = (
+        F.sqrt(F.col("_nd").cast("double"))
+        if float(alpha) == 0.5
+        else F.pow(F.col("_nd").cast("double"), F.lit(float(alpha)))
+    )
+    dom = dom.withColumn("_s", F.round(powed * 1e6).cast("long"))
+    tot = dom.agg(F.sum("_s").alias("_stot"))
+    targets = dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        F.expr(f"CAST({int(budget_tokens)} AS BIGINT) * _s DIV _stot").alias(
+            "target_tokens"
+        ),
     )
     # pass 1: per-(partition, domain) row counts + token subtotals —
     # O(partitions × domains) rows, the only collected state
