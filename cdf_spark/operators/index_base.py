@@ -43,3 +43,29 @@ class IndexArtifact:
         tmp = self.root / "meta.json.tmp"
         tmp.write_text(_json.dumps(meta))
         tmp.replace(self.root / "meta.json")
+
+    @staticmethod
+    def _schema_json(df) -> str:
+        """The written part's schema, recorded in the meta at write
+        time so probes can read it back EXPLICITLY (r15, guide §1.2):
+        without it every `spark.read.parquet` on the probe path pays a
+        parquet schema-inference job — pure per-probe scheduling
+        overhead for a layout this class fixed when it wrote the part."""
+        return df.schema.json()
+
+    def _carry_schemas(self, meta: dict) -> dict:
+        """The schema_* keys every meta mutation must propagate."""
+        return {k: v for k, v in meta.items() if k.startswith("schema_")}
+
+    def _read_parts(self, spark, dirs: list[str], schema_json: str | None = None):
+        """Read part dirs under root, with the recorded schema when the
+        meta carries one (skips the per-read schema-inference job);
+        indexes written before r15 fall back to inference."""
+        reader = spark.read
+        if schema_json:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(_json.loads(schema_json)))
+        return reader.parquet(*[str(self.root / d) for d in dirs])

@@ -310,13 +310,14 @@ class InvertedIndex(IndexArtifact):
             F.size(_tok_array(F.col(text_col))).alias("dl"),
         )
         lens.write.mode("overwrite").parquet(str(self.root / lpart))
-        n_b, tot_b = spark.read.parquet(str(self.root / lpart)).agg(
+        n_b, tot_b = self._read_parts(spark, [lpart], meta.get("schema_lens")).agg(
             F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
         ).collect()[0]
         tombs = meta.get("tombstones", [])
         if not n_b:
             new_meta = {
                 **meta,
+                "schema_lens": meta.get("schema_lens", self._schema_json(lens)),
                 "tombstones": tombs,
                 "tseq": int(meta.get("tseq", len(tombs))),
                 "seq": seq,
@@ -338,7 +339,16 @@ class InvertedIndex(IndexArtifact):
             part = f"postings_p{seq}"
             tf.write.mode("overwrite").partitionBy("hb").parquet(str(self.root / part))
             parts = parts + [part]
+            if "schema_posts" not in meta:
+                # one inference read at WRITE time records the hive-
+                # partitioned read-back schema (hb lands last); probes
+                # then never pay the per-part inference job
+                meta["schema_posts"] = spark.read.parquet(
+                    str(self.root / part)
+                ).schema.json()
         new_meta = {
+            **self._carry_schemas(meta),
+            "schema_lens": meta.get("schema_lens", self._schema_json(lens)),
             "parts": parts,
             "lparts": meta.get("lparts", []) + [lpart],
             "seq": seq + 1,
@@ -380,7 +390,7 @@ class InvertedIndex(IndexArtifact):
         tombs = meta.get("tombstones", [])
         if not tombs:
             return None
-        return spark.read.parquet(*[str(self.root / t) for t in tombs]).select("doc_id")
+        return self._read_parts(spark, tombs, meta.get("schema_tomb")).select("doc_id")
 
     def delete(
         self,
@@ -410,7 +420,7 @@ class InvertedIndex(IndexArtifact):
         dead0 = self._read_dead(spark, meta)
         if dead0 is not None:
             new_dead = new_dead.join(dead0, on="doc_id", how="left_anti")
-        lens = spark.read.parquet(*[str(self.root / p) for p in meta.get("lparts", [])])
+        lens = self._read_parts(spark, meta.get("lparts", []), meta.get("schema_lens"))
         gone = lens.join(new_dead, on="doc_id", how="left_semi")
         n_g, tot_g = gone.agg(
             F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
@@ -422,6 +432,8 @@ class InvertedIndex(IndexArtifact):
         # the same rows)
         gone.select("doc_id").write.mode("overwrite").parquet(str(self.root / part))
         new_meta = {
+            **self._carry_schemas(meta),
+            "schema_tomb": self._schema_json(gone.select("doc_id")),
             "parts": meta["parts"],
             "lparts": meta.get("lparts", []),
             "seq": int(meta.get("seq", len(meta["parts"]))),
@@ -450,9 +462,9 @@ class InvertedIndex(IndexArtifact):
         dead = self._read_dead(spark, meta)
         posts = reduce(
             DataFrame.unionByName,
-            [spark.read.parquet(str(self.root / p)) for p in meta["parts"]],
+            [self._read_parts(spark, [p], meta.get("schema_posts")) for p in meta["parts"]],
         )
-        lens = spark.read.parquet(*[str(self.root / p) for p in meta.get("lparts", [])])
+        lens = self._read_parts(spark, meta.get("lparts", []), meta.get("schema_lens"))
         if dead is not None:
             posts = posts.join(dead, on="doc_id", how="left_anti")
             lens = lens.join(dead, on="doc_id", how="left_anti")
@@ -470,6 +482,7 @@ class InvertedIndex(IndexArtifact):
             new_parts = [part]
         lens.write.mode("overwrite").parquet(str(self.root / lpart))
         new_meta = {
+            **self._carry_schemas(meta),
             "parts": new_parts,
             "lparts": [lpart],
             "seq": seq + 1,
@@ -515,7 +528,7 @@ class InvertedIndex(IndexArtifact):
         from functools import reduce
 
         parts = [
-            spark.read.parquet(str(self.root / p)).filter(
+            self._read_parts(spark, [p], meta.get("schema_posts")).filter(
                 F.col("hb").isin(buckets) & F.col("tok").isin(terms)
             )
             for p in meta["parts"]
@@ -560,7 +573,7 @@ class InvertedIndex(IndexArtifact):
             raise ValueError("phrase set tokenizes to no terms")
         buckets = sorted({hash64_py(t) % _BUCKETS for t in terms})
         parts = [
-            spark.read.parquet(str(self.root / p)).filter(
+            self._read_parts(spark, [p], meta.get("schema_posts")).filter(
                 F.col("hb").isin(buckets) & F.col("tok").isin(terms)
             )
             for p in meta["parts"]

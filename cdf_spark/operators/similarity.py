@@ -786,7 +786,14 @@ class IVFIndex(IndexArtifact):
                 f"(id % {centroid_modulus} == 0)"
             )
         cents.write.mode("overwrite").parquet(str(self.root / "centroids"))
-        self._swap_meta({"parts": [], "n_rows": 0, "last_epoch": -1})
+        self._swap_meta(
+            {
+                "parts": [],
+                "n_rows": 0,
+                "last_epoch": -1,
+                "schema_cents": self._schema_json(cents),
+            }
+        )
         return self.add(spark, batch, id_col=id_col, vec_col=vec_col, epoch=epoch)
 
     def add(
@@ -808,13 +815,15 @@ class IVFIndex(IndexArtifact):
             raise ValueError("IVFIndex is empty — build() first")
         if epoch is not None and int(epoch) <= meta.get("last_epoch", -1):
             return meta  # replayed fold — already assigned
-        cents = spark.read.parquet(str(self.root / "centroids"))
+        cents = self._read_parts(spark, ["centroids"], meta.get("schema_cents"))
         assigned = ivf_assign(batch, cents, id_col=id_col, vec_col=vec_col)
         part = f"postings_p{int(meta.get('seq', len(meta['parts'])))}"
         assigned.write.mode("overwrite").parquet(str(self.root / part))
-        n = spark.read.parquet(str(self.root / part)).count()
+        n = self._read_parts(spark, [part], meta.get("schema_posts")).count()
         tombs = meta.get("tombstones", [])
         new_meta = {
+            **self._carry_schemas(meta),
+            "schema_posts": self._schema_json(assigned),
             "parts": meta["parts"] + [part],
             "seq": int(meta.get("seq", len(meta["parts"]))) + 1,
             "tombstones": tombs,
@@ -878,7 +887,7 @@ class IVFIndex(IndexArtifact):
             # growing id set) must not append duplicate tombstone rows
             # — the probe-side anti-join would grow unboundedly between
             # compactions (the InvertedIndex.delete discipline)
-            dead0 = spark.read.parquet(*[str(self.root / t) for t in tombs]).select("id")
+            dead0 = self._read_parts(spark, tombs, meta.get("schema_tomb")).select("id")
             new_dead = new_dead.join(dead0, on="id", how="left_anti")
         # keep only ids that EXIST in the postings, so n_rows stays
         # the live-row count (deleting unknown ids subtracts nothing);
@@ -887,11 +896,11 @@ class IVFIndex(IndexArtifact):
         # (the family discipline add()/compact() follow) — counting
         # the lazy plan and then writing it would run the scan+joins
         # twice.
-        posts = spark.read.parquet(*[str(self.root / p) for p in meta["parts"]])
+        posts = self._read_parts(spark, meta["parts"], meta.get("schema_posts"))
         gone = posts.select("id").join(new_dead, on="id", how="left_semi")
         part = f"tombstones_t{int(meta.get('tseq', len(tombs)))}"
         gone.write.mode("overwrite").parquet(str(self.root / part))
-        n_g = spark.read.parquet(str(self.root / part)).count()
+        n_g = self._read_parts(spark, [part], meta.get("schema_tomb")).count()
         if not n_g:
             # nothing genuinely died: record only the epoch watermark —
             # appending an empty tombstone part would grow the list
@@ -900,6 +909,7 @@ class IVFIndex(IndexArtifact):
 
             _sh.rmtree(self.root / part, ignore_errors=True)
             new_meta = {
+                **self._carry_schemas(meta),
                 "parts": meta["parts"],
                 "seq": int(meta.get("seq", len(meta["parts"]))),
                 "tombstones": tombs,
@@ -911,6 +921,8 @@ class IVFIndex(IndexArtifact):
             self._sweep(new_meta)
             return new_meta
         new_meta = {
+            **self._carry_schemas(meta),
+            "schema_tomb": self._schema_json(gone.select("id")),
             "parts": meta["parts"],
             "seq": int(meta.get("seq", len(meta["parts"]))),
             "tombstones": tombs + [part],
@@ -935,15 +947,16 @@ class IVFIndex(IndexArtifact):
         meta = self._meta()
         if meta is None or not meta["parts"]:
             raise ValueError("IVFIndex is empty — build() first")
-        live = spark.read.parquet(*[str(self.root / p) for p in meta["parts"]])
+        live = self._read_parts(spark, meta["parts"], meta.get("schema_posts"))
         tombs = meta.get("tombstones", [])
         if tombs:
-            dead = spark.read.parquet(*[str(self.root / t) for t in tombs])
+            dead = self._read_parts(spark, tombs, meta.get("schema_tomb"))
             live = live.join(dead.select("id"), on="id", how="left_anti")
         part = f"postings_p{int(meta.get('seq', len(meta['parts'])))}"
         live.write.mode("overwrite").parquet(str(self.root / part))
-        n = spark.read.parquet(str(self.root / part)).count()
+        n = self._read_parts(spark, [part], meta.get("schema_posts")).count()
         new_meta = {
+            **self._carry_schemas(meta),
             "parts": [part],
             "seq": int(meta.get("seq", len(meta["parts"]))) + 1,
             "tombstones": [],
@@ -972,11 +985,11 @@ class IVFIndex(IndexArtifact):
         meta = self._meta()
         if meta is None or not meta["parts"]:
             raise ValueError("IVFIndex is empty — build() first")
-        cents = spark.read.parquet(str(self.root / "centroids"))
-        assigned = spark.read.parquet(*[str(self.root / p) for p in meta["parts"]])
+        cents = self._read_parts(spark, ["centroids"], meta.get("schema_cents"))
+        assigned = self._read_parts(spark, meta["parts"], meta.get("schema_posts"))
         tombs = meta.get("tombstones", [])
         if tombs:
-            dead = spark.read.parquet(*[str(self.root / t) for t in tombs])
+            dead = self._read_parts(spark, tombs, meta.get("schema_tomb"))
             assigned = assigned.join(dead.select("id"), on="id", how="left_anti")
         return _ivf_probe_topk(
             assigned, cents, queries, k, nprobe, query_id, vec_col, round_to
