@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..plans.checkpoint import release_local_checkpoint
+
 SCALE = 1_000_000
 
 
@@ -137,6 +139,9 @@ def pagerank(
     # Edge table annotated with its source's out-degree, materialized
     # once — iterations re-join only the O(nodes) score table.
     e2 = e.join(deg, e["src"] == deg["id"]).select("src", "dst", "deg").localCheckpoint(eager=True)
+    # the raw edge pin fed only the nodes/e2 setup pins — both
+    # materialized, so its O(edges) blocks are dead (r15, guide §5)
+    release_local_checkpoint(e)
 
     # Size-gated broadcast for the per-round O(nodes) operands: the
     # score table joining the O(edges) table as SortMergeJoin would
@@ -186,10 +191,19 @@ def pagerank(
         F.max("_sd").alias("_sd"),
         F.max("_dg").alias("_dg"),
     ]
+    # release each round's pin once the NEXT round's pin is
+    # materialized (the checkpoint.py frontier rule, r15 guide §5
+    # "unpersist when done"): a 5-iteration run otherwise holds 5 full
+    # score-table copies in executor storage for the session's life —
+    # at web-graph scale that is 5x the working set leaked per call.
+    prev_pin = None
     for _ in range(iterations):
         obs_r = Observation()
         scores = scores.observe(obs_r, e_obs).localCheckpoint(eager=True)
         dang = int(obs_r.get["dang"])
+        if prev_pin is not None:
+            release_local_checkpoint(prev_pin)
+        prev_pin = scores
         contribs = e2.join(hint(scores), e2["src"] == scores["id"]).select(*e_contrib)
         base = nodes.select(*e_base)
         scores = (
@@ -294,6 +308,10 @@ def connected_components(
         (F.col("_m") < F.col("l")).alias("_ch"),
     ]
     e_obs = F.coalesce(F.sum(F.when(F.col("_ch"), 1).otherwise(0)), F.lit(0)).alias("_c")
+    # release each round's pin behind the materialization frontier
+    # (r15, guide §5): the previous round's label pin is dead once the
+    # new one exists; the initial `labels` pin is round 0's.
+    prev_pin = labels
     for _ in range(max_iterations):
         cand = (
             und.join(labels, und["a"] == labels["id"])
@@ -316,8 +334,13 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = obs.get["_c"]
+        release_local_checkpoint(prev_pin)
+        prev_pin = nxt
         labels = nxt.select("id", "l")
         if changed == 0:
+            # the returned frame's lineage is the LAST pin only — the
+            # undirected edge pin is no longer reachable
+            release_local_checkpoint(und)
             return labels.select("id", F.col("l").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds "
@@ -429,6 +452,9 @@ def connected_components_star(
     )
     _m = obs_e.get
     prev_cnt, prev_sig = _m["_n"], _m["_h"]
+    # the raw edge pin fed only the nodes/e setup pins — both
+    # materialized above, so its blocks are dead (r15, guide §5)
+    release_local_checkpoint(raw)
     for _ in range(max_rounds):
         # duplicates from (a,b)+(b,a) pairs are harmless below: MIN
         # absorbs them and the emission dedups at nxt — no distinct here
@@ -456,8 +482,11 @@ def connected_components_star(
         _m = obs.get
         cnt, sig = _m["_n"], _m["_h"]
         if cnt == prev_cnt and sig == prev_sig and nxt.exceptAll(e).isEmpty():
+            # prev round's pin was last read by the exceptAll above
+            release_local_checkpoint(e)
             e = nxt
             break
+        release_local_checkpoint(e)
         e, prev_cnt, prev_sig = nxt, cnt, sig
     else:
         raise RuntimeError(

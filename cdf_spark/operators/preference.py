@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..plans.checkpoint import release_local_checkpoint
+
 MICRO = 1_000_000
 
 
@@ -160,6 +162,10 @@ def bradley_terry_strengths(
     ]
     e_obs = F.coalesce(F.sum("praw"), F.lit(0)).alias("_tot")
     p = players.select("id", F.lit(MICRO).cast("long").alias("p"))
+    # release each round's raw pin behind the frontier (r15, guide §5);
+    # the final round's pin is the returned frame's whole lineage, so
+    # the pair and win pins release after the loop.
+    prev_pin = None
     for _ in range(iterations):
         pi = hint(p.select(*e_pi))
         pj = hint(p.select(*e_pj))
@@ -177,8 +183,13 @@ def bradley_terry_strengths(
             .localCheckpoint(eager=True)
         )
         tot = int(obs_r.get["_tot"])
+        if prev_pin is not None:
+            release_local_checkpoint(prev_pin)
+        prev_pin = raw
         p = raw.select(
             "id",
             F.expr(f"(praw * {n_players * MICRO}) div CAST({tot} AS BIGINT)").alias("p"),
         )
+    release_local_checkpoint(nij)
+    release_local_checkpoint(wins)
     return p.select("id", F.col("p").alias("strength_unat"))

@@ -560,23 +560,99 @@ class DeltaTable:
         SOURCE table's layout, so Spark's hive-directory inference
         cannot reconstitute the partition columns. Reconstitute from
         the log's add.partitionValues instead — the protocol's
-        authoritative record — as per-partition-group literal columns:
-        one grouped parquet scan per live partition tuple (O(live
-        partitions) plan nodes, each a plain pushdown-capable
-        multi-file scan), unioned under the declared schema."""
+        authoritative record.
+
+        r15 (guide §6/§7.3): the former shape built one scan per live
+        partition TUPLE and unioned them — O(live partitions) plan
+        branches whose analysis and per-task plan deserialization
+        dominated the read (a 147-day fixture took ~66 s for 295 tiny
+        files). Now ONE multi-file scan joins a BROADCAST
+        (file -> typed partition values) mapping on the scan's
+        `_metadata.file_path` (the DV path's proven normalization);
+        the typed conversion is the same `_typed_partition_value`,
+        run once per file on the driver. A path that misses the
+        mapping raises loudly instead of silently nulling; a
+        partition value the declared type cannot parse falls back to
+        the per-group union shape (the old exactness behavior for
+        that defensive corner)."""
         from collections import defaultdict
         from functools import reduce
 
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         schema = self._logical_schema(version)
         if schema is None:
             raise DeltaError("linked partitioned read requires a declared schema")
         pv_of = {p: pv for p, _dv, pv in self.live_adds(version)}
+        by_name = {f.name: f for f in schema.fields}
+        part_names = sorted(
+            {c for f in files for c in (pv_of.get(f) or {}) if c in by_name}
+        )
+        typed_rows, clean = [], True
+        for f in files:
+            pv = pv_of.get(f) or {}
+            vals: list = [f, True]
+            for c in part_names:
+                raw = pv.get(c)
+                has = c in pv
+                v = None if raw is None else _typed_partition_value(raw, by_name[c].dataType)
+                if (
+                    v is not None
+                    and isinstance(v, str)
+                    and not isinstance(by_name[c].dataType, T.StringType)
+                ):
+                    clean = False  # unparseable value: keep the old exact shape
+                vals.extend([has, v])
+            typed_rows.append(tuple(vals))
+        if clean and part_names:
+            mschema = T.StructType(
+                [
+                    T.StructField("__cdf_link_path", T.StringType()),
+                    T.StructField("__cdf_link_ok", T.BooleanType()),
+                ]
+                + [
+                    fld
+                    for c in part_names
+                    for fld in (
+                        T.StructField(f"__cdf_has_{c}", T.BooleanType()),
+                        T.StructField(f"__cdf_pv_{c}", by_name[c].dataType),
+                    )
+                ]
+            )
+            mdf = spark.createDataFrame(typed_rows, mschema)
+            # same URI normalization the DV anti-join keys on
+            uri = F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+            norm = F.regexp_replace(F.url_decode(uri), "^file:/+", "/")
+            df = (
+                spark.read.schema(schema)
+                .parquet(*files)
+                .withColumn("__cdf_link_path", norm)
+                .join(F.broadcast(mdf), on="__cdf_link_path", how="left")
+            )
+            for i, c in enumerate(part_names):
+                fld = by_name[c]
+                expr = F.when(F.col(f"__cdf_has_{c}"), F.col(f"__cdf_pv_{c}")).otherwise(
+                    F.col(c)
+                )
+                if i == 0:
+                    # loud guard: a scan path the mapping does not know
+                    # means the normalization diverged — corrupting the
+                    # partition column silently is never acceptable
+                    expr = F.when(
+                        F.col("__cdf_link_ok").isNull(),
+                        F.raise_error(
+                            F.lit(
+                                "linked partitioned read: scan file path not in "
+                                "the live-add mapping (path normalization mismatch)"
+                            )
+                        ).cast(fld.dataType),
+                    ).otherwise(expr)
+                df = df.withColumn(c, expr.cast(fld.dataType))
+            return df.select(*[f.name for f in schema.fields])
         groups: dict[tuple, list[str]] = defaultdict(list)
         for f in files:
             groups[tuple(sorted((pv_of.get(f) or {}).items()))].append(f)
-        by_name = {f.name: f for f in schema.fields}
         dfs = []
         for key, paths in sorted(groups.items()):
             g = spark.read.schema(schema).parquet(*paths)

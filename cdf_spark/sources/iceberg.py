@@ -902,6 +902,131 @@ class IcebergTable:
                 )
         return sorted(out, key=lambda d: d["path"])
 
+    def _assemble_mapped(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        with_meta: bool,
+        cur_fields: list[dict],
+        spec_to_cur: dict,
+        cur_to_ice_t: dict,
+    ):
+        """One multi-file scan per WRITTEN SCHEMA, with identity-
+        partition fields reconstituted from a broadcast
+        (file -> typed value) mapping instead of per-partition-tuple
+        literal branches (r15). Returns None when a partition value
+        cannot be converted with exact fidelity driver-side — the
+        caller then keeps the per-tuple union shape."""
+        import datetime as _dt
+        from collections import defaultdict
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        if not cur_fields:
+            return None  # metadata-without-schemas passthrough: old shape
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        _EPOCH_D = _dt.date(1970, 1, 1)
+        _EPOCH_TS = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+        def typed(v, ice_t, spark_t):
+            """(ok, value): the python value whose lit().cast(spark_t)
+            the old per-group literal produced — exact or refuse."""
+            if v is None:
+                return True, None
+            if ice_t == "date" and isinstance(v, int):
+                return True, _EPOCH_D + _dt.timedelta(days=v)
+            if ice_t in ("timestamp", "timestamptz") and isinstance(v, int):
+                return True, _EPOCH_TS + _dt.timedelta(microseconds=v)
+            if isinstance(v, bool):
+                return spark_t == "boolean", v
+            if spark_t in ("int", "bigint") and isinstance(v, int):
+                return True, v
+            if spark_t in ("float", "double") and isinstance(v, (int, float)):
+                return True, float(v)
+            if spark_t == "string" and isinstance(v, str):
+                return True, v
+            return False, None
+
+        by_schema: dict[int, list[dict]] = defaultdict(list)
+        for e in entries:
+            by_schema[int(e["schema_id"])].append(e)
+        dfs = []
+        for schema_id, es in sorted(by_schema.items()):
+            paths = [e["path"] for e in es]
+            g = spark.read.parquet(*paths)
+            if with_meta:
+                g = g.withColumn("_file", norm(F.col("_metadata.file_path"))).withColumn(
+                    "_pos", F.col("_metadata.row_index")
+                )
+            written_by_id = {
+                int(f["id"]): f["name"]
+                for f in self._schema_by_id(schema_id).get("fields", [])
+            }
+            # fields served from the data vs reconstituted per file
+            from_part = []
+            for f in cur_fields:
+                wname = written_by_id.get(int(f["id"]))
+                if wname is None or wname not in g.columns:
+                    from_part.append(f)
+            rows = []
+            for e in es:
+                part = e.get("partition") or {}
+                part_by_cur = {
+                    spec_to_cur[spec]: v for spec, v in part.items() if spec in spec_to_cur
+                }
+                vals = [e["path"], True]
+                for f in from_part:
+                    name = f["name"]
+                    spark_t = self._ICE_TO_SPARK.get(str(f.get("type") or ""), "string")
+                    ice_t = cur_to_ice_t.get(name, str(f.get("type") or ""))
+                    ok, v = typed(part_by_cur.get(name), ice_t, spark_t)
+                    if not ok:
+                        return None  # exactness first: old union shape
+                    vals.append(v)
+                rows.append(tuple(vals))
+            if from_part:
+                ddl = ", ".join(
+                    ["__ice_path string", "__ice_ok boolean"]
+                    + [
+                        f"__ice_pv_{i} {self._ICE_TO_SPARK.get(str(f.get('type') or ''), 'string')}"
+                        for i, f in enumerate(from_part)
+                    ]
+                )
+                mdf = spark.createDataFrame(rows, ddl)
+                key = F.col("_file") if with_meta else norm(F.col("_metadata.file_path"))
+                g = g.withColumn("__ice_path", key).join(
+                    F.broadcast(mdf), on="__ice_path", how="left"
+                )
+            pv_idx = {f["name"]: i for i, f in enumerate(from_part)}
+            sel = []
+            for f in cur_fields:
+                wname = written_by_id.get(int(f["id"]))
+                spark_t = self._ICE_TO_SPARK.get(str(f.get("type") or ""), "string")
+                if wname is not None and wname in g.columns:
+                    sel.append(F.col(wname).alias(f["name"]))
+                else:
+                    i = pv_idx[f["name"]]
+                    col = F.col(f"__ice_pv_{i}")
+                    if i == 0:
+                        # loud guard: a scan path missing from the
+                        # mapping means the normalization diverged —
+                        # never silently null a reconstituted column
+                        col = F.when(
+                            F.col("__ice_ok").isNull(),
+                            F.raise_error(
+                                F.lit(
+                                    "iceberg assemble: scan file path not in the "
+                                    "manifest mapping (path normalization mismatch)"
+                                )
+                            ).cast(spark_t),
+                        ).otherwise(col)
+                    sel.append(col.cast(spark_t).alias(f["name"]))
+            if with_meta:
+                sel += [F.col("_file"), F.col("_pos")]
+            dfs.append(g.select(*sel))
+        return reduce(DataFrame.unionByName, dfs)
+
     def _assemble(self, spark: SparkSession, entries: list[dict], with_meta: bool) -> DataFrame:
         """Union the data files resolved to the CURRENT schema: files
         written under an older schema get their columns renamed by
@@ -929,6 +1054,20 @@ class IcebergTable:
         part_fields = self._partition_fields()
         spec_to_cur = {spec: cur for _, spec, cur, _ in part_fields}
         cur_to_ice_t = {cur: typ for _, _, cur, typ in part_fields}
+        # r15 (guide §6/§7.3): grouping by (schema, partition tuple)
+        # built one scan branch per live partition — O(partitions) plan
+        # nodes whose analysis + per-task plan deserialization dominated
+        # partitioned reads (a 147-day fixture: ~40 s for 295 tiny
+        # files). Partition-reconstituted fields now come from a
+        # BROADCAST (file -> typed value) mapping joined on the scan's
+        # normalized `_metadata.file_path`, so each written schema is
+        # ONE multi-file scan; the typed conversion is the same
+        # epoch-days/epoch-micros arithmetic, run per file on the
+        # driver. Values the fast path cannot convert exactly fall back
+        # to the per-tuple union (the old exact shape).
+        fast = self._assemble_mapped(spark, entries, with_meta, cur_fields, spec_to_cur, cur_to_ice_t)
+        if fast is not None:
+            return fast
         groups: dict[tuple, list[str]] = defaultdict(list)
         part_by_key: dict[tuple, dict] = {}
         for e in entries:

@@ -210,3 +210,64 @@ def test_cc_star_final_plan_is_checkpoint_bounded(spark):
         assert plan.count("Exchange") <= 3
         comps = {r.id: r.component for r in out.collect()}
         assert comps[39] == 1 and comps[101] == 100
+
+
+def test_graph_loops_release_intermediate_checkpoints(spark):
+    """The iterative operators pin per-round intermediates; blocks
+    behind the materialization frontier must be RELEASED as the loop
+    advances (r15, guide §5) — only the pins the returned frame's
+    lineage still needs may survive."""
+    from cdf_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+        pagerank,
+    )
+
+    def stored():
+        sc = spark.sparkContext._jsc.sc()
+        return {i.id() for i in sc.getRDDStorageInfo()}
+
+    n = 10
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(1, n)], ["src", "dst"]
+    )
+
+    before = stored()
+    out = connected_components(chain)
+    assert {r.component for r in out.collect()} == {"n01"}
+    leaked = stored() - before
+    # surviving: the final label pin + the result still references it
+    assert len(leaked) <= 1, f"connected_components leaked {leaked}"
+
+    before = stored()
+    out = connected_components_star(chain)
+    assert {r.component for r in out.collect()} == {"n01"}
+    leaked = stored() - before
+    # surviving: the final edge pin + the nodes pin (in the result's lineage)
+    assert len(leaked) <= 2, f"connected_components_star leaked {leaked}"
+
+    before = stored()
+    out = pagerank(chain, iterations=4)
+    assert out.count() == n
+    leaked = stored() - before
+    # surviving: the last round's score pin + nodes/e2 (in the lineage)
+    assert len(leaked) <= 3, f"pagerank leaked {leaked}"
+
+
+def test_bradley_terry_releases_intermediate_checkpoints(spark):
+    from cdf_spark.operators.preference import bradley_terry_strengths
+
+    def stored():
+        sc = spark.sparkContext._jsc.sc()
+        return {i.id() for i in sc.getRDDStorageInfo()}
+
+    duels = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 0), ("c", "a", 1)] * 3,
+        ["i", "j", "win"],
+    )
+    before = stored()
+    out = bradley_terry_strengths(duels, iterations=4)
+    assert out.count() == 3
+    leaked = stored() - before
+    # surviving: the final round's raw pin only
+    assert len(leaked) <= 1, f"bradley_terry leaked {leaked}"
